@@ -1,0 +1,206 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.filter.{EventFilter, Clause, Match}
+
+/** Read-side handle over a trail table — the Spark-native analog of the
+  * reference's `tdb` handle (reference: src/tdb.c:298-393 `tdb_open` mmaps
+  * info/fields/lexicons/uuids/toc/trails; here one Parquet directory written
+  * sorted by (uuid, time) plays all those roles — Parquet dictionary pages
+  * are the lexicons, row-group min/max stats are the uuid TOC).
+  *
+  * The db-level event filter (reference: TDB_OPT_EVENT_FILTER,
+  * src/tdb.c:716-722) is modeled as a filtered *view*: [[withFilter]] returns
+  * a new handle whose DataFrame has the predicate applied lazily, so Catalyst
+  * pushes it into the scan.
+  */
+final class TrailDB private (
+    val spark: SparkSession,
+    private val base: DataFrame,
+    val dbFilter: Option[EventFilter]) {
+
+  /** User field names (excludes uuid/time/seq). */
+  val fields: Seq[String] = TrailSchema.userFields(base.schema)
+  private def fieldSet: Set[String] = fields.toSet
+
+  /** The db view with the db-level filter applied (if any). */
+  def df: DataFrame = dbFilter match {
+    case Some(f) => base.filter(f.toColumn(fieldSet))
+    case None    => base
+  }
+
+  /** Install/replace the db-level filter (a view — reference semantics of
+    * TDB_OPT_EVENT_FILTER, src/tdb.c:716-722). */
+  def withFilter(filter: EventFilter): TrailDB =
+    new TrailDB(spark, base, Some(filter))
+
+  def withFilter(text: String): TrailDB = withFilter(EventFilter.parse(text))
+
+  /** Events matching `filter` on top of the db view — the per-cursor filter
+    * (reference precedence db < trail < cursor: src/tdb_decode.c:140-181). */
+  def events(filter: EventFilter = EventFilter.matchAll): DataFrame =
+    df.filter(filter.toColumn(fieldSet))
+
+  /** Per-trail filter overrides: trails present in `overrides` use their own
+    * filter INSTEAD of the db-level filter; others keep the db view
+    * (reference: tdb_set_trail_opt TDB_OPT_EVENT_FILTER,
+    * src/tdb.c:753-778, precedence src/tdb_decode.c:140-181).
+    * Implemented as a disjunction of uuid-scoped predicates — stays a single
+    * scan with one pushed filter, no join, no shuffle.
+    */
+  def eventsWithTrailFilters(overrides: Map[String, EventFilter]): DataFrame = {
+    val overridden = overrides.map { case (u, f) =>
+      col(TrailSchema.UuidCol) === lit(u) && f.toColumn(fieldSet)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val baseKeeps = !col(TrailSchema.UuidCol).isin(overrides.keys.toSeq: _*) &&
+      dbFilter.map(_.toColumn(fieldSet)).getOrElse(lit(true))
+    base.filter(overridden || baseKeeps)
+  }
+
+  /** Full-table scan in (uuid, time, seq) order — the reference's
+    * trail_id 0..N / cursor loop (tdbcli/op_dump.c:102-159). `seq` is the
+    * deterministic tiebreaker for equal timestamps. */
+  def scan(filter: EventFilter = EventFilter.matchAll): DataFrame =
+    events(filter).orderBy(TrailSchema.UuidCol, TrailSchema.TimeCol, TrailSchema.SeqCol)
+
+  /** Point lookup of one trail (reference: tdb_get_trail_id binary search,
+    * src/tdb.c:552-589). With uuid-sorted Parquet, row-group min/max stats
+    * prune to the few row groups containing the uuid. */
+  def trail(uuid: String): DataFrame =
+    df.filter(col(TrailSchema.UuidCol) === lit(uuid))
+      .orderBy(TrailSchema.TimeCol, TrailSchema.SeqCol)
+
+  /** Trail whitelist — keep only listed uuids (reference `--uuids` pattern:
+    * MATCH_NONE db-wide + MATCH_ALL per listed trail, tdbcli/filter.c:142-243).
+    * Spark-native: a broadcast semi-join / isin, which Catalyst pushes down. */
+  def whitelist(uuids: Seq[String]): TrailDB =
+    new TrailDB(spark, base.filter(col(TrailSchema.UuidCol).isin(uuids: _*)), dbFilter)
+
+  /** Whitelist against a (possibly huge) uuid set as a DataFrame — semi-join,
+    * broadcast when small (AQE decides at scale). */
+  def whitelist(uuids: DataFrame): TrailDB =
+    new TrailDB(spark,
+      base.join(uuids.select(col(uuids.columns.head).as(TrailSchema.UuidCol)).distinct(),
+        Seq(TrailSchema.UuidCol), "left_semi"), dbFilter)
+
+  /** Trail blacklist — drop listed uuids (anti of [[whitelist]]). */
+  def blacklist(uuids: Seq[String]): TrailDB =
+    new TrailDB(spark, base.filter(!col(TrailSchema.UuidCol).isin(uuids: _*)), dbFilter)
+
+  /** TDB_OPT_ONLY_DIFF_ITEMS (reference: src/tdb_decode.c:268-300,
+    * doc/docs/technical_overview.md:113-125): emit only field values that
+    * changed vs. the previous event in the trail; unchanged fields become
+    * NULL/"" in the output. The reference's behavior is approximate (a
+    * compression artifact); ours is exact lag-based dedup — a documented,
+    * strictly-more-useful divergence.
+    */
+  def onlyDiffItems: DataFrame = {
+    val w = Window.partitionBy(TrailSchema.UuidCol)
+      .orderBy(TrailSchema.TimeCol, TrailSchema.SeqCol)
+    fields.foldLeft(df) { (acc, f) =>
+      acc.withColumn(f,
+        when(lag(col(f), 1).over(w) <=> col(f), lit("")).otherwise(coalesce(col(f), lit(""))))
+    }
+  }
+
+  // ---- metadata (reference: src/tdb.c:677-700, persisted info file) ----
+
+  def numTrails: Long = df.select(TrailSchema.UuidCol).distinct().count()
+  def numEvents: Long = df.count()
+  def numFields: Int  = fields.size + 1 // field 0 is implicit time (src/tdb.c:193)
+
+  def timeRange: (Long, Long) = {
+    val r = df.agg(min(TrailSchema.TimeCol), max(TrailSchema.TimeCol)).head()
+    if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+  }
+
+  /** Distinct values of a field, the reference lexicon (src/tdb.c:106-140).
+    * NULL and "" collapse to the single NULL value, matching val 0. */
+  def lexicon(field: String): DataFrame =
+    df.select(coalesce(col(field), lit("")).as("value"))
+      .filter(col("value") =!= "").distinct()
+
+  /** tdb_lexicon_size = distinct values + 1 for the implicit NULL
+    * (reference: src/tdb.c:455-465). */
+  def lexiconSize(field: String): Long = lexicon(field).count() + 1
+
+  /** Trail lengths (reference: tdb_get_trail_length, src/tdb_decode.c:219-225). */
+  def trailLengths: DataFrame =
+    df.groupBy(TrailSchema.UuidCol).agg(count(lit(1)).as("trail_length"))
+
+  // ---- sinks (reference: tdbcli/op_dump.c) ----
+
+  /** Project to output fields in reference dump order: uuid, time, fields...
+    * with NULL rendered as "" (reference: op_dump.c:29,58-66). */
+  def dumpProjection(cols: Seq[String] = Nil): DataFrame = {
+    val out = if (cols.nonEmpty) cols else TrailSchema.UuidCol +: TrailSchema.TimeCol +: fields
+    val sorted = scan()
+    sorted.select(out.map {
+      case c @ (TrailSchema.UuidCol | TrailSchema.TimeCol | TrailSchema.SeqCol) => col(c)
+      case f => coalesce(col(f), lit("")).as(f)
+    }: _*)
+  }
+
+  /** CSV sink (reference: `tdb dump -c`, op_dump.c:51-67). */
+  def dumpCsv(path: String, delimiter: String = " ", header: Boolean = false,
+      cols: Seq[String] = Nil): Unit =
+    dumpProjection(cols).write.mode("overwrite")
+      .option("delimiter", delimiter).option("header", header.toString)
+      .option("emptyValue", "").csv(path)
+
+  /** JSON sink (reference: `tdb dump -j`, op_dump.c:69-90). `noEmpty` drops
+    * empty-string values (the `--json-no-empty` flag). */
+  def dumpJson(path: String, noEmpty: Boolean = false): Unit = {
+    val base = dumpProjection()
+    val projected = if (noEmpty)
+      fields.foldLeft(base)((acc, f) =>
+        acc.withColumn(f, when(col(f) === "", lit(null)).otherwise(col(f))))
+    else base
+    projected.write.mode("overwrite").json(path)
+  }
+}
+
+object TrailDB {
+  /** Open a finalized trail table (reference: tdb_open, src/tdb.c:298-393). */
+  def open(spark: SparkSession, path: String): TrailDB =
+    new TrailDB(spark, spark.read.parquet(path), None)
+
+  /** Wrap an already-normalized trail DataFrame (uuid/time/seq + string fields). */
+  def fromTrailFrame(df: DataFrame): TrailDB = {
+    require(df.columns.contains(TrailSchema.UuidCol) && df.columns.contains(TrailSchema.TimeCol),
+      s"trail frame needs '${TrailSchema.UuidCol}' and '${TrailSchema.TimeCol}' columns")
+    val withSeq =
+      if (df.columns.contains(TrailSchema.SeqCol)) df
+      else df.withColumn(TrailSchema.SeqCol, monotonically_increasing_id())
+    new TrailDB(df.sparkSession, withSeq, None)
+  }
+
+  /** Normalize an arbitrary event DataFrame into the canonical trail shape:
+    * uuid → 32-char lowercase hex, time → Long, every field → String with
+    * NULL coalesced to "" at the dump boundary (kept as NULL internally for
+    * Parquet efficiency). Mirrors the ingest conversion of tdbcli/op_make.c
+    * (numbers stored as their string bytes, op_make.c:333-350).
+    */
+  def fromEvents(df: DataFrame, uuidCol: String, timeCol: String,
+      fieldCols: Seq[String], seqCol: Option[String] = None): TrailDB = {
+    TrailSchema.validateFields(fieldCols).left.foreach(e => throw new IllegalArgumentException(e))
+    val uuidExpr = df.schema(uuidCol).dataType match {
+      case org.apache.spark.sql.types.StringType => lower(col(uuidCol))
+      case _ => format_string("%032x", col(uuidCol))
+    }
+    // Prefer a natural unique key as the (uuid, time) sort tiebreaker —
+    // monotonically_increasing_id is partition-layout-dependent and would
+    // make output order nondeterministic across runs.
+    val seqExpr = seqCol.map(c => col(c).cast("long"))
+      .getOrElse(monotonically_increasing_id())
+    val normalized = df.select(
+      uuidExpr.as(TrailSchema.UuidCol) +:
+      col(timeCol).cast("long").as(TrailSchema.TimeCol) +:
+      fieldCols.map(f => col(f).cast("string").as(f)) :+
+      seqExpr.as(TrailSchema.SeqCol): _*)
+    new TrailDB(df.sparkSession, normalized, None)
+  }
+}

@@ -1,0 +1,129 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Write path — the Spark-native analog of the reference constructor
+  * (reference: src/tdb_cons.c `tdb_cons_open`/`tdb_cons_add`/
+  * `tdb_cons_finalize` and the 7-stage encode pipeline of
+  * src/tdb_encode.c:399-569). The whole pipeline collapses to one Spark
+  * shuffle: repartition by uuid hash, sort within partitions by
+  * (uuid, time, seq), write Parquet. Parquet dictionary/RLE/ZSTD encodings
+  * replace the reference's lexicon + edge-encode + Huffman model
+  * (src/tdb_encode_model.c), and the (uuid-sorted, row-group-statted)
+  * layout replaces the uuid TOC.
+  *
+  * Scale note: the shuffle is the only wide dependency; partition count
+  * should track input size (AQE coalesces). No driver-side state.
+  */
+final class TrailDBCons(val spark: SparkSession, val fields: Seq[String]) {
+  TrailSchema.validateFields(fields).left.foreach(e => throw new IllegalArgumentException(e))
+
+  private var staged: Option[DataFrame] = None
+
+  private def stage(df: DataFrame): this.type = synchronized {
+    staged = Some(staged.map(_.unionByName(df)).getOrElse(df))
+    this
+  }
+
+  /** Append normalized events — tdb_cons_add (reference: src/tdb_cons.c:356-411).
+    * Input must have uuid/time columns plus this cons's fields; missing
+    * fields become NULL ≡ "" (reference: val 0). */
+  def add(df: DataFrame): this.type = {
+    val cols =
+      col(TrailSchema.UuidCol).cast(StringType).as(TrailSchema.UuidCol) +:
+      col(TrailSchema.TimeCol).cast("long").as(TrailSchema.TimeCol) +:
+      fields.map(f =>
+        (if (df.columns.contains(f)) col(f).cast(StringType) else lit(null).cast(StringType)).as(f)) :+
+      (if (df.columns.contains(TrailSchema.SeqCol)) col(TrailSchema.SeqCol).cast("long")
+       else monotonically_increasing_id()).as(TrailSchema.SeqCol)
+    stage(df.select(cols: _*))
+  }
+
+  /** CSV ingest — `tdb make -c` (reference: tdbcli/op_make.c:166-236).
+    * `mapping` routes input columns to (uuid, time, fields); `skipBadInput`
+    * mirrors `--skip-bad-input` via DROPMALFORMED + dropping rows whose
+    * time fails to parse (reference: op_make.c:133-136 `safely_to_int`). */
+  def addCsv(path: String, delimiter: String = " ", header: Boolean = false,
+      mapping: Map[String, String] = Map(), skipBadInput: Boolean = false): this.type = {
+    val raw = spark.read
+      .option("delimiter", delimiter).option("header", header.toString)
+      .option("mode", if (skipBadInput) "DROPMALFORMED" else "FAILFAST")
+      .csv(path)
+    addMapped(raw, mapping, skipBadInput)
+  }
+
+  /** JSONL ingest — `tdb make -j` (reference: tdbcli/op_make.c:262-372).
+    * Unknown keys are ignored (projection), JSON nulls are ignored (stay
+    * NULL ≡ ""). */
+  def addJsonl(path: String, mapping: Map[String, String] = Map(),
+      skipBadInput: Boolean = false): this.type = {
+    val raw = spark.read
+      .option("mode", if (skipBadInput) "DROPMALFORMED" else "FAILFAST")
+      .json(path)
+    addMapped(raw, mapping, skipBadInput)
+  }
+
+  private def addMapped(raw: DataFrame, mapping: Map[String, String],
+      skipBadInput: Boolean): this.type = {
+    def src(canonical: String): String = mapping.getOrElse(canonical, canonical)
+    val projected = raw.select(
+      col(src(TrailSchema.UuidCol)).cast(StringType).as(TrailSchema.UuidCol) +:
+      col(src(TrailSchema.TimeCol)).cast("long").as(TrailSchema.TimeCol) +:
+      fields.map(f =>
+        (if (raw.columns.contains(src(f))) col(src(f)).cast(StringType)
+         else lit(null).cast(StringType)).as(f)): _*)
+    val clean =
+      if (skipBadInput) projected.filter(col(TrailSchema.TimeCol).isNotNull &&
+        col(TrailSchema.UuidCol).isNotNull)
+      else projected
+    add(clean)
+  }
+
+  /** Bulk-append an existing TrailDB honoring its active db filter —
+    * tdb_cons_append (reference: src/tdb_cons.c:625-657; the fast
+    * lexicon-remap path is moot here since Parquet re-encodes on write). */
+  def append(db: TrailDB): this.type = add(db.df)
+
+  /** Finalize: shuffle-sort by trail and write the immutable table —
+    * tdb_cons_finalize → tdb_encode (reference: src/tdb_cons.c:660-723,
+    * src/tdb_encode.c:399-569 stages (a)-(g) — here one repartition +
+    * sortWithinPartitions + Parquet write). */
+  def finalizeTo(path: String, partitions: Int = 0): TrailDB = {
+    val df = staged.getOrElse(spark.emptyDataFrame)
+    val parts = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    df.repartition(parts, col(TrailSchema.UuidCol))
+      .sortWithinPartitions(TrailSchema.UuidCol, TrailSchema.TimeCol, TrailSchema.SeqCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    TrailDB.open(spark, path)
+  }
+
+  /** The staged (not yet finalized) events, for inspection/tests. */
+  def stagedEvents: Option[DataFrame] = staged
+}
+
+/** Union-style operators across whole databases (reference: tdbcli/op_merge.c
+  * and src/tdb_multi_cursor.c). */
+object TrailOps {
+  /** `tdb merge` — union-all of N databases with schema union: output fields
+    * = deduplicated union, missing values become "" (reference:
+    * tdbcli/op_merge.c:92-186). Spark: unionByName(allowMissingColumns) —
+    * no shuffle at all until a downstream op needs one. */
+  def merge(dbs: Seq[TrailDB]): TrailDB = {
+    require(dbs.nonEmpty, "merge of zero databases")
+    val unioned = dbs.map(_.df).reduce(_.unionByName(_, allowMissingColumns = true))
+    TrailDB.fromTrailFrame(unioned)
+  }
+
+  /** Multi-cursor K-way timestamp-ordered merge (reference:
+    * src/tdb_multi_cursor.c:84-300 — binary-heap merge of K cursors).
+    * Spark's sort-merge IS the k-way merge: union then per-trail time sort.
+    * Per-partition merge happens in the shuffle sorter — O(Kn log K)
+    * distributed, vs the reference's single-threaded O(Kn log K). */
+  def multiCursor(dbs: Seq[TrailDB]): DataFrame = {
+    val merged = merge(dbs)
+    merged.df.orderBy(TrailSchema.UuidCol, TrailSchema.TimeCol, TrailSchema.SeqCol)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.filter
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** CNF event-filter algebra mirroring the reference's `tdb_event_filter`
+  * (reference: src/tdb_internal.h:38-51 — flat array of OR-clauses AND'd
+  * together; terms are dictionary items or time ranges).
+  *
+  * Reference semantics we encode exactly:
+  *  - A term is `field=value`, `field!=value`, or `start <= time < end`
+  *    (half-open; reference: src/tdb_decode.c:32-38).
+  *  - Terms within a clause are OR'd; clauses are AND'd
+  *    (reference: src/tdb_decode.c:15-61 `event_satisfies_filter`).
+  *  - A freshly created filter has ONE EMPTY clause and matches nothing
+  *    (reference: src/tdb.c:803-816); a filter with ZERO clauses matches
+  *    everything (vacuous AND).
+  *  - The NULL value is the empty string: `field=` matches events where the
+  *    field is unset (reference: src/tdb.c:488-511 — length-0 value is val 0).
+  *  - A positive term on an unknown field/value matches nothing; a NEGATED
+  *    term on an unknown field/value matches everything
+  *    (reference: src/tdb_decode.c:39-51, tdbcli/filter.c:85-90).
+  *
+  * Compiled to a Catalyst [[Column]] so predicate pushdown, constant folding
+  * and whole-stage codegen all apply — the reference's page-index pruning
+  * (tdbcli/tdb_index.c) is subsumed by Parquet row-group/dictionary pushdown.
+  */
+sealed trait Term
+final case class Match(field: String, value: String, negated: Boolean = false) extends Term
+/** Half-open [start, end) on the `time` column (reference: src/tdb.c:861-879). */
+final case class TimeRange(start: Long, end: Long) extends Term {
+  require(end > start, s"time range end must be > start (got [$start, $end))")
+}
+
+final case class Clause(terms: Seq[Term])
+
+final case class EventFilter(clauses: Seq[Clause]) {
+  import EventFilter._
+
+  /** Compile to a Column against a schema with columns `fields` (which
+    * excludes uuid/time; `time` is always present as LongType).
+    */
+  def toColumn(fields: Set[String]): Column =
+    if (clauses.isEmpty) lit(true)
+    else clauses.map(clauseColumn(_, fields)).reduce(_ && _)
+
+  /** CNF text form using the reference CLI grammar (tdbcli/filter.c:18-34):
+    * space = OR within a clause, `&` = AND between clauses. */
+  def render: String =
+    clauses.map(_.terms.map {
+      case Match(f, v, false) => s"$f=$v"
+      case Match(f, v, true)  => s"$f!=$v"
+      case TimeRange(s, e)    => s"time>=$s time<$e" // informational only
+    }.mkString(" ")).mkString(" & ")
+}
+
+object EventFilter {
+  /** Matches every event (zero clauses — vacuous AND). */
+  val matchAll: EventFilter = EventFilter(Nil)
+  /** Matches nothing (one empty clause — vacuous OR; reference: src/tdb.c:803-816). */
+  val matchNone: EventFilter = EventFilter(Seq(Clause(Nil)))
+
+  /** Field value with reference NULL semantics: missing/null == "". */
+  private def fieldCol(f: String): Column = coalesce(col(f), lit(""))
+
+  private def termColumn(t: Term, fields: Set[String]): Column = t match {
+    case TimeRange(s, e) =>
+      col("time") >= lit(s) && col("time") < lit(e)
+    case Match(f, v, negated) if !fields.contains(f) =>
+      // Unknown field: positive term matches nothing, negated matches all
+      // (reference: src/tdb_decode.c:47-51 — item 0 compare).
+      lit(negated)
+    case Match(f, v, false) => fieldCol(f) === lit(v)
+    case Match(f, v, true)  => fieldCol(f) =!= lit(v)
+  }
+
+  private def clauseColumn(c: Clause, fields: Set[String]): Column =
+    if (c.terms.isEmpty) lit(false)
+    else c.terms.map(termColumn(_, fields)).reduce(_ || _)
+
+  /** Parse the reference CLI filter grammar (tdbcli/filter.c:18-140):
+    * whitespace separates OR'd terms, `&` separates AND'd clauses;
+    * `f=v` equality, `f!=v` negation, `f=` tests for the NULL/"" value.
+    * (The `=@file` indirection is intentionally not supported — pass the
+    * value directly.)
+    */
+  def parse(text: String): EventFilter = {
+    val trimmed = text.trim
+    if (trimmed.isEmpty) return matchNone
+    val clauses = trimmed.split("&").map { clauseText =>
+      val terms = clauseText.trim.split("\\s+").filter(_.nonEmpty).map { tok =>
+        val (f, v, neg) = tok.indexOf("!=") match {
+          case -1 =>
+            val i = tok.indexOf('=')
+            require(i > 0, s"bad filter term '$tok' (expected field=value)")
+            (tok.substring(0, i), tok.substring(i + 1), false)
+          case i =>
+            require(i > 0, s"bad filter term '$tok'")
+            (tok.substring(0, i), tok.substring(i + 2), true)
+        }
+        Match(f, v, neg): Term
+      }
+      Clause(terms.toIndexedSeq)
+    }
+    EventFilter(clauses.toIndexedSeq)
+  }
+}
