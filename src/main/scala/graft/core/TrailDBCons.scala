@@ -68,9 +68,14 @@ final class TrailDBCons(val spark: SparkSession, val fields: Seq[String]) {
   private def addMapped(raw: DataFrame, mapping: Map[String, String],
       skipBadInput: Boolean): this.type = {
     def src(canonical: String): String = mapping.getOrElse(canonical, canonical)
+    // try_cast, not cast: under ANSI (Spark 4 default) a malformed time would
+    // abort the job; the reference drops the row instead (op_make.c:133-136).
+    val timeExpr =
+      if (skipBadInput) expr(s"try_cast(`${src(TrailSchema.TimeCol)}` AS BIGINT)")
+      else col(src(TrailSchema.TimeCol)).cast("long")
     val projected = raw.select(
       col(src(TrailSchema.UuidCol)).cast(StringType).as(TrailSchema.UuidCol) +:
-      col(src(TrailSchema.TimeCol)).cast("long").as(TrailSchema.TimeCol) +:
+      timeExpr.as(TrailSchema.TimeCol) +:
       fields.map(f =>
         (if (raw.columns.contains(src(f))) col(src(f)).cast(StringType)
          else lit(null).cast(StringType)).as(f)): _*)

@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.core.{TrailDB, TrailDBCons, TrailOps, TrailSchema}
+
+/** Write-path round trip: what you write is what you get back
+  * (reference: tests/c-tests/what_you_write_you_get_back.c — values incl.
+  * length-0 NULLs survive cons → finalize → open → cursor; FIXTURES.md §2b),
+  * plus merge schema-union semantics (tests/tdbcli test_tdbcli.py:186-332).
+  */
+class ConsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-test").resolve("db").toString
+
+  private def uuidOf(i: Int): String = f"$i%032x"
+
+  test("round trip: cons → finalize → open preserves values incl. '' and binary-ish strings") {
+    val longVal = "x" * 1000
+    val rows = for {
+      trail <- 0 until 5
+      ev <- 0 until 3
+    } yield (uuidOf(trail), (ev + 1).toLong, s"a$ev", if (ev == 1) "" else longVal,
+             (trail * 3 + ev).toLong)
+    val df = rows.toDF("uuid", "time", "a", "b", "seq")
+
+    val path = tmp()
+    val db = new TrailDBCons(spark, Seq("a", "b")).add(df).finalizeTo(path, 2)
+
+    assert(db.numEvents === 15)
+    assert(db.numTrails === 5)
+    assert(db.fields === Seq("a", "b"))
+    // values come back verbatim; '' and long values intact, trail order sorted
+    val back = db.scan().collect()
+    assert(back.length === 15)
+    val first = db.trail(uuidOf(0)).collect()
+    assert(first.map(_.getAs[String]("b")).toSeq === Seq(longVal, "", longVal))
+  }
+
+  test("trail order is (uuid, time, seq) — uuid-sorted like the reference TOC") {
+    val df = Seq(
+      (uuidOf(2), 5L, "v2", 0L), (uuidOf(0), 9L, "v0", 1L),
+      (uuidOf(1), 1L, "v1a", 2L), (uuidOf(1), 1L, "v1b", 3L)
+    ).toDF("uuid", "time", "f", "seq")
+    val db = new TrailDBCons(spark, Seq("f")).add(df).finalizeTo(tmp(), 1)
+    val got = db.scan().select("f").collect().map(_.getString(0)).toSeq
+    assert(got === Seq("v0", "v1a", "v1b", "v2"))
+  }
+
+  test("metadata: min/max timestamp and lexicon size (+1 for implicit NULL)") {
+    val df = Seq(
+      (uuidOf(0), 10L, "x", 0L), (uuidOf(0), 20L, "y", 1L), (uuidOf(1), 30L, "", 2L)
+    ).toDF("uuid", "time", "f", "seq")
+    val db = new TrailDBCons(spark, Seq("f")).add(df).finalizeTo(tmp(), 1)
+    assert(db.timeRange === ((10L, 30L)))
+    assert(db.lexiconSize("f") === 3) // {x, y} + NULL
+    assert(db.numFields === 2)        // f + implicit time
+  }
+
+  test("merge: union schema, missing values read back as ''/null (op_merge.c:92-186)") {
+    val a = TrailDB.fromTrailFrame(
+      Seq((uuidOf(0), 1L, "al", "n1", 0L)).toDF("uuid", "time", "alpha", "number", "seq"))
+    val b = TrailDB.fromTrailFrame(
+      Seq((uuidOf(0), 2L, "n2", "fb", 1L)).toDF("uuid", "time", "number", "foobar", "seq"))
+    val merged = TrailOps.merge(Seq(a, b))
+    assert(merged.fields.toSet === Set("alpha", "number", "foobar"))
+    val rows = merged.scan().collect()
+    assert(rows.length === 2)
+    val dump = merged.dumpProjection().collect()
+    assert(dump.map(_.getAs[String]("alpha")).toSeq === Seq("al", ""))
+    assert(dump.map(_.getAs[String]("foobar")).toSeq === Seq("", "fb"))
+    assert(dump.map(_.getAs[String]("number")).toSeq === Seq("n1", "n2"))
+  }
+
+  test("multi-cursor: K shards merge into timestamp order per trail (multi_cursor.c:14-60)") {
+    val shards = (0 until 3).map { k =>
+      TrailDB.fromTrailFrame(
+        (0 until 10).map(i => (uuidOf(i % 2), (i * 3 + k).toLong, s"db$k", (i * 3 + k).toLong))
+          .toDF("uuid", "time", "id", "seq"))
+    }
+    val merged = TrailOps.multiCursor(shards).collect()
+    assert(merged.length === 30)
+    val times = merged.filter(_.getString(0) == uuidOf(0)).map(_.getLong(1)).toSeq
+    assert(times === times.sorted)
+  }
+
+  test("schema validation rejects bad and duplicate field names (src/tdb_cons.c:181-223)") {
+    assertThrows[IllegalArgumentException](new TrailDBCons(spark, Seq("ok", "ok")))
+    assertThrows[IllegalArgumentException](new TrailDBCons(spark, Seq("time")))
+    assertThrows[IllegalArgumentException](new TrailDBCons(spark, Seq("has space")))
+    assertThrows[IllegalArgumentException](new TrailDBCons(spark, Seq("a=b")))
+    new TrailDBCons(spark, Seq("ok-name_1", "other"))
+  }
+
+  test("CSV and JSONL ingest with field mapping and skip-bad-input (op_make.c)") {
+    val dir = Files.createTempDirectory("graft-ingest")
+    val csv = dir.resolve("in.csv")
+    Files.writeString(csv,
+      "uuid,when,etype\n" +
+      s"${uuidOf(1)},100,click\n" +
+      s"${uuidOf(1)},notanumber,bad\n" +
+      s"${uuidOf(2)},200,view\n")
+    val db = new TrailDBCons(spark, Seq("etype"))
+      .addCsv(csv.toString, delimiter = ",", header = true,
+        mapping = Map("time" -> "when"), skipBadInput = true)
+      .finalizeTo(dir.resolve("db").toString, 1)
+    assert(db.numEvents === 2) // bad time row dropped
+    assert(db.scan().select("etype").collect().map(_.getString(0)).toSeq === Seq("click", "view"))
+
+    val jsonl = dir.resolve("in.jsonl")
+    Files.writeString(jsonl,
+      s"""{"uuid":"${uuidOf(3)}","time":300,"etype":"buy","ignored":"zz"}\n""" +
+      s"""{"uuid":"${uuidOf(4)}","time":400}\n""")
+    val db2 = new TrailDBCons(spark, Seq("etype"))
+      .addJsonl(jsonl.toString).finalizeTo(dir.resolve("db2").toString, 1)
+    assert(db2.numEvents === 2)
+    // missing field comes back as NULL ≡ '' at the dump boundary
+    assert(db2.dumpProjection().collect().map(_.getAs[String]("etype")).toSeq === Seq("buy", ""))
+  }
+}

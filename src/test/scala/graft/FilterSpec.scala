@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{TrailDB, TrailSchema}
+import graft.filter._
+
+/** Filter semantics against the reference micro-fixture
+  * (tests/c-tests/event_filter_simple.c:18-37 and
+  * time_range_filter_simple.c — see FIXTURES.md §2a):
+  * one trail, fields a,b,c, 4 events at t=1..4:
+  *   (foo,bar,""), (foo,sun,""), (foo,run,""), ("",sun,nam).
+  */
+class FilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Z = "0" * 32
+
+  private lazy val db: TrailDB = TrailDB.fromTrailFrame(
+    Seq(
+      (Z, 1L, "foo", "bar", "", 0L),
+      (Z, 2L, "foo", "sun", "", 1L),
+      (Z, 3L, "foo", "run", "", 2L),
+      (Z, 4L, "", "sun", "nam", 3L)
+    ).toDF("uuid", "time", "a", "b", "c", "seq"))
+
+  private def n(f: EventFilter): Long = db.events(f).count()
+
+  test("equality term: a=foo matches 3 (event_filter_simple.c:51-60)") {
+    assert(n(EventFilter(Seq(Clause(Seq(Match("a", "foo")))))) === 3)
+  }
+
+  test("empty-value term: c= matches the 3 events with NULL c (event_filter_simple.c:67-69)") {
+    assert(n(EventFilter(Seq(Clause(Seq(Match("c", "")))))) === 3)
+  }
+
+  test("negation: a!=foo matches 1") {
+    assert(n(EventFilter(Seq(Clause(Seq(Match("a", "foo", negated = true)))))) === 1)
+  }
+
+  test("disjunction within clause: b=bar b=run matches 2") {
+    assert(n(EventFilter(Seq(Clause(Seq(Match("b", "bar"), Match("b", "run")))))) === 2)
+  }
+
+  test("conjunction of clauses: a=foo & b=sun matches 1") {
+    assert(n(EventFilter(Seq(
+      Clause(Seq(Match("a", "foo"))), Clause(Seq(Match("b", "sun")))))) === 1)
+  }
+
+  test("empty filter (one empty clause) matches nothing (src/tdb.c:803-816)") {
+    assert(n(EventFilter.matchNone) === 0)
+  }
+
+  test("zero clauses matches everything") {
+    assert(n(EventFilter.matchAll) === 4)
+  }
+
+  test("unknown field: positive matches nothing, negated matches all (src/tdb_decode.c:47-51)") {
+    assert(n(EventFilter(Seq(Clause(Seq(Match("nope", "x")))))) === 0)
+    assert(n(EventFilter(Seq(Clause(Seq(Match("nope", "x", negated = true)))))) === 4)
+  }
+
+  test("unknown value behaves as match-nothing positive / match-all negative") {
+    assert(n(EventFilter(Seq(Clause(Seq(Match("a", "zzz")))))) === 0)
+    assert(n(EventFilter(Seq(Clause(Seq(Match("a", "zzz", negated = true)))))) === 4)
+  }
+
+  test("time range is half-open: [2,3) matches 1 (time_range_filter_simple.c:48-90)") {
+    assert(n(EventFilter(Seq(Clause(Seq(TimeRange(2, 3)))))) === 1)
+    assert(n(EventFilter(Seq(Clause(Seq(TimeRange(2, 4)))))) === 2)
+    assertThrows[IllegalArgumentException](TimeRange(3, 3))
+  }
+
+  test("duplicate terms in a clause are harmless (event_filter_simple.c dup terms)") {
+    assert(n(EventFilter(Seq(Clause(Seq(Match("a", "foo"), Match("a", "foo")))))) === 3)
+  }
+
+  test("parser: grammar 'a=foo b=run & c!=' (tdbcli/filter.c:18-140)") {
+    val f = EventFilter.parse("a=foo b=run & c!=")
+    assert(f.clauses.size === 2)
+    assert(f.clauses.head.terms === Seq(Match("a", "foo"), Match("b", "run")))
+    assert(f.clauses(1).terms === Seq(Match("c", "", negated = true)))
+    // (a=foo OR b=run) AND c not-null ⇒ only event 4 has c set... a=foo no.
+    // events with c!="" : event 4 only; (a=foo|b=run) excludes event 4 ⇒ 0.
+    assert(n(f) === 0)
+    assert(n(EventFilter.parse("a= b=sun")) === 2) // a empty (ev4) OR b=sun (ev2,4) = 2
+    assert(n(EventFilter.parse("")) === 0)         // empty text = match-none
+  }
+
+  test("db-level filter is a view; cursor filter composes (src/tdb_decode.c:140-181)") {
+    val view = db.withFilter(EventFilter(Seq(Clause(Seq(Match("a", "foo"))))))
+    assert(view.df.count() === 3)
+    assert(view.events(EventFilter(Seq(Clause(Seq(Match("b", "sun")))))).count() === 1)
+  }
+
+  test("per-trail filter overrides replace the db filter for those trails") {
+    val other = "1" * 32
+    val two = TrailDB.fromTrailFrame(
+      db.df.union(Seq((other, 9L, "foo", "x", "", 9L))
+        .toDF("uuid", "time", "a", "b", "c", "seq")))
+      .withFilter(EventFilter.matchNone)
+    // db filter matches nothing; override trail Z to match-all ⇒ only Z's 4.
+    val got = two.eventsWithTrailFilters(Map(Z -> EventFilter.matchAll))
+    assert(got.count() === 4)
+    assert(got.select("uuid").distinct().collect().map(_.getString(0)).toSet === Set(Z))
+  }
+}
