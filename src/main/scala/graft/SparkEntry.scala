@@ -3,9 +3,12 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.types.DecimalType
+
 import graft.core.{TrailDB, TrailOps, TrailSchema}
 import graft.filter.{Clause, EventFilter, Match, TimeRange}
 import graft.agg.Sessionize
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, with a DuckDB-equivalent `oracleSql` where the operator is
@@ -142,6 +145,188 @@ object SparkEntry {
     // is the implicit NULL val 0).
     "t_lexicon" -> ((s, dir) =>
       trails(s, dir).lexicon("event_type").orderBy("value")),
+
+    // ---- training-data pipeline operators (documents/embeddings) ----
+
+    // Exact dedup groups: content hash → survivor id + copy count.
+    "d_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("content_hash")),
+
+    // Exact n-gram Jaccard near-dup pairs via inverted shingle index.
+    "d_ngram_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
+          k = 3, threshold = 0.2)
+        .orderBy("id_a", "id_b")),
+
+    // Text quality signals (exact counts + IEEE-deterministic ratios).
+    "d_quality" -> ((s, dir) =>
+      TextAnalysis.withQualitySignals(s.read.parquet(s"$dir/documents.parquet"))
+        .select("doc_id", "n_tokens", "n_punct", "n_stopwords",
+          "mean_token_len", "stopword_ratio", "punct_ratio")
+        .orderBy("doc_id")),
+
+    // Language-ID heuristic (stopword argmax with fixed tie order).
+    "d_langid" -> ((s, dir) =>
+      TextAnalysis.withLangId(s.read.parquet(s"$dir/documents.parquet"))
+        .select("doc_id", "c_en", "c_de", "c_es", "c_fr", "lang_pred")
+        .orderBy("doc_id")),
+
+    // MinHash+LSH near-dup pairs, exact-Jaccard-verified (no SQL oracle:
+    // hash-family specific; verified in DedupSpec against brute force).
+    "d_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashDedupPairs(s.read.parquet(s"$dir/documents.parquet"),
+          threshold = 0.2, numHashes = 128, bands = 64, k = 3)
+        .orderBy("id_a", "id_b")),
+
+    // SimHash near-dup pairs via native simhash64 expression + 4x16-bit
+    // banding (no SQL oracle: signature-specific; DedupSpec covers).
+    "d_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"), maxHamming = 8)
+        .orderBy("id_a", "id_b")),
+
+    // Winnowing fingerprints (rolling-hash document signatures).
+    "d_fingerprint" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text"), 5, 4).as("fp"))
+        .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"),
+          array_min(col("fp")).as("fp_min"), array_max(col("fp")).as("fp_max"))
+        .orderBy("doc_id")),
+
+    // Brute-force cosine top-k (exact ANN baseline).
+    "e_knn_brute" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN (the scale path; recall vs brute force in
+    // SimilaritySpec — no SQL oracle, bucket layout is hash-specific).
+    "e_knn_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), k = 3, nPlanes = 6)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Embedding cosine near-dup pairs, blocked by label.
+    "e_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDup(s.read.parquet(s"$dir/embeddings.parquet"),
+          threshold = 0.35, blockCol = Some("label"))
+        .orderBy("id_a", "id_b")),
+
+    // Multimodal: frame sampling plumbing (explode by duration metadata).
+    "m_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.mediaFromDocuments(s.read.parquet(s"$dir/documents.parquet")),
+          fps = 1.0)
+        .select("media_id", "kind", "frame_idx", "frame_ts_ms")
+        .orderBy("media_id", "frame_idx")),
+
+    // Multimodal: stubbed decode + featurize via mapPartitions batches
+    // (no SQL oracle: FNV checksum is codec-side; MultimodalSpec covers).
+    "m_features" -> ((s, dir) =>
+      Multimodal.decodeAndFeaturize(s,
+          Multimodal.mediaFromDocuments(s.read.parquet(s"$dir/documents.parquet")))
+        .select("media_id", "kind", "n_bytes", "checksum")
+        .orderBy("media_id")),
+
+    // ---- analytics (TPC-H-style) over the star schema ----
+
+    // Q1-style pricing summary: exact decimal sums surfaced as doubles.
+    "q1_pricing" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val base = col("l_extendedprice").cast(DecimalType(12, 2))
+      val oneMinusDisc = lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))
+      val onePlusTax = lit(1).cast(DecimalType(4, 2)) + col("l_tax").cast(DecimalType(4, 2))
+      val discPrice = (base * oneMinusDisc).cast(DecimalType(18, 4))
+      val charge = (discPrice * onePlusTax).cast(DecimalType(24, 6))
+      li.filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(12, 2))).cast("double").as("sum_qty"),
+          sum(base).cast("double").as("sum_base_price"),
+          sum(discPrice).cast("double").as("sum_disc_price"),
+          sum(charge).cast("double").as("sum_charge"),
+          (sum(col("l_quantity").cast(DecimalType(12, 2))).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(base).cast("double") / count(lit(1))).as("avg_price"),
+          (sum(col("l_discount").cast(DecimalType(4, 2))).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Q3-style shipping priority: 3-way join, top-10 revenue orders.
+    "q3_revenue" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val discPrice = (col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+        .cast(DecimalType(18, 4))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust.filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(discPrice).cast("double").as("revenue"))
+        .select(col("l_orderkey"),
+          col("o_orderdate").cast("timestamp_ltz").cast("long").as("o_orderdate_s"),
+          col("o_orderpriority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Q5-style local-supplier volume: 6-way join through region, broadcast
+    // dims, grouped by nation.
+    "q5_nation_volume" -> ((s, dir) => {
+      val region = s.read.parquet(s"$dir/region.parquet")
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+      val discPrice = (col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+        .cast(DecimalType(18, 4))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy("n_name")
+        .agg(sum(discPrice).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Window top-k: 3 highest-value orders per priority class.
+    "q_topk_orders" -> ((s, dir) => {
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      ord.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rank")
+    }),
+
+    // Daily event rollup: count + exact sum(value) per (event_type, day).
+    "q_events_daily" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("day", expr("(ts DIV 1000000000) DIV 86400"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"))
+        .orderBy("event_type", "day")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -239,5 +424,165 @@ object SparkEntry {
       s"""$TrailsCte
          |SELECT DISTINCT coalesce(event_type,'') AS value FROM trails
          |WHERE coalesce(event_type,'') != '' ORDER BY value""".stripMargin,
+
+    "d_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "d_ngram_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+        |    ELSE list_transform(range(1, len(l) - 3 + 2),
+        |                        i -> array_to_string(l[i:i+2], ' ')) END)) AS shingle
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared, sa.sz AS sz_a, sb.sz AS sz_b,
+        |       CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "d_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+        |  CAST(len(list_filter(string_split_regex(text, ' +'),
+        |    w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS n_stopwords,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |    / len(string_split_regex(text, ' +')) AS mean_token_len,
+        |  CAST(len(list_filter(string_split_regex(text, ' +'),
+        |    w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |    / len(string_split_regex(text, ' +')) AS stopword_ratio,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS punct_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d_langid" ->
+      """WITH scored AS (SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, ' +'),
+        |    w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) AS c_en,
+        |  len(list_filter(string_split_regex(text, ' +'),
+        |    w -> w IN ('der','die','das','und','oder','von','zu','ist','ein','nicht'))) AS c_de,
+        |  len(list_filter(string_split_regex(text, ' +'),
+        |    w -> w IN ('el','la','los','las','y','o','de','en','es','un'))) AS c_es,
+        |  len(list_filter(string_split_regex(text, ' +'),
+        |    w -> w IN ('le','la','les','et','ou','de','en','est','un','une'))) AS c_fr
+        |  FROM documents)
+        |SELECT doc_id, CAST(c_en AS INT) AS c_en, CAST(c_de AS INT) AS c_de,
+        |       CAST(c_es AS INT) AS c_es, CAST(c_fr AS INT) AS c_fr,
+        |  CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+        |       WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+        |       WHEN c_es >= c_fr THEN 'es'
+        |       ELSE 'fr' END AS lang_pred
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "e_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, e.vec_id AS corpus_id,
+        |        list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS cosine
+        |      FROM embeddings e, q WHERE e.vec_id != q.query_id),
+        |r AS (SELECT query_id, corpus_id, cosine,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY cosine DESC, corpus_id) AS rank
+        |      FROM s)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, corpus_id, cosine
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "e_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "m_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  n_chars * 10 AS duration_ms FROM documents),
+        |f AS (SELECT media_id, kind,
+        |  CASE WHEN kind = 'video'
+        |       THEN greatest(CAST(floor(duration_ms / 1000.0 * 1.0) AS BIGINT), 1)
+        |       ELSE 1 END AS nf
+        |  FROM m)
+        |SELECT media_id, kind, unnest(range(nf)) AS frame_idx,
+        |       CAST(floor(unnest(range(nf)) * 1000.0 / 1.0) AS BIGINT) AS frame_ts_ms
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+    "q1_pricing" ->
+      """WITH t AS (SELECT l_returnflag, l_linestatus,
+        |  CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+        |  CAST(l_extendedprice AS DECIMAL(12,2)) AS base,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |       * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS disc_price,
+        |  CAST(l_discount AS DECIMAL(4,2)) AS disc,
+        |  CAST(l_tax AS DECIMAL(4,2)) AS tax
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'),
+        |t2 AS (SELECT *,
+        |  CAST(disc_price * (1 + tax) AS DECIMAL(24,6)) AS charge FROM t)
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(qty) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(base) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(disc_price) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(charge) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(qty) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(base) AS DOUBLE) / count(*) AS avg_price,
+        |  CAST(sum(disc) AS DOUBLE) / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM t2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_revenue" ->
+      """SELECT l_orderkey,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_s,
+        |  o_orderpriority,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_nation_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderpriority, CAST(rank AS BIGINT) AS rank, o_orderkey, o_totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |                           ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |      FROM orders) t
+        |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
+
+    "q_events_daily" ->
+      """SELECT event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
   )
 }

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+
+/** SimHash (Charikar, STOC'02) of a token array as a native Catalyst
+  * expression: per token, a 64-bit hash votes +1/-1 on each of 64 bit
+  * positions; the signature's bit b is 1 iff the sum is positive.
+  *
+  * A composed-builtins version would need a 64-wide zip_with fold per token
+  * (quadratic blowup in expression size); a single imperative expression
+  * evaluates in one pass per row with zero allocation beyond the counter
+  * array. Deterministic across engines/JVMs (splitmix-finalized murmur).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  private def hash64(s: UTF8String): Long = {
+    // murmur32 on the bytes, widened and finalized splitmix64-style so all
+    // 64 signature bits are driven.
+    val h32 = Murmur3_x86_32.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes(), 42)
+    var z = h32.toLong + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = hash64(arr.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Column-level entry points for graft's custom expressions. */
+object GraftFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+}

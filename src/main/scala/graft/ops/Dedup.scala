@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around the join/shuffle shape that survives 100 TB:
+  *
+  *  - exact: hash-groupBy — one shuffle on the content hash.
+  *  - n-gram Jaccard: inverted-index self-join (docs only meet if they share
+  *    a shingle) — never a cross join.
+  *  - MinHash+LSH: signature → band buckets → bucket join — candidate pairs
+  *    scale with collisions, not n².
+  *  - SimHash: 64-bit signature + banding on signature bytes.
+  *  - embedding cosine: blocked pairwise with norm pre-aggregation.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash; survivor = lowest id.
+    * Output: one row per distinct content with copy count. */
+  def exactGroups(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup: keep one row per distinct content (the min-id survivor). */
+  def exactDedup(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol).cast("binary")))
+      .orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted index:
+    * shingle → docs sharing it → per-pair shared-shingle counts →
+    * J = shared / (|A| + |B| - shared). No cross join: only doc pairs that
+    * share at least one shingle are ever materialized.
+    */
+  def ngramJaccardPairs(df: DataFrame, k: Int = 3, threshold: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.shingles(col(textCol), k)).as("shingle"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "shared", "sz_a", "sz_b", "jaccard")
+  }
+
+  /** Modulus for the MinHash permutation family: Mersenne prime 2^31-1, so
+    * a*h + b stays ≤ ~2^62 — no long overflow under ANSI arithmetic. */
+  private val P = 2147483647L
+  /** Deterministic (a_i, b_i) permutation parameters derived from i — no RNG
+    * (splitmix64-style mixing of the index). */
+  private def mix(i: Long): Long = {
+    var z = i + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature of a text column: k-shingles hashed once with
+    * xxhash64, then numHashes affine permutations (a*h+b mod P), min each.
+    * One pass over the shingle array per row — no shuffle.
+    */
+  def minhashSignature(df: DataFrame, numHashes: Int = 128, k: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    val base = pmod(xxhash64(col("_sh")), lit(P))
+    val perms = (0 until numHashes).map { i =>
+      val a = java.lang.Math.floorMod(mix(2L * i), P - 1) + 1
+      val b = java.lang.Math.floorMod(mix(2L * i + 1), P)
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }
+    df.withColumn("_shingles", TextAnalysis.shingles(col(textCol), k))
+      .withColumn("_hashes",
+        transform(col("_shingles"), s => pmod(xxhash64(s), lit(P))))
+      .withColumn("minhash",
+        transform(array(perms: _*), p =>
+          array_min(transform(col("_hashes"),
+            h => pmod(p.getField("a") * h + p.getField("b"), lit(P))))))
+      .drop("_shingles", "_hashes")
+  }
+
+  /** LSH banding over MinHash signatures: split the signature into `bands`
+    * bands of numHashes/bands rows, hash each band, and emit
+    * (band_id, band_hash) bucket keys. Candidate pairs = docs sharing a
+    * bucket — the standard S-curve trade-off (Leskovec et al., MMDS ch.3).
+    */
+  def minhashLshCandidates(df: DataFrame, numHashes: Int = 128, bands: Int = 32,
+      k: Int = 3, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val rows = numHashes / bands
+    val sig = minhashSignature(df, numHashes, k, textCol)
+      .select(col(idCol).as("id"), col("minhash"))
+    val buckets = sig.select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"),
+            xxhash64(concat_ws(",",
+              transform(slice(col("minhash"), b * rows + 1, lit(rows)), _.cast("string"))),
+              b.cast("string")).as("bucket")))).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs, verified: LSH candidates filtered by exact
+    * n-gram Jaccard ≥ threshold (candidates are a superset under the
+    * S-curve; verification removes false positives). */
+  def minhashDedupPairs(df: DataFrame, threshold: Double = 0.8,
+      numHashes: Int = 128, bands: Int = 32, k: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val cands = minhashLshCandidates(df, numHashes, bands, k, textCol, idCol)
+    val sh = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.shingles(col(textCol), k)).as("shingle"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val shared = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    cands.join(shared, Seq("id_a", "id_b"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-dup: 64-bit signatures via [[graft.functions.SimHash64]]
+    * (native Catalyst expression), then exact Hamming-distance pairs among
+    * docs sharing at least one of 4 16-bit signature bands (Manku et al.,
+    * WWW'07 block-permutation scheme: any pair within Hamming distance 3
+    * must agree on ≥1 of 4 bands). */
+  def simhashPairs(df: DataFrame, maxHamming: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sig = df.select(col(idCol).as("id"),
+      graft.functions.GraftFunctions.simhash64(TextAnalysis.tokens(col(textCol))).as("sig"))
+    // band value b of 4: bits [16b, 16b+16)
+    val withBands = sig.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("bits"))): _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bits"))
+    withBands.as("a").join(withBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b")).distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Embedding cosine near-dup pairs above a similarity threshold, blocked
+    * by a coarse key (default: none → label column recommended) to avoid the
+    * full cross join; at real scale use [[Similarity.lshKnn]] buckets as the
+    * blocking key instead. */
+  def embeddingNearDup(df: DataFrame, threshold: Double,
+      blockCol: Option[String] = None,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    // cast floats to double BEFORE multiplying — float*float rounds to
+    // float first and diverges from a double-precision oracle.
+    val withBlock = df.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      blockCol.map(col).getOrElse(lit(0)).as("blk"))
+    withBlock.as("a").join(withBlock.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("cosine", Similarity.cosine(col("a.v"), col("b.v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines over a
+  * `documents(doc_id, text, ...)` table. All pure column expressions
+  * (whole-stage codegen, no UDFs), so they stream through a scan with no
+  * shuffle — the right shape for a 100 TB corpus sweep.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(text, " +")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword token estimate: word-piece segments of ≤4 chars plus
+    * punctuation/digit runs — a cheap, deterministic proxy for a real BPE
+    * vocabulary (len/4 rounded up per word). */
+  def bpeTokenEstimate(text: Column): Column =
+    aggregate(
+      transform(tokens(text), w => ceil(length(w) / lit(4.0)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Small multilingual stopword table used by quality scoring and langId.
+    * Deliberately tiny and embedded — a real pipeline would broadcast a
+    * proper dictionary; the operator shape is identical. */
+  val StopwordsEn = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+  val StopwordsDe = Seq("der", "die", "das", "und", "oder", "von", "zu", "ist", "ein", "nicht")
+  val StopwordsEs = Seq("el", "la", "los", "las", "y", "o", "de", "en", "es", "un")
+  val StopwordsFr = Seq("le", "la", "les", "et", "ou", "de", "en", "est", "un", "une")
+
+  private def countIn(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isin(words.map(lit): _*)))
+
+  /** Quality signals: char/token counts, punctuation count, stopword count
+    * and ratios — the standard cheap filters applied before expensive
+    * pipeline stages. Integer counts are exact; ratios are single IEEE
+    * divisions (bit-reproducible across engines given equal operands). */
+  def withQualitySignals(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_chars_m", length(t).cast("long"))
+      .withColumn("n_tokens", tokenCount(t).cast("long"))
+      .withColumn("n_punct", (length(t) - length(regexp_replace(t, "[.,;:!?]", ""))).cast("long"))
+      .withColumn("n_stopwords", countIn(t, StopwordsEn).cast("long"))
+      .withColumn("mean_token_len",
+        (length(regexp_replace(t, " ", "")).cast("double") / tokenCount(t)))
+      .withColumn("stopword_ratio", col("n_stopwords").cast("double") / col("n_tokens"))
+      .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_chars_m"))
+  }
+
+  /** N-gram-free language-ID heuristic: per-language stopword hits, argmax
+    * with a fixed priority order for ties. (A real system would use char
+    * n-gram profiles; the operator shape — pure scan, no shuffle — is the
+    * point at scale.) */
+  def withLangId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val scored = df
+      .withColumn("c_en", countIn(t, StopwordsEn))
+      .withColumn("c_de", countIn(t, StopwordsDe))
+      .withColumn("c_es", countIn(t, StopwordsEs))
+      .withColumn("c_fr", countIn(t, StopwordsFr))
+    scored.withColumn("lang_pred",
+      when(col("c_en") >= col("c_de") && col("c_en") >= col("c_es") && col("c_en") >= col("c_fr"), "en")
+        .when(col("c_de") >= col("c_es") && col("c_de") >= col("c_fr"), "de")
+        .when(col("c_es") >= col("c_fr"), "es")
+        .otherwise("fr"))
+  }
+
+  /** Word k-shingles (k consecutive tokens joined by a space). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) < k, array(concat_ws(" ", toks)))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - lit(k)),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+  }
+
+  /** Document fingerprint via winnowing (Schleimer et al., SIGMOD'03 style):
+    * hash every k-shingle, keep the minimum hash in each sliding window of
+    * `window` shingles — the classic rolling-hash fingerprint set, as a pure
+    * array expression. */
+  def fingerprint(text: Column, k: Int = 5, window: Int = 4): Column = {
+    val hashes = transform(shingles(text, k), s => xxhash64(s))
+    val n = size(hashes)
+    val mins = transform(
+      sequence(lit(0), greatest(n - lit(window), lit(0))),
+      i => array_min(slice(hashes, i + 1, lit(window))))
+    array_distinct(mins)
+  }
+}

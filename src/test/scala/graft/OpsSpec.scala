@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token count and shingles") {
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val got = df.select(
+      TextAnalysis.tokenCount($"text").as("n"),
+      TextAnalysis.shingles($"text", 2).as("sh")).head()
+    assert(got.getAs[Int]("n") === 4)
+    assert(got.getAs[Seq[String]]("sh") === Seq("a b", "b c", "c d"))
+  }
+
+  test("shingles shorter than k collapse to whole text") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    val got = df.select(TextAnalysis.shingles($"text", 3).as("sh")).head()
+    assert(got.getAs[Seq[String]]("sh") === Seq("a b"))
+  }
+
+  test("quality signals: counts are exact") {
+    val df = Seq((1L, "the cat sat. on the mat!")).toDF("doc_id", "text")
+    val got = TextAnalysis.withQualitySignals(df).head()
+    assert(got.getAs[Long]("n_tokens") === 6)
+    assert(got.getAs[Long]("n_punct") === 2)
+    assert(got.getAs[Long]("n_stopwords") === 2) // "the" twice
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq(
+      (1L, "the cat and the dog"),
+      (2L, "der hund und die katze"),
+      (3L, "el perro y la casa en madrid")).toDF("doc_id", "text")
+    val got = TextAnalysis.withLangId(df).orderBy("doc_id")
+      .select("lang_pred").collect().map(_.getString(0)).toSeq
+    assert(got === Seq("en", "de", "es"))
+  }
+
+  test("fingerprint is deterministic and shift-robust on shared regions") {
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      (2L, "zz w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12")).toDF("doc_id", "text")
+    val fps = df.select(TextAnalysis.fingerprint($"text", 3, 4).as("fp"))
+      .collect().map(_.getSeq[Long](0))
+    // winnowing guarantees shared windows produce shared min-hashes
+    assert(fps(0).toSet.intersect(fps(1).toSet).nonEmpty)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup of 1
+    (4L, "completely different words here nothing shared")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id and counts copies") {
+    val groups = Dedup.exactGroups(docs).collect()
+    assert(groups.length === 3)
+    val dup = groups.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") === 1L)
+    assert(Dedup.exactDedup(docs).count() === 3)
+    assert(Dedup.exactDedup(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 3L, 4L))
+  }
+
+  test("ngram jaccard finds the near-dup pair, not the unrelated doc") {
+    val pairs = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.5).collect()
+    val ids = pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(ids.contains((1L, 2L))) // identical: J = 1.0
+    assert(ids.contains((1L, 3L)) && ids.contains((2L, 3L))) // near dup
+    assert(!ids.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH candidates cover high-jaccard pairs; verification filters") {
+    val verified = Dedup.minhashDedupPairs(docs, threshold = 0.5, numHashes = 64, bands = 16)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(verified.contains((1L, 2L)))
+    assert(verified.contains((1L, 3L)))
+    assert(!verified.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs distance 0; near dups within threshold; different docs far") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 12).collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Long]("hamming"))).toMap
+    assert(pairs(((1L, 2L))) === 0L)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embedding near-dup finds the planted identical vector") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f), 0),
+      (2L, Array(1.0f, 0.0f, 0.5f), 0),   // identical
+      (3L, Array(-1.0f, 0.2f, 0.0f), 0),
+      (4L, Array(1.0f, 0.1f, 0.4f), 1)    // other block: never compared
+    ).toDF("vec_id", "embedding", "label")
+    val got = Dedup.embeddingNearDup(vecs, 0.99, blockCol = Some("label")).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Long]("id_a") === 1L)
+    assert(got.head.getAs[Long]("id_b") === 2L)
+    assert(math.abs(got.head.getAs[Double]("cosine") - 1.0) < 1e-12)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = TestSpark.spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("brute-force knn returns k ranked neighbors per query") {
+    val queries = emb.filter($"vec_id" < 3)
+    val got = Similarity.bruteForceKnn(emb, queries, k = 5)
+    val rows = got.collect()
+    assert(rows.length === 15)
+    // ranks are 1..5 and cosine non-increasing within each query
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq === (1 to 5))
+      val cs = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lsh knn achieves reasonable recall@5 vs brute force") {
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceKnn(emb, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val approx = Similarity.lshKnn(emb, queries, k = 5, nPlanes = 5, dim = 64).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall > 0.3, s"recall@5 = $recall") // 64 buckets over 500 vecs + multiprobe
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media = Multimodal.mediaFromDocuments(
+    TestSpark.spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+
+  test("media table has the canonical schema") {
+    assert(media.schema.fieldNames.toSeq === Seq("media_id", "kind", "bytes", "meta"))
+    assert(media.select("kind").distinct().collect().map(_.getString(0)).toSet
+      === Set("image", "audio", "video"))
+  }
+
+  test("decode stub produces fixed-width features and stable checksums") {
+    val out = Multimodal.decodeAndFeaturize(spark, media.limit(10), featureDim = 16)
+    val rows = out.collect()
+    assert(rows.length === 10)
+    assert(rows.forall(_.getAs[Seq[Float]]("feature").length == 16))
+    // deterministic: run twice, same checksums
+    val again = Multimodal.decodeAndFeaturize(spark, media.limit(10), featureDim = 16)
+      .select("media_id", "checksum").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.foreach(r => assert(again(r.getAs[Long]("media_id")) === r.getAs[Long]("checksum")))
+  }
+
+  test("resize clamps the long side and keeps aspect direction") {
+    val out = Multimodal.resize(media, 64).select("meta.width", "meta.height").collect()
+    assert(out.forall(r => r.getInt(0) <= 64 && r.getInt(1) <= 64))
+  }
+
+  test("frame sampling explodes video rows by duration, one frame otherwise") {
+    val out = Multimodal.sampleFrames(media, fps = 1.0)
+    val byKind = out.groupBy("kind").agg(countDistinct("media_id").as("n_media"),
+      count(lit(1)).as("n_frames")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byKind("image")._1 === byKind("image")._2) // 1 frame per non-video
+    assert(byKind("video")._2 > byKind("video")._1)   // >1 frame per video
+  }
+}
