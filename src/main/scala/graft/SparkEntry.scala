@@ -146,6 +146,40 @@ object SparkEntry {
     "t_lexicon" -> ((s, dir) =>
       trails(s, dir).lexicon("event_type").orderBy("value")),
 
+    // S6+S7: cons round-trip — stage events through the constructor,
+    // finalize as uuid-sorted parquet, read back (what you write is what
+    // you get back; tests/c-tests/what_you_write_you_get_back.c).
+    "t_cons_roundtrip" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-q").resolve("db").toString
+      val t = trails(s, dir)
+      val db = new graft.core.TrailDBCons(s, Seq("event_type", "props"))
+        .add(t.df).finalizeTo(path, 8)
+      db.scan().select("uuid", "time", "event_type", "props", "seq")
+    }),
+
+    // P8: per-trail filter overrides (tdb_set_trail_opt) — trail 1 keeps
+    // only clicks, trail 2 keeps everything, all others keep the db filter
+    // (event_type=view).
+    "t_trail_filters" -> ((s, dir) => {
+      val t = trails(s, dir).withFilter(
+        EventFilter(Seq(Clause(Seq(Match("event_type", "view"))))))
+      val overridden = t.eventsWithTrailFilters(Map(
+        f"${1L}%032x" -> EventFilter(Seq(Clause(Seq(Match("event_type", "click"))))),
+        f"${2L}%032x" -> EventFilter.matchAll))
+      ordered(overridden).select("uuid", "time", "event_type", "seq")
+    }),
+
+    // F1: uuid hex↔raw round trip with strict validation
+    // (src/tdb_uuid.c:52-75): unhex to 16 raw bytes, hex back, lowercase.
+    "t_uuid_codec" -> ((s, dir) => {
+      val t = trails(s, dir)
+      t.df.select(col("uuid")).distinct()
+        .withColumn("valid", col("uuid").rlike("^[0-9a-f]{32}$"))
+        .withColumn("roundtrip", lower(hex(unhex(col("uuid")))))
+        .withColumn("raw_len", length(unhex(col("uuid"))).cast("long"))
+        .orderBy("uuid")
+    }),
+
     // ---- training-data pipeline operators (documents/embeddings) ----
 
     // Exact dedup groups: content hash → survivor id + copy count.
@@ -424,6 +458,28 @@ object SparkEntry {
       s"""$TrailsCte
          |SELECT DISTINCT coalesce(event_type,'') AS value FROM trails
          |WHERE coalesce(event_type,'') != '' ORDER BY value""".stripMargin,
+
+    "t_cons_roundtrip" ->
+      s"""$TrailsCte
+         |SELECT uuid, time, event_type, props, seq
+         |FROM trails ORDER BY uuid, time, seq""".stripMargin,
+
+    "t_trail_filters" ->
+      s"""$TrailsCte
+         |SELECT uuid, time, event_type, seq FROM trails
+         |WHERE (uuid = printf('%032x', 1) AND coalesce(event_type,'') = 'click')
+         |   OR (uuid = printf('%032x', 2))
+         |   OR (uuid NOT IN (printf('%032x', 1), printf('%032x', 2))
+         |       AND coalesce(event_type,'') = 'view')
+         |ORDER BY uuid, time, seq""".stripMargin,
+
+    "t_uuid_codec" ->
+      s"""$TrailsCte
+         |SELECT DISTINCT uuid,
+         |  regexp_full_match(uuid, '[0-9a-f]{32}') AS valid,
+         |  lower(hex(unhex(uuid))) AS roundtrip,
+         |  CAST(octet_length(unhex(uuid)) AS BIGINT) AS raw_len
+         |FROM trails ORDER BY uuid""".stripMargin,
 
     "d_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,

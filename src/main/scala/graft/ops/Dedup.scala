@@ -67,26 +67,27 @@ object Dedup {
     z ^ (z >>> 31)
   }
 
-  /** MinHash signature of a text column: k-shingles hashed once with
-    * xxhash64, then numHashes affine permutations (a*h+b mod P), min each.
-    * One pass over the shingle array per row — no shuffle.
+  /** MinHash signature: k-shingles hashed ONCE with xxhash64 (exploded so
+    * projection collapse cannot inline the hash into every permutation —
+    * an array-expression formulation recomputes xxhash64 numHashes× per
+    * shingle), then numHashes affine permutations (a*h+b mod P) as min
+    * aggregates with map-side partial combine: the shuffle carries only
+    * numHashes longs per doc per partition.
+    * Output: (id, minhash: array<long>).
     */
   def minhashSignature(df: DataFrame, numHashes: Int = 128, k: Int = 3,
-      textCol: String = "text"): DataFrame = {
-    val base = pmod(xxhash64(col("_sh")), lit(P))
-    val perms = (0 until numHashes).map { i =>
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.shingles(col(textCol), k)).as("_sh"))
+      .withColumn("_h", pmod(xxhash64(col("_sh")), lit(P)))
+    val aggs = (0 until numHashes).map { i =>
       val a = java.lang.Math.floorMod(mix(2L * i), P - 1) + 1
       val b = java.lang.Math.floorMod(mix(2L * i + 1), P)
-      struct(lit(a).as("a"), lit(b).as("b"))
+      min(pmod(lit(a) * col("_h") + lit(b), lit(P))).as(s"_m$i")
     }
-    df.withColumn("_shingles", TextAnalysis.shingles(col(textCol), k))
-      .withColumn("_hashes",
-        transform(col("_shingles"), s => pmod(xxhash64(s), lit(P))))
-      .withColumn("minhash",
-        transform(array(perms: _*), p =>
-          array_min(transform(col("_hashes"),
-            h => pmod(p.getField("a") * h + p.getField("b"), lit(P))))))
-      .drop("_shingles", "_hashes")
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"_m$i")): _*).as("minhash"))
   }
 
   /** LSH banding over MinHash signatures: split the signature into `bands`
@@ -97,8 +98,7 @@ object Dedup {
   def minhashLshCandidates(df: DataFrame, numHashes: Int = 128, bands: Int = 32,
       k: Int = 3, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val rows = numHashes / bands
-    val sig = minhashSignature(df, numHashes, k, textCol)
-      .select(col(idCol).as("id"), col("minhash"))
+    val sig = minhashSignature(df, numHashes, k, textCol, idCol)
     val buckets = sig.select(col("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)), b =>
           struct(b.as("band"),
@@ -113,24 +113,21 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dup pairs, verified: LSH candidates filtered by exact
-    * n-gram Jaccard ≥ threshold (candidates are a superset under the
-    * S-curve; verification removes false positives). */
+    * n-gram Jaccard ≥ threshold. Verification touches ONLY candidate pairs
+    * (shingle sets joined to the candidate list — never the full inverted
+    * index, which would defeat the purpose of LSH at scale). */
   def minhashDedupPairs(df: DataFrame, threshold: Double = 0.8,
       numHashes: Int = 128, bands: Int = 32, k: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val cands = minhashLshCandidates(df, numHashes, bands, k, textCol, idCol)
-    val sh = df.select(col(idCol).as("id"),
-      explode(TextAnalysis.shingles(col(textCol), k)).as("shingle"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val shared = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-    cands.join(shared, Seq("id_a", "id_b"))
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jaccard",
-        col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")))
+    val sets = df.select(col(idCol).as("sid"),
+      TextAnalysis.shingles(col(textCol), k).as("shs"))
+    cands
+      .join(sets.select(col("sid").as("id_a"), col("shs").as("sh_a")), "id_a")
+      .join(sets.select(col("sid").as("id_b"), col("shs").as("sh_b")), "id_b")
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
