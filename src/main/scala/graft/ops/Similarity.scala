@@ -17,27 +17,34 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold cosine similarity between two float-array columns,
-    * computed in double (deterministic left-to-right order). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+  /** Sequential-fold dot product of two float-array columns in double
+    * (deterministic left-to-right order — bit-reproducible). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+
+  /** L2 norm of a float-array column, in double. */
+  def norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
-    dot / (na * nb)
-  }
+
+  /** Sequential-fold cosine similarity between two float-array columns,
+    * computed in double. For pairwise workloads prefer precomputing
+    * [[norm]] per row — recomputing both norms per PAIR triples the
+    * flops of the inner join loop. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k by cosine for each query vector. `queries` is expected to
     * be small (it is broadcast); ties break on corpus id for determinism. */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("cv"), col("qv")))
+      .withColumn("cosine", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -75,8 +82,10 @@ object Similarity {
       dim: Int = 64, multiprobe: Boolean = true,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"),
       lshBucket(col(vecCol), nPlanes, dim).as("bucket"))
     val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"),
       lshBucket(col(vecCol), nPlanes, dim).as("qbucket"))
     val q =
       if (!multiprobe) qBase.withColumn("bucket", col("qbucket"))
@@ -86,7 +95,7 @@ object Similarity {
             (0 until nPlanes).map(p => col("qbucket").bitwiseXOR(lit(1L << p))): _*))))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("cv"), col("qv")))
+      .withColumn("cosine", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

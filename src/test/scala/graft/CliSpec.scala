@@ -1,0 +1,39 @@
+package graft
+
+import java.nio.file.Files
+import graft.cli.Main
+import graft.core.TrailDB
+
+/** End-to-end CLI flow mirroring the reference's tdbcli tests
+  * (tests/tdbcli/test_tdbcli.py: make → dump round trip, merge). */
+class CliSpec extends SparkSpec {
+
+  test("make → dump → merge end-to-end") {
+    val dir = Files.createTempDirectory("graft-cli")
+    val csv = dir.resolve("in.csv")
+    Files.writeString(csv,
+      "uuid,time,etype,val\n" +
+      (0 until 20).map(i => f"${i % 4}%032x,${100 + i},e${i % 3},v$i").mkString("\n"))
+
+    Main.run(spark, "make", Seq("-o", s"$dir/db1", "-c", csv.toString,
+      "-f", "etype,val", "--csv-header"))
+    val db1 = TrailDB.open(spark, s"$dir/db1")
+    assert(db1.numEvents === 20)
+    assert(db1.numTrails === 4)
+
+    // dump with filter + uuid whitelist
+    Main.run(spark, "dump", Seq("-i", s"$dir/db1", "-F", "etype=e0 etype=e1",
+      "--uuids", f"${0}%032x", "-o", s"$dir/dump1", "--csv-header"))
+    val dumped = spark.read.option("header", "true").csv(s"$dir/dump1")
+    assert(dumped.count() > 0)
+    assert(dumped.select("uuid").distinct().count() === 1)
+
+    Main.run(spark, "merge", Seq("-o", s"$dir/merged",
+      "-i", s"$dir/db1", "-i", s"$dir/db1"))
+    val merged = TrailDB.open(spark, s"$dir/merged")
+    assert(merged.numEvents === 40)
+    assert(merged.numTrails === 4)
+
+    Main.run(spark, "index", Seq("-i", s"$dir/merged"))
+  }
+}
