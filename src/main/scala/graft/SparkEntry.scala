@@ -180,6 +180,16 @@ object SparkEntry {
         .orderBy("uuid")
     }),
 
+    // A5: distinct items per trail (the reference approximates this with
+    // only-diff-items; ours is exact) — sorted, pipe-joined for a stable
+    // cross-engine representation.
+    "t_distinct_items" -> ((s, dir) =>
+      trails(s, dir).df.groupBy("uuid")
+        .agg(concat_ws("|",
+          sort_array(collect_set(coalesce(col("event_type"), lit(""))))).as("item_set"),
+          countDistinct(coalesce(col("event_type"), lit(""))).as("n_items"))
+        .orderBy("uuid")),
+
     // ---- training-data pipeline operators (documents/embeddings) ----
 
     // Exact dedup groups: content hash → survivor id + copy count.
@@ -480,6 +490,13 @@ object SparkEntry {
          |  lower(hex(unhex(uuid))) AS roundtrip,
          |  CAST(octet_length(unhex(uuid)) AS BIGINT) AS raw_len
          |FROM trails ORDER BY uuid""".stripMargin,
+
+    "t_distinct_items" ->
+      s"""$TrailsCte
+         |SELECT uuid,
+         |  array_to_string(list_sort(list(DISTINCT coalesce(event_type, ''))), '|') AS item_set,
+         |  count(DISTINCT coalesce(event_type, '')) AS n_items
+         |FROM trails GROUP BY uuid ORDER BY uuid""".stripMargin,
 
     "d_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,

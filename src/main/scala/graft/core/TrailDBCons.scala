@@ -105,6 +105,23 @@ final class TrailDBCons(val spark: SparkSession, val fields: Seq[String]) {
     TrailDB.open(spark, path)
   }
 
+  /** Finalize into a BUCKETED catalog table: hash-bucketed and sorted by
+    * uuid. This is the 100 TB layout — every downstream per-trail operation
+    * (groupBy(uuid), trail-window sessionization, uuid equi-join across
+    * shards) reads co-located, pre-sorted buckets and plans with NO
+    * Exchange. The one-time bucketing shuffle here amortizes across every
+    * subsequent query (verified shuffle-free in ConsSpec). */
+  def finalizeToTable(tableName: String, buckets: Int = 32): TrailDB = {
+    val df = staged.getOrElse(spark.emptyDataFrame)
+    df.repartition(buckets, col(TrailSchema.UuidCol))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, TrailSchema.UuidCol)
+      .sortBy(TrailSchema.UuidCol, TrailSchema.TimeCol, TrailSchema.SeqCol)
+      .format("parquet")
+      .saveAsTable(tableName)
+    TrailDB.fromTrailFrame(spark.table(tableName))
+  }
+
   /** The staged (not yet finalized) events, for inspection/tests. */
   def stagedEvents: Option[DataFrame] = staged
 }

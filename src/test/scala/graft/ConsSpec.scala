@@ -86,6 +86,20 @@ class ConsSpec extends SparkSpec {
     assert(times === times.sorted)
   }
 
+  test("bucketed finalize: per-trail aggregation plans with NO shuffle exchange") {
+    val df = (0 until 100).map(i => (uuidOf(i % 7), i.toLong, s"v$i", i.toLong))
+      .toDF("uuid", "time", "f", "seq")
+    val db = new TrailDBCons(spark, Seq("f")).add(df)
+      .finalizeToTable("graft_bucketed_test", buckets = 4)
+    assert(db.numEvents === 100)
+    // trail-length agg over the bucketed table must not reshuffle: bucket
+    // pruning gives each task whole trails (the 100 TB co-location story)
+    val plan = db.trailLengths.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected shuffle-free bucketed agg, got:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS graft_bucketed_test")
+  }
+
   test("schema validation rejects bad and duplicate field names (src/tdb_cons.c:181-223)") {
     assertThrows[IllegalArgumentException](new TrailDBCons(spark, Seq("ok", "ok")))
     assertThrows[IllegalArgumentException](new TrailDBCons(spark, Seq("time")))
