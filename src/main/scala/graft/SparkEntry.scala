@@ -218,9 +218,12 @@ object SparkEntry {
 
     // MinHash+LSH near-dup pairs, exact-Jaccard-verified (no SQL oracle:
     // hash-family specific; verified in DedupSpec against brute force).
+    // 64 hashes / 32 bands keeps r=2 rows per band (S-curve midpoint
+    // (1/32)^(1/2) ≈ 0.18, right under the 0.2 verify threshold) at half
+    // the signature cost of 128/64.
     "d_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashDedupPairs(s.read.parquet(s"$dir/documents.parquet"),
-          threshold = 0.2, numHashes = 128, bands = 64, k = 3)
+          threshold = 0.2, numHashes = 64, bands = 32, k = 3)
         .orderBy("id_a", "id_b")),
 
     // SimHash near-dup pairs via native simhash64 expression + 4x16-bit
@@ -360,6 +363,32 @@ object SparkEntry {
         .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
         .orderBy("o_orderpriority", "rank")
     }),
+
+    // Q6-style forecast revenue: pure filter+aggregate — the pushdown
+    // showcase (every predicate reaches the Parquet scan).
+    "q6_forecast" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.05 &&
+          col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice").cast(DecimalType(12, 2)) *
+            col("l_discount").cast(DecimalType(4, 2))).cast(DecimalType(18, 4)))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // Trail funnel: trails where a signup is later followed by a purchase
+    // (first-signup-before-last-purchase, the classic conversion query) —
+    // one shuffle, conditional aggregates, no self-join.
+    "t_funnel" -> ((s, dir) =>
+      trails(s, dir).df.groupBy("uuid")
+        .agg(
+          min(when(col("event_type") === "signup", col("time"))).as("first_signup"),
+          max(when(col("event_type") === "purchase", col("time"))).as("last_purchase"))
+        .filter(col("first_signup").isNotNull &&
+          col("last_purchase") > col("first_signup"))
+        .orderBy("uuid")),
 
     // Daily event rollup: count + exact sum(value) per (event_type, day).
     "q_events_daily" -> ((s, dir) => {
@@ -650,6 +679,27 @@ object SparkEntry {
         |                           ORDER BY o_totalprice DESC, o_orderkey) AS rank
         |      FROM orders) t
         |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
+
+    "q6_forecast" ->
+      """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.05
+        |  AND l_quantity < 24""".stripMargin,
+
+    "t_funnel" ->
+      s"""$TrailsCte
+         |SELECT uuid,
+         |  min(CASE WHEN event_type = 'signup' THEN time END) AS first_signup,
+         |  max(CASE WHEN event_type = 'purchase' THEN time END) AS last_purchase
+         |FROM trails GROUP BY uuid
+         |HAVING min(CASE WHEN event_type = 'signup' THEN time END) IS NOT NULL
+         |   AND max(CASE WHEN event_type = 'purchase' THEN time END)
+         |       > min(CASE WHEN event_type = 'signup' THEN time END)
+         |ORDER BY uuid""".stripMargin,
 
     "q_events_daily" ->
       """SELECT event_type,

@@ -42,7 +42,15 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"),
         explode(TextAnalysis.shingles(col(textCol), k)).as("shingle"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val pairs = sh.as("a").join(sh.as("b"),
+    // A shingle held by exactly one doc can't produce a pair — dropping
+    // doc-frequency-1 shingles shrinks the quadratic join's input without
+    // changing any pair count. Window-count over the shingle partitioning
+    // (not a groupBy+semi-join) so the downstream self-join inherits the
+    // same hash partitioning and plans no additional Exchange.
+    val wSh = Window.partitionBy("shingle")
+    val shF = sh.withColumn("_df", count(lit(1)).over(wSh))
+      .filter(col("_df") > 1).drop("_df")
+    val pairs = shF.as("a").join(shF.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
@@ -78,8 +86,8 @@ object Dedup {
   def minhashSignature(df: DataFrame, numHashes: Int = 128, k: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-        explode(TextAnalysis.shingles(col(textCol), k)).as("_sh"))
-      .withColumn("_h", pmod(xxhash64(col("_sh")), lit(P)))
+        explode(TextAnalysis.shingleHashes(col(textCol), k)).as("_sh"))
+      .withColumn("_h", pmod(col("_sh"), lit(P)))
     val aggs = (0 until numHashes).map { i =>
       val a = java.lang.Math.floorMod(mix(2L * i), P - 1) + 1
       val b = java.lang.Math.floorMod(mix(2L * i + 1), P)
@@ -120,8 +128,11 @@ object Dedup {
       numHashes: Int = 128, bands: Int = 32, k: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val cands = minhashLshCandidates(df, numHashes, bands, k, textCol, idCol)
+    // Verify over hashed shingle sets (64-bit, collision-negligible) —
+    // string shingles would re-materialize every concat for the whole
+    // corpus on both sides of the join.
     val sets = df.select(col(idCol).as("sid"),
-      TextAnalysis.shingles(col(textCol), k).as("shs"))
+      TextAnalysis.shingleHashes(col(textCol), k).as("shs"))
     cands
       .join(sets.select(col("sid").as("id_a"), col("shs").as("sh_a")), "id_a")
       .join(sets.select(col("sid").as("id_b"), col("shs").as("sh_b")), "id_b")

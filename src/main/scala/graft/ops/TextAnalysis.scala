@@ -79,6 +79,18 @@ object TextAnalysis {
           i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
   }
 
+  /** Distinct 64-bit hashes of word k-shingles, computed by hashing the
+    * token-array slice directly — no shingle-string materialization (the
+    * concat dominates MinHash signature cost at corpus scale). */
+  def shingleHashes(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) < k, array(xxhash64(toks)))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - lit(k)),
+          i => xxhash64(slice(toks, i + 1, lit(k))))))
+  }
+
   /** Document fingerprint via winnowing (Schleimer et al., SIGMOD'03 style):
     * hash every k-shingle, keep the minimum hash in each sliding window of
     * `window` shingles — the classic rolling-hash fingerprint set, as a pure
