@@ -106,6 +106,32 @@ final class TrailDB private (
     }
   }
 
+  /** Typed per-trail cursor — the reference's library read path
+    * (tdb_get_trail + tdb_cursor_next loop, src/tdb_decode.c:219-329;
+    * SURVEY §3.2). `f` receives each trail's uuid and its events as a
+    * TIME-ORDERED iterator (secondary sort inside the group — no
+    * per-group materialization), exactly like walking a cursor. Executor
+    * tasks play the reference's one-handle-per-thread role; the shuffle
+    * is the node boundary the reference never had. */
+  def trailCursor[T: org.apache.spark.sql.Encoder](
+      f: (String, Iterator[CursorEvent]) => IterableOnce[T]): org.apache.spark.sql.Dataset[T] = {
+    val fs = fields
+    implicit val evEnc: org.apache.spark.sql.Encoder[CursorEvent] =
+      org.apache.spark.sql.Encoders.product[CursorEvent]
+    implicit val strEnc: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    val ds = df.select(
+      col(TrailSchema.UuidCol).as("uuid"),
+      col(TrailSchema.TimeCol).as("time"),
+      col(TrailSchema.SeqCol).as("seq"),
+      map_from_arrays(
+        array(fs.map(lit): _*),
+        array(fs.map(n => coalesce(col(n), lit(""))): _*)).as("fields"))
+      .as[CursorEvent]
+    ds.groupByKey(_.uuid)
+      .flatMapSortedGroups(col("time"), col("seq"))((uuid, it) => f(uuid, it))
+  }
+
   // ---- metadata (reference: src/tdb.c:677-700, persisted info file) ----
 
   def numTrails: Long = df.select(TrailSchema.UuidCol).distinct().count()
@@ -162,6 +188,11 @@ final class TrailDB private (
     projected.write.mode("overwrite").json(path)
   }
 }
+
+/** One event as seen by [[TrailDB.trailCursor]]: NULL fields already
+  * coalesced to "" (reference dump semantics). */
+final case class CursorEvent(uuid: String, time: Long, seq: Long,
+    fields: Map[String, String])
 
 object TrailDB {
   /** Open a finalized trail table (reference: tdb_open, src/tdb.c:298-393). */

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.agg.{SessionIntervals, Sessionize}
+import graft.core.TrailDB
+
+/** The three sessionization implementations must agree: window-lag
+  * (Sessionize), single-pass interval Aggregator (SessionIntervals), and a
+  * trailCursor walk (the reference's application-loop style,
+  * tutorial_wikipedia_sessions.c:60-87). */
+class AggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val trails = TrailDB.fromEvents(
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", expr("ts DIV 1000000000")),
+    uuidCol = "user_id", timeCol = "ts",
+    fieldCols = Seq("event_type"), seqCol = Some("event_id"))
+
+  private val Gap = 1800L
+
+  private lazy val windowed: Map[String, Long] =
+    Sessionize.sessionCounts(trails.df, Gap).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("num_sessions")).toMap
+
+  test("interval Aggregator (single-pass, partial-agg-friendly) matches window-lag") {
+    val agg = SessionIntervals(Gap)
+    val got = trails.df.select(col("uuid"), col("time")).as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(agg.toColumn.name("num_sessions"))
+      .collect().toMap
+    assert(got === windowed)
+  }
+
+  test("trailCursor walk (reference application-loop style) matches window-lag") {
+    val gap = Gap // local copy: the closure must not capture the spec (non-serializable)
+    val got = trails.trailCursor[(String, Long)] { (uuid, events) =>
+      var sessions = 0L
+      var prev = Long.MinValue
+      events.foreach { e =>
+        if (prev == Long.MinValue || e.time - prev > gap) sessions += 1
+        prev = e.time
+      }
+      Iterator.single((uuid, sessions))
+    }.collect().toMap
+    assert(got === windowed)
+  }
+
+  test("interval merge is order-independent (associativity smoke)") {
+    val agg = SessionIntervals(10L)
+    val times = Seq(100L, 5L, 50L, 11L, 112L, 49L, 30L)
+    def fold(ts: Seq[Long]) = ts.foldLeft(agg.zero)((b, t) => agg.reduce(b, t))
+    val whole = fold(times)
+    val (l, r) = times.splitAt(3)
+    val merged = agg.merge(fold(l), fold(r))
+    assert(agg.finish(whole) === agg.finish(merged))
+    // sorted: 5,11 | 30 | 49,50 | 100 | 112  (gaps 19,19,50,12 all > 10)
+    assert(agg.finish(whole) === 5L)
+  }
+}
