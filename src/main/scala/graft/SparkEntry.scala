@@ -206,7 +206,8 @@ object SparkEntry {
     // Text quality signals (exact counts + IEEE-deterministic ratios).
     "d_quality" -> ((s, dir) =>
       TextAnalysis.withQualitySignals(s.read.parquet(s"$dir/documents.parquet"))
-        .select("doc_id", "n_tokens", "n_punct", "n_stopwords",
+        .withColumn("n_bpe_est", TextAnalysis.bpeTokenEstimate(col("text")))
+        .select("doc_id", "n_tokens", "n_bpe_est", "n_punct", "n_stopwords",
           "mean_token_len", "stopword_ratio", "punct_ratio")
         .orderBy("doc_id")),
 
@@ -254,6 +255,17 @@ object SparkEntry {
     "e_knn_lsh" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), k = 3, nPlanes = 6)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF ANN: K-Means coarse quantizer + nprobe cell search (rows-only:
+    // centroid assignment is model-specific; recall vs brute force in
+    // SimilaritySpec).
+    "e_knn_ivf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 10), k = 3,
+          nCells = 16, nprobe = 3)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
@@ -554,6 +566,8 @@ object SparkEntry {
     "d_quality" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(string_split_regex(text, ' +'),
+        |    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_est,
         |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
         |  CAST(len(list_filter(string_split_regex(text, ' +'),
         |    w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS n_stopwords,

@@ -73,6 +73,48 @@ object Similarity {
     planes.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) ANN: K-Means coarse quantizer partitions the
+    * corpus into cells; each query probes its `nprobe` nearest centroids
+    * and scores only those cells. The standard FAISS-style scale path —
+    * training samples the corpus, assignment is one scan, search is a
+    * (cell-key) bucket join. Deterministic via fixed seed. */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int = 16,
+      nprobe: Int = 2, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
+      .fit(feat.sample(withReplacement = false, fraction = 1.0, seed = 42L))
+    val cells = model.transform(feat)
+      .select(col("corpus_id"), col("cv"), norm(col("cv")).as("cn"),
+        col("prediction").as("cell"))
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroidDf = centroids.toSeq.toDF("cell", "centroid")
+    // each query probes its nprobe nearest cells
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val qCells = q.crossJoin(broadcast(centroidDf))
+      .withColumn("cdist", dot(col("qv"), col("centroid")) /
+        (col("qn") * norm(col("centroid"))))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cdist").desc, col("cell"))))
+      .filter(col("crank") <= nprobe)
+      .select("query_id", "qv", "qn", "cell")
+    val scored = cells.join(broadcast(qCells), Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "cosine")
+  }
+
   /** ANN top-k: join corpus and queries on LSH bucket, rank within bucket.
     * `nPlanes` controls recall/cost (2^nPlanes buckets). Multiprobe: each
     * query also probes the nPlanes single-bit-flip neighbor buckets, which

@@ -129,6 +129,16 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf knn achieves reasonable recall@5 vs brute force") {
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceKnn(emb, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val approx = Similarity.ivfKnn(emb, queries, k = 5, nCells = 8, nprobe = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall > 0.3, s"IVF recall@5 = $recall")
+  }
+
   test("lsh knn achieves reasonable recall@5 vs brute force") {
     val queries = emb.filter($"vec_id" < 20)
     val exact = Similarity.bruteForceKnn(emb, queries, k = 5).collect()
