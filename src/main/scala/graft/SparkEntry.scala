@@ -233,13 +233,10 @@ object SparkEntry {
       Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"), maxHamming = 8)
         .orderBy("id_a", "id_b")),
 
-    // Winnowing fingerprints (rolling-hash document signatures).
+    // Winnowing fingerprints (rolling-hash document signatures) — linear
+    // posexplode + sliding-window-min form.
     "d_fingerprint" -> ((s, dir) =>
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"),
-          TextAnalysis.fingerprint(col("text"), 5, 4).as("fp"))
-        .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"),
-          array_min(col("fp")).as("fp_min"), array_max(col("fp")).as("fp_max"))
+      TextAnalysis.fingerprintStats(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy("doc_id")),
 
     // Brute-force cosine top-k (exact ANN baseline).

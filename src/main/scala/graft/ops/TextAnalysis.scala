@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines over a
@@ -93,14 +94,41 @@ object TextAnalysis {
 
   /** Document fingerprint via winnowing (Schleimer et al., SIGMOD'03 style):
     * hash every k-shingle, keep the minimum hash in each sliding window of
-    * `window` shingles — the classic rolling-hash fingerprint set, as a pure
-    * array expression. */
+    * `window` shingles. Array-expression form — fine for short texts and
+    * unit tests, but O(shingles²) after projection collapse (each window
+    * position re-materializes the hash array): use [[fingerprintStats]] /
+    * [[fingerprints]] for corpus-scale work. */
   def fingerprint(text: Column, k: Int = 5, window: Int = 4): Column = {
-    val hashes = transform(shingles(text, k), s => xxhash64(s))
+    val hashes = shingleHashes(text, k)
     val n = size(hashes)
     val mins = transform(
       sequence(lit(0), greatest(n - lit(window), lit(0))),
       i => array_min(slice(hashes, i + 1, lit(window))))
     array_distinct(mins)
   }
+
+  /** Corpus-scale winnowing: posexplode shingle hashes once, sliding-window
+    * min via a window frame (each hash computed exactly once — linear, vs
+    * the array form's quadratic re-materialization), distinct per doc.
+    * Output: (id, fp) rows — one row per fingerprint hash. */
+  def fingerprints(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 5, window: Int = 4): DataFrame = {
+    val byDoc = Window.partitionBy("id")
+    val sliding = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.currentRow, window - 1)
+    df.select(col(idCol).as("id"),
+        posexplode(shingleHashes(col(textCol), k)).as(Seq("pos", "h")))
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("m", min(col("h")).over(sliding))
+      .filter(col("pos") <= greatest(col("n") - window, lit(0)))
+      .select(col("id"), col("m").as("fp")).distinct()
+  }
+
+  /** Per-doc fingerprint summary (count / min / max of the winnowed set). */
+  def fingerprintStats(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 5, window: Int = 4): DataFrame =
+    fingerprints(df, idCol, textCol, k, window)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_fp"), min("fp").as("fp_min"), max("fp").as("fp_max"))
+      .withColumnRenamed("id", idCol)
 }

@@ -39,6 +39,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq("en", "de", "es"))
   }
 
+  test("corpus-scale fingerprints equal the array-expression winnowing") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val fromArray = docs.select($"doc_id",
+        org.apache.spark.sql.functions.explode(
+          TextAnalysis.fingerprint($"text", 5, 4)).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromStream = TextAnalysis.fingerprints(docs, k = 5, window = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromStream === fromArray)
+  }
+
   test("fingerprint is deterministic and shift-robust on shared regions") {
     val df = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
