@@ -1,8 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -16,14 +15,27 @@ import org.apache.spark.unsafe.hash.Murmur3_x86_32
   * A composed-builtins version would need a 64-wide zip_with fold per token
   * (quadratic blowup in expression size); a single imperative expression
   * evaluates in one pass per row with zero allocation beyond the counter
-  * array. Deterministic across engines/JVMs (splitmix-finalized murmur).
+  * array. Implements doGenCode (a static call into [[SimHash64.compute]])
+  * so the surrounding whole-stage codegen span stays intact — a
+  * CodegenFallback here would knock the entire stage out of codegen.
+  * Deterministic across engines/JVMs (splitmix-finalized murmur).
   */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHash64.compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
   private def hash64(s: UTF8String): Long = {
     // murmur32 on the bytes, widened and finalized splitmix64-style so all
     // 64 signature bits are driven.
@@ -35,8 +47,8 @@ case class SimHash64(child: Expression)
     z ^ (z >>> 31)
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** One-pass SimHash over a string array; called from generated code. */
+  def compute(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
@@ -56,11 +68,8 @@ case class SimHash64(child: Expression)
       if (counts(b) > 0) sig |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(sig)
+    sig
   }
-
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
-    copy(child = newChild)
 }
 
 /** Column-level entry points for graft's custom expressions. */
