@@ -273,6 +273,13 @@ object SparkEntry {
           threshold = 0.35, blockCol = Some("label"))
         .orderBy("id_a", "id_b")),
 
+    // LSH-blocked embedding near-dup — the scale path (rows-only: bucket
+    // layout is hash-specific; exact variant e_neardup is the oracle).
+    "e_neardup_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupLsh(s.read.parquet(s"$dir/embeddings.parquet"),
+          threshold = 0.35, nPlanes = 6)
+        .orderBy("id_a", "id_b")),
+
     // Multimodal: frame sampling plumbing (explode by duration metadata).
     "m_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(

@@ -105,6 +105,16 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("LSH-blocked embedding near-dup finds identical vectors without label blocking") {
+    val vecs = Seq(
+      (1L, Array.tabulate(64)(i => (i % 7).toFloat + 1f)),
+      (2L, Array.tabulate(64)(i => (i % 7).toFloat + 1f)),     // identical to 1
+      (3L, Array.tabulate(64)(i => ((i * 13) % 11).toFloat - 5f))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDupLsh(vecs, 0.999, nPlanes = 6, dim = 64).collect()
+    assert(got.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet === Set((1L, 2L)))
+  }
+
   test("embedding near-dup finds the planted identical vector") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.5f), 0),
