@@ -368,6 +368,41 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // Q4-style: semi-join with a cross-side condition (orders having any
+    // lineitem shipped after the order date), counted per priority.
+    "q4_semi" -> ((s, dir) => {
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      ord.join(li, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Anti-join: customers with no orders, per market segment.
+    "q_anti_customers" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Rollup (grouping sets): counts at (flag, status), (flag), and total
+    // levels, disambiguated by grouping id.
+    "q_rollup" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.rollup("l_returnflag", "l_linestatus")
+        .agg((grouping(col("l_returnflag")) +
+            grouping(col("l_linestatus")) * 2).cast("long").as("gid"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("")).as("f"),
+          coalesce(col("l_linestatus"), lit("")).as("s"),
+          col("gid"), col("n"))
+        .orderBy("gid", "f", "s")
+    }),
+
     // Window top-k: 3 highest-value orders per priority class.
     "q_topk_orders" -> ((s, dir) => {
       val ord = s.read.parquet(s"$dir/orders.parquet")
@@ -689,6 +724,24 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q4_semi" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_anti_customers" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, '') AS f, coalesce(l_linestatus, '') AS s,
+        |  CAST(GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, f, s""".stripMargin,
 
     "q_topk_orders" ->
       """SELECT o_orderpriority, CAST(rank AS BIGINT) AS rank, o_orderkey, o_totalprice

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming extension (beyond reference parity — the reference is batch-
   * only with periodic shard shipping, doc/docs/index.md:43-48; its
@@ -29,6 +30,51 @@ object StreamSessions {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"))
+
+  /** Per-trail state carried across micro-batches by [[statefulTrailStats]]. */
+  final case class TrailState(firstTime: Long, lastTime: Long, nEvents: Long,
+      nSessions: Long)
+  final case class TrailUpdate(uuid: String, firstTime: Long, lastTime: Long,
+      nEvents: Long, nSessions: Long)
+
+  /** Custom streaming state via flatMapGroupsWithState: running per-trail
+    * stats (first/last/count/sessions) maintained across micro-batches —
+    * the arbitrary-state path for logic session_window can't express.
+    * Emits the updated row for every trail touched in a batch. State is
+    * O(1) per trail; sessions count gaps > gapSeconds between batches'
+    * sorted events (within-batch events are sorted here; cross-batch
+    * ordering relies on source ordering, as any state machine must).
+    */
+  def statefulTrailStats(events: Dataset[(String, Long)], gapSeconds: Long)(
+      implicit enc: org.apache.spark.sql.Encoder[TrailUpdate],
+      stateEnc: org.apache.spark.sql.Encoder[TrailState]): Dataset[TrailUpdate] = {
+    implicit val strEnc: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[TrailState, TrailUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uuid: String, rows: Iterator[(String, Long)], state: GroupState[TrailState]) =>
+          val times = rows.map(_._2).toArray.sorted
+          if (times.isEmpty) Iterator.empty
+          else {
+            val prev = state.getOption
+            var sessions = prev.map(_.nSessions).getOrElse(0L)
+            var last = prev.map(_.lastTime).getOrElse(Long.MinValue)
+            times.foreach { t =>
+              if (last == Long.MinValue || t - last > gapSeconds) sessions += 1
+              last = t
+            }
+            val next = TrailState(
+              prev.map(_.firstTime).getOrElse(times.head),
+              math.max(prev.map(_.lastTime).getOrElse(Long.MinValue), times.last),
+              prev.map(_.nEvents).getOrElse(0L) + times.length,
+              sessions)
+            state.update(next)
+            Iterator.single(TrailUpdate(uuid, next.firstTime, next.lastTime,
+              next.nEvents, next.nSessions))
+          }
+      }
+  }
 
   /** Windowed event-type rates (the generic streaming rollup). */
   def eventRates(events: DataFrame, window: String = "5 minutes",

