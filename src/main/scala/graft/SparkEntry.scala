@@ -217,6 +217,23 @@ object SparkEntry {
         .select("doc_id", "c_en", "c_de", "c_es", "c_fr", "lang_pred")
         .orderBy("doc_id")),
 
+    // Corpus vocabulary: top-50 tokens by frequency (explode + count —
+    // the map-side-combined shape of every vocab/BPE-training pass).
+    "d_vocab" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token")).limit(50)),
+
+    // Quality-gate filter: the standard pre-training corpus pass — keep
+    // docs inside token-count and stopword-ratio bounds.
+    "d_quality_filter" -> ((s, dir) =>
+      TextAnalysis.withQualitySignals(s.read.parquet(s"$dir/documents.parquet"))
+        .filter(col("n_tokens") >= 20 && col("n_tokens") <= 600 &&
+          col("stopword_ratio") < 0.3 && col("punct_ratio") < 0.1)
+        .select("doc_id", "n_tokens", "n_stopwords")
+        .orderBy("doc_id")),
+
     // MinHash+LSH near-dup pairs, exact-Jaccard-verified (no SQL oracle:
     // hash-family specific; verified in DedupSpec against brute force).
     // 64 hashes / 32 bands keeps r=2 rows per band (S-curve midpoint
@@ -637,6 +654,27 @@ object SparkEntry {
         |       WHEN c_es >= c_fr THEN 'es'
         |       ELSE 'fr' END AS lang_pred
         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "d_vocab" ->
+      """SELECT token, count(*) AS freq
+        |FROM (SELECT unnest(string_split_regex(text, ' +')) AS token FROM documents)
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin,
+
+    "d_quality_filter" ->
+      """WITH q AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split_regex(text, ' +'),
+        |    w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS n_stopwords,
+        |  CAST(len(list_filter(string_split_regex(text, ' +'),
+        |    w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |    / len(string_split_regex(text, ' +')) AS stopword_ratio,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS punct_ratio
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_stopwords FROM q
+        |WHERE n_tokens >= 20 AND n_tokens <= 600
+        |  AND stopword_ratio < 0.3 AND punct_ratio < 0.1
+        |ORDER BY doc_id""".stripMargin,
 
     "e_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
