@@ -36,4 +36,27 @@ class CliSpec extends SparkSpec {
 
     Main.run(spark, "index", Seq("-i", s"$dir/merged"))
   }
+
+  test("json dump: --json-no-empty drops empty values (op_dump.c:69-90)") {
+    val dir = Files.createTempDirectory("graft-json")
+    val csv = dir.resolve("in.csv")
+    // second row leaves 'val' empty → NULL ≡ ''
+    Files.writeString(csv,
+      "uuid,time,etype,val\n" +
+      f"${1}%032x,100,click,hello\n" +
+      f"${1}%032x,200,view,\n")
+    Main.run(spark, "make", Seq("-o", s"$dir/db", "-c", csv.toString,
+      "-f", "etype,val", "--csv-header"))
+
+    Main.run(spark, "dump", Seq("-i", s"$dir/db", "-j", "", "-o", s"$dir/plain"))
+    val plain = spark.read.json(s"$dir/plain").orderBy("time").collect()
+    assert(plain.map(_.getAs[String]("val")).toSeq === Seq("hello", ""))
+
+    val db = graft.core.TrailDB.open(spark, s"$dir/db")
+    db.dumpJson(s"$dir/noempty", noEmpty = true)
+    val kept = spark.read.json(s"$dir/noempty")
+    // empty value dropped entirely from the second row's JSON object
+    assert(kept.filter(org.apache.spark.sql.functions.col("val").isNull).count() === 1)
+    assert(kept.filter(org.apache.spark.sql.functions.col("val") === "hello").count() === 1)
+  }
 }
