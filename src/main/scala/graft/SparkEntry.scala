@@ -157,6 +157,48 @@ object SparkEntry {
       db.scan().select("uuid", "time", "event_type", "props", "seq")
     }),
 
+    // S4: CSV ingest round-trip — dump trails to CSV, re-ingest through
+    // the cons (column mapping + header), compare against the oracle.
+    "t_csv_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-csv")
+      val t = trails(s, dir)
+      t.df.select(col("uuid"), col("time"), col("event_type"),
+          col("seq").as("evseq"))
+        .write.option("header", "true").mode("overwrite").csv(s"$tmp/csv")
+      new graft.core.TrailDBCons(s, Seq("event_type", "evseq"))
+        .addCsv(s"$tmp/csv", delimiter = ",", header = true)
+        .stagedEvents.get
+        .select(col("uuid"), col("time"), col("event_type"),
+          col("evseq").cast("long").as("seq"))
+        .orderBy("uuid", "time", "seq")
+    }),
+
+    // S5: JSONL ingest round-trip (unknown keys ignored).
+    "t_jsonl_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl")
+      val t = trails(s, dir)
+      t.df.select(col("uuid"), col("time"), col("event_type"),
+          col("seq").as("evseq"))
+        .write.mode("overwrite").json(s"$tmp/jsonl")
+      new graft.core.TrailDBCons(s, Seq("event_type", "evseq"))
+        .addJsonl(s"$tmp/jsonl")
+        .stagedEvents.get
+        .select(col("uuid"), col("time"), col("event_type"),
+          col("evseq").cast("long").as("seq"))
+        .orderBy("uuid", "time", "seq")
+    }),
+
+    // P4: empty-value term end-to-end — a field that is sometimes the NULL
+    // value ('' ≡ val 0); `field=` matches exactly those events.
+    "t_filter_empty" -> ((s, dir) => {
+      val t = trails(s, dir)
+      val withNulls = TrailDB.fromTrailFrame(
+        t.df.withColumn("maybe",
+          when(col("event_type") === "click", lit("")).otherwise(col("event_type"))))
+      val f = EventFilter(Seq(Clause(Seq(Match("maybe", "")))))
+      ordered(withNulls.events(f)).select("uuid", "time", "event_type", "seq")
+    }),
+
     // P8: per-trail filter overrides (tdb_set_trail_opt) — trail 1 keeps
     // only clicks, trail 2 keeps everything, all others keep the db filter
     // (event_type=view).
@@ -420,6 +462,32 @@ object SparkEntry {
         .orderBy("gid", "f", "s")
     }),
 
+    // Q7-style: bilateral shipping volume between two nations by year
+    // (double nation join with disjunctive pair filter).
+    "q7_volume" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      val n1 = nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val discPrice = (col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+        .cast(DecimalType(18, 4))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(discPrice).cast("double").as("volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
     // Window top-k: 3 highest-value orders per priority class.
     "q_topk_orders" -> ((s, dir) => {
       val ord = s.read.parquet(s"$dir/orders.parquet")
@@ -570,6 +638,22 @@ object SparkEntry {
       s"""$TrailsCte
          |SELECT uuid, time, event_type, props, seq
          |FROM trails ORDER BY uuid, time, seq""".stripMargin,
+
+    "t_csv_roundtrip" ->
+      s"""$TrailsCte
+         |SELECT uuid, time, event_type, seq
+         |FROM trails ORDER BY uuid, time, seq""".stripMargin,
+
+    "t_jsonl_roundtrip" ->
+      s"""$TrailsCte
+         |SELECT uuid, time, event_type, seq
+         |FROM trails ORDER BY uuid, time, seq""".stripMargin,
+
+    "t_filter_empty" ->
+      s"""$TrailsCte
+         |SELECT uuid, time, event_type, seq FROM trails
+         |WHERE event_type = 'click'
+         |ORDER BY uuid, time, seq""".stripMargin,
 
     "t_trail_filters" ->
       s"""$TrailsCte
@@ -780,6 +864,21 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY gid, f, s""".stripMargin,
+
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE) AS volume
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q_topk_orders" ->
       """SELECT o_orderpriority, CAST(rank AS BIGINT) AS rank, o_orderkey, o_totalprice

@@ -34,7 +34,7 @@ object TrailSchema {
   def isValidFieldName(name: String): Boolean =
     name.nonEmpty &&
       name.length <= MaxFieldNameLength &&
-      name != TimeCol && name != UuidCol &&
+      !ReservedCols.contains(name) && // time/uuid reserved by the reference; seq by our tiebreak column
       name.forall(c => c > 32 && c < 127 && c != '=' && c != '&' && c != '!')
 
   /** Validate a user field list: charset + duplicate rejection
