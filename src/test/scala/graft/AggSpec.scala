@@ -46,6 +46,24 @@ class AggSpec extends SparkSpec {
     assert(got === windowed)
   }
 
+  test("window-lag and interval aggregator agree on randomized trails (incl. duplicate times)") {
+    val rnd = new scala.util.Random(42)
+    val rows = for {
+      u <- 0 until 20
+      _ <- 0 until (1 + rnd.nextInt(30))
+    } yield (f"$u%032x", rnd.nextInt(2000).toLong) // dense range → many duplicates
+    val df = rows.zipWithIndex.map { case ((u, t), i) => (u, t, i.toLong) }
+      .toDF("uuid", "time", "seq")
+    val gap = 100L
+    val viaWindow = Sessionize.sessionCounts(df, gap).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("num_sessions")).toMap
+    val viaIntervals = df.select(col("uuid"), col("time")).as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(SessionIntervals(gap).toColumn.name("n"))
+      .collect().toMap
+    assert(viaIntervals === viaWindow)
+  }
+
   test("interval merge is order-independent (associativity smoke)") {
     val agg = SessionIntervals(10L)
     val times = Seq(100L, 5L, 50L, 11L, 112L, 49L, 30L)
