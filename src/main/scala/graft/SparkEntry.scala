@@ -232,6 +232,21 @@ object SparkEntry {
           countDistinct(coalesce(col("event_type"), lit(""))).as("n_items"))
         .orderBy("uuid")),
 
+    // Cohort retention: per week, active trails and how many return the
+    // following week — distinct (uuid, week) grid + self-join on week+1.
+    "t_retention" -> ((s, dir) => {
+      val weeks = trails(s, dir).df
+        .select(col("uuid"), expr("time DIV 604800").as("week")).distinct()
+      val active = weeks.groupBy("week").agg(count(lit(1)).as("n_active"))
+      val retained = weeks.as("a").join(weeks.as("b"),
+          col("a.uuid") === col("b.uuid") && col("b.week") === col("a.week") + 1)
+        .groupBy(col("a.week").as("week")).agg(count(lit(1)).as("n_retained"))
+      active.join(retained, Seq("week"), "left")
+        .select(col("week"), col("n_active"),
+          coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+        .orderBy("week")
+    }),
+
     // ---- training-data pipeline operators (documents/embeddings) ----
 
     // Exact dedup groups: content hash → survivor id + copy count.
@@ -738,6 +753,17 @@ object SparkEntry {
         |       WHEN c_es >= c_fr THEN 'es'
         |       ELSE 'fr' END AS lang_pred
         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "t_retention" ->
+      s"""$TrailsCte,
+         |weeks AS (SELECT DISTINCT uuid, time // 604800 AS week FROM trails),
+         |act AS (SELECT week, count(*) AS n_active FROM weeks GROUP BY 1),
+         |ret AS (SELECT a.week AS week, count(*) AS n_retained
+         |        FROM weeks a JOIN weeks b
+         |          ON a.uuid = b.uuid AND b.week = a.week + 1
+         |        GROUP BY 1)
+         |SELECT act.week, n_active, coalesce(n_retained, 0) AS n_retained
+         |FROM act LEFT JOIN ret ON act.week = ret.week ORDER BY act.week""".stripMargin,
 
     "d_vocab" ->
       """SELECT token, count(*) AS freq
