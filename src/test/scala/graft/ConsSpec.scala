@@ -100,6 +100,23 @@ class ConsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_bucketed_test")
   }
 
+  test("salted aggregation equals direct groupBy on a skewed key") {
+    // one whale uuid with 10k rows, a few minnows
+    val rows = (0 until 10000).map(i => (uuidOf(0), i.toLong)) ++
+      (0 until 5).map(i => (uuidOf(1 + i), i.toLong))
+    val df = rows.toDF("uuid", "v")
+    val direct = df.groupBy("uuid").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = graft.core.Skew.saltedCount(df, "uuid", buckets = 8).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === direct)
+    val directSum = df.groupBy("uuid").agg(sum("v")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val saltedSum = graft.core.Skew.saltedSum(df, "uuid", "v", buckets = 8).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(saltedSum === directSum)
+  }
+
   test("schema validation rejects bad and duplicate field names (src/tdb_cons.c:181-223)") {
     assertThrows[IllegalArgumentException](new TrailDBCons(spark, Seq("ok", "ok")))
     assertThrows[IllegalArgumentException](new TrailDBCons(spark, Seq("time")))
