@@ -20,7 +20,10 @@ import graft.filter.{EventFilter, Clause, Match}
 final class TrailDB private (
     val spark: SparkSession,
     private val base: DataFrame,
-    val dbFilter: Option[EventFilter]) {
+    val dbFilter: Option[EventFilter],
+    /** Partition granularity when opened over a time-partitioned layout
+      * (finalizePartitioned) — enables partition pruning for time ranges. */
+    val bucketSeconds: Option[Long] = None) {
 
   /** User field names (excludes uuid/time/seq). */
   val fields: Seq[String] = TrailSchema.userFields(base.schema)
@@ -35,14 +38,30 @@ final class TrailDB private (
   /** Install/replace the db-level filter (a view — reference semantics of
     * TDB_OPT_EVENT_FILTER, src/tdb.c:716-722). */
   def withFilter(filter: EventFilter): TrailDB =
-    new TrailDB(spark, base, Some(filter))
+    new TrailDB(spark, base, Some(filter), bucketSeconds)
 
   def withFilter(text: String): TrailDB = withFilter(EventFilter.parse(text))
 
   /** Events matching `filter` on top of the db view — the per-cursor filter
-    * (reference precedence db < trail < cursor: src/tdb_decode.c:140-181). */
-  def events(filter: EventFilter = EventFilter.matchAll): DataFrame =
-    df.filter(filter.toColumn(fieldSet))
+    * (reference precedence db < trail < cursor: src/tdb_decode.c:140-181).
+    * Over a time-partitioned layout, every all-TimeRange clause also emits
+    * the implied `_bucket` bounds so whole partitions prune before IO. */
+  def events(filter: EventFilter = EventFilter.matchAll): DataFrame = {
+    val filtered = df.filter(filter.toColumn(fieldSet))
+    bucketSeconds match {
+      case Some(n) =>
+        val bucketClauses = filter.clauses.flatMap { c =>
+          val ranges = c.terms.collect { case tr: graft.filter.TimeRange => tr }
+          if (ranges.nonEmpty && ranges.size == c.terms.size)
+            Some(ranges.map(r =>
+              col(TrailSchema.BucketCol) >= lit(r.start / n) &&
+              col(TrailSchema.BucketCol) <= lit((r.end - 1) / n)).reduce(_ || _))
+          else None
+        }
+        bucketClauses.foldLeft(filtered)(_ filter _)
+      case None => filtered
+    }
+  }
 
   /** Per-trail filter overrides: trails present in `overrides` use their own
     * filter INSTEAD of the db-level filter; others keep the db view
@@ -77,18 +96,20 @@ final class TrailDB private (
     * MATCH_NONE db-wide + MATCH_ALL per listed trail, tdbcli/filter.c:142-243).
     * Spark-native: a broadcast semi-join / isin, which Catalyst pushes down. */
   def whitelist(uuids: Seq[String]): TrailDB =
-    new TrailDB(spark, base.filter(col(TrailSchema.UuidCol).isin(uuids: _*)), dbFilter)
+    new TrailDB(spark, base.filter(col(TrailSchema.UuidCol).isin(uuids: _*)),
+      dbFilter, bucketSeconds)
 
   /** Whitelist against a (possibly huge) uuid set as a DataFrame — semi-join,
     * broadcast when small (AQE decides at scale). */
   def whitelist(uuids: DataFrame): TrailDB =
     new TrailDB(spark,
       base.join(uuids.select(col(uuids.columns.head).as(TrailSchema.UuidCol)).distinct(),
-        Seq(TrailSchema.UuidCol), "left_semi"), dbFilter)
+        Seq(TrailSchema.UuidCol), "left_semi"), dbFilter, bucketSeconds)
 
   /** Trail blacklist — drop listed uuids (anti of [[whitelist]]). */
   def blacklist(uuids: Seq[String]): TrailDB =
-    new TrailDB(spark, base.filter(!col(TrailSchema.UuidCol).isin(uuids: _*)), dbFilter)
+    new TrailDB(spark, base.filter(!col(TrailSchema.UuidCol).isin(uuids: _*)),
+      dbFilter, bucketSeconds)
 
   /** TDB_OPT_ONLY_DIFF_ITEMS (reference: src/tdb_decode.c:268-300,
     * doc/docs/technical_overview.md:113-125): emit only field values that
@@ -195,9 +216,12 @@ final case class CursorEvent(uuid: String, time: Long, seq: Long,
     fields: Map[String, String])
 
 object TrailDB {
-  /** Open a finalized trail table (reference: tdb_open, src/tdb.c:298-393). */
-  def open(spark: SparkSession, path: String): TrailDB =
-    new TrailDB(spark, spark.read.parquet(path), None)
+  /** Open a finalized trail table (reference: tdb_open, src/tdb.c:298-393).
+    * Pass `bucketSeconds` when the table was written with
+    * [[TrailDBCons.finalizePartitioned]] to enable time-partition pruning. */
+  def open(spark: SparkSession, path: String,
+      bucketSeconds: Option[Long] = None): TrailDB =
+    new TrailDB(spark, spark.read.parquet(path), None, bucketSeconds)
 
   /** Wrap an already-normalized trail DataFrame (uuid/time/seq + string fields). */
   def fromTrailFrame(df: DataFrame): TrailDB = {

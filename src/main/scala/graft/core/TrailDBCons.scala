@@ -105,6 +105,26 @@ final class TrailDBCons(val spark: SparkSession, val fields: Seq[String]) {
     TrailDB.open(spark, path)
   }
 
+  /** Finalize as TIME-PARTITIONED parquet — the reference's deployment
+    * pattern of periodic (e.g. daily) shards (doc/docs/index.md:43-48),
+    * expressed as Hive-style partitions on `_bucket = time DIV
+    * secondsPerPartition`. Time-range filters then prune whole partitions
+    * before any IO ([[TrailDB.events]] adds the `_bucket` bounds for
+    * TimeRange terms automatically). Within each partition, rows stay
+    * (uuid, time)-sorted for row-group pruning on uuid. */
+  def finalizePartitioned(path: String,
+      secondsPerPartition: Long = 86400L): TrailDB = {
+    val df = staged.getOrElse(spark.emptyDataFrame)
+    df.withColumn(TrailSchema.BucketCol,
+        expr(s"${TrailSchema.TimeCol} DIV $secondsPerPartition"))
+      .repartition(col(TrailSchema.BucketCol), col(TrailSchema.UuidCol))
+      .sortWithinPartitions(TrailSchema.UuidCol, TrailSchema.TimeCol, TrailSchema.SeqCol)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(TrailSchema.BucketCol)
+      .parquet(path)
+    TrailDB.open(spark, path, Some(secondsPerPartition))
+  }
+
   /** Finalize into a BUCKETED catalog table: hash-bucketed and sorted by
     * uuid. This is the 100 TB layout — every downstream per-trail operation
     * (groupBy(uuid), trail-window sessionization, uuid equi-join across

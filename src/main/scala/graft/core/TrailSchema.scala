@@ -20,7 +20,9 @@ object TrailSchema {
   val UuidCol = "uuid"
   val TimeCol = "time"
   val SeqCol  = "seq"
-  val ReservedCols: Set[String] = Set(UuidCol, TimeCol, SeqCol)
+  /** Hive partition column for time-sharded layouts (finalizePartitioned). */
+  val BucketCol = "_bucket"
+  val ReservedCols: Set[String] = Set(UuidCol, TimeCol, SeqCol, BucketCol)
 
   /** Reference limit TDB_MAX_FIELDNAME_LENGTH (src/tdb_limits.h:44-51). */
   val MaxFieldNameLength = 512

@@ -100,6 +100,27 @@ class ConsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_bucketed_test")
   }
 
+  test("time-partitioned finalize: time-range filters prune partitions before IO") {
+    import graft.filter.{Clause, EventFilter, TimeRange}
+    // 10 days of events, 2 trails
+    val rows = for { d <- 0 until 10; i <- 0 until 5 }
+      yield (uuidOf(i % 2), d * 86400L + i, s"v$d-$i", (d * 5 + i).toLong)
+    val db = new TrailDBCons(spark, Seq("f")).add(rows.toDF("uuid", "time", "f", "seq"))
+      .finalizePartitioned(tmp(), secondsPerPartition = 86400L)
+    assert(db.bucketSeconds === Some(86400L))
+    assert(db.numEvents === 50)
+    // half-open [day2, day4) → exactly days 2-3
+    val f = EventFilter(Seq(Clause(Seq(TimeRange(2 * 86400L, 4 * 86400L)))))
+    val got = db.events(f)
+    assert(got.count() === 10)
+    // the _bucket bounds must reach the scan as PartitionFilters
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_bucket"),
+      s"expected _bucket partition filters in:\n$plan")
+    val pf = plan.split("PartitionFilters: ")(1).split("]")(0)
+    assert(pf.contains("2") && pf.contains("3"), s"bucket bounds wrong: $pf")
+  }
+
   test("salted aggregation equals direct groupBy on a skewed key") {
     // one whale uuid with 10k rows, a few minnows
     val rows = (0 until 10000).map(i => (uuidOf(0), i.toLong)) ++
