@@ -22,15 +22,27 @@ import graft.filter.EventFilter
   * `f!=v`, `f=` for the NULL value (tdbcli/filter.c:18-140).
   */
 object Main {
-  private def parseFlags(args: Seq[String]): (Map[String, List[String]], List[String]) = {
+  /** Flags that take a value, per op — `-c`/`-j` take a path for `make` but
+    * are boolean output-format switches for `dump` (reference: tdbcli/main.c
+    * has separate long_options tables per op for exactly this reason). */
+  private val valueFlags: Map[String, Set[String]] = Map(
+    "make"  -> Set("-o", "-c", "-j", "-f", "--delimiter", "--uuid-col", "--time-col"),
+    "dump"  -> Set("-i", "-F", "-o", "--fields", "--uuids", "--delimiter"),
+    "merge" -> Set("-o", "-i"),
+    "index" -> Set("-i")
+  ).withDefaultValue(Set.empty)
+
+  private def parseFlags(op: String, args: Seq[String]): (Map[String, List[String]], List[String]) = {
     var flags = Map.empty[String, List[String]].withDefaultValue(Nil)
     var pos = List.empty[String]
     var i = 0
-    val takesValue = Set("-o", "-i", "-c", "-j", "-f", "-F", "--fields", "--uuids",
-      "--delimiter", "--uuid-col", "--time-col")
+    val takesValue = valueFlags(op)
     while (i < args.length) {
       val a = args(i)
-      if (a.startsWith("-") && takesValue(a) && i + 1 < args.length) {
+      // A value-taking flag never consumes a following token that looks like
+      // another flag — `dump -j -o OUT` must not let -j swallow -o.
+      if (a.startsWith("-") && takesValue(a) && i + 1 < args.length &&
+          !args(i + 1).startsWith("-")) {
         flags = flags.updated(a, flags(a) :+ args(i + 1)); i += 2
       } else if (a.startsWith("-")) {
         flags = flags.updated(a, flags(a) :+ ""); i += 1
@@ -55,7 +67,7 @@ object Main {
   }
 
   def run(spark: SparkSession, op: String, rest: Seq[String]): Unit = {
-    val (flags, _) = parseFlags(rest)
+    val (flags, _) = parseFlags(op, rest)
     def one(k: String): Option[String] = flags(k).headOption.filter(_.nonEmpty)
 
     op match {

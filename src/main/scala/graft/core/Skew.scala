@@ -19,21 +19,36 @@ object Skew {
 
   /** Salted count per key: groupBy(key, salt) → partial counts →
     * groupBy(key) → sum. Identical result to a direct groupBy(key).count
-    * but no single reducer ever sees more than ~1/buckets of a hot key. */
-  def saltedCount(df: DataFrame, keyCol: String, buckets: Int = 16,
-      distinctOn: Option[String] = None): DataFrame = {
-    val saltCol = salt(buckets, distinctOn.map(col).getOrElse(monotonically_increasing_id()))
-    df.withColumn("_salt", saltCol)
+    * but no single reducer ever sees more than ~1/buckets of a hot key.
+    * The salt comes from a row-unique id so it spreads even when every
+    * value in the hot key is identical. */
+  def saltedCount(df: DataFrame, keyCol: String, buckets: Int = 16): DataFrame =
+    df.withColumn("_salt", salt(buckets, monotonically_increasing_id()))
       .groupBy(col(keyCol), col("_salt"))
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(keyCol))
       .agg(sum("_partial").as("n"))
-  }
 
-  /** Salted sum of a numeric column per key (same two-stage shape). */
-  def saltedSum(df: DataFrame, keyCol: String, valueCol: String,
+  /** Exact two-stage COUNT(DISTINCT valueCol) per key. Here the salt MUST
+    * be derived from the value: every copy of a given (key, value) lands in
+    * the same bucket, so the per-bucket count_distinct partials partition
+    * the distinct set and their sum is the exact global distinct count —
+    * while a hot key's distinct values still spread over `buckets`
+    * reducers. */
+  def saltedCountDistinct(df: DataFrame, keyCol: String, valueCol: String,
       buckets: Int = 16): DataFrame =
     df.withColumn("_salt", salt(buckets, col(valueCol)))
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(count_distinct(col(valueCol)).as("_partial"))
+      .groupBy(col(keyCol))
+      .agg(sum("_partial").as("n_distinct"))
+
+  /** Salted sum of a numeric column per key (same two-stage shape as
+    * [[saltedCount]]). Row-unique salt: salting on the value column would
+    * put a hot key with constant values back on a single reducer. */
+  def saltedSum(df: DataFrame, keyCol: String, valueCol: String,
+      buckets: Int = 16): DataFrame =
+    df.withColumn("_salt", salt(buckets, monotonically_increasing_id()))
       .groupBy(col(keyCol), col("_salt"))
       .agg(sum(col(valueCol)).as("_partial"))
       .groupBy(col(keyCol))

@@ -22,6 +22,15 @@ final class TrailDBCons(val spark: SparkSession, val fields: Seq[String]) {
 
   private var staged: Option[DataFrame] = None
 
+  /** Staged events, or a correctly-typed empty table — the reference allows
+    * finalizing a cons with zero added events (tdb_cons_finalize on an empty
+    * cons writes a valid empty db); spark.emptyDataFrame has zero COLUMNS
+    * and would fail the repartition on uuid. */
+  private def stagedOrEmpty: DataFrame =
+    staged.getOrElse(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      TrailSchema.schemaFor(fields)))
+
   private def stage(df: DataFrame): this.type = synchronized {
     staged = Some(staged.map(_.unionByName(df)).getOrElse(df))
     this
@@ -96,7 +105,7 @@ final class TrailDBCons(val spark: SparkSession, val fields: Seq[String]) {
     * src/tdb_encode.c:399-569 stages (a)-(g) — here one repartition +
     * sortWithinPartitions + Parquet write). */
   def finalizeTo(path: String, partitions: Int = 0): TrailDB = {
-    val df = staged.getOrElse(spark.emptyDataFrame)
+    val df = stagedOrEmpty
     val parts = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     df.repartition(parts, col(TrailSchema.UuidCol))
@@ -114,14 +123,21 @@ final class TrailDBCons(val spark: SparkSession, val fields: Seq[String]) {
     * (uuid, time)-sorted for row-group pruning on uuid. */
   def finalizePartitioned(path: String,
       secondsPerPartition: Long = 86400L): TrailDB = {
-    val df = staged.getOrElse(spark.emptyDataFrame)
-    df.withColumn(TrailSchema.BucketCol,
-        expr(s"${TrailSchema.TimeCol} DIV $secondsPerPartition"))
-      .repartition(col(TrailSchema.BucketCol), col(TrailSchema.UuidCol))
-      .sortWithinPartitions(TrailSchema.UuidCol, TrailSchema.TimeCol, TrailSchema.SeqCol)
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy(TrailSchema.BucketCol)
-      .parquet(path)
+    val bucketed = stagedOrEmpty.withColumn(TrailSchema.BucketCol,
+      expr(s"${TrailSchema.TimeCol} DIV $secondsPerPartition"))
+    if (staged.isEmpty) {
+      // Dynamic-partitioned writes of zero rows emit no data files at all
+      // (nothing to infer a schema from on re-open); a plain write keeps the
+      // schema in an empty footer. Pruning is moot on an empty db.
+      bucketed.write.mode(SaveMode.Overwrite).parquet(path)
+    } else {
+      bucketed
+        .repartition(col(TrailSchema.BucketCol), col(TrailSchema.UuidCol))
+        .sortWithinPartitions(TrailSchema.UuidCol, TrailSchema.TimeCol, TrailSchema.SeqCol)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(TrailSchema.BucketCol)
+        .parquet(path)
+    }
     TrailDB.open(spark, path, Some(secondsPerPartition))
   }
 
@@ -132,7 +148,7 @@ final class TrailDBCons(val spark: SparkSession, val fields: Seq[String]) {
     * Exchange. The one-time bucketing shuffle here amortizes across every
     * subsequent query (verified shuffle-free in ConsSpec). */
   def finalizeToTable(tableName: String, buckets: Int = 32): TrailDB = {
-    val df = staged.getOrElse(spark.emptyDataFrame)
+    val df = stagedOrEmpty
     df.repartition(buckets, col(TrailSchema.UuidCol))
       .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, TrailSchema.UuidCol)

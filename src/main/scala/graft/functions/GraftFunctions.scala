@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -24,6 +25,16 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+
+  // Analysis-time type error instead of a ClassCastException from generated
+  // code when the SQL-registered simhash64 is applied to e.g. a plain string
+  // column. (ExpectsInputTypes is unavailable outside org.apache.spark.sql —
+  // AbstractDataType is private[sql] in Spark 4 — so check directly.)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<string> input, got ${other.catalogString}")
+  }
 
   override protected def nullSafeEval(input: Any): Any =
     java.lang.Long.valueOf(SimHash64.compute(input.asInstanceOf[ArrayData]))

@@ -48,12 +48,14 @@ class CliSpec extends SparkSpec {
     Main.run(spark, "make", Seq("-o", s"$dir/db", "-c", csv.toString,
       "-f", "etype,val", "--csv-header"))
 
-    Main.run(spark, "dump", Seq("-i", s"$dir/db", "-j", "", "-o", s"$dir/plain"))
+    // -j is a boolean switch for dump — it must NOT swallow the following -o
+    Main.run(spark, "dump", Seq("-i", s"$dir/db", "-j", "-o", s"$dir/plain"))
     val plain = spark.read.json(s"$dir/plain").orderBy("time").collect()
     assert(plain.map(_.getAs[String]("val")).toSeq === Seq("hello", ""))
 
-    val db = graft.core.TrailDB.open(spark, s"$dir/db")
-    db.dumpJson(s"$dir/noempty", noEmpty = true)
+    // -j followed directly by --json-no-empty: neither flag may eat the other
+    Main.run(spark, "dump", Seq("-i", s"$dir/db", "-j", "--json-no-empty",
+      "-o", s"$dir/noempty"))
     val kept = spark.read.json(s"$dir/noempty")
     // empty value dropped entirely from the second row's JSON object
     assert(kept.filter(org.apache.spark.sql.functions.col("val").isNull).count() === 1)

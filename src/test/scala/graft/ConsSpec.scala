@@ -136,6 +136,22 @@ class ConsSpec extends SparkSpec {
     val saltedSum = graft.core.Skew.saltedSum(df, "uuid", "v", buckets = 8).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(saltedSum === directSum)
+    // constant-valued whale: row-unique salt must still match direct counts
+    val const = (0 until 10000).map(_ => (uuidOf(0), 7L)).toDF("uuid", "v")
+    val constDirect = const.groupBy("uuid").agg(sum("v")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val constSalted = graft.core.Skew.saltedSum(const, "uuid", "v", buckets = 8).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(constSalted === constDirect)
+    // exact two-stage distinct: whale has 100 distinct values duplicated 100x
+    val dup = (0 until 10000).map(i => (uuidOf(0), (i % 100).toString)) ++
+      (0 until 5).map(i => (uuidOf(1 + i), i.toString))
+    val dupDf = dup.toDF("uuid", "v")
+    val distinctDirect = dupDf.groupBy("uuid").agg(countDistinct("v")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val distinctSalted = graft.core.Skew.saltedCountDistinct(dupDf, "uuid", "v", buckets = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(distinctSalted === distinctDirect)
   }
 
   test("schema validation rejects bad and duplicate field names (src/tdb_cons.c:181-223)") {
@@ -170,5 +186,17 @@ class ConsSpec extends SparkSpec {
     assert(db2.numEvents === 2)
     // missing field comes back as NULL ≡ '' at the dump boundary
     assert(db2.dumpProjection().collect().map(_.getAs[String]("etype")).toSeq === Seq("buy", ""))
+  }
+
+  test("finalizing an empty cons writes a valid empty db (tdb_cons_finalize with 0 events)") {
+    val dir = Files.createTempDirectory("graft-empty")
+    val db = new TrailDBCons(spark, Seq("etype", "val"))
+      .finalizeTo(dir.resolve("db").toString)
+    assert(db.numEvents === 0)
+    assert(db.numTrails === 0)
+    assert(db.fields === Seq("etype", "val"))
+    val db2 = new TrailDBCons(spark, Seq("etype"))
+      .finalizePartitioned(dir.resolve("dbp").toString)
+    assert(db2.numEvents === 0)
   }
 }

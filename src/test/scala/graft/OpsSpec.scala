@@ -105,6 +105,13 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("simhash64 on a non-array column fails at analysis time, not runtime") {
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      docs.select(graft.functions.GraftFunctions.simhash64($"text")).collect()
+    }
+    assert(ex.getMessage.contains("array<string>"))
+  }
+
   test("LSH-blocked embedding near-dup finds identical vectors without label blocking") {
     val vecs = Seq(
       (1L, Array.tabulate(64)(i => (i % 7).toFloat + 1f)),
