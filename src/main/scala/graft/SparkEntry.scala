@@ -232,6 +232,23 @@ object SparkEntry {
           countDistinct(coalesce(col("event_type"), lit(""))).as("n_items"))
         .orderBy("uuid")),
 
+    // §2.11 secondary index: build the inverted (field,value,page) skipping
+    // index over a finalized db, then scan a CNF filter through it — pages
+    // prune the scan, the full filter re-checks, rows match a plain scan.
+    "t_index_scan" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qidx")
+      val t = trails(s, dir)
+      val db = new graft.core.TrailDBCons(s, Seq("event_type", "props"))
+        .add(t.df).finalizeTo(s"$tmp/db", 8)
+      graft.core.TrailIndex.build(db, s"$tmp/idx")
+      val idx = graft.core.TrailIndex.open(s, s"$tmp/idx")
+      val f = EventFilter(Seq(
+        Clause(Seq(Match("event_type", "click"), Match("event_type", "purchase")))))
+      graft.core.TrailIndex.prunedEvents(db, idx, f)
+        .orderBy("uuid", "time", "seq")
+        .select("uuid", "time", "event_type", "props", "seq")
+    }),
+
     // Cohort retention: per week, active trails and how many return the
     // following week — distinct (uuid, week) grid + self-join on week+1.
     "t_retention" -> ((s, dir) => {
@@ -753,6 +770,12 @@ object SparkEntry {
         |       WHEN c_es >= c_fr THEN 'es'
         |       ELSE 'fr' END AS lang_pred
         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "t_index_scan" ->
+      s"""$TrailsCte
+         |SELECT uuid, time, event_type, props, seq FROM trails
+         |WHERE coalesce(event_type,'') = 'click' OR coalesce(event_type,'') = 'purchase'
+         |ORDER BY uuid, time, seq""".stripMargin,
 
     "t_retention" ->
       s"""$TrailsCte,

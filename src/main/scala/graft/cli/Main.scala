@@ -11,12 +11,12 @@ import graft.filter.EventFilter
   *   tdb make  -o OUT (-c CSV | -j JSONL) -f f1,f2 [--csv-header]
   *             [--delimiter D] [--skip-bad-input] [--uuid-col C] [--time-col C]
   *   tdb dump  -i DB [-F FILTER] [--fields uuid,time,f1] [--uuids u1,u2,...]
-  *             [-o OUT] [-c | -j] [--json-no-empty] [--delimiter D] [--csv-header]
+  *             [--index IDX] [-o OUT] [-c | -j] [--json-no-empty]
+  *             [--delimiter D] [--csv-header]
   *   tdb merge -o OUT -i DB1 -i DB2 [...]
-  *   tdb index -i DB       (reports stats; Parquet row-group statistics
-  *                          replace the reference's page index — the command
-  *                          validates that filters return identical results
-  *                          with and without it, which is trivially true here)
+  *   tdb index -i DB [-o IDX]   (build the inverted (field,value,page)
+  *                               skipping index — see [[graft.core.TrailIndex]];
+  *                               `dump --index IDX -F ...` prunes with it)
   *
   * Filters use the reference grammar: space = OR, '&' = AND, `f=v`,
   * `f!=v`, `f=` for the NULL value (tdbcli/filter.c:18-140).
@@ -27,9 +27,9 @@ object Main {
     * has separate long_options tables per op for exactly this reason). */
   private val valueFlags: Map[String, Set[String]] = Map(
     "make"  -> Set("-o", "-c", "-j", "-f", "--delimiter", "--uuid-col", "--time-col"),
-    "dump"  -> Set("-i", "-F", "-o", "--fields", "--uuids", "--delimiter"),
+    "dump"  -> Set("-i", "-F", "-o", "--fields", "--uuids", "--delimiter", "--index"),
     "merge" -> Set("-o", "-i"),
-    "index" -> Set("-i")
+    "index" -> Set("-i", "-o")
   ).withDefaultValue(Set.empty)
 
   private def parseFlags(op: String, args: Seq[String]): (Map[String, List[String]], List[String]) = {
@@ -90,7 +90,16 @@ object Main {
       case "dump" =>
         val in = one("-i").getOrElse(sys.error("dump: -i DB required"))
         var db = TrailDB.open(spark, in)
-        one("-F").foreach(f => db = db.withFilter(EventFilter.parse(f)))
+        one("-F").foreach { f =>
+          val filter = EventFilter.parse(f)
+          db = db.withFilter(filter)
+          // --index IDX: prune to candidate pages before the scan (the
+          // reference's "Evaluating X/N trails" path, op_dump.c:239-247).
+          one("--index").foreach { idx =>
+            db = graft.core.TrailIndex.prunedDb(db,
+              graft.core.TrailIndex.open(spark, idx), filter)
+          }
+        }
         one("--uuids").foreach(us => db = db.whitelist(us.split(",").toSeq))
         val cols = one("--fields").map(_.split(",").toSeq).getOrElse(Nil)
         one("-o") match {
@@ -116,11 +125,12 @@ object Main {
       case "index" =>
         val in = one("-i").getOrElse(sys.error("index: -i DB required"))
         val db = TrailDB.open(spark, in)
-        // Parquet row-group stats ARE the index (SURVEY §2.11); report the
-        // stats the reference's `tdb index` would build.
+        val out = one("-o").getOrElse(s"$in.index")
+        graft.core.TrailIndex.build(db, out)
+        val n = spark.read.parquet(out).count()
         println(s"[index] $in: ${db.numTrails} trails, ${db.numEvents} events; " +
-          s"fields=${db.fields.mkString(",")}; " +
-          "Parquet row-group min/max + dictionary stats serve as the page index")
+          s"fields=${db.fields.mkString(",")}; wrote $n (field,value,page) " +
+          s"entries to $out")
 
       case other =>
         usage(); sys.error(s"unknown op '$other'")

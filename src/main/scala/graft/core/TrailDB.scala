@@ -106,6 +106,12 @@ final class TrailDB private (
       base.join(uuids.select(col(uuids.columns.head).as(TrailSchema.UuidCol)).distinct(),
         Seq(TrailSchema.UuidCol), "left_semi"), dbFilter, bucketSeconds)
 
+  /** Restrict the db view by an arbitrary uuid-level predicate — used by
+    * [[TrailIndex]] page pruning (kept package-private: callers go through
+    * TrailIndex so the full filter is always re-applied on top). */
+  private[core] def restrict(pred: Column): TrailDB =
+    new TrailDB(spark, base.filter(pred), dbFilter, bucketSeconds)
+
   /** Trail blacklist — drop listed uuids (anti of [[whitelist]]). */
   def blacklist(uuids: Seq[String]): TrailDB =
     new TrailDB(spark, base.filter(!col(TrailSchema.UuidCol).isin(uuids: _*)),

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{TrailDB, TrailDBCons, TrailIndex}
+import graft.filter.{Clause, EventFilter, Match, TimeRange}
+
+/** The inverted (field,value,page) skipping index — semantics mirror
+  * tdbcli/tdb_index.c: positive terms OR pages within a clause, clauses AND
+  * by intersection, negated/time-range terms disable pruning for their
+  * clause, and the pruned scan always re-applies the full filter. */
+class IndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def uuidOf(i: Int): String = f"$i%032x"
+
+  private lazy val (db, index) = {
+    val dir = Files.createTempDirectory("graft-idx")
+    // uuids spread over distinct 2-hex-prefix pages; etype correlates with
+    // the uuid so some values live on few pages.
+    val rows = for {
+      t <- 0 until 64
+      ev <- 0 until 4
+    } yield (f"$t%02x" + "0" * 30, (100 + ev).toLong,
+      s"e${t % 8}", if (ev == 0) "" else s"v${ev % 2}")
+    val df = rows.toDF("uuid", "time", "etype", "val")
+    val d = new TrailDBCons(spark, Seq("etype", "val"))
+      .add(df).finalizeTo(dir.resolve("db").toString)
+    TrailIndex.build(d, dir.resolve("idx").toString)
+    (d, TrailIndex.open(spark, dir.resolve("idx").toString))
+  }
+
+  private def assertSameRows(f: EventFilter): Unit = {
+    val full = db.events(f).orderBy("uuid", "time", "seq").collect().toSeq
+    val pruned = TrailIndex.prunedEvents(db, index, f)
+      .orderBy("uuid", "time", "seq").collect().toSeq
+    assert(pruned === full, s"pruned scan diverged for ${f.render}")
+  }
+
+  test("pruned scan matches full scan across filter shapes") {
+    assertSameRows(EventFilter(Seq(Clause(Seq(Match("etype", "e3"))))))
+    assertSameRows(EventFilter(Seq(
+      Clause(Seq(Match("etype", "e1"), Match("etype", "e2"))),
+      Clause(Seq(Match("val", "v1"))))))
+    assertSameRows(EventFilter(Seq(Clause(Seq(Match("val", "")))))) // NULL value
+    assertSameRows(EventFilter(Seq(
+      Clause(Seq(Match("etype", "e0", negated = true))))))          // negation
+    assertSameRows(EventFilter(Seq(
+      Clause(Seq(TimeRange(101, 103))), Clause(Seq(Match("etype", "e5"))))))
+  }
+
+  test("candidate pages: positive clauses prune, negation/time-range do not") {
+    // e3 lives only on trails t ≡ 3 (mod 8) → a strict subset of pages
+    val some = TrailIndex.candidatePages(index,
+      EventFilter(Seq(Clause(Seq(Match("etype", "e3"))))))
+    assert(some.isDefined && some.get.nonEmpty)
+    val all = index.select("page").distinct().count()
+    assert(some.get.size < all)
+
+    // intersection across clauses can only shrink the page set
+    val both = TrailIndex.candidatePages(index,
+      EventFilter(Seq(Clause(Seq(Match("etype", "e3"))),
+        Clause(Seq(Match("val", "v1")))))).get
+    assert(both.subsetOf(some.get))
+
+    // a clause with a negated term contributes nothing; if it is the ONLY
+    // clause the index is useless (reference: all-pages)
+    assert(TrailIndex.candidatePages(index,
+      EventFilter(Seq(Clause(Seq(Match("etype", "e3", negated = true)))))).isEmpty)
+    assert(TrailIndex.candidatePages(index,
+      EventFilter(Seq(Clause(Seq(TimeRange(0, 10)))))).isEmpty)
+
+    // unknown value → Some(empty): the index PROVES no match
+    assert(TrailIndex.candidatePages(index,
+      EventFilter(Seq(Clause(Seq(Match("etype", "nope")))))) === Some(Set.empty[String]))
+  }
+
+  test("page predicate reaches the Parquet scan as pushed StartsWith filters") {
+    val f = EventFilter(Seq(Clause(Seq(Match("etype", "e3")))))
+    val plan = TrailIndex.prunedEvents(db, index, f)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("StringStartsWith"),
+      s"expected pushed StartsWith page filters in:\n$plan")
+  }
+
+  test("a proven-empty candidate set returns zero rows, exactly like the filter") {
+    val f = EventFilter(Seq(Clause(Seq(Match("etype", "nope")))))
+    assert(TrailIndex.prunedEvents(db, index, f).count() === 0)
+    assert(db.events(f).count() === 0)
+  }
+}
