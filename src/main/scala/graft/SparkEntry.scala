@@ -277,6 +277,16 @@ object SparkEntry {
           k = 3, threshold = 0.2)
         .orderBy("id_a", "id_b")),
 
+    // Dedup clustering: pairwise near-dup matches (exact n-gram Jaccard)
+    // → connected components → one cluster_id per doc (min id of the
+    // component; singletons are their own cluster). The keep-one-per-
+    // cluster step of every corpus dedup pipeline.
+    "d_dedup_clusters" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.2)
+      Dedup.dedupClusters(docs, pairs).orderBy("doc_id")
+    }),
+
     // Text quality signals (exact counts + IEEE-deterministic ratios).
     "d_quality" -> ((s, dir) =>
       TextAnalysis.withQualitySignals(s.read.parquet(s"$dir/documents.parquet"))
@@ -289,6 +299,18 @@ object SparkEntry {
     "d_langid" -> ((s, dir) =>
       TextAnalysis.withLangId(s.read.parquet(s"$dir/documents.parquet"))
         .select("doc_id", "c_en", "c_de", "c_es", "c_fr", "lang_pred")
+        .orderBy("doc_id")),
+
+    // TF-IDF top terms per doc: corpus IDF (one token-shuffle, 1-row
+    // broadcast N) + per-doc top-k window.
+    "d_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(s.read.parquet(s"$dir/documents.parquet"), topK = 5)
+        .orderBy("doc_id", "rank")),
+
+    // Repetition signals (Gopher-style quality rules): duplicate-token
+    // fraction, top-token share, top-bigram share.
+    "d_repetition" -> ((s, dir) =>
+      TextAnalysis.withRepetitionSignals(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy("doc_id")),
 
     // Corpus vocabulary: top-50 tokens by frequency (explode + count —
@@ -735,6 +757,31 @@ object SparkEntry {
         |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "d_dedup_clusters" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+        |    ELSE list_transform(range(1, len(l) - 3 + 2),
+        |                        i -> array_to_string(l[i:i+2], ' ')) END)) AS shingle
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM cand
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.2),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
+        |SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
     "d_quality" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n_tokens,
@@ -787,6 +834,43 @@ object SparkEntry {
          |        GROUP BY 1)
          |SELECT act.week, n_active, coalesce(n_retained, 0) AS n_retained
          |FROM act LEFT JOIN ret ON act.week = ret.week ORDER BY act.week""".stripMargin,
+
+    "d_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS token
+        |             FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+        |         round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfq.df), 6) AS tfidf
+        |  FROM tf JOIN dfq USING (token) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, token) AS rank FROM scored)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, df, tfidf
+        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "d_repetition" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS token
+        |             FROM documents),
+        |tc AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2),
+        |tagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |                count(*) AS n_distinct, max(c) AS top_token_c
+        |         FROM tc GROUP BY 1),
+        |big AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(l) < 2 THEN [array_to_string(l, ' ')]
+        |    ELSE list_transform(range(1, len(l)), i -> array_to_string(l[i:i+1], ' ')) END
+        |  ) AS bigram
+        |  FROM (SELECT doc_id, string_split_regex(text, ' +') AS l FROM documents)),
+        |bc AS (SELECT doc_id, bigram, count(*) AS c FROM big GROUP BY 1, 2),
+        |bagg AS (SELECT doc_id, max(c) AS top_bigram_c,
+        |                CAST(sum(c) AS BIGINT) AS n_bigrams FROM bc GROUP BY 1)
+        |SELECT t.doc_id, n_tokens, n_distinct,
+        |  1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
+        |  CAST(top_token_c AS DOUBLE) / n_tokens AS top_token_frac,
+        |  CAST(coalesce(top_bigram_c, 0) AS DOUBLE) / coalesce(n_bigrams, 1) AS top_bigram_frac
+        |FROM tagg t LEFT JOIN bagg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "d_vocab" ->
       """SELECT token, count(*) AS freq

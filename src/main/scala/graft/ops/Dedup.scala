@@ -143,6 +143,59 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over a near-dup pair list — the step that turns
+    * pairwise matches into dedup CLUSTERS (keep one doc per component).
+    *
+    * Min-label propagation: every node starts labeled with its own id; each
+    * round every node takes the min label among itself and its neighbors;
+    * converged when no label changes. Rounds = O(longest shortest-path in a
+    * component) — near-dup components are short chains in practice, so this
+    * terminates in a handful of rounds. Each round is two shuffles (a
+    * neighbor-min aggregation and a label join); lineage is cut per round
+    * with localCheckpoint so the plan doesn't grow unboundedly. For
+    * pathological long-chain graphs at extreme scale, the alternating
+    * large-star/small-star variant (Kiveris et al., SOCC'14) halves round
+    * count — not needed for dedup-shaped graphs.
+    *
+    * Input: pairs with (aCol, bCol). Output: (id, cluster_id) for every id
+    * appearing in any pair; cluster_id = min id of the component. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+    val a = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = a.union(a.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(eager = false)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("comp").as("nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
+        .filter(col("comp") =!= col("prev")).isEmpty
+      labels = next
+      round += 1
+    }
+    labels.select(col("id"), col("comp").as("cluster_id"))
+  }
+
+  /** Full-corpus dedup clustering: every doc gets a cluster_id (docs in no
+    * pair are their own singleton cluster). Downstream keep-one-per-cluster
+    * is `filter(col(idCol) === col("cluster_id"))`. */
+  def dedupClusters(df: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val comps = connectedComponents(pairs)
+    df.select(col(idCol)).distinct()
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+  }
+
   /** SimHash near-dup: 64-bit signatures via [[graft.functions.SimHash64]]
     * (native Catalyst expression), then exact Hamming-distance pairs among
     * docs sharing at least one of 4 16-bit signature bands (Manku et al.,

@@ -128,6 +128,65 @@ object TextAnalysis {
       .select(col("id"), col("m").as("fp")).distinct()
   }
 
+  /** TF-IDF top terms per document: tf = in-doc term count, df = number of
+    * docs containing the term, idf = ln(N/df), score = tf·idf (rounded to 6
+    * decimals for cross-engine determinism of the transcendental).
+    *
+    * Shuffle shape at scale: one shuffle for (doc, token) tf (map-side
+    * combined), one on token for df, and the tf→df join re-uses the token
+    * partitioning; N is a 1-row broadcast. The per-doc top-k window
+    * partitions by doc — no global sort. */
+  def tfidfTopTerms(df: DataFrame, topK: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = df.select(countDistinct(col(idCol)).as("n"))
+    val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("token"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("rank"), col("token"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** Repetition signals (Gopher-style quality rules, Rae et al. 2021 §A1.1):
+    * fraction of tokens that are repeats, most-frequent-token share, and
+    * most-frequent-bigram share. Pure integer counts + single IEEE
+    * divisions — deterministic across engines. One explode + two-level
+    * aggregation; no window over the full corpus. */
+  def withRepetitionSignals(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val tokenCnt = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_token_c"))
+    val bi = df.select(col(idCol), explode(shinglesAll(col(textCol), 2)).as("bigram"))
+      .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max("c").as("top_bigram_c"), sum("c").as("n_bigrams"))
+    tokenCnt.join(bi, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_tokens"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")).as("dup_token_frac"),
+        (col("top_token_c").cast("double") / col("n_tokens")).as("top_token_frac"),
+        (coalesce(col("top_bigram_c"), lit(0L)).cast("double") /
+          coalesce(col("n_bigrams"), lit(1L))).as("top_bigram_frac"))
+  }
+
+  /** Word k-shingles WITH repeats (unlike [[shingles]], which distincts) —
+    * repetition measurement needs every occurrence. */
+  def shinglesAll(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - lit(k)),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
   /** Per-doc fingerprint summary (count / min / max of the winnowed set). */
   def fingerprintStats(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 5, window: Int = 4): DataFrame =

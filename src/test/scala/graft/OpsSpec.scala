@@ -39,6 +39,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq("en", "de", "es"))
   }
 
+  test("tfidf: shared tokens score 0, rare tokens rank first") {
+    val df = Seq(
+      (1L, "apple banana common"),
+      (2L, "cherry banana common"),
+      (3L, "durian elder common")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(df, topK = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getDouble(5))).toMap
+    // "common" is in every doc → idf = ln(1) = 0; unique tokens rank first
+    assert(got((1L, 1L))._1 === "apple")
+    assert(got((2L, 1L))._1 === "cherry")
+    val ln3 = math.rint(math.log(3.0) * 1e6) / 1e6
+    assert(got((1L, 1L))._2 === ln3) // tf=1 · ln(3/1), rounded to 6
+    // banana (df=2) ranks above common (idf 0) for docs 1 and 2
+    assert(got((1L, 2L))._1 === "banana")
+  }
+
+  test("repetition signals: exact fractions on a constructed doc") {
+    val df = Seq(
+      (1L, "a a a b"),        // 4 tokens, 2 distinct, top token 3x, top bigram "a a" 2x
+      (2L, "x y z w")).toDF("doc_id", "text")
+    val r = TextAnalysis.withRepetitionSignals(df).orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_tokens") === 4)
+    assert(r(0).getAs[Long]("n_distinct") === 2)
+    assert(r(0).getAs[Double]("dup_token_frac") === 0.5)
+    assert(r(0).getAs[Double]("top_token_frac") === 0.75)
+    assert(r(0).getAs[Double]("top_bigram_frac") === 2.0 / 3.0)
+    assert(r(1).getAs[Double]("dup_token_frac") === 0.0)
+  }
+
   test("corpus-scale fingerprints equal the array-expression winnowing") {
     val docs = TestSpark.spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
@@ -103,6 +132,27 @@ class DedupSpec extends SparkSpec {
       .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Long]("hamming"))).toMap
     assert(pairs(((1L, 2L))) === 0L)
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("connected components: chains collapse to min id, singletons keep their own") {
+    // components: {1,2,3,5} (chain 1-2, 2-3, 3-5), {7,8}; 4 and 9 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 5L), (7L, 8L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 7L -> 7L, 8L -> 7L))
+
+    val all = Seq(1L, 2L, 3L, 4L, 5L, 7L, 8L, 9L).toDF("doc_id")
+    val clusters = Dedup.dedupClusters(all, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 9L))
+  }
+
+  test("connected components: a long chain still converges to one component") {
+    val chain = (0L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(chain).collect()
+    assert(comps.map(_.getLong(1)).distinct.toSeq === Seq(0L))
+    assert(comps.length === 21)
   }
 
   test("simhash64 on a non-array column fails at analysis time, not runtime") {
