@@ -157,18 +157,28 @@ object Dedup {
     * large-star/small-star variant (Kiveris et al., SOCC'14) halves round
     * count — not needed for dedup-shaped graphs.
     *
+    * Adaptive execution: a verified near-dup pair list is orders of
+    * magnitude smaller than the corpus (that is the point of LSH), so when
+    * the symmetric edge list fits the driver (≤ `driverEdgeLimit` rows) a
+    * single-pass union-find replaces O(diameter) distributed rounds — one
+    * collect of the (small) pair table instead of 4-6 shuffle rounds.
+    * Beyond the limit, distributed min-label propagation runs; both paths
+    * produce the identical min-id-per-component labeling.
+    *
     * Input: pairs with (aCol, bCol). Output: (id, cluster_id) for every id
     * appearing in any pair; cluster_id = min id of the component. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+      bCol: String = "id_b", maxIter: Int = 50,
+      driverEdgeLimit: Long = 5000000L): DataFrame = {
     val a = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = a.union(a.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(eager = false)
+    if (edges.count() <= driverEdgeLimit) return unionFindComponents(pairs.sparkSession, edges)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
     var round = 0
-    var converged = false
-    while (!converged && round < maxIter) {
+    var prevSum = Long.MaxValue
+    while (round < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("comp").as("nbr"))
@@ -176,12 +186,51 @@ object Dedup {
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
-        .filter(col("comp") =!= col("prev")).isEmpty
-      labels = next
       round += 1
+      // Labels only ever decrease, so the label sum is strictly monotone:
+      // an unchanged sum IS convergence — one cheap agg over checkpointed
+      // data instead of a change-detection join.
+      val s = next.agg(sum("comp")).head().getLong(0)
+      labels = next
+      if (s == prevSum) round = maxIter else prevSum = s
     }
     labels.select(col("id"), col("comp").as("cluster_id"))
+  }
+
+  /** Driver-side path-compressed union-find over a collected symmetric edge
+    * list; returns the same (id, cluster_id = min id of component) labeling
+    * as the distributed rounds. Ids must be Comparable (long/int/string). */
+  private def unionFindComponents(spark: org.apache.spark.sql.SparkSession,
+      edges: DataFrame): DataFrame = {
+    import scala.collection.mutable
+    val parent = mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    val collected = edges.collect()
+    collected.foreach { row =>
+      val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+      if (ra != rb) parent(rb) = ra
+    }
+    def lt(x: Any, y: Any): Boolean =
+      x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    val minOf = mutable.HashMap.empty[Any, Any]
+    val nodes = collected.iterator.flatMap(r => Iterator(r.get(0), r.get(1))).toSet
+    nodes.foreach { n =>
+      val r = find(n)
+      if (!minOf.contains(r) || lt(n, minOf(r))) minOf(r) = n
+    }
+    val idType = edges.schema.fields.head.dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("cluster_id", idType)))
+    val out = nodes.toSeq.map(n =>
+      org.apache.spark.sql.Row(n, minOf(find(n))))
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
   }
 
   /** Full-corpus dedup clustering: every doc gets a cluster_id (docs in no

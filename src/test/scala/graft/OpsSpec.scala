@@ -148,11 +148,16 @@ class DedupSpec extends SparkSpec {
       7L -> 7L, 8L -> 7L, 9L -> 9L))
   }
 
-  test("connected components: a long chain still converges to one component") {
+  test("connected components: a long chain converges on BOTH execution paths") {
     val chain = (0L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val comps = Dedup.connectedComponents(chain).collect()
-    assert(comps.map(_.getLong(1)).distinct.toSeq === Seq(0L))
-    assert(comps.length === 21)
+    // union-find path (default: edge list under the driver limit)
+    val uf = Dedup.connectedComponents(chain).collect()
+    assert(uf.map(_.getLong(1)).distinct.toSeq === Seq(0L))
+    assert(uf.length === 21)
+    // distributed label-propagation path (force with driverEdgeLimit = 0)
+    val dist = Dedup.connectedComponents(chain, driverEdgeLimit = 0L).collect()
+    assert(dist.map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      uf.map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
   test("simhash64 on a non-array column fails at analysis time, not runtime") {
