@@ -301,6 +301,44 @@ object SparkEntry {
         .select("doc_id", "c_en", "c_de", "c_es", "c_fr", "lang_pred")
         .orderBy("doc_id")),
 
+    // PII scrubbing: emails / IPv4 / digit runs → typed placeholders.
+    // Synthetic PII is appended per doc so the redaction paths actually
+    // fire; patterns stay in the Java-regex ∩ RE2 portable subset.
+    "d_pii_scrub" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          TextAnalysis.scrubPii(concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com from 10.0.0."), (col("doc_id") % 256).cast("string"),
+            lit(" tel 555 123 4567"))).as("clean"))
+        .orderBy("doc_id")),
+
+    // Deterministic hash-sampling: md5-based keep decision — reproducible
+    // across runs/engines/cluster sizes, the standard corpus-downsampling
+    // and train/held-out split primitive.
+    "d_sample" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .filter(TextAnalysis.hashSample(col("text"), 0.25))
+        .select("doc_id")
+        .orderBy("doc_id")),
+
+    // End-to-end corpus pipeline: exact dedup (keep min id) → quality gate
+    // → near-dup clustering on the survivors → keep one doc per cluster.
+    // The composition every pre-training data pipeline runs, as ONE plan.
+    "d_pipeline" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val s1 = Dedup.exactDedup(docs)
+      val s2 = TextAnalysis.withQualitySignals(s1)
+        .filter(col("n_tokens") >= 20 && col("n_tokens") <= 600 &&
+          col("stopword_ratio") < 0.3 && col("punct_ratio") < 0.1)
+        .select("doc_id", "text")
+      val pairs = Dedup.ngramJaccardPairs(s2, k = 3, threshold = 0.2)
+      Dedup.dedupClusters(s2, pairs)
+        .filter(col("doc_id") === col("cluster_id"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // TF-IDF top terms per doc: corpus IDF (one token-shuffle, 1-row
     // broadcast N) + per-doc top-k window.
     "d_tfidf" -> ((s, dir) =>
@@ -834,6 +872,63 @@ object SparkEntry {
          |        GROUP BY 1)
          |SELECT act.week, n_active, coalesce(n_retained, 0) AS n_retained
          |FROM act LEFT JOIN ret ON act.week = ret.week ORDER BY act.week""".stripMargin,
+
+    "d_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        concat(text, ' contact user', doc_id, '@example.com from 10.0.0.',
+        |               doc_id % 256, ' tel 555 123 4567'),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\b[0-9][0-9 ()+-]{6,}[0-9]\b', '<NUMBER>', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d_sample" ->
+      """SELECT doc_id FROM documents
+        |WHERE (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16 +
+        |      (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) < 64
+        |ORDER BY doc_id""".stripMargin,
+
+    "d_pipeline" ->
+      """WITH RECURSIVE
+        |s1 AS (SELECT d.doc_id, d.text FROM documents d
+        |  JOIN (SELECT md5(text) AS h, min(doc_id) AS keep
+        |        FROM documents GROUP BY 1) k
+        |    ON md5(d.text) = k.h AND d.doc_id = k.keep),
+        |s2 AS (SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      len(string_split_regex(text, ' +')) AS n_tokens,
+        |      CAST(len(list_filter(string_split_regex(text, ' +'),
+        |        w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |        / len(string_split_regex(text, ' +')) AS swr,
+        |      CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        |        / length(text) AS pr
+        |    FROM s1)
+        |  WHERE n_tokens >= 20 AND n_tokens <= 600 AND swr < 0.3 AND pr < 0.1),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM s2),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+        |    ELSE list_transform(range(1, len(l) - 3 + 2),
+        |                        i -> array_to_string(l[i:i+2], ' ')) END)) AS shingle
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM cand
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.2),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM s2
+        |  UNION
+        |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
+        |SELECT id AS doc_id FROM reach
+        |GROUP BY id HAVING id = min(comp) ORDER BY doc_id""".stripMargin,
 
     "d_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS token

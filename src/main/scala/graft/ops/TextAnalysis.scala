@@ -187,6 +187,35 @@ object TextAnalysis {
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
+  /** PII scrubbing: redact email addresses, long digit runs (phone/account
+    * numbers), and IPv4 literals with typed placeholders. Patterns kept to
+    * the regex subset whose semantics agree between Java regex (Spark) and
+    * RE2 (DuckDB/others) — character classes, bounded repetition, no
+    * backrefs/lookaround — so results are engine-portable. Pure projection:
+    * streams through the scan, no shuffle. */
+  def scrubPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val digits = "\\b[0-9][0-9 ()+-]{6,}[0-9]\\b"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "<EMAIL>"),
+        ip, "<IP>"),
+      digits, "<NUMBER>")
+  }
+
+  /** Deterministic hash-sampling: keep a doc iff the first byte of
+    * md5(text) < 256·fraction. Engine-portable (md5 is standardized, unlike
+    * per-engine hash functions), reproducible across runs and cluster
+    * sizes, and correlates with nothing — the standard way to cut a
+    * training corpus to a target size or carve train/held-out splits.
+    * Pure filter: pushes no shuffle, composes with any scan. */
+  def hashSample(text: Column, fraction: Double): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction not in [0,1]")
+    conv(substring(md5(text.cast("binary")), 1, 2), 16, 10).cast("int") <
+      lit((fraction * 256).toInt)
+  }
+
   /** Per-doc fingerprint summary (count / min / max of the winnowed set). */
   def fingerprintStats(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 5, window: Int = 4): DataFrame =

@@ -39,6 +39,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq("en", "de", "es"))
   }
 
+  test("pii scrub redacts emails, ipv4, digit runs; leaves prose alone") {
+    val df = Seq((1L,
+      "write to bob.smith+x@mail.example.org or call 555 123 4567 at 192.168.1.10 ok"))
+      .toDF("doc_id", "text")
+    val got = df.select(TextAnalysis.scrubPii($"text")).head().getString(0)
+    assert(got === "write to <EMAIL> or call <NUMBER> at <IP> ok")
+    val clean = Seq((1L, "no pii here just words")).toDF("doc_id", "text")
+    assert(clean.select(TextAnalysis.scrubPii($"text")).head().getString(0)
+      === "no pii here just words")
+  }
+
+  test("hash sampling is deterministic and near the target fraction") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = docs.count()
+    val kept = docs.filter(TextAnalysis.hashSample($"text", 0.25))
+    val k = kept.count()
+    assert(k === kept.count()) // deterministic re-run
+    assert(math.abs(k.toDouble / n - 0.25) < 0.1, s"kept $k of $n")
+    assert(docs.filter(TextAnalysis.hashSample($"text", 0.0)).count() === 0)
+    assert(docs.filter(TextAnalysis.hashSample($"text", 1.0)).count() === n)
+  }
+
   test("tfidf: shared tokens score 0, rare tokens rank first") {
     val df = Seq(
       (1L, "apple banana common"),
