@@ -76,6 +76,20 @@ object StreamSessions {
       }
   }
 
+  /** Streaming exact dedup on a content key: keep the first arrival of each
+    * key, drop later duplicates. State is bounded by the watermark —
+    * dropDuplicatesWithinWatermark evicts keys once the event-time
+    * watermark passes them, so the state store holds O(keys per watermark
+    * window), not O(all history) — the only viable shape for an unbounded
+    * ingest feed at corpus scale. Exact within the watermark horizon;
+    * duplicates farther apart than the horizon are the batch pipeline's
+    * job (exactDedup over the finalized table). */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "1 hour", tsCol: String = "ts"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Windowed event-type rates (the generic streaming rollup). */
   def eventRates(events: DataFrame, window: String = "5 minutes",
       watermark: String = "1 hour", typeCol: String = "event_type",

@@ -77,6 +77,30 @@ class StreamingSpec extends SparkSpec {
     assert(last.firstTime === 100L && last.lastTime === 90000L)
   }
 
+  test("streaming dedup keeps first arrival per content key, bounded by watermark") {
+    val dir = Files.createTempDirectory("graft-sdedup")
+    val src = dir.resolve("src").toString
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+    Seq(
+      ("doc a", base), ("doc a", base + 60),       // dup within watermark
+      ("doc b", base + 10), ("doc c", base + 20),
+      ("doc b", base + 30))
+      .toDF("text", "epoch")
+      .withColumn("ts", col("epoch").cast("timestamp")).drop("epoch")
+      .write.parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    val q = StreamSessions.streamingDedup(stream, Seq("text"), watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("sdedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val kept = spark.sql("SELECT text FROM sdedup")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(kept === Seq("doc a", "doc b", "doc c"))
+  }
+
   test("SparkSessionExtensions registers simhash64 for SQL") {
     new graft.GraftExtensions().apply(
       new org.apache.spark.sql.SparkSessionExtensions {})
