@@ -50,7 +50,13 @@ object Dedup {
     val wSh = Window.partitionBy("shingle")
     val shF = sh.withColumn("_df", count(lit(1)).over(wSh))
       .filter(col("_df") > 1).drop("_df")
-    val pairs = shF.as("a").join(shF.as("b"),
+    // Merge-join hint, twice deliberate: (a) the shingle table scales WITH
+    // the corpus — AQE would happily broadcast it at test scale and that
+    // plan shape dies at 100 TB; (b) both sides are the same subplan
+    // already hash-partitioned+sorted by shingle from the window above, so
+    // SMJ plans a ReusedExchange — the explode+window chain is computed
+    // once, not once per side (broadcast re-evaluates it for the build).
+    val pairs = shF.as("a").hint("merge").join(shF.as("b").hint("merge"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
