@@ -250,17 +250,18 @@ object SparkEntry {
     }),
 
     // Cohort retention: per week, active trails and how many return the
-    // following week — distinct (uuid, week) grid + self-join on week+1.
+    // following week. A lead() over each trail's distinct-week sequence
+    // replaces the week+1 self-join — one scan, no join, and the window
+    // partitions by uuid so it scales with trails, not with the grid².
     "t_retention" -> ((s, dir) => {
-      val weeks = trails(s, dir).df
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("uuid").orderBy("week")
+      trails(s, dir).df
         .select(col("uuid"), expr("time DIV 604800").as("week")).distinct()
-      val active = weeks.groupBy("week").agg(count(lit(1)).as("n_active"))
-      val retained = weeks.as("a").join(weeks.as("b"),
-          col("a.uuid") === col("b.uuid") && col("b.week") === col("a.week") + 1)
-        .groupBy(col("a.week").as("week")).agg(count(lit(1)).as("n_retained"))
-      active.join(retained, Seq("week"), "left")
-        .select(col("week"), col("n_active"),
-          coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+        .withColumn("ret", (lead("week", 1).over(w) === col("week") + 1).cast("long"))
+        .groupBy("week")
+        .agg(count(lit(1)).as("n_active"),
+          coalesce(sum("ret"), lit(0L)).as("n_retained"))
         .orderBy("week")
     }),
 
