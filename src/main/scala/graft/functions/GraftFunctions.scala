@@ -89,4 +89,7 @@ object GraftFunctions {
 
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  def dotF64(a: Column, b: Column): Column =
+    ColumnBridge.column(DotF64(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -18,15 +18,21 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Sequential-fold dot product of two float-array columns in double
-    * (deterministic left-to-right order — bit-reproducible). */
+    * (deterministic left-to-right order — bit-reproducible). Native codegen
+    * expression: one primitive loop per pair, no intermediate array (this
+    * is the innermost loop of every pairwise join; see
+    * [[graft.functions.DotF64]]). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.dotF64(a, b)
+
+  /** The builtin-composed fold [[dot]] replaced (kept for the equivalence
+    * spec — both must produce bit-identical doubles). */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  /** L2 norm of a float-array column, in double. */
-  def norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  /** L2 norm of a float-array column, in double (same native fold). */
+  def norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Sequential-fold cosine similarity between two float-array columns,
     * computed in double. For pairwise workloads prefer precomputing

@@ -221,6 +221,22 @@ class SimilaritySpec extends SparkSpec {
   private lazy val emb = TestSpark.spark.read
     .parquet("/root/testdata/sf0.001/embeddings.parquet")
 
+  test("native dot_f64 is bit-identical to the builtin zip_with fold") {
+    val pairs = emb.limit(40).select($"vec_id".as("ia"), $"embedding".as("va"))
+      .crossJoin(emb.limit(40).select($"vec_id".as("ib"), $"embedding".as("vb")))
+    val diff = pairs.select(
+        Similarity.dot($"va", $"vb").as("native"),
+        Similarity.dotFold($"va", $"vb").as("fold"))
+      .filter($"native" =!= $"fold").count()
+    assert(diff === 0L)
+    // analysis-time type error on non-float arrays
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Seq(1L, 2L), Seq(3L, 4L))).toDF("a", "b")
+        .select(graft.functions.GraftFunctions.dotF64($"a", $"b")).collect()
+    }
+    assert(ex.getMessage.contains("array<float>"))
+  }
+
   test("brute-force knn returns k ranked neighbors per query") {
     val queries = emb.filter($"vec_id" < 3)
     val got = Similarity.bruteForceKnn(emb, queries, k = 5)
