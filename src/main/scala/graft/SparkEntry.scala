@@ -440,6 +440,19 @@ object SparkEntry {
         .select("media_id", "kind", "frame_idx", "frame_ts_ms")
         .orderBy("media_id", "frame_idx")),
 
+    // Multimodal: REAL image decode — synthesize binary PPM (P6) per doc,
+    // parse header+raster in mapPartitions, per-channel means. The r/g
+    // channels are deterministic gradients, so DuckDB can recompute them
+    // analytically from doc_id — a true oracle over a real binary decode.
+    "m_decode" -> ((s, dir) => {
+      val imgs = Multimodal.ppmMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet"))
+      Multimodal.decodeImages(imgs, thumbSide = 2)
+        .select(col("media_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"))
+        .orderBy("media_id")
+    }),
+
     // Multimodal: stubbed decode + featurize via mapPartitions batches
     // (no SQL oracle: FNV checksum is codec-side; MultimodalSpec covers).
     "m_features" -> ((s, dir) =>
@@ -1009,6 +1022,18 @@ object SparkEntry {
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "m_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(4 + doc_id % 5 AS INT) AS width,
+        |  CAST(3 + doc_id % 4 AS INT) AS height,
+        |  CAST(list_sum(list_transform(range(0, 4 + doc_id % 5),
+        |      x -> (x * 255) // (3 + doc_id % 5))) AS DOUBLE)
+        |    / (4 + doc_id % 5) AS mean_r,
+        |  CAST(list_sum(list_transform(range(0, 3 + doc_id % 4),
+        |      y -> (y * 255) // (2 + doc_id % 4))) AS DOUBLE)
+        |    / (3 + doc_id % 4) AS mean_g
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "m_frames" ->
       """WITH m AS (SELECT doc_id AS media_id,

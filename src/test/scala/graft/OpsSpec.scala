@@ -296,6 +296,47 @@ class MultimodalSpec extends SparkSpec {
     rows.foreach(r => assert(again(r.getAs[Long]("media_id")) === r.getAs[Long]("checksum")))
   }
 
+  test("real PPM decode: encode→decode round-trips, stats and thumbnail exact") {
+    // hand-built 2x2 image: red, green, blue, white
+    val rgb = Array[Byte](
+      255.toByte, 0, 0,   0, 255.toByte, 0,
+      0, 0, 255.toByte,   255.toByte, 255.toByte, 255.toByte)
+    val bytes = Multimodal.Ppm.encode(2, 2, rgb)
+    val (w, h, raster) = Multimodal.Ppm.decode(bytes)
+    assert((w, h) === (2, 2))
+    assert(raster.toSeq === rgb.toSeq)
+
+    val df = Seq((1L, bytes)).toDF("media_id", "bytes")
+    val dec = Multimodal.decodeImages(df, thumbSide = 2).head()
+    assert(dec.getAs[Int]("width") === 2 && dec.getAs[Int]("height") === 2)
+    assert(dec.getAs[Double]("mean_r") === (255.0 + 0 + 0 + 255) / 4)
+    assert(dec.getAs[Double]("mean_g") === (0.0 + 255 + 0 + 255) / 4)
+    assert(dec.getAs[Double]("mean_b") === (0.0 + 0 + 255 + 255) / 4)
+    // 2x2 thumb of a 2x2 image is the image itself, normalized
+    assert(dec.getAs[Seq[Float]]("thumb") === rgb.map(b => (b & 0xff) / 255.0f).toSeq)
+  }
+
+  test("malformed blobs are skipped (DROPMALFORMED) or fail loudly on request") {
+    val good = Multimodal.Ppm.encode(2, 1, Array[Byte](1, 2, 3, 4, 5, 6))
+    val bad = "P6\n2 1\n255\nxx".getBytes // truncated raster
+    val notPpm = "GIF89a".getBytes
+    val df = Seq((1L, good), (2L, bad), (3L, notPpm)).toDF("media_id", "bytes")
+    val kept = Multimodal.decodeImages(df).select("media_id").collect().map(_.getLong(0))
+    assert(kept.toSeq === Seq(1L))
+    assertThrows[org.apache.spark.SparkException](
+      Multimodal.decodeImages(df, skipMalformed = false).collect())
+  }
+
+  test("document-synthesized PPM corpus decodes end to end") {
+    val imgs = Multimodal.ppmMediaFromDocuments(
+      TestSpark.spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100))
+    val dec = Multimodal.decodeImages(imgs, thumbSide = 2)
+    assert(dec.count() === 100)
+    val r = dec.orderBy("media_id").head()
+    assert(r.getAs[Int]("width") >= 4 && r.getAs[Int]("height") >= 3)
+    assert(r.getAs[Seq[Float]]("thumb").length === 12)
+  }
+
   test("resize clamps the long side and keeps aspect direction") {
     val out = Multimodal.resize(media, 64).select("meta.width", "meta.height").collect()
     assert(out.forall(r => r.getInt(0) <= 64 && r.getInt(1) <= 64))
