@@ -92,4 +92,7 @@ object GraftFunctions {
 
   def dotF64(a: Column, b: Column): Column =
     ColumnBridge.column(DotF64(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def minhashSig(hashes: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), numHashes))
 }

@@ -59,4 +59,89 @@ object VectorOps {
     }
     acc
   }
+
+  /** One-pass MinHash signature; called from generated code. Parameter
+    * tables are cached per numHashes (tiny; computed once per JVM). */
+  def minhashSig(hashes: ArrayData, numHashes: Int): ArrayData = {
+    val (as, bs) = paramCache.computeIfAbsent(numHashes, mkParams)
+    val p = MinHashParams.P
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      if (!hashes.isNullAt(i)) {
+        val h = java.lang.Math.floorMod(hashes.getLong(i), p)
+        var j = 0
+        while (j < numHashes) {
+          val v = java.lang.Math.floorMod(as(j) * h + bs(j), p)
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  private val paramCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private val mkParams =
+    new java.util.function.Function[Int, (Array[Long], Array[Long])] {
+      def apply(n: Int): (Array[Long], Array[Long]) =
+        (Array.tabulate(n)(MinHashParams.a), Array.tabulate(n)(MinHashParams.b))
+    }
+}
+
+/** MinHash signature of a 64-bit shingle-hash array as ONE native pass per
+  * row: `numHashes` affine permutations (aᵢ·h + bᵢ mod P, P = 2³¹−1) folded
+  * to their minima in a single loop over the array.
+  *
+  * The composed formulation (explode → groupBy(id) with numHashes min
+  * aggregates) shuffles every exploded shingle row and drives a 64-buffer
+  * hash aggregate; this expression computes the identical signature inside
+  * the scan projection — ZERO shuffle, no aggregation machinery — which at
+  * corpus scale turns the signature stage from the dominant shuffle into a
+  * free map. Permutation parameters derive from the hash index by the same
+  * splitmix64 mixing as the aggregate form (bit-identical output, covered
+  * by spec).
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<bigint> input, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.minhashSig(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorOps.minhashSig($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashParams {
+  /** Mersenne prime 2³¹−1: a·h + b stays ≤ ~2⁶² — no long overflow. */
+  val P = 2147483647L
+
+  private def mix(i: Long): Long = {
+    var z = i + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic (aᵢ, bᵢ) for permutation i — identical derivation to the
+    * aggregate formulation in [[graft.ops.Dedup.minhashSignature]]. */
+  def a(i: Int): Long = java.lang.Math.floorMod(mix(2L * i), P - 1) + 1
+  def b(i: Int): Long = java.lang.Math.floorMod(mix(2L * i + 1), P)
 }

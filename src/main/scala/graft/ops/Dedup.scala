@@ -81,15 +81,25 @@ object Dedup {
     z ^ (z >>> 31)
   }
 
-  /** MinHash signature: k-shingles hashed ONCE with xxhash64 (exploded so
-    * projection collapse cannot inline the hash into every permutation —
-    * an array-expression formulation recomputes xxhash64 numHashes× per
-    * shingle), then numHashes affine permutations (a*h+b mod P) as min
-    * aggregates with map-side partial combine: the shuffle carries only
-    * numHashes longs per doc per partition.
+  /** MinHash signature, computed by the native [[graft.functions.MinHashSig]]
+    * expression: one pass over each doc's shingle-hash array INSIDE the scan
+    * projection — zero shuffle (the old explode + numHashes-min-aggregate
+    * formulation shuffled every exploded shingle row; kept as
+    * [[minhashSignatureAgg]] for the equivalence spec).
     * Output: (id, minhash: array<long>).
     */
   def minhashSignature(df: DataFrame, numHashes: Int = 128, k: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.GraftFunctions.minhashSig(
+        TextAnalysis.shingleHashes(col(textCol), k), numHashes).as("minhash"))
+
+  /** The aggregate formulation [[minhashSignature]] replaced: k-shingles
+    * hashed once with xxhash64 (exploded so projection collapse cannot
+    * inline the hash into every permutation), then numHashes affine
+    * permutations as min aggregates with map-side partial combine. Must
+    * stay bit-identical to the native expression (spec-enforced). */
+  def minhashSignatureAgg(df: DataFrame, numHashes: Int = 128, k: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
         explode(TextAnalysis.shingleHashes(col(textCol), k)).as("_sh"))
@@ -112,14 +122,26 @@ object Dedup {
   def minhashLshCandidates(df: DataFrame, numHashes: Int = 128, bands: Int = 32,
       k: Int = 3, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val rows = numHashes / bands
-    val sig = minhashSignature(df, numHashes, k, textCol, idCol)
-    val buckets = sig.select(col("id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          struct(b.as("band"),
-            xxhash64(concat_ws(",",
-              transform(slice(col("minhash"), b * rows + 1, lit(rows)), _.cast("string"))),
-              b.cast("string")).as("bucket")))).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    // Materialize the signature table once (docs × numHashes longs — tiny
+    // relative to the corpus): the bucket self-join consumes it on both
+    // sides, and with the zero-shuffle native signature there is no
+    // shuffle stage for AQE to reuse, so without this the signature pass
+    // would run once per join side.
+    val sig = minhashSignature(df, numHashes, k, textCol, idCol).localCheckpoint()
+    // Explode the band index FIRST, then hash the signature slice per
+    // exploded row: the Generate node is a projection-collapse barrier, so
+    // the (expensive) native signature evaluates once per DOC in its child
+    // — a transform-lambda formulation would let CollapseProject inline it
+    // into the lambda body and recompute it once per BAND (the round-1
+    // 660s-class trap).
+    val buckets = sig
+      .select(col("id"), col("minhash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("id"), col("band"),
+        xxhash64(concat_ws(",",
+          transform(slice(col("minhash"), col("band") * rows + 1, lit(rows)),
+            _.cast("string"))),
+          col("band").cast("string")).as("bucket"))
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
@@ -176,9 +198,14 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 50,
       driverEdgeLimit: Long = 5000000L): DataFrame = {
-    val a = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val edges = a.union(a.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(eager = false)
+    // Symmetrize with ONE pass via explode — a union of (a→b) and (b→a)
+    // branches would evaluate the (expensive) pair subplan once per branch.
+    // Eager checkpoint: the edge list is consumed by at least two actions
+    // (size probe + either collect or per-round joins); materialize once.
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst")).distinct().localCheckpoint()
     if (edges.count() <= driverEdgeLimit) return unionFindComponents(pairs.sparkSession, edges)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))

@@ -142,6 +142,17 @@ class DedupSpec extends SparkSpec {
     assert(!ids.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("native minhash signature is bit-identical to the aggregate formulation") {
+    val real = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val native = Dedup.minhashSignature(real, numHashes = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agg = Dedup.minhashSignatureAgg(real, numHashes = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.keySet === agg.keySet)
+    native.foreach { case (id, sig) => assert(sig === agg(id), s"doc $id") }
+  }
+
   test("minhash LSH candidates cover high-jaccard pairs; verification filters") {
     val verified = Dedup.minhashDedupPairs(docs, threshold = 0.5, numHashes = 64, bands = 16)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
