@@ -232,6 +232,21 @@ object SparkEntry {
           countDistinct(coalesce(col("event_type"), lit(""))).as("n_items"))
         .orderBy("uuid")),
 
+    // Per-trail AS-OF join: each view event enriched with the latest click
+    // at-or-before it — one uuid-shuffle window pass, no range join.
+    // Oracle: DuckDB's native ASOF LEFT JOIN (independent implementation).
+    "t_asof" -> ((s, dir) => {
+      val t = trails(s, dir)
+      val views = t.df.filter(col("event_type") === "view")
+        .select("uuid", "time", "seq")
+      val clicks = t.df.filter(col("event_type") === "click")
+        .select(col("uuid"), col("time"),
+          col("time").as("click_time"),
+          coalesce(col("props"), lit("")).as("click_props"))
+      TrailOps.asOfJoin(views, clicks, Seq("click_time", "click_props"))
+        .orderBy("uuid", "time", "seq")
+    }),
+
     // §2.11 secondary index: build the inverted (field,value,page) skipping
     // index over a finalized db, then scan a CNF filter through it — pages
     // prune the scan, the full filter re-checks, rows match a plain scan.
@@ -869,6 +884,20 @@ object SparkEntry {
         |       WHEN c_es >= c_fr THEN 'es'
         |       ELSE 'fr' END AS lang_pred
         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "t_asof" ->
+      s"""$TrailsCte,
+         |l AS (SELECT uuid, time, seq FROM trails
+         |      WHERE coalesce(event_type,'') = 'view'),
+         |r AS (SELECT uuid, time, max(time) AS click_time,
+         |             max(coalesce(props,'')) AS click_props
+         |      FROM trails WHERE coalesce(event_type,'') = 'click'
+         |      GROUP BY uuid, time)
+         |SELECT l.uuid, l.time, l.seq,
+         |       r.click_time AS asof_click_time,
+         |       r.click_props AS asof_click_props
+         |FROM l ASOF LEFT JOIN r ON l.uuid = r.uuid AND l.time >= r.time
+         |ORDER BY l.uuid, l.time, l.seq""".stripMargin,
 
     "t_index_scan" ->
       s"""$TrailsCte

@@ -175,6 +175,49 @@ object TrailOps {
     TrailDB.fromTrailFrame(unioned)
   }
 
+  /** Per-trail AS-OF join: each left event picks up the value columns of
+    * the LATEST right event with right.time <= left.time in the same trail
+    * — the enrichment pattern reference users hand-roll with a multi-cursor
+    * walk (doc/docs/technical_overview.md:219-229: merge streams, carry
+    * last-seen state). Left events with no prior right event get NULLs.
+    *
+    * Spark-first shape: tag the two streams, union, and run ONE window
+    * pass per trail (last-non-null carry-forward) — a single shuffle on
+    * uuid, no join explosion, no range-join quadratic blowup. Right rows
+    * sort before left rows at equal timestamps so a same-second right
+    * event is visible (<= semantics). The right stream is first reduced
+    * to one row per (uuid, time) — max of each value column — making the
+    * result deterministic regardless of input order.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, valueCols: Seq[String],
+      uuidCol: String = TrailSchema.UuidCol,
+      timeCol: String = TrailSchema.TimeCol): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = right.groupBy(col(uuidCol), col(timeCol))
+      .agg(max(valueCols.head).as(valueCols.head),
+        valueCols.tail.map(c => max(c).as(c)): _*)
+    val leftCols = left.columns.toSeq
+    val lTagged = left.select(
+      leftCols.map(col) ++
+      valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")) :+
+      lit(1).as("_is_l"): _*)
+    val rTagged = r.select(
+      leftCols.map(c =>
+        if (c == uuidCol || c == timeCol) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) ++
+      valueCols.map(c => col(c).as(s"_r_$c")) :+
+      lit(0).as("_is_l"): _*)
+    val w = Window.partitionBy(uuidCol)
+      .orderBy(col(timeCol), col("_is_l"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = lTagged.unionByName(rTagged)
+      .select(
+        (leftCols.map(col) :+ col("_is_l")) ++
+        valueCols.map(c => last(col(s"_r_$c"), ignoreNulls = true).over(w)
+          .as(s"asof_$c")): _*)
+    carried.filter(col("_is_l") === 1).drop("_is_l")
+  }
+
   /** Multi-cursor K-way timestamp-ordered merge (reference:
     * src/tdb_multi_cursor.c:84-300 — binary-heap merge of K cursors).
     * Spark's sort-merge IS the k-way merge: union then per-trail time sort.

@@ -188,6 +188,29 @@ class ConsSpec extends SparkSpec {
     assert(db2.dumpProjection().collect().map(_.getAs[String]("etype")).toSeq === Seq("buy", ""))
   }
 
+  test("as-of join: latest right event at-or-before each left event, per trail") {
+    val views = Seq(
+      ("u1", 100L, 1L), ("u1", 200L, 2L), ("u1", 300L, 3L),
+      ("u2", 50L, 4L)).toDF("uuid", "time", "seq")
+    val clicks = Seq(
+      ("u1", 100L, "c@100"),   // same-second: visible to view@100 (<=)
+      ("u1", 250L, "c@250"),
+      ("u3", 1L, "other-trail")).toDF("uuid", "time", "cprops")
+    val got = graft.core.TrailOps.asOfJoin(views, clicks, Seq("cprops"))
+      .orderBy("uuid", "time").collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.getString(3)))).toSeq
+    assert(got === Seq(
+      ("u1", 100L, Some("c@100")),
+      ("u1", 200L, Some("c@100")),
+      ("u1", 300L, Some("c@250")),
+      ("u2", 50L, None)))          // no clicks in u2 → NULL
+    // duplicate right rows at one (uuid, time) resolve deterministically (max)
+    val dupClicks = clicks.union(Seq(("u1", 100L, "a@100")).toDF("uuid", "time", "cprops"))
+    val first = graft.core.TrailOps.asOfJoin(views, dupClicks, Seq("cprops"))
+      .filter($"time" === 100L).head().getString(3)
+    assert(first === "c@100") // max("a@100", "c@100")
+  }
+
   test("finalizing an empty cons writes a valid empty db (tdb_cons_finalize with 0 events)") {
     val dir = Files.createTempDirectory("graft-empty")
     val db = new TrailDBCons(spark, Seq("etype", "val"))
