@@ -317,6 +317,30 @@ object SparkEntry {
         .select("doc_id", "c_en", "c_de", "c_es", "c_fr", "lang_pred")
         .orderBy("doc_id")),
 
+    // Sentence-level exact dedup: split docs into sentences, count cross-
+    // corpus repeats — the boilerplate/template detector every corpus
+    // cleanup runs (top repeated sentences with their doc spread).
+    "d_sentence_dedup" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), explode(split(col("text"), "[.!?]+")).as("raw"))
+        .select(col("doc_id"), trim(col("raw")).as("sentence"))
+        .filter(length(col("sentence")) > 0)
+        .groupBy("sentence")
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("n_occurrences").desc, col("sentence"))
+        .limit(50)),
+
+    // Doc-length histogram: token-count deciles bucketed to 10s — the
+    // length-distribution sanity check before/after filtering.
+    "d_length_hist" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select((floor(TextAnalysis.tokenCount(col("text")) / 10) * 10)
+          .cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+        .orderBy("bucket")),
+
     // PII scrubbing: emails / IPv4 / digit runs → typed placeholders.
     // Synthetic PII is appended per doc so the redaction paths actually
     // fire; patterns stay in the Java-regex ∩ RE2 portable subset.
@@ -915,6 +939,22 @@ object SparkEntry {
          |        GROUP BY 1)
          |SELECT act.week, n_active, coalesce(n_retained, 0) AS n_retained
          |FROM act LEFT JOIN ret ON act.week = ret.week ORDER BY act.week""".stripMargin,
+
+    "d_sentence_dedup" ->
+      """WITH sents AS (
+        |  SELECT doc_id, trim(s) AS sentence
+        |  FROM (SELECT doc_id, unnest(string_split_regex(text, '[.!?]+')) AS s
+        |        FROM documents)
+        |  WHERE length(trim(s)) > 0)
+        |SELECT sentence, count(*) AS n_occurrences,
+        |       count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+        |FROM sents GROUP BY sentence
+        |ORDER BY n_occurrences DESC, sentence LIMIT 50""".stripMargin,
+
+    "d_length_hist" ->
+      """SELECT CAST(len(string_split_regex(text, ' +')) // 10 * 10 AS BIGINT) AS bucket,
+        |       count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "d_pii_scrub" ->
       """SELECT doc_id,
