@@ -95,4 +95,7 @@ object GraftFunctions {
 
   def minhashSig(hashes: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), numHashes))
+
+  def repetitionStats(tokens: Column): Column =
+    ColumnBridge.column(RepetitionStats(ColumnBridge.expression(tokens)))
 }

@@ -84,6 +84,49 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
+  /** One-pass repetition stats; called from generated code. */
+  def repetitionStats(tokens: ArrayData): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val n = tokens.numElements()
+    val plus: java.util.function.BiFunction[Integer, Integer, Integer] =
+      (a: Integer, b: Integer) => Integer.valueOf(a + b)
+    val tokCounts = new java.util.HashMap[UTF8String, Integer]()
+    var i = 0
+    while (i < n) {
+      val t = if (tokens.isNullAt(i)) UTF8String.EMPTY_UTF8 else tokens.getUTF8String(i)
+      tokCounts.merge(t, Integer.valueOf(1), plus)
+      i += 1
+    }
+    var topTok = 0
+    val tIt = tokCounts.values().iterator()
+    while (tIt.hasNext) { val c = tIt.next().intValue(); if (c > topTok) topTok = c }
+
+    val sep = UTF8String.fromString(" ")
+    val biCounts = new java.util.HashMap[UTF8String, Integer]()
+    var nBigrams = 0L
+    if (n < 2) {
+      // shinglesAll(k=2) semantics: whole text as the single shingle
+      val whole = if (n == 1 && !tokens.isNullAt(0)) tokens.getUTF8String(0)
+        else UTF8String.EMPTY_UTF8
+      biCounts.merge(whole, Integer.valueOf(1), plus)
+      nBigrams = 1L
+    } else {
+      i = 0
+      while (i < n - 1) {
+        val a = if (tokens.isNullAt(i)) UTF8String.EMPTY_UTF8 else tokens.getUTF8String(i)
+        val b = if (tokens.isNullAt(i + 1)) UTF8String.EMPTY_UTF8 else tokens.getUTF8String(i + 1)
+        biCounts.merge(UTF8String.concat(a, sep, b), Integer.valueOf(1), plus)
+        nBigrams += 1; i += 1
+      }
+    }
+    var topBi = 0
+    val bIt = biCounts.values().iterator()
+    while (bIt.hasNext) { val c = bIt.next().intValue(); if (c > topBi) topBi = c }
+
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Long](
+      n.toLong, tokCounts.size().toLong, topTok.toLong, topBi.toLong, nBigrams))
+  }
+
   private val paramCache =
     new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
   private val mkParams =
@@ -91,6 +134,38 @@ object VectorOps {
       def apply(n: Int): (Array[Long], Array[Long]) =
         (Array.tabulate(n)(MinHashParams.a), Array.tabulate(n)(MinHashParams.b))
     }
+}
+
+/** Repetition statistics of a token array in ONE native pass per row:
+  * returns [n_tokens, n_distinct, top_token_count, top_bigram_count,
+  * n_bigrams] as array<bigint>. The composed formulation needs two
+  * explode→groupBy→groupBy pyramids (token grain + bigram grain) plus a
+  * join — three shuffles of corpus-token-count rows; this computes the
+  * same integers inside the scan projection with two per-row hash maps.
+  * Bigrams follow shinglesAll(k=2) semantics: fewer than 2 tokens → one
+  * whole-text bigram. Bit-identical to the aggregate formulation
+  * (spec-enforced).
+  */
+case class RepetitionStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "repetition_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"repetition_stats requires array<string> input, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.repetitionStats(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.repetitionStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
 }
 
 /** MinHash signature of a 64-bit shingle-hash array as ONE native pass per

@@ -154,10 +154,26 @@ object TextAnalysis {
 
   /** Repetition signals (Gopher-style quality rules, Rae et al. 2021 §A1.1):
     * fraction of tokens that are repeats, most-frequent-token share, and
-    * most-frequent-bigram share. Pure integer counts + single IEEE
-    * divisions — deterministic across engines. One explode + two-level
-    * aggregation; no window over the full corpus. */
+    * most-frequent-bigram share, via the native one-pass
+    * [[graft.functions.RepetitionStats]] expression — a pure scan
+    * projection, ZERO shuffle (the aggregate formulation below needed
+    * three). Integer counts + single IEEE divisions — deterministic
+    * across engines. */
   def withRepetitionSignals(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val rs = graft.functions.GraftFunctions.repetitionStats(tokens(col(textCol)))
+    df.select(col(idCol), rs.as("_rs"))
+      .select(col(idCol),
+        col("_rs")(0).as("n_tokens"),
+        col("_rs")(1).as("n_distinct"),
+        (lit(1.0) - col("_rs")(1).cast("double") / col("_rs")(0)).as("dup_token_frac"),
+        (col("_rs")(2).cast("double") / col("_rs")(0)).as("top_token_frac"),
+        (col("_rs")(3).cast("double") / col("_rs")(4)).as("top_bigram_frac"))
+  }
+
+  /** The explode+aggregate formulation [[withRepetitionSignals]] replaced
+    * (kept for the equivalence spec — must stay bit-identical). */
+  def withRepetitionSignalsAgg(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
     val tokenCnt = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("c"))

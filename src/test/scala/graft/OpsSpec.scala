@@ -91,6 +91,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(1).getAs[Double]("dup_token_frac") === 0.0)
   }
 
+  test("native repetition stats are bit-identical to the aggregate formulation") {
+    val real = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0)
+    def vals(r: org.apache.spark.sql.Row) =
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    val native = TextAnalysis.withRepetitionSignals(real)
+      .collect().map(r => key(r) -> vals(r)).toMap
+    val agg = TextAnalysis.withRepetitionSignalsAgg(real)
+      .collect().map(r => key(r) -> vals(r)).toMap
+    assert(native.keySet === agg.keySet)
+    native.foreach { case (id, v) => assert(v === agg(id), s"doc $id") }
+    // single-token edge (bigram = whole text)
+    val tiny = Seq((1L, "solo")).toDF("doc_id", "text")
+    val t = TextAnalysis.withRepetitionSignals(tiny).head()
+    assert(t.getLong(1) === 1L && t.getDouble(5) === 1.0)
+  }
+
   test("corpus-scale fingerprints equal the array-expression winnowing") {
     val docs = TestSpark.spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
