@@ -98,4 +98,10 @@ object GraftFunctions {
 
   def repetitionStats(tokens: Column): Column =
     ColumnBridge.column(RepetitionStats(ColumnBridge.expression(tokens)))
+
+  def winnow(hashes: Column, window: Int): Column =
+    ColumnBridge.column(Winnow(ColumnBridge.expression(hashes), window))
+
+  def shingleHashes(tokens: Column, k: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(tokens), k))
 }

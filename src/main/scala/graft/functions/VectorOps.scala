@@ -84,6 +84,66 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
+  /** One-pass shingle hashing; called from generated code. Chains XXH64
+    * across each window's tokens with seed 42, exactly matching Catalyst's
+    * xxhash64 over an array<string> slice; null elements are skipped (the
+    * builtin leaves the accumulated seed unchanged for null elements). */
+  def shingleHashes(tokens: ArrayData, k: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = tokens.numElements()
+    def windowHash(start: Int, len: Int): Long = {
+      var h = 42L
+      var j = start
+      val end = start + len
+      while (j < end) {
+        if (!tokens.isNullAt(j)) {
+          val s = tokens.getUTF8String(j)
+          h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), h)
+        }
+        j += 1
+      }
+      h
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (n < k) seen.add(windowHash(0, n))
+    else {
+      var pos = 0
+      while (pos <= n - k) { seen.add(windowHash(pos, k)); pos += 1 }
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** One-pass winnowing; called from generated code. Distinct mins in
+    * first-occurrence order. */
+  def winnow(hashes: ArrayData, window: Int): ArrayData = {
+    val n = hashes.numElements()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (n > 0) {
+      val last = math.max(n - window, 0)
+      var pos = 0
+      while (pos <= last) {
+        var m = Long.MaxValue
+        val end = math.min(pos + window, n)
+        var i = pos
+        while (i < end) {
+          if (!hashes.isNullAt(i)) { val v = hashes.getLong(i); if (v < m) m = v }
+          i += 1
+        }
+        seen.add(m)
+        pos += 1
+      }
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** One-pass repetition stats; called from generated code. */
   def repetitionStats(tokens: ArrayData): ArrayData = {
     import org.apache.spark.unsafe.types.UTF8String
@@ -134,6 +194,68 @@ object VectorOps {
       def apply(n: Int): (Array[Long], Array[Long]) =
         (Array.tabulate(n)(MinHashParams.a), Array.tabulate(n)(MinHashParams.b))
     }
+}
+
+/** Distinct xxhash64 hashes of the k-token shingles of a token array, in
+  * ONE native pass: hash each length-k window by chaining XXH64 over its
+  * tokens (exactly how Catalyst's xxhash64 folds an array slice — seed 42,
+  * then h = xxh64(tokenBytes, h) per element), no slice-array
+  * materialization per shingle. Arrays shorter than k collapse to one
+  * whole-array hash; distinct preserves first occurrence, matching
+  * array_distinct. Bit-identical to the builtin
+  * `array_distinct(transform(sequence, i -> xxhash64(slice(toks,i+1,k))))`
+  * composition (spec-enforced) — shingle hashing is the per-row hot loop
+  * under MinHash, winnowing, and n-gram verification. */
+case class ShingleHashes(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires array<string> input, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.shingleHashes(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.shingleHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprint set (Schleimer et al., SIGMOD'03) of a shingle-
+  * hash array in ONE native pass per row: the distinct sliding-window-min
+  * hashes, matching the posexplode+window formulation exactly (full
+  * windows only; arrays shorter than the window collapse to one global
+  * min). Replaces two corpus-wide window sorts + distinct with a pure
+  * scan projection — zero shuffle. */
+case class Winnow(child: Expression, window: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(window >= 1, s"window must be >= 1, got $window")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow requires array<bigint> input, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.winnow(input.asInstanceOf[ArrayData], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.winnow($c, $window)")
+
+  override protected def withNewChildInternal(newChild: Expression): Winnow =
+    copy(child = newChild)
 }
 
 /** Repetition statistics of a token array in ONE native pass per row:

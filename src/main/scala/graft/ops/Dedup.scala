@@ -39,8 +39,13 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, k: Int = 3, threshold: Double = 0.5,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // 64-bit hashed shingles, not strings: the exploded inverted index and
+    // its self-join carry 8-byte keys instead of ~25-char strings (2-3× on
+    // shuffle volume and join compares). Counts are identical to the
+    // string form unless xxhash64 collides within the corpus shingle set
+    // (birthday bound ~n²/2⁶⁵ — ~1e-8 at 10⁶ distinct shingles).
     val sh = df.select(col(idCol).as("id"),
-        explode(TextAnalysis.shingles(col(textCol), k)).as("shingle"))
+        explode(TextAnalysis.shingleHashes(col(textCol), k)).as("shingle"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     // A shingle held by exactly one doc can't produce a pair — dropping
     // doc-frequency-1 shingles shrinks the quadratic join's input without

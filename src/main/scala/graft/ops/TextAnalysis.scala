@@ -80,10 +80,17 @@ object TextAnalysis {
           i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
   }
 
-  /** Distinct 64-bit hashes of word k-shingles, computed by hashing the
-    * token-array slice directly — no shingle-string materialization (the
-    * concat dominates MinHash signature cost at corpus scale). */
-  def shingleHashes(text: Column, k: Int): Column = {
+  /** Distinct 64-bit hashes of word k-shingles via the native one-pass
+    * [[graft.functions.ShingleHashes]] expression — chained XXH64 per
+    * window, no per-shingle slice-array materialization (this is the
+    * per-row hot loop under MinHash, winnowing, and near-dup
+    * verification). */
+  def shingleHashes(text: Column, k: Int): Column =
+    graft.functions.GraftFunctions.shingleHashes(tokens(text), k)
+
+  /** The builtin composition [[shingleHashes]] replaced (kept for the
+    * equivalence spec — must stay bit-identical). */
+  def shingleHashesComposed(text: Column, k: Int): Column = {
     val toks = tokens(text)
     array_distinct(
       when(size(toks) < k, array(xxhash64(toks)))
@@ -107,11 +114,21 @@ object TextAnalysis {
     array_distinct(mins)
   }
 
-  /** Corpus-scale winnowing: posexplode shingle hashes once, sliding-window
-    * min via a window frame (each hash computed exactly once — linear, vs
-    * the array form's quadratic re-materialization), distinct per doc.
+  /** Corpus-scale winnowing via the native one-pass
+    * [[graft.functions.Winnow]] expression — the whole fingerprint SET is
+    * computed inside the scan projection (zero shuffle; the window-
+    * function formulation below needed two corpus-wide window sorts).
     * Output: (id, fp) rows — one row per fingerprint hash. */
   def fingerprints(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 5, window: Int = 4): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(graft.functions.GraftFunctions.winnow(
+          shingleHashes(col(textCol), k), window)).as("fp"))
+
+  /** The window-function formulation [[fingerprints]] replaced (kept for
+    * the equivalence spec): posexplode shingle hashes once, sliding-window
+    * min via a window frame, distinct per doc. */
+  def fingerprintsWindowed(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 5, window: Int = 4): DataFrame = {
     val byDoc = Window.partitionBy("id")
     val sliding = Window.partitionBy("id").orderBy("pos")
@@ -232,11 +249,17 @@ object TextAnalysis {
       lit((fraction * 256).toInt)
   }
 
-  /** Per-doc fingerprint summary (count / min / max of the winnowed set). */
+  /** Per-doc fingerprint summary (count / min / max of the winnowed set) —
+    * straight off the native winnow array: no explode, no groupBy, no
+    * shuffle at all. (The array is referenced by several consumers, which
+    * keeps CollapseProject from inlining the expensive winnow into each.) */
   def fingerprintStats(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 5, window: Int = 4): DataFrame =
-    fingerprints(df, idCol, textCol, k, window)
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_fp"), min("fp").as("fp_min"), max("fp").as("fp_max"))
-      .withColumnRenamed("id", idCol)
+    df.select(col(idCol),
+        graft.functions.GraftFunctions.winnow(
+          shingleHashes(col(textCol), k), window).as("_fp"))
+      .select(col(idCol),
+        size(col("_fp")).cast("long").as("n_fp"),
+        array_min(col("_fp")).as("fp_min"),
+        array_max(col("_fp")).as("fp_max"))
 }

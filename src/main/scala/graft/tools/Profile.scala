@@ -24,6 +24,19 @@ object Profile {
     }
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    time("docs.count")(docs.count())
+    time("shingleHashes only")(docs.select(col("doc_id"),
+      graft.ops.TextAnalysis.shingleHashes(col("text"), 5).as("sh"))
+      .queryExecution.toRdd.count())
+    time("winnow(shingleHashes)")(docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.winnow(
+        graft.ops.TextAnalysis.shingleHashes(col("text"), 5), 4).as("fp"))
+      .queryExecution.toRdd.count())
+    time("fingerprintStats native")(graft.ops.TextAnalysis.fingerprintStats(docs)
+      .queryExecution.toRdd.count())
+    time("fingerprintStats windowed")(
+      graft.ops.TextAnalysis.fingerprintsWindowed(docs)
+        .groupBy("id").agg(count(lit(1))).queryExecution.toRdd.count())
     val pairs = graft.ops.Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.2)
     time("pairs.count")(pairs.count())
     val pairs2 = graft.ops.Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.2)

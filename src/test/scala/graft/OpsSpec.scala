@@ -39,6 +39,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq("en", "de", "es"))
   }
 
+  test("native shingle hashes are bit-identical to the builtin composition") {
+    val real = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    for (k <- Seq(1, 3, 5)) {
+      val native = real.select($"doc_id",
+          TextAnalysis.shingleHashes($"text", k).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val composed = real.select($"doc_id",
+          TextAnalysis.shingleHashesComposed($"text", k).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      native.foreach { case (id, h) => assert(h === composed(id), s"doc $id k=$k") }
+    }
+    // shorter-than-k edge: whole-array hash
+    val tiny = Seq((1L, "a b")).toDF("doc_id", "text")
+    val n1 = tiny.select(TextAnalysis.shingleHashes($"text", 5)).head().getSeq[Long](0)
+    val c1 = tiny.select(TextAnalysis.shingleHashesComposed($"text", 5)).head().getSeq[Long](0)
+    assert(n1 === c1 && n1.length === 1)
+  }
+
   test("pii scrub redacts emails, ipv4, digit runs; leaves prose alone") {
     val df = Seq((1L,
       "write to bob.smith+x@mail.example.org or call 555 123 4567 at 192.168.1.10 ok"))
@@ -119,6 +138,10 @@ class TextAnalysisSpec extends SparkSpec {
     val fromStream = TextAnalysis.fingerprints(docs, k = 5, window = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(fromStream === fromArray)
+    // the window-function formulation agrees with the native one too
+    val fromWindow = TextAnalysis.fingerprintsWindowed(docs, k = 5, window = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromWindow === fromArray)
   }
 
   test("fingerprint is deterministic and shift-robust on shared regions") {
