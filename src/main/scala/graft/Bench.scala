@@ -24,9 +24,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/codegen/shuffle warmup outside the timed region.
+    // JVM/codegen/shuffle/parquet warmup outside the timed region — the
+    // alphabetically-first query otherwise absorbs several seconds of
+    // scan-path JIT that belongs to no query.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.range(1000L).repartition(8).count()
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      docs.select(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")))).collect()
+    } catch { case _: Throwable => () }
 
     val selected = if (args.nonEmpty) args.toSet else SparkEntry.queries.keySet
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -112,6 +112,18 @@ class StreamingSpec extends SparkSpec {
     val viaCol = Seq(Seq("a", "b", "c")).toDF("t")
       .select(graft.functions.GraftFunctions.simhash64($"t").as("h")).head().getLong(0)
     assert(viaSql === viaCol)
+
+    // int-literal-parameterized expression through the same injection path
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes", es => graft.functions.ShingleHashes(es(0),
+        es(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.asInstanceOf[Int]), "built-in")
+    val shSql = spark.sql("SELECT shingle_hashes(array('a','b','c'), 2) AS h")
+      .head().getSeq[Long](0)
+    val shCol = Seq(Seq("a", "b", "c")).toDF("t")
+      .select(graft.functions.GraftFunctions.shingleHashes($"t", 2).as("h"))
+      .head().getSeq[Long](0)
+    assert(shSql === shCol && shSql.length === 2)
   }
 
   test("typed TrailSummaryAggregator folds trails with partial aggregation") {
