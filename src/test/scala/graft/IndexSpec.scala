@@ -85,6 +85,26 @@ class IndexSpec extends SparkSpec {
       s"expected pushed StartsWith page filters in:\n$plan")
   }
 
+  test("property: pruned scan equals full scan on random CNF filters") {
+    import org.scalacheck.Gen
+    val genTerm: Gen[graft.filter.Term] = Gen.frequency(
+      8 -> (for {
+        f <- Gen.oneOf("etype", "val", "zz")
+        v <- Gen.oneOf("", "e1", "e3", "e7", "v0", "v1", "nope")
+        n <- Gen.oneOf(true, false)
+      } yield Match(f, v, n): graft.filter.Term),
+      2 -> (for {
+        s <- Gen.choose(99L, 104L)
+        len <- Gen.choose(1L, 3L)
+      } yield TimeRange(s, s + len): graft.filter.Term))
+    val genFilter: Gen[EventFilter] = for {
+      nClauses <- Gen.choose(0, 3)
+      clauses <- Gen.listOfN(nClauses,
+        Gen.choose(0, 3).flatMap(n => Gen.listOfN(n, genTerm).map(Clause(_))))
+    } yield EventFilter(clauses)
+    Gen.listOfN(12, genFilter).sample.get.foreach(assertSameRows)
+  }
+
   test("a proven-empty candidate set returns zero rows, exactly like the filter") {
     val f = EventFilter(Seq(Clause(Seq(Match("etype", "nope")))))
     assert(TrailIndex.prunedEvents(db, index, f).count() === 0)
