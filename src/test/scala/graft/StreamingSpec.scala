@@ -101,6 +101,29 @@ class StreamingSpec extends SparkSpec {
     assert(kept === Seq("doc a", "doc b", "doc c"))
   }
 
+  test("pure-projection text ops run unchanged on a stream (quality + PII scrub)") {
+    val dir = Files.createTempDirectory("graft-sproj")
+    val src = dir.resolve("src").toString
+    Seq(
+      (1L, "the cat sat on the mat and then the dog came by to visit the cat again ok"),
+      (2L, "mail me at a.b@example.org right now"))
+      .toDF("doc_id", "text").write.parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    val out = graft.ops.TextAnalysis.withQualitySignals(stream)
+      .withColumn("clean", graft.ops.TextAnalysis.scrubPii(col("text")))
+      .select("doc_id", "n_tokens", "clean")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sproj").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val rows = spark.sql("SELECT * FROM sproj ORDER BY doc_id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Long]("n_tokens") === 18L)
+    assert(rows(1).getAs[String]("clean") === "mail me at <EMAIL> right now")
+  }
+
   test("SparkSessionExtensions registers simhash64 for SQL") {
     new graft.GraftExtensions().apply(
       new org.apache.spark.sql.SparkSessionExtensions {})
