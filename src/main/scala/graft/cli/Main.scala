@@ -19,7 +19,8 @@ import graft.filter.EventFilter
   *                               `dump --index IDX -F ...` prunes with it)
   *
   * Filters use the reference grammar: space = OR, '&' = AND, `f=v`,
-  * `f!=v`, `f=` for the NULL value (tdbcli/filter.c:18-140).
+  * `f!=v`, `f=` for the NULL value, `f=@file` to read the value from a
+  * file (tdbcli/filter.c:18-140).
   */
 object Main {
   /** Flags that take a value, per op — `-c`/`-j` take a path for `make` but
@@ -32,17 +33,33 @@ object Main {
     "index" -> Set("-i", "-o")
   ).withDefaultValue(Set.empty)
 
+  /** Boolean switches per op — together with [[valueFlags]] this is the
+    * full flag vocabulary, so a value-taking flag can consume ANY token
+    * that is not a known flag of the op (e.g. `-F '-x=1'`, `--delimiter
+    * '-'`), mirroring getopt_long's behavior in the reference CLI. */
+  private val boolFlags: Map[String, Set[String]] = Map(
+    "make"  -> Set("--csv-header", "--skip-bad-input"),
+    "dump"  -> Set("-c", "-j", "--json-no-empty", "--csv-header"),
+    "merge" -> Set.empty[String],
+    "index" -> Set.empty[String]
+  ).withDefaultValue(Set.empty)
+
   private def parseFlags(op: String, args: Seq[String]): (Map[String, List[String]], List[String]) = {
     var flags = Map.empty[String, List[String]].withDefaultValue(Nil)
     var pos = List.empty[String]
     var i = 0
     val takesValue = valueFlags(op)
+    val known = takesValue ++ boolFlags(op)
     while (i < args.length) {
       val a = args(i)
-      // A value-taking flag never consumes a following token that looks like
-      // another flag — `dump -j -o OUT` must not let -j swallow -o.
-      if (a.startsWith("-") && takesValue(a) && i + 1 < args.length &&
-          !args(i + 1).startsWith("-")) {
+      // A value-taking flag consumes the next token unless it is a KNOWN
+      // flag of this op — `dump -F -o OUT` must not let -F swallow -o, but
+      // `dump -F '-x=1'` is a legitimate filter value starting with '-'.
+      // Running out of tokens (or hitting a known flag) is a loud error:
+      // an unfiltered dump from a silently-dropped -F is worse than a crash.
+      if (a.startsWith("-") && takesValue(a)) {
+        if (i + 1 >= args.length || known(args(i + 1)))
+          sys.error(s"$op: flag $a requires a value")
         flags = flags.updated(a, flags(a) :+ args(i + 1)); i += 2
       } else if (a.startsWith("-")) {
         flags = flags.updated(a, flags(a) :+ ""); i += 1

@@ -20,10 +20,17 @@ object Skew {
   /** Salted count per key: groupBy(key, salt) → partial counts →
     * groupBy(key) → sum. Identical result to a direct groupBy(key).count
     * but no single reducer ever sees more than ~1/buckets of a hot key.
-    * The salt comes from a row-unique id so it spreads even when every
-    * value in the hot key is identical. */
+    *
+    * The salt is a DETERMINISTIC hash of the full row content, never
+    * monotonically_increasing_id/rand: under a partial map-stage retry on a
+    * real cluster, a nondeterministic salt re-buckets recomputed rows and
+    * double-counts or drops them. The trade-off: rows that are bytewise
+    * identical share a bucket, so a hot key made of exact-duplicate rows
+    * does not spread — for that shape, pre-reduce the duplicates first
+    * (`groupBy(all columns).count`, itself skew-free) or use
+    * [[saltedCountDistinct]] when the metric is distincts. */
   def saltedCount(df: DataFrame, keyCol: String, buckets: Int = 16): DataFrame =
-    df.withColumn("_salt", salt(buckets, monotonically_increasing_id()))
+    df.withColumn("_salt", salt(buckets, df.columns.map(col): _*))
       .groupBy(col(keyCol), col("_salt"))
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(keyCol))
@@ -43,12 +50,14 @@ object Skew {
       .groupBy(col(keyCol))
       .agg(sum("_partial").as("n_distinct"))
 
-  /** Salted sum of a numeric column per key (same two-stage shape as
-    * [[saltedCount]]). Row-unique salt: salting on the value column would
-    * put a hot key with constant values back on a single reducer. */
+  /** Salted sum of a numeric column per key (same two-stage shape and
+    * deterministic full-row salt as [[saltedCount]] — see the stage-retry
+    * rationale and exact-duplicate-rows caveat there). Hashing ALL columns
+    * rather than just the value column means a hot key whose rows differ in
+    * any column still spreads even when the summed value is constant. */
   def saltedSum(df: DataFrame, keyCol: String, valueCol: String,
       buckets: Int = 16): DataFrame =
-    df.withColumn("_salt", salt(buckets, monotonically_increasing_id()))
+    df.withColumn("_salt", salt(buckets, df.columns.map(col): _*))
       .groupBy(col(keyCol), col("_salt"))
       .agg(sum(col(valueCol)).as("_partial"))
       .groupBy(col(keyCol))

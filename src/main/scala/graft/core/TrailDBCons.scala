@@ -188,6 +188,13 @@ object TrailOps {
     * event is visible (<= semantics). The right stream is first reduced
     * to one row per (uuid, time) — max of each value column — making the
     * result deterministic regardless of input order.
+    *
+    * The value columns travel as ONE struct through the window, so every
+    * asof_* output comes from the SAME matched right row — carrying each
+    * column independently with last(ignoreNulls) would resurrect a stale
+    * value from an older right row whenever the matched row holds NULL in
+    * one column, diverging from as-of semantics (the matched row's NULL
+    * must win).
     */
   def asOfJoin(left: DataFrame, right: DataFrame, valueCols: Seq[String],
       uuidCol: String = TrailSchema.UuidCol,
@@ -196,25 +203,28 @@ object TrailOps {
     val r = right.groupBy(col(uuidCol), col(timeCol))
       .agg(max(valueCols.head).as(valueCols.head),
         valueCols.tail.map(c => max(c).as(c)): _*)
+    val rStructType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType)))
     val leftCols = left.columns.toSeq
     val lTagged = left.select(
-      leftCols.map(col) ++
-      valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")) :+
+      leftCols.map(col) :+
+      lit(null).cast(rStructType).as("_r") :+
       lit(1).as("_is_l"): _*)
     val rTagged = r.select(
       leftCols.map(c =>
         if (c == uuidCol || c == timeCol) col(c)
-        else lit(null).cast(left.schema(c).dataType).as(c)) ++
-      valueCols.map(c => col(c).as(s"_r_$c")) :+
+        else lit(null).cast(left.schema(c).dataType).as(c)) :+
+      struct(valueCols.map(col): _*).as("_r") :+
       lit(0).as("_is_l"): _*)
     val w = Window.partitionBy(uuidCol)
       .orderBy(col(timeCol), col("_is_l"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = last(col("_r"), ignoreNulls = true).over(w)
     val carried = lTagged.unionByName(rTagged)
       .select(
         (leftCols.map(col) :+ col("_is_l")) ++
-        valueCols.map(c => last(col(s"_r_$c"), ignoreNulls = true).over(w)
-          .as(s"asof_$c")): _*)
+        valueCols.map(c => matched.getField(c).as(s"asof_$c")): _*)
     carried.filter(col("_is_l") === 1).drop("_is_l")
   }
 

@@ -83,9 +83,11 @@ object EventFilter {
 
   /** Parse the reference CLI filter grammar (tdbcli/filter.c:18-140):
     * whitespace separates OR'd terms, `&` separates AND'd clauses;
-    * `f=v` equality, `f!=v` negation, `f=` tests for the NULL/"" value.
-    * (The `=@file` indirection is intentionally not supported — pass the
-    * value directly.)
+    * `f=v` equality, `f!=v` negation, `f=` tests for the NULL/"" value,
+    * and `f=@path` / `f!=@path` reads the value from a file — the ENTIRE
+    * file content verbatim, trailing newline included (the reference mmaps
+    * st_size bytes, filter.c:45-59; an empty file is the NULL/"" value).
+    * There is no escape for a literal leading '@', matching the reference.
     */
   def parse(text: String): EventFilter = {
     val trimmed = text.trim
@@ -101,10 +103,23 @@ object EventFilter {
             require(i > 0, s"bad filter term '$tok'")
             (tok.substring(0, i), tok.substring(i + 2), true)
         }
-        Match(f, v, neg): Term
+        Match(f, resolveValue(v), neg): Term
       }
       Clause(terms.toIndexedSeq)
     }
     EventFilter(clauses.toIndexedSeq)
   }
+
+  /** `@path` value indirection (tdbcli/filter.c:45-59): the file's full
+    * content, read once at parse time on the driver (the reference reads it
+    * on the CLI host at parse time too — never inside query execution). */
+  private def resolveValue(v: String): String =
+    if (!v.startsWith("@")) v
+    else {
+      val path = v.substring(1)
+      require(path.nonEmpty, "filter: '=@' with an empty file path")
+      new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+    }
 }

@@ -7,18 +7,21 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Sequential-fold dot product of two float-array columns in double, as a
-  * native Catalyst expression. Semantically identical to the
-  * zip_with+aggregate builtin composition it replaces (same left-to-right
-  * double fold — bit-reproducible, matches a DuckDB DOUBLE[] fold), but one
-  * tight primitive loop per pair instead of materializing an intermediate
-  * product array and walking it with generic per-element evaluation. This
-  * sits in the innermost loop of every pairwise-similarity join (near-dup,
-  * knn), where the per-pair allocation dominates.
+  * native Catalyst expression. On DENSE, EQUAL-LENGTH arrays it is
+  * bit-identical to the zip_with+aggregate builtin composition it replaces
+  * (same left-to-right double fold — matches a DuckDB DOUBLE[] fold), but
+  * one tight primitive loop per pair instead of materializing an
+  * intermediate product array and walking it with generic per-element
+  * evaluation. This sits in the innermost loop of every pairwise-similarity
+  * join (near-dup, knn), where the per-pair allocation dominates.
+  *
+  * Divergence from the builtin fold on NON-dense inputs (not a supported
+  * shape — see the precondition on [[graft.ops.Similarity.dot]]): ragged
+  * arrays truncate to min length and null elements contribute 0, where the
+  * builtin would return NULL for the whole sum.
   *
   * doGenCode is a static call into [[VectorOps.dotF64]], so the surrounding
-  * whole-stage codegen span stays intact. Null ELEMENTS are treated as 0
-  * (embedding arrays are dense; the builtin fold would instead poison the
-  * whole sum to null — no verified dataset contains them).
+  * whole-stage codegen span stays intact.
   */
 case class DotF64(left: Expression, right: Expression) extends BinaryExpression {
 

@@ -179,30 +179,37 @@ object Dedup {
   /** Connected components over a near-dup pair list — the step that turns
     * pairwise matches into dedup CLUSTERS (keep one doc per component).
     *
-    * Min-label propagation: every node starts labeled with its own id; each
-    * round every node takes the min label among itself and its neighbors;
-    * converged when no label changes. Rounds = O(longest shortest-path in a
-    * component) — near-dup components are short chains in practice, so this
-    * terminates in a handful of rounds. Each round is two shuffles (a
-    * neighbor-min aggregation and a label join); lineage is cut per round
-    * with localCheckpoint so the plan doesn't grow unboundedly. For
-    * pathological long-chain graphs at extreme scale, the alternating
-    * large-star/small-star variant (Kiveris et al., SOCC'14) halves round
-    * count — not needed for dedup-shaped graphs.
+    * Min-label propagation with pointer jumping: every node starts labeled
+    * with its own id; each round every node takes the min label among
+    * itself and its neighbors, then follows one extra hop through the label
+    * table (comp := comp(comp)) — the pointer-jump halves the effective
+    * diameter each round, so even a pure path graph of diameter D converges
+    * in O(log D) rounds (vs O(D) for plain propagation; same idea as the
+    * alternating-star CC of Kiveris et al., SOCC'14). Each round is three
+    * shuffles (neighbor-min aggregation, label join, jump join); lineage is
+    * cut per round with localCheckpoint so the plan doesn't grow
+    * unboundedly. Convergence = zero labels changed in a round, detected by
+    * a count over the checkpointed round output — works for ANY orderable
+    * id type (a label-sum check would cast string ids to null / lose
+    * precision near 2^63). Non-convergence within maxIter throws rather
+    * than silently returning a partial labeling.
     *
     * Adaptive execution: a verified near-dup pair list is orders of
     * magnitude smaller than the corpus (that is the point of LSH), so when
-    * the symmetric edge list fits the driver (≤ `driverEdgeLimit` rows) a
-    * single-pass union-find replaces O(diameter) distributed rounds — one
-    * collect of the (small) pair table instead of 4-6 shuffle rounds.
-    * Beyond the limit, distributed min-label propagation runs; both paths
-    * produce the identical min-id-per-component labeling.
+    * the symmetric edge list fits the driver — BOTH ≤ `driverEdgeLimit`
+    * rows AND ≤ `driverEdgeBytesLimit` estimated bytes (string ids can make
+    * 5M rows gigabytes; the byte probe is one agg over the checkpointed
+    * edges) — a single-pass union-find replaces the distributed rounds.
+    * Beyond the limit, distributed propagation runs; both paths produce the
+    * identical min-id-per-component labeling (property-tested on random
+    * and path graphs in OpsSpec).
     *
     * Input: pairs with (aCol, bCol). Output: (id, cluster_id) for every id
     * appearing in any pair; cluster_id = min id of the component. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 50,
-      driverEdgeLimit: Long = 5000000L): DataFrame = {
+      driverEdgeLimit: Long = 5000000L,
+      driverEdgeBytesLimit: Long = 256L << 20): DataFrame = {
     // Symmetrize with ONE pass via explode — a union of (a→b) and (b→a)
     // branches would evaluate the (expensive) pair subplan once per branch.
     // Eager checkpoint: the edge list is consumed by at least two actions
@@ -211,27 +218,47 @@ object Dedup {
         struct(col(aCol).as("src"), col(bCol).as("dst")),
         struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
       .select(col("e.src"), col("e.dst")).distinct().localCheckpoint()
-    if (edges.count() <= driverEdgeLimit) return unionFindComponents(pairs.sparkSession, edges)
+    // Driver-bytes estimate: collected GenericRow + boxed values. For
+    // string ids add the actual UTF-8 payload; fixed ~48B/row overhead
+    // covers the numeric-id case.
+    val perRowBytes = edges.schema.head.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        lit(80L) + octet_length(col("src")) + octet_length(col("dst"))
+      case _ => lit(48L)
+    }
+    val probe = edges.agg(count(lit(1)).as("n"),
+      coalesce(sum(perRowBytes.cast("long")), lit(0L)).as("bytes")).head()
+    if (probe.getLong(0) <= driverEdgeLimit && probe.getLong(1) <= driverEdgeBytesLimit)
+      return unionFindComponents(pairs.sparkSession, edges)
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+      .withColumn("comp", col("id")).localCheckpoint()
     var round = 0
-    var prevSum = Long.MaxValue
-    while (round < maxIter) {
+    var converged = false
+    while (round < maxIter && !converged) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("comp").as("nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("comp").as("_prev"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("_c1"))
+      // Pointer jump: a label is itself a node id, so follow it one hop
+      // through the label table. Labels only ever decrease (least with the
+      // previous value), so the jump preserves the min-id fixpoint.
+      val next = stepped
+        .join(labels.select(col("id").as("_c1"), col("comp").as("_cj")),
+          Seq("_c1"), "left")
+        .select(col("id"), col("_prev"),
+          least(col("_c1"), coalesce(col("_cj"), col("_c1"))).as("comp"))
         .localCheckpoint()
+      val changed = next.filter(col("comp") =!= col("_prev")).count()
+      labels = next.select("id", "comp")
       round += 1
-      // Labels only ever decrease, so the label sum is strictly monotone:
-      // an unchanged sum IS convergence — one cheap agg over checkpointed
-      // data instead of a change-detection join.
-      val s = next.agg(sum("comp")).head().getLong(0)
-      labels = next
-      if (s == prevSum) round = maxIter else prevSum = s
+      converged = changed == 0L
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: no convergence after $maxIter pointer-jump " +
+        "rounds — component diameter exceeds 2^maxIter, which indicates a " +
+        "degenerate input graph")
     labels.select(col("id"), col("comp").as("cluster_id"))
   }
 

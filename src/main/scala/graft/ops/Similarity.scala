@@ -21,12 +21,19 @@ object Similarity {
     * (deterministic left-to-right order — bit-reproducible). Native codegen
     * expression: one primitive loop per pair, no intermediate array (this
     * is the innermost loop of every pairwise join; see
-    * [[graft.functions.DotF64]]). */
+    * [[graft.functions.DotF64]]).
+    *
+    * PRECONDITION: dense, equal-length arrays (every embedding column in
+    * this library). On ragged or null-element inputs this returns a number
+    * (truncates to min length, treats null elements as 0) where the builtin
+    * [[dotFold]] composition would return NULL — the bit-identical
+    * equivalence holds only on dense equal-length inputs. */
   def dot(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.dotF64(a, b)
 
   /** The builtin-composed fold [[dot]] replaced (kept for the equivalence
-    * spec — both must produce bit-identical doubles). */
+    * spec — bit-identical doubles on dense equal-length arrays; see the
+    * precondition on [[dot]] for the ragged/null divergence). */
   def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)

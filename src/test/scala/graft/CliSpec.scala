@@ -37,6 +37,34 @@ class CliSpec extends SparkSpec {
     Main.run(spark, "index", Seq("-i", s"$dir/merged"))
   }
 
+  test("flag values may start with '-'; a value-taking flag with no value fails loudly (r2 ADVICE)") {
+    val dir = Files.createTempDirectory("graft-cli-flags")
+    val csv = dir.resolve("in.csv")
+    Files.writeString(csv,
+      "uuid,time,etype\n" +
+      f"${1}%032x,100,-x\n" +   // field VALUE is the string "-x"
+      f"${1}%032x,200,ok\n")
+    Main.run(spark, "make", Seq("-o", s"$dir/db", "-c", csv.toString,
+      "-f", "etype", "--csv-header"))
+    // -F value starting with '-' must be consumed as the filter, not dropped
+    Main.run(spark, "dump", Seq("-i", s"$dir/db", "-F", "etype=-x",
+      "-o", s"$dir/dump", "--csv-header"))
+    val dumped = spark.read.option("header", "true").csv(s"$dir/dump")
+    assert(dumped.count() === 1)
+    assert(dumped.head().getAs[String]("etype") === "-x")
+    // -F followed by a known flag = missing value → loud error, NOT an
+    // unfiltered dump
+    val ex = intercept[RuntimeException] {
+      Main.run(spark, "dump", Seq("-i", s"$dir/db", "-F", "-o", s"$dir/bad"))
+    }
+    assert(ex.getMessage.contains("requires a value"))
+    // trailing value-taking flag with nothing after it → same loud error
+    val ex2 = intercept[RuntimeException] {
+      Main.run(spark, "dump", Seq("-i", s"$dir/db", "-F"))
+    }
+    assert(ex2.getMessage.contains("requires a value"))
+  }
+
   test("json dump: --json-no-empty drops empty values (op_dump.c:69-90)") {
     val dir = Files.createTempDirectory("graft-json")
     val csv = dir.resolve("in.csv")

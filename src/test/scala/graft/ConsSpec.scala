@@ -211,6 +211,20 @@ class ConsSpec extends SparkSpec {
     assert(first === "c@100") // max("a@100", "c@100")
   }
 
+  test("as-of join: NULL in the matched right row wins — no stale value resurrected (r2 ADVICE)") {
+    // right@200 is the match for left@300 and carries (va=NULL, vb=y):
+    // asof_va must be NULL, NOT the older row's 'old-a' — all asof_* columns
+    // come from the SAME matched row (struct carry)
+    val views = Seq(("u1", 300L, 1L)).toDF("uuid", "time", "seq")
+    val clicks = Seq(
+      ("u1", 100L, "old-a", "x"),
+      ("u1", 200L, null, "y")).toDF("uuid", "time", "va", "vb")
+    val got = graft.core.TrailOps.asOfJoin(views, clicks, Seq("va", "vb")).head()
+    assert(got.isNullAt(got.fieldIndex("asof_va")),
+      "matched row's NULL was overwritten by an older right row")
+    assert(got.getString(got.fieldIndex("asof_vb")) === "y")
+  }
+
   test("finalizing an empty cons writes a valid empty db (tdb_cons_finalize with 0 events)") {
     val dir = Files.createTempDirectory("graft-empty")
     val db = new TrailDBCons(spark, Seq("etype", "val"))

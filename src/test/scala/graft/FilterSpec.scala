@@ -86,6 +86,30 @@ class FilterSpec extends SparkSpec {
     assert(n(EventFilter.parse("")) === 0)         // empty text = match-none
   }
 
+  test("parser: =@file value indirection reads the whole file verbatim (tdbcli/filter.c:45-59)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-filter-at")
+    val vf = dir.resolve("value.txt")
+    java.nio.file.Files.writeString(vf, "foo") // no trailing newline
+    assert(EventFilter.parse(s"a=@$vf") ===
+      EventFilter(Seq(Clause(Seq(Match("a", "foo"))))))
+    assert(n(EventFilter.parse(s"a=@$vf")) === 3)
+    // negated indirection: a!=@file
+    assert(n(EventFilter.parse(s"a!=@$vf")) === 1)
+    // the reference mmaps st_size bytes — a trailing newline IS part of the
+    // value, and an empty file is the NULL/"" value
+    val nlf = dir.resolve("nl.txt")
+    java.nio.file.Files.writeString(nlf, "foo\n")
+    assert(EventFilter.parse(s"a=@$nlf") ===
+      EventFilter(Seq(Clause(Seq(Match("a", "foo\n"))))))
+    val empty = dir.resolve("empty.txt")
+    java.nio.file.Files.writeString(empty, "")
+    assert(n(EventFilter.parse(s"a=@$empty")) === 1) // a="" matches ev4 only
+    // missing file fails loudly at parse time
+    intercept[java.io.IOException] {
+      EventFilter.parse(s"a=@$dir/definitely-missing")
+    }
+  }
+
   test("db-level filter is a view; cursor filter composes (src/tdb_decode.c:140-181)") {
     val view = db.withFilter(EventFilter(Seq(Clause(Seq(Match("a", "foo"))))))
     assert(view.df.count() === 3)

@@ -235,6 +235,55 @@ class DedupSpec extends SparkSpec {
       uf.map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
+  test("connected components: distributed path works on STRING ids (r2 ADVICE: sum-based convergence NPE'd)") {
+    val pairs = Seq(("ant", "bee"), ("bee", "cat"), ("xen", "yak")).toDF("id_a", "id_b")
+    val expect = Map("ant" -> "ant", "bee" -> "ant", "cat" -> "ant",
+      "xen" -> "xen", "yak" -> "xen")
+    val uf = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(uf === expect)
+    val dist = Dedup.connectedComponents(pairs, driverEdgeLimit = 0L).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dist === expect)
+  }
+
+  test("connected components: 200-node path (diameter ≫ maxIter) converges via pointer jumping") {
+    // plain one-hop propagation needs 200 rounds; the pointer-jump variant
+    // halves effective diameter per round → ~8 rounds, well under maxIter
+    val path = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val dist = Dedup.connectedComponents(path, driverEdgeLimit = 0L, maxIter = 20)
+      .collect()
+    assert(dist.length === 201)
+    assert(dist.map(_.getLong(1)).distinct.toSeq === Seq(0L))
+  }
+
+  test("connected components property: distributed ≡ union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 50
+      val edges = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val df = edges.toDF("id_a", "id_b")
+      val uf = Dedup.connectedComponents(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Dedup.connectedComponents(df, driverEdgeLimit = 0L).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist === uf, s"trial $trial: distributed and union-find labelings differ")
+    }
+  }
+
+  test("connected components: byte-aware cutoff routes wide string edges to the distributed path") {
+    // 3 rows — under the row limit — but the byte limit forces distributed;
+    // result must be identical either way
+    val pairs = Seq(("a" * 200, "b" * 200), ("b" * 200, "c" * 200)).toDF("id_a", "id_b")
+    val viaBytes = Dedup.connectedComponents(pairs, driverEdgeBytesLimit = 100L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val viaDriver = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaBytes === viaDriver)
+    assert(viaBytes.values.toSet === Set("a" * 200))
+  }
+
   test("simhash64 on a non-array column fails at analysis time, not runtime") {
     val ex = intercept[org.apache.spark.sql.AnalysisException] {
       docs.select(graft.functions.GraftFunctions.simhash64($"text")).collect()
