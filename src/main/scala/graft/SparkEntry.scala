@@ -45,6 +45,32 @@ object SparkEntry {
   private def ordered(df: DataFrame): DataFrame =
     df.orderBy(TrailSchema.UuidCol, TrailSchema.TimeCol, TrailSchema.SeqCol)
 
+  /** Invariant summary for an ANN result vs the exact brute-force baseline
+    * (whose own oracle hash-matches DuckDB): one row of
+    * (n_queries, n_returned, hits_ok, ranked_ok) where n_queries and
+    * n_returned are DuckDB-recomputable, hits_ok floors the total count of
+    * ANN results that appear in the brute top-k, and ranked_ok asserts
+    * per-query cosine-descending rank order. The ANN bucket/cell layout is
+    * hash/model-specific; its CONTRACT is not. */
+  private def annInvariant(ann: DataFrame, brute: DataFrame, q: DataFrame,
+      minHits: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy("rank")
+    val annAgg = ann
+      .withColumn("_prev", lag("cosine", 1).over(w))
+      .join(brute.select("query_id", "corpus_id").withColumn("_b", lit(1L)),
+        Seq("query_id", "corpus_id"), "left")
+      .agg(
+        count(lit(1)).as("n_returned"),
+        coalesce(sum(col("_b")), lit(0L)).as("_hits"),
+        coalesce(sum(when(col("_prev") < col("cosine"), 1L).otherwise(0L)),
+          lit(0L)).as("_rank_bad"))
+    q.agg(count(lit(1)).as("n_queries")).crossJoin(annAgg)
+      .select(col("n_queries"), col("n_returned"),
+        (col("_hits") >= minHits).cast("long").as("hits_ok"),
+        (col("_rank_bad") === 0).cast("long").as("ranked_ok"))
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("t_sessionize")(spark, "/root/testdata/sf0.001")
@@ -408,26 +434,74 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "n_stopwords")
         .orderBy("doc_id")),
 
-    // MinHash+LSH near-dup pairs, exact-Jaccard-verified (no SQL oracle:
-    // hash-family specific; verified in DedupSpec against brute force).
-    // 64 hashes / 32 bands keeps r=2 rows per band (S-curve midpoint
-    // (1/32)^(1/2) ≈ 0.18, right under the 0.2 verify threshold) at half
-    // the signature cost of 128/64.
-    "d_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashDedupPairs(s.read.parquet(s"$dir/documents.parquet"),
-          threshold = 0.2, numHashes = 64, bands = 32, k = 3)
-        .orderBy("id_a", "id_b")),
+    // MinHash+LSH near-dup pairs, exact-Jaccard-verified. 64 hashes / 32
+    // bands keeps r=2 rows per band (S-curve midpoint (1/32)^(1/2) ≈ 0.18,
+    // right under the 0.2 verify threshold) at half the signature cost of
+    // 128/64. The output is the INVARIANT the hash family must satisfy —
+    // DuckDB cannot replay the permutations, but it CAN compute the exact
+    // ngram-Jaccard pair list, so the oracle checks: (a) n_exact matches,
+    // (b) every LSH pair is in the exact list (violations = 0), (c) recall
+    // ≥ 0.7 (measured 1.0 at sf 0.001/0.01/0.1 — RecallProbe).
+    "d_minhash_lsh" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val lsh = Dedup.minhashDedupPairs(docs, threshold = 0.2,
+        numHashes = 64, bands = 32, k = 3).select("id_a", "id_b")
+      // exact pair list is consumed twice (count + membership join)
+      val exact = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.2)
+        .select("id_a", "id_b").localCheckpoint()
+      val marked = lsh.join(exact.withColumn("_e", lit(1)),
+        Seq("id_a", "id_b"), "left")
+      val lshAgg = marked.agg(
+        count(lit(1)).as("_n_lsh"),
+        coalesce(sum(when(col("_e").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_violations"))
+      exact.agg(count(lit(1)).as("n_exact")).crossJoin(lshAgg)
+        .select(col("n_exact"), col("n_violations"),
+          ((col("_n_lsh") - col("n_violations")) * 10 >= col("n_exact") * 7)
+            .cast("long").as("recall_ok"))
+    }),
 
-    // SimHash near-dup pairs via native simhash64 expression + 4x16-bit
-    // banding (no SQL oracle: signature-specific; DedupSpec covers).
-    "d_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(s.read.parquet(s"$dir/documents.parquet"), maxHamming = 8)
-        .orderBy("id_a", "id_b")),
+    // SimHash via native simhash64 + 4x16-bit Manku banding. Invariant
+    // output (signature values are hash-specific, but their CONTRACT is
+    // not): union the corpus with an id-shifted copy of itself — every doc
+    // then has an exact duplicate, and banding GUARANTEES identical docs
+    // meet (identical signature ⇒ identical bands), so exactly n_docs
+    // self-pairs must surface at hamming 0, and no emitted pair may exceed
+    // maxHamming. DuckDB computes n_docs; the rest are exact equalities.
+    "d_simhash" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val off = 1000000000L
+      val corpus = docs.unionByName(
+        docs.select((col("doc_id") + off).as("doc_id"), col("text")))
+      val pairs = Dedup.simhashPairs(corpus, maxHamming = 8)
+      val agg = pairs.agg(
+        coalesce(sum(when(col("id_b") - col("id_a") === off &&
+          col("hamming") === 0, 1L).otherwise(0L)), lit(0L)).as("n_self_h0"),
+        coalesce(sum(when(col("hamming") > 8, 1L).otherwise(0L)), lit(0L))
+          .as("n_over_max"))
+      docs.agg(count(lit(1)).as("n_docs")).crossJoin(agg)
+        .select(col("n_docs"), col("n_self_h0"), col("n_over_max"))
+    }),
 
-    // Winnowing fingerprints (rolling-hash document signatures) — linear
-    // posexplode + sliding-window-min form.
+    // Winnowing fingerprints (Schleimer et al. SIGMOD'03). Per-doc
+    // invariant output: n_sh (distinct k=5 shingles — DuckDB recomputes it
+    // from the text, the same tokenization equivalence d_ngram_pairs
+    // already hash-proves), plus two structural flags the winnow CONTRACT
+    // forces: 1 ≤ |fp| ≤ max(n_sh − window + 1, 1), and fp ⊆ shingle
+    // hashes (every fingerprint IS a window-min shingle hash).
     "d_fingerprint" -> ((s, dir) =>
-      TextAnalysis.fingerprintStats(s.read.parquet(s"$dir/documents.parquet"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextAnalysis.shingleHashes(col("text"), 5).as("_sh"))
+        .select(col("doc_id"), col("_sh"),
+          graft.functions.GraftFunctions.winnow(col("_sh"), 4).as("_fp"))
+        .select(col("doc_id"),
+          size(col("_sh")).cast("long").as("n_sh"),
+          (size(col("_fp")) >= 1 &&
+            size(col("_fp")) <= greatest(size(col("_sh")) - lit(3), lit(1)))
+            .cast("long").as("fp_in_bounds"),
+          (size(array_except(col("_fp"), col("_sh"))) === 0)
+            .cast("long").as("fp_subset"))
         .orderBy("doc_id")),
 
     // Brute-force cosine top-k (exact ANN baseline).
@@ -438,24 +512,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // LSH-bucketed ANN (the scale path; recall vs brute force in
-    // SimilaritySpec — no SQL oracle, bucket layout is hash-specific).
+    // LSH-bucketed ANN (the scale path). Invariant output vs the brute
+    // baseline (whose own oracle hash-matches DuckDB): every query returns
+    // a full top-k, ranks are cosine-monotone, and total brute-top-3 hits
+    // meet a measured floor (RecallProbe: 10/30 at every sf; floor 6).
     "e_knn_lsh" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), k = 3, nPlanes = 6)
-        .withColumn("rank", col("rank").cast("long"))
-        .orderBy("query_id", "rank")
+      val q = emb.filter(col("vec_id") < 10)
+      annInvariant(
+        Similarity.lshKnn(emb, q, k = 3, nPlanes = 6),
+        Similarity.bruteForceKnn(emb, q, k = 3), q, minHits = 6)
     }),
 
-    // IVF ANN: K-Means coarse quantizer + nprobe cell search (rows-only:
-    // centroid assignment is model-specific; recall vs brute force in
-    // SimilaritySpec).
+    // IVF ANN: K-Means coarse quantizer + nprobe cell search. Same
+    // invariant shape as e_knn_lsh (RecallProbe: 14-18/30 hits; floor 9).
     "e_knn_ivf" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 10), k = 3,
-          nCells = 16, nprobe = 3)
-        .withColumn("rank", col("rank").cast("long"))
-        .orderBy("query_id", "rank")
+      val q = emb.filter(col("vec_id") < 10)
+      annInvariant(
+        Similarity.ivfKnn(emb, q, k = 3, nCells = 16, nprobe = 3),
+        Similarity.bruteForceKnn(emb, q, k = 3), q, minHits = 9)
     }),
 
     // Embedding cosine near-dup pairs, blocked by label.
@@ -464,12 +540,34 @@ object SparkEntry {
           threshold = 0.35, blockCol = Some("label"))
         .orderBy("id_a", "id_b")),
 
-    // LSH-blocked embedding near-dup — the scale path (rows-only: bucket
-    // layout is hash-specific; exact variant e_neardup is the oracle).
-    "e_neardup_lsh" -> ((s, dir) =>
-      Dedup.embeddingNearDupLsh(s.read.parquet(s"$dir/embeddings.parquet"),
-          threshold = 0.35, nPlanes = 6)
-        .orderBy("id_a", "id_b")),
+    // LSH-blocked embedding near-dup — the scale path. Invariant output vs
+    // the label-blocked exact variant (e_neardup, itself hash-oracled):
+    // same-label LSH pairs must be a SUBSET of the exact list (both sides
+    // cosine-filter with the same DotF64 fold, so the boundary is
+    // bit-identical) and recall ≥ 0.35 (RecallProbe at nPlanes=4:
+    // 0.71/0.58/0.54 across sf 0.001/0.01/0.1).
+    "e_neardup_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val lsh = Dedup.embeddingNearDupLsh(emb, threshold = 0.35, nPlanes = 4)
+        .select("id_a", "id_b")
+      val exact = Dedup.embeddingNearDup(emb, threshold = 0.35,
+        blockCol = Some("label")).select("id_a", "id_b").localCheckpoint()
+      val labels = emb.select(col("vec_id"), col("label"))
+      val sameLabel = lsh
+        .join(labels.select(col("vec_id").as("id_a"), col("label").as("_la")), "id_a")
+        .join(labels.select(col("vec_id").as("id_b"), col("label").as("_lb")), "id_b")
+        .filter(col("_la") === col("_lb")).select("id_a", "id_b")
+      val marked = sameLabel.join(exact.withColumn("_e", lit(1)),
+        Seq("id_a", "id_b"), "left")
+      val lshAgg = marked.agg(
+        count(lit(1)).as("_n_lsh"),
+        coalesce(sum(when(col("_e").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_violations"))
+      exact.agg(count(lit(1)).as("n_exact")).crossJoin(lshAgg)
+        .select(col("n_exact"), col("n_violations"),
+          ((col("_n_lsh") - col("n_violations")) * 100 >= col("n_exact") * 35)
+            .cast("long").as("recall_ok"))
+    }),
 
     // Multimodal: frame sampling plumbing (explode by duration metadata).
     "m_frames" -> ((s, dir) =>
@@ -492,13 +590,19 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
-    // Multimodal: stubbed decode + featurize via mapPartitions batches
-    // (no SQL oracle: FNV checksum is codec-side; MultimodalSpec covers).
-    "m_features" -> ((s, dir) =>
-      Multimodal.decodeAndFeaturize(s,
-          Multimodal.mediaFromDocuments(s.read.parquet(s"$dir/documents.parquet")))
-        .select("media_id", "kind", "n_bytes", "checksum")
-        .orderBy("media_id")),
+    // Multimodal: REAL COMPRESSED-format decode — synthesize QOI per doc
+    // (run-length + color-index + delta chunks), decompress in
+    // mapPartitions, per-channel means. The raster alternates gradient and
+    // constant rows, so DuckDB recomputes the exact means analytically
+    // from doc_id — a true oracle over a real compressed decode.
+    "m_features" -> ((s, dir) => {
+      val imgs = Multimodal.qoiMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet"))
+      Multimodal.decodeQoiImages(imgs, thumbSide = 2)
+        .select(col("media_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"))
+        .orderBy("media_id")
+    }),
 
     // ---- analytics (TPC-H-style) over the star schema ----
 
@@ -848,6 +952,52 @@ object SparkEntry {
         |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // Invariant oracle (hash-family-specific output): DuckDB recomputes the
+    // EXACT ngram-Jaccard pair list (same CTEs as d_ngram_pairs); the
+    // subset-violation count and recall floor are contract constants.
+    "d_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+        |    ELSE list_transform(range(1, len(l) - 3 + 2),
+        |                        i -> array_to_string(l[i:i+2], ' ')) END)) AS shingle
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |exact AS (SELECT id_a, id_b FROM cand
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+        |       CAST(0 AS BIGINT) AS n_violations,
+        |       CAST(1 AS BIGINT) AS recall_ok
+        |FROM exact""".stripMargin,
+
+    // Invariant oracle: identical docs (the id-shifted self-union) MUST
+    // collide at hamming 0 — n_self_h0 is exactly n_docs; nothing emitted
+    // may exceed maxHamming.
+    "d_simhash" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_self_h0,
+        |       CAST(0 AS BIGINT) AS n_over_max
+        |FROM documents""".stripMargin,
+
+    // Per-doc invariant oracle: n_sh = distinct k=5 word shingles (DuckDB
+    // recomputes from text; tokenization equivalence is hash-proven by
+    // d_ngram_pairs); the winnow contract flags are constants.
+    "d_fingerprint" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_distinct(
+        |    CASE WHEN len(l) < 5 THEN [array_to_string(l, ' ')]
+        |    ELSE list_transform(range(1, len(l) - 5 + 2),
+        |                        i -> array_to_string(l[i:i+4], ' ')) END)) AS BIGINT) AS n_sh,
+        |  CAST(1 AS BIGINT) AS fp_in_bounds,
+        |  CAST(1 AS BIGINT) AS fp_subset
+        |FROM toks ORDER BY doc_id""".stripMargin,
+
     "d_dedup_clusters" ->
       """WITH RECURSIVE
         |toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
@@ -1092,6 +1242,36 @@ object SparkEntry {
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // Invariant oracles for the ANN scale paths: n_queries/n_returned are
+    // recomputed; the hit floor and rank monotonicity are contract
+    // constants (floors measured by tools.RecallProbe across sf).
+    "e_knn_lsh" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |       CAST(3 * count(*) AS BIGINT) AS n_returned,
+        |       CAST(1 AS BIGINT) AS hits_ok,
+        |       CAST(1 AS BIGINT) AS ranked_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "e_knn_ivf" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |       CAST(3 * count(*) AS BIGINT) AS n_returned,
+        |       CAST(1 AS BIGINT) AS hits_ok,
+        |       CAST(1 AS BIGINT) AS ranked_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // Invariant oracle: DuckDB recomputes the label-blocked exact pair
+    // count (same expression as e_neardup); subset violations and the
+    // recall floor are contract constants.
+    "e_neardup_lsh" ->
+      """WITH exact AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+        |       CAST(0 AS BIGINT) AS n_violations,
+        |       CAST(1 AS BIGINT) AS recall_ok
+        |FROM exact""".stripMargin,
+
     "m_decode" ->
       """SELECT doc_id AS media_id,
         |  CAST(4 + doc_id % 5 AS INT) AS width,
@@ -1103,6 +1283,22 @@ object SparkEntry {
         |      y -> (y * 255) // (2 + doc_id % 4))) AS DOUBLE)
         |    / (3 + doc_id % 4) AS mean_g
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // Analytic oracle for the QOI decode: even rows carry an x-gradient in
+    // r and a y-gradient in g; odd rows are constant (r=200, g=10). Means
+    // are exact integer sums over those closed forms, divided once.
+    "m_features" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  5 + doc_id % 6 AS w, 4 + doc_id % 5 AS h FROM documents)
+        |SELECT media_id,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(((h + 1) // 2) * list_sum(list_transform(range(0, w),
+        |         x -> (x * 255) // (w - 1)))
+        |       + (h // 2) * w * 200 AS DOUBLE) / (w * h) AS mean_r,
+        |  CAST(list_sum(list_transform(range(0, h),
+        |         y -> CASE WHEN y % 2 = 0 THEN w * ((y * 255) // (h - 1))
+        |              ELSE w * 10 END)) AS DOUBLE) / (w * h) AS mean_g
+        |FROM m ORDER BY media_id""".stripMargin,
 
     "m_frames" ->
       """WITH m AS (SELECT doc_id AS media_id,

@@ -8,20 +8,148 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus decode / feature-extract / resize /
   * frame-sample operators.
   *
-  * Decode comes in two tiers:
-  *  - UNCOMPRESSED formats are decoded FOR REAL in pure Scala —
-  *    [[decodeImages]] parses binary PPM (P6) rasters end-to-end (header,
-  *    raster, per-channel stats, nearest-neighbor thumbnail), no external
-  *    codec needed.
-  *  - COMPRESSED codecs (JPEG/MP3/H.264) are STUBBED with a deterministic
-  *    fake in [[decodeAndFeaturize]] (this container has no codec
-  *    libraries — in a PySpark deployment the stub body becomes a Pandas
-  *    UDF over mapInPandas with the same row contract; in Scala, a JNI
-  *    codec inside the same mapPartitions). The Spark-side plumbing
-  *    (schema, batch shape, partitioning, operator signatures) is real and
-  *    tested in both tiers.
+  * Image decode is REAL in both tiers, pure Scala, zero external codecs:
+  *  - UNCOMPRESSED: [[decodeImages]] parses binary PPM (P6) rasters end to
+  *    end (header, raster, per-channel stats, nearest-neighbor thumbnail).
+  *  - COMPRESSED: [[decodeQoiImages]] decompresses QOI streams (run-length,
+  *    64-slot color index, delta/luma chunks — the real decode loop of a
+  *    compressed format) through the same batch-per-partition contract.
+  * Heavyweight codecs (JPEG/MP3/H.264) are out of scope for this container
+  * (no codec libraries); in a PySpark deployment the same mapPartitions
+  * row contract becomes a Pandas UDF over mapInPandas, in Scala a JNI
+  * codec opened once per partition — the Spark-side plumbing (schema,
+  * batch shape, partitioning, operator signatures) is identical to what
+  * [[Qoi]] exercises for real.
   */
 object Multimodal {
+
+  // ---- real decode tier 2: QOI (compressed) ----
+
+  /** Minimal QOI codec (the "Quite OK Image" format, public spec at
+    * qoiformat.org) — a REAL compressed image format with run-length,
+    * 64-slot color-index, delta (DIFF) and luma-delta (LUMA) chunk types,
+    * implemented from the one-page public spec with zero external
+    * dependencies. 3-channel (RGB, alpha fixed 255) subset. */
+  object Qoi {
+    private final val OpIndex = 0x00
+    private final val OpDiff  = 0x40
+    private final val OpLuma  = 0x80
+    private final val OpRun   = 0xc0
+    private final val OpRgb   = 0xfe
+
+    private def hash(r: Int, g: Int, b: Int, a: Int): Int =
+      (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+    def encode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == w * h * 3, s"raster ${rgb.length} != ${w * h * 3}")
+      val out = new java.io.ByteArrayOutputStream(rgb.length / 2 + 32)
+      out.write('q'); out.write('o'); out.write('i'); out.write('f')
+      def be32(v: Int): Unit = {
+        out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+        out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+      }
+      be32(w); be32(h)
+      out.write(3) // channels
+      out.write(0) // colorspace: sRGB
+      // index slots start as {0,0,0,0}; our pixels carry a=255, so packing
+      // WITH alpha makes the zero-initialized slots never falsely match.
+      val index = new Array[Int](64)
+      var (pr, pg, pb) = (0, 0, 0)
+      var run = 0
+      var p = 0
+      while (p < rgb.length) {
+        val r = rgb(p) & 0xff; val g = rgb(p + 1) & 0xff; val b = rgb(p + 2) & 0xff
+        if (r == pr && g == pg && b == pb) {
+          run += 1
+          if (run == 62) { out.write(OpRun | (run - 1)); run = 0 }
+        } else {
+          if (run > 0) { out.write(OpRun | (run - 1)); run = 0 }
+          val packed = (r << 24) | (g << 16) | (b << 8) | 255
+          val ix = hash(r, g, b, 255)
+          if (index(ix) == packed) out.write(OpIndex | ix)
+          else {
+            index(ix) = packed
+            // wrapping 8-bit diffs, per spec ("differences ... wrap around")
+            val dr = ((r - pr + 128) & 0xff) - 128
+            val dg = ((g - pg + 128) & 0xff) - 128
+            val db = ((b - pb + 128) & 0xff) - 128
+            if (dr >= -2 && dr <= 1 && dg >= -2 && dg <= 1 && db >= -2 && db <= 1)
+              out.write(OpDiff | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            else if (dg >= -32 && dg <= 31 &&
+                dr - dg >= -8 && dr - dg <= 7 && db - dg >= -8 && db - dg <= 7) {
+              out.write(OpLuma | (dg + 32))
+              out.write(((dr - dg + 8) << 4) | (db - dg + 8))
+            } else {
+              out.write(OpRgb); out.write(r); out.write(g); out.write(b)
+            }
+          }
+          pr = r; pg = g; pb = b
+        }
+        p += 3
+      }
+      if (run > 0) out.write(OpRun | (run - 1))
+      var z = 0
+      while (z < 7) { out.write(0); z += 1 }
+      out.write(1) // end marker
+      out.toByteArray
+    }
+
+    /** Decode a 3-channel QOI stream → (width, height, raster). Throws on
+      * malformed input (callers choose skip-vs-fail). */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(bytes.length >= 14 + 8, "truncated qoi")
+      require(bytes(0) == 'q' && bytes(1) == 'o' && bytes(2) == 'i' &&
+        bytes(3) == 'f', "not a qoi stream")
+      def be32(o: Int): Int =
+        ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+        ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+      val w = be32(4); val h = be32(8)
+      require(bytes(12) == 3, s"unsupported channels ${bytes(12)}")
+      require(w > 0 && h > 0 && w.toLong * h * 3 < Int.MaxValue, "bad dims")
+      val raster = new Array[Byte](w * h * 3)
+      val index = new Array[Int](64)
+      var (r, g, b) = (0, 0, 0)
+      var i = 14
+      var p = 0
+      val end = bytes.length - 8 // trailing 7x00 + 01 marker
+      while (p < raster.length && i < end) {
+        val b1 = bytes(i) & 0xff; i += 1
+        if (b1 == OpRgb) {
+          r = bytes(i) & 0xff; g = bytes(i + 1) & 0xff; b = bytes(i + 2) & 0xff
+          i += 3
+          index(hash(r, g, b, 255)) = (r << 24) | (g << 16) | (b << 8) | 255
+        } else (b1 & 0xc0) match {
+          case OpIndex =>
+            val v = index(b1 & 0x3f)
+            r = (v >>> 24) & 0xff; g = (v >>> 16) & 0xff; b = (v >>> 8) & 0xff
+          case OpDiff =>
+            r = (r + ((b1 >> 4) & 0x03) - 2) & 0xff
+            g = (g + ((b1 >> 2) & 0x03) - 2) & 0xff
+            b = (b + (b1 & 0x03) - 2) & 0xff
+            index(hash(r, g, b, 255)) = (r << 24) | (g << 16) | (b << 8) | 255
+          case OpLuma =>
+            val dg = (b1 & 0x3f) - 32
+            val b2 = bytes(i) & 0xff; i += 1
+            r = (r + dg + ((b2 >> 4) & 0x0f) - 8) & 0xff
+            g = (g + dg) & 0xff
+            b = (b + dg + (b2 & 0x0f) - 8) & 0xff
+            index(hash(r, g, b, 255)) = (r << 24) | (g << 16) | (b << 8) | 255
+          case OpRun =>
+            var run = (b1 & 0x3f) // run-1; the current pixel repeats run+1
+            while (run > 0 && p < raster.length) {
+              raster(p) = r.toByte; raster(p + 1) = g.toByte; raster(p + 2) = b.toByte
+              p += 3; run -= 1
+            }
+        }
+        if (p < raster.length) {
+          raster(p) = r.toByte; raster(p + 1) = g.toByte; raster(p + 2) = b.toByte
+          p += 3
+        }
+      }
+      require(p == raster.length, s"qoi raster short: $p of ${raster.length}")
+      (w, h, raster)
+    }
+  }
 
   /** Canonical media-table schema: opaque bytes + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -48,44 +176,6 @@ object Multimodal {
         (pmod(col("doc_id"), lit(48)) * 16 + 16).cast("int").as("height"),
         lit(16000).as("sample_rate"),
         (col("n_chars") * 10).cast("long").as("duration_ms")).as("meta"))
-
-  final case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
-      width: Int, height: Int, duration_ms: Long)
-  final case class DecodedRow(media_id: Long, kind: String, n_bytes: Long,
-      checksum: Long, feature: Array[Float])
-
-  /** STUB decode: a real implementation would inflate `bytes` with an image/
-    * audio codec here. The deterministic fake derives a per-chunk checksum
-    * and a fixed-width feature vector from the raw bytes, preserving the
-    * real operator's contract: binary in → fixed-schema features out,
-    * batch-at-a-time per partition, no driver involvement. */
-  def decodeAndFeaturize(spark: SparkSession, media: DataFrame,
-      featureDim: Int = 16): DataFrame = {
-    import spark.implicits._
-    val flat = media.select(col("media_id"), col("kind"), col("bytes"),
-        col("meta.width"), col("meta.height"), col("meta.duration_ms"))
-      .as[MediaRow]
-    flat.mapPartitions { it =>
-      // Batch shape: one partition = one codec session (a real codec would
-      // be opened once here, amortized across the partition's rows).
-      it.map { m =>
-        val bytes = m.bytes
-        var checksum = 1469598103934665603L // FNV-1a 64
-        var i = 0
-        while (i < bytes.length) {
-          checksum = (checksum ^ (bytes(i) & 0xffL)) * 1099511628211L
-          i += 1
-        }
-        val feature = new Array[Float](featureDim)
-        i = 0
-        while (i < bytes.length) {
-          feature(i % featureDim) += (bytes(i) & 0xff) / 255.0f
-          i += 1
-        }
-        DecodedRow(m.media_id, m.kind, bytes.length.toLong, checksum, feature)
-      }
-    }.toDF()
-  }
 
   // ---- real decode tier: binary PPM (P6) ----
 
@@ -161,23 +251,60 @@ object Multimodal {
     }.toDF("media_id", "bytes")
   }
 
+  /** Synthesize a REAL QOI image per document: deterministic raster sized
+    * from doc_id, alternating gradient rows (exercising RGB chunks) with
+    * constant rows (exercising RUN and INDEX chunks), QOI-encoded. The
+    * row-mean structure stays analytically computable, so the decode query
+    * has a true DuckDB oracle over a real COMPRESSED-format decode. */
+  def qoiMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = 5 + (id % 6).toInt
+      val h = 4 + (id % 5).toInt
+      val rgb = new Array[Byte](w * h * 3)
+      var p = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          if (y % 2 == 0) {
+            var z = id * 1000003L + y * 131L + x
+            z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+            rgb(p) = ((x * 255) / (w - 1)).toByte
+            rgb(p + 1) = ((y * 255) / (h - 1)).toByte
+            rgb(p + 2) = (z & 0xff).toByte
+          } else {
+            rgb(p) = 200.toByte
+            rgb(p + 1) = 10.toByte
+            rgb(p + 2) = ((y * 7) & 0xff).toByte
+          }
+          p += 3; x += 1
+        }
+        y += 1
+      }
+      (id, Qoi.encode(w, h, rgb))
+    }.toDF("media_id", "bytes")
+  }
+
   final case class ImageRow(media_id: Long, bytes: Array[Byte])
   final case class DecodedImage(media_id: Long, width: Int, height: Int,
       mean_r: Double, mean_g: Double, mean_b: Double, thumb: Array[Float])
 
   /** REAL image decode + feature extraction + resize, batch-at-a-time per
-    * partition: parse the P6 raster, per-channel means (exact integer sums
-    * → one IEEE division), and a `thumbSide`² nearest-neighbor RGB
-    * thumbnail normalized to [0,1]. `skipMalformed` mirrors CSV
+    * partition: parse the raster via `decoder`, per-channel means (exact
+    * integer sums → one IEEE division), and a `thumbSide`² nearest-neighbor
+    * RGB thumbnail normalized to [0,1]. `skipMalformed` mirrors CSV
     * DROPMALFORMED: corrupt blobs are dropped instead of failing the job. */
-  def decodeImages(media: DataFrame, thumbSide: Int = 2,
-      skipMalformed: Boolean = true): DataFrame = {
+  private def decodeImagesWith(media: DataFrame,
+      decoder: Array[Byte] => (Int, Int, Array[Byte]),
+      thumbSide: Int, skipMalformed: Boolean): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("bytes")).as[ImageRow].mapPartitions { it =>
       it.flatMap { m =>
         try {
-          val (w, h, raster) = Ppm.decode(m.bytes)
+          val (w, h, raster) = decoder(m.bytes)
           var (sr, sg, sb) = (0L, 0L, 0L)
           var p = 0
           while (p < raster.length) {
@@ -210,6 +337,17 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  /** Binary-PPM (P6) decode — the uncompressed tier. */
+  def decodeImages(media: DataFrame, thumbSide: Int = 2,
+      skipMalformed: Boolean = true): DataFrame =
+    decodeImagesWith(media, Ppm.decode, thumbSide, skipMalformed)
+
+  /** QOI decode — the compressed tier (run-length + index + delta chunks,
+    * see [[Qoi]]). Same output contract as [[decodeImages]]. */
+  def decodeQoiImages(media: DataFrame, thumbSide: Int = 2,
+      skipMalformed: Boolean = true): DataFrame =
+    decodeImagesWith(media, Qoi.decode, thumbSide, skipMalformed)
 
   /** Resize: pure metadata transform (the byte transform is the codec's job
     * and stays behind the stub boundary). */

@@ -1,0 +1,98 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** One-off measurement harness for picking the recall floors baked into the
+  * invariant oracles of the hash-family-specific queries (d_minhash_lsh,
+  * e_knn_lsh, e_knn_ivf, e_neardup_lsh). Prints observed recalls per sf dir
+  * so the floors in SparkEntry are set with measured margin, not guessed. */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[32]").appName("graft-recall-probe")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+    // d_minhash_lsh vs exact ngram pairs (threshold 0.2, 64/32, k=3)
+    val lshPairs = Dedup.minhashDedupPairs(docs, threshold = 0.2,
+      numHashes = 64, bands = 32, k = 3).select("id_a", "id_b")
+    val exactPairs = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.2)
+      .select("id_a", "id_b")
+    val nExact = exactPairs.count()
+    val nLsh = lshPairs.count()
+    val nViol = lshPairs.join(exactPairs, Seq("id_a", "id_b"), "left_anti").count()
+    println(s"[probe] minhash_lsh: n_exact=$nExact n_lsh=$nLsh violations=$nViol " +
+      s"recall=${(nLsh - nViol).toDouble / math.max(nExact, 1)}")
+
+    // e_knn_{lsh,ivf} recall@3 vs brute per query
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceKnn(emb, q, k = 3)
+      .select("query_id", "corpus_id")
+    for ((name, ann) <- Seq(
+        "knn_lsh" -> Similarity.lshKnn(emb, q, k = 3, nPlanes = 6),
+        "knn_ivf" -> Similarity.ivfKnn(emb, q, k = 3, nCells = 16, nprobe = 3))) {
+      val perQ = ann.select("query_id", "corpus_id")
+        .join(brute.withColumn("_hit", lit(1)), Seq("query_id", "corpus_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_ret"), sum(coalesce(col("_hit"), lit(0))).as("n_hit"))
+        .collect()
+      val minRet = if (perQ.isEmpty) 0L else perQ.map(_.getLong(1)).min
+      val minHit = if (perQ.isEmpty) 0L else perQ.map(_.getLong(2)).min
+      println(s"[probe] $name: queries=${perQ.length} min_returned=$minRet " +
+        s"min_hits=$minHit hits=${perQ.map(_.getLong(2)).sorted.mkString(",")}")
+    }
+
+    // e_neardup_lsh vs label-blocked exact (threshold 0.35), plane sweep
+    val exactNd = Dedup.embeddingNearDup(emb, threshold = 0.35,
+      blockCol = Some("label")).select("id_a", "id_b")
+    val labels = emb.select(col("vec_id"), col("label"))
+    val nExactNd = exactNd.count()
+    for (np <- Seq(4, 5, 6)) {
+      val lshNd = Dedup.embeddingNearDupLsh(emb, threshold = 0.35, nPlanes = np)
+        .select("id_a", "id_b")
+      val lshSameLabel = lshNd
+        .join(labels.select(col("vec_id").as("id_a"), col("label").as("la")), "id_a")
+        .join(labels.select(col("vec_id").as("id_b"), col("label").as("lb")), "id_b")
+        .filter(col("la") === col("lb")).select("id_a", "id_b")
+      val nSame = lshSameLabel.count()
+      val nViolNd = lshSameLabel.join(exactNd, Seq("id_a", "id_b"), "left_anti").count()
+      println(s"[probe] neardup_lsh(np=$np): n_exact_lb=$nExactNd n_lsh_same_label=$nSame " +
+        s"violations=$nViolNd recall=${(nSame - nViolNd).toDouble / math.max(nExactNd, 1)}")
+    }
+
+    // d_simhash: identical-text pairs all found at hamming 0
+    val sim = Dedup.simhashPairs(docs, maxHamming = 8)
+    val byText = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val dupPairs = byText.as("a").join(byText.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val nDup = dupPairs.count()
+    val nDupH0 = dupPairs.join(sim.filter(col("hamming") === 0)
+      .select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi").count()
+    println(s"[probe] simhash: identical_pairs=$nDup found_h0=$nDupH0 " +
+      s"over_max=${sim.filter(col("hamming") > 8).count()}")
+
+    // d_fingerprint: identical-text docs share identical fingerprint sets
+    val fp = docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("h"),
+      graft.functions.GraftFunctions.winnow(
+        TextAnalysis.shingleHashes(col("text"), 5), 4).as("fp"))
+    val grp = fp.groupBy("h").agg(count(lit(1)).as("n"),
+        count_distinct(col("fp")).as("nfp"))
+      .filter(col("n") > 1)
+    val nGroups = grp.count()
+    val nConsistent = grp.filter(col("nfp") === 1).count()
+    println(s"[probe] fingerprint: dup_groups=$nGroups consistent=$nConsistent")
+
+    spark.stop()
+  }
+}

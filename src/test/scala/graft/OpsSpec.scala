@@ -386,15 +386,64 @@ class MultimodalSpec extends SparkSpec {
       === Set("image", "audio", "video"))
   }
 
-  test("decode stub produces fixed-width features and stable checksums") {
-    val out = Multimodal.decodeAndFeaturize(spark, media.limit(10), featureDim = 16)
-    val rows = out.collect()
-    assert(rows.length === 10)
-    assert(rows.forall(_.getAs[Seq[Float]]("feature").length == 16))
-    // deterministic: run twice, same checksums
-    val again = Multimodal.decodeAndFeaturize(spark, media.limit(10), featureDim = 16)
-      .select("media_id", "checksum").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    rows.foreach(r => assert(again(r.getAs[Long]("media_id")) === r.getAs[Long]("checksum")))
+  test("QOI roundtrip: every chunk type (RUN/INDEX/DIFF/LUMA/RGB) survives encode→decode") {
+    // random walks with small channel deltas exercise DIFF and LUMA;
+    // constant stretches exercise RUN; color revisits exercise INDEX;
+    // jumps exercise RGB. Decode must reproduce the raster byte-for-byte.
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 10) {
+      val w = 1 + rnd.nextInt(24); val h = 1 + rnd.nextInt(24)
+      val rgb = new Array[Byte](w * h * 3)
+      var (r, g, b) = (rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256))
+      var p = 0
+      while (p < rgb.length) {
+        rnd.nextInt(5) match {
+          case 0 => // stay: run material
+          case 1 => r = (r + rnd.nextInt(4) - 2) & 0xff        // DIFF range
+            g = (g + rnd.nextInt(4) - 2) & 0xff
+            b = (b + rnd.nextInt(4) - 2) & 0xff
+          case 2 => val dg = rnd.nextInt(64) - 32              // LUMA range
+            r = (r + dg + rnd.nextInt(16) - 8) & 0xff
+            g = (g + dg) & 0xff
+            b = (b + dg + rnd.nextInt(16) - 8) & 0xff
+          case 3 => r = rnd.nextInt(256); g = rnd.nextInt(256); b = rnd.nextInt(256)
+          case 4 => r = 17; g = 34; b = 51                     // revisit: INDEX
+        }
+        rgb(p) = r.toByte; rgb(p + 1) = g.toByte; rgb(p + 2) = b.toByte
+        p += 3
+      }
+      val encoded = Multimodal.Qoi.encode(w, h, rgb)
+      val (dw, dh, raster) = Multimodal.Qoi.decode(encoded)
+      assert((dw, dh) === (w, h), s"trial $trial dims")
+      assert(raster.toSeq === rgb.toSeq, s"trial $trial raster")
+    }
+    // long constant image: runs chunked at the 62-pixel spec cap
+    val flat = Array.fill(300 * 3)(42.toByte)
+    val (fw, fh, fr) = Multimodal.Qoi.decode(Multimodal.Qoi.encode(300, 1, flat))
+    assert((fw, fh) === (300, 1) && fr.toSeq === flat.toSeq)
+  }
+
+  test("QOI corpus decode: compressed end-to-end with malformed-skip semantics") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val imgs = Multimodal.qoiMediaFromDocuments(docs)
+    val dec = Multimodal.decodeQoiImages(imgs, thumbSide = 2)
+    assert(dec.count() === 50)
+    val r0 = dec.orderBy("media_id").head()
+    val (w, h) = (r0.getAs[Int]("width"), r0.getAs[Int]("height"))
+    assert(w >= 5 && w <= 10 && h >= 4 && h <= 8)
+    // doc 0: even-row r gradient mean + odd-row constant 200
+    val id = r0.getAs[Long]("media_id")
+    val (ww, hh) = (5 + (id % 6).toInt, 4 + (id % 5).toInt)
+    val gradSum = (0 until ww).map(x => (x * 255) / (ww - 1)).sum
+    val expMeanR = (((hh + 1) / 2) * gradSum + (hh / 2) * ww * 200).toDouble / (ww * hh)
+    assert(r0.getAs[Double]("mean_r") === expMeanR)
+    // malformed blobs skipped, loud on request
+    val bad = imgs.limit(1).union(
+      Seq((999L, "nope".getBytes)).toDF("media_id", "bytes"))
+    assert(Multimodal.decodeQoiImages(bad).count() === 1)
+    assertThrows[org.apache.spark.SparkException](
+      Multimodal.decodeQoiImages(bad, skipMalformed = false).collect())
   }
 
   test("real PPM decode: encode→decode round-trips, stats and thumbnail exact") {
