@@ -157,14 +157,20 @@ object SparkEntry {
       TrailOps.multiCursor(shards).select("uuid", "time", "event_type", "props", "seq")
     }),
 
-    // A1: db metadata — num_trails/num_events/min/max timestamp (info file).
+    // A1: db metadata — num_trails/num_events/min/max timestamp. Finalize
+    // writes the `info` sidecar (tdb_encode.c:191-216) and open() reads it
+    // back (tdb.c:677-700), so the answer is a driver-side lookup — the
+    // result DataFrame is a literal row, NO scan (spec-asserted in
+    // ConsSpec). The DuckDB oracle recomputes the same numbers from the
+    // raw events, proving the sidecar content, not just echoing it.
     "t_metadata" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-q").resolve("db").toString
       val t = trails(s, dir)
-      t.df.agg(
-        countDistinct(col("uuid")).as("num_trails"),
-        count(lit(1)).as("num_events"),
-        min("time").as("min_time"),
-        max("time").as("max_time"))
+      val db = new graft.core.TrailDBCons(s, Seq("event_type", "props"))
+        .add(t.df).finalizeTo(path, 8)
+      import s.implicits._
+      Seq((db.numTrails, db.numEvents, db.timeRange._1, db.timeRange._2))
+        .toDF("num_trails", "num_events", "min_time", "max_time")
     }),
 
     // A2/F3: lexicon — distinct values of a field, sorted ("" excluded, it

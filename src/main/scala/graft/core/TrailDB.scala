@@ -23,7 +23,12 @@ final class TrailDB private (
     val dbFilter: Option[EventFilter],
     /** Partition granularity when opened over a time-partitioned layout
       * (finalizePartitioned) — enables partition pruning for time ranges. */
-    val bucketSeconds: Option[Long] = None) {
+    val bucketSeconds: Option[Long] = None,
+    /** Persisted finalize-time metadata (the reference's `info` file) —
+      * present only on a pristine [[TrailDB.open]] handle; any derived view
+      * (filter/whitelist/restrict) drops it and falls back to scans, since
+      * its counts describe the FULL table. */
+    val info: Option[TrailInfo] = None) {
 
   /** User field names (excludes uuid/time/seq). */
   val fields: Seq[String] = TrailSchema.userFields(base.schema)
@@ -160,15 +165,21 @@ final class TrailDB private (
   }
 
   // ---- metadata (reference: src/tdb.c:677-700, persisted info file) ----
+  // Answered from the finalize-time sidecar when this is a pristine open
+  // handle — a driver-side lookup instead of a 100 TB distinct/scan. Views
+  // (filter/whitelist) have no `info` and compute over their visible rows.
 
-  def numTrails: Long = df.select(TrailSchema.UuidCol).distinct().count()
-  def numEvents: Long = df.count()
+  def numTrails: Long =
+    info.map(_.numTrails).getOrElse(
+      df.select(TrailSchema.UuidCol).distinct().count())
+  def numEvents: Long = info.map(_.numEvents).getOrElse(df.count())
   def numFields: Int  = fields.size + 1 // field 0 is implicit time (src/tdb.c:193)
 
-  def timeRange: (Long, Long) = {
-    val r = df.agg(min(TrailSchema.TimeCol), max(TrailSchema.TimeCol)).head()
-    if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
-  }
+  def timeRange: (Long, Long) =
+    info.map(i => (i.minTime, i.maxTime)).getOrElse {
+      val r = df.agg(min(TrailSchema.TimeCol), max(TrailSchema.TimeCol)).head()
+      if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+    }
 
   /** Distinct values of a field, the reference lexicon (src/tdb.c:106-140).
     * NULL and "" collapse to the single NULL value, matching val 0. */
@@ -223,11 +234,28 @@ final case class CursorEvent(uuid: String, time: Long, seq: Long,
 
 object TrailDB {
   /** Open a finalized trail table (reference: tdb_open, src/tdb.c:298-393).
-    * Pass `bucketSeconds` when the table was written with
-    * [[TrailDBCons.finalizePartitioned]] to enable time-partition pruning. */
+    * Reads the `_graft_info.json` metadata sidecar when present (reference:
+    * info file read at src/tdb.c:677-700) so numTrails/numEvents/timeRange
+    * are driver-side lookups; a db without one (e.g. a bare parquet dir)
+    * falls back to scans. `bucketSeconds` comes from the sidecar for
+    * [[TrailDBCons.finalizePartitioned]] layouts, or can be passed
+    * explicitly for sidecar-less dirs. */
   def open(spark: SparkSession, path: String,
-      bucketSeconds: Option[Long] = None): TrailDB =
-    new TrailDB(spark, spark.read.parquet(path), None, bucketSeconds)
+      bucketSeconds: Option[Long] = None): TrailDB = {
+    val info = TrailInfo.read(spark, path)
+    new TrailDB(spark, spark.read.parquet(path), None,
+      bucketSeconds.orElse(info.flatMap(_.bucketSeconds)), info)
+  }
+
+  /** Open a bucketed catalog table written by
+    * [[TrailDBCons.finalizeToTable]], reading the metadata sidecar from the
+    * table's location. */
+  def openTable(spark: SparkSession, tableName: String): TrailDB = {
+    val location = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(tableName)).location.toString
+    new TrailDB(spark, spark.table(tableName), None, None,
+      TrailInfo.read(spark, location))
+  }
 
   /** Wrap an already-normalized trail DataFrame (uuid/time/seq + string fields). */
   def fromTrailFrame(df: DataFrame): TrailDB = {

@@ -111,6 +111,11 @@ final class TrailDBCons(val spark: SparkSession, val fields: Seq[String]) {
     df.repartition(parts, col(TrailSchema.UuidCol))
       .sortWithinPartitions(TrailSchema.UuidCol, TrailSchema.TimeCol, TrailSchema.SeqCol)
       .write.mode(SaveMode.Overwrite).parquet(path)
+    // The `info` sidecar (reference: tdb_encode.c:191-216): one stats pass
+    // over the just-written columnar data — the only shuffle is the exact
+    // trail count, paid once here so it is never paid on the query path.
+    TrailInfo.write(spark, path,
+      TrailInfo.compute(spark.read.parquet(path), fields))
     TrailDB.open(spark, path)
   }
 
@@ -138,6 +143,10 @@ final class TrailDBCons(val spark: SparkSession, val fields: Seq[String]) {
         .partitionBy(TrailSchema.BucketCol)
         .parquet(path)
     }
+    // Sidecar records the partition granularity too, so a bare open()
+    // re-enables time-partition pruning without the caller passing it.
+    TrailInfo.write(spark, path,
+      TrailInfo.compute(spark.read.parquet(path), fields, Some(secondsPerPartition)))
     TrailDB.open(spark, path, Some(secondsPerPartition))
   }
 
@@ -155,7 +164,11 @@ final class TrailDBCons(val spark: SparkSession, val fields: Seq[String]) {
       .sortBy(TrailSchema.UuidCol, TrailSchema.TimeCol, TrailSchema.SeqCol)
       .format("parquet")
       .saveAsTable(tableName)
-    TrailDB.fromTrailFrame(spark.table(tableName))
+    val location = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(tableName)).location.toString
+    TrailInfo.write(spark, location,
+      TrailInfo.compute(spark.table(tableName), fields))
+    TrailDB.openTable(spark, tableName)
   }
 
   /** The staged (not yet finalized) events, for inspection/tests. */

@@ -225,6 +225,48 @@ class ConsSpec extends SparkSpec {
     assert(got.getString(got.fieldIndex("asof_vb")) === "y")
   }
 
+  test("metadata sidecar: finalize persists the info file, open answers WITHOUT scanning (tdb_encode.c:191-216)") {
+    import graft.core.TrailInfo
+    val dir = Files.createTempDirectory("graft-info")
+    val rows = (0 until 100).map(i => (uuidOf(i % 7), (1000 + i).toLong, s"e${i % 3}"))
+    val db = new TrailDBCons(spark, Seq("etype"))
+      .add(rows.toDF("uuid", "time", "etype"))
+      .finalizeTo(dir.resolve("db").toString, 4)
+    assert(db.info.isDefined)
+    assert(db.numTrails === 7 && db.numEvents === 100)
+    assert(db.timeRange === (1000L, 1099L))
+    assert(db.info.get.fields === Seq("etype"))
+
+    // proof the answers are sidecar reads, not scans: reopen (file listing
+    // happens here), DELETE the parquet data, metadata still answers
+    val reopened = TrailDB.open(spark, dir.resolve("db").toString)
+    Files.list(dir.resolve("db")).forEach { p =>
+      if (p.getFileName.toString.endsWith(".parquet")) Files.delete(p)
+    }
+    assert(reopened.numTrails === 7 && reopened.numEvents === 100)
+    assert(reopened.timeRange === (1000L, 1099L))
+
+    // a filtered VIEW must not inherit full-table counts
+    val filtered = db.withFilter(
+      graft.filter.EventFilter(Seq(graft.filter.Clause(Seq(graft.filter.Match("etype", "e0"))))))
+    assert(filtered.info.isEmpty)
+
+    // partitioned layout: sidecar carries the bucket granularity, so a bare
+    // open() re-enables partition pruning without the caller passing it
+    val pdb = new TrailDBCons(spark, Seq("etype"))
+      .add(rows.toDF("uuid", "time", "etype"))
+      .finalizePartitioned(dir.resolve("dbp").toString, secondsPerPartition = 50L)
+    val popen = TrailDB.open(spark, dir.resolve("dbp").toString)
+    assert(popen.bucketSeconds === Some(50L))
+    assert(popen.numEvents === 100)
+
+    // JSON round trip incl. escaping
+    val info = TrailInfo(3L, 9L, -5L, 7L, Seq("a\"b", "c\\d"), Some(42L))
+    assert(TrailInfo.fromJson(info.toJson) === info)
+    val noBucket = TrailInfo(1L, 1L, 0L, 0L, Nil, None)
+    assert(TrailInfo.fromJson(noBucket.toJson) === noBucket)
+  }
+
   test("finalizing an empty cons writes a valid empty db (tdb_cons_finalize with 0 events)") {
     val dir = Files.createTempDirectory("graft-empty")
     val db = new TrailDBCons(spark, Seq("etype", "val"))
