@@ -72,17 +72,49 @@ final class TrailDB private (
     * filter INSTEAD of the db-level filter; others keep the db view
     * (reference: tdb_set_trail_opt TDB_OPT_EVENT_FILTER,
     * src/tdb.c:753-778, precedence src/tdb_decode.c:140-181).
-    * Implemented as a disjunction of uuid-scoped predicates — stays a single
-    * scan with one pushed filter, no join, no shuffle.
+    *
+    * Two plans, same rows (spec-proven identical):
+    *  - ≤ `joinThreshold` overrides (the reference's point-call scale): a
+    *    disjunction of uuid-scoped predicates — one scan, one pushed
+    *    filter, no join, no shuffle.
+    *  - beyond it (SURVEY §7.4.3): the disjunction would be an O(n)
+    *    expression tree (analysis/codegen die long before 100 TB does), so
+    *    the map becomes a (uuid, filterId) table joined on uuid — AQE
+    *    broadcasts it while it fits and shuffles both sides beyond that —
+    *    and the filter dispatch is ONE case-expression over the DISTINCT
+    *    filters, which stay few even when the uuid list is huge.
     */
-  def eventsWithTrailFilters(overrides: Map[String, EventFilter]): DataFrame = {
-    val overridden = overrides.map { case (u, f) =>
-      col(TrailSchema.UuidCol) === lit(u) && f.toColumn(fieldSet)
-    }.reduceOption(_ || _).getOrElse(lit(false))
-    val baseKeeps = !col(TrailSchema.UuidCol).isin(overrides.keys.toSeq: _*) &&
-      dbFilter.map(_.toColumn(fieldSet)).getOrElse(lit(true))
-    base.filter(overridden || baseKeeps)
-  }
+  def eventsWithTrailFilters(overrides: Map[String, EventFilter],
+      joinThreshold: Int = 10000): DataFrame =
+    if (overrides.size <= joinThreshold) {
+      val overridden = overrides.map { case (u, f) =>
+        col(TrailSchema.UuidCol) === lit(u) && f.toColumn(fieldSet)
+      }.reduceOption(_ || _).getOrElse(lit(false))
+      val baseKeeps = !col(TrailSchema.UuidCol).isin(overrides.keys.toSeq: _*) &&
+        dbFilter.map(_.toColumn(fieldSet)).getOrElse(lit(true))
+      base.filter(overridden || baseKeeps)
+    } else {
+      val distinctFilters = overrides.values.toSeq.distinct
+      val fidOf = distinctFilters.zipWithIndex.toMap
+      val ovRows = overrides.iterator
+        .map { case (u, f) => org.apache.spark.sql.Row(u, fidOf(f)) }.toSeq
+      val ovDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(ovRows,
+          math.max(1, ovRows.size / 500000)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(TrailSchema.UuidCol,
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("_fid",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
+      val ovPred = distinctFilters.zipWithIndex.foldLeft(lit(false)) {
+        case (acc, (f, i)) => when(col("_fid") === i, f.toColumn(fieldSet)).otherwise(acc)
+      }
+      base.join(ovDf, Seq(TrailSchema.UuidCol), "left")
+        .filter(when(col("_fid").isNull,
+            dbFilter.map(_.toColumn(fieldSet)).getOrElse(lit(true)))
+          .otherwise(ovPred))
+        .drop("_fid")
+    }
 
   /** Full-table scan in (uuid, time, seq) order — the reference's
     * trail_id 0..N / cursor loop (tdbcli/op_dump.c:102-159). `seq` is the

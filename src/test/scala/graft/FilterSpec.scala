@@ -127,4 +127,35 @@ class FilterSpec extends SparkSpec {
     assert(got.count() === 4)
     assert(got.select("uuid").distinct().collect().map(_.getString(0)).toSet === Set(Z))
   }
+
+  test("large-override-map JOIN path returns identical rows to the disjunction path (SURVEY §7.4.3)") {
+    // 40 trails, 3 events each; db filter keeps a=foo; overrides send some
+    // trails to a different filter, some to match-none, some to match-all
+    val rows = for { t <- 0 until 40; e <- 0 until 3 } yield
+      (f"$t%032x", (e + 1).toLong,
+        if (e == 0) "foo" else "bar", s"b$e", "", (t * 3 + e).toLong)
+    val big = TrailDB.fromTrailFrame(
+      rows.toDF("uuid", "time", "a", "b", "c", "seq"))
+      .withFilter(EventFilter(Seq(Clause(Seq(Match("a", "foo"))))))
+    val overrides: Map[String, EventFilter] = (0 until 25).map { t =>
+      f"$t%032x" -> (t % 3 match {
+        case 0 => EventFilter.matchAll
+        case 1 => EventFilter.matchNone
+        case 2 => EventFilter(Seq(Clause(Seq(Match("b", "b2")))))
+      })
+    }.toMap
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1), r.getLong(5))
+    val viaDisjunction = big.eventsWithTrailFilters(overrides).collect().map(key).toSet
+    val viaJoin = big.eventsWithTrailFilters(overrides, joinThreshold = 0)
+      .collect().map(key).toSet
+    assert(viaJoin === viaDisjunction)
+    assert(viaDisjunction.nonEmpty)
+    // sanity of the mix: match-all trails contribute all 3 events,
+    // match-none trails contribute 0, b=b2 trails exactly 1
+    val byTrail = viaDisjunction.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byTrail(f"${0}%032x") === 3)   // match-all
+    assert(!byTrail.contains(f"${1}%032x")) // match-none
+    assert(byTrail(f"${2}%032x") === 1)   // b=b2
+    assert(byTrail(f"${30}%032x") === 1)  // no override: db filter a=foo
+  }
 }
