@@ -6,10 +6,21 @@ import org.apache.spark.sql.functions._
 /** Scaling experiment: replicate documents/embeddings 4× (ids shifted, so
   * every doc gains 3 exact copies — worst case for dedup) and compare each
   * heavy operator's wall-clock at 1× vs 4×. Prints a markdown table row
-  * per operator. Usage: runMain graft.tools.Scale4x [sfDir] */
+  * per operator. Usage: runMain graft.tools.Scale4x [sfDir] [--x16]
+  *
+  * `--x16` instead runs the 1×/4×/16× ladder for the two operators whose
+  * 4× ratio was highest in round 2 (n-gram Jaccard pairs and connected-
+  * component clustering), reporting the per-4×-step ratio — the trend that
+  * must stay sub-quadratic for the 100 TB story. Note the replicated
+  * corpus is ADVERSARIAL for these two: every doc gains 15 exact copies,
+  * so the true near-dup pair OUTPUT itself grows ~(replication)² — a
+  * per-step time ratio well under 16× means the inverted-index join is
+  * doing sub-output-quadratic work. */
 object Scale4x {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sfDir = args.filterNot(_.startsWith("--")).headOption
+      .getOrElse("/root/testdata/sf0.1")
+    val x16 = args.contains("--x16")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -22,12 +33,12 @@ object Scale4x {
     val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val nDocs = docs1.count(); val nEmb = emb1.count()
-    def rep4(df: DataFrame, idCol: String, n: Long): DataFrame =
-      (0 until 4).map(i => df.withColumn(idCol, col(idCol) + lit(i * n)))
+    def rep(df: DataFrame, idCol: String, n: Long, factor: Int): DataFrame =
+      (0 until factor).map(i => df.withColumn(idCol, col(idCol) + lit(i * n)))
         .reduce(_.unionByName(_))
     val base = "/tmp/graft-scale4x"
-    rep4(docs1, "doc_id", nDocs).write.mode("overwrite").parquet(s"$base/documents")
-    rep4(emb1, "vec_id", nEmb).write.mode("overwrite").parquet(s"$base/embeddings")
+    rep(docs1, "doc_id", nDocs, 4).write.mode("overwrite").parquet(s"$base/documents")
+    rep(emb1, "vec_id", nEmb, 4).write.mode("overwrite").parquet(s"$base/embeddings")
     val docs4 = spark.read.parquet(s"$base/documents")
     val emb4 = spark.read.parquet(s"$base/embeddings")
 
@@ -38,6 +49,57 @@ object Scale4x {
       val t1 = time(f(docs1, emb1).queryExecution.toRdd.count())
       val t4 = time(f(docs4, emb4).queryExecution.toRdd.count())
       println(f"| $label | $t1%.1fs | $t4%.1fs | ${t4 / t1}%.1f× |")
+    }
+
+    if (x16) {
+      // Two corpus shapes per factor:
+      //  - "alldup": plain replication — every doc gains factor-1 exact
+      //    copies, so the TRUE pair output grows ~factor² (adversarial;
+      //    time ratios must be read against the output column).
+      //  - "disjoint": every replica's tokens get a per-replica suffix, so
+      //    replicas share no shingles — dup DENSITY constant, output grows
+      //    ~factor. This is what corpus growth at constant quality looks
+      //    like, i.e. the 100 TB axis.
+      def repDisjoint(factor: Int): DataFrame =
+        (0 until factor).map(i => docs1
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * nDocs))
+          .withColumn("text",
+            array_join(transform(split(col("text"), " "),
+              t => concat(t, lit(s"_$i"))), " ")))
+          .reduce(_.unionByName(_))
+      for (factor <- Seq(4, 16)) {
+        rep(docs1, "doc_id", nDocs, factor).write.mode("overwrite")
+          .parquet(s"$base/alldup$factor")
+        repDisjoint(factor).write.mode("overwrite")
+          .parquet(s"$base/disjoint$factor")
+      }
+      def ladder(shape: String, dirs: Seq[DataFrame]): Unit = {
+        for ((label, f) <- Seq[(String, DataFrame => DataFrame)](
+            "n-gram Jaccard pairs" ->
+              (d => graft.ops.Dedup.ngramJaccardPairs(d, k = 3, threshold = 0.2)),
+            "dedup clusters (CC)" ->
+              (d => graft.ops.Dedup.dedupClusters(d,
+                graft.ops.Dedup.ngramJaccardPairs(d, k = 3, threshold = 0.2))))) {
+          val (times, rows) = dirs.map { d =>
+            var n = 0L
+            val t = time { n = f(d).count(); n }
+            (t, n)
+          }.unzip
+          println(f"| $label ($shape) | ${times(0)}%.1fs (${rows(0)} rows) " +
+            f"| ${times(1)}%.1fs (${times(1) / times(0)}%.1f×, ${rows(1)} rows) " +
+            f"| ${times(2)}%.1fs (${times(2) / times(1)}%.1f× over 4×, ${rows(2)} rows) |")
+        }
+      }
+      println("| operator | sf0.1 | 4× | 16× |")
+      println("|---|---|---|---|")
+      ladder("alldup", Seq(docs1,
+        spark.read.parquet(s"$base/alldup4"),
+        spark.read.parquet(s"$base/alldup16")))
+      ladder("disjoint", Seq(docs1,
+        spark.read.parquet(s"$base/disjoint4"),
+        spark.read.parquet(s"$base/disjoint16")))
+      spark.stop()
+      return
     }
 
     println("| operator | sf0.1 | 4× | scaling |")
