@@ -575,6 +575,17 @@ object SparkEntry {
             .cast("long").as("recall_ok"))
     }),
 
+    // Semantic dedup clusters: exact embedding near-dup pairs → connected
+    // components → every vector labeled with its cluster (min vec_id).
+    // The embedding-side twin of d_dedup_clusters; oracle is the same
+    // DuckDB recursive-CTE reachability over the exact pair list.
+    "e_dedup_clusters" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val pairs = Dedup.embeddingNearDup(emb, threshold = 0.35,
+        blockCol = Some("label")).select("id_a", "id_b")
+      Dedup.dedupClusters(emb, pairs, idCol = "vec_id").orderBy("vec_id")
+    }),
+
     // Multimodal: frame sampling plumbing (explode by duration metadata).
     "m_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
@@ -1247,6 +1258,21 @@ object SparkEntry {
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "e_dedup_clusters" ->
+      """WITH RECURSIVE
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
+        |SELECT id AS vec_id, CAST(min(comp) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
 
     // Invariant oracles for the ANN scale paths: n_queries/n_returned are
     // recomputed; the hit floor and rank monotonicity are contract
