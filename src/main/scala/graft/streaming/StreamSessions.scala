@@ -90,6 +90,41 @@ object StreamSessions {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming AS-OF enrichment against a STATIC right table — the
+    * stream-static twin of [[graft.core.TrailOps.asOfJoin]] (spec-proven to
+    * agree with it on identical inputs). The right side is reduced like the
+    * batch op (one row per (uuid, time), max per value column), packed into
+    * a per-uuid TIME-SORTED array of (time, values) entries, and joined to
+    * the stream; the match — latest entry at-or-before each event's time —
+    * is a pure array expression. NO streaming state: the stream side stays
+    * a stateless projection, composing with any watermark/output mode, and
+    * events with no prior right entry get NULLs, all from the same matched
+    * entry (never mixed across entries).
+    *
+    * Scale shape: the packed right side must fit one row per uuid — the
+    * slowly-changing-dimension case this exists for. Cache the static side
+    * in production or Spark re-aggregates it every micro-batch. */
+  def streamAsOfJoin(stream: DataFrame, right: DataFrame,
+      valueCols: Seq[String], uuidCol: String = "uuid",
+      tsCol: String = "time", rightTimeCol: String = "time"): DataFrame = {
+    val r = right.groupBy(col(uuidCol), col(rightTimeCol))
+      .agg(max(valueCols.head).as(valueCols.head),
+        valueCols.tail.map(c => max(c).as(c)): _*)
+    val packed = r.groupBy(col(uuidCol))
+      .agg(sort_array(collect_list(struct(
+        col(rightTimeCol).as("_t"),
+        struct(valueCols.map(col): _*).as("_v")))).as("_tl"))
+    val streamCols = stream.columns.toSeq
+    stream.join(packed, Seq(uuidCol), "left")
+      // try_element_at: an empty hit list (no right entry yet, or a uuid
+      // absent from the right table entirely) is NULL, not an ANSI error
+      .withColumn("_m", try_element_at(
+        filter(col("_tl"), e => e.getField("_t") <= col(tsCol)), lit(-1)))
+      .select(streamCols.map(col) ++
+        valueCols.map(c =>
+          col("_m").getField("_v").getField(c).as(s"asof_$c")): _*)
+  }
+
   /** Windowed event-type rates (the generic streaming rollup). */
   def eventRates(events: DataFrame, window: String = "5 minutes",
       watermark: String = "1 hour", typeCol: String = "event_type",

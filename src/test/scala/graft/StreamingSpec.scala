@@ -101,6 +101,40 @@ class StreamingSpec extends SparkSpec {
     assert(kept === Seq("doc a", "doc b", "doc c"))
   }
 
+  test("streaming as-of enrichment agrees with the batch asOfJoin on identical inputs") {
+    val views = Seq(
+      ("u1", 100L, 1L), ("u1", 200L, 2L), ("u1", 300L, 3L),
+      ("u2", 50L, 4L), ("u3", 10L, 5L))
+    val clicks = Seq(
+      ("u1", 100L, "c@100"), ("u1", 250L, "c@250"),
+      ("u2", 60L, "after-all-views"))
+    val clicksDf = clicks.toDF("uuid", "time", "cprops")
+
+    val batch = graft.core.TrailOps.asOfJoin(
+      views.toDF("uuid", "time", "seq"), clicksDf, Seq("cprops"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        Option(r.getString(3))).toMap
+
+    val dir = Files.createTempDirectory("graft-sasof")
+    val src = dir.resolve("src").toString
+    views.toDF("uuid", "time", "seq").write.parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    val q = StreamSessions.streamAsOfJoin(stream, clicksDf, Seq("cprops"))
+      .writeStream.outputMode("append").format("memory").queryName("sasof")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.sql("SELECT uuid, time, asof_cprops FROM sasof")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        Option(r.getString(2))).toMap
+    assert(streamed === batch)
+    // spot semantics: same-second right visible; no-right trails NULL
+    assert(streamed(("u1", 100L)) === Some("c@100"))
+    assert(streamed(("u2", 50L)) === None)
+    assert(streamed(("u3", 10L)) === None)
+  }
+
   test("pure-projection text ops run unchanged on a stream (quality + PII scrub)") {
     val dir = Files.createTempDirectory("graft-sproj")
     val src = dir.resolve("src").toString
