@@ -107,7 +107,12 @@ object Main {
       case "dump" =>
         val in = one("-i").getOrElse(sys.error("dump: -i DB required"))
         var db = TrailDB.open(spark, in)
-        one("-F").foreach { f =>
+        // NOT one(): an explicitly-empty -F '' must still apply — the
+        // reference's parse_filter("") builds a filter with one empty
+        // clause that matches NOTHING (tdb_event_filter_new semantics),
+        // and EventFilter.parse("") is matchNone to mirror it. Dropping
+        // it would silently dump the whole db instead.
+        flags("-F").headOption.foreach { f =>
           val filter = EventFilter.parse(f)
           db = db.withFilter(filter)
           // --index IDX: prune to candidate pages before the scan (the

@@ -17,6 +17,21 @@ object Skew {
   def salt(buckets: Int, cols: Column*): Column =
     pmod(xxhash64(cols: _*), lit(buckets.toLong))
 
+  /** Columns of `df` that Spark's hash functions accept — xxhash64 rejects
+    * MapType anywhere in a column's type (map ordering is undefined), so
+    * map-bearing columns are excluded from the salt rather than failing
+    * the whole aggregation at analysis time. */
+  private def hashableCols(df: DataFrame): Seq[Column] = {
+    import org.apache.spark.sql.types._
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name)).toSeq
+  }
+
   /** Salted count per key: groupBy(key, salt) → partial counts →
     * groupBy(key) → sum. Identical result to a direct groupBy(key).count
     * but no single reducer ever sees more than ~1/buckets of a hot key.
@@ -30,7 +45,7 @@ object Skew {
     * (`groupBy(all columns).count`, itself skew-free) or use
     * [[saltedCountDistinct]] when the metric is distincts. */
   def saltedCount(df: DataFrame, keyCol: String, buckets: Int = 16): DataFrame =
-    df.withColumn("_salt", salt(buckets, df.columns.map(col): _*))
+    df.withColumn("_salt", salt(buckets, hashableCols(df): _*))
       .groupBy(col(keyCol), col("_salt"))
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(keyCol))
@@ -57,7 +72,7 @@ object Skew {
     * any column still spreads even when the summed value is constant. */
   def saltedSum(df: DataFrame, keyCol: String, valueCol: String,
       buckets: Int = 16): DataFrame =
-    df.withColumn("_salt", salt(buckets, df.columns.map(col): _*))
+    df.withColumn("_salt", salt(buckets, hashableCols(df): _*))
       .groupBy(col(keyCol), col("_salt"))
       .agg(sum(col(valueCol)).as("_partial"))
       .groupBy(col(keyCol))

@@ -57,21 +57,30 @@ object TrailInfo {
       fields, bucketSeconds)
   }
 
-  /** Write the sidecar into `dir` (any Hadoop-visible filesystem). */
+  /** Write the sidecar into `dir` (any Hadoop-visible filesystem).
+    * Written to a temp name then renamed, so a crash mid-write leaves
+    * either no sidecar or the previous complete one — never a truncated
+    * file at the canonical name. */
   def write(spark: SparkSession, dir: String, info: TrailInfo): Unit = {
-    val path = new Path(dir, FileName)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(path, true)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir, s".$FileName.tmp")
+    val out = fs.create(tmp, true)
     try out.write(info.toJson.getBytes("UTF-8")) finally out.close()
+    val path = new Path(dir, FileName)
+    fs.delete(path, false)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"could not move sidecar into place at $path")
   }
 
-  /** Read the sidecar if present — absent (e.g. a db finalized by an older
-    * writer, or a bare parquet dir) means callers fall back to scans. */
+  /** Read the sidecar if present. Absent OR unreadable (a db finalized by
+    * an older writer, a bare parquet dir, or a sidecar corrupted by a
+    * failed copy) means callers fall back to scans — a bad sidecar must
+    * never make an intact db unopenable. */
   def read(spark: SparkSession, dir: String): Option[TrailInfo] = {
     val path = new Path(dir, FileName)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) None
-    else {
+    else try {
       val in = fs.open(path)
       val text = try {
         val buf = new java.io.ByteArrayOutputStream()
@@ -81,6 +90,11 @@ object TrailInfo {
         buf.toString("UTF-8")
       } finally in.close()
       Some(fromJson(text))
+    } catch {
+      case e: Exception =>
+        System.err.println(
+          s"[graft] ignoring unreadable metadata sidecar $path: ${e.getMessage}")
+        None
     }
   }
 

@@ -36,6 +36,7 @@ object Multimodal {
     private final val OpLuma  = 0x80
     private final val OpRun   = 0xc0
     private final val OpRgb   = 0xfe
+    private final val OpRgba  = 0xff
 
     private def hash(r: Int, g: Int, b: Int, a: Int): Int =
       (r * 3 + g * 5 + b * 7 + a * 11) % 64
@@ -94,8 +95,13 @@ object Multimodal {
       out.toByteArray
     }
 
-    /** Decode a 3-channel QOI stream → (width, height, raster). Throws on
-      * malformed input (callers choose skip-vs-fail). */
+    /** Decode a QOI stream → (width, height, RGB raster). Handles every
+      * chunk type of the spec — including QOI_OP_RGBA, which a channels=3
+      * header does NOT forbid (the spec marks the channels field "purely
+      * informative"), so streams from other encoders decode correctly;
+      * alpha participates in the index hash as state but is dropped from
+      * the 3-channel output raster. Throws on malformed input (callers
+      * choose skip-vs-fail). */
     def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
       require(bytes.length >= 14 + 8, "truncated qoi")
       require(bytes(0) == 'q' && bytes(1) == 'o' && bytes(2) == 'i' &&
@@ -104,36 +110,44 @@ object Multimodal {
         ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
         ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
       val w = be32(4); val h = be32(8)
-      require(bytes(12) == 3, s"unsupported channels ${bytes(12)}")
+      require(bytes(12) == 3 || bytes(12) == 4, s"bad channels ${bytes(12)}")
       require(w > 0 && h > 0 && w.toLong * h * 3 < Int.MaxValue, "bad dims")
       val raster = new Array[Byte](w * h * 3)
       val index = new Array[Int](64)
-      var (r, g, b) = (0, 0, 0)
+      var (r, g, b, a) = (0, 0, 0, 255)
+      def pack: Int = (r << 24) | (g << 16) | (b << 8) | a
       var i = 14
       var p = 0
       val end = bytes.length - 8 // trailing 7x00 + 01 marker
       while (p < raster.length && i < end) {
         val b1 = bytes(i) & 0xff; i += 1
         if (b1 == OpRgb) {
+          // alpha keeps its previous value, per spec
           r = bytes(i) & 0xff; g = bytes(i + 1) & 0xff; b = bytes(i + 2) & 0xff
           i += 3
-          index(hash(r, g, b, 255)) = (r << 24) | (g << 16) | (b << 8) | 255
+          index(hash(r, g, b, a)) = pack
+        } else if (b1 == OpRgba) {
+          r = bytes(i) & 0xff; g = bytes(i + 1) & 0xff
+          b = bytes(i + 2) & 0xff; a = bytes(i + 3) & 0xff
+          i += 4
+          index(hash(r, g, b, a)) = pack
         } else (b1 & 0xc0) match {
           case OpIndex =>
             val v = index(b1 & 0x3f)
-            r = (v >>> 24) & 0xff; g = (v >>> 16) & 0xff; b = (v >>> 8) & 0xff
+            r = (v >>> 24) & 0xff; g = (v >>> 16) & 0xff
+            b = (v >>> 8) & 0xff; a = v & 0xff
           case OpDiff =>
             r = (r + ((b1 >> 4) & 0x03) - 2) & 0xff
             g = (g + ((b1 >> 2) & 0x03) - 2) & 0xff
             b = (b + (b1 & 0x03) - 2) & 0xff
-            index(hash(r, g, b, 255)) = (r << 24) | (g << 16) | (b << 8) | 255
+            index(hash(r, g, b, a)) = pack
           case OpLuma =>
             val dg = (b1 & 0x3f) - 32
             val b2 = bytes(i) & 0xff; i += 1
             r = (r + dg + ((b2 >> 4) & 0x0f) - 8) & 0xff
             g = (g + dg) & 0xff
             b = (b + dg + (b2 & 0x0f) - 8) & 0xff
-            index(hash(r, g, b, 255)) = (r << 24) | (g << 16) | (b << 8) | 255
+            index(hash(r, g, b, a)) = pack
           case OpRun =>
             var run = (b1 & 0x3f) // run-1; the current pixel repeats run+1
             while (run > 0 && p < raster.length) {

@@ -63,6 +63,12 @@ class CliSpec extends SparkSpec {
       Main.run(spark, "dump", Seq("-i", s"$dir/db", "-F"))
     }
     assert(ex2.getMessage.contains("requires a value"))
+    // explicitly-EMPTY -F '' applies the reference's parse_filter("")
+    // semantics (one empty clause = match NOTHING) — it must not be
+    // silently dropped into an unfiltered dump
+    Main.run(spark, "dump", Seq("-i", s"$dir/db", "-F", "",
+      "-o", s"$dir/dump-none", "--csv-header"))
+    assert(spark.read.option("header", "true").csv(s"$dir/dump-none").count() === 0)
   }
 
   test("json dump: --json-no-empty drops empty values (op_dump.c:69-90)") {

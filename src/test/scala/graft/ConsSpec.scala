@@ -152,6 +152,12 @@ class ConsSpec extends SparkSpec {
     val distinctSalted = graft.core.Skew.saltedCountDistinct(dupDf, "uuid", "v", buckets = 8)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(distinctSalted === distinctDirect)
+    // map-typed columns can't feed xxhash64 — the salt must skip them
+    // instead of failing the whole aggregation at analysis time
+    val withMap = df.withColumn("props", map(lit("k"), col("v").cast("string")))
+    val mapSalted = graft.core.Skew.saltedCount(withMap, "uuid", buckets = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mapSalted === direct)
   }
 
   test("schema validation rejects bad and duplicate field names (src/tdb_cons.c:181-223)") {
@@ -265,6 +271,15 @@ class ConsSpec extends SparkSpec {
     assert(TrailInfo.fromJson(info.toJson) === info)
     val noBucket = TrailInfo(1L, 1L, 0L, 0L, Nil, None)
     assert(TrailInfo.fromJson(noBucket.toJson) === noBucket)
+
+    // a CORRUPT sidecar (crashed copy, disk-full truncation) must never
+    // make an intact db unopenable: open falls back to scan-based metadata
+    // (dbp still has its data files; db's were deleted above)
+    Files.writeString(dir.resolve("dbp").resolve("_graft_info.json"),
+      "{\"num_trails\": 7, \"num_ev")
+    val corrupt = TrailDB.open(spark, dir.resolve("dbp").toString)
+    assert(corrupt.info.isEmpty)
+    assert(corrupt.numEvents === 100) // recomputed by scan
   }
 
   test("finalizing an empty cons writes a valid empty db (tdb_cons_finalize with 0 events)") {

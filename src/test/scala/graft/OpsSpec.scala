@@ -423,6 +423,25 @@ class MultimodalSpec extends SparkSpec {
     assert((fw, fh) === (300, 1) && fr.toSeq === flat.toSeq)
   }
 
+  test("QOI decode handles foreign RGBA chunks (channels header is informative per spec)") {
+    // hand-assemble a 3-pixel channels=3 stream that uses QOI_OP_RGBA —
+    // legal per the spec (the channels field is 'purely informative'):
+    // px0 RGBA(10,20,30,255); px1 RGBA(1,2,3,40); px2 INDEX→px0.
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("qoif".getBytes("US-ASCII"))
+    for (v <- Seq(3, 1)) { out.write(0); out.write(0); out.write(0); out.write(v) }
+    out.write(3); out.write(0) // channels=3, srgb
+    out.write(0xff); out.write(10); out.write(20); out.write(30); out.write(255)
+    out.write(0xff); out.write(1); out.write(2); out.write(3); out.write(40)
+    val idx0 = (10 * 3 + 20 * 5 + 30 * 7 + 255 * 11) % 64
+    out.write(idx0) // QOI_OP_INDEX back to px0
+    for (_ <- 0 until 7) out.write(0)
+    out.write(1)
+    val (w, h, raster) = Multimodal.Qoi.decode(out.toByteArray)
+    assert((w, h) === (3, 1))
+    assert(raster.toSeq === Seq[Byte](10, 20, 30, 1, 2, 3, 10, 20, 30))
+  }
+
   test("QOI corpus decode: compressed end-to-end with malformed-skip semantics") {
     val docs = TestSpark.spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
