@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.core.{TrailDB, TrailOps, TrailSchema}
 import graft.filter.{Clause, EventFilter, Match, TimeRange}
 import graft.agg.Sessionize
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Retrieval, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, with a DuckDB-equivalent `oracleSql` where the operator is
@@ -584,6 +584,80 @@ object SparkEntry {
       val pairs = Dedup.embeddingNearDup(emb, threshold = 0.35,
         blockCol = Some("label")).select("id_a", "id_b")
       Dedup.dedupClusters(emb, pairs, idCol = "vec_id").orderBy("vec_id")
+    }),
+
+    // BM25 keyword retrieval (lexical baseline next to the ANN path):
+    // mixed-frequency query bag — "dup" is rare (high idf), the rest are
+    // common. Scores are exact-integer micro-unit sums (see Retrieval):
+    // order-independent, so cross-engine hash-comparable.
+    "d_bm25" -> ((s, dir) =>
+      Retrieval.bm25(s.read.parquet(s"$dir/documents.parquet"),
+        Seq("hash", "join", "vector", "dup"), topK = 20)),
+
+    // Unigram-LM log-probability (perplexity proxy) per doc under the
+    // add-one-smoothed corpus model — the cheap quality-ranking score.
+    "d_unigram_lp" -> ((s, dir) =>
+      Retrieval.unigramLogProb(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("doc_id")),
+
+    // Token-window chunking (size 32, stride 24): the pre-embedding split.
+    // chunk_md5 proves exact chunk content without carrying the text.
+    "d_chunk" -> ((s, dir) =>
+      TextAnalysis.chunks(s.read.parquet(s"$dir/documents.parquet"),
+          size = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id")),
+
+    // Stratified hash-sampling: per-language keep fractions (rebalancing an
+    // over-represented language mix) — deterministic md5 rule per stratum.
+    "d_stratified_sample" -> ((s, dir) =>
+      TextAnalysis.stratifiedHashSample(
+          s.read.parquet(s"$dir/documents.parquet"),
+          Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.125,
+            "zh" -> 0.0625))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // Incremental (batch-vs-corpus) dedup: the daily-ingest shape — batch =
+    // every 10th doc, corpus = the rest; keep batch docs whose content is
+    // new (anti-join on content hash, min-id survivor within the batch).
+    "d_incremental_dedup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.incrementalDedup(
+          corpus = docs.filter(col("doc_id") % 10 =!= 0),
+          batch = docs.filter(col("doc_id") % 10 === 0))
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Eval-set decontamination: 3-gram overlap counts of training docs
+    // (doc_id >= 20) against a held-out eval set (doc_id < 20) — the GPT-3
+    // appendix-C n-gram rule as a broadcast semi-join.
+    "d_decontaminate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.decontaminate(
+          train = docs.filter(col("doc_id") >= 20),
+          eval = docs.filter(col("doc_id") < 20), k = 3)
+        .orderBy("doc_id")
+    }),
+
+    // Int8 embedding quantization diagnostics: per-vector scale, saturated
+    // codes, and exact-integer reconstruction error — all recomputable by
+    // DuckDB from the same float arrays (element-wise doubles are
+    // bit-identical; cross-element sums are exact integers).
+    "e_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(s.read.parquet(s"$dir/embeddings.parquet"))
+        .orderBy("vec_id")),
+
+    // Quantized ANN: brute-force top-k over the int8-reconstructed corpus
+    // vs the exact float baseline — same invariant shape as e_knn_lsh.
+    // Int8 reconstruction barely perturbs cosine ranks (floor measured by
+    // RecallProbe across sf).
+    "e_knn_q8" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") < 10)
+      annInvariant(
+        Similarity.bruteForceKnn(Similarity.dequantized(emb), q, k = 3),
+        Similarity.bruteForceKnn(emb, q, k = 3), q, minHits = 24)
     }),
 
     // Multimodal: frame sampling plumbing (explode by duration metadata).
@@ -1303,6 +1377,116 @@ object SparkEntry {
         |       CAST(0 AS BIGINT) AS n_violations,
         |       CAST(1 AS BIGINT) AS recall_ok
         |FROM exact""".stripMargin,
+
+    // BM25: DuckDB replays the full scoring formula; per-term contributions
+    // round to exact micro-integers before the per-doc sum, so summation
+    // order can't break the hash compare.
+    "d_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS dl,
+        |    unnest(string_split_regex(text, ' +')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, min(dl) AS dl, count(*) AS tf
+        |  FROM toks WHERE term IN ('hash', 'join', 'vector', 'dup')
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n,
+        |    CAST(sum(len(string_split_regex(text, ' +'))) AS BIGINT) AS sum_dl
+        |  FROM documents)
+        |SELECT doc_id, count(*) AS n_hit_terms,
+        |  CAST(sum(CAST(round(
+        |    ln((n - df + 0.5) / (df + 0.5) + 1.0)
+        |    * (tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 +
+        |        0.75 * dl / (CAST(sum_dl AS DOUBLE) / n))))
+        |    * 1e6) AS BIGINT)) AS BIGINT) AS score_micro
+        |FROM tf JOIN dfq USING (term) CROSS JOIN stats
+        |GROUP BY doc_id
+        |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
+
+    "d_unigram_lp" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS token
+        |  FROM documents),
+        |freq AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+        |totals AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS v FROM freq)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CAST(round(
+        |    ln(CAST(c + 1 AS DOUBLE) / (t + v)) * 1e6) AS BIGINT)) AS BIGINT)
+        |    AS lp_micro_sum
+        |FROM toks JOIN freq USING (token) CROSS JOIN totals
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS l FROM documents),
+        |s AS (SELECT doc_id, l, unnest(range(0, (len(l) - 1) // 24 + 1)) AS i FROM t)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  CAST(len(l[i*24+1 : i*24+32]) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(l[i*24+1 : i*24+32], ' ')) AS chunk_md5
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "d_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16 +
+        |      (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)
+        |  < CASE lang WHEN 'en' THEN 128 WHEN 'de' THEN 64 WHEN 'es' THEN 64
+        |              WHEN 'fr' THEN 32 WHEN 'zh' THEN 16 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "d_incremental_dedup" ->
+      """SELECT doc_id FROM (
+        |  SELECT b.doc_id,
+        |    row_number() OVER (PARTITION BY md5(b.text) ORDER BY b.doc_id) AS rn
+        |  FROM documents b
+        |  WHERE b.doc_id % 10 = 0
+        |    AND NOT EXISTS (SELECT 1 FROM documents c
+        |                    WHERE c.doc_id % 10 <> 0 AND md5(c.text) = md5(b.text)))
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // 3-gram decontamination: distinct-shingle overlap counts; string
+    // shingles on the DuckDB side vs 64-bit hashed shingles on the Spark
+    // side (identical counts barring ~2^-65-scale hash collisions — the
+    // same equivalence d_ngram_pairs hash-proves).
+    "d_decontaminate" ->
+      """WITH tr AS (SELECT doc_id, string_split_regex(text, ' +') AS l
+        |  FROM documents WHERE doc_id >= 20),
+        |ev AS (SELECT string_split_regex(text, ' +') AS l
+        |  FROM documents WHERE doc_id < 20),
+        |trs AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+        |    ELSE list_transform(range(1, len(l) - 3 + 2),
+        |                        i -> array_to_string(l[i:i+2], ' ')) END)) AS sh
+        |  FROM tr),
+        |evs AS (SELECT DISTINCT unnest(list_distinct(
+        |    CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+        |    ELSE list_transform(range(1, len(l) - 3 + 2),
+        |                        i -> array_to_string(l[i:i+2], ' ')) END)) AS sh
+        |  FROM ev)
+        |SELECT doc_id, count(*) AS n_overlap
+        |FROM trs JOIN evs USING (sh)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Int8 quantization: element-wise doubles are bit-identical across
+    // engines (same operands, same ops); the cross-element error sum is
+    // exact integer picounits.
+    "e_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        |s AS (SELECT vec_id, x,
+        |    list_max(list_transform(x, e -> abs(e))) / 127.0 AS scale FROM v),
+        |q AS (SELECT vec_id, x, scale,
+        |    list_transform(x, e -> round(e / scale)) AS qq
+        |  FROM s WHERE scale > 0.0)
+        |SELECT vec_id, round(scale, 6) AS scale6,
+        |  CAST(len(list_filter(qq, e -> abs(e) = 127.0)) AS BIGINT) AS n_sat,
+        |  CAST(list_sum(list_transform(range(1, len(x) + 1),
+        |    i -> CAST(round((x[i] - qq[i] * scale) * (x[i] - qq[i] * scale) * 1e12)
+        |         AS BIGINT))) AS BIGINT) AS err_pico
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "e_knn_q8" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |       CAST(3 * count(*) AS BIGINT) AS n_returned,
+        |       CAST(1 AS BIGINT) AS hits_ok,
+        |       CAST(1 AS BIGINT) AS ranked_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "m_decode" ->
       """SELECT doc_id AS media_id,

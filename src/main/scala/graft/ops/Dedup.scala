@@ -361,6 +361,57 @@ object Dedup {
       .select(col("id").as("id_a"), col("id_b"), col("cosine")).distinct()
   }
 
+  /** Incremental dedup: keep the rows of a NEW batch whose content is not
+    * already in the existing corpus, and not duplicated within the batch
+    * itself (min-id survivor, matching [[exactDedup]]). The daily-ingest
+    * shape of every training-data pipeline: the corpus is re-scanned but
+    * never re-deduped.
+    *
+    * Scale shape: one anti-join on the 16-byte content hash. The batch side
+    * is small by construction (a day's crawl vs the full corpus), so AQE
+    * broadcasts it and the corpus side streams through its scan without a
+    * shuffle; the within-batch dedup shuffles only the batch. Nothing
+    * corpus-sized is ever shuffled.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val h = md5(col(textCol).cast("binary"))
+    val fresh = batch.withColumn("_h", h)
+      .join(corpus.select(h.as("_h")), Seq("_h"), "left_anti")
+    val w = Window.partitionBy(col("_h")).orderBy(col(idCol))
+    fresh.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn", "_h")
+  }
+
+  /** Benchmark decontamination: count, per training doc, how many of its
+    * distinct word k-grams also occur in an evaluation set — docs with
+    * overlap are flagged/removed before training so eval numbers stay
+    * honest (the n-gram-overlap rule of GPT-3 appendix C / PaLM-style
+    * decontamination).
+    *
+    * Scale shape: the eval side is tiny by construction (a benchmark, not a
+    * corpus), so its distinct shingle set is broadcast; the train side's
+    * exploded shingles stream from the scan into a broadcast semi-join +
+    * per-doc count — the corpus is scanned once and shuffled once (on doc
+    * id, post-filter, overlapping docs only). Shingles are 64-bit hashes
+    * ([[TextAnalysis.shingleHashes]]): 8-byte join keys, collision odds
+    * ~n²/2⁶⁵.
+    *
+    * Output: (doc_id, n_overlap) for training docs with ≥1 overlapping
+    * k-gram.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, k: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val evalShingles = eval
+      .select(explode(TextAnalysis.shingleHashes(col(textCol), k)).as("sh"))
+      .distinct()
+    train.select(col(idCol), explode(
+        TextAnalysis.shingleHashes(col(textCol), k)).as("sh"))
+      .join(broadcast(evalShingles), "sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
   /** Embedding cosine near-dup pairs above a similarity threshold, blocked
     * by a coarse key (default: none → label column recommended) to avoid the
     * full cross join; this exact form is the oracle baseline — at corpus

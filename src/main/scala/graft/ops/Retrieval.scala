@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Retrieval and language-model-proxy scoring over a
+  * `documents(doc_id, text, ...)` corpus — the query-side complement of the
+  * dedup/quality operators: BM25 keyword retrieval (the standard lexical
+  * baseline next to the ANN path in [[Similarity]]) and smoothed unigram
+  * log-probability scoring (the cheap perplexity proxy used to quality-rank
+  * training corpora, as in CCNet-style pipelines).
+  *
+  * Both operators sum per-term double contributions across rows. A plain
+  * `sum(double)` is order-dependent (shuffle order differs run to run and
+  * engine to engine), so every contribution is first rounded to an exact
+  * integer in micro units (`round(x * 1e6)` → BIGINT) and the cross-row sum
+  * runs in exact integer arithmetic — bit-reproducible on any cluster size
+  * and verifiable by an external SQL engine.
+  */
+object Retrieval {
+
+  /** BM25 (Robertson-Spärck Jones) score of each document against a bag of
+    * query terms; top-k by score. idf = ln((N - df + 0.5)/(df + 0.5) + 1)
+    * (the +1 keeps it positive), tf-normalization with the usual k1/b.
+    *
+    * Shuffle shape at scale: tokens are filtered to the query terms INSIDE
+    * the scan projection, so the exploded stream that reaches the (doc,
+    * term) aggregation carries only matching tokens — a handful per
+    * document, not the corpus token stream. Document length comes from the
+    * same projection (no second scan); df-per-term and corpus stats (N,
+    * avgdl in exact integer form) are term-count-sized and 1-row aggregates,
+    * both broadcast. No corpus-sized side is ever shuffled more than once.
+    *
+    * Output: (doc_id, n_hit_terms, score_micro) — score in micro-units
+    * (1e-6), exact-integer-summed per doc.
+    */
+  def bm25(df: DataFrame, queryTerms: Seq[String], topK: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val hits = df.select(col(idCol), size(toks).cast("long").as("dl"),
+      explode(filter(toks, t => t.isin(queryTerms.map(lit): _*))).as("term"))
+    val tf = hits.groupBy(col(idCol), col("term"))
+      .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // N and total token count as exact integers; avgdl derived as ONE double
+    // division so both engines divide identical operands.
+    val stats = df.agg(count(lit(1)).as("n"),
+      sum(size(TextAnalysis.tokens(col(textCol)))).as("sum_dl"))
+    val idf = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val tfn = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+        lit(b) * col("dl") / (col("sum_dl").cast("double") / col("n"))))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("_c_micro", round(idf * tfn * lit(1e6), 0).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_terms"), sum(col("_c_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /** Add-one-smoothed corpus unigram log-probability per document — the
+    * classic cheap perplexity proxy for corpus quality ranking:
+    * p(t) = (c(t) + 1) / (T + V) with T = total tokens, V = vocab size;
+    * output the exact-integer sum of per-token ln p(t) in micro-nats.
+    *
+    * Two passes over the token stream, both on the same `token` shuffle
+    * key: one groupBy for c(t), then the token→frequency join reuses that
+    * partitioning (no extra Exchange); (T, V) is a 1-row broadcast. The
+    * per-doc re-aggregation shuffles on doc id. At 100 TB the frequency
+    * table is vocab-sized (≪ corpus) — Zipf-skewed join keys are the one
+    * hazard, handled by AQE skew-join on the token join.
+    *
+    * Output: (doc_id, n_tokens, lp_micro_sum) with lp_micro_sum =
+    * Σ round(ln(p(t))·1e6) — more negative = more surprising under the
+    * corpus model. Callers derive mean log-prob as lp_micro_sum / n_tokens.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    val totals = freq.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+    toks.join(freq, "token")
+      .crossJoin(broadcast(totals))
+      .withColumn("_lp_micro",
+        round(log((col("c") + lit(1L)).cast("double") / (col("t") + col("v"))) *
+          lit(1e6), 0).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_lp_micro")).as("lp_micro_sum"))
+  }
+}

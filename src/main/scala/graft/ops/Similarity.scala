@@ -156,4 +156,49 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "corpus_id", "cosine")
   }
+
+  /** Per-vector symmetric int8 scalar quantization: scale = max|x|/127,
+    * q_i = round(x_i/scale) ∈ [-127, 127] — the standard 4× compression for
+    * embedding stores (what an ANN index persists at 100 TB scale). Pure
+    * projection: streams through the scan, no shuffle.
+    *
+    * Output columns: the quantized codes plus reconstruction diagnostics —
+    * `scale6` (round-6 scale), `n_sat` (saturated |q|=127 codes), and
+    * `err_pico` (Σ per-element squared reconstruction error, each element
+    * rounded to an exact integer in 1e-12 units BEFORE the sum so the
+    * cross-element total is order-independent exact integer arithmetic).
+    * Vectors with max|x| = 0 have no defined scale and are dropped.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val xd = transform(col(vecCol), e => e.cast("double"))
+    val scale = array_max(transform(xd, e => abs(e))) / lit(127.0)
+    val base = df.select(col(idCol), xd.as("x"), scale.as("scale"))
+      .filter(col("scale") > 0.0)
+      .withColumn("q", transform(col("x"), e => round(e / col("scale"), 0)))
+    base.select(col(idCol),
+      round(col("scale"), 6).as("scale6"),
+      size(filter(col("q"), e => abs(e) === 127.0)).cast("long").as("n_sat"),
+      aggregate(
+        zip_with(col("x"), col("q"), (x, q) =>
+          round((x - q * col("scale")) * (x - q * col("scale")) * lit(1e12), 0)
+            .cast("long")),
+        lit(0L), (acc, e) => acc + e).as("err_pico"))
+  }
+
+  /** The dequantized corpus view for quantized search: x̂_i = q_i·scale as
+    * a double array, ready for [[bruteForceKnn]]/[[lshKnn]] — top-k over
+    * int8-reconstructed vectors is the memory-bound fast path; recall vs
+    * the exact float path is the quality contract (oracled as an
+    * [[graft.SparkEntry]] ANN invariant). */
+  def dequantized(df: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val xd = transform(col(vecCol), e => e.cast("double"))
+    val scale = array_max(transform(xd, e => abs(e))) / lit(127.0)
+    df.select(col(idCol), xd.as("_x"), scale.as("_s"))
+      .filter(col("_s") > 0.0)
+      .select(col(idCol),
+        transform(col("_x"), e => round(e / col("_s"), 0) * col("_s"))
+          .cast("array<float>").as(vecCol))
+  }
 }

@@ -249,6 +249,59 @@ object TextAnalysis {
       lit((fraction * 256).toInt)
   }
 
+  /** Token-window chunking with overlap — the standard pre-tokenization
+    * split for embedding/pretraining pipelines: chunk i covers tokens
+    * [i·stride, i·stride + size), starts at every stride-th token until the
+    * text is exhausted (the tail chunk may be short; every doc yields ≥ 1
+    * chunk). Emits (id, chunk_id, n_tokens, chunk_md5) — the md5 stands in
+    * for the chunk text so the output stays narrow while still proving the
+    * exact chunk content.
+    *
+    * Plan shape: the token array is materialized ONCE per row in a
+    * projection below the Generate (posexplode is a collapse barrier —
+    * slicing per chunk row costs O(size), not O(doc²); referencing
+    * `split(text)` inside a transform() lambda instead would re-evaluate
+    * the split per element after projection collapse). Pure scan + explode:
+    * no shuffle at any scale.
+    */
+  def chunks(df: DataFrame, size: Int = 32, stride: Int = 24,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    import org.apache.spark.sql.functions.{size => asize}
+    df.select(col(idCol), tokens(col(textCol)).as("_t"))
+      .select(col(idCol), col("_t"),
+        posexplode(sequence(lit(0),
+          floor((asize(col("_t")) - 1) / lit(stride)).cast("int")))
+          .as(Seq("chunk_id", "_i")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        asize(slice(col("_t"), col("_i") * stride + 1, lit(size))).cast("long")
+          .as("n_tokens"),
+        md5(concat_ws(" ", slice(col("_t"), col("_i") * stride + 1, lit(size)))
+          .cast("binary")).as("chunk_md5"))
+  }
+
+  /** Per-stratum deterministic hash sampling: like [[hashSample]] but with
+    * a different keep-fraction per stratum value (e.g. downsample
+    * over-represented languages, keep all of a rare one) — the standard
+    * corpus-rebalancing primitive. Unknown stratum values fall back to
+    * `default`. Fractions quantize to /256 (md5 first byte), like
+    * [[hashSample]]. Pure filter: no shuffle, engine-portable, reproducible
+    * on any cluster size.
+    */
+  def stratifiedHashSample(df: DataFrame, fractions: Map[String, Double],
+      default: Double = 0.0, strataCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    require((fractions.values ++ Seq(default)).forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0,1]")
+    val threshold = fractions.foldLeft(lit((default * 256).toInt)) {
+      case (acc, (k, f)) => when(col(strataCol) === k, lit((f * 256).toInt)).otherwise(acc)
+    }
+    df.filter(
+      conv(substring(md5(col(textCol).cast("binary")), 1, 2), 16, 10).cast("int")
+        < threshold)
+  }
+
   /** Per-doc fingerprint summary (count / min / max of the winnowed set) —
     * straight off the native winnow array: no explode, no groupBy, no
     * shuffle at all. (The array is referenced by several consumers, which

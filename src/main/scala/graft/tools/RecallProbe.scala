@@ -51,6 +51,17 @@ object RecallProbe {
         s"min_hits=$minHit hits=${perQ.map(_.getLong(2)).sorted.mkString(",")}")
     }
 
+    // e_knn_q8: int8-reconstructed brute-force top-k vs exact
+    val q8 = Similarity.bruteForceKnn(Similarity.dequantized(emb), q, k = 3)
+      .select("query_id", "corpus_id")
+      .join(brute.withColumn("_hit", lit(1)), Seq("query_id", "corpus_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_ret"), sum(coalesce(col("_hit"), lit(0))).as("n_hit"))
+      .collect()
+    println(s"[probe] knn_q8: queries=${q8.length} " +
+      s"total_hits=${q8.map(_.getLong(2)).sum}/30 " +
+      s"hits=${q8.map(_.getLong(2)).sorted.mkString(",")}")
+
     // e_neardup_lsh vs label-blocked exact (threshold 0.35), plane sweep
     val exactNd = Dedup.embeddingNearDup(emb, threshold = 0.35,
       blockCol = Some("label")).select("id_a", "id_b")

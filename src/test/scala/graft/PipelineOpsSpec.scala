@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Retrieval, Similarity, TextAnalysis}
+
+/** Specs for the round-3 pipeline operators: retrieval/LM scoring, chunking,
+  * stratified sampling, incremental dedup, decontamination, and int8
+  * embedding quantization. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- BM25 ----
+
+  test("bm25 scores match a hand-computed reference") {
+    val df = Seq(
+      (1L, "hash join hash join hash"), // tf(hash)=3, tf(join)=2, dl=5
+      (2L, "vector scan scan scan scan"), // tf(vector)=1, dl=5
+      (3L, "scan scan scan scan scan") // no hits
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25(df, Seq("hash", "join", "vector"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    def idf(n: Long, dfreq: Long): Double =
+      math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+    def tfn(tf: Long, dl: Long, avgdl: Double): Double =
+      tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    val avgdl = 15.0 / 3
+    val s1 = math.round(idf(3, 1) * tfn(3, 5, avgdl) * 1e6) +
+      math.round(idf(3, 1) * tfn(2, 5, avgdl) * 1e6)
+    val s2 = math.round(idf(3, 1) * tfn(1, 5, avgdl) * 1e6)
+    assert(got.toSeq === Seq((1L, 2L, s1), (2L, 1L, s2)))
+  }
+
+  test("bm25 rare terms outscore common ones at equal tf") {
+    // "rare" in 1 of 20 docs, "common" in all 20; one probe doc hits both once.
+    val docs = (1L to 19L).map(i => (i, "common filler words here")) :+
+      (20L, "rare common x y")
+    val got = Retrieval.bm25(docs.toDF("doc_id", "text"), Seq("rare"), topK = 5)
+      .collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(20L))
+    val common = Retrieval.bm25(docs.toDF("doc_id", "text"), Seq("common"), topK = 25)
+      .collect()
+    assert(common.length === 20) // every doc matches the common term
+    // the rare-term score for doc 20 must exceed its common-term score
+    val rareScore = got.head.getLong(2)
+    val commonScore = common.find(_.getLong(0) == 20L).get.getLong(2)
+    assert(rareScore > commonScore)
+  }
+
+  // ---- unigram LM ----
+
+  test("unigramLogProb matches hand-computed add-one-smoothed scores") {
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // counts: a=2, b=2, c=1; T=5, V=3
+    def lp(c: Long): Long = math.round(math.log((c + 1).toDouble / 8) * 1e6)
+    val got = Retrieval.unigramLogProb(df).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (1L, 3L, 2 * lp(2) + lp(2)), // a a b
+      (2L, 2L, lp(2) + lp(1)))) // b c
+  }
+
+  test("unigramLogProb ranks natural text above gibberish") {
+    val natural = "the cat sat on the mat and the dog sat too"
+    val docs = Seq((1L, natural), (2L, natural), (3L, natural),
+      (4L, "zqx vwk jjr pqm zzf")).toDF("doc_id", "text")
+    val got = Retrieval.unigramLogProb(docs)
+      .withColumn("mean_lp", col("lp_micro_sum") / col("n_tokens"))
+      .orderBy("doc_id").collect()
+    val means = got.map(r => r.getLong(0) -> r.getAs[Double]("mean_lp")).toMap
+    assert(means(1L) > means(4L)) // less negative = more probable
+  }
+
+  // ---- chunking ----
+
+  test("chunks cover every token with the declared size/stride and exact md5") {
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq((7L, text)).toDF("doc_id", "text")
+    val got = TextAnalysis.chunks(df, size = 4, stride = 3)
+      .orderBy("chunk_id").collect()
+    // starts 0,3,6,9 → lengths 4,4,4,1
+    assert(got.map(_.getAs[Long]("n_tokens")).toSeq === Seq(4L, 4L, 4L, 1L))
+    val toks = text.split(" ")
+    val expectMd5 = Seq(0, 3, 6, 9).map { s =>
+      val chunk = toks.slice(s, s + 4).mkString(" ")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(chunk.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(got.map(_.getAs[String]("chunk_md5")).toSeq === expectMd5)
+  }
+
+  test("short docs yield exactly one chunk; stride must not exceed size") {
+    val df = Seq((1L, "only three tokens")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunks(df, size = 32, stride = 24).collect()
+    assert(got.length === 1 && got.head.getAs[Long]("n_tokens") === 3)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunks(df, size = 4, stride = 5)
+    }
+  }
+
+  // ---- stratified sampling ----
+
+  test("stratified sampling: fraction 1 keeps all, 0 drops all, per stratum") {
+    val df = (1L to 100L).map(i =>
+      (i, s"text body number $i", if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "text", "lang")
+    val kept = TextAnalysis.stratifiedHashSample(df,
+      Map("en" -> 1.0, "zh" -> 0.0)).collect()
+    assert(kept.length === 50 && kept.forall(_.getAs[String]("lang") == "en"))
+  }
+
+  test("stratified sampling agrees with hashSample within a stratum") {
+    val df = (1L to 200L).map(i => (i, s"doc number $i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val strat = TextAnalysis.stratifiedHashSample(df, Map("en" -> 0.25))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val plain = df.filter(TextAnalysis.hashSample(col("text"), 0.25))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(strat === plain)
+  }
+
+  // ---- incremental dedup ----
+
+  test("incrementalDedup keeps only content new to the corpus, min-id within batch") {
+    val corpus = Seq((1L, "aaa"), (2L, "bbb")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "aaa"), // dup of corpus → dropped
+      (11L, "ccc"), (13L, "ccc"), // batch-internal dup → keep 11
+      (12L, "ddd")).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(corpus, batch)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(11L, 12L))
+  }
+
+  test("incrementalDedup against an empty corpus equals exactDedup") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100)
+    val emptyCorpus = docs.filter(lit(false))
+    val inc = Dedup.incrementalDedup(emptyCorpus, docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = Dedup.exactDedup(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(inc === exact)
+  }
+
+  // ---- decontamination ----
+
+  test("decontaminate counts distinct overlapping k-grams per train doc") {
+    val eval = Seq((1L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "the quick brown fox jumps high"), // shares 3-grams
+      (11L, "completely different text entirely"), // no overlap
+      (12L, "the quick brown cat") // shares exactly 1 ("the quick brown")
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(train, eval, k = 3)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // eval 3-grams: {the quick brown, quick brown fox, brown fox jumps}
+    assert(got.toSeq === Seq((10L, 3L), (12L, 1L)))
+  }
+
+  test("decontaminate of a doc against itself flags every shingle") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(20)
+    val got = Dedup.decontaminate(docs, docs, k = 3)
+    val sizes = docs.select(col("doc_id"),
+      size(TextAnalysis.shingleHashes(col("text"), 3)).cast("long").as("n"))
+    val joined = got.join(sizes, "doc_id")
+      .filter(col("n_overlap") < col("n")).count()
+    assert(joined === 0) // every doc overlaps itself on all shingles
+    assert(got.count() === 20)
+  }
+
+  // ---- int8 quantization ----
+
+  test("quantizeInt8: scale, saturation, and exact error on a known vector") {
+    val df = Seq((1L, Array(1.27f, -0.635f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df).collect()
+    assert(got.length === 1) // zero vector dropped (no defined scale)
+    val r = got.head
+    assert(r.getLong(0) === 1L)
+    assert(math.abs(r.getAs[Double]("scale6") - 0.01) < 1e-9)
+    // q = [127, -64 or -63 (0.635/0.01=63.5 → half-up → 64), 0]: one saturated
+    assert(r.getAs[Long]("n_sat") === 1L)
+    // reconstruction error ≤ (scale/2)² per element
+    val maxErr = 3 * math.pow(0.01 / 2, 2) * 1e12
+    assert(r.getAs[Long]("err_pico") >= 0L && r.getAs[Long]("err_pico") <= maxErr.toLong)
+  }
+
+  test("dequantized vectors stay within half-step of the original") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50)
+    val joined = Similarity.dequantized(emb).withColumnRenamed("embedding", "dq")
+      .join(emb, "vec_id")
+      .select(col("vec_id"),
+        array_max(zip_with(col("embedding"), col("dq"),
+          (x, y) => abs(x.cast("double") - y.cast("double")))).as("max_abs_err"),
+        (array_max(transform(col("embedding"), e => abs(e.cast("double")))) /
+          127.0).as("halfstep_bound"))
+    // |x - x̂| ≤ scale/2 + float-cast epsilon; bound with scale (2× half-step)
+    assert(joined.filter(col("max_abs_err") > col("halfstep_bound")).count() === 0)
+  }
+
+  test("quantized brute-force knn recalls most of the exact top-k") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceKnn(emb, q, k = 3)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.bruteForceKnn(Similarity.dequantized(emb), q, k = 3)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = (exact intersect quant).size
+    assert(hits >= 24, s"quantized recall too low: $hits/30") // floor in e_knn_q8
+  }
+}
