@@ -367,11 +367,14 @@ object Dedup {
     * shape of every training-data pipeline: the corpus is re-scanned but
     * never re-deduped.
     *
-    * Scale shape: one anti-join on the 16-byte content hash. The batch side
-    * is small by construction (a day's crawl vs the full corpus), so AQE
-    * broadcasts it and the corpus side streams through its scan without a
-    * shuffle; the within-batch dedup shuffles only the batch. Nothing
-    * corpus-sized is ever shuffled.
+    * Scale shape: one anti-join on the 16-byte content hash. A left-anti
+    * join can only broadcast its RIGHT (corpus) side, so at real scale this
+    * plans as a shuffle anti-join — the corpus is shuffled ONCE on the
+    * narrow hash projection (16 bytes/row, not the documents), and Spark's
+    * runtime bloom-filter injection (`spark.sql.optimizer.runtime
+    * .bloomFilter.enabled`, on by default) builds a filter from the small
+    * batch side and pushes it into the corpus scan, so most corpus rows die
+    * before the exchange. The within-batch dedup shuffles only the batch.
     */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {

@@ -41,8 +41,13 @@ object Retrieval {
     val toks = TextAnalysis.tokens(col(textCol))
     val hits = df.select(col(idCol), size(toks).cast("long").as("dl"),
       explode(filter(toks, t => t.isin(queryTerms.map(lit): _*))).as("term"))
+    // tf is consumed twice (df-per-term + the score join). Without the
+    // checkpoint Catalyst duplicates the corpus scan+explode subplan to
+    // recompute this (matched docs × terms)-sized table — at 100 TB that is
+    // a second full-corpus pass to rebuild a table that is ≪ 1% of it.
     val tf = hits.groupBy(col(idCol), col("term"))
       .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // N and total token count as exact integers; avgdl derived as ONE double
     // division so both engines divide identical operands.
@@ -81,7 +86,10 @@ object Retrieval {
       textCol: String = "text"): DataFrame = {
     val toks = df.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("token"))
-    val freq = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    // freq is consumed twice (totals + the scoring join): checkpoint the
+    // vocab-sized table so the corpus token stream is aggregated once, not
+    // re-derived from a duplicated scan+explode subplan.
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("c")).localCheckpoint()
     val totals = freq.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
     toks.join(freq, "token")
       .crossJoin(broadcast(totals))
