@@ -364,6 +364,14 @@ object SparkEntry {
         .orderBy(col("n_occurrences").desc, col("sentence"))
         .limit(50)),
 
+    // Sentence-level dedup WITH reconstruction (CCNet line dedup): drop
+    // sentences occurring in >= 2 distinct docs, rebuild each doc from the
+    // survivors in original order.
+    "d_line_dedup" -> ((s, dir) =>
+      TextAnalysis.dropRepeatedSentences(
+          s.read.parquet(s"$dir/documents.parquet"), minDocs = 2)
+        .orderBy("doc_id")),
+
     // Doc-length histogram: token-count deciles bucketed to 10s — the
     // length-distribution sanity check before/after filtering.
     "d_length_hist" -> ((s, dir) =>
@@ -1191,6 +1199,21 @@ object SparkEntry {
         |       count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
         |FROM sents GROUP BY sentence
         |ORDER BY n_occurrences DESC, sentence LIMIT 50""".stripMargin,
+
+    "d_line_dedup" ->
+      """WITH raw AS (SELECT doc_id, string_split_regex(text, '[.!?]+') AS l
+        |  FROM documents),
+        |sents AS (SELECT doc_id, u.pos AS pos, trim(u.s) AS s
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(l) + 1),
+        |          i -> {'pos': i, 's': l[i]})) AS u
+        |        FROM raw)),
+        |s2 AS (SELECT doc_id, pos, s FROM sents WHERE length(s) > 0),
+        |freq AS (SELECT s, count(DISTINCT doc_id) AS nd FROM s2 GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_kept,
+        |       string_agg(s, '. ' ORDER BY pos) AS clean
+        |FROM s2 JOIN freq USING (s)
+        |WHERE nd < 2
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d_length_hist" ->
       """SELECT CAST(len(string_split_regex(text, ' +')) // 10 * 10 AS BIGINT) AS bucket,

@@ -302,6 +302,39 @@ object TextAnalysis {
         < threshold)
   }
 
+  /** CCNet-style sentence-level dedup WITH text reconstruction: drop every
+    * sentence that occurs in `minDocs`-or-more distinct documents
+    * (boilerplate headers, cookie banners, license blurbs), then rebuild
+    * each document from its surviving sentences in original order. The
+    * rewrite twin of the reporting-only sentence-frequency table
+    * (`d_sentence_dedup`).
+    *
+    * Shuffle shape at scale: explode sentences with position → one shuffle
+    * on the sentence for the doc-frequency count → the sentence→frequency
+    * join reuses that partitioning → one shuffle on doc id to reassemble.
+    * Same shape as TF-IDF; nothing quadratic, no broadcast of a
+    * corpus-sized side. Docs whose every sentence is boilerplate drop out.
+    *
+    * Output: (id, n_kept, clean) — surviving-sentence count and the
+    * reconstructed text, ". "-joined.
+    */
+  def dropRepeatedSentences(df: DataFrame, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    val sents = df
+      .select(col(idCol), posexplode(split(col(textCol), "[.!?]+")).as(Seq("pos", "_raw")))
+      .select(col(idCol), col("pos"), trim(col("_raw")).as("s"))
+      .filter(length(col("s")) > 0)
+    val freq = sents.groupBy("s").agg(countDistinct(col(idCol)).as("nd"))
+    sents.join(freq, "s")
+      .filter(col("nd") < minDocs)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(". ",
+          transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+            x => x.getField("s"))).as("clean"))
+  }
+
   /** Per-doc fingerprint summary (count / min / max of the winnowed set) —
     * straight off the native winnow array: no explode, no groupBy, no
     * shuffle at all. (The array is referenced by several consumers, which

@@ -119,6 +119,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(strat === plain)
   }
 
+  // ---- sentence-level dedup with reconstruction ----
+
+  test("dropRepeatedSentences removes cross-doc boilerplate, keeps order") {
+    val df = Seq(
+      (1L, "unique one. shared boilerplate. unique two!"),
+      (2L, "shared boilerplate. other content?"),
+      (3L, "totally original text.")).toDF("doc_id", "text")
+    val got = TextAnalysis.dropRepeatedSentences(df, minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, "unique one. unique two"),
+      (2L, 1L, "other content"),
+      (3L, 1L, "totally original text")))
+  }
+
+  test("dropRepeatedSentences: doc of pure boilerplate drops out; repeats within one doc survive") {
+    val df = Seq(
+      (1L, "dup. dup. mine."),
+      (2L, "spam only."),
+      (3L, "spam only.")).toDF("doc_id", "text")
+    val got = TextAnalysis.dropRepeatedSentences(df, minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // "dup" occurs twice but only in doc 1 (n_docs=1) → kept both times;
+    // docs 2 and 3 are 100% boilerplate → removed entirely.
+    assert(got.toSeq === Seq((1L, 3L, "dup. dup. mine")))
+  }
+
   // ---- incremental dedup ----
 
   test("incrementalDedup keeps only content new to the corpus, min-id within batch") {
