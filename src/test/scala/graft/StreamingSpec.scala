@@ -158,6 +158,48 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1).getAs[String]("clean") === "mail me at <EMAIL> right now")
   }
 
+  test("chunking and decontamination run on a stream, equal to batch") {
+    // chunks is a pure generate-projection; decontaminate is a
+    // stream-static broadcast semi-join against the (static, small by
+    // construction) eval shingle set — both stream with ZERO state.
+    val dir = Files.createTempDirectory("graft-schunk")
+    val src = dir.resolve("src").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(60)
+    docs.write.parquet(src)
+    val evalSet = docs.filter(col("doc_id") < 20)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    val out = graft.ops.TextAnalysis.chunks(stream, size = 16, stride = 12)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("schunk").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamedChunks = spark.sql(
+      "SELECT doc_id, chunk_id, chunk_md5 FROM schunk ORDER BY doc_id, chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val batchChunks = graft.ops.TextAnalysis.chunks(docs, size = 16, stride = 12)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "chunk_md5")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(streamedChunks === batchChunks && streamedChunks.nonEmpty)
+
+    val stream2 = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    val decon = graft.ops.Dedup.decontaminate(
+      train = stream2.filter(col("doc_id") >= 20), eval = evalSet, k = 3)
+    val q2 = decon.writeStream.outputMode("complete").format("memory")
+      .queryName("sdecon").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    val streamedDecon = spark.sql("SELECT * FROM sdecon ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batchDecon = graft.ops.Dedup.decontaminate(
+        train = docs.filter(col("doc_id") >= 20), eval = evalSet, k = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamedDecon === batchDecon && streamedDecon.nonEmpty)
+  }
+
   test("SparkSessionExtensions registers simhash64 for SQL") {
     new graft.GraftExtensions().apply(
       new org.apache.spark.sql.SparkSessionExtensions {})
