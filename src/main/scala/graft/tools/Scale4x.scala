@@ -116,6 +116,15 @@ object Scale4x {
       graft.ops.Dedup.embeddingNearDupLsh(e, 0.35, nPlanes = 6))
     run("TF-IDF top terms")((d, _) => graft.ops.TextAnalysis.tfidfTopTerms(d))
     run("repetition signals")((d, _) => graft.ops.TextAnalysis.withRepetitionSignals(d))
+    run("BM25 retrieval")((d, _) =>
+      graft.ops.Retrieval.bm25(d, Seq("hash", "join", "vector", "dup"), topK = 20))
+    run("unigram-LM scoring")((d, _) => graft.ops.Retrieval.unigramLogProb(d))
+    run("sentence-level dedup")((d, _) =>
+      graft.ops.TextAnalysis.dropRepeatedSentences(d, minDocs = 2))
+    run("chunking")((d, _) => graft.ops.TextAnalysis.chunks(d))
+    run("decontamination")((d, _) => graft.ops.Dedup.decontaminate(
+      d.filter(col("doc_id") % 100 =!= 0), d.filter(col("doc_id") % 100 === 0)))
+    run("int8 quantization")((_, e) => graft.ops.Similarity.quantizeInt8(e))
     spark.stop()
   }
 }
