@@ -335,6 +335,20 @@ object SparkEntry {
       Dedup.dedupClusters(docs, pairs).orderBy("doc_id")
     }),
 
+    // Canonical selection: near-dup clusters keep their LONGEST member
+    // (quality-first keep policy, tie → min id) instead of min-id.
+    "d_keep_best" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.2)
+      val clusters = Dedup.dedupClusters(docs, pairs)
+      Dedup.keepBest(
+          docs.withColumn("n_tokens",
+            TextAnalysis.tokenCount(col("text")).cast("long")),
+          clusters, col("n_tokens"))
+        .select(col("cluster_id"), col("doc_id"), col("n_tokens"))
+        .orderBy("cluster_id")
+    }),
+
     // Text quality signals (exact counts + IEEE-deterministic ratios).
     "d_quality" -> ((s, dir) =>
       TextAnalysis.withQualitySignals(s.read.parquet(s"$dir/documents.parquet"))
@@ -1121,6 +1135,38 @@ object SparkEntry {
         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
         |SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "d_keep_best" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+        |    ELSE list_transform(range(1, len(l) - 3 + 2),
+        |                        i -> array_to_string(l[i:i+2], ' ')) END)) AS shingle
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM cand
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.2),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+        |labels AS (SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY id),
+        |scored AS (SELECT l.cluster_id, l.doc_id,
+        |    CAST(len(string_split_regex(d.text, ' +')) AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY l.cluster_id
+        |      ORDER BY len(string_split_regex(d.text, ' +')) DESC, l.doc_id) AS rn
+        |  FROM labels l JOIN documents d ON d.doc_id = l.doc_id)
+        |SELECT cluster_id, doc_id, n_tokens FROM scored
+        |WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
     "d_quality" ->
       """SELECT doc_id,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -308,6 +308,25 @@ object Dedup {
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+  }
+
+  /** Canonical selection: keep ONE row per dedup cluster — the
+    * highest-scoring member (quality, length, recency...), tie-broken by
+    * lowest id. The keep-policy real pipelines use instead of
+    * [[dedupClusters]]' min-id convention. `clusters` is the
+    * (id, cluster_id) labeling from [[dedupClusters]].
+    *
+    * Scale shape: one join of the corpus to its labels on id, one
+    * window partitioned by cluster_id — both shuffle the corpus once;
+    * clusters are near-singleton by construction post-dedup, so the
+    * window partitions are tiny (no whale-cluster skew unless dedup
+    * itself already produced a whale, which CC labeling surfaces). */
+  def keepBest(df: DataFrame, clusters: DataFrame, scoreCol: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy("cluster_id").orderBy(scoreCol.desc, col(idCol))
+    df.join(clusters, Seq(idCol))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
   }
 
   /** SimHash near-dup: 64-bit signatures via [[graft.functions.SimHash64]]

@@ -172,6 +172,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(inc === exact)
   }
 
+  // ---- canonical selection ----
+
+  test("keepBest keeps the highest-scoring member per cluster, tie on min id") {
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L), // cluster A: 2 and 3 tie on score → keep 2
+      (4L, 5L) // singleton
+    ).toDF("doc_id", "score")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val got = Dedup.keepBest(docs, clusters, col("score"))
+      .select("cluster_id", "doc_id").orderBy("cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 2L), (4L, 4L)))
+  }
+
+  test("keepBest with a constant score degrades to dedupClusters' min-id keep") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+    val pairs = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.2)
+    val clusters = Dedup.dedupClusters(docs, pairs)
+    val best = Dedup.keepBest(docs, clusters, lit(0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val minId = clusters.filter(col("doc_id") === col("cluster_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(best === minId)
+  }
+
   // ---- decontamination ----
 
   test("decontaminate counts distinct overlapping k-grams per train doc") {
