@@ -416,6 +416,27 @@ object SparkEntry {
         .select("doc_id")
         .orderBy("doc_id")),
 
+    // Deterministic training-shard manifest: md5-bucket shard assignment
+    // (order/partitioning-independent), per-shard doc/token counts and an
+    // order-independent content checksum — the layout + audit contract a
+    // training job restarts from.
+    "d_shard" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("shard", TextAnalysis.shardAssign(col("text"), 16))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+            .cast("long")).as("checksum"))
+        .orderBy("shard")),
+
+    // Cross-doc repeated k-token spans (exact-substring-dedup signal,
+    // Lee et al. 2022): per doc, distinct 8-token windows shared with at
+    // least one other doc + duplicated fraction.
+    "d_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpanStats(s.read.parquet(s"$dir/documents.parquet"), k = 8)
+        .orderBy("doc_id")),
+
     // End-to-end corpus pipeline: exact dedup (keep min id) → quality gate
     // → near-dup clustering on the survivors → keep one doc per cluster.
     // The composition every pre-training data pipeline runs, as ONE plan.
@@ -900,6 +921,14 @@ object SparkEntry {
     }),
   )
 
+  /** DuckDB SQL for the integer value of the first `n` hex chars of
+    * `expr` (DuckDB has no conv(); mirrors Spark's
+    * `conv(substring(expr, 1, n), 16, 10)`). */
+  private def hexPrefix(expr: String, n: Int): String =
+    (1 to n).map(i =>
+      s"(strpos('0123456789abcdef', substr($expr, $i, 1)) - 1)::BIGINT * " +
+        BigInt(16).pow(n - i)).mkString("(", " + ", ")")
+
   def oracleSql: Map[String, String] = Map(
     "t_dump" ->
       s"""$TrailsCte
@@ -1283,6 +1312,31 @@ object SparkEntry {
         |WHERE (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16 +
         |      (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) < 64
         |ORDER BY doc_id""".stripMargin,
+
+    "d_shard" ->
+      s"""WITH d AS (SELECT text, ${hexPrefix("md5(text)", 6)} % 16 AS shard
+         |  FROM documents)
+         |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+         |  CAST(sum(len(string_split_regex(text, ' +'))) AS BIGINT) AS n_tokens,
+         |  CAST(sum(${hexPrefix("md5(text)", 8)}) AS BIGINT) AS checksum
+         |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "d_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS l
+        |  FROM documents),
+        |sp AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(l) < 8 THEN [array_to_string(l, ' ')]
+        |    ELSE list_transform(range(1, len(l) - 8 + 2),
+        |                        i -> array_to_string(l[i:i+7], ' ')) END)) AS sh
+        |  FROM t),
+        |df AS (SELECT sh, count(*) AS span_df FROM sp GROUP BY sh)
+        |SELECT doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN span_df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_spans,
+        |  round(CAST(sum(CASE WHEN span_df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS dup_frac6
+        |FROM sp JOIN df USING (sh)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d_pipeline" ->
       """WITH RECURSIVE

@@ -329,6 +329,34 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Cross-document repeated-span stats — the signal behind exact
+    * substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): per document, how many of its DISTINCT
+    * k-token windows also occur in at least one other document, plus the
+    * duplicated fraction. Docs shorter than k tokens contribute their
+    * whole text as one window (same convention as decontaminate/MinHash
+    * shingling). Spans are compared by 64-bit chained-XXH64 hash
+    * (collision ~1e-8; the DuckDB oracle compares raw string spans and
+    * still hash-matches).
+    *
+    * Scale shape: explode to (doc, span-hash) pairs, one shuffle on the
+    * hash for the span doc-frequency, one shuffle back on the doc id for
+    * the per-doc rollup — the inverted-index shape of
+    * [[ngramJaccardPairs]], never a pairwise join. */
+  def dupSpanStats(df: DataFrame, k: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spans = df.select(col(idCol),
+      explode(TextAnalysis.shingleHashes(col(textCol), k)).as("h"))
+    // spans are distinct per doc, so count-per-hash = doc frequency
+    val docFreq = spans.groupBy("h").agg(count(lit(1)).as("span_df"))
+    spans.join(docFreq, "h")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("span_df") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac6",
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
+  }
+
   /** SimHash near-dup: 64-bit signatures via [[graft.functions.SimHash64]]
     * (native Catalyst expression), then exact Hamming-distance pairs among
     * docs sharing at least one of 4 16-bit signature bands (Manku et al.,

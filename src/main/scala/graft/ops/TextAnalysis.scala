@@ -249,6 +249,20 @@ object TextAnalysis {
       lit((fraction * 256).toInt)
   }
 
+  /** Deterministic training-shard assignment: uniform bucket from the
+    * first 24 bits of md5(text). Engine-portable, reproducible across
+    * runs and cluster sizes, and independent of input order/partitioning
+    * (unlike `spark_partition_id` or `monotonically_increasing_id`, which
+    * change under repartition or stage retry). Pairs with
+    * `write.partitionBy("shard")` to lay out the fixed-cardinality shard
+    * files a training job consumes; the per-shard manifest (counts, token
+    * sums, content checksum) is the restart/audit contract. Pure
+    * projection: no shuffle until the manifest aggregate. */
+  def shardAssign(text: Column, nShards: Int): Column = {
+    require(nShards > 0 && nShards <= (1 << 20), s"nShards $nShards out of range")
+    conv(substring(md5(text.cast("binary")), 1, 6), 16, 10).cast("long") % nShards
+  }
+
   /** Token-window chunking with overlap — the standard pre-tokenization
     * split for embedding/pretraining pipelines: chunk i covers tokens
     * [i·stride, i·stride + size), starts at every stride-th token until the

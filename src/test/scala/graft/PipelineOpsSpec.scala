@@ -269,4 +269,57 @@ class PipelineOpsSpec extends SparkSpec {
     val hits = (exact intersect quant).size
     assert(hits >= 24, s"quantized recall too low: $hits/30") // floor in e_knn_q8
   }
+
+  // ---- shard assignment ----
+
+  test("shardAssign covers [0, n), is deterministic, and partitions the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = docs.count()
+    val sharded = docs.withColumn("shard", TextAnalysis.shardAssign(col("text"), 16))
+    val byShard = sharded.groupBy("shard").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(byShard.keySet.forall(s => s >= 0 && s < 16))
+    assert(byShard.values.sum === n) // every doc in exactly one shard
+    // deterministic: same assignment on re-evaluation and under repartition
+    val again = docs.repartition(7)
+      .withColumn("shard", TextAnalysis.shardAssign(col("text"), 16))
+      .groupBy("shard").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(again === byShard)
+  }
+
+  test("shardAssign spreads docs across shards roughly uniformly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val counts = docs.withColumn("shard", TextAnalysis.shardAssign(col("text"), 8))
+      .groupBy("shard").count().collect().map(_.getLong(1))
+    assert(counts.length === 8) // 500 docs: every shard hit
+    assert(counts.max < counts.min * 3, s"skewed shards: ${counts.toSeq}")
+  }
+
+  // ---- repeated-span stats ----
+
+  test("dupSpanStats flags shared k-token spans and leaves unique docs at zero") {
+    val shared = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"$shared alpha beta gamma"),
+      (2L, s"prefix words here then $shared"),
+      (3L, "totally different content with no overlap at all now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanStats(docs, k = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 1: 4 windows of its 11 tokens, one (the shared span) duplicated
+    assert(got.map(t => (t._1, t._3)) === Seq((1L, 1L), (2L, 1L), (3L, 0L)))
+    assert(got.forall(t => t._2 > 0))
+  }
+
+  test("dupSpanStats counts whole-text windows for docs shorter than k") {
+    val docs = Seq(
+      (1L, "tiny doc"), (2L, "tiny doc"), (3L, "other tiny")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanStats(docs, k = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 0L)))
+  }
 }
