@@ -650,6 +650,50 @@ object SparkEntry {
           size = 32, stride = 24)
         .orderBy("doc_id", "chunk_id")),
 
+    // Concat-and-split sequence packing: chunks laid out per md5 shard in
+    // (doc_id, chunk_id) order, split at 256-token budget boundaries — the
+    // fixed-length training-example packer, emitted as per-pack manifests.
+    // Deterministic window replay: DuckDB recomputes the identical packing.
+    "d_pack" -> ((s, dir) => {
+      val ch = TextAnalysis.chunks(s.read.parquet(s"$dir/documents.parquet"),
+        size = 32, stride = 24)
+      TextAnalysis.packChunks(ch, budget = 256, nShards = 8)
+        .groupBy("shard", "pack_id")
+        .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("pack_tokens"))
+        .orderBy("shard", "pack_id")
+    }),
+
+    // Corpus statistics with sketch contracts: exact doc/token counts and
+    // exact distinct 3-gram shingles next to the sketches a 100 TB pass
+    // would actually use — HyperLogLog cardinality (rsd 2%, checked within
+    // ±5% of exact) and KLL-style approx quantiles of doc length (rank
+    // accuracy 1%, checked inside the exact [q±2%] quantile band).
+    "d_corpus_stats" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val nt = docs.select(TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+      val docStats = nt.agg(
+        count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+        percentile_approx(col("nt"), lit(0.5), lit(100)).as("p50a"),
+        percentile_approx(col("nt"), lit(0.9), lit(100)).as("p90a"),
+        percentile_approx(col("nt"), lit(0.48), lit(1000000)).as("p50lo"),
+        percentile_approx(col("nt"), lit(0.52), lit(1000000)).as("p50hi"),
+        percentile_approx(col("nt"), lit(0.88), lit(1000000)).as("p90lo"),
+        percentile_approx(col("nt"), lit(0.92), lit(1000000)).as("p90hi"))
+      val grams = docs.select(TextAnalysis.tokens(col("text")).as("_t"))
+        .filter(size(col("_t")) >= 3)
+        .select(explode(transform(sequence(lit(1), size(col("_t")) - 2),
+          i => concat_ws(" ", slice(col("_t"), i, lit(3))))).as("gram"))
+      val gramStats = grams.agg(
+        countDistinct(col("gram")).as("distinct_3grams"),
+        approx_count_distinct(col("gram"), 0.02).as("hll"))
+      docStats.crossJoin(broadcast(gramStats))
+        .select(col("n_docs"), col("n_tokens"), col("distinct_3grams"),
+          (abs(col("hll") - col("distinct_3grams")) <=
+            col("distinct_3grams") * 0.05).as("hll_ok"),
+          (col("p50a") >= col("p50lo") && col("p50a") <= col("p50hi")).as("p50_ok"),
+          (col("p90a") >= col("p90lo") && col("p90a") <= col("p90hi")).as("p90_ok"))
+    }),
+
     // Stratified hash-sampling: per-language keep fractions (rebalancing an
     // over-represented language mix) — deterministic md5 rule per stratum.
     "d_stratified_sample" -> ((s, dir) =>
@@ -1545,6 +1589,31 @@ object SparkEntry {
         |  CAST(len(l[i*24+1 : i*24+32]) AS BIGINT) AS n_tokens,
         |  md5(array_to_string(l[i*24+1 : i*24+32], ' ')) AS chunk_md5
         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "d_pack" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS l FROM documents),
+         |s AS (SELECT doc_id, l, unnest(range(0, (len(l) - 1) // 24 + 1)) AS i FROM t),
+         |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+         |    CAST(len(l[i*24+1 : i*24+32]) AS BIGINT) AS n_tokens,
+         |    ${hexPrefix("md5(CAST(doc_id AS VARCHAR))", 6)} % 8 AS shard FROM s),
+         |p AS (SELECT shard, n_tokens,
+         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+         |      ORDER BY doc_id, chunk_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+         |  FROM c)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(floor(prior / 256.0) AS BIGINT) AS pack_id,
+         |  count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+         |FROM p GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
+
+    "d_corpus_stats" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS l FROM documents),
+        |g AS (SELECT array_to_string(l[i : i+2], ' ') AS gram
+        |  FROM t, unnest(range(1, len(l) - 1)) AS u(i) WHERE len(l) >= 3)
+        |SELECT (SELECT count(*) FROM t) AS n_docs,
+        |  (SELECT CAST(sum(len(l)) AS BIGINT) FROM t) AS n_tokens,
+        |  (SELECT count(DISTINCT gram) FROM g) AS distinct_3grams,
+        |  TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p90_ok""".stripMargin,
 
     "d_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

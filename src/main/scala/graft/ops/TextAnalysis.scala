@@ -295,6 +295,33 @@ object TextAnalysis {
           .cast("binary")).as("chunk_md5"))
   }
 
+  /** Concat-and-split sequence packing over chunked documents — the GPT-style
+    * packing step that turns variable-length chunks into fixed-token-budget
+    * training groups: within each md5-derived shard, chunks are laid out in
+    * deterministic (doc_id, chunk_id) order and pack_id = floor(exclusive
+    * running token sum / budget), i.e. documents are concatenated and split
+    * at budget boundaries (a straddling chunk belongs to the pack where it
+    * starts). Fully deterministic and order-replayable by any engine — no
+    * dependence on partitioning, task order, or a driver-side packer.
+    *
+    * Plan shape: one hash shuffle on `shard` (fixed small cardinality) and a
+    * per-shard sort for the running sum — at 100 TB the window never sees
+    * more than corpus/nShards rows per partition, and nShards is chosen to
+    * make that fit (it is the training job's shard count, not a tuning
+    * knob). Expects [[chunks]] output (idCol, chunk_id, n_tokens).
+    */
+  def packChunks(chunked: DataFrame, budget: Int, nShards: Int = 8,
+      idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val sharded = chunked.withColumn("shard",
+      shardAssign(col(idCol).cast("string"), nShards))
+    val prior = Window.partitionBy("shard").orderBy(col(idCol), col("chunk_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sharded.withColumn("pack_id",
+      floor(coalesce(sum(col("n_tokens")).over(prior), lit(0L)) / lit(budget))
+        .cast("long"))
+  }
+
   /** Per-stratum deterministic hash sampling: like [[hashSample]] but with
     * a different keep-fraction per stratum value (e.g. downsample
     * over-represented languages, keep all of a rare one) — the standard

@@ -322,4 +322,56 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got === Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 0L)))
   }
+
+  // ---- sequence packing ----
+
+  test("packChunks replays as a deterministic window and preserves chunks") {
+    val docs = (1L to 40L)
+      .map(i => (i, Seq.fill(5 + (i % 17).toInt)("w" + i).mkString(" ")))
+      .toDF("doc_id", "text")
+    val ch = TextAnalysis.chunks(docs, size = 8, stride = 6)
+    val packed = TextAnalysis.packChunks(ch, budget = 20, nShards = 4)
+    assert(packed.count() === ch.count()) // every chunk lands in exactly one pack
+    // local replay: pack_id must equal floor(exclusive cumsum / budget) in
+    // (doc_id, chunk_id) order within each shard
+    val rows = packed.select("shard", "doc_id", "chunk_id", "n_tokens", "pack_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (shard, g) =>
+      var cum = 0L
+      g.sortBy(r => (r._2, r._3)).foreach { r =>
+        assert(r._5 === cum / 20, s"pack_id mismatch in shard $shard at $r")
+        cum += r._4
+      }
+    }
+    // identical assignment regardless of input partitioning
+    val repacked = TextAnalysis.packChunks(ch.repartition(7), budget = 20, nShards = 4)
+    assert(repacked.select("doc_id", "chunk_id", "pack_id")
+      .except(packed.select("doc_id", "chunk_id", "pack_id")).count() === 0)
+  }
+
+  // ---- Misra-Gries heavy hitters ----
+
+  test("misra-gries holds the heavy-hitter guarantee and error bound on a zipf stream") {
+    // token j appears ceil(2000/j) times: 200 distinct tokens, 2 true heavy
+    // hitters at k=16 — evictions and lossy merges must actually happen
+    val stream = (1 to 200).flatMap(j => Seq.fill(math.ceil(2000.0 / j).toInt)(s"tok$j"))
+    val n = stream.size.toLong
+    val k = 16
+    val exact = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    assert(exact.count(_._2 * (k + 1) > n) >= 2)
+    for (parts <- Seq(1, 8)) {
+      val ds = spark.createDataset(stream).repartition(parts)
+      val sketch = ds.select(ops.Sketch.MisraGries(k).toColumn).head()
+      assert(sketch.size <= k)
+      exact.filter(_._2 * (k + 1) > n).foreach { case (t, _) =>
+        assert(sketch.contains(t), s"missing heavy hitter $t at parts=$parts")
+      }
+      sketch.foreach { case (t, est) =>
+        val c = exact(t)
+        assert(est <= c && est >= c - n / (k + 1),
+          s"estimate $est outside [${c - n / (k + 1)}, $c] for $t at parts=$parts")
+      }
+    }
+  }
 }
