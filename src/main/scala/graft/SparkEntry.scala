@@ -782,6 +782,18 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Multimodal: REAL audio-container decode — synthesize a WAV (RIFF
+    // PCM16) sawtooth per doc, walk the chunk list in mapPartitions
+    // batches, emit exact-integer stats with an analytic DuckDB oracle.
+    "m_audio" -> ((s, dir) => {
+      val wavs = Multimodal.wavMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet"))
+      Multimodal.decodeAudio(wavs)
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("duration_ms"), col("peak"), col("mean"))
+        .orderBy("media_id")
+    }),
+
     // ---- analytics (TPC-H-style) over the star schema ----
 
     // Q1-style pricing summary: exact decimal sums surfaced as doubles.
@@ -1706,6 +1718,22 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(range(0, h),
         |         y -> CASE WHEN y % 2 = 0 THEN w * ((y * 255) // (h - 1))
         |              ELSE w * 10 END)) AS DOUBLE) / (w * h) AS mean_g
+        |FROM m ORDER BY media_id""".stripMargin,
+
+    // Analytic oracle for the WAV decode: sample i of doc d is
+    // ((i·a + b) mod 97 − 48)·100 with a = 3 + d%5, b = d%7 — peak and
+    // mean replayed as closed-form integer folds.
+    "m_audio" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    8000 + (doc_id % 8) * 1000 AS rate, 40 + doc_id % 50 AS n,
+        |    3 + doc_id % 5 AS a, doc_id % 7 AS b FROM documents)
+        |SELECT media_id, CAST(rate AS INT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+        |  CAST(list_max(list_transform(range(0, n),
+        |      i -> abs(((i * a + b) % 97 - 48) * 100))) AS INT) AS peak,
+        |  CAST(list_sum(list_transform(range(0, n),
+        |      i -> ((i * a + b) % 97 - 48) * 100)) AS DOUBLE) / n AS mean
         |FROM m ORDER BY media_id""".stripMargin,
 
     "m_frames" ->

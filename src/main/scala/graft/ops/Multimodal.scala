@@ -301,6 +301,134 @@ object Multimodal {
     }.toDF("media_id", "bytes")
   }
 
+  // ---- real decode tier 3: WAV / RIFF PCM (audio) ----
+
+  /** Minimal RIFF/WAVE PCM codec — the standard uncompressed audio
+    * container (public spec: RIFF chunks, `fmt ` + `data`), 16-bit mono
+    * subset, zero external dependencies. The decoder WALKS the chunk list
+    * rather than assuming the canonical 44-byte layout, so files carrying
+    * extra chunks (LIST/INFO, fact) decode correctly — that is the part of
+    * WAV parsing real corpora actually exercise. */
+  object Wav {
+    def encode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      require(sampleRate > 0, s"bad sample rate $sampleRate")
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1) // PCM
+      bb.putShort(1) // mono
+      bb.putInt(sampleRate)
+      bb.putInt(sampleRate * 2) // byte rate
+      bb.putShort(2) // block align
+      bb.putShort(16) // bits per sample
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+      var i = 0
+      while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+      bb.array()
+    }
+
+    /** Decode a WAV stream → (sampleRate, samples). Walks the RIFF chunk
+      * list (skipping unknown chunks, honoring odd-size padding), requires
+      * PCM 16-bit mono. Throws on malformed input (callers choose
+      * skip-vs-fail). */
+    def decode(bytes: Array[Byte]): (Int, Array[Short]) = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(bytes.length >= 12, "truncated wav")
+      def fourcc(): String = {
+        val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+      }
+      require(fourcc() == "RIFF", "not a RIFF stream")
+      bb.getInt // riff size (trust actual buffer bounds instead)
+      require(fourcc() == "WAVE", "not a WAVE form")
+      var sampleRate = -1
+      var samples: Array[Short] = null
+      while (bb.remaining() >= 8 && samples == null) {
+        val id = fourcc()
+        val size = bb.getInt
+        require(size >= 0 && size <= bb.remaining(), s"bad chunk size $size for $id")
+        id match {
+          case "fmt " =>
+            require(size >= 16, s"fmt chunk too short: $size")
+            val fmtEnd = bb.position() + size
+            require(bb.getShort == 1, "not PCM")
+            require(bb.getShort == 1, "not mono")
+            sampleRate = bb.getInt
+            require(sampleRate > 0, s"bad sample rate $sampleRate")
+            bb.getInt; bb.getShort // byte rate, block align
+            require(bb.getShort == 16, "not 16-bit")
+            bb.position(fmtEnd)
+          case "data" =>
+            require(sampleRate > 0, "data chunk before fmt")
+            require(size % 2 == 0, s"odd data size $size")
+            samples = new Array[Short](size / 2)
+            var i = 0
+            while (i < samples.length) { samples(i) = bb.getShort; i += 1 }
+          case _ => // skip unknown chunk (word-aligned: odd sizes pad 1 byte)
+            bb.position(bb.position() + size + (size & 1))
+        }
+      }
+      require(samples != null, "no data chunk")
+      (sampleRate, samples)
+    }
+  }
+
+  /** Synthesize a REAL WAV stream per document: a deterministic sawtooth
+    * whose closed form DuckDB can replay — sample i of doc d is
+    * ((i·a + b) mod 97 − 48)·100 with a = 3 + d%5, b = d%7 — so the decode
+    * query has a true analytic oracle over a real container parse. */
+  def wavMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val rate = 8000 + (id % 8).toInt * 1000
+      val n = 40 + (id % 50).toInt
+      val a = 3 + (id % 5).toInt
+      val b = (id % 7).toInt
+      val samples = Array.tabulate(n)(i => (((i * a + b) % 97 - 48) * 100).toShort)
+      (id, Wav.encode(rate, samples))
+    }.toDF("media_id", "bytes")
+  }
+
+  final case class AudioRow(media_id: Long, bytes: Array[Byte])
+  final case class DecodedAudio(media_id: Long, sample_rate: Int,
+      n_samples: Long, duration_ms: Long, peak: Int, mean: Double)
+
+  /** REAL audio decode + feature extraction, batch-at-a-time per partition:
+    * RIFF chunk walk via [[Wav.decode]], then exact-integer stats (peak
+    * amplitude, mean as one integer-sum division — order-independent and
+    * engine-verifiable). `skipMalformed` mirrors CSV DROPMALFORMED. */
+  def decodeAudio(media: DataFrame, skipMalformed: Boolean = true): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[AudioRow].mapPartitions { it =>
+      it.flatMap { m =>
+        try {
+          val (rate, samples) = Wav.decode(m.bytes)
+          var sum = 0L
+          var peak = 0
+          var i = 0
+          while (i < samples.length) {
+            sum += samples(i)
+            val a = math.abs(samples(i).toInt)
+            if (a > peak) peak = a
+            i += 1
+          }
+          Iterator.single(DecodedAudio(m.media_id, rate, samples.length.toLong,
+            samples.length.toLong * 1000L / rate, peak,
+            if (samples.isEmpty) 0.0 else sum.toDouble / samples.length))
+        } catch {
+          case e: Exception if skipMalformed => Iterator.empty
+          case e: Exception => throw new RuntimeException(
+            s"malformed audio for media_id ${m.media_id}", e)
+        }
+      }
+    }.toDF()
+  }
+
   final case class ImageRow(media_id: Long, bytes: Array[Byte])
   final case class DecodedImage(media_id: Long, width: Int, height: Int,
       mean_r: Double, mean_g: Double, mean_b: Double, thumb: Array[Float])

@@ -485,6 +485,51 @@ class MultimodalSpec extends SparkSpec {
     assert(dec.getAs[Seq[Float]]("thumb") === rgb.map(b => (b & 0xff) / 255.0f).toSeq)
   }
 
+  test("WAV decode: round-trips, walks extra RIFF chunks, rejects non-PCM") {
+    val samples = Array[Short](0, 100, -32768, 32767, -1)
+    val bytes = Multimodal.Wav.encode(16000, samples)
+    val (rate, got) = Multimodal.Wav.decode(bytes)
+    assert(rate === 16000 && got.toSeq === samples.toSeq)
+
+    // insert a LIST chunk (odd size → padded) between fmt and data: real
+    // WAVs carry these, and the canonical-44-byte-offset shortcut breaks
+    val fmtEnd = 12 + 8 + 16
+    val extra = new java.io.ByteArrayOutputStream()
+    extra.write(bytes, 0, fmtEnd)
+    extra.write("LIST".getBytes("US-ASCII"))
+    extra.write(Array[Byte](5, 0, 0, 0)) // size 5, little-endian
+    extra.write("INFOx".getBytes("US-ASCII")); extra.write(0) // pad byte
+    extra.write(bytes, fmtEnd, bytes.length - fmtEnd)
+    val (rate2, got2) = Multimodal.Wav.decode(extra.toByteArray)
+    assert(rate2 === 16000 && got2.toSeq === samples.toSeq)
+
+    val stereo = bytes.clone; stereo(22) = 2 // channels field
+    assertThrows[IllegalArgumentException](Multimodal.Wav.decode(stereo))
+    assertThrows[IllegalArgumentException](
+      Multimodal.Wav.decode("RIFFxxxxWAVE".getBytes))
+  }
+
+  test("document-synthesized WAV corpus decodes with exact analytic stats") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val dec = Multimodal.decodeAudio(Multimodal.wavMediaFromDocuments(docs))
+    assert(dec.count() === 50)
+    val r = dec.orderBy("media_id").head()
+    val id = r.getAs[Long]("media_id")
+    val (a, b, n) = (3 + (id % 5).toInt, (id % 7).toInt, 40 + (id % 50).toInt)
+    val xs = (0 until n).map(i => ((i * a + b) % 97 - 48) * 100)
+    assert(r.getAs[Int]("sample_rate") === 8000 + (id % 8).toInt * 1000)
+    assert(r.getAs[Long]("n_samples") === n.toLong)
+    assert(r.getAs[Int]("peak") === xs.map(math.abs).max)
+    assert(r.getAs[Double]("mean") === xs.sum.toDouble / n)
+    // malformed audio skipped, loud on request
+    val bad = Seq((7L, Multimodal.Wav.encode(8000, Array[Short](1, 2))),
+      (8L, "MP3junk".getBytes)).toDF("media_id", "bytes")
+    assert(Multimodal.decodeAudio(bad).count() === 1)
+    assertThrows[org.apache.spark.SparkException](
+      Multimodal.decodeAudio(bad, skipMalformed = false).collect())
+  }
+
   test("malformed blobs are skipped (DROPMALFORMED) or fail loudly on request") {
     val good = Multimodal.Ppm.encode(2, 1, Array[Byte](1, 2, 3, 4, 5, 6))
     val bad = "P6\n2 1\n255\nxx".getBytes // truncated raster
