@@ -643,6 +643,21 @@ object SparkEntry {
       Retrieval.unigramLogProb(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy("doc_id")),
 
+    // CCNet-style perplexity gate: drop the worst-scoring 10% tail by
+    // integral per-token LM score — the strict-above-quantile cut is
+    // engine-replayable (DuckDB recomputes the same membership).
+    "d_lm_filter" -> ((s, dir) =>
+      Retrieval.perplexityGate(s.read.parquet(s"$dir/documents.parquet"),
+          dropFrac = 0.1)
+        .orderBy("doc_id")),
+
+    // Per-label embedding centroids in exact micro-units: the class-
+    // centroid / mean-pooling primitive (semantic-dedup seeds, IVF warm
+    // starts) as an order-independent integer aggregate.
+    "e_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(s.read.parquet(s"$dir/embeddings.parquet"))
+        .orderBy("label", "dim")),
+
     // Token-window chunking (size 32, stride 24): the pre-embedding split.
     // chunk_md5 proves exact chunk content without carrying the text.
     "d_chunk" -> ((s, dir) =>
@@ -1593,6 +1608,31 @@ object SparkEntry {
         |    AS lp_micro_sum
         |FROM toks JOIN freq USING (token) CROSS JOIN totals
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d_lm_filter" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS token
+        |  FROM documents),
+        |freq AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+        |totals AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS v FROM freq),
+        |scored AS (SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum(CAST(round(
+        |      ln(CAST(c + 1 AS DOUBLE) / (t + v)) * 1e6) AS BIGINT)) AS BIGINT)
+        |      AS lp_micro_sum
+        |  FROM toks JOIN freq USING (token) CROSS JOIN totals GROUP BY doc_id),
+        |w AS (SELECT doc_id, CAST(round(CAST(lp_micro_sum AS DOUBLE) / n_tokens, 0)
+        |    AS BIGINT) AS lp_tok_micro FROM scored),
+        |q AS (SELECT quantile_cont(lp_tok_micro, 0.1) AS thr FROM w)
+        |SELECT doc_id, lp_tok_micro FROM w, q WHERE lp_tok_micro > thr
+        |ORDER BY doc_id""".stripMargin,
+
+    "e_centroids" ->
+      """WITH e AS (SELECT label, i AS dim,
+        |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1e6, 0) AS BIGINT) AS xm
+        |  FROM embeddings, unnest(range(len(embedding))) AS u(i))
+        |SELECT label, CAST(dim AS INT) AS dim, count(*) AS n,
+        |  CAST(sum(xm) AS BIGINT) AS sum_micro,
+        |  CAST(sum(xm) AS DOUBLE) / count(*) / 1e6 AS centroid
+        |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 
     "d_chunk" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS l FROM documents),

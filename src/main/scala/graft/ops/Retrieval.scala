@@ -99,4 +99,36 @@ object Retrieval {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("_lp_micro")).as("lp_micro_sum"))
   }
+
+  /** CCNet-style perplexity gate: score every doc with the unigram LM,
+    * round to an integral per-token micro-nat score, and keep docs STRICTLY
+    * above the `dropFrac` quantile of that score — i.e. drop the
+    * worst-scoring tail. Integral scores make the cut engine-replayable:
+    * the interpolated threshold either equals an attained integer exactly
+    * (interpolation fraction 0) or falls strictly between two attained
+    * integers, so membership is stable across engines even if the
+    * threshold's last bits differ.
+    *
+    * `exact = true` computes the quantile with the exact `percentile`
+    * aggregate — its buffer gathers the score column of the whole corpus
+    * onto one reducer, which is fine for the 16-byte (id, score)
+    * projection into the billions of docs but not beyond; `exact = false`
+    * is the 100 TB path (`percentile_approx`, bounded rank error, same
+    * plan shape otherwise).
+    */
+  def perplexityGate(df: DataFrame, dropFrac: Double = 0.1,
+      exact: Boolean = true, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac < 1.0, s"dropFrac $dropFrac out of range")
+    val scored = unigramLogProb(df, idCol, textCol)
+      .withColumn("lp_tok_micro",
+        round(col("lp_micro_sum").cast("double") / col("n_tokens"), 0).cast("long"))
+    val thr = scored.agg(
+      (if (exact) percentile(col("lp_tok_micro"), lit(dropFrac))
+       else percentile_approx(col("lp_tok_micro"), lit(dropFrac), lit(10000)))
+        .as("_thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("lp_tok_micro") > col("_thr"))
+      .select(col(idCol), col("lp_tok_micro"))
+  }
 }

@@ -201,4 +201,24 @@ object Similarity {
         transform(col("_x"), e => round(e / col("_s"), 0) * col("_s"))
           .cast("array<float>").as(vecCol))
   }
+
+  /** Per-label centroids of an embedding column — the class-centroid /
+    * mean-pooling primitive (semantic-dedup seeds, per-language embedding
+    * means, IVF warm starts). Elements are fixed to exact micro-units
+    * before summing, so the aggregate is an order-independent integer sum
+    * (bit-reproducible on any cluster size / partitioning — the same trick
+    * as BM25 and the unigram-LM scores); the mean is one division at the
+    * end. One explode + one shuffle on (label, dim) with full map-side
+    * combine: the shuffle carries labels × dims rows per partition, never
+    * the vectors.
+    */
+  def labelCentroids(df: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "_x")))
+      .withColumn("_x_micro",
+        round(col("_x").cast("double") * lit(1e6), 0).cast("long"))
+      .groupBy(col(labelCol), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("_x_micro")).as("sum_micro"))
+      .withColumn("centroid",
+        col("sum_micro").cast("double") / col("n") / lit(1e6))
 }

@@ -350,6 +350,41 @@ class PipelineOpsSpec extends SparkSpec {
       .except(packed.select("doc_id", "chunk_id", "pack_id")).count() === 0)
   }
 
+  // ---- perplexity gate ----
+
+  test("perplexityGate drops the low-scoring tail, strictly above the quantile") {
+    // 18 normal docs + 2 gibberish docs full of rare tokens (low unigram LM
+    // score); dropFrac 0.1 must remove exactly the gibberish tail
+    val docs = ((1L to 18L).map(i => (i, "the quick brown fox jumps over the lazy dog")) ++
+      Seq((19L, "zzq xxv qqj wwk vvz jjx kkw"), (20L, "qzz vxx jqq kww zvv xjj wkk")))
+      .toDF("doc_id", "text")
+    val kept = Retrieval.perplexityGate(docs, dropFrac = 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === (1L to 18L))
+    // exact and approx paths agree here (tiny n, rank error < 1 row)
+    val keptApprox = Retrieval.perplexityGate(docs, dropFrac = 0.1, exact = false)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(keptApprox.toSeq === kept.toSeq)
+  }
+
+  // ---- label centroids ----
+
+  test("labelCentroids: exact micro-unit means, invariant to partitioning") {
+    val vecs = Seq(
+      (1L, 0, Array(1.0f, -2.0f)), (2L, 0, Array(3.0f, 4.0f)),
+      (3L, 1, Array(0.5f, 0.25f))).toDF("vec_id", "label", "embedding")
+    val got = Similarity.labelCentroids(vecs)
+      .orderBy("label", "dim")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      (0, 0, 2L, 4000000L, 2.0), (0, 1, 2L, 2000000L, 1.0),
+      (1, 0, 1L, 500000L, 0.5), (1, 1, 1L, 250000L, 0.25)))
+    val repart = Similarity.labelCentroids(vecs.repartition(5))
+      .orderBy("label", "dim")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(repart.toSeq === got.toSeq)
+  }
+
   // ---- Misra-Gries heavy hitters ----
 
   test("misra-gries holds the heavy-hitter guarantee and error bound on a zipf stream") {
