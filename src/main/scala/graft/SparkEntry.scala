@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.core.{TrailDB, TrailOps, TrailSchema}
 import graft.filter.{Clause, EventFilter, Match, TimeRange}
 import graft.agg.Sessionize
-import graft.ops.{Dedup, Multimodal, Retrieval, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Retrieval, Similarity, Sketch, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, with a DuckDB-equivalent `oracleSql` where the operator is
@@ -177,6 +177,28 @@ object SparkEntry {
     // is the implicit NULL val 0).
     "t_lexicon" -> ((s, dir) =>
       trails(s, dir).lexicon("event_type").orderBy("value")),
+
+    // Misra-Gries sketch over event_type with k ≥ field cardinality: in
+    // that regime MG is provably LOSSLESS (no decrement ever fires), so
+    // sketch counts must equal exact counts — the distributed-plumbing
+    // correctness check (partial aggregation + lossy-capable merges across
+    // 32 partitions). The lossy-regime heavy-hitter guarantee is property-
+    // tested on a zipf stream in PipelineOpsSpec (this corpus is too
+    // uniform for a non-vacuous heavy set — every field is ~equidistributed,
+    // see SURVEY §8).
+    "t_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val types = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type")).as[String]
+      val sk = types.select(Sketch.MisraGries(8).toColumn.name("sketch")).toDF("sketch")
+      val exact = types.toDF("event_type")
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      exact.crossJoin(broadcast(sk))
+        .select(col("event_type"), col("cnt"),
+          (element_at(col("sketch"), col("event_type")) === col("cnt"))
+            .as("est_exact"))
+        .orderBy("event_type")
+    }),
 
     // S6+S7: cons round-trip — stage events through the constructor,
     // finalize as uuid-sorted parquet, read back (what you write is what
@@ -1095,6 +1117,10 @@ object SparkEntry {
       s"""$TrailsCte
          |SELECT DISTINCT coalesce(event_type,'') AS value FROM trails
          |WHERE coalesce(event_type,'') != '' ORDER BY value""".stripMargin,
+
+    "t_heavy_hitters" ->
+      """SELECT event_type, count(*) AS cnt, TRUE AS est_exact
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "t_cons_roundtrip" ->
       s"""$TrailsCte

@@ -125,6 +125,11 @@ object Scale4x {
     run("decontamination")((d, _) => graft.ops.Dedup.decontaminate(
       d.filter(col("doc_id") % 100 =!= 0), d.filter(col("doc_id") % 100 === 0)))
     run("int8 quantization")((_, e) => graft.ops.Similarity.quantizeInt8(e))
+    run("repeated-span stats")((d, _) => graft.ops.Dedup.dupSpanStats(d, k = 8))
+    run("sequence packing")((d, _) =>
+      graft.ops.TextAnalysis.packChunks(graft.ops.TextAnalysis.chunks(d), budget = 256))
+    run("perplexity gate")((d, _) => graft.ops.Retrieval.perplexityGate(d))
+    run("label centroids")((_, e) => graft.ops.Similarity.labelCentroids(e))
     spark.stop()
   }
 }
