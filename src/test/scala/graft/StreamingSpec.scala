@@ -135,6 +135,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(("u3", 10L)) === None)
   }
 
+  test("streaming heavy hitters: MG sketch aggregates a token stream with bounded state") {
+    // the MisraGries Aggregator works as a streaming complete-mode
+    // aggregate unchanged: state is one <=k-entry map, merged per
+    // micro-batch — bounded-memory top-k over an unbounded token stream
+    val dir = Files.createTempDirectory("graft-smg")
+    val src = dir.resolve("src").toString
+    // zipf-ish: token j appears ceil(200/j) times, 40 distinct > k
+    val toks = (1 to 40).flatMap(j => Seq.fill(math.ceil(200.0 / j).toInt)(s"tok$j"))
+    toks.toDF("token").write.parquet(src)
+
+    val k = 8
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    val q = stream.as[String]
+      .select(graft.ops.Sketch.MisraGries(k).toColumn.name("sketch"))
+      .writeStream.outputMode("complete").format("memory").queryName("smg")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val sketch = spark.sql("SELECT sketch FROM smg")
+      .collect().head.getMap[String, Long](0)
+    val n = toks.size.toLong
+    val exact = toks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    assert(sketch.size <= k)
+    exact.filter(_._2 * (k + 1) > n).foreach { case (t, _) =>
+      assert(sketch.contains(t), s"missing heavy hitter $t")
+    }
+    sketch.foreach { case (t, est) =>
+      val c = exact(t)
+      assert(est <= c && est >= c - n / (k + 1), s"estimate $est out of bound for $t")
+    }
+  }
+
   test("pure-projection text ops run unchanged on a stream (quality + PII scrub)") {
     val dir = Files.createTempDirectory("graft-sproj")
     val src = dir.resolve("src").toString
