@@ -452,6 +452,27 @@ object SparkEntry {
             .cast("long")).as("checksum"))
         .orderBy("shard")),
 
+    // Deterministic exactly-N-per-stratum split: carve exactly 5 eval docs
+    // per language, ranked by content hash — the exact-count eval-split
+    // primitive (vs the fractional stratified sampler).
+    "d_eval_split" -> ((s, dir) =>
+      TextAnalysis.takePerStratum(
+          s.read.parquet(s"$dir/documents.parquet"), n = 5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // Shard EXPORT: write md5-bucketed JSONL shard partitions to disk and
+    // return the manifest computed from a read-back of the written files —
+    // the oracle checks what actually landed on disk (counts + checksum
+    // must survive the JSON round-trip byte-exactly).
+    "d_export" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-export")
+        .resolve("shards").toString
+      TextAnalysis.exportTrainingShards(
+          s.read.parquet(s"$dir/documents.parquet"), out, nShards = 16)
+        .orderBy("shard")
+    }),
+
     // Cross-doc repeated k-token spans (exact-substring-dedup signal,
     // Lee et al. 2022): per doc, distinct 8-token windows shared with at
     // least one other doc + duplicated fraction.
@@ -1411,6 +1432,19 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "d_shard" ->
+      s"""WITH d AS (SELECT text, ${hexPrefix("md5(text)", 6)} % 16 AS shard
+         |  FROM documents)
+         |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+         |  CAST(sum(len(string_split_regex(text, ' +'))) AS BIGINT) AS n_tokens,
+         |  CAST(sum(${hexPrefix("md5(text)", 8)}) AS BIGINT) AS checksum
+         |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "d_eval_split" ->
+      """WITH r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(text), doc_id) AS rn FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
+
+    "d_export" ->
       s"""WITH d AS (SELECT text, ${hexPrefix("md5(text)", 6)} % 16 AS shard
          |  FROM documents)
          |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,

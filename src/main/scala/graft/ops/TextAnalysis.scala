@@ -343,6 +343,55 @@ object TextAnalysis {
         < threshold)
   }
 
+  /** Deterministic exactly-N-per-stratum split — "carve exactly n eval docs
+    * per language": rank within each stratum by (md5(text), id) — a total,
+    * content-derived order, reproducible on any cluster/partitioning — and
+    * keep the first n. Complements [[stratifiedHashSample]] (fractional,
+    * approximate counts) when the contract is an exact count. One shuffle
+    * on the stratum key; strata are languages/sources (small cardinality,
+    * no whale risk at 100 TB — each partition ranks its own stratum).
+    */
+  def takePerStratum(df: DataFrame, n: Int, strataCol: String = "lang",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val w = Window.partitionBy(strataCol)
+      .orderBy(md5(col(textCol).cast("binary")), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
+      .drop("_rn")
+  }
+
+  /** Export the corpus as md5-bucketed training shards ON DISK (Hive-style
+    * `shard=K` JSONL partitions — the layout a training job's data loader
+    * consumes) and return the per-shard manifest computed from a READ-BACK
+    * of the written files, so the manifest audits what actually landed on
+    * disk (doc/token counts + order-independent content checksum) rather
+    * than what the plan intended. The write is one pass (shard is a pure
+    * projection, partitionBy splits files, no shuffle); the manifest is a
+    * second pass over the written shards. A `_manifest.json` sidecar (one
+    * JSON line per shard, the [[graft.core.TrailInfo]] pattern) makes the
+    * export restartable/auditable without Spark. */
+  def exportTrainingShards(docs: DataFrame, path: String,
+      nShards: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    docs.withColumn("shard", shardAssign(col("text"), nShards))
+      .write.partitionBy("shard").mode("overwrite").json(path)
+    val manifest = spark.read.json(path)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text")).cast("long")).as("n_tokens"),
+        sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+          .cast("long")).as("checksum"))
+      .orderBy("shard")
+    val lines = manifest.collect().map(r =>
+      s"""{"shard":${r.getLong(0)},"n_docs":${r.getLong(1)},""" +
+      s""""n_tokens":${r.getLong(2)},"checksum":${r.getLong(3)}}""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_manifest.json"),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    manifest
+  }
+
   /** CCNet-style sentence-level dedup WITH text reconstruction: drop every
     * sentence that occurs in `minDocs`-or-more distinct documents
     * (boilerplate headers, cookie banners, license blurbs), then rebuild

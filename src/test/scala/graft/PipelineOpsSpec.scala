@@ -385,6 +385,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(repart.toSeq === got.toSeq)
   }
 
+  // ---- exact-count eval split ----
+
+  test("takePerStratum carves exactly n per stratum, deterministically") {
+    val docs = (1L to 30L).map(i => (i, s"doc body number $i", if (i % 3 == 0) "de" else "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.takePerStratum(docs, n = 4)
+    val byLang = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang === Map("en" -> 4L, "de" -> 4L))
+    // identical selection regardless of partitioning
+    val again = TextAnalysis.takePerStratum(docs.repartition(7), n = 4)
+    assert(got.select("doc_id").except(again.select("doc_id")).count() === 0)
+    // a stratum smaller than n yields all its rows
+    val tiny = TextAnalysis.takePerStratum(docs.filter(col("doc_id") <= 2), n = 4)
+    assert(tiny.count() === 2)
+  }
+
+  // ---- shard export ----
+
+  test("exportTrainingShards writes JSONL partitions whose manifest matches the plan") {
+    val docs = (1L to 60L).map(i => (i, s"shard me number $i word" * (1 + (i % 3)).toInt))
+      .map { case (i, t) => (i, t) }.toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft-exp").resolve("s").toString
+    val manifest = TextAnalysis.exportTrainingShards(docs, out, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(manifest.map(_._2).sum === 60L) // every doc landed in some shard
+    assert(manifest.map(_._1).toSet.subsetOf((0L until 4L).toSet))
+    // shard dirs exist on disk with the Hive layout + sidecar
+    val root = new java.io.File(out)
+    assert(manifest.forall(m => new java.io.File(root, s"shard=${m._1}").isDirectory))
+    val sidecar = new java.io.File(root, "_manifest.json")
+    assert(sidecar.isFile)
+    val lines = scala.io.Source.fromFile(sidecar).getLines().toSeq
+    assert(lines.size === manifest.length && lines.head.startsWith("{\"shard\":"))
+    // manifest computed from read-back equals a direct computation on the input
+    val direct = docs
+      .withColumn("shard", TextAnalysis.shardAssign(col("text"), 4))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(manifest.map(m => (m._1, m._2, m._3)).sortBy(_._1).toSeq === direct.toSeq)
+  }
+
   // ---- Misra-Gries heavy hitters ----
 
   test("misra-gries holds the heavy-hitter guarantee and error bound on a zipf stream") {
