@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.core.{TrailDB, TrailOps, TrailSchema}
 import graft.filter.{Clause, EventFilter, Match, TimeRange}
 import graft.agg.Sessionize
-import graft.ops.{Dedup, Multimodal, Retrieval, Similarity, Sketch, TextAnalysis}
+import graft.ops.{Bpe, Dedup, Multimodal, Retrieval, Similarity, Sketch, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, with a DuckDB-equivalent `oracleSql` where the operator is
@@ -451,6 +451,15 @@ object SparkEntry {
           sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
             .cast("long")).as("checksum"))
         .orderBy("shard")),
+
+    // BPE trainer round-1 core: frequency-weighted adjacent character-pair
+    // counts over the word table, top-50 by (count desc, pair asc) — the
+    // distributed heart of the tokenizer-training loop, engine-replayable.
+    // (Later rounds depend on earlier argmaxes — plain SQL cannot replay
+    // them; the multi-round loop is spec-proven against a hand reference.)
+    "d_bpe_pairs" -> ((s, dir) =>
+      Bpe.pairCounts(Bpe.wordSymbols(s.read.parquet(s"$dir/documents.parquet")))
+        .orderBy(col("cnt").desc, col("sym_l"), col("sym_r")).limit(50)),
 
     // Deterministic exactly-N-per-stratum split: carve exactly 5 eval docs
     // per language, ranked by content hash — the exact-count eval-split
@@ -1438,6 +1447,17 @@ object SparkEntry {
          |  CAST(sum(len(string_split_regex(text, ' +'))) AS BIGINT) AS n_tokens,
          |  CAST(sum(${hexPrefix("md5(text)", 8)}) AS BIGINT) AS checksum
          |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "d_bpe_pairs" ->
+      """WITH w AS (SELECT w, count(*) AS f FROM
+        |    (SELECT unnest(string_split_regex(text, ' +')) AS w FROM documents)
+        |  GROUP BY w),
+        |p AS (SELECT s[i] AS sym_l, s[i+1] AS sym_r, f FROM
+        |    (SELECT string_split_regex(w, '') AS s, f FROM w),
+        |    unnest(range(1, len(s))) AS u(i))
+        |SELECT sym_l, sym_r, CAST(sum(f) AS BIGINT) AS cnt
+        |FROM p GROUP BY sym_l, sym_r
+        |ORDER BY cnt DESC, sym_l, sym_r LIMIT 50""".stripMargin,
 
     "d_eval_split" ->
       """WITH r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang

@@ -120,9 +120,13 @@ object Retrieval {
       exact: Boolean = true, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(dropFrac >= 0.0 && dropFrac < 1.0, s"dropFrac $dropFrac out of range")
+    // scored is consumed twice (threshold aggregate + the gate filter):
+    // checkpoint the narrow (id, counts, score) table so the whole
+    // unigram-LM subplan is not duplicated under both consumers.
     val scored = unigramLogProb(df, idCol, textCol)
       .withColumn("lp_tok_micro",
         round(col("lp_micro_sum").cast("double") / col("n_tokens"), 0).cast("long"))
+      .localCheckpoint()
     val thr = scored.agg(
       (if (exact) percentile(col("lp_tok_micro"), lit(dropFrac))
        else percentile_approx(col("lp_tok_micro"), lit(dropFrac), lit(10000)))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Retrieval, Similarity, TextAnalysis}
+import graft.ops.{Bpe, Dedup, Retrieval, Similarity, TextAnalysis}
 
 /** Specs for the round-3 pipeline operators: retrieval/LM scoring, chunking,
   * stratified sampling, incremental dedup, decontamination, and int8
@@ -383,6 +383,29 @@ class PipelineOpsSpec extends SparkSpec {
       .orderBy("label", "dim")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
     assert(repart.toSeq === got.toSeq)
+  }
+
+  // ---- BPE trainer ----
+
+  test("bpe: hand-computed merge sequence on the classic low/lower/lowest corpus") {
+    val docs = Seq((1L, "low low lower"), (2L, "lowest low")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, merges = 10, minCount = 2)
+    // pairs: (l,o)=5 ties (o,w)=5 -> pair-asc tie-break; then (lo,w)=5;
+    // then (low,e)=2; everything after is count 1 < minCount -> stop
+    assert(merges.map(m => (m.round, m.sym_l, m.sym_r, m.count)) === Seq(
+      (1, "l", "o", 5L), (2, "lo", "w", 5L), (3, "low", "e", 2L)))
+    // encode-side twin: learned rules segment held-out words
+    val seg = Bpe.segment(Seq((1L, "lowest lot")).toDF("doc_id", "text"), merges)
+      .select("subwords").head.getSeq[String](0)
+    assert(seg === Seq("lowe", "s", "t", "lo", "t"))
+    // deterministic under partitioning
+    assert(Bpe.train(docs.repartition(5), merges = 10, minCount = 2) === merges)
+  }
+
+  test("bpe merge application is left-to-right non-overlapping") {
+    assert(Bpe.applyMerge(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
+    assert(Bpe.applyMerge(Seq("a", "a", "a", "a"), "a", "a") === Seq("aa", "aa"))
+    assert(Bpe.applyMerge(Seq("x"), "a", "a") === Seq("x"))
   }
 
   // ---- exact-count eval split ----
