@@ -1032,6 +1032,23 @@ object SparkEntry {
           col("last_purchase") > col("first_signup"))
         .orderBy("uuid")),
 
+    // Path mining: top event-type 3-gram sequences across trails — the
+    // cursor-walk sequence analysis (what reference users loop cursors
+    // for, technical_overview.md trail model) as ONE uuid-shuffle: ordered
+    // per-trail sequence via sorted struct collect, 3-gram explode, count.
+    "t_paths" -> ((s, dir) => {
+      val evs = transform(
+        array_sort(collect_list(struct(col("time"), col("seq"),
+          coalesce(col("event_type"), lit("")).as("et")))),
+        x => x.getField("et"))
+      trails(s, dir).df.groupBy("uuid").agg(evs.as("evs"))
+        .filter(size(col("evs")) >= 3)
+        .select(explode(transform(sequence(lit(1), size(col("evs")) - 2),
+          i => concat_ws(">", slice(col("evs"), i, lit(3))))).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("path")).limit(25)
+    }),
+
     // Daily event rollup: count + exact sum(value) per (event_type, day).
     "q_events_daily" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1983,6 +2000,16 @@ object SparkEntry {
          |   AND max(CASE WHEN event_type = 'purchase' THEN time END)
          |       > min(CASE WHEN event_type = 'signup' THEN time END)
          |ORDER BY uuid""".stripMargin,
+
+    "t_paths" ->
+      s"""$TrailsCte
+         |, s AS (SELECT uuid, list(coalesce(event_type, '')
+         |    ORDER BY time, seq, coalesce(event_type, '')) AS evs
+         |  FROM trails GROUP BY uuid)
+         |, g AS (SELECT array_to_string(evs[i : i+2], '>') AS path
+         |  FROM s, unnest(range(1, len(evs) - 1)) AS u(i) WHERE len(evs) >= 3)
+         |SELECT path, count(*) AS cnt FROM g
+         |GROUP BY path ORDER BY cnt DESC, path LIMIT 25""".stripMargin,
 
     "q_events_daily" ->
       """SELECT event_type,
