@@ -506,6 +506,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The COMPLETE pre-training data pipeline as one composed plan: exact
+    // dedup → quality gate → perplexity gate (LM scored on the survivors)
+    // → token-window chunking → budget packing → per-pack manifest with
+    // content checksums. Every stage is engine-replayable, so the full
+    // composition — the artifact a training job actually consumes — is
+    // DuckDB-oracled end to end.
+    "d_training_pipeline" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val s1 = Dedup.exactDedup(docs)
+      val s2 = TextAnalysis.withQualitySignals(s1)
+        .filter(col("n_tokens") >= 20 && col("n_tokens") <= 600 &&
+          col("stopword_ratio") < 0.3 && col("punct_ratio") < 0.1)
+        .select("doc_id", "text")
+        .localCheckpoint() // consumed by the LM gate AND the text join
+      val s3 = Retrieval.perplexityGate(s2, dropFrac = 0.1)
+        .join(s2, "doc_id").select("doc_id", "text")
+      val ch = TextAnalysis.chunks(s3, size = 32, stride = 24)
+      TextAnalysis.packChunks(ch, budget = 256, nShards = 8)
+        .groupBy("shard", "pack_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum("n_tokens").as("pack_tokens"),
+          sum(conv(substring(col("chunk_md5"), 1, 8), 16, 10).cast("long"))
+            .as("checksum"))
+        .orderBy("shard", "pack_id")
+    }),
+
     // TF-IDF top terms per doc: corpus IDF (one token-shuffle, 1-row
     // broadcast N) + per-doc top-k window.
     "d_tfidf" -> ((s, dir) =>
@@ -1544,6 +1570,53 @@ object SparkEntry {
         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
         |SELECT id AS doc_id FROM reach
         |GROUP BY id HAVING id = min(comp) ORDER BY doc_id""".stripMargin,
+
+    "d_training_pipeline" ->
+      s"""WITH s1 AS (SELECT d.doc_id, d.text FROM documents d
+         |  JOIN (SELECT md5(text) AS h, min(doc_id) AS keep
+         |        FROM documents GROUP BY 1) k
+         |    ON md5(d.text) = k.h AND d.doc_id = k.keep),
+         |s2 AS (SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      len(string_split_regex(text, ' +')) AS n_tokens,
+         |      CAST(len(list_filter(string_split_regex(text, ' +'),
+         |        w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+         |        / len(string_split_regex(text, ' +')) AS swr,
+         |      CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+         |        / length(text) AS pr
+         |    FROM s1)
+         |  WHERE n_tokens >= 20 AND n_tokens <= 600 AND swr < 0.3 AND pr < 0.1),
+         |toks AS (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS token
+         |  FROM s2),
+         |freq AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+         |totals AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS v FROM freq),
+         |scored AS (SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(sum(CAST(round(
+         |      ln(CAST(c + 1 AS DOUBLE) / (t + v)) * 1e6) AS BIGINT)) AS BIGINT)
+         |      AS lp_micro_sum
+         |  FROM toks JOIN freq USING (token) CROSS JOIN totals GROUP BY doc_id),
+         |sc2 AS (SELECT doc_id, CAST(round(CAST(lp_micro_sum AS DOUBLE) / n_tokens, 0)
+         |    AS BIGINT) AS lp_tok_micro FROM scored),
+         |q AS (SELECT quantile_cont(lp_tok_micro, 0.1) AS thr FROM sc2),
+         |s3 AS (SELECT s2.doc_id, s2.text FROM s2 JOIN sc2 USING (doc_id)
+         |  CROSS JOIN q WHERE sc2.lp_tok_micro > q.thr),
+         |t3 AS (SELECT doc_id, string_split_regex(text, ' +') AS l FROM s3),
+         |cs AS (SELECT doc_id, l, unnest(range(0, (len(l) - 1) // 24 + 1)) AS i
+         |  FROM t3),
+         |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+         |    CAST(len(l[i*24+1 : i*24+32]) AS BIGINT) AS n_tokens,
+         |    md5(array_to_string(l[i*24+1 : i*24+32], ' ')) AS chunk_md5,
+         |    ${hexPrefix("md5(CAST(doc_id AS VARCHAR))", 6)} % 8 AS shard FROM cs),
+         |p AS (SELECT shard, n_tokens, chunk_md5,
+         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+         |      ORDER BY doc_id, chunk_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+         |  FROM c)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(floor(prior / 256.0) AS BIGINT) AS pack_id,
+         |  count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         |  CAST(sum(${hexPrefix("chunk_md5", 8)}) AS BIGINT) AS checksum
+         |FROM p GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
 
     "d_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS token

@@ -408,6 +408,65 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Bpe.applyMerge(Seq("x"), "a", "a") === Seq("x"))
   }
 
+  test("bpe merge property: content preserved, non-overlap, idempotence on absence") {
+    import org.scalacheck.Gen
+    val genCase = for {
+      syms <- Gen.listOfN(12, Gen.oneOf("a", "b", "c"))
+      l <- Gen.oneOf("a", "b", "c")
+      r <- Gen.oneOf("a", "b", "c")
+    } yield (syms, l, r)
+    Iterator.continually(genCase.sample).flatten.take(300).foreach {
+      case (syms, l, r) =>
+        val out = Bpe.applyMerge(syms, l, r)
+        // character stream unchanged — merges only regroup
+        assert(out.mkString === syms.mkString, s"content changed for $syms ($l,$r)")
+        // no adjacent (l,r) survives where the left symbol is still atomic l
+        out.iterator.zip(out.iterator.drop(1)).foreach { case (x, y) =>
+          assert(!(x == l && y == r), s"unmerged adjacent pair in $out from $syms")
+        }
+        // one pass eliminates every (l,r) adjacency (merged symbols are
+        // multi-char, so they can never reform a single-char pair) — a
+        // second application is the identity
+        assert(Bpe.applyMerge(out, l, r) === out)
+    }
+  }
+
+  test("misra-gries property: bound holds under ANY merge topology") {
+    import org.scalacheck.Gen
+    import scala.util.Random
+    // exercise the summary ALGEBRA directly (reduce on random segments,
+    // merge in random tree order) — exactly what Spark's partial
+    // aggregation does with arbitrary partitioning and combine order
+    val mg = ops.Sketch.MisraGries(8)
+    val genStream = for {
+      len <- Gen.choose(50, 400)
+      zipfBase <- Gen.choose(20, 120)
+      toks <- Gen.listOfN(len, Gen.choose(1, zipfBase).map(j => s"t${zipfBase / j}"))
+    } yield toks
+    val rnd = new Random(42)
+    Iterator.continually(genStream.sample).flatten.take(60).foreach { stream =>
+      val n = stream.size.toLong
+      val exact = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      // split into random segments, reduce each, merge in random order
+      val nSeg = 1 + rnd.nextInt(6)
+      val segs = stream.grouped(math.max(1, stream.size / nSeg)).toList
+      var buffers = segs.map(_.foldLeft(mg.zero)(mg.reduce))
+      while (buffers.size > 1) {
+        val i = rnd.nextInt(buffers.size - 1)
+        buffers = buffers.patch(i, List(mg.merge(buffers(i), buffers(i + 1))), 2)
+      }
+      val sketch = mg.finish(buffers.head)
+      assert(sketch.size <= 8)
+      exact.filter(_._2 * 9 > n).foreach { case (t, _) =>
+        assert(sketch.contains(t), s"lost heavy hitter $t (n=$n)")
+      }
+      sketch.foreach { case (t, est) =>
+        val c = exact(t)
+        assert(est <= c && est >= c - n / 9, s"estimate $est out of bound for $t")
+      }
+    }
+  }
+
   // ---- exact-count eval split ----
 
   test("takePerStratum carves exactly n per stratum, deterministically") {
