@@ -79,7 +79,9 @@ object Scale4x {
               (d => graft.ops.Dedup.ngramJaccardPairs(d, k = 3, threshold = 0.2)),
             "dedup clusters (CC)" ->
               (d => graft.ops.Dedup.dedupClusters(d,
-                graft.ops.Dedup.ngramJaccardPairs(d, k = 3, threshold = 0.2))))) {
+                graft.ops.Dedup.ngramJaccardPairs(d, k = 3, threshold = 0.2))),
+            "repeated-span stats" ->
+              (d => graft.ops.Dedup.dupSpanStats(d, k = 8)))) {
           val (times, rows) = dirs.map { d =>
             var n = 0L
             val t = time { n = f(d).count(); n }
