@@ -1,0 +1,47 @@
+package graft
+
+/** Plan-shape regression guard: turns the PLANS.md audit claims into
+  * enforced invariants, so a refactor that silently degrades a plan (a
+  * join falling back to a cartesian product, a pushable predicate no
+  * longer reaching the scan) fails the suite instead of only the next
+  * manual audit.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // Every join-shaped query family: dedup inverted-index joins, LSH bucket
+  // joins, ANN invariant plans, composed pipelines, TPC-H joins, window
+  // joins. (Index/finalize/export queries are exercised elsewhere; they
+  // write to disk as a side effect and add nothing join-shaped.)
+  private val joinShaped = Seq(
+    "d_ngram_pairs", "d_minhash_lsh", "d_simhash", "d_dedup_clusters",
+    "d_pipeline", "d_training_pipeline", "d_keep_best", "d_bm25", "d_tfidf",
+    "d_lm_filter", "d_incremental_dedup", "d_decontaminate", "d_line_dedup",
+    "d_dup_spans", "d_sentence_dedup", "t_heavy_hitters", "d_corpus_stats",
+    "e_knn_brute", "e_knn_lsh", "e_knn_ivf", "e_knn_q8", "e_neardup",
+    "e_neardup_lsh", "e_dedup_clusters", "t_asof", "t_retention",
+    "q3_revenue", "q4_semi", "q5_nation_volume", "q7_volume",
+    "q_anti_customers")
+
+  test("no join-shaped query plan contains an unbroadcast cartesian product") {
+    joinShaped.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      // crossJoin(broadcast(oneRowAgg)) compiles to BroadcastNestedLoopJoin,
+      // which is fine (the broadcast side is 1 row by construction);
+      // CartesianProduct means a corpus-sized side was not broadcast.
+      assert(!plan.contains("CartesianProduct"),
+        s"$name degraded to a cartesian product")
+    }
+  }
+
+  test("range predicates reach the parquet scan as pushed filters") {
+    Seq("q1_pricing", "q6_forecast", "d_sample").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert("PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+        s"$name scan lost its pushed filters")
+    }
+  }
+}
