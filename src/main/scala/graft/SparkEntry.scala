@@ -887,6 +887,19 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Multimodal: REAL video-container decode — synthesize a .y4m
+    // (YUV4MPEG2) stream per doc, parse header + FRAME markers + planar
+    // YUV in mapPartitions batches, one row per frame with exact luma
+    // stats. Frame extraction from actual bytes, analytic DuckDB oracle.
+    "m_video" -> ((s, dir) => {
+      val vids = Multimodal.y4mMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet"))
+      Multimodal.decodeVideoFrames(vids)
+        .select(col("media_id"), col("frame_idx"), col("width"),
+          col("height"), col("fps"), col("mean_y"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // ---- analytics (TPC-H-style) over the star schema ----
 
     // Q1-style pricing summary: exact decimal sums surfaced as doubles.
@@ -1945,6 +1958,20 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(range(0, n),
         |      i -> ((i * a + b) % 97 - 48) * 100)) AS DOUBLE) / n AS mean
         |FROM m ORDER BY media_id""".stripMargin,
+
+    // Analytic oracle for the Y4M decode: luma pixel p of frame k in doc d
+    // is (p·3 + k·5 + d) mod 251 — per-frame means replayed in closed form.
+    "m_video" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    4 + (doc_id % 3) * 2 AS w, 4 + (doc_id % 2) * 2 AS h,
+        |    2 + doc_id % 4 AS n FROM documents),
+        |f AS (SELECT media_id, w, h, unnest(range(0, n)) AS k FROM m)
+        |SELECT media_id, CAST(k AS INT) AS frame_idx, CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height, CAST(25 AS INT) AS fps,
+        |  CAST(list_sum(list_transform(range(0, w * h),
+        |      p -> (p * 3 + k * 5 + media_id) % 251)) AS DOUBLE)
+        |    / (w * h) AS mean_y
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
 
     "m_frames" ->
       """WITH m AS (SELECT doc_id AS media_id,

@@ -393,6 +393,119 @@ object Multimodal {
     }.toDF("media_id", "bytes")
   }
 
+  // ---- real decode tier 4: Y4M / YUV4MPEG2 (video) ----
+
+  /** Minimal YUV4MPEG2 (.y4m) codec — the standard uncompressed video
+    * container (public spec: mjpeg.sourceforge.net/doc/y4m; a textual
+    * stream header `YUV4MPEG2 W.. H.. F..` followed by `FRAME` markers and
+    * raw planar YUV), 4:2:0 subset, zero external dependencies. Parameter
+    * tags are order-independent and unknown tags are skipped — the part of
+    * the format real encoders vary. */
+  object Y4m {
+    def encode(w: Int, h: Int, fpsNum: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0, s"4:2:0 needs even dims, got $w x $h")
+      val frameLen = w * h + 2 * (w / 2) * (h / 2)
+      require(frames.forall(_.length == frameLen), s"frames must be $frameLen bytes")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(s"YUV4MPEG2 W$w H$h F$fpsNum:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII"))
+      frames.foreach { f => out.write("FRAME\n".getBytes("US-ASCII")); out.write(f) }
+      out.toByteArray
+    }
+
+    /** Decode a .y4m stream → (width, height, fpsNum, frames). Throws on
+      * malformed input (callers choose skip-vs-fail). */
+    def decode(bytes: Array[Byte]): (Int, Int, Int, Seq[Array[Byte]]) = {
+      var i = 0
+      def line(): String = {
+        val start = i
+        while (i < bytes.length && bytes(i) != '\n') i += 1
+        require(i < bytes.length, "unterminated header line")
+        i += 1
+        new String(bytes, start, i - 1 - start, "US-ASCII")
+      }
+      val header = line()
+      val tags = header.split(" ")
+      require(tags.head == "YUV4MPEG2", "not a YUV4MPEG2 stream")
+      var (w, h, fps) = (-1, -1, -1)
+      tags.tail.foreach { t =>
+        if (t.nonEmpty) t.charAt(0) match {
+          case 'W' => w = t.drop(1).toInt
+          case 'H' => h = t.drop(1).toInt
+          case 'F' => fps = t.drop(1).takeWhile(_ != ':').toInt
+          case 'C' => require(t.startsWith("C420"), s"unsupported chroma $t")
+          case _ => // Ip, A1:1, Xcomment... — skip unknown tags per spec
+        }
+      }
+      require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0, s"bad dims $w x $h")
+      val frameLen = w * h + 2 * (w / 2) * (h / 2)
+      val frames = Seq.newBuilder[Array[Byte]]
+      while (i < bytes.length) {
+        val marker = line()
+        require(marker == "FRAME" || marker.startsWith("FRAME "), s"bad frame marker '$marker'")
+        require(bytes.length - i >= frameLen, "truncated frame")
+        frames += java.util.Arrays.copyOfRange(bytes, i, i + frameLen)
+        i += frameLen
+      }
+      (w, h, fps, frames.result())
+    }
+  }
+
+  /** Synthesize a REAL .y4m video per document: 2-5 frames of a
+    * deterministic luma pattern (pixel p of frame k in doc d is
+    * (p·3 + k·5 + d) mod 251; chroma constant 128) whose closed form
+    * DuckDB can replay — frame extraction from real container bytes with a
+    * true analytic oracle. */
+  def y4mMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = 4 + (id % 3).toInt * 2
+      val h = 4 + (id % 2).toInt * 2
+      val n = 2 + (id % 4).toInt
+      val frames = (0 until n).map { k =>
+        val f = new Array[Byte]((w * h * 3) / 2)
+        var p = 0
+        while (p < w * h) { // luma plane
+          f(p) = (((p * 3 + k * 5 + id) % 251) & 0xff).toByte
+          p += 1
+        }
+        java.util.Arrays.fill(f, w * h, f.length, 128.toByte) // chroma
+        f
+      }
+      (id, Y4m.encode(w, h, 25, frames))
+    }.toDF("media_id", "bytes")
+  }
+
+  final case class VideoRow(media_id: Long, bytes: Array[Byte])
+  final case class DecodedFrame(media_id: Long, frame_idx: Int, width: Int,
+      height: Int, fps: Int, mean_y: Double)
+
+  /** REAL video decode: parse the Y4M container per row, emit one row per
+    * frame with exact-integer luma stats (sum → one division) — frame
+    * extraction from actual bytes, not metadata. `skipMalformed` mirrors
+    * CSV DROPMALFORMED. */
+  def decodeVideoFrames(media: DataFrame, skipMalformed: Boolean = true): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[VideoRow].mapPartitions { it =>
+      it.flatMap { m =>
+        try {
+          val (w, h, fps, frames) = Y4m.decode(m.bytes)
+          frames.iterator.zipWithIndex.map { case (f, k) =>
+            var sum = 0L
+            var p = 0
+            while (p < w * h) { sum += f(p) & 0xff; p += 1 }
+            DecodedFrame(m.media_id, k, w, h, fps, sum.toDouble / (w * h))
+          }
+        } catch {
+          case e: Exception if skipMalformed => Iterator.empty
+          case e: Exception => throw new RuntimeException(
+            s"malformed video for media_id ${m.media_id}", e)
+        }
+      }
+    }.toDF()
+  }
+
   final case class AudioRow(media_id: Long, bytes: Array[Byte])
   final case class DecodedAudio(media_id: Long, sample_rate: Int,
       n_samples: Long, duration_ms: Long, peak: Int, mean: Double)

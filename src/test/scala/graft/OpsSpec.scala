@@ -530,6 +530,47 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeAudio(bad, skipMalformed = false).collect())
   }
 
+  test("Y4M decode: round-trips frames, tolerates unknown tags, rejects bad chroma") {
+    val w = 4; val h = 4
+    val frame0 = Array.tabulate[Byte]((w * h * 3) / 2)(i => (i % 251).toByte)
+    val frame1 = Array.tabulate[Byte]((w * h * 3) / 2)(i => ((i * 7) % 251).toByte)
+    val bytes = Multimodal.Y4m.encode(w, h, 30, Seq(frame0, frame1))
+    val (gw, gh, fps, frames) = Multimodal.Y4m.decode(bytes)
+    assert((gw, gh, fps, frames.size) === (4, 4, 30, 2))
+    assert(frames(0).toSeq === frame0.toSeq && frames(1).toSeq === frame1.toSeq)
+
+    // header with reordered/unknown tags still parses (spec: tags are
+    // order-independent, X tags are comments)
+    val alt = ("YUV4MPEG2 Xgraft F30:1 H4 W4 C420 Ip\n" +
+      "FRAME\n").getBytes("US-ASCII") ++ frame0
+    val (aw, ah, afps, af) = Multimodal.Y4m.decode(alt)
+    assert((aw, ah, afps, af.size) === (4, 4, 30, 1))
+
+    assertThrows[IllegalArgumentException](Multimodal.Y4m.decode(
+      "YUV4MPEG2 W4 H4 F30:1 C444\nFRAME\n".getBytes ++ frame0))
+  }
+
+  test("document-synthesized Y4M corpus decodes per frame with exact luma means") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    val dec = Multimodal.decodeVideoFrames(Multimodal.y4mMediaFromDocuments(docs))
+    val r = dec.orderBy("media_id", "frame_idx").head()
+    val id = r.getAs[Long]("media_id")
+    val (w, h) = (4 + (id % 3).toInt * 2, 4 + (id % 2).toInt * 2)
+    val exp = (0 until w * h).map(p => (p * 3 + id).toInt % 251).sum.toDouble / (w * h)
+    assert(r.getAs[Int]("frame_idx") === 0)
+    assert(r.getAs[Double]("mean_y") === exp)
+    // every doc yields its 2 + id%4 frames
+    val n = dec.groupBy("media_id").count().collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(n.forall { case (d, c) => c === 2 + (d % 4) })
+    // malformed skipped / loud
+    val bad = Seq((99L, "AVI junk".getBytes)).toDF("media_id", "bytes")
+    assert(Multimodal.decodeVideoFrames(bad).count() === 0)
+    assertThrows[org.apache.spark.SparkException](
+      Multimodal.decodeVideoFrames(bad, skipMalformed = false).collect())
+  }
+
   test("malformed blobs are skipped (DROPMALFORMED) or fail loudly on request") {
     val good = Multimodal.Ppm.encode(2, 1, Array[Byte](1, 2, 3, 4, 5, 6))
     val bad = "P6\n2 1\n255\nxx".getBytes // truncated raster
