@@ -301,6 +301,23 @@ object SparkEntry {
         .orderBy("uuid", "time", "seq")
     }),
 
+    // Same AS-OF semantics through the custom Catalyst operator
+    // (AsOfJoinNode → AsOfJoinStrategy → AsOfJoinExec): both sides
+    // co-partitioned on uuid, per-partition streaming merge — the right
+    // side shuffles at its own width instead of being padded to a union
+    // schema. Oracled by the same independent DuckDB ASOF LEFT JOIN.
+    "t_asof_native" -> ((s, dir) => {
+      val t = trails(s, dir)
+      val views = t.df.filter(col("event_type") === "view")
+        .select("uuid", "time", "seq")
+      val clicks = t.df.filter(col("event_type") === "click")
+        .select(col("uuid"), col("time"),
+          col("time").as("click_time"),
+          coalesce(col("props"), lit("")).as("click_props"))
+      graft.plans.AsOfJoin.join(views, clicks, Seq("click_time", "click_props"))
+        .orderBy("uuid", "time", "seq")
+    }),
+
     // §2.11 secondary index: build the inverted (field,value,page) skipping
     // index over a finalized db, then scan a CNF filter through it — pages
     // prune the scan, the full filter re-checks, rows match a plain scan.
@@ -1417,6 +1434,20 @@ object SparkEntry {
         |FROM scored ORDER BY doc_id""".stripMargin,
 
     "t_asof" ->
+      s"""$TrailsCte,
+         |l AS (SELECT uuid, time, seq FROM trails
+         |      WHERE coalesce(event_type,'') = 'view'),
+         |r AS (SELECT uuid, time, max(time) AS click_time,
+         |             max(coalesce(props,'')) AS click_props
+         |      FROM trails WHERE coalesce(event_type,'') = 'click'
+         |      GROUP BY uuid, time)
+         |SELECT l.uuid, l.time, l.seq,
+         |       r.click_time AS asof_click_time,
+         |       r.click_props AS asof_click_props
+         |FROM l ASOF LEFT JOIN r ON l.uuid = r.uuid AND l.time >= r.time
+         |ORDER BY l.uuid, l.time, l.seq""".stripMargin,
+
+    "t_asof_native" ->
       s"""$TrailsCte,
          |l AS (SELECT uuid, time, seq FROM trails
          |      WHERE coalesce(event_type,'') = 'view'),

@@ -1,0 +1,101 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import graft.core.TrailOps
+import graft.plans.AsOfJoin
+
+/** The custom Catalyst AS-OF operator (AsOfJoinNode → AsOfJoinStrategy →
+  * AsOfJoinExec) must agree row-for-row with the pure-DataFrame window
+  * formulation (TrailOps.asOfJoin) — which itself hash-matches DuckDB's
+  * native ASOF LEFT JOIN in the t_asof oracle row. Reference semantics:
+  * multi-cursor walk carrying last-seen state,
+  * doc/docs/technical_overview.md:219-229.
+  */
+class AsOfJoinPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def uuidOf(i: Int): String = f"$i%032x"
+
+  private def randomSides(seed: Long, trails: Int, perTrail: Int) = {
+    val rnd = new Random(seed)
+    val left = for {
+      t <- 0 until trails
+      i <- 0 until perTrail
+    } yield (uuidOf(t), rnd.nextInt(40).toLong, t.toLong * perTrail + i)
+    // Right side includes trails with no left rows and vice versa, plus
+    // timestamp ties both within the right side and against left rows.
+    val right = for {
+      t <- 1 to trails // trail `trails` has no left rows; trail 0 no right
+      i <- 0 until perTrail
+    } yield (uuidOf(t), rnd.nextInt(40).toLong,
+             rnd.nextInt(100).toLong, s"p${rnd.nextInt(5)}")
+    (left.toDF("uuid", "time", "seq"),
+     right.toDF("uuid", "time", "score", "props"))
+  }
+
+  test("native exec ≡ window formulation on random data with ties and one-sided trails") {
+    for (seed <- Seq(1L, 7L, 42L)) {
+      val (l, r0) = randomSides(seed, trails = 12, perTrail = 25)
+      val r = r0.select(col("uuid"), col("time"),
+        col("score"), col("props"))
+      val cols = Seq("score", "props")
+      val viaWindow = TrailOps.asOfJoin(l, r, cols)
+        .orderBy("uuid", "time", "seq").collect().toSeq
+      val viaNative = AsOfJoin.join(l, r, cols)
+        .orderBy("uuid", "time", "seq").collect().toSeq
+      assert(viaNative === viaWindow, s"seed $seed")
+    }
+  }
+
+  test("<= visibility: a right row at the same timestamp is matched") {
+    val l = Seq((uuidOf(0), 10L, 0L)).toDF("uuid", "time", "seq")
+    val r = Seq((uuidOf(0), 10L, "hit"), (uuidOf(0), 9L, "stale"))
+      .toDF("uuid", "time", "v")
+    val row = AsOfJoin.join(l, r, Seq("v")).collect().head
+    assert(row.getAs[String]("asof_v") === "hit")
+  }
+
+  test("no prior right row → NULL, and carried state does not leak across trails") {
+    val l = Seq((uuidOf(0), 5L, 0L), (uuidOf(1), 5L, 1L))
+      .toDF("uuid", "time", "seq")
+    val r = Seq((uuidOf(0), 1L, "only-trail-0")).toDF("uuid", "time", "v")
+    val rows = AsOfJoin.join(l, r, Seq("v"))
+      .orderBy("uuid").collect()
+    assert(rows(0).getAs[String]("asof_v") === "only-trail-0")
+    assert(rows(1).getAs[String]("asof_v") === null)
+  }
+
+  test("plan shape: AsOfJoinExec node, one exchange per side, right side at its own width") {
+    val (l, r) = randomSides(3L, trails = 6, perTrail = 10)
+    val df = AsOfJoin.join(l, r, Seq("score", "props"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 2, s"expected 2 exchanges (one per side):\n$plan")
+    // The right child of the exec must carry only (uuid, time, values) —
+    // not a union-padded schema.
+    val inner = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    val exec = inner.collectFirst {
+      case e: graft.plans.AsOfJoinExec => e
+    }.get
+    assert(exec.right.output.map(_.name).toSet ===
+      Set("uuid", "time", "score", "props"))
+    assert(df.columns.toSeq ===
+      Seq("uuid", "time", "seq", "asof_score", "asof_props"))
+  }
+
+  test("strategy is available through SparkSessionExtensions registration path") {
+    // The builder self-registers via experimental.extraStrategies; assert
+    // the idempotence contract so repeated joins don't stack strategies.
+    AsOfJoin.registerWith(spark)
+    AsOfJoin.registerWith(spark)
+    assert(spark.experimental.extraStrategies
+      .count(_ == graft.plans.AsOfJoinStrategy) === 1)
+  }
+}
