@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Whole-operator contribution: the co-partitioned streaming-merge
     // AS-OF join (graft.plans.AsOfJoinNode → AsOfJoinExec).
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // Metadata-only aggregates over finalized dbs answer from the
+    // _graft_info.json sidecar instead of scanning (reference: info file,
+    // src/tdb.c:677-700).
+    ext.injectOptimizerRule(graft.plans.MetadataOnlyAggRule(_))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),

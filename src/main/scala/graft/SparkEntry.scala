@@ -173,6 +173,29 @@ object SparkEntry {
         .toDF("num_trails", "num_events", "min_time", "max_time")
     }),
 
+    // Same metadata via the OPTIMIZER RULE instead of the accessors: a
+    // user-written DataFrame aggregate over the finalized db is rewritten
+    // to a LocalRelation answered from the _graft_info.json sidecar
+    // (MetadataOnlyAggRule; reference info-file read src/tdb.c:677-700) —
+    // asserted scan-free here, value-checked by the DuckDB oracle which
+    // recomputes the numbers from the raw parquet.
+    "t_metadata_rule" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-q").resolve("db").toString
+      val t = trails(s, dir)
+      new graft.core.TrailDBCons(s, Seq("event_type", "props"))
+        .add(t.df).finalizeTo(path, 8)
+      graft.plans.MetadataOnlyAggRule.registerWith(s)
+      val agg = s.read.parquet(path).agg(
+        countDistinct(col("uuid")).as("num_trails"),
+        count(lit(1)).as("num_events"),
+        min("time").as("min_time"),
+        max("time").as("max_time"))
+      val opt = agg.queryExecution.optimizedPlan.toString
+      require(opt.contains("LocalRelation") && !opt.contains("parquet"),
+        s"metadata-only rewrite did not fire:\n$opt")
+      agg
+    }),
+
     // A2/F3: lexicon — distinct values of a field, sorted ("" excluded, it
     // is the implicit NULL val 0).
     "t_lexicon" -> ((s, dir) =>
@@ -1211,6 +1234,12 @@ object SparkEntry {
          |FROM trails ORDER BY uuid, time, seq""".stripMargin,
 
     "t_metadata" ->
+      s"""$TrailsCte
+         |SELECT count(DISTINCT uuid) AS num_trails, count(*) AS num_events,
+         |       min(time) AS min_time, max(time) AS max_time
+         |FROM trails""".stripMargin,
+
+    "t_metadata_rule" ->
       s"""$TrailsCte
          |SELECT count(DISTINCT uuid) AS num_trails, count(*) AS num_events,
          |       min(time) AS min_time, max(time) AS max_time

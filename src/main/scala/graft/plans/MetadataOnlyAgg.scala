@@ -1,0 +1,128 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.LongType
+
+import graft.core.{TrailInfo, TrailSchema}
+
+/** Metadata-only aggregate rewrite — the optimizer-rule leg of graft's
+  * Catalyst integration (functions: GraftExtensions.injectFunction;
+  * whole operator: AsOfJoinStrategy; this: injectOptimizerRule).
+  *
+  * The reference answers num_trails / num_events / min/max timestamp from
+  * the `info` file written at finalize (src/tdb_encode.c:191-216, read at
+  * src/tdb.c:677-700) — NEVER by scanning. graft's `TrailDB` accessors
+  * already read the `_graft_info.json` sidecar, but a user writing plain
+  * DataFrame code (`spark.read.parquet(db).agg(count(*))`) would still
+  * pay a full scan — at 100 TB, a full-corpus pass (and for
+  * count(distinct uuid), a corpus-wide shuffle) to answer a number the
+  * sidecar already holds. This rule rewrites such aggregates to a
+  * `LocalRelation`, the same shape Spark's own OptimizeMetadataOnlyQuery
+  * uses for partition-column queries.
+  *
+  * Rewrites `Aggregate` with NO grouping keys over an UNFILTERED scan of
+  * a finalized graft db (identified by its sidecar) when every aggregate
+  * is one of:
+  *   - `count(literal)` (count(*) / count(1))        → num_events
+  *   - `count(DISTINCT uuid)`                        → num_trails
+  *   - `min(time)` / `max(time)` (LongType)          → min/max timestamp
+  *
+  * Soundness guards: any Filter below the aggregate, any non-attribute
+  * projection, any other aggregate function, an aggregate-level FILTER
+  * clause, or an empty db (min/max must stay NULL, the sidecar stores 0)
+  * disables the rewrite. Finalized dbs are write-once immutable
+  * (reference semantics: doc/docs/technical_overview.md — produce, ship,
+  * never mutate), so a sidecar present at plan time cannot be stale.
+  */
+case class MetadataOnlyAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg @ Aggregate(Nil, aggExprs, child, _) =>
+      unfilteredScanRoot(child)
+        .flatMap(MetadataOnlyAggRule.infoFor(spark, _))
+        .flatMap(rewrite(agg, aggExprs, _))
+        .getOrElse(agg)
+  }
+
+  /** The scan path below the aggregate: chains of attribute-only Projects
+    * over a single file-source relation, nothing else (a Filter anywhere
+    * disqualifies). Returns the scan's root path when it is one
+    * directory. */
+  private def unfilteredScanRoot(plan: LogicalPlan): Option[String] = plan match {
+    case Project(projectList, child)
+        if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      unfilteredScanRoot(child)
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 =>
+        Some(fs.location.rootPaths.head.toString)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def rewrite(agg: Aggregate, aggExprs: Seq[NamedExpression],
+      info: TrailInfo): Option[LogicalPlan] = {
+    if (info.numEvents == 0L) return None
+    val values = aggExprs.map(answer(_, info))
+    if (values.exists(_.isEmpty)) None
+    else Some(LocalRelation(agg.output,
+      Seq(InternalRow.fromSeq(values.map(_.get)))))
+  }
+
+  /** The sidecar answer for one output expression, or None if this
+    * aggregate cannot be answered from metadata. */
+  private def answer(ne: NamedExpression, info: TrailInfo): Option[Any] = {
+    val expr = ne match {
+      case Alias(child, _) => child
+      case other => other
+    }
+    expr match {
+      case AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _) =>
+        Some(info.numEvents)
+      case AggregateExpression(Count(Seq(a: Attribute)), _, true, None, _)
+          if a.name == TrailSchema.UuidCol =>
+        Some(info.numTrails)
+      case AggregateExpression(Min(a: Attribute), _, false, None, _)
+          if a.name == TrailSchema.TimeCol && a.dataType == LongType =>
+        Some(info.minTime)
+      case AggregateExpression(Max(a: Attribute), _, false, None, _)
+          if a.name == TrailSchema.TimeCol && a.dataType == LongType =>
+        Some(info.maxTime)
+      case _ => None
+    }
+  }
+}
+
+object MetadataOnlyAggRule {
+  /** Positive results are cached per root path per JVM — finalized dbs
+    * are immutable, and the check sits on the optimizer hot path. A MISS
+    * is deliberately NOT cached: finalize itself aggregates over the
+    * freshly-written parquet BEFORE the sidecar lands (TrailInfo.compute),
+    * so negative caching would permanently blind the rule to every db
+    * finalized in this JVM. The miss cost is one driver-side exists(). */
+  private val cache = TrieMap.empty[String, TrailInfo]
+
+  private def infoFor(spark: SparkSession, root: String): Option[TrailInfo] =
+    cache.get(root).orElse {
+      val r = TrailInfo.read(spark, root)
+      r.foreach(cache.put(root, _))
+      r
+    }
+
+  /** Idempotently add the rule to a session built without
+    * `GraftExtensions` — `experimental.extraOptimizations` is the public
+    * escape hatch. */
+  def registerWith(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[MetadataOnlyAggRule]))
+      spark.experimental.extraOptimizations = cur :+ MetadataOnlyAggRule(spark)
+  }
+}
