@@ -849,6 +849,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Bloom-filter incremental dedup: corpus hashes fold into a driver-
+    // merged sketch, broadcast, batch rows drop on a local probe — no
+    // corpus join. Invariant row (sketch bits are impl-specific, the
+    // CONTRACT is not): one-sided error means kept ⊆ exactly-new (zero
+    // violations, kept ≤ n_exact_new) and fpp=1% bounds the loss (≥95%
+    // of new docs survive). DuckDB recomputes n_exact_new independently.
+    "d_bloom_dedup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val kept = Dedup.bloomDedup(corpus, batch, fpp = 0.01)
+        .select("doc_id", "text").localCheckpoint()
+      val exactNew = batch.join(corpus.select("text").distinct(),
+        Seq("text"), "left_anti")
+      val keptAgg = kept.join(corpus.select("text").distinct().withColumn("_c", lit(1)),
+          Seq("text"), "left")
+        .agg(count(lit(1)).as("_n_kept"),
+          coalesce(sum(when(col("_c").isNotNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_violations"))
+      exactNew.agg(count(lit(1)).as("n_exact_new")).crossJoin(keptAgg)
+        .select(col("n_exact_new"), col("n_violations"),
+          (col("_n_kept") <= col("n_exact_new")).as("kept_le_exact"),
+          (col("_n_kept") * 100 >= col("n_exact_new") * 95).as("recall_ok"))
+    }),
+
+    // Temperature-weighted source mixture (mT5/XLM-R-style alpha-
+    // resampling): exact per-source counts and the alpha=0.5 sampling
+    // weights/budgets a stratified sampler would be fed with.
+    "d_source_mix" -> ((s, dir) =>
+      TextAnalysis.temperatureMixture(
+          s.read.parquet(s"$dir/documents.parquet"), "source", 0.5)
+        .orderBy("source")),
+
     // Eval-set decontamination: 3-gram overlap counts of training docs
     // (doc_id >= 20) against a held-out eval set (doc_id < 20) — the GPT-3
     // appendix-C n-gram rule as a broadcast semi-join.
@@ -1917,6 +1950,28 @@ object SparkEntry {
         |  < CASE lang WHEN 'en' THEN 128 WHEN 'de' THEN 64 WHEN 'es' THEN 64
         |              WHEN 'fr' THEN 32 WHEN 'zh' THEN 16 ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
+
+    "d_bloom_dedup" ->
+      """WITH corpus AS (SELECT text FROM documents WHERE doc_id % 10 <> 0),
+        |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT (SELECT count(*) FROM batch b
+        |        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text))
+        |         AS n_exact_new,
+        |       CAST(0 AS BIGINT) AS n_violations,
+        |       TRUE AS kept_le_exact, TRUE AS recall_ok""".stripMargin,
+
+    "d_source_mix" ->
+      """WITH counts AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |norm AS (
+        |  SELECT source, n_docs,
+        |         power(CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE), 0.5) AS pa,
+        |         sum(n_docs) OVER () AS total
+        |  FROM counts)
+        |SELECT source, n_docs,
+        |       round(pa / sum(pa) OVER (), 6) AS weight,
+        |       round(pa / sum(pa) OVER () * total, 3) AS expected_docs
+        |FROM norm ORDER BY source""".stripMargin,
 
     "d_incremental_dedup" ->
       """SELECT doc_id FROM (

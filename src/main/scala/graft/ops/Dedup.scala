@@ -423,6 +423,33 @@ object Dedup {
     * batch side and pushes it into the corpus scan, so most corpus rows die
     * before the exchange. The within-batch dedup shuffles only the batch.
     */
+  /** Bloom-filter incremental dedup — the repeated-ingest shape for a
+    * corpus too large to join against every batch: ONE pass over the
+    * corpus folds content hashes into a driver-merged Bloom sketch
+    * (`df.stat.bloomFilter` — per-partition sketches, driver OR-merge),
+    * which is then broadcast so each batch row is a local O(numHashes)
+    * probe. No corpus-side shuffle, no join; at 100 TB the corpus is
+    * read once per sketch refresh instead of once per batch.
+    *
+    * One-sided error, the direction you want for dedup: a true duplicate
+    * ALWAYS probes positive (never re-ingested); a new document is
+    * dropped only with probability ≤ fpp. The probe closure is the one
+    * non-codegen step (a Bloom bitset has no Catalyst builtin) — it is a
+    * broadcast-local bit test, not a lookup join.
+    */
+  def bloomDedup(corpus: DataFrame, batch: DataFrame,
+      textCol: String = "text", fpp: Double = 0.01,
+      expectedItems: Option[Long] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val hashed = corpus.select(xxhash64(col(textCol)).as("_h"))
+    val n = expectedItems.getOrElse(math.max(hashed.count(), 1000L))
+    val bf = hashed.stat.bloomFilter("_h", n, fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    batch.withColumn("_h", xxhash64(col(textCol)))
+      .filter(!mightContain(col("_h"))).drop("_h")
+  }
+
   def incrementalDedup(corpus: DataFrame, batch: DataFrame,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val h = md5(col(textCol).cast("binary"))

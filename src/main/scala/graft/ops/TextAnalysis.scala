@@ -322,6 +322,32 @@ object TextAnalysis {
         .cast("long"))
   }
 
+  /** Temperature-weighted source mixture (the training-mix design step:
+    * multilingual/multi-domain resampling a la mT5/XLM-R): per group
+    * share p_g = n_g / N, resampling weight w_g = p_g^alpha / Σ p_g^alpha.
+    * alpha < 1 flattens the mix toward rare groups, alpha = 1 keeps
+    * natural proportions. Output per group: n_docs, weight (round 6),
+    * expected_docs = w_g·N (round 3) — the sampling budget a downstream
+    * [[stratifiedHashSample]] call would be fed with.
+    *
+    * Scale shape: one map-side-combined groupBy; the global normalization
+    * window runs over |groups| rows (languages/domains — tiny), never
+    * over the corpus.
+    */
+  def temperatureMixture(df: DataFrame, groupCol: String = "source",
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    val all = Window.partitionBy()
+    df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("_total", sum("n_docs").over(all))
+      .withColumn("_pa",
+        pow(col("n_docs").cast("double") / col("_total").cast("double"), alpha))
+      .withColumn("weight", round(col("_pa") / sum("_pa").over(all), 6))
+      .withColumn("expected_docs",
+        round(col("_pa") / sum("_pa").over(all) * col("_total"), 3))
+      .drop("_total", "_pa")
+  }
+
   /** Per-stratum deterministic hash sampling: like [[hashSample]] but with
     * a different keep-fraction per stratum value (e.g. downsample
     * over-represented languages, keep all of a rare one) — the standard

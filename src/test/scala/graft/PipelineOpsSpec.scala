@@ -535,4 +535,36 @@ class PipelineOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("bloomDedup: duplicates always drop (one-sided error), new docs mostly survive") {
+    import spark.implicits._
+    val corpus = (0 until 500).map(i => (i.toLong, s"corpus doc $i"))
+      .toDF("doc_id", "text")
+    // batch: 100 exact duplicates of corpus docs + 200 new docs
+    val dups = (0 until 100).map(i => (1000L + i, s"corpus doc $i"))
+    val fresh = (0 until 200).map(i => (2000L + i, s"brand new doc $i"))
+    val batch = (dups ++ fresh).toDF("doc_id", "text")
+    val kept = ops.Dedup.bloomDedup(corpus, batch, fpp = 0.01)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // no duplicate may survive — Bloom filters have no false negatives
+    assert(kept.forall(_ >= 2000L), s"duplicate survived: ${kept.filter(_ < 2000L)}")
+    // ≥95% of genuinely-new docs survive at fpp=1%
+    assert(kept.size >= 190, s"only ${kept.size}/200 new docs survived")
+  }
+
+  test("temperatureMixture: weights normalize, alpha=1 is the natural mix, alpha<1 flattens") {
+    import spark.implicits._
+    val df = (Seq.fill(900)("big") ++ Seq.fill(100)("small"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "source")
+    def mix(alpha: Double): Map[String, (Long, Double)] =
+      ops.TextAnalysis.temperatureMixture(df, "source", alpha).collect()
+        .map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("n_docs"), r.getAs[Double]("weight"))).toMap
+    val natural = mix(1.0)
+    assert(math.abs(natural("big")._2 - 0.9) < 1e-6)
+    assert(math.abs(natural("small")._2 - 0.1) < 1e-6)
+    val flat = mix(0.5)
+    assert(flat("small")._2 > 0.1 && flat("small")._2 < 0.5)
+    assert(math.abs(flat.values.map(_._2).sum - 1.0) < 1e-5)
+  }
 }
