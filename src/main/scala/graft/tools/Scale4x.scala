@@ -51,6 +51,49 @@ object Scale4x {
       println(f"| $label | $t1%.1fs | $t4%.1fs | ${t4 / t1}%.1f× |")
     }
 
+    if (args.contains("--asof")) {
+      // AS-OF ladder: replicate events by uuid-shift (trail count scales,
+      // per-trail work constant — the 100 TB axis for trail operators) and
+      // compare the union+window formulation against the custom Catalyst
+      // merge exec at 1×/4×/16×.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev1 = spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", expr("ts DIV 1000000000"))
+      val maxU = ev1.agg(max("user_id")).head().getLong(0) + 1L
+      for (factor <- Seq(4, 16)) {
+        (0 until factor).map(i =>
+            ev1.withColumn("user_id", col("user_id") + lit(i * maxU)))
+          .reduce(_.unionByName(_))
+          .write.mode("overwrite").parquet(s"$base/events$factor")
+      }
+      def sides(ev: DataFrame): (DataFrame, DataFrame) = {
+        val t = graft.core.TrailDB.fromEvents(ev, "user_id", "ts",
+          Seq("event_type", "props"), Some("event_id")).df
+        (t.filter(col("event_type") === "view").select("uuid", "time", "seq"),
+         t.filter(col("event_type") === "click").select(col("uuid"), col("time"),
+           col("time").as("click_time"),
+           coalesce(col("props"), lit("")).as("click_props")))
+      }
+      val frames = Seq(ev1, spark.read.parquet(s"$base/events4"),
+        spark.read.parquet(s"$base/events16"))
+      println("| as-of variant | sf0.1 | 4× | 16× |")
+      println("|---|---|---|---|")
+      for ((label, f) <- Seq[(String, (DataFrame, DataFrame) => DataFrame)](
+          "union+window (TrailOps.asOfJoin)" -> ((l, r) =>
+            graft.core.TrailOps.asOfJoin(l, r, Seq("click_time", "click_props"))),
+          "native merge exec (AsOfJoin.join)" -> ((l, r) =>
+            graft.plans.AsOfJoin.join(l, r, Seq("click_time", "click_props"))))) {
+        val ts = frames.map { ev =>
+          val (l, r) = sides(ev)
+          time(f(l, r).queryExecution.toRdd.count())
+        }
+        println(f"| $label | ${ts(0)}%.2fs | ${ts(1)}%.2fs (${ts(1) / ts(0)}%.1f×) " +
+          f"| ${ts(2)}%.2fs (${ts(2) / ts(1)}%.1f× over 4×) |")
+      }
+      spark.stop()
+      return
+    }
+
     if (x16) {
       // Two corpus shapes per factor:
       //  - "alldup": plain replication — every doc gains factor-1 exact
