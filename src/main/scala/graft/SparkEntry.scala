@@ -1144,6 +1144,16 @@ object SparkEntry {
           col("last_purchase") > col("first_signup"))
         .orderBy("uuid")),
 
+    // Gap-constrained windowed funnel (view→click→purchase within 1 day
+    // of the first view; greedy-earliest chain, Funnel.windowFunnel):
+    // one uuid shuffle + codegen'd array fold — no per-step join cascade.
+    // DuckDB replays the same greedy chain as nested earliest-after-t
+    // aggregations.
+    "t_funnel_windowed" -> ((s, dir) =>
+      graft.agg.Funnel.windowFunnel(trails(s, dir).df,
+          Seq("view", "click", "purchase"), window = 86400L)
+        .orderBy("uuid")),
+
     // Path mining: top event-type 3-gram sequences across trails — the
     // cursor-walk sequence analysis (what reference users loop cursors
     // for, technical_overview.md trail model) as ONE uuid-shuffle: ordered
@@ -2215,6 +2225,29 @@ object SparkEntry {
          |   AND max(CASE WHEN event_type = 'purchase' THEN time END)
          |       > min(CASE WHEN event_type = 'signup' THEN time END)
          |ORDER BY uuid""".stripMargin,
+
+    "t_funnel_windowed" ->
+      s"""$TrailsCte,
+         |s1 AS (SELECT uuid, min(time) AS t0 FROM trails
+         |       WHERE coalesce(event_type,'') = 'view' GROUP BY uuid),
+         |s2 AS (SELECT tr.uuid, min(tr.time) AS t1 FROM trails tr
+         |       JOIN s1 USING (uuid)
+         |       WHERE coalesce(event_type,'') = 'click' AND tr.time > s1.t0
+         |       GROUP BY tr.uuid),
+         |s3 AS (SELECT tr.uuid, min(tr.time) AS t2 FROM trails tr
+         |       JOIN s2 USING (uuid)
+         |       WHERE coalesce(event_type,'') = 'purchase' AND tr.time > s2.t1
+         |       GROUP BY tr.uuid),
+         |u AS (SELECT DISTINCT uuid FROM trails)
+         |SELECT u.uuid,
+         |  CAST(CASE WHEN s1.t0 IS NULL THEN 0
+         |       WHEN s2.t1 IS NULL OR s2.t1 - s1.t0 > 86400 THEN 1
+         |       WHEN s3.t2 IS NULL OR s3.t2 - s1.t0 > 86400 THEN 2
+         |       ELSE 3 END AS BIGINT) AS funnel_level,
+         |  s1.t0 AS first_time
+         |FROM u LEFT JOIN s1 USING (uuid) LEFT JOIN s2 USING (uuid)
+         |  LEFT JOIN s3 USING (uuid)
+         |ORDER BY u.uuid""".stripMargin,
 
     "t_paths" ->
       s"""$TrailsCte

@@ -1,0 +1,70 @@
+package graft.agg
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gap-constrained sequential funnel over trails — the windowFunnel
+  * analysis reference users hand-roll with a cursor walk carrying
+  * per-step state (the sessionization-tutorial pattern,
+  * reference doc/docs/tutorial.md:188-256, generalized to an ordered
+  * step chain).
+  *
+  * Semantics (deterministic, engine-replayable): greedy-earliest from
+  * the earliest step-1 event. t_0 = min time of steps(0); t_i = min time
+  * of steps(i) STRICTLY after t_(i-1). The funnel level is the longest
+  * prefix completed within `window` of t_0:
+  * level = max i such that t_0..t_(i-1) all exist and t_(i-1) − t_0 ≤
+  * window (0 when the trail never performs step 1). This is the fixed
+  * greedy chain — not the NP-ish "best chain start" maximization — which
+  * is exactly what makes it replayable as nested earliest-after-t
+  * aggregations in any SQL engine.
+  *
+  * Scale shape: ONE shuffle (groupBy uuid), per-trail sorted event array,
+  * and the step chain evaluated by a codegen'd higher-order `aggregate`
+  * fold over that array — no per-step self-join cascade (k-1 joins of
+  * corpus-sized sides), no UDF. State is k nullable longs per trail.
+  */
+object Funnel {
+
+  def windowFunnel(df: DataFrame, steps: Seq[String], window: Long,
+      uuidCol: String = "uuid", timeCol: String = "time",
+      typeCol: String = "event_type", seqCol: String = "seq"): DataFrame = {
+    require(steps.nonEmpty, "windowFunnel needs at least one step")
+    require(window >= 0, s"window must be non-negative, got $window")
+    val k = steps.length
+
+    val evs = array_sort(collect_list(struct(
+      col(timeCol).cast("long").as("time"), col(seqCol).as("seq"),
+      coalesce(col(typeCol), lit("")).as("et"))))
+    val zero = struct((0 until k).map(i =>
+      lit(null).cast("long").as(s"t$i")): _*)
+
+    // One fold step: the event fills the FIRST unfilled slot whose step
+    // name matches and whose order constraint (strictly after the
+    // previous slot) holds. Events arrive time-sorted, so each slot gets
+    // the earliest admissible event.
+    def stepFn(acc: Column, e: Column): Column = {
+      val times = (0 until k).map(i => acc.getField(s"t$i"))
+      val branches = (0 until k).map { i =>
+        val order = if (i == 0) lit(true)
+          else times(i - 1).isNotNull && e.getField("time") > times(i - 1)
+        val cond = times(i).isNull && (e.getField("et") === steps(i)) && order
+        val filled = struct((0 until k).map(j =>
+          (if (j == i) e.getField("time") else times(j)).as(s"t$j")): _*)
+        (cond, filled)
+      }
+      branches.foldRight(acc) { case ((c, f), els) => when(c, f).otherwise(els) }
+    }
+
+    val grouped = df.groupBy(col(uuidCol)).agg(evs.as("_evs"))
+      .withColumn("_st", aggregate(col("_evs"), zero, stepFn))
+    val times = (0 until k).map(i => col("_st").getField(s"t$i"))
+    val deeper = (1 until k).foldRight(lit(k)) { (i, els) =>
+      when(times(i).isNull || times(i) - times(0) > window, lit(i))
+        .otherwise(els)
+    }
+    val level = when(times(0).isNull, lit(0)).otherwise(deeper)
+    grouped.select(col(uuidCol), level.cast("long").as("funnel_level"),
+      times(0).as("first_time"))
+  }
+}

@@ -75,4 +75,42 @@ class AggSpec extends SparkSpec {
     // sorted: 5,11 | 30 | 49,50 | 100 | 112  (gaps 19,19,50,12 all > 10)
     assert(agg.finish(whole) === 5L)
   }
+
+  test("windowFunnel: greedy-earliest chain, strict order, window cap, repeated steps") {
+    def run(rows: Seq[(String, Long, String)], window: Long): Map[String, (Long, Any)] =
+      graft.agg.Funnel.windowFunnel(
+          rows.zipWithIndex.map { case ((u, t, e), i) => (u, t, e, i.toLong) }
+            .toDF("uuid", "time", "event_type", "seq"),
+          Seq("view", "click", "purchase"), window)
+        .collect()
+        .map(r => r.getAs[String]("uuid") ->
+          (r.getAs[Long]("funnel_level"), r.get(r.fieldIndex("first_time"))))
+        .toMap
+
+    val res = run(Seq(
+      // u0: full chain inside window
+      ("u0", 10L, "view"), ("u0", 20L, "click"), ("u0", 30L, "purchase"),
+      // u1: purchase BEFORE click → only level 2
+      ("u1", 10L, "view"), ("u1", 15L, "purchase"), ("u1", 20L, "click"),
+      // u2: click at same second as view → strict 'after' fails, level 1
+      ("u2", 10L, "view"), ("u2", 10L, "click"),
+      // u3: never views → level 0
+      ("u3", 10L, "click"), ("u3", 20L, "purchase"),
+      // u4: greedy t0 = FIRST view (5); click at 100 outside window=50
+      //     even though view@90 would have matched — fixed-chain semantics
+      ("u4", 5L, "view"), ("u4", 90L, "view"), ("u4", 100L, "click")),
+      window = 50L)
+    assert(res("u0") === ((3L, 10L)))
+    assert(res("u1") === ((2L, 10L)))
+    assert(res("u2") === ((1L, 10L)))
+    assert(res("u3")._1 === 0L)
+    assert(res("u3")._2 === null)
+    assert(res("u4") === ((1L, 5L)))
+
+    // window cap on the LAST step only: chain completes but too late
+    val late = run(Seq(
+      ("u5", 0L, "view"), ("u5", 10L, "click"), ("u5", 200L, "purchase")),
+      window = 50L)
+    assert(late("u5") === ((2L, 0L)))
+  }
 }
