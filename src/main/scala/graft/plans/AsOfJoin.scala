@@ -158,19 +158,29 @@ case class AsOfJoinExec(
       val rBuf = rIter.buffered
 
       new Iterator[InternalRow] {
+        private var started = false
         private var curUuid: UTF8String = null
         private var carried: InternalRow = null
+
+        // Null-safe, matching both the sort order (NULLS FIRST) and the
+        // window formulation's grouping (null uuids form one trail).
+        private def cmpUuid(a: UTF8String, b: UTF8String): Int =
+          if (a == null && b == null) 0
+          else if (a == null) -1
+          else if (b == null) 1
+          else a.compareTo(b)
 
         override def hasNext: Boolean = lIter.hasNext
 
         override def next(): InternalRow = {
           val lRow = lIter.next()
-          val lu = lRow.getUTF8String(luIdx)
+          val lu = if (lRow.isNullAt(luIdx)) null else lRow.getUTF8String(luIdx)
           val lt = lRow.getLong(ltIdx)
-          if (curUuid == null || lu.compareTo(curUuid) != 0) {
+          if (!started || cmpUuid(lu, curUuid) != 0) {
             // New trail: forget the previous trail's carried state and
             // copy the key (the row buffer is reused by the iterator).
-            curUuid = lu.clone()
+            started = true
+            curUuid = if (lu == null) null else lu.clone()
             carried = null
           }
           // Advance the right cursor through (a) trails entirely before
@@ -180,7 +190,8 @@ case class AsOfJoinExec(
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val rRow = rBuf.head
-            val cmp = rRow.getUTF8String(ruIdx).compareTo(lu)
+            val ru = if (rRow.isNullAt(ruIdx)) null else rRow.getUTF8String(ruIdx)
+            val cmp = cmpUuid(ru, lu)
             if (cmp < 0) { rBuf.next() }
             else if (cmp == 0 && rRow.getLong(rtIdx) <= lt) {
               carried = valueProj(rBuf.next()).copy()

@@ -67,6 +67,22 @@ class AsOfJoinPlanSpec extends SparkSpec {
     assert(rows(1).getAs[String]("asof_v") === null)
   }
 
+  test("null uuids form one trail, matching the window formulation") {
+    val l = Seq((null.asInstanceOf[String], 10L, 0L), (uuidOf(1), 10L, 1L),
+        (null.asInstanceOf[String], 20L, 2L))
+      .toDF("uuid", "time", "seq")
+    val r = Seq((null.asInstanceOf[String], 15L, "null-trail"),
+        (uuidOf(1), 5L, "real-trail"))
+      .toDF("uuid", "time", "v")
+    val viaWindow = TrailOps.asOfJoin(l, r, Seq("v"))
+      .orderBy("seq").collect().toSeq
+    val viaNative = AsOfJoin.join(l, r, Seq("v"))
+      .orderBy("seq").collect().toSeq
+    assert(viaNative === viaWindow)
+    assert(viaNative.map(_.getAs[String]("asof_v")) ===
+      Seq(null, "real-trail", "null-trail"))
+  }
+
   test("plan shape: AsOfJoinExec node, one exchange per side, right side at its own width") {
     val (l, r) = randomSides(3L, trails = 6, perTrail = 10)
     val df = AsOfJoin.join(l, r, Seq("score", "props"))
