@@ -76,6 +76,58 @@ object StreamSessions {
       }
   }
 
+  /** Per-trail funnel slots carried across micro-batches; -1 = unfilled. */
+  final case class FunnelState(slots: Array[Long])
+  final case class FunnelUpdate(uuid: String, funnelLevel: Long,
+      firstTime: Option[Long])
+
+  /** Streaming twin of [[graft.agg.Funnel.windowFunnel]]: the greedy-
+    * earliest step chain maintained across micro-batches with
+    * flatMapGroupsWithState — state is k longs per trail, emitted as the
+    * trail's current funnel level whenever a batch touches it. Within a
+    * batch events are time-sorted here; cross-batch ordering relies on
+    * source order (as any streaming state machine must — a late event
+    * cannot retro-fill a slot an earlier batch already passed). On
+    * in-order delivery this agrees exactly with the batch operator
+    * (spec-proven). */
+  def statefulWindowFunnel(events: Dataset[(String, Long, String)],
+      steps: Seq[String], window: Long)(
+      implicit enc: org.apache.spark.sql.Encoder[FunnelUpdate],
+      stateEnc: org.apache.spark.sql.Encoder[FunnelState]): Dataset[FunnelUpdate] = {
+    implicit val strEnc: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    val k = steps.length
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uuid: String, rows: Iterator[(String, Long, String)],
+         state: GroupState[FunnelState]) =>
+          val slots = state.getOption.map(_.slots.clone())
+            .getOrElse(Array.fill(k)(-1L))
+          rows.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, t, et) =>
+            var i = 0
+            var placed = false
+            while (i < k && !placed) {
+              if (slots(i) == -1L && steps(i) == et &&
+                  (i == 0 || (slots(i - 1) != -1L && t > slots(i - 1)))) {
+                slots(i) = t
+                placed = true
+              }
+              i += 1
+            }
+          }
+          if (slots.forall(_ == -1L) && state.getOption.isEmpty) Iterator.empty
+          else {
+            state.update(FunnelState(slots))
+            var level = 0L
+            while (level < k && slots(level.toInt) != -1L &&
+                slots(level.toInt) - slots(0) <= window) level += 1
+            Iterator.single(FunnelUpdate(uuid, level,
+              if (slots(0) == -1L) None else Some(slots(0))))
+          }
+      }
+  }
+
   /** Streaming exact dedup on a content key: keep the first arrival of each
     * key, drop later duplicates. State is bounded by the watermark —
     * dropDuplicatesWithinWatermark evicts keys once the event-time

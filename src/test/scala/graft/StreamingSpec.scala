@@ -258,6 +258,53 @@ class StreamingSpec extends SparkSpec {
     assert(shSql === shCol && shSql.length === 2)
   }
 
+  test("stateful windowFunnel carries slots across batches and matches the batch operator") {
+    import graft.streaming.StreamSessions.{FunnelState, FunnelUpdate}
+    implicit val updEnc = org.apache.spark.sql.Encoders.product[FunnelUpdate]
+    implicit val stEnc = org.apache.spark.sql.Encoders.product[FunnelState]
+    val steps = Seq("view", "click", "purchase")
+
+    val dir = Files.createTempDirectory("graft-sfunnel")
+    val src = dir.resolve("src").toString
+    val b1 = Seq(("u1", 10L, "view"), ("u1", 20L, "click"),
+      ("u2", 10L, "click"))
+    val b2 = Seq(("u1", 30L, "purchase"), ("u2", 40L, "view"))
+    // one file per batch + maxFilesPerTrigger=1 → two REAL micro-batches
+    // inside one query, so slot state genuinely crosses a batch boundary
+    b1.toDF("uuid", "time", "event_type").coalesce(1).write.parquet(src)
+    Thread.sleep(1100) // distinct mod times → deterministic file order
+    b2.toDF("uuid", "time", "event_type").coalesce(1)
+      .write.mode("append").parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .as[(String, Long, String)]
+    val q = StreamSessions.statefulWindowFunnel(stream, steps, window = 100L)
+      .writeStream.outputMode("append").format("memory").queryName("sfunnel")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    // latest emitted level per trail (last micro-batch wins)
+    val streamed = spark.sql(
+        """SELECT uuid, funnelLevel, firstTime FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY uuid ORDER BY funnelLevel DESC) rn
+          |  FROM sfunnel) WHERE rn = 1""".stripMargin)
+      .as[FunnelUpdate]
+      .collect().map(u => u.uuid -> (u.funnelLevel, u.firstTime)).toMap
+    // in-order delivery → must equal the batch operator on the union
+    val batch = graft.agg.Funnel.windowFunnel(
+        (b1 ++ b2).zipWithIndex.map { case ((u, t, e), i) => (u, t, e, i.toLong) }
+          .toDF("uuid", "time", "event_type", "seq"), steps, window = 100L)
+      .collect()
+      .map(r => r.getAs[String]("uuid") ->
+        (r.getAs[Long]("funnel_level"), Option(r.getAs[Any]("first_time"))
+          .map(_.asInstanceOf[Long]))).toMap
+    assert(streamed === batch)
+    assert(streamed("u1") === ((3L, Some(10L))))
+    assert(streamed("u2") === ((1L, Some(40L))))
+  }
+
   test("typed TrailSummaryAggregator folds trails with partial aggregation") {
     val events = Seq(
       TrailEvent("u1", 10L, Map("a" -> "x")),
