@@ -2230,12 +2230,12 @@ object SparkEntry {
       s"""$TrailsCte,
          |s1 AS (SELECT uuid, min(time) AS t0 FROM trails
          |       WHERE coalesce(event_type,'') = 'view' GROUP BY uuid),
-         |s2 AS (SELECT tr.uuid, min(tr.time) AS t1 FROM trails tr
-         |       JOIN s1 USING (uuid)
+         |s2 AS (SELECT tr.uuid AS uuid, min(tr.time) AS t1 FROM trails tr
+         |       JOIN s1 ON tr.uuid IS NOT DISTINCT FROM s1.uuid
          |       WHERE coalesce(event_type,'') = 'click' AND tr.time > s1.t0
          |       GROUP BY tr.uuid),
-         |s3 AS (SELECT tr.uuid, min(tr.time) AS t2 FROM trails tr
-         |       JOIN s2 USING (uuid)
+         |s3 AS (SELECT tr.uuid AS uuid, min(tr.time) AS t2 FROM trails tr
+         |       JOIN s2 ON tr.uuid IS NOT DISTINCT FROM s2.uuid
          |       WHERE coalesce(event_type,'') = 'purchase' AND tr.time > s2.t1
          |       GROUP BY tr.uuid),
          |u AS (SELECT DISTINCT uuid FROM trails)
@@ -2245,8 +2245,9 @@ object SparkEntry {
          |       WHEN s3.t2 IS NULL OR s3.t2 - s1.t0 > 86400 THEN 2
          |       ELSE 3 END AS BIGINT) AS funnel_level,
          |  s1.t0 AS first_time
-         |FROM u LEFT JOIN s1 USING (uuid) LEFT JOIN s2 USING (uuid)
-         |  LEFT JOIN s3 USING (uuid)
+         |FROM u LEFT JOIN s1 ON u.uuid IS NOT DISTINCT FROM s1.uuid
+         |  LEFT JOIN s2 ON u.uuid IS NOT DISTINCT FROM s2.uuid
+         |  LEFT JOIN s3 ON u.uuid IS NOT DISTINCT FROM s3.uuid
          |ORDER BY u.uuid""".stripMargin,
 
     "t_paths" ->

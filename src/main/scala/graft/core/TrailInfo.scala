@@ -24,7 +24,8 @@ final case class TrailInfo(
     minTime: Long,
     maxTime: Long,
     fields: Seq[String],
-    bucketSeconds: Option[Long]) {
+    bucketSeconds: Option[Long],
+    numTimed: Long = -1L) {
 
   def toJson: String = {
     def esc(s: String) = s.flatMap {
@@ -33,6 +34,7 @@ final case class TrailInfo(
     }
     s"""{"num_trails":$numTrails,"num_events":$numEvents,""" +
       s""""min_time":$minTime,"max_time":$maxTime,""" +
+      s""""num_timed":$numTimed,""" +
       s""""fields":[${fields.map(f => s""""${esc(f)}"""").mkString(",")}]""" +
       bucketSeconds.map(b => s""","bucket_seconds":$b""").getOrElse("") + "}"
   }
@@ -50,11 +52,12 @@ object TrailInfo {
       count_distinct(col(TrailSchema.UuidCol)).as("nt"),
       count(lit(1)).as("ne"),
       min(TrailSchema.TimeCol).as("mn"),
-      max(TrailSchema.TimeCol).as("mx")).head()
+      max(TrailSchema.TimeCol).as("mx"),
+      count(col(TrailSchema.TimeCol)).as("ntimed")).head()
     TrailInfo(r.getLong(0), r.getLong(1),
       if (r.isNullAt(2)) 0L else r.getLong(2),
       if (r.isNullAt(3)) 0L else r.getLong(3),
-      fields, bucketSeconds)
+      fields, bucketSeconds, r.getLong(4))
   }
 
   /** Write the sidecar into `dir` (any Hadoop-visible filesystem).
@@ -117,7 +120,14 @@ object TrailInfo {
       case JLong(v) => Some(v)
       case _ => None
     }
+    // Sidecars from before round 4 lack num_timed; -1 = unknown, which
+    // consumers must treat as "cannot prove a non-null time exists".
+    val numTimed = (j \ "num_timed") match {
+      case JInt(v) => v.longValue
+      case JLong(v) => v
+      case _ => -1L
+    }
     TrailInfo(long("num_trails"), long("num_events"),
-      long("min_time"), long("max_time"), fields, bucket)
+      long("min_time"), long("max_time"), fields, bucket, numTimed)
   }
 }

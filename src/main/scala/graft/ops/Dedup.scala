@@ -424,12 +424,15 @@ object Dedup {
     * before the exchange. The within-batch dedup shuffles only the batch.
     */
   /** Bloom-filter incremental dedup — the repeated-ingest shape for a
-    * corpus too large to join against every batch: ONE pass over the
+    * corpus too large to join against every batch: one pass over the
     * corpus folds content hashes into a driver-merged Bloom sketch
     * (`df.stat.bloomFilter` — per-partition sketches, driver OR-merge),
     * which is then broadcast so each batch row is a local O(numHashes)
-    * probe. No corpus-side shuffle, no join; at 100 TB the corpus is
-    * read once per sketch refresh instead of once per batch.
+    * probe. No corpus-side shuffle, no join. At 100 TB PASS
+    * `expectedItems` (from the finalize sidecar or a running counter):
+    * sizing the sketch without it costs an extra corpus count() pass —
+    * with it, the corpus is read exactly once per sketch refresh
+    * instead of once per batch.
     *
     * One-sided error, the direction you want for dedup: a true duplicate
     * ALWAYS probes positive (never re-ingested); a new document is

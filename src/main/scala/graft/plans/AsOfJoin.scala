@@ -172,10 +172,19 @@ case class AsOfJoinExec(
 
         override def hasNext: Boolean = lIter.hasNext
 
+        // NULL time reads as Long.MinValue — the sort order is NULLS
+        // FIRST, so this reproduces the window formulation exactly: a
+        // null-time right row sorts first and is visible to every left
+        // row of its trail; a null-time left row sees only null-time
+        // right rows. (getLong on a null slot would read 0 and both
+        // mis-match and over-advance the cursor.)
+        @inline def timeAt(row: InternalRow, idx: Int): Long =
+          if (row.isNullAt(idx)) Long.MinValue else row.getLong(idx)
+
         override def next(): InternalRow = {
           val lRow = lIter.next()
           val lu = if (lRow.isNullAt(luIdx)) null else lRow.getUTF8String(luIdx)
-          val lt = lRow.getLong(ltIdx)
+          val lt = timeAt(lRow, ltIdx)
           if (!started || cmpUuid(lu, curUuid) != 0) {
             // New trail: forget the previous trail's carried state and
             // copy the key (the row buffer is reused by the iterator).
@@ -193,7 +202,7 @@ case class AsOfJoinExec(
             val ru = if (rRow.isNullAt(ruIdx)) null else rRow.getUTF8String(ruIdx)
             val cmp = cmpUuid(ru, lu)
             if (cmp < 0) { rBuf.next() }
-            else if (cmp == 0 && rRow.getLong(rtIdx) <= lt) {
+            else if (cmp == 0 && timeAt(rRow, rtIdx) <= lt) {
               carried = valueProj(rBuf.next()).copy()
             } else advancing = false
           }

@@ -37,10 +37,11 @@ import graft.core.{TrailInfo, TrailSchema}
   *
   * Soundness guards: any Filter below the aggregate, any non-attribute
   * projection, any other aggregate function, an aggregate-level FILTER
-  * clause, or an empty db (min/max must stay NULL, the sidecar stores 0)
-  * disables the rewrite. Finalized dbs are write-once immutable
-  * (reference semantics: doc/docs/technical_overview.md — produce, ship,
-  * never mutate), so a sidecar present at plan time cannot be stale.
+  * clause, a count of a NULL literal, an empty db, or an all-null time
+  * column (min/max must stay NULL, the sidecar stores 0) disables the
+  * rewrite. The sidecar cache is validated against the file's
+  * (modTime, length), so a same-path RE-finalize (finalizeTo overwrites)
+  * serves the fresh sidecar, not a stale one.
   */
 case class MetadataOnlyAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -84,17 +85,24 @@ case class MetadataOnlyAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case Alias(child, _) => child
       case other => other
     }
+    // min/max(time) only when the sidecar PROVES a non-null time exists —
+    // the sidecar stores 0 for the all-null case, where SQL answers NULL.
+    // (Pre-round-4 sidecars lack num_timed → -1 → never rewritten.)
+    val timeProvable = info.numTimed > 0L
     expr match {
-      case AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _) =>
+      case AggregateExpression(Count(Seq(Literal(v, _))), _, false, None, _)
+          if v != null => // count(NULL literal) is 0, not num_events
         Some(info.numEvents)
       case AggregateExpression(Count(Seq(a: Attribute)), _, true, None, _)
           if a.name == TrailSchema.UuidCol =>
         Some(info.numTrails)
       case AggregateExpression(Min(a: Attribute), _, false, None, _)
-          if a.name == TrailSchema.TimeCol && a.dataType == LongType =>
+          if a.name == TrailSchema.TimeCol && a.dataType == LongType &&
+            timeProvable =>
         Some(info.minTime)
       case AggregateExpression(Max(a: Attribute), _, false, None, _)
-          if a.name == TrailSchema.TimeCol && a.dataType == LongType =>
+          if a.name == TrailSchema.TimeCol && a.dataType == LongType &&
+            timeProvable =>
         Some(info.maxTime)
       case _ => None
     }
@@ -102,20 +110,38 @@ case class MetadataOnlyAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
 }
 
 object MetadataOnlyAggRule {
-  /** Positive results are cached per root path per JVM — finalized dbs
-    * are immutable, and the check sits on the optimizer hot path. A MISS
-    * is deliberately NOT cached: finalize itself aggregates over the
-    * freshly-written parquet BEFORE the sidecar lands (TrailInfo.compute),
-    * so negative caching would permanently blind the rule to every db
-    * finalized in this JVM. The miss cost is one driver-side exists(). */
-  private val cache = TrieMap.empty[String, TrailInfo]
+  /** Parsed sidecars are cached keyed by the sidecar file's
+    * (modificationTime, length), so the cost on the optimizer hot path is
+    * one driver-side getFileStatus instead of a read+parse — and a
+    * RE-finalize to the same path (finalizeTo is SaveMode.Overwrite) is
+    * picked up instead of served stale. A MISS is never cached: finalize
+    * itself aggregates over the freshly-written parquet BEFORE the
+    * sidecar lands (TrailInfo.compute), so negative caching would
+    * permanently blind the rule to every db finalized in this JVM. */
+  private val cache = TrieMap.empty[String, (Long, Long, TrailInfo)]
 
-  private def infoFor(spark: SparkSession, root: String): Option[TrailInfo] =
-    cache.get(root).orElse {
-      val r = TrailInfo.read(spark, root)
-      r.foreach(cache.put(root, _))
-      r
+  private def infoFor(spark: SparkSession, root: String): Option[TrailInfo] = {
+    try {
+      val path = new org.apache.hadoop.fs.Path(root, TrailInfo.FileName)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(path)) None
+      else {
+        val st = fs.getFileStatus(path)
+        cache.get(root) match {
+          case Some((mt, len, info))
+              if mt == st.getModificationTime && len == st.getLen =>
+            Some(info)
+          case _ =>
+            val r = TrailInfo.read(spark, root)
+            r.foreach(i =>
+              cache.put(root, (st.getModificationTime, st.getLen, i)))
+            r
+        }
+      }
+    } catch {
+      case _: Exception => None // unreadable FS → fall through to the scan
     }
+  }
 
   /** Idempotently add the rule to a session built without
     * `GraftExtensions` — `experimental.extraOptimizations` is the public

@@ -30,27 +30,10 @@ object Scale4x {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
-    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
-    val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val nDocs = docs1.count(); val nEmb = emb1.count()
-    def rep(df: DataFrame, idCol: String, n: Long, factor: Int): DataFrame =
-      (0 until factor).map(i => df.withColumn(idCol, col(idCol) + lit(i * n)))
-        .reduce(_.unionByName(_))
     val base = "/tmp/graft-scale4x"
-    rep(docs1, "doc_id", nDocs, 4).write.mode("overwrite").parquet(s"$base/documents")
-    rep(emb1, "vec_id", nEmb, 4).write.mode("overwrite").parquet(s"$base/embeddings")
-    val docs4 = spark.read.parquet(s"$base/documents")
-    val emb4 = spark.read.parquet(s"$base/embeddings")
-
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    def run(label: String)(f: (DataFrame, DataFrame) => DataFrame): Unit = {
-      val t1 = time(f(docs1, emb1).queryExecution.toRdd.count())
-      val t4 = time(f(docs4, emb4).queryExecution.toRdd.count())
-      println(f"| $label | $t1%.1fs | $t4%.1fs | ${t4 / t1}%.1f× |")
-    }
-
     if (args.contains("--asof")) {
       // AS-OF ladder: replicate events by uuid-shift (trail count scales,
       // per-trail work constant — the 100 TB axis for trail operators) and
@@ -93,6 +76,13 @@ object Scale4x {
       spark.stop()
       return
     }
+
+    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nDocs = docs1.count(); val nEmb = emb1.count()
+    def rep(df: DataFrame, idCol: String, n: Long, factor: Int): DataFrame =
+      (0 until factor).map(i => df.withColumn(idCol, col(idCol) + lit(i * n)))
+        .reduce(_.unionByName(_))
 
     if (x16) {
       // Two corpus shapes per factor:
@@ -145,6 +135,16 @@ object Scale4x {
         spark.read.parquet(s"$base/disjoint16")))
       spark.stop()
       return
+    }
+
+    rep(docs1, "doc_id", nDocs, 4).write.mode("overwrite").parquet(s"$base/documents")
+    rep(emb1, "vec_id", nEmb, 4).write.mode("overwrite").parquet(s"$base/embeddings")
+    val docs4 = spark.read.parquet(s"$base/documents")
+    val emb4 = spark.read.parquet(s"$base/embeddings")
+    def run(label: String)(f: (DataFrame, DataFrame) => DataFrame): Unit = {
+      val t1 = time(f(docs1, emb1).queryExecution.toRdd.count())
+      val t4 = time(f(docs4, emb4).queryExecution.toRdd.count())
+      println(f"| $label | $t1%.1fs | $t4%.1fs | ${t4 / t1}%.1f× |")
     }
 
     println("| operator | sf0.1 | 4× | scaling |")

@@ -83,6 +83,24 @@ class AsOfJoinPlanSpec extends SparkSpec {
       Seq(null, "real-trail", "null-trail"))
   }
 
+  test("null times match the window formulation (NULLS FIRST carry, no cursor over-advance)") {
+    val L = null.asInstanceOf[java.lang.Long]
+    val l = Seq((uuidOf(0), L, 0L), (uuidOf(0), java.lang.Long.valueOf(-5L), 1L),
+        (uuidOf(0), java.lang.Long.valueOf(10L), 2L))
+      .toDF("uuid", "time", "seq")
+    val r = Seq((uuidOf(0), L, "null-time"), (uuidOf(0), java.lang.Long.valueOf(0L), "at-zero"))
+      .toDF("uuid", "time", "v")
+    val viaWindow = TrailOps.asOfJoin(l, r, Seq("v"))
+      .orderBy("seq").collect().toSeq
+    val viaNative = AsOfJoin.join(l, r, Seq("v"))
+      .orderBy("seq").collect().toSeq
+    assert(viaNative === viaWindow)
+    // null left time sees only the null-time right row; -5 must NOT be
+    // matched to the rt=0 row (the getLong-on-null bug read null as 0)
+    assert(viaNative.map(_.getAs[String]("asof_v")) ===
+      Seq("null-time", "null-time", "at-zero"))
+  }
+
   test("plan shape: AsOfJoinExec node, one exchange per side, right side at its own width") {
     val (l, r) = randomSides(3L, trails = 6, perTrail = 10)
     val df = AsOfJoin.join(l, r, Seq("score", "props"))

@@ -72,6 +72,42 @@ class MetadataOnlyAggSpec extends SparkSpec {
     assert(agg.collect().head.getLong(0) === 1L)
   }
 
+  test("re-finalizing the same path serves the FRESH sidecar, not a stale cache") {
+    val path = Files.createTempDirectory("graft-meta-re").resolve("db").toString
+    def finalizeWith(n: Int): Unit = {
+      val rows = (0 until n).map(i => (uuidOf(i), (10 + i).toLong, "e", i.toLong))
+      new TrailDBCons(spark, Seq("event_type"))
+        .add(rows.toDF("uuid", "time", "event_type", "seq")).finalizeTo(path, 2)
+    }
+    finalizeWith(5)
+    def counted(): Long =
+      spark.read.parquet(path).agg(count(lit(1)).as("n")).collect().head.getLong(0)
+    assert(counted() === 5L) // primes the cache
+    Thread.sleep(1100)       // distinct sidecar modTime on coarse filesystems
+    finalizeWith(9)
+    assert(counted() === 9L, "stale sidecar served after re-finalize")
+  }
+
+  test("count of a NULL literal is NOT answered as num_events") {
+    val path = mkDb(2, 3)
+    val agg = spark.read.parquet(path).agg(count(lit(null)).as("n"))
+    assert(!agg.queryExecution.optimizedPlan.toString.contains("LocalRelation"))
+    assert(agg.collect().head.getLong(0) === 0L)
+  }
+
+  test("all-null time column: min/max stay NULL (no sidecar rewrite), counts still rewrite") {
+    val rows = (0 until 4).map(i => (uuidOf(i), null.asInstanceOf[java.lang.Long], "e", i.toLong))
+    val df = rows.toDF("uuid", "time", "event_type", "seq")
+    val path = Files.createTempDirectory("graft-meta-nt").resolve("db").toString
+    new TrailDBCons(spark, Seq("event_type")).add(df).finalizeTo(path, 2)
+    val minAgg = spark.read.parquet(path).agg(min("time").as("mn"))
+    assert(!minAgg.queryExecution.optimizedPlan.toString.contains("LocalRelation"))
+    assert(minAgg.collect().head.isNullAt(0))
+    val cntAgg = spark.read.parquet(path).agg(count(lit(1)).as("n"))
+    assert(cntAgg.queryExecution.optimizedPlan.toString.contains("LocalRelation"))
+    assert(cntAgg.collect().head.getLong(0) === 4L)
+  }
+
   test("mixed answerable + unanswerable aggregates fall back entirely") {
     val path = mkDb(2, 3)
     val agg = spark.read.parquet(path)
