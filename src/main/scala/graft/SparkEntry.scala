@@ -679,6 +679,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // MMR diversified retrieval: top-40 cosine candidates (distributed)
+    // then the greedy lambda-tradeoff rerank (driver, N is small by
+    // definition). EXACT oracle: DuckDB replays the whole greedy chain
+    // with a recursive CTE over the same IEEE-double scores — selection
+    // order, ids, and relevance all hash-match.
+    "e_mmr" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.mmrSelect(emb, emb.filter(col("vec_id") === 0),
+          candidateN = 40, k = 10, lambda = 0.7)
+        .orderBy("rank")
+    }),
+
     // LSH-bucketed ANN (the scale path). Invariant output vs the brute
     // baseline (whose own oracle hash-matches DuckDB): every query returns
     // a full top-k, ranks are cosine-monotone, and total brute-top-3 hits
@@ -1804,6 +1816,36 @@ object SparkEntry {
         |      FROM s)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, corpus_id, cosine
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // Exact greedy-MMR replay: same candidates, same IEEE-double scores
+    // (weights written as 0.7 / (1 - 0.7) to match the Scala lambda /
+    // 1.0-lambda arithmetic bit-for-bit), same id tie-breaks.
+    "e_mmr" ->
+      """WITH RECURSIVE
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v,
+        |         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS rel
+        |  FROM embeddings e, q WHERE e.vec_id != 0
+        |  ORDER BY rel DESC, id LIMIT 40),
+        |pair AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, list_cosine_similarity(a.v, b.v) AS sim
+        |  FROM cand a, cand b WHERE a.id != b.id),
+        |step AS (
+        |  SELECT 1 AS rk,
+        |         (SELECT id FROM cand ORDER BY rel DESC, id LIMIT 1) AS picked,
+        |         [(SELECT id FROM cand ORDER BY rel DESC, id LIMIT 1)] AS sel
+        |  UNION ALL
+        |  SELECT rk + 1, nxt.id, list_append(sel, nxt.id)
+        |  FROM step, LATERAL (
+        |    SELECT c.id FROM cand c
+        |    WHERE NOT list_contains(step.sel, c.id)
+        |    ORDER BY 0.7 * c.rel - (1 - 0.7) * (SELECT max(p.sim) FROM pair p
+        |            WHERE p.id_a = c.id AND list_contains(step.sel, p.id_b)) DESC, c.id
+        |    LIMIT 1) nxt
+        |  WHERE rk < 10)
+        |SELECT CAST(rk AS BIGINT) AS rank, s.picked AS vec_id, c.rel AS relevance
+        |FROM step s JOIN cand c ON c.id = s.picked ORDER BY rank""".stripMargin,
 
     "e_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -47,6 +47,67 @@ object Similarity {
     * flops of the inner join loop. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein, SIGIR'98):
+    * greedily select k of the top-`candidateN` cosine candidates,
+    * each pick maximizing
+    * `lambda·cos(q,d) − (1−lambda)·max_{s∈selected} cos(d,s)` —
+    * the diversified-retrieval step that follows ANN candidate
+    * generation in a RAG / training-data-selection pipeline.
+    *
+    * Scale shape: candidate generation is the distributed part
+    * ([[bruteForceKnn]] here; swap in [[lshKnn]]/[[ivfKnn]] for a 100 TB
+    * corpus) — the greedy rerank then runs driver-side over N rows,
+    * because N (the candidate budget) is small BY DEFINITION and the
+    * objective is inherently sequential (each pick changes every
+    * remaining score). O(k·N²) double ops on ≤ a few hundred rows.
+    *
+    * Determinism: scores are IEEE doubles computed with the same
+    * fold order as the distributed [[cosine]] (and DuckDB's
+    * list_cosine_similarity — the e_knn_brute oracle hash-proves the
+    * equivalence), ties break on id ascending, so the selection
+    * replays exactly in any engine.
+    */
+  def mmrSelect(corpus: DataFrame, query: DataFrame, candidateN: Int, k: Int,
+      lambda: Double, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1 && k <= candidateN, s"need 1 <= k <= candidateN")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]")
+    val spark = corpus.sparkSession
+    val cands = bruteForceKnn(corpus, query, candidateN, vecCol, idCol)
+    val rows = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("_v"))
+      .join(broadcast(cands), "corpus_id")
+      .select("corpus_id", "cosine", "_v").collect()
+
+    def ddot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    final case class Cand(id: Long, rel: Double, v: Array[Float], n: Double)
+    val cs = rows.map { r =>
+      val v = r.getSeq[Float](2).toArray
+      Cand(r.getLong(0), r.getDouble(1), v, math.sqrt(ddot(v, v)))
+    }
+    def sim(a: Cand, b: Cand): Double = ddot(a.v, b.v) / (a.n * b.n)
+
+    val divW = 1.0 - lambda
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Cand]
+    val remaining = scala.collection.mutable.ArrayBuffer(cs.sortBy(c => (-c.rel, c.id)): _*)
+    while (selected.length < k && remaining.nonEmpty) {
+      val best =
+        if (selected.isEmpty) remaining.head // pre-sorted: argmax rel, id tie-break
+        else remaining.minBy { c =>
+          (-(lambda * c.rel - divW * selected.iterator.map(sim(c, _)).max), c.id)
+        }
+      selected += best
+      remaining -= best
+    }
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case (c, i) => ((i + 1).toLong, c.id, c.rel) }.toSeq
+      .toDF("rank", "vec_id", "relevance")
+  }
+
   /** Exact top-k by cosine for each query vector. `queries` is expected to
     * be small (it is broadcast); ties break on corpus id for determinism. */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,

@@ -372,6 +372,29 @@ class SimilaritySpec extends SparkSpec {
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall > 0.3, s"recall@5 = $recall") // 64 buckets over 500 vecs + multiprobe
   }
+
+  test("mmrSelect: first pick is the relevance argmax, near-duplicates are deferred") {
+    // query along e1; cand 10 ≈ cand 11 (near-identical, both most
+    // relevant); cand 12 orthogonal-ish but still relevant.
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (10L, Array(0.99f, 0.14f, 0.0f)),
+      (11L, Array(0.99f, 0.141f, 0.0f)),
+      (12L, Array(0.7f, 0.0f, 0.71f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(rows, rows.filter($"vec_id" === 0),
+        candidateN = 3, k = 3, lambda = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // pure top-k order would be 10, 11, 12 — MMR defers 11 (a near-dup
+    // of the first pick) behind the diverse 12
+    assert(got.map(_._2).toSeq === Seq(10L, 12L, 11L))
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    // selection is exhaustive and within candidates for k = N
+    val all = Similarity.mmrSelect(rows, rows.filter($"vec_id" === 0),
+        candidateN = 3, k = 3, lambda = 1.0)
+      .collect().map(_.getLong(1)).toSeq
+    assert(all === Seq(10L, 11L, 12L)) // lambda=1 degenerates to top-k
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
