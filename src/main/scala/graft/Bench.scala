@@ -47,14 +47,26 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     // Millisecond precision keeps the one-line contract readable at 80+
-    // queries, and "total_sec" is echoed as the FINAL key so the headline
-    // number survives an end-anchored tail capture even if the line is
-    // truncated from the front.
+    // queries. The harness that collects this output keeps only an
+    // end-anchored ~2000-char tail, and sbt appends its own "[success]"
+    // trailer — at 90 queries the full map line no longer fits, so it is
+    // printed first (complete, for whole-output consumers) and then a
+    // second, size-bounded summary line goes LAST: same schema, "queries"
+    // holding the slowest entries that fit a ~1300-char budget, so an
+    // end-anchored capture always contains one complete parseable object.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","total_sec":${f3(total)}}""")
+    def line(entries: Seq[(String, Double)], extra: String): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).sum
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,$extra"sf":"$sfDir","total_sec":${f3(total)}}"""
+    }
+    println(line(results, ""))
+    val bySlowest = results.sortBy(-_._2)
+    var k = bySlowest.length
+    while (k > 1 && line(bySlowest.take(k), "").length > 1300) k -= 1
+    val kept = bySlowest.take(k).sortBy(_._1)
+    println(line(kept, s""""n_queries":${results.length},"queries_omitted_fastest":${results.length - k},"""))
     spark.stop()
   }
 }
