@@ -1193,6 +1193,81 @@ object SparkEntry {
           sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"))
         .orderBy("event_type", "day")
     }),
+
+    // Bounded-staleness as-of join: same carry-last-seen pass as t_asof but
+    // a match must be no older than 10 minutes — too-old clicks enrich as
+    // NULL. Zero extra shuffles (the bound is a post-window projection).
+    "t_asof_tol" -> ((s, dir) => {
+      val t = trails(s, dir)
+      val views = t.df.filter(col("event_type") === "view")
+        .select("uuid", "time", "seq")
+      val clicks = t.df.filter(col("event_type") === "click")
+        .select(col("uuid"), col("time"),
+          col("time").as("click_time"),
+          coalesce(col("props"), lit("")).as("click_props"))
+      TrailOps.asOfJoin(views, clicks, Seq("click_time", "click_props"),
+          tolerance = Some(600L))
+        .orderBy("uuid", "time", "seq")
+    }),
+
+    // Last-touch attribution: every purchase credits the most recent
+    // view/click strictly earlier in (time, seq) order and at most 3 days
+    // old; no touch in the window → 'direct'. One uuid-window pass — no
+    // conversions×touches join. DuckDB replays via last_value IGNORE NULLS
+    // over the same frame.
+    "t_attribution" -> ((s, dir) =>
+      graft.agg.Attribution.lastTouch(trails(s, dir).df,
+          Seq("view", "click"), "purchase", lookback = 259200L)
+        .orderBy("uuid", "time", "seq")),
+
+    // First-order Markov transitions between event types in trail order —
+    // cnt per (from, to) plus the row-normalized probability as one
+    // 6-rounded double division of exact integers.
+    "t_transitions" -> ((s, dir) =>
+      graft.agg.Attribution.transitions(trails(s, dir).df)
+        .orderBy("from_type", "to_type")),
+
+    // EXACT bounded-memory global top-k (Sketch.TopK): map tasks keep ≤k
+    // rows, shuffle carries k rows per partition — vs ORDER BY LIMIT whose
+    // exchange carries the table. Result provably equals the sort-limit.
+    "q_topk_agg" -> ((s, dir) => {
+      import s.implicits._
+      val topk = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_totalprice").cast("double"), col("o_orderkey").cast("long"))
+        .as[(Double, Long)]
+        .select(Sketch.TopK(15).toColumn.name("tk")).toDF("tk")
+      topk.select(posexplode(col("tk")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("col._2").as("o_orderkey"), col("col._1").as("o_totalprice"))
+        .orderBy("rank")
+    }),
+
+    // Count-Min sketch over event types: the sketch aggregates with
+    // depth·width counters per partition (never the key space) and the
+    // probe is a pure codegen'd element_at(pmod(xxhash64)) — no UDF either
+    // side. With 5 live keys and a 4×1024 grid no two keys collide in
+    // every row (Round4OpsSpec proves it for these strings), so the
+    // one-sided estimate is EXACT and the oracle is a plain GROUP BY.
+    "t_cms" -> ((s, dir) => {
+      import s.implicits._
+      val d = 4; val w = 1024
+      val t = trails(s, dir)
+      val grid = t.df.select(coalesce(col("event_type"), lit("")).as("et"))
+        .as[String].select(Sketch.CountMin(d, w).toColumn.name("grid")).toDF("grid")
+      t.df.select(coalesce(col("event_type"), lit("")).as("event_type")).distinct()
+        .crossJoin(broadcast(grid))
+        .select(col("event_type"),
+          Sketch.countMinEstimate(col("grid"), col("event_type"), d, w).as("cnt"))
+        .orderBy("event_type")
+    }),
+
+    // Bigram LM scoring: add-one-smoothed transition model, exact
+    // micro-nat integer sums per doc (order-independent, DuckDB replays
+    // the full formula). The bigram stream is built inside the scan
+    // projection — no self-join.
+    "d_bigram_lp" -> ((s, dir) =>
+      Retrieval.bigramLogProb(s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("doc_id")),
   )
 
   /** DuckDB SQL for the integer value of the first `n` hex chars of
@@ -2308,5 +2383,88 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+
+    // ASOF LEFT JOIN finds the latest click <= view time; the tolerance
+    // bound nulls the match when it is older than 600s — since the asof
+    // match is the LATEST candidate, "latest too old" == "none in window".
+    "t_asof_tol" ->
+      s"""$TrailsCte,
+         |l AS (SELECT uuid, time, seq FROM trails
+         |      WHERE coalesce(event_type,'') = 'view'),
+         |r AS (SELECT uuid, time, max(time) AS click_time,
+         |             max(coalesce(props,'')) AS click_props
+         |      FROM trails WHERE coalesce(event_type,'') = 'click'
+         |      GROUP BY uuid, time)
+         |SELECT l.uuid, l.time, l.seq,
+         |       CASE WHEN r.click_time >= l.time - 600
+         |            THEN r.click_time END AS asof_click_time,
+         |       CASE WHEN r.click_time >= l.time - 600
+         |            THEN r.click_props END AS asof_click_props
+         |FROM l ASOF LEFT JOIN r ON l.uuid = r.uuid AND l.time >= r.time
+         |ORDER BY l.uuid, l.time, l.seq""".stripMargin,
+
+    "t_attribution" ->
+      s"""$TrailsCte,
+         |c AS (SELECT uuid, time, seq, coalesce(event_type,'') AS et,
+         |  last_value(CASE WHEN coalesce(event_type,'') IN ('view','click')
+         |      THEN {'t': time, 'c': coalesce(event_type,'')} END IGNORE NULLS)
+         |    OVER (PARTITION BY uuid ORDER BY time, seq
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+         |  FROM trails)
+         |SELECT uuid, time, seq,
+         |  CASE WHEN touch IS NOT NULL AND touch.t > time - 259200
+         |       THEN touch.c ELSE 'direct' END AS channel,
+         |  CASE WHEN touch IS NOT NULL AND touch.t > time - 259200
+         |       THEN touch.t END AS touch_time
+         |FROM c WHERE et = 'purchase'
+         |ORDER BY uuid, time, seq""".stripMargin,
+
+    "t_transitions" ->
+      s"""$TrailsCte,
+         |p AS (SELECT coalesce(event_type,'') AS from_type,
+         |  lead(coalesce(event_type,'')) OVER (
+         |    PARTITION BY uuid ORDER BY time, seq) AS to_type
+         |  FROM trails),
+         |g AS (SELECT from_type, to_type, count(*) AS cnt FROM p
+         |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT from_type, to_type, cnt,
+         |  round(CAST(cnt AS DOUBLE) /
+         |    CAST(sum(cnt) OVER (PARTITION BY from_type) AS BIGINT), 6) AS p
+         |FROM g ORDER BY from_type, to_type""".stripMargin,
+
+    "q_topk_agg" ->
+      """SELECT CAST(row_number() OVER (
+        |    ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey) AS BIGINT)
+        |    AS rank,
+        |  CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM orders
+        |ORDER BY rank LIMIT 15""".stripMargin,
+
+    // With 5 live keys on a 4x1024 grid the sketch is collision-free in at
+    // least one hash row per key pair (spec-proven, data-independent), so
+    // the estimate equals the exact count and a plain GROUP BY oracles it.
+    "t_cms" ->
+      s"""$TrailsCte
+         |SELECT coalesce(event_type,'') AS event_type, count(*) AS cnt
+         |FROM trails GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "d_bigram_lp" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text, ' +') AS l
+        |  FROM documents),
+        |grams AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS bigram
+        |  FROM toks, unnest(range(1, len(l))) AS u(i) WHERE len(l) >= 2),
+        |freq AS (SELECT bigram, count(*) AS c FROM grams GROUP BY 1),
+        |ctx AS (SELECT string_split(bigram, ' ')[1] AS w1,
+        |        CAST(sum(c) AS BIGINT) AS ca FROM freq GROUP BY 1),
+        |vocab AS (SELECT count(*) AS v FROM freq)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CAST(round(
+        |    ln(CAST(c + 1 AS DOUBLE) / (ca + v)) * 1e6) AS BIGINT)) AS BIGINT)
+        |    AS lp2_micro_sum
+        |FROM grams JOIN freq USING (bigram)
+        |  JOIN ctx ON string_split(bigram, ' ')[1] = ctx.w1
+        |  CROSS JOIN vocab
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

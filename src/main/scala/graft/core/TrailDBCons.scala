@@ -208,15 +208,27 @@ object TrailOps {
     * value from an older right row whenever the matched row holds NULL in
     * one column, diverging from as-of semantics (the matched row's NULL
     * must win).
+    *
+    * `tolerance`: when set, a match additionally requires right.time >=
+    * left.time − tolerance (closed bound) — the bounded-staleness variant
+    * (join against a quote no older than N seconds). Too-old matches
+    * produce NULLs, exactly like no-match. Same single window pass: the
+    * matched right row's time travels in the carried struct and the bound
+    * is applied as a post-window projection, so tolerance adds ZERO
+    * shuffles.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, valueCols: Seq[String],
       uuidCol: String = TrailSchema.UuidCol,
-      timeCol: String = TrailSchema.TimeCol): DataFrame = {
+      timeCol: String = TrailSchema.TimeCol,
+      tolerance: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    tolerance.foreach(t => require(t > 0, s"tolerance must be positive, got $t"))
     val r = right.groupBy(col(uuidCol), col(timeCol))
       .agg(max(valueCols.head).as(valueCols.head),
         valueCols.tail.map(c => max(c).as(c)): _*)
     val rStructType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("_rt",
+        org.apache.spark.sql.types.LongType) +:
       valueCols.map(c => org.apache.spark.sql.types.StructField(
         c, right.schema(c).dataType)))
     val leftCols = left.columns.toSeq
@@ -228,12 +240,17 @@ object TrailOps {
       leftCols.map(c =>
         if (c == uuidCol || c == timeCol) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) :+
-      struct(valueCols.map(col): _*).as("_r") :+
+      struct(col(timeCol).cast("long").as("_rt") +: valueCols.map(col): _*).as("_r") :+
       lit(0).as("_is_l"): _*)
     val w = Window.partitionBy(uuidCol)
       .orderBy(col(timeCol), col("_is_l"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = last(col("_r"), ignoreNulls = true).over(w)
+    val matchedRaw = last(col("_r"), ignoreNulls = true).over(w)
+    val matched = tolerance match {
+      case Some(t) => when(
+        matchedRaw.getField("_rt") >= col(timeCol).cast("long") - t, matchedRaw)
+      case None => matchedRaw
+    }
     val carried = lTagged.unionByName(rTagged)
       .select(
         (leftCols.map(col) :+ col("_is_l")) ++

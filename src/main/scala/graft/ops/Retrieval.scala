@@ -100,6 +100,56 @@ object Retrieval {
       .agg(count(lit(1)).as("n_tokens"), sum(col("_lp_micro")).as("lp_micro_sum"))
   }
 
+  /** Add-one-smoothed corpus BIGRAM log-probability per document — one
+    * Markov order up from [[unigramLogProb]], the KenLM-shaped conditional
+    * model p(b|a) = (c(a,b) + 1) / (c(a·) + V) with c(a·) = count of `a` as
+    * a bigram left-context and V = distinct-bigram vocabulary (standard
+    * add-one over the transition table). Repeated words, word order, and
+    * local coherence move this score where a unigram model is blind.
+    *
+    * Same exact-integer contract as the unigram scorer: each transition
+    * contributes round(ln p · 1e6) micro-nats and docs sum in BIGINT, so the
+    * result is order-independent and engine-replayable. Docs with < 2 tokens
+    * have no transitions and are absent from the output (as docs with no
+    * tokens are absent from the unigram scorer's).
+    *
+    * Shuffle shape at scale: the bigram stream is built INSIDE the scan
+    * projection (tokens zipped with their own tail via a higher-order
+    * transform — no self-join, no explode-then-window), aggregated once on
+    * the bigram key; left-context totals reuse that vocabulary-sized table
+    * (never the corpus stream), and V is a 1-row broadcast. Zipf skew on the
+    * bigram join key is AQE's skew-join case, as with the unigram scorer.
+    *
+    * Output: (doc_id, n_bigrams, lp2_micro_sum).
+    */
+  def bigramLogProb(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val bigramArr = when(size(toks) >= 2,
+      transform(slice(toks, lit(1), size(toks) - 1),
+        (w, i) => concat_ws(" ", w, element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val grams = df.select(col(idCol), explode(bigramArr).as("bigram"))
+    // freq is consumed three ways (context totals, V, scoring join):
+    // checkpoint the vocabulary-sized table so the corpus bigram stream is
+    // aggregated exactly once.
+    val freq = grams.groupBy("bigram").agg(count(lit(1)).as("c")).localCheckpoint()
+    val ctx = freq
+      .groupBy(split(col("bigram"), " ", 2).getItem(0).as("w1"))
+      .agg(sum(col("c")).as("ca"))
+    val vocab = freq.agg(count(lit(1)).as("v"))
+    grams.join(freq, "bigram")
+      // no broadcast hint: the left-context table is unigram-vocab-sized
+      // (can exceed broadcast limits on web text) — AQE picks the strategy
+      .join(ctx, split(col("bigram"), " ", 2).getItem(0) === col("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("_lp_micro",
+        round(log((col("c") + lit(1L)).cast("double") / (col("ca") + col("v"))) *
+          lit(1e6), 0).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_lp_micro")).as("lp2_micro_sum"))
+  }
+
   /** CCNet-style perplexity gate: score every doc with the unigram LM,
     * round to an integral per-token micro-nat score, and keep docs STRICTLY
     * above the `dropFrac` quantile of that score — i.e. drop the

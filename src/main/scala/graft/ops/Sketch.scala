@@ -74,4 +74,122 @@ object Sketch {
     override def outputEncoder: Encoder[Map[String, Long]] =
       ExpressionEncoder[Map[String, Long]]()
   }
+
+  /** EXACT bounded-memory global top-k by `(score DESC, id ASC)` — the
+    * mergeable complement of the window-function top-k: each map task keeps
+    * at most k rows, the shuffle carries k rows per partition to ONE
+    * reducer, and the merge is associative and order-independent, so the
+    * result is identical to a full `ORDER BY score DESC, id LIMIT k` — a
+    * global sort whose exchange carries the whole table. (Take-ordered-
+    * and-project does this for literal sort-limit plans; the Aggregator
+    * form composes inside groupBy/streaming where that operator cannot.)
+    *
+    * The buffer over-admits to 4k before compacting so reduce stays
+    * amortized O(1) per row; ties beyond position k are cut by the id
+    * tie-break, keeping the output deterministic for duplicated scores.
+    */
+  final case class TopK(k: Int)
+      extends Aggregator[(Double, Long), mutable.ArrayBuffer[(Double, Long)],
+        Seq[(Double, Long)]] {
+    require(k > 0, s"k must be positive, got $k")
+
+    private val ord: Ordering[(Double, Long)] =
+      Ordering.by[(Double, Long), (Double, Long)](x => (-x._1, x._2))
+
+    private def compact(b: mutable.ArrayBuffer[(Double, Long)]):
+        mutable.ArrayBuffer[(Double, Long)] = {
+      if (b.length > k) {
+        val top = b.sorted(ord).take(k)
+        b.clear(); b ++= top
+      }
+      b
+    }
+
+    override def zero: mutable.ArrayBuffer[(Double, Long)] = mutable.ArrayBuffer.empty
+
+    override def reduce(b: mutable.ArrayBuffer[(Double, Long)],
+        t: (Double, Long)): mutable.ArrayBuffer[(Double, Long)] = {
+      b += t
+      if (b.length >= 4 * k) compact(b) else b
+    }
+
+    override def merge(a: mutable.ArrayBuffer[(Double, Long)],
+        b: mutable.ArrayBuffer[(Double, Long)]): mutable.ArrayBuffer[(Double, Long)] =
+      compact(a ++= b)
+
+    override def finish(b: mutable.ArrayBuffer[(Double, Long)]): Seq[(Double, Long)] =
+      b.sorted(ord).take(k).toSeq
+
+    override def bufferEncoder: Encoder[mutable.ArrayBuffer[(Double, Long)]] =
+      Encoders.kryo[mutable.ArrayBuffer[(Double, Long)]]
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
+  /** Count-Min sketch over a string column (Cormode & Muthukrishnan 2005):
+    * a depth×width counter grid; every row increments one cell per hash
+    * row, estimates are the min over the depth cells, and two sketches
+    * merge by cell-wise addition — so Spark's partial aggregation carries
+    * depth·width longs per partition, never the key space, and the same
+    * sketch runs unchanged as a streaming complete-mode aggregate.
+    * Estimates NEVER undercount (one-sided error: est ≥ true count, with
+    * overshoot ≤ 2n/width at probability 1 − (1/2)^depth — the classic
+    * bound); when no two live keys collide in every hash row the estimate
+    * is EXACT, which small key spaces (event types, languages, sources)
+    * hit deterministically.
+    *
+    * Hashing: row i hashes with Catalyst's own xxhash64 fold —
+    * `XXH64.hashLong(i, 42)` seeding the token bytes — so a pure-Column
+    * consumer can recompute cell indices as
+    * `pmod(xxhash64(lit(i), token), width)` and probe the flattened grid
+    * with `element_at`: sketch build AND estimate both stay codegen'd,
+    * no UDF on the query path.
+    */
+  final case class CountMin(depth: Int, width: Int)
+      extends Aggregator[String, Array[Long], Array[Long]] {
+    require(depth > 0 && width > 0, s"bad grid ${depth}x$width")
+
+    override def zero: Array[Long] = new Array[Long](depth * width)
+
+    override def reduce(b: Array[Long], t: String): Array[Long] = {
+      val s = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+      var i = 0
+      while (i < depth) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes(),
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(i.toLong, 42L))
+        b(i * width + java.lang.Math.floorMod(h, width.toLong).toInt) += 1L
+        i += 1
+      }
+      b
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(b: Array[Long]): Array[Long] = b
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Column-side Count-Min probe: the min over depth cells of the flattened
+    * grid for `token` — the exact dual of [[CountMin.reduce]]'s indexing,
+    * as a pure codegen'd expression (element_at over pmod(xxhash64)).
+    */
+  def countMinEstimate(grid: org.apache.spark.sql.Column,
+      token: org.apache.spark.sql.Column, depth: Int, width: Int):
+      org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    (0 until depth).map { i =>
+      element_at(grid,
+        (lit(i.toLong * width) +
+          pmod(xxhash64(lit(i.toLong), token), lit(width.toLong))).cast("int") + 1)
+    }.reduce(least(_, _))
+  }
 }

@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.agg.Attribution
+import graft.core.TrailOps
+import graft.ops.{Retrieval, Sketch}
+
+import scala.util.Random
+
+/** Specs for the round-4 batch: bigram LM scoring, last-touch attribution,
+  * transition matrices, bounded-staleness as-of, exact top-k aggregator,
+  * and the Count-Min sketch. */
+class Round4OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- bigram LM ----
+
+  test("bigramLogProb matches a hand-computed add-one bigram model") {
+    val df = Seq((1L, "a b a b"), (2L, "b a"), (3L, "solo")).toDF("doc_id", "text")
+    // bigrams: d1 = [a b, b a, a b], d2 = [b a]; freq: "a b"->2, "b a"->2;
+    // ctx: a->2, b->2; V=2; p = (2+1)/(2+2) = 0.75 for every transition.
+    val lp = math.round(math.log(0.75) * 1e6)
+    val got = Retrieval.bigramLogProb(df).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 3L, 3 * lp), (2L, 1L, lp)))
+    // d3 has one token -> no transitions -> absent
+  }
+
+  test("bigramLogProb ranks a shuffled doc below a repeated-pattern doc") {
+    // Same unigram bag, different order: the bigram model must separate them.
+    val patterned = Array.fill(30)("x y").mkString(" ")
+    val rng = new Random(7)
+    val shuffled = rng.shuffle(patterned.split(" ").toList).mkString(" ")
+    val df = Seq((1L, patterned), (2L, shuffled)).toDF("doc_id", "text")
+    val got = Retrieval.bigramLogProb(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2).toDouble / r.getLong(1))).toMap
+    assert(got(1L) > got(2L), s"patterned should outscore shuffled: $got")
+  }
+
+  // ---- last-touch attribution ----
+
+  test("lastTouch credits the latest in-window touch, else direct") {
+    val df = Seq(
+      // trail a: view@10, click@100, purchase@200 -> click@100
+      ("a", 10L, 1L, "view"), ("a", 100L, 2L, "click"),
+      ("a", 200L, 3L, "purchase"),
+      // purchase@400100: click@100 is older than lookback 100000 -> direct
+      ("a", 400100L, 4L, "purchase"),
+      // trail b: same-time click (earlier seq) counts — strictly-before in
+      // (time, seq) order; purchase first in seq sees nothing -> direct
+      ("b", 50L, 1L, "purchase"), ("b", 60L, 2L, "click"),
+      ("b", 60L, 3L, "purchase")
+    ).toDF("uuid", "time", "seq", "event_type")
+    val got = Attribution.lastTouch(df, Seq("view", "click"), "purchase",
+        lookback = 100000L)
+      .orderBy("uuid", "time", "seq")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getString(3), Option(r.get(4)).map(_.asInstanceOf[Long])))
+    assert(got.toSeq === Seq(
+      ("a", 200L, "click", Some(100L)),
+      ("a", 400100L, "direct", None),
+      ("b", 50L, "direct", None),
+      ("b", 60L, "click", Some(60L))))
+  }
+
+  test("lastTouch window bound is half-open (touch exactly lookback old is out)") {
+    val df = Seq(
+      ("a", 0L, 1L, "click"), ("a", 100L, 2L, "purchase"),
+      ("b", 1L, 1L, "click"), ("b", 100L, 2L, "purchase")
+    ).toDF("uuid", "time", "seq", "event_type")
+    val got = Attribution.lastTouch(df, Seq("click"), "purchase", lookback = 100L)
+      .orderBy("uuid").collect().map(r => (r.getString(0), r.getString(3)))
+    // a: touch at conv-100 — NOT in (conv-100, conv]; b: conv-99 — in.
+    assert(got.toSeq === Seq(("a", "direct"), ("b", "click")))
+  }
+
+  // ---- transitions ----
+
+  test("transitions counts consecutive pairs and row-normalizes") {
+    val df = Seq(
+      ("a", 1L, 1L, "A"), ("a", 2L, 2L, "B"), ("a", 3L, 3L, "A"),
+      ("b", 1L, 1L, "B"), ("b", 2L, 2L, "A"), ("b", 3L, 3L, "A")
+    ).toDF("uuid", "time", "seq", "event_type")
+    val got = Attribution.transitions(df).orderBy("from_type", "to_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // pairs: a: A>B, B>A; b: B>A, A>A. from A: {A:1, B:1}; from B: {A:2}.
+    assert(got.toSeq === Seq(
+      ("A", "A", 1L, 0.5), ("A", "B", 1L, 0.5), ("B", "A", 2L, 1.0)))
+  }
+
+  // ---- as-of tolerance ----
+
+  test("asOfJoin with tolerance equals the untolerated join with too-old matches nulled") {
+    val rng = new Random(42)
+    val left = (1 to 300).map { i =>
+      (f"${rng.nextInt(8)}%032x", rng.nextInt(1000).toLong, i.toLong)
+    }.toDF("uuid", "time", "seq")
+    val right = (1 to 150).map { _ =>
+      val t = rng.nextInt(1000).toLong
+      (f"${rng.nextInt(8)}%032x", t, t, s"p${rng.nextInt(5)}")
+    }.toDF("uuid", "time", "rt", "rv")
+    val tol = 80L
+    val got = TrailOps.asOfJoin(left, right, Seq("rt", "rv"),
+        tolerance = Some(tol))
+      .orderBy("uuid", "time", "seq").collect()
+    val base = TrailOps.asOfJoin(left, right, Seq("rt", "rv"))
+      .orderBy("uuid", "time", "seq").collect()
+    assert(got.length === base.length)
+    got.zip(base).foreach { case (g, b) =>
+      val inWindow = !b.isNullAt(3) && b.getLong(3) >= b.getLong(1) - tol
+      if (inWindow) assert(g.toSeq === b.toSeq)
+      else { assert(g.isNullAt(3) && g.isNullAt(4)); assert(g.toSeq.take(3) === b.toSeq.take(3)) }
+    }
+    // sanity: the tolerance actually bit somewhere on this data
+    assert(got.exists(_.isNullAt(3)) && got.exists(!_.isNullAt(3)))
+  }
+
+  // ---- exact top-k aggregator ----
+
+  test("TopK equals ORDER BY score DESC, id LIMIT k, including duplicate scores") {
+    val rng = new Random(3)
+    val rows = (1L to 5000L).map(i => (rng.nextInt(400).toDouble, i))
+    val ds = rows.toDF("score", "id").repartition(7)
+      .select(col("score"), col("id")).as[(Double, Long)]
+    val got = ds.select(Sketch.TopK(25).toColumn.name("tk")).head()
+    val expect = rows.sortBy { case (s, i) => (-s, i) }.take(25)
+    assert(got.toSeq === expect)
+  }
+
+  test("TopK with k larger than the data returns everything sorted") {
+    val ds = Seq((1.0, 2L), (5.0, 1L), (1.0, 1L)).toDS()
+    val got = ds.select(Sketch.TopK(10).toColumn.name("tk")).head()
+    assert(got.toSeq === Seq((5.0, 1L), (1.0, 1L), (1.0, 2L)))
+  }
+
+  // ---- Count-Min sketch ----
+
+  test("CountMin never undercounts on zipf data and merges across partitions") {
+    val rng = new Random(11)
+    val tokens = (1 to 20000).map { _ =>
+      s"tok${math.min(99, math.floor(math.pow(rng.nextDouble(), -0.7)).toLong)}"
+    }
+    val d = 4; val w = 64 // deliberately narrow: collisions guaranteed
+    val grid = tokens.toDF("t").repartition(9).as[String]
+      .select(Sketch.CountMin(d, w).toColumn.name("grid")).toDF("grid")
+    val exact = tokens.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val est = tokens.distinct.toDF("t")
+      .crossJoin(broadcast(grid))
+      .select(col("t"), Sketch.countMinEstimate(col("grid"), col("t"), d, w))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, c) =>
+      assert(est(k) >= c, s"undercount for $k: est ${est(k)} < exact $c")
+    }
+  }
+
+  test("CountMin is exact for the event-type key set (collision-free separation)") {
+    // Data-independent given the key strings: with a 4x1024 grid each of
+    // these keys must own a private cell in at least one hash row, making
+    // the min-estimate exact for ANY count distribution — the property
+    // t_cms's plain GROUP BY oracle relies on.
+    val keys = Seq("view", "click", "purchase", "signup", "error", "")
+    val rng = new Random(5)
+    val tokens = (1 to 5000).map(_ => keys(rng.nextInt(keys.size)))
+    val d = 4; val w = 1024
+    val grid = tokens.toDF("t").repartition(5).as[String]
+      .select(Sketch.CountMin(d, w).toColumn.name("grid")).toDF("grid")
+    val exact = tokens.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val est = keys.toDF("t").crossJoin(broadcast(grid))
+      .select(col("t"), Sketch.countMinEstimate(col("grid"), col("t"), d, w))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === exact)
+  }
+
+  test("CountMin column probe indexes exactly like the aggregator hash") {
+    // One token, one increment: the probed cell must read back 1 in every
+    // hash row (est = 1), proving the Column-side xxhash64 fold and the
+    // Scala-side XXH64 chain agree index-for-index.
+    val d = 3; val w = 17
+    val grid = Seq("lonely").toDF("t").as[String]
+      .select(Sketch.CountMin(d, w).toColumn.name("grid")).toDF("grid")
+    val est = grid.select(
+      Sketch.countMinEstimate(col("grid"), lit("lonely"), d, w)).head().getLong(0)
+    assert(est === 1L)
+    val miss = grid.select(
+      Sketch.countMinEstimate(col("grid"), lit("other"), d, w)).head().getLong(0)
+    assert(miss === 0L || miss === 1L) // may collide in all rows of a 17-wide grid
+  }
+}
