@@ -116,9 +116,12 @@ object Retrieval {
     * Shuffle shape at scale: the bigram stream is built INSIDE the scan
     * projection (tokens zipped with their own tail via a higher-order
     * transform — no self-join, no explode-then-window), aggregated once on
-    * the bigram key; left-context totals reuse that vocabulary-sized table
-    * (never the corpus stream), and V is a 1-row broadcast. Zipf skew on the
-    * bigram join key is AQE's skew-join case, as with the unigram scorer.
+    * the bigram key. Context totals AND the per-bigram log-prob are then
+    * computed entirely on the vocabulary-sized frequency table, so the
+    * corpus gram stream crosses exactly two exchanges (the bigram groupBy
+    * join key and the per-doc re-aggregation) — it is never re-shuffled on
+    * the context key. V is a 1-row broadcast. Zipf skew on the bigram join
+    * key is AQE's skew-join case, as with the unigram scorer.
     *
     * Output: (doc_id, n_bigrams, lp2_micro_sum).
     */
@@ -138,14 +141,17 @@ object Retrieval {
       .groupBy(split(col("bigram"), " ", 2).getItem(0).as("w1"))
       .agg(sum(col("c")).as("ca"))
     val vocab = freq.agg(count(lit(1)).as("v"))
-    grams.join(freq, "bigram")
-      // no broadcast hint: the left-context table is unigram-vocab-sized
-      // (can exceed broadcast limits on web text) — AQE picks the strategy
+    // per-bigram score computed on the VOCAB-sized table (freq ⋈ ctx is
+    // vocab ⋈ unigram-vocab — no broadcast hint, AQE picks; on web text
+    // both exceed broadcast limits), so the corpus gram stream only ever
+    // joins on its own groupBy key.
+    val scored = freq
       .join(ctx, split(col("bigram"), " ", 2).getItem(0) === col("w1"))
       .crossJoin(broadcast(vocab))
-      .withColumn("_lp_micro",
+      .select(col("bigram"),
         round(log((col("c") + lit(1L)).cast("double") / (col("ca") + col("v"))) *
-          lit(1e6), 0).cast("long"))
+          lit(1e6), 0).cast("long").as("_lp_micro"))
+    grams.join(scored, "bigram")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("_lp_micro")).as("lp2_micro_sum"))
   }

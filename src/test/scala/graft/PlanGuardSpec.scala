@@ -20,7 +20,8 @@ class PlanGuardSpec extends SparkSpec {
     "d_lm_filter", "d_incremental_dedup", "d_decontaminate", "d_line_dedup",
     "d_dup_spans", "d_sentence_dedup", "t_heavy_hitters", "d_corpus_stats",
     "e_knn_brute", "e_knn_lsh", "e_knn_ivf", "e_knn_q8", "e_neardup",
-    "e_neardup_lsh", "e_dedup_clusters", "t_asof", "t_retention",
+    "e_neardup_lsh", "e_dedup_clusters", "t_asof", "t_asof_tol",
+    "t_retention", "d_bigram_lp", "t_cms",
     "q3_revenue", "q4_semi", "q5_nation_volume", "q7_volume",
     "q_anti_customers")
 
@@ -43,5 +44,21 @@ class PlanGuardSpec extends SparkSpec {
       assert("PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
         s"$name scan lost its pushed filters")
     }
+  }
+
+  test("bounded-memory aggregates keep their bounded shuffle shape") {
+    // q_topk_agg's whole point is that the exchange carries k rows per
+    // partition — a refactor that reintroduces a global sort would show up
+    // as a Sort above an Exchange of the full table, or extra exchanges.
+    val topk = SparkEntry.queries("q_topk_agg")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(topk).size <= 2,
+      s"q_topk_agg grew extra exchanges:\n$topk")
+    // t_attribution is ONE uuid window pass + the output sort — a
+    // conversions×touches self-join would add exchanges.
+    val attr = SparkEntry.queries("t_attribution")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(attr).size <= 2,
+      s"t_attribution grew extra exchanges:\n$attr")
   }
 }
