@@ -1220,6 +1220,16 @@ object SparkEntry {
           Seq("view", "click"), "purchase", lookback = 259200L)
         .orderBy("uuid", "time", "seq")),
 
+    // Position-based (U-shaped) multi-touch attribution: credit split
+    // across every in-window touch (first/last 0.4, middles share 0.2;
+    // 1 touch → 1.0, 2 → 0.5/0.5, none → direct). Same one-pass window
+    // shape as last-touch; the touch subset is a codegen'd higher-order
+    // filter. DuckDB replays via list() over the same frame + list_filter.
+    "t_attribution_multi" -> ((s, dir) =>
+      graft.agg.Attribution.multiTouch(trails(s, dir).df,
+          Seq("view", "click"), "purchase", lookback = 259200L)
+        .orderBy("uuid", "time", "seq", "pos")),
+
     // First-order Markov transitions between event types in trail order —
     // cnt per (from, to) plus the row-normalized probability as one
     // 6-rounded double division of exact integers.
@@ -2418,6 +2428,36 @@ object SparkEntry {
          |       THEN touch.t END AS touch_time
          |FROM c WHERE et = 'purchase'
          |ORDER BY uuid, time, seq""".stripMargin,
+
+    "t_attribution_multi" ->
+      s"""$TrailsCte,
+         |c AS (SELECT uuid, time, seq, coalesce(event_type,'') AS et,
+         |  coalesce(list({'t': time, 'c': coalesce(event_type,'')})
+         |    OVER (PARTITION BY uuid ORDER BY time, seq
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    []) AS pre
+         |  FROM trails),
+         |tt AS (SELECT uuid, time, seq,
+         |  list_filter(pre, x -> x.c IN ('view','click')
+         |    AND x.t > time - 259200) AS touches
+         |  FROM c WHERE et = 'purchase'),
+         |e AS (SELECT uuid, time, seq, len(touches) AS n,
+         |  CASE WHEN len(touches) = 0
+         |    THEN [{'t': CAST(NULL AS BIGINT), 'c': 'direct'}]
+         |    ELSE touches END AS arr
+         |  FROM tt),
+         |x AS (SELECT uuid, time, seq, n, i AS p, arr[i] AS tch
+         |  FROM e, unnest(generate_series(1, len(arr))) AS u(i))
+         |SELECT uuid, time, seq,
+         |  CAST(CASE WHEN n = 0 THEN 0 ELSE p END AS BIGINT) AS pos,
+         |  tch.c AS channel, tch.t AS touch_time,
+         |  CAST(CASE WHEN n <= 1 THEN 1.0
+         |       WHEN n = 2 THEN 0.5
+         |       WHEN p = 1 OR p = n THEN 0.4
+         |       ELSE round((CAST(1.0 AS DOUBLE) - 2 * CAST(0.4 AS DOUBLE))
+         |                  / (n - 2), 6) END AS DOUBLE)
+         |    AS credit
+         |FROM x ORDER BY uuid, time, seq, pos""".stripMargin,
 
     "t_transitions" ->
       s"""$TrailsCte,

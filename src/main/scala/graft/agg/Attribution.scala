@@ -59,6 +59,59 @@ object Attribution {
           col("_touch.t")).as("touch_time"))
   }
 
+  /** Position-based (U-shaped) multi-touch attribution: every conversion
+    * splits credit across ALL its in-window touches — first and last touch
+    * get `endWeight` each, middles share the remainder evenly; 1 touch
+    * takes full credit, 2 touches split 50/50, none credits `"direct"`.
+    * Credits are rounded to 6 places (one double division of exact
+    * operands) so the split is engine-replayable.
+    *
+    * Same one-pass shape as [[lastTouch]], but the window carries the
+    * whole strictly-before prefix (collect_list over the same frame) and
+    * the in-window touch subset is cut by a codegen'd higher-order filter
+    * — no UDF, no conversions×touches join. The per-conversion touch list
+    * is lookback-bounded, the right memory envelope when lookback ≪ trail
+    * span; for unbounded lookback prefer [[lastTouch]]'s O(1) carry.
+    *
+    * Output: one row per (conversion, credited touch) —
+    * (uuid, time, seq, pos, channel, touch_time, credit); `pos` is the
+    * 1-based touch position in trail order, 0 for the direct row.
+    */
+  def multiTouch(df: DataFrame, touchTypes: Seq[String],
+      conversionType: String, lookback: Long, endWeight: Double = 0.4,
+      uuidCol: String = "uuid", timeCol: String = "time",
+      typeCol: String = "event_type", seqCol: String = "seq"): DataFrame = {
+    require(touchTypes.nonEmpty, "multiTouch needs at least one touch type")
+    require(lookback > 0, s"lookback must be positive, got $lookback")
+    require(endWeight > 0 && endWeight < 0.5, s"endWeight $endWeight out of (0, 0.5)")
+    val w = Window.partitionBy(uuidCol)
+      .orderBy(col(timeCol), col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val et = coalesce(col(typeCol), lit(""))
+    val prefix = collect_list(
+      when(et.isin(touchTypes.map(lit): _*),
+        struct(col(timeCol).cast("long").as("t"), et.as("c")))).over(w)
+    val withTouches = df.withColumn("_pre", prefix)
+      .filter(et === conversionType)
+      .withColumn("_touches", filter(col("_pre"),
+        x => x.getField("t") > col(timeCol).cast("long") - lookback))
+    val n = size(col("_touches"))
+    val credited = withTouches.withColumn("_arr",
+      when(n === 0, array(struct(
+        lit(null).cast("long").as("t"), lit("direct").as("c"))))
+        .otherwise(col("_touches")))
+    credited.select(col(uuidCol), col(timeCol), col(seqCol), n.as("_n"),
+        posexplode(col("_arr")).as(Seq("_p", "_x")))
+      .select(col(uuidCol), col(timeCol), col(seqCol),
+        when(col("_n") === 0, 0L).otherwise(col("_p") + 1).cast("long").as("pos"),
+        col("_x.c").as("channel"), col("_x.t").as("touch_time"),
+        when(col("_n") <= 1, 1.0)
+          .when(col("_n") === 2, 0.5)
+          .when(col("_p") === 0 || col("_p") === col("_n") - 1, endWeight)
+          .otherwise(round(lit(1.0 - 2 * endWeight) / (col("_n") - 2), 6))
+          .as("credit"))
+  }
+
   /** First-order Markov transition matrix over event types: count every
     * consecutive `(from, to)` pair in trail order and derive the row-
     * normalized transition probability. The probability is ONE double

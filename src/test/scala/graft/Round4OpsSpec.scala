@@ -74,6 +74,48 @@ class Round4OpsSpec extends SparkSpec {
     assert(got.toSeq === Seq(("a", "direct"), ("b", "click")))
   }
 
+  test("multiTouch splits credit U-shaped across in-window touches") {
+    val df = Seq(
+      // trail a: 4 in-window touches -> 0.4 / 0.1 / 0.1 / 0.4
+      ("a", 10L, 1L, "view"), ("a", 20L, 2L, "click"),
+      ("a", 30L, 3L, "view"), ("a", 40L, 4L, "click"),
+      ("a", 50L, 5L, "purchase"),
+      // trail b: 1 touch -> full credit
+      ("b", 10L, 1L, "click"), ("b", 20L, 2L, "purchase"),
+      // trail c: no touches -> direct
+      ("c", 10L, 1L, "purchase"),
+      // trail d: 2 touches -> 0.5 / 0.5, one touch aged out by lookback
+      ("d", 1L, 1L, "view"), ("d", 900L, 2L, "view"), ("d", 950L, 3L, "click"),
+      ("d", 1000L, 4L, "purchase")
+    ).toDF("uuid", "time", "seq", "event_type")
+    val got = graft.agg.Attribution.multiTouch(df, Seq("view", "click"),
+        "purchase", lookback = 500L)
+      .orderBy("uuid", "time", "seq", "pos")
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getString(4),
+        r.getDouble(6)))
+    assert(got.toSeq === Seq(
+      ("a", 1L, "view", 0.4), ("a", 2L, "click", 0.1),
+      ("a", 3L, "view", 0.1), ("a", 4L, "click", 0.4),
+      ("b", 1L, "click", 1.0),
+      ("c", 0L, "direct", 1.0),
+      ("d", 1L, "view", 0.5), ("d", 2L, "click", 0.5)))
+  }
+
+  test("multiTouch credits sum to 1 per conversion on random trails") {
+    val rng = new Random(19)
+    val types = Seq("view", "click", "purchase", "error")
+    val df = (1 to 2000).map { i =>
+      (s"u${rng.nextInt(40)}", rng.nextInt(5000).toLong, i.toLong,
+        types(rng.nextInt(types.size)))
+    }.toDF("uuid", "time", "seq", "event_type")
+    val sums = graft.agg.Attribution.multiTouch(df, Seq("view", "click"),
+        "purchase", lookback = 700L)
+      .groupBy("uuid", "time", "seq").agg(sum("credit").as("s"))
+      .collect().map(_.getDouble(3))
+    assert(sums.nonEmpty)
+    sums.foreach(s => assert(math.abs(s - 1.0) < 1e-4, s"credit sum $s"))
+  }
+
   // ---- transitions ----
 
   test("transitions counts consecutive pairs and row-normalizes") {

@@ -168,6 +168,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming Count-Min: grid aggregates a token stream, probe never undercounts") {
+    // same bounded-state story as MG: stream state is one depth×width long
+    // grid, merged cell-wise per micro-batch; the batch-side probe reads
+    // the streamed grid with the codegen'd element_at(pmod(xxhash64)).
+    val dir = Files.createTempDirectory("graft-scms")
+    val src = dir.resolve("src").toString
+    val toks = (1 to 30).flatMap(j => Seq.fill(math.ceil(120.0 / j).toInt)(s"tok$j"))
+    toks.toDF("token").write.parquet(src)
+
+    val d = 4; val w = 32 // narrow: collisions guaranteed, bound must hold
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    val q = stream.as[String]
+      .select(graft.ops.Sketch.CountMin(d, w).toColumn.name("grid"))
+      .writeStream.outputMode("complete").format("memory").queryName("scms")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val grid = spark.sql("SELECT grid FROM scms")
+    val est = toks.distinct.toDF("t").crossJoin(broadcast(grid))
+      .select(col("t"),
+        graft.ops.Sketch.countMinEstimate(col("grid"), col("t"), d, w))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = toks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    exact.foreach { case (t, c) =>
+      assert(est(t) >= c, s"streamed CMS undercounts $t: ${est(t)} < $c")
+    }
+  }
+
+  test("streaming TopK: complete-mode aggregate equals the batch sort-limit") {
+    val dir = Files.createTempDirectory("graft-stopk")
+    val src = dir.resolve("src").toString
+    val rows = (1L to 500L).map(i => ((i * 7919 % 97).toDouble, i))
+    rows.toDF("score", "id").write.parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    val q = stream.as[(Double, Long)]
+      .select(graft.ops.Sketch.TopK(9).toColumn.name("tk"))
+      .writeStream.outputMode("complete").format("memory").queryName("stopk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val got = spark.sql("SELECT tk FROM stopk").as[Seq[(Double, Long)]].head()
+    val expect = rows.sortBy { case (s, i) => (-s, i) }.take(9)
+    assert(got === expect)
+  }
+
   test("pure-projection text ops run unchanged on a stream (quality + PII scrub)") {
     val dir = Files.createTempDirectory("graft-sproj")
     val src = dir.resolve("src").toString
