@@ -1278,6 +1278,50 @@ object SparkEntry {
     "d_bigram_lp" -> ((s, dir) =>
       Retrieval.bigramLogProb(s.read.parquet(s"$dir/documents.parquet"))
         .orderBy("doc_id")),
+
+    // Binned interval join (RangeJoin): lineitem ship-dates sliced against
+    // a TABLE of 30-day campaign windows — the pure-inequality join shape
+    // Catalyst can only nested-loop; the bin equi-join keeps it
+    // hash/sort-merge-joinable at any scale (guard-enforced: no
+    // CartesianProduct / BroadcastNestedLoopJoin in the plan). Exact
+    // cent-integer sums.
+    "q_range_join" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_shipdate").cast("timestamp_ltz").cast("long").as("ship_ts"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+      val camp = s.read.parquet(s"$dir/orders.parquet")
+        .filter(pmod(col("o_orderkey"), lit(997L)) === 1)
+        .select(col("o_orderkey").as("campaign"),
+          col("o_orderdate").cast("timestamp_ltz").cast("long").as("w_start"))
+        .withColumn("w_end", col("w_start") + lit(2592000L))
+      graft.ops.RangeJoin.binnedRangeJoin(li, camp,
+          "ship_ts", "w_start", "w_end", binWidth = 2592000L)
+        .groupBy("campaign", "w_start")
+        .agg(count(lit(1)).as("n_items"),
+          sum("price_cents").as("sum_price_cents"))
+        .orderBy("campaign")
+    }),
+
+    // Per-event trailing one-hour activity (Rolling.trailingStats): RANGE
+    // frame over (uuid, time) — one uuid shuffle, same-time peers included
+    // on both engines, exact micro-integer value sums.
+    "t_rolling" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet").select(
+        format_string("%032x", col("user_id")).as("uuid"),
+        expr("ts DIV 1000000000").as("time"),
+        col("event_id").as("seq"),
+        round(coalesce(col("value"), lit(0.0)) * 1e6).cast("long").as("v_micro"))
+      graft.agg.Rolling.trailingStats(ev, horizon = 3600L, valueCol = "v_micro")
+        .orderBy("uuid", "time", "seq")
+    }),
+
+    // Per-trail exponential time-decay activity score (Rolling.decayScore):
+    // recency-weighted engagement, each term micro-rounded so the sum is an
+    // exact long. One uuid shuffle (window + same-key agg share it).
+    "t_decay" -> ((s, dir) =>
+      graft.agg.Rolling.decayScore(trails(s, dir).df, tau = 86400L)
+        .orderBy("uuid")),
   )
 
   /** DuckDB SQL for the integer value of the first `n` hex chars of
@@ -2506,5 +2550,46 @@ object SparkEntry {
         |  JOIN ctx ON string_split(bigram, ' ')[1] = ctx.w1
         |  CROSS JOIN vocab
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH camp AS (
+        |  SELECT o_orderkey AS campaign,
+        |         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS w_start
+        |  FROM orders WHERE o_orderkey % 997 = 1),
+        |pts AS (
+        |  SELECT CAST(floor(epoch(l_shipdate)) AS BIGINT) AS ship_ts,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+        |  FROM lineitem)
+        |SELECT c.campaign, c.w_start,
+        |       count(*) AS n_items,
+        |       CAST(sum(p.price_cents) AS BIGINT) AS sum_price_cents
+        |FROM camp c JOIN pts p
+        |  ON p.ship_ts >= c.w_start AND p.ship_ts < c.w_start + 2592000
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "t_rolling" ->
+      """WITH tv AS (
+        |  SELECT printf('%032x', user_id) AS uuid,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS time,
+        |         event_id AS seq,
+        |         CAST(round(coalesce(value, 0) * 1e6) AS BIGINT) AS v_micro
+        |  FROM events)
+        |SELECT uuid, time, seq,
+        |       count(*) OVER w AS n_win,
+        |       CAST(sum(v_micro) OVER w AS BIGINT) AS sum_win
+        |FROM tv
+        |WINDOW w AS (PARTITION BY uuid ORDER BY time
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY uuid, time, seq""".stripMargin,
+
+    "t_decay" ->
+      s"""$TrailsCte,
+         |m AS (SELECT uuid, time,
+         |        max(time) OVER (PARTITION BY uuid) AS mx FROM trails)
+         |SELECT uuid, count(*) AS n_events, max(time) AS last_time,
+         |  CAST(sum(CAST(round(
+         |    exp(CAST(time - mx AS DOUBLE) / 86400.0) * 1e6) AS BIGINT))
+         |    AS BIGINT) AS score_micro
+         |FROM m GROUP BY uuid ORDER BY uuid""".stripMargin,
   )
 }

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join without a nested-loop plan.
+  *
+  * A pure inequality join — points whose timestamp falls inside an
+  * interval, with NO equality key — is the one join shape Catalyst cannot
+  * hash or sort-merge: it plans BroadcastNestedLoopJoin when one side fits
+  * the broadcast threshold and CartesianProduct when neither does, both
+  * O(|points| × |intervals|) compares. The reference's analyses hit this
+  * shape whenever trail events are sliced against campaign / experiment /
+  * outage windows (the time-range filter of `tdbcli/filter.c` generalized
+  * from one literal window to a TABLE of windows).
+  *
+  * Binning turns it into an equi-join: pick a bin width ≥ the maximum
+  * interval length, map every point to the single bin containing its
+  * timestamp, explode every interval onto each bin it overlaps (≤ 2 bins
+  * when width ≥ max length, generally ceil(len/width)+1), hash/sort-merge
+  * join on the bin id, and re-check the exact range predicate. Work is
+  * O(|points| + |intervals| × fanout + |matches|) — it survives a 100×
+  * scale-up where the nested loop does not, and a hot bin is an ordinary
+  * skewed-key problem that AQE handles.
+  *
+  * Bin arithmetic is pure long math (`x - pmod(x, w)` is exactly divisible
+  * by `w`, so truncating DIV equals floor division for any sign) — no
+  * double rounding, valid over the full i64 timestamp domain the reference
+  * allows (`src/tdb_limits.h`).
+  */
+object RangeJoin {
+
+  /** Rows of `points` joined to the rows of `intervals` whose half-open
+    * window `[startCol, endCol)` contains `points(tsCol)`. Inner join; a
+    * point in k windows appears k times, empty windows (end ≤ start) match
+    * nothing. Column names of the two inputs must be disjoint.
+    *
+    * `binWidth` should be ≥ the typical interval length (fanout per
+    * interval is ceil(length/binWidth)+1); correct for ANY positive value.
+    */
+  def binnedRangeJoin(points: DataFrame, intervals: DataFrame,
+      tsCol: String, startCol: String, endCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"point/interval column names must be disjoint, both have: $overlap")
+    // `_fd` is an exact multiple of binWidth (x - pmod is), so the
+    // truncating DIV is floor division for negative timestamps too.
+    def binned(df: DataFrame, c: String): DataFrame = df
+      .withColumn("_fd", col(c) - pmod(col(c), lit(binWidth)))
+      .withColumn(s"_bin_$c", expr(s"_fd DIV ${binWidth}L"))
+      .drop("_fd")
+    val p = binned(points, tsCol)
+    val i = binned(binned(
+        intervals.filter(col(endCol) > col(startCol))
+          .withColumn("_last", col(endCol) - 1),
+        startCol), "_last")
+      .withColumn("_bin",
+        explode(sequence(col(s"_bin_$startCol"), col("_bin__last"))))
+      .drop("_last", s"_bin_$startCol", "_bin__last")
+    p.join(i,
+        col(s"_bin_$tsCol") === col("_bin") &&
+        col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop(s"_bin_$tsCol", "_bin")
+  }
+}

@@ -128,6 +128,50 @@ object StreamSessions {
       }
   }
 
+  /** Last-touch attribution state: the most recent touch's (time, type). */
+  final case class TouchState(t: Long, c: String)
+  final case class AttributionHit(uuid: String, time: Long, seq: Long,
+      channel: String, touchTime: Option[Long])
+
+  /** Streaming twin of [[graft.agg.Attribution.lastTouch]]: one
+    * (time, channel) pair of state per trail carried across micro-batches;
+    * each conversion is emitted as it arrives, credited to the most recent
+    * in-lookback touch seen so far, else `"direct"`. Within a batch events
+    * are `(time, seq)`-sorted here and a conversion is scored BEFORE a
+    * same-row touch update, so the strictly-before semantics of the batch
+    * window hold; cross-batch ordering relies on source order (as any
+    * streaming state machine must). On in-order delivery this agrees
+    * exactly with the batch operator (spec-proven). State is O(1) per
+    * trail — the streaming shape survives an unbounded feed where a
+    * window-over-history cannot.
+    */
+  def statefulLastTouch(events: Dataset[(String, Long, Long, String)],
+      touchTypes: Set[String], conversionType: String, lookback: Long)(
+      implicit enc: org.apache.spark.sql.Encoder[AttributionHit],
+      stateEnc: org.apache.spark.sql.Encoder[TouchState]): Dataset[AttributionHit] = {
+    require(lookback > 0, s"lookback must be positive, got $lookback")
+    implicit val strEnc: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[TouchState, AttributionHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uuid: String, rows: Iterator[(String, Long, Long, String)],
+         state: GroupState[TouchState]) =>
+          var last = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[AttributionHit]
+          rows.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, t, seq, et) =>
+            if (et == conversionType) {
+              out += (if (last != null && last.t > t - lookback)
+                AttributionHit(uuid, t, seq, last.c, Some(last.t))
+              else AttributionHit(uuid, t, seq, "direct", None))
+            }
+            if (touchTypes(et)) last = TouchState(t, et)
+          }
+          if (last != null) state.update(last)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup on a content key: keep the first arrival of each
     * key, drop later duplicates. State is bounded by the watermark —
     * dropDuplicatesWithinWatermark evicts keys once the event-time

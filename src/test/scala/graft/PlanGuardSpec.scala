@@ -23,7 +23,7 @@ class PlanGuardSpec extends SparkSpec {
     "e_neardup_lsh", "e_dedup_clusters", "t_asof", "t_asof_tol",
     "t_retention", "d_bigram_lp", "t_cms",
     "q3_revenue", "q4_semi", "q5_nation_volume", "q7_volume",
-    "q_anti_customers")
+    "q_anti_customers", "q_range_join")
 
   test("no join-shaped query plan contains an unbroadcast cartesian product") {
     joinShaped.foreach { name =>
@@ -60,5 +60,23 @@ class PlanGuardSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("Exchange".r.findAllIn(attr).size <= 2,
       s"t_attribution grew extra exchanges:\n$attr")
+  }
+
+  test("range join never degrades to a nested loop; horizon ops stay one-pass") {
+    // The whole point of q_range_join's binning is turning the inequality
+    // join into an equi-join — a refactor that loses the bin key falls
+    // back to BroadcastNestedLoopJoin and dies at scale.
+    val rj = SparkEntry.queries("q_range_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!rj.contains("BroadcastNestedLoopJoin"),
+      s"q_range_join degraded to a nested loop:\n$rj")
+    // t_rolling = one uuid window pass + output sort; t_decay = window +
+    // same-key agg sharing one exchange + output sort.
+    Seq("t_rolling", "t_decay").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(plan).size <= 2,
+        s"$name grew extra exchanges:\n$plan")
+    }
   }
 }

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.agg.Rolling
+import graft.ops.RangeJoin
+
+import scala.util.Random
+
+/** Specs for the round-4 batch-3 operators: the binned interval join, the
+  * trailing time-horizon window, and the exponential decay score. */
+class RollingRangeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- binned range join ----
+
+  test("binnedRangeJoin equals the naive inequality join on random data") {
+    val rng = new Random(42)
+    val points = (0 until 300).map(i =>
+      (i.toLong, rng.nextLong(10000) - 5000)).toSeq
+    // lengths 0..400 (zero-length = empty window), some spanning many bins
+    val intervals = (0 until 40).map(j => {
+      val s = rng.nextLong(10000) - 5000
+      (j.toLong, s, s + rng.nextLong(401))
+    }).toSeq
+    val expected = (for {
+      (pid, ts) <- points
+      (iid, s, e) <- intervals
+      if ts >= s && ts < e
+    } yield (pid, iid)).sorted
+    // binWidth 100 < many interval lengths: exercises multi-bin explode
+    val got = RangeJoin.binnedRangeJoin(
+        points.toDF("pid", "ts"), intervals.toDF("iid", "w_start", "w_end"),
+        "ts", "w_start", "w_end", binWidth = 100L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
+    assert(got === expected)
+    assert(expected.nonEmpty, "degenerate test: no matches generated")
+  }
+
+  test("binnedRangeJoin boundary semantics: start inclusive, end exclusive") {
+    val pts = Seq((1L, 100L), (2L, 199L), (3L, 200L), (4L, 99L))
+      .toDF("pid", "ts")
+    val iv = Seq((10L, 100L, 200L), (11L, 300L, 300L)) // second is empty
+      .toDF("iid", "w_start", "w_end")
+    val got = RangeJoin.binnedRangeJoin(pts, iv, "ts", "w_start", "w_end", 1000L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L), (2L, 10L)))
+  }
+
+  test("binnedRangeJoin handles negative timestamps (floor, not truncate)") {
+    // -150 is in bin -2 for width 100 (floor(-150/100) = -2); truncating
+    // division would put it in bin -1 and miss the [-200, -100) window.
+    val pts = Seq((1L, -150L)).toDF("pid", "ts")
+    val iv = Seq((10L, -200L, -100L)).toDF("iid", "w_start", "w_end")
+    val got = RangeJoin.binnedRangeJoin(pts, iv, "ts", "w_start", "w_end", 100L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L)))
+  }
+
+  test("binnedRangeJoin plans an equi-join, never a nested loop") {
+    val pts = (0 until 100).map(i => (i.toLong, i.toLong * 7)).toDF("pid", "ts")
+    val iv = (0 until 20).map(j => (j.toLong, j * 50L, j * 50L + 80L))
+      .toDF("iid", "w_start", "w_end")
+    val plan = RangeJoin.binnedRangeJoin(pts, iv, "ts", "w_start", "w_end", 64L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  // ---- trailing window stats ----
+
+  test("trailingStats counts the horizon half-closed and includes peers") {
+    val df = Seq(
+      ("a", 0L, 1L, 10L), ("a", 3600L, 2L, 20L),   // 3600-0 <= 3600: in
+      ("a", 3601L, 3L, 30L),                        // 0 falls out
+      ("a", 3601L, 4L, 40L),                        // same-time peer: mutual
+      ("b", 50L, 5L, 5L)
+    ).toDF("uuid", "time", "seq", "v")
+    val got = Rolling.trailingStats(df, horizon = 3600L, valueCol = "v")
+      .orderBy("uuid", "time", "seq")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("a", 0L, 1L, 1L, 10L),
+      ("a", 3600L, 2L, 2L, 30L),
+      ("a", 3601L, 3L, 3L, 90L),  // 3600 peer window: 20+30+40, not 10
+      ("a", 3601L, 4L, 3L, 90L),  // peer sees the same frame
+      ("b", 50L, 5L, 1L, 5L)))
+  }
+
+  // ---- decay score ----
+
+  test("decayScore is exact micro-rounded exp sums against the trail max") {
+    val df = Seq(
+      ("a", 0L), ("a", 86400L),        // exp(-1), exp(0)
+      ("b", 7L)                        // single event: exp(0) = 1
+    ).toDF("uuid", "time")
+    val got = Rolling.decayScore(df, tau = 86400L)
+      .orderBy("uuid")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val expA = math.round(math.exp(-1.0) * 1e6) + 1000000L
+    assert(got === Seq(("a", 2L, 86400L, expA), ("b", 1L, 7L, 1000000L)))
+  }
+
+  test("decayScore weights recent trails above stale ones of equal size") {
+    val dense = (0 until 20).map(i => ("fresh", 1000000L - i * 60L))
+    val stale = (0 until 20).map(i => ("stale", 1000000L - i * 864000L))
+    val got = Rolling.decayScore((dense ++ stale).toDF("uuid", "time"),
+        tau = 86400L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got("fresh") > got("stale"), got.toString)
+  }
+}

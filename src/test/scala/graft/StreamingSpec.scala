@@ -306,6 +306,50 @@ class StreamingSpec extends SparkSpec {
     assert(shSql === shCol && shSql.length === 2)
   }
 
+  test("stateful lastTouch carries touch state across batches, equal to batch") {
+    import graft.streaming.StreamSessions.{AttributionHit, TouchState}
+    implicit val hitEnc = org.apache.spark.sql.Encoders.product[AttributionHit]
+    implicit val stEnc = org.apache.spark.sql.Encoders.product[TouchState]
+
+    val dir = Files.createTempDirectory("graft-sattr")
+    val src = dir.resolve("src").toString
+    // batch 1 ends on a touch; batch 2 opens with a conversion that must
+    // be credited to it (state genuinely crosses the boundary), then a
+    // conversion outside the lookback -> direct.
+    val b1 = Seq(("u1", 10L, 1L, "view"), ("u1", 20L, 2L, "click"),
+      ("u2", 10L, 3L, "purchase"))
+    val b2 = Seq(("u1", 30L, 4L, "purchase"), ("u1", 5000L, 5L, "purchase"))
+    b1.toDF("uuid", "time", "seq", "event_type").coalesce(1).write.parquet(src)
+    Thread.sleep(1100)
+    b2.toDF("uuid", "time", "seq", "event_type").coalesce(1)
+      .write.mode("append").parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .as[(String, Long, Long, String)]
+    val q = StreamSessions.statefulLastTouch(stream,
+        Set("view", "click"), "purchase", lookback = 1000L)
+      .writeStream.outputMode("append").format("memory").queryName("sattr")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.sql(
+        "SELECT uuid, time, seq, channel, touchTime FROM sattr")
+      .as[AttributionHit].collect()
+      .map(h => (h.uuid, h.time, h.seq) -> (h.channel, h.touchTime)).toMap
+    val batch = graft.agg.Attribution.lastTouch(
+        (b1 ++ b2).toDF("uuid", "time", "seq", "event_type"),
+        Seq("view", "click"), "purchase", lookback = 1000L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        (r.getString(3), Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    assert(streamed === batch)
+    assert(streamed(("u1", 30L, 4L)) === (("click", Some(20L))))
+    assert(streamed(("u1", 5000L, 5L)) === (("direct", None)))
+    assert(streamed(("u2", 10L, 3L)) === (("direct", None)))
+  }
+
   test("stateful windowFunnel carries slots across batches and matches the batch operator") {
     import graft.streaming.StreamSessions.{FunnelState, FunnelUpdate}
     implicit val updEnc = org.apache.spark.sql.Encoders.product[FunnelUpdate]
