@@ -713,6 +713,19 @@ object SparkEntry {
         Similarity.bruteForceKnn(emb, q, k = 3), q, minHits = 9)
     }),
 
+    // Product-quantization ANN (shortlist by ADC over codegen'd PQ codes —
+    // 16 codes replace the 64-float vector in the candidate stream — then
+    // exact-cosine rerank of the tiny shortlist). Same invariant contract
+    // as the other ANN variants; floor measured by RecallProbe with margin
+    // (28-30/30 across sf0.001-0.1).
+    "e_knn_pq" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") < 10)
+      annInvariant(
+        Similarity.pqKnn(emb, q, k = 3, m = 16, codebookK = 32, shortlist = 50),
+        Similarity.bruteForceKnn(emb, q, k = 3), q, minHits = 24)
+    }),
+
     // Embedding cosine near-dup pairs, blocked by label.
     "e_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDup(s.read.parquet(s"$dir/embeddings.parquet"),
@@ -2010,6 +2023,13 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "e_knn_ivf" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |       CAST(3 * count(*) AS BIGINT) AS n_returned,
+        |       CAST(1 AS BIGINT) AS hits_ok,
+        |       CAST(1 AS BIGINT) AS ranked_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "e_knn_pq" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |       CAST(3 * count(*) AS BIGINT) AS n_returned,
         |       CAST(1 AS BIGINT) AS hits_ok,

@@ -263,6 +263,104 @@ object Similarity {
           .cast("array<float>").as(vecCol))
   }
 
+  /** Trained product-quantization codebooks: `centroids(s)(j)` is the j-th
+    * centroid of subspace s (subDim floats each). */
+  final case class PqCodebooks(m: Int, k: Int, subDim: Int,
+      centroids: Array[Array[Array[Float]]]) {
+    /** Row-major flattening for [[graft.functions.PqCodes]]. */
+    def flat: Seq[Float] =
+      centroids.flatMap(_.flatMap(_.toSeq)).toSeq
+  }
+
+  /** Train PQ codebooks (Jégou et al., TPAMI'11): an independent K-Means
+    * per contiguous subspace over (a sample of) the corpus. m small fits
+    * of k centroids each — training cost is bounded by `sampleFraction`,
+    * never by corpus size. Deterministic via fixed seeds. */
+  def pqTrain(corpus: DataFrame, m: Int, k: Int, dim: Int,
+      vecCol: String = "embedding", sampleFraction: Double = 1.0,
+      seed: Long = 42L): PqCodebooks = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    val subDim = dim / m
+    val sample = (if (sampleFraction < 1.0)
+        corpus.sample(withReplacement = false, sampleFraction, seed)
+      else corpus).localCheckpoint()
+    val cents = (0 until m).map { s =>
+      val sub = sample.select(array_to_vector(
+        slice(col(vecCol), s * subDim + 1, subDim)).as("features"))
+      new KMeans().setK(k).setSeed(seed + s).setMaxIter(5).fit(sub)
+        .clusterCenters.map(_.toArray.map(_.toFloat))
+    }.toArray
+    PqCodebooks(m, k, subDim, cents)
+  }
+
+  /** Per-query ADC lookup tables: `tbl(s)(j)` = <query subvector s,
+    * centroid j of subspace s>. Built with builtin folds — the QUERY side
+    * is small by definition, so interpreted higher-order lambdas are fine
+    * here (the corpus side uses the codegen'd [[graft.functions.PqCodes]]
+    * instead). */
+  private def adcTable(vec: Column, cb: PqCodebooks): Column =
+    array((0 until cb.m).map { s =>
+      val sub = slice(vec, s * cb.subDim + 1, cb.subDim)
+      array((0 until cb.k).map { j =>
+        aggregate(
+          zip_with(sub, typedLit(cb.centroids(s)(j).toSeq),
+            (x, c) => x.cast("double") * c),
+          lit(0.0), (acc, x) => acc + x)
+      }: _*)
+    }: _*)
+
+  /** Product-quantization ANN with exact rerank — the memory-bound 100 TB
+    * search path. The corpus streams as (id, norm, m-byte PQ code): the
+    * ADC scoring pass never touches raw vectors — the approximate inner
+    * product is m table lookups per (corpus row, query) instead of a
+    * dim-wide dot (dim/m × fewer flops, 4·dim → m bytes less candidate
+    * state). Per query, the `shortlist` best ADC candidates are then
+    * reranked with EXACT cosine by joining the shortlist (tiny: queries ×
+    * shortlist rows, broadcast) back to the raw vectors — the standard
+    * shortlist-then-rerank pipeline, so the reported cosine is exact and
+    * rank order is exact-cosine-descending by construction.
+    *
+    * ADC ranks by approx-dot / exact norms (the PQ approximation touches
+    * only the numerator). Same output contract as the other ANN variants:
+    * (query_id, rank, corpus_id, cosine).
+    */
+  def pqKnn(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
+      codebookK: Int = 16, shortlist: Int = 50, dim: Int = 64,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val cb = pqTrain(corpus, m, codebookK, dim, vecCol)
+    // candidate stream: codes + norm ONLY (no raw vectors)
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      norm(col(vecCol)).as("cn"),
+      graft.functions.GraftFunctions.pqCodes(col(vecCol), m, codebookK, cb.flat)
+        .as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"), adcTable(col(vecCol), cb).as("tbl"))
+    val adc = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("adc",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+          acc + element_at(element_at(col("tbl"), s + 1),
+            element_at(col("codes"), s + 1) + 1)) /
+        (col("cn") * col("qn")))
+    val sw = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("corpus_id"))
+    val short = adc.withColumn("srank", row_number().over(sw))
+      .filter(col("srank") <= shortlist)
+      .select("query_id", "corpus_id", "qv", "qn")
+    // exact rerank: join the tiny shortlist back to the raw vectors
+    val raw = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    raw.join(broadcast(short), Seq("corpus_id"))
+      .withColumn("cosine", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "cosine")
+  }
+
   /** Per-label centroids of an embedding column — the class-centroid /
     * mean-pooling primitive (semantic-dedup seeds, per-language embedding
     * means, IVF warm starts). Elements are fixed to exact micro-units

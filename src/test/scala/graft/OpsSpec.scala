@@ -373,6 +373,47 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.3, s"recall@5 = $recall") // 64 buckets over 500 vecs + multiprobe
   }
 
+  test("pq codes: argmin-L2 centroid per subspace on a hand codebook") {
+    // m=2 subspaces of dim 2, k=2 centroids each:
+    //   sub 0: c0=(0,0)  c1=(10,10);  sub 1: c0=(5,5)  c1=(-5,-5)
+    val flat = Seq(0f, 0f, 10f, 10f, 5f, 5f, -5f, -5f)
+    val df = Seq(
+      (1L, Array(1f, 1f, 4f, 4f)),    // sub0→c0, sub1→c0
+      (2L, Array(9f, 9f, -4f, -6f)),  // sub0→c1, sub1→c1
+      (3L, Array(5f, 5f, 0f, 0f))     // ties: strict < keeps the FIRST code
+    ).toDF("id", "v")
+    val got = df.select($"id",
+        graft.functions.GraftFunctions.pqCodes($"v", 2, 2, flat).as("codes"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toSeq))
+    assert(got.toSeq === Seq((1L, Seq(0, 0)), (2L, Seq(1, 1)), (3L, Seq(0, 0))))
+    // analysis-time type error on non-float arrays
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Seq(1L, 2L)).toDF("a")
+        .select(graft.functions.GraftFunctions.pqCodes($"a", 1, 2,
+          Seq(0f, 0f, 1f, 1f))).collect()
+    }
+    assert(ex.getMessage.contains("array<float>"))
+  }
+
+  test("pq knn: high recall@3 with exact-cosine-descending ranks") {
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceKnn(emb, queries, k = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val rows = Similarity.pqKnn(emb, queries, k = 3, m = 16, codebookK = 32,
+      shortlist = 50).collect()
+    val approx = rows
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall > 0.7, s"PQ recall@3 = $recall")
+    // the rerank step reports EXACT cosine, so ranks must descend in it
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      val cs = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine")).toSeq
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to 3))
+    }
+  }
+
   test("mmrSelect: first pick is the relevance argmax, near-duplicates are deferred") {
     // query along e1; cand 10 ≈ cand 11 (near-identical, both most
     // relevant); cand 12 orthogonal-ish but still relevant.
