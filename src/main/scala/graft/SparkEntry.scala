@@ -1335,6 +1335,15 @@ object SparkEntry {
     "t_decay" -> ((s, dir) =>
       graft.agg.Rolling.decayScore(trails(s, dir).df, tau = 86400L)
         .orderBy("uuid")),
+
+    // Exact duplicated-span scrub (Lee et al. substring dedup): every
+    // repeated 5-token window loses all but its corpus-first occurrence
+    // and documents are rebuilt from surviving tokens. String span keys
+    // so DuckDB replays first-occurrence choice, coverage, and the
+    // rebuilt text EXACTLY (hash keys are the 100 TB swap).
+    "d_span_scrub" -> ((s, dir) =>
+      Dedup.scrubDupSpans(s.read.parquet(s"$dir/documents.parquet"), k = 5)
+        .orderBy("doc_id")),
   )
 
   /** DuckDB SQL for the integer value of the first `n` hex chars of
@@ -2611,5 +2620,35 @@ object SparkEntry {
          |    exp(CAST(time - mx AS DOUBLE) / 86400.0) * 1e6) AS BIGINT))
          |    AS BIGINT) AS score_micro
          |FROM m GROUP BY uuid ORDER BY uuid""".stripMargin,
+
+    "d_span_scrub" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, ' +') AS l FROM documents),
+        |spans AS (
+        |  SELECT doc_id, i - 1 AS p, array_to_string(l[i:i+4], ' ') AS g
+        |  FROM toks, unnest(generate_series(1, len(l) - 4)) AS u(i)),
+        |firsts AS (
+        |  SELECT doc_id, p,
+        |         row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+        |  FROM spans),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, p + j AS t
+        |  FROM firsts, unnest(generate_series(0, 4)) AS v(j) WHERE rn > 1),
+        |pos AS (
+        |  SELECT doc_id, i - 1 AS t, l[i] AS tok
+        |  FROM toks, unnest(generate_series(1, len(l))) AS u(i)),
+        |kept AS (
+        |  SELECT pos.doc_id, pos.t, pos.tok FROM pos
+        |  LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.t = cov.t
+        |  WHERE cov.t IS NULL),
+        |kc AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(tok, ' ' ORDER BY t) AS text_clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t0.doc_id, CAST(len(t0.l) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(kc.n_kept, 0) AS BIGINT) AS n_kept,
+        |       coalesce(kc.text_clean, '') AS text_clean
+        |FROM toks t0 LEFT JOIN kc USING (doc_id)
+        |ORDER BY t0.doc_id""".stripMargin,
   )
 }

@@ -357,6 +357,61 @@ object Dedup {
         round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
   }
 
+  /** Exact duplicated-span SCRUB — the remove-the-substring variant of
+    * dedup (Lee et al., ACL'22: deduplicating repeated k-token spans inside
+    * otherwise-unique documents beats dropping whole near-dup docs): every
+    * k-token window that occurs anywhere else in the corpus — or earlier in
+    * the same document — is removed EXCEPT its first occurrence in the
+    * total order (doc_id, position), and each document's text is rebuilt
+    * from its surviving tokens in order.
+    *
+    * Span identity here is the raw k-token string, which makes the whole
+    * operator exactly replayable by another engine (the DuckDB oracle
+    * replays first-occurrence choice, coverage, and the rebuilt text
+    * verbatim). At 100 TB swap the span key for the 64-bit chained-XXH64
+    * shingle hash ([[dupSpanStats]] does) — identical plan shape, 8 bytes
+    * instead of k tokens through the span shuffle, collision ~1e-8.
+    *
+    * Scale shape: explode to positional spans, ONE shuffle on the span key
+    * for the global first-occurrence window, explode only the DUP spans to
+    * covered token positions (k× the duplicated volume, not the corpus),
+    * anti-join the positional tokens, and one doc-id rollup to rebuild —
+    * the token stream crosses the wire twice (span pass + rebuild), never
+    * a pairwise join.
+    *
+    * Output: (doc_id, n_tokens, n_kept, text_clean) for EVERY input doc —
+    * a fully-duplicated doc survives with n_kept = 0 and empty text.
+    */
+  def scrubDupSpans(df: DataFrame, k: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, s"span width must be positive, got $k")
+    val base = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .withColumn("_n", size(col("_toks")).cast("long"))
+    val spans = base.filter(col("_n") >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), (col("_n") - k).cast("int")),
+          i => array_join(slice(col("_toks"), i + 1, lit(k)), " ")))
+        .as(Seq("p", "g")))
+    val w = Window.partitionBy("g").orderBy(col(idCol), col("p"))
+    val dup = spans.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") > 1)
+    val covered = dup
+      .select(col(idCol), explode(sequence(col("p"), col("p") + (k - 1))).as("t"))
+      .distinct()
+    val pos = base.select(col(idCol), posexplode(col("_toks")).as(Seq("t", "tok")))
+    val keptAgg = pos.join(covered, Seq(idCol, "t"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("t"), col("tok")))),
+          s => s.getField("tok")), " ").as("text_clean"))
+    base.select(col(idCol), col("_n").as("n_tokens"))
+      .join(keptAgg, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** SimHash near-dup: 64-bit signatures via [[graft.functions.SimHash64]]
     * (native Catalyst expression), then exact Hamming-distance pairs among
     * docs sharing at least one of 4 16-bit signature bands (Manku et al.,

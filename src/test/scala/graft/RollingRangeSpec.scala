@@ -100,6 +100,31 @@ class RollingRangeSpec extends SparkSpec {
     assert(got === Seq(("a", 2L, 86400L, expA), ("b", 1L, 7L, 1000000L)))
   }
 
+  // ---- duplicated-span scrub ----
+
+  test("scrubDupSpans removes repeats but keeps the corpus-first occurrence") {
+    val df = Seq(
+      (1L, "a b c d e f"),          // first occurrence of "a b c d e": kept whole
+      (2L, "x a b c d e y"),        // span at p=1 is a dup -> tokens 1..5 drop
+      (3L, "p q r s t p q r s t"),  // within-doc repeat at p=5 -> tail drops
+      (4L, "u v")                   // shorter than k: untouched
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.scrubDupSpans(df, k = 5).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 6L, 6L, "a b c d e f"),
+      (2L, 7L, 2L, "x y"),
+      (3L, 10L, 5L, "p q r s t"),
+      (4L, 2L, 2L, "u v")))
+  }
+
+  test("scrubDupSpans keeps a fully-duplicated doc as an empty row") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.scrubDupSpans(df, k = 5).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq((1L, 5L, 5L, "a b c d e"), (2L, 5L, 0L, "")))
+  }
+
   test("decayScore weights recent trails above stale ones of equal size") {
     val dense = (0 until 20).map(i => ("fresh", 1000000L - i * 60L))
     val stale = (0 until 20).map(i => ("stale", 1000000L - i * 864000L))
