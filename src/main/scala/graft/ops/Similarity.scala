@@ -273,26 +273,80 @@ object Similarity {
   }
 
   /** Train PQ codebooks (Jégou et al., TPAMI'11): an independent K-Means
-    * per contiguous subspace over (a sample of) the corpus. m small fits
-    * of k centroids each — training cost is bounded by `sampleFraction`,
-    * never by corpus size. Deterministic via fixed seeds. */
+    * per contiguous subspace over a bounded corpus sample. Codebook
+    * training is a driver-local operation BY DESIGN — the sample is capped
+    * at `maxSample` rows regardless of corpus size (the FAISS convention:
+    * train on ~10⁵ vectors in-process), so one collect replaces m
+    * distributed K-Means fits whose per-fit job overhead would dominate
+    * (m=16 MLlib fits measured ~16s against <0.1s in-process on the same
+    * sample). The distributed parts stay distributed: encode is the
+    * codegen'd [[graft.functions.PqCodes]] scan, search is the ADC pass.
+    * Deterministic: seeded shuffle init + fixed Lloyd iterations. */
   def pqTrain(corpus: DataFrame, m: Int, k: Int, dim: Int,
       vecCol: String = "embedding", sampleFraction: Double = 1.0,
-      seed: Long = 42L): PqCodebooks = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      seed: Long = 42L, maxSample: Int = 65536): PqCodebooks = {
     require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
     val subDim = dim / m
-    val sample = (if (sampleFraction < 1.0)
-        corpus.sample(withReplacement = false, sampleFraction, seed)
-      else corpus).localCheckpoint()
+    val sampled = if (sampleFraction < 1.0)
+      corpus.sample(withReplacement = false, sampleFraction, seed) else corpus
+    val pts = sampled.select(col(vecCol)).limit(maxSample).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(pts.nonEmpty, "pqTrain: empty training sample")
     val cents = (0 until m).map { s =>
-      val sub = sample.select(array_to_vector(
-        slice(col(vecCol), s * subDim + 1, subDim)).as("features"))
-      new KMeans().setK(k).setSeed(seed + s).setMaxIter(5).fit(sub)
-        .clusterCenters.map(_.toArray.map(_.toFloat))
+      val sub = pts.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      lloyd(sub, k, iters = 10, seed = seed + s)
     }.toArray
     PqCodebooks(m, k, subDim, cents)
+  }
+
+  /** Deterministic in-process Lloyd's K-Means (seeded-shuffle init; empty
+    * clusters keep their previous centroid; fewer points than k duplicates
+    * the tail — harmless, codes just never pick the duplicates). */
+  private def lloyd(pts: Array[Array[Float]], k: Int, iters: Int,
+      seed: Long): Array[Array[Float]] = {
+    val d = pts.head.length
+    val rnd = new scala.util.Random(seed)
+    val order = rnd.shuffle(pts.indices.toVector)
+    val cents = Array.tabulate(k)(j => pts(order(j % order.length)).clone())
+    val assign = new Array[Int](pts.length)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < pts.length) {
+        val p = pts(i)
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < k) {
+          var dist = 0.0; var t = 0
+          while (t < d) {
+            val diff = p(t).toDouble - cents(j)(t); dist += diff * diff; t += 1
+          }
+          if (dist < bestD) { bestD = dist; best = j }
+          j += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.ofDim[Double](k, d)
+      val counts = new Array[Long](k)
+      i = 0
+      while (i < pts.length) {
+        val j = assign(i); counts(j) += 1
+        var t = 0
+        while (t < d) { sums(j)(t) += pts(i)(t); t += 1 }
+        i += 1
+      }
+      var j = 0
+      while (j < k) {
+        if (counts(j) > 0) {
+          var t = 0
+          while (t < d) { cents(j)(t) = (sums(j)(t) / counts(j)).toFloat; t += 1 }
+        }
+        j += 1
+      }
+      it += 1
+    }
+    cents
   }
 
   /** Per-query ADC lookup tables: `tbl(s)(j)` = <query subvector s,

@@ -175,6 +175,21 @@ object Scale4x {
       graft.ops.TextAnalysis.packChunks(graft.ops.TextAnalysis.chunks(d), budget = 256))
     run("perplexity gate")((d, _) => graft.ops.Retrieval.perplexityGate(d))
     run("label centroids")((_, e) => graft.ops.Similarity.labelCentroids(e))
+    run("duplicated-span scrub")((d, _) => graft.ops.Dedup.scrubDupSpans(d, k = 5))
+    run("PQ ANN (encode+ADC+rerank)")((_, e) =>
+      graft.ops.Similarity.pqKnn(e, e.filter(col("vec_id") < 10), k = 3,
+        m = 16, codebookK = 32, shortlist = 50))
+    // range join: points×intervals both scale with the corpus (intervals
+    // sampled 1-in-997), the shape that breaks a nested-loop plan first.
+    run("binned range join")((d, _) => {
+      val pts = d.select(col("doc_id").as("pid"),
+        (col("doc_id") * 37 % 100000).as("ts"))
+      val iv = d.filter(col("doc_id") % 997 === 0)
+        .select(col("doc_id").as("iid"), (col("doc_id") * 53 % 100000).as("w_start"))
+        .withColumn("w_end", col("w_start") + 500L)
+      graft.ops.RangeJoin.binnedRangeJoin(pts, iv, "ts", "w_start", "w_end", 500L)
+        .groupBy("iid").agg(count(lit(1)).as("n"))
+    })
     spark.stop()
   }
 }

@@ -306,6 +306,36 @@ class StreamingSpec extends SparkSpec {
     assert(shSql === shCol && shSql.length === 2)
   }
 
+  test("binned range join runs stateless on a stream, equal to batch") {
+    // The bin equi-join is a pure projection + stream-static equi-join:
+    // no state store, composes with any watermark/output mode. Same
+    // operator code as batch — that is the point.
+    val pts = (0 until 200).map(i => (i.toLong, (i * 37 % 1000).toLong))
+    val iv = (0 until 10).map(j => (j.toLong, j * 100L, j * 100L + 40L))
+    val dir = Files.createTempDirectory("graft-srange")
+    val src = dir.resolve("src").toString
+    pts.toDF("pid", "ts").write.parquet(src)
+    val ivDf = iv.toDF("iid", "w_start", "w_end")
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    val q = graft.ops.RangeJoin
+      .binnedRangeJoin(stream, ivDf, "ts", "w_start", "w_end", binWidth = 64L)
+      .select("pid", "iid")
+      .writeStream.outputMode("append").format("memory").queryName("srange")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.sql("SELECT pid, iid FROM srange")
+      .as[(Long, Long)].collect().toSet
+    val batch = graft.ops.RangeJoin
+      .binnedRangeJoin(pts.toDF("pid", "ts"), ivDf,
+        "ts", "w_start", "w_end", binWidth = 64L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stateful lastTouch carries touch state across batches, equal to batch") {
     import graft.streaming.StreamSessions.{AttributionHit, TouchState}
     implicit val hitEnc = org.apache.spark.sql.Encoders.product[AttributionHit]
