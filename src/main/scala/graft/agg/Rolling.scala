@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object Rolling {
 
-  /** Per-event trailing stats over the half-closed horizon
-    * `[time − horizon, time]`: how many events the trail produced in the
-    * trailing window and their value sum. RANGE frame, not ROWS, so
+  /** Per-event trailing stats over the CLOSED horizon
+    * `[time − horizon, time]` (an event at exactly time − horizon is
+    * included — SQL RANGE-frame semantics, deliberately unlike the
+    * half-open reference filters): how many events the trail produced in
+    * the trailing window and their value sum. RANGE frame, not ROWS, so
     * same-timestamp peers are all included — deterministic under any
     * partition-internal order, and identical to SQL
     * `RANGE BETWEEN horizon PRECEDING AND CURRENT ROW`.

@@ -64,6 +64,10 @@ object PqCodes {
     * centroid index. Called from generated code. */
   def compute(v: ArrayData, m: Int, k: Int, cb: Array[Float]): ArrayData = {
     val subDim = cb.length / (m * k)
+    if (v.numElements() != m * subDim)
+      throw new IllegalArgumentException(
+        s"pq_codes: vector of ${v.numElements()} elements does not match " +
+          s"the m=$m x subDim=$subDim codebook layout")
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -76,7 +80,10 @@ object PqCodes {
         var d = 0.0
         var t = 0
         while (t < subDim && d < bestD) {
-          val diff = v.getFloat(off + t).toDouble - cb(base + t)
+          // null elements contribute 0, same convention as DotF64 (dense
+          // input is the documented precondition for every embedding op)
+          val x = if (v.isNullAt(off + t)) 0.0 else v.getFloat(off + t).toDouble
+          val diff = x - cb(base + t)
           d += diff * diff
           t += 1
         }

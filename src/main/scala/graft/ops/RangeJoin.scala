@@ -45,6 +45,12 @@ object RangeJoin {
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
     require(overlap.isEmpty,
       s"point/interval column names must be disjoint, both have: $overlap")
+    // loud failure instead of silently overwriting+dropping caller data
+    val reserved = Set("_fd", "_last", "_bin") ++
+      Seq(tsCol, startCol, "_last").map(c => s"_bin_$c")
+    val clash = (points.columns ++ intervals.columns).toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"input columns collide with binnedRangeJoin internals: $clash")
     // `_fd` is an exact multiple of binWidth (x - pmod is), so the
     // truncating DIV is floor division for negative timestamps too.
     def binned(df: DataFrame, c: String): DataFrame = df

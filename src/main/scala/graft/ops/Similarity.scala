@@ -289,9 +289,19 @@ object Similarity {
     val subDim = dim / m
     val sampled = if (sampleFraction < 1.0)
       corpus.sample(withReplacement = false, sampleFraction, seed) else corpus
-    val pts = sampled.select(col(vecCol)).limit(maxSample).collect()
+    // Deterministic cap: content-hash order makes the training set a
+    // function of the DATA, not of file listing / partition layout (a
+    // bare limit() would pick arbitrary rows past the cap and could flip
+    // recall floors across environments). orderBy+limit plans as
+    // TakeOrderedAndProject — each partition contributes at most
+    // maxSample rows to the shuffle, bounded at any corpus size.
+    val pts = sampled.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol))).limit(maxSample).collect()
       .map(_.getSeq[Float](0).toArray)
     require(pts.nonEmpty, "pqTrain: empty training sample")
+    require(pts.forall(_.length == dim),
+      s"pqTrain: every vector must have exactly dim=$dim elements, " +
+        s"got lengths ${pts.map(_.length).distinct.take(5).mkString(",")}")
     val cents = (0 until m).map { s =>
       val sub = pts.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
       lloyd(sub, k, iters = 10, seed = seed + s)
@@ -400,12 +410,13 @@ object Similarity {
         (col("cn") * col("qn")))
     val sw = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("corpus_id"))
+    // cn rides the shortlist — recomputing norms on the raw side would be
+    // another full-corpus pass before the join filters to ~q×shortlist rows
     val short = adc.withColumn("srank", row_number().over(sw))
       .filter(col("srank") <= shortlist)
-      .select("query_id", "corpus_id", "qv", "qn")
+      .select("query_id", "corpus_id", "cn", "qv", "qn")
     // exact rerank: join the tiny shortlist back to the raw vectors
-    val raw = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("cn"))
+    val raw = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("corpus_id"))
     raw.join(broadcast(short), Seq("corpus_id"))
