@@ -155,21 +155,21 @@ object Similarity {
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int = 16,
       nprobe: Int = 2, vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feat = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
-      array_to_vector(col(vecCol)).as("features"))
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
-      .fit(feat.sample(withReplacement = false, fraction = 1.0, seed = 42L))
-    val cells = model.transform(feat)
-      .select(col("corpus_id"), col("cv"), norm(col("cv")).as("cn"),
-        col("prediction").as("cell"))
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat))
-    }
+    // Coarse quantizer: in-process Lloyd on a deterministic capped sample
+    // (same rationale as pqTrain — an MLlib fit paid per execution was all
+    // job overhead), assignment via the codegen'd PqCodes expression with
+    // m=1 (one subspace spanning the whole vector = plain nearest-centroid).
+    val cents = lloyd(sampleVectors(corpus, vecCol), nCells, iters = 10,
+      seed = 42L)
+    val flat = cents.flatMap(_.toSeq).toSeq
+    val cells = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"),
+      element_at(graft.functions.GraftFunctions.pqCodes(
+        col(vecCol), 1, nCells, flat), 1).as("cell"))
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroidDf = centroids.toSeq.toDF("cell", "centroid")
+    val centroidDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toSeq.toDF("cell", "centroid")
     // each query probes its nprobe nearest cells
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("qn"))
@@ -287,18 +287,7 @@ object Similarity {
       seed: Long = 42L, maxSample: Int = 65536): PqCodebooks = {
     require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
     val subDim = dim / m
-    val sampled = if (sampleFraction < 1.0)
-      corpus.sample(withReplacement = false, sampleFraction, seed) else corpus
-    // Deterministic cap: content-hash order makes the training set a
-    // function of the DATA, not of file listing / partition layout (a
-    // bare limit() would pick arbitrary rows past the cap and could flip
-    // recall floors across environments). orderBy+limit plans as
-    // TakeOrderedAndProject — each partition contributes at most
-    // maxSample rows to the shuffle, bounded at any corpus size.
-    val pts = sampled.select(col(vecCol))
-      .orderBy(xxhash64(col(vecCol))).limit(maxSample).collect()
-      .map(_.getSeq[Float](0).toArray)
-    require(pts.nonEmpty, "pqTrain: empty training sample")
+    val pts = sampleVectors(corpus, vecCol, sampleFraction, seed, maxSample)
     require(pts.forall(_.length == dim),
       s"pqTrain: every vector must have exactly dim=$dim elements, " +
         s"got lengths ${pts.map(_.length).distinct.take(5).mkString(",")}")
@@ -307,6 +296,25 @@ object Similarity {
       lloyd(sub, k, iters = 10, seed = seed + s)
     }.toArray
     PqCodebooks(m, k, subDim, cents)
+  }
+
+  /** Deterministic capped training sample for in-process quantizer fits.
+    * Content-hash order makes the sample a function of the DATA, not of
+    * file listing / partition layout (a bare limit() would pick arbitrary
+    * rows past the cap and could flip recall floors across environments).
+    * orderBy+limit plans as TakeOrderedAndProject — each partition
+    * contributes at most maxSample rows to the shuffle, bounded at any
+    * corpus size. */
+  private def sampleVectors(corpus: DataFrame, vecCol: String,
+      sampleFraction: Double = 1.0, seed: Long = 42L,
+      maxSample: Int = 65536): Array[Array[Float]] = {
+    val sampled = if (sampleFraction < 1.0)
+      corpus.sample(withReplacement = false, sampleFraction, seed) else corpus
+    val pts = sampled.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol))).limit(maxSample).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(pts.nonEmpty, "quantizer training: empty sample")
+    pts
   }
 
   /** Deterministic in-process Lloyd's K-Means (seeded-shuffle init; empty
