@@ -1336,6 +1336,16 @@ object SparkEntry {
       graft.agg.Rolling.decayScore(trails(s, dir).df, tau = 86400L)
         .orderBy("uuid")),
 
+    // Per-source quality cap (C4-style per-domain quota): at most 5 docs
+    // per source, longest-first with id tie-break — deterministic window,
+    // exact DuckDB replay.
+    "d_domain_cap" -> ((s, dir) =>
+      TextAnalysis.capPerGroup(
+          s.read.parquet(s"$dir/documents.parquet")
+            .select("doc_id", "source", "n_chars"),
+          maxPerGroup = 5)
+        .orderBy("source", "cap_rank")),
+
     // Exact duplicated-span scrub (Lee et al. substring dedup): every
     // repeated 5-token window loses all but its corpus-first occurrence
     // and documents are rebuilt from surviving tokens. String span keys
@@ -2620,6 +2630,15 @@ object SparkEntry {
          |    exp(CAST(time - mx AS DOUBLE) / 86400.0) * 1e6) AS BIGINT))
          |    AS BIGINT) AS score_micro
          |FROM m GROUP BY uuid ORDER BY uuid""".stripMargin,
+
+    "d_domain_cap" ->
+      """SELECT doc_id, source, n_chars, cap_rank FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |           ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cap_rank
+        |  FROM documents)
+        |WHERE cap_rank <= 5
+        |ORDER BY source, cap_rank""".stripMargin,
 
     "d_span_scrub" ->
       """WITH toks AS (

@@ -387,6 +387,26 @@ object TextAnalysis {
       .drop("_rn")
   }
 
+  /** Per-group quality cap — the C4/RefinedWeb per-domain quota: keep at
+    * most `maxPerGroup` rows per group, BEST first by `scoreCol` (id
+    * tie-break ⇒ deterministic, engine-replayable), with the kept rank in
+    * `cap_rank`. The quality-ranked sibling of [[takePerStratum]] (which
+    * ranks by content hash = uniform sampling): a whale domain contributes
+    * its `maxPerGroup` best documents, not a random slice.
+    *
+    * One shuffle on the group key; only ranks ride the window. A single
+    * giant group is the classic hot key — AQE splits the sort partition,
+    * and at 100 TB a pre-aggregation pass can drop groups already under
+    * the cap before the window. */
+  def capPerGroup(df: DataFrame, maxPerGroup: Int,
+      groupCol: String = "source", scoreCol: Column = col("n_chars"),
+      idCol: String = "doc_id"): DataFrame = {
+    require(maxPerGroup > 0, s"maxPerGroup must be positive, got $maxPerGroup")
+    val w = Window.partitionBy(groupCol).orderBy(scoreCol.desc, col(idCol))
+    df.withColumn("cap_rank", row_number().over(w).cast("long"))
+      .filter(col("cap_rank") <= maxPerGroup)
+  }
+
   /** Export the corpus as md5-bucketed training shards ON DISK (Hive-style
     * `shard=K` JSONL partitions — the layout a training job's data loader
     * consumes) and return the per-shard manifest computed from a READ-BACK

@@ -100,6 +100,21 @@ class RollingRangeSpec extends SparkSpec {
     assert(got === Seq(("a", 2L, 86400L, expA), ("b", 1L, 7L, 1000000L)))
   }
 
+  // ---- per-group quality cap ----
+
+  test("capPerGroup keeps the best maxPerGroup rows per group, id tie-break") {
+    val df = Seq(
+      (1L, "a", 100L), (2L, "a", 300L), (3L, "a", 200L), (4L, "a", 300L),
+      (5L, "b", 10L)
+    ).toDF("doc_id", "source", "n_chars")
+    val got = graft.ops.TextAnalysis.capPerGroup(df, maxPerGroup = 2)
+      .orderBy("source", "cap_rank")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // ties on 300 break toward the lower doc_id; group b keeps its one row
+    assert(got === Seq(
+      (2L, "a", 300L, 1L), (4L, "a", 300L, 2L), (5L, "b", 10L, 1L)))
+  }
+
   // ---- duplicated-span scrub ----
 
   test("scrubDupSpans removes repeats but keeps the corpus-first occurrence") {
