@@ -172,6 +172,62 @@ object StreamSessions {
       }
   }
 
+  /** Trailing-horizon state: the events still inside the horizon (the
+    * deque of the cursor-walk formulation), as parallel arrays. */
+  final case class HorizonState(times: Array[Long], seqs: Array[Long],
+      values: Array[Long])
+  final case class HorizonUpdate(uuid: String, time: Long, seq: Long,
+      nWin: Long, sumWin: Long)
+
+  /** Streaming twin of [[graft.agg.Rolling.trailingStats]]: per event, the
+    * count/value-sum of same-trail events in the closed horizon
+    * `[t − horizon, t]`, maintained across micro-batches with
+    * flatMapGroupsWithState. State is the horizon deque itself — events
+    * older than the newest event's horizon are evicted on every batch, so
+    * state is O(events per horizon window), the streaming-viable bound
+    * (the batch RANGE window needs the whole trail ordered). In-order
+    * delivery gives exact agreement with the batch operator on trails
+    * with distinct timestamps (spec-proven); on exact time TIES the batch
+    * RANGE frame includes later-seq peers a stream cannot have seen yet,
+    * so the streaming row reports the frame AS OF ARRIVAL — the only
+    * causal answer. A late event older than the horizon of everything
+    * seen cannot retro-enter evicted frames, as with any streaming state
+    * machine. */
+  def statefulTrailingStats(events: Dataset[(String, Long, Long, Long)],
+      horizon: Long)(
+      implicit enc: org.apache.spark.sql.Encoder[HorizonUpdate],
+      stateEnc: org.apache.spark.sql.Encoder[HorizonState]): Dataset[HorizonUpdate] = {
+    require(horizon > 0, s"horizon must be positive, got $horizon")
+    implicit val strEnc: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[HorizonState, HorizonUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uuid: String, rows: Iterator[(String, Long, Long, Long)],
+         state: GroupState[HorizonState]) =>
+          val prev = state.getOption
+          var deque = prev.map(s => (s.times, s.seqs, s.values))
+            .map { case (t, q, v) => (t.toVector, q.toVector, v.toVector) }
+            .getOrElse((Vector.empty[Long], Vector.empty[Long], Vector.empty[Long]))
+          val out = scala.collection.mutable.ArrayBuffer.empty[HorizonUpdate]
+          rows.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, t, seq, v) =>
+            deque = (deque._1 :+ t, deque._2 :+ seq, deque._3 :+ v)
+            // evict strictly-older-than-horizon entries (closed bound stays)
+            val cut = deque._1.indexWhere(_ >= t - horizon)
+            if (cut > 0) deque =
+              (deque._1.drop(cut), deque._2.drop(cut), deque._3.drop(cut))
+            // RANGE-frame peers: every event in [t − horizon, t] counts,
+            // including same-time events already in the deque
+            out += HorizonUpdate(uuid, t, seq, deque._1.length.toLong,
+              deque._3.sum)
+          }
+          if (deque._1.nonEmpty)
+            state.update(HorizonState(deque._1.toArray, deque._2.toArray,
+              deque._3.toArray))
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup on a content key: keep the first arrival of each
     * key, drop later duplicates. State is bounded by the watermark —
     * dropDuplicatesWithinWatermark evicts keys once the event-time

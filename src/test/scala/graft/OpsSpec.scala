@@ -396,6 +396,12 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("array<float>"))
   }
 
+  test("pq codebooks are a function of the data, not the partition layout") {
+    val a = Similarity.pqTrain(emb, m = 4, k = 8, dim = 64)
+    val b = Similarity.pqTrain(emb.repartition(13), m = 4, k = 8, dim = 64)
+    assert(a.flat === b.flat)
+  }
+
   test("pq knn: high recall@3 with exact-cosine-descending ranks") {
     val queries = emb.filter($"vec_id" < 20)
     val exact = Similarity.bruteForceKnn(emb, queries, k = 3).collect()

@@ -336,6 +336,49 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stateful trailingStats carries the horizon deque across batches, equal to batch") {
+    import graft.streaming.StreamSessions.{HorizonState, HorizonUpdate}
+    implicit val updEnc = org.apache.spark.sql.Encoders.product[HorizonUpdate]
+    implicit val stEnc = org.apache.spark.sql.Encoders.product[HorizonState]
+
+    val dir = Files.createTempDirectory("graft-shorizon")
+    val src = dir.resolve("src").toString
+    // batch 2 opens inside batch 1's horizon (deque must survive the
+    // boundary) and later falls out of it (eviction must fire)
+    val b1 = Seq(("u1", 0L, 1L, 10L), ("u1", 1800L, 2L, 20L),
+      ("u2", 5L, 3L, 7L))
+    val b2 = Seq(("u1", 3600L, 4L, 30L), ("u1", 9000L, 5L, 40L))
+    b1.toDF("uuid", "time", "seq", "v").coalesce(1).write.parquet(src)
+    Thread.sleep(1100)
+    b2.toDF("uuid", "time", "seq", "v").coalesce(1)
+      .write.mode("append").parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .as[(String, Long, Long, Long)]
+    val q = StreamSessions.statefulTrailingStats(stream, horizon = 3600L)
+      .writeStream.outputMode("append").format("memory").queryName("shorizon")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.sql(
+        "SELECT uuid, time, seq, nWin, sumWin FROM shorizon")
+      .as[HorizonUpdate].collect()
+      .map(h => (h.uuid, h.time, h.seq) -> (h.nWin, h.sumWin)).toMap
+    val batch = graft.agg.Rolling.trailingStats(
+        (b1 ++ b2).toDF("uuid", "time", "seq", "v"),
+        horizon = 3600L, valueCol = "v")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(streamed === batch)
+    // the cross-boundary frame: 3600 sees 0 (closed bound), 1800, itself
+    assert(streamed(("u1", 3600L, 4L)) === ((3L, 60L)))
+    // eviction: 9000 sees only itself
+    assert(streamed(("u1", 9000L, 5L)) === ((1L, 40L)))
+  }
+
   test("stateful lastTouch carries touch state across batches, equal to batch") {
     import graft.streaming.StreamSessions.{AttributionHit, TouchState}
     implicit val hitEnc = org.apache.spark.sql.Encoders.product[AttributionHit]
