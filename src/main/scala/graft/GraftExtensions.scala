@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotF64, MinHashSig, RepetitionStats, ShingleHashes, SimHash64, Winnow}
+import graft.functions.{DotF64, MinHashSig, RepetitionStats, ShingleHashes, SimHash64, Winnow, ZOrder2}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for SQL use. Enable with
@@ -58,5 +58,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("repetition_stats"),
       new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
       (children: Seq[Expression]) => RepetitionStats(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("z_order2"),
+      new ExpressionInfo(classOf[ZOrder2].getName, "z_order2"),
+      (children: Seq[Expression]) => ZOrder2(children(0), children(1))))
   }
 }

@@ -150,6 +150,41 @@ final class TrailDBCons(val spark: SparkSession, val fields: Seq[String]) {
     TrailDB.open(spark, path, Some(secondsPerPartition))
   }
 
+  /** Finalize Z-ORDERED on (uuid, time) — Morton-interleave the uuid's
+    * numeric low bits with the time bucket and range-partition + sort on
+    * that curve (the layout Delta/Iceberg expose as OPTIMIZE ZORDER). Row
+    * groups become RECTANGLES in (uuid, time) space, so min/max stats
+    * prune scans for uuid-only, time-only, AND combined predicates — the
+    * uuid-sorted layout prunes only uuid, the time-partitioned one only
+    * time(+uuid within a day). The tradeoff: per-dimension runs are
+    * shorter, so point lookups on one dimension prune somewhat less than
+    * that dimension's dedicated sort — Z-order is the layout for mixed
+    * query sets (tools/Storage prints the measured bytes-read matrix).
+    *
+    * The curve key is derived from ORDER-PRESERVING ordinals (uuid's low
+    * 16 hex digits as a number, time DIV timeBucketSecs), never a hash —
+    * hashing would scatter the very locality pruning relies on. `_z` is
+    * dropped before the write: pruning works off the real columns' stats.
+    */
+  def finalizeZOrdered(path: String, timeBucketSecs: Long = 3600L,
+      partitions: Int = 0): TrailDB = {
+    val df = stagedOrEmpty
+    val parts = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val uuidOrd = conv(substring(col(TrailSchema.UuidCol), 17, 16), 16, 10)
+      .cast("long")
+    val timeOrd = expr(s"${TrailSchema.TimeCol} DIV $timeBucketSecs")
+    val z = graft.functions.GraftFunctions.zOrder2(uuidOrd, timeOrd)
+    df.withColumn("_z", z)
+      .repartitionByRange(parts, col("_z"))
+      .sortWithinPartitions("_z", TrailSchema.TimeCol, TrailSchema.SeqCol)
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    TrailInfo.write(spark, path,
+      TrailInfo.compute(spark.read.parquet(path), fields))
+    TrailDB.open(spark, path)
+  }
+
   /** Finalize into a BUCKETED catalog table: hash-bucketed and sorted by
     * uuid. This is the 100 TB layout — every downstream per-trail operation
     * (groupBy(uuid), trail-window sessionization, uuid equi-join across

@@ -54,6 +54,68 @@ object Storage {
     report("CSV dump (gzip)", s"$base/csvgz")
     report("trail-sorted Parquet (zstd, finalized)", s"$base/db")
     report("unsorted Parquet (zstd)", s"$base/shuffled")
+
+    // ---- layout pruning matrix: bytes actually read per predicate ----
+    // Small row groups so min/max pruning has granularity to work with at
+    // this corpus size (production defaults give the same effect at real
+    // row-group counts).
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+    spark.sparkContext.hadoopConfiguration
+      .setInt("parquet.block.size", 64 * 1024)
+    new TrailDBCons(spark, Seq("event_type", "props"))
+      .append(db).finalizeZOrdered(s"$base/zdb", timeBucketSecs = 3600L)
+    // GLOBALLY range-partitioned uuid sort — the fair single-dimension
+    // comparator: every file covers a disjoint uuid range, so uuid
+    // predicates prune maximally. (finalizeTo hash-partitions for
+    // co-location: every file spans the full uuid range and file-level
+    // min/max stats prune nothing — the wrong layout for this matrix.)
+    db.df.repartitionByRange(32, col("uuid"))
+      .sortWithinPartitions("uuid", "time", "seq")
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/udb")
+
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+    }
+    def measure(path: String, pred: org.apache.spark.sql.Column): Long = {
+      bytesRead.set(0L)
+      spark.sparkContext.addSparkListener(listener)
+      spark.read.parquet(path).filter(pred).count()
+      Thread.sleep(500) // drain the listener bus
+      spark.sparkContext.removeSparkListener(listener)
+      bytesRead.get()
+    }
+    val (tMin, tMax) = {
+      val r = db.df.agg(min("time"), max("time")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val uuids = db.df.select("uuid").distinct().orderBy("uuid")
+      .collect().map(_.getString(0))
+    // narrow uuid slice (4% — a whitelist-style lookup) and a broad half-
+    // space slice (cohort-style), each alone and crossed with a 10% time
+    // window: the mixed-predicate rows are where a single-dimension sort
+    // has nothing left to prune and the curve keeps cutting.
+    val (uLo, uHi) = (uuids.head, uuids(uuids.length / 25))
+    val uMid = uuids(uuids.length / 2)
+    val tLo = tMin + (tMax - tMin) / 2
+    val tHi = tLo + (tMax - tMin) / 10
+    val preds = Seq(
+      "uuid 4%" -> (col("uuid") >= uLo && col("uuid") <= uHi),
+      "time 10%" -> (col("time") >= tLo && col("time") < tHi),
+      "uuid 4% ∧ time 10%" -> (col("uuid") >= uLo && col("uuid") <= uHi &&
+        col("time") >= tLo && col("time") < tHi),
+      "uuid 50% ∧ time 10%" -> (col("uuid") <= uMid &&
+        col("time") >= tLo && col("time") < tHi))
+    println("\n| predicate | uuid-sorted | z-ordered (uuid,time) |")
+    println("|---|---|---|")
+    preds.foreach { case (label, p) =>
+      val u = measure(s"$base/udb", p)
+      val z = measure(s"$base/zdb", p)
+      println(f"| $label | ${u / 1024.0}%.0f KiB | ${z / 1024.0}%.0f KiB (${z.toDouble / u}%.2fx) |")
+    }
     spark.stop()
   }
 }

@@ -121,6 +121,39 @@ class ConsSpec extends SparkSpec {
     assert(pf.contains("2") && pf.contains("3"), s"bucket bounds wrong: $pf")
   }
 
+  test("z_order2 is the Morton interleave; z-ordered finalize round-trips") {
+    // hand-checked Morton values: a in even bits, b in odd
+    assert(graft.functions.ZOrder2.interleave(3L, 0L) === 5L)   // 0b0101
+    assert(graft.functions.ZOrder2.interleave(0L, 3L) === 10L)  // 0b1010
+    assert(graft.functions.ZOrder2.interleave(1L, 1L) === 3L)
+    // quadrant ordering: all z-values of the low (a<2, b<2) quadrant sort
+    // before any of the high (a>=2, b>=2) quadrant — the locality that
+    // makes row groups rectangles
+    val lowQ = for (a <- 0L to 1L; b <- 0L to 1L)
+      yield graft.functions.ZOrder2.interleave(a, b)
+    val highQ = for (a <- 2L to 3L; b <- 2L to 3L)
+      yield graft.functions.ZOrder2.interleave(a, b)
+    assert(lowQ.max < highQ.min)
+    // the expression evaluates in a plan (codegen path) like the object
+    val viaExpr = Seq((3L, 0L), (0L, 3L), (7L, 5L)).toDF("a", "b")
+      .select(graft.functions.GraftFunctions.zOrder2(col("a"), col("b")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaExpr === Seq(5L, 10L,
+      graft.functions.ZOrder2.interleave(7L, 5L)))
+
+    // finalizeZOrdered: same rows back, sidecar metadata intact
+    val rows = for (t <- 0 until 8; e <- 0 until 4)
+      yield (uuidOf(t), (e * 1000).toLong, s"v$e", (t * 4 + e).toLong)
+    val db = new TrailDBCons(spark, Seq("f"))
+      .add(rows.toDF("uuid", "time", "f", "seq"))
+      .finalizeZOrdered(tmp(), timeBucketSecs = 3600L)
+    assert(db.numEvents === 32 && db.numTrails === 8)
+    val got = db.df.select("uuid", "time", "f", "seq").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got === rows.toSet)
+  }
+
   test("salted aggregation equals direct groupBy on a skewed key") {
     // one whale uuid with 10k rows, a few minnows
     val rows = (0 until 10000).map(i => (uuidOf(0), i.toLong)) ++
