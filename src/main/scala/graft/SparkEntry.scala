@@ -1336,6 +1336,14 @@ object SparkEntry {
       graft.agg.Rolling.decayScore(trails(s, dir).df, tau = 86400L)
         .orderBy("uuid")),
 
+    // Retention compaction (the reference's periodic-rebuild policy):
+    // drop events before a cutoff, keep each trail's 5 most recent —
+    // one uuid window pass, exact DuckDB replay.
+    "t_compact" -> ((s, dir) =>
+      trails(s, dir).compact(keepLast = 5, minTime = Some(1704500000L))
+        .select("uuid", "time", "event_type", "props", "seq")
+        .orderBy("uuid", "time", "seq")),
+
     // Per-source quality cap (C4-style per-domain quota): at most 5 docs
     // per source, longest-first with id tie-break — deterministic window,
     // exact DuckDB replay.
@@ -2630,6 +2638,15 @@ object SparkEntry {
          |    exp(CAST(time - mx AS DOUBLE) / 86400.0) * 1e6) AS BIGINT))
          |    AS BIGINT) AS score_micro
          |FROM m GROUP BY uuid ORDER BY uuid""".stripMargin,
+
+    "t_compact" ->
+      s"""$TrailsCte,
+         |r AS (SELECT uuid, time, event_type, props, seq,
+         |  row_number() OVER (PARTITION BY uuid
+         |    ORDER BY time DESC, seq DESC) AS rn
+         |  FROM trails WHERE time >= 1704500000)
+         |SELECT uuid, time, event_type, props, seq FROM r WHERE rn <= 5
+         |ORDER BY uuid, time, seq""".stripMargin,
 
     "d_domain_cap" ->
       """SELECT doc_id, source, n_chars, cap_rank FROM (

@@ -154,6 +154,24 @@ final class TrailDB private (
     new TrailDB(spark, base.filter(!col(TrailSchema.UuidCol).isin(uuids: _*)),
       dbFilter, bucketSeconds)
 
+  /** Retention compaction — the periodic-rebuild policy reference users
+    * apply when re-consing shards (immutable dbs are rebuilt, never edited
+    * in place; doc/docs/index.md:43-48): keep each trail's most recent
+    * `keepLast` events (rank 1 = newest in `(time, seq)` order), and
+    * optionally drop everything before `minTime` first (half-open, like
+    * every reference time filter). ONE uuid window pass; feed the result
+    * to a [[TrailDBCons]] finalize to materialize the compacted db. */
+  def compact(keepLast: Int, minTime: Option[Long] = None): DataFrame = {
+    require(keepLast > 0, s"keepLast must be positive, got $keepLast")
+    val aged = minTime.map(t => base.filter(col(TrailSchema.TimeCol) >= t))
+      .getOrElse(base)
+    val w = Window.partitionBy(TrailSchema.UuidCol)
+      .orderBy(col(TrailSchema.TimeCol).desc, col(TrailSchema.SeqCol).desc)
+    aged.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= keepLast)
+      .drop("_rn")
+  }
+
   /** TDB_OPT_ONLY_DIFF_ITEMS (reference: src/tdb_decode.c:268-300,
     * doc/docs/technical_overview.md:113-125): emit only field values that
     * changed vs. the previous event in the trail; unchanged fields become

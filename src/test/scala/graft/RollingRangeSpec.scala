@@ -100,6 +100,24 @@ class RollingRangeSpec extends SparkSpec {
     assert(got === Seq(("a", 2L, 86400L, expA), ("b", 1L, 7L, 1000000L)))
   }
 
+  // ---- retention compaction ----
+
+  test("compact keeps the newest keepLast events per trail above the cutoff") {
+    val rows = Seq(
+      ("a", 10L, "x", null.asInstanceOf[String], 1L),
+      ("a", 20L, "y", null.asInstanceOf[String], 2L),
+      ("a", 30L, "z", null.asInstanceOf[String], 3L),
+      ("a", 30L, "w", null.asInstanceOf[String], 4L), // same-time: seq breaks
+      ("b", 5L, "p", null.asInstanceOf[String], 5L)   // below cutoff: dropped
+    ).toDF("uuid", "time", "event_type", "props", "seq")
+    val db = graft.core.TrailDB.fromTrailFrame(rows)
+    val got = db.compact(keepLast = 2, minTime = Some(10L))
+      .select("uuid", "time", "seq").orderBy("uuid", "time", "seq")
+      .as[(String, Long, Long)].collect().toSeq
+    // trail a keeps its two newest: both time-30 events (seq 3 and 4)
+    assert(got === Seq(("a", 30L, 3L), ("a", 30L, 4L)))
+  }
+
   // ---- per-group quality cap ----
 
   test("capPerGroup keeps the best maxPerGroup rows per group, id tie-break") {
