@@ -159,12 +159,15 @@ final class TrailDB private (
     * in place; doc/docs/index.md:43-48): keep each trail's most recent
     * `keepLast` events (rank 1 = newest in `(time, seq)` order), and
     * optionally drop everything before `minTime` first (half-open, like
-    * every reference time filter). ONE uuid window pass; feed the result
-    * to a [[TrailDBCons]] finalize to materialize the compacted db. */
+    * every reference time filter). Operates on the FILTERED view ([[df]])
+    * like every other read path, so compacting a `withFilter` view keeps
+    * and ranks only events the filter admits. ONE uuid window pass; feed
+    * the result to a [[TrailDBCons]] finalize to materialize the
+    * compacted db. */
   def compact(keepLast: Int, minTime: Option[Long] = None): DataFrame = {
     require(keepLast > 0, s"keepLast must be positive, got $keepLast")
-    val aged = minTime.map(t => base.filter(col(TrailSchema.TimeCol) >= t))
-      .getOrElse(base)
+    val aged = minTime.map(t => df.filter(col(TrailSchema.TimeCol) >= t))
+      .getOrElse(df)
     val w = Window.partitionBy(TrailSchema.UuidCol)
       .orderBy(col(TrailSchema.TimeCol).desc, col(TrailSchema.SeqCol).desc)
     aged.withColumn("_rn", row_number().over(w))

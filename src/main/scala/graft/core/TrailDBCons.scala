@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
@@ -161,18 +161,25 @@ final class TrailDBCons(val spark: SparkSession, val fields: Seq[String]) {
     * that dimension's dedicated sort — Z-order is the layout for mixed
     * query sets (tools/Storage prints the measured bytes-read matrix).
     *
-    * The curve key is derived from ORDER-PRESERVING ordinals (uuid's low
-    * 16 hex digits as a number, time DIV timeBucketSecs), never a hash —
-    * hashing would scatter the very locality pruning relies on. `_z` is
-    * dropped before the write: pruning works off the real columns' stats.
+    * The curve key is derived from ORDER-PRESERVING ordinals, never a
+    * hash — hashing would scatter the very locality pruning relies on.
+    * The default uuid ordinal is the LEADING 7 hex digits as a number:
+    * prefix order == lexicographic order of the uuid string (whose
+    * min/max stats do the pruning), and 28 bits always fits the curve's
+    * 31-bit lanes — no ANSI cast overflow for any uuid. For corpora
+    * whose uuids share a long constant prefix (e.g. counter-derived
+    * test uuids: all-zero leading digits), pass a discriminative
+    * `uuidOrdinal` instead — tools/Storage uses the trailing digits,
+    * which ARE the order for its %032x-of-integer uuids. `_z` is dropped
+    * before the write: pruning works off the real columns' stats.
     */
   def finalizeZOrdered(path: String, timeBucketSecs: Long = 3600L,
-      partitions: Int = 0): TrailDB = {
+      partitions: Int = 0, uuidOrdinal: Option[Column] = None): TrailDB = {
     val df = stagedOrEmpty
     val parts = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val uuidOrd = conv(substring(col(TrailSchema.UuidCol), 17, 16), 16, 10)
-      .cast("long")
+    val uuidOrd = uuidOrdinal.getOrElse(
+      conv(substring(col(TrailSchema.UuidCol), 1, 7), 16, 10).cast("long"))
     val timeOrd = expr(s"${TrailSchema.TimeCol} DIV $timeBucketSecs")
     val z = graft.functions.GraftFunctions.zOrder2(uuidOrd, timeOrd)
     df.withColumn("_z", z)

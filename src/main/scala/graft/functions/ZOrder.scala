@@ -16,7 +16,9 @@ import org.apache.spark.sql.types._
   * Inputs must already be non-negative ordinals that preserve the
   * dimension's order (a rank, a bucket index, a truncated timestamp —
   * NOT a hash, which would destroy the locality pruning relies on);
-  * values above 2³²−1 are masked to their low 32 bits.
+  * values above 2³¹−1 are masked to their low 31 bits (31, not 32: a
+  * 32-bit second dimension would shift into the sign bit and invert
+  * the upper half of the dimension under signed ORDER BY).
   */
 case class ZOrder2(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -46,10 +48,11 @@ case class ZOrder2(left: Expression, right: Expression)
 }
 
 object ZOrder2 {
-  /** Spread the low 32 bits of x to the even bit positions of a long
-    * (standard Morton bit-twiddle). */
+  /** Spread the low 31 bits of x to the even bit positions of a long
+    * (standard Morton bit-twiddle; 31 so the odd-shifted copy cannot
+    * reach the sign bit). */
   def spread(x: Long): Long = {
-    var v = x & 0xffffffffL
+    var v = x & 0x7fffffffL
     v = (v | (v << 16)) & 0x0000ffff0000ffffL
     v = (v | (v << 8)) & 0x00ff00ff00ff00ffL
     v = (v | (v << 4)) & 0x0f0f0f0f0f0f0f0fL
@@ -58,7 +61,8 @@ object ZOrder2 {
     v
   }
 
-  /** a's bits at even positions, b's at odd — called from generated code. */
+  /** a's bits at even positions, b's at odd; always non-negative —
+    * called from generated code. */
   def interleave(a: Long, b: Long): Long =
     spread(a) | (spread(b) << 1)
 }

@@ -172,27 +172,31 @@ object StreamSessions {
       }
   }
 
-  /** Trailing-horizon state: the events still inside the horizon (the
-    * deque of the cursor-walk formulation), as parallel arrays. */
-  final case class HorizonState(times: Array[Long], seqs: Array[Long],
-      values: Array[Long])
+  /** Trailing-horizon state: the events still inside the horizon of the
+    * newest event seen (the deque of the cursor-walk formulation), as
+    * time-sorted parallel arrays. */
+  final case class HorizonState(times: Array[Long], values: Array[Long])
   final case class HorizonUpdate(uuid: String, time: Long, seq: Long,
       nWin: Long, sumWin: Long)
 
   /** Streaming twin of [[graft.agg.Rolling.trailingStats]]: per event, the
     * count/value-sum of same-trail events in the closed horizon
     * `[t − horizon, t]`, maintained across micro-batches with
-    * flatMapGroupsWithState. State is the horizon deque itself — events
-    * older than the newest event's horizon are evicted on every batch, so
-    * state is O(events per horizon window), the streaming-viable bound
-    * (the batch RANGE window needs the whole trail ordered). In-order
-    * delivery gives exact agreement with the batch operator on trails
-    * with distinct timestamps (spec-proven); on exact time TIES the batch
-    * RANGE frame includes later-seq peers a stream cannot have seen yet,
-    * so the streaming row reports the frame AS OF ARRIVAL — the only
-    * causal answer. A late event older than the horizon of everything
-    * seen cannot retro-enter evicted frames, as with any streaming state
-    * machine. */
+    * flatMapGroupsWithState. State is the horizon deque itself, kept
+    * TIME-SORTED: each arrival inserts in time order, its frame is
+    * computed from exactly the deque entries inside `[t − horizon, t]`
+    * (never future-timestamped ones — a moderately late event gets its
+    * own window, not the newest event's), and entries older than
+    * `max_time_seen − horizon` are evicted, so state is O(events per
+    * horizon window), the streaming-viable bound (the batch RANGE window
+    * needs the whole trail ordered). In-order delivery gives exact
+    * agreement with the batch operator on trails with distinct
+    * timestamps (spec-proven); on exact time TIES the batch RANGE frame
+    * includes later-seq peers a stream cannot have seen yet, so the
+    * streaming row reports the frame AS OF ARRIVAL — the only causal
+    * answer. An event arriving later than `horizon` behind the trail's
+    * max time computes its frame from the surviving entries only (the
+    * watermark-style lateness bound any bounded-state stream needs). */
   def statefulTrailingStats(events: Dataset[(String, Long, Long, Long)],
       horizon: Long)(
       implicit enc: org.apache.spark.sql.Encoder[HorizonUpdate],
@@ -206,24 +210,31 @@ object StreamSessions {
         (uuid: String, rows: Iterator[(String, Long, Long, Long)],
          state: GroupState[HorizonState]) =>
           val prev = state.getOption
-          var deque = prev.map(s => (s.times, s.seqs, s.values))
-            .map { case (t, q, v) => (t.toVector, q.toVector, v.toVector) }
-            .getOrElse((Vector.empty[Long], Vector.empty[Long], Vector.empty[Long]))
+          var times = prev.map(_.times.toVector).getOrElse(Vector.empty[Long])
+          var values = prev.map(_.values.toVector).getOrElse(Vector.empty[Long])
           val out = scala.collection.mutable.ArrayBuffer.empty[HorizonUpdate]
           rows.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, t, seq, v) =>
-            deque = (deque._1 :+ t, deque._2 :+ seq, deque._3 :+ v)
-            // evict strictly-older-than-horizon entries (closed bound stays)
-            val cut = deque._1.indexWhere(_ >= t - horizon)
-            if (cut > 0) deque =
-              (deque._1.drop(cut), deque._2.drop(cut), deque._3.drop(cut))
-            // RANGE-frame peers: every event in [t − horizon, t] counts,
-            // including same-time events already in the deque
-            out += HorizonUpdate(uuid, t, seq, deque._1.length.toLong,
-              deque._3.sum)
+            // sorted insert keeps the deque a time-ordered window even
+            // under late arrivals
+            val at = times.indexWhere(_ > t) match {
+              case -1 => times.length
+              case i  => i
+            }
+            times = times.patch(at, Seq(t), 0)
+            values = values.patch(at, Seq(v), 0)
+            // this event's OWN frame: entries in [t − horizon, t]
+            val lo = times.indexWhere(_ >= t - horizon)
+            val hi = times.lastIndexWhere(_ <= t)
+            out += HorizonUpdate(uuid, t, seq, (hi - lo + 1).toLong,
+              values.slice(lo, hi + 1).sum)
+            // evict what no in-horizon future arrival can ever see
+            val cut = times.indexWhere(_ >= times.last - horizon)
+            if (cut > 0) {
+              times = times.drop(cut); values = values.drop(cut)
+            }
           }
-          if (deque._1.nonEmpty)
-            state.update(HorizonState(deque._1.toArray, deque._2.toArray,
-              deque._3.toArray))
+          if (times.nonEmpty)
+            state.update(HorizonState(times.toArray, values.toArray))
           out.iterator
       }
   }

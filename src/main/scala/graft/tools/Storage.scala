@@ -62,8 +62,14 @@ object Storage {
     spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
     spark.sparkContext.hadoopConfiguration
       .setInt("parquet.block.size", 64 * 1024)
+    // testdata uuids are %032x of an integer: the leading digits are a
+    // constant zero prefix, so the ORDER lives in the trailing digits —
+    // pass them as the curve ordinal (the default uses the leading prefix,
+    // correct for real uuids).
     new TrailDBCons(spark, Seq("event_type", "props"))
-      .append(db).finalizeZOrdered(s"$base/zdb", timeBucketSecs = 3600L)
+      .append(db).finalizeZOrdered(s"$base/zdb", timeBucketSecs = 3600L,
+        uuidOrdinal = Some(conv(substring(col("uuid"), 26, 7), 16, 10)
+          .cast("long")))
     // GLOBALLY range-partitioned uuid sort — the fair single-dimension
     // comparator: every file covers a disjoint uuid range, so uuid
     // predicates prune maximally. (finalizeTo hash-partitions for

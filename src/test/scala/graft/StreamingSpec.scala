@@ -379,6 +379,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(("u1", 9000L, 5L)) === ((1L, 40L)))
   }
 
+  test("stateful trailingStats gives a late event its OWN window, not the newest's") {
+    import graft.streaming.StreamSessions.{HorizonState, HorizonUpdate}
+    implicit val updEnc = org.apache.spark.sql.Encoders.product[HorizonUpdate]
+    implicit val stEnc = org.apache.spark.sql.Encoders.product[HorizonState]
+
+    val dir = Files.createTempDirectory("graft-slate")
+    val src = dir.resolve("src").toString
+    // batch 2 delivers an event 2000s BEHIND the trail max: its frame is
+    // [1400, 5000] — the future 7000 event must NOT appear in it, and the
+    // in-horizon 4000 entry must (sorted insert, filtered frame).
+    val b1 = Seq(("u1", 4000L, 1L, 3L), ("u1", 7000L, 2L, 10L))
+    val b2 = Seq(("u1", 5000L, 3L, 5L))
+    b1.toDF("uuid", "time", "seq", "v").coalesce(1).write.parquet(src)
+    Thread.sleep(1100)
+    b2.toDF("uuid", "time", "seq", "v").coalesce(1)
+      .write.mode("append").parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .as[(String, Long, Long, Long)]
+    val q = StreamSessions.statefulTrailingStats(stream, horizon = 3600L)
+      .writeStream.outputMode("append").format("memory").queryName("slate")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val got = spark.sql("SELECT time, nWin, sumWin FROM slate")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(5000L) === ((2L, 8L)), got.toString) // 4000 + itself, never 7000
+    assert(got(7000L) === ((2L, 13L)))              // 4000 + itself (in-order)
+  }
+
   test("stateful lastTouch carries touch state across batches, equal to batch") {
     import graft.streaming.StreamSessions.{AttributionHit, TouchState}
     implicit val hitEnc = org.apache.spark.sql.Encoders.product[AttributionHit]
