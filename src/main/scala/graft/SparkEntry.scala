@@ -1179,6 +1179,17 @@ object SparkEntry {
           Seq("view", "click", "purchase"), window = 86400L)
         .orderBy("uuid")),
 
+    // Exclusion funnel (ClickHouse-style): an 'error' event aborts any
+    // in-progress chain, so the reported chain is built from events
+    // strictly after the trail's LAST error in (time, seq) order — which
+    // is exactly how DuckDB replays it (suffix filter + the same greedy
+    // chain). Same one-uuid-shuffle fold as t_funnel_windowed.
+    "t_funnel_excl" -> ((s, dir) =>
+      graft.agg.Funnel.windowFunnel(trails(s, dir).df,
+          Seq("view", "click", "purchase"), window = 86400L,
+          exclude = Seq("error"))
+        .orderBy("uuid")),
+
     // Path mining: top event-type 3-gram sequences across trails — the
     // cursor-walk sequence analysis (what reference users loop cursors
     // for, technical_overview.md trail model) as ONE uuid-shuffle: ordered
@@ -2638,6 +2649,39 @@ object SparkEntry {
          |    exp(CAST(time - mx AS DOUBLE) / 86400.0) * 1e6) AS BIGINT))
          |    AS BIGINT) AS score_micro
          |FROM m GROUP BY uuid ORDER BY uuid""".stripMargin,
+
+    "t_funnel_excl" ->
+      s"""$TrailsCte,
+         |x AS (SELECT uuid, time AS tx, seq AS sx,
+         |        row_number() OVER (PARTITION BY uuid
+         |          ORDER BY time DESC, seq DESC) AS rn
+         |      FROM trails WHERE coalesce(event_type,'') = 'error'),
+         |lastx AS (SELECT uuid, tx, sx FROM x WHERE rn = 1),
+         |tr AS (SELECT t.* FROM trails t
+         |       LEFT JOIN lastx ON t.uuid IS NOT DISTINCT FROM lastx.uuid
+         |       WHERE lastx.uuid IS NULL OR t.time > lastx.tx
+         |          OR (t.time = lastx.tx AND t.seq > lastx.sx)),
+         |s1 AS (SELECT uuid, min(time) AS t0 FROM tr
+         |       WHERE coalesce(event_type,'') = 'view' GROUP BY uuid),
+         |s2 AS (SELECT tr.uuid AS uuid, min(tr.time) AS t1 FROM tr
+         |       JOIN s1 ON tr.uuid IS NOT DISTINCT FROM s1.uuid
+         |       WHERE coalesce(event_type,'') = 'click' AND tr.time > s1.t0
+         |       GROUP BY tr.uuid),
+         |s3 AS (SELECT tr.uuid AS uuid, min(tr.time) AS t2 FROM tr
+         |       JOIN s2 ON tr.uuid IS NOT DISTINCT FROM s2.uuid
+         |       WHERE coalesce(event_type,'') = 'purchase' AND tr.time > s2.t1
+         |       GROUP BY tr.uuid),
+         |u AS (SELECT DISTINCT uuid FROM trails)
+         |SELECT u.uuid,
+         |  CAST(CASE WHEN s1.t0 IS NULL THEN 0
+         |       WHEN s2.t1 IS NULL OR s2.t1 - s1.t0 > 86400 THEN 1
+         |       WHEN s3.t2 IS NULL OR s3.t2 - s1.t0 > 86400 THEN 2
+         |       ELSE 3 END AS BIGINT) AS funnel_level,
+         |  s1.t0 AS first_time
+         |FROM u LEFT JOIN s1 ON u.uuid IS NOT DISTINCT FROM s1.uuid
+         |  LEFT JOIN s2 ON u.uuid IS NOT DISTINCT FROM s2.uuid
+         |  LEFT JOIN s3 ON u.uuid IS NOT DISTINCT FROM s3.uuid
+         |ORDER BY u.uuid""".stripMargin,
 
     "t_compact" ->
       s"""$TrailsCte,

@@ -26,11 +26,22 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
+  /** `exclude`: event types that ABORT an in-progress chain (ClickHouse
+    * windowFunnel's exclusion mode — "purchase without an error in
+    * between"). An exclusion event clears all slots, so the reported
+    * chain is the one in progress at trail end, built from events
+    * strictly after the LAST exclusion event in `(time, seq)` order
+    * (trivially the whole trail when none occur) — which is exactly what
+    * makes the variant SQL-replayable: filter to that suffix, then replay
+    * the plain greedy chain. */
   def windowFunnel(df: DataFrame, steps: Seq[String], window: Long,
       uuidCol: String = "uuid", timeCol: String = "time",
-      typeCol: String = "event_type", seqCol: String = "seq"): DataFrame = {
+      typeCol: String = "event_type", seqCol: String = "seq",
+      exclude: Seq[String] = Nil): DataFrame = {
     require(steps.nonEmpty, "windowFunnel needs at least one step")
     require(window >= 0, s"window must be non-negative, got $window")
+    require(exclude.intersect(steps).isEmpty,
+      s"exclusion types overlap steps: ${exclude.intersect(steps)}")
     val k = steps.length
 
     val evs = array_sort(collect_list(struct(
@@ -53,7 +64,12 @@ object Funnel {
           (if (j == i) e.getField("time") else times(j)).as(s"t$j")): _*)
         (cond, filled)
       }
-      branches.foldRight(acc) { case ((c, f), els) => when(c, f).otherwise(els) }
+      val stepped = branches.foldRight(acc) {
+        case ((c, f), els) => when(c, f).otherwise(els)
+      }
+      if (exclude.isEmpty) stepped
+      else when(e.getField("et").isin(exclude.map(lit): _*), zero)
+        .otherwise(stepped)
     }
 
     val grouped = df.groupBy(col(uuidCol)).agg(evs.as("_evs"))

@@ -113,4 +113,38 @@ class AggSpec extends SparkSpec {
       window = 50L)
     assert(late("u5") === ((2L, 0L)))
   }
+
+  test("windowFunnel exclusion: an abort event resets the in-progress chain") {
+    def run(rows: Seq[(String, Long, String)]): Map[String, (Long, Any)] =
+      graft.agg.Funnel.windowFunnel(
+          rows.zipWithIndex.map { case ((u, t, e), i) => (u, t, e, i.toLong) }
+            .toDF("uuid", "time", "event_type", "seq"),
+          Seq("view", "click", "purchase"), window = 1000L,
+          exclude = Seq("error"))
+        .collect()
+        .map(r => r.getAs[String]("uuid") ->
+          (r.getAs[Long]("funnel_level"), r.get(r.fieldIndex("first_time"))))
+        .toMap
+
+    val res = run(Seq(
+      // u0: error mid-chain aborts; suffix has no view → level 0
+      ("u0", 10L, "view"), ("u0", 20L, "click"), ("u0", 30L, "error"),
+      ("u0", 40L, "purchase"),
+      // u1: error BEFORE the chain is harmless → full level 3
+      ("u1", 5L, "error"), ("u1", 10L, "view"), ("u1", 20L, "click"),
+      ("u1", 30L, "purchase"),
+      // u2: chain restarts after the error and completes → level 3
+      ("u2", 10L, "view"), ("u2", 20L, "error"), ("u2", 30L, "view"),
+      ("u2", 40L, "click"), ("u2", 50L, "purchase"),
+      // u3: same-time tie — error then view at t=20 in seq order: the
+      // view (later seq) survives the reset → level 1
+      ("u3", 20L, "error"), ("u3", 20L, "view"),
+      // u4: no errors at all → plain funnel
+      ("u4", 10L, "view"), ("u4", 20L, "click")))
+    assert(res("u0")._1 === 0L)
+    assert(res("u1") === ((3L, 10L)))
+    assert(res("u2") === ((3L, 30L)))
+    assert(res("u3") === ((1L, 20L)))
+    assert(res("u4") === ((2L, 10L)))
+  }
 }
