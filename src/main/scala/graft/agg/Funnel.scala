@@ -28,12 +28,17 @@ object Funnel {
 
   /** `exclude`: event types that ABORT an in-progress chain (ClickHouse
     * windowFunnel's exclusion mode — "purchase without an error in
-    * between"). An exclusion event clears all slots, so the reported
-    * chain is the one in progress at trail end, built from events
-    * strictly after the LAST exclusion event in `(time, seq)` order
-    * (trivially the whole trail when none occur) — which is exactly what
-    * makes the variant SQL-replayable: filter to that suffix, then replay
-    * the plain greedy chain. */
+    * between"). Exclusion events cut the trail into SEGMENTS; a chain
+    * never spans one. The reported level is the MAX greedy-chain level
+    * over all segments (progress completed before an error is kept),
+    * `first_time` is the t0 of the EARLIEST segment attaining that level
+    * (strict-improvement update ⇒ deterministic tie-break). Replayable in
+    * SQL: segment id = count of exclusion events strictly before in
+    * `(time, seq)` order, then the plain greedy chain per (uuid, segment)
+    * and an argmax. Ties of exact `(time, seq)` between an exclusion and
+    * a step event are broken by the event-type string (the sort's third
+    * key) — give events unique seqs (this library's trails do) to avoid
+    * caring. */
   def windowFunnel(df: DataFrame, steps: Seq[String], window: Long,
       uuidCol: String = "uuid", timeCol: String = "time",
       typeCol: String = "event_type", seqCol: String = "seq",
@@ -47,40 +52,64 @@ object Funnel {
     val evs = array_sort(collect_list(struct(
       col(timeCol).cast("long").as("time"), col(seqCol).as("seq"),
       coalesce(col(typeCol), lit("")).as("et"))))
+    // state: the k slot times of the CURRENT segment's chain, plus the
+    // best (level, t0) over closed segments — bl/bt cost nothing when
+    // exclude is empty (they stay 0/null and the final max is a no-op)
     val zero = struct((0 until k).map(i =>
-      lit(null).cast("long").as(s"t$i")): _*)
+      lit(null).cast("long").as(s"t$i")) :+
+      lit(0L).as("bl") :+ lit(null).cast("long").as("bt"): _*)
+
+    // window-capped level of a slot vector (0 iff t0 is null; level i
+    // requires t_(i-1) within `window` of t0)
+    def levelOf(times: Seq[Column]): Column = {
+      val deeper = (1 until k).foldRight(lit(k)) { (i, els) =>
+        when(times(i).isNull || times(i) - times(0) > window, lit(i))
+          .otherwise(els)
+      }
+      when(times(0).isNull, lit(0)).otherwise(deeper).cast("long")
+    }
 
     // One fold step: the event fills the FIRST unfilled slot whose step
     // name matches and whose order constraint (strictly after the
     // previous slot) holds. Events arrive time-sorted, so each slot gets
-    // the earliest admissible event.
+    // the earliest admissible event. An exclusion event closes the
+    // segment: fold its level into the best (STRICT improvement, so the
+    // earliest best segment is kept) and clear the slots.
     def stepFn(acc: Column, e: Column): Column = {
       val times = (0 until k).map(i => acc.getField(s"t$i"))
+      val keep = Seq(acc.getField("bl").as("bl"), acc.getField("bt").as("bt"))
       val branches = (0 until k).map { i =>
         val order = if (i == 0) lit(true)
           else times(i - 1).isNotNull && e.getField("time") > times(i - 1)
         val cond = times(i).isNull && (e.getField("et") === steps(i)) && order
-        val filled = struct((0 until k).map(j =>
-          (if (j == i) e.getField("time") else times(j)).as(s"t$j")): _*)
+        val filled = struct(((0 until k).map(j =>
+          (if (j == i) e.getField("time") else times(j)).as(s"t$j")) ++
+          keep): _*)
         (cond, filled)
       }
       val stepped = branches.foldRight(acc) {
         case ((c, f), els) => when(c, f).otherwise(els)
       }
       if (exclude.isEmpty) stepped
-      else when(e.getField("et").isin(exclude.map(lit): _*), zero)
-        .otherwise(stepped)
+      else {
+        val cur = levelOf(times)
+        val improved = cur > acc.getField("bl")
+        val closed = struct((0 until k).map(i =>
+          lit(null).cast("long").as(s"t$i")) :+
+          when(improved, cur).otherwise(acc.getField("bl")).as("bl") :+
+          when(improved, times(0)).otherwise(acc.getField("bt")).as("bt"): _*)
+        when(e.getField("et").isin(exclude: _*), closed).otherwise(stepped)
+      }
     }
 
     val grouped = df.groupBy(col(uuidCol)).agg(evs.as("_evs"))
       .withColumn("_st", aggregate(col("_evs"), zero, stepFn))
     val times = (0 until k).map(i => col("_st").getField(s"t$i"))
-    val deeper = (1 until k).foldRight(lit(k)) { (i, els) =>
-      when(times(i).isNull || times(i) - times(0) > window, lit(i))
-        .otherwise(els)
-    }
-    val level = when(times(0).isNull, lit(0)).otherwise(deeper)
+    val cur = levelOf(times)
+    val bl = col("_st").getField("bl")
+    val level = when(cur > bl, cur).otherwise(bl)
+    val first = when(cur > bl, times(0)).otherwise(col("_st").getField("bt"))
     grouped.select(col(uuidCol), level.cast("long").as("funnel_level"),
-      times(0).as("first_time"))
+      first.as("first_time"))
   }
 }

@@ -114,7 +114,7 @@ class AggSpec extends SparkSpec {
     assert(late("u5") === ((2L, 0L)))
   }
 
-  test("windowFunnel exclusion: an abort event resets the in-progress chain") {
+  test("windowFunnel exclusion: best segment wins, chains never span an error") {
     def run(rows: Seq[(String, Long, String)]): Map[String, (Long, Any)] =
       graft.agg.Funnel.windowFunnel(
           rows.zipWithIndex.map { case ((u, t, e), i) => (u, t, e, i.toLong) }
@@ -127,24 +127,33 @@ class AggSpec extends SparkSpec {
         .toMap
 
     val res = run(Seq(
-      // u0: error mid-chain aborts; suffix has no view → level 0
+      // u0: error mid-chain — the view→click progress BEFORE it is kept
+      // (level 2); the lone purchase after can't beat it
       ("u0", 10L, "view"), ("u0", 20L, "click"), ("u0", 30L, "error"),
       ("u0", 40L, "purchase"),
       // u1: error BEFORE the chain is harmless → full level 3
       ("u1", 5L, "error"), ("u1", 10L, "view"), ("u1", 20L, "click"),
       ("u1", 30L, "purchase"),
-      // u2: chain restarts after the error and completes → level 3
+      // u2: level-1 segment, then a completing segment → 3, t0 of the win
       ("u2", 10L, "view"), ("u2", 20L, "error"), ("u2", 30L, "view"),
       ("u2", 40L, "click"), ("u2", 50L, "purchase"),
       // u3: same-time tie — error then view at t=20 in seq order: the
-      // view (later seq) survives the reset → level 1
+      // view (later seq) lands in the post-error segment → level 1
       ("u3", 20L, "error"), ("u3", 20L, "view"),
       // u4: no errors at all → plain funnel
-      ("u4", 10L, "view"), ("u4", 20L, "click")))
-    assert(res("u0")._1 === 0L)
+      ("u4", 10L, "view"), ("u4", 20L, "click"),
+      // u5: COMPLETED chain then a late error — conversion is kept
+      ("u5", 10L, "view"), ("u5", 20L, "click"), ("u5", 30L, "purchase"),
+      ("u5", 40L, "error"),
+      // u6: two equal-level segments → the EARLIEST one's t0 is reported
+      ("u6", 10L, "view"), ("u6", 20L, "click"), ("u6", 30L, "error"),
+      ("u6", 40L, "view"), ("u6", 50L, "click")))
+    assert(res("u0") === ((2L, 10L)))
     assert(res("u1") === ((3L, 10L)))
     assert(res("u2") === ((3L, 30L)))
     assert(res("u3") === ((1L, 20L)))
     assert(res("u4") === ((2L, 10L)))
+    assert(res("u5") === ((3L, 10L)))
+    assert(res("u6") === ((2L, 10L)))
   }
 }
