@@ -36,7 +36,10 @@ object RangeJoin {
     * nothing. Column names of the two inputs must be disjoint.
     *
     * `binWidth` should be ≥ the typical interval length (fanout per
-    * interval is ceil(length/binWidth)+1); correct for ANY positive value.
+    * interval is ceil(length/binWidth)+1); correct for ANY positive value,
+    * but a width orders of magnitude below the longest interval makes that
+    * interval's bin explode arbitrarily wide — size the width from the
+    * interval-length distribution, not the point density.
     */
   def binnedRangeJoin(points: DataFrame, intervals: DataFrame,
       tsCol: String, startCol: String, endCol: String,
