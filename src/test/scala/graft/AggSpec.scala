@@ -156,4 +156,54 @@ class AggSpec extends SparkSpec {
     assert(res("u5") === ((3L, 10L)))
     assert(res("u6") === ((2L, 10L)))
   }
+
+  test("windowFunnel exclusion equals an independent reference fold on random trails") {
+    val steps = Seq("view", "click", "purchase")
+    val types = steps ++ Seq("error", "signup")
+    val window = 40L
+    val rng = new scala.util.Random(11)
+    val rows = for {
+      u <- 0 until 150
+      i <- 0 until (1 + rng.nextInt(12))
+    } yield (s"u$u", rng.nextInt(100).toLong, types(rng.nextInt(types.length)))
+    val seqd = rows.zipWithIndex.map { case ((u, t, e), i) => (u, t, e, i.toLong) }
+
+    // independent imperative reference: walk (time, seq)-sorted events,
+    // greedy slots per segment, best (level, t0) with strict improvement
+    def ref(evts: Seq[(Long, Long, String)]): (Long, Option[Long]) = {
+      val slots = Array.fill[Option[Long]](steps.length)(None)
+      def level: Long = slots(0) match {
+        case None => 0L
+        case Some(t0) =>
+          var l = 1L
+          while (l < steps.length && slots(l.toInt).exists(_ - t0 <= window)) l += 1
+          l
+      }
+      var best = 0L
+      var bestT0: Option[Long] = None
+      evts.sortBy(e => (e._1, e._2)).foreach { case (t, _, et) =>
+        if (et == "error") {
+          if (level > best) { best = level; bestT0 = slots(0) }
+          slots.indices.foreach(slots(_) = None)
+        } else {
+          val i = steps.indexOf(et)
+          if (i >= 0 && slots(i).isEmpty &&
+              (i == 0 || slots(i - 1).exists(t > _))) slots(i) = Some(t)
+        }
+      }
+      if (level > best) (level, slots(0)) else (best, bestT0)
+    }
+    val expected = seqd.groupBy(_._1).map { case (u, es) =>
+      u -> ref(es.map(e => (e._2, e._4, e._3)))
+    }
+
+    val got = graft.agg.Funnel.windowFunnel(
+        seqd.toDF("uuid", "time", "event_type", "seq"),
+        steps, window, exclude = Seq("error"))
+      .collect()
+      .map(r => r.getAs[String]("uuid") -> ((r.getAs[Long]("funnel_level"),
+        Option(r.get(r.fieldIndex("first_time"))).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(got === expected)
+  }
 }
