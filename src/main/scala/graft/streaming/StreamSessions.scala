@@ -239,6 +239,55 @@ object StreamSessions {
       }
   }
 
+  /** Decay-score state: the trail's max time and the score normalized to
+    * it (`Σ exp((t_i − maxTime)/τ)` over all events seen). */
+  final case class DecayState(maxTime: Long, score: Double, n: Long)
+  final case class DecayUpdate(uuid: String, nEvents: Long, lastTime: Long,
+      score: Double)
+
+  /** Streaming twin of [[graft.agg.Rolling.decayScore]] with O(1) state
+    * per trail: the max-normalized score is incrementally maintainable —
+    * an event at `t ≤ M` adds `exp((t − M)/τ)`; an event advancing the
+    * max to `t > M` renormalizes the whole sum by `exp((M − t)/τ)` first
+    * (every term shrinks by the same factor), so no event history is kept.
+    * Emits the running (n, last_time, score) per trail per batch.
+    *
+    * Agreement with the batch operator is up to float-accumulation order
+    * (spec-proven to 1e-9 relative): the batch side sums micro-rounded
+    * terms for engine-exact replay, which an O(1) incremental fold cannot
+    * reproduce term-for-term — bounded state is the tradeoff, as always
+    * on the streaming side. */
+  def statefulDecayScore(events: Dataset[(String, Long)], tau: Long)(
+      implicit enc: org.apache.spark.sql.Encoder[DecayUpdate],
+      stateEnc: org.apache.spark.sql.Encoder[DecayState]): Dataset[DecayUpdate] = {
+    require(tau > 0, s"tau must be positive, got $tau")
+    implicit val strEnc: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[DecayState, DecayUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uuid: String, rows: Iterator[(String, Long)],
+         state: GroupState[DecayState]) =>
+          val ts = rows.map(_._2).toArray.sorted
+          if (ts.isEmpty) Iterator.empty
+          else {
+            var (m, s, n) = state.getOption
+              .map(st => (st.maxTime, st.score, st.n))
+              .getOrElse((Long.MinValue, 0.0, 0L))
+            ts.foreach { t =>
+              if (t > m) {
+                s = (if (m == Long.MinValue) 0.0
+                     else s * math.exp((m - t).toDouble / tau)) + 1.0
+                m = t
+              } else s += math.exp((t - m).toDouble / tau)
+              n += 1
+            }
+            state.update(DecayState(m, s, n))
+            Iterator.single(DecayUpdate(uuid, n, m, s))
+          }
+      }
+  }
+
   /** Streaming exact dedup on a content key: keep the first arrival of each
     * key, drop later duplicates. State is bounded by the watermark —
     * dropDuplicatesWithinWatermark evicts keys once the event-time

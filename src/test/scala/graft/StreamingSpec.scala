@@ -411,6 +411,53 @@ class StreamingSpec extends SparkSpec {
     assert(got(7000L) === ((2L, 13L)))              // 4000 + itself (in-order)
   }
 
+  test("stateful decayScore renormalizes O(1) state across batches, matches batch") {
+    import graft.streaming.StreamSessions.{DecayState, DecayUpdate}
+    implicit val updEnc = org.apache.spark.sql.Encoders.product[DecayUpdate]
+    implicit val stEnc = org.apache.spark.sql.Encoders.product[DecayState]
+
+    val dir = Files.createTempDirectory("graft-sdecay")
+    val src = dir.resolve("src").toString
+    // batch 2 advances the max (forcing the renormalization path) and
+    // delivers an event below the carried max (the add-term path)
+    val b1 = Seq(("u1", 0L), ("u1", 43200L), ("u2", 10L))
+    val b2 = Seq(("u1", 86400L), ("u1", 20000L))
+    b1.toDF("uuid", "time").coalesce(1).write.parquet(src)
+    Thread.sleep(1100)
+    b2.toDF("uuid", "time").coalesce(1).write.mode("append").parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .as[(String, Long)]
+    val q = StreamSessions.statefulDecayScore(stream, tau = 86400L)
+      .writeStream.outputMode("append").format("memory").queryName("sdecay")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    // final emission per trail (max nEvents wins)
+    val streamed = spark.sql(
+        """SELECT uuid, nEvents, lastTime, score FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY uuid
+          |    ORDER BY nEvents DESC) rn FROM sdecay) WHERE rn = 1""".stripMargin)
+      .as[DecayUpdate].collect()
+      .map(u => u.uuid -> ((u.nEvents, u.lastTime, u.score))).toMap
+    val batch = graft.agg.Rolling.decayScore(
+        (b1 ++ b2).toDF("uuid", "time"), tau = 86400L)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3).toDouble / 1e6))).toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (u, (n, last, score)) =>
+      val (bn, blast, bscore) = batch(u)
+      assert(n === bn && last === blast, s"$u counts/last diverge")
+      // batch micro-rounds each term; incremental float fold differs only
+      // by accumulation order — agreement must be far inside the rounding
+      assert(math.abs(score - bscore) < 1e-5 * n,
+        s"$u score $score vs batch $bscore")
+    }
+  }
+
   test("stateful lastTouch carries touch state across batches, equal to batch") {
     import graft.streaming.StreamSessions.{AttributionHit, TouchState}
     implicit val hitEnc = org.apache.spark.sql.Encoders.product[AttributionHit]
