@@ -76,8 +76,11 @@ object StreamSessions {
       }
   }
 
-  /** Per-trail funnel slots carried across micro-batches; -1 = unfilled. */
-  final case class FunnelState(slots: Array[Long])
+  /** Per-trail funnel slots carried across micro-batches; -1 = unfilled.
+    * bestLevel/bestT0 carry the best CLOSED segment when exclusion types
+    * are configured (0/None otherwise — costless). */
+  final case class FunnelState(slots: Array[Long], bestLevel: Long = 0L,
+      bestT0: Option[Long] = None)
   final case class FunnelUpdate(uuid: String, funnelLevel: Long,
       firstTime: Option[Long])
 
@@ -91,12 +94,20 @@ object StreamSessions {
     * in-order delivery this agrees exactly with the batch operator
     * (spec-proven). */
   def statefulWindowFunnel(events: Dataset[(String, Long, String)],
-      steps: Seq[String], window: Long)(
+      steps: Seq[String], window: Long, exclude: Set[String] = Set.empty)(
       implicit enc: org.apache.spark.sql.Encoder[FunnelUpdate],
       stateEnc: org.apache.spark.sql.Encoder[FunnelState]): Dataset[FunnelUpdate] = {
+    require(exclude.intersect(steps.toSet).isEmpty,
+      s"exclusion types overlap steps: ${exclude.intersect(steps.toSet)}")
     implicit val strEnc: org.apache.spark.sql.Encoder[String] =
       org.apache.spark.sql.Encoders.STRING
     val k = steps.length
+    def levelOf(slots: Array[Long]): Long = {
+      var level = 0L
+      while (level < k && slots(level.toInt) != -1L &&
+          slots(level.toInt) - slots(0) <= window) level += 1
+      level
+    }
     events.groupByKey(_._1)
       .flatMapGroupsWithState[FunnelState, FunnelUpdate](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -104,26 +115,40 @@ object StreamSessions {
          state: GroupState[FunnelState]) =>
           val slots = state.getOption.map(_.slots.clone())
             .getOrElse(Array.fill(k)(-1L))
+          var best = state.getOption.map(_.bestLevel).getOrElse(0L)
+          var bestT0 = state.getOption.flatMap(_.bestT0)
           rows.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, t, et) =>
-            var i = 0
-            var placed = false
-            while (i < k && !placed) {
-              if (slots(i) == -1L && steps(i) == et &&
-                  (i == 0 || (slots(i - 1) != -1L && t > slots(i - 1)))) {
-                slots(i) = t
-                placed = true
+            if (exclude(et)) {
+              // segment closes: best keeps the earliest winner (strict >)
+              val cur = levelOf(slots)
+              if (cur > best) {
+                best = cur
+                bestT0 = if (slots(0) == -1L) None else Some(slots(0))
               }
-              i += 1
+              java.util.Arrays.fill(slots, -1L)
+            } else {
+              var i = 0
+              var placed = false
+              while (i < k && !placed) {
+                if (slots(i) == -1L && steps(i) == et &&
+                    (i == 0 || (slots(i - 1) != -1L && t > slots(i - 1)))) {
+                  slots(i) = t
+                  placed = true
+                }
+                i += 1
+              }
             }
           }
-          if (slots.forall(_ == -1L) && state.getOption.isEmpty) Iterator.empty
+          if (slots.forall(_ == -1L) && best == 0L && state.getOption.isEmpty)
+            Iterator.empty
           else {
-            state.update(FunnelState(slots))
-            var level = 0L
-            while (level < k && slots(level.toInt) != -1L &&
-                slots(level.toInt) - slots(0) <= window) level += 1
-            Iterator.single(FunnelUpdate(uuid, level,
-              if (slots(0) == -1L) None else Some(slots(0))))
+            state.update(FunnelState(slots, best, bestT0))
+            val cur = levelOf(slots)
+            val (level, first) =
+              if (cur > best)
+                (cur, if (slots(0) == -1L) None else Some(slots(0)))
+              else (best, bestT0)
+            Iterator.single(FunnelUpdate(uuid, level, first))
           }
       }
   }

@@ -549,6 +549,54 @@ class StreamingSpec extends SparkSpec {
     assert(streamed("u2") === ((1L, Some(40L))))
   }
 
+  test("stateful windowFunnel with exclusion: best segment survives the batch boundary") {
+    import graft.streaming.StreamSessions.{FunnelState, FunnelUpdate}
+    implicit val updEnc = org.apache.spark.sql.Encoders.product[FunnelUpdate]
+    implicit val stEnc = org.apache.spark.sql.Encoders.product[FunnelState]
+    val steps = Seq("view", "click", "purchase")
+
+    val dir = Files.createTempDirectory("graft-sfexcl")
+    val src = dir.resolve("src").toString
+    // u1 completes level 2 in batch 1; batch 2 opens with the error (the
+    // best-segment state must cross the boundary) and a weaker restart.
+    // u2's error lands BETWEEN its two batch-1 events.
+    val b1 = Seq(("u1", 10L, "view"), ("u1", 20L, "click"),
+      ("u2", 10L, "view"), ("u2", 20L, "error"), ("u2", 30L, "view"))
+    val b2 = Seq(("u1", 30L, "error"), ("u1", 40L, "view"),
+      ("u2", 40L, "click"), ("u2", 50L, "purchase"))
+    b1.toDF("uuid", "time", "event_type").coalesce(1).write.parquet(src)
+    Thread.sleep(1100)
+    b2.toDF("uuid", "time", "event_type").coalesce(1)
+      .write.mode("append").parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .as[(String, Long, String)]
+    val q = StreamSessions.statefulWindowFunnel(stream, steps,
+        window = 100L, exclude = Set("error"))
+      .writeStream.outputMode("append").format("memory").queryName("sfexcl")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.sql(
+        """SELECT uuid, funnelLevel, firstTime FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY uuid
+          |    ORDER BY funnelLevel DESC) rn FROM sfexcl) WHERE rn = 1""".stripMargin)
+      .as[FunnelUpdate].collect()
+      .map(u => u.uuid -> ((u.funnelLevel, u.firstTime))).toMap
+    val batch = graft.agg.Funnel.windowFunnel(
+        (b1 ++ b2).zipWithIndex.map { case ((u, t, e), i) => (u, t, e, i.toLong) }
+          .toDF("uuid", "time", "event_type", "seq"),
+        steps, window = 100L, exclude = Seq("error"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(streamed === batch)
+    assert(streamed("u1") === ((2L, Some(10L))))  // pre-error segment wins
+    assert(streamed("u2") === ((3L, Some(30L))))  // post-error chain wins
+  }
+
   test("typed TrailSummaryAggregator folds trails with partial aggregation") {
     val events = Seq(
       TrailEvent("u1", 10L, Map("a" -> "x")),
