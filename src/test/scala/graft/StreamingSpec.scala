@@ -304,6 +304,13 @@ class StreamingSpec extends SparkSpec {
       .select(graft.functions.GraftFunctions.shingleHashes($"t", 2).as("h"))
       .head().getSeq[Long](0)
     assert(shSql === shCol && shSql.length === 2)
+
+    // binary expression through the same injection path (z-order curve)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "z_order2", es => graft.functions.ZOrder2(es(0), es(1)), "built-in")
+    val zSql = spark.sql("SELECT z_order2(3L, 0L) AS z, z_order2(0L, 3L) AS w")
+      .head()
+    assert(zSql.getLong(0) === 5L && zSql.getLong(1) === 10L)
   }
 
   test("binned range join runs stateless on a stream, equal to batch") {
