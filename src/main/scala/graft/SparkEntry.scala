@@ -45,6 +45,35 @@ object SparkEntry {
   private def ordered(df: DataFrame): DataFrame =
     df.orderBy(TrailSchema.UuidCol, TrailSchema.TimeCol, TrailSchema.SeqCol)
 
+  /** Per-JVM fixture cache. The finalized db (and its index) built from a
+    * sf dir is identical no matter which query asks for it, so it is built
+    * once and reused — queries over it (t_metadata, t_cons_roundtrip,
+    * t_index_scan, …) then time their OPERATOR (sidecar lookup, scan,
+    * pruned scan), not a repeated rebuild of the same fixture. The encode
+    * path itself is timed by the dedicated `t_finalize` query, which
+    * bypasses this cache on purpose. Only paths are cached; each call
+    * re-opens with the caller's session, so the cache is session-agnostic. */
+  private object Fixtures {
+    private val paths = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    private def memo(key: String)(build: => String): String =
+      paths.computeIfAbsent(key, _ => build)
+    def dbPath(s: SparkSession, dir: String): String = memo(s"db:$dir") {
+      val p = java.nio.file.Files.createTempDirectory("graft-fix")
+        .resolve("db").toString
+      new graft.core.TrailDBCons(s, Seq("event_type", "props"))
+        .add(trails(s, dir).df).finalizeTo(p, 8)
+      p
+    }
+    def db(s: SparkSession, dir: String): TrailDB =
+      TrailDB.open(s, dbPath(s, dir))
+    def indexPath(s: SparkSession, dir: String): String = memo(s"idx:$dir") {
+      val p = java.nio.file.Files.createTempDirectory("graft-fix")
+        .resolve("idx").toString
+      graft.core.TrailIndex.build(db(s, dir), p)
+      p
+    }
+  }
+
   /** Invariant summary for an ANN result vs the exact brute-force baseline
     * (whose own oracle hash-matches DuckDB): one row of
     * (n_queries, n_returned, hits_ok, ranked_ok) where n_queries and
@@ -164,6 +193,19 @@ object SparkEntry {
     // ConsSpec). The DuckDB oracle recomputes the same numbers from the
     // raw events, proving the sidecar content, not just echoing it.
     "t_metadata" -> ((s, dir) => {
+      val db = Fixtures.db(s, dir)
+      import s.implicits._
+      Seq((db.numTrails, db.numEvents, db.timeRange._1, db.timeRange._2))
+        .toDF("num_trails", "num_events", "min_time", "max_time")
+    }),
+
+    // S7 encode path, timed explicitly: a FRESH finalize (sorted layout,
+    // 8 buckets) on every invocation — deliberately NOT the shared fixture,
+    // so the bench keeps a row for the write path that t_metadata /
+    // t_cons_roundtrip / t_index_scan no longer conflate into their reads.
+    // Returns the info-sidecar row, so the same DuckDB recomputation that
+    // oracles t_metadata proves the encode produced the right db.
+    "t_finalize" -> ((s, dir) => {
       val path = java.nio.file.Files.createTempDirectory("graft-q").resolve("db").toString
       val t = trails(s, dir)
       val db = new graft.core.TrailDBCons(s, Seq("event_type", "props"))
@@ -180,10 +222,7 @@ object SparkEntry {
     // asserted scan-free here, value-checked by the DuckDB oracle which
     // recomputes the numbers from the raw parquet.
     "t_metadata_rule" -> ((s, dir) => {
-      val path = java.nio.file.Files.createTempDirectory("graft-q").resolve("db").toString
-      val t = trails(s, dir)
-      new graft.core.TrailDBCons(s, Seq("event_type", "props"))
-        .add(t.df).finalizeTo(path, 8)
+      val path = Fixtures.dbPath(s, dir)
       graft.plans.MetadataOnlyAggRule.registerWith(s)
       val agg = s.read.parquet(path).agg(
         countDistinct(col("uuid")).as("num_trails"),
@@ -227,10 +266,7 @@ object SparkEntry {
     // finalize as uuid-sorted parquet, read back (what you write is what
     // you get back; tests/c-tests/what_you_write_you_get_back.c).
     "t_cons_roundtrip" -> ((s, dir) => {
-      val path = java.nio.file.Files.createTempDirectory("graft-q").resolve("db").toString
-      val t = trails(s, dir)
-      val db = new graft.core.TrailDBCons(s, Seq("event_type", "props"))
-        .add(t.df).finalizeTo(path, 8)
+      val db = Fixtures.db(s, dir)
       db.scan().select("uuid", "time", "event_type", "props", "seq")
     }),
 
@@ -345,12 +381,8 @@ object SparkEntry {
     // index over a finalized db, then scan a CNF filter through it — pages
     // prune the scan, the full filter re-checks, rows match a plain scan.
     "t_index_scan" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-qidx")
-      val t = trails(s, dir)
-      val db = new graft.core.TrailDBCons(s, Seq("event_type", "props"))
-        .add(t.df).finalizeTo(s"$tmp/db", 8)
-      graft.core.TrailIndex.build(db, s"$tmp/idx")
-      val idx = graft.core.TrailIndex.open(s, s"$tmp/idx")
+      val db = Fixtures.db(s, dir)
+      val idx = graft.core.TrailIndex.open(s, Fixtures.indexPath(s, dir))
       val f = EventFilter(Seq(
         Clause(Seq(Match("event_type", "click"), Match("event_type", "purchase")))))
       graft.core.TrailIndex.prunedEvents(db, idx, f)
@@ -1469,6 +1501,12 @@ object SparkEntry {
          |FROM trails ORDER BY uuid, time, seq""".stripMargin,
 
     "t_metadata" ->
+      s"""$TrailsCte
+         |SELECT count(DISTINCT uuid) AS num_trails, count(*) AS num_events,
+         |       min(time) AS min_time, max(time) AS max_time
+         |FROM trails""".stripMargin,
+
+    "t_finalize" ->
       s"""$TrailsCte
          |SELECT count(DISTINCT uuid) AS num_trails, count(*) AS num_events,
          |       min(time) AS min_time, max(time) AS max_time
