@@ -28,7 +28,12 @@ final class TrailDB private (
       * present only on a pristine [[TrailDB.open]] handle; any derived view
       * (filter/whitelist/restrict) drops it and falls back to scans, since
       * its counts describe the FULL table. */
-    val info: Option[TrailInfo] = None) {
+    val info: Option[TrailInfo] = None,
+    /** Filesystem location this handle was opened from — present only on a
+      * pristine [[TrailDB.open]] handle (like [[info]]). [[TrailIndex]] uses
+      * it to stamp the db's identity into an index at build time so a stale
+      * index is refused at open (reference: tdb_index.c:439-451). */
+    val sourcePath: Option[String] = None) {
 
   /** User field names (excludes uuid/time/seq). */
   val fields: Seq[String] = TrailSchema.userFields(base.schema)
@@ -297,7 +302,7 @@ object TrailDB {
       bucketSeconds: Option[Long] = None): TrailDB = {
     val info = TrailInfo.read(spark, path)
     new TrailDB(spark, spark.read.parquet(path), None,
-      bucketSeconds.orElse(info.flatMap(_.bucketSeconds)), info)
+      bucketSeconds.orElse(info.flatMap(_.bucketSeconds)), info, Some(path))
   }
 
   /** Open a bucketed catalog table written by
@@ -307,7 +312,7 @@ object TrailDB {
     val location = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(tableName)).location.toString
     new TrailDB(spark, spark.table(tableName), None, None,
-      TrailInfo.read(spark, location))
+      TrailInfo.read(spark, location), Some(location))
   }
 
   /** Wrap an already-normalized trail DataFrame (uuid/time/seq + string fields). */

@@ -1,5 +1,6 @@
 package graft.core
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -37,12 +38,71 @@ object TrailIndex {
     * the reference defaults to ~64k pages for up to 2^47 trails. */
   val DefaultPrefixLen = 2
 
+  /** Binding sidecar written next to the index entries — records WHICH db
+    * this index was built from (path + a fingerprint of its info sidecar),
+    * so [[open]] can refuse a stale index. The reference stores the db's
+    * identity in the index header and errors on mismatch
+    * (tdbcli/tdb_index.c:439-451, 701-702). */
+  val SidecarName = "_graft_index.json"
+
+  /** Fingerprint of the db at `dbPath`: sha-256 of its `_graft_info.json`
+    * bytes plus that file's modification time. Every finalize rewrites the
+    * info sidecar, so ANY rewrite of the db — even one producing identical
+    * stats — changes the mtime and invalidates indexes built before it.
+    * None when the db has no info sidecar (bare parquet dir). */
+  private def dbFingerprint(spark: SparkSession, dbPath: String): Option[(String, Long)] = {
+    val p = new Path(dbPath, TrailInfo.FileName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val st = fs.getFileStatus(p)
+      val in = fs.open(p)
+      val bytes = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toByteArray
+      } finally in.close()
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(bytes).map(b => f"$b%02x").mkString
+      Some((sha, st.getModificationTime))
+    }
+  }
+
   /** Build the inverted index over every user field of `db` and write it as
     * Parquet at `path` (reference: `tdb index` builds <db>.index;
-    * tdbcli/tdb_index.c:721-779). */
-  def build(db: TrailDB, path: String, prefixLen: Int = DefaultPrefixLen): Unit =
+    * tdbcli/tdb_index.c:721-779), plus the db-binding sidecar that [[open]]
+    * validates. A db handle with no filesystem identity (an ephemeral
+    * [[TrailDB.fromTrailFrame]]) gets an unbound index — open() then warns
+    * that staleness protection is unavailable. */
+  def build(db: TrailDB, path: String, prefixLen: Int = DefaultPrefixLen): Unit = {
     entries(db, prefixLen)
       .write.mode(SaveMode.Overwrite).parquet(path)
+    val spark = db.spark
+    val binding = for {
+      dbPath <- db.sourcePath
+      (sha, mtime) <- dbFingerprint(spark, dbPath)
+    } yield (dbPath, sha, mtime)
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val json = binding match {
+      case Some((dbPath, sha, mtime)) =>
+        s"""{"prefix_len":$prefixLen,"db_path":"${esc(dbPath)}",""" +
+          s""""db_info_sha256":"$sha","db_info_mtime":$mtime}"""
+      case None =>
+        System.err.println(s"[graft] index at $path built from a db handle " +
+          "with no filesystem identity — staleness protection disabled")
+        s"""{"prefix_len":$prefixLen}"""
+    }
+    val sp = new Path(path, SidecarName)
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(sp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
 
   /** The index entries (field, value, page) as a DataFrame — NULL stored as
     * "" (the reference's val-0 item is indexable like any other). */
@@ -58,8 +118,62 @@ object TrailIndex {
       .distinct()
   }
 
-  def open(spark: SparkSession, path: String): DataFrame =
+  /** Open index entries, REFUSING a stale index: if the binding sidecar
+    * records a db fingerprint, the db at the recorded path must still have
+    * exactly that fingerprint — a db rewritten after the index was built
+    * can be missing pages for values added later, which silently DROPS rows
+    * from pruned scans (false negatives; false positives are safe because
+    * the full filter is always re-applied). Mirrors the reference's
+    * open-time binding check (tdbcli/tdb_index.c:439-451, 701-702).
+    *
+    * An index with no sidecar (pre-binding layout) or an unbound one
+    * (ephemeral source db) opens with a loud stderr warning instead — a
+    * missing guard must not make an intact index unusable. */
+  def open(spark: SparkSession, path: String): DataFrame = {
+    val sp = new Path(path, SidecarName)
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sp)) {
+      System.err.println(s"[graft] index at $path has no db-binding sidecar " +
+        "— cannot check staleness (rebuild with TrailIndex.build to bind)")
+    } else {
+      val in = fs.open(sp)
+      val text = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toString("UTF-8")
+      } finally in.close()
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val j = JsonMethods.parse(text)
+      (j \ "db_path", j \ "db_info_sha256", j \ "db_info_mtime") match {
+        case (JString(dbPath), JString(sha), mtimeJ) =>
+          val mtime = mtimeJ match {
+            case JInt(v) => v.longValue; case JLong(v) => v
+            case other => throw new IllegalStateException(
+              s"index sidecar $sp has a malformed db_info_mtime: $other")
+          }
+          dbFingerprint(spark, dbPath) match {
+            case Some((curSha, curMtime)) if curSha == sha && curMtime == mtime => ()
+            case Some((curSha, curMtime)) => throw new IllegalStateException(
+              s"STALE INDEX at $path: built against db $dbPath with info " +
+                s"fingerprint $sha@$mtime, but the db now has " +
+                s"$curSha@$curMtime — the db was rewritten after this index " +
+                "was built, so pruned scans could silently drop rows. " +
+                "Rebuild with TrailIndex.build.")
+            case None => throw new IllegalStateException(
+              s"STALE INDEX at $path: built against db $dbPath, which no " +
+                "longer has an info sidecar — cannot prove the index still " +
+                "matches the data. Rebuild with TrailIndex.build.")
+          }
+        case _ =>
+          System.err.println(s"[graft] index at $path is unbound (built from " +
+            "an ephemeral db handle) — staleness cannot be checked")
+      }
+    }
     spark.read.parquet(path)
+  }
 
   /** Candidate pages for `filter`, or None when the index cannot prune
     * (reference returns "all pages" in that case; tdb_index.c:575-606):

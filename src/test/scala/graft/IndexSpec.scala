@@ -110,4 +110,31 @@ class IndexSpec extends SparkSpec {
     assert(TrailIndex.prunedEvents(db, index, f).count() === 0)
     assert(db.events(f).count() === 0)
   }
+
+  test("stale index: a db rewrite after build is refused loudly at open") {
+    // tdbcli/tdb_index.c:439-451,701-702 — the index is bound to the db it
+    // was built from; a rewritten db could be missing pages for new values,
+    // which would silently DROP rows from pruned scans.
+    val dir = Files.createTempDirectory("graft-idx-stale")
+    val dbPath = dir.resolve("db").toString
+    val idxPath = dir.resolve("idx").toString
+    def mkDb(n: Int) = new TrailDBCons(spark, Seq("etype"))
+      .add((0 until n).map(i => (uuidOf(i), 100L + i, s"e$i"))
+        .toDF("uuid", "time", "etype"))
+      .finalizeTo(dbPath)
+
+    TrailIndex.build(mkDb(4), idxPath)
+    TrailIndex.open(spark, idxPath).count() // fresh: opens fine
+
+    Thread.sleep(5) // mtime tick — a rewrite inside 1ms must not slip by
+    mkDb(6)         // rewrite the db in place: index is now stale
+    val e = intercept[IllegalStateException] {
+      TrailIndex.open(spark, idxPath)
+    }
+    assert(e.getMessage.contains("STALE INDEX"), e.getMessage)
+
+    // rebuilding against the new db restores service
+    TrailIndex.build(TrailDB.open(spark, dbPath), idxPath)
+    assert(TrailIndex.open(spark, idxPath).count() > 0)
+  }
 }
