@@ -110,4 +110,9 @@ object GraftFunctions {
 
   def zOrder2(a: Column, b: Column): Column =
     ColumnBridge.column(ZOrder2(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def bloomMightContain(
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+      hash: Column): Column =
+    ColumnBridge.column(BloomMightContain(ColumnBridge.expression(hash), bloom))
 }

@@ -329,6 +329,46 @@ case class MinHashSig(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Probe a broadcast Bloom filter with a 64-bit hash, inside whole-stage
+  * codegen. The filter rides the expression as a Broadcast HANDLE — tasks
+  * serialize a few bytes and executors fetch the bitset once via torrent,
+  * exactly like the join-side broadcast it replaces; the bit test itself is
+  * a static call, so the batch-probe scan of [[graft.ops.Dedup.bloomDedup]]
+  * (the repeated-100 TB-ingest path) stays one unbroken codegen span where
+  * the previous Scala UDF forced a per-row interpreted boundary. */
+case class BloomMightContain(
+    child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain requires bigint input, got ${other.catalogString}")
+  }
+
+  @transient private lazy val filter = bloom.value
+
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(filter.mightContainLong(input.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bloomBc", bloom,
+      "org.apache.spark.broadcast.Broadcast")
+    // Resolve broadcast.value() once per task, not once per row.
+    val local = ctx.addMutableState("org.apache.spark.util.sketch.BloomFilter",
+      "graftBloom",
+      v => s"$v = (org.apache.spark.util.sketch.BloomFilter) $bcRef.value();")
+    defineCodeGen(ctx, ev, c => s"$local.mightContainLong($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
 object MinHashParams {
   /** Mersenne prime 2³¹−1: a·h + b stays ≤ ~2⁶² — no long overflow. */
   val P = 2147483647L

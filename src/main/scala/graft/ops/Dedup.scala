@@ -491,9 +491,10 @@ object Dedup {
     *
     * One-sided error, the direction you want for dedup: a true duplicate
     * ALWAYS probes positive (never re-ingested); a new document is
-    * dropped only with probability ≤ fpp. The probe closure is the one
-    * non-codegen step (a Bloom bitset has no Catalyst builtin) — it is a
-    * broadcast-local bit test, not a lookup join.
+    * dropped only with probability ≤ fpp. The probe is a native codegen'd
+    * expression ([[graft.functions.BloomMightContain]]) over the broadcast
+    * bitset — a local bit test inside the scan's whole-stage span, not a
+    * lookup join and not an interpreted UDF boundary.
     */
   def bloomDedup(corpus: DataFrame, batch: DataFrame,
       textCol: String = "text", fpp: Double = 0.01,
@@ -503,9 +504,9 @@ object Dedup {
     val n = expectedItems.getOrElse(math.max(hashed.count(), 1000L))
     val bf = hashed.stat.bloomFilter("_h", n, fpp)
     val bc = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
     batch.withColumn("_h", xxhash64(col(textCol)))
-      .filter(!mightContain(col("_h"))).drop("_h")
+      .filter(!graft.functions.GraftFunctions.bloomMightContain(bc, col("_h")))
+      .drop("_h")
   }
 
   def incrementalDedup(corpus: DataFrame, batch: DataFrame,

@@ -62,6 +62,18 @@ class PlanGuardSpec extends SparkSpec {
       s"t_attribution grew extra exchanges:\n$attr")
   }
 
+  test("the whole tree is UDF-free: bloom probe runs as a native expression") {
+    // d_bloom_dedup's batch probe was the tree's ONLY Scala UDF — now a
+    // codegen'd BloomMightContain over the broadcast bitset. A ScalaUDF in
+    // this plan means an interpreted per-row boundary came back on the
+    // repeated-ingest hot path.
+    val plan = SparkEntry.queries("d_bloom_dedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), s"d_bloom_dedup regrew a UDF:\n$plan")
+    assert(plan.contains("bloom_might_contain"),
+      s"d_bloom_dedup lost the native bloom probe:\n$plan")
+  }
+
   test("range join never degrades to a nested loop; horizon ops stay one-pass") {
     // The whole point of q_range_join's binning is turning the inequality
     // join into an equi-join — a refactor that loses the bin key falls
