@@ -53,7 +53,8 @@ case class AsOfJoinNode(
     uuidColName: String,
     timeColName: String,
     valueColNames: Seq[String],
-    asofOutput: Seq[Attribute]) extends BinaryNode {
+    asofOutput: Seq[Attribute],
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   /** Key columns are stored BY NAME and late-bound against the current
     * children: when the analyzer's DeduplicateRelations re-identifies one
@@ -97,7 +98,7 @@ object AsOfJoinStrategy extends SparkStrategy {
     case n: AsOfJoinNode =>
       AsOfJoinExec(planLater(n.left), planLater(n.right),
         n.leftUuid, n.leftTime, n.rightUuid, n.rightTime,
-        n.rightValues, n.asofOutput) :: Nil
+        n.rightValues, n.asofOutput, n.tolerance) :: Nil
     case _ => Nil
   }
 }
@@ -110,7 +111,15 @@ case class AsOfJoinExec(
     rightUuid: Attribute,
     rightTime: Attribute,
     rightValues: Seq[Attribute],
-    asofOutput: Seq[Attribute]) extends BinaryExecNode {
+    asofOutput: Seq[Attribute],
+    /** Bounded staleness: a carried match additionally requires
+      * right.time >= left.time − tolerance (closed bound, same contract as
+      * the window form TrailDBCons.asOfJoin) — too-old matches emit NULLs
+      * exactly like no-match. Adds one long + one flag of state to the
+      * merge loop; the too-old row is MASKED per left row rather than
+      * discarded, so it still anchors the "latest right row" position while
+      * newer right rows replace it as the cursor advances. */
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ asofOutput
 
@@ -157,10 +166,15 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       val rBuf = rIter.buffered
 
+      val tol = tolerance.getOrElse(Long.MaxValue)
+      val hasTol = tolerance.isDefined
+
       new Iterator[InternalRow] {
         private var started = false
         private var curUuid: UTF8String = null
         private var carried: InternalRow = null
+        private var carriedTime: Long = Long.MinValue
+        private var carriedTimeNull: Boolean = true
 
         // Null-safe, matching both the sort order (NULLS FIRST) and the
         // window formulation's grouping (null uuids form one trail).
@@ -191,6 +205,8 @@ case class AsOfJoinExec(
             started = true
             curUuid = if (lu == null) null else lu.clone()
             carried = null
+            carriedTime = Long.MinValue
+            carriedTimeNull = true
           }
           // Advance the right cursor through (a) trails entirely before
           // this one — discarded, no left rows want them — and (b) rows
@@ -203,11 +219,19 @@ case class AsOfJoinExec(
             val cmp = cmpUuid(ru, lu)
             if (cmp < 0) { rBuf.next() }
             else if (cmp == 0 && timeAt(rRow, rtIdx) <= lt) {
+              carriedTimeNull = rRow.isNullAt(rtIdx)
+              carriedTime = timeAt(rRow, rtIdx)
               carried = valueProj(rBuf.next()).copy()
             } else advancing = false
           }
           numOutputRows += 1
-          resultProj(joined(lRow, if (carried == null) nullVals else carried))
+          // Tolerance masks a too-old carried match per LEFT row (NULL
+          // times never satisfy a bound, mirroring the window form's
+          // three-valued `_rt >= time - t`); the row itself stays carried
+          // so later right rows replace it as the cursor advances.
+          val visible = carried != null && (!hasTol ||
+            (!carriedTimeNull && !lRow.isNullAt(ltIdx) && carriedTime >= lt - tol))
+          resultProj(joined(lRow, if (visible) carried else nullVals))
         }
       }
     }
@@ -232,8 +256,10 @@ object AsOfJoin {
     */
   def join(left: DataFrame, right: DataFrame, valueCols: Seq[String],
       uuidCol: String = graft.core.TrailSchema.UuidCol,
-      timeCol: String = graft.core.TrailSchema.TimeCol): DataFrame = {
+      timeCol: String = graft.core.TrailSchema.TimeCol,
+      tolerance: Option[Long] = None): DataFrame = {
     require(valueCols.nonEmpty, "asof join needs at least one value column")
+    tolerance.foreach(t => require(t > 0, s"tolerance must be positive, got $t"))
     for (df <- Seq(left, right)) {
       require(df.schema(uuidCol).dataType == StringType,
         s"asof join: $uuidCol must be StringType")
@@ -258,7 +284,8 @@ object AsOfJoin {
       AttributeReference(s"asof_$c", reduced.schema(c).dataType,
         nullable = true)()
     }
-    val node = AsOfJoinNode(lPlan, rPlan, uuidCol, timeCol, valueCols, asofOut)
+    val node = AsOfJoinNode(lPlan, rPlan, uuidCol, timeCol, valueCols, asofOut,
+      tolerance)
     org.apache.spark.sql.graft.GraftPlanning.ofRows(spark, node)
   }
 

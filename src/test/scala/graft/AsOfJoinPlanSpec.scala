@@ -49,6 +49,50 @@ class AsOfJoinPlanSpec extends SparkSpec {
     }
   }
 
+  test("tolerance: native exec ≡ window formulation on random data") {
+    for (seed <- Seq(5L, 11L); tol <- Seq(1L, 5L, 100L)) {
+      val (l, r) = randomSides(seed, trails = 12, perTrail = 25)
+      val cols = Seq("score", "props")
+      val viaWindow = TrailOps.asOfJoin(l, r, cols, tolerance = Some(tol))
+        .orderBy("uuid", "time", "seq").collect().toSeq
+      val viaNative = AsOfJoin.join(l, r, cols, tolerance = Some(tol))
+        .orderBy("uuid", "time", "seq").collect().toSeq
+      assert(viaNative === viaWindow, s"seed $seed tol $tol")
+    }
+  }
+
+  test("tolerance: too-old match masks to NULL but newer rows still replace it") {
+    val l = Seq((uuidOf(0), 10L, 0L), (uuidOf(0), 20L, 1L), (uuidOf(0), 21L, 2L))
+      .toDF("uuid", "time", "seq")
+    val r = Seq((uuidOf(0), 8L, "early"), (uuidOf(0), 20L, "late"))
+      .toDF("uuid", "time", "v")
+    val rows = AsOfJoin.join(l, r, Seq("v"), tolerance = Some(3L))
+      .orderBy("seq").collect()
+    // lt=10: rt=8 within the closed 3s bound (8 >= 10-3) → early;
+    // lt=20: rt=20 → late; lt=21: rt=20 still within → late.
+    assert(rows.map(_.getAs[String]("asof_v")).toSeq ===
+      Seq("early", "late", "late"))
+    // With a 1s bound the rt=8 match at lt=10 is masked, not mis-carried.
+    val tight = AsOfJoin.join(l, r, Seq("v"), tolerance = Some(1L))
+      .orderBy("seq").collect()
+    assert(tight.map(_.getAs[String]("asof_v")).toSeq ===
+      Seq(null, "late", "late"))
+  }
+
+  test("tolerance: null times never satisfy the bound, matching the window form") {
+    val L = null.asInstanceOf[java.lang.Long]
+    val l = Seq((uuidOf(0), L, 0L), (uuidOf(0), java.lang.Long.valueOf(10L), 1L))
+      .toDF("uuid", "time", "seq")
+    val r = Seq((uuidOf(0), L, "null-time"), (uuidOf(0), java.lang.Long.valueOf(8L), "real"))
+      .toDF("uuid", "time", "v")
+    val viaWindow = TrailOps.asOfJoin(l, r, Seq("v"), tolerance = Some(5L))
+      .orderBy("seq").collect().toSeq
+    val viaNative = AsOfJoin.join(l, r, Seq("v"), tolerance = Some(5L))
+      .orderBy("seq").collect().toSeq
+    assert(viaNative === viaWindow)
+    assert(viaNative.map(_.getAs[String]("asof_v")) === Seq(null, "real"))
+  }
+
   test("<= visibility: a right row at the same timestamp is matched") {
     val l = Seq((uuidOf(0), 10L, 0L)).toDF("uuid", "time", "seq")
     val r = Seq((uuidOf(0), 10L, "hit"), (uuidOf(0), 9L, "stale"))
