@@ -71,11 +71,23 @@ object Similarity {
       lambda: Double, vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
     require(k >= 1 && k <= candidateN, s"need 1 <= k <= candidateN")
+    mmrSelectOver(corpus, bruteForceKnn(corpus, query, candidateN, vecCol, idCol),
+      k, lambda, vecCol, idCol)
+  }
+
+  /** MMR rerank over an EXTERNALLY-generated candidate set — the 100 TB
+    * composition: candidates come from any ANN path ([[pqKnn]], [[lshKnn]],
+    * [[ivfKnn]]; each returns `(corpus_id, cosine, …)` with cosine exact
+    * after rerank), the greedy tradeoff then runs driver-side over the
+    * bounded candidate budget exactly as in [[mmrSelect]]. */
+  def mmrSelectOver(corpus: DataFrame, cands: DataFrame, k: Int,
+      lambda: Double, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]")
     val spark = corpus.sparkSession
-    val cands = bruteForceKnn(corpus, query, candidateN, vecCol, idCol)
     val rows = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("_v"))
-      .join(broadcast(cands), "corpus_id")
+      .join(broadcast(cands.select("corpus_id", "cosine")), "corpus_id")
       .select("corpus_id", "cosine", "_v").collect()
 
     def ddot(a: Array[Float], b: Array[Float]): Double = {
@@ -106,6 +118,64 @@ object Similarity {
     selected.zipWithIndex
       .map { case (c, i) => ((i + 1).toLong, c.id, c.rel) }.toSeq
       .toDF("rank", "vec_id", "relevance")
+  }
+
+  /** Invariant summary for an MMR selection over an ANN candidate set —
+    * the oracle shape for the composition whose candidate set is
+    * model-specific (DuckDB cannot recompute WHICH 40 ids PQ shortlists)
+    * but whose CONTRACT is: (1) exactly `k` rows ranked 1..k, (2) every
+    * selected id came from the candidate set, (3) each relevance equals
+    * the exact double-fold cosine recomputed from the raw vectors, and
+    * (4) the selection IS the greedy MMR chain over that candidate set —
+    * verified by an independent driver-side replay (fresh cosine matrix
+    * from raw vectors, not mmrSelect's internals): pick i must be the
+    * `lambda·rel − (1−lambda)·maxSim`-argmax (id tie-break) among the
+    * remaining candidates given picks 1..i−1.
+    *
+    * One row: (n_selected, ranks_ok, subset_ok, rel_exact_ok, chain_ok) —
+    * n_selected is DuckDB-recomputable (min(k, candidates)), the flags are
+    * contract constants (all 1). */
+  def mmrInvariant(corpus: DataFrame, cands: DataFrame, selection: DataFrame,
+      k: Int, lambda: Double, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    val candRows = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("_v"))
+      .join(broadcast(cands.select("corpus_id", "cosine")), "corpus_id")
+      .select("corpus_id", "cosine", "_v").collect()
+    val sel = selection.orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    def ddot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val vecs = candRows.map(r => r.getLong(0) -> r.getSeq[Float](2).toArray).toMap
+    val rel = candRows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val norms = vecs.map { case (id, v) => id -> math.sqrt(ddot(v, v)) }
+    def sim(a: Long, b: Long): Double = ddot(vecs(a), vecs(b)) / (norms(a) * norms(b))
+
+    val ranksOk = sel.map(_._1).toSeq == (1L to sel.length).toSeq
+    val subsetOk = sel.forall(s => rel.contains(s._2))
+    val relOk = subsetOk && sel.forall(s => s._3 == rel(s._2))
+    val divW = 1.0 - lambda
+    var chainOk = subsetOk
+    if (subsetOk) {
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+      for ((_, id, _) <- sel if chainOk) {
+        val remaining = rel.keys.filterNot(picked.contains)
+        val expected =
+          if (picked.isEmpty) remaining.minBy(c => (-rel(c), c))
+          else remaining.minBy(c =>
+            (-(lambda * rel(c) - divW * picked.iterator.map(sim(c, _)).max), c))
+        chainOk = expected == id
+        picked += id
+      }
+    }
+    import spark.implicits._
+    Seq((sel.length.toLong, if (ranksOk) 1L else 0L, if (subsetOk) 1L else 0L,
+        if (relOk) 1L else 0L, if (chainOk) 1L else 0L))
+      .toDF("n_selected", "ranks_ok", "subset_ok", "rel_exact_ok", "chain_ok")
   }
 
   /** Exact top-k by cosine for each query vector. `queries` is expected to
