@@ -723,6 +723,22 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // MMR over the ANN scale path (the documented 100 TB composition for
+    // e_mmr): PQ ADC-shortlists the top-40 candidates (exact-cosine
+    // reranked), the greedy tradeoff reranks those. DuckDB cannot recompute
+    // WHICH ids PQ shortlists, so the oracle is the invariant row: k rows
+    // ranked 1..k, selection ⊆ candidate set, relevance equal to the exact
+    // refold cosine, and the selection independently replayed as the greedy
+    // MMR chain over that candidate set (Similarity.mmrInvariant).
+    "e_mmr_ann" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") === 0)
+      val cands = Similarity.pqKnn(emb, q, k = 40, m = 16, codebookK = 32,
+        shortlist = 60)
+      val sel = Similarity.mmrSelectOver(emb, cands, k = 10, lambda = 0.7)
+      Similarity.mmrInvariant(emb, cands, sel, k = 10, lambda = 0.7)
+    }),
+
     // LSH-bucketed ANN (the scale path). Invariant output vs the brute
     // baseline (whose own oracle hash-matches DuckDB): every query returns
     // a full top-k, ranks are cosine-monotone, and total brute-top-3 hits
@@ -1212,10 +1228,13 @@ object SparkEntry {
         .orderBy("uuid")),
 
     // Exclusion funnel (ClickHouse-style): an 'error' event aborts any
-    // in-progress chain, so the reported chain is built from events
-    // strictly after the trail's LAST error in (time, seq) order — which
-    // is exactly how DuckDB replays it (suffix filter + the same greedy
-    // chain). Same one-uuid-shuffle fold as t_funnel_windowed.
+    // in-progress chain, and the BEST segment wins — the trail's level is
+    // the max greedy-chain level over the error-delimited segments, with
+    // first_time the t0 of the EARLIEST segment attaining it. DuckDB
+    // replays it the same way: segment id = running count of errors
+    // strictly before in (time, seq) order, the plain greedy chain per
+    // (uuid, segment), then argmax(level desc, segment asc). Same
+    // one-uuid-shuffle fold as t_funnel_windowed.
     "t_funnel_excl" -> ((s, dir) =>
       graft.agg.Funnel.windowFunnel(trails(s, dir).df,
           Seq("view", "click", "purchase"), window = 86400L,
@@ -1262,6 +1281,23 @@ object SparkEntry {
           col("time").as("click_time"),
           coalesce(col("props"), lit("")).as("click_props"))
       TrailOps.asOfJoin(views, clicks, Seq("click_time", "click_props"),
+          tolerance = Some(600L))
+        .orderBy("uuid", "time", "seq")
+    }),
+
+    // Same bounded-staleness contract through the NATIVE exec: the
+    // tolerance is a per-left-row mask in the streaming-merge loop
+    // (AsOfJoinExec), zero extra state beyond the carried row's time.
+    // Oracled by the same independent DuckDB ASOF+staleness replay.
+    "t_asof_tol_native" -> ((s, dir) => {
+      val t = trails(s, dir)
+      val views = t.df.filter(col("event_type") === "view")
+        .select("uuid", "time", "seq")
+      val clicks = t.df.filter(col("event_type") === "click")
+        .select(col("uuid"), col("time"),
+          col("time").as("click_time"),
+          coalesce(col("props"), lit("")).as("click_props"))
+      graft.plans.AsOfJoin.join(views, clicks, Seq("click_time", "click_props"),
           tolerance = Some(600L))
         .orderBy("uuid", "time", "seq")
     }),
@@ -2065,6 +2101,16 @@ object SparkEntry {
         |SELECT CAST(rk AS BIGINT) AS rank, s.picked AS vec_id, c.rel AS relevance
         |FROM step s JOIN cand c ON c.id = s.picked ORDER BY rank""".stripMargin,
 
+    // Invariant oracle (see the query comment): n_selected recomputed from
+    // the table, contract flags are constants.
+    "e_mmr_ann" ->
+      """SELECT CAST(least(10, count(*) - 1) AS BIGINT) AS n_selected,
+        |       CAST(1 AS BIGINT) AS ranks_ok,
+        |       CAST(1 AS BIGINT) AS subset_ok,
+        |       CAST(1 AS BIGINT) AS rel_exact_ok,
+        |       CAST(1 AS BIGINT) AS chain_ok
+        |FROM embeddings""".stripMargin,
+
     "e_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
@@ -2538,6 +2584,22 @@ object SparkEntry {
     // bound nulls the match when it is older than 600s — since the asof
     // match is the LATEST candidate, "latest too old" == "none in window".
     "t_asof_tol" ->
+      s"""$TrailsCte,
+         |l AS (SELECT uuid, time, seq FROM trails
+         |      WHERE coalesce(event_type,'') = 'view'),
+         |r AS (SELECT uuid, time, max(time) AS click_time,
+         |             max(coalesce(props,'')) AS click_props
+         |      FROM trails WHERE coalesce(event_type,'') = 'click'
+         |      GROUP BY uuid, time)
+         |SELECT l.uuid, l.time, l.seq,
+         |       CASE WHEN r.click_time >= l.time - 600
+         |            THEN r.click_time END AS asof_click_time,
+         |       CASE WHEN r.click_time >= l.time - 600
+         |            THEN r.click_props END AS asof_click_props
+         |FROM l ASOF LEFT JOIN r ON l.uuid = r.uuid AND l.time >= r.time
+         |ORDER BY l.uuid, l.time, l.seq""".stripMargin,
+
+    "t_asof_tol_native" ->
       s"""$TrailsCte,
          |l AS (SELECT uuid, time, seq FROM trails
          |      WHERE coalesce(event_type,'') = 'view'),
