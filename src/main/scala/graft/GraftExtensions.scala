@@ -17,12 +17,6 @@ import graft.functions.{DotF64, MinHashSig, RepetitionStats, ShingleHashes, SimH
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def intLit(e: Expression, what: String): Int = e match {
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-    case other => throw new IllegalArgumentException(
-      s"$what must be an integer literal, got $other")
-  }
-
   override def apply(ext: SparkSessionExtensions): Unit = {
     // Whole-operator contribution: the co-partitioned streaming-merge
     // AS-OF join (graft.plans.AsOfJoinNode → AsOfJoinExec).
@@ -31,36 +25,56 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // _graft_info.json sidecar instead of scanning (reference: info file,
     // src/tdb.c:677-700).
     ext.injectOptimizerRule(graft.plans.MetadataOnlyAggRule(_))
-    ext.injectFunction((
-      FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (children: Seq[Expression]) => SimHash64(children.head)))
-    ext.injectFunction((
-      FunctionIdentifier("dot_f64"),
-      new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
-      (children: Seq[Expression]) => DotF64(children(0), children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("minhash_sig"),
-      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (children: Seq[Expression]) =>
-        MinHashSig(children(0), intLit(children(1), "numHashes"))))
-    ext.injectFunction((
-      FunctionIdentifier("shingle_hashes"),
-      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
-      (children: Seq[Expression]) =>
-        ShingleHashes(children(0), intLit(children(1), "k"))))
-    ext.injectFunction((
-      FunctionIdentifier("winnow"),
-      new ExpressionInfo(classOf[Winnow].getName, "winnow"),
-      (children: Seq[Expression]) =>
-        Winnow(children(0), intLit(children(1), "window"))))
-    ext.injectFunction((
-      FunctionIdentifier("repetition_stats"),
-      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
-      (children: Seq[Expression]) => RepetitionStats(children.head)))
-    ext.injectFunction((
-      FunctionIdentifier("z_order2"),
-      new ExpressionInfo(classOf[ZOrder2].getName, "z_order2"),
-      (children: Seq[Expression]) => ZOrder2(children(0), children(1))))
+    GraftExtensions.functions.foreach(ext.injectFunction)
   }
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** Wrong arity must surface as the same AnalysisException Spark's
+    * built-in registry raises (WRONG_NUM_ARGS, sqlState 42605) — an
+    * unchecked `children(1)` would leak IndexOutOfBoundsException through
+    * the analyzer instead. */
+  private def arity(name: String, n: Int, children: Seq[Expression]): Unit =
+    if (children.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map("functionName" -> s"`$name`", "expectedNum" -> n.toString,
+          "actualNum" -> children.length.toString,
+          // not auto-substituted on this constructor path
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
+  private def fn(name: String, n: Int, clazz: Class[_])(
+      build: Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(clazz.getName, name),
+    (children: Seq[Expression]) => { arity(name, n, children); build(children) })
+
+  /** Every SQL-registered graft expression with its arity-checked builder —
+    * the single source both for [[GraftExtensions.apply]] and for tests
+    * that register through `functionRegistry.createOrReplaceTempFunction`. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    fn("simhash64", 1, classOf[SimHash64])(es => SimHash64(es.head)),
+    fn("dot_f64", 2, classOf[DotF64])(es => DotF64(es(0), es(1))),
+    fn("minhash_sig", 2, classOf[MinHashSig])(es =>
+      MinHashSig(es(0), intLit(es(1), "numHashes"))),
+    fn("shingle_hashes", 2, classOf[ShingleHashes])(es =>
+      ShingleHashes(es(0), intLit(es(1), "k"))),
+    fn("winnow", 2, classOf[Winnow])(es =>
+      Winnow(es(0), intLit(es(1), "window"))),
+    fn("repetition_stats", 1, classOf[RepetitionStats])(es =>
+      RepetitionStats(es.head)),
+    fn("z_order2", 2, classOf[ZOrder2])(es => ZOrder2(es(0), es(1))))
+
+  /** Builder lookup for tests / manual registration. */
+  def builderFor(name: String): Seq[Expression] => Expression =
+    functions.collectFirst { case (id, _, b) if id.funcName == name => b }
+      .getOrElse(throw new NoSuchElementException(s"no graft function $name"))
 }

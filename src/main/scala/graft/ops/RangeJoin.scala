@@ -40,11 +40,22 @@ object RangeJoin {
     * but a width orders of magnitude below the longest interval makes that
     * interval's bin explode arbitrarily wide — size the width from the
     * interval-length distribution, not the point density.
+    *
+    * `maxFanout` guards exactly that mis-sizing: any interval that would
+    * explode onto more bins fails the job LOUDLY (the module's usual
+    * precondition style), naming the offending interval length and the
+    * binWidth to pick instead — the alternative is an opaque
+    * out-of-memory/overflow deep inside `explode(sequence(...))`, or a
+    * silently week-long stage at 100 TB. The default (65,536 bins per
+    * interval) is far beyond any sane sizing (a well-sized width has
+    * fanout ≤ 2) while still catching an `end` near Long.MaxValue, which
+    * would otherwise attempt a multi-billion-element sequence.
     */
   def binnedRangeJoin(points: DataFrame, intervals: DataFrame,
       tsCol: String, startCol: String, endCol: String,
-      binWidth: Long): DataFrame = {
+      binWidth: Long, maxFanout: Long = 65536L): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(maxFanout > 0, s"maxFanout must be positive, got $maxFanout")
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
     require(overlap.isEmpty,
       s"point/interval column names must be disjoint, both have: $overlap")
@@ -61,12 +72,27 @@ object RangeJoin {
       .withColumn(s"_bin_$c", expr(s"_fd DIV ${binWidth}L"))
       .drop("_fd")
     val p = binned(points, tsCol)
+    // The fanout guard rides INSIDE the sequence bounds (a standalone
+    // assert column would be pruned as dead code): assert_true yields NULL
+    // when the interval is sane, so coalesce(...) adds 0 to the first bin;
+    // an oversized interval raises with its own bounds in the message
+    // before the explode can attempt a billion-element array.
+    val fanOk = col("_bin__last") - col(s"_bin_$startCol") < lit(maxFanout)
+    val fanErr = concat(
+      lit("binnedRangeJoin: interval ["), col(startCol).cast("string"),
+      lit(", "), col(endCol).cast("string"), lit(") of length "),
+      (col(endCol) - col(startCol)).cast("string"),
+      lit(s" explodes onto more than $maxFanout bins at binWidth=$binWidth" +
+        " — raise binWidth to >= ceil(length/maxFanout), or raise maxFanout"))
     val i = binned(binned(
         intervals.filter(col(endCol) > col(startCol))
           .withColumn("_last", col(endCol) - 1),
         startCol), "_last")
       .withColumn("_bin",
-        explode(sequence(col(s"_bin_$startCol"), col("_bin__last"))))
+        explode(sequence(
+          col(s"_bin_$startCol") +
+            coalesce(assert_true(fanOk, fanErr).cast("bigint"), lit(0L)),
+          col("_bin__last"))))
       .drop("_last", s"_bin_$startCol", "_bin__last")
     p.join(i,
         col(s"_bin_$tsCol") === col("_bin") &&

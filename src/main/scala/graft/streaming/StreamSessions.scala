@@ -88,12 +88,15 @@ object StreamSessions {
     * earliest step chain maintained across micro-batches with
     * flatMapGroupsWithState — state is k longs per trail, emitted as the
     * trail's current funnel level whenever a batch touches it. Within a
-    * batch events are time-sorted here; cross-batch ordering relies on
-    * source order (as any streaming state machine must — a late event
-    * cannot retro-fill a slot an earlier batch already passed). On
-    * in-order delivery this agrees exactly with the batch operator
-    * (spec-proven). */
-  def statefulWindowFunnel(events: Dataset[(String, Long, String)],
+    * batch events are `(time, seq, event_type)`-sorted here — the SAME
+    * total order as the batch operator, so a step and an exclusion event
+    * at an identical timestamp replay identically in both engines;
+    * cross-batch ordering relies on source order (as any streaming state
+    * machine must — a late event cannot retro-fill a slot an earlier
+    * batch already passed). On in-order delivery this agrees exactly with
+    * the batch operator (spec-proven, including a same-timestamp
+    * error/step tie). */
+  def statefulWindowFunnel(events: Dataset[(String, Long, Long, String)],
       steps: Seq[String], window: Long, exclude: Set[String] = Set.empty)(
       implicit enc: org.apache.spark.sql.Encoder[FunnelUpdate],
       stateEnc: org.apache.spark.sql.Encoder[FunnelState]): Dataset[FunnelUpdate] = {
@@ -111,13 +114,13 @@ object StreamSessions {
     events.groupByKey(_._1)
       .flatMapGroupsWithState[FunnelState, FunnelUpdate](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (uuid: String, rows: Iterator[(String, Long, String)],
+        (uuid: String, rows: Iterator[(String, Long, Long, String)],
          state: GroupState[FunnelState]) =>
           val slots = state.getOption.map(_.slots.clone())
             .getOrElse(Array.fill(k)(-1L))
           var best = state.getOption.map(_.bestLevel).getOrElse(0L)
           var bestT0 = state.getOption.flatMap(_.bestT0)
-          rows.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, t, et) =>
+          rows.toArray.sortBy(r => (r._2, r._3, r._4)).foreach { case (_, t, _, et) =>
             if (exclude(et)) {
               // segment closes: best keeps the earliest winner (strict >)
               val cur = levelOf(slots)

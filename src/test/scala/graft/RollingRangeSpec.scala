@@ -56,6 +56,27 @@ class RollingRangeSpec extends SparkSpec {
     assert(got === Set((1L, 10L)))
   }
 
+  test("binnedRangeJoin: an interval exceeding maxFanout fails loudly, not with an opaque explode") {
+    // end near Long.MaxValue would otherwise attempt a multi-billion-
+    // element sequence(...) and die deep inside codegen.
+    val pts = Seq((1L, 100L)).toDF("pid", "ts")
+    val iv = Seq((10L, 0L, Long.MaxValue - 1)).toDF("iid", "w_start", "w_end")
+    val e = intercept[Exception] {
+      RangeJoin.binnedRangeJoin(pts, iv, "ts", "w_start", "w_end", 1000L)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("binnedRangeJoin: interval")),
+      s"wanted the loud fanout error, got: ${messages(e)}")
+    // sane intervals on the same call path still join fine
+    val ok = RangeJoin.binnedRangeJoin(pts,
+        Seq((10L, 0L, 2000L)).toDF("iid", "w_start", "w_end"),
+        "ts", "w_start", "w_end", 1000L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(ok === Set((1L, 10L)))
+  }
+
   test("binnedRangeJoin plans an equi-join, never a nested loop") {
     val pts = (0 until 100).map(i => (i.toLong, i.toLong * 7)).toDF("pid", "ts")
     val iv = (0 until 20).map(j => (j.toLong, j * 50L, j * 50L + 80L))

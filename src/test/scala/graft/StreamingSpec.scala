@@ -284,20 +284,19 @@ class StreamingSpec extends SparkSpec {
   test("SparkSessionExtensions registers simhash64 for SQL") {
     new graft.GraftExtensions().apply(
       new org.apache.spark.sql.SparkSessionExtensions {})
-    // register directly on the live session's registry (extensions apply at
-    // session build time; here we exercise the same injection path)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", es => graft.functions.SimHash64(es.head), "built-in")
+    // register the REAL arity-checked builders on the live session's
+    // registry (extensions apply at session build time; this exercises the
+    // same GraftExtensions.functions entries the injection path uses)
+    for (name <- Seq("simhash64", "shingle_hashes", "z_order2"))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, graft.GraftExtensions.builderFor(name), "built-in")
+
     val viaSql = spark.sql("SELECT simhash64(array('a','b','c')) AS h").head().getLong(0)
     val viaCol = Seq(Seq("a", "b", "c")).toDF("t")
       .select(graft.functions.GraftFunctions.simhash64($"t").as("h")).head().getLong(0)
     assert(viaSql === viaCol)
 
     // int-literal-parameterized expression through the same injection path
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_hashes", es => graft.functions.ShingleHashes(es(0),
-        es(1).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
-          .value.asInstanceOf[Int]), "built-in")
     val shSql = spark.sql("SELECT shingle_hashes(array('a','b','c'), 2) AS h")
       .head().getSeq[Long](0)
     val shCol = Seq(Seq("a", "b", "c")).toDF("t")
@@ -306,11 +305,23 @@ class StreamingSpec extends SparkSpec {
     assert(shSql === shCol && shSql.length === 2)
 
     // binary expression through the same injection path (z-order curve)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "z_order2", es => graft.functions.ZOrder2(es(0), es(1)), "built-in")
     val zSql = spark.sql("SELECT z_order2(3L, 0L) AS z, z_order2(0L, 3L) AS w")
       .head()
     assert(zSql.getLong(0) === 5L && zSql.getLong(1) === 10L)
+
+    // wrong arity is an ANALYSIS error (WRONG_NUM_ARGS, like Spark's own
+    // registry), not an IndexOutOfBoundsException from children(1). The
+    // registry may wrap the builder's exception, so walk the cause chain.
+    val e = intercept[Throwable] { spark.sql("SELECT z_order2(1L)").collect() }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    val analysis = chain(e).collectFirst {
+      case a: org.apache.spark.sql.AnalysisException => a }
+    assert(analysis.isDefined,
+      s"wanted an AnalysisException in the cause chain, got ${chain(e).map(_.getClass.getName)}")
+    assert(analysis.get.getMessage.contains("requires 2 parameters") &&
+      analysis.get.getMessage.contains("z_order2"), analysis.get.getMessage)
+    assert(!chain(e).exists(_.isInstanceOf[IndexOutOfBoundsException]))
   }
 
   test("binned range join runs stateless on a stream, equal to batch") {
@@ -517,20 +528,20 @@ class StreamingSpec extends SparkSpec {
 
     val dir = Files.createTempDirectory("graft-sfunnel")
     val src = dir.resolve("src").toString
-    val b1 = Seq(("u1", 10L, "view"), ("u1", 20L, "click"),
-      ("u2", 10L, "click"))
-    val b2 = Seq(("u1", 30L, "purchase"), ("u2", 40L, "view"))
+    val b1 = Seq(("u1", 10L, 0L, "view"), ("u1", 20L, 1L, "click"),
+      ("u2", 10L, 2L, "click"))
+    val b2 = Seq(("u1", 30L, 3L, "purchase"), ("u2", 40L, 4L, "view"))
     // one file per batch + maxFilesPerTrigger=1 → two REAL micro-batches
     // inside one query, so slot state genuinely crosses a batch boundary
-    b1.toDF("uuid", "time", "event_type").coalesce(1).write.parquet(src)
+    b1.toDF("uuid", "time", "seq", "event_type").coalesce(1).write.parquet(src)
     Thread.sleep(1100) // distinct mod times → deterministic file order
-    b2.toDF("uuid", "time", "event_type").coalesce(1)
+    b2.toDF("uuid", "time", "seq", "event_type").coalesce(1)
       .write.mode("append").parquet(src)
 
     val stream = spark.readStream
       .schema(spark.read.parquet(src).schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
-      .as[(String, Long, String)]
+      .as[(String, Long, Long, String)]
     val q = StreamSessions.statefulWindowFunnel(stream, steps, window = 100L)
       .writeStream.outputMode("append").format("memory").queryName("sfunnel")
       .trigger(Trigger.AvailableNow()).start()
@@ -545,7 +556,7 @@ class StreamingSpec extends SparkSpec {
       .collect().map(u => u.uuid -> (u.funnelLevel, u.firstTime)).toMap
     // in-order delivery → must equal the batch operator on the union
     val batch = graft.agg.Funnel.windowFunnel(
-        (b1 ++ b2).zipWithIndex.map { case ((u, t, e), i) => (u, t, e, i.toLong) }
+        (b1 ++ b2).map { case (u, t, sq, e) => (u, t, e, sq) }
           .toDF("uuid", "time", "event_type", "seq"), steps, window = 100L)
       .collect()
       .map(r => r.getAs[String]("uuid") ->
@@ -566,20 +577,25 @@ class StreamingSpec extends SparkSpec {
     val src = dir.resolve("src").toString
     // u1 completes level 2 in batch 1; batch 2 opens with the error (the
     // best-segment state must cross the boundary) and a weaker restart.
-    // u2's error lands BETWEEN its two batch-1 events.
-    val b1 = Seq(("u1", 10L, "view"), ("u1", 20L, "click"),
-      ("u2", 10L, "view"), ("u2", 20L, "error"), ("u2", 30L, "view"))
-    val b2 = Seq(("u1", 30L, "error"), ("u1", 40L, "view"),
-      ("u2", 40L, "click"), ("u2", 50L, "purchase"))
-    b1.toDF("uuid", "time", "event_type").coalesce(1).write.parquet(src)
+    // u2's error lands BETWEEN its two batch-1 events. u3 has an error and
+    // a step at the SAME timestamp — seq (not event_type luck) must decide
+    // the replay order, identically in both engines: seq puts the error
+    // AFTER the view, so the view is segment 1's chain and survives as
+    // best when the error closes it.
+    val b1 = Seq(("u1", 10L, 0L, "view"), ("u1", 20L, 1L, "click"),
+      ("u2", 10L, 2L, "view"), ("u2", 20L, 3L, "error"), ("u2", 30L, 4L, "view"),
+      ("u3", 10L, 5L, "view"), ("u3", 10L, 6L, "error"))
+    val b2 = Seq(("u1", 30L, 7L, "error"), ("u1", 40L, 8L, "view"),
+      ("u2", 40L, 9L, "click"), ("u2", 50L, 10L, "purchase"))
+    b1.toDF("uuid", "time", "seq", "event_type").coalesce(1).write.parquet(src)
     Thread.sleep(1100)
-    b2.toDF("uuid", "time", "event_type").coalesce(1)
+    b2.toDF("uuid", "time", "seq", "event_type").coalesce(1)
       .write.mode("append").parquet(src)
 
     val stream = spark.readStream
       .schema(spark.read.parquet(src).schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
-      .as[(String, Long, String)]
+      .as[(String, Long, Long, String)]
     val q = StreamSessions.statefulWindowFunnel(stream, steps,
         window = 100L, exclude = Set("error"))
       .writeStream.outputMode("append").format("memory").queryName("sfexcl")
@@ -593,7 +609,7 @@ class StreamingSpec extends SparkSpec {
       .as[FunnelUpdate].collect()
       .map(u => u.uuid -> ((u.funnelLevel, u.firstTime))).toMap
     val batch = graft.agg.Funnel.windowFunnel(
-        (b1 ++ b2).zipWithIndex.map { case ((u, t, e), i) => (u, t, e, i.toLong) }
+        (b1 ++ b2).map { case (u, t, sq, e) => (u, t, e, sq) }
           .toDF("uuid", "time", "event_type", "seq"),
         steps, window = 100L, exclude = Seq("error"))
       .collect()
@@ -602,6 +618,7 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed("u1") === ((2L, Some(10L))))  // pre-error segment wins
     assert(streamed("u2") === ((3L, Some(30L))))  // post-error chain wins
+    assert(streamed("u3") === ((1L, Some(10L))))  // same-ts tie: seq decides
   }
 
   test("typed TrailSummaryAggregator folds trails with partial aggregation") {
