@@ -8,14 +8,19 @@ import org.apache.spark.sql.functions._
   * heavy operator's wall-clock at 1× vs 4×. Prints a markdown table row
   * per operator. Usage: runMain graft.tools.Scale4x [sfDir] [--x16]
   *
-  * `--x16` instead runs the 1×/4×/16× ladder for the two operators whose
-  * 4× ratio was highest in round 2 (n-gram Jaccard pairs and connected-
-  * component clustering), reporting the per-4×-step ratio — the trend that
-  * must stay sub-quadratic for the 100 TB story. Note the replicated
-  * corpus is ADVERSARIAL for these two: every doc gains 15 exact copies,
-  * so the true near-dup pair OUTPUT itself grows ~(replication)² — a
-  * per-step time ratio well under 16× means the inverted-index join is
-  * doing sub-output-quadratic work. */
+  * `--x16` instead runs the 1×/4×/16× ladder: the dedup-family operators
+  * whose 4× ratio was highest in round 2 (n-gram Jaccard pairs, connected-
+  * component clustering, span stats/scrub) on BOTH corpus shapes, plus the
+  * round-4 heavies (PQ ANN on the embedding-corpus axis, binned range
+  * join on the points×intervals axis, exclusion funnel and compaction on
+  * the trail-count axis), reporting the per-4×-step ratio — the trend
+  * that must stay sub-quadratic for the 100 TB story. Note the replicated
+  * ("alldup") corpus is ADVERSARIAL for the pair-producing operators:
+  * every doc gains 15 exact copies, so the true near-dup pair OUTPUT
+  * itself grows ~(replication)² — a per-step time ratio well under 16×
+  * means the inverted-index join is doing sub-output-quadratic work; the
+  * "disjoint" shape holds dup density constant (the real corpus-growth
+  * axis). */
 object Scale4x {
   def main(args: Array[String]): Unit = {
     val sfDir = args.filterNot(_.startsWith("--")).headOption
@@ -114,7 +119,9 @@ object Scale4x {
               (d => graft.ops.Dedup.dedupClusters(d,
                 graft.ops.Dedup.ngramJaccardPairs(d, k = 3, threshold = 0.2))),
             "repeated-span stats" ->
-              (d => graft.ops.Dedup.dupSpanStats(d, k = 8)))) {
+              (d => graft.ops.Dedup.dupSpanStats(d, k = 8)),
+            "duplicated-span scrub" ->
+              (d => graft.ops.Dedup.scrubDupSpans(d, k = 5)))) {
           val (times, rows) = dirs.map { d =>
             var n = 0L
             val t = time { n = f(d).count(); n }
@@ -133,6 +140,63 @@ object Scale4x {
       ladder("disjoint", Seq(docs1,
         spark.read.parquet(s"$base/disjoint4"),
         spark.read.parquet(s"$base/disjoint16")))
+
+      // ---- round-4 heavies at 1×/4×/16× ----
+      def ladder3(label: String, frames: Seq[DataFrame])(
+          f: DataFrame => DataFrame): Unit = {
+        val ts = frames.map(d => time(f(d).queryExecution.toRdd.count()))
+        println(f"| $label | ${ts(0)}%.1fs | ${ts(1)}%.1fs (${ts(1) / ts(0)}%.1f×) " +
+          f"| ${ts(2)}%.1fs (${ts(2) / ts(1)}%.1f× over 4×) |")
+      }
+      // PQ ANN: the corpus axis — embeddings replicated with shifted ids,
+      // queries fixed at 10; shortlist+rerank cost must track corpus size.
+      for (factor <- Seq(4, 16))
+        rep(emb1, "vec_id", nEmb, factor).write.mode("overwrite")
+          .parquet(s"$base/emb$factor")
+      val embFrames = Seq(emb1, spark.read.parquet(s"$base/emb4"),
+        spark.read.parquet(s"$base/emb16"))
+      ladder3("PQ ANN (encode+ADC+rerank)", embFrames)(e =>
+        graft.ops.Similarity.pqKnn(e, e.filter(col("vec_id") < 10), k = 3,
+          m = 16, codebookK = 32, shortlist = 50))
+      // Binned range join: points AND intervals both scale with the corpus
+      // (intervals 1-in-997) — the shape that breaks a nested loop first.
+      // Text content is irrelevant (numeric synth), so the alldup replicas
+      // serve as the corpus axis.
+      val docFrames = Seq(docs1, spark.read.parquet(s"$base/alldup4"),
+        spark.read.parquet(s"$base/alldup16"))
+      ladder3("binned range join", docFrames) { d =>
+        val pts = d.select(col("doc_id").as("pid"),
+          (col("doc_id") * 37 % 100000).as("ts"))
+        val iv = d.filter(col("doc_id") % 997 === 0)
+          .select(col("doc_id").as("iid"),
+            (col("doc_id") * 53 % 100000).as("w_start"))
+          .withColumn("w_end", col("w_start") + 500L)
+        graft.ops.RangeJoin.binnedRangeJoin(pts, iv, "ts", "w_start", "w_end", 500L)
+          .groupBy("iid").agg(count(lit(1)).as("n"))
+      }
+      // Exclusion funnel + compaction: the TRAIL-COUNT axis (uuid-shift
+      // replication, per-trail work constant) — same axis as --asof.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev1 = spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", expr("ts DIV 1000000000"))
+      val maxU = ev1.agg(max("user_id")).head().getLong(0) + 1L
+      for (factor <- Seq(4, 16)) {
+        (0 until factor).map(i =>
+            ev1.withColumn("user_id", col("user_id") + lit(i * maxU)))
+          .reduce(_.unionByName(_))
+          .write.mode("overwrite").parquet(s"$base/events$factor")
+      }
+      val evFrames = Seq(ev1, spark.read.parquet(s"$base/events4"),
+        spark.read.parquet(s"$base/events16"))
+      def asTrails(ev: DataFrame): graft.core.TrailDB =
+        graft.core.TrailDB.fromEvents(ev, "user_id", "ts",
+          Seq("event_type", "props"), Some("event_id"))
+      ladder3("exclusion funnel (best segment)", evFrames)(ev =>
+        graft.agg.Funnel.windowFunnel(asTrails(ev).df,
+          Seq("view", "click", "purchase"), window = 86400L,
+          exclude = Seq("error")))
+      ladder3("trail compaction (keep-last-5)", evFrames)(ev =>
+        asTrails(ev).compact(keepLast = 5, minTime = Some(1704500000L)))
       spark.stop()
       return
     }
