@@ -733,8 +733,11 @@ object SparkEntry {
     "e_mmr_ann" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val q = emb.filter(col("vec_id") === 0)
+      // localCheckpoint: the PQ candidate plan (codebook training + ADC +
+      // rerank) is consumed by BOTH the rerank and the invariant replay —
+      // checkpointing runs it once instead of once per consumer.
       val cands = Similarity.pqKnn(emb, q, k = 40, m = 16, codebookK = 32,
-        shortlist = 60)
+        shortlist = 60).localCheckpoint()
       val sel = Similarity.mmrSelectOver(emb, cands, k = 10, lambda = 0.7)
       Similarity.mmrInvariant(emb, cands, sel, k = 10, lambda = 0.7)
     }),
