@@ -10,14 +10,18 @@ import org.apache.spark.sql.SparkSession
   * under-measure the real work. A session warmup runs first so query #1
   * doesn't carry JVM/codegen init cost.
   *
-  * ISOLATION: every query runs SPARK_GRAFT_BENCH_REPEATS times (default 3)
-  * and reports the MIN — one shared JVM is unavoidable (105 cold Spark
-  * starts would swamp the signal with startup cost), but a transient GC /
-  * JIT / compaction spike in one run cannot then masquerade as a per-query
-  * regression, which is exactly what made three round-4 rows unadjudicable.
-  * The cache is cleared between queries so no query reads another's
-  * cached data; shared on-disk fixtures (SparkEntry.Fixtures) are built on
-  * the first run, so the min measures the operator, not fixture setup.
+  * ISOLATION: every query runs SPARK_GRAFT_BENCH_REPEATS times (default 2;
+  * use 3+ for local adjudication runs) and reports the MIN — one shared
+  * JVM is unavoidable (105 cold Spark starts would swamp the signal with
+  * startup cost), but a cold first run or a transient GC / JIT spike
+  * cannot then masquerade as a per-query regression, which is exactly
+  * what made three round-4 rows unadjudicable (all three measured BELOW
+  * their round-3 times under min-of-3). The default is 2 to keep the
+  * driver-run wall time bounded: run 1 absorbs fixture build + codegen
+  * JIT, run 2 is steady state. The cache is cleared between queries so no
+  * query reads another's cached data; shared on-disk fixtures
+  * (SparkEntry.Fixtures) are built on the first run, so the min measures
+  * the operator, not fixture setup.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -45,7 +49,7 @@ object Bench {
           org.apache.spark.sql.functions.col("text")))).collect()
     } catch { case _: Throwable => () }
 
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt.max(1)
     val selected = if (args.nonEmpty) args.toSet else SparkEntry.queries.keySet
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => selected.contains(q._1)).map { case (name, fn) =>
