@@ -118,8 +118,10 @@ object Main {
           // --index IDX: prune to candidate pages before the scan (the
           // reference's "Evaluating X/N trails" path, op_dump.c:239-247).
           one("--index").foreach { idx =>
+            // validate the binding against THIS -i db (a db+index pair
+            // moved together still validates; a stale index still refuses)
             db = graft.core.TrailIndex.prunedDb(db,
-              graft.core.TrailIndex.open(spark, idx), filter)
+              graft.core.TrailIndex.open(spark, idx, Some(in)), filter)
           }
         }
         one("--uuids").foreach(us => db = db.whitelist(us.split(",").toSeq))

@@ -128,8 +128,16 @@ object TrailIndex {
     *
     * An index with no sidecar (pre-binding layout) or an unbound one
     * (ephemeral source db) opens with a loud stderr warning instead — a
-    * missing guard must not make an intact index unusable. */
-  def open(spark: SparkSession, path: String): DataFrame = {
+    * missing guard must not make an intact index unusable.
+    *
+    * `dbPath` overrides the RECORDED db location for the check: a db+index
+    * pair relocated together (rename preserves the info file's mtime, so
+    * the fingerprint survives) validates against the db's new home instead
+    * of failing on the stale recorded path. The fingerprint comparison is
+    * identical either way — the override relaxes WHERE to look, never
+    * WHAT must match. */
+  def open(spark: SparkSession, path: String,
+      dbPath: Option[String] = None): DataFrame = {
     val sp = new Path(path, SidecarName)
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(sp)) {
@@ -148,24 +156,27 @@ object TrailIndex {
       import org.json4s.jackson.JsonMethods
       val j = JsonMethods.parse(text)
       (j \ "db_path", j \ "db_info_sha256", j \ "db_info_mtime") match {
-        case (JString(dbPath), JString(sha), mtimeJ) =>
+        case (JString(recordedDb), JString(sha), mtimeJ) =>
           val mtime = mtimeJ match {
             case JInt(v) => v.longValue; case JLong(v) => v
             case other => throw new IllegalStateException(
               s"index sidecar $sp has a malformed db_info_mtime: $other")
           }
-          dbFingerprint(spark, dbPath) match {
+          val checkDb = dbPath.getOrElse(recordedDb)
+          dbFingerprint(spark, checkDb) match {
             case Some((curSha, curMtime)) if curSha == sha && curMtime == mtime => ()
             case Some((curSha, curMtime)) => throw new IllegalStateException(
-              s"STALE INDEX at $path: built against db $dbPath with info " +
-                s"fingerprint $sha@$mtime, but the db now has " +
+              s"STALE INDEX at $path: built against db $recordedDb with info " +
+                s"fingerprint $sha@$mtime, but the db at $checkDb now has " +
                 s"$curSha@$curMtime — the db was rewritten after this index " +
                 "was built, so pruned scans could silently drop rows. " +
                 "Rebuild with TrailIndex.build.")
             case None => throw new IllegalStateException(
-              s"STALE INDEX at $path: built against db $dbPath, which no " +
-                "longer has an info sidecar — cannot prove the index still " +
-                "matches the data. Rebuild with TrailIndex.build.")
+              s"STALE INDEX at $path: built against db $recordedDb, and " +
+                s"$checkDb has no info sidecar — cannot prove the index " +
+                "still matches the data. If the db+index pair moved, pass " +
+                "the db's new location; otherwise rebuild with " +
+                "TrailIndex.build.")
           }
         case _ =>
           System.err.println(s"[graft] index at $path is unbound (built from " +

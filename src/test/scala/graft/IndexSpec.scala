@@ -137,4 +137,34 @@ class IndexSpec extends SparkSpec {
     TrailIndex.build(TrailDB.open(spark, dbPath), idxPath)
     assert(TrailIndex.open(spark, idxPath).count() > 0)
   }
+
+  test("a db+index pair relocated together validates via the dbPath override") {
+    val dir = Files.createTempDirectory("graft-idx-move")
+    val dbPath = dir.resolve("db").toString
+    val idxPath = dir.resolve("idx").toString
+    val d = new TrailDBCons(spark, Seq("etype"))
+      .add(Seq((uuidOf(1), 100L, "e1")).toDF("uuid", "time", "etype"))
+      .finalizeTo(dbPath)
+    TrailIndex.build(d, idxPath)
+
+    // move the db: rename preserves the info sidecar's mtime, so the
+    // fingerprint survives relocation
+    val moved = dir.resolve("db-moved")
+    Files.move(dir.resolve("db"), moved)
+    // recorded path is gone → refuse without the override
+    val e = intercept[IllegalStateException] { TrailIndex.open(spark, idxPath) }
+    assert(e.getMessage.contains("STALE INDEX"), e.getMessage)
+    // explicit new location → same fingerprint → opens
+    assert(TrailIndex.open(spark, idxPath, Some(moved.toString)).count() > 0)
+    // but the override NEVER relaxes the fingerprint itself: rewrite the
+    // moved db and the same override is refused
+    Thread.sleep(5)
+    new TrailDBCons(spark, Seq("etype"))
+      .add(Seq((uuidOf(2), 200L, "e2")).toDF("uuid", "time", "etype"))
+      .finalizeTo(moved.toString)
+    val e2 = intercept[IllegalStateException] {
+      TrailIndex.open(spark, idxPath, Some(moved.toString))
+    }
+    assert(e2.getMessage.contains("STALE INDEX"), e2.getMessage)
+  }
 }
