@@ -723,6 +723,55 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // SemDeDup (Abbas et al. '23): semantic dedup with LEARNED K-Means
+    // cells as the blocking structure (e_dedup_clusters blocks on labels —
+    // a stand-in; this is the published recipe). The cell layout is
+    // model-specific, so the oracle is the contract, re-checked from RAW
+    // vectors in-plan: exactly one kept representative per near-dup
+    // component; no within-cell kept pair reaches the threshold (the
+    // transitive-closure guarantee — trips if CC or keep-selection breaks);
+    // every dropped vector has a same-component witness at >= threshold;
+    // and the drop set is non-vacuous (floor measured across sf0.001-0.1).
+    // DuckDB recomputes n_total.
+    "e_semantic_dedup" -> ((s, dir) => {
+      val thr = 0.35
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val res = Dedup.semanticDedup(emb, nCells = 8, threshold = thr)
+        .localCheckpoint()
+      val vecs = emb.select(col("vec_id"), col("embedding").as("_v"),
+        Similarity.norm(col("embedding")).as("_n"))
+      val withV = res.join(vecs, "vec_id")
+      def cosAB(a: String, b: String) =
+        Similarity.dot(col(s"$a._v"), col(s"$b._v")) /
+          (col(s"$a._n") * col(s"$b._n"))
+      val kept = withV.filter(col("kept"))
+      val keptBad = kept.as("a").join(kept.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .filter(cosAB("a", "b") >= thr)
+        .agg(count(lit(1)).as("_kept_bad"))
+      val witnessBad = withV.filter(!col("kept")).as("d")
+        .join(withV.as("m"),
+          col("d.cluster_id") === col("m.cluster_id") &&
+          col("d.vec_id") =!= col("m.vec_id"))
+        .groupBy(col("d.vec_id")).agg(max(cosAB("d", "m")).as("_mx"))
+        .agg(coalesce(sum(when(col("_mx") >= thr, 0L).otherwise(1L)), lit(0L))
+          .as("_witness_bad"))
+      val clusterBad = res.groupBy("cluster_id")
+        .agg(sum(col("kept").cast("long")).as("_nk"))
+        .agg(coalesce(sum(when(col("_nk") === 1, 0L).otherwise(1L)), lit(0L))
+          .as("_cluster_bad"))
+      res.agg(count(lit(1)).as("n_total"),
+          sum((!col("kept")).cast("long")).as("_n_dropped"))
+        .crossJoin(broadcast(clusterBad))
+        .crossJoin(broadcast(keptBad))
+        .crossJoin(broadcast(witnessBad))
+        .select(col("n_total"),
+          (col("_cluster_bad") === 0).cast("long").as("one_kept_per_cluster_ok"),
+          (col("_kept_bad") === 0).cast("long").as("kept_pairs_ok"),
+          (col("_witness_bad") === 0).cast("long").as("dropped_witness_ok"),
+          (col("_n_dropped") >= 50).cast("long").as("dropped_floor_ok"))
+    }),
+
     // MMR over the ANN scale path (the documented 100 TB composition for
     // e_mmr): PQ ADC-shortlists the top-40 candidates (exact-cosine
     // reranked), the greedy tradeoff reranks those. DuckDB cannot recompute
@@ -2103,6 +2152,18 @@ object SparkEntry {
         |  WHERE rk < 10)
         |SELECT CAST(rk AS BIGINT) AS rank, s.picked AS vec_id, c.rel AS relevance
         |FROM step s JOIN cand c ON c.id = s.picked ORDER BY rank""".stripMargin,
+
+    // Contract oracle (see the query comment): n_total recomputed, flags
+    // are constants. The drop floor is MEASURED (tools.RecallProbe):
+    // 102/107/1290 dropped at sf0.001/0.01/0.1 with nCells=8, thr=0.35 —
+    // floor 50 keeps 2x margin under the smallest observation.
+    "e_semantic_dedup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(1 AS BIGINT) AS one_kept_per_cluster_ok,
+        |       CAST(1 AS BIGINT) AS kept_pairs_ok,
+        |       CAST(1 AS BIGINT) AS dropped_witness_ok,
+        |       CAST(1 AS BIGINT) AS dropped_floor_ok
+        |FROM embeddings""".stripMargin,
 
     // Invariant oracle (see the query comment): n_selected recomputed from
     // the table, contract flags are constants.

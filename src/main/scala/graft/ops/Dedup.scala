@@ -569,4 +569,53 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup by
+    * LEARNED-cluster blocking — K-Means cells replace the label/LSH blocks
+    * of [[embeddingNearDup]]/[[embeddingNearDupLsh]], which is the
+    * published recipe for pretraining-corpus semantic dedup: cluster the
+    * embedding space, compare pairs only WITHIN a cell, drop every member
+    * of a within-cell near-dup group except one representative.
+    *
+    * Output: one row per input vector — `(vec_id, cell, cluster_id, kept)`
+    * where cluster_id is the min id of the vector's within-cell near-dup
+    * component (own id for singletons) and kept marks the representative.
+    *
+    * Scale shape: the coarse quantizer trains in-process on the
+    * content-hash-capped sample (same bound as PQ/IVF — never corpus-
+    * sized); cell assignment is the codegen'd nearest-centroid expression
+    * inside the scan projection; the only corpus joins are the cell
+    * equi-join (pairs within a cell — SemDeDup's accepted quadratic,
+    * bounded by cell size, with nCells scaled to the corpus so cells stay
+    * ~constant) and the component-label join. Cross-cell near-dups are
+    * missed BY DESIGN (that is the approximation the paper accepts);
+    * within a cell the kept set provably contains no pair ≥ threshold
+    * (components are transitive-closed), which the e_semantic_dedup
+    * contract re-checks from raw vectors.
+    */
+  def semanticDedup(emb: DataFrame, nCells: Int, threshold: Double,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(nCells >= 1, s"nCells must be >= 1, got $nCells")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val cents = Similarity.lloyd(
+      Similarity.sampleVectors(emb, vecCol), nCells, iters = 10, seed = 42L)
+    val flat = cents.flatMap(_.toSeq).toSeq
+    val cells = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.norm(col(vecCol)).as("nrm"),
+      element_at(graft.functions.GraftFunctions.pqCodes(
+        col(vecCol), 1, nCells, flat), 1).as("cell"))
+    val pairs = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .withColumn("cosine",
+        Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val comps = connectedComponents(pairs)
+    cells.select(col("id").as(idCol), col("cell"))
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+      .withColumn("kept", col(idCol) === col("cluster_id"))
+  }
 }

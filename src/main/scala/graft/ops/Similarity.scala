@@ -375,7 +375,7 @@ object Similarity {
     * orderBy+limit plans as TakeOrderedAndProject — each partition
     * contributes at most maxSample rows to the shuffle, bounded at any
     * corpus size. */
-  private def sampleVectors(corpus: DataFrame, vecCol: String,
+  private[ops] def sampleVectors(corpus: DataFrame, vecCol: String,
       sampleFraction: Double = 1.0, seed: Long = 42L,
       maxSample: Int = 65536): Array[Array[Float]] = {
     val sampled = if (sampleFraction < 1.0)
@@ -390,7 +390,7 @@ object Similarity {
   /** Deterministic in-process Lloyd's K-Means (seeded-shuffle init; empty
     * clusters keep their previous centroid; fewer points than k duplicates
     * the tail — harmless, codes just never pick the duplicates). */
-  private def lloyd(pts: Array[Array[Float]], k: Int, iters: Int,
+  private[ops] def lloyd(pts: Array[Array[Float]], k: Int, iters: Int,
       seed: Long): Array[Array[Float]] = {
     val d = pts.head.length
     val rnd = new scala.util.Random(seed)

@@ -95,6 +95,13 @@ object RecallProbe {
     println(s"[probe] simhash: identical_pairs=$nDup found_h0=$nDupH0 " +
       s"over_max=${sim.filter(col("hamming") > 8).count()}")
 
+    // e_semantic_dedup: dropped-count floor (nCells=8, threshold=0.35)
+    val sem = Dedup.semanticDedup(emb, nCells = 8, threshold = 0.35)
+    val semAgg = sem.agg(count(lit(1)).as("n"),
+      sum((!col("kept")).cast("long")).as("nd")).head()
+    println(s"[probe] semantic_dedup: n_total=${semAgg.getLong(0)} " +
+      s"n_dropped=${semAgg.getLong(1)}")
+
     // d_fingerprint: identical-text docs share identical fingerprint sets
     val fp = docs.select(col("doc_id"),
       md5(col("text").cast("binary")).as("h"),

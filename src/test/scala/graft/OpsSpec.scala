@@ -314,6 +314,43 @@ class DedupSpec extends SparkSpec {
     assert(got.head.getAs[Long]("id_b") === 2L)
     assert(math.abs(got.head.getAs[Double]("cosine") - 1.0) < 1e-12)
   }
+
+  test("semantic dedup (SemDeDup): one representative per within-cell near-dup group") {
+    // Two planted identical-vector groups plus distinct vectors. The cell
+    // layout is the quantizer's business — the deterministic guarantees
+    // are: identical vectors ALWAYS share a cell (same assignment
+    // function), exactly one of each identical group survives (min id),
+    // every cluster keeps exactly one representative, and no within-cell
+    // KEPT pair reaches the threshold.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.2f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.2f)),   // ≡ 1
+      (5L, Array(1.0f, 0.0f, 0.0f, 0.2f)),   // ≡ 1
+      (10L, Array(0.0f, 1.0f, 0.3f, 0.0f)),
+      (11L, Array(0.0f, 1.0f, 0.3f, 0.0f)),  // ≡ 10
+      (20L, Array(-1.0f, 0.5f, 0.0f, -0.3f)),
+      (21L, Array(0.2f, -0.9f, 0.7f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val res = Dedup.semanticDedup(vecs, nCells = 3, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getBoolean(3))) // (id, cell, cluster, kept)
+    assert(res.length === 7)
+    val byId = res.map(r => r._1 -> r).toMap
+    // identical groups collapse to the min id
+    assert(byId(1L)._4 && !byId(2L)._4 && !byId(5L)._4)
+    assert(byId(2L)._3 === 1L && byId(5L)._3 === 1L)
+    assert(byId(10L)._4 && !byId(11L)._4 && byId(11L)._3 === 10L)
+    // distinct vectors survive as their own singletons
+    assert(byId(20L)._4 && byId(20L)._3 === 20L)
+    assert(byId(21L)._4 && byId(21L)._3 === 21L)
+    // exactly one kept per cluster
+    res.groupBy(_._3).foreach { case (c, ms) =>
+      assert(ms.count(_._4) === 1, s"cluster $c kept ${ms.count(_._4)}")
+    }
+    // identical vectors share a cell
+    assert(Set(byId(1L)._2, byId(2L)._2, byId(5L)._2).size === 1)
+    assert(byId(10L)._2 === byId(11L)._2)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

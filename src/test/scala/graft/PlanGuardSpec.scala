@@ -20,7 +20,7 @@ class PlanGuardSpec extends SparkSpec {
     "d_lm_filter", "d_incremental_dedup", "d_decontaminate", "d_line_dedup",
     "d_dup_spans", "d_sentence_dedup", "t_heavy_hitters", "d_corpus_stats",
     "e_knn_brute", "e_knn_lsh", "e_knn_ivf", "e_knn_pq", "e_knn_q8", "e_neardup",
-    "e_neardup_lsh", "e_dedup_clusters", "t_asof", "t_asof_tol",
+    "e_neardup_lsh", "e_dedup_clusters", "e_semantic_dedup", "t_asof", "t_asof_tol",
     "t_asof_tol_native", "t_retention", "d_bigram_lp", "t_cms",
     "q3_revenue", "q4_semi", "q5_nation_volume", "q7_volume",
     "q_anti_customers", "q_range_join")
