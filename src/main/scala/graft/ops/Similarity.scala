@@ -100,6 +100,11 @@ object Similarity {
       val v = r.getSeq[Float](2).toArray
       Cand(r.getLong(0), r.getDouble(1), v, math.sqrt(ddot(v, v)))
     }
+    // A multi-query candidate frame (duplicate corpus ids with per-query
+    // scores) would silently corrupt the greedy objective — refuse it.
+    require(cs.map(_.id).distinct.length == cs.length,
+      "mmrSelectOver: duplicate candidate ids — pass ONE query's candidate " +
+        "set (filter the ANN output to a single query_id)")
     def sim(a: Cand, b: Cand): Double = ddot(a.v, b.v) / (a.n * b.n)
 
     val divW = 1.0 - lambda

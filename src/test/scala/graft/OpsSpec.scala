@@ -351,6 +351,55 @@ class DedupSpec extends SparkSpec {
     assert(Set(byId(1L)._2, byId(2L)._2, byId(5L)._2).size === 1)
     assert(byId(10L)._2 === byId(11L)._2)
   }
+
+  test("semantic dedup property: contract holds on seeded random vectors") {
+    // Full driver-side recomputation of the SemDeDup contract — the same
+    // guarantees e_semantic_dedup's oracle checks, here against plain
+    // Scala math with no shared Spark code path: exactly one kept per
+    // cluster; no within-cell KEPT pair reaches the threshold; every
+    // dropped vector has a same-cluster witness at >= threshold; cluster
+    // members share a cell (blocking never merges across cells).
+    val rnd = new scala.util.Random(7)
+    for ((n, dim, thr) <- Seq((60, 8, 0.9), (80, 6, 0.8))) {
+      // half random, half near-duplicates of earlier vectors (tiny jitter)
+      val base = Array.fill(n)(Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+      (n / 2 until n).foreach { i =>
+        val src = base(rnd.nextInt(n / 2))
+        base(i) = src.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+      }
+      val df = base.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toSeq.toDF("vec_id", "embedding")
+      val res = Dedup.semanticDedup(df, nCells = 4, threshold = thr)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getBoolean(3)))
+      assert(res.length === n)
+
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i); i += 1
+        }
+        d / math.sqrt(na * nb)
+      }
+      val cellOf = res.map(r => r._1 -> r._2).toMap
+      val byCluster = res.groupBy(_._3)
+      byCluster.foreach { case (c, ms) =>
+        assert(ms.count(_._4) === 1, s"cluster $c kept ${ms.count(_._4)}")
+        assert(ms.map(_._2).distinct.length === 1,
+          s"cluster $c spans cells ${ms.map(_._2).distinct}")
+      }
+      val kept = res.filter(_._4).map(_._1)
+      for (a <- kept; b <- kept if a < b && cellOf(a) == cellOf(b))
+        assert(cos(base(a.toInt), base(b.toInt)) < thr,
+          s"kept pair ($a,$b) in one cell at >= $thr")
+      res.filterNot(_._4).foreach { case (id, _, cl, _) =>
+        val members = byCluster(cl).map(_._1).filter(_ != id)
+        assert(members.exists(m => cos(base(id.toInt), base(m.toInt)) >= thr),
+          s"dropped $id has no >=$thr witness in cluster $cl")
+      }
+    }
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
