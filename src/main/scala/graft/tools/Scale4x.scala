@@ -82,6 +82,59 @@ object Scale4x {
       return
     }
 
+    if (args.contains("--skew")) {
+      // WHALE-TRAIL axis: per-trail window operators partition by uuid, so
+      // one trail holding a large share of all events (bot traffic, a
+      // service account) concentrates that share into ONE task. This mode
+      // reassigns 25% of all events to a single uuid (deterministically,
+      // by event_id) and compares each per-trail operator against the
+      // uniform layout at 1× and 16× the events — the honest measurement
+      // of how the window/fold shapes degrade under the skew that WILL
+      // happen at 100 TB, and of whether time stays linear in whale size
+      // (O(trail) folds / O(trail log trail) sorted collects) rather than
+      // quadratic.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev1 = spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", expr("ts DIV 1000000000"))
+      val maxU = ev1.agg(max("user_id")).head().getLong(0) + 1L
+      (0 until 16).map(i =>
+          ev1.withColumn("user_id", col("user_id") + lit(i * maxU)))
+        .reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$base/skew-events16")
+      val ev16 = spark.read.parquet(s"$base/skew-events16")
+      def whaled(ev: DataFrame): DataFrame = ev.withColumn("user_id",
+        when(pmod(col("event_id"), lit(4)) === 0, lit(-1L))
+          .otherwise(col("user_id")))
+      def t(ev: DataFrame): DataFrame =
+        graft.core.TrailDB.fromEvents(ev, "user_id", "ts",
+          Seq("event_type", "props"), Some("event_id")).df
+      println("| operator | uniform 1× | whale 1× | uniform 16× | whale 16× |")
+      println("|---|---|---|---|---|")
+      for ((label, f) <- Seq[(String, DataFrame => DataFrame)](
+          "sessionize (window-lag)" ->
+            (d => graft.agg.Sessionize.withSessionIds(d, 1800L)),
+          "exclusion funnel" ->
+            (d => graft.agg.Funnel.windowFunnel(d,
+              Seq("view", "click", "purchase"), window = 86400L,
+              exclude = Seq("error"))),
+          "trailing stats (1h horizon)" ->
+            (d => graft.agg.Rolling.trailingStats(
+              d.withColumn("one", lit(1L)), 3600L, "one")),
+          "as-of join (native exec)" ->
+            (d => graft.plans.AsOfJoin.join(
+              d.filter(col("event_type") === "view").select("uuid", "time", "seq"),
+              d.filter(col("event_type") === "click").select(col("uuid"),
+                col("time"), col("time").as("ct")),
+              Seq("ct"))))) {
+        val ts = Seq(t(ev1), t(whaled(ev1)), t(ev16), t(whaled(ev16)))
+          .map(d => time(f(d).queryExecution.toRdd.count()))
+        println(f"| $label | ${ts(0)}%.2fs | ${ts(1)}%.2fs (${ts(1) / ts(0)}%.1f×) " +
+          f"| ${ts(2)}%.2fs | ${ts(3)}%.2fs (${ts(3) / ts(2)}%.1f×) |")
+      }
+      spark.stop()
+      return
+    }
+
     val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val nDocs = docs1.count(); val nEmb = emb1.count()
