@@ -72,6 +72,25 @@ object SparkEntry {
       graft.core.TrailIndex.build(db(s, dir), p)
       p
     }
+    /** Trail dump as CSV/JSONL — the INPUT fixture for the ingest
+      * round-trips (the operator those queries time is the S4/S5 ingest;
+      * the dump is setup). */
+    def csvDump(s: SparkSession, dir: String): String = memo(s"csv:$dir") {
+      val p = java.nio.file.Files.createTempDirectory("graft-fix")
+        .resolve("csv").toString
+      trails(s, dir).df.select(col("uuid"), col("time"), col("event_type"),
+          col("seq").as("evseq"))
+        .write.option("header", "true").mode("overwrite").csv(p)
+      p
+    }
+    def jsonlDump(s: SparkSession, dir: String): String = memo(s"jsonl:$dir") {
+      val p = java.nio.file.Files.createTempDirectory("graft-fix")
+        .resolve("jsonl").toString
+      trails(s, dir).df.select(col("uuid"), col("time"), col("event_type"),
+          col("seq").as("evseq"))
+        .write.mode("overwrite").json(p)
+      p
+    }
   }
 
   /** Invariant summary for an ANN result vs the exact brute-force baseline
@@ -273,13 +292,8 @@ object SparkEntry {
     // S4: CSV ingest round-trip — dump trails to CSV, re-ingest through
     // the cons (column mapping + header), compare against the oracle.
     "t_csv_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-csv")
-      val t = trails(s, dir)
-      t.df.select(col("uuid"), col("time"), col("event_type"),
-          col("seq").as("evseq"))
-        .write.option("header", "true").mode("overwrite").csv(s"$tmp/csv")
       new graft.core.TrailDBCons(s, Seq("event_type", "evseq"))
-        .addCsv(s"$tmp/csv", delimiter = ",", header = true)
+        .addCsv(Fixtures.csvDump(s, dir), delimiter = ",", header = true)
         .stagedEvents.get
         .select(col("uuid"), col("time"), col("event_type"),
           col("evseq").cast("long").as("seq"))
@@ -288,13 +302,8 @@ object SparkEntry {
 
     // S5: JSONL ingest round-trip (unknown keys ignored).
     "t_jsonl_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl")
-      val t = trails(s, dir)
-      t.df.select(col("uuid"), col("time"), col("event_type"),
-          col("seq").as("evseq"))
-        .write.mode("overwrite").json(s"$tmp/jsonl")
       new graft.core.TrailDBCons(s, Seq("event_type", "evseq"))
-        .addJsonl(s"$tmp/jsonl")
+        .addJsonl(Fixtures.jsonlDump(s, dir))
         .stagedEvents.get
         .select(col("uuid"), col("time"), col("event_type"),
           col("evseq").cast("long").as("seq"))
