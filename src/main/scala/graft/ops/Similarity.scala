@@ -379,17 +379,31 @@ object Similarity {
     * rows past the cap and could flip recall floors across environments).
     * orderBy+limit plans as TakeOrderedAndProject — each partition
     * contributes at most maxSample rows to the shuffle, bounded at any
-    * corpus size. */
+    * corpus size.
+    *
+    * MEMOIZED per JVM by the corpus plan's semantic hash + parameters: a
+    * quantizer is a train-once artifact of an immutable corpus (this
+    * engine's finalized tables never mutate in place), so repeated PQ/IVF/
+    * SemDeDup queries over the same corpus reuse one sample collect
+    * instead of re-running the training scan per query execution. The
+    * cache cannot see external file mutation within a session — matching
+    * the immutable-table contract everywhere else in the library. */
+  private val sampleCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, Double, Long, Int), Array[Array[Float]]]()
   private[ops] def sampleVectors(corpus: DataFrame, vecCol: String,
       sampleFraction: Double = 1.0, seed: Long = 42L,
       maxSample: Int = 65536): Array[Array[Float]] = {
-    val sampled = if (sampleFraction < 1.0)
-      corpus.sample(withReplacement = false, sampleFraction, seed) else corpus
-    val pts = sampled.select(col(vecCol))
-      .orderBy(xxhash64(col(vecCol))).limit(maxSample).collect()
-      .map(_.getSeq[Float](0).toArray)
-    require(pts.nonEmpty, "quantizer training: empty sample")
-    pts
+    val key = (corpus.queryExecution.analyzed.semanticHash(), vecCol,
+      sampleFraction, seed, maxSample)
+    sampleCache.computeIfAbsent(key, _ => {
+      val sampled = if (sampleFraction < 1.0)
+        corpus.sample(withReplacement = false, sampleFraction, seed) else corpus
+      val pts = sampled.select(col(vecCol))
+        .orderBy(xxhash64(col(vecCol))).limit(maxSample).collect()
+        .map(_.getSeq[Float](0).toArray)
+      require(pts.nonEmpty, "quantizer training: empty sample")
+      pts
+    })
   }
 
   /** Deterministic in-process Lloyd's K-Means (seeded-shuffle init; empty
