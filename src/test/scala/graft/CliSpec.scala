@@ -35,6 +35,28 @@ class CliSpec extends SparkSpec {
     assert(merged.numTrails === 4)
 
     Main.run(spark, "index", Seq("-i", s"$dir/merged"))
+
+    // dump --index: pruned scan must return the same rows as the plain
+    // filtered dump (the index only skips pages, never rows)
+    Main.run(spark, "dump", Seq("-i", s"$dir/merged", "-F", "etype=e1",
+      "-o", s"$dir/dump-plain", "--csv-header"))
+    Main.run(spark, "dump", Seq("-i", s"$dir/merged", "-F", "etype=e1",
+      "--index", s"$dir/merged.index", "-o", s"$dir/dump-idx", "--csv-header"))
+    val plain = spark.read.option("header", "true").csv(s"$dir/dump-plain")
+      .collect().map(_.toString).sorted.toSeq
+    val viaIdx = spark.read.option("header", "true").csv(s"$dir/dump-idx")
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaIdx === plain && plain.nonEmpty)
+
+    // rewriting the db makes the CLI refuse the stale index loudly
+    Thread.sleep(5)
+    Main.run(spark, "merge", Seq("-o", s"$dir/merged",
+      "-i", s"$dir/db1", "-i", s"$dir/db1"))
+    val stale = intercept[IllegalStateException] {
+      Main.run(spark, "dump", Seq("-i", s"$dir/merged", "-F", "etype=e1",
+        "--index", s"$dir/merged.index", "-o", s"$dir/dump-stale"))
+    }
+    assert(stale.getMessage.contains("STALE INDEX"), stale.getMessage)
   }
 
   test("flag values may start with '-'; a value-taking flag with no value fails loudly (r2 ADVICE)") {
