@@ -354,6 +354,38 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("bloom dedup probe runs stateless on a stream, equal to batch") {
+    // The repeated-ingest shape end-to-end: the corpus sketch is built
+    // BATCH-side (driver-merged, broadcast once), the incoming batch is a
+    // STREAM — and the probe is a pure codegen'd projection+filter
+    // (BloomMightContain), so Dedup.bloomDedup runs unchanged with a
+    // streaming `batch` argument: no state store, composes with any
+    // output mode. Exactly how a 100 TB ingest loop would deploy it.
+    val corpus = (0 until 50).map(i => (i.toLong, s"doc body $i"))
+      .toDF("doc_id", "text")
+    val incoming = (40 until 90).map(i => (i.toLong, s"doc body $i"))
+    val dir = Files.createTempDirectory("graft-sbloom")
+    val src = dir.resolve("src").toString
+    incoming.toDF("doc_id", "text").write.parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    val q = graft.ops.Dedup.bloomDedup(corpus, stream, fpp = 0.001)
+      .select("doc_id")
+      .writeStream.outputMode("append").format("memory").queryName("sbloom")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.sql("SELECT doc_id FROM sbloom")
+      .as[Long].collect().toSet
+    val batch = graft.ops.Dedup.bloomDedup(corpus,
+        incoming.toDF("doc_id", "text"), fpp = 0.001)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed === batch)
+    // one-sided error: every true duplicate (40-49) is ALWAYS dropped
+    assert(streamed.forall(_ >= 50) && streamed.nonEmpty)
+  }
+
   test("stateful trailingStats carries the horizon deque across batches, equal to batch") {
     import graft.streaming.StreamSessions.{HorizonState, HorizonUpdate}
     implicit val updEnc = org.apache.spark.sql.Encoders.product[HorizonUpdate]
