@@ -194,6 +194,39 @@ class DedupSpec extends SparkSpec {
     native.foreach { case (id, sig) => assert(sig === agg(id), s"doc $id") }
   }
 
+  test("native bloom probe agrees with the broadcast filter on both execution paths") {
+    // BloomMightContain must return exactly bf.mightContainLong(h) for
+    // every hash — via whole-stage codegen (the filter path) AND via
+    // interpreted eval (the path a codegen fallback would take).
+    val rnd = new scala.util.Random(11)
+    val present = Seq.fill(200)(rnd.nextLong()).distinct
+    val absent = Seq.fill(200)(rnd.nextLong()).distinct.filterNot(present.contains)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(present.size, 0.01)
+    present.foreach(bf.putLong)
+    val bc = spark.sparkContext.broadcast(bf)
+    val probe = (present ++ absent).toDF("h")
+      .withColumn("got",
+        graft.functions.GraftFunctions.bloomMightContain(bc, col("h")))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // distributed (codegen) result equals a direct driver-side probe
+    (present ++ absent).foreach { h =>
+      assert(probe(h) === bf.mightContainLong(h), s"codegen path, h=$h")
+    }
+    // no false negatives, ever (the property bloomDedup's one-sided
+    // error contract rests on)
+    present.foreach(h => assert(probe(h), s"false negative for $h"))
+    // interpreted eval path agrees too
+    val expr = graft.functions.BloomMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L), bc)
+    (present ++ absent).foreach { h =>
+      val viaEval = graft.functions.BloomMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(h), bc)
+        .eval(null).asInstanceOf[Boolean]
+      assert(viaEval === bf.mightContainLong(h), s"eval path, h=$h")
+    }
+    assert(expr.checkInputDataTypes().isSuccess)
+  }
+
   test("minhash LSH candidates cover high-jaccard pairs; verification filters") {
     val verified = Dedup.minhashDedupPairs(docs, threshold = 0.5, numHashes = 64, bands = 16)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
