@@ -144,17 +144,27 @@ object TrailIndex {
       System.err.println(s"[graft] index at $path has no db-binding sidecar " +
         "— cannot check staleness (rebuild with TrailIndex.build to bind)")
     } else {
-      val in = fs.open(sp)
-      val text = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](8192)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        buf.toString("UTF-8")
-      } finally in.close()
       import org.json4s._
       import org.json4s.jackson.JsonMethods
-      val j = JsonMethods.parse(text)
+      // An unreadable/unparseable sidecar is treated like a FAILED check,
+      // not like a missing one: the file EXISTS, so this index claims a
+      // binding we cannot verify — opening anyway could silently drop
+      // rows. (Covers torn writes, checksum failures, and garbage alike.)
+      val j = try {
+        val in = fs.open(sp)
+        val text = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](8192)
+          var n = in.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          buf.toString("UTF-8")
+        } finally in.close()
+        JsonMethods.parse(text)
+      } catch {
+        case e: Exception => throw new IllegalStateException(
+          s"index sidecar $sp is unreadable (${e.getMessage}) — cannot " +
+            "verify the db binding. Rebuild with TrailIndex.build.", e)
+      }
       (j \ "db_path", j \ "db_info_sha256", j \ "db_info_mtime") match {
         case (JString(recordedDb), JString(sha), mtimeJ) =>
           val mtime = mtimeJ match {

@@ -138,6 +138,24 @@ class IndexSpec extends SparkSpec {
     assert(TrailIndex.open(spark, idxPath).count() > 0)
   }
 
+  test("a corrupt binding sidecar refuses loudly instead of opening unverified") {
+    val dir = Files.createTempDirectory("graft-idx-corrupt")
+    val d = new TrailDBCons(spark, Seq("etype"))
+      .add(Seq((uuidOf(1), 100L, "e1")).toDF("uuid", "time", "etype"))
+      .finalizeTo(dir.resolve("db").toString)
+    val idxPath = dir.resolve("idx").toString
+    TrailIndex.build(d, idxPath)
+    // corrupt through the Hadoop fs (keeps the .crc in sync — raw-file
+    // corruption instead surfaces as a ChecksumException, which the same
+    // catch turns into the loud refusal)
+    val sp = new org.apache.hadoop.fs.Path(idxPath, "_graft_index.json")
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(sp, true)
+    try out.write("{not json".getBytes("UTF-8")) finally out.close()
+    val e = intercept[IllegalStateException] { TrailIndex.open(spark, idxPath) }
+    assert(e.getMessage.contains("unreadable"), e.getMessage)
+  }
+
   test("a db+index pair relocated together validates via the dbPath override") {
     val dir = Files.createTempDirectory("graft-idx-move")
     val dbPath = dir.resolve("db").toString
