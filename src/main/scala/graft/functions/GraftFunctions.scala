@@ -108,6 +108,9 @@ object GraftFunctions {
   def pqCodes(vec: Column, m: Int, k: Int, flatCodebooks: Seq[Float]): Column =
     ColumnBridge.column(PqCodes(ColumnBridge.expression(vec), m, k, flatCodebooks))
 
+  def adcSum(codes: Column, tbl: Column): Column =
+    ColumnBridge.column(AdcSum(ColumnBridge.expression(codes), ColumnBridge.expression(tbl)))
+
   def zOrder2(a: Column, b: Column): Column =
     ColumnBridge.column(ZOrder2(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -94,5 +94,61 @@ object PqCodes {
       s += 1
     }
     new GenericArrayData(codes)
+  }
+}
+
+/** Asymmetric-distance (ADC) sum for PQ search: Σ_s tbl[s][codes[s]] — the
+  * per-candidate inner loop of the memory-bound ANN path, where `codes` is
+  * a corpus row's PQ code ([[PqCodes]]) and `tbl` is the query's
+  * precomputed per-subspace lookup table of partial dot products. One
+  * native m-lookup loop per (candidate, query) pair, codegen'd via a
+  * static call; bit-identical (same left-to-right addition order) to the
+  * builtin `aggregate(sequence, element_at∘element_at)` composition it
+  * replaces, which walked an interpreted lambda per subspace on every
+  * candidate — the hottest per-row site of the whole PQ scan.
+  *
+  * PRECONDITION: dense arrays, codes ∈ [0, k) and |tbl| ≥ |codes| — both
+  * guaranteed by construction ([[PqCodes]] emits only valid indices, the
+  * ADC table is built from the same codebooks). */
+case class AdcSum(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_sum"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"adc_sum requires (array<int>, array<array<double>>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override protected def nullSafeEval(codes: Any, tbl: Any): Any =
+    java.lang.Double.valueOf(AdcSum.compute(
+      codes.asInstanceOf[ArrayData], tbl.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (c, t) => s"graft.functions.AdcSum.compute($c, $t)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcSum =
+    copy(left = newLeft, right = newRight)
+}
+
+object AdcSum {
+  /** m table lookups, summed left-to-right. Called from generated code. */
+  def compute(codes: ArrayData, tbl: ArrayData): Double = {
+    val m = codes.numElements()
+    require(tbl.numElements() >= m,
+      s"adc_sum: ${tbl.numElements()} subspace tables for $m codes")
+    var sum = 0.0
+    var s = 0
+    while (s < m) {
+      sum += tbl.getArray(s).getDouble(codes.getInt(s))
+      s += 1
+    }
+    sum
   }
 }

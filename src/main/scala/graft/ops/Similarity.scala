@@ -461,7 +461,14 @@ object Similarity {
     * is small by definition, so interpreted higher-order lambdas are fine
     * here (the corpus side uses the codegen'd [[graft.functions.PqCodes]]
     * instead). */
-  private def adcTable(vec: Column, cb: PqCodebooks): Column =
+  /** The builtin-composed ADC fold [[graft.functions.AdcSum]] replaced —
+    * kept for the bit-identity equivalence spec (same left-to-right
+    * addition order). */
+  private[graft] def adcFold(codes: Column, tbl: Column, m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+      acc + element_at(element_at(tbl, s + 1), element_at(codes, s + 1) + 1))
+
+  private[graft] def adcTable(vec: Column, cb: PqCodebooks): Column =
     array((0 until cb.m).map { s =>
       val sub = slice(vec, s * cb.subDim + 1, cb.subDim)
       array((0 until cb.k).map { j =>
@@ -498,12 +505,14 @@ object Similarity {
         .as("codes"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("qn"), adcTable(col(vecCol), cb).as("tbl"))
+    // ADC score via the native expression — m table lookups per
+    // (candidate, query) inside the scan's codegen span; the builtin
+    // aggregate∘element_at composition it replaces is kept as [[adcFold]]
+    // for the bit-identity spec.
     val adc = c.crossJoin(broadcast(q))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("adc",
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
-          acc + element_at(element_at(col("tbl"), s + 1),
-            element_at(col("codes"), s + 1) + 1)) /
+        graft.functions.GraftFunctions.adcSum(col("codes"), col("tbl")) /
         (col("cn") * col("qn")))
     val sw = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("corpus_id"))

@@ -515,6 +515,34 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("array<float>"))
   }
 
+  test("native adc_sum is bit-identical to the builtin fold composition") {
+    // real codebooks + real codes over the corpus: the native m-lookup
+    // loop must reproduce the aggregate(element_at∘element_at) fold
+    // double-for-double (same left-to-right addition order)
+    val m = 16; val ck = 8
+    val cb = Similarity.pqTrain(emb, m = m, k = ck, dim = 64)
+    val q = emb.filter($"vec_id" === 0)
+      .select(Similarity.adcTable($"embedding", cb).as("tbl"))
+    val both = emb.select($"vec_id",
+        graft.functions.GraftFunctions.pqCodes($"embedding", m, ck, cb.flat)
+          .as("codes"))
+      .crossJoin(q)
+      .select($"vec_id",
+        graft.functions.GraftFunctions.adcSum($"codes", $"tbl").as("native"),
+        Similarity.adcFold($"codes", $"tbl", m).as("fold"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getDouble(1) === r.getDouble(2), s"vec ${r.getLong(0)}")
+    }
+    // analysis-time type error on wrong input types
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Seq(1L), Seq(Seq(1.0)))).toDF("c", "t")
+        .select(graft.functions.GraftFunctions.adcSum($"c", $"t")).collect()
+    }
+    assert(ex.getMessage.contains("array<int>"))
+  }
+
   test("pq codebooks are a function of the data, not the partition layout") {
     val a = Similarity.pqTrain(emb, m = 4, k = 8, dim = 64)
     val b = Similarity.pqTrain(emb.repartition(13), m = 4, k = 8, dim = 64)
