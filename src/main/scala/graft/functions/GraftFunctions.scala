@@ -111,6 +111,9 @@ object GraftFunctions {
   def adcSum(codes: Column, tbl: Column): Column =
     ColumnBridge.column(AdcSum(ColumnBridge.expression(codes), ColumnBridge.expression(tbl)))
 
+  def signLsh(vec: Column, nPlanes: Int, dim: Int): Column =
+    ColumnBridge.column(SignLsh(ColumnBridge.expression(vec), nPlanes, dim))
+
   def zOrder2(a: Column, b: Column): Column =
     ColumnBridge.column(ZOrder2(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 

@@ -63,6 +63,30 @@ object VectorOps {
     acc
   }
 
+  /** One-pass sign-LSH bucket; called from generated code. Left-to-right
+    * double fold per plane — same addition order as the builtin aggregate
+    * fold, so the dots (and their signs) are bit-identical on dense
+    * length-`dim` inputs. Length mismatch → bucket 0, matching the
+    * null-padded builtin fold. */
+  def signLsh(vec: ArrayData, nPlanes: Int, dim: Int): Long = {
+    if (vec.numElements() != dim) return 0L
+    val w = SignLsh.weights(nPlanes, dim)
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var s = 0.0
+      var i = 0
+      val base = p * dim
+      while (i < dim) {
+        if (!vec.isNullAt(i)) s += vec.getFloat(i).toDouble * w(base + i)
+        i += 1
+      }
+      if (s > 0.0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
   /** One-pass MinHash signature; called from generated code. Parameter
     * tables are cached per numHashes (tiny; computed once per JVM). */
   def minhashSig(hashes: ArrayData, numHashes: Int): ArrayData = {
@@ -367,6 +391,75 @@ case class BloomMightContain(
 
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)
+}
+
+/** Random-hyperplane LSH bucket id (Charikar, STOC'02) of a float-vector
+  * column in ONE native pass per row: bit p of the bucket is the sign of
+  * the dot product with deterministic pseudo-random hyperplane p.
+  *
+  * The composed-builtins form this replaces
+  * ([[graft.ops.Similarity.lshBucketFold]]) evaluates, PER CORPUS ROW,
+  * nPlanes × (sequence + transform + zip_with + aggregate) interpreted
+  * higher-order lambdas with an xxhash64 per element — the dominant cost
+  * of LSH corpus prep. Here the plane weights are derived ONCE per
+  * (nPlanes, dim) per JVM (the same `xxhash64(d + p·65536)/Long.MaxValue`
+  * derivation, bit-for-bit: Catalyst hashes an int input via
+  * `XXH64.hashInt(v, seed=42)`) and cached; each row is then one
+  * nPlanes×dim primitive multiply-add loop inside the scan's codegen span.
+  * Bit-identical to the builtin composition on DENSE length-`dim` vectors
+  * (spec-enforced); like the builtin, a vector whose length ≠ dim buckets
+  * to 0 (there the null-padded fold nulls every plane's dot).
+  * Divergence on null ELEMENTS (not a supported shape): the builtin nulls
+  * the plane dot (bit 0), this treats them as 0 (bit = sign of the rest).
+  */
+case class SignLsh(child: Expression, nPlanes: Int, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(nPlanes >= 1 && nPlanes <= 63, s"need 1 <= nPlanes <= 63, got $nPlanes")
+  require(dim >= 1, s"need dim >= 1, got $dim")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_lsh"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sign_lsh requires array<float> input, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(VectorOps.signLsh(
+      input.asInstanceOf[ArrayData], nPlanes, dim))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorOps.signLsh($c, $nPlanes, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): SignLsh =
+    copy(child = newChild)
+}
+
+object SignLsh {
+  /** Plane-weight tables, computed once per (nPlanes, dim) per JVM —
+    * weight(p, d) = xxhash64_int(d + p·65536, seed 42) / Long.MaxValue,
+    * exactly the builtin composition's planeComponent. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+  def weights(nPlanes: Int, dim: Int): Array[Double] =
+    cache.computeIfAbsent((nPlanes, dim), { case (np, d) =>
+      val w = new Array[Double](np * d)
+      var p = 0
+      while (p < np) {
+        var i = 0
+        while (i < d) {
+          w(p * d + i) =
+            org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashInt(i + p * 65536, 42L).toDouble / Long.MaxValue.toDouble
+          i += 1
+        }
+        p += 1
+      }
+      w
+    })
 }
 
 object MinHashParams {

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -183,8 +182,38 @@ object Similarity {
       .toDF("n_selected", "ranks_ok", "subset_ok", "rel_exact_ok", "chain_ok")
   }
 
+  /** Per-query bounded-memory top-k over a scored candidate stream — the
+    * shortlist step shared by every ANN path. [[graft.ops.Sketch.TopK]] as
+    * a grouped aggregate: each map task keeps ≤k `(score, corpus_id)` pairs
+    * per query, the exchange carries ≤k rows per (partition, query), and
+    * the merge is associative — provably equal to
+    * `row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id)`
+    * (`q_topk_agg` hash-proves the equivalence for the global case; ties
+    * break on corpus id both ways). The window form it replaces funneled
+    * the ENTIRE scored stream for one query into ONE task — at a 10^9-row
+    * corpus each query's partition IS the corpus; this shape's shuffle is
+    * bounded at any corpus size.
+    *
+    * `corpus_id` is cast to long (the aggregator's id type) — every id
+    * column in this library is int/long. Output: one row per kept
+    * candidate, `(query_id, rank, corpus_id, <outScore>)`, rank 1..k.
+    */
+  private def topKPerQuery(scored: DataFrame, scoreCol: String, k: Int,
+      outScore: String): DataFrame = {
+    val tk = udaf(Sketch.TopK(k))
+    scored.groupBy("query_id")
+      .agg(tk(col(scoreCol).cast("double"), col("corpus_id").cast("long")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col").getField("_2").as("corpus_id"),
+        col("col").getField("_1").as(outScore))
+  }
+
   /** Exact top-k by cosine for each query vector. `queries` is expected to
-    * be small (it is broadcast); ties break on corpus id for determinism. */
+    * be small (it is broadcast); ties break on corpus id for determinism.
+    * The per-query shortlist is the mergeable [[topKPerQuery]] aggregate —
+    * ≤k rows per partition through the shuffle, never a per-query global
+    * sort. */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
@@ -194,14 +223,11 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "corpus_id", "cosine")
+    topKPerQuery(scored, "cosine", k, "cosine")
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim) —
-    * splitmix64 of the index pair mapped to [-1, 1]. No RNG state. */
+    * xxhash64 of the index pair mapped to [-1, 1]. No RNG state. */
   private def planeComponent(plane: Int, dim: Column): Column = {
     val ix = dim + lit(plane * 65536)
     val mixed = xxhash64(ix)
@@ -209,8 +235,19 @@ object Similarity {
   }
 
   /** Sign-pattern LSH bucket id from `nPlanes` deterministic hyperplanes.
-    * bucket = sum over planes of (dot(v, plane) > 0) << plane. */
-  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
+    * bucket = sum over planes of (dot(v, plane) > 0) << plane. Native
+    * codegen expression ([[graft.functions.SignLsh]]): the plane-weight
+    * table is derived once per JVM and each row is one primitive
+    * multiply-add loop — the interpreted per-row higher-order fold it
+    * replaces ([[lshBucketFold]], kept for the bit-identity spec) was the
+    * dominant cost of LSH corpus prep. */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column =
+    graft.functions.GraftFunctions.signLsh(vec, nPlanes, dim)
+
+  /** The builtin-composed per-plane fold [[lshBucket]] replaced — kept for
+    * the equivalence spec (bit-identical bucket ids on dense length-`dim`
+    * vectors: same weight derivation, same left-to-right double fold). */
+  private[graft] def lshBucketFold(vec: Column, nPlanes: Int, dim: Int): Column = {
     val planes = (0 until nPlanes).map { p =>
       val dot = aggregate(
         zip_with(vec,
@@ -241,27 +278,35 @@ object Similarity {
       norm(col(vecCol)).as("cn"),
       element_at(graft.functions.GraftFunctions.pqCodes(
         col(vecCol), 1, nCells, flat), 1).as("cell"))
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val centroidDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
-      .toSeq.toDF("cell", "centroid")
-    // each query probes its nprobe nearest cells
+    // Each query probes its nprobe nearest cells. The centroids are
+    // driver-local (they were just trained here), so the probe set is a
+    // pure PROJECTION: one inline cosine per centroid literal, struct-sort,
+    // slice nprobe — no crossJoin, no window, no shuffle of the query side.
+    // Sort key (−cdist, cell) replays the old window's
+    // (cdist DESC, cell ASC) ordering; the centroid norm is the same
+    // left-to-right double fold the native norm() computes, replayed on
+    // the driver, so cdist is bit-identical to the join form it replaced.
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("qn"))
-    val qCells = q.crossJoin(broadcast(centroidDf))
-      .withColumn("cdist", dot(col("qv"), col("centroid")) /
-        (col("qn") * norm(col("centroid"))))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cdist").desc, col("cell"))))
-      .filter(col("crank") <= nprobe)
+    def driverNorm(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    val cellCands = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        (-(dot(col("qv"), typedLit(c.toSeq)) / (col("qn") * lit(driverNorm(c)))))
+          .as("negd"),
+        lit(i).as("cell"))
+    }: _*)
+    val qCells = q
+      .withColumn("cell", explode(transform(
+        slice(sort_array(cellCands), 1, nprobe), s => s.getField("cell"))))
       .select("query_id", "qv", "qn", "cell")
     val scored = cells.join(broadcast(qCells), Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "corpus_id", "cosine")
+    topKPerQuery(scored, "cosine", k, "cosine")
   }
 
   /** ANN top-k: join corpus and queries on LSH bucket, rank within bucket.
@@ -287,10 +332,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "corpus_id", "cosine")
+    topKPerQuery(scored, "cosine", k, "cosine")
   }
 
   /** Per-vector symmetric int8 scalar quantization: scale = max|x|/127,
@@ -514,22 +556,22 @@ object Similarity {
       .withColumn("adc",
         graft.functions.GraftFunctions.adcSum(col("codes"), col("tbl")) /
         (col("cn") * col("qn")))
-    val sw = Window.partitionBy("query_id")
-      .orderBy(col("adc").desc, col("corpus_id"))
-    // cn rides the shortlist — recomputing norms on the raw side would be
-    // another full-corpus pass before the join filters to ~q×shortlist rows
-    val short = adc.withColumn("srank", row_number().over(sw))
-      .filter(col("srank") <= shortlist)
-      .select("query_id", "corpus_id", "cn", "qv", "qn")
-    // exact rerank: join the tiny shortlist back to the raw vectors
+    // Shortlist via the mergeable top-k aggregate: the exchange carries
+    // ≤shortlist (adc, id) pairs per (partition, query) — the window form
+    // it replaced funneled the whole scored corpus stream for one query
+    // into one task, the plan shape that dies at a 10^9-row corpus.
+    val short = topKPerQuery(adc, "adc", shortlist, "adc")
+      .select("query_id", "corpus_id")
+    // Exact rerank: join the tiny shortlist (queries × shortlist rows,
+    // broadcast both sides) back to the raw vectors. The corpus norm is
+    // recomputed AFTER the join — only the ~q×shortlist surviving rows pay
+    // it (same fold, bit-identical to the pre-join norm it replaced).
     val raw = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("corpus_id"))
-    raw.join(broadcast(short), Seq("corpus_id"))
-      .withColumn("cosine", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "corpus_id", "cosine")
+    val rer = raw.join(broadcast(short), Seq("corpus_id"))
+      .join(broadcast(q.select("query_id", "qv", "qn")), Seq("query_id"))
+      .withColumn("cosine",
+        dot(col("cv"), col("qv")) / (norm(col("cv")) * col("qn")))
+    topKPerQuery(rer, "cosine", k, "cosine")
   }
 
   /** Per-label centroids of an embedding column — the class-centroid /

@@ -457,6 +457,32 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("array<float>"))
   }
 
+  test("native sign_lsh is bit-identical to the builtin per-plane fold") {
+    // Same weight derivation (xxhash64 of int index, seed 42), same
+    // left-to-right double fold per plane — bucket ids must agree exactly
+    // on the real (dense, length-64) embedding corpus.
+    Seq(5, 8, 12).foreach { nPlanes =>
+      val diff = emb.select(
+          Similarity.lshBucket($"embedding", nPlanes, 64).as("native"),
+          Similarity.lshBucketFold($"embedding", nPlanes, 64).as("fold"))
+        .filter($"native" =!= $"fold").count()
+      assert(diff === 0L, s"sign_lsh diverged from the fold at nPlanes=$nPlanes")
+    }
+    // length mismatch buckets to 0 (the builtin's null-padded fold does too)
+    val short = Seq((1L, Array(1f, 2f))).toDF("id", "v")
+    val got = short.select(
+      graft.functions.GraftFunctions.signLsh($"v", 4, 64).as("b"),
+      Similarity.lshBucketFold($"v", 4, 64).as("bf")).head()
+    assert(got.getLong(0) === 0L)
+    assert(got.getLong(1) === 0L)
+    // analysis-time type error on non-float arrays
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Seq(1L, 2L)).toDF("a")
+        .select(graft.functions.GraftFunctions.signLsh($"a", 4, 2)).collect()
+    }
+    assert(ex.getMessage.contains("array<float>"))
+  }
+
   test("brute-force knn returns k ranked neighbors per query") {
     val queries = emb.filter($"vec_id" < 3)
     val got = Similarity.bruteForceKnn(emb, queries, k = 5)

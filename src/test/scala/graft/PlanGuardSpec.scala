@@ -62,6 +62,36 @@ class PlanGuardSpec extends SparkSpec {
       s"t_attribution grew extra exchanges:\n$attr")
   }
 
+  test("ANN shortlists are mergeable top-k aggregates, never per-query window sorts") {
+    // The round-5 verdict's one scale-killer shape: row_number() OVER
+    // (PARTITION BY query_id) funnels the entire scored corpus stream for
+    // one query into ONE task. All four ANN paths now shortlist with the
+    // mergeable Sketch.TopK aggregate (≤k rows per partition through the
+    // exchange) — a Window/row_number reappearing in these plans is the
+    // regression this guard exists to catch. (The SparkEntry e_knn_*
+    // queries wrap annInvariant, which adds its own small lag-window over
+    // the q×k RESULT rows — fine — so guard the operator plans directly.)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    import graft.ops.Similarity
+    val plans = Seq(
+      "brute" -> Similarity.bruteForceKnn(emb, q, k = 3),
+      "lsh" -> Similarity.lshKnn(emb, q, k = 3, nPlanes = 6),
+      "ivf" -> Similarity.ivfKnn(emb, q, k = 3, nCells = 8, nprobe = 2),
+      "pq" -> Similarity.pqKnn(emb, q, k = 3, m = 16, codebookK = 32,
+        shortlist = 50))
+    plans.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name knn regrew a per-query window sort:\n$plan")
+      assert(!plan.contains("row_number"),
+        s"$name knn regrew row_number:\n$plan")
+      // partial + final ObjectHashAggregate pairs = the mergeable shape
+      assert(plan.contains("ObjectHashAggregate"),
+        s"$name knn lost the mergeable top-k aggregate:\n$plan")
+    }
+  }
+
   test("the whole tree is UDF-free: bloom probe runs as a native expression") {
     // d_bloom_dedup's batch probe was the tree's ONLY Scala UDF — now a
     // codegen'd BloomMightContain over the broadcast bitset. A ScalaUDF in
