@@ -1,8 +1,9 @@
 package graft.cli
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
-import graft.core.{TrailDB, TrailDBCons, TrailOps}
+import graft.core.{GraftError, TrailDB, TrailDBCons, TrailOps, TrailSchema}
 import graft.filter.EventFilter
 
 /** CLI front-end mirroring the reference's `tdb` tool
@@ -10,26 +11,39 @@ import graft.filter.EventFilter
   *
   *   tdb make  -o OUT (-c CSV | -j JSONL) -f f1,f2 [--csv-header]
   *             [--delimiter D] [--skip-bad-input] [--uuid-col C] [--time-col C]
-  *   tdb dump  -i DB [-F FILTER] [--fields uuid,time,f1] [--uuids u1,u2,...]
+  *             [--uuids SPEC]
+  *   tdb dump  -i DB [-F FILTER] [--fields uuid,time,f1] [--uuids SPEC]
   *             [--index IDX] [-o OUT] [-c | -j] [--json-no-empty]
   *             [--delimiter D] [--csv-header]
-  *   tdb merge -o OUT -i DB1 -i DB2 [...]
+  *   tdb merge -o OUT -i DB1 -i DB2 [...] [-F FILTER] [--uuids SPEC]
   *   tdb index -i DB [-o IDX]   (build the inverted (field,value,page)
   *                               skipping index — see [[graft.core.TrailIndex]];
   *                               `dump --index IDX -F ...` prunes with it)
   *
+  * `--uuids SPEC` is either a comma-separated uuid list or `@file` with one
+  * uuid per line (reference: tdbcli/main.c:84-91, tdbcli/filter.c:164-213).
+  * Invalid (non-32-hex) and missing uuids are ignored; a count line
+  * `Found N UUIDs: S selected, M missing, I invalid.` goes to stderr
+  * (duplicate listed uuids are counted once, unlike the reference).
+  *
   * Filters use the reference grammar: space = OR, '&' = AND, `f=v`,
   * `f!=v`, `f=` for the NULL value, `f=@file` to read the value from a
   * file (tdbcli/filter.c:18-140).
+  *
+  * Failures are classified at the [[main]] boundary into tdb_error_str-
+  * style names with DISTINCT exit codes ([[graft.core.GraftError]]):
+  * 2 bad args, 3 open failure, 4 filter parse error, 5 stale index,
+  * 1 anything else.
   */
 object Main {
   /** Flags that take a value, per op — `-c`/`-j` take a path for `make` but
     * are boolean output-format switches for `dump` (reference: tdbcli/main.c
     * has separate long_options tables per op for exactly this reason). */
   private val valueFlags: Map[String, Set[String]] = Map(
-    "make"  -> Set("-o", "-c", "-j", "-f", "--delimiter", "--uuid-col", "--time-col"),
+    "make"  -> Set("-o", "-c", "-j", "-f", "--delimiter", "--uuid-col",
+      "--time-col", "--uuids"),
     "dump"  -> Set("-i", "-F", "-o", "--fields", "--uuids", "--delimiter", "--index"),
-    "merge" -> Set("-o", "-i"),
+    "merge" -> Set("-o", "-i", "-F", "--uuids"),
     "index" -> Set("-i", "-o")
   ).withDefaultValue(Set.empty)
 
@@ -43,6 +57,35 @@ object Main {
     "merge" -> Set.empty[String],
     "index" -> Set.empty[String]
   ).withDefaultValue(Set.empty)
+
+  /** `--uuids` spec → entry list: a comma-separated list, or `@file` with
+    * one uuid per line (reference: tdbcli/filter.c:190-213 apply_uuids /
+    * :164-186 apply_uuids_from_file; an unreadable file dies loudly). */
+  private[cli] def parseUuidSpec(spec: String): Seq[String] =
+    if (spec.startsWith("@")) {
+      val p = java.nio.file.Paths.get(spec.drop(1))
+      if (!java.nio.file.Files.isReadable(p))
+        throw GraftError.OpenError(s"Could not read UUIDs from ${spec.drop(1)}")
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(p)).asScala.toSeq
+    } else spec.split(",", -1).toSeq
+
+  /** Validity per the reference (tdbcli/filter.c:152-155): exactly 32 hex
+    * chars. Invalid and missing uuids are ignored, not fatal. */
+  private def isValidUuid(u: String): Boolean =
+    u.length == 32 && u.forall(c => Character.digit(c, 16) >= 0)
+
+  /** Split a `--uuids` spec into (valid, nInvalid) and report the
+    * reference's count line (tdbcli/filter.c:210-216: "Found %u UUIDs:
+    * %u selected, %u missing, %u invalid.") given the number of listed
+    * valid uuids that exist in the target data. */
+  private def reportUuids(entries: Seq[String], valid: Seq[String],
+      present: Long): Unit = {
+    val invalid = entries.size - valid.size
+    val missing = valid.size - present
+    System.err.println(s"Found ${entries.size} UUIDs: " +
+      s"$present selected, $missing missing, $invalid invalid.")
+  }
 
   private def parseFlags(op: String, args: Seq[String]): (Map[String, List[String]], List[String]) = {
     var flags = Map.empty[String, List[String]].withDefaultValue(Nil)
@@ -59,7 +102,7 @@ object Main {
       // an unfiltered dump from a silently-dropped -F is worse than a crash.
       if (a.startsWith("-") && takesValue(a)) {
         if (i + 1 >= args.length || known(args(i + 1)))
-          sys.error(s"$op: flag $a requires a value")
+          throw GraftError.BadArgs(s"$op: flag $a requires a value")
         flags = flags.updated(a, flags(a) :+ args(i + 1)); i += 2
       } else if (a.startsWith("-")) {
         flags = flags.updated(a, flags(a) :+ ""); i += 1
@@ -69,7 +112,7 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) { usage(); sys.exit(1) }
+    if (args.isEmpty) { usage(); sys.exit(GraftError.BadArgs("no op").exitCode) }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
       .appName("graft-tdb")
@@ -79,9 +122,36 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, args.head, args.tail.toIndexedSeq)
-    finally spark.stop()
+    // The CLI boundary maps every failure to its tdb_error_str-style name
+    // and a DISTINCT exit code (GraftError.classify) — scripts branch on
+    // the code like they would on the reference's tdb_error.
+    val code =
+      try { run(spark, args.head, args.tail.toIndexedSeq); 0 }
+      catch {
+        case e: Throwable =>
+          val (name, c) = GraftError.classify(e)
+          val msg = Option(e.getMessage).getOrElse(e.toString)
+          System.err.println(
+            if (msg.startsWith(name)) s"tdb: $msg" else s"tdb: $name: $msg")
+          c
+      } finally spark.stop()
+    if (code != 0) sys.exit(code)
   }
+
+  /** Open a db for a CLI op, classifying failure as TDB_ERR_IO_OPEN. */
+  private def openDb(spark: SparkSession, path: String): TrailDB =
+    try TrailDB.open(spark, path)
+    catch { case scala.util.control.NonFatal(e) =>
+      throw GraftError.OpenError(s"could not open db at $path: ${e.getMessage}", e) }
+
+  /** Parse a -F filter, classifying failure as a filter parse error. */
+  private def parseFilter(f: String): EventFilter =
+    try EventFilter.parse(f)
+    catch {
+      case ge: GraftError => throw ge
+      case scala.util.control.NonFatal(e) =>
+        throw GraftError.FilterParseError(s"bad filter '$f': ${e.getMessage}", e)
+    }
 
   def run(spark: SparkSession, op: String, rest: Seq[String]): Unit = {
     val (flags, _) = parseFlags(op, rest)
@@ -89,7 +159,7 @@ object Main {
 
     op match {
       case "make" =>
-        val out = one("-o").getOrElse(sys.error("make: -o OUT required"))
+        val out = one("-o").getOrElse(throw GraftError.BadArgs("make: -o OUT required"))
         val fields = one("-f").map(_.split(",").toSeq).getOrElse(Nil)
         val cons = new TrailDBCons(spark, fields)
         val mapping = Seq(
@@ -101,19 +171,31 @@ object Main {
           header = flags("--csv-header").nonEmpty,
           mapping = mapping, skipBadInput = skipBad))
         one("-j").foreach(j => cons.addJsonl(j, mapping, skipBad))
+        // --uuids on make selects the subset of trails to INGEST
+        // (reference usage: tdbcli/main.c:84-90); the count pass mirrors
+        // the reference's per-uuid lookup report.
+        one("--uuids").foreach { us =>
+          val entries = parseUuidSpec(us)
+          val valid = entries.filter(isValidUuid).distinct
+          val present = cons.stagedView
+            .filter(col(TrailSchema.UuidCol).isin(valid: _*))
+            .select(TrailSchema.UuidCol).distinct().count()
+          reportUuids(entries, valid, present)
+          cons.whitelist(valid)
+        }
         val db = cons.finalizeTo(out)
         println(s"[make] wrote ${db.numEvents} events / ${db.numTrails} trails to $out")
 
       case "dump" =>
-        val in = one("-i").getOrElse(sys.error("dump: -i DB required"))
-        var db = TrailDB.open(spark, in)
+        val in = one("-i").getOrElse(throw GraftError.BadArgs("dump: -i DB required"))
+        var db = openDb(spark, in)
         // NOT one(): an explicitly-empty -F '' must still apply — the
         // reference's parse_filter("") builds a filter with one empty
         // clause that matches NOTHING (tdb_event_filter_new semantics),
         // and EventFilter.parse("") is matchNone to mirror it. Dropping
         // it would silently dump the whole db instead.
         flags("-F").headOption.foreach { f =>
-          val filter = EventFilter.parse(f)
+          val filter = parseFilter(f)
           db = db.withFilter(filter)
           // --index IDX: prune to candidate pages before the scan (the
           // reference's "Evaluating X/N trails" path, op_dump.c:239-247).
@@ -124,7 +206,14 @@ object Main {
               graft.core.TrailIndex.open(spark, idx, Some(in)), filter)
           }
         }
-        one("--uuids").foreach(us => db = db.whitelist(us.split(",").toSeq))
+        one("--uuids").foreach { us =>
+          val entries = parseUuidSpec(us)
+          val valid = entries.filter(isValidUuid).distinct
+          val present = db.df.filter(col(TrailSchema.UuidCol).isin(valid: _*))
+            .select(TrailSchema.UuidCol).distinct().count()
+          reportUuids(entries, valid, present)
+          db = db.whitelist(valid)
+        }
         val cols = one("--fields").map(_.split(",").toSeq).getOrElse(Nil)
         one("-o") match {
           case Some(out) if flags("-j").nonEmpty =>
@@ -139,16 +228,33 @@ object Main {
         }
 
       case "merge" =>
-        val out = one("-o").getOrElse(sys.error("merge: -o OUT required"))
+        val out = one("-o").getOrElse(throw GraftError.BadArgs("merge: -o OUT required"))
         val ins = flags("-i")
-        require(ins.size >= 2, "merge: at least two -i DB inputs")
-        val merged = TrailOps.merge(ins.map(TrailDB.open(spark, _)))
+        if (ins.size < 2) throw GraftError.BadArgs("merge: at least two -i DB inputs")
+        // The reference applies --filter and --uuids to every input db
+        // before merging (tdbcli/op_merge.c:223-226 apply_filter per db).
+        var dbs = ins.map(openDb(spark, _))
+        flags("-F").headOption.foreach { f =>
+          val filter = parseFilter(f)
+          dbs = dbs.map(_.withFilter(filter))
+        }
+        one("--uuids").foreach { us =>
+          val entries = parseUuidSpec(us)
+          val valid = entries.filter(isValidUuid).distinct
+          dbs = dbs.map { d =>
+            val present = d.df.filter(col(TrailSchema.UuidCol).isin(valid: _*))
+              .select(TrailSchema.UuidCol).distinct().count()
+            reportUuids(entries, valid, present)
+            d.whitelist(valid)
+          }
+        }
+        val merged = TrailOps.merge(dbs)
         val db = new TrailDBCons(spark, merged.fields).add(merged.df).finalizeTo(out)
         println(s"[merge] ${ins.size} dbs -> ${db.numEvents} events / ${db.numTrails} trails at $out")
 
       case "index" =>
-        val in = one("-i").getOrElse(sys.error("index: -i DB required"))
-        val db = TrailDB.open(spark, in)
+        val in = one("-i").getOrElse(throw GraftError.BadArgs("index: -i DB required"))
+        val db = openDb(spark, in)
         val out = one("-o").getOrElse(s"$in.index")
         graft.core.TrailIndex.build(db, out)
         val n = spark.read.parquet(out).count()
@@ -157,7 +263,7 @@ object Main {
           s"entries to $out")
 
       case other =>
-        usage(); sys.error(s"unknown op '$other'")
+        usage(); throw GraftError.BadArgs(s"unknown op '$other'")
     }
   }
 

@@ -1,0 +1,52 @@
+package graft.core
+
+/** Typed failure surface for the CLI boundary — the analog of the
+  * reference's `tdb_error` enum + `tdb_error_str` (src/tdb.c:591-675):
+  * every failure class carries a stable NAME (reusing the reference's
+  * string where one exists) and a DISTINCT process exit code, so scripts
+  * can branch on the failure kind exactly as they would on the reference's
+  * error codes. Messages stay loud and specific; the hierarchy only adds
+  * the machine-readable classification on top.
+  *
+  * Exit codes: 1 = unclassified, 2 = bad arguments, 3 = open failure,
+  * 4 = filter parse error, 5 = stale/unverifiable index.
+  */
+sealed abstract class GraftError(val errName: String, val exitCode: Int,
+    message: String, cause: Throwable)
+    extends RuntimeException(s"$errName: $message", cause)
+
+object GraftError {
+
+  /** Bad command-line arguments — unknown op, missing required flag, a
+    * value-taking flag with no value (the reference DIEs from its usage
+    * checks, tdbcli/main.c:226-266). */
+  final case class BadArgs(msg: String)
+      extends GraftError("TDB_ERR_ARGS", 2, msg, null)
+
+  /** A db / index / input path that cannot be opened —
+    * TDB_ERR_IO_OPEN (src/tdb.c:616-617). */
+  final case class OpenError(msg: String, causeEx: Throwable = null)
+      extends GraftError("TDB_ERR_IO_OPEN", 3, msg, causeEx)
+
+  /** Malformed filter expression — the reference's parse_filter DIE paths
+    * (tdbcli/filter.c:18-140). */
+  final case class FilterParseError(msg: String, causeEx: Throwable = null)
+      extends GraftError("TDB_ERR_FILTER_PARSE", 4, msg, causeEx)
+
+  /** Classify ANY failure escaping a CLI op into (errName, exitCode).
+    * Typed GraftErrors carry their own; [[StaleIndexException]] (which
+    * must stay an IllegalStateException for API compatibility) maps to its
+    * reserved code; everything else is the generic failure. */
+  def classify(e: Throwable): (String, Int) = e match {
+    case ge: GraftError => (ge.errName, ge.exitCode)
+    case _: StaleIndexException => ("TDB_ERR_STALE_INDEX", 5)
+    case _ => ("TDB_ERR_UNKNOWN", 1)
+  }
+}
+
+/** An index whose db binding fails (or cannot complete) its staleness
+  * check. Extends IllegalStateException so existing library callers that
+  * catch the refusal by that type keep working; the CLI maps it to exit
+  * code 5 via [[GraftError.classify]]. */
+final class StaleIndexException(msg: String, cause: Throwable = null)
+    extends IllegalStateException(msg, cause)

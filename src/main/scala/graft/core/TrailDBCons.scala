@@ -100,6 +100,19 @@ final class TrailDBCons(val spark: SparkSession, val fields: Seq[String]) {
     * lexicon-remap path is moot here since Parquet re-encodes on write). */
   def append(db: TrailDB): this.type = add(db.df)
 
+  /** Restrict staged events to the listed trails — `make --uuids`
+    * (reference: tdbcli/main.c:84-90: "--uuids selects a subset of trails
+    * for 'make' or 'dump'"): the selection happens at ingest, so the
+    * finalized db contains only the listed trails. Lazy like every other
+    * staging op — the isin predicate rides the ingest plan. */
+  def whitelist(uuids: Seq[String]): this.type = synchronized {
+    staged = Some(stagedOrEmpty.filter(col(TrailSchema.UuidCol).isin(uuids: _*)))
+    this
+  }
+
+  /** The staged (pre-finalize) view — CLI-side counts only. */
+  private[graft] def stagedView: DataFrame = stagedOrEmpty
+
   /** Finalize: shuffle-sort by trail and write the immutable table —
     * tdb_cons_finalize → tdb_encode (reference: src/tdb_cons.c:660-723,
     * src/tdb_encode.c:399-569 stages (a)-(g) — here one repartition +

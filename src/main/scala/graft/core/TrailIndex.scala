@@ -77,31 +77,45 @@ object TrailIndex {
     * [[TrailDB.fromTrailFrame]]) gets an unbound index — open() then warns
     * that staleness protection is unavailable. */
   def build(db: TrailDB, path: String, prefixLen: Int = DefaultPrefixLen): Unit = {
-    entries(db, prefixLen)
-      .write.mode(SaveMode.Overwrite).parquet(path)
     val spark = db.spark
-    val binding = for {
-      dbPath <- db.sourcePath
-      (sha, mtime) <- dbFingerprint(spark, dbPath)
-    } yield (dbPath, sha, mtime)
-    def esc(s: String) = s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
+    // Stage entries + sidecar in a temp sibling and RENAME into place: a
+    // crash mid-rebuild leaves either the old index intact or no index at
+    // all (open() then fails loudly on the missing parquet) — never a
+    // rebuilt index whose missing sidecar would downgrade the staleness
+    // check to a warning (r5 ADVICE).
+    val dst = new Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dst.getParent,
+      s".${dst.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      entries(db, prefixLen)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val binding = for {
+        dbPath <- db.sourcePath
+        (sha, mtime) <- dbFingerprint(spark, dbPath)
+      } yield (dbPath, sha, mtime)
+      def esc(s: String) = s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      val json = binding match {
+        case Some((dbPath, sha, mtime)) =>
+          s"""{"prefix_len":$prefixLen,"db_path":"${esc(dbPath)}",""" +
+            s""""db_info_sha256":"$sha","db_info_mtime":$mtime}"""
+        case None =>
+          System.err.println(s"[graft] index at $path built from a db handle " +
+            "with no filesystem identity — staleness protection disabled")
+          s"""{"prefix_len":$prefixLen}"""
+      }
+      val out = fs.create(new Path(tmp, SidecarName), true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      if (fs.exists(dst)) fs.delete(dst, true)
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(s"could not move staged index $tmp to $dst")
+    } finally {
+      if (fs.exists(tmp)) fs.delete(tmp, true)
     }
-    val json = binding match {
-      case Some((dbPath, sha, mtime)) =>
-        s"""{"prefix_len":$prefixLen,"db_path":"${esc(dbPath)}",""" +
-          s""""db_info_sha256":"$sha","db_info_mtime":$mtime}"""
-      case None =>
-        System.err.println(s"[graft] index at $path built from a db handle " +
-          "with no filesystem identity — staleness protection disabled")
-        s"""{"prefix_len":$prefixLen}"""
-    }
-    val sp = new Path(path, SidecarName)
-    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(sp, true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
   /** The index entries (field, value, page) as a DataFrame — NULL stored as
@@ -161,7 +175,7 @@ object TrailIndex {
         } finally in.close()
         JsonMethods.parse(text)
       } catch {
-        case e: Exception => throw new IllegalStateException(
+        case e: Exception => throw new StaleIndexException(
           s"index sidecar $sp is unreadable (${e.getMessage}) — cannot " +
             "verify the db binding. Rebuild with TrailIndex.build.", e)
       }
@@ -169,28 +183,39 @@ object TrailIndex {
         case (JString(recordedDb), JString(sha), mtimeJ) =>
           val mtime = mtimeJ match {
             case JInt(v) => v.longValue; case JLong(v) => v
-            case other => throw new IllegalStateException(
+            case other => throw new StaleIndexException(
               s"index sidecar $sp has a malformed db_info_mtime: $other")
           }
           val checkDb = dbPath.getOrElse(recordedDb)
           dbFingerprint(spark, checkDb) match {
             case Some((curSha, curMtime)) if curSha == sha && curMtime == mtime => ()
-            case Some((curSha, curMtime)) => throw new IllegalStateException(
+            case Some((curSha, curMtime)) => throw new StaleIndexException(
               s"STALE INDEX at $path: built against db $recordedDb with info " +
                 s"fingerprint $sha@$mtime, but the db at $checkDb now has " +
                 s"$curSha@$curMtime — the db was rewritten after this index " +
                 "was built, so pruned scans could silently drop rows. " +
                 "Rebuild with TrailIndex.build.")
-            case None => throw new IllegalStateException(
+            case None => throw new StaleIndexException(
               s"STALE INDEX at $path: built against db $recordedDb, and " +
                 s"$checkDb has no info sidecar — cannot prove the index " +
                 "still matches the data. If the db+index pair moved, pass " +
                 "the db's new location; otherwise rebuild with " +
                 "TrailIndex.build.")
           }
-        case _ =>
+        case (JNothing, JNothing, JNothing) =>
+          // The EXACT unbound shape build() writes for an ephemeral source
+          // db ({"prefix_len":N}) — the only shape that may open unbound.
           System.err.println(s"[graft] index at $path is unbound (built from " +
             "an ephemeral db handle) — staleness cannot be checked")
+        case (dbP, shaP, mtP) =>
+          // A PARTIAL or mistyped binding (db_path without a fingerprint,
+          // a non-string sha, …) claims a binding that cannot be verified —
+          // refuse like the unreadable-sidecar case, don't downgrade to the
+          // warn-only unbound path (r5 ADVICE).
+          throw new StaleIndexException(
+            s"index sidecar $sp has a malformed db binding " +
+              s"(db_path=$dbP, db_info_sha256=$shaP, db_info_mtime=$mtP) — " +
+              "cannot verify the db binding. Rebuild with TrailIndex.build.")
       }
     }
     spark.read.parquet(path)

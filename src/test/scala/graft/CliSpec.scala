@@ -59,6 +59,116 @@ class CliSpec extends SparkSpec {
     assert(stale.getMessage.contains("STALE INDEX"), stale.getMessage)
   }
 
+  test("--uuids @file: whitelist from file on dump and make, counts like the reference (r5 VERDICT)") {
+    val dir = Files.createTempDirectory("graft-cli-uuids")
+    val csv = dir.resolve("in.csv")
+    Files.writeString(csv,
+      "uuid,time,etype\n" +
+      (0 until 30).map(i => f"${i % 6}%032x,${100 + i},e${i % 3}").mkString("\n"))
+    Main.run(spark, "make", Seq("-o", s"$dir/db", "-c", csv.toString,
+      "-f", "etype", "--csv-header"))
+
+    // file with 2 present uuids + 1 valid-but-missing + 1 invalid
+    // (reference: tdbcli/filter.c:164-186 — one uuid per line, invalid and
+    // missing entries ignored, never fatal)
+    val uf = dir.resolve("uuids.txt")
+    Files.writeString(uf, Seq(
+      f"${0}%032x", f"${3}%032x", f"${55}%032x", "not-a-uuid").mkString("\n"))
+
+    val errBuf = new java.io.ByteArrayOutputStream()
+    Console.withErr(new java.io.PrintStream(errBuf)) {
+      Main.run(spark, "dump", Seq("-i", s"$dir/db", "--uuids", s"@$uf",
+        "-o", s"$dir/dump-uf", "--csv-header"))
+    }
+    val dumped = spark.read.option("header", "true").csv(s"$dir/dump-uf")
+    assert(dumped.select("uuid").distinct().count() === 2)
+    assert(dumped.count() === 10) // trails 0 and 3 have 5 events each
+
+    // comma-list form stays equivalent (t_whitelist semantics unchanged)
+    Main.run(spark, "dump", Seq("-i", s"$dir/db",
+      "--uuids", f"${0}%032x,${3}%032x", "-o", s"$dir/dump-cl", "--csv-header"))
+    val viaList = spark.read.option("header", "true").csv(s"$dir/dump-cl")
+      .collect().map(_.toString).sorted.toSeq
+    val viaFile = dumped.collect().map(_.toString).sorted.toSeq
+    assert(viaFile === viaList && viaFile.nonEmpty)
+
+    // make --uuids: the subset is selected at ingest
+    Main.run(spark, "make", Seq("-o", s"$dir/db-sub", "-c", csv.toString,
+      "-f", "etype", "--csv-header", "--uuids", s"@$uf"))
+    val sub = TrailDB.open(spark, s"$dir/db-sub")
+    assert(sub.numTrails === 2)
+    assert(sub.numEvents === 10)
+
+    // an unreadable uuid file dies loudly (reference DIEs too)
+    val ex = intercept[RuntimeException] {
+      Main.run(spark, "dump", Seq("-i", s"$dir/db",
+        "--uuids", s"@$dir/nope.txt", "-o", s"$dir/dump-x"))
+    }
+    assert(ex.getMessage.contains("Could not read UUIDs"))
+  }
+
+  test("merge applies -F and --uuids to every input db (op_merge.c:223-226)") {
+    val dir = Files.createTempDirectory("graft-cli-msel")
+    val csv = dir.resolve("in.csv")
+    Files.writeString(csv,
+      "uuid,time,etype\n" +
+      (0 until 20).map(i => f"${i % 4}%032x,${100 + i},e${i % 2}").mkString("\n"))
+    Main.run(spark, "make", Seq("-o", s"$dir/a", "-c", csv.toString,
+      "-f", "etype", "--csv-header"))
+    Main.run(spark, "merge", Seq("-o", s"$dir/m", "-i", s"$dir/a",
+      "-i", s"$dir/a", "-F", "etype=e0", "--uuids", f"${1}%032x"))
+    val m = TrailDB.open(spark, s"$dir/m")
+    // trail 1 has 5 events per input, etype=e0 keeps the odd-index ones
+    // (i%4==1 && i%2==0 is empty → check against a direct recompute)
+    val expect = spark.read.option("header", "true").csv(csv.toString)
+      .filter(org.apache.spark.sql.functions.col("uuid") === f"${1}%032x")
+      .filter(org.apache.spark.sql.functions.col("etype") === "e0")
+      .count() * 2
+    assert(m.numEvents === expect)
+    assert(m.df.select("uuid").distinct().count() <= 1)
+  }
+
+  test("failures classify to distinct tdb_error-style exit codes (F5)") {
+    import graft.core.GraftError
+    val dir = Files.createTempDirectory("graft-cli-err")
+
+    // bad args: missing required flag → 2
+    val badArgs = intercept[GraftError] { Main.run(spark, "dump", Seq()) }
+    assert(GraftError.classify(badArgs) === ("TDB_ERR_ARGS", 2))
+    // unknown op → 2
+    val badOp = intercept[GraftError] { Main.run(spark, "frobnicate", Seq()) }
+    assert(GraftError.classify(badOp)._2 === 2)
+
+    // open failure: nonexistent db → 3 (TDB_ERR_IO_OPEN, src/tdb.c:616-617)
+    val noDb = intercept[GraftError] {
+      Main.run(spark, "dump", Seq("-i", s"$dir/nope"))
+    }
+    assert(GraftError.classify(noDb) === ("TDB_ERR_IO_OPEN", 3))
+
+    // build a real db for the parse/stale cases
+    val csv = dir.resolve("in.csv")
+    Files.writeString(csv, "uuid,time,etype\n" + f"${1}%032x,100,e0\n")
+    Main.run(spark, "make", Seq("-o", s"$dir/db", "-c", csv.toString,
+      "-f", "etype", "--csv-header"))
+
+    // filter parse error → 4
+    val badF = intercept[GraftError] {
+      Main.run(spark, "dump", Seq("-i", s"$dir/db", "-F", "no_such_op~~x"))
+    }
+    assert(GraftError.classify(badF) === ("TDB_ERR_FILTER_PARSE", 4))
+
+    // stale index → 5 (still an IllegalStateException for API callers)
+    Main.run(spark, "index", Seq("-i", s"$dir/db"))
+    Thread.sleep(5)
+    Main.run(spark, "make", Seq("-o", s"$dir/db", "-c", csv.toString,
+      "-f", "etype", "--csv-header"))
+    val stale = intercept[IllegalStateException] {
+      Main.run(spark, "dump", Seq("-i", s"$dir/db", "-F", "etype=e0",
+        "--index", s"$dir/db.index", "-o", s"$dir/d"))
+    }
+    assert(GraftError.classify(stale) === ("TDB_ERR_STALE_INDEX", 5))
+  }
+
   test("flag values may start with '-'; a value-taking flag with no value fails loudly (r2 ADVICE)") {
     val dir = Files.createTempDirectory("graft-cli-flags")
     val csv = dir.resolve("in.csv")

@@ -156,6 +156,34 @@ class IndexSpec extends SparkSpec {
     assert(e.getMessage.contains("unreadable"), e.getMessage)
   }
 
+  test("a PARTIAL binding refuses loudly — never downgrades to warn-only (r5 ADVICE)") {
+    // db_path present but the fingerprint fields missing/mistyped: the
+    // sidecar CLAIMS a binding that cannot be verified — that must refuse
+    // like the unreadable-sidecar case, not fall through to the unbound
+    // warn path.
+    val dir = Files.createTempDirectory("graft-idx-partial")
+    val d = new TrailDBCons(spark, Seq("etype"))
+      .add(Seq((uuidOf(1), 100L, "e1")).toDF("uuid", "time", "etype"))
+      .finalizeTo(dir.resolve("db").toString)
+    val idxPath = dir.resolve("idx").toString
+    TrailIndex.build(d, idxPath)
+    val sp = new org.apache.hadoop.fs.Path(idxPath, "_graft_index.json")
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(
+      s"""{"prefix_len":2,"db_path":"${dir.resolve("db")}"}""",
+      s"""{"prefix_len":2,"db_path":"${dir.resolve("db")}","db_info_sha256":42,"db_info_mtime":1}"""
+    ).foreach { partial =>
+      val out = fs.create(sp, true)
+      try out.write(partial.getBytes("UTF-8")) finally out.close()
+      val e = intercept[IllegalStateException] { TrailIndex.open(spark, idxPath) }
+      assert(e.getMessage.contains("malformed db binding"), e.getMessage)
+    }
+    // the exact unbound shape still opens (warn-only) — ephemeral source dbs
+    val out = fs.create(sp, true)
+    try out.write("""{"prefix_len":2}""".getBytes("UTF-8")) finally out.close()
+    assert(TrailIndex.open(spark, idxPath).count() > 0)
+  }
+
   test("a db+index pair relocated together validates via the dbPath override") {
     val dir = Files.createTempDirectory("graft-idx-move")
     val dbPath = dir.resolve("db").toString
