@@ -496,18 +496,47 @@ object Dedup {
     * bitset — a local bit test inside the scan's whole-stage span, not a
     * lookup join and not an interpreted UDF boundary.
     */
+  /** Optimal Bloom size in BYTES for n items at fpp: bits = −n·ln(fpp)/ln²2
+    * (the standard formula Spark's BloomFilter.optimalNumOfBits uses). This
+    * sketch is DRIVER-merged and broadcast whole — at 10^10 documents and
+    * fpp 0.01 it is ~12 GB, which no driver should discover mid-job; size
+    * it here and guard loudly. */
+  def bloomBytes(n: Long, fpp: Double): Long =
+    math.ceil(-n.toDouble * math.log(fpp) / (math.log(2) * math.log(2)) / 8.0)
+      .toLong
+
   def bloomDedup(corpus: DataFrame, batch: DataFrame,
       textCol: String = "text", fpp: Double = 0.01,
-      expectedItems: Option[Long] = None): DataFrame = {
+      expectedItems: Option[Long] = None,
+      maxBloomBytes: Long = 1L << 30): DataFrame = {
     val spark = batch.sparkSession
     val hashed = corpus.select(xxhash64(col(textCol)).as("_h"))
     val n = expectedItems.getOrElse(math.max(hashed.count(), 1000L))
+    // Driver-bitset memory guard: the sketch is held on the driver (merge)
+    // AND broadcast to every executor — a corpus big enough to need more
+    // than the cap must say so explicitly (or shard into per-shard
+    // sketches / raise fpp) instead of OOMing the driver mid-merge.
+    val bytes = bloomBytes(n, fpp)
+    require(bytes <= maxBloomBytes,
+      s"bloomDedup: a $n-item sketch at fpp=$fpp needs ~$bytes bytes of " +
+        s"driver+broadcast memory (cap $maxBloomBytes). Raise maxBloomBytes " +
+        "knowingly, raise fpp, or shard the corpus into per-shard sketches.")
     val bf = hashed.stat.bloomFilter("_h", n, fpp)
     val bc = spark.sparkContext.broadcast(bf)
     batch.withColumn("_h", xxhash64(col(textCol)))
       .filter(!graft.functions.GraftFunctions.bloomMightContain(bc, col("_h")))
       .drop("_h")
   }
+
+  /** [[bloomDedup]] against a FINALIZED corpus: `expectedItems` defaults
+    * from the db's `_graft_info.json` sidecar (num_events — an upper bound
+    * on distinct texts, which only oversizes, never undersizes), so sizing
+    * the sketch costs a sidecar read instead of an extra corpus count()
+    * pass — the corpus is then read exactly once per sketch refresh. */
+  def bloomDedup(corpus: graft.core.TrailDB, batch: DataFrame,
+      textCol: String, fpp: Double, maxBloomBytes: Long): DataFrame =
+    bloomDedup(corpus.df, batch, textCol, fpp, Some(corpus.numEvents),
+      maxBloomBytes)
 
   def incrementalDedup(corpus: DataFrame, batch: DataFrame,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -587,17 +616,21 @@ object Dedup {
     * inside the scan projection; the only corpus joins are the cell
     * equi-join (pairs within a cell — SemDeDup's accepted quadratic,
     * bounded by cell size, with nCells scaled to the corpus so cells stay
-    * ~constant) and the component-label join. Cross-cell near-dups are
+    * ~constant; a cell larger than `maxCellRows` fails LOUDLY with sizing
+    * advice before the quadratic work starts) and the component-label
+    * join. Cross-cell near-dups are
     * missed BY DESIGN (that is the approximation the paper accepts);
     * within a cell the kept set provably contains no pair ≥ threshold
     * (components are transitive-closed), which the e_semantic_dedup
     * contract re-checks from raw vectors.
     */
   def semanticDedup(emb: DataFrame, nCells: Int, threshold: Double,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      maxCellRows: Long = 65536L): DataFrame = {
     require(nCells >= 1, s"nCells must be >= 1, got $nCells")
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    require(maxCellRows > 0, s"maxCellRows must be positive, got $maxCellRows")
     val cents = Similarity.lloyd(
       Similarity.sampleVectors(emb, vecCol), nCells, iters = 10, seed = 42L)
     val flat = cents.flatMap(_.toSeq).toSeq
@@ -605,8 +638,30 @@ object Dedup {
       Similarity.norm(col(vecCol)).as("nrm"),
       element_at(graft.functions.GraftFunctions.pqCodes(
         col(vecCol), 1, nCells, flat), 1).as("cell"))
-    val pairs = cells.as("a").join(cells.as("b"),
-        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+    // Whale-cell guard (r5 VERDICT): the within-cell self-join is
+    // quadratic in cell size BY DESIGN (SemDeDup's accepted cost with
+    // cells kept ~constant-size), and all of one cell's pairs land on ONE
+    // join key — a skewed embedding space (e.g. an all-near-dup corpus)
+    // that funnels the corpus into one cell would quietly turn the join
+    // into a week-long task at scale. Same loud-guard convention as
+    // binnedRangeJoin's fanout guard: the assert rides INSIDE the join key
+    // (a standalone column would be pruned as dead code), so an oversized
+    // cell fails the job naming the cell, its size, and the sizing fix
+    // before the quadratic work starts.
+    val sizes = cells.groupBy("cell").agg(count(lit(1)).as("_cell_n"))
+    val cellOk = col("_cell_n") <= lit(maxCellRows)
+    val cellErr = concat(
+      lit("semanticDedup: cell "), col("cell").cast("string"),
+      lit(" holds "), col("_cell_n").cast("string"),
+      lit(s" vectors (cap $maxCellRows) — the within-cell pair join is " +
+        "quadratic in cell size. Raise nCells so cells stay bounded as " +
+        "the corpus grows (the paper's recipe), or raise maxCellRows " +
+        "knowingly."))
+    val guarded = cells.join(broadcast(sizes), Seq("cell"))
+      .withColumn("_gcell",
+        col("cell") + coalesce(assert_true(cellOk, cellErr).cast("int"), lit(0)))
+    val pairs = guarded.as("a").join(cells.as("b"),
+        col("a._gcell") === col("b.cell") && col("a.id") < col("b.id"))
       .withColumn("cosine",
         Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cosine") >= threshold)
