@@ -51,16 +51,22 @@ object Bench {
 
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt.max(1)
     val selected = if (args.nonEmpty) args.toSet else SparkEntry.queries.keySet
+    // A repeat that throws records +Inf, not its (fast) elapsed time — a
+    // transiently-failing query must never masquerade as a fast pass under
+    // min-of-N (r5 ADVICE). All repeats failing → the query reports +Inf,
+    // which JSON-serializes as a loud "inf" and fails any numeric gate.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => selected.contains(q._1)).map { case (name, fn) =>
       val times = (1 to repeats).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).queryExecution.toRdd.count()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity
       }
       name -> times.min
     }

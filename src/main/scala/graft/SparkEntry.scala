@@ -66,11 +66,18 @@ object SparkEntry {
     }
     def db(s: SparkSession, dir: String): TrailDB =
       TrailDB.open(s, dbPath(s, dir))
-    def indexPath(s: SparkSession, dir: String): String = memo(s"idx:$dir") {
-      val p = java.nio.file.Files.createTempDirectory("graft-fix")
-        .resolve("idx").toString
-      graft.core.TrailIndex.build(db(s, dir), p)
-      p
+    def indexPath(s: SparkSession, dir: String): String = {
+      // Resolve the db path BEFORE entering the idx memo closure: the JDK
+      // forbids a computeIfAbsent mapping function updating the same map
+      // (db() -> dbPath() would), throwing "Recursive update" when the
+      // inner key is absent (r5 ADVICE — previously ordering luck).
+      val dp = dbPath(s, dir)
+      memo(s"idx:$dir") {
+        val p = java.nio.file.Files.createTempDirectory("graft-fix")
+          .resolve("idx").toString
+        graft.core.TrailIndex.build(TrailDB.open(s, dp), p)
+        p
+      }
     }
     /** Trail dump as CSV/JSONL — the INPUT fixture for the ingest
       * round-trips (the operator those queries time is the S4/S5 ingest;
@@ -797,7 +804,11 @@ object SparkEntry {
       val cands = Similarity.pqKnn(emb, q, k = 40, m = 16, codebookK = 32,
         shortlist = 60).localCheckpoint()
       val sel = Similarity.mmrSelectOver(emb, cands, k = 10, lambda = 0.7)
-      Similarity.mmrInvariant(emb, cands, sel, k = 10, lambda = 0.7)
+      // query passed through → rel_exact_ok recomputes every candidate's
+      // cosine from the raw vectors (catches a wrong pqKnn rerank cosine,
+      // not just sel/cands disagreement — r5 ADVICE)
+      Similarity.mmrInvariant(emb, cands, sel, k = 10, lambda = 0.7,
+        query = Some(q))
     }),
 
     // LSH-bucketed ANN (the scale path). Invariant output vs the brute

@@ -129,7 +129,9 @@ object Similarity {
     * model-specific (DuckDB cannot recompute WHICH 40 ids PQ shortlists)
     * but whose CONTRACT is: (1) exactly `k` rows ranked 1..k, (2) every
     * selected id came from the candidate set, (3) each relevance equals
-    * the exact double-fold cosine recomputed from the raw vectors, and
+    * the exact double-fold cosine — recomputed from the raw vectors when
+    * the `query` frame is passed (pass it: without it the check only
+    * certifies selection/candidate agreement), and
     * (4) the selection IS the greedy MMR chain over that candidate set —
     * verified by an independent driver-side replay (fresh cosine matrix
     * from raw vectors, not mmrSelect's internals): pick i must be the
@@ -141,7 +143,7 @@ object Similarity {
     * contract constants (all 1). */
   def mmrInvariant(corpus: DataFrame, cands: DataFrame, selection: DataFrame,
       k: Int, lambda: Double, vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id", query: Option[DataFrame] = None): DataFrame = {
     val spark = corpus.sparkSession
     val candRows = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("_v"))
       .join(broadcast(cands.select("corpus_id", "cosine")), "corpus_id")
@@ -155,7 +157,24 @@ object Similarity {
       s
     }
     val vecs = candRows.map(r => r.getLong(0) -> r.getSeq[Float](2).toArray).toMap
-    val rel = candRows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // Relevance source for rel_exact_ok and the chain replay: with `query`
+    // given, each candidate's cosine is RECOMPUTED from the raw vectors
+    // (same left-to-right fold as the distributed cosine — bit-identical
+    // when the ANN rerank is right, so a wrong rerank cosine trips the
+    // flag). Without it, rel falls back to the cands cosine column and the
+    // flag only certifies sel/cands agreement (r5 ADVICE).
+    val rel: Map[Long, Double] = query match {
+      case Some(qdf) =>
+        val qRows = qdf.select(col(vecCol)).collect()
+        require(qRows.length == 1,
+          s"mmrInvariant: query must be exactly one row, got ${qRows.length}")
+        val qv = qRows(0).getSeq[Float](0).toArray
+        val qn = math.sqrt(ddot(qv, qv))
+        vecs.map { case (id, v) =>
+          id -> ddot(v, qv) / (math.sqrt(ddot(v, v)) * qn)
+        }
+      case None => candRows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
     val norms = vecs.map { case (id, v) => id -> math.sqrt(ddot(v, v)) }
     def sim(a: Long, b: Long): Double = ddot(vecs(a), vecs(b)) / (norms(a) * norms(b))
 
