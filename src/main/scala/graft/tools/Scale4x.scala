@@ -82,6 +82,97 @@ object Scale4x {
       return
     }
 
+    if (args.contains("--embskew")) {
+      // EMBEDDING-SKEW axis (the round-6 companion to --skew's whale
+      // trail): an all-near-dup corpus — every vector a small jitter
+      // around ONE direction — funnels the whole corpus into ONE sign-LSH
+      // bucket, so a per-query candidate stream IS the corpus. This is the
+      // shape the round-5 verdict called the last scale-killer: with the
+      // r5 row_number window the whole bucket sorts in ONE task per query;
+      // with the mergeable TopK aggregate the shuffle carries ≤k rows per
+      // partition. Both forms are measured here (the window form is
+      // re-created locally as the BEFORE) on uniform vs skewed corpora at
+      // 1× and 16×.
+      val emb1u = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val nEmb1 = emb1u.count()
+      // deterministic jitter around the all-ones direction: cos between
+      // any two skewed vectors ≈ 0.997 — same bucket, same cell, but below
+      // a 0.9995 near-dup threshold (work stays quadratic, output doesn't)
+      def skewed(df: DataFrame): DataFrame = df.withColumn("embedding",
+        transform(sequence(lit(0), lit(63)), d =>
+          (lit(1.0) + (pmod(xxhash64(col("vec_id") * 64 + d), lit(1000))
+            .cast("double") - 500.0) / lit(5000.0)).cast("float")))
+      def rep16(df: DataFrame): DataFrame =
+        (0 until 16).map(i =>
+            df.withColumn("vec_id", col("vec_id") + lit(i * nEmb1)))
+          .reduce(_.unionByName(_))
+      rep16(emb1u).write.mode("overwrite").parquet(s"$base/embsk16")
+      val emb16u = spark.read.parquet(s"$base/embsk16")
+      skewed(emb1u).write.mode("overwrite").parquet(s"$base/embsk1s")
+      skewed(emb16u).write.mode("overwrite").parquet(s"$base/embsk16s")
+      val frames = Seq(emb1u, spark.read.parquet(s"$base/embsk1s"),
+        emb16u, spark.read.parquet(s"$base/embsk16s"))
+      // the r5 per-query window shortlist, kept here as the BEFORE shape
+      def windowKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+          nPlanes: Int): DataFrame = {
+        import org.apache.spark.sql.expressions.Window
+        val c = corpus.select(col("vec_id").as("corpus_id"),
+          col("embedding").as("cv"),
+          graft.ops.Similarity.norm(col("embedding")).as("cn"),
+          graft.ops.Similarity.lshBucket(col("embedding"), nPlanes, 64).as("bucket"))
+        val q = queries.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"),
+          graft.ops.Similarity.norm(col("embedding")).as("qn"),
+          graft.ops.Similarity.lshBucket(col("embedding"), nPlanes, 64).as("bucket"))
+        c.join(broadcast(q), Seq("bucket"))
+          .filter(col("corpus_id") =!= col("query_id"))
+          .withColumn("cosine", graft.ops.Similarity.dot(col("cv"), col("qv")) /
+            (col("cn") * col("qn")))
+          .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+            .orderBy(col("cosine").desc, col("corpus_id"))))
+          .filter(col("rank") <= k)
+      }
+      println("| operator | uniform 1× | skew 1× | uniform 16× | skew 16× |")
+      println("|---|---|---|---|---|")
+      for ((label, f) <- Seq[(String, DataFrame => DataFrame)](
+          "LSH kNN, r5 window shortlist (BEFORE)" ->
+            (e => windowKnn(e, e.filter(col("vec_id") < 10), k = 3, nPlanes = 6)),
+          "LSH kNN, TopK shortlist (AFTER)" ->
+            (e => graft.ops.Similarity.lshKnn(e, e.filter(col("vec_id") < 10),
+              k = 3, nPlanes = 6)),
+          "IVF kNN (TopK shortlist)" ->
+            (e => graft.ops.Similarity.ivfKnn(e, e.filter(col("vec_id") < 10),
+              k = 3, nCells = 16, nprobe = 3)),
+          "PQ ANN (TopK shortlist+rerank)" ->
+            (e => graft.ops.Similarity.pqKnn(e, e.filter(col("vec_id") < 10),
+              k = 3, m = 16, codebookK = 32, shortlist = 50)))) {
+        val ts = frames.map(e => time(f(e).queryExecution.toRdd.count()))
+        println(f"| $label | ${ts(0)}%.2fs | ${ts(1)}%.2fs (${ts(1) / ts(0)}%.1f×) " +
+          f"| ${ts(2)}%.2fs | ${ts(3)}%.2fs (${ts(3) / ts(2)}%.1f×) |")
+      }
+      // semanticDedup under the same skew: K-Means splits the jitter cloud
+      // into balanced cells, but EVERY within-cell pair clears any
+      // realistic threshold — the work AND output are quadratic by
+      // construction. The whale-cell guard exists for exactly this corpus:
+      // show it trips at a bounded cap, and measure a bounded slice with
+      // the cap raised (aggregate-don't-enumerate is the escape hatch,
+      // same as the alldup dedup ladder).
+      val sk1 = spark.read.parquet(s"$base/embsk1s")
+      val guardMsg = try {
+        graft.ops.Dedup.semanticDedup(sk1, nCells = 4, threshold = 0.9,
+          maxCellRows = 1000L).queryExecution.toRdd.count()
+        "did NOT trip (unexpected)"
+      } catch { case e: Throwable => "REFUSED loudly (whale-cell guard)" }
+      val slice = sk1.filter(col("vec_id") < 4000)
+      val tSlice = time(graft.ops.Dedup.semanticDedup(slice, nCells = 4,
+        threshold = 0.9, maxCellRows = Long.MaxValue)
+        .queryExecution.toRdd.count())
+      println(f"| semanticDedup (skew, cap 1000) | — | $guardMsg | — | — |")
+      println(f"| semanticDedup (skew, 4k slice, cap ∞) | — | $tSlice%.2fs | — | — |")
+      spark.stop()
+      return
+    }
+
     if (args.contains("--skew")) {
       // WHALE-TRAIL axis: per-trail window operators partition by uuid, so
       // one trail holding a large share of all events (bot traffic, a
