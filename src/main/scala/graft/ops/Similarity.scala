@@ -216,6 +216,12 @@ object Similarity {
     * `corpus_id` is cast to long (the aggregator's id type) — every id
     * column in this library is int/long. Output: one row per kept
     * candidate, `(query_id, rank, corpus_id, <outScore>)`, rank 1..k.
+    *
+    * PRECONDITION: scores are non-NaN (a zero-norm vector yields NaN
+    * cosine; Spark's window sort ranks NaN first under DESC while the
+    * aggregator's Ordering ranks it last — both deterministic, but they
+    * diverge, so exclude zero-norm vectors upstream if the corpus can
+    * contain them).
     */
   private def topKPerQuery(scored: DataFrame, scoreCol: String, k: Int,
       outScore: String): DataFrame = {
