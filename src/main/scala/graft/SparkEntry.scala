@@ -833,6 +833,22 @@ object SparkEntry {
         Similarity.bruteForceKnn(emb, q, k = 3), q, minHits = 9)
     }),
 
+    // IVF-PQ (round 6): the composed IVFADC-style search path — coarse
+    // cells PRUNE (each query ADC-scores only nprobe/nCells of the
+    // corpus, vs e_knn_pq's full-corpus ADC), PQ codes compress the
+    // candidate stream, exact rerank keeps ranks cosine-descending.
+    // Recall is IVF-bounded (RecallProbe: 15/16/14 of 30 at
+    // sf0.001/.01/.1 with nprobe=4 — within a hit of plain IVF's
+    // 13/17/16); floor 9 with measured margin.
+    "e_knn_ivfpq" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") < 10)
+      annInvariant(
+        Similarity.ivfPqKnn(emb, q, k = 3, nCells = 16, nprobe = 4,
+          m = 16, codebookK = 32, shortlist = 50),
+        Similarity.bruteForceKnn(emb, q, k = 3), q, minHits = 9)
+    }),
+
     // Product-quantization ANN (shortlist by ADC over codegen'd PQ codes —
     // 16 codes replace the 64-float vector in the candidate stream — then
     // exact-cosine rerank of the tiny shortlist). Same invariant contract
@@ -2229,6 +2245,13 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "e_knn_ivf" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |       CAST(3 * count(*) AS BIGINT) AS n_returned,
+        |       CAST(1 AS BIGINT) AS hits_ok,
+        |       CAST(1 AS BIGINT) AS ranked_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "e_knn_ivfpq" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |       CAST(3 * count(*) AS BIGINT) AS n_returned,
         |       CAST(1 AS BIGINT) AS hits_ok,

@@ -303,16 +303,28 @@ object Similarity {
       norm(col(vecCol)).as("cn"),
       element_at(graft.functions.GraftFunctions.pqCodes(
         col(vecCol), 1, nCells, flat), 1).as("cell"))
-    // Each query probes its nprobe nearest cells. The centroids are
-    // driver-local (they were just trained here), so the probe set is a
-    // pure PROJECTION: one inline cosine per centroid literal, struct-sort,
-    // slice nprobe — no crossJoin, no window, no shuffle of the query side.
-    // Sort key (−cdist, cell) replays the old window's
-    // (cdist DESC, cell ASC) ordering; the centroid norm is the same
-    // left-to-right double fold the native norm() computes, replayed on
-    // the driver, so cdist is bit-identical to the join form it replaced.
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("qn"))
+    val qCells = probeCells(q, cents, nprobe)
+      .select("query_id", "qv", "qn", "cell")
+    val scored = cells.join(broadcast(qCells), Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+    topKPerQuery(scored, "cosine", k, "cosine")
+  }
+
+  /** Each query's `nprobe` nearest coarse cells, as a pure PROJECTION over
+    * the driver-local centroids (they were just trained in-process): one
+    * inline cosine per centroid literal, struct-sort, slice nprobe,
+    * explode — no crossJoin, no window, no shuffle of the query side.
+    * Sort key (−cdist, cell) replays the row_number window's (cdist DESC,
+    * cell ASC) ordering this replaced; the centroid norm is the same
+    * left-to-right double fold the native norm() computes, replayed on the
+    * driver, so cdist is bit-identical to the join form. Requires
+    * `qv`/`qn` columns on `q`; all existing columns ride along, plus
+    * `cell`. */
+  private def probeCells(q: DataFrame, cents: Array[Array[Float]],
+      nprobe: Int): DataFrame = {
     def driverNorm(v: Array[Float]): Double = {
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
@@ -324,14 +336,62 @@ object Similarity {
           .as("negd"),
         lit(i).as("cell"))
     }: _*)
-    val qCells = q
-      .withColumn("cell", explode(transform(
-        slice(sort_array(cellCands), 1, nprobe), s => s.getField("cell"))))
-      .select("query_id", "qv", "qn", "cell")
-    val scored = cells.join(broadcast(qCells), Seq("cell"))
+    q.withColumn("cell", explode(transform(
+      slice(sort_array(cellCands), 1, nprobe), s => s.getField("cell"))))
+  }
+
+  /** IVF-PQ ANN — the composed 100 TB search path (Jégou et al.,
+    * TPAMI'11 §IV's IVFADC structure): the coarse quantizer PRUNES (each
+    * query ADC-scores only its `nprobe` cells ≈ nprobe/nCells of the
+    * corpus, vs [[pqKnn]]'s full-corpus ADC pass), PQ codes COMPRESS (the
+    * candidate stream is (id, norm, cell, m bytes) — no raw vectors), and
+    * the exact rerank keeps the output contract bit-identical to every
+    * other ANN variant: (query_id, rank, corpus_id, cosine) with
+    * exact-cosine-descending ranks.
+    *
+    * Divergence from classic IVFADC, documented: codes are raw-vector PQ
+    * with ONE shared codebook set, not per-cell residual encodings —
+    * residuals quantize tighter (better recall at equal m) but need the
+    * cell's centroid subtracted per row before encode; the shared-codebook
+    * form keeps the encode a single codegen'd [[graft.functions.PqCodes]]
+    * scan and the recall contract is enforced the same way (measured
+    * floors via RecallProbe). Both prunes are approximations the rerank
+    * repairs within the shortlist.
+    */
+  def ivfPqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nprobe: Int = 4, m: Int = 4, codebookK: Int = 16,
+      shortlist: Int = 50, dim: Int = 64, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val cents = lloyd(sampleVectors(corpus, vecCol), nCells, iters = 10,
+      seed = 42L)
+    val flatCells = cents.flatMap(_.toSeq).toSeq
+    val cb = pqTrain(corpus, m, codebookK, dim, vecCol)
+    // candidate stream: cell + codes + norm ONLY (no raw vectors)
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      norm(col(vecCol)).as("cn"),
+      element_at(graft.functions.GraftFunctions.pqCodes(
+        col(vecCol), 1, nCells, flatCells), 1).as("cell"),
+      graft.functions.GraftFunctions.pqCodes(col(vecCol), m, codebookK, cb.flat)
+        .as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"), adcTable(col(vecCol), cb).as("tbl"))
+    val qCells = probeCells(q, cents, nprobe)
+      .select("query_id", "qn", "tbl", "cell")
+    // ADC over the PROBED cells only — the join key prunes before any
+    // score is computed; shortlist via the mergeable top-k aggregate.
+    val adc = c.join(broadcast(qCells), Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("cosine", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
-    topKPerQuery(scored, "cosine", k, "cosine")
+      .withColumn("adc",
+        graft.functions.GraftFunctions.adcSum(col("codes"), col("tbl")) /
+        (col("cn") * col("qn")))
+    val short = topKPerQuery(adc, "adc", shortlist, "adc")
+      .select("query_id", "corpus_id")
+    val raw = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val rer = raw.join(broadcast(short), Seq("corpus_id"))
+      .join(broadcast(q.select("query_id", "qv", "qn")), Seq("query_id"))
+      .withColumn("cosine",
+        dot(col("cv"), col("qv")) / (norm(col("cv")) * col("qn")))
+    topKPerQuery(rer, "cosine", k, "cosine")
   }
 
   /** ANN top-k: join corpus and queries on LSH bucket, rank within bucket.

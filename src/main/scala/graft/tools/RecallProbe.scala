@@ -42,7 +42,9 @@ object RecallProbe {
         "knn_ivf" -> Similarity.ivfKnn(emb, q, k = 3, nCells = 16, nprobe = 3),
         // floor 24 in e_knn_pq; measured totals 30/29/28 at sf0.001/.01/.1
         "knn_pq" -> Similarity.pqKnn(emb, q, k = 3, m = 16, codebookK = 32,
-          shortlist = 50))) {
+          shortlist = 50),
+        "knn_ivfpq" -> Similarity.ivfPqKnn(emb, q, k = 3, nCells = 16,
+          nprobe = 4, m = 16, codebookK = 32, shortlist = 50))) {
       val perQ = ann.select("query_id", "corpus_id")
         .join(brute.withColumn("_hit", lit(1)), Seq("query_id", "corpus_id"), "left")
         .groupBy("query_id")

@@ -563,6 +563,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.3, s"recall@5 = $recall") // 64 buckets over 500 vecs + multiprobe
   }
 
+  test("ivf-pq knn: prune+compress+rerank returns full ranked top-k with IVF-bounded recall") {
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceKnn(emb, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val rows = Similarity.ivfPqKnn(emb, queries, k = 5, nCells = 8,
+      nprobe = 3, m = 16, codebookK = 32, shortlist = 50).collect()
+    // contract: full top-k per query, ranks 1..5, cosine non-increasing
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size === 20)
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq === (1 to 5))
+      val cs = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    val approx = rows.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("corpus_id"))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall > 0.3, s"IVF-PQ recall@5 = $recall")
+    // pruning is real: with nprobe = nCells (no pruning) the result must
+    // equal plain pqKnn's shortlist semantics on the same codebooks —
+    // both ADC-score every candidate, so recall can only go up
+    val noPrune = Similarity.ivfPqKnn(emb, queries, k = 5, nCells = 8,
+      nprobe = 8, m = 16, codebookK = 32, shortlist = 50).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"))).toSet
+    val recallNP = exact.intersect(noPrune).size.toDouble / exact.size
+    assert(recallNP >= recall - 1e-9,
+      s"un-pruned recall $recallNP below pruned $recall")
+  }
+
   test("pq codes: argmin-L2 centroid per subspace on a hand codebook") {
     // m=2 subspaces of dim 2, k=2 centroids each:
     //   sub 0: c0=(0,0)  c1=(10,10);  sub 1: c0=(5,5)  c1=(-5,-5)
