@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotF64, MinHashSig, RepetitionStats, ShingleHashes, SimHash64, Winnow, ZOrder2}
+import graft.functions.{DotF64, MinHashSig, RepetitionStats, ShingleHashes, SignLsh, SimHash64, Winnow, ZOrder2}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for SQL use. Enable with
@@ -71,7 +71,9 @@ object GraftExtensions {
       Winnow(es(0), intLit(es(1), "window"))),
     fn("repetition_stats", 1, classOf[RepetitionStats])(es =>
       RepetitionStats(es.head)),
-    fn("z_order2", 2, classOf[ZOrder2])(es => ZOrder2(es(0), es(1))))
+    fn("z_order2", 2, classOf[ZOrder2])(es => ZOrder2(es(0), es(1))),
+    fn("sign_lsh", 3, classOf[SignLsh])(es =>
+      SignLsh(es(0), intLit(es(1), "nPlanes"), intLit(es(2), "dim"))))
 
   /** Builder lookup for tests / manual registration. */
   def builderFor(name: String): Seq[Expression] => Expression =

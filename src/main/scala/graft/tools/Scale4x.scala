@@ -145,7 +145,11 @@ object Scale4x {
               k = 3, nCells = 16, nprobe = 3)),
           "PQ ANN (TopK shortlist+rerank)" ->
             (e => graft.ops.Similarity.pqKnn(e, e.filter(col("vec_id") < 10),
-              k = 3, m = 16, codebookK = 32, shortlist = 50)))) {
+              k = 3, m = 16, codebookK = 32, shortlist = 50)),
+          "IVF-PQ ANN (prune+ADC+rerank)" ->
+            (e => graft.ops.Similarity.ivfPqKnn(e,
+              e.filter(col("vec_id") < 10), k = 3, nCells = 16, nprobe = 4,
+              m = 16, codebookK = 32, shortlist = 50)))) {
         val ts = frames.map(e => time(f(e).queryExecution.toRdd.count()))
         println(f"| $label | ${ts(0)}%.2fs | ${ts(1)}%.2fs (${ts(1) / ts(0)}%.1f×) " +
           f"| ${ts(2)}%.2fs | ${ts(3)}%.2fs (${ts(3) / ts(2)}%.1f×) |")
@@ -301,6 +305,12 @@ object Scale4x {
       ladder3("PQ ANN (encode+ADC+rerank)", embFrames)(e =>
         graft.ops.Similarity.pqKnn(e, e.filter(col("vec_id") < 10), k = 3,
           m = 16, codebookK = 32, shortlist = 50))
+      // IVF-PQ: same axis — the coarse cells prune the ADC pass to
+      // nprobe/nCells of the corpus, so the scored-candidate count grows
+      // at (nprobe/nCells)× the corpus instead of 1×.
+      ladder3("IVF-PQ ANN (prune+ADC+rerank)", embFrames)(e =>
+        graft.ops.Similarity.ivfPqKnn(e, e.filter(col("vec_id") < 10), k = 3,
+          nCells = 16, nprobe = 4, m = 16, codebookK = 32, shortlist = 50))
       // Binned range join: points AND intervals both scale with the corpus
       // (intervals 1-in-997) — the shape that breaks a nested loop first.
       // Text content is irrelevant (numeric synth), so the alldup replicas

@@ -216,6 +216,36 @@ class StreamingSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("streaming per-query TopK: the ANN shortlist primitive groups on a stream") {
+    // The round-6 ANN shortlist is a grouped mergeable aggregate (udaf
+    // over Sketch.TopK) — being an Aggregator, the SAME primitive runs as
+    // a streaming complete-mode grouped aggregate: per query, the result
+    // must equal the batch per-query sort-limit. This is the streaming
+    // twin of the bounded-shuffle claim: state per (partition, query) is
+    // ≤4k buffered pairs, never the scored stream.
+    val dir = Files.createTempDirectory("graft-sqtopk")
+    val src = dir.resolve("src").toString
+    val rows = for (q <- 1L to 4L; i <- 1L to 200L)
+      yield (q, ((q * 31 + i * 7919) % 101).toDouble, i)
+    rows.toDF("query_id", "score", "id").write.parquet(src)
+
+    val tk = org.apache.spark.sql.functions.udaf(graft.ops.Sketch.TopK(5))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    val q = stream.groupBy($"query_id").agg(tk($"score", $"id").as("tk"))
+      .writeStream.outputMode("complete").format("memory").queryName("sqtopk")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val got = spark.sql("SELECT query_id, tk FROM sqtopk")
+      .as[(Long, Seq[(Double, Long)])].collect().toMap
+    assert(got.keySet === (1L to 4L).toSet)
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val expect = rs.map(r => (r._2, r._3)).sortBy { case (s, i) => (-s, i) }.take(5)
+      assert(got(qid) === expect, s"query $qid diverged from batch sort-limit")
+    }
+  }
+
   test("pure-projection text ops run unchanged on a stream (quality + PII scrub)") {
     val dir = Files.createTempDirectory("graft-sproj")
     val src = dir.resolve("src").toString
@@ -287,7 +317,7 @@ class StreamingSpec extends SparkSpec {
     // register the REAL arity-checked builders on the live session's
     // registry (extensions apply at session build time; this exercises the
     // same GraftExtensions.functions entries the injection path uses)
-    for (name <- Seq("simhash64", "shingle_hashes", "z_order2"))
+    for (name <- Seq("simhash64", "shingle_hashes", "z_order2", "sign_lsh"))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, graft.GraftExtensions.builderFor(name), "built-in")
 
@@ -308,6 +338,15 @@ class StreamingSpec extends SparkSpec {
     val zSql = spark.sql("SELECT z_order2(3L, 0L) AS z, z_order2(0L, 3L) AS w")
       .head()
     assert(zSql.getLong(0) === 5L && zSql.getLong(1) === 10L)
+
+    // two-int-literal expression through the same injection path (sign_lsh)
+    val lshSql = spark.sql(
+      "SELECT sign_lsh(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT)), 4, 2) AS b")
+      .head().getLong(0)
+    val lshCol = Seq(Seq(1.0f, -2.0f)).toDF("v")
+      .select(graft.functions.GraftFunctions.signLsh($"v", 4, 2).as("b"))
+      .head().getLong(0)
+    assert(lshSql === lshCol)
 
     // wrong arity is an ANALYSIS error (WRONG_NUM_ARGS, like Spark's own
     // registry), not an IndexOutOfBoundsException from children(1). The
