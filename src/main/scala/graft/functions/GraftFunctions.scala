@@ -111,6 +111,12 @@ object GraftFunctions {
   def adcSum(codes: Column, tbl: Column): Column =
     ColumnBridge.column(AdcSum(ColumnBridge.expression(codes), ColumnBridge.expression(tbl)))
 
+  def int8QuantStats(vec: Column): Column =
+    ColumnBridge.column(Int8QuantStats(ColumnBridge.expression(vec)))
+
+  def dequantizeInt8(vec: Column): Column =
+    ColumnBridge.column(DequantizeInt8(ColumnBridge.expression(vec)))
+
   def signLsh(vec: Column, nPlanes: Int, dim: Int): Column =
     ColumnBridge.column(SignLsh(ColumnBridge.expression(vec), nPlanes, dim))
 

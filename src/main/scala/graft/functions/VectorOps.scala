@@ -63,6 +63,71 @@ object VectorOps {
     acc
   }
 
+  /** Spark's Round-on-double codegen semantics, replicated exactly:
+    * NaN/Infinity pass through; else BigDecimal.valueOf → setScale
+    * HALF_UP → doubleValue (the decimal-string form, NOT the exact-binary
+    * `new BigDecimal(double)` — they differ on ties). */
+  private def sparkRound(x: Double, scale: Int): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** One-pass int8 quantization stats; called from generated code.
+    * Returns null when max|x| = 0 (no defined scale). */
+  def int8QuantStats(vec: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = vec.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      if (!vec.isNullAt(i)) {
+        val a = math.abs(vec.getFloat(i).toDouble)
+        if (a > maxAbs) maxAbs = a
+      }
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    if (!(scale > 0.0)) return null
+    var nSat = 0L
+    var err = 0L
+    i = 0
+    while (i < n) {
+      if (!vec.isNullAt(i)) {
+        val x = vec.getFloat(i).toDouble
+        val q = sparkRound(x / scale, 0)
+        if (math.abs(q) == 127.0) nSat += 1
+        val d = x - q * scale
+        err += sparkRound(d * d * 1e12, 0).toLong
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](sparkRound(scale, 6), nSat, err))
+  }
+
+  /** One-pass int8 dequantization; called from generated code. */
+  def dequantizeInt8(vec: ArrayData): ArrayData = {
+    val n = vec.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      if (!vec.isNullAt(i)) {
+        val a = math.abs(vec.getFloat(i).toDouble)
+        if (a > maxAbs) maxAbs = a
+      }
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    if (!(scale > 0.0)) return null
+    val out = new Array[Float](n)
+    i = 0
+    while (i < n) {
+      val x = if (vec.isNullAt(i)) 0.0 else vec.getFloat(i).toDouble
+      out(i) = (sparkRound(x / scale, 0) * scale).toFloat
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** One-pass sign-LSH bucket; called from generated code. Left-to-right
     * double fold per plane — same addition order as the builtin aggregate
     * fold, so the dots (and their signs) are bit-identical on dense
@@ -390,6 +455,92 @@ case class BloomMightContain(
   }
 
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
+/** Per-vector symmetric int8 quantization STATISTICS in ONE native pass:
+  * `struct(scale6, n_sat, err_pico)` — the round-6-digit scale, the count
+  * of saturated |q|=127 codes, and the order-independent exact integer sum
+  * of per-element squared reconstruction errors in 1e-12 units. NULL for
+  * a vector with max|x| = 0 (no defined scale — the composed form filters
+  * those rows; callers filter isNotNull).
+  *
+  * The builtin composition this replaces
+  * ([[graft.ops.Similarity.quantizeInt8Fold]]) walks each row's array
+  * FIVE times through interpreted higher-order lambdas (cast, abs-max,
+  * round-divide, saturation filter, error zip-fold — none of Spark's
+  * higher-order functions participate in codegen); this computes the same
+  * numbers in one primitive loop inside the scan's codegen span — the
+  * corpus-wide persist path of an embedding store at 100 TB. Rounding
+  * replicates Spark's Round codegen for doubles EXACTLY
+  * (`java.math.BigDecimal.valueOf(x).setScale(s, HALF_UP)` with NaN/Inf
+  * passthrough), so outputs are bit-identical (spec-enforced).
+  *
+  * Honest measurement note: unlike the DotF64/SignLsh swaps, the warm
+  * per-row win here is modest (~5% at 32k×64f) — the HALF_UP BigDecimal
+  * rounding that the bit-exact contract requires dominates BOTH forms.
+  * What the native form buys structurally is one pass instead of five,
+  * no per-pass array materialization, and an unbroken whole-stage-codegen
+  * span for whatever pipeline stage surrounds the quantization.
+  * PRECONDITION: dense finite vectors (like every embedding op here);
+  * null elements are skipped where the builtin would null the row's sum.
+  */
+case class Int8QuantStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale6", DoubleType, nullable = false),
+    StructField("n_sat", LongType, nullable = false),
+    StructField("err_pico", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "int8_quant_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"int8_quant_stats requires array<float> input, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.int8QuantStats(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.VectorOps.int8QuantStats($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Int8QuantStats =
+    copy(child = newChild)
+}
+
+/** The int8-reconstructed vector x̂_i = round(x_i/scale)·scale as
+  * array<float>, in ONE native pass (same rounding replication and NULL
+  * contract as [[Int8QuantStats]]) — the read path of the quantized store
+  * that [[graft.ops.Similarity.dequantized]] feeds to quantized search. */
+case class DequantizeInt8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "dequantize_int8"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"dequantize_int8 requires array<float> input, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.dequantizeInt8(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.VectorOps.dequantizeInt8($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): DequantizeInt8 =
     copy(child = newChild)
 }
 

@@ -433,7 +433,18 @@ object Similarity {
     * Vectors with max|x| = 0 have no defined scale and are dropped.
     */
   def quantizeInt8(df: DataFrame, vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id"): DataFrame =
+    df.select(col(idCol),
+        graft.functions.GraftFunctions.int8QuantStats(col(vecCol)).as("_q"))
+      .filter(col("_q").isNotNull) // max|x| = 0: no defined scale, dropped
+      .select(col(idCol), col("_q.scale6").as("scale6"),
+        col("_q.n_sat").as("n_sat"), col("_q.err_pico").as("err_pico"))
+
+  /** The builtin-composed form [[quantizeInt8]] replaced — five interpreted
+    * higher-order passes per row; kept for the bit-identity equivalence
+    * spec against the native [[graft.functions.Int8QuantStats]]. */
+  private[graft] def quantizeInt8Fold(df: DataFrame,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val xd = transform(col(vecCol), e => e.cast("double"))
     val scale = array_max(transform(xd, e => abs(e))) / lit(127.0)
     val base = df.select(col(idCol), xd.as("x"), scale.as("scale"))
@@ -455,7 +466,15 @@ object Similarity {
     * the exact float path is the quality contract (oracled as an
     * [[graft.SparkEntry]] ANN invariant). */
   def dequantized(df: DataFrame, vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id"): DataFrame =
+    df.select(col(idCol),
+        graft.functions.GraftFunctions.dequantizeInt8(col(vecCol)).as(vecCol))
+      .filter(col(vecCol).isNotNull)
+
+  /** The builtin-composed form [[dequantized]] replaced — kept for the
+    * bit-identity spec against [[graft.functions.DequantizeInt8]]. */
+  private[graft] def dequantizedFold(df: DataFrame,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val xd = transform(col(vecCol), e => e.cast("double"))
     val scale = array_max(transform(xd, e => abs(e))) / lit(127.0)
     df.select(col(idCol), xd.as("_x"), scale.as("_s"))

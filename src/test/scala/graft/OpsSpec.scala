@@ -502,6 +502,36 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("array<float>"))
   }
 
+  test("native int8 quant/dequant are bit-identical to the builtin compositions") {
+    // Real corpus: every (scale6, n_sat, err_pico) row and every
+    // reconstructed vector must agree exactly with the five-pass
+    // higher-order-builtin form (which hash-matches the DuckDB oracle).
+    val nq = Similarity.quantizeInt8(emb).orderBy("vec_id").collect().toSeq
+    val fq = Similarity.quantizeInt8Fold(emb).orderBy("vec_id").collect().toSeq
+    assert(nq.map(_.toString) === fq.map(_.toString) && nq.nonEmpty)
+    val nd = Similarity.dequantized(emb).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val fd = Similarity.dequantizedFold(emb).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    assert(nd === fd && nd.nonEmpty)
+    // rounding ties and adversarial values: Spark's Round-on-double uses
+    // BigDecimal.valueOf (decimal string), NOT the exact binary expansion
+    // — .5-tie and near-tie vectors must still agree bit-for-bit
+    val tricky = Seq(
+      (1L, Array(2.5f, -2.5f, 0.5f, -0.5f)),
+      (2L, Array(1.5f, 126.5f, -126.5f, 63.25f)),
+      (3L, Array(0.49999997f, -0.50000003f, 127f, -127f)),
+      (4L, Array(1e-8f, -1e-8f, 1e8f, -1e8f))).toDF("vec_id", "embedding")
+    val tq = Similarity.quantizeInt8(tricky).orderBy("vec_id").collect().toSeq
+    val tf = Similarity.quantizeInt8Fold(tricky).orderBy("vec_id").collect().toSeq
+    assert(tq.map(_.toString) === tf.map(_.toString))
+    // all-zero vector: no defined scale — dropped on both paths
+    val z = Seq((9L, Array(0f, 0f))).toDF("vec_id", "embedding")
+    assert(Similarity.quantizeInt8(z).count() === 0)
+    assert(Similarity.quantizeInt8Fold(z).count() === 0)
+    assert(Similarity.dequantized(z).count() === 0)
+  }
+
   test("native sign_lsh is bit-identical to the builtin per-plane fold") {
     // Same weight derivation (xxhash64 of int index, seed 42), same
     // left-to-right double fold per plane — bucket ids must agree exactly
