@@ -126,6 +126,52 @@ object Sketch {
       ExpressionEncoder[Seq[(Double, Long)]]()
   }
 
+  /** EXACT bounded-memory k-SMALLEST by `(key ASC, id ASC)` over STRING
+    * keys — [[TopK]]'s lexicographic-ascending sibling, for rankings whose
+    * sort key is a content hash rather than a numeric score (the
+    * exactly-N-per-stratum eval carve ranks by md5(text)). Same shape:
+    * ≤k pairs per partial, associative merge, result provably equal to
+    * `ORDER BY key, id LIMIT k`. ASCII keys compare identically under
+    * UTF8String's byte-wise order and String.compareTo, so the aggregate
+    * replays the window form bit-for-bit on hex-hash keys. */
+  final case class MinKLex(k: Int)
+      extends Aggregator[(String, Long), mutable.ArrayBuffer[(String, Long)],
+        Seq[(String, Long)]] {
+    require(k > 0, s"k must be positive, got $k")
+
+    private val ord: Ordering[(String, Long)] =
+      Ordering.Tuple2(Ordering.String, Ordering.Long)
+
+    private def compact(b: mutable.ArrayBuffer[(String, Long)]):
+        mutable.ArrayBuffer[(String, Long)] = {
+      if (b.length > k) {
+        val top = b.sorted(ord).take(k)
+        b.clear(); b ++= top
+      }
+      b
+    }
+
+    override def zero: mutable.ArrayBuffer[(String, Long)] = mutable.ArrayBuffer.empty
+
+    override def reduce(b: mutable.ArrayBuffer[(String, Long)],
+        t: (String, Long)): mutable.ArrayBuffer[(String, Long)] = {
+      b += t
+      if (b.length >= 4 * k) compact(b) else b
+    }
+
+    override def merge(a: mutable.ArrayBuffer[(String, Long)],
+        b: mutable.ArrayBuffer[(String, Long)]): mutable.ArrayBuffer[(String, Long)] =
+      compact(a ++= b)
+
+    override def finish(b: mutable.ArrayBuffer[(String, Long)]): Seq[(String, Long)] =
+      b.sorted(ord).take(k).toSeq
+
+    override def bufferEncoder: Encoder[mutable.ArrayBuffer[(String, Long)]] =
+      Encoders.kryo[mutable.ArrayBuffer[(String, Long)]]
+    override def outputEncoder: Encoder[Seq[(String, Long)]] =
+      ExpressionEncoder[Seq[(String, Long)]]()
+  }
+
   /** Count-Min sketch over a string column (Cormode & Muthukrishnan 2005):
     * a depth×width counter grid; every row increments one cell per hash
     * row, estimates are the min over the depth cells, and two sketches

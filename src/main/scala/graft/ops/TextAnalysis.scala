@@ -372,19 +372,29 @@ object TextAnalysis {
   /** Deterministic exactly-N-per-stratum split — "carve exactly n eval docs
     * per language": rank within each stratum by (md5(text), id) — a total,
     * content-derived order, reproducible on any cluster/partitioning — and
-    * keep the first n. Complements [[stratifiedHashSample]] (fractional,
-    * approximate counts) when the contract is an exact count. One shuffle
-    * on the stratum key; strata are languages/sources (small cardinality,
-    * no whale risk at 100 TB — each partition ranks its own stratum).
+    * keep the first n.  Complements [[stratifiedHashSample]] (fractional,
+    * approximate counts) when the contract is an exact count.
+    *
+    * Scale shape (round 6): the ranking is the mergeable
+    * [[graft.ops.Sketch.MinKLex]] aggregate — ≤n (md5, id) pairs per
+    * partition per stratum through the exchange — then an id semi-join
+    * attaches the kept rows. Strata are FEW but HUGE (one language can be
+    * half a web corpus): the per-stratum `row_number` window this
+    * replaces funneled a whale stratum's entire row stream into ONE task,
+    * the same scale-killer shape the ANN shortlists dropped this round.
+    * Provably the same rows: MinKLex replays (md5 ASC, id ASC) LIMIT n
+    * exactly (ASCII hex compares identically in UTF8String and String).
+    * `idCol` must be globally unique and castable to long (doc ids are).
     */
   def takePerStratum(df: DataFrame, n: Int, strataCol: String = "lang",
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
-    val w = Window.partitionBy(strataCol)
-      .orderBy(md5(col(textCol).cast("binary")), col(idCol))
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= n)
-      .drop("_rn")
+    val mk = udaf(graft.ops.Sketch.MinKLex(n))
+    val keep = df.groupBy(col(strataCol))
+      .agg(mk(md5(col(textCol).cast("binary")), col(idCol).cast("long")).as("mk"))
+      .select(explode(col("mk")).as("e"))
+      .select(col("e._2").as("_keep_id"))
+    df.join(keep, col(idCol) === col("_keep_id"), "left_semi")
   }
 
   /** Per-group quality cap — the C4/RefinedWeb per-domain quota: keep at
@@ -394,17 +404,27 @@ object TextAnalysis {
     * ranks by content hash = uniform sampling): a whale domain contributes
     * its `maxPerGroup` best documents, not a random slice.
     *
-    * One shuffle on the group key; only ranks ride the window. A single
-    * giant group is the classic hot key — AQE splits the sort partition,
-    * and at 100 TB a pre-aggregation pass can drop groups already under
-    * the cap before the window. */
+    * Scale shape (round 6): the ranking is the mergeable
+    * [[graft.ops.Sketch.TopK]] aggregate — ≤maxPerGroup (score, id) pairs
+    * per partition per group through the exchange — then an id join
+    * attaches `cap_rank` to the kept rows. A whale domain (the classic
+    * hot key: one domain holding 10^8 docs of a web corpus) previously
+    * funneled its whole row stream into ONE `row_number` task; now it
+    * contributes its best maxPerGroup in bounded memory. Replays
+    * (score DESC, id ASC) exactly; scores must be non-null and
+    * order-preserving under double cast (ints < 2^53, any float/double),
+    * and `idCol` globally unique and castable to long. */
   def capPerGroup(df: DataFrame, maxPerGroup: Int,
       groupCol: String = "source", scoreCol: Column = col("n_chars"),
       idCol: String = "doc_id"): DataFrame = {
     require(maxPerGroup > 0, s"maxPerGroup must be positive, got $maxPerGroup")
-    val w = Window.partitionBy(groupCol).orderBy(scoreCol.desc, col(idCol))
-    df.withColumn("cap_rank", row_number().over(w).cast("long"))
-      .filter(col("cap_rank") <= maxPerGroup)
+    val tk = udaf(graft.ops.Sketch.TopK(maxPerGroup))
+    val keep = df.groupBy(col(groupCol))
+      .agg(tk(scoreCol.cast("double"), col(idCol).cast("long")).as("tk"))
+      .select(posexplode(col("tk")))
+      .select(col("col").getField("_2").as("_keep_id"),
+        (col("pos") + 1).cast("long").as("cap_rank"))
+    df.join(keep, col(idCol) === col("_keep_id")).drop("_keep_id")
   }
 
   /** Export the corpus as md5-bucketed training shards ON DISK (Hive-style

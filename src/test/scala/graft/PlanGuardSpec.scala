@@ -94,6 +94,22 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("per-group quota ops are mergeable aggregates, never per-group window sorts") {
+    // capPerGroup / takePerStratum rank within FEW but potentially HUGE
+    // groups (one domain/language can be half a web corpus) — the same
+    // whale shape as the ANN shortlists. Both now use mergeable bounded
+    // aggregates (TopK / MinKLex) + id join; a per-group row_number
+    // window reappearing here is the regression this guard catches.
+    Seq("d_domain_cap", "d_eval_split").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("row_number"),
+        s"$name regrew a per-group window sort:\n$plan")
+      assert(plan.contains("ObjectHashAggregate"),
+        s"$name lost the mergeable quota aggregate:\n$plan")
+    }
+  }
+
   test("the whole tree is UDF-free: bloom probe runs as a native expression") {
     // d_bloom_dedup's batch probe was the tree's ONLY Scala UDF — now a
     // codegen'd BloomMightContain over the broadcast bitset. A ScalaUDF in

@@ -176,6 +176,29 @@ class Round4OpsSpec extends SparkSpec {
     assert(got.toSeq === Seq((5.0, 1L), (1.0, 1L), (1.0, 2L)))
   }
 
+  test("MinKLex equals ORDER BY key, id LIMIT k, including duplicate keys") {
+    val rng = new Random(11)
+    val rows = (1L to 5000L).map(i => (f"${rng.nextInt(300)}%04x", i))
+    val ds = rows.toDF("key", "id").repartition(7)
+      .select(col("key"), col("id")).as[(String, Long)]
+    val got = ds.select(Sketch.MinKLex(25).toColumn.name("mk")).head()
+    val expect = rows.sorted.take(25)
+    assert(got.toSeq === expect)
+    // grouped through udaf — the takePerStratum shape: per group, the
+    // aggregate must replay the per-group window sort-limit
+    val grouped = rows.zipWithIndex.map { case ((k, i), ix) => (ix % 3, k, i) }
+    val mk = org.apache.spark.sql.functions.udaf(Sketch.MinKLex(4))
+    val byGroup = grouped.toDF("g", "key", "id").repartition(5)
+      .groupBy(col("g")).agg(mk(col("key"), col("id")).as("mk"))
+      .collect().map(r =>
+        r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    grouped.groupBy(_._1).foreach { case (g, rs) =>
+      val expectG = rs.map(r => (r._2, r._3)).sorted.take(4)
+      val gotG = byGroup(g).map(r => (r.getString(0), r.getLong(1)))
+      assert(gotG === expectG, s"group $g diverged")
+    }
+  }
+
   // ---- Count-Min sketch ----
 
   test("CountMin never undercounts on zipf data and merges across partitions") {
