@@ -24,12 +24,17 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Exact dedup: keep one row per distinct content (the min-id survivor). */
+  /** Exact dedup: keep one row per distinct content (the min-id survivor).
+    * Round 6: min-aggregate + semi-join, not a per-hash window — a
+    * 10^8-copy document is a whale hash key, and the `row_number` window
+    * this replaces funneled every copy into ONE task; `min(id)` partial-
+    * aggregates (bounded shuffle: one (hash, id) pair per partition per
+    * hash), and the semi-join keeps exactly the same survivor rows. */
   def exactDedup(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol).cast("binary")))
-      .orderBy(col(idCol))
-    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    val withH = df.withColumn("_h", md5(col(textCol).cast("binary")))
+    val keep = withH.groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
+    withH.join(keep, Seq("_h", idCol), "left_semi").drop("_h")
   }
 
   /** Exact n-gram Jaccard near-dup pairs via inverted index:
@@ -316,17 +321,23 @@ object Dedup {
     * [[dedupClusters]]' min-id convention. `clusters` is the
     * (id, cluster_id) labeling from [[dedupClusters]].
     *
-    * Scale shape: one join of the corpus to its labels on id, one
-    * window partitioned by cluster_id — both shuffle the corpus once;
-    * clusters are near-singleton by construction post-dedup, so the
-    * window partitions are tiny (no whale-cluster skew unless dedup
-    * itself already produced a whale, which CC labeling surfaces). */
+    * Scale shape (round 6): one join of the corpus to its labels on id,
+    * then the per-cluster argmax as a min-aggregate over
+    * `struct(−score, id)` + an id filter — partial aggregation bounds the
+    * shuffle at one pair per partition per cluster. Clusters are
+    * near-singleton post-dedup, but an all-duplicate corpus produces ONE
+    * whale cluster (the 16× alldup ladder's exact shape) and the
+    * per-cluster `row_number` window this replaces funneled it into one
+    * task. Scores must be non-NaN (negation is order-exact otherwise;
+    * −0.0/0.0 compare equal both ways). */
   def keepBest(df: DataFrame, clusters: DataFrame, scoreCol: Column,
       idCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy("cluster_id").orderBy(scoreCol.desc, col(idCol))
-    df.join(clusters, Seq(idCol))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    val labeled = df.join(clusters, Seq(idCol))
+    val best = labeled.groupBy(col("cluster_id"))
+      .agg(min(struct((-scoreCol).as("_ns"), col(idCol).as("_id"))).as("_best"))
+    labeled.join(best, Seq("cluster_id"))
+      .filter(col(idCol) === col("_best._id"))
+      .select(labeled.columns.map(col): _*)
   }
 
   /** Cross-document repeated-span stats — the signal behind exact
@@ -392,9 +403,18 @@ object Dedup {
         transform(sequence(lit(0), (col("_n") - k).cast("int")),
           i => array_join(slice(col("_toks"), i + 1, lit(k)), " ")))
         .as(Seq("p", "g")))
-    val w = Window.partitionBy("g").orderBy(col(idCol), col("p"))
-    val dup = spans.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") > 1)
+    // Non-first occurrences via min-aggregate + join (round 6): the
+    // corpus-first occurrence of a span is min (doc_id, position) — a
+    // boilerplate span repeated 10^8 times is a whale key, and the
+    // per-span `row_number` window this replaces funneled every
+    // occurrence into one task. min(struct) partial-aggregates; (id, p)
+    // is unique per occurrence so the filter drops exactly the one first
+    // occurrence per span, identical to rank > 1.
+    val first = spans.groupBy(col("g"))
+      .agg(min(struct(col(idCol), col("p"))).as("_f"))
+    val dup = spans.join(first, Seq("g"))
+      .filter(col(idCol) =!= col(s"_f.$idCol") || col("p") =!= col("_f.p"))
+      .drop("_f")
     val covered = dup
       .select(col(idCol), explode(sequence(col("p"), col("p") + (k - 1))).as("t"))
       .distinct()
@@ -543,9 +563,11 @@ object Dedup {
     val h = md5(col(textCol).cast("binary"))
     val fresh = batch.withColumn("_h", h)
       .join(corpus.select(h.as("_h")), Seq("_h"), "left_anti")
-    val w = Window.partitionBy(col("_h")).orderBy(col(idCol))
-    fresh.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn", "_h")
+    // min-aggregate + semi-join (round 6): same whale-hash rationale as
+    // [[exactDedup]] — a duplicate-heavy batch must not funnel one hash's
+    // copies into one window task.
+    val keep = fresh.groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
+    fresh.join(keep, Seq("_h", idCol), "left_semi").drop("_h")
   }
 
   /** Benchmark decontamination: count, per training doc, how many of its
