@@ -398,11 +398,16 @@ object Dedup {
     require(k > 0, s"span width must be positive, got $k")
     val base = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
       .withColumn("_n", size(col("_toks")).cast("long"))
+    // localCheckpoint: the exploded span table is consumed TWICE below
+    // (the first-occurrence aggregate and the join's probe side) — cut
+    // the lineage so the tokenize+explode chain runs once, not once per
+    // consumer (the minhashDedupPairs signature-table pattern).
     val spans = base.filter(col("_n") >= k)
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), (col("_n") - k).cast("int")),
           i => array_join(slice(col("_toks"), i + 1, lit(k)), " ")))
         .as(Seq("p", "g")))
+      .localCheckpoint()
     // Non-first occurrences via min-aggregate + join (round 6): the
     // corpus-first occurrence of a span is min (doc_id, position) — a
     // boilerplate span repeated 10^8 times is a whale key, and the
