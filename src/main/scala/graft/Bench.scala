@@ -78,12 +78,22 @@ object Bench {
     // second, size-bounded summary line goes LAST: same schema, "queries"
     // holding the slowest entries that fit a ~1300-char budget, so an
     // end-anchored capture always contains one complete parseable object.
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // +Inf (all repeats failed) renders as JSON null — "%.3f" would emit
+    // the bare literal `Infinity`, which is NOT JSON and would make a
+    // strict parser reject the WHOLE line, losing every query's timing.
+    // The failed queries are ALSO named in a "failed" array so the gate
+    // stays loud even for consumers that only read the totals.
+    def f3(v: Double): String =
+      if (v.isInfinite || v.isNaN) "null"
+      else "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val failedQs = results.filter(_._2.isInfinite).map(_._1)
+    val failedJson =
+      s""""failed":[${failedQs.map("\"" + _ + "\"").mkString(",")}],"""
     def line(entries: Seq[(String, Double)], extra: String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
       val total = results.map(_._2).sum
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,$extra"sf":"$sfDir","total_sec":${f3(total)}}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,$extra$failedJson"sf":"$sfDir","total_sec":${f3(total)}}"""
     }
     println(line(results, ""))
     val bySlowest = results.sortBy(-_._2)

@@ -25,6 +25,11 @@ import graft.filter.EventFilter
   * Invalid (non-32-hex) and missing uuids are ignored; a count line
   * `Found N UUIDs: S selected, M missing, I invalid.` goes to stderr
   * (duplicate listed uuids are counted once, unlike the reference).
+  * Valid entries are lowercased before matching — the reference
+  * hex-DECODES uuids so its match is case-insensitive, and graft's make
+  * stores lowercase hex. An explicitly-empty `--uuids ''` still applies
+  * and selects NOTHING (one empty entry, invalid), like the reference —
+  * silently dumping everything instead would be the -F '' trap again.
   *
   * Filters use the reference grammar: space = OR, '&' = AND, `f=v`,
   * `f!=v`, `f=` for the NULL value, `f=@file` to read the value from a
@@ -75,13 +80,14 @@ object Main {
   private def isValidUuid(u: String): Boolean =
     u.length == 32 && u.forall(c => Character.digit(c, 16) >= 0)
 
-  /** Split a `--uuids` spec into (valid, nInvalid) and report the
-    * reference's count line (tdbcli/filter.c:210-216: "Found %u UUIDs:
-    * %u selected, %u missing, %u invalid.") given the number of listed
-    * valid uuids that exist in the target data. */
+  /** Report the reference's count line (tdbcli/filter.c:210-216: "Found
+    * %u UUIDs: %u selected, %u missing, %u invalid.") — invalid counts
+    * the malformed ENTRIES (a valid uuid listed twice is deduplicated,
+    * never miscounted as invalid), missing counts distinct valid uuids
+    * absent from the target data. */
   private def reportUuids(entries: Seq[String], valid: Seq[String],
       present: Long): Unit = {
-    val invalid = entries.size - valid.size
+    val invalid = entries.count(e => !isValidUuid(e))
     val missing = valid.size - present
     System.err.println(s"Found ${entries.size} UUIDs: " +
       s"$present selected, $missing missing, $invalid invalid.")
@@ -174,9 +180,9 @@ object Main {
         // --uuids on make selects the subset of trails to INGEST
         // (reference usage: tdbcli/main.c:84-90); the count pass mirrors
         // the reference's per-uuid lookup report.
-        one("--uuids").foreach { us =>
+        flags("--uuids").headOption.foreach { us =>
           val entries = parseUuidSpec(us)
-          val valid = entries.filter(isValidUuid).distinct
+          val valid = entries.filter(isValidUuid).map(_.toLowerCase).distinct
           val present = cons.stagedView
             .filter(col(TrailSchema.UuidCol).isin(valid: _*))
             .select(TrailSchema.UuidCol).distinct().count()
@@ -206,9 +212,9 @@ object Main {
               graft.core.TrailIndex.open(spark, idx, Some(in)), filter)
           }
         }
-        one("--uuids").foreach { us =>
+        flags("--uuids").headOption.foreach { us =>
           val entries = parseUuidSpec(us)
-          val valid = entries.filter(isValidUuid).distinct
+          val valid = entries.filter(isValidUuid).map(_.toLowerCase).distinct
           val present = db.df.filter(col(TrailSchema.UuidCol).isin(valid: _*))
             .select(TrailSchema.UuidCol).distinct().count()
           reportUuids(entries, valid, present)
@@ -238,9 +244,9 @@ object Main {
           val filter = parseFilter(f)
           dbs = dbs.map(_.withFilter(filter))
         }
-        one("--uuids").foreach { us =>
+        flags("--uuids").headOption.foreach { us =>
           val entries = parseUuidSpec(us)
-          val valid = entries.filter(isValidUuid).distinct
+          val valid = entries.filter(isValidUuid).map(_.toLowerCase).distinct
           dbs = dbs.map { d =>
             val present = d.df.filter(col(TrailSchema.UuidCol).isin(valid: _*))
               .select(TrailSchema.UuidCol).distinct().count()

@@ -29,12 +29,20 @@ object Dedup {
     * 10^8-copy document is a whale hash key, and the `row_number` window
     * this replaces funneled every copy into ONE task; `min(id)` partial-
     * aggregates (bounded shuffle: one (hash, id) pair per partition per
-    * hash), and the semi-join keeps exactly the same survivor rows. */
+    * hash), and the semi-join keeps exactly the same survivor rows.
+    * NULL-text rows hash to a null key: the null-safe (`<=>`) join keeps
+    * their min-id survivor like the window did (null was just another
+    * partition key there), and the trailing (hash, id) dropDuplicates
+    * collapses physically-duplicated survivor rows (same id AND text
+    * ingested twice) exactly as the window's rank-1 filter did. */
   def exactDedup(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val withH = df.withColumn("_h", md5(col(textCol).cast("binary")))
-    val keep = withH.groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
-    withH.join(keep, Seq("_h", idCol), "left_semi").drop("_h")
+    val keep = withH.groupBy(col("_h")).agg(min(col(idCol)).as("_kid"))
+      .withColumnRenamed("_h", "_kh")
+    withH.join(keep,
+        col("_h") <=> col("_kh") && col(idCol) === col("_kid"), "left_semi")
+      .dropDuplicates("_h", idCol).drop("_h")
   }
 
   /** Exact n-gram Jaccard near-dup pairs via inverted index:
@@ -329,12 +337,16 @@ object Dedup {
     * whale cluster (the 16× alldup ladder's exact shape) and the
     * per-cluster `row_number` window this replaces funneled it into one
     * task. Scores must be non-NaN (negation is order-exact otherwise;
-    * −0.0/0.0 compare equal both ways). */
+    * −0.0/0.0 compare equal both ways). NULL scores sort LAST exactly
+    * like the window's `DESC NULLS LAST` — the leading is-null flag in
+    * the min struct replays it (struct ordering alone would put the null
+    * FIRST and silently crown a null-scored survivor). */
   def keepBest(df: DataFrame, clusters: DataFrame, scoreCol: Column,
       idCol: String = "doc_id"): DataFrame = {
     val labeled = df.join(clusters, Seq(idCol))
     val best = labeled.groupBy(col("cluster_id"))
-      .agg(min(struct((-scoreCol).as("_ns"), col(idCol).as("_id"))).as("_best"))
+      .agg(min(struct(scoreCol.isNull.cast("int").as("_nl"),
+        (-scoreCol).as("_ns"), col(idCol).as("_id"))).as("_best"))
     labeled.join(best, Seq("cluster_id"))
       .filter(col(idCol) === col("_best._id"))
       .select(labeled.columns.map(col): _*)
@@ -568,11 +580,14 @@ object Dedup {
     val h = md5(col(textCol).cast("binary"))
     val fresh = batch.withColumn("_h", h)
       .join(corpus.select(h.as("_h")), Seq("_h"), "left_anti")
-    // min-aggregate + semi-join (round 6): same whale-hash rationale as
-    // [[exactDedup]] — a duplicate-heavy batch must not funnel one hash's
-    // copies into one window task.
-    val keep = fresh.groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
-    fresh.join(keep, Seq("_h", idCol), "left_semi").drop("_h")
+    // min-aggregate + semi-join (round 6): same whale-hash rationale and
+    // null/duplicate handling as [[exactDedup]] — a duplicate-heavy batch
+    // must not funnel one hash's copies into one window task.
+    val keep = fresh.groupBy(col("_h")).agg(min(col(idCol)).as("_kid"))
+      .withColumnRenamed("_h", "_kh")
+    fresh.join(keep,
+        col("_h") <=> col("_kh") && col(idCol) === col("_kid"), "left_semi")
+      .dropDuplicates("_h", idCol).drop("_h")
   }
 
   /** Benchmark decontamination: count, per training doc, how many of its

@@ -390,8 +390,13 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
     val mk = udaf(graft.ops.Sketch.MinKLex(n))
+    // coalesce(md5, ""): a NULL text hashes to a null sort key, which the
+    // window form ranked FIRST (ASC NULLS FIRST) — "" replicates that
+    // exactly ("" < any hex digest; a real md5 is never empty) instead of
+    // NPE-ing String.compareTo inside the aggregator.
     val keep = df.groupBy(col(strataCol))
-      .agg(mk(md5(col(textCol).cast("binary")), col(idCol).cast("long")).as("mk"))
+      .agg(mk(coalesce(md5(col(textCol).cast("binary")), lit("")),
+        col(idCol).cast("long")).as("mk"))
       .select(explode(col("mk")).as("e"))
       .select(col("e._2").as("_keep_id"))
     df.join(keep, col(idCol) === col("_keep_id"), "left_semi")

@@ -105,6 +105,32 @@ class CliSpec extends SparkSpec {
         "--uuids", s"@$dir/nope.txt", "-o", s"$dir/dump-x"))
     }
     assert(ex.getMessage.contains("Could not read UUIDs"))
+
+    // an explicitly-empty --uuids '' still applies and selects NOTHING —
+    // silently dumping the whole db would be the -F '' trap (r6 review)
+    Main.run(spark, "dump", Seq("-i", s"$dir/db", "--uuids", "",
+      "-o", s"$dir/dump-empty", "--csv-header"))
+    assert(spark.read.option("header", "true").csv(s"$dir/dump-empty")
+      .count() === 0)
+
+    // uppercase entries match the lowercase-stored hex (the reference
+    // hex-decodes, so its match is case-insensitive too — r6 review)
+    Main.run(spark, "dump", Seq("-i", s"$dir/db",
+      "--uuids", f"${0}%032x".toUpperCase, "-o", s"$dir/dump-uc",
+      "--csv-header"))
+    assert(spark.read.option("header", "true").csv(s"$dir/dump-uc")
+      .count() === 5)
+
+    // a valid uuid listed twice is deduplicated, never counted invalid
+    val errBuf2 = new java.io.ByteArrayOutputStream()
+    val prevErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf2))
+    try Main.run(spark, "dump", Seq("-i", s"$dir/db",
+      "--uuids", f"${0}%032x,${0}%032x", "-o", s"$dir/dump-dup",
+      "--csv-header"))
+    finally System.setErr(prevErr)
+    assert(errBuf2.toString.contains("Found 2 UUIDs: 1 selected, 0 missing, 0 invalid."),
+      errBuf2.toString)
   }
 
   test("merge applies -F and --uuids to every input db (op_merge.c:223-226)") {

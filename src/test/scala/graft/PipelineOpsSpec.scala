@@ -187,6 +187,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L), (4L, 4L)))
   }
 
+  test("keepBest: NULL scores lose to any scored member (DESC NULLS LAST replay)") {
+    // The aggregate form must keep the window's NULLS LAST: a bare
+    // min(struct(-score, id)) would sort the null FIRST and silently
+    // crown the null-scored doc (round-6 review finding).
+    val docs = Seq[(Long, java.lang.Double)](
+      (1L, null), (2L, 0.9), // cluster A: null loses to 0.9
+      (5L, null), (6L, null) // cluster B: all-null → min id wins
+    ).toDF("doc_id", "score")
+    val clusters = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val got = Dedup.keepBest(docs, clusters, col("score"))
+      .select("cluster_id", "doc_id").orderBy("cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((1L, 2L), (5L, 5L)))
+  }
+
+  test("exactDedup: null-text rows keep a survivor; physical duplicates collapse") {
+    // round-6 review findings: (a) a null text hashes to a null key — the
+    // null-safe join must keep its min-id survivor like the window's
+    // null partition did; (b) the same (id, text) row ingested twice must
+    // still dedup to ONE output row.
+    val docs = Seq[(Long, String)](
+      (1L, "a"), (2L, "a"),      // content dup: keep 1
+      (7L, null), (8L, null),    // null text: keep 7
+      (9L, "b"), (9L, "b")       // physical duplicate row: keep ONE
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactDedup(docs).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(1L, 7L, 9L))
+    val inc = Dedup.incrementalDedup(docs.filter(lit(false)), docs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(inc === Seq(1L, 7L, 9L))
+  }
+
+  test("takePerStratum: null text ranks first (NULLS FIRST replay), no NPE") {
+    val docs = Seq[(Long, String, String)](
+      (1L, "aaa", "en"), (2L, null, "en"), (3L, "bbb", "en"), (4L, "ccc", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.takePerStratum(docs, n = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.contains(2L), s"null-text row must rank first, got $got")
+    assert(got.size === 2)
+  }
+
   test("keepBest with a constant score degrades to dedupClusters' min-id keep") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(200)
