@@ -178,18 +178,20 @@ object Main {
           mapping = mapping, skipBadInput = skipBad))
         one("-j").foreach(j => cons.addJsonl(j, mapping, skipBad))
         // --uuids on make selects the subset of trails to INGEST
-        // (reference usage: tdbcli/main.c:84-90); the count pass mirrors
-        // the reference's per-uuid lookup report.
-        flags("--uuids").headOption.foreach { us =>
+        // (reference usage: tdbcli/main.c:84-90). The count line is
+        // derived from the FINALIZED db instead of a pre-pass: after the
+        // whitelist, output trails == selected-and-present uuids, so the
+        // report costs nothing (re-running the whole ingest plan just to
+        // count was a full extra Spark pass — ADVICE r6).
+        val uuidReport = flags("--uuids").headOption.map { us =>
           val entries = parseUuidSpec(us)
           val valid = entries.filter(isValidUuid).map(_.toLowerCase).distinct
-          val present = cons.stagedView
-            .filter(col(TrailSchema.UuidCol).isin(valid: _*))
-            .select(TrailSchema.UuidCol).distinct().count()
-          reportUuids(entries, valid, present)
           cons.whitelist(valid)
+          (entries, valid)
         }
         val db = cons.finalizeTo(out)
+        uuidReport.foreach { case (entries, valid) =>
+          reportUuids(entries, valid, db.numTrails) }
         println(s"[make] wrote ${db.numEvents} events / ${db.numTrails} trails to $out")
 
       case "dump" =>
@@ -247,12 +249,16 @@ object Main {
         flags("--uuids").headOption.foreach { us =>
           val entries = parseUuidSpec(us)
           val valid = entries.filter(isValidUuid).map(_.toLowerCase).distinct
-          dbs = dbs.map { d =>
-            val present = d.df.filter(col(TrailSchema.UuidCol).isin(valid: _*))
-              .select(TrailSchema.UuidCol).distinct().count()
-            reportUuids(entries, valid, present)
-            d.whitelist(valid)
-          }
+          // ONE presence count over the union of inputs and ONE report
+          // line (the reference reports once; one line per input — and one
+          // Spark job per input — was ADVICE r6). The union is a
+          // column-pruned uuid scan with the isin pushed to parquet.
+          val present = dbs.map(_.df
+              .filter(col(TrailSchema.UuidCol).isin(valid: _*))
+              .select(TrailSchema.UuidCol))
+            .reduce(_ union _).distinct().count()
+          reportUuids(entries, valid, present)
+          dbs = dbs.map(_.whitelist(valid))
         }
         val merged = TrailOps.merge(dbs)
         val db = new TrailDBCons(spark, merged.fields).add(merged.df).finalizeTo(out)

@@ -40,6 +40,20 @@ object Similarity {
   /** L2 norm of a float-array column, in double (same native fold). */
   def norm(v: Column): Column = sqrt(dot(v, v))
 
+  /** [[norm]] with the non-zero precondition ENFORCED: every ANN path
+    * divides by this norm, and a zero-norm vector yields NaN cosine —
+    * which the TopK shortlist aggregate ranks LAST while the window sort
+    * it replays ranks FIRST (and probeCells' sort_array has the same
+    * divergence for a zero-norm query). Both deterministic, but they
+    * disagree, so the documented precondition becomes a loud plan-side
+    * failure instead of a silent rank divergence (ADVICE r6). */
+  private def checkedNorm(v: Column, side: String): Column = {
+    val n = norm(v)
+    when(n > 0, n).otherwise(raise_error(lit(
+      s"graft ANN: zero-norm $side vector — cosine is NaN and shortlist " +
+      "order is undefined; filter zero-norm vectors upstream")))
+  }
+
   /** Sequential-fold cosine similarity between two float-array columns,
     * computed in double. For pairwise workloads prefer precomputing
     * [[norm]] per row — recomputing both norms per PAIR triples the
@@ -225,6 +239,7 @@ object Similarity {
     */
   private def topKPerQuery(scored: DataFrame, scoreCol: String, k: Int,
       outScore: String): DataFrame = {
+    Sketch.requireIntegralId(scored.schema, "corpus_id", "topKPerQuery")
     val tk = udaf(Sketch.TopK(k))
     scored.groupBy("query_id")
       .agg(tk(col(scoreCol).cast("double"), col("corpus_id").cast("long")).as("tk"))
@@ -242,9 +257,9 @@ object Similarity {
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("cn"))
+      checkedNorm(col(vecCol), "corpus").as("cn"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn"))
+      checkedNorm(col(vecCol), "query").as("qn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
@@ -300,11 +315,11 @@ object Similarity {
       seed = 42L)
     val flat = cents.flatMap(_.toSeq).toSeq
     val cells = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("cn"),
+      checkedNorm(col(vecCol), "corpus").as("cn"),
       element_at(graft.functions.GraftFunctions.pqCodes(
         col(vecCol), 1, nCells, flat), 1).as("cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn"))
+      checkedNorm(col(vecCol), "query").as("qn"))
     val qCells = probeCells(q, cents, nprobe)
       .select("query_id", "qv", "qn", "cell")
     val scored = cells.join(broadcast(qCells), Seq("cell"))
@@ -368,13 +383,13 @@ object Similarity {
     val cb = pqTrain(corpus, m, codebookK, dim, vecCol)
     // candidate stream: cell + codes + norm ONLY (no raw vectors)
     val c = corpus.select(col(idCol).as("corpus_id"),
-      norm(col(vecCol)).as("cn"),
+      checkedNorm(col(vecCol), "corpus").as("cn"),
       element_at(graft.functions.GraftFunctions.pqCodes(
         col(vecCol), 1, nCells, flatCells), 1).as("cell"),
       graft.functions.GraftFunctions.pqCodes(col(vecCol), m, codebookK, cb.flat)
         .as("codes"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn"), adcTable(col(vecCol), cb).as("tbl"))
+      checkedNorm(col(vecCol), "query").as("qn"), adcTable(col(vecCol), cb).as("tbl"))
     val qCells = probeCells(q, cents, nprobe)
       .select("query_id", "qn", "tbl", "cell")
     // ADC over the PROBED cells only — the join key prunes before any
@@ -403,10 +418,10 @@ object Similarity {
       dim: Int = 64, multiprobe: Boolean = true,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("cn"),
+      checkedNorm(col(vecCol), "corpus").as("cn"),
       lshBucket(col(vecCol), nPlanes, dim).as("bucket"))
     val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn"),
+      checkedNorm(col(vecCol), "query").as("qn"),
       lshBucket(col(vecCol), nPlanes, dim).as("qbucket"))
     val q =
       if (!multiprobe) qBase.withColumn("bucket", col("qbucket"))
@@ -646,11 +661,11 @@ object Similarity {
     val cb = pqTrain(corpus, m, codebookK, dim, vecCol)
     // candidate stream: codes + norm ONLY (no raw vectors)
     val c = corpus.select(col(idCol).as("corpus_id"),
-      norm(col(vecCol)).as("cn"),
+      checkedNorm(col(vecCol), "corpus").as("cn"),
       graft.functions.GraftFunctions.pqCodes(col(vecCol), m, codebookK, cb.flat)
         .as("codes"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn"), adcTable(col(vecCol), cb).as("tbl"))
+      checkedNorm(col(vecCol), "query").as("qn"), adcTable(col(vecCol), cb).as("tbl"))
     // ADC score via the native expression — m table lookups per
     // (candidate, query) inside the scan's codegen span; the builtin
     // aggregate∘element_at composition it replaces is kept as [[adcFold]]

@@ -87,6 +87,14 @@ object Sketch {
     * The buffer over-admits to 4k before compacting so reduce stays
     * amortized O(1) per row; ties beyond position k are cut by the id
     * tie-break, keeping the output deterministic for duplicated scores.
+    *
+    * Signed zeros: scores are normalized to +0.0 on entry, because the
+    * window form this aggregate replays sorts with Spark's comparison
+    * where -0.0 == 0.0 and the tie falls to the id tie-break, while
+    * Scala's Ordering.Double.TotalOrdering ranks -0.0 < 0.0 — at a k
+    * boundary with mixed-sign zero scores the two would keep different
+    * candidates. (NaN scores remain a documented precondition, as for
+    * the ANN callers.)
     */
   final case class TopK(k: Int)
       extends Aggregator[(Double, Long), mutable.ArrayBuffer[(Double, Long)],
@@ -95,6 +103,8 @@ object Sketch {
 
     private val ord: Ordering[(Double, Long)] =
       Ordering.by[(Double, Long), (Double, Long)](x => (-x._1, x._2))
+
+    private def norm(s: Double): Double = if (s == 0.0) 0.0 else s
 
     private def compact(b: mutable.ArrayBuffer[(Double, Long)]):
         mutable.ArrayBuffer[(Double, Long)] = {
@@ -109,7 +119,7 @@ object Sketch {
 
     override def reduce(b: mutable.ArrayBuffer[(Double, Long)],
         t: (Double, Long)): mutable.ArrayBuffer[(Double, Long)] = {
-      b += t
+      b += ((norm(t._1), t._2))
       if (b.length >= 4 * k) compact(b) else b
     }
 
@@ -237,5 +247,20 @@ object Sketch {
         (lit(i.toLong * width) +
           pmod(xxhash64(lit(i.toLong), token), lit(width.toLong))).cast("int") + 1)
     }.reduce(least(_, _))
+  }
+
+  /** [[TopK]]/[[MinKLex]] carry row ids as LONG; callers cast their id
+    * column on the way in. A string/decimal id would cast to NULL and the
+    * join-back would silently drop every row (the window forms these
+    * aggregates replaced accepted any id type) — so the precondition is
+    * enforced at plan-build time instead of living only in a docstring. */
+  def requireIntegralId(schema: org.apache.spark.sql.types.StructType,
+      idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = schema(idCol).dataType
+    require(Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$op: id column '$idCol' must be an integral type (the bounded " +
+      s"ranking aggregate carries ids as long); got $dt — a non-integral " +
+      "id casts to null and silently breaks the id join-back")
   }
 }

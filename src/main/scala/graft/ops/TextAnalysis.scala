@@ -389,6 +389,7 @@ object TextAnalysis {
   def takePerStratum(df: DataFrame, n: Int, strataCol: String = "lang",
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
+    graft.ops.Sketch.requireIntegralId(df.schema, idCol, "takePerStratum")
     val mk = udaf(graft.ops.Sketch.MinKLex(n))
     // coalesce(md5, ""): a NULL text hashes to a null sort key, which the
     // window form ranked FIRST (ASC NULLS FIRST) — "" replicates that
@@ -423,6 +424,7 @@ object TextAnalysis {
       groupCol: String = "source", scoreCol: Column = col("n_chars"),
       idCol: String = "doc_id"): DataFrame = {
     require(maxPerGroup > 0, s"maxPerGroup must be positive, got $maxPerGroup")
+    graft.ops.Sketch.requireIntegralId(df.schema, idCol, "capPerGroup")
     val tk = udaf(graft.ops.Sketch.TopK(maxPerGroup))
     val keep = df.groupBy(col(groupCol))
       .agg(tk(scoreCol.cast("double"), col(idCol).cast("long")).as("tk"))

@@ -176,6 +176,33 @@ class Round4OpsSpec extends SparkSpec {
     assert(got.toSeq === Seq((5.0, 1L), (1.0, 1L), (1.0, 2L)))
   }
 
+  test("TopK equates signed zeros like the window sort it replays (ADVICE r6)") {
+    // Spark's sort treats -0.0 == 0.0 and ties fall to the id tie-break;
+    // at a k boundary the aggregate must keep the same candidate set, and
+    // the kept scores must not leak a -0.0 the window form would not.
+    val ds = Seq((-0.0, 5L), (0.0, 1L), (-0.0, 2L), (1.0, 9L)).toDS()
+    val got = ds.select(Sketch.TopK(3).toColumn.name("tk")).head()
+    assert(got.toSeq === Seq((1.0, 9L), (0.0, 1L), (0.0, 2L)))
+    assert(got.forall { case (s, _) =>
+      java.lang.Double.doubleToRawLongBits(s) !=
+        java.lang.Double.doubleToRawLongBits(-0.0) })
+  }
+
+  test("bounded-ranking ops refuse a non-integral id column loudly (ADVICE r6)") {
+    val df = Seq(("a", "x", "t1", 3L), ("b", "y", "t2", 1L))
+      .toDF("doc_id", "lang", "text", "n")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ops.TextAnalysis.takePerStratum(df, 1, "lang", "doc_id", "text") }
+    assert(e1.getMessage.contains("integral"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.TextAnalysis.capPerGroup(df, 1, "lang", col("n"), "doc_id") }
+    assert(e2.getMessage.contains("integral"))
+    // the long-id form still works
+    val ok = df.withColumn("doc_id", expr("cast(n as long)"))
+    assert(graft.ops.TextAnalysis.takePerStratum(ok, 1, "lang", "doc_id",
+      "text").count() === 2)
+  }
+
   test("MinKLex equals ORDER BY key, id LIMIT k, including duplicate keys") {
     val rng = new Random(11)
     val rows = (1L to 5000L).map(i => (f"${rng.nextInt(300)}%04x", i))
