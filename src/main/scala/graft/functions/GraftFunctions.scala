@@ -105,6 +105,9 @@ object GraftFunctions {
   def shingleHashes(tokens: Column, k: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(tokens), k))
 
+  def shingleHashesAll(tokens: Column, k: Int): Column =
+    ColumnBridge.column(ShingleHashesAll(ColumnBridge.expression(tokens), k))
+
   def pqCodes(vec: Column, m: Int, k: Int, flatCodebooks: Seq[Float]): Column =
     ColumnBridge.column(PqCodes(ColumnBridge.expression(vec), m, k, flatCodebooks))
 

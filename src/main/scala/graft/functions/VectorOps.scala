@@ -180,22 +180,24 @@ object VectorOps {
     * across each window's tokens with seed 42, exactly matching Catalyst's
     * xxhash64 over an array<string> slice; null elements are skipped (the
     * builtin leaves the accumulated seed unchanged for null elements). */
-  def shingleHashes(tokens: ArrayData, k: Int): ArrayData = {
+  private def windowHash(tokens: ArrayData, start: Int, len: Int): Long = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
-    val n = tokens.numElements()
-    def windowHash(start: Int, len: Int): Long = {
-      var h = 42L
-      var j = start
-      val end = start + len
-      while (j < end) {
-        if (!tokens.isNullAt(j)) {
-          val s = tokens.getUTF8String(j)
-          h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), h)
-        }
-        j += 1
+    var h = 42L
+    var j = start
+    val end = start + len
+    while (j < end) {
+      if (!tokens.isNullAt(j)) {
+        val s = tokens.getUTF8String(j)
+        h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), h)
       }
-      h
+      j += 1
     }
+    h
+  }
+
+  def shingleHashes(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    def windowHash(start: Int, len: Int): Long = VectorOps.windowHash(tokens, start, len)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     if (n < k) seen.add(windowHash(0, n))
     else {
@@ -206,6 +208,24 @@ object VectorOps {
     val it = seen.iterator()
     var j = 0
     while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** ALL k-token window hashes in POSITIONAL order (no dedup) — the span
+    * key projection under scrubDupSpans: out(p) hashes tokens[p, p+k).
+    * Same chained XXH64 as [[shingleHashes]], so span stats and the scrub
+    * agree on span identity bit-for-bit; n < k collapses to one
+    * whole-text window (shingle convention). Called from generated code. */
+  def shingleHashesAll(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    val out =
+      if (n < k) Array(windowHash(tokens, 0, n))
+      else {
+        val a = new Array[Long](n - k + 1)
+        var pos = 0
+        while (pos <= n - k) { a(pos) = windowHash(tokens, pos, k); pos += 1 }
+        a
+      }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
@@ -318,6 +338,34 @@ case class ShingleHashes(child: Expression, k: Int)
     defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.shingleHashes($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** Positional (non-distinct) sibling of [[ShingleHashes]]: element p is the
+  * chained-XXH64 hash of the k-token window starting at p, so
+  * `posexplode` yields (position, span-key) pairs — the 8-byte span
+  * identity under exact substring scrub. Same hash chain as
+  * [[ShingleHashes]] (bit-identical keys across the two). */
+case class ShingleHashesAll(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes_all"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes_all requires array<string> input, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.shingleHashesAll(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.shingleHashesAll($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesAll =
     copy(child = newChild)
 }
 

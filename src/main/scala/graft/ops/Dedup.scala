@@ -388,25 +388,41 @@ object Dedup {
     * total order (doc_id, position), and each document's text is rebuilt
     * from its surviving tokens in order.
     *
-    * Span identity here is the raw k-token string, which makes the whole
-    * operator exactly replayable by another engine (the DuckDB oracle
-    * replays first-occurrence choice, coverage, and the rebuilt text
-    * verbatim). At 100 TB swap the span key for the 64-bit chained-XXH64
-    * shingle hash ([[dupSpanStats]] does) — identical plan shape, 8 bytes
-    * instead of k tokens through the span shuffle, collision ~1e-8.
+    * Span identity is the 64-bit chained-XXH64 shingle hash (the
+    * [[dupSpanStats]] key, via the positional
+    * [[graft.functions.ShingleHashesAll]] expression): 8 bytes per span
+    * through the shuffle instead of k tokens of text — at 100 TB the
+    * string span keys (k×token text per key) dominate the span-pass
+    * shuffle bytes; the reference packs items into u64 for exactly this
+    * reason (src/tdb_types.h:24-39). Collision odds ~1e-8 per corpus; a
+    * collision merges two distinct spans' first-occurrence choice, which
+    * the string-keyed twin [[scrubDupSpansStringKey]] (spec-proven
+    * output-identical, and what the DuckDB oracle replays) would surface.
     *
     * Scale shape: explode to positional spans, ONE shuffle on the span key
-    * for the global first-occurrence window, explode only the DUP spans to
-    * covered token positions (k× the duplicated volume, not the corpus),
-    * anti-join the positional tokens, and one doc-id rollup to rebuild —
-    * the token stream crosses the wire twice (span pass + rebuild), never
-    * a pairwise join.
+    * for the global first-occurrence min-aggregate, explode only the DUP
+    * spans to covered token positions (k× the duplicated volume, not the
+    * corpus), anti-join the positional tokens, and one doc-id rollup to
+    * rebuild — the token stream crosses the wire twice (span pass +
+    * rebuild), never a pairwise join.
     *
     * Output: (doc_id, n_tokens, n_kept, text_clean) for EVERY input doc —
     * a fully-duplicated doc survives with n_kept = 0 and empty text.
     */
   def scrubDupSpans(df: DataFrame, k: Int = 5, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    scrubDupSpansKeyed(df, k, idCol, textCol, hashedKeys = true)
+
+  /** String-span-key twin of [[scrubDupSpans]] — k tokens of text as the
+    * span identity, exactly replayable by the DuckDB oracle (and immune
+    * to hash collisions). Kept for the equivalence spec; use the hashed
+    * form at scale. */
+  private[graft] def scrubDupSpansStringKey(df: DataFrame, k: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    scrubDupSpansKeyed(df, k, idCol, textCol, hashedKeys = false)
+
+  private def scrubDupSpansKeyed(df: DataFrame, k: Int, idCol: String,
+      textCol: String, hashedKeys: Boolean): DataFrame = {
     require(k > 0, s"span width must be positive, got $k")
     val base = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
       .withColumn("_n", size(col("_toks")).cast("long"))
@@ -414,11 +430,14 @@ object Dedup {
     // (the first-occurrence aggregate and the join's probe side) — cut
     // the lineage so the tokenize+explode chain runs once, not once per
     // consumer (the minhashDedupPairs signature-table pattern).
-    val spans = base.filter(col("_n") >= k)
-      .select(col(idCol), posexplode(
+    val spanKeys =
+      if (hashedKeys)
+        graft.functions.GraftFunctions.shingleHashesAll(col("_toks"), k)
+      else
         transform(sequence(lit(0), (col("_n") - k).cast("int")),
-          i => array_join(slice(col("_toks"), i + 1, lit(k)), " ")))
-        .as(Seq("p", "g")))
+          i => array_join(slice(col("_toks"), i + 1, lit(k)), " "))
+    val spans = base.filter(col("_n") >= k)
+      .select(col(idCol), posexplode(spanKeys).as(Seq("p", "g")))
       .localCheckpoint()
     // Non-first occurrences via min-aggregate + join (round 6): the
     // corpus-first occurrence of a span is min (doc_id, position) — a

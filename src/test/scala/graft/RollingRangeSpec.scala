@@ -179,6 +179,27 @@ class RollingRangeSpec extends SparkSpec {
     assert(got === Seq((1L, 5L, 5L, "a b c d e"), (2L, 5L, 0L, "")))
   }
 
+  test("scrubDupSpans hashed span keys reproduce the string-key twin (r7)") {
+    // the 8-byte span key is a pure identity swap: same first-occurrence
+    // choice, same coverage, same rebuilt text as the string-keyed form
+    // the DuckDB oracle replays
+    val rng = new scala.util.Random(7)
+    val words = Array("a", "b", "c", "d", "e", "f", "g")
+    val boiler = "the quick brown fox jumps over the lazy dog again"
+    val df = (1L to 60L).map { i =>
+      val body = (0 until 12 + rng.nextInt(20)).map(_ => words(rng.nextInt(7)))
+      val text = if (i % 3 == 0) s"$boiler ${body.mkString(" ")}"
+                 else if (i % 3 == 1) s"${body.mkString(" ")} $boiler"
+                 else body.mkString(" ")
+      (i, text)
+    }.toDF("doc_id", "text")
+    val hashed = graft.ops.Dedup.scrubDupSpans(df, k = 5).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val strung = graft.ops.Dedup.scrubDupSpansStringKey(df, k = 5)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(hashed === strung)
+  }
+
   test("decayScore weights recent trails above stale ones of equal size") {
     val dense = (0 until 20).map(i => ("fresh", 1000000L - i * 60L))
     val stale = (0 until 20).map(i => ("stale", 1000000L - i * 864000L))
