@@ -111,6 +111,11 @@ object GraftFunctions {
   def pqCodes(vec: Column, m: Int, k: Int, flatCodebooks: Seq[Float]): Column =
     ColumnBridge.column(PqCodes(ColumnBridge.expression(vec), m, k, flatCodebooks))
 
+  def pqResidualCodes(vec: Column, cell: Column, m: Int, k: Int,
+      flatCodebooks: Seq[Float], flatCentroids: Seq[Float]): Column =
+    ColumnBridge.column(PqResidualCodes(ColumnBridge.expression(vec),
+      ColumnBridge.expression(cell), m, k, flatCodebooks, flatCentroids))
+
   def adcSum(codes: Column, tbl: Column): Column =
     ColumnBridge.column(AdcSum(ColumnBridge.expression(codes), ColumnBridge.expression(tbl)))
 

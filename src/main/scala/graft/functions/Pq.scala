@@ -97,6 +97,106 @@ object PqCodes {
   }
 }
 
+/** Residual PQ encoder — the IVFADC corpus-side encode (Jégou et al.,
+  * TPAMI'11 §IV-A: ONE product quantizer, shared by all cells, over the
+  * residual x − c(cell)): `left` is the raw vector, `right` the coarse
+  * cell id, and the emitted code is [[PqCodes]] of the residual. The
+  * subtraction is fused into the argmin distance loop (no residual array
+  * is materialized), so the hot encode scan stays a single zero-allocation
+  * pass per row inside whole-stage codegen.
+  *
+  * `flatCentroids` is the coarse nCells×dim centroid tensor flattened
+  * row-major; `flatCodebooks` the m×k×subDim residual codebook tensor.
+  * PRECONDITION: dense input of length m×subDim = dim, cell ∈ [0, nCells)
+  * (guaranteed — the cell id comes from the coarse [[PqCodes]] pass). */
+case class PqResidualCodes(left: Expression, right: Expression, m: Int, k: Int,
+    flatCodebooks: Seq[Float], flatCentroids: Seq[Float])
+    extends BinaryExpression {
+
+  require(m > 0 && k > 0 && flatCodebooks.nonEmpty &&
+    flatCodebooks.length % (m * k) == 0,
+    s"codebook tensor of ${flatCodebooks.length} floats does not factor " +
+      s"into m=$m subspaces x k=$k centroids")
+  require(flatCentroids.nonEmpty &&
+    flatCentroids.length % (flatCodebooks.length / (m * k) * m) == 0,
+    s"coarse tensor of ${flatCentroids.length} floats is not a multiple " +
+      s"of dim=${flatCodebooks.length / (m * k) * m}")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_residual_codes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_residual_codes requires (array<float>, int), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  @transient private lazy val cb: Array[Float] = flatCodebooks.toArray
+  @transient private lazy val cc: Array[Float] = flatCentroids.toArray
+
+  override protected def nullSafeEval(vec: Any, cell: Any): Any =
+    PqResidualCodes.compute(vec.asInstanceOf[ArrayData],
+      cell.asInstanceOf[Int], m, k, cb, cc)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqResidualCodebooks", cb, "float[]")
+    val ccRef = ctx.addReferenceObj("pqCoarseCentroids", cc, "float[]")
+    defineCodeGen(ctx, ev, (v, c) =>
+      s"graft.functions.PqResidualCodes.compute($v, $c, $m, $k, $cbRef, $ccRef)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqResidualCodes =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqResidualCodes {
+  /** [[PqCodes.compute]] with the coarse centroid subtracted inline:
+    * distance term is ((x_t − c_cell,t) − cb_t)². Called from generated
+    * code. */
+  def compute(v: ArrayData, cell: Int, m: Int, k: Int,
+      cb: Array[Float], cc: Array[Float]): ArrayData = {
+    val subDim = cb.length / (m * k)
+    val dim = m * subDim
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"pq_residual_codes: vector of ${v.numElements()} elements does " +
+          s"not match the m=$m x subDim=$subDim codebook layout")
+    if (cell < 0 || (cell + 1) * dim > cc.length)
+      throw new IllegalArgumentException(
+        s"pq_residual_codes: cell $cell outside the ${cc.length / dim}-cell " +
+          "coarse tensor")
+    val cOff = cell * dim
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val off = s * subDim
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < k) {
+        val base = (s * k + j) * subDim
+        var d = 0.0
+        var t = 0
+        while (t < subDim && d < bestD) {
+          val x = if (v.isNullAt(off + t)) 0.0 else v.getFloat(off + t).toDouble
+          val diff = (x - cc(cOff + off + t)) - cb(base + t)
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+}
+
 /** Asymmetric-distance (ADC) sum for PQ search: Σ_s tbl[s][codes[s]] — the
   * per-candidate inner loop of the memory-bound ANN path, where `codes` is
   * a corpus row's PQ code ([[PqCodes]]) and `tbl` is the query's

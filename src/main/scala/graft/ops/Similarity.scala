@@ -337,7 +337,9 @@ object Similarity {
     * left-to-right double fold the native norm() computes, replayed on the
     * driver, so cdist is bit-identical to the join form. Requires
     * `qv`/`qn` columns on `q`; all existing columns ride along, plus
-    * `cell`. */
+    * `cell` and `_qcdot` = <qv, centroid(cell)> (the IVFADC first-order
+    * term — a trailing struct field, so it can never perturb the
+    * (negd, cell) probe order). */
   private def probeCells(q: DataFrame, cents: Array[Array[Float]],
       nprobe: Int): DataFrame = {
     def driverNorm(v: Array[Float]): Double = {
@@ -346,13 +348,16 @@ object Similarity {
       math.sqrt(s)
     }
     val cellCands = array(cents.zipWithIndex.map { case (c, i) =>
+      val qcdot = dot(col("qv"), typedLit(c.toSeq))
       struct(
-        (-(dot(col("qv"), typedLit(c.toSeq)) / (col("qn") * lit(driverNorm(c)))))
-          .as("negd"),
-        lit(i).as("cell"))
+        (-(qcdot / (col("qn") * lit(driverNorm(c))))).as("negd"),
+        lit(i).as("cell"),
+        qcdot.as("qcdot"))
     }: _*)
-    q.withColumn("cell", explode(transform(
-      slice(sort_array(cellCands), 1, nprobe), s => s.getField("cell"))))
+    q.withColumn("_pc", explode(slice(sort_array(cellCands), 1, nprobe)))
+      .withColumn("cell", col("_pc.cell"))
+      .withColumn("_qcdot", col("_pc.qcdot"))
+      .drop("_pc")
   }
 
   /** IVF-PQ ANN — the composed 100 TB search path (Jégou et al.,
@@ -364,40 +369,67 @@ object Similarity {
     * other ANN variant: (query_id, rank, corpus_id, cosine) with
     * exact-cosine-descending ranks.
     *
-    * Divergence from classic IVFADC, documented: codes are raw-vector PQ
-    * with ONE shared codebook set, not per-cell residual encodings —
-    * residuals quantize tighter (better recall at equal m) but need the
-    * cell's centroid subtracted per row before encode; the shared-codebook
-    * form keeps the encode a single codegen'd [[graft.functions.PqCodes]]
-    * scan and the recall contract is enforced the same way (measured
-    * floors via RecallProbe). Both prunes are approximations the rerank
-    * repairs within the shortlist.
+    * Residual encoding (round 7 — classic IVFADC, Jégou §IV-A): codes
+    * quantize the RESIDUAL x − c(cell) with ONE product quantizer shared
+    * by all cells, trained on the residual sample. Residuals have far
+    * less variance than raw vectors, so the same m×k code budget
+    * quantizes much tighter. The ADC estimate decomposes as
+    * <q, x> ≈ <q, c(cell)> + Σ_s tbl_q[s][codes_s] — the first-order term
+    * is a per-(query, probed-cell) SCALAR that [[probeCells]] computes
+    * from the same driver centroid literals it already sorts on, and the
+    * lookup table stays per-QUERY (built from q itself, shared across
+    * probed cells), so the plan shape is unchanged: encode is one
+    * codegen'd [[graft.functions.PqResidualCodes]] scan (subtraction
+    * fused into the argmin loop), search adds one column to the broadcast
+    * probe frame. Both prunes are approximations the rerank repairs
+    * within the shortlist.
     */
   def ivfPqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nprobe: Int = 4, m: Int = 4, codebookK: Int = 16,
       shortlist: Int = 50, dim: Int = 64, vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
-    val cents = lloyd(sampleVectors(corpus, vecCol), nCells, iters = 10,
-      seed = 42L)
+    val pts = sampleVectors(corpus, vecCol)
+    val cents = lloyd(pts, nCells, iters = 10, seed = 42L)
     val flatCells = cents.flatMap(_.toSeq).toSeq
-    val cb = pqTrain(corpus, m, codebookK, dim, vecCol)
-    // candidate stream: cell + codes + norm ONLY (no raw vectors)
-    val c = corpus.select(col(idCol).as("corpus_id"),
-      checkedNorm(col(vecCol), "corpus").as("cn"),
-      element_at(graft.functions.GraftFunctions.pqCodes(
-        col(vecCol), 1, nCells, flatCells), 1).as("cell"),
-      graft.functions.GraftFunctions.pqCodes(col(vecCol), m, codebookK, cb.flat)
-        .as("codes"))
+    // Shared residual quantizer: the SAME capped sample, each point minus
+    // its nearest coarse centroid (argmin-L2 with first-index ties —
+    // exactly the assignment PqCodes(m=1) replays on the corpus side).
+    val residuals = pts.map { p =>
+      var best = 0; var bestD = Double.MaxValue
+      var j = 0
+      while (j < cents.length) {
+        var d = 0.0; var t = 0
+        while (t < p.length) {
+          val diff = p(t).toDouble - cents(j)(t); d += diff * diff; t += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      val r = new Array[Float](p.length)
+      var t = 0
+      while (t < p.length) { r(t) = p(t) - cents(best)(t); t += 1 }
+      r
+    }
+    val cb = pqTrainPoints(residuals, m, codebookK, dim)
+    // candidate stream: cell + residual codes + norm ONLY (no raw vectors)
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("_cv"),
+        checkedNorm(col(vecCol), "corpus").as("cn"),
+        element_at(graft.functions.GraftFunctions.pqCodes(
+          col(vecCol), 1, nCells, flatCells), 1).as("cell"))
+      .withColumn("codes", graft.functions.GraftFunctions.pqResidualCodes(
+        col("_cv"), col("cell"), m, codebookK, cb.flat, flatCells))
+      .drop("_cv")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       checkedNorm(col(vecCol), "query").as("qn"), adcTable(col(vecCol), cb).as("tbl"))
     val qCells = probeCells(q, cents, nprobe)
-      .select("query_id", "qn", "tbl", "cell")
+      .select("query_id", "qn", "tbl", "cell", "_qcdot")
     // ADC over the PROBED cells only — the join key prunes before any
     // score is computed; shortlist via the mergeable top-k aggregate.
     val adc = c.join(broadcast(qCells), Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("adc",
-        graft.functions.GraftFunctions.adcSum(col("codes"), col("tbl")) /
+        (col("_qcdot") +
+          graft.functions.GraftFunctions.adcSum(col("codes"), col("tbl"))) /
         (col("cn") * col("qn")))
     val short = topKPerQuery(adc, "adc", shortlist, "adc")
       .select("query_id", "corpus_id")
@@ -521,9 +553,17 @@ object Similarity {
   def pqTrain(corpus: DataFrame, m: Int, k: Int, dim: Int,
       vecCol: String = "embedding", sampleFraction: Double = 1.0,
       seed: Long = 42L, maxSample: Int = 65536): PqCodebooks = {
+    val pts = sampleVectors(corpus, vecCol, sampleFraction, seed, maxSample)
+    pqTrainPoints(pts, m, k, dim, seed)
+  }
+
+  /** Codebook fit over an in-process point set — the training kernel of
+    * [[pqTrain]], also fed RESIDUAL samples by [[ivfPqKnn]] (IVFADC trains
+    * its shared product quantizer on x − c(x), not on x). */
+  private[ops] def pqTrainPoints(pts: Array[Array[Float]], m: Int, k: Int,
+      dim: Int, seed: Long = 42L): PqCodebooks = {
     require(dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
     val subDim = dim / m
-    val pts = sampleVectors(corpus, vecCol, sampleFraction, seed, maxSample)
     require(pts.forall(_.length == dim),
       s"pqTrain: every vector must have exactly dim=$dim elements, " +
         s"got lengths ${pts.map(_.length).distinct.take(5).mkString(",")}")

@@ -637,6 +637,18 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("id").collect()
       .map(r => (r.getLong(0), r.getSeq[Int](1).toSeq))
     assert(got.toSeq === Seq((1L, Seq(0, 0)), (2L, Seq(1, 1)), (3L, Seq(0, 0))))
+
+    // residual variant: codes quantize v − coarse(cell) with the SAME
+    // codebooks — subtracting cell 1's centroid (10,10,0,0) moves row 2
+    // into sub0's c0 basin while sub1 (centroid zero there) is unchanged
+    val coarse = Seq(0f, 0f, 0f, 0f, 10f, 10f, 0f, 0f) // cell0=0, cell1=(10,10,0,0)
+    val gotRes = df.withColumn("cell", when($"id" === 2L, 1).otherwise(0))
+      .select($"id", graft.functions.GraftFunctions.pqResidualCodes(
+        $"v", $"cell", 2, 2, flat, coarse).as("codes"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toSeq))
+    // row 2: residual = (9,9,-4,-6) − (10,10,0,0) = (-1,-1,-4,-6) → sub0→c0, sub1→c1
+    assert(gotRes.toSeq === Seq((1L, Seq(0, 0)), (2L, Seq(0, 1)), (3L, Seq(0, 0))))
     // analysis-time type error on non-float arrays
     val ex = intercept[org.apache.spark.sql.AnalysisException] {
       Seq(Seq(1L, 2L)).toDF("a")
