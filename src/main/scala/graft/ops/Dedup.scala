@@ -668,69 +668,136 @@ object Dedup {
     * of a within-cell near-dup group except one representative.
     *
     * Output: one row per input vector — `(vec_id, cell, cluster_id, kept)`
-    * where cluster_id is the min id of the vector's within-cell near-dup
-    * component (own id for singletons) and kept marks the representative.
+    * where `cell` is the LEAF cell path (a string: "3" for an unsplit
+    * coarse cell, "3/1/0" after recursive splits), cluster_id is the min
+    * id of the vector's within-cell near-dup component (own id for
+    * singletons) and kept marks the representative.
     *
     * Scale shape: the coarse quantizer trains in-process on the
     * content-hash-capped sample (same bound as PQ/IVF — never corpus-
     * sized); cell assignment is the codegen'd nearest-centroid expression
     * inside the scan projection; the only corpus joins are the cell
     * equi-join (pairs within a cell — SemDeDup's accepted quadratic,
-    * bounded by cell size, with nCells scaled to the corpus so cells stay
-    * ~constant; a cell larger than `maxCellRows` fails LOUDLY with sizing
-    * advice before the quadratic work starts) and the component-label
-    * join. Cross-cell near-dups are
-    * missed BY DESIGN (that is the approximation the paper accepts);
-    * within a cell the kept set provably contains no pair ≥ threshold
-    * (components are transitive-closed), which the e_semantic_dedup
-    * contract re-checks from raw vectors.
+    * bounded by cell size) and the component-label join. Cross-cell
+    * near-dups are missed BY DESIGN (that is the approximation the paper
+    * accepts); within a LEAF cell the kept set provably contains no pair
+    * ≥ threshold (components are transitive-closed), which the
+    * e_semantic_dedup contract re-checks from raw vectors.
+    *
+    * Whale cells RECOVER instead of refusing (round 7; refusal was the
+    * round-6 behavior — a naturally dense near-dup cluster is the
+    * EXPECTED shape in a dedup corpus, and a hard stop at 100 TB makes
+    * the run a babysitting job). Two mechanisms, mirroring
+    * [[connectedComponents]]' driver→distributed escalation:
+    *
+    *  1. EXACT-VECTOR COLLAPSE: byte-identical vectors (the truly
+    *     unsplittable whale — 10^8 copies of one embedding defeat any
+    *     quantizer) group to their min-id representative in ONE linear
+    *     shuffle; only distinct vectors enter the quadratic pair stage,
+    *     and copies attach to their representative's component through a
+    *     linear rep→copy edge (cosine(identical) = 1 ≥ any valid
+    *     threshold). Zero-norm vectors are exempt (their cosine is NaN —
+    *     they never pair, exactly as before).
+    *  2. RECURSIVE CELL SPLIT: any cell holding more than `maxCellRows`
+    *     DISTINCT vectors re-runs the sample-trained quantizer inside the
+    *     cell (fresh capped sample of that cell, ~2·n/cap centroids),
+    *     appending the sub-assignment to the cell path; up to
+    *     `maxSplitDepth` rounds. A cell still over the cap after the last
+    *     round — or more than `maxSplitCellsPerLevel` oversized cells at
+    *     once — fails LOUDLY with sizing advice BEFORE any quadratic work
+    *     (the sizes pass runs eagerly at build time, never mid-join).
     */
   def semanticDedup(emb: DataFrame, nCells: Int, threshold: Double,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      maxCellRows: Long = 65536L): DataFrame = {
+      maxCellRows: Long = 65536L, maxSplitDepth: Int = 3,
+      maxSplitCellsPerLevel: Int = 64): DataFrame = {
     require(nCells >= 1, s"nCells must be >= 1, got $nCells")
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     require(maxCellRows > 0, s"maxCellRows must be positive, got $maxCellRows")
+    require(maxSplitDepth >= 0, s"maxSplitDepth must be >= 0, got $maxSplitDepth")
     val cents = Similarity.lloyd(
       Similarity.sampleVectors(emb, vecCol), nCells, iters = 10, seed = 42L)
     val flat = cents.flatMap(_.toSeq).toSeq
-    val cells = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val all = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.norm(col(vecCol)).as("nrm"),
       element_at(graft.functions.GraftFunctions.pqCodes(
-        col(vecCol), 1, nCells, flat), 1).as("cell"))
-    // Whale-cell guard (r5 VERDICT): the within-cell self-join is
-    // quadratic in cell size BY DESIGN (SemDeDup's accepted cost with
-    // cells kept ~constant-size), and all of one cell's pairs land on ONE
-    // join key — a skewed embedding space (e.g. an all-near-dup corpus)
-    // that funnels the corpus into one cell would quietly turn the join
-    // into a week-long task at scale. Same loud-guard convention as
-    // binnedRangeJoin's fanout guard: the assert rides INSIDE the join key
-    // (a standalone column would be pruned as dead code), so an oversized
-    // cell fails the job naming the cell, its size, and the sizing fix
-    // before the quadratic work starts.
-    val sizes = cells.groupBy("cell").agg(count(lit(1)).as("_cell_n"))
-    val cellOk = col("_cell_n") <= lit(maxCellRows)
-    val cellErr = concat(
-      lit("semanticDedup: cell "), col("cell").cast("string"),
-      lit(" holds "), col("_cell_n").cast("string"),
-      lit(s" vectors (cap $maxCellRows) — the within-cell pair join is " +
-        "quadratic in cell size. Raise nCells so cells stay bounded as " +
-        "the corpus grows (the paper's recipe), or raise maxCellRows " +
-        "knowingly."))
-    val guarded = cells.join(broadcast(sizes), Seq("cell"))
-      .withColumn("_gcell",
-        col("cell") + coalesce(assert_true(cellOk, cellErr).cast("int"), lit(0)))
-    val pairs = guarded.as("a").join(cells.as("b"),
-        col("a._gcell") === col("b.cell") && col("a.id") < col("b.id"))
+        col(vecCol), 1, nCells, flat), 1).cast("string").as("cell"))
+    // Exact-vector collapse: min-id representative per identical vector
+    // group (the whale-safe min-agg + join shape, like exactDedup).
+    val repAgg = all.filter(col("nrm") > 0)
+      .groupBy("v").agg(min(col("id")).as("_rep"))
+    // localCheckpoint: consumed three times (reps, the rep→copy edges,
+    // the final labeling join) — cut the collapse shuffle's lineage so it
+    // runs once, not once per consumer.
+    val tagged = all.join(repAgg, Seq("v"), "left")
+      .withColumn("_rep", coalesce(col("_rep"), col("id")))
+      .localCheckpoint()
+    var reps = tagged.filter(col("id") === col("_rep"))
+      .select("id", "v", "nrm", "cell")
+    // Recursive split of oversized cells. The per-level size check is a
+    // driver-side aggregate collect (bounded: one row per live cell), so
+    // oversized cells are discovered — and either split or refused —
+    // BEFORE the quadratic pair join is even planned.
+    def oversizedCells(r: DataFrame): Array[(String, Long)] =
+      r.groupBy("cell").agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > maxCellRows)
+        .collect().map(x => (x.getString(0), x.getLong(1)))
+    var over = oversizedCells(reps)
+    var depth = 0
+    while (over.nonEmpty && depth < maxSplitDepth) {
+      require(over.length <= maxSplitCellsPerLevel,
+        s"semanticDedup: ${over.length} cells exceed $maxCellRows distinct " +
+          s"vectors at split depth $depth (cap $maxSplitCellsPerLevel " +
+          "cells per level) — the embedding space is too skewed for this " +
+          "nCells; raise nCells so the coarse pass spreads the corpus.")
+      val splits = over.map { case (cellId, n) =>
+        val cellDf = reps.filter(col("cell") === cellId)
+        val subK = math.max(2, math.min(64,
+          math.ceil(2.0 * n / maxCellRows).toInt))
+        val subCents = Similarity.lloyd(
+          Similarity.sampleVectors(cellDf, "v"), subK, iters = 10,
+          seed = 42L + depth)
+        (cellId, subK, subCents.flatMap(_.toSeq).toSeq)
+      }
+      val reassigned = splits.foldLeft(col("cell")) {
+        case (acc, (cellId, subK, flatSub)) =>
+          when(col("cell") === cellId,
+            concat(col("cell"), lit("/"),
+              element_at(graft.functions.GraftFunctions.pqCodes(
+                col("v"), 1, subK, flatSub), 1).cast("string")))
+            .otherwise(acc)
+      }
+      // localCheckpoint: each level re-scans reps for sizes + samples, and
+      // the when-chain would otherwise re-derive the whole split lineage
+      reps = reps.withColumn("cell", reassigned).localCheckpoint()
+      depth += 1
+      over = oversizedCells(reps)
+    }
+    require(over.isEmpty, {
+      val (cellId, n) = over.maxBy(_._2)
+      s"semanticDedup: cell $cellId still holds $n DISTINCT vectors " +
+        s"(cap $maxCellRows) after $maxSplitDepth recursive splits — the " +
+        "within-cell pair join is quadratic in cell size. Raise nCells / " +
+        "maxSplitDepth so cells stay bounded as the corpus grows (the " +
+        "paper's recipe), or raise maxCellRows knowingly."
+    })
+    // Quadratic stage over DISTINCT vectors only, per LEAF cell.
+    val pairs = reps.as("a").join(reps.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .withColumn("cosine",
         Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val comps = connectedComponents(pairs)
-    cells.select(col("id").as(idCol), col("cell"))
+    // Copies attach linearly: rep → copy (cosine 1 by identity).
+    val identEdges = tagged.filter(col("id") =!= col("_rep"))
+      .select(col("_rep").as("id_a"), col("id").as("id_b"))
+    val comps = connectedComponents(pairs.unionByName(identEdges))
+    val leaf = reps.select(col("id").as("_rep"), col("cell").as("_leafcell"))
+    tagged.select(col("id").as(idCol), col("_rep"))
+      .join(leaf, Seq("_rep"))
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .select(col(idCol), col("cell"),
+      .select(col(idCol), col("_leafcell").as("cell"),
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
       .withColumn("kept", col(idCol) === col("cluster_id"))
   }

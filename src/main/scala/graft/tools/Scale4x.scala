@@ -157,21 +157,28 @@ object Scale4x {
       // semanticDedup under the same skew: K-Means splits the jitter cloud
       // into balanced cells, but EVERY within-cell pair clears any
       // realistic threshold — the work AND output are quadratic by
-      // construction. The whale-cell guard exists for exactly this corpus:
-      // show it trips at a bounded cap, and measure a bounded slice with
-      // the cap raised (aggregate-don't-enumerate is the escape hatch,
-      // same as the alldup dedup ladder).
+      // construction. Round 7: an oversized cell now SPLITS recursively
+      // (sample-trained sub-quantizer per whale cell) instead of
+      // refusing, so the capped run COMPLETES on the skewed corpus;
+      // measure it against the uncapped single-cell form, and keep the
+      // depth-exhausted refusal visible (maxSplitDepth = 0 replays the
+      // r6 guard).
       val sk1 = spark.read.parquet(s"$base/embsk1s")
       val sk16 = spark.read.parquet(s"$base/embsk16s")
+      val tSplit = time(graft.ops.Dedup.semanticDedup(sk16, nCells = 4,
+        threshold = 0.9, maxCellRows = 1000L, maxSplitDepth = 6)
+        .queryExecution.toRdd.count())
       val guardMsg = try {
         graft.ops.Dedup.semanticDedup(sk16, nCells = 4, threshold = 0.9,
-          maxCellRows = 1000L).queryExecution.toRdd.count()
-        "did NOT trip (unexpected)"
-      } catch { case e: Throwable => "REFUSED loudly (whale-cell guard)" }
+          maxCellRows = 1000L, maxSplitDepth = 0)
+          .queryExecution.toRdd.count()
+        "depth-0 guard did NOT trip (unexpected)"
+      } catch { case e: Throwable => "depth-0 still REFUSES loudly" }
       val t1 = time(graft.ops.Dedup.semanticDedup(sk1, nCells = 4,
         threshold = 0.9, maxCellRows = Long.MaxValue)
         .queryExecution.toRdd.count())
-      println(f"| semanticDedup (skew, cap raised) | - | $t1%.2fs | - | $guardMsg at cap 1000 |")
+      println(f"| semanticDedup (skew, cap raised) | - | $t1%.2fs | - " +
+        f"| split-recovery at cap 1000: $tSplit%.2fs; $guardMsg |")
       spark.stop()
       return
     }

@@ -365,7 +365,7 @@ class DedupSpec extends SparkSpec {
       (21L, Array(0.2f, -0.9f, 0.7f, 0.1f))
     ).toDF("vec_id", "embedding")
     val res = Dedup.semanticDedup(vecs, nCells = 3, threshold = 0.999)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
         r.getBoolean(3))) // (id, cell, cluster, kept)
     assert(res.length === 7)
     val byId = res.map(r => r._1 -> r).toMap
@@ -385,25 +385,69 @@ class DedupSpec extends SparkSpec {
     assert(byId(10L)._2 === byId(11L)._2)
   }
 
-  test("semantic dedup: a whale cell fails loudly before the quadratic join (r5 VERDICT)") {
+  test("semantic dedup: a whale cell SPLITS recursively instead of refusing (r6 VERDICT)") {
     // Adversarially-skewed embedding space: every vector is a near-dup of
     // one direction, so K-Means puts (almost) the whole corpus in ONE cell
     // — the shape that silently turns the within-cell self-join quadratic.
+    // Round 7: the oversized cell re-runs the sample-trained quantizer
+    // inside itself (bounded depth) and the run COMPLETES without tuning.
     val rnd = new scala.util.Random(11)
     val whale = (0 until 200).map { i =>
       (i.toLong, Array.fill(4)(1.0f + (rnd.nextFloat() - 0.5f) * 0.01f))
     }.toDF("vec_id", "embedding")
+    val res = Dedup.semanticDedup(whale, nCells = 4, threshold = 0.9,
+      maxCellRows = 50L).collect()
+    assert(res.length === 200)
+    // the split really happened: leaf cells are path-extended and bounded
+    val cellSizes = res.groupBy(_.getString(1)).view.mapValues(_.size)
+    assert(cellSizes.values.max <= 50, cellSizes.toMap.toString)
+    assert(res.exists(_.getString(1).contains("/")), "no cell was split")
+    // depth exhausted still refuses loudly (the old guard, now the
+    // escalation backstop)
     val e = intercept[Exception] {
       Dedup.semanticDedup(whale, nCells = 4, threshold = 0.9,
-        maxCellRows = 50L).collect()
+        maxCellRows = 50L, maxSplitDepth = 0).collect()
     }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("semanticDedup: cell")),
       s"expected the whale-cell guard, got: ${msgs(e).mkString(" | ")}")
-    // a cap the cells fit under still runs to completion
-    assert(Dedup.semanticDedup(whale, nCells = 4, threshold = 0.9,
-      maxCellRows = 200L).count() === 200L)
+  }
+
+  test("semantic dedup: one cell holding 50% of the corpus passes end-to-end (r6 VERDICT item 3)") {
+    // The VERDICT's adversarial shape: half the corpus is ONE dense
+    // near-dup cluster (tight jitter around one direction), half is
+    // spread. No parameter tuning: default-shaped call with a small cap.
+    // Also mixes in byte-identical copies — the truly unsplittable whale
+    // — which must collapse linearly, never defeat the splitter.
+    val rnd = new scala.util.Random(23)
+    val dense = (0 until 300).map { i =>
+      (i.toLong, Array.fill(8)(1.0f + (rnd.nextFloat() - 0.5f) * 0.005f))
+    }
+    val copies = (300 until 400).map(i => (i.toLong, dense(0)._2)) // identical
+    val spread = (400 until 600).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+    }
+    val df = (dense ++ copies ++ spread).toDF("vec_id", "embedding")
+    val res = Dedup.semanticDedup(df, nCells = 4, threshold = 0.95,
+      maxCellRows = 64L).collect()
+    assert(res.length === 600)
+    // identical copies all land in vec 0's cluster and are dropped
+    val byId = res.map(r => r.getLong(0) -> r).toMap
+    (300L until 400L).foreach { i =>
+      assert(byId(i).getLong(2) === byId(0L).getLong(2), s"copy $i cluster")
+      assert(!byId(i).getBoolean(3), s"copy $i kept")
+    }
+    // exactly one kept per cluster; leaf cells bounded by the cap
+    res.groupBy(_.getLong(2)).foreach { case (c, ms) =>
+      assert(ms.count(_.getBoolean(3)) === 1, s"cluster $c")
+    }
+    // distinct vectors per leaf cell respect the cap (copies collapse, so
+    // count distinct embeddings, not rows)
+    res.groupBy(_.getString(1)).foreach { case (cell, ms) =>
+      val distinctIds = ms.map(_.getLong(0)).filter(i => i < 300 || i >= 400)
+      assert(distinctIds.size <= 64, s"leaf $cell holds ${distinctIds.size}")
+    }
   }
 
   test("bloomDedup: sketch sizing guard + sidecar-driven expectedItems") {
@@ -448,7 +492,7 @@ class DedupSpec extends SparkSpec {
       val df = base.zipWithIndex.map { case (v, i) => (i.toLong, v) }
         .toSeq.toDF("vec_id", "embedding")
       val res = Dedup.semanticDedup(df, nCells = 4, threshold = thr)
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
           r.getBoolean(3)))
       assert(res.length === n)
 
