@@ -90,6 +90,16 @@ object SparkEntry {
         .write.option("header", "true").mode("overwrite").csv(p)
       p
     }
+    /** Legacy-format v1 package written from the trail frame — the
+      * read-back fixture for t_tdb_read (same memo rationale: the package
+      * is a pure function of the sf dir; repeats time the READ). */
+    def tdbPackage(s: SparkSession, dir: String): String = memo(s"tdb:$dir") {
+      val p = java.nio.file.Files.createTempDirectory("graft-fix")
+        .resolve("pkg.tdb").toString
+      graft.sources.TdbWriter.writePackage(
+        trails(s, dir).df, Seq("event_type", "props"), p)
+      p
+    }
     def jsonlDump(s: SparkSession, dir: String): String = memo(s"jsonl:$dir") {
       val p = java.nio.file.Files.createTempDirectory("graft-fix")
         .resolve("jsonl").toString
@@ -295,6 +305,31 @@ object SparkEntry {
       val db = Fixtures.db(s, dir)
       db.scan().select("uuid", "time", "event_type", "props", "seq")
     }),
+
+    // Legacy .tdb read path (round 7, SURVEY §7.3's "only genuinely hard
+    // piece"): write the trail frame as a format-v1 single-file package
+    // (tar members, literal-only bit streams, LE-u128-ordered uuid index
+    // — sources/TdbWriter.scala) and read it back through the
+    // DataSourceV2 reader (sources/TdbDataSource.scala: seek-based
+    // trail-range partitions, uuid pushdown, column pruning). The oracle
+    // recomputes the same rows from events.parquet — proving decode
+    // (edge-encoding reconstruction, lexicon lookup, delta timestamps)
+    // round-trips the corpus exactly. Empty strings read back as NULL
+    // (the reference's value-id-0 convention, src/tdb.c:520-523).
+    "t_tdb_read" -> ((s, dir) => {
+      s.read.format("tdb").load(Fixtures.tdbPackage(s, dir))
+        .select(col("uuid"), col("time"), col("event_type"), col("props"))
+        .orderBy("uuid", "time", "event_type", "props")
+    }),
+
+    // Decode of the REFERENCE's own in-tree fixture (test.tdb ships with
+    // the reference repo): real Huffman codebook, bigram symbols, tar
+    // package — the oracle pins the two known events as literals.
+    "t_tdb_fixture" -> ((s, dir) =>
+      s.read.format("tdb").load("/root/reference/test.tdb")
+        .select(col("uuid"), col("time"),
+          col("first_field"), col("second_field"))
+        .orderBy("uuid")),
 
     // S4: CSV ingest round-trip — dump trails to CSV, re-ingest through
     // the cons (column mapping + header), compare against the oracle.
@@ -1658,6 +1693,22 @@ object SparkEntry {
       s"""$TrailsCte
          |SELECT uuid, time, event_type, props, seq
          |FROM trails ORDER BY uuid, time, seq""".stripMargin,
+
+    "t_tdb_read" ->
+      s"""$TrailsCte
+         |SELECT uuid, time, nullif(event_type, '') AS event_type,
+         |       nullif(props, '') AS props
+         |FROM trails
+         |ORDER BY uuid, time, event_type, props""".stripMargin,
+
+    "t_tdb_fixture" ->
+      """SELECT * FROM (VALUES
+        |  ('10000000000000000000000000000000', CAST(1463696903 AS BIGINT),
+        |   'hello', 'world'),
+        |  ('20000000000000000000000000000000', CAST(1463696952 AS BIGINT),
+        |   'it', 'works!'))
+        |  AS t(uuid, time, first_field, second_field)
+        |ORDER BY uuid""".stripMargin,
 
     "t_csv_roundtrip" ->
       s"""$TrailsCte

@@ -46,7 +46,7 @@ object Main {
     * has separate long_options tables per op for exactly this reason). */
   private val valueFlags: Map[String, Set[String]] = Map(
     "make"  -> Set("-o", "-c", "-j", "-f", "--delimiter", "--uuid-col",
-      "--time-col", "--uuids"),
+      "--time-col", "--uuids", "--package"),
     "dump"  -> Set("-i", "-F", "-o", "--fields", "--uuids", "--delimiter", "--index"),
     "merge" -> Set("-o", "-i", "-F", "--uuids"),
     "index" -> Set("-i", "-o")
@@ -193,6 +193,14 @@ object Main {
         uuidReport.foreach { case (entries, valid) =>
           reportUuids(entries, valid, db.numTrails) }
         println(s"[make] wrote ${db.numEvents} events / ${db.numTrails} trails to $out")
+        // S2: single-file package — a format-v1 tar the REFERENCE engine
+        // can open (src/tdb_cons_package.c's layout), for shipping samples
+        // as one artifact. The parquet dir stays the scale layout; the
+        // package is an additional bounded export.
+        one("--package").foreach { pkg =>
+          graft.sources.TdbWriter.writePackage(db.df, db.fields, pkg)
+          println(s"[make] packaged $out as $pkg")
+        }
 
       case "dump" =>
         val in = one("-i").getOrElse(throw GraftError.BadArgs("dump: -i DB required"))

@@ -300,9 +300,31 @@ object TrailDB {
     * explicitly for sidecar-less dirs. */
   def open(spark: SparkSession, path: String,
       bucketSeconds: Option[Long] = None): TrailDB = {
+    // A legacy-format db (single-file tar package, or a directory of
+    // reference members) opens through the `tdb` DataSourceV2 reader and
+    // presents the same trail frame as a native parquet db — a reference
+    // user's existing .tdb files are first-class CLI/API inputs
+    // (round 7; reference: tdb_open dispatches the same way on file vs
+    // dir, src/tdb.c:330-341).
+    if (isLegacyTdb(path)) {
+      val df = spark.read.format("tdb").load(path)
+      return fromTrailFrame(df)
+    }
     val info = TrailInfo.read(spark, path)
     new TrailDB(spark, spark.read.parquet(path), None,
       bucketSeconds.orElse(info.flatMap(_.bucketSeconds)), info, Some(path))
+  }
+
+  /** A path is a legacy tdb iff it is a regular FILE (parquet dbs are
+    * directories) or a directory holding the reference's `info`+`fields`
+    * members instead of parquet. */
+  private def isLegacyTdb(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(p)) false
+    else if (fs.getFileStatus(p).isFile) true
+    else fs.exists(new org.apache.hadoop.fs.Path(p, "info")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(p, "fields"))
   }
 
   /** Open a bucketed catalog table written by

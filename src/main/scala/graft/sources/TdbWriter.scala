@@ -1,0 +1,306 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Single-file `.tdb` PACKAGE writer (SURVEY §2 S2) — emits a format-v1
+  * tar the REFERENCE engine can open (`tdb_open` on a non-directory path,
+  * src/tdb.c:330-341; member layout src/tdb_cons_package.c:24-34 with
+  * `tar.toc` pinned at byte 2560, src/tdb_package.h:11). This is the
+  * sample/interchange artifact ("ship one file"), NOT the 100 TB storage
+  * path — that is the Parquet trail layout. The writer is driver-side by
+  * design: a package is a bounded export (the reference tutorial ships a
+  * single 103 MB file), and the hard cap is the tar size-field limit
+  * anyway.
+  *
+  * Encoding: LITERAL-ONLY v1 streams — every gram is written as a flag-0
+  * literal `[0][field id][value]` (src/tdb_huffman.h:77-87's decode path),
+  * with proper edge encoding (only items whose value CHANGED since the
+  * trail's previous event are emitted, timestamps as deltas —
+  * src/tdb_encode.c:108-125, 164-190). The Huffman codebook member is the
+  * all-zero table: a literal-only stream never sets the Huffman flag bit,
+  * so the table is never consulted — a degenerate but fully VALID v1
+  * encoding (the reference's own encoder writes literals for every gram
+  * outside its codemap). Size costs ~2× vs Huffman on repetitive data;
+  * interchange compatibility is exact.
+  *
+  * Conventions matched to the reference:
+  *  - trails ordered by uuid as little-endian u128 (v1's binary-search
+  *    index contract, src/tdb.c:552-585)
+  *  - events within a trail ordered by time (ties by seq for determinism;
+  *    the reference's qsort is unstable on ties, src/tdb_encode.c:106)
+  *  - NULL and empty-string values both encode as value id 0 (NULL)
+  *  - lexicon ids assigned in lexicographic value order (the reference
+  *    uses insertion order; any consistent order is format-valid)
+  */
+object TdbWriter {
+
+  def writePackage(df: DataFrame, fieldNames: Seq[String], out: String): Unit = {
+    import graft.core.TrailSchema.{SeqCol, TimeCol, UuidCol}
+
+    // byte-reversed hex = sort key whose string order equals the
+    // LITTLE-ENDIAN u128 order of the raw uuid bytes (hex pairs swap as
+    // whole bytes; lowercase hex compares numerically)
+    val leKey = concat((0 until 16).reverse.map(i =>
+      substring(col(UuidCol), i * 2 + 1, 2)): _*)
+    val sortable = df.select(
+      (col(UuidCol) +: col(TimeCol) +:
+        (if (df.columns.contains(SeqCol)) col(SeqCol) else lit(0L).as(SeqCol)) +:
+        fieldNames.map(f => col(f).cast("string"))): _*)
+      .withColumn("_le", leKey)
+      .orderBy(col("_le"), col(TimeCol), col(SeqCol))
+
+    // lexicons: distinct non-null non-empty values per field, sorted
+    val lexicons: Array[Array[String]] = fieldNames.map { f =>
+      df.select(col(f).cast("string").as("v"))
+        .filter(col("v").isNotNull && col("v") =!= "")
+        .distinct().orderBy("v").collect().map(_.getString(0))
+    }.toArray
+    val valId: Array[Map[String, Long]] = lexicons.map(
+      _.zipWithIndex.map { case (v, i) => v -> (i + 1L) }.toMap)
+
+    // pass 1 (streaming): min/max timestamp, max delta, trail/event counts
+    var numEvents = 0L
+    var minTs = Long.MaxValue
+    var maxTs = Long.MinValue
+    var maxDelta = 0L
+    var numTrails = 0L
+    locally {
+      var curUuid: String = null
+      val it = sortable.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        val ts = r.getLong(1)
+        numEvents += 1
+        if (ts < minTs) minTs = ts
+        if (ts > maxTs) maxTs = ts
+        if (r.getString(0) != curUuid) { curUuid = r.getString(0); numTrails += 1 }
+      }
+    }
+    if (numEvents == 0) { minTs = 0L; maxTs = 0L }
+    // max delta needs a second bounded pass with per-trail state
+    locally {
+      var curUuid: String = null
+      var prevTs = 0L
+      val it = sortable.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        val uuid = r.getString(0); val ts = r.getLong(1)
+        val delta = if (uuid == curUuid) ts - prevTs else ts - minTs
+        if (delta > maxDelta) maxDelta = delta
+        curUuid = uuid; prevTs = ts
+      }
+    }
+    require(maxDelta < (1L << 47) && minTs < (1L << 47),
+      s"tdb package: timestamp delta $maxDelta / min $minTs exceeds the " +
+        "47-bit timestamp-item budget (src/tdb_types.h:36-38)")
+
+    val numFields = fieldNames.length + 1
+    val fieldIdBits = TdbFormat.bitsNeeded(numFields.toLong)
+    val fieldBits = new Array[Int](numFields)
+    fieldBits(0) = TdbFormat.bitsNeeded(maxDelta)
+    fieldNames.indices.foreach(i =>
+      fieldBits(i + 1) = TdbFormat.bitsNeeded(lexicons(i).length.toLong))
+
+    // pass 2 (streaming): encode trails
+    val dataBuf = new ByteArrayOutputStream()
+    val tocBuf = scala.collection.mutable.ArrayBuffer[Long]()
+    val uuidBuf = new ByteArrayOutputStream()
+    locally {
+      val enc = new BitWriter
+      var curUuid: String = null
+      var prevTs = 0L
+      val prevVals = new Array[Long](numFields)
+      def flushTrail(): Unit = if (curUuid != null) {
+        tocBuf += dataBuf.size().toLong
+        dataBuf.write(enc.finish())
+        uuidBuf.write(TdbFormat.hexToBytes(curUuid))
+      }
+      val it = sortable.toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        val uuid = r.getString(0); val ts = r.getLong(1)
+        if (uuid != curUuid) {
+          flushTrail()
+          curUuid = uuid; prevTs = minTs
+          java.util.Arrays.fill(prevVals, 0L)
+          enc.reset()
+        }
+        enc.literal(0, ts - prevTs, fieldIdBits, fieldBits)
+        prevTs = ts
+        var f = 0
+        while (f < fieldNames.length) {
+          val s = r.getString(3 + f)
+          val v = if (s == null || s.isEmpty) 0L else valId(f)(s)
+          if (v != prevVals(f + 1)) {
+            enc.literal(f + 1, v, fieldIdBits, fieldBits)
+            prevVals(f + 1) = v
+          }
+          f += 1
+        }
+      }
+      flushTrail()
+    }
+    tocBuf += dataBuf.size().toLong
+    dataBuf.write(new Array[Byte](8)) // the 7-byte overread guarantee
+                                      // (src/tdb_encode.c:352-355)
+
+    // ---- assemble members ----
+    val infoBytes = s"$numTrails $numEvents $minTs $maxTs $maxDelta\n"
+      .getBytes(StandardCharsets.UTF_8)
+    val fieldsBytes = (fieldNames.mkString("\n") +
+      (if (fieldNames.nonEmpty) "\n\n" else "\n"))
+      .getBytes(StandardCharsets.UTF_8)
+    val tocWidth = if (dataBuf.size() < 0xffffffffL) 4 else 8
+    val tocBytes = {
+      val b = java.nio.ByteBuffer.allocate(tocBuf.length * tocWidth)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      tocBuf.foreach(o => if (tocWidth == 4) b.putInt(o.toInt) else b.putLong(o))
+      b.array()
+    }
+    val lexBytes: Seq[Array[Byte]] = lexicons.toSeq.map { values =>
+      val data = values.map(_.getBytes(StandardCharsets.UTF_8))
+      val headerLen = 4 + (values.length + 1) * 4
+      val total = headerLen + data.map(_.length).sum
+      require(total <= 0xffffffffL, "tdb package: >4 GiB lexicon unsupported")
+      val b = java.nio.ByteBuffer.allocate(total)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(values.length)
+      var off = headerLen
+      data.foreach { d => b.putInt(off); off += d.length }
+      b.putInt(off)
+      data.foreach(b.put)
+      b.array()
+    }
+    val members: Seq[(String, Array[Byte])] =
+      Seq("version" -> "1".getBytes(StandardCharsets.UTF_8),
+        "info" -> infoBytes) ++
+      // tar.toc placeholder replaced below once offsets are known
+      Seq("tar.toc" -> Array.empty[Byte]) ++
+      fieldNames.zip(lexBytes).map { case (f, b) => s"lexicon.$f" -> b } ++
+      Seq("fields" -> fieldsBytes,
+        "trails.codebook" -> new Array[Byte](65536 * 20),
+        "trails.toc" -> tocBytes,
+        "trails.data" -> dataBuf.toByteArray,
+        "uuids" -> uuidBuf.toByteArray)
+
+    // reference-style max-size preallocation for tar.toc
+    // (src/tdb_cons_package.c:166-199: name lengths + 43 bytes per line)
+    val tocMax = members.map(_._1.length + 43).sum +
+      "TAR TOC FOR TDB VER 1\n".length + 1
+    val withToc = members.map {
+      case ("tar.toc", _) => ("tar.toc", new Array[Byte](tocMax))
+      case m => m
+    }
+    // data offsets are deterministic: headers at 512-byte boundaries
+    var off = 0L
+    val offsets = withToc.map { case (name, bytes) =>
+      val dataOff = off + 512
+      off = dataOff + ((bytes.length + 511L) / 512L) * 512L
+      (name, dataOff, bytes.length.toLong)
+    }
+    require(offsets.find(_._1 == "tar.toc").get._2 == 2560L,
+      "tdb package: tar.toc must land at byte 2560 (src/tdb_package.h:11)")
+    val tocContent = ("TAR TOC FOR TDB VER 1\n" +
+      offsets.map { case (n, o, s) => s"$n $o $s\n" }.mkString + "\n")
+      .getBytes(StandardCharsets.UTF_8)
+    require(tocContent.length <= tocMax, "tar.toc overflow")
+    val finalMembers = withToc.map {
+      case ("tar.toc", pad) =>
+        ("tar.toc", tocContent ++ new Array[Byte](pad.length - tocContent.length))
+      case m => m
+    }
+
+    // ---- write the tar ----
+    val p = new HPath(out)
+    val os = p.getFileSystem(new Configuration()).create(p, true)
+    try {
+      finalMembers.foreach { case (name, bytes) =>
+        os.write(tarHeader(name, bytes.length.toLong))
+        os.write(bytes)
+        val rem = (512 - (bytes.length % 512)) % 512
+        if (rem > 0) os.write(new Array[Byte](rem))
+      }
+      os.write(new Array[Byte](1024)) // end-of-archive blocks
+    } finally os.close()
+  }
+
+  /** Minimal ustar header, field layout per the POSIX spec; magic matches
+    * the reference packages' "ustar  \0" (old GNU) so headers byte-compare
+    * with libarchive's output for the fields that matter. */
+  private def tarHeader(name: String, size: Long): Array[Byte] = {
+    require(name.length < 100, s"tar member name too long: $name")
+    require(size < (1L << 33), s"tar member $name too large: $size")
+    val h = new Array[Byte](512)
+    def put(off: Int, s: String): Unit = {
+      val b = s.getBytes(StandardCharsets.US_ASCII)
+      System.arraycopy(b, 0, h, off, b.length)
+    }
+    put(0, name)
+    put(100, "0000644")
+    put(108, "0000000")
+    put(116, "0000000")
+    put(124, f"$size%011o")
+    put(136, "00000000000")
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // checksum spaces
+    h(156) = '0'
+    put(257, "ustar  ")
+    val sum = h.foldLeft(0)((a, b) => a + (b & 0xff))
+    put(148, f"$sum%06o")
+    h(154) = 0
+    h(155) = ' '
+    h
+  }
+
+  /** Little-endian bit stream with the 3-bit length residual header
+    * (src/tdb_encode.c:280-343). */
+  private final class BitWriter {
+    private var buf = new Array[Byte](256)
+    private var offs = 3L // reserve the residual header
+
+    def reset(): Unit = { buf = new Array[Byte](256); offs = 3L }
+
+    private def ensure(bytes: Int): Unit =
+      if (bytes > buf.length) buf = java.util.Arrays.copyOf(buf, bytes * 2)
+
+    private def writeBits(value: Long, bits: Int): Unit = {
+      ensure(((offs + bits) / 8).toInt + 9)
+      var v = value
+      var rem = bits
+      var o = offs
+      while (rem > 0) {
+        val byteIx = (o >>> 3).toInt
+        val bitIx = (o & 7).toInt
+        val take = math.min(8 - bitIx, rem)
+        buf(byteIx) = (buf(byteIx) | (((v & ((1L << take) - 1)) << bitIx))).toByte
+        v >>>= take
+        o += take
+        rem -= take
+      }
+      offs = o
+    }
+
+    /** One literal gram: [0][field: fieldIdBits][value: fieldBits(field)]
+      * (the flag-0 branch of src/tdb_huffman.h:77-87). */
+    def literal(field: Int, value: Long, fieldIdBits: Int,
+        fieldBits: Array[Int]): Unit = {
+      writeBits(0L, 1)
+      writeBits(field.toLong, fieldIdBits)
+      writeBits(value, fieldBits(field))
+    }
+
+    /** Close the trail: write the unused-bit residual into the first 3
+      * bits and return the trimmed bytes. */
+    def finish(): Array[Byte] = {
+      val trailBytes = ((offs + 7) / 8).toInt
+      val residual = 8L * trailBytes - offs
+      buf(0) = (buf(0) | residual).toByte
+      java.util.Arrays.copyOf(buf, trailBytes)
+    }
+  }
+}
