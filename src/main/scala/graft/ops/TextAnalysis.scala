@@ -388,6 +388,18 @@ object TextAnalysis {
     */
   def takePerStratum(df: DataFrame, n: Int, strataCol: String = "lang",
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val keep = stratumQuota(df, n, strataCol, idCol, textCol)
+      .select(col("keep_id").as("_keep_id"))
+    df.join(keep, col(idCol) === col("_keep_id"), "left_semi")
+  }
+
+  /** The per-stratum quota DECISION — (stratum, keep_id) — as a single
+    * mergeable grouped aggregate, shared verbatim by [[takePerStratum]]
+    * (which semi-joins the kept rows back) and the streaming twin
+    * [[graft.streaming.StreamSessions.streamingStratumQuota]]: the two
+    * paths agree by construction, not by parallel implementations. */
+  def stratumQuota(df: DataFrame, n: Int, strataCol: String = "lang",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
     graft.ops.Sketch.requireIntegralId(df.schema, idCol, "takePerStratum")
     val mk = udaf(graft.ops.Sketch.MinKLex(n))
@@ -395,12 +407,11 @@ object TextAnalysis {
     // window form ranked FIRST (ASC NULLS FIRST) — "" replicates that
     // exactly ("" < any hex digest; a real md5 is never empty) instead of
     // NPE-ing String.compareTo inside the aggregator.
-    val keep = df.groupBy(col(strataCol))
+    df.groupBy(col(strataCol))
       .agg(mk(coalesce(md5(col(textCol).cast("binary")), lit("")),
         col(idCol).cast("long")).as("mk"))
-      .select(explode(col("mk")).as("e"))
-      .select(col("e._2").as("_keep_id"))
-    df.join(keep, col(idCol) === col("_keep_id"), "left_semi")
+      .select(col(strataCol), explode(col("mk")).as("e"))
+      .select(col(strataCol), col("e._2").as("keep_id"))
   }
 
   /** Per-group quality cap — the C4/RefinedWeb per-domain quota: keep at
@@ -423,15 +434,27 @@ object TextAnalysis {
   def capPerGroup(df: DataFrame, maxPerGroup: Int,
       groupCol: String = "source", scoreCol: Column = col("n_chars"),
       idCol: String = "doc_id"): DataFrame = {
+    val keep = capQuota(df, maxPerGroup, groupCol, scoreCol, idCol)
+      .select(col("keep_id").as("_keep_id"), col("cap_rank"))
+    df.join(keep, col(idCol) === col("_keep_id")).drop("_keep_id")
+  }
+
+  /** The per-group cap DECISION — (group, keep_id, cap_rank) — as a single
+    * mergeable grouped aggregate, shared verbatim by [[capPerGroup]] (which
+    * joins the kept rows back) and the streaming twin
+    * [[graft.streaming.StreamSessions.streamingCapQuota]]: the two paths
+    * agree by construction, not by parallel implementations. */
+  def capQuota(df: DataFrame, maxPerGroup: Int,
+      groupCol: String = "source", scoreCol: Column = col("n_chars"),
+      idCol: String = "doc_id"): DataFrame = {
     require(maxPerGroup > 0, s"maxPerGroup must be positive, got $maxPerGroup")
     graft.ops.Sketch.requireIntegralId(df.schema, idCol, "capPerGroup")
     val tk = udaf(graft.ops.Sketch.TopK(maxPerGroup))
-    val keep = df.groupBy(col(groupCol))
+    df.groupBy(col(groupCol))
       .agg(tk(scoreCol.cast("double"), col(idCol).cast("long")).as("tk"))
-      .select(posexplode(col("tk")))
-      .select(col("col").getField("_2").as("_keep_id"),
+      .select(col(groupCol), posexplode(col("tk")))
+      .select(col(groupCol), col("col").getField("_2").as("keep_id"),
         (col("pos") + 1).cast("long").as("cap_rank"))
-    df.join(keep, col(idCol) === col("_keep_id")).drop("_keep_id")
   }
 
   /** Export the corpus as md5-bucketed training shards ON DISK (Hive-style

@@ -365,6 +365,37 @@ object StreamSessions {
           col("_m").getField("_v").getField(c).as(s"asof_$c")): _*)
   }
 
+  /** Streaming twin of [[graft.ops.TextAnalysis.capPerGroup]] — the
+    * per-group quality-cap DECISION (group, keep_id, cap_rank) maintained
+    * as a streaming grouped aggregate. Delegates to the SAME
+    * [[graft.ops.TextAnalysis.capQuota]] plan the batch op joins against,
+    * so stream and batch agree by construction; `Sketch.TopK` being a
+    * mergeable Aggregator is exactly what makes it a legal streaming
+    * aggregation (state per group = ≤maxPerGroup (score, id) pairs, O(1)
+    * per arriving row — never the row stream). Run in `complete`/`update`
+    * output mode; downstream applies the decision per micro-batch
+    * (foreachBatch join) or against the finalized table. */
+  def streamingCapQuota(docs: DataFrame, maxPerGroup: Int,
+      groupCol: String = "source",
+      scoreCol: org.apache.spark.sql.Column = col("n_chars"),
+      idCol: String = "doc_id"): DataFrame =
+    graft.ops.TextAnalysis.capQuota(docs, maxPerGroup, groupCol, scoreCol,
+      idCol)
+
+  /** Streaming twin of [[graft.ops.TextAnalysis.takePerStratum]] — the
+    * exactly-n-per-stratum DECISION (stratum, keep_id) as a streaming
+    * grouped aggregate over the shared
+    * [[graft.ops.TextAnalysis.stratumQuota]] plan. `Sketch.MinKLex` keeps
+    * the n lexicographically-least (md5(text), id) pairs per stratum —
+    * content-derived, so the selection CONVERGES as data streams in (a
+    * later micro-batch can displace an earlier pick, exactly as the batch
+    * op re-run on the grown corpus would) rather than freezing first
+    * arrivals. State per stratum: ≤n pairs. */
+  def streamingStratumQuota(docs: DataFrame, n: Int,
+      strataCol: String = "lang", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.ops.TextAnalysis.stratumQuota(docs, n, strataCol, idCol, textCol)
+
   /** Windowed event-type rates (the generic streaming rollup). */
   def eventRates(events: DataFrame, window: String = "5 minutes",
       watermark: String = "1 hour", typeCol: String = "event_type",

@@ -246,6 +246,82 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming cap quota: per-group decision across micro-batches equals batch capPerGroup") {
+    // Two micro-batches (maxFilesPerTrigger=1); the BEST-scored docs of
+    // the whale group arrive in batch 2, so they must DISPLACE batch-1
+    // picks in the TopK state — the convergence property a
+    // first-arrival cap would fail. Decision compared against the batch
+    // op's decision AND against the applied batch capPerGroup rows.
+    val dir = Files.createTempDirectory("graft-scap")
+    val src = dir.resolve("src").toString
+    val b1 = (1L to 40L).map(i => (i, "whale", (i % 17).toDouble))
+    val b2 = (41L to 60L).map(i => (i, "whale", 100.0 + i)) ++
+      (61L to 70L).map(i => (i, "minnow", i.toDouble))
+    b1.toDF("doc_id", "source", "score").coalesce(1).write.parquet(src)
+    Thread.sleep(1100)
+    b2.toDF("doc_id", "source", "score").coalesce(1)
+      .write.mode("append").parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = StreamSessions.streamingCapQuota(stream, maxPerGroup = 5,
+        groupCol = "source", scoreCol = col("score"))
+      .writeStream.outputMode("complete").format("memory").queryName("scap")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val all = (b1 ++ b2).toDF("doc_id", "source", "score")
+    val streamed = spark.sql("SELECT source, keep_id, cap_rank FROM scap")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batchDecision = graft.ops.TextAnalysis.capQuota(all, 5,
+        groupCol = "source", scoreCol = col("score"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batchDecision)
+    // displacement really happened: every whale keep is a batch-2 doc
+    assert(streamed.filter(_._1 == "whale").forall(_._2 > 40L))
+    // and the applied batch op keeps exactly the decided ids
+    val applied = graft.ops.TextAnalysis.capPerGroup(all, 5,
+        groupCol = "source", scoreCol = col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(applied === streamed.map(_._2))
+  }
+
+  test("streaming stratum quota: exactly-n decision across micro-batches equals batch takePerStratum") {
+    val dir = Files.createTempDirectory("graft-sstrat")
+    val src = dir.resolve("src").toString
+    val b1 = (1L to 30L).map(i => (i, "en", s"alpha document $i"))
+    val b2 = (31L to 60L).map(i => (i, "en", s"beta document $i")) ++
+      (61L to 80L).map(i => (i, "de", s"gamma dokument $i"))
+    b1.toDF("doc_id", "lang", "text").coalesce(1).write.parquet(src)
+    Thread.sleep(1100)
+    b2.toDF("doc_id", "lang", "text").coalesce(1)
+      .write.mode("append").parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = StreamSessions.streamingStratumQuota(stream, n = 4)
+      .writeStream.outputMode("complete").format("memory").queryName("sstrat")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val all = (b1 ++ b2).toDF("doc_id", "lang", "text")
+    val streamed = spark.sql("SELECT lang, keep_id FROM sstrat")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batchKept = graft.ops.TextAnalysis.takePerStratum(all, 4)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    assert(streamed === batchKept)
+    assert(streamed.count(_._1 == "en") === 4)
+    assert(streamed.count(_._1 == "de") === 4)
+    // the md5-least picks span both micro-batches ⇒ the MinKLex state
+    // merged across the boundary rather than freezing batch-1 arrivals
+    val enIds = streamed.filter(_._1 == "en").map(_._2)
+    assert(enIds.exists(_ <= 30L) && enIds.exists(_ > 30L),
+      s"en picks $enIds never crossed the micro-batch boundary — " +
+        "arrange the fixture so the hash-least docs span batches")
+  }
+
   test("pure-projection text ops run unchanged on a stream (quality + PII scrub)") {
     val dir = Files.createTempDirectory("graft-sproj")
     val src = dir.resolve("src").toString
