@@ -183,6 +183,138 @@ object Scale4x {
       return
     }
 
+    if (args.contains("--keyskew")) {
+      // WHALE-KEY axis for the round-6 window→aggregate sweep: the four
+      // text-pipeline operators whose grouping key can be a whale (one
+      // DOMAIN holding half a web corpus, one LANGUAGE stratum, one
+      // near-dup CLUSTER, one boilerplate SPAN) — measured BEFORE (the
+      // per-key `row_number` window each op had before round 6: the whale
+      // key's entire row stream sorts in ONE task) vs AFTER (the shipped
+      // mergeable bounded aggregate + id join). Corpus: documents
+      // replicated 64× (ids shifted; span corpus also per-replica
+      // token-tagged so spans stay distinct across replicas — the
+      // corpus-growth axis, not the alldup axis the --x16 ladder covers);
+      // whale = 50% of all docs reassigned to ONE key, deterministically
+      // by doc_id.
+      import org.apache.spark.sql.expressions.Window
+      val d1 = spark.read.parquet(s"$sfDir/documents.parquet")
+      val nD1 = d1.count()
+      def rep(df: DataFrame, f: Int, tagTokens: Boolean): DataFrame =
+        (0 until f).map { i =>
+          val shifted = df.withColumn("doc_id", col("doc_id") + lit(i * nD1))
+          if (tagTokens && i > 0) shifted.withColumn("text",
+            array_join(transform(split(col("text"), "\\s+"),
+              t => concat(lit(s"r$i"), t)), " "))
+          else shifted
+        }.reduce(_.unionByName(_))
+      // 256× for the grouped-quota ops (1.28M docs, whale partition
+      // 640k full-text rows in ONE window task); 64× for the span
+      // kernel, whose positional explode multiplies rows by ~tokens/doc
+      rep(d1, 256, tagTokens = false)
+        .write.mode("overwrite").parquet(s"$base/ks-docs64")
+      rep(d1, 64, tagTokens = true)
+        .write.mode("overwrite").parquet(s"$base/ks-span64")
+      val d64 = spark.read.parquet(s"$base/ks-docs64")
+      val s64 = spark.read.parquet(s"$base/ks-span64")
+      val whale = pmod(col("doc_id"), lit(2)) === 0
+      def whaleDomain(df: DataFrame) = df.withColumn("source",
+        when(whale, lit("whale.example")).otherwise(col("source")))
+      def whaleLang(df: DataFrame) = df.withColumn("lang",
+        when(whale, lit("xx")).otherwise(col("lang")))
+      // cluster labeling keepBest consumes, synthesized so the ladder
+      // times keepBest itself, not the pair generation: uniform = all
+      // singletons; whale (the `_wc` marker) = ONE near-dup cluster
+      // holding half the corpus
+      def whaleCluster(df: DataFrame) = df.withColumn("_wc", lit(true))
+      def clustersOf(df: DataFrame) =
+        if (df.columns.contains("_wc"))
+          df.select(col("doc_id"),
+            when(whale, lit(-1L)).otherwise(col("doc_id")).as("cluster_id"))
+        else df.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      // one k-token boilerplate sentence appended to half the docs: at
+      // 64× the pure-whale span keys each occur in 32× nD1 documents
+      def whaleSpan(df: DataFrame) = df.withColumn("text",
+        when(whale, concat(col("text"),
+          lit(" w1 w2 w3 w4 w5 w6 w7 w8 w9"))).otherwise(col("text")))
+
+      // BEFORE shapes: the pre-round-6 window forms, inlined verbatim
+      def capWindow(df: DataFrame, n: Int): DataFrame =
+        df.withColumn("cap_rank", row_number().over(
+            Window.partitionBy("source")
+              .orderBy(col("n_chars").cast("double").desc, col("doc_id"))))
+          .filter(col("cap_rank") <= n)
+      def stratumWindow(df: DataFrame, n: Int): DataFrame =
+        df.withColumn("_r", row_number().over(Window.partitionBy("lang")
+            .orderBy(md5(col("text").cast("binary")), col("doc_id"))))
+          .filter(col("_r") <= n).drop("_r")
+      def keepBestWindow(df: DataFrame, clusters: DataFrame): DataFrame = {
+        val labeled = df.join(clusters, Seq("doc_id"))
+        labeled.withColumn("_r", row_number().over(
+            Window.partitionBy("cluster_id")
+              .orderBy(col("n_chars").cast("double").desc_nulls_last,
+                col("doc_id"))))
+          .filter(col("_r") === 1).drop("_r")
+      }
+      // span-scrub KERNEL: the first-occurrence choice over the hashed
+      // positional span table — the only whale-keyed step of
+      // scrubDupSpans; both forms count the non-first occurrences
+      def spanTable(df: DataFrame, k: Int): DataFrame = {
+        val toks = graft.ops.TextAnalysis.tokens(col("text"))
+        df.filter(size(toks) >= k).select(col("doc_id"),
+          posexplode(graft.functions.GraftFunctions
+            .shingleHashesAll(toks, k)).as(Seq("p", "g")))
+      }
+      def spanKernelWindow(df: DataFrame): DataFrame =
+        spanTable(df, 5).withColumn("_r", row_number().over(
+            Window.partitionBy("g").orderBy(col("doc_id"), col("p"))))
+          .filter(col("_r") > 1)
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+      def spanKernelAgg(df: DataFrame): DataFrame = {
+        val spans = spanTable(df, 5)
+        val first = spans.groupBy(col("g"))
+          .agg(min(struct(col("doc_id"), col("p"))).as("_f"))
+        spans.join(first, Seq("g"))
+          .filter(col("doc_id") =!= col("_f.doc_id") || col("p") =!= col("_f.p"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+      }
+
+      println("| operator (form) | uniform 1× | whale 1× | uniform big× | whale big× |")
+      println("(big× = 256× for the quota ops, 64× for the span kernel)")
+      println("|---|---|---|---|---|")
+      // each row: (label, op, whale-transform, span-corpus?) — measured on
+      // op(base), op(whale(base)) at 1× and 64×
+      val rows: Seq[(String, DataFrame => DataFrame,
+          DataFrame => DataFrame, Boolean)] = Seq(
+        ("domain cap (BEFORE: window)",
+          d => capWindow(d, 5), whaleDomain _, false),
+        ("domain cap (AFTER: TopK agg)",
+          d => graft.ops.TextAnalysis.capPerGroup(d, 5,
+            scoreCol = col("n_chars")), whaleDomain _, false),
+        ("eval split (BEFORE: window)",
+          d => stratumWindow(d, 5), whaleLang _, false),
+        ("eval split (AFTER: MinKLex agg)",
+          d => graft.ops.TextAnalysis.takePerStratum(d, 5),
+          whaleLang _, false),
+        ("keep best (BEFORE: window)",
+          d => keepBestWindow(d, clustersOf(d)), whaleCluster _, false),
+        ("keep best (AFTER: min-struct agg)",
+          d => graft.ops.Dedup.keepBest(d, clustersOf(d),
+            col("n_chars").cast("double")), whaleCluster _, false),
+        ("span first-occ (BEFORE: window)",
+          spanKernelWindow _, whaleSpan _, true),
+        ("span first-occ (AFTER: min agg)",
+          spanKernelAgg _, whaleSpan _, true))
+      for ((label, op, wt, spanCorpus) <- rows) {
+        val big = if (spanCorpus) s64 else d64
+        val ts = Seq(d1, wt(d1), big, wt(big))
+          .map(d => time(op(d).queryExecution.toRdd.count()))
+        println(f"| $label | ${ts(0)}%.2fs | ${ts(1)}%.2fs (${ts(1) / ts(0)}%.1f×) " +
+          f"| ${ts(2)}%.2fs | ${ts(3)}%.2fs (${ts(3) / ts(2)}%.1f×) |")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.contains("--skew")) {
       // WHALE-TRAIL axis: per-trail window operators partition by uuid, so
       // one trail holding a large share of all events (bot traffic, a
