@@ -331,6 +331,43 @@ object SparkEntry {
           col("first_field"), col("second_field"))
         .orderBy("uuid")),
 
+    // F2 item pack/unpack (src/tdb_types.h:68-99): the u64 item codec as
+    // pure codegen column expressions, round-tripped over a grid that
+    // covers the 32-bit form, both 64-bit triggers (wide field / wide
+    // value), and the documented limits (field < 2^14, val < 2^40); the
+    // oracle replays the bit arithmetic in DuckDB.
+    "t_item_codec" -> ((s, dir) => {
+      import s.implicits._
+      val fields = Seq(0L, 1L, 127L, 128L, 9999L, (1L << 14) - 2)
+      val vals = Seq(0L, 1L, (1L << 24) - 1, 1L << 24, 1L << 39,
+        (1L << 40) - 2)
+      fields.flatMap(f => vals.map(v => (f, v))).toDF("field", "val_id")
+        .select(col("field"), col("val_id"),
+          graft.sources.TdbItems.makeItem(col("field"), col("val_id"))
+            .as("item"))
+        .withColumn("field_back",
+          graft.sources.TdbItems.itemField(col("item")))
+        .withColumn("val_back", graft.sources.TdbItems.itemVal(col("item")))
+        .withColumn("is32",
+          (col("item").bitwiseAND(lit(128L)) === 0L).cast("long"))
+        .orderBy("field", "val_id")
+    }),
+
+    // F3 value↔item translation (tdb_get_item_value / tdb_get_item,
+    // src/tdb.c:488-542): the event_type lexicon of a legacy package as a
+    // DataFrame, each value id packed into its item (ofield 1) and
+    // unpacked back — item→string is a broadcastable lexicon join. The
+    // oracle rebuilds the lexicon from raw data (ids are lexicographic by
+    // the v1 writer's contract, TdbWriter.scala:38).
+    "t_item_value" -> ((s, dir) => {
+      val lex = graft.sources.TdbItems.lexiconDf(
+        s, Fixtures.tdbPackage(s, dir), "event_type")
+      lex.select(col("val_id"), col("value"),
+          graft.sources.TdbItems.makeItem(lit(1L), col("val_id")).as("item"))
+        .withColumn("val_back", graft.sources.TdbItems.itemVal(col("item")))
+        .orderBy("val_id")
+    }),
+
     // S4: CSV ingest round-trip — dump trails to CSV, re-ingest through
     // the cons (column mapping + header), compare against the oracle.
     "t_csv_roundtrip" -> ((s, dir) => {
@@ -1700,6 +1737,39 @@ object SparkEntry {
          |       nullif(props, '') AS props
          |FROM trails
          |ORDER BY uuid, time, event_type, props""".stripMargin,
+
+    "t_item_codec" ->
+      """WITH grid AS (
+        |  SELECT f.field, v.val_id
+        |  FROM (VALUES (CAST(0 AS BIGINT)), (1), (127), (128), (9999),
+        |               (16382)) f(field)
+        |  CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1), (16777215),
+        |               (16777216), (549755813888), (1099511627774)) v(val_id)),
+        |items AS (
+        |  SELECT field, val_id,
+        |    CASE WHEN field > 127 OR val_id > 16777215
+        |      THEN (field & 127) | 128 | ((field >> 7) << 8) | (val_id << 16)
+        |      ELSE field | (val_id << 8) END AS item
+        |  FROM grid)
+        |SELECT field, val_id, item,
+        |  CASE WHEN (item & 128) = 0 THEN item & 127
+        |       ELSE (item & 127) | (((item >> 8) & 127) << 7)
+        |       END AS field_back,
+        |  CASE WHEN (item & 128) = 0 THEN (item >> 8) & 4294967295
+        |       ELSE item >> 16 END AS val_back,
+        |  CASE WHEN (item & 128) = 0 THEN 1 ELSE 0 END AS is32
+        |FROM items ORDER BY field, val_id""".stripMargin,
+
+    "t_item_value" ->
+      s"""$TrailsCte
+         |, lex AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY event_type) AS val_id,
+         |         event_type AS value
+         |  FROM (SELECT DISTINCT event_type FROM trails
+         |        WHERE event_type IS NOT NULL AND event_type <> ''))
+         |SELECT val_id, value, 1 | (val_id << 8) AS item,
+         |       val_id AS val_back
+         |FROM lex ORDER BY val_id""".stripMargin,
 
     "t_tdb_fixture" ->
       """SELECT * FROM (VALUES

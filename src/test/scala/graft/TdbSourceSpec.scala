@@ -49,6 +49,31 @@ class TdbSourceSpec extends SparkSpec {
     assert(t === 1463696903L + 1463696952L)
   }
 
+  test("item codec packs/unpacks both widths and translates via the lexicon") {
+    import graft.sources.TdbItems
+    // property grid across both widths incl. the documented limits
+    val grid = (for (f <- Seq(0L, 1L, 127L, 128L, 9999L, (1L << 14) - 2);
+                     v <- Seq(0L, 1L, (1L << 24) - 1, 1L << 24, (1L << 40) - 2))
+      yield (f, v)).toDF("f", "v")
+    val bad = grid.select(TdbItems.itemField(
+        TdbItems.makeItem(col("f"), col("v"))).as("fb"),
+        TdbItems.itemVal(TdbItems.makeItem(col("f"), col("v"))).as("vb"),
+        col("f"), col("v"))
+      .filter(col("fb") =!= col("f") || col("vb") =!= col("v"))
+    assert(bad.count() === 0, bad.collect().mkString(", "))
+    // reference-pinned examples: field 1 val 1 packs to 0x101 (32-bit
+    // form); the wide form sets bit 7
+    assert(grid.sparkSession.range(1)
+      .select(TdbItems.makeItem(lit(1), lit(1))).head().getLong(0) === 0x101L)
+    assert((grid.sparkSession.range(1)
+      .select(TdbItems.makeItem(lit(128), lit(1))).head().getLong(0) & 128L) === 128L)
+    // value↔item on the reference fixture: first_field's lexicon is
+    // (hello, it) in id order; item→string via the lexicon join
+    val lex = TdbItems.lexiconDf(spark, refFixture, "first_field")
+    assert(lex.orderBy("val_id").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "hello"), (2L, "it")))
+  }
+
   test("package round trip: write v1 tar, read back, byte-exact trail frame") {
     val dir = Files.createTempDirectory("graft-tdb-rt")
     val out = s"$dir/rt.tdb"
