@@ -724,17 +724,45 @@ object Dedup {
       element_at(graft.functions.GraftFunctions.pqCodes(
         col(vecCol), 1, nCells, flat), 1).cast("string").as("cell"))
     // Exact-vector collapse: min-id representative per identical vector
-    // group (the whale-safe min-agg + join shape, like exactDedup).
-    val repAgg = all.filter(col("nrm") > 0)
-      .groupBy("v").agg(min(col("id")).as("_rep"))
-    // localCheckpoint: consumed three times (reps, the rep→copy edges,
-    // the final labeling join) — cut the collapse shuffle's lineage so it
-    // runs once, not once per consumer.
-    val tagged = all.join(repAgg, Seq("v"), "left")
-      .withColumn("_rep", coalesce(col("_rep"), col("id")))
-      .localCheckpoint()
-    var reps = tagged.filter(col("id") === col("_rep"))
-      .select("id", "v", "nrm", "cell")
+    // group (the whale-safe min-agg + join shape, like exactDedup). The
+    // insurance is priced to the duplicates it finds (r7 bench
+    // adjudication: the first cut checkpointed the whole tagged corpus —
+    // vectors included — and cost 1.5× on a NO-dup corpus): only groups
+    // with ≥2 members survive the aggregate, so `copies` — the one
+    // materialized artifact — is EMPTY on a duplicate-free corpus and
+    // every corpus-side join below is an AQE-broadcast probe inside the
+    // scan; a dup-heavy corpus grows `copies` and AQE shifts those joins
+    // to shuffles exactly when the data demands it.
+    // ONE narrow pre-pass (8-byte hash keys, one driver collect of ≤
+    // nCells rows) answers BOTH round-0 questions: does any vector repeat
+    // (the collapse gate — full-vector 256-byte grouping and every copy
+    // join below skip when it doesn't, which is the common corpus), and
+    // which cells are oversized (when nothing repeats, distinct-per-cell
+    // IS total-per-cell, so the level-0 size check comes free from the
+    // same job — each added driver action costs a fixed job round at
+    // small scale, r7 bench adjudication). A hash collision only falsely
+    // OPENS the gate (the precise v-keyed pass decides identity), never
+    // merges distinct vectors.
+    val pre = all
+      .groupBy(col("cell"), xxhash64(col("v")).as("_h"))
+      .agg(count(lit(1)).as("_n"))
+      .groupBy("cell")
+      .agg(sum(col("_n")).as("_tot"), max(col("_n")).as("_mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val hasDupHashes = pre.exists(_._3 > 1)
+    // narrow (copy id → rep id) map; localCheckpoint: consumed three
+    // times (reps anti-join, identity edges, final labeling)
+    val copies: Option[DataFrame] = if (!hasDupHashes) None else Some {
+      val dupGroups = all.filter(col("nrm") > 0)
+        .groupBy("v").agg(min(col("id")).as("_rep"), count(lit(1)).as("_nv"))
+        .filter(col("_nv") > 1).select("v", "_rep")
+      all.join(dupGroups, Seq("v"))
+        .filter(col("id") =!= col("_rep"))
+        .select(col("id"), col("_rep")).localCheckpoint()
+    }
+    var reps = copies.fold(all.select("id", "v", "nrm", "cell"))(c =>
+      all.join(c.select("id"), Seq("id"), "left_anti")
+        .select("id", "v", "nrm", "cell"))
     // Recursive split of oversized cells. The per-level size check is a
     // driver-side aggregate collect (bounded: one row per live cell), so
     // oversized cells are discovered — and either split or refused —
@@ -743,7 +771,9 @@ object Dedup {
       r.groupBy("cell").agg(count(lit(1)).as("_n"))
         .filter(col("_n") > maxCellRows)
         .collect().map(x => (x.getString(0), x.getLong(1)))
-    var over = oversizedCells(reps)
+    var over =
+      if (hasDupHashes) oversizedCells(reps)
+      else pre.filter(_._2 > maxCellRows).map(x => (x._1, x._2))
     var depth = 0
     while (over.nonEmpty && depth < maxSplitDepth) {
       require(over.length <= maxSplitCellsPerLevel,
@@ -790,11 +820,16 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     // Copies attach linearly: rep → copy (cosine 1 by identity).
-    val identEdges = tagged.filter(col("id") =!= col("_rep"))
-      .select(col("_rep").as("id_a"), col("id").as("id_b"))
-    val comps = connectedComponents(pairs.unionByName(identEdges))
+    val edges = copies.fold(pairs)(c => pairs.unionByName(
+      c.select(col("_rep").as("id_a"), col("id").as("id_b"))))
+    val comps = connectedComponents(edges)
     val leaf = reps.select(col("id").as("_rep"), col("cell").as("_leafcell"))
-    tagged.select(col("id").as(idCol), col("_rep"))
+    copies.fold(
+        all.select(col("id").as(idCol), col("id").as("_rep")))(c =>
+      all.select(col("id"))
+        .join(c, Seq("id"), "left")
+        .select(col("id").as(idCol),
+          coalesce(col("_rep"), col("id")).as("_rep")))
       .join(leaf, Seq("_rep"))
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), col("_leafcell").as("cell"),
