@@ -73,7 +73,16 @@ object GraftExtensions {
       RepetitionStats(es.head)),
     fn("z_order2", 2, classOf[ZOrder2])(es => ZOrder2(es(0), es(1))),
     fn("sign_lsh", 3, classOf[SignLsh])(es =>
-      SignLsh(es(0), intLit(es(1), "nPlanes"), intLit(es(2), "dim"))))
+      SignLsh(es(0), intLit(es(1), "nPlanes"), intLit(es(2), "dim"))),
+    // Item codec (built-in compositions, not custom expressions — they
+    // register so SQL users migrating item-valued u64 columns off the
+    // reference can decode in place: SELECT tdb_item_val(item) ...).
+    fn("tdb_make_item", 2, graft.sources.TdbItems.getClass)(es =>
+      graft.sources.TdbItems.makeItemExpr(es(0), es(1))),
+    fn("tdb_item_field", 1, graft.sources.TdbItems.getClass)(es =>
+      graft.sources.TdbItems.itemFieldExpr(es.head)),
+    fn("tdb_item_val", 1, graft.sources.TdbItems.getClass)(es =>
+      graft.sources.TdbItems.itemValExpr(es.head)))
 
   /** Builder lookup for tests / manual registration. */
   def builderFor(name: String): Seq[Expression] => Expression =

@@ -24,36 +24,61 @@ import org.apache.spark.sql.functions._
   * convention throughout.
   */
 object TdbItems {
+  import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, CaseWhen, Cast, EqualTo, Expression, GreaterThan, Literal, Or, ShiftLeft, ShiftRight}
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  import org.apache.spark.sql.types.LongType
 
   private val Val32Max = (1L << 24) - 1
+  private def l(v: Long) = Literal(v)
+
+  // The codec is built directly in Catalyst terms (the Column API below
+  // and the SQL registration in [[graft.GraftExtensions]] share these
+  // builders — a Column→Expression round trip through the bridge leaves
+  // unevaluable column-node wrappers on the SQL path).
+
+  /** `tdb_make_item(field, val)` as a Catalyst expression tree. */
+  def makeItemExpr(field: Expression, valId: Expression): Expression = {
+    val f = Cast(field, LongType)
+    val v = Cast(valId, LongType)
+    CaseWhen(
+      Seq((Or(GreaterThan(f, l(127L)), GreaterThan(v, l(Val32Max))),
+        BitwiseOr(BitwiseOr(BitwiseOr(BitwiseAnd(f, l(127L)), l(128L)),
+          ShiftLeft(ShiftRight(f, Literal(7)), Literal(8))),
+          ShiftLeft(v, Literal(16))))),
+      Some(BitwiseOr(f, ShiftLeft(v, Literal(8)))))
+  }
+
+  /** `tdb_item_field(item)` as a Catalyst expression tree. */
+  def itemFieldExpr(item: Expression): Expression = {
+    val i = Cast(item, LongType)
+    CaseWhen(
+      Seq((EqualTo(BitwiseAnd(i, l(128L)), l(0L)), BitwiseAnd(i, l(127L)))),
+      Some(BitwiseOr(BitwiseAnd(i, l(127L)),
+        ShiftLeft(BitwiseAnd(ShiftRight(i, Literal(8)), l(127L)), Literal(7)))))
+  }
+
+  /** `tdb_item_val(item)` as a Catalyst expression tree (the 32-bit arm
+    * masks a full 32 bits, exactly like the reference macro). */
+  def itemValExpr(item: Expression): Expression = {
+    val i = Cast(item, LongType)
+    CaseWhen(
+      Seq((EqualTo(BitwiseAnd(i, l(128L)), l(0L)),
+        BitwiseAnd(ShiftRight(i, Literal(8)), l(0xffffffffL)))),
+      Some(ShiftRight(i, Literal(16))))
+  }
 
   /** `tdb_make_item(field, val)` over columns (both cast to long). */
-  def makeItem(field: Column, valId: Column): Column = {
-    val f = field.cast("long")
-    val v = valId.cast("long")
-    when(f > 127L || v > Val32Max,
-      f.bitwiseAND(lit(127L)).bitwiseOR(lit(128L))
-        .bitwiseOR(shiftleft(shiftright(f, 7), 8))
-        .bitwiseOR(shiftleft(v, 16)))
-      .otherwise(f.bitwiseOR(shiftleft(v, 8)))
-  }
+  def makeItem(field: Column, valId: Column): Column =
+    ColumnBridge.column(makeItemExpr(
+      ColumnBridge.expression(field), ColumnBridge.expression(valId)))
 
   /** `tdb_item_field(item)`: the field id, either width. */
-  def itemField(item: Column): Column = {
-    val i = item.cast("long")
-    when(i.bitwiseAND(lit(128L)) === 0L, i.bitwiseAND(lit(127L)))
-      .otherwise(i.bitwiseAND(lit(127L)).bitwiseOR(
-        shiftleft(shiftright(i, 8).bitwiseAND(lit(127L)), 7)))
-  }
+  def itemField(item: Column): Column =
+    ColumnBridge.column(itemFieldExpr(ColumnBridge.expression(item)))
 
-  /** `tdb_item_val(item)`: the value id, either width (the 32-bit arm
-    * masks a full 32 bits, exactly like the reference macro). */
-  def itemVal(item: Column): Column = {
-    val i = item.cast("long")
-    when(i.bitwiseAND(lit(128L)) === 0L,
-        shiftright(i, 8).bitwiseAND(lit(0xffffffffL)))
-      .otherwise(shiftright(i, 16))
-  }
+  /** `tdb_item_val(item)`: the value id, either width. */
+  def itemVal(item: Column): Column =
+    ColumnBridge.column(itemValExpr(ColumnBridge.expression(item)))
 
   /** One field's lexicon of a LEGACY db as a DataFrame of
     * (val_id, value) — val_id 1..size in the db's own id order; id 0

@@ -74,6 +74,19 @@ class TdbSourceSpec extends SparkSpec {
       (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "hello"), (2L, "it")))
   }
 
+  test("item codec registers for SQL (tdb_make_item / tdb_item_field / tdb_item_val)") {
+    for (name <- Seq("tdb_make_item", "tdb_item_field", "tdb_item_val"))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, graft.GraftExtensions.builderFor(name), "built-in")
+    val r = spark.sql(
+      """SELECT tdb_make_item(1, 1) AS i32,
+        |       tdb_item_field(tdb_make_item(9999, 16777216)) AS f64,
+        |       tdb_item_val(tdb_make_item(9999, 16777216)) AS v64""".stripMargin)
+      .head()
+    assert(r.getLong(0) === 0x101L)
+    assert(r.getLong(1) === 9999L && r.getLong(2) === 16777216L)
+  }
+
   test("package round trip: write v1 tar, read back, byte-exact trail frame") {
     val dir = Files.createTempDirectory("graft-tdb-rt")
     val out = s"$dir/rt.tdb"
