@@ -375,33 +375,42 @@ object TextAnalysis {
     * keep the first n.  Complements [[stratifiedHashSample]] (fractional,
     * approximate counts) when the contract is an exact count.
     *
-    * Scale shape (round 6): the ranking is the mergeable
-    * [[graft.ops.Sketch.MinKLex]] aggregate — ≤n (md5, id) pairs per
-    * partition per stratum through the exchange — then an id semi-join
-    * attaches the kept rows. Strata are FEW but HUGE (one language can be
-    * half a web corpus): the per-stratum `row_number` window this
-    * replaces funneled a whale stratum's entire row stream into ONE task,
-    * the same scale-killer shape the ANN shortlists dropped this round.
-    * Provably the same rows: MinKLex replays (md5 ASC, id ASC) LIMIT n
-    * exactly (ASCII hex compares identically in UTF8String and String).
-    * `idCol` must be globally unique and castable to long (doc ids are).
-    */
+    * Scale shape (round 7, REVERSING round 6 on measurement): the
+    * declarative `row_number ≤ n` window — which round 6 replaced with a
+    * MinKLex aggregate + semi-join on the "whale stratum sorts in one
+    * task" argument — is already whale-safe on Spark 4: Catalyst plans a
+    * map-side `WindowGroupLimit (Partial)` BEFORE the exchange, so ≤n
+    * rows per stratum per mapper cross the shuffle and the reducer sorts
+    * ≤n×mappers rows, never the stratum's row stream (keyskew ladder: max
+    * single-task shuffle read 960 rows on a corpus whose whale stratum
+    * holds 640k). One scan, no join-back — strictly less work than the
+    * aggregate form, which lives on as [[stratumQuota]] for streaming
+    * (a window cannot run on a stream). NULL text ranks FIRST (md5 null,
+    * ASC NULLS FIRST); any id type works (the round-6 long-cast
+    * restriction is gone). */
   def takePerStratum(df: DataFrame, n: Int, strataCol: String = "lang",
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val keep = stratumQuota(df, n, strataCol, idCol, textCol)
-      .select(col("keep_id").as("_keep_id"))
-    df.join(keep, col(idCol) === col("_keep_id"), "left_semi")
+    require(n > 0, s"n must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("_r", row_number().over(Window.partitionBy(col(strataCol))
+        .orderBy(md5(col(textCol).cast("binary")), col(idCol))))
+      .filter(col("_r") <= n).drop("_r")
   }
 
   /** The per-stratum quota DECISION — (stratum, keep_id) — as a single
-    * mergeable grouped aggregate, shared verbatim by [[takePerStratum]]
-    * (which semi-joins the kept rows back) and the streaming twin
-    * [[graft.streaming.StreamSessions.streamingStratumQuota]]: the two
-    * paths agree by construction, not by parallel implementations. */
+    * mergeable grouped aggregate: the plan behind the streaming twin
+    * [[graft.streaming.StreamSessions.streamingStratumQuota]]. Applies
+    * the identical selection rule as the batch [[takePerStratum]] window
+    * ((md5(text) ASC NULLS FIRST, id ASC) LIMIT n per stratum — MinKLex
+    * replays it exactly: ASCII hex compares identically in UTF8String
+    * and String, and "" replicates the null-text NULLS FIRST rank);
+    * StreamingSpec proves the two agree across micro-batch boundaries.
+    * Requires an integral id (the aggregator buffers (md5, id-as-long)
+    * pairs). */
   def stratumQuota(df: DataFrame, n: Int, strataCol: String = "lang",
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
-    graft.ops.Sketch.requireIntegralId(df.schema, idCol, "takePerStratum")
+    graft.ops.Sketch.requireIntegralId(df.schema, idCol, "stratumQuota")
     val mk = udaf(graft.ops.Sketch.MinKLex(n))
     // coalesce(md5, ""): a NULL text hashes to a null sort key, which the
     // window form ranked FIRST (ASC NULLS FIRST) — "" replicates that
@@ -421,34 +430,42 @@ object TextAnalysis {
     * ranks by content hash = uniform sampling): a whale domain contributes
     * its `maxPerGroup` best documents, not a random slice.
     *
-    * Scale shape (round 6): the ranking is the mergeable
-    * [[graft.ops.Sketch.TopK]] aggregate — ≤maxPerGroup (score, id) pairs
-    * per partition per group through the exchange — then an id join
-    * attaches `cap_rank` to the kept rows. A whale domain (the classic
-    * hot key: one domain holding 10^8 docs of a web corpus) previously
-    * funneled its whole row stream into ONE `row_number` task; now it
-    * contributes its best maxPerGroup in bounded memory. Replays
-    * (score DESC, id ASC) exactly; scores must be non-null and
-    * order-preserving under double cast (ints < 2^53, any float/double),
-    * and `idCol` globally unique and castable to long. */
+    * Scale shape (round 7, REVERSING round 6 on measurement): the
+    * `row_number ≤ k` window is whale-safe on Spark 4 — Catalyst's
+    * map-side `WindowGroupLimit (Partial)` keeps ≤k rows per group per
+    * mapper BEFORE the exchange (keyskew ladder: max single-task shuffle
+    * read 1,760 rows where the whale domain holds 640k), so the window is
+    * one scan with a tiny shuffle, strictly less work than round 6's
+    * TopK-aggregate + id join (two scans). The aggregate form lives on as
+    * [[capQuota]] for streaming. Scores: DESC NULLS LAST, id ASC
+    * tie-break; any id type works. */
   def capPerGroup(df: DataFrame, maxPerGroup: Int,
       groupCol: String = "source", scoreCol: Column = col("n_chars"),
       idCol: String = "doc_id"): DataFrame = {
-    val keep = capQuota(df, maxPerGroup, groupCol, scoreCol, idCol)
-      .select(col("keep_id").as("_keep_id"), col("cap_rank"))
-    df.join(keep, col(idCol) === col("_keep_id")).drop("_keep_id")
+    require(maxPerGroup > 0, s"maxPerGroup must be positive, got $maxPerGroup")
+    import org.apache.spark.sql.expressions.Window
+    // filter on the raw rank (InferWindowGroupLimit pattern-matches the
+    // rank attribute; a cast in between would defeat it), cast after
+    df.withColumn("_r", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(scoreCol.cast("double").desc_nulls_last, col(idCol))))
+      .filter(col("_r") <= maxPerGroup)
+      .withColumn("cap_rank", col("_r").cast("long")).drop("_r")
   }
 
   /** The per-group cap DECISION — (group, keep_id, cap_rank) — as a single
-    * mergeable grouped aggregate, shared verbatim by [[capPerGroup]] (which
-    * joins the kept rows back) and the streaming twin
-    * [[graft.streaming.StreamSessions.streamingCapQuota]]: the two paths
-    * agree by construction, not by parallel implementations. */
+    * mergeable grouped aggregate: the plan behind the streaming twin
+    * [[graft.streaming.StreamSessions.streamingCapQuota]]. Applies the
+    * identical selection rule as the batch [[capPerGroup]] window
+    * ((score DESC, id ASC) top-maxPerGroup per group; scores must be
+    * non-null and order-preserving under double cast); StreamingSpec
+    * proves the two agree across micro-batch boundaries. Requires an
+    * integral id (the aggregator buffers (score, id-as-long) pairs). */
   def capQuota(df: DataFrame, maxPerGroup: Int,
       groupCol: String = "source", scoreCol: Column = col("n_chars"),
       idCol: String = "doc_id"): DataFrame = {
     require(maxPerGroup > 0, s"maxPerGroup must be positive, got $maxPerGroup")
-    graft.ops.Sketch.requireIntegralId(df.schema, idCol, "capPerGroup")
+    graft.ops.Sketch.requireIntegralId(df.schema, idCol, "capQuota")
     val tk = udaf(graft.ops.Sketch.TopK(maxPerGroup))
     df.groupBy(col(groupCol))
       .agg(tk(scoreCol.cast("double"), col(idCol).cast("long")).as("tk"))

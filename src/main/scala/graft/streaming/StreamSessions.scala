@@ -367,14 +367,18 @@ object StreamSessions {
 
   /** Streaming twin of [[graft.ops.TextAnalysis.capPerGroup]] — the
     * per-group quality-cap DECISION (group, keep_id, cap_rank) maintained
-    * as a streaming grouped aggregate. Delegates to the SAME
-    * [[graft.ops.TextAnalysis.capQuota]] plan the batch op joins against,
-    * so stream and batch agree by construction; `Sketch.TopK` being a
-    * mergeable Aggregator is exactly what makes it a legal streaming
-    * aggregation (state per group = ≤maxPerGroup (score, id) pairs, O(1)
-    * per arriving row — never the row stream). Run in `complete`/`update`
-    * output mode; downstream applies the decision per micro-batch
-    * (foreachBatch join) or against the finalized table. */
+    * as a streaming grouped aggregate over
+    * [[graft.ops.TextAnalysis.capQuota]]. The batch op is a
+    * WindowGroupLimit-bounded window (a window cannot run on a stream);
+    * this aggregate applies the same selection rule — (score DESC, id
+    * ASC) top-maxPerGroup per group — and StreamingSpec proves the
+    * streamed decision equals the batch op's kept set across micro-batch
+    * boundaries. `Sketch.TopK` being a mergeable Aggregator is what makes
+    * it a legal streaming aggregation (state per group = ≤maxPerGroup
+    * (score, id) pairs, O(1) per arriving row — never the row stream).
+    * Run in `complete`/`update` output mode; downstream applies the
+    * decision per micro-batch (foreachBatch join) or against the
+    * finalized table. */
   def streamingCapQuota(docs: DataFrame, maxPerGroup: Int,
       groupCol: String = "source",
       scoreCol: org.apache.spark.sql.Column = col("n_chars"),
@@ -384,8 +388,9 @@ object StreamSessions {
 
   /** Streaming twin of [[graft.ops.TextAnalysis.takePerStratum]] — the
     * exactly-n-per-stratum DECISION (stratum, keep_id) as a streaming
-    * grouped aggregate over the shared
-    * [[graft.ops.TextAnalysis.stratumQuota]] plan. `Sketch.MinKLex` keeps
+    * grouped aggregate over [[graft.ops.TextAnalysis.stratumQuota]]
+    * (same selection rule as the batch window op, spec-proven equal
+    * across micro-batch boundaries). `Sketch.MinKLex` keeps
     * the n lexicographically-least (md5(text), id) pairs per stratum —
     * content-derived, so the selection CONVERGES as data streams in (a
     * later micro-batch can displace an earlier pick, exactly as the batch

@@ -237,16 +237,27 @@ object Scale4x {
         when(whale, concat(col("text"),
           lit(" w1 w2 w3 w4 w5 w6 w7 w8 w9"))).otherwise(col("text")))
 
-      // BEFORE shapes: the pre-round-6 window forms, inlined verbatim
+      // The two quota forms measured head-to-head. The WINDOW rows call
+      // the SHIPPED batch ops (round 7 restored them after this ladder
+      // showed Spark 4's InferWindowGroupLimit bounds `row_number ≤ k`
+      // map-side — see the README table's max-task column); the AGG rows
+      // reconstruct round 6's aggregate + id-join form, whose decision
+      // plan lives on as the streaming twin (capQuota/stratumQuota).
       def capWindow(df: DataFrame, n: Int): DataFrame =
-        df.withColumn("cap_rank", row_number().over(
-            Window.partitionBy("source")
-              .orderBy(col("n_chars").cast("double").desc, col("doc_id"))))
-          .filter(col("cap_rank") <= n)
+        graft.ops.TextAnalysis.capPerGroup(df, n, scoreCol = col("n_chars"))
       def stratumWindow(df: DataFrame, n: Int): DataFrame =
-        df.withColumn("_r", row_number().over(Window.partitionBy("lang")
-            .orderBy(md5(col("text").cast("binary")), col("doc_id"))))
-          .filter(col("_r") <= n).drop("_r")
+        graft.ops.TextAnalysis.takePerStratum(df, n)
+      def capAgg(df: DataFrame, n: Int): DataFrame = {
+        val keep = graft.ops.TextAnalysis.capQuota(df, n,
+            scoreCol = col("n_chars"))
+          .select(col("keep_id").as("_keep_id"), col("cap_rank"))
+        df.join(keep, col("doc_id") === col("_keep_id")).drop("_keep_id")
+      }
+      def stratumAgg(df: DataFrame, n: Int): DataFrame = {
+        val keep = graft.ops.TextAnalysis.stratumQuota(df, n)
+          .select(col("keep_id").as("_keep_id"))
+        df.join(keep, col("doc_id") === col("_keep_id"), "left_semi")
+      }
       def keepBestWindow(df: DataFrame, clusters: DataFrame): DataFrame = {
         val labeled = df.join(clusters, Seq("doc_id"))
         labeled.withColumn("_r", row_number().over(
@@ -278,23 +289,22 @@ object Scale4x {
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
       }
 
-      println("| operator (form) | uniform 1× | whale 1× | uniform big× | whale big× |")
+      println("| operator (form) | uniform 1× | whale 1× | uniform big× | " +
+        "whale big× | max 1-task shuffle rows (whale big×) |")
       println("(big× = 256× for the quota ops, 64× for the span kernel)")
-      println("|---|---|---|---|---|")
+      println("|---|---|---|---|---|---|")
       // each row: (label, op, whale-transform, span-corpus?) — measured on
       // op(base), op(whale(base)) at 1× and 64×
       val rows: Seq[(String, DataFrame => DataFrame,
           DataFrame => DataFrame, Boolean)] = Seq(
-        ("domain cap (BEFORE: window)",
+        ("domain cap (window+GroupLimit, SHIPPED r7)",
           d => capWindow(d, 5), whaleDomain _, false),
-        ("domain cap (AFTER: TopK agg)",
-          d => graft.ops.TextAnalysis.capPerGroup(d, 5,
-            scoreCol = col("n_chars")), whaleDomain _, false),
-        ("eval split (BEFORE: window)",
+        ("domain cap (r6 agg+join; streaming twin)",
+          d => capAgg(d, 5), whaleDomain _, false),
+        ("eval split (window+GroupLimit, SHIPPED r7)",
           d => stratumWindow(d, 5), whaleLang _, false),
-        ("eval split (AFTER: MinKLex agg)",
-          d => graft.ops.TextAnalysis.takePerStratum(d, 5),
-          whaleLang _, false),
+        ("eval split (r6 agg+join; streaming twin)",
+          d => stratumAgg(d, 5), whaleLang _, false),
         ("keep best (BEFORE: window)",
           d => keepBestWindow(d, clustersOf(d)), whaleCluster _, false),
         ("keep best (AFTER: min-struct agg)",
@@ -304,13 +314,39 @@ object Scale4x {
           spanKernelWindow _, whaleSpan _, true),
         ("span first-occ (AFTER: min agg)",
           spanKernelAgg _, whaleSpan _, true))
+      // Wall-clock alone under-reports the quota ops' whale hazard at
+      // this sf (sorting 640k rows in one task is still sub-second on
+      // local[32]); the listener captures the DIRECT evidence — the max
+      // shuffle-read record count any single task sees. The window form
+      // funnels the whale group's entire row stream into one task (grows
+      // with the corpus); the aggregate form's largest task stays at the
+      // even hash-partition share (shrinks per-task as the cluster
+      // widens).
+      val maxTask = new org.apache.spark.scheduler.SparkListener {
+        val max = new java.util.concurrent.atomic.AtomicLong(0L)
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) max.getAndAccumulate(
+            m.shuffleReadMetrics.recordsRead, math.max(_, _))
+        }
+      }
+      spark.sparkContext.addSparkListener(maxTask)
       for ((label, op, wt, spanCorpus) <- rows) {
         val big = if (spanCorpus) s64 else d64
-        val ts = Seq(d1, wt(d1), big, wt(big))
-          .map(d => time(op(d).queryExecution.toRdd.count()))
+        val tsAndMax = Seq(d1, wt(d1), big, wt(big)).map { d =>
+          maxTask.max.set(0L)
+          val t = time(op(d).queryExecution.toRdd.count())
+          // listener events drain asynchronously after the job ends
+          Thread.sleep(500)
+          (t, maxTask.max.get())
+        }
+        val ts = tsAndMax.map(_._1)
         println(f"| $label | ${ts(0)}%.2fs | ${ts(1)}%.2fs (${ts(1) / ts(0)}%.1f×) " +
-          f"| ${ts(2)}%.2fs | ${ts(3)}%.2fs (${ts(3) / ts(2)}%.1f×) |")
+          f"| ${ts(2)}%.2fs | ${ts(3)}%.2fs (${ts(3) / ts(2)}%.1f×) " +
+          f"| ${tsAndMax(3)._2}%,d |")
       }
+      spark.sparkContext.removeSparkListener(maxTask)
       spark.stop()
       return
     }

@@ -94,19 +94,25 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
-  test("per-group quota ops are mergeable aggregates, never per-group window sorts") {
+  test("per-group quota ops carry the map-side WindowGroupLimit bound") {
     // capPerGroup / takePerStratum rank within FEW but potentially HUGE
-    // groups (one domain/language can be half a web corpus) — the same
-    // whale shape as the ANN shortlists. Both now use mergeable bounded
-    // aggregates (TopK / MinKLex) + id join; a per-group row_number
-    // window reappearing here is the regression this guard catches.
+    // groups (one domain/language can be half a web corpus). Round 7
+    // measurement (keyskew ladder): Spark 4's InferWindowGroupLimit makes
+    // the declarative `row_number ≤ k` window whale-safe — a PARTIAL
+    // group-limit runs before the exchange, so ≤k rows per group per
+    // mapper cross the shuffle (max observed single-task shuffle read:
+    // 1,760 rows where the whale group holds 640k) — and the window form
+    // is one scan where round 6's aggregate+join was two. This guard
+    // pins the optimization: a plan change that loses the Partial
+    // WindowGroupLimit (e.g. a cast between rank and filter) reopens the
+    // whale funnel silently.
     Seq("d_domain_cap", "d_eval_split").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
-      assert(!plan.contains("row_number"),
-        s"$name regrew a per-group window sort:\n$plan")
-      assert(plan.contains("ObjectHashAggregate"),
-        s"$name lost the mergeable quota aggregate:\n$plan")
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name lost the WindowGroupLimit bound:\n$plan")
+      assert(plan.contains("Partial"),
+        s"$name lost the MAP-SIDE (Partial) group limit:\n$plan")
     }
   }
 

@@ -191,13 +191,20 @@ class Round4OpsSpec extends SparkSpec {
   test("bounded-ranking ops refuse a non-integral id column loudly (ADVICE r6)") {
     val df = Seq(("a", "x", "t1", 3L), ("b", "y", "t2", 1L))
       .toDF("doc_id", "lang", "text", "n")
+    // the STREAMING quota decisions buffer (key, id-as-long) pairs in
+    // aggregator state, so they keep the integral-id requirement
     val e1 = intercept[IllegalArgumentException] {
-      graft.ops.TextAnalysis.takePerStratum(df, 1, "lang", "doc_id", "text") }
+      graft.ops.TextAnalysis.stratumQuota(df, 1, "lang", "doc_id", "text") }
     assert(e1.getMessage.contains("integral"))
     val e2 = intercept[IllegalArgumentException] {
-      graft.ops.TextAnalysis.capPerGroup(df, 1, "lang", col("n"), "doc_id") }
+      graft.ops.TextAnalysis.capQuota(df, 1, "lang", col("n"), "doc_id") }
     assert(e2.getMessage.contains("integral"))
-    // the long-id form still works
+    // the BATCH ops are windows since round 7 (WindowGroupLimit-bounded)
+    // and accept any id type — the round-6 long-cast restriction is gone
+    assert(graft.ops.TextAnalysis.takePerStratum(df, 1, "lang", "doc_id",
+      "text").count() === 2)
+    assert(graft.ops.TextAnalysis.capPerGroup(df, 1, "lang", col("n"),
+      "doc_id").count() === 2)
     val ok = df.withColumn("doc_id", expr("cast(n as long)"))
     assert(graft.ops.TextAnalysis.takePerStratum(ok, 1, "lang", "doc_id",
       "text").count() === 2)
