@@ -1736,7 +1736,7 @@ object SparkEntry {
          |SELECT uuid, time, nullif(event_type, '') AS event_type,
          |       nullif(props, '') AS props
          |FROM trails
-         |ORDER BY uuid, time, event_type, props""".stripMargin,
+         |ORDER BY uuid, time, event_type NULLS FIRST, props NULLS FIRST""".stripMargin,
 
     "t_item_codec" ->
       """WITH grid AS (

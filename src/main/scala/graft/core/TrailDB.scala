@@ -316,12 +316,15 @@ object TrailDB {
   }
 
   /** A path is a legacy tdb iff it is a regular FILE (parquet dbs are
-    * directories) or a directory holding the reference's `info`+`fields`
-    * members instead of parquet. */
+    * directories), a directory holding the reference's `info`+`fields`
+    * members instead of parquet, or — like tdb_open (src/tdb.c:322-329)
+    * and [[graft.sources.TdbFormat.TdbArchive.open]] — `<path>.tdb`
+    * exists where `path` itself does not. */
   private def isLegacyTdb(path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    if (!fs.exists(p)) false
+    if (!fs.exists(p))
+      fs.exists(new org.apache.hadoop.fs.Path(path + ".tdb"))
     else if (fs.getFileStatus(p).isFile) true
     else fs.exists(new org.apache.hadoop.fs.Path(p, "info")) &&
       fs.exists(new org.apache.hadoop.fs.Path(p, "fields"))

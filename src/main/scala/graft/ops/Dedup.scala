@@ -696,8 +696,11 @@ object Dedup {
     *     shuffle; only distinct vectors enter the quadratic pair stage,
     *     and copies attach to their representative's component through a
     *     linear rep→copy edge (cosine(identical) = 1 ≥ any valid
-    *     threshold). Zero-norm vectors are exempt (their cosine is NaN —
-    *     they never pair, exactly as before).
+    *     threshold). Zero-norm vectors bypass the machinery entirely —
+    *     their cosine is NaN, so each is a singleton by contract, and
+    *     they route straight to the output as such (a whale of identical
+    *     zero vectors — failed-embedding rows — is unsplittable by any
+    *     quantizer, so inside the machinery it could only die slowly).
     *  2. RECURSIVE CELL SPLIT: any cell holding more than `maxCellRows`
     *     DISTINCT vectors re-runs the sample-trained quantizer inside the
     *     cell (fresh capped sample of that cell, ~2·n/cap centroids),
@@ -719,10 +722,22 @@ object Dedup {
     val cents = Similarity.lloyd(
       Similarity.sampleVectors(emb, vecCol), nCells, iters = 10, seed = 42L)
     val flat = cents.flatMap(_.toSeq).toSeq
-    val all = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val assigned = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.norm(col(vecCol)).as("nrm"),
       element_at(graft.functions.GraftFunctions.pqCodes(
         col(vecCol), 1, nCells, flat), 1).cast("string").as("cell"))
+    // Zero-norm vectors can never pair (their cosine is NaN, which
+    // clears no threshold) — every one is a singleton by the operator's
+    // contract. Route them STRAIGHT to the output (review r7): inside the
+    // machinery they only inflate cell sizes and the quadratic join, and
+    // a whale of byte-identical zero vectors (failed-embedding rows are
+    // exactly this shape) is unsplittable by any quantizer — the split
+    // rounds would burn maxSplitDepth and then refuse with advice that
+    // cannot work.
+    val zeroSingletons = assigned.filter(col("nrm") <= 0)
+      .select(col("id").as(idCol), col("cell"),
+        col("id").as("cluster_id"), lit(true).as("kept"))
+    val all = assigned.filter(col("nrm") > 0)
     // Exact-vector collapse: min-id representative per identical vector
     // group (the whale-safe min-agg + join shape, like exactDedup). The
     // insurance is priced to the duplicates it finds (r7 bench
@@ -753,7 +768,7 @@ object Dedup {
     // narrow (copy id → rep id) map; localCheckpoint: consumed three
     // times (reps anti-join, identity edges, final labeling)
     val copies: Option[DataFrame] = if (!hasDupHashes) None else Some {
-      val dupGroups = all.filter(col("nrm") > 0)
+      val dupGroups = all
         .groupBy("v").agg(min(col("id")).as("_rep"), count(lit(1)).as("_nv"))
         .filter(col("_nv") > 1).select("v", "_rep")
       all.join(dupGroups, Seq("v"))
@@ -835,5 +850,6 @@ object Dedup {
       .select(col(idCol), col("_leafcell").as("cell"),
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
       .withColumn("kept", col(idCol) === col("cluster_id"))
+      .unionByName(zeroSingletons)
   }
 }

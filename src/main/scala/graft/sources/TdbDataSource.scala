@@ -136,11 +136,13 @@ final class TdbScan(meta: TdbFormat.TdbMeta, required: StructType,
           TdbInputPartition(t, t + 1, meta.trailOffset(t), meta.trailOffset(t + 1))
         }.toArray[InputPartition]
       case None =>
-        // contiguous ranges of ~maxPartitionBytes of trails.data, found by
+        // contiguous ranges of ~spark.sql.files.maxPartitionBytes of
+        // trails.data (the same knob the parquet scan honors), found by
         // binary-searching the toc for byte targets (point reads only)
         val dataEnd = meta.trailOffset(meta.numTrails)
-        val target = math.max(1L << 20, java.lang.Long.parseLong(
-          System.getProperty("graft.tdb.maxPartitionBytes", "134217728")))
+        val target = math.max(1L << 20,
+          try org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
+          catch { case _: Throwable => 128L * 1024 * 1024 })
         val parts = Array.newBuilder[InputPartition]
         var t = 0L
         var offs = meta.trailOffset(0L)

@@ -52,6 +52,13 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   */
 object TdbFormat {
 
+  /** One Configuration per JVM: `new Configuration()` parses the XML
+    * resource files every time (~ms), and point-read-heavy paths (toc
+    * binary searches during planning, per-task metadata) would otherwise
+    * pay it per 4-16 byte read (r7 review). Sharing the instance also
+    * lets Hadoop's FileSystem cache hit (it keys on scheme + conf). */
+  private lazy val hadoopConf = new Configuration()
+
   final case class Member(offset: Long, size: Long)
 
   /** A tdb root: a directory of member files or a single tar package.
@@ -80,7 +87,7 @@ object TdbFormat {
       require(len + pad <= Int.MaxValue, s"tdb member $name: $len bytes in one read")
       val out = new Array[Byte](len.toInt + pad)
       val p = new HPath(file)
-      val in = p.getFileSystem(new Configuration()).open(p)
+      val in = p.getFileSystem(hadoopConf).open(p)
       try {
         in.seek(m.offset + from)
         in.readFully(out, 0, len.toInt)
@@ -101,7 +108,7 @@ object TdbFormat {
       * exist. */
     def open(path: String): TdbArchive = {
       val p0 = new HPath(path)
-      val fs = p0.getFileSystem(new Configuration())
+      val fs = p0.getFileSystem(hadoopConf)
       val p = if (fs.exists(p0)) p0 else {
         val alt = new HPath(path + ".tdb")
         require(fs.exists(alt), s"tdb: no such file or directory: $path")

@@ -64,7 +64,13 @@ object TdbWriter {
     val valId: Array[Map[String, Long]] = lexicons.map(
       _.zipWithIndex.map { case (v, i) => v -> (i + 1L) }.toMap)
 
-    // pass 1 (streaming): min/max timestamp, max delta, trail/event counts
+    // pass 1 (streaming): min/max timestamp, max delta, trail/event
+    // counts — ONE pass (each toLocalIterator re-executes the sorted
+    // plan, so a separate delta pass would re-run the whole export
+    // shuffle+sort; r7 review). A trail's FIRST delta is ts − minTs,
+    // and minTs is only known at the end — so track the max first-event
+    // timestamp during the pass and fold it in afterwards:
+    // maxDelta = max(intra-trail max, maxFirstTs − minTs).
     var numEvents = 0L
     var minTs = Long.MaxValue
     var maxTs = Long.MinValue
@@ -72,30 +78,25 @@ object TdbWriter {
     var numTrails = 0L
     locally {
       var curUuid: String = null
-      val it = sortable.toLocalIterator()
-      while (it.hasNext) {
-        val r = it.next()
-        val ts = r.getLong(1)
-        numEvents += 1
-        if (ts < minTs) minTs = ts
-        if (ts > maxTs) maxTs = ts
-        if (r.getString(0) != curUuid) { curUuid = r.getString(0); numTrails += 1 }
-      }
-    }
-    if (numEvents == 0) { minTs = 0L; maxTs = 0L }
-    // max delta needs a second bounded pass with per-trail state
-    locally {
-      var curUuid: String = null
       var prevTs = 0L
+      var maxFirstTs = Long.MinValue
       val it = sortable.toLocalIterator()
       while (it.hasNext) {
         val r = it.next()
         val uuid = r.getString(0); val ts = r.getLong(1)
-        val delta = if (uuid == curUuid) ts - prevTs else ts - minTs
-        if (delta > maxDelta) maxDelta = delta
-        curUuid = uuid; prevTs = ts
+        numEvents += 1
+        if (ts < minTs) minTs = ts
+        if (ts > maxTs) maxTs = ts
+        if (uuid != curUuid) {
+          curUuid = uuid; numTrails += 1
+          if (ts > maxFirstTs) maxFirstTs = ts
+        } else if (ts - prevTs > maxDelta) maxDelta = ts - prevTs
+        prevTs = ts
       }
+      if (numEvents > 0 && maxFirstTs - minTs > maxDelta)
+        maxDelta = maxFirstTs - minTs
     }
+    if (numEvents == 0) { minTs = 0L; maxTs = 0L }
     require(maxDelta < (1L << 47) && minTs < (1L << 47),
       s"tdb package: timestamp delta $maxDelta / min $minTs exceeds the " +
         "47-bit timestamp-item budget (src/tdb_types.h:36-38)")
@@ -117,6 +118,14 @@ object TdbWriter {
       var prevTs = 0L
       val prevVals = new Array[Long](numFields)
       def flushTrail(): Unit = if (curUuid != null) {
+        // trails.data is buffered in driver memory (this writer exists
+        // for shipping bounded sample packages; the parquet dir is the
+        // scale layout) — refuse LOUDLY at 1.5 GiB rather than dying in
+        // ByteArrayOutputStream's array growth near Int.MaxValue
+        require(dataBuf.size() < (3L << 29),
+          s"tdb package: trails.data exceeds the 1.5 GiB in-memory " +
+            s"writer cap after ${tocBuf.length} trails — export a sample " +
+            "(the parquet directory is the scale layout)")
         tocBuf += dataBuf.size().toLong
         dataBuf.write(enc.finish())
         uuidBuf.write(TdbFormat.hexToBytes(curUuid))
@@ -156,11 +165,14 @@ object TdbWriter {
     val fieldsBytes = (fieldNames.mkString("\n") +
       (if (fieldNames.nonEmpty) "\n\n" else "\n"))
       .getBytes(StandardCharsets.UTF_8)
-    val tocWidth = if (dataBuf.size() < 0xffffffffL) 4 else 8
+    // toc entries are u32: trails.data is capped at 1.5 GiB above, far
+    // under the 4 GiB u32/u64 switch point (the READER still handles u64
+    // tocs, for reference-written packages past 4 GiB)
+    val tocWidth = 4
     val tocBytes = {
       val b = java.nio.ByteBuffer.allocate(tocBuf.length * tocWidth)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      tocBuf.foreach(o => if (tocWidth == 4) b.putInt(o.toInt) else b.putLong(o))
+      tocBuf.foreach(o => b.putInt(o.toInt))
       b.array()
     }
     val lexBytes: Seq[Array[Byte]] = lexicons.toSeq.map { values =>

@@ -450,6 +450,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup: a whale of identical zero-norm vectors bypasses the cell machinery (r7 review)") {
+    // Failed-embedding rows are exactly this shape: many byte-identical
+    // all-zero vectors. They can never pair (cosine NaN clears no
+    // threshold) so each is a singleton by contract — but inside the
+    // machinery they'd blow the cell cap, and no quantizer can split
+    // identical points, so the split rounds would burn out and refuse
+    // with advice that cannot work. They must route straight through.
+    val zeros = (0 until 500).map(i => (i.toLong, Array.fill(8)(0.0f)))
+    val normal = (500 until 520).map { i =>
+      (i.toLong, Array.tabulate(8)(d => if (d == i % 8) 1.0f else 0.1f))
+    }
+    val df = (zeros ++ normal).toDF("vec_id", "embedding")
+    // cap of 64 ≪ 500 zero vectors; completes without tuning or refusal
+    val res = Dedup.semanticDedup(df, nCells = 4, threshold = 0.9,
+      maxCellRows = 64L).collect()
+    assert(res.length === 520)
+    (0L until 500L).foreach { i =>
+      val r = res.find(_.getLong(0) == i).get
+      assert(r.getLong(2) === i, s"zero vec $i must be its own cluster")
+      assert(r.getBoolean(3), s"zero vec $i must be kept")
+    }
+  }
+
   test("bloomDedup: sketch sizing guard + sidecar-driven expectedItems") {
     // bits = −n·ln(fpp)/ln²2: 10^10 items at fpp=0.01 ≈ 12 GB — the
     // documented driver-bitset bound the guard enforces.

@@ -109,10 +109,11 @@ class PlanGuardSpec extends SparkSpec {
     Seq("d_domain_cap", "d_eval_split").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
-      assert(plan.contains("WindowGroupLimit"),
-        s"$name lost the WindowGroupLimit bound:\n$plan")
-      assert(plan.contains("Partial"),
-        s"$name lost the MAP-SIDE (Partial) group limit:\n$plan")
+      // the Partial must be on the WindowGroupLimit node itself — a bare
+      // plan.contains("Partial") would be satisfied by any partial hash
+      // aggregate while the group limit silently ran Final-only
+      assert("WindowGroupLimit.*Partial".r.findFirstIn(plan).isDefined,
+        s"$name lost the MAP-SIDE (Partial) WindowGroupLimit:\n$plan")
     }
   }
 

@@ -147,12 +147,14 @@ class TdbSourceSpec extends SparkSpec {
     val want = rows.map(t => (t._1, t._2, t._3, Option(t._4).getOrElse("")))
       .sorted.toSeq
     assert(back === want)
-    // multi-partition read: force tiny partitions and re-check the count
-    System.setProperty("graft.tdb.maxPartitionBytes", "1048576")
+    // multi-partition read: the scan honors the same partition-size knob
+    // as the parquet reader; force tiny partitions and re-check the count
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
     try {
       val n = spark.read.format("tdb").load(out).count()
       assert(n === 1200L)
-    } finally System.clearProperty("graft.tdb.maxPartitionBytes")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
   test("a directory of members opens like a tar package (tdb_open S_ISDIR path)") {
