@@ -87,6 +87,77 @@ class TdbSourceSpec extends SparkSpec {
     assert(r.getLong(1) === 9999L && r.getLong(2) === 16777216L)
   }
 
+  test("hand-built Huffman codebook decodes: bigram symbol, unigram code, literal mix") {
+    // The repo's writer emits literal-only streams, so the Huffman branch
+    // is otherwise exercised only by the reference's 2-event fixture.
+    // This builds a member DIRECTORY from the format spec by hand: a
+    // codebook with a 1-bit BIGRAM code (timestamp-delta item + field
+    // item fused in one gram) and a 3-bit UNIGRAM code, mixed with
+    // literal grams, plus edge-encoding inheritance across the mix.
+    import java.nio.{ByteBuffer, ByteOrder}
+    val dir = Files.createTempDirectory("graft-tdb-huff")
+    def put(name: String, bytes: Array[Byte]): Unit =
+      Files.write(dir.resolve(name), bytes)
+    val minTs = 1000L; val maxDelta = 10L
+    val fieldIdBits = TdbFormat.bitsNeeded(2L) // numFields = 2 (time + k)
+    val f0Bits = TdbFormat.bitsNeeded(maxDelta)
+    val f1Bits = TdbFormat.bitsNeeded(2L) // lexicon size 2
+
+    put("version", "1".getBytes)
+    put("info", s"1 3 $minTs 1010 $maxDelta\n".getBytes)
+    put("fields", "k\n\n".getBytes)
+    locally { // lexicon.k: ["x", "y"] (ids 1, 2)
+      val b = ByteBuffer.allocate(4 + 3 * 4 + 2).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(2); b.putInt(16); b.putInt(17); b.putInt(18)
+      b.put('x'.toByte); b.put('y'.toByte)
+      put("lexicon.k", b.array())
+    }
+    put("uuids", Array.fill[Byte](16)(0xab.toByte))
+    // codebook: code 0b0 (1 bit) -> bigram (tsdelta 0, k:=1);
+    //           code 0b101 (3 bits) -> unigram (k := 2).
+    // The table is FULLY EXPANDED: every 16-bit index whose low `bits`
+    // bits equal the code maps to the symbol (src/tdb_huffman.h:20-23).
+    locally {
+      val b = ByteBuffer.allocate(65536 * 20).order(ByteOrder.LITTLE_ENDIAN)
+      val big = (TdbFormat.makeItem(0, 0L), TdbFormat.makeItem(1, 1L), 1)
+      val uni = (TdbFormat.makeItem(1, 2L), 0L, 3)
+      for (idx <- 0 until 65536) {
+        val (lo, hi, bits) =
+          if ((idx & 1) == 0) big
+          else if ((idx & 7) == 5) uni
+          else (0L, 0L, 0)
+        b.putLong(lo); b.putLong(hi); b.putInt(bits)
+      }
+      put("trails.codebook", b.array())
+    }
+    // trail stream, LSB-first bit order (readBits contract)
+    val bits = scala.collection.mutable.ArrayBuffer[Int]()
+    def putBits(v: Long, n: Int): Unit =
+      (0 until n).foreach(i => bits += ((v >>> i) & 1L).toInt)
+    putBits(0L, 3) // unused-trailing-bits header, patched below
+    putBits(1L, 1); putBits(0L, 1)                    // e1: huffman bigram
+    putBits(0L, 1); putBits(0L, fieldIdBits); putBits(10L, f0Bits) // e2 ts+10
+    putBits(1L, 1); putBits(5L, 3)                    // e2: huffman k:=y
+    putBits(0L, 1); putBits(0L, fieldIdBits); putBits(0L, f0Bits)  // e3 ts+0
+    val pad = (8 - bits.length % 8) % 8
+    (0 until 3).foreach(i => bits(i) = ((pad >>> i) & 1))
+    val data = new Array[Byte]((bits.length + pad) / 8)
+    bits.zipWithIndex.foreach { case (v, i) =>
+      if (v != 0) data(i / 8) = (data(i / 8) | (1 << (i % 8))).toByte }
+    put("trails.data", data)
+    locally {
+      val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(0); b.putInt(data.length)
+      put("trails.toc", b.array())
+    }
+
+    val rows = spark.read.format("tdb").load(dir.toString)
+      .orderBy("time", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    val u = "ab" * 16
+    assert(rows === Seq((u, 1000L, "x"), (u, 1010L, "y"), (u, 1010L, "y")))
+  }
+
   test("package round trip: write v1 tar, read back, byte-exact trail frame") {
     val dir = Files.createTempDirectory("graft-tdb-rt")
     val out = s"$dir/rt.tdb"
