@@ -18,16 +18,23 @@ import org.apache.spark.sql.functions._
   * single 103 MB file), and the hard cap is the tar size-field limit
   * anyway.
   *
-  * Encoding: LITERAL-ONLY v1 streams — every gram is written as a flag-0
-  * literal `[0][field id][value]` (src/tdb_huffman.h:77-87's decode path),
-  * with proper edge encoding (only items whose value CHANGED since the
-  * trail's previous event are emitted, timestamps as deltas —
-  * src/tdb_encode.c:108-125, 164-190). The Huffman codebook member is the
-  * all-zero table: a literal-only stream never sets the Huffman flag bit,
-  * so the table is never consulted — a degenerate but fully VALID v1
-  * encoding (the reference's own encoder writes literals for every gram
-  * outside its codemap). Size costs ~2× vs Huffman on repetitive data;
-  * interchange compatibility is exact.
+  * Encoding: HUFFMAN-CODED v1 streams by default (round 7; literal-only
+  * before). Item frequencies are counted during the metadata pass, the
+  * top symbols get canonical prefix codes (≤16 bits, matching the
+  * codebook's 16-bit lookahead — src/tdb_huffman.h:20-23), and the
+  * fully-expanded 65536-entry decode table is emitted; every emitted
+  * item with a code becomes a flag-1 Huffman gram, everything else a
+  * flag-0 literal `[0][field id][value]` (src/tdb_huffman.h:66-88 — the
+  * reference's own encoder writes literals for every gram outside its
+  * codemap). Codes are stored LOW-BITS-FIRST (the decode table matches
+  * `idx & ((1<<bits)-1) == code`), so canonical MSB codes are
+  * bit-reversed per length — prefix-freeness is preserved under
+  * reversal. Bigram symbols are NOT emitted (a codebook without them is
+  * fully valid; the reader handles both). `compress = false` restores
+  * the literal-only stream (all-zero codebook, never consulted). Edge
+  * encoding is exact either way: only items whose value CHANGED since
+  * the trail's previous event are emitted, timestamps as deltas
+  * (src/tdb_encode.c:108-125, 164-190).
   *
   * Conventions matched to the reference:
   *  - trails ordered by uuid as little-endian u128 (v1's binary-search
@@ -40,7 +47,8 @@ import org.apache.spark.sql.functions._
   */
 object TdbWriter {
 
-  def writePackage(df: DataFrame, fieldNames: Seq[String], out: String): Unit = {
+  def writePackage(df: DataFrame, fieldNames: Seq[String], out: String,
+      compress: Boolean = true): Unit = {
     import graft.core.TrailSchema.{SeqCol, TimeCol, UuidCol}
 
     // byte-reversed hex = sort key whose string order equals the
@@ -76,10 +84,28 @@ object TdbWriter {
     var maxTs = Long.MinValue
     var maxDelta = 0L
     var numTrails = 0L
+    // Item frequencies for the Huffman pass, counted alongside the
+    // metadata with the same edge-encoding walk the encode pass does.
+    // First-event timestamp items (delta = ts − minTs) are SKIPPED —
+    // minTs is unknown until the pass ends — which only forfeits one
+    // potential code hit per trail, never correctness (the encoder
+    // checks the codemap per emitted item regardless of what was
+    // counted). Map growth is capped: past the cap, new items stop
+    // being admitted (existing keys keep counting; compression degrades
+    // gracefully, correctness never).
+    val freqs = new java.util.HashMap[java.lang.Long, Long]()
+    val FreqCap = 1 << 22
+    def count(item: Long): Unit = if (compress) {
+      val k = java.lang.Long.valueOf(item)
+      val cur = freqs.get(k)
+      if (cur != null) freqs.put(k, cur + 1L)
+      else if (freqs.size < FreqCap) freqs.put(k, 1L)
+    }
     locally {
       var curUuid: String = null
       var prevTs = 0L
       var maxFirstTs = Long.MinValue
+      val prevVals = new Array[Long](fieldNames.length + 1)
       val it = sortable.toLocalIterator()
       while (it.hasNext) {
         val r = it.next()
@@ -90,13 +116,28 @@ object TdbWriter {
         if (uuid != curUuid) {
           curUuid = uuid; numTrails += 1
           if (ts > maxFirstTs) maxFirstTs = ts
-        } else if (ts - prevTs > maxDelta) maxDelta = ts - prevTs
+          java.util.Arrays.fill(prevVals, 0L)
+        } else {
+          if (ts - prevTs > maxDelta) maxDelta = ts - prevTs
+          count(TdbFormat.makeItem(0, ts - prevTs))
+        }
+        var f = 0
+        while (f < fieldNames.length) {
+          val s = r.getString(3 + f)
+          val v = if (s == null || s.isEmpty) 0L else valId(f)(s)
+          if (v != prevVals(f + 1)) {
+            count(TdbFormat.makeItem(f + 1, v))
+            prevVals(f + 1) = v
+          }
+          f += 1
+        }
         prevTs = ts
       }
       if (numEvents > 0 && maxFirstTs - minTs > maxDelta)
         maxDelta = maxFirstTs - minTs
     }
     if (numEvents == 0) { minTs = 0L; maxTs = 0L }
+    val codeMap = buildCodes(freqs)
     require(maxDelta < (1L << 47) && minTs < (1L << 47),
       s"tdb package: timestamp delta $maxDelta / min $minTs exceeds the " +
         "47-bit timestamp-item budget (src/tdb_types.h:36-38)")
@@ -108,7 +149,15 @@ object TdbWriter {
     fieldNames.indices.foreach(i =>
       fieldBits(i + 1) = TdbFormat.bitsNeeded(lexicons(i).length.toLong))
 
-    // pass 2 (streaming): encode trails
+    // pass 2 (streaming): encode trails — Huffman gram when the item has
+    // a code, flag-0 literal otherwise (the reference's own split,
+    // src/tdb_huffman.c: items outside the codemap go literal)
+    def emit(enc: BitWriter, field: Int, value: Long): Unit = {
+      val code = codeMap.get(java.lang.Long.valueOf(
+        TdbFormat.makeItem(field, value)))
+      if (code != null) enc.huffman(code._1, code._2)
+      else enc.literal(field, value, fieldIdBits, fieldBits)
+    }
     val dataBuf = new ByteArrayOutputStream()
     val tocBuf = scala.collection.mutable.ArrayBuffer[Long]()
     val uuidBuf = new ByteArrayOutputStream()
@@ -140,14 +189,14 @@ object TdbWriter {
           java.util.Arrays.fill(prevVals, 0L)
           enc.reset()
         }
-        enc.literal(0, ts - prevTs, fieldIdBits, fieldBits)
+        emit(enc, 0, ts - prevTs)
         prevTs = ts
         var f = 0
         while (f < fieldNames.length) {
           val s = r.getString(3 + f)
           val v = if (s == null || s.isEmpty) 0L else valId(f)(s)
           if (v != prevVals(f + 1)) {
-            enc.literal(f + 1, v, fieldIdBits, fieldBits)
+            emit(enc, f + 1, v)
             prevVals(f + 1) = v
           }
           f += 1
@@ -196,7 +245,7 @@ object TdbWriter {
       Seq("tar.toc" -> Array.empty[Byte]) ++
       fieldNames.zip(lexBytes).map { case (f, b) => s"lexicon.$f" -> b } ++
       Seq("fields" -> fieldsBytes,
-        "trails.codebook" -> new Array[Byte](65536 * 20),
+        "trails.codebook" -> codebookBytes(codeMap),
         "trails.toc" -> tocBytes,
         "trails.data" -> dataBuf.toByteArray,
         "uuids" -> uuidBuf.toByteArray)
@@ -269,6 +318,90 @@ object TdbWriter {
     h
   }
 
+  /** Canonical prefix codes (≤16 bits) over the most frequent items,
+    * stored LOW-BITS-FIRST to match the decode table's
+    * `idx & ((1<<bits)-1) == code` convention — canonical MSB codes are
+    * bit-reversed per length (prefix-freeness survives reversal: a
+    * reversed code is a low-bits prefix of another iff the original was
+    * an MSB prefix). Depth is capped by halving the symbol set until the
+    * deepest code fits 16 bits (≤17 symbols always fit, so the loop
+    * terminates). Returns item → (code, bits). */
+  private def buildCodes(freqs: java.util.HashMap[java.lang.Long, Long])
+      : java.util.HashMap[java.lang.Long, (Int, Int)] = {
+    val out = new java.util.HashMap[java.lang.Long, (Int, Int)]()
+    if (freqs.isEmpty) return out
+    import scala.jdk.CollectionConverters._
+    var cands = freqs.asScala.toArray
+      .filter(_._2 >= 2L).sortBy { case (item, f) => (-f, item.longValue) }
+      .take(4096)
+    while (cands.length > 1) {
+      // Huffman depths via the two-queue method over freq-sorted leaves
+      val n = cands.length
+      val leaves = cands.map(_._2).sorted
+      val merged = new Array[Long](n - 1)
+      val parent = new Array[Int](2 * n - 1) // node index → parent node
+      var li = 0; var mi = 0; var mw = 0
+      def takeMin(): (Long, Int) =
+        if (li < n && (mi >= mw || leaves(li) <= merged(mi))) {
+          li += 1; (leaves(li - 1), li - 1)
+        } else { mi += 1; (merged(mi - 1), n + mi - 1) }
+      while (mw < n - 1) {
+        val (w1, i1) = takeMin(); val (w2, i2) = takeMin()
+        merged(mw) = w1 + w2
+        parent(i1) = n + mw; parent(i2) = n + mw
+        mw += 1
+      }
+      val depth = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        var d = 0; var node = i
+        while (node != n + mw - 1) { node = parent(node); d += 1 }
+        depth(i) = d; i += 1
+      }
+      if (depth.max <= 16) {
+        // canonical assignment: (depth asc, item asc), then bit-reverse
+        val byFreqAsc = cands.sortBy { case (item, f) => (f, item.longValue) }
+        val withDepth = byFreqAsc.zipWithIndex
+          .map { case ((item, _), ix) => (item, depth(ix)) }
+          .sortBy { case (item, d) => (d, item.longValue) }
+        var code = 0; var prevLen = withDepth.head._2
+        withDepth.foreach { case (item, len) =>
+          code <<= (len - prevLen); prevLen = len
+          var rev = 0; var b = 0
+          while (b < len) { rev = (rev << 1) | ((code >> b) & 1); b += 1 }
+          out.put(item, (rev, len))
+          code += 1
+        }
+        return out
+      }
+      cands = cands.take(math.max(1, cands.length / 2))
+    }
+    // a single symbol gets the 1-bit code 0
+    if (cands.length == 1) out.put(cands(0)._1, (0, 1))
+    out
+  }
+
+  /** The fully-expanded 65536-entry decode table for [[buildCodes]]'
+    * output: every 16-bit index whose low `bits` bits equal a code maps
+    * to that code's item (src/tdb_huffman.h:20-23); uncoded indexes stay
+    * zeroed (never consulted by a stream this writer emits). */
+  private def codebookBytes(
+      codeMap: java.util.HashMap[java.lang.Long, (Int, Int)]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(65536 * 20)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    codeMap.forEach { (item, cb) =>
+      val (code, bits) = cb
+      val step = 1 << bits
+      var idx = code
+      while (idx < 65536) {
+        b.position(idx * 20)
+        b.putLong(item.longValue); b.putLong(0L); b.putInt(bits)
+        idx += step
+      }
+    }
+    b.array()
+  }
+
   /** Little-endian bit stream with the 3-bit length residual header
     * (src/tdb_encode.c:280-343). */
   private final class BitWriter {
@@ -304,6 +437,14 @@ object TdbWriter {
       writeBits(0L, 1)
       writeBits(field.toLong, fieldIdBits)
       writeBits(value, fieldBits(field))
+    }
+
+    /** One Huffman gram: [1][code: bits, low-bits-first] (the flag-1
+      * branch — the decoder's 16-bit lookahead matches the code on its
+      * low `bits` bits and consumes bits+1). */
+    def huffman(code: Int, bits: Int): Unit = {
+      writeBits(1L, 1)
+      writeBits(code.toLong, bits)
     }
 
     /** Close the trail: write the unused-bit residual into the first 3

@@ -158,6 +158,39 @@ class TdbSourceSpec extends SparkSpec {
     assert(rows === Seq((u, 1000L, "x"), (u, 1010L, "y"), (u, 1010L, "y")))
   }
 
+  test("Huffman-coded package: round-trips exactly and shrinks vs literal-only") {
+    // repetitive corpus — the shape Huffman exists for: few event types,
+    // few props, regular 60s cadence (so the delta item repeats too)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 2000).map { i =>
+      val u = f"${rnd.nextInt(50)}%032x"
+      (u, 1000L + (i / 50) * 60L, Seq("view", "click", "buy")(rnd.nextInt(3)),
+        if (rnd.nextInt(10) == 0) "rare" + i else "common")
+    }
+    val df = rows.toDF("uuid", "time", "event_type", "props")
+      .withColumn("seq", col("time"))
+    val dir = Files.createTempDirectory("graft-tdb-huffrt")
+    val huff = s"$dir/huff.tdb"; val lit = s"$dir/lit.tdb"
+    TdbWriter.writePackage(df, Seq("event_type", "props"), huff)
+    TdbWriter.writePackage(df, Seq("event_type", "props"), lit,
+      compress = false)
+    def readBack(p: String) = spark.read.format("tdb").load(p)
+      .select("uuid", "time", "event_type", "props")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)).getOrElse(""),
+        Option(r.getString(3)).getOrElse(""))).sorted.toSeq
+    val a = readBack(huff); val b = readBack(lit)
+    assert(a === b, "huffman and literal packages decode differently")
+    assert(a === rows.map(t => (t._1, t._2, t._3, t._4)).sorted.toSeq)
+    // the coded trails.data must be materially smaller; compare the
+    // members, not the tars (the 1.3 MB expanded codebook dominates a
+    // tiny package's total size by design — it amortizes at real size)
+    def dataSize(p: String) =
+      TdbFormat.TdbArchive.open(p).size("trails.data")
+    val (hs, ls) = (dataSize(huff), dataSize(lit))
+    assert(hs < ls * 6 / 10, s"huffman trails.data $hs vs literal $ls")
+  }
+
   test("package round trip: write v1 tar, read back, byte-exact trail frame") {
     val dir = Files.createTempDirectory("graft-tdb-rt")
     val out = s"$dir/rt.tdb"
