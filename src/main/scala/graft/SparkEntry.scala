@@ -308,7 +308,7 @@ object SparkEntry {
 
     // Legacy .tdb read path (round 7, SURVEY §7.3's "only genuinely hard
     // piece"): write the trail frame as a format-v1 single-file package
-    // (tar members, literal-only bit streams, LE-u128-ordered uuid index
+    // (tar members, Huffman-coded bit streams, LE-u128-ordered uuid index
     // — sources/TdbWriter.scala) and read it back through the
     // DataSourceV2 reader (sources/TdbDataSource.scala: seek-based
     // trail-range partitions, uuid pushdown, column pruning). The oracle

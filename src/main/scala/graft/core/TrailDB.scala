@@ -306,7 +306,7 @@ object TrailDB {
     // user's existing .tdb files are first-class CLI/API inputs
     // (round 7; reference: tdb_open dispatches the same way on file vs
     // dir, src/tdb.c:330-341).
-    if (isLegacyTdb(path)) {
+    if (isLegacyTdb(spark, path)) {
       val df = spark.read.format("tdb").load(path)
       return fromTrailFrame(df)
     }
@@ -320,9 +320,9 @@ object TrailDB {
     * members instead of parquet, or — like tdb_open (src/tdb.c:322-329)
     * and [[graft.sources.TdbFormat.TdbArchive.open]] — `<path>.tdb`
     * exists where `path` itself does not. */
-  private def isLegacyTdb(path: String): Boolean = {
+  private def isLegacyTdb(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p))
       fs.exists(new org.apache.hadoop.fs.Path(path + ".tdb"))
     else if (fs.getFileStatus(p).isFile) true

@@ -734,7 +734,12 @@ object Dedup {
     // exactly this shape) is unsplittable by any quantizer — the split
     // rounds would burn maxSplitDepth and then refuse with advice that
     // cannot work.
-    val zeroSingletons = assigned.filter(col("nrm") <= 0)
+    // coalesce: a NULL embedding has NULL norm, which fails BOTH a <= 0
+    // and a > 0 filter — without it such rows would vanish from the
+    // output entirely (r7 review). NULL-embedding rows are singletons
+    // for the same reason zero-norm ones are: no cosine can match them.
+    val zeroSingletons = assigned
+      .filter(coalesce(col("nrm"), lit(0.0)) <= 0)
       .select(col("id").as(idCol), col("cell"),
         col("id").as("cluster_id"), lit(true).as("kept"))
     val all = assigned.filter(col("nrm") > 0)

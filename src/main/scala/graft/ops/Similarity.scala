@@ -599,7 +599,10 @@ object Similarity {
     sampleCache.computeIfAbsent(key, _ => {
       val sampled = if (sampleFraction < 1.0)
         corpus.sample(withReplacement = false, sampleFraction, seed) else corpus
-      val pts = sampled.select(col(vecCol))
+      // NULL vectors cannot train a quantizer (and NPE the collect) —
+      // they are legitimate corpus rows (operators route them around the
+      // vector machinery), just never training input
+      val pts = sampled.select(col(vecCol)).filter(col(vecCol).isNotNull)
         .orderBy(xxhash64(col(vecCol))).limit(maxSample).collect()
         .map(_.getSeq[Float](0).toArray)
       require(pts.nonEmpty, "quantizer training: empty sample")

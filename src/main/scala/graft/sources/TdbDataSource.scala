@@ -142,7 +142,7 @@ final class TdbScan(meta: TdbFormat.TdbMeta, required: StructType,
         val dataEnd = meta.trailOffset(meta.numTrails)
         val target = math.max(1L << 20,
           try org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
-          catch { case _: Throwable => 128L * 1024 * 1024 })
+          catch { case scala.util.control.NonFatal(_) => 128L * 1024 * 1024 })
         val parts = Array.newBuilder[InputPartition]
         var t = 0L
         var offs = meta.trailOffset(0L)

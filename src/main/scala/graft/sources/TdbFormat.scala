@@ -52,12 +52,20 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   */
 object TdbFormat {
 
-  /** One Configuration per JVM: `new Configuration()` parses the XML
-    * resource files every time (~ms), and point-read-heavy paths (toc
-    * binary searches during planning, per-task metadata) would otherwise
-    * pay it per 4-16 byte read (r7 review). Sharing the instance also
-    * lets Hadoop's FileSystem cache hit (it keys on scheme + conf). */
-  private lazy val hadoopConf = new Configuration()
+  /** The active Spark session's Hadoop configuration when one exists
+    * (so `spark.hadoop.*` overrides — s3a credentials etc. — reach the
+    * archive IO), else one cached default per JVM: `new Configuration()`
+    * parses the XML resource files every time (~ms), and
+    * point-read-heavy paths (toc binary searches during planning,
+    * per-task metadata) would otherwise pay it per 4-16 byte read (r7
+    * review). Both instances are stable, so Hadoop's FileSystem cache
+    * hits (it keys on scheme + conf). On executors without an active
+    * session the default applies — fine for file:// and properly-
+    * env-configured clusters. */
+  private lazy val defaultConf = new Configuration()
+  private def hadoopConf: Configuration =
+    try org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+    catch { case scala.util.control.NonFatal(_) => defaultConf }
 
   final case class Member(offset: Long, size: Long)
 

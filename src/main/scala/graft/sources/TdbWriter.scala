@@ -3,7 +3,6 @@ package graft.sources
 import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -155,7 +154,11 @@ object TdbWriter {
     def emit(enc: BitWriter, field: Int, value: Long): Unit = {
       val code = codeMap.get(java.lang.Long.valueOf(
         TdbFormat.makeItem(field, value)))
-      if (code != null) enc.huffman(code._1, code._2)
+      // code only when it is SHORTER than the literal for this field —
+      // the reference encoder's exact rule (tdb_huffman.c encode_gram:
+      // a deep code can exceed a narrow field's literal width)
+      if (code != null && code._2 < fieldIdBits + fieldBits(field))
+        enc.huffman(code._1, code._2)
       else enc.literal(field, value, fieldIdBits, fieldBits)
     }
     val dataBuf = new ByteArrayOutputStream()
@@ -171,9 +174,13 @@ object TdbWriter {
         // for shipping bounded sample packages; the parquet dir is the
         // scale layout) — refuse LOUDLY at 1.5 GiB rather than dying in
         // ByteArrayOutputStream's array growth near Int.MaxValue
-        require(dataBuf.size() < (3L << 29),
-          s"tdb package: trails.data exceeds the 1.5 GiB in-memory " +
-            s"writer cap after ${tocBuf.length} trails — export a sample " +
+        // uuids too: 16 bytes per trail also accumulates in driver memory
+        // and can hit the byte-array limit first on many-tiny-trail
+        // corpora (Huffman trails can be 1 byte each)
+        require(dataBuf.size() < (3L << 29) && uuidBuf.size() < (3L << 29),
+          s"tdb package: trails.data (${dataBuf.size()} B) or uuids " +
+            s"(${uuidBuf.size()} B) exceeds the 1.5 GiB in-memory writer " +
+            s"cap after ${tocBuf.length} trails — export a sample " +
             "(the parquet directory is the scale layout)")
         tocBuf += dataBuf.size().toLong
         dataBuf.write(enc.finish())
@@ -279,7 +286,8 @@ object TdbWriter {
 
     // ---- write the tar ----
     val p = new HPath(out)
-    val os = p.getFileSystem(new Configuration()).create(p, true)
+    val os = p.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration).create(p, true)
     try {
       finalMembers.foreach { case (name, bytes) =>
         os.write(tarHeader(name, bytes.length.toLong))

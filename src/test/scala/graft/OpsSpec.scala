@@ -462,14 +462,19 @@ class DedupSpec extends SparkSpec {
       (i.toLong, Array.tabulate(8)(d => if (d == i % 8) 1.0f else 0.1f))
     }
     val df = (zeros ++ normal).toDF("vec_id", "embedding")
+      // a NULL embedding must survive as a singleton too, not silently
+      // vanish (its norm is NULL — fails both a <=0 and a >0 filter
+      // without the coalesce; r7 review)
+      .unionByName(Seq((999L, Option.empty[Array[Float]]))
+        .toDF("vec_id", "embedding"))
     // cap of 64 ≪ 500 zero vectors; completes without tuning or refusal
     val res = Dedup.semanticDedup(df, nCells = 4, threshold = 0.9,
       maxCellRows = 64L).collect()
-    assert(res.length === 520)
-    (0L until 500L).foreach { i =>
+    assert(res.length === 521)
+    ((0L until 500L) ++ Seq(999L)).foreach { i =>
       val r = res.find(_.getLong(0) == i).get
-      assert(r.getLong(2) === i, s"zero vec $i must be its own cluster")
-      assert(r.getBoolean(3), s"zero vec $i must be kept")
+      assert(r.getLong(2) === i, s"zero/null vec $i must be its own cluster")
+      assert(r.getBoolean(3), s"zero/null vec $i must be kept")
     }
   }
 
