@@ -92,10 +92,16 @@ object TdbWriter {
     // counted). Map growth is capped: past the cap, new items stop
     // being admitted (existing keys keep counting; compression degrades
     // gracefully, correctness never).
-    val freqs = new java.util.HashMap[java.lang.Long, Long]()
+    // Symbols are (lo, hi) item pairs: hi = 0 for unigrams, hi != 0 for
+    // BIGRAM symbols — an event's (timestamp item, first changed-field
+    // item) fused into one gram, the reference's big win on repetitive
+    // streams (regular cadence + few event types collapse to ~1 gram per
+    // event). The decoder's bigram path is spec-proven (hand-built
+    // codebook test).
+    val freqs = new java.util.HashMap[(Long, Long), Long]()
     val FreqCap = 1 << 22
-    def count(item: Long): Unit = if (compress) {
-      val k = java.lang.Long.valueOf(item)
+    def count(lo: Long, hi: Long): Unit = if (compress) {
+      val k = (lo, hi)
       val cur = freqs.get(k)
       if (cur != null) freqs.put(k, cur + 1L)
       else if (freqs.size < FreqCap) freqs.put(k, 1L)
@@ -112,23 +118,36 @@ object TdbWriter {
         numEvents += 1
         if (ts < minTs) minTs = ts
         if (ts > maxTs) maxTs = ts
-        if (uuid != curUuid) {
+        val isFirst = uuid != curUuid
+        if (isFirst) {
           curUuid = uuid; numTrails += 1
           if (ts > maxFirstTs) maxFirstTs = ts
           java.util.Arrays.fill(prevVals, 0L)
-        } else {
-          if (ts - prevTs > maxDelta) maxDelta = ts - prevTs
-          count(TdbFormat.makeItem(0, ts - prevTs))
-        }
+        } else if (ts - prevTs > maxDelta) maxDelta = ts - prevTs
+        // every emitted item counts as a unigram (so every emission path
+        // has a fallback code), and an intra event's (ts item, first
+        // changed item) pair ALSO counts as a bigram candidate — the
+        // double-weighting skews code lengths slightly, it never loses a
+        // code path
+        var firstChanged = -1L
         var f = 0
         while (f < fieldNames.length) {
           val s = r.getString(3 + f)
           val v = if (s == null || s.isEmpty) 0L else valId(f)(s)
           if (v != prevVals(f + 1)) {
-            count(TdbFormat.makeItem(f + 1, v))
+            val item = TdbFormat.makeItem(f + 1, v)
+            if (firstChanged == -1L) firstChanged = item
+            count(item, 0L)
             prevVals(f + 1) = v
           }
           f += 1
+        }
+        // ts item needs minTs for a FIRST event's delta, so it (and the
+        // bigram) count for intra-trail events only
+        if (!isFirst) {
+          val tsItem = TdbFormat.makeItem(0, ts - prevTs)
+          count(tsItem, 0L)
+          if (firstChanged != -1L) count(tsItem, firstChanged)
         }
         prevTs = ts
       }
@@ -148,17 +167,25 @@ object TdbWriter {
     fieldNames.indices.foreach(i =>
       fieldBits(i + 1) = TdbFormat.bitsNeeded(lexicons(i).length.toLong))
 
-    // pass 2 (streaming): encode trails — Huffman gram when the item has
-    // a code, flag-0 literal otherwise (the reference's own split,
-    // src/tdb_huffman.c: items outside the codemap go literal)
-    def emit(enc: BitWriter, field: Int, value: Long): Unit = {
-      val code = codeMap.get(java.lang.Long.valueOf(
-        TdbFormat.makeItem(field, value)))
+    // pass 2 (streaming): encode trails — bigram Huffman gram when the
+    // event's (ts, first-field) pair has a code that beats its two parts,
+    // unigram Huffman when an item's code beats its literal, flag-0
+    // literal otherwise (the reference's split, src/tdb_huffman.c:
+    // everything outside the codemap goes literal)
+    def unigram(field: Int, value: Long): (Int, Int) = {
+      val code = codeMap.get((TdbFormat.makeItem(field, value), 0L))
       // code only when it is SHORTER than the literal for this field —
-      // the reference encoder's exact rule (tdb_huffman.c encode_gram:
-      // a deep code can exceed a narrow field's literal width)
-      if (code != null && code._2 < fieldIdBits + fieldBits(field))
-        enc.huffman(code._1, code._2)
+      // a deep code can exceed a narrow field's literal width
+      if (code != null && code._2 < fieldIdBits + fieldBits(field)) code
+      else null
+    }
+    def costOf(field: Int, value: Long): Int = {
+      val c = unigram(field, value)
+      1 + (if (c != null) c._2 else fieldIdBits + fieldBits(field))
+    }
+    def emit(enc: BitWriter, field: Int, value: Long): Unit = {
+      val code = unigram(field, value)
+      if (code != null) enc.huffman(code._1, code._2)
       else enc.literal(field, value, fieldIdBits, fieldBits)
     }
     val dataBuf = new ByteArrayOutputStream()
@@ -169,6 +196,8 @@ object TdbWriter {
       var curUuid: String = null
       var prevTs = 0L
       val prevVals = new Array[Long](numFields)
+      val chF = new Array[Int](numFields)
+      val chV = new Array[Long](numFields)
       def flushTrail(): Unit = if (curUuid != null) {
         // trails.data is buffered in driver memory (this writer exists
         // for shipping bounded sample packages; the parquet dir is the
@@ -196,18 +225,30 @@ object TdbWriter {
           java.util.Arrays.fill(prevVals, 0L)
           enc.reset()
         }
-        emit(enc, 0, ts - prevTs)
-        prevTs = ts
+        // gather this event's changed (field, value) items first — the
+        // bigram decision needs the ts item and the FIRST changed item
+        // together before anything is written
+        var nCh = 0
         var f = 0
         while (f < fieldNames.length) {
           val s = r.getString(3 + f)
           val v = if (s == null || s.isEmpty) 0L else valId(f)(s)
           if (v != prevVals(f + 1)) {
-            emit(enc, f + 1, v)
+            chF(nCh) = f + 1; chV(nCh) = v; nCh += 1
             prevVals(f + 1) = v
           }
           f += 1
         }
+        val delta = ts - prevTs
+        prevTs = ts
+        var from = 0
+        val big = if (nCh == 0) null else codeMap.get(
+          (TdbFormat.makeItem(0, delta), TdbFormat.makeItem(chF(0), chV(0))))
+        if (big != null && big._2 + 1 < costOf(0, delta) + costOf(chF(0), chV(0))) {
+          enc.huffman(big._1, big._2); from = 1
+        } else emit(enc, 0, delta)
+        var c = from
+        while (c < nCh) { emit(enc, chF(c), chV(c)); c += 1 }
       }
       flushTrail()
     }
@@ -334,13 +375,13 @@ object TdbWriter {
     * an MSB prefix). Depth is capped by halving the symbol set until the
     * deepest code fits 16 bits (≤17 symbols always fit, so the loop
     * terminates). Returns item → (code, bits). */
-  private def buildCodes(freqs: java.util.HashMap[java.lang.Long, Long])
-      : java.util.HashMap[java.lang.Long, (Int, Int)] = {
-    val out = new java.util.HashMap[java.lang.Long, (Int, Int)]()
+  private def buildCodes(freqs: java.util.HashMap[(Long, Long), Long])
+      : java.util.HashMap[(Long, Long), (Int, Int)] = {
+    val out = new java.util.HashMap[(Long, Long), (Int, Int)]()
     if (freqs.isEmpty) return out
     import scala.jdk.CollectionConverters._
     var cands = freqs.asScala.toArray
-      .filter(_._2 >= 2L).sortBy { case (item, f) => (-f, item.longValue) }
+      .filter(_._2 >= 2L).sortBy { case (sym, f) => (-f, sym._1, sym._2) }
       .take(4096)
     while (cands.length > 1) {
       // Huffman depths via the two-queue method over freq-sorted leaves
@@ -368,10 +409,10 @@ object TdbWriter {
       }
       if (depth.max <= 16) {
         // canonical assignment: (depth asc, item asc), then bit-reverse
-        val byFreqAsc = cands.sortBy { case (item, f) => (f, item.longValue) }
+        val byFreqAsc = cands.sortBy { case (sym, f) => (f, sym._1, sym._2) }
         val withDepth = byFreqAsc.zipWithIndex
-          .map { case ((item, _), ix) => (item, depth(ix)) }
-          .sortBy { case (item, d) => (d, item.longValue) }
+          .map { case ((sym, _), ix) => (sym, depth(ix)) }
+          .sortBy { case (sym, d) => (d, sym._1, sym._2) }
         var code = 0; var prevLen = withDepth.head._2
         withDepth.foreach { case (item, len) =>
           code <<= (len - prevLen); prevLen = len
@@ -394,16 +435,16 @@ object TdbWriter {
     * to that code's item (src/tdb_huffman.h:20-23); uncoded indexes stay
     * zeroed (never consulted by a stream this writer emits). */
   private def codebookBytes(
-      codeMap: java.util.HashMap[java.lang.Long, (Int, Int)]): Array[Byte] = {
+      codeMap: java.util.HashMap[(Long, Long), (Int, Int)]): Array[Byte] = {
     val b = java.nio.ByteBuffer.allocate(65536 * 20)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    codeMap.forEach { (item, cb) =>
+    codeMap.forEach { (sym, cb) =>
       val (code, bits) = cb
       val step = 1 << bits
       var idx = code
       while (idx < 65536) {
         b.position(idx * 20)
-        b.putLong(item.longValue); b.putLong(0L); b.putInt(bits)
+        b.putLong(sym._1); b.putLong(sym._2); b.putInt(bits)
         idx += step
       }
     }
