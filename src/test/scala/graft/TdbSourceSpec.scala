@@ -187,8 +187,9 @@ class TdbSourceSpec extends SparkSpec {
     // tiny package's total size by design — it amortizes at real size)
     def dataSize(p: String) =
       TdbFormat.TdbArchive.open(p).size("trails.data")
+    // measured 0.43 with unigram+bigram codes; 0.5 leaves noise margin
     val (hs, ls) = (dataSize(huff), dataSize(lit))
-    assert(hs < ls * 6 / 10, s"huffman trails.data $hs vs literal $ls")
+    assert(hs < ls / 2, s"huffman trails.data $hs vs literal $ls")
   }
 
   test("package round trip: write v1 tar, read back, byte-exact trail frame") {
