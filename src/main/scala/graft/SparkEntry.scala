@@ -21,12 +21,9 @@ object SparkEntry {
     * user_id, time = epoch seconds, fields = event_type/props, seq =
     * event_id (deterministic tiebreaker). See FIXTURES.md §3. */
   private def trails(s: SparkSession, dir: String): TrailDB = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 only reads as a
-    // nanos Long under this legacy flag; integer DIV keeps full precision
-    // (double division at 1e18 would lose the low bits).
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("ts DIV 1000000000"))
+    // EventSource branches on the parquet ts encoding (nanos Long vs
+    // timestamp[us] — both have shipped) and yields epoch-second Longs.
+    val ev = graft.core.EventSource.events(s, dir)
     TrailDB.fromEvents(ev,
       uuidCol = "user_id", timeCol = "ts",
       fieldCols = Seq("event_type", "props"), seqCol = Some("event_id"))
@@ -1423,9 +1420,8 @@ object SparkEntry {
 
     // Daily event rollup: count + exact sum(value) per (event_type, day).
     "q_events_daily" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/events.parquet")
-        .withColumn("day", expr("(ts DIV 1000000000) DIV 86400"))
+      graft.core.EventSource.events(s, dir)
+        .withColumn("day", expr("ts DIV 86400"))
         .groupBy("event_type", "day")
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"))
@@ -1561,10 +1557,9 @@ object SparkEntry {
     // frame over (uuid, time) — one uuid shuffle, same-time peers included
     // on both engines, exact micro-integer value sums.
     "t_rolling" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$dir/events.parquet").select(
+      val ev = graft.core.EventSource.events(s, dir).select(
         format_string("%032x", col("user_id")).as("uuid"),
-        expr("ts DIV 1000000000").as("time"),
+        col("ts").as("time"),
         col("event_id").as("seq"),
         round(coalesce(col("value"), lit(0.0)) * 1e6).cast("long").as("v_micro"))
       graft.agg.Rolling.trailingStats(ev, horizon = 3600L, valueCol = "v_micro")

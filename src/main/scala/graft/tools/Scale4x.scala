@@ -44,9 +44,7 @@ object Scale4x {
       // per-trail work constant — the 100 TB axis for trail operators) and
       // compare the union+window formulation against the custom Catalyst
       // merge exec at 1×/4×/16×.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev1 = spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", expr("ts DIV 1000000000"))
+      val ev1 = graft.core.EventSource.events(spark, sfDir)
       val maxU = ev1.agg(max("user_id")).head().getLong(0) + 1L
       for (factor <- Seq(4, 16)) {
         (0 until factor).map(i =>
@@ -362,9 +360,7 @@ object Scale4x {
       // happen at 100 TB, and of whether time stays linear in whale size
       // (O(trail) folds / O(trail log trail) sorted collects) rather than
       // quadratic.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev1 = spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", expr("ts DIV 1000000000"))
+      val ev1 = graft.core.EventSource.events(spark, sfDir)
       val maxU = ev1.agg(max("user_id")).head().getLong(0) + 1L
       (0 until 16).map(i =>
           ev1.withColumn("user_id", col("user_id") + lit(i * maxU)))
@@ -504,9 +500,7 @@ object Scale4x {
       }
       // Exclusion funnel + compaction: the TRAIL-COUNT axis (uuid-shift
       // replication, per-trail work constant) — same axis as --asof.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev1 = spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", expr("ts DIV 1000000000"))
+      val ev1 = graft.core.EventSource.events(spark, sfDir)
       val maxU = ev1.agg(max("user_id")).head().getLong(0) + 1L
       for (factor <- Seq(4, 16)) {
         (0 until factor).map(i =>

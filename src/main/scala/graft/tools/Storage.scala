@@ -28,8 +28,7 @@ object Storage {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("ts DIV 1000000000"))
+    val ev = graft.core.EventSource.events(spark, sfDir)
     val db = TrailDB.fromEvents(ev, uuidCol = "user_id", timeCol = "ts",
       fieldCols = Seq("event_type", "props"), seqCol = Some("event_id"))
     val n = db.df.count()

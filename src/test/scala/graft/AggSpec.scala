@@ -12,8 +12,7 @@ class AggSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val trails = TrailDB.fromEvents(
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", expr("ts DIV 1000000000")),
+    graft.core.EventSource.events(spark, "/root/testdata/sf0.001"),
     uuidCol = "user_id", timeCol = "ts",
     fieldCols = Seq("event_type"), seqCol = Some("event_id"))
 
