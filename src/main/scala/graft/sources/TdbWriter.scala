@@ -198,6 +198,18 @@ object TdbWriter {
       val prevVals = new Array[Long](numFields)
       val chF = new Array[Int](numFields)
       val chV = new Array[Long](numFields)
+      // A malformed uuid would CORRUPT the package silently: hexToBytes
+      // of a short string writes <16 bytes into the uuids member and
+      // every later trail's index entry misaligns (non-hex chars turn
+      // into garbage bytes the same way). The reference requires raw
+      // 16-byte uuids at the API boundary (tdb_cons_add's
+      // uuid[16]); this writer takes the repo's 32-hex form, so
+      // validate it here, once per trail.
+      def requireHexUuid(u: String): Unit =
+        require(u.length == 32 && u.forall(c => Character.digit(c, 16) >= 0),
+          s"tdb package: uuid '$u' is not 32 hex chars — the uuids index " +
+            "is 16 raw bytes per trail and a malformed uuid would corrupt " +
+            "every entry after it")
       def flushTrail(): Unit = if (curUuid != null) {
         // trails.data is buffered in driver memory (this writer exists
         // for shipping bounded sample packages; the parquet dir is the
@@ -221,6 +233,7 @@ object TdbWriter {
         val uuid = r.getString(0); val ts = r.getLong(1)
         if (uuid != curUuid) {
           flushTrail()
+          requireHexUuid(uuid)
           curUuid = uuid; prevTs = minTs
           java.util.Arrays.fill(prevVals, 0L)
           enc.reset()

@@ -334,4 +334,105 @@ class TdbSourceSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("no such file"), e2.getMessage)
   }
+
+  // ---- round-8 adversarial round trips ----
+
+  private def roundTrip(rows: Seq[(String, Long, String, String)],
+      tag: String, compress: Boolean = true): Unit = {
+    val dir = Files.createTempDirectory(s"graft-tdb-$tag")
+    val out = s"$dir/$tag.tdb"
+    val df = rows.toDF("uuid", "time", "f1", "f2")
+    TdbWriter.writePackage(df, Seq("f1", "f2"), out, compress = compress)
+    val got = spark.read.format("tdb").load(out).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)).getOrElse(""), Option(r.getString(3)).getOrElse("")))
+      .sorted.toSeq
+    val want = rows
+      .map(t => (t._1, t._2, Option(t._3).getOrElse(""), Option(t._4).getOrElse("")))
+      .sorted
+    assert(got === want, s"round trip '$tag' (compress=$compress) diverged")
+  }
+
+  test("multi-byte UTF-8 lexicon values round trip (byte offsets, not char counts)") {
+    // lexicon offsets are BYTE offsets; these values are 1-4 bytes per
+    // char (includes a surrogate-pair emoji) and share prefixes
+    val u = "ab" * 16
+    roundTrip(Seq(
+      (u, 1L, "héllo", "日本語"),
+      (u, 2L, "héllo!", "😀smile"),
+      (u, 3L, "ascii", "日本"),
+      (u, 4L, "héllo", null)), "utf8")
+  }
+
+  test("wide timestamp deltas (> 24-bit) round trip as wide items") {
+    // deltas past 2^24 force the 64-bit item form for field 0; also a
+    // 40+-bit delta (the narrow-value budget is 24 bits, wide is 48)
+    val u1 = "0" * 31 + "1"; val u2 = "0" * 31 + "2"
+    roundTrip(Seq(
+      (u1, 0L, "a", "x"),
+      (u1, (1L << 25) + 7, "b", "x"),
+      (u1, (1L << 41) + 13, "a", "y"),
+      (u2, (1L << 40) + 3, "c", null)), "widedelta")
+  }
+
+  test("byte-identical repeated events round trip (count preserved)") {
+    // three fully identical events: edge encoding emits only the delta-0
+    // timestamp gram for repeats — the event COUNT must still survive
+    val u = "f" * 32
+    roundTrip(Seq(
+      (u, 5L, "a", "x"),
+      (u, 5L, "a", "x"),
+      (u, 5L, "a", "x"),
+      (u, 6L, "a", "x")), "dupes")
+  }
+
+  test("value flips through NULL and back re-emit on each edge") {
+    val u = "9" * 32
+    roundTrip(Seq(
+      (u, 1L, "a", "x"),
+      (u, 2L, null, "x"), // a → NULL must be an explicit id-0 item
+      (u, 3L, "a", "x"),  // NULL → a again
+      (u, 4L, "", "x"),   // empty string IS null (reference convention)
+      (u, 5L, "a", "x")), "nullflip")
+  }
+
+  test("all timestamps equal (maxDelta = 0) round trips") {
+    roundTrip(Seq(
+      ("1" * 32, 42L, "a", "x"),
+      ("1" * 32, 42L, "b", "y"),
+      ("2" * 32, 42L, "c", null)), "zerodelta")
+  }
+
+  test("literal-only stream (compress = false) round trips the same corpus") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 300).map { _ =>
+      (f"${rnd.nextInt(9)}%032x", rnd.nextInt(1000).toLong,
+        s"e${rnd.nextInt(4)}", if (rnd.nextInt(5) == 0) null else s"v${rnd.nextInt(6)}")
+    }
+    roundTrip(rows, "literal", compress = false)
+    roundTrip(rows, "huffman", compress = true)
+  }
+
+  test("zero ofields (time-only schema) round trips") {
+    val dir = Files.createTempDirectory("graft-tdb-nofields")
+    val out = s"$dir/nofields.tdb"
+    val df = Seq(("3" * 32, 10L), ("3" * 32, 20L), ("4" * 32, 15L))
+      .toDF("uuid", "time")
+    TdbWriter.writePackage(df, Seq(), out)
+    val back = spark.read.format("tdb").load(out)
+    assert(back.columns.toSeq === Seq("uuid", "time"))
+    assert(back.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      === Seq(("3" * 32, 10L), ("3" * 32, 20L), ("4" * 32, 15L)))
+  }
+
+  test("a malformed uuid refuses loudly instead of corrupting the index") {
+    val dir = Files.createTempDirectory("graft-tdb-baduuid")
+    for (bad <- Seq("ab" * 15, "zz" + "00" * 15)) { // short / non-hex
+      val df = Seq((bad, 1L, "a", "x")).toDF("uuid", "time", "f1", "f2")
+      val e = intercept[Exception] {
+        TdbWriter.writePackage(df, Seq("f1", "f2"), s"$dir/bad.tdb")
+      }
+      assert(e.getMessage.contains("not 32 hex chars"), e.getMessage)
+    }
+  }
 }
