@@ -102,5 +102,14 @@ object Bench {
     val kept = bySlowest.take(k).sortBy(_._1)
     println(line(kept, s""""n_queries":${results.length},"repeats":$repeats,"queries_omitted_fastest":${results.length - k},"""))
     spark.stop()
+    // A bench with failing queries is a FAILED bench — exit non-zero so
+    // any rc-checking consumer rejects the artifact instead of recording
+    // a round whose totals are null (r7: all 42 trail queries failed on a
+    // schema regression while the bench still exited 0).
+    if (failedQs.nonEmpty) {
+      System.err.println(
+        s"[bench] ${failedQs.length} queries failed: ${failedQs.mkString(", ")}")
+      sys.exit(2)
+    }
   }
 }

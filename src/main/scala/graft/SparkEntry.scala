@@ -618,6 +618,25 @@ object SparkEntry {
       Bpe.pairCounts(Bpe.wordSymbols(s.read.parquet(s"$dir/documents.parquet")))
         .orderBy(col("cnt").desc, col("sym_l"), col("sym_r")).limit(50)),
 
+    // BPE ENCODE (the tokenizer-apply side of train): segment every doc
+    // with a FIXED merge list — training is covered by d_bpe_pairs + the
+    // multi-round spec; a fixed rule list is what makes the encode pass
+    // engine-replayable (the oracle replays left-to-right non-overlapping
+    // merge application as a sentinel-delimited replace chain, which has
+    // identical non-overlap semantics). Per-doc subword totals + distinct
+    // counts; docs with no tokens drop on both engines (explode/unnest).
+    "d_bpe_segment" -> ((s, dir) => {
+      val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+        ("e", "r"), ("o", "n")).zipWithIndex
+        .map { case ((a, b), i) => Bpe.BpeMerge(i + 1, a, b, 0L) }
+      Bpe.segment(s.read.parquet(s"$dir/documents.parquet"), merges)
+        .select(col("doc_id"), explode(col("subwords")).as("sw"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_subwords"),
+          countDistinct(col("sw")).as("n_distinct"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic exactly-N-per-stratum split: carve exactly 5 eval docs
     // per language, ranked by content hash — the exact-count eval-split
     // primitive (vs the fractional stratified sampler).
@@ -2090,6 +2109,34 @@ object SparkEntry {
         |SELECT sym_l, sym_r, CAST(sum(f) AS BIGINT) AS cnt
         |FROM p GROUP BY sym_l, sym_r
         |ORDER BY cnt DESC, sym_l, sym_r LIMIT 50""".stripMargin,
+
+    // Sentinel-delimited replace chain == left-to-right non-overlapping
+    // merge application: each symbol is wrapped chr(1)sym chr(2), so a
+    // merged symbol can never re-match its own rule's pattern, and
+    // replace() resumes AFTER the inserted text exactly like the
+    // encoder's i += 2. Rules applied in training order.
+    "d_bpe_segment" -> {
+      def m(expr: String, a: String, b: String): String =
+        s"replace($expr, chr(1)||'$a'||chr(2)||chr(1)||'$b'||chr(2), " +
+          s"chr(1)||'$a$b'||chr(2))"
+      val chain = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+        ("e", "r"), ("o", "n")).foldLeft(
+        "chr(1) || array_to_string(string_split_regex(w, ''), " +
+          "chr(2)||chr(1)) || chr(2)") { case (e, (a, b)) => m(e, a, b) }
+      s"""WITH w AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split_regex(text, ' +')) AS w
+         |    FROM documents)
+         |  WHERE w <> ''),
+         |seg AS (SELECT doc_id, $chain AS r FROM w),
+         |sub AS (SELECT doc_id,
+         |    unnest(string_split(trim(replace(replace(r, chr(1), ''),
+         |      chr(2), ' ')), ' ')) AS sw
+         |  FROM seg)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_subwords,
+         |  CAST(count(DISTINCT sw) AS BIGINT) AS n_distinct
+         |FROM sub GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "d_eval_split" ->
       """WITH r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
