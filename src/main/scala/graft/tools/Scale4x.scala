@@ -39,6 +39,65 @@ object Scale4x {
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    if (args.contains("--tdb")) {
+      // Legacy .tdb READER ladder: corpus ×1/×4 (uuid-shift replication —
+      // trail count scales, per-trail shape constant), decode-scan the
+      // package through the DataSourceV2 reader. What 100 TB needs from
+      // this source: (a) decode time tracks bytes (the per-trail decoder
+      // is linear), (b) parallelism tracks spark.sql.files.
+      // maxPartitionBytes exactly like a parquet scan (partitions = byte
+      // ranges, no whole-archive reads), (c) a uuid point lookup plans
+      // ONE single-trail partition (the tdb_get_trail_id shape), never a
+      // scan. The writer stays out of the timed region (driver-side
+      // bounded export by design).
+      import org.apache.spark.sql.functions.length
+      val ev1 = graft.core.EventSource.events(spark, sfDir)
+      val maxU = ev1.agg(max("user_id")).head().getLong(0) + 1L
+      val db1 = graft.core.TrailDB.fromEvents(ev1, uuidCol = "user_id",
+        timeCol = "ts", fieldCols = Seq("event_type", "props"),
+        seqCol = Some("event_id"))
+      val ev16 = (0 until 16).map(i =>
+          ev1.withColumn("user_id", col("user_id") + lit(i * maxU)))
+        .reduce(_.unionByName(_))
+      val db16 = graft.core.TrailDB.fromEvents(ev16, uuidCol = "user_id",
+        timeCol = "ts", fieldCols = Seq("event_type", "props"),
+        seqCol = Some("event_id"))
+      graft.sources.TdbWriter.writePackage(db1.df,
+        Seq("event_type", "props"), s"$base/l1.tdb")
+      graft.sources.TdbWriter.writePackage(db16.df,
+        Seq("event_type", "props"), s"$base/l16.tdb")
+      val sz1 = new java.io.File(s"$base/l1.tdb").length / 1024
+      val sz16 = new java.io.File(s"$base/l16.tdb").length / 1024
+      println(s"| package | ${sz1}K | ${sz16}K |")
+      println("| read | 1× | 16× | scaling |")
+      println("|---|---|---|---|")
+      def scan(path: String): (Double, Int) = {
+        val df = spark.read.format("tdb").load(path)
+          .select(sum(length(col("props"))).as("s"))
+        val parts = spark.read.format("tdb").load(path).rdd.getNumPartitions
+        (time(df.queryExecution.toRdd.count()), parts)
+      }
+      for (mpb <- Seq("16m", "1m")) {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+        val (t1, p1) = scan(s"$base/l1.tdb")
+        val (t16, p16) = scan(s"$base/l16.tdb")
+        println(f"| full decode (mpb=$mpb) | $t1%.2fs ($p1 parts) " +
+          f"| $t16%.2fs ($p16 parts) | ${t16 / t1}%.1f× |")
+      }
+      spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      // point lookup: one trail, one partition, independent of corpus size
+      val someUuid = db1.df.select("uuid").head().getString(0)
+      def point(path: String): (Double, Int) = {
+        val df = spark.read.format("tdb").load(path)
+          .filter(col("uuid") === someUuid)
+        (time(df.queryExecution.toRdd.count()), df.rdd.getNumPartitions)
+      }
+      val (pt1, pp1) = point(s"$base/l1.tdb")
+      val (pt16, pp16) = point(s"$base/l16.tdb")
+      println(f"| uuid point lookup | $pt1%.2fs ($pp1 part) " +
+        f"| $pt16%.2fs ($pp16 part) | ${pt16 / pt1}%.1f× |")
+      spark.stop(); return
+    }
     if (args.contains("--asof")) {
       // AS-OF ladder: replicate events by uuid-shift (trail count scales,
       // per-trail work constant — the 100 TB axis for trail operators) and
