@@ -737,6 +737,25 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "n_stopwords")
         .orderBy("doc_id")),
 
+    // Quantile-threshold gate ("drop the bottom decile by token count"):
+    // the threshold is ONE mergeable GK-sketch pass (percentile_approx)
+    // broadcast into the filter scan — at 100 TB the exact percentile is
+    // a full sort, the sketch is rank-ε exact. Invariant-contract row
+    // (the ANN pattern): the sketch's threshold VALUE is summary-
+    // specific, so the oracle checks its rank GUARANTEE, recomputed
+    // from the data, tie-robustly (strict/non-strict counts bracket the
+    // tie mass); n_total is DuckDB-recomputed, n_kept is floored (≥
+    // (1−q−ε)·n — ties at the threshold only ADD rows).
+    "d_quantile_gate" -> ((s, dir) => {
+      val scored = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("ntok"))
+      TextAnalysis.quantileGateContract(scored, col("ntok"), q = 0.10)
+        .select(col("n_total"),
+          (col("n_kept") >= ceil(lit(0.88) * col("n_total"))).cast("long")
+            .as("kept_floor_ok"),
+          col("rank_lo_ok"), col("rank_hi_ok"))
+    }),
+
     // MinHash+LSH near-dup pairs, exact-Jaccard-verified. 64 hashes / 32
     // bands keeps r=2 rows per band (S-curve midpoint (1/32)^(1/2) ≈ 0.18,
     // right under the 0.2 verify threshold) at half the signature cost of
@@ -2311,6 +2330,16 @@ object SparkEntry {
         |WHERE n_tokens >= 20 AND n_tokens <= 600
         |  AND stopword_ratio < 0.3 AND punct_ratio < 0.1
         |ORDER BY doc_id""".stripMargin,
+
+    // Invariant oracle (ANN pattern): n_total recomputed; the three
+    // checks are guarantees of the GK summary re-verified in-plan from
+    // the data, so the oracle pins them at 1.
+    "d_quantile_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(1 AS BIGINT) AS kept_floor_ok,
+        |       CAST(1 AS BIGINT) AS rank_lo_ok,
+        |       CAST(1 AS BIGINT) AS rank_hi_ok
+        |FROM documents""".stripMargin,
 
     "e_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -538,6 +538,61 @@ object TextAnalysis {
             x => x.getField("s"))).as("clean"))
   }
 
+  /** Quantile-threshold gate — the percentile-based quality filter of
+    * C4/Gopher-style pipelines ("drop the bottom q of the corpus by this
+    * score"): keep rows whose score clears the corpus' approximate
+    * q-quantile.
+    *
+    * Scale shape: the threshold comes from ONE mergeable sketch pass —
+    * `percentile_approx` is Spark's Greenwald-Khanna summary, rank error
+    * ≤ n/accuracy, partial-aggregated map-side like any agg — broadcast
+    * back as a one-row cross join into the filter scan. An EXACT
+    * percentile would be a full corpus sort; at 100 TB the sketch is the
+    * only sane path, and its rank-ε contract is what
+    * [[quantileGateContract]] re-checks from the data. Two pushed-down
+    * scans of the input (sketch + filter), no shuffle beyond the one-row
+    * aggregate.
+    *
+    * Keeps score >= threshold (ties INCLUDED — so slightly more than
+    * (1−q)·n rows survive when the threshold value is heavy); null
+    * scores drop (they clear no threshold). */
+  def quantileFilter(df: DataFrame, scoreCol: Column, q: Double,
+      accuracy: Int = 10000): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"q must be in (0, 1), got $q")
+    require(accuracy >= 100, s"accuracy must be >= 100, got $accuracy")
+    val thr = df.agg(
+      percentile_approx(scoreCol, lit(q), lit(accuracy)).as("_thr"))
+    df.crossJoin(broadcast(thr))
+      .filter(scoreCol >= col("_thr"))
+      .drop("_thr")
+  }
+
+  /** The invariant contract behind [[quantileFilter]], as a one-row frame
+    * (the ANN-invariant pattern — the sketch's threshold VALUE is
+    * summary-specific, its rank guarantee is not): n_total, n_kept, and
+    * two GK-bound checks recomputed from the data — rank_lo_ok:
+    * #(score < t) ≤ (q + ε)·n and rank_hi_ok: #(score ≤ t) ≥ (q − ε)·n,
+    * with ε = 1/accuracy + slack for the one-element discretization.
+    * Tie-robust by construction (strict vs non-strict counts bracket the
+    * tie mass at the threshold). */
+  def quantileGateContract(df: DataFrame, scoreCol: Column, q: Double,
+      accuracy: Int = 10000, slack: Double = 0.01): DataFrame = {
+    val thr = df.agg(
+      percentile_approx(scoreCol, lit(q), lit(accuracy)).as("_thr"))
+    val eps = 1.0 / accuracy + slack
+    df.crossJoin(broadcast(thr))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(scoreCol >= col("_thr"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(scoreCol < col("_thr"), 1L).otherwise(0L)).as("_below"),
+        sum(when(scoreCol <= col("_thr"), 1L).otherwise(0L)).as("_at_or_below"))
+      .select(col("n_total"), col("n_kept"),
+        (col("_below") <= (lit(q) + lit(eps)) * col("n_total"))
+          .cast("long").as("rank_lo_ok"),
+        (col("_at_or_below") >= (lit(q) - lit(eps)) * col("n_total"))
+          .cast("long").as("rank_hi_ok"))
+  }
+
   /** Per-doc fingerprint summary (count / min / max of the winnowed set) —
     * straight off the native winnow array: no explode, no groupBy, no
     * shuffle at all. (The array is referenced by several consumers, which

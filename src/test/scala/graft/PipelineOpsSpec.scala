@@ -611,4 +611,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(flat("small")._2 > 0.1 && flat("small")._2 < 0.5)
     assert(math.abs(flat.values.map(_._2).sum - 1.0) < 1e-5)
   }
+
+  test("quantileFilter keeps the top (1-q) with GK rank bounds, tie-robust, nulls drop") {
+    import spark.implicits._
+    // 1000 distinct scores + a heavy tie block + nulls
+    val rows = ((1 to 1000).map(i => (i.toLong, Some(i.toDouble))) ++
+      (1001 to 1200).map(i => (i.toLong, Some(100.0))) ++ // 200-way tie at 100
+      (1201 to 1210).map(i => (i.toLong, Option.empty[Double])))
+    val df = rows.toDF("id", "score")
+    val kept = graft.ops.TextAnalysis.quantileFilter(df, col("score"), q = 0.25)
+    val n = kept.count()
+    // 1200 non-null scores; exact p25 threshold is near rank 300; ties at
+    // 100 may add their block. GK at accuracy 10000 is rank-exact here.
+    assert(n >= (1200 * 0.70).toLong && n <= (1200 * 0.80 + 200).toLong, s"kept $n")
+    // nulls never survive (they clear no threshold)
+    assert(kept.filter(col("score").isNull).count() === 0)
+    // the contract row verifies its own bounds
+    val c = graft.ops.TextAnalysis
+      .quantileGateContract(df.filter(col("score").isNotNull), col("score"), 0.25)
+      .head()
+    assert(c.getAs[Long]("rank_lo_ok") === 1L && c.getAs[Long]("rank_hi_ok") === 1L)
+    assert(c.getAs[Long]("n_total") === 1200L)
+    // adversarial: ALL scores identical — the threshold IS the value,
+    // everything survives, and the non-strict bound absorbs the tie mass
+    val same = (1 to 50).map(i => (i.toLong, 7.0)).toDF("id", "score")
+    assert(graft.ops.TextAnalysis.quantileFilter(same, col("score"), 0.5)
+      .count() === 50L)
+    val cs = graft.ops.TextAnalysis
+      .quantileGateContract(same, col("score"), 0.5).head()
+    assert(cs.getAs[Long]("rank_lo_ok") === 1L && cs.getAs[Long]("rank_hi_ok") === 1L)
+  }
 }
