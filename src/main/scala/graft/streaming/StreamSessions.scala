@@ -401,6 +401,24 @@ object StreamSessions {
       textCol: String = "text"): DataFrame =
     graft.ops.TextAnalysis.stratumQuota(docs, n, strataCol, idCol, textCol)
 
+  /** Streaming twin of [[graft.ops.TextAnalysis.quantileFilter]]'s
+    * THRESHOLD decision: the corpus q-quantile as a streaming aggregate —
+    * `percentile_approx` is a mergeable GK summary, so its state (one
+    * bounded summary, error ≤ n/accuracy) legally merges across
+    * micro-batches in complete/update mode, and the decision CONVERGES as
+    * data streams in exactly like the quota twins (a later batch shifts
+    * the threshold the way re-running batch on the grown corpus would).
+    * Downstream applies the threshold per micro-batch (foreachBatch
+    * cross-join, the batch op's own shape) or at finalize. */
+  def streamingQuantileThreshold(docs: DataFrame,
+      scoreCol: org.apache.spark.sql.Column, q: Double,
+      accuracy: Int = 10000): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"q must be in (0, 1), got $q")
+    docs.agg(
+      percentile_approx(scoreCol, lit(q), lit(accuracy)).as("threshold"),
+      count(scoreCol).as("n_scored"))
+  }
+
   /** Windowed event-type rates (the generic streaming rollup). */
   def eventRates(events: DataFrame, window: String = "5 minutes",
       watermark: String = "1 hour", typeCol: String = "event_type",

@@ -287,6 +287,37 @@ class StreamingSpec extends SparkSpec {
     assert(applied === streamed.map(_._2))
   }
 
+  test("streaming quantile threshold: GK summary merges across micro-batches, equals batch") {
+    // Two micro-batches with DISJOINT score ranges (batch 2 is the whole
+    // upper half), so a first-batch-frozen threshold would be badly
+    // wrong; at accuracy >> n the GK summary is rank-exact under ANY
+    // merge topology, so streamed == batch == the true quantile.
+    val dir = Files.createTempDirectory("graft-squant")
+    val src = dir.resolve("src").toString
+    val b1 = (1 to 100).map(i => (i.toLong, i.toDouble))
+    val b2 = (101 to 200).map(i => (i.toLong, i.toDouble))
+    b1.toDF("doc_id", "score").coalesce(1).write.parquet(src)
+    Thread.sleep(1100)
+    b2.toDF("doc_id", "score").coalesce(1).write.mode("append").parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = StreamSessions.streamingQuantileThreshold(stream, col("score"), 0.25)
+      .writeStream.outputMode("complete").format("memory").queryName("squant")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.sql("SELECT threshold, n_scored FROM squant").head()
+    val all = (b1 ++ b2).toDF("doc_id", "score")
+    val batch = StreamSessions.streamingQuantileThreshold(all, col("score"), 0.25).head()
+    assert(streamed.getDouble(0) === batch.getDouble(0))
+    assert(streamed.getLong(1) === 200L && batch.getLong(1) === 200L)
+    // and it is the TRUE p25 of the merged corpus (rank-exact regime):
+    // both batches contributed, not a frozen first-batch value
+    assert(streamed.getDouble(0) === 50.0, s"threshold ${streamed.getDouble(0)}")
+  }
+
   test("streaming stratum quota: exactly-n decision across micro-batches equals batch takePerStratum") {
     val dir = Files.createTempDirectory("graft-sstrat")
     val src = dir.resolve("src").toString
