@@ -76,6 +76,20 @@ object SparkEntry {
         p
       }
     }
+    /** Persistent IVF-PQ index over the sf dir's embeddings (the offline
+      * build half of build/search) — cached so e_knn_ivfpq_index times
+      * the SEARCH path, the way a serving deployment runs it. Same
+      * params as e_knn_ivfpq, so the measured recall floor carries over
+      * (IvfPqIndexSpec: search ≡ one-pass row-for-row). */
+    def ivfPqIndexPath(s: SparkSession, dir: String): String =
+      memo(s"ivfpq:$dir") {
+        val p = java.nio.file.Files.createTempDirectory("graft-fix")
+          .resolve("ivfpq").toString
+        Similarity.buildIvfPqIndex(
+          s.read.parquet(s"$dir/embeddings.parquet"), p,
+          nCells = 16, m = 16, codebookK = 32)
+        p
+      }
     /** Trail dump as CSV/JSONL — the INPUT fixture for the ingest
       * round-trips (the operator those queries time is the S4/S5 ingest;
       * the dump is setup). */
@@ -956,6 +970,21 @@ object SparkEntry {
       annInvariant(
         Similarity.ivfPqKnn(emb, q, k = 3, nCells = 16, nprobe = 4,
           m = 16, codebookK = 32, shortlist = 50),
+        Similarity.bruteForceKnn(emb, q, k = 3), q, minHits = 11)
+    }),
+
+    // The PERSISTENT-index variant: candidate generation off the
+    // cell-partitioned parquet index (static partition pruning reads
+    // nprobe/nCells of the inverted lists; raw vectors only in the
+    // shortlist rerank) — the serving-table shape of IVF-PQ. Build is a
+    // cached fixture so the timed region is the search. Identical math
+    // to e_knn_ivfpq (IvfPqIndexSpec: row-for-row equal), same floor.
+    "e_knn_ivfpq_index" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") < 10)
+      annInvariant(
+        Similarity.searchIvfPqIndex(Fixtures.ivfPqIndexPath(s, dir),
+          emb, q, k = 3, nprobe = 4, shortlist = 50),
         Similarity.bruteForceKnn(emb, q, k = 3), q, minHits = 11)
     }),
 
@@ -2447,6 +2476,13 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "e_knn_ivfpq" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |       CAST(3 * count(*) AS BIGINT) AS n_returned,
+        |       CAST(1 AS BIGINT) AS hits_ok,
+        |       CAST(1 AS BIGINT) AS ranked_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "e_knn_ivfpq_index" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |       CAST(3 * count(*) AS BIGINT) AS n_returned,
         |       CAST(1 AS BIGINT) AS hits_ok,

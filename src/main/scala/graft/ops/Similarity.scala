@@ -391,26 +391,7 @@ object Similarity {
     val pts = sampleVectors(corpus, vecCol)
     val cents = lloyd(pts, nCells, iters = 10, seed = 42L)
     val flatCells = cents.flatMap(_.toSeq).toSeq
-    // Shared residual quantizer: the SAME capped sample, each point minus
-    // its nearest coarse centroid (argmin-L2 with first-index ties —
-    // exactly the assignment PqCodes(m=1) replays on the corpus side).
-    val residuals = pts.map { p =>
-      var best = 0; var bestD = Double.MaxValue
-      var j = 0
-      while (j < cents.length) {
-        var d = 0.0; var t = 0
-        while (t < p.length) {
-          val diff = p(t).toDouble - cents(j)(t); d += diff * diff; t += 1
-        }
-        if (d < bestD) { bestD = d; best = j }
-        j += 1
-      }
-      val r = new Array[Float](p.length)
-      var t = 0
-      while (t < p.length) { r(t) = p(t) - cents(best)(t); t += 1 }
-      r
-    }
-    val cb = pqTrainPoints(residuals, m, codebookK, dim)
+    val cb = pqTrainPoints(residualPoints(pts, cents), m, codebookK, dim)
     // candidate stream: cell + residual codes + norm ONLY (no raw vectors)
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("_cv"),
         checkedNorm(col(vecCol), "corpus").as("cn"),
@@ -425,6 +406,95 @@ object Similarity {
       .select("query_id", "qn", "tbl", "cell", "_qcdot")
     // ADC over the PROBED cells only — the join key prunes before any
     // score is computed; shortlist via the mergeable top-k aggregate.
+    val adc = c.join(broadcast(qCells), Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("adc",
+        (col("_qcdot") +
+          graft.functions.GraftFunctions.adcSum(col("codes"), col("tbl"))) /
+        (col("cn") * col("qn")))
+    val short = topKPerQuery(adc, "adc", shortlist, "adc")
+      .select("query_id", "corpus_id")
+    val raw = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val rer = raw.join(broadcast(short), Seq("corpus_id"))
+      .join(broadcast(q.select("query_id", "qv", "qn")), Seq("query_id"))
+      .withColumn("cosine",
+        dot(col("cv"), col("qv")) / (norm(col("cv")) * col("qn")))
+    topKPerQuery(rer, "cosine", k, "cosine")
+  }
+
+  /** PERSISTENT IVF-PQ index — the offline-build / online-search split a
+    * deployed 100 TB corpus actually runs: [[ivfPqKnn]] retrains the
+    * quantizers and re-encodes the whole corpus on every call, which is
+    * right for a one-shot query but wrong for a serving table. Build
+    * writes the trained model + the encoded candidate stream ONCE:
+    *
+    *  - `<path>/codes`: (corpus_id, cn, codes) parquet PARTITIONED BY the
+    *    coarse cell — a probe reads only its nprobe/nCells partitions via
+    *    static partition pruning (the spec pins `PartitionFilters` in the
+    *    scan), the Spark-native analog of IVF's inverted lists.
+    *  - `<path>/meta`: one-row parquet holding the coarse centroids and
+    *    residual codebooks (flattened float arrays + dims).
+    *
+    * Search never touches raw corpus vectors until the exact rerank of
+    * the tiny shortlist (the `corpus` arg — the source table — supplies
+    * them; the index stays m×log2(k) bits per vector). Same
+    * residual-IVFADC math as [[ivfPqKnn]]; IvfPqIndexSpec proves
+    * build+search ≡ the in-one-pass operator row-for-row. */
+  def buildIvfPqIndex(corpus: DataFrame, path: String, nCells: Int = 16,
+      m: Int = 4, codebookK: Int = 16, dim: Int = 64,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pts = sampleVectors(corpus, vecCol)
+    val cents = lloyd(pts, nCells, iters = 10, seed = 42L)
+    val flatCells = cents.flatMap(_.toSeq).toSeq
+    val cb = pqTrainPoints(residualPoints(pts, cents), m, codebookK, dim)
+    corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("_cv"),
+        checkedNorm(col(vecCol), "corpus").as("cn"),
+        element_at(graft.functions.GraftFunctions.pqCodes(
+          col(vecCol), 1, nCells, flatCells), 1).as("cell"))
+      .withColumn("codes", graft.functions.GraftFunctions.pqResidualCodes(
+        col("_cv"), col("cell"), m, codebookK, cb.flat, flatCells))
+      .drop("_cv")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    Seq((nCells, m, codebookK, dim, flatCells, cb.flat))
+      .toDF("ncells", "m", "k", "dim", "cells", "codebooks")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Query a [[buildIvfPqIndex]] index. `corpus` is the SOURCE table (for
+    * the exact rerank of the shortlist only); candidate generation runs
+    * entirely off the index. Output contract identical to [[ivfPqKnn]]. */
+  def searchIvfPqIndex(indexPath: String, corpus: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int = 4, shortlist: Int = 50,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val nCells = meta.getAs[Int]("ncells")
+    val m = meta.getAs[Int]("m")
+    val codebookK = meta.getAs[Int]("k")
+    val dim = meta.getAs[Int]("dim")
+    val flatCells = meta.getSeq[Float](meta.fieldIndex("cells")).toArray
+    val flatCb = meta.getSeq[Float](meta.fieldIndex("codebooks")).toArray
+    require(flatCells.length == nCells * dim && dim % m == 0,
+      s"ivfpq index $indexPath: meta dims inconsistent")
+    val cents = Array.tabulate(nCells)(i => flatCells.slice(i * dim, (i + 1) * dim))
+    val subDim = dim / m
+    val cb = PqCodebooks(m, codebookK, subDim,
+      Array.tabulate(m, codebookK) { (s, j) =>
+        flatCb.slice((s * codebookK + j) * subDim, (s * codebookK + j + 1) * subDim)
+      })
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      checkedNorm(col(vecCol), "query").as("qn"), adcTable(col(vecCol), cb).as("tbl"))
+    val qCells = probeCells(q, cents, nprobe)
+      .select("query_id", "qn", "tbl", "cell", "_qcdot")
+    // The union of probed cells is BOUNDED by nCells regardless of query
+    // count, so collecting it is always driver-safe — and turning it into
+    // a literal isin() is what makes the codes scan PARTITION-PRUNE
+    // statically (a join key alone prunes nothing at plan time).
+    val probed = qCells.select("cell").distinct().collect().map(_.getInt(0))
+    val c = spark.read.parquet(s"$indexPath/codes")
+      .filter(col("cell").isin(probed.map(Int.box): _*))
     val adc = c.join(broadcast(qCells), Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("adc",
@@ -556,6 +626,29 @@ object Similarity {
     val pts = sampleVectors(corpus, vecCol, sampleFraction, seed, maxSample)
     pqTrainPoints(pts, m, k, dim, seed)
   }
+
+  /** Residual sample for the shared IVFADC product quantizer: the SAME
+    * capped sample, each point minus its nearest coarse centroid
+    * (argmin-L2 with first-index ties — exactly the assignment
+    * PqCodes(m=1) replays on the corpus side). */
+  private def residualPoints(pts: Array[Array[Float]],
+      cents: Array[Array[Float]]): Array[Array[Float]] =
+    pts.map { p =>
+      var best = 0; var bestD = Double.MaxValue
+      var j = 0
+      while (j < cents.length) {
+        var d = 0.0; var t = 0
+        while (t < p.length) {
+          val diff = p(t).toDouble - cents(j)(t); d += diff * diff; t += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      val r = new Array[Float](p.length)
+      var t = 0
+      while (t < p.length) { r(t) = p(t) - cents(best)(t); t += 1 }
+      r
+    }
 
   /** Codebook fit over an in-process point set — the training kernel of
     * [[pqTrain]], also fed RESIDUAL samples by [[ivfPqKnn]] (IVFADC trains

@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** The persistent IVF-PQ index (offline build → cell-partitioned parquet,
+  * online search with static partition pruning) must return EXACTLY what
+  * the in-one-pass operator returns: both train from the same cached
+  * sample, so centroids, codes, ADC scores and the rerank are identical
+  * by construction — any divergence is a build/search bug. */
+class IvfPqIndexSpec extends SparkSpec {
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("build+search equals the one-pass ivfPqKnn row-for-row") {
+    val dir = Files.createTempDirectory("graft-ivfpq").toString
+    Similarity.buildIvfPqIndex(emb, dir, nCells = 8, m = 16, codebookK = 32)
+    val q = emb.filter(col("vec_id") < 10)
+    val fromIndex = Similarity
+      .searchIvfPqIndex(dir, emb, q, k = 3, nprobe = 3, shortlist = 50)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("corpus_id"))).toSet
+    val onePass = Similarity
+      .ivfPqKnn(emb, q, k = 3, nCells = 8, nprobe = 3, m = 16,
+        codebookK = 32, shortlist = 50)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("corpus_id"))).toSet
+    assert(fromIndex === onePass)
+    assert(fromIndex.nonEmpty)
+  }
+
+  test("the codes scan partition-prunes to the probed cells") {
+    val dir = Files.createTempDirectory("graft-ivfpq2").toString
+    Similarity.buildIvfPqIndex(emb, dir, nCells = 8, m = 16, codebookK = 32)
+    // the index directory is physically cell-partitioned
+    val cellDirs = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(cellDirs.length > 1, s"expected >1 cell partitions, got ${cellDirs.toSeq}")
+    // ONE query, nprobe=2 → the scan's PartitionFilters must carry the
+    // cell isin, i.e. candidate generation reads 2 of the 8 inverted
+    // lists, not the corpus
+    val q1 = emb.filter(col("vec_id") === 0)
+    val plan = Similarity
+      .searchIvfPqIndex(dir, emb, q1, k = 3, nprobe = 2, shortlist = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell IN") ||
+      plan.contains("PartitionFilters: [cell#"), // isin renders as IN (…)
+      s"no partition pruning in plan:\n${plan.take(2000)}")
+  }
+}
