@@ -462,6 +462,36 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Append new vectors to a [[buildIvfPqIndex]] index WITHOUT retraining
+    * — the incremental-ingest path (the batch-vs-corpus analog of
+    * incrementalDedup): the frozen model (meta centroids + codebooks)
+    * encodes the new batch exactly like the build pass, and the codes
+    * append into the same cell partitions (parquet append to the
+    * partitioned dir — new files land inside the existing cell=…
+    * directories, so probes keep pruning). The FAISS convention: the
+    * trained quantizers are fixed at build; drift far enough from the
+    * training distribution and recall decays — rebuild is the answer,
+    * and the spec's recall contract is the drift alarm. Caller owns id
+    * uniqueness across appends (same contract as the build corpus). */
+  def appendToIvfPqIndex(newRows: DataFrame, indexPath: String,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    val spark = newRows.sparkSession
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val nCells = meta.getAs[Int]("ncells")
+    val m = meta.getAs[Int]("m")
+    val codebookK = meta.getAs[Int]("k")
+    val flatCells = meta.getSeq[Float](meta.fieldIndex("cells"))
+    val flatCb = meta.getSeq[Float](meta.fieldIndex("codebooks"))
+    newRows.select(col(idCol).as("corpus_id"), col(vecCol).as("_cv"),
+        checkedNorm(col(vecCol), "corpus").as("cn"),
+        element_at(graft.functions.GraftFunctions.pqCodes(
+          col(vecCol), 1, nCells, flatCells), 1).as("cell"))
+      .withColumn("codes", graft.functions.GraftFunctions.pqResidualCodes(
+        col("_cv"), col("cell"), m, codebookK, flatCb, flatCells))
+      .drop("_cv")
+      .write.mode("append").partitionBy("cell").parquet(s"$indexPath/codes")
+  }
+
   /** Query a [[buildIvfPqIndex]] index. `corpus` is the SOURCE table (for
     * the exact rerank of the shortlist only); candidate generation runs
     * entirely off the index. Output contract identical to [[ivfPqKnn]]. */

@@ -32,6 +32,33 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(fromIndex.nonEmpty)
   }
 
+  test("append encodes with the frozen model: build(half)+append(half) == encode-all-with-that-model") {
+    import spark.implicits._
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    val dir = Files.createTempDirectory("graft-ivfpq3").toString
+    Similarity.buildIvfPqIndex(half1, dir, nCells = 8, m = 16, codebookK = 32)
+    Similarity.appendToIvfPqIndex(half2, dir)
+    // every vector of BOTH halves is in the index, in a valid cell
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.count() === emb.count())
+    assert(codes.select("corpus_id").distinct().count() === emb.count())
+    assert(codes.filter(col("cell") < 0 || col("cell") >= 8).count() === 0)
+    // search returns hits from the APPENDED half too, and the exact
+    // rerank keeps the output contract (cosine-descending ranks)
+    val q = emb.filter(col("vec_id") < 4)
+    val res = Similarity.searchIvfPqIndex(dir, emb, q, k = 3, nprobe = 4,
+      shortlist = 50)
+    val ids = res.select("corpus_id").as[Long].collect()
+    assert(ids.exists(_ % 2 === 1), "no appended-half vector ever surfaced")
+    val ranked = res.select("query_id", "rank", "cosine")
+      .collect().groupBy(_.getLong(0))
+    ranked.values.foreach { rows =>
+      val byRank = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      assert(byRank.zip(byRank.drop(1)).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("the codes scan partition-prunes to the probed cells") {
     val dir = Files.createTempDirectory("graft-ivfpq2").toString
     Similarity.buildIvfPqIndex(emb, dir, nCells = 8, m = 16, codebookK = 32)
