@@ -19,7 +19,8 @@ class PlanGuardSpec extends SparkSpec {
     "d_pipeline", "d_training_pipeline", "d_keep_best", "d_bm25", "d_tfidf",
     "d_lm_filter", "d_incremental_dedup", "d_decontaminate", "d_line_dedup",
     "d_dup_spans", "d_sentence_dedup", "t_heavy_hitters", "d_corpus_stats",
-    "e_knn_brute", "e_knn_lsh", "e_knn_ivf", "e_knn_pq", "e_knn_ivfpq", "e_knn_q8", "e_neardup",
+    "e_knn_brute", "e_knn_lsh", "e_knn_ivf", "e_knn_pq", "e_knn_ivfpq",
+    "e_knn_ivfpq_index", "e_knn_q8", "e_neardup",
     "e_neardup_lsh", "e_dedup_clusters", "e_semantic_dedup", "t_asof", "t_asof_tol",
     "t_asof_tol_native", "t_retention", "d_bigram_lp", "t_cms",
     "q3_revenue", "q4_semi", "q5_nation_volume", "q7_volume",
@@ -81,7 +82,15 @@ class PlanGuardSpec extends SparkSpec {
       "pq" -> Similarity.pqKnn(emb, q, k = 3, m = 16, codebookK = 32,
         shortlist = 50),
       "ivfpq" -> Similarity.ivfPqKnn(emb, q, k = 3, nCells = 8, nprobe = 3,
-        m = 16, codebookK = 32, shortlist = 50))
+        m = 16, codebookK = 32, shortlist = 50),
+      "ivfpq_index" -> {
+        val idxDir = java.nio.file.Files
+          .createTempDirectory("graft-guard-ivfpq").toString
+        Similarity.buildIvfPqIndex(emb, idxDir, nCells = 8, m = 16,
+          codebookK = 32)
+        Similarity.searchIvfPqIndex(idxDir, emb, q, k = 3, nprobe = 3,
+          shortlist = 50)
+      })
     plans.foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Window"),
