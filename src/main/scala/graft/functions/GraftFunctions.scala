@@ -108,6 +108,9 @@ object GraftFunctions {
   def shingleHashesAll(tokens: Column, k: Int): Column =
     ColumnBridge.column(ShingleHashesAll(ColumnBridge.expression(tokens), k))
 
+  def bpeEncode(tokens: Column, flatMerges: Seq[String]): Column =
+    ColumnBridge.column(BpeEncode(ColumnBridge.expression(tokens), flatMerges))
+
   def pqCodes(vec: Column, m: Int, k: Int, flatCodebooks: Seq[Float]): Column =
     ColumnBridge.column(PqCodes(ColumnBridge.expression(vec), m, k, flatCodebooks))
 

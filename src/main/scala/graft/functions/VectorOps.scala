@@ -229,6 +229,47 @@ object VectorOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Tokenizer apply for [[BpeEncode]]: per non-null non-empty token,
+    * character symbols folded through the merge rules in order, each
+    * applied left-to-right non-overlapping — [[graft.ops.Bpe.applyMerge]]
+    * semantics exactly (spec-pinned). Called from generated code. */
+  def bpeEncode(tokens: ArrayData, rules: Array[String]): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val w = tokens.getUTF8String(i).toString
+        if (w.nonEmpty) {
+          val syms = new Array[String](w.length)
+          var c = 0
+          while (c < w.length) { syms(c) = String.valueOf(w.charAt(c)); c += 1 }
+          var len = w.length
+          var r = 0
+          while (r < rules.length) {
+            val a = rules(r); val b = rules(r + 1)
+            var wr = 0; var rd = 0
+            while (rd < len) {
+              if (rd + 1 < len && syms(rd) == a && syms(rd + 1) == b) {
+                syms(wr) = a + b; rd += 2
+              } else { syms(wr) = syms(rd); rd += 1 }
+              wr += 1
+            }
+            len = wr
+            r += 2
+          }
+          var s = 0
+          while (s < len) {
+            out += org.apache.spark.unsafe.types.UTF8String.fromString(syms(s))
+            s += 1
+          }
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** One-pass winnowing; called from generated code. Distinct mins in
     * first-occurrence order. */
   def winnow(hashes: ArrayData, window: Int): ArrayData = {
@@ -408,6 +449,46 @@ case class Winnow(child: Expression, window: Int)
   * whole-text bigram. Bit-identical to the aggregate formulation
   * (spec-enforced).
   */
+/** BPE tokenizer APPLY as a native expression — the encode-side hot loop
+  * of [[graft.ops.Bpe]]: per word, split to character symbols and apply
+  * each merge rule in training order, left-to-right non-overlapping (the
+  * classic encoder). Input is the token array (whitespace words), output
+  * the flat subword array. At 100 TB the tokenizer-apply pass touches
+  * every byte of the corpus — the Scala-UDF form this replaces paid
+  * boxed Row↔Scala conversion per DOCUMENT and an interpreted closure
+  * per word (bench: 2.7 s → native at sf0.1); this compiles to a static
+  * call inside the scan's codegen span like the other text expressions.
+  * Null/empty tokens are skipped (the UDF filtered them); `merges` is
+  * the rule list flattened [a1,b1,a2,b2,…] so the expression keeps value
+  * equality. */
+case class BpeEncode(child: Expression, merges: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(merges.length % 2 == 0, "merges must be (left,right) pairs flattened")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode requires array<string> input, got ${other.catalogString}")
+  }
+
+  @transient private lazy val rules: Array[String] = merges.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.bpeEncode(input.asInstanceOf[ArrayData], rules)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rulesRef = ctx.addReferenceObj("bpeMerges", rules, "java.lang.String[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorOps.bpeEncode($c, $rulesRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
 case class RepetitionStats(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 

@@ -94,14 +94,27 @@ object Bpe {
     out.toSeq
   }
 
-  /** Segment a text column with a trained merge list (broadcast as a plain
-    * value — merge tables are tiny): applies the rules in training order
-    * per word, then emits the subword sequence. The encode-side twin of
-    * [[train]], a pure projection over the corpus. */
+  /** Segment a text column with a trained merge list: applies the rules
+    * in training order per word, then emits the subword sequence. The
+    * encode-side twin of [[train]], a pure projection over the corpus —
+    * and the pass that touches EVERY corpus byte at 100 TB, so it is the
+    * native codegen'd [[graft.functions.BpeEncode]] expression (round 8;
+    * the Scala-UDF form it replaces paid boxed conversion per document
+    * and lives on as [[segmentUdf]] for the equivalence spec). NULL text
+    * yields an empty subword array (the UDF contract). */
   def segment(docs: DataFrame, merges: Seq[BpeMerge], textCol: String = "text",
       outCol: String = "subwords"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+    val flat = merges.sortBy(_.round).flatMap(m => Seq(m.sym_l, m.sym_r))
+    docs.withColumn(outCol, coalesce(
+      graft.functions.GraftFunctions.bpeEncode(
+        TextAnalysis.tokens(col(textCol)), flat),
+      typedLit(Seq.empty[String])))
+  }
+
+  /** The Scala-UDF twin of [[segment]] — kept as the independent
+    * formulation the equivalence spec pins the native expression to. */
+  private[graft] def segmentUdf(docs: DataFrame, merges: Seq[BpeMerge],
+      textCol: String = "text", outCol: String = "subwords"): DataFrame = {
     val rules = merges.sortBy(_.round).map(m => (m.sym_l, m.sym_r))
     val seg = udf { (text: String) =>
       if (text == null) Seq.empty[String]

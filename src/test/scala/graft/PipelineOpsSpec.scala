@@ -446,6 +446,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Bpe.train(docs.repartition(5), merges = 10, minCount = 2) === merges)
   }
 
+  test("native BpeEncode expression equals the UDF segmenter on an adversarial corpus") {
+    import spark.implicits._
+    // overlapping-merge chains, repeated chars, multi-space runs,
+    // unicode, empty and NULL text — the two independent formulations
+    // (native char-loop vs the Seq-fold UDF) must agree on all of them
+    val docs = Seq(
+      (1L, "aaa aab the then think"),
+      (2L, "   leading and   multi  spaces "),
+      (3L, "héllo wörld 日本語"),
+      (4L, ""),
+      (5L, null.asInstanceOf[String]),
+      (6L, "ababab aba")).toDF("doc_id", "text")
+    val merges = Seq(("a", "a"), ("t", "h"), ("th", "e"), ("a", "b"),
+      ("ab", "ab")).zipWithIndex
+      .map { case ((a, b), i) => Bpe.BpeMerge(i + 1, a, b, 0L) }
+    val native = Bpe.segment(docs, merges).select("doc_id", "subwords")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val viaUdf = Bpe.segmentUdf(docs, merges).select("doc_id", "subwords")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(native === viaUdf)
+    assert(native(1L) === Seq("aa", "a", "aa", "b", "the", "the", "n",
+      "th", "i", "n", "k"))
+    assert(native(6L) === Seq("abab", "ab", "ab", "a"))
+    assert(native(4L) === Seq.empty && native(5L) === Seq.empty)
+  }
+
   test("bpe merge application is left-to-right non-overlapping") {
     assert(Bpe.applyMerge(Seq("a", "a", "a"), "a", "a") === Seq("aa", "a"))
     assert(Bpe.applyMerge(Seq("a", "a", "a", "a"), "a", "a") === Seq("aa", "aa"))
