@@ -1221,6 +1221,24 @@ object SparkEntry {
         .select("media_id", "kind", "frame_idx", "frame_ts_ms")
         .orderBy("media_id", "frame_idx")),
 
+    // WebDataset shard export (the public convention: <key>.ppm +
+    // <key>.json entry pairs in sequential tars, one per shard) —
+    // executor-side distributed write, manifest computed by RE-OPENING
+    // the written tars with the repo's own ustar walker (the d_export
+    // audit convention: count what actually landed on disk). The oracle
+    // replays per-shard counts/bytes analytically — the PPM blob length
+    // is 11 + w·h·3 with w,h derived from doc_id (single-digit by
+    // construction), so a header or padding bug shifts blob_bytes.
+    "m_webdataset" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-wds")
+        .resolve("shards").toString
+      Multimodal.exportWebDataset(
+        Multimodal.ppmMediaFromDocuments(
+          s.read.parquet(s"$dir/documents.parquet")),
+        out, nShards = 16)
+        .orderBy("shard")
+    }),
+
     // Multimodal: REAL image decode — synthesize binary PPM (P6) per doc,
     // parse header+raster in mapPartitions, per-channel means. The r/g
     // channels are deterministic gradients, so DuckDB can recompute them
@@ -2762,6 +2780,16 @@ object SparkEntry {
         |SELECT media_id, kind, unnest(range(nf)) AS frame_idx,
         |       CAST(floor(unnest(range(nf)) * 1000.0 / 1.0) AS BIGINT) AS frame_ts_ms
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+    "m_webdataset" ->
+      """WITH m AS (SELECT doc_id % 16 AS shard, doc_id AS k,
+        |  11 + (4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS nb
+        |  FROM documents)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |       CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(nb) AS BIGINT) AS blob_bytes,
+        |       CAST(sum(k) AS BIGINT) AS key_sum
+        |FROM m GROUP BY shard ORDER BY shard""".stripMargin,
 
     "q1_pricing" ->
       """WITH t AS (SELECT l_returnflag, l_linestatus,

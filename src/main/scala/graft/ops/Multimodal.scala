@@ -631,4 +631,82 @@ object Multimodal {
       .withColumn("frame_ts_ms",
         (col("frame_idx") * lit(1000.0) / fps).cast("long"))
   }
+
+  /** WebDataset-style shard export (the public webdataset convention:
+    * training samples as `<key>.<ext>` + `<key>.json` entry pairs inside
+    * sequential POSIX tars, one tar per shard) — the interchange format
+    * multimodal training loaders stream.
+    *
+    * Scale shape: EXECUTOR-SIDE distributed write — rows repartition by
+    * shard id and each task streams its shards' entries straight into
+    * `shard-NNNNN.tar` through the Hadoop FS (no driver collect, no
+    * per-entry seeks; a shard is written once, sequentially, keys sorted
+    * for determinism). The default shard key is `key % nShards`
+    * (engine-replayable); pass a hashed column for balance when keys are
+    * clustered. Returns the manifest AS READ BACK from the written tars
+    * (same audit convention as exportTrainingShards: the manifest counts
+    * what actually landed on disk, via the repo's own ustar walker) —
+    * (shard, n_items, blob_bytes, key_sum) per shard.
+    */
+  def exportWebDataset(media: DataFrame, outDir: String, nShards: Int,
+      ext: String = "ppm", keyCol: String = "media_id",
+      blobCol: String = "bytes"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val tagged = media.select(col(keyCol).cast("long").as("_k"),
+        col(blobCol).as("_b"))
+      .withColumn("_shard", pmod(col("_k"), lit(nShards.toLong)).cast("int"))
+      .repartition(nShards, col("_shard"))
+      .sortWithinPartitions("_shard", "_k")
+      .as[(Long, Array[Byte], Int)]
+    // hash partitioning may co-locate several shard ids in one task (and
+    // leave others empty) — entries arrive shard-contiguous (the sort),
+    // so the writer rolls to a new tar on shard change
+    tagged.foreachPartition { (it: Iterator[(Long, Array[Byte], Int)]) =>
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      var cur = -1
+      var os: org.apache.hadoop.fs.FSDataOutputStream = null
+      def close(): Unit = if (os != null) {
+        os.write(new Array[Byte](1024)) // end-of-archive blocks
+        os.close(); os = null
+      }
+      def entry(name: String, bytes: Array[Byte]): Unit = {
+        os.write(graft.sources.TdbWriter.tarHeader(name, bytes.length.toLong))
+        os.write(bytes)
+        val rem = (512 - (bytes.length % 512)) % 512
+        if (rem > 0) os.write(new Array[Byte](rem))
+      }
+      it.foreach { case (k, blob, shard) =>
+        if (shard != cur) {
+          close()
+          cur = shard
+          os = fs.create(new org.apache.hadoop.fs.Path(
+            outDir, f"shard-$shard%05d.tar"), true)
+        }
+        entry(s"$k.$ext", blob)
+        entry(s"$k.json",
+          s"""{"key":$k,"n_bytes":${blob.length}}"""
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      close()
+    }
+    // manifest from READ-BACK: the repo's ustar walker re-opens each
+    // written shard (driver-side over nShards files — bounded)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shards = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .filter(_.getPath.getName.matches("shard-\\d+\\.tar"))
+      .sortBy(_.getPath.getName)
+    shards.toSeq.map { st =>
+      val ar = graft.sources.TdbFormat.TdbArchive.open(st.getPath.toString)
+      val shard = st.getPath.getName.stripPrefix("shard-")
+        .stripSuffix(".tar").toLong
+      val blobs = ar.memberNames.filter(_.endsWith(s".$ext")).toSeq
+      val blobBytes = blobs.map(ar.size).sum
+      val keySum = blobs.map(_.stripSuffix(s".$ext").toLong).sum
+      (shard, blobs.length.toLong, blobBytes, keySum)
+    }.toDF("shard", "n_items", "blob_bytes", "key_sum")
+  }
 }

@@ -355,8 +355,9 @@ object TdbWriter {
 
   /** Minimal ustar header, field layout per the POSIX spec; magic matches
     * the reference packages' "ustar  \0" (old GNU) so headers byte-compare
-    * with libarchive's output for the fields that matter. */
-  private def tarHeader(name: String, size: Long): Array[Byte] = {
+    * with libarchive's output for the fields that matter. (Shared with
+    * the WebDataset shard exporter — one tar builder in the repo.) */
+  private[graft] def tarHeader(name: String, size: Long): Array[Byte] = {
     require(name.length < 100, s"tar member name too long: $name")
     require(size < (1L << 33), s"tar member $name too large: $size")
     val h = new Array[Byte](512)

@@ -1037,4 +1037,41 @@ class MultimodalSpec extends SparkSpec {
     assert(byKind("image")._1 === byKind("image")._2) // 1 frame per non-video
     assert(byKind("video")._2 > byKind("video")._1)   // >1 frame per video
   }
+
+  test("webdataset export round-trips every blob byte-exactly with its json pair") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.ppmMediaFromDocuments(docs).limit(60)
+      .localCheckpoint() // pin the 60 rows — limit is otherwise re-picked
+    val out = java.nio.file.Files.createTempDirectory("graft-wds-spec")
+      .resolve("shards").toString
+    val manifest = Multimodal.exportWebDataset(media, out, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = media.select((col("media_id") % 4).as("s"))
+      .groupBy("s").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(manifest === want)
+    // every entry's bytes round-trip through the repo's own ustar walker,
+    // and each blob has its json metadata pair
+    val blobs = media.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val dir = new java.io.File(out)
+    val tars = dir.listFiles().filter(_.getName.endsWith(".tar"))
+    assert(tars.length === manifest.size)
+    var seen = 0
+    tars.foreach { f =>
+      val ar = graft.sources.TdbFormat.TdbArchive.open(f.toString)
+      val names = ar.memberNames.toSeq
+      names.filter(_.endsWith(".ppm")).foreach { n =>
+        val k = n.stripSuffix(".ppm").toLong
+        assert(java.util.Arrays.equals(ar.readAll(n), blobs(k)), s"blob $k diverged")
+        assert(names.contains(s"$k.json"), s"missing json pair for $k")
+        val meta = new String(ar.readAll(s"$k.json"),
+          java.nio.charset.StandardCharsets.UTF_8)
+        assert(meta === s"""{"key":$k,"n_bytes":${blobs(k).length}}""")
+        seen += 1
+      }
+    }
+    assert(seen === blobs.size)
+  }
 }
