@@ -709,4 +709,33 @@ object Multimodal {
       (shard, blobs.length.toLong, blobBytes, keySum)
     }.toDF("shard", "n_items", "blob_bytes", "key_sum")
   }
+
+  /** Read a [[exportWebDataset]] directory (or any webdataset-shaped tar
+    * shard set) back as (key, ext, bytes) rows — the loader side of the
+    * convention, one task per shard: shard paths parallelize and each
+    * task walks ITS tar's entries sequentially with the repo's ustar
+    * walker (range reads through the Hadoop FS — works for file://,
+    * hdfs://, s3a:// alike). Non-`key.ext`-shaped member names are
+    * skipped. */
+  def readWebDataset(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paths = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.endsWith(".tar"))
+      .map(_.getPath.toString).sorted.toSeq
+    spark.createDataset(paths)
+      .repartition(math.max(paths.size, 1))
+      .flatMap { p =>
+        val ar = graft.sources.TdbFormat.TdbArchive.open(p)
+        ar.memberNames.toSeq.sorted.flatMap { name =>
+          val dot = name.lastIndexOf('.')
+          if (dot <= 0) None
+          else name.substring(0, dot).toLongOption.map { key =>
+            (key, name.substring(dot + 1), ar.readAll(name))
+          }
+        }
+      }
+      .toDF("key", "ext", "bytes")
+  }
 }

@@ -1073,5 +1073,15 @@ class MultimodalSpec extends SparkSpec {
       }
     }
     assert(seen === blobs.size)
+    // and the loader side reads the shard set back as rows: every blob,
+    // every json pair, distributed one task per shard
+    val back = Multimodal.readWebDataset(spark, out)
+    assert(back.filter(col("ext") === "ppm").count() === blobs.size.toLong)
+    assert(back.filter(col("ext") === "json").count() === blobs.size.toLong)
+    val backBlobs = back.filter(col("ext") === "ppm").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](2)).toMap
+    blobs.foreach { case (k, b) =>
+      assert(java.util.Arrays.equals(backBlobs(k), b), s"read-back blob $k diverged")
+    }
   }
 }
