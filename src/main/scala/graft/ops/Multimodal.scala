@@ -662,7 +662,11 @@ object Multimodal {
       .as[(Long, Array[Byte], Int)]
     // hash partitioning may co-locate several shard ids in one task (and
     // leave others empty) — entries arrive shard-contiguous (the sort),
-    // so the writer rolls to a new tar on shard change
+    // so the writer rolls to a new tar on shard change. Task RETRIES are
+    // safe (create(overwrite=true) rewrites the whole shard); concurrent
+    // SPECULATIVE attempts are not — like every direct-write
+    // foreachPartition exporter, run with spark.speculation off (the
+    // default) or point outDir at a task-committed staging layer.
     tagged.foreachPartition { (it: Iterator[(Long, Array[Byte], Int)]) =>
       val fs = new org.apache.hadoop.fs.Path(outDir)
         .getFileSystem(new org.apache.hadoop.conf.Configuration())

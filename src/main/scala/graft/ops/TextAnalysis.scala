@@ -582,7 +582,11 @@ object TextAnalysis {
     val eps = 1.0 / accuracy + slack
     df.crossJoin(broadcast(thr))
       .agg(
-        count(lit(1)).as("n_total"),
+        // count(scoreCol), not count(*): the GK summary ranks NON-NULL
+        // scores only, so the rank bounds must use the same base — on a
+        // null-bearing corpus count(*) would silently loosen (or on a
+        // mostly-null one, break) both checks (r8 self-review)
+        count(scoreCol).as("n_total"),
         sum(when(scoreCol >= col("_thr"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(scoreCol < col("_thr"), 1L).otherwise(0L)).as("_below"),
         sum(when(scoreCol <= col("_thr"), 1L).otherwise(0L)).as("_at_or_below"))

@@ -652,9 +652,11 @@ class PipelineOpsSpec extends SparkSpec {
     assert(n >= (1200 * 0.70).toLong && n <= (1200 * 0.80 + 200).toLong, s"kept $n")
     // nulls never survive (they clear no threshold)
     assert(kept.filter(col("score").isNull).count() === 0)
-    // the contract row verifies its own bounds
+    // the contract row verifies its own bounds — and counts NON-NULL
+    // scores as its base (nulls are outside the GK summary's ranks), so
+    // it holds on the null-bearing frame directly
     val c = graft.ops.TextAnalysis
-      .quantileGateContract(df.filter(col("score").isNotNull), col("score"), 0.25)
+      .quantileGateContract(df, col("score"), 0.25)
       .head()
     assert(c.getAs[Long]("rank_lo_ok") === 1L && c.getAs[Long]("rank_hi_ok") === 1L)
     assert(c.getAs[Long]("n_total") === 1200L)
