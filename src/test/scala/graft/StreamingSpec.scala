@@ -376,6 +376,25 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1).getAs[String]("clean") === "mail me at <EMAIL> right now")
   }
 
+  test("BPE segmentation runs unchanged on a stream (native expression is a pure projection)") {
+    import graft.ops.Bpe
+    val dir = Files.createTempDirectory("graft-sbpe")
+    val src = dir.resolve("src").toString
+    Seq((1L, "the then"), (2L, "think tank")).toDF("doc_id", "text")
+      .write.parquet(src)
+    val merges = Seq(Bpe.BpeMerge(1, "t", "h", 0L), Bpe.BpeMerge(2, "th", "e", 0L))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    val q = Bpe.segment(stream, merges).select("doc_id", "subwords")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sbpe").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT * FROM sbpe ORDER BY doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) === Seq("the", "the", "n"))
+    assert(got(2L) === Seq("th", "i", "n", "k", "t", "a", "n", "k"))
+  }
+
   test("chunking and decontamination run on a stream, equal to batch") {
     // chunks is a pure generate-projection; decontaminate is a
     // stream-static broadcast semi-join against the (static, small by

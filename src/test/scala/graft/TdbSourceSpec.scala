@@ -335,6 +335,17 @@ class TdbSourceSpec extends SparkSpec {
     assert(e2.getMessage.contains("no such file"), e2.getMessage)
   }
 
+  test("SQL DDL surface: a tdb mounts as a temp view for plain SQL users") {
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW ref_tdb " +
+      s"USING tdb OPTIONS (path '$refFixture')")
+    val rows = spark.sql(
+      "SELECT uuid, time, first_field FROM ref_tdb ORDER BY uuid")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(rows.toSeq === Seq(
+      ("10" + "0" * 30, 1463696903L, "hello"),
+      ("20" + "0" * 30, 1463696952L, "it")))
+  }
+
   // ---- round-8 adversarial round trips ----
 
   private def roundTrip(rows: Seq[(String, Long, String, String)],
