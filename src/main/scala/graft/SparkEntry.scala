@@ -297,7 +297,9 @@ object SparkEntry {
     // see SURVEY §8).
     "t_heavy_hitters" -> ((s, dir) => {
       import s.implicits._
-      val types = s.read.parquet(s"$dir/events.parquet")
+      // EventSource for uniformity (every events read goes through it);
+      // the ts normalization projects away under column pruning here.
+      val types = graft.core.EventSource.events(s, dir)
         .select(col("event_type")).as[String]
       val sk = types.select(Sketch.MisraGries(8).toColumn.name("sketch")).toDF("sketch")
       val exact = types.toDF("event_type")
