@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.core.{TrailDB, TrailOps, TrailSchema}
 import graft.filter.{Clause, EventFilter, Match, TimeRange}
 import graft.agg.Sessionize
-import graft.ops.{Bpe, Dedup, Multimodal, Retrieval, Similarity, Sketch, TextAnalysis}
+import graft.ops.{Bpe, Dedup, Mining, Multimodal, Retrieval, Similarity, Sketch, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, with a DuckDB-equivalent `oracleSql` where the operator is
@@ -850,6 +850,54 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Margin-based parallel-pair mining (Artetxe & Schwenk 1811.01136):
+    // pair each label-0 vector with its best label-1 partner, cosine
+    // normalized by both endpoints' average k-NN cosine (hubness
+    // correction). Penalties are exact nano-unit integer sums, so the
+    // DuckDB oracle replays every margin bit-for-bit.
+    "e_bitext" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Mining.bitextMine(emb.filter(col("label") === 0),
+          emb.filter(col("label") === 1), k = 4)
+        .orderBy("src_id")
+    }),
+
+    // The blocked miner's contract (cell layout is model-specific; the
+    // CONTRACT is not): every reported pair's cosine re-derived from raw
+    // vectors bit-for-bit, pair agreement with the exact miner floored at
+    // 55% (measured 76/73/63% at sf0.001/.01/.1 — strict same-best-partner
+    // agreement), and the one-pair-per-source bound.
+    "e_bitext_ann" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val a = emb.filter(col("label") === 0)
+      val b = emb.filter(col("label") === 1)
+      val exact = Mining.bitextMine(a, b, k = 4)
+      val blocked = Mining.bitextMineBlocked(a, b, k = 4, nCells = 8,
+        nprobe = 3)
+      val re = blocked
+        .join(exact.select(col("src_id"), col("dst_id").as("_xd")),
+          Seq("src_id"), "left")
+        .join(a.select(col("vec_id").as("src_id"), col("embedding").as("_av")),
+          "src_id")
+        .join(b.select(col("vec_id").as("dst_id"), col("embedding").as("_bv")),
+          "dst_id")
+        .withColumn("_rc", Similarity.dot(col("_bv"), col("_av")) /
+          (Similarity.norm(col("_bv")) * Similarity.norm(col("_av"))))
+      val agg = re.agg(
+        count(lit(1)).as("_n_blocked"),
+        coalesce(sum(when(col("_xd") === col("dst_id"), 1L).otherwise(0L)),
+          lit(0L)).as("_hits"),
+        coalesce(sum(when(col("_rc") === col("cosine"), 0L).otherwise(1L)),
+          lit(0L)).as("_cos_bad"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(a.agg(count(lit(1)).as("_n_a")))
+        .crossJoin(agg)
+        .select(col("n_exact"),
+          (col("_hits") * 100 >= col("n_exact") * 55).cast("long").as("hits_ok"),
+          (col("_cos_bad") === 0).cast("long").as("cos_ok"),
+          (col("_n_blocked") <= col("_n_a")).cast("long").as("blocked_bounded"))
+    }),
+
     // MMR diversified retrieval: top-40 cosine candidates (distributed)
     // then the greedy lambda-tradeoff rerank (driver, N is small by
     // definition). EXACT oracle: DuckDB replays the whole greedy chain
@@ -1057,6 +1105,23 @@ object SparkEntry {
       Retrieval.bm25(s.read.parquet(s"$dir/documents.parquet"),
         Seq("hash", "join", "vector", "dup"), topK = 20)),
 
+    // Hybrid retrieval: the BM25 lexical shortlist fused with the vector
+    // shortlist by reciprocal-rank fusion (Cormack SIGIR'09) — rank-only
+    // fusion, no score calibration; both inputs are bounded shortlists so
+    // the fuse is a tiny exact-integer aggregate.
+    "d_hybrid" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val lex = Retrieval.asRanking(
+        Retrieval.bm25(docs, Seq("hash", "join", "vector", "dup"), topK = 20),
+        "score_micro")
+      val vec = Similarity
+        .bruteForceKnn(emb, emb.filter(col("vec_id") === 0), k = 20)
+        .select(col("corpus_id").as("doc_id"), col("rank").cast("long").as("rank"))
+      Retrieval.rrfFuse(Seq(lex, vec), c = 60, topK = 15)
+        .orderBy(col("rrf_nano").desc, col("doc_id"))
+    }),
+
     // Unigram-LM log-probability (perplexity proxy) per doc under the
     // add-one-smoothed corpus model — the cheap quality-ranking score.
     "d_unigram_lp" -> ((s, dir) =>
@@ -1182,6 +1247,15 @@ object SparkEntry {
     "d_source_mix" -> ((s, dir) =>
       TextAnalysis.temperatureMixture(
           s.read.parquet(s"$dir/documents.parquet"), "source", 0.5)
+        .orderBy("source")),
+
+    // Token-budget mixture plan: per-source have-vs-need token arithmetic
+    // for a declared training recipe (binary-fraction weights so both
+    // engines replay floor(budget·w) exactly).
+    "d_mix_plan" -> ((s, dir) =>
+      TextAnalysis.mixPlan(s.read.parquet(s"$dir/documents.parquet"),
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125,
+            "src3" -> 0.125), budget = 1000000L)
         .orderBy("source")),
 
     // Eval-set decontamination: 3-gram overlap counts of training docs
@@ -2403,6 +2477,64 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, corpus_id, cosine
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
+    // Bit-exact margin replay: same k-NN lists (e_knn_brute shape), nano-
+    // unit integer penalty sums, one fixed-shape double margin expression.
+    "e_bitext" ->
+      """WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
+        |b AS (SELECT vec_id, embedding FROM embeddings WHERE label = 1),
+        |ab0 AS (SELECT q.vec_id AS x, e.vec_id AS y,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cosine
+        |  FROM a q, b e),
+        |kab AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY x
+        |    ORDER BY cosine DESC, y) AS rn FROM ab0) WHERE rn <= 4),
+        |ba0 AS (SELECT q.vec_id AS x, e.vec_id AS y,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cosine
+        |  FROM b q, a e),
+        |kba AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY x
+        |    ORDER BY cosine DESC, y) AS rn FROM ba0) WHERE rn <= 4),
+        |px AS (SELECT x, CAST(SUM(CAST(round(cosine * 1e9, 0) AS BIGINT)) AS BIGINT) AS pen_x,
+        |    COUNT(*) AS cnt_x FROM kab GROUP BY x),
+        |py AS (SELECT x AS yid, CAST(SUM(CAST(round(cosine * 1e9, 0) AS BIGINT)) AS BIGINT) AS pen_y,
+        |    COUNT(*) AS cnt_y FROM kba GROUP BY x),
+        |m AS (SELECT kab.x, kab.y, kab.cosine,
+        |    kab.cosine / ((px.pen_x / (px.cnt_x * 1e9) +
+        |                   py.pen_y / (py.cnt_y * 1e9)) / 2) AS margin
+        |  FROM kab JOIN px USING (x) JOIN py ON kab.y = py.yid),
+        |best AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY x
+        |    ORDER BY margin DESC, y) AS bn FROM m) WHERE bn = 1)
+        |SELECT x AS src_id, y AS dst_id, cosine, margin FROM best
+        |WHERE margin >= 1.0 ORDER BY src_id""".stripMargin,
+
+    // n_exact is the full e_bitext replay's row count; the contract flags
+    // are invariants the Spark side must have verified to 1.
+    "e_bitext_ann" ->
+      """WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
+        |b AS (SELECT vec_id, embedding FROM embeddings WHERE label = 1),
+        |ab0 AS (SELECT q.vec_id AS x, e.vec_id AS y,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cosine
+        |  FROM a q, b e),
+        |kab AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY x
+        |    ORDER BY cosine DESC, y) AS rn FROM ab0) WHERE rn <= 4),
+        |ba0 AS (SELECT q.vec_id AS x, e.vec_id AS y,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cosine
+        |  FROM b q, a e),
+        |kba AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY x
+        |    ORDER BY cosine DESC, y) AS rn FROM ba0) WHERE rn <= 4),
+        |px AS (SELECT x, CAST(SUM(CAST(round(cosine * 1e9, 0) AS BIGINT)) AS BIGINT) AS pen_x,
+        |    COUNT(*) AS cnt_x FROM kab GROUP BY x),
+        |py AS (SELECT x AS yid, CAST(SUM(CAST(round(cosine * 1e9, 0) AS BIGINT)) AS BIGINT) AS pen_y,
+        |    COUNT(*) AS cnt_y FROM kba GROUP BY x),
+        |m AS (SELECT kab.x, kab.y, kab.cosine,
+        |    kab.cosine / ((px.pen_x / (px.cnt_x * 1e9) +
+        |                   py.pen_y / (py.cnt_y * 1e9)) / 2) AS margin
+        |  FROM kab JOIN px USING (x) JOIN py ON kab.y = py.yid),
+        |best AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY x
+        |    ORDER BY margin DESC, y) AS bn FROM m) WHERE bn = 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS hits_ok, CAST(1 AS BIGINT) AS cos_ok,
+        |  CAST(1 AS BIGINT) AS blocked_bounded
+        |FROM best WHERE margin >= 1.0""".stripMargin,
+
     // Exact greedy-MMR replay: same candidates, same IEEE-double scores
     // (weights written as 0.7 / (1 - 0.7) to match the Scala lambda /
     // 1.0-lambda arithmetic bit-for-bit), same id tie-breaks.
@@ -2554,6 +2686,43 @@ object SparkEntry {
         |GROUP BY doc_id
         |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
 
+    // The two component shortlists replayed (BM25 CTEs = d_bm25's; knn =
+    // e_knn_brute's shape), then the RRF sum in exact nano-unit integers.
+    "d_hybrid" ->
+      """WITH toks AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS dl,
+        |    unnest(string_split_regex(text, ' +')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, min(dl) AS dl, count(*) AS tf
+        |  FROM toks WHERE term IN ('hash', 'join', 'vector', 'dup')
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n,
+        |    CAST(sum(len(string_split_regex(text, ' +'))) AS BIGINT) AS sum_dl
+        |  FROM documents),
+        |bm AS (SELECT doc_id,
+        |    CAST(sum(CAST(round(
+        |      ln((n - df + 0.5) / (df + 0.5) + 1.0)
+        |      * (tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 +
+        |          0.75 * dl / (CAST(sum_dl AS DOUBLE) / n))))
+        |      * 1e6) AS BIGINT)) AS BIGINT) AS score_micro
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN stats
+        |  GROUP BY doc_id ORDER BY score_micro DESC, doc_id LIMIT 20),
+        |lex AS (SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank FROM bm),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |sc AS (SELECT e.vec_id AS doc_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS cosine
+        |  FROM embeddings e, q WHERE e.vec_id != 0),
+        |vec AS (SELECT doc_id, rank FROM (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS rank
+        |  FROM sc) WHERE rank <= 20),
+        |u AS (SELECT * FROM lex UNION ALL SELECT * FROM vec)
+        |SELECT doc_id, count(*) AS n_systems,
+        |  CAST(sum(CAST(round(1e9 / (60 + rank), 0) AS BIGINT)) AS BIGINT) AS rrf_nano
+        |FROM u GROUP BY doc_id
+        |ORDER BY rrf_nano DESC, doc_id LIMIT 15""".stripMargin,
+
     "d_unigram_lp" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS token
         |  FROM documents),
@@ -2653,6 +2822,19 @@ object SparkEntry {
         |       round(pa / sum(pa) OVER (), 6) AS weight,
         |       round(pa / sum(pa) OVER () * total, 3) AS expected_docs
         |FROM norm ORDER BY source""".stripMargin,
+
+    "d_mix_plan" ->
+      """WITH w AS (SELECT * FROM (VALUES
+        |    ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.25 AS DOUBLE)),
+        |    ('src2', CAST(0.125 AS DOUBLE)), ('src3', CAST(0.125 AS DOUBLE)))
+        |  AS t(source, wt)),
+        |st AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split_regex(text, ' +'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source)
+        |SELECT st.source, n_docs, n_tokens,
+        |  CAST(floor(1000000 * wt) AS BIGINT) AS need_tokens,
+        |  CAST(CAST(floor(1000000 * wt) AS BIGINT) AS DOUBLE) / n_tokens AS epochs
+        |FROM st JOIN w USING (source) ORDER BY source""".stripMargin,
 
     "d_incremental_dedup" ->
       """SELECT doc_id FROM (

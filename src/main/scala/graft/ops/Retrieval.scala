@@ -199,4 +199,46 @@ object Retrieval {
       .filter(col("lp_tok_micro") > col("_thr"))
       .select(col(idCol), col("lp_tok_micro"))
   }
+
+  /** Attach 1-based ranks to a shortlist frame, ordered by `scoreCol`
+    * descending with the id as tiebreak. The single-partition window is
+    * deliberate and SAFE ONLY because the input is already a bounded
+    * shortlist (a `topK`-limited ranking, e.g. [[bm25]]'s output) — never
+    * hand a corpus-sized frame to this. */
+  def asRanking(df: DataFrame, scoreCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("rank", row_number()
+        .over(Window.orderBy(col(scoreCol).desc, col(idCol))).cast("long"))
+      .select(col(idCol), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * fuse N ranked shortlists into one by
+    * `score(d) = Σ_systems 1 / (c + rank_s(d))` — the standard way to
+    * combine lexical (BM25) and vector (ANN) retrieval without score
+    * calibration, since only ranks enter the sum.
+    *
+    * Each input is `(idCol, rank)` with ranks 1-based. Contributions are
+    * exact nano-unit integers (`round(1e9 / (c + rank))` — order-
+    * independent integer sums), so fused scores are bit-reproducible and
+    * engine-verifiable. All inputs are shortlists (≤ their own topK), so
+    * the union is bounded at `Σ topK` rows regardless of corpus size; the
+    * fusion aggregate is the only (tiny) shuffle.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], c: Int = 60, topK: Int = 20,
+      idCol: String = "doc_id"): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(c >= 0, s"rank constant must be non-negative, got $c")
+    val all = rankings
+      .map(_.select(col(idCol), col("rank").cast("long").as("rank")))
+      .reduce(_ unionAll _)
+    all
+      .withColumn("_c_nano",
+        round(lit(1e9) / (lit(c) + col("rank")), 0).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_systems"), sum(col("_c_nano")).as("rrf_nano"))
+      .orderBy(col("rrf_nano").desc, col(idCol))
+      .limit(topK)
+  }
 }

@@ -47,7 +47,7 @@ object Similarity {
     * divergence for a zero-norm query). Both deterministic, but they
     * disagree, so the documented precondition becomes a loud plan-side
     * failure instead of a silent rank divergence (ADVICE r6). */
-  private def checkedNorm(v: Column, side: String): Column = {
+  private[ops] def checkedNorm(v: Column, side: String): Column = {
     val n = norm(v)
     when(n > 0, n).otherwise(raise_error(lit(
       s"graft ANN: zero-norm $side vector — cosine is NaN and shortlist " +
@@ -237,7 +237,7 @@ object Similarity {
     * diverge, so exclude zero-norm vectors upstream if the corpus can
     * contain them).
     */
-  private def topKPerQuery(scored: DataFrame, scoreCol: String, k: Int,
+  private[ops] def topKPerQuery(scored: DataFrame, scoreCol: String, k: Int,
       outScore: String): DataFrame = {
     Sketch.requireIntegralId(scored.schema, "corpus_id", "topKPerQuery")
     val tk = udaf(Sketch.TopK(k))
@@ -340,7 +340,7 @@ object Similarity {
     * `cell` and `_qcdot` = <qv, centroid(cell)> (the IVFADC first-order
     * term — a trailing struct field, so it can never perturb the
     * (negd, cell) probe order). */
-  private def probeCells(q: DataFrame, cents: Array[Array[Float]],
+  private[ops] def probeCells(q: DataFrame, cents: Array[Array[Float]],
       nprobe: Int): DataFrame = {
     def driverNorm(v: Array[Float]): Double = {
       var s = 0.0; var i = 0

@@ -610,4 +610,41 @@ object TextAnalysis {
         size(col("_fp")).cast("long").as("n_fp"),
         array_min(col("_fp")).as("fp_min"),
         array_max(col("_fp")).as("fp_max"))
+
+  /** Token-budget mixture plan: the pre-flight arithmetic of a training
+    * data recipe — given target mixture `weights` per source and a total
+    * token `budget`, report per source what the corpus HAS (docs, exact
+    * token count) against what the recipe NEEDS (`need_tokens` =
+    * floor(budget·w)) and the repeat factor that implies (`epochs` =
+    * need/have; > 1 means the source upsamples, i.e. repeats into the
+    * mix). One aggregation pass over the corpus, output is
+    * |sources|-sized; sources absent from `weights` are dropped (weight
+    * 0 keeps the row, with need 0).
+    *
+    * `weights` must already be normalized (Σw = 1) — the caller's mixture
+    * declaration IS the contract; silently re-normalizing here would hide
+    * a mis-specified recipe. Enforced on the driver before any job runs.
+    */
+  def mixPlan(df: DataFrame, weights: Map[String, Double], budget: Long,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(weights.nonEmpty, "mixPlan needs at least one weighted source")
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val wSum = weights.valuesIterator.sum
+    require(math.abs(wSum - 1.0) < 1e-9,
+      s"mixPlan weights must sum to 1 (got $wSum) — declare the mixture " +
+      "normalized; pick binary fractions (0.5, 0.25, ...) for " +
+      "engine-replayable arithmetic")
+    val w = typedLit(weights)
+    df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+      .withColumn("_w", element_at(w, col(sourceCol)))
+      .filter(col("_w").isNotNull)
+      .withColumn("need_tokens",
+        floor(lit(budget) * col("_w")).cast("long"))
+      .withColumn("epochs",
+        col("need_tokens").cast("double") / col("n_tokens"))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        col("need_tokens"), col("epochs"))
+  }
 }

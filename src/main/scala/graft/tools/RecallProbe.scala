@@ -104,6 +104,19 @@ object RecallProbe {
     println(s"[probe] semantic_dedup: n_total=${semAgg.getLong(0)} " +
       s"n_dropped=${semAgg.getLong(1)}")
 
+    // e_bitext_ann: blocked-miner pair overlap vs the exact miner
+    val ba = emb.filter(col("label") === 0)
+    val bb = emb.filter(col("label") === 1)
+    val exactPairsBt = graft.ops.Mining.bitextMine(ba, bb, k = 4)
+      .select("src_id", "dst_id")
+    val blockedBt = graft.ops.Mining.bitextMineBlocked(ba, bb, k = 4,
+      nCells = 8, nprobe = 3).select("src_id", "dst_id")
+    val nExactBt = exactPairsBt.count()
+    val nBlockedBt = blockedBt.count()
+    val nHitBt = blockedBt.join(exactPairsBt, Seq("src_id", "dst_id")).count()
+    println(s"[probe] bitext: n_exact=$nExactBt n_blocked=$nBlockedBt " +
+      s"pair_hits=$nHitBt")
+
     // d_fingerprint: identical-text docs share identical fingerprint sets
     val fp = docs.select(col("doc_id"),
       md5(col("text").cast("binary")).as("h"),

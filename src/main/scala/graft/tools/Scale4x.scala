@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** Scaling experiment: replicate documents/embeddings 4× (ids shifted, so
   * every doc gains 3 exact copies — worst case for dedup) and compare each
   * heavy operator's wall-clock at 1× vs 4×. Prints a markdown table row
-  * per operator. Usage: runMain graft.tools.Scale4x [sfDir] [--x16]
+  * per operator. Usage: runMain graft.tools.Scale4x [sfDir]
+  * [--x16|--asof|--skew|--embskew|--keyskew|--tdb|--bitext]
   *
   * `--x16` instead runs the 1×/4×/16× ladder: the dedup-family operators
   * whose 4× ratio was highest in round 2 (n-gram Jaccard pairs, connected-
@@ -236,6 +237,36 @@ object Scale4x {
         .queryExecution.toRdd.count())
       println(f"| semanticDedup (skew, cap raised) | - | $t1%.2fs | - " +
         f"| split-recovery at cap 1000: $tSplit%.2fs; $guardMsg |")
+      spark.stop()
+      return
+    }
+
+    if (args.contains("--bitext")) {
+      // Corpus-growth ladder for pair mining: the exact miner broadcasts
+      // each side as the other's query set (quadratic cosine work AND a
+      // corpus-sized broadcast), the blocked miner meets candidates in a
+      // coarse-cell equi-join with nCells grown with the corpus so cell
+      // occupancy stays ~constant. The gap is the operator's whole scale
+      // argument — measure it, don't argue it.
+      val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val n1 = emb1.count()
+      def rep(f: Int): DataFrame = (0 until f).map(i =>
+          emb1.withColumn("vec_id", col("vec_id") + lit(i * n1)))
+        .reduce(_.unionByName(_))
+      rep(4).write.mode("overwrite").parquet(s"$base/bt4")
+      rep(16).write.mode("overwrite").parquet(s"$base/bt16")
+      println("| factor | exact mine | blocked mine (nCells=8·f, nprobe=3) |")
+      println("|---|---|---|")
+      for ((f, df) <- Seq(1 -> emb1, 4 -> spark.read.parquet(s"$base/bt4"),
+          16 -> spark.read.parquet(s"$base/bt16"))) {
+        val a = df.filter(col("label") === 0)
+        val b = df.filter(col("label") === 1)
+        val tExact = time(graft.ops.Mining.bitextMine(a, b, k = 4)
+          .queryExecution.toRdd.count())
+        val tBlocked = time(graft.ops.Mining.bitextMineBlocked(a, b, k = 4,
+          nCells = 8 * f, nprobe = 3).queryExecution.toRdd.count())
+        println(f"| $f× | $tExact%.2fs | $tBlocked%.2fs |")
+      }
       spark.stop()
       return
     }

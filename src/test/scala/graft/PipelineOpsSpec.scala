@@ -9,6 +9,26 @@ import graft.ops.{Bpe, Dedup, Retrieval, Similarity, TextAnalysis}
 class PipelineOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  // ---- Mixture planning ----
+
+  test("mixPlan: have-vs-need arithmetic per source; refuses unnormalized weights") {
+    val df = Seq(
+      ("a", "one two three"), ("a", "four five"), // a: 2 docs, 5 tokens
+      ("b", "x y"),                               // b: 1 doc, 2 tokens
+      ("c", "ignored entirely")                   // unweighted: dropped
+    ).toDF("source", "text")
+    val got = graft.ops.TextAnalysis
+      .mixPlan(df, Map("a" -> 0.75, "b" -> 0.25), budget = 100L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got === Map(
+      "a" -> ((2L, 5L, 75L, 15.0)),
+      "b" -> ((1L, 2L, 25L, 12.5))))
+    val e = intercept[IllegalArgumentException](
+      graft.ops.TextAnalysis.mixPlan(df, Map("a" -> 0.9, "b" -> 0.3), 100L))
+    assert(e.getMessage.contains("sum to 1"))
+  }
+
   // ---- BM25 ----
 
   test("bm25 scores match a hand-computed reference") {
