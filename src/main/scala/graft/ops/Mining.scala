@@ -107,7 +107,12 @@ object Mining {
   private def cellKnn(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int, nprobe: Int, maxPairsPerCell: Long,
       vecCol: String, idCol: String): DataFrame = {
-    val cents = Similarity.lloyd(Similarity.sampleVectors(corpus, vecCol),
+    // Coarse cells only need a sketch of the density, not the PQ-grade
+    // sample: cap the driver-side training set at 8k vectors (Lloyd is
+    // O(sample·nCells·dim·iters) IN-PROCESS — with the 65k default it
+    // dominates the whole blocked run once nCells grows with the corpus).
+    val cents = Similarity.lloyd(
+      Similarity.sampleVectors(corpus, vecCol, maxSample = 8192),
       nCells, iters = 10, seed = 42L)
     val flat = cents.flatMap(_.toSeq).toSeq
     val cells = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),

@@ -419,6 +419,20 @@ object StreamSessions {
       count(scoreCol).as("n_scored"))
   }
 
+  /** Streaming twin of [[graft.ops.TextAnalysis.mixPlan]] — the mixture
+    * have-vs-need plan maintained LIVE as ingestion proceeds: per-source
+    * state is two longs (doc count, exact token sum), legal as a
+    * streaming grouped aggregate in complete/update mode; the
+    * need/epochs arithmetic is a post-aggregation projection. Each
+    * micro-batch's output is exactly what batch mixPlan would say on the
+    * corpus ingested so far (StreamingSpec proves it across boundaries) —
+    * the live dashboard of "which sources still owe tokens" a long
+    * ingestion run watches. */
+  def streamingMixPlan(docs: DataFrame, weights: Map[String, Double],
+      budget: Long, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    graft.ops.TextAnalysis.mixPlan(docs, weights, budget, sourceCol, textCol)
+
   /** Windowed event-type rates (the generic streaming rollup). */
   def eventRates(events: DataFrame, window: String = "5 minutes",
       watermark: String = "1 hour", typeCol: String = "event_type",

@@ -353,6 +353,45 @@ class StreamingSpec extends SparkSpec {
         "arrange the fixture so the hash-least docs span batches")
   }
 
+  test("streaming mix plan: per-source have-vs-need converges across micro-batches to batch") {
+    // Batch 2 delivers most of source b's tokens, so a frozen batch-1
+    // plan would report b owing ~all of its budget; the merged aggregate
+    // must equal batch mixPlan on the full corpus.
+    val dir = Files.createTempDirectory("graft-smix")
+    val src = dir.resolve("src").toString
+    val b1 = (1L to 20L).map(i => (i, "a", "tok tok tok tok")) ++
+      (21L to 25L).map(i => (i, "b", "x"))
+    val b2 = (26L to 60L).map(i => (i, "b", "y y y y y y y y"))
+    b1.toDF("doc_id", "source", "text").coalesce(1).write.parquet(src)
+    Thread.sleep(1100)
+    b2.toDF("doc_id", "source", "text").coalesce(1)
+      .write.mode("append").parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val weights = Map("a" -> 0.5, "b" -> 0.5)
+    val q = StreamSessions.streamingMixPlan(stream, weights, budget = 1000L)
+      .writeStream.outputMode("complete").format("memory").queryName("smix")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val all = (b1 ++ b2).toDF("doc_id", "source", "text")
+    val streamed = spark.sql(
+        "SELECT source, n_docs, n_tokens, need_tokens, epochs FROM smix")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    val batch = graft.ops.TextAnalysis.mixPlan(all, weights, budget = 1000L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(streamed === batch)
+    // b's token count spans both micro-batches (5·1 + 35·8 = 285): the
+    // state merged rather than freezing the first batch
+    assert(streamed("b")._2 === 285L)
+  }
+
   test("pure-projection text ops run unchanged on a stream (quality + PII scrub)") {
     val dir = Files.createTempDirectory("graft-sproj")
     val src = dir.resolve("src").toString
