@@ -1251,11 +1251,13 @@ object SparkEntry {
 
     // Token-budget mixture plan: per-source have-vs-need token arithmetic
     // for a declared training recipe (binary-fraction weights so both
-    // engines replay floor(budget·w) exactly).
+    // engines replay floor(budget·w) exactly). 'src_books' is budgeted
+    // but absent from the corpus — the plan must SURFACE it (0 docs,
+    // NULL epochs), not drop it.
     "d_mix_plan" -> ((s, dir) =>
       TextAnalysis.mixPlan(s.read.parquet(s"$dir/documents.parquet"),
           Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125,
-            "src3" -> 0.125), budget = 1000000L)
+            "src_books" -> 0.125), budget = 1000000L)
         .orderBy("source")),
 
     // Eval-set decontamination: 3-gram overlap counts of training docs
@@ -2826,15 +2828,18 @@ object SparkEntry {
     "d_mix_plan" ->
       """WITH w AS (SELECT * FROM (VALUES
         |    ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.25 AS DOUBLE)),
-        |    ('src2', CAST(0.125 AS DOUBLE)), ('src3', CAST(0.125 AS DOUBLE)))
+        |    ('src2', CAST(0.125 AS DOUBLE)), ('src_books', CAST(0.125 AS DOUBLE)))
         |  AS t(source, wt)),
         |st AS (SELECT source, count(*) AS n_docs,
         |    CAST(sum(len(string_split_regex(text, ' +'))) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY source)
-        |SELECT st.source, n_docs, n_tokens,
+        |SELECT w.source, COALESCE(n_docs, 0) AS n_docs,
+        |  COALESCE(n_tokens, 0) AS n_tokens,
         |  CAST(floor(1000000 * wt) AS BIGINT) AS need_tokens,
-        |  CAST(CAST(floor(1000000 * wt) AS BIGINT) AS DOUBLE) / n_tokens AS epochs
-        |FROM st JOIN w USING (source) ORDER BY source""".stripMargin,
+        |  CASE WHEN COALESCE(n_tokens, 0) > 0
+        |    THEN CAST(CAST(floor(1000000 * wt) AS BIGINT) AS DOUBLE) / n_tokens
+        |  END AS epochs
+        |FROM w LEFT JOIN st USING (source) ORDER BY source""".stripMargin,
 
     "d_incremental_dedup" ->
       """SELECT doc_id FROM (

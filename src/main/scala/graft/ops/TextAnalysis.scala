@@ -619,7 +619,11 @@ object TextAnalysis {
     * need/have; > 1 means the source upsamples, i.e. repeats into the
     * mix). One aggregation pass over the corpus, output is
     * |sources|-sized; sources absent from `weights` are dropped (weight
-    * 0 keeps the row, with need 0).
+    * 0 keeps the row, with need 0). The join runs OUTWARD from the
+    * declared recipe: a weighted source with NO corpus rows still gets
+    * its row (n_docs 0, n_tokens 0, epochs NULL) — a budgeted source the
+    * corpus lacks entirely is the first thing a pre-flight must surface,
+    * not silently omit.
     *
     * `weights` must already be normalized (Σw = 1) — the caller's mixture
     * declaration IS the contract; silently re-normalizing here would hide
@@ -627,6 +631,47 @@ object TextAnalysis {
     */
   def mixPlan(df: DataFrame, weights: Map[String, Double], budget: Long,
       sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    validateMix(weights, budget)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val recipe = weights.toSeq.sortBy(_._1).toDF(sourceCol, "_w")
+    // Both join sides are |sources|-sized (the recipe literal and the
+    // post-aggregate stats) — the corpus is touched only by the groupBy.
+    recipe.join(mixStats(df, sourceCol, textCol), Seq(sourceCol), "left")
+      .select(col(sourceCol),
+        coalesce(col("_nd"), lit(0L)).as("n_docs"),
+        coalesce(col("_nt"), lit(0L)).as("n_tokens"),
+        floor(lit(budget) * col("_w")).cast("long").as("need_tokens"))
+      .withColumn("epochs", when(col("n_tokens") > 0,
+        col("need_tokens").cast("double") / col("n_tokens")))
+  }
+
+  /** [[mixPlan]] restricted to sources PRESENT in `df` — the
+    * streaming-legal shape (a join after a streaming aggregation is not
+    * allowed, so the recipe outer-join that surfaces empty sources is
+    * batch-only): one grouped aggregate plus per-row arithmetic, usable
+    * as a complete/update-mode streaming aggregation. Identical rows to
+    * [[mixPlan]] for every source with data. */
+  def mixPlanSeen(df: DataFrame, weights: Map[String, Double], budget: Long,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    validateMix(weights, budget)
+    mixStats(df, sourceCol, textCol)
+      .withColumn("_w", element_at(typedLit(weights), col(sourceCol)))
+      .filter(col("_w").isNotNull)
+      .select(col(sourceCol), col("_nd").as("n_docs"),
+        col("_nt").as("n_tokens"),
+        floor(lit(budget) * col("_w")).cast("long").as("need_tokens"))
+      .withColumn("epochs", when(col("n_tokens") > 0,
+        col("need_tokens").cast("double") / col("n_tokens")))
+  }
+
+  private def mixStats(df: DataFrame, sourceCol: String,
+      textCol: String): DataFrame =
+    df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("_nd"),
+        sum(tokenCount(col(textCol)).cast("long")).as("_nt"))
+
+  private def validateMix(weights: Map[String, Double], budget: Long): Unit = {
     require(weights.nonEmpty, "mixPlan needs at least one weighted source")
     require(budget >= 0, s"budget must be non-negative, got $budget")
     val wSum = weights.valuesIterator.sum
@@ -634,17 +679,5 @@ object TextAnalysis {
       s"mixPlan weights must sum to 1 (got $wSum) — declare the mixture " +
       "normalized; pick binary fractions (0.5, 0.25, ...) for " +
       "engine-replayable arithmetic")
-    val w = typedLit(weights)
-    df.groupBy(col(sourceCol))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"))
-      .withColumn("_w", element_at(w, col(sourceCol)))
-      .filter(col("_w").isNotNull)
-      .withColumn("need_tokens",
-        floor(lit(budget) * col("_w")).cast("long"))
-      .withColumn("epochs",
-        col("need_tokens").cast("double") / col("n_tokens"))
-      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
-        col("need_tokens"), col("epochs"))
   }
 }

@@ -427,11 +427,15 @@ object StreamSessions {
     * micro-batch's output is exactly what batch mixPlan would say on the
     * corpus ingested so far (StreamingSpec proves it across boundaries) —
     * the live dashboard of "which sources still owe tokens" a long
-    * ingestion run watches. */
+    * ingestion run watches. Uses the join-free `mixPlanSeen` form: a
+    * post-aggregation stream-static join is illegal, so a budgeted
+    * source with NO data yet appears only once its first row arrives
+    * (batch mixPlan's recipe outer-join surfaces it immediately). */
   def streamingMixPlan(docs: DataFrame, weights: Map[String, Double],
       budget: Long, sourceCol: String = "source",
       textCol: String = "text"): DataFrame =
-    graft.ops.TextAnalysis.mixPlan(docs, weights, budget, sourceCol, textCol)
+    graft.ops.TextAnalysis.mixPlanSeen(docs, weights, budget, sourceCol,
+      textCol)
 
   /** Windowed event-type rates (the generic streaming rollup). */
   def eventRates(events: DataFrame, window: String = "5 minutes",

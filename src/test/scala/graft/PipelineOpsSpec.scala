@@ -18,12 +18,16 @@ class PipelineOpsSpec extends SparkSpec {
       ("c", "ignored entirely")                   // unweighted: dropped
     ).toDF("source", "text")
     val got = graft.ops.TextAnalysis
-      .mixPlan(df, Map("a" -> 0.75, "b" -> 0.25), budget = 100L)
+      .mixPlan(df, Map("a" -> 0.5, "b" -> 0.25, "missing" -> 0.25),
+        budget = 100L)
       .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
     assert(got === Map(
-      "a" -> ((2L, 5L, 75L, 15.0)),
-      "b" -> ((1L, 2L, 25L, 12.5))))
+      "a" -> ((2L, 5L, 50L, Some(10.0))),
+      "b" -> ((1L, 2L, 25L, Some(12.5))),
+      // a budgeted source the corpus lacks is SURFACED, not dropped
+      "missing" -> ((0L, 0L, 25L, None))))
     val e = intercept[IllegalArgumentException](
       graft.ops.TextAnalysis.mixPlan(df, Map("a" -> 0.9, "b" -> 0.3), 100L))
     assert(e.getMessage.contains("sum to 1"))
