@@ -82,8 +82,14 @@ object Mining {
   def bitextMine(a: DataFrame, b: DataFrame, k: Int,
       minMargin: Double = 1.0, vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
-    val knnAB = Similarity.bruteForceKnn(b, a, k, vecCol, idCol)
-    val knnBA = Similarity.bruteForceKnn(a, b, k, vecCol, idCol)
+    // excludeSelf = false: A and B are independent collections — an id
+    // collision across them is a coincidence, not an identity, and the
+    // self-kNN filter would silently drop that pair (and diverge from
+    // the oracle, which has no id-inequality predicate).
+    val knnAB = Similarity.bruteForceKnn(b, a, k, vecCol, idCol,
+      excludeSelf = false)
+    val knnBA = Similarity.bruteForceKnn(a, b, k, vecCol, idCol,
+      excludeSelf = false)
     marginPairs(knnAB, knnBA, minMargin)
   }
 
@@ -107,22 +113,13 @@ object Mining {
   private def cellKnn(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int, nprobe: Int, maxPairsPerCell: Long,
       vecCol: String, idCol: String): DataFrame = {
-    // Coarse cells only need a sketch of the density, not the PQ-grade
-    // sample: cap the driver-side training set at 8k vectors (Lloyd is
+    // Shared IVF blocking step ([[Similarity.coarseBlock]]). Coarse cells
+    // only need a sketch of the density, not the PQ-grade sample: cap the
+    // driver-side training set at 8k vectors (Lloyd is
     // O(sample·nCells·dim·iters) IN-PROCESS — with the 65k default it
     // dominates the whole blocked run once nCells grows with the corpus).
-    val cents = Similarity.lloyd(
-      Similarity.sampleVectors(corpus, vecCol, maxSample = 8192),
-      nCells, iters = 10, seed = 42L)
-    val flat = cents.flatMap(_.toSeq).toSeq
-    val cells = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
-      Similarity.checkedNorm(col(vecCol), "corpus").as("cn"),
-      element_at(graft.functions.GraftFunctions.pqCodes(
-        col(vecCol), 1, nCells, flat), 1).as("cell"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      Similarity.checkedNorm(col(vecCol), "query").as("qn"))
-    val qCells = Similarity.probeCells(q, cents, nprobe)
-      .select("query_id", "qv", "qn", "cell")
+    val (cells, qCells) = Similarity.coarseBlock(corpus, queries, nCells,
+      nprobe, vecCol, idCol, maxSample = 8192)
     val occ = cells.groupBy("cell").agg(count(lit(1)).as("_nc"))
       .join(qCells.groupBy("cell").agg(count(lit(1)).as("_nq")), Seq("cell"))
       .select(max(col("_nc") * col("_nq")).as("_mx"))
@@ -134,8 +131,9 @@ object Mining {
       s"(cap $maxPairsPerCell). Raise nCells (currently $nCells) so cells " +
       "shrink, lower nprobe, or raise maxPairsPerCell if the executors " +
       "can absorb the quadratic join.")
+    // No corpus_id =!= query_id filter: that is the SELF-kNN convention;
+    // these are two independent collections (see bitextMine).
     val scored = cells.join(qCells, Seq("cell"))
-      .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine",
         Similarity.dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
     Similarity.topKPerQuery(scored, "cosine", k, "cosine")

@@ -253,15 +253,25 @@ object Similarity {
     * be small (it is broadcast); ties break on corpus id for determinism.
     * The per-query shortlist is the mergeable [[topKPerQuery]] aggregate —
     * ≤k rows per partition through the shuffle, never a per-query global
-    * sort. */
+    * sort.
+    *
+    * `excludeSelf` (default true) drops candidates whose id equals the
+    * query id — the self-kNN convention (queries drawn FROM the corpus
+    * must not retrieve themselves). Pass false when corpus and queries
+    * are INDEPENDENT collections with unrelated id spaces (e.g.
+    * [[Mining.bitextMine]]'s two sides): there an id collision is a
+    * coincidence, not an identity, and the filter would silently drop a
+    * legitimate cross-collection pair. */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      excludeSelf: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
       checkedNorm(col(vecCol), "corpus").as("cn"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       checkedNorm(col(vecCol), "query").as("qn"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("corpus_id") =!= col("query_id"))
+    val paired = c.crossJoin(broadcast(q))
+    val scored = (if (excludeSelf)
+        paired.filter(col("corpus_id") =!= col("query_id")) else paired)
       .withColumn("cosine", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
     topKPerQuery(scored, "cosine", k, "cosine")
   }
@@ -307,12 +317,30 @@ object Similarity {
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int = 16,
       nprobe: Int = 2, vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
-    // Coarse quantizer: in-process Lloyd on a deterministic capped sample
-    // (same rationale as pqTrain — an MLlib fit paid per execution was all
-    // job overhead), assignment via the codegen'd PqCodes expression with
-    // m=1 (one subspace spanning the whole vector = plain nearest-centroid).
-    val cents = lloyd(sampleVectors(corpus, vecCol), nCells, iters = 10,
-      seed = 42L)
+    val (cells, qCells) = coarseBlock(corpus, queries, nCells, nprobe,
+      vecCol, idCol)
+    val scored = cells.join(broadcast(qCells), Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+    topKPerQuery(scored, "cosine", k, "cosine")
+  }
+
+  /** The coarse-quantizer blocking step shared by [[ivfKnn]] and the
+    * cross-collection miner ([[Mining]]): train centroids with an
+    * in-process Lloyd on a deterministic capped sample (same rationale as
+    * pqTrain — an MLlib fit paid per execution was all job overhead),
+    * assign each corpus row its nearest cell via the codegen'd PqCodes
+    * expression with m=1 (one subspace spanning the whole vector = plain
+    * nearest-centroid), probe each query's `nprobe` nearest cells.
+    * Returns (corpus cells `(corpus_id, cv, cn, cell)`, probe frame
+    * `(query_id, qv, qn, cell)`). The IVF-PQ paths keep their own copies:
+    * they thread the residual/`_qcdot` terms this shape deliberately
+    * drops. */
+  private[ops] def coarseBlock(corpus: DataFrame, queries: DataFrame,
+      nCells: Int, nprobe: Int, vecCol: String, idCol: String,
+      maxSample: Int = 65536): (DataFrame, DataFrame) = {
+    val cents = lloyd(sampleVectors(corpus, vecCol, maxSample = maxSample),
+      nCells, iters = 10, seed = 42L)
     val flat = cents.flatMap(_.toSeq).toSeq
     val cells = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
       checkedNorm(col(vecCol), "corpus").as("cn"),
@@ -322,10 +350,7 @@ object Similarity {
       checkedNorm(col(vecCol), "query").as("qn"))
     val qCells = probeCells(q, cents, nprobe)
       .select("query_id", "qv", "qn", "cell")
-    val scored = cells.join(broadcast(qCells), Seq("cell"))
-      .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("cosine", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
-    topKPerQuery(scored, "cosine", k, "cosine")
+    (cells, qCells)
   }
 
   /** Each query's `nprobe` nearest coarse cells, as a pure PROJECTION over

@@ -674,6 +674,9 @@ object TextAnalysis {
   private def validateMix(weights: Map[String, Double], budget: Long): Unit = {
     require(weights.nonEmpty, "mixPlan needs at least one weighted source")
     require(budget >= 0, s"budget must be non-negative, got $budget")
+    require(weights.valuesIterator.forall(_ >= 0.0),
+      s"mixPlan weights must be non-negative, got " +
+      weights.filter(_._2 < 0.0).mkString(", "))
     val wSum = weights.valuesIterator.sum
     require(math.abs(wSum - 1.0) < 1e-9,
       s"mixPlan weights must sum to 1 (got $wSum) — declare the mixture " +

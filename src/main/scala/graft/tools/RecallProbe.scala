@@ -107,10 +107,12 @@ object RecallProbe {
     // e_bitext_ann: blocked-miner pair overlap vs the exact miner
     val ba = emb.filter(col("label") === 0)
     val bb = emb.filter(col("label") === 1)
+    // Both pair frames are consumed twice (count + join) — checkpoint the
+    // ≤|A|-row results so neither mining pipeline runs twice.
     val exactPairsBt = graft.ops.Mining.bitextMine(ba, bb, k = 4)
-      .select("src_id", "dst_id")
+      .select("src_id", "dst_id").localCheckpoint()
     val blockedBt = graft.ops.Mining.bitextMineBlocked(ba, bb, k = 4,
-      nCells = 8, nprobe = 3).select("src_id", "dst_id")
+      nCells = 8, nprobe = 3).select("src_id", "dst_id").localCheckpoint()
     val nExactBt = exactPairsBt.count()
     val nBlockedBt = blockedBt.count()
     val nHitBt = blockedBt.join(exactPairsBt, Seq("src_id", "dst_id")).count()

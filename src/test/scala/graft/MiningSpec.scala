@@ -91,6 +91,23 @@ class MiningSpec extends SparkSpec {
     assert(got(0L) === 101L, s"a0 must pair with the distinctive partner, got $got")
   }
 
+  test("id collision across collections is a coincidence, not an identity: pair (i, i) is minable") {
+    // A and B each number their own rows from 0 — the normal case for two
+    // independent corpora. a0's true partner is b0 with the SAME id 0;
+    // a self-kNN id filter would silently make it unreachable.
+    val a = Seq((0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((0L, Array(0.99f, 0.1f, 0f)), (1L, Array(0.1f, 0.99f, 0f)),
+      (2L, Array(0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val exact = Mining.bitextMine(a, b, k = 2, minMargin = 0.0).collect()
+      .map(r => r.getAs[Long]("src_id") -> r.getAs[Long]("dst_id")).toMap
+    assert(exact(0L) === 0L && exact(1L) === 1L)
+    val blocked = Mining.bitextMineBlocked(a, b, k = 2, nCells = 1,
+        nprobe = 1, minMargin = 0.0).collect()
+      .map(r => r.getAs[Long]("src_id") -> r.getAs[Long]("dst_id")).toMap
+    assert(blocked === exact)
+  }
+
   test("blocked miner with one cell equals the exact miner; guard refuses whale cells") {
     val va = vecs(12, 8, seed = 7)
     val vb = vecs(10, 8, seed = 99)

@@ -31,6 +31,10 @@ class PipelineOpsSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       graft.ops.TextAnalysis.mixPlan(df, Map("a" -> 0.9, "b" -> 0.3), 100L))
     assert(e.getMessage.contains("sum to 1"))
+    // negative weights can sum to 1 and would price a negative need
+    val e2 = intercept[IllegalArgumentException](
+      graft.ops.TextAnalysis.mixPlan(df, Map("a" -> 1.5, "b" -> -0.5), 100L))
+    assert(e2.getMessage.contains("non-negative"))
   }
 
   // ---- BM25 ----
