@@ -205,6 +205,17 @@ object SparkEntry {
       ordered(trails(s, dir).onlyDiffItems)
         .select("uuid", "time", "event_type", "props", "seq")),
 
+    // (J+) snapshot diff: base misses every 7th event, revision misses
+    // every 5th — content-identity (no seq) multiset diff, rolled up per
+    // trail. The post-rebuild "what changed" report the reference
+    // toolchain leaves to hand-rolled scripts.
+    "t_diff" -> ((s, dir) => {
+      val t = trails(s, dir)
+      val base = TrailDB.fromTrailFrame(t.df.filter(col("seq") % 7 =!= 0))
+      val rev = TrailDB.fromTrailFrame(t.df.filter(col("seq") % 5 =!= 0))
+      TrailOps.diffSummary(base, rev).orderBy("uuid")
+    }),
+
     // J4: merge with schema union — two shards with different field sets;
     // missing values become '' (tdb merge).
     "t_merge" -> ((s, dir) => {
@@ -1843,6 +1854,25 @@ object SparkEntry {
          |FROM trails
          |WINDOW w AS (PARTITION BY uuid ORDER BY time, seq)
          |ORDER BY uuid, time, seq""".stripMargin,
+
+    "t_diff" ->
+      s"""$TrailsCte,
+         |ev AS (SELECT uuid, time, coalesce(event_type,'') AS event_type,
+         |         coalesce(props,'') AS props, seq FROM trails),
+         |bc AS (SELECT uuid, time, event_type, props, count(*) AS ca
+         |  FROM ev WHERE seq % 7 != 0 GROUP BY 1, 2, 3, 4),
+         |rc AS (SELECT uuid, time, event_type, props, count(*) AS cb
+         |  FROM ev WHERE seq % 5 != 0 GROUP BY 1, 2, 3, 4),
+         |j AS (SELECT COALESCE(bc.uuid, rc.uuid) AS uuid,
+         |        GREATEST(COALESCE(cb, 0) - COALESCE(ca, 0), 0) AS n_added,
+         |        GREATEST(COALESCE(ca, 0) - COALESCE(cb, 0), 0) AS n_removed
+         |      FROM bc FULL JOIN rc ON bc.uuid = rc.uuid
+         |        AND bc.time = rc.time AND bc.event_type = rc.event_type
+         |        AND bc.props = rc.props)
+         |SELECT uuid, CAST(sum(n_added) AS BIGINT) AS n_added,
+         |       CAST(sum(n_removed) AS BIGINT) AS n_removed
+         |FROM j WHERE n_added > 0 OR n_removed > 0
+         |GROUP BY uuid ORDER BY uuid""".stripMargin,
 
     "t_merge" ->
       s"""$TrailsCte

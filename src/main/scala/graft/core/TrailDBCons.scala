@@ -322,4 +322,55 @@ object TrailOps {
     val merged = merge(dbs)
     merged.df.orderBy(TrailSchema.UuidCol, TrailSchema.TimeCol, TrailSchema.SeqCol)
   }
+
+  /** Snapshot diff between two trail databases — the operational question
+    * the reference toolchain leaves to hand-rolled scripts: after a
+    * rebuild/backfill, WHAT changed? Event identity is content-based
+    * `(uuid, time, field values)` — `seq` is this library's own
+    * deterministic tiebreaker, not part of the reference's event model,
+    * so two snapshots ingested in different orders still diff as equal.
+    * Multiset semantics: an event present 3× in base and 1× in revision
+    * reports 2 removed. Schemas are unioned first (merge's rule: missing
+    * field = "" — NULL≡"" per the reference model, which also makes the
+    * join keys null-free).
+    *
+    * Output: one row per distinct changed event,
+    * `(uuid, time, <fields>, n_added, n_removed)` (one of the two counts
+    * is 0). Scale shape: one groupBy per side on the full event key, then
+    * a co-partitioned full-outer join (same keys — no extra exchange);
+    * nothing corpus-sized ever broadcasts or funnels into a window. */
+  def diff(base: TrailDB, revision: TrailDB): DataFrame = {
+    val fieldSet = (base.df.columns ++ revision.df.columns).distinct.toSeq
+      .filterNot(TrailSchema.ReservedCols.contains)
+    def normalized(db: TrailDB): DataFrame = {
+      val df = db.df
+      val withAll = fieldSet.foldLeft(df)((d, f) =>
+        if (d.columns.contains(f)) d
+        else d.withColumn(f, lit("")))
+      withAll.select(
+        col(TrailSchema.UuidCol) +: col(TrailSchema.TimeCol) +:
+        fieldSet.map(f => coalesce(col(f), lit("")).as(f)): _*)
+    }
+    val key = TrailSchema.UuidCol +: TrailSchema.TimeCol +: fieldSet
+    val bc = normalized(base).groupBy(key.map(col): _*)
+      .agg(count(lit(1)).as("_ca"))
+    val rc = normalized(revision).groupBy(key.map(col): _*)
+      .agg(count(lit(1)).as("_cb"))
+    bc.join(rc, key, "full_outer")
+      .select(
+        key.map(col) :+
+        greatest(coalesce(col("_cb"), lit(0L)) - coalesce(col("_ca"), lit(0L)),
+          lit(0L)).as("n_added") :+
+        greatest(coalesce(col("_ca"), lit(0L)) - coalesce(col("_cb"), lit(0L)),
+          lit(0L)).as("n_removed"): _*)
+      .filter(col("n_added") > 0 || col("n_removed") > 0)
+  }
+
+  /** [[diff]] rolled up per trail: `(uuid, n_added, n_removed)` for every
+    * uuid with any change — the "which users' trails moved" report. */
+  def diffSummary(base: TrailDB, revision: TrailDB): DataFrame =
+    diff(base, revision)
+      .groupBy(col(TrailSchema.UuidCol))
+      .agg(sum(col("n_added")).as("n_added"),
+        sum(col("n_removed")).as("n_removed"))
 }

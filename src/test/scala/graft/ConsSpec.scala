@@ -74,6 +74,38 @@ class ConsSpec extends SparkSpec {
     assert(dump.map(_.getAs[String]("number")).toSeq === Seq("n1", "n2"))
   }
 
+  test("diff: content-identity multiset diff ignores seq, unions schemas, rolls up per trail") {
+    // base: event e1 ×3, e2 ×1, plus a base-only field 'x' on one row;
+    // revision: e1 ×1 (different seqs — must not matter), e2 ×1, e3 new.
+    val base = TrailDB.fromTrailFrame(Seq(
+      (uuidOf(0), 10L, "a", "x1", 0L),
+      (uuidOf(0), 10L, "a", "x1", 1L),
+      (uuidOf(0), 10L, "a", "x1", 2L),
+      (uuidOf(1), 20L, "b", "", 3L)
+    ).toDF("uuid", "time", "et", "x", "seq"))
+    val rev = TrailDB.fromTrailFrame(Seq(
+      (uuidOf(0), 10L, "a", "x1", 99L), // same content, new seq: unchanged
+      (uuidOf(1), 20L, "b", "", 98L),
+      (uuidOf(2), 30L, "c", "", 97L)    // brand new event
+    ).toDF("uuid", "time", "et", "x", "seq"))
+    val events = TrailOps.diff(base, rev).collect()
+      .map(r => (r.getAs[String]("uuid"), r.getAs[Long]("time"),
+        r.getAs[String]("et"), r.getAs[String]("x"),
+        r.getAs[Long]("n_added"), r.getAs[Long]("n_removed"))).toSet
+    assert(events === Set(
+      (uuidOf(0), 10L, "a", "x1", 0L, 2L), // 3 copies -> 1: two removed
+      (uuidOf(2), 30L, "c", "", 1L, 0L)))
+    val summary = TrailOps.diffSummary(base, rev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(summary === Map(uuidOf(0) -> ((0L, 2L)), uuidOf(2) -> ((1L, 0L))))
+    // schema union: a field only one side carries compares as ''
+    val revNoX = TrailDB.fromTrailFrame(Seq(
+      (uuidOf(1), 20L, "b", 0L)).toDF("uuid", "time", "et", "seq"))
+    val baseEmptyX = TrailDB.fromTrailFrame(Seq(
+      (uuidOf(1), 20L, "b", "", 1L)).toDF("uuid", "time", "et", "x", "seq"))
+    assert(TrailOps.diff(baseEmptyX, revNoX).count() === 0L)
+  }
+
   test("multi-cursor: K shards merge into timestamp order per trail (multi_cursor.c:14-60)") {
     val shards = (0 until 3).map { k =>
       TrailDB.fromTrailFrame(
