@@ -1,7 +1,7 @@
 package graft.cli
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count_distinct, sum}
 
 import graft.core.{GraftError, TrailDB, TrailDBCons, TrailOps, TrailSchema}
 import graft.filter.EventFilter
@@ -49,7 +49,8 @@ object Main {
       "--time-col", "--uuids", "--package"),
     "dump"  -> Set("-i", "-F", "-o", "--fields", "--uuids", "--delimiter", "--index"),
     "merge" -> Set("-o", "-i", "-F", "--uuids"),
-    "index" -> Set("-i", "-o")
+    "index" -> Set("-i", "-o"),
+    "diff"  -> Set("-i", "-o")
   ).withDefaultValue(Set.empty)
 
   /** Boolean switches per op — together with [[valueFlags]] this is the
@@ -60,7 +61,8 @@ object Main {
     "make"  -> Set("--csv-header", "--skip-bad-input"),
     "dump"  -> Set("-c", "-j", "--json-no-empty", "--csv-header"),
     "merge" -> Set.empty[String],
-    "index" -> Set.empty[String]
+    "index" -> Set.empty[String],
+    "diff"  -> Set("--summary")
   ).withDefaultValue(Set.empty)
 
   /** `--uuids` spec → entry list: a comma-separated list, or `@file` with
@@ -282,11 +284,37 @@ object Main {
           s"fields=${db.fields.mkString(",")}; wrote $n (field,value,page) " +
           s"entries to $out")
 
+      case "diff" =>
+        // `tdb diff -i BASE -i REV [--summary] [-o OUT]` — the
+        // post-rebuild "what changed" report (TrailOps.diff: content-
+        // identity multiset diff, schema-union aware). Default prints the
+        // one-line total; --summary prints per-trail rows; -o writes the
+        // event-level diff as a parquet table.
+        val ins = flags("-i")
+        if (ins.size != 2)
+          throw GraftError.BadArgs("diff: exactly two -i DB inputs (base, revision)")
+        val base = openDb(spark, ins(0))
+        val rev = openDb(spark, ins(1))
+        val d = TrailOps.diff(base, rev).localCheckpoint()
+        one("-o").foreach(out => d.write.mode("overwrite").parquet(out))
+        val tot = d.agg(sum(col("n_added")), sum(col("n_removed")),
+          count_distinct(col(TrailSchema.UuidCol))).head()
+        def z(i: Int): Long = if (tot.isNullAt(i)) 0L else tot.getLong(i)
+        println(s"[diff] ${ins(0)} -> ${ins(1)}: +${z(0)} -${z(1)} events " +
+          s"across ${z(2)} trails")
+        if (flags("--summary").nonEmpty)
+          d.groupBy(col(TrailSchema.UuidCol))
+            .agg(sum(col("n_added")).as("n_added"),
+              sum(col("n_removed")).as("n_removed"))
+            .orderBy(TrailSchema.UuidCol)
+            .collect()
+            .foreach(r => println(s"${r.getString(0)} +${r.getLong(1)} -${r.getLong(2)}"))
+
       case other =>
         usage(); throw GraftError.BadArgs(s"unknown op '$other'")
     }
   }
 
   private def usage(): Unit =
-    println("usage: tdb (make|dump|merge|index) [flags]  -- see Scaladoc of graft.cli.Main")
+    println("usage: tdb (make|dump|merge|index|diff) [flags]  -- see Scaladoc of graft.cli.Main")
 }

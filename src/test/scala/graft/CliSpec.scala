@@ -48,6 +48,25 @@ class CliSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(viaIdx === plain && plain.nonEmpty)
 
+    // diff: db1 vs a retention-trimmed rebuild of itself — the removed
+    // rows are reported, the event-level parquet matches, and a diff of
+    // a db against itself is empty
+    Main.run(spark, "make", Seq("-o", s"$dir/db1cut", "-c", csv.toString,
+      "-f", "etype,val", "--csv-header"))
+    val cutDb = TrailDB.open(spark, s"$dir/db1cut")
+    new graft.core.TrailDBCons(spark, cutDb.fields)
+      .add(cutDb.compact(keepLast = 3))
+      .finalizeTo(s"$dir/db1cut2")
+    Main.run(spark, "diff", Seq("-i", s"$dir/db1", "-i", s"$dir/db1cut2",
+      "-o", s"$dir/diffout", "--summary"))
+    val dd = spark.read.parquet(s"$dir/diffout")
+    assert(dd.columns.contains("n_removed"))
+    // 4 trails × 5 events trimmed to keepLast=3 → 8 removed, 0 added
+    import org.apache.spark.sql.functions.sum
+    val tot = dd.agg(sum("n_added"), sum("n_removed")).head()
+    assert(tot.getLong(0) === 0L && tot.getLong(1) === 8L)
+    assert(graft.core.TrailOps.diff(db1, db1).count() === 0L)
+
     // rewriting the db makes the CLI refuse the stale index loudly
     Thread.sleep(5)
     Main.run(spark, "merge", Seq("-o", s"$dir/merged",
