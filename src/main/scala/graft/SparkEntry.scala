@@ -518,6 +518,13 @@ object SparkEntry {
         .orderBy("week")
     }),
 
+    // (A+) cohort activity matrix: trails bucketed by first-event week,
+    // active-trail counts per (cohort, weeks-since). One uuid shuffle;
+    // whale trails contribute <= #weeks rows.
+    "t_cohort" -> ((s, dir) =>
+      graft.agg.Cohorts.matrix(trails(s, dir).df)
+        .orderBy("cohort", "age")),
+
     // ---- training-data pipeline operators (documents/embeddings) ----
 
     // Exact dedup groups: content hash → survivor id + copy count.
@@ -2215,6 +2222,14 @@ object SparkEntry {
          |        GROUP BY 1)
          |SELECT act.week, n_active, coalesce(n_retained, 0) AS n_retained
          |FROM act LEFT JOIN ret ON act.week = ret.week ORDER BY act.week""".stripMargin,
+
+    "t_cohort" ->
+      s"""$TrailsCte,
+         |wk AS (SELECT DISTINCT uuid, time // 604800 AS w FROM trails),
+         |ch AS (SELECT uuid, min(w) AS cohort FROM wk GROUP BY uuid)
+         |SELECT cohort, w - cohort AS age, count(*) AS n_active
+         |FROM wk JOIN ch USING (uuid)
+         |GROUP BY 1, 2 ORDER BY cohort, age""".stripMargin,
 
     "d_sentence_dedup" ->
       """WITH sents AS (

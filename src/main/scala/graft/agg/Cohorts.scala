@@ -1,0 +1,35 @@
+package graft.agg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cohort activity matrix — the signup-week × weeks-since grid every
+  * event-analytics team builds over trail data (the reference leaves it to
+  * application loops over cursors, like the sessionization tutorial
+  * doc/docs/tutorial.md): assign each trail to the bucket of its FIRST
+  * event, then count active trails per (cohort, age) where age = activity
+  * bucket − cohort bucket.
+  *
+  * Scale shape: ONE shuffle on uuid builds each trail's distinct bucket
+  * set (bounded by the calendar — a whale trail with 10^8 events still
+  * contributes ≤ #buckets rows), cohort = array_min inside that row, and
+  * the final (cohort, age) aggregate is matrix-sized. No window, no join:
+  * each uuid contributes each (cohort, age) cell at most once by
+  * construction, so `count(*)` IS the distinct-trail count. */
+object Cohorts {
+
+  def matrix(df: DataFrame, bucketSeconds: Long = 604800L,
+      uuidCol: String = "uuid", timeCol: String = "time"): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
+    // Integer DIV, not `/`: double division loses low bits on large epochs
+    // and the oracle's `//` is integral.
+    val perTrail = df
+      .select(col(uuidCol), expr(s"$timeCol DIV $bucketSeconds").as("_w"))
+      .groupBy(col(uuidCol)).agg(collect_set(col("_w")).as("_ws"))
+      .select(col(uuidCol), array_min(col("_ws")).as("cohort"),
+        explode(col("_ws")).as("_w"))
+    perTrail
+      .groupBy(col("cohort"), (col("_w") - col("cohort")).as("age"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+}

@@ -205,4 +205,19 @@ class AggSpec extends SparkSpec {
       .toMap
     assert(got === expected)
   }
+
+  test("cohort matrix: first-bucket cohort, age counts, whale trail counts once per bucket") {
+    val wk = 604800L
+    val rows =
+      // u0: first week 0, active weeks {0, 1, 3}; 1000 events in week 0
+      (0 until 1000).map(i => ("u0", i.toLong)) ++
+      Seq(("u0", wk + 5), ("u0", 3 * wk + 5)) ++
+      // u1: first week 1 only
+      Seq(("u1", wk + 9))
+    val got = graft.agg.Cohorts.matrix(rows.toDF("uuid", "time"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      (0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L))
+  }
 }
