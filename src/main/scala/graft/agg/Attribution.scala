@@ -44,11 +44,18 @@ object Attribution {
       .orderBy(col(timeCol), col(seqCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val et = coalesce(col(typeCol), lit(""))
+    // Only touch and conversion rows can affect the result (every other
+    // row contributes a null to the ignoreNulls carry and never survives
+    // the conversion filter) — pre-filtering them out of the window
+    // shrinks the uuid shuffle and the per-trail window state to the
+    // relevant subset, which is what makes a whale trail of mostly
+    // irrelevant events cheap.
+    val relevant = df.filter(et.isin((touchTypes :+ conversionType).map(lit): _*))
     val touch = last(
       when(et.isin(touchTypes.map(lit): _*),
         struct(col(timeCol).cast("long").as("t"), et.as("c"))),
       ignoreNulls = true).over(w)
-    df.withColumn("_touch", touch)
+    relevant.withColumn("_touch", touch)
       .filter(et === conversionType)
       .select(col(uuidCol), col(timeCol), col(seqCol),
         when(col("_touch").isNotNull &&
@@ -69,9 +76,11 @@ object Attribution {
     * Same one-pass shape as [[lastTouch]], but the window carries the
     * whole strictly-before prefix (collect_list over the same frame) and
     * the in-window touch subset is cut by a codegen'd higher-order filter
-    * — no UDF, no conversions×touches join. The per-conversion touch list
-    * is lookback-bounded, the right memory envelope when lookback ≪ trail
-    * span; for unbounded lookback prefer [[lastTouch]]'s O(1) carry.
+    * — no UDF, no conversions×touches join. The CARRIED prefix is the
+    * trail's prior touches (the relevant-rows pre-filter keeps everything
+    * else out of the window); the lookback cut bounds only the
+    * per-conversion OUTPUT list, so for touch-dominated whale trails
+    * prefer [[lastTouch]]'s O(1) carry.
     *
     * Output: one row per (conversion, credited touch) —
     * (uuid, time, seq, pos, channel, touch_time, credit); `pos` is the
@@ -88,10 +97,15 @@ object Attribution {
       .orderBy(col(timeCol), col(seqCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val et = coalesce(col(typeCol), lit(""))
+    // Same relevant-rows pre-filter as lastTouch: collect_list skips the
+    // nulls non-touch rows produce, so dropping them first is
+    // output-identical and keeps the carried prefix (and the shuffle)
+    // touch-only.
+    val relevant = df.filter(et.isin((touchTypes :+ conversionType).map(lit): _*))
     val prefix = collect_list(
       when(et.isin(touchTypes.map(lit): _*),
         struct(col(timeCol).cast("long").as("t"), et.as("c")))).over(w)
-    val withTouches = df.withColumn("_pre", prefix)
+    val withTouches = relevant.withColumn("_pre", prefix)
       .filter(et === conversionType)
       .withColumn("_touches", filter(col("_pre"),
         x => x.getField("t") > col(timeCol).cast("long") - lookback))

@@ -21,9 +21,13 @@ object Cohorts {
   def matrix(df: DataFrame, bucketSeconds: Long = 604800L,
       uuidCol: String = "uuid", timeCol: String = "time"): DataFrame = {
     require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
-    // Integer DIV, not `/`: double division loses low bits on large epochs
-    // and the oracle's `//` is integral.
+    // Integer DIV, not `/`: double division loses low bits on large
+    // epochs. DIV truncates while the oracle's `//` floors — equal ONLY
+    // because trail time is u64 by contract (TrailSchema: "u64 in the
+    // reference"); enforce that rather than silently mis-bucketing a
+    // pre-epoch timestamp into a double-width bucket 0.
     val perTrail = df
+      .filter(col(timeCol) >= 0 || raiseNegative(timeCol))
       .select(col(uuidCol), expr(s"$timeCol DIV $bucketSeconds").as("_w"))
       .groupBy(col(uuidCol)).agg(collect_set(col("_w")).as("_ws"))
       .select(col(uuidCol), array_min(col("_ws")).as("cohort"),
@@ -32,4 +36,10 @@ object Cohorts {
       .groupBy(col("cohort"), (col("_w") - col("cohort")).as("age"))
       .agg(count(lit(1)).as("n_active"))
   }
+
+  private def raiseNegative(timeCol: String) =
+    raise_error(concat(lit(
+      "graft cohorts: negative time (trail time is u64 by contract; " +
+      "truncating DIV would mis-bucket pre-epoch rows): "),
+      col(timeCol).cast("string"))).cast("boolean")
 }

@@ -41,9 +41,20 @@ final case class SessionIntervals(gapSeconds: Long)
       iv: (Long, Long)): ArrayBuffer[(Long, Long)] = {
     var (s, e) = iv
     // find insertion window: all intervals with start <= e + gap and
-    // end >= s - gap merge into one
-    var lo = 0
-    while (lo < buf.length && buf(lo)._2 < s - gapSeconds) lo += 1
+    // end >= s - gap merge into one. The buffer holds DISJOINT intervals
+    // sorted by start, so ends are increasing too — lower-bound binary
+    // search for the first end >= s - gap (the hi walk past it only
+    // visits intervals that are then merged away, so it is amortized
+    // O(1) and insert is O(log sessions) as documented).
+    var lo = {
+      var l = 0
+      var h = buf.length
+      while (l < h) {
+        val m = (l + h) >>> 1
+        if (buf(m)._2 < s - gapSeconds) l = m + 1 else h = m
+      }
+      l
+    }
     var hi = lo
     while (hi < buf.length && buf(hi)._1 <= e + gapSeconds) {
       s = math.min(s, buf(hi)._1)

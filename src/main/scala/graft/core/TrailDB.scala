@@ -59,6 +59,12 @@ final class TrailDB private (
   def events(filter: EventFilter = EventFilter.matchAll): DataFrame = {
     val filtered = df.filter(filter.toColumn(fieldSet))
     bucketSeconds match {
+      // The pruning predicates reference the Hive partition column; a
+      // caller may pass bucketSeconds explicitly for a sidecar-less dir
+      // (open()'s documented escape hatch) whose layout is NOT
+      // time-partitioned — degrade to the unpruned scan instead of an
+      // UNRESOLVED_COLUMN analysis error.
+      case Some(_) if !base.columns.contains(TrailSchema.BucketCol) => filtered
       case Some(n) =>
         val bucketClauses = filter.clauses.flatMap { c =>
           val ranges = c.terms.collect { case tr: graft.filter.TimeRange => tr }
@@ -307,6 +313,13 @@ object TrailDB {
     // (round 7; reference: tdb_open dispatches the same way on file vs
     // dir, src/tdb.c:330-341).
     if (isLegacyTdb(spark, path)) {
+      // A legacy db has no time-partitioned layout; silently dropping an
+      // explicit bucketSeconds would let the caller believe time-range
+      // partition pruning is configured when it cannot be.
+      require(bucketSeconds.isEmpty,
+        s"bucketSeconds has no effect on a legacy .tdb at $path — the " +
+        "format has no partitioned layout; re-finalize with " +
+        "finalizePartitioned for time pruning")
       val df = spark.read.format("tdb").load(path)
       return fromTrailFrame(df)
     }
@@ -359,8 +372,14 @@ object TrailDB {
   def fromEvents(df: DataFrame, uuidCol: String, timeCol: String,
       fieldCols: Seq[String], seqCol: Option[String] = None): TrailDB = {
     TrailSchema.validateFields(fieldCols).left.foreach(e => throw new IllegalArgumentException(e))
+    // String uuids normalize to the documented 32-char lowercase hex form:
+    // lowercase AND strip hyphens, so the canonical "123e4567-e89b-..."
+    // rendering and the bare-hex rendering of the same UUID key ONE trail
+    // (the reference's uuid_raw accepts both, src/tdb_uuid.c). Non-hex
+    // string keys pass through (hyphen-free) unchanged.
     val uuidExpr = df.schema(uuidCol).dataType match {
-      case org.apache.spark.sql.types.StringType => lower(col(uuidCol))
+      case org.apache.spark.sql.types.StringType =>
+        regexp_replace(lower(col(uuidCol)), "-", "")
       case _ => format_string("%032x", col(uuidCol))
     }
     // Prefer a natural unique key as the (uuid, time) sort tiebreaker —

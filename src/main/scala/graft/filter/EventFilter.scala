@@ -92,8 +92,17 @@ object EventFilter {
   def parse(text: String): EventFilter = {
     val trimmed = text.trim
     if (trimmed.isEmpty) return matchNone
-    val clauses = trimmed.split("&").map { clauseText =>
-      val terms = clauseText.trim.split("\\s+").filter(_.nonEmpty).map { tok =>
+    // limit -1: keep trailing empty strings, so a trailing '&' is caught
+    // by the empty-clause check below instead of silently vanishing.
+    val clauses = trimmed.split("&", -1).map { clauseText =>
+      val toks = clauseText.trim.split("\\s+").filter(_.nonEmpty)
+      // A stray '&&' / leading / trailing '&' yields a term-less clause,
+      // which compiles to FALSE and silently makes the WHOLE filter match
+      // nothing — the worst failure mode for a filter typo. Loud instead.
+      require(toks.nonEmpty,
+        s"filter '$text': empty clause (stray '&' or '&&'?) — clauses are " +
+        "separated by a single '&'")
+      val terms = toks.map { tok =>
         val (f, v, neg) = tok.indexOf("!=") match {
           case -1 =>
             val i = tok.indexOf('=')

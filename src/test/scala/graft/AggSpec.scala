@@ -219,5 +219,9 @@ class AggSpec extends SparkSpec {
     assert(got === Map(
       (0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
       (1L, 0L) -> 1L))
+    // pre-epoch time: truncating DIV would silently mis-bucket it — loud
+    val neg = Seq(("u0", -5L)).toDF("uuid", "time")
+    val e = intercept[Exception](graft.agg.Cohorts.matrix(neg).collect())
+    assert(e.getMessage.contains("negative time"))
   }
 }

@@ -151,6 +151,25 @@ class ConsSpec extends SparkSpec {
       s"expected _bucket partition filters in:\n$plan")
     val pf = plan.split("PartitionFilters: ")(1).split("]")(0)
     assert(pf.contains("2") && pf.contains("3"), s"bucket bounds wrong: $pf")
+
+    // explicit bucketSeconds on a NON-partitioned layout (open()'s
+    // sidecar-less escape hatch pointed at a plain db) must degrade to an
+    // unpruned scan, not an UNRESOLVED_COLUMN crash on _bucket
+    val plainPath = tmp()
+    new TrailDBCons(spark, Seq("f")).add(rows.toDF("uuid", "time", "f", "seq"))
+      .finalizeTo(plainPath)
+    val plain = TrailDB.open(spark, plainPath, bucketSeconds = Some(86400L))
+    assert(plain.events(f).count() === 10)
+
+    // hyphenated canonical-form string uuids normalize to bare 32-hex:
+    // both renderings of one UUID key ONE trail
+    val hyph = TrailDB.fromEvents(
+      Seq(("123E4567-e89b-12d3-a456-426614174000", 1L, "x", 0L),
+        ("123e4567e89b12d3a456426614174000", 2L, "y", 1L))
+        .toDF("u", "t", "f", "s"),
+      uuidCol = "u", timeCol = "t", fieldCols = Seq("f"), seqCol = Some("s"))
+    assert(hyph.df.select("uuid").distinct().count() === 1)
+    assert(hyph.trailLengths.head().getLong(1) === 2L)
   }
 
   test("z_order2 is the Morton interleave; z-ordered finalize round-trips") {

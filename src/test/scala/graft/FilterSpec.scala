@@ -84,6 +84,12 @@ class FilterSpec extends SparkSpec {
     assert(n(f) === 0)
     assert(n(EventFilter.parse("a= b=sun")) === 2) // a empty (ev4) OR b=sun (ev2,4) = 2
     assert(n(EventFilter.parse("")) === 0)         // empty text = match-none
+    // a stray '&&' / leading / trailing '&' would make a term-less clause
+    // that silently matches NOTHING — the parser refuses it loudly
+    for (bad <- Seq("a=foo && b=run", "& a=foo", "a=foo &", "a=foo & & b=run")) {
+      val e = intercept[IllegalArgumentException](EventFilter.parse(bad))
+      assert(e.getMessage.contains("empty clause"), s"'$bad': ${e.getMessage}")
+    }
   }
 
   test("parser: =@file value indirection reads the whole file verbatim (tdbcli/filter.c:45-59)") {

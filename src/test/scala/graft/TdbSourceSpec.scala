@@ -26,6 +26,12 @@ class TdbSourceSpec extends SparkSpec {
       ("20" + "0" * 30, 1463696952L, "it", "works!")))
   }
 
+  test("open() refuses bucketSeconds on a legacy db (no partitioned layout)") {
+    val e = intercept[IllegalArgumentException](
+      graft.core.TrailDB.open(spark, refFixture, bucketSeconds = Some(3600L)))
+    assert(e.getMessage.contains("no effect on a legacy"))
+  }
+
   test("uuid pushdown prunes to single-trail partitions on the fixture") {
     val one = spark.read.format("tdb").load(refFixture)
       .filter(col("uuid") === "20000000000000000000000000000000")
