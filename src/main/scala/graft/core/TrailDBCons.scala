@@ -21,6 +21,7 @@ final class TrailDBCons(val spark: SparkSession, val fields: Seq[String]) {
   TrailSchema.validateFields(fields).left.foreach(e => throw new IllegalArgumentException(e))
 
   private var staged: Option[DataFrame] = None
+  private var uuidWhitelist: Option[Seq[String]] = None
 
   /** Staged events, or a correctly-typed empty table — the reference allows
     * finalizing a cons with zero added events (tdb_cons_finalize on an empty
@@ -32,7 +33,15 @@ final class TrailDBCons(val spark: SparkSession, val fields: Seq[String]) {
       TrailSchema.schemaFor(fields)))
 
   private def stage(df: DataFrame): this.type = synchronized {
-    staged = Some(staged.map(_.unionByName(df)).getOrElse(df))
+    // An armed whitelist restricts EVERY add, not only rows staged before
+    // the whitelist() call — otherwise a later add() would smuggle
+    // unlisted trails into a db the docstring promises contains only the
+    // listed ones.
+    val filtered = uuidWhitelist match {
+      case Some(us) => df.filter(col(TrailSchema.UuidCol).isin(us: _*))
+      case None => df
+    }
+    staged = Some(staged.map(_.unionByName(filtered)).getOrElse(filtered))
     this
   }
 
@@ -106,7 +115,8 @@ final class TrailDBCons(val spark: SparkSession, val fields: Seq[String]) {
     * finalized db contains only the listed trails. Lazy like every other
     * staging op — the isin predicate rides the ingest plan. */
   def whitelist(uuids: Seq[String]): this.type = synchronized {
-    staged = Some(stagedOrEmpty.filter(col(TrailSchema.UuidCol).isin(uuids: _*)))
+    uuidWhitelist = Some(uuids)
+    staged = staged.map(_.filter(col(TrailSchema.UuidCol).isin(uuids: _*)))
     this
   }
 
@@ -143,10 +153,13 @@ final class TrailDBCons(val spark: SparkSession, val fields: Seq[String]) {
       secondsPerPartition: Long = 86400L): TrailDB = {
     val bucketed = stagedOrEmpty.withColumn(TrailSchema.BucketCol,
       expr(s"${TrailSchema.TimeCol} DIV $secondsPerPartition"))
-    if (staged.isEmpty) {
-      // Dynamic-partitioned writes of zero rows emit no data files at all
-      // (nothing to infer a schema from on re-open); a plain write keeps the
-      // schema in an empty footer. Pruning is moot on an empty db.
+    // ROW-level emptiness, not Option-level: a staged-but-filtered-to-
+    // zero frame (whitelist matching nothing, skip-bad-input dropping
+    // every row) must also take the plain write — the dynamic-partition
+    // write of zero rows emits NO data files and the re-open cannot
+    // infer a schema. The isEmpty probe is a take(1) job, cheap next to
+    // the write + stats passes finalize already runs.
+    if (staged.isEmpty || bucketed.isEmpty) {
       bucketed.write.mode(SaveMode.Overwrite).parquet(path)
     } else {
       bucketed
@@ -353,12 +366,17 @@ object TrailOps {
     }
     val key = TrailSchema.UuidCol +: TrailSchema.TimeCol +: fieldSet
     val bc = normalized(base).groupBy(key.map(col): _*)
-      .agg(count(lit(1)).as("_ca"))
+      .agg(count(lit(1)).as("_ca")).alias("l")
     val rc = normalized(revision).groupBy(key.map(col): _*)
-      .agg(count(lit(1)).as("_cb"))
-    bc.join(rc, key, "full_outer")
+      .agg(count(lit(1)).as("_cb")).alias("r")
+    // Null-safe (<=>) join keys: fields are ""-coalesced, but a frame fed
+    // in with a NULL uuid/time would otherwise never match ITSELF across
+    // sides — diff(db, identicalCopy) must be empty even on
+    // contract-violating rows.
+    val cond = key.map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _)
+    bc.join(rc, cond, "full_outer")
       .select(
-        key.map(col) :+
+        key.map(k => coalesce(col(s"l.$k"), col(s"r.$k")).as(k)) :+
         greatest(coalesce(col("_cb"), lit(0L)) - coalesce(col("_ca"), lit(0L)),
           lit(0L)).as("n_added") :+
         greatest(coalesce(col("_ca"), lit(0L)) - coalesce(col("_cb"), lit(0L)),

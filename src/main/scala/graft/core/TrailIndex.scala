@@ -50,20 +50,27 @@ object TrailIndex {
     * info sidecar, so ANY rewrite of the db — even one producing identical
     * stats — changes the mtime and invalidates indexes built before it.
     * None when the db has no info sidecar (bare parquet dir). */
+  /** Drain a filesystem stream fully — shared by the fingerprint and the
+    * sidecar read so stream-handling fixes cannot diverge. */
+  private def readAll(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
+  }
+
   private def dbFingerprint(spark: SparkSession, dbPath: String): Option[(String, Long)] = {
     val p = new Path(dbPath, TrailInfo.FileName)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
       val st = fs.getFileStatus(p)
-      val in = fs.open(p)
-      val bytes = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](8192)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        buf.toByteArray
-      } finally in.close()
+      val bytes = readAll(fs, p)
       val sha = java.security.MessageDigest.getInstance("SHA-256")
         .digest(bytes).map(b => f"$b%02x").mkString
       Some((sha, st.getModificationTime))
@@ -88,12 +95,17 @@ object TrailIndex {
     val tmp = new Path(dst.getParent,
       s".${dst.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     try {
-      entries(db, prefixLen)
-        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      // Fingerprint BEFORE the entries job reads any data (fail-closed
+      // against a mid-build rewrite): if the db is rewritten while the
+      // index builds, the sidecar holds the PRE-build fingerprint and
+      // open() against the rewritten db refuses as stale — capturing it
+      // after the scan would bind old data to the new db and pass.
       val binding = for {
         dbPath <- db.sourcePath
         (sha, mtime) <- dbFingerprint(spark, dbPath)
       } yield (dbPath, sha, mtime)
+      entries(db, prefixLen)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       def esc(s: String) = s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"
@@ -165,15 +177,7 @@ object TrailIndex {
       // binding we cannot verify — opening anyway could silently drop
       // rows. (Covers torn writes, checksum failures, and garbage alike.)
       val j = try {
-        val in = fs.open(sp)
-        val text = try {
-          val buf = new java.io.ByteArrayOutputStream()
-          val chunk = new Array[Byte](8192)
-          var n = in.read(chunk)
-          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-          buf.toString("UTF-8")
-        } finally in.close()
-        JsonMethods.parse(text)
+        JsonMethods.parse(new String(readAll(fs, sp), "UTF-8"))
       } catch {
         case e: Exception => throw new StaleIndexException(
           s"index sidecar $sp is unreadable (${e.getMessage}) — cannot " +

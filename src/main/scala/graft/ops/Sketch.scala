@@ -208,6 +208,10 @@ object Sketch {
     override def zero: Array[Long] = new Array[Long](depth * width)
 
     override def reduce(b: Array[Long], t: String): Array[Long] = {
+      // NULL tokens are skipped, mirroring the column-side probe: the
+      // documented dual `pmod(xxhash64(lit(i), token), width)` yields NULL
+      // for a NULL token (no cell), and fromString(null) would NPE here.
+      if (t == null) return b
       val s = org.apache.spark.unsafe.types.UTF8String.fromString(t)
       var i = 0
       while (i < depth) {

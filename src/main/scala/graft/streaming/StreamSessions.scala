@@ -64,8 +64,11 @@ object StreamSessions {
               if (last == Long.MinValue || t - last > gapSeconds) sessions += 1
               last = t
             }
+            // min/max symmetrically: a late event EARLIER than everything
+            // seen must move firstTime exactly like a new latest event
+            // moves lastTime (first-batch-wins would freeze it wrong).
             val next = TrailState(
-              prev.map(_.firstTime).getOrElse(times.head),
+              math.min(prev.map(_.firstTime).getOrElse(Long.MaxValue), times.head),
               math.max(prev.map(_.lastTime).getOrElse(Long.MinValue), times.last),
               prev.map(_.nEvents).getOrElse(0L) + times.length,
               sessions)
@@ -100,6 +103,8 @@ object StreamSessions {
       steps: Seq[String], window: Long, exclude: Set[String] = Set.empty)(
       implicit enc: org.apache.spark.sql.Encoder[FunnelUpdate],
       stateEnc: org.apache.spark.sql.Encoder[FunnelState]): Dataset[FunnelUpdate] = {
+    require(steps.nonEmpty, "windowFunnel needs at least one step")
+    require(window >= 0, s"window must be non-negative, got $window")
     require(exclude.intersect(steps.toSet).isEmpty,
       s"exclusion types overlap steps: ${exclude.intersect(steps.toSet)}")
     implicit val strEnc: org.apache.spark.sql.Encoder[String] =
@@ -177,6 +182,7 @@ object StreamSessions {
       touchTypes: Set[String], conversionType: String, lookback: Long)(
       implicit enc: org.apache.spark.sql.Encoder[AttributionHit],
       stateEnc: org.apache.spark.sql.Encoder[TouchState]): Dataset[AttributionHit] = {
+    require(touchTypes.nonEmpty, "lastTouch needs at least one touch type")
     require(lookback > 0, s"lookback must be positive, got $lookback")
     implicit val strEnc: org.apache.spark.sql.Encoder[String] =
       org.apache.spark.sql.Encoders.STRING
@@ -243,20 +249,31 @@ object StreamSessions {
           val out = scala.collection.mutable.ArrayBuffer.empty[HorizonUpdate]
           rows.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, t, seq, v) =>
             // sorted insert keeps the deque a time-ordered window even
-            // under late arrivals
-            val at = times.indexWhere(_ > t) match {
-              case -1 => times.length
-              case i  => i
+            // under late arrivals; the common in-order arrival appends
+            // without the O(deque) scan + patch copy
+            if (times.isEmpty || t >= times.last) {
+              times = times :+ t
+              values = values :+ v
+            } else {
+              val at = times.indexWhere(_ > t) match {
+                case -1 => times.length
+                case i  => i
+              }
+              times = times.patch(at, Seq(t), 0)
+              values = values.patch(at, Seq(v), 0)
             }
-            times = times.patch(at, Seq(t), 0)
-            values = values.patch(at, Seq(v), 0)
             // this event's OWN frame: entries in [t − horizon, t]
             val lo = times.indexWhere(_ >= t - horizon)
             val hi = times.lastIndexWhere(_ <= t)
             out += HorizonUpdate(uuid, t, seq, (hi - lo + 1).toLong,
               values.slice(lo, hi + 1).sum)
-            // evict what no in-horizon future arrival can ever see
-            val cut = times.indexWhere(_ >= times.last - horizon)
+            // Evict only below max − 2·horizon: a late event at
+            // t ∈ (max − horizon, max] — the documented lateness band —
+            // needs its FULL frame [t − horizon, t], whose oldest entry
+            // can sit as far back as max − 2·horizon. Evicting at
+            // max − horizon (the pre-r8 bound) silently undercut exactly
+            // those late frames.
+            val cut = times.indexWhere(_ >= times.last - 2 * horizon)
             if (cut > 0) {
               times = times.drop(cut); values = values.drop(cut)
             }
@@ -414,6 +431,7 @@ object StreamSessions {
       scoreCol: org.apache.spark.sql.Column, q: Double,
       accuracy: Int = 10000): DataFrame = {
     require(q > 0.0 && q < 1.0, s"q must be in (0, 1), got $q")
+    require(accuracy >= 100, s"accuracy $accuracy too low for a stable threshold")
     docs.agg(
       percentile_approx(scoreCol, lit(q), lit(accuracy)).as("threshold"),
       count(scoreCol).as("n_scored"))

@@ -104,6 +104,31 @@ class ConsSpec extends SparkSpec {
     val baseEmptyX = TrailDB.fromTrailFrame(Seq(
       (uuidOf(1), 20L, "b", "", 1L)).toDF("uuid", "time", "et", "x", "seq"))
     assert(TrailOps.diff(baseEmptyX, revNoX).count() === 0L)
+    // null-safe keys: identical frames with a contract-violating NULL time
+    // still diff as EMPTY (a plain equi-join would report +1/-1)
+    val withNull = TrailDB.fromTrailFrame(Seq(
+      (uuidOf(3), Option.empty[Long], "n", 0L),
+      (uuidOf(3), Option(9L), "m", 1L))
+      .toDF("uuid", "time", "et", "seq"))
+    assert(TrailOps.diff(withNull, withNull).count() === 0L)
+  }
+
+  test("whitelist arms for LATER adds too; all-filtered partitioned finalize stays readable") {
+    val others = Seq((uuidOf(5), 1L, "z", 0L)).toDF("uuid", "time", "f", "seq")
+    val listed = Seq((uuidOf(1), 2L, "y", 1L)).toDF("uuid", "time", "f", "seq")
+    // whitelist BEFORE the add: the later add must still be filtered
+    val db = new TrailDBCons(spark, Seq("f"))
+      .whitelist(Seq(uuidOf(1))).add(others).add(listed)
+      .finalizeTo(tmp())
+    assert(db.df.select("uuid").distinct().collect().map(_.getString(0)).toSeq
+      === Seq(uuidOf(1)))
+    // a whitelist matching NOTHING + partitioned finalize: zero-row
+    // dynamic-partition writes emit no data files — must fall back to the
+    // plain write so the db re-opens as a valid empty table
+    val empty = new TrailDBCons(spark, Seq("f"))
+      .add(others).whitelist(Seq(uuidOf(9)))
+      .finalizePartitioned(tmp(), secondsPerPartition = 60L)
+    assert(empty.numEvents === 0L)
   }
 
   test("multi-cursor: K shards merge into timestamp order per trail (multi_cursor.c:14-60)") {

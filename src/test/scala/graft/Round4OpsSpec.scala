@@ -253,6 +253,13 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("CountMin skips null tokens like its column-side xxhash64 twin") {
+    val cm = Sketch.CountMin(2, 8)
+    val b = cm.reduce(cm.zero, null) // must not NPE, must not count
+    assert(b.forall(_ == 0L))
+    assert(cm.reduce(b, "x").sum === 2L) // one increment per depth row
+  }
+
   test("CountMin is exact for the event-type key set (collision-free separation)") {
     // Data-independent given the key strings: with a 4x1024 grid each of
     // these keys must own a private cell in at least one hash row, making

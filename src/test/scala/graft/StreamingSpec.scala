@@ -75,6 +75,25 @@ class StreamingSpec extends SparkSpec {
     assert(last.nEvents === 3L)
     assert(last.nSessions === 2L)
     assert(last.firstTime === 100L && last.lastTime === 90000L)
+
+    // batch 3: a LATE event earlier than everything seen — firstTime must
+    // move down (min), symmetric to lastTime's max. Fresh checkpoint +
+    // one-file micro-batches so the late file really crosses a boundary
+    // (a memory-sink query cannot resume the old checkpoint).
+    Seq(("u1", 10L)).toDF("uuid", "time").write.mode("append").parquet(src)
+    val stream3 = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .as[(String, Long)]
+    val q3 = StreamSessions.statefulTrailStats(stream3, gapSeconds = 1800L)
+      .writeStream.outputMode("append").format("memory").queryName("tstats3")
+      .option("checkpointLocation", dir.resolve("ck3").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination(60000)
+    val late = spark.sql(
+      "SELECT * FROM tstats3 ORDER BY nEvents DESC LIMIT 1").as[TrailUpdate].head()
+    assert(late.nEvents === 4L)
+    assert(late.firstTime === 10L && late.lastTime === 90000L)
   }
 
   test("streaming dedup keeps first arrival per content key, bounded by watermark") {
@@ -663,6 +682,41 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(got(5000L) === ((2L, 8L)), got.toString) // 4000 + itself, never 7000
     assert(got(7000L) === ((2L, 13L)))              // 4000 + itself (in-order)
+  }
+
+  test("stateful trailingStats retains 2x horizon so an in-band late frame is complete") {
+    import graft.streaming.StreamSessions.{HorizonState, HorizonUpdate}
+    implicit val updEnc = org.apache.spark.sql.Encoders.product[HorizonUpdate]
+    implicit val stEnc = org.apache.spark.sql.Encoders.product[HorizonState]
+
+    val dir = Files.createTempDirectory("graft-slate2")
+    val src = dir.resolve("src").toString
+    // horizon 100: batch1 t=50, batch2 t=200 (evicting at max-horizon
+    // would drop t=50), batch3 late t=150 — only 50 behind max, inside
+    // the lateness band — whose frame [50, 150] must still see t=50.
+    val b1 = Seq(("u1", 50L, 1L, 7L))
+    val b2 = Seq(("u1", 200L, 2L, 11L))
+    val b3 = Seq(("u1", 150L, 3L, 13L))
+    b1.toDF("uuid", "time", "seq", "v").coalesce(1).write.parquet(src)
+    Thread.sleep(1100)
+    b2.toDF("uuid", "time", "seq", "v").coalesce(1)
+      .write.mode("append").parquet(src)
+    Thread.sleep(1100)
+    b3.toDF("uuid", "time", "seq", "v").coalesce(1)
+      .write.mode("append").parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .as[(String, Long, Long, Long)]
+    val q = StreamSessions.statefulTrailingStats(stream, horizon = 100L)
+      .writeStream.outputMode("append").format("memory").queryName("slate2")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val got = spark.sql("SELECT time, nWin, sumWin FROM slate2")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(150L) === ((2L, 20L)), got.toString) // {50, 150} — 50 retained
   }
 
   test("stateful decayScore renormalizes O(1) state across batches, matches batch") {
