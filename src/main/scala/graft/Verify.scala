@@ -15,11 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += ((name, Option(e.getMessage).getOrElse(e.getClass.getName)))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -37,6 +39,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Loud failure record: a query that throws above is silently ABSENT from
+    // the driver's per-query compare (its parquet never exists), which in
+    // round 7 let a broken trail-read path shrink the correctness gate from
+    // 114 to 72 queries without any red signal. Dump the failures as a
+    // sidecar the judge (and the builder's own sanity runs) can read, and
+    // exit non-zero only via the summary line — the driver still gets every
+    // query that DID succeed.
+    val failJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_failures.json"), failJson)
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size}/${SparkEntry.queries.size} " +
+        s"queries FAILED: ${failed.map(_._1).mkString(", ")}")
     spark.stop()
   }
 }
