@@ -1212,6 +1212,25 @@ object SparkEntry {
           (col("p90a") >= col("p90lo") && col("p90a") <= col("p90hi")).as("p90_ok"))
     }),
 
+    // One-scan per-column ingest profile: rows / nulls / exact distincts /
+    // varchar min-max per column, HLL agreement flag riding along. The
+    // audit a new corpus drop gets before entering the pipeline.
+    "d_profile" -> ((s, dir) =>
+      TextAnalysis.profile(
+          s.read.parquet(s"$dir/documents.parquet"),
+          cols = Seq("doc_id", "lang", "source", "text"))
+        .orderBy("col_name")),
+
+    // Snapshot drift: unigram-distribution shift between two corpus halves
+    // (doc_id parity stands in for yesterday/today), top-20 drifted tokens
+    // by the integer cross-multiplied gap |c_a*N_b - c_b*N_a|.
+    "d_drift" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.tokenDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), k = 20)
+    }),
+
     // Stratified hash-sampling: per-language keep fractions (rebalancing an
     // over-represented language mix) — deterministic md5 rule per stratum.
     "d_stratified_sample" -> ((s, dir) =>
@@ -2839,6 +2858,38 @@ object SparkEntry {
         |  (SELECT CAST(sum(len(l)) AS BIGINT) FROM t) AS n_tokens,
         |  (SELECT count(DISTINCT gram) FROM g) AS distinct_3grams,
         |  TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p90_ok""".stripMargin,
+
+    "d_profile" ->
+      """SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(doc_id) AS n_nulls, count(DISTINCT doc_id) AS n_distinct,
+        |  min(CAST(doc_id AS VARCHAR)) AS min_val, max(CAST(doc_id AS VARCHAR)) AS max_val,
+        |  TRUE AS hll_ok FROM documents
+        |UNION ALL
+        |SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang),
+        |  min(lang), max(lang), TRUE FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*), count(*) - count(source), count(DISTINCT source),
+        |  min(source), max(source), TRUE FROM documents
+        |UNION ALL
+        |SELECT 'text', count(*), count(*) - count(text), count(DISTINCT text),
+        |  min(text), max(text), TRUE FROM documents
+        |ORDER BY col_name""".stripMargin,
+
+    "d_drift" ->
+      """WITH ta AS (SELECT unnest(string_split_regex(text, ' +')) AS token
+        |            FROM documents WHERE doc_id % 2 = 0),
+        |tb AS (SELECT unnest(string_split_regex(text, ' +')) AS token
+        |       FROM documents WHERE doc_id % 2 = 1),
+        |ca AS (SELECT token, count(*) AS c FROM ta GROUP BY 1),
+        |cb AS (SELECT token, count(*) AS c FROM tb GROUP BY 1),
+        |j AS (SELECT coalesce(ca.token, cb.token) AS token,
+        |             coalesce(ca.c, 0) AS count_a, coalesce(cb.c, 0) AS count_b
+        |      FROM ca FULL JOIN cb ON ca.token = cb.token)
+        |SELECT token, CAST(count_a AS BIGINT) AS count_a,
+        |       CAST(count_b AS BIGINT) AS count_b,
+        |       CAST(abs(count_a * (SELECT count(*) FROM tb)
+        |              - count_b * (SELECT count(*) FROM ta)) AS BIGINT) AS drift
+        |FROM j ORDER BY drift DESC, token LIMIT 20""".stripMargin,
 
     "d_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

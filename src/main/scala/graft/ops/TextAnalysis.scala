@@ -671,6 +671,83 @@ object TextAnalysis {
       .agg(count(lit(1)).as("_nd"),
         sum(tokenCount(col(textCol)).cast("long")).as("_nt"))
 
+  /** One-scan per-column data profile — the ingest audit every new corpus
+    * drop gets before entering the pipeline: row count, null count, distinct
+    * count, lexicographic min/max of the string rendering, plus an HLL
+    * agreement flag. ONE pass over the data: all statistics are computed in
+    * a single aggregate (map-side partials, a one-row reduce) and then
+    * unpivoted driver-free with explode over a literal struct array.
+    *
+    * Exact `count(distinct)` over d columns makes Catalyst plan an Expand
+    * (d× map-side rows, still one scan). That is the right trade for an
+    * audit at test scale and the oracle needs it; at 100 TB pass
+    * `exact = false` and the profile runs expand-free with the mergeable
+    * HyperLogLog estimate (rsd 2%) as `n_distinct` instead.
+    */
+  def profile(df: DataFrame, cols: Seq[String] = Nil, rsd: Double = 0.02,
+      hllTol: Double = 0.05, exact: Boolean = true): DataFrame = {
+    val names = if (cols.nonEmpty) cols else df.columns.toSeq
+    require(names.nonEmpty, "profile needs at least one column")
+    val aggs = names.flatMap { c =>
+      Seq(count(col(c)).as(s"_nn_$c"),
+        approx_count_distinct(col(c), rsd).as(s"_hll_$c"),
+        min(col(c).cast("string")).as(s"_min_$c"),
+        max(col(c).cast("string")).as(s"_max_$c")) ++
+        (if (exact) Seq(countDistinct(col(c)).as(s"_nd_$c")) else Nil)
+    }
+    val one = df.agg(count(lit(1)).as("_n"), aggs: _*)
+    val rows = names.map { c =>
+      struct(lit(c).as("col_name"),
+        col("_n").as("n_rows"),
+        (col("_n") - col(s"_nn_$c")).as("n_nulls"),
+        (if (exact) col(s"_nd_$c") else col(s"_hll_$c")).as("n_distinct"),
+        col(s"_min_$c").as("min_val"),
+        col(s"_max_$c").as("max_val"),
+        (if (exact)
+          abs(col(s"_hll_$c") - col(s"_nd_$c")) <= col(s"_nd_$c") * hllTol
+         else lit(true)).as("hll_ok"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** Unigram-distribution drift between two corpus snapshots — the
+    * yesterday-vs-today monitoring check that catches a scraper gone wrong
+    * or a source-mix shift before a training run does. Emits the k most
+    * drifted tokens.
+    *
+    * The drift score is the CROSS-MULTIPLIED frequency gap
+    * `|count_a·total_b − count_b·total_a|` — proportional to
+    * `|p_a − p_b|` (scaled by total_a·total_b) but computed entirely in
+    * integers, so the ranking is exact and engine-replayable (a
+    * floating-point |p_a−p_b| would hash-diverge on summation order).
+    * Fits i64 while total_a·total_b < 2^63 (≈3e9 tokens per side); past
+    * that, flip the final projection to double ratios — the plan shape is
+    * unchanged.
+    *
+    * Shape at scale: one union scan with a side tag, one vocab-sized
+    * shuffle (map-side combined counts), a broadcast one-row totals join,
+    * and a TakeOrderedAndProject top-k (per-partition heads, no global
+    * sort). Nothing corpus-sized crosses the wire after the token count.
+    */
+  def tokenDrift(a: DataFrame, b: DataFrame, k: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, s"tokenDrift needs k > 0, got $k")
+    val tagged =
+      a.select(explode(tokens(col(textCol))).as("token"), lit(0).as("_side"))
+        .unionAll(b.select(explode(tokens(col(textCol))).as("token"),
+          lit(1).as("_side")))
+    val counts = tagged.groupBy(col("token")).agg(
+      coalesce(sum(when(col("_side") === 0, 1L)), lit(0L)).as("count_a"),
+      coalesce(sum(when(col("_side") === 1, 1L)), lit(0L)).as("count_b"))
+    val totals = broadcast(counts.agg(
+      sum(col("count_a")).as("_ta"), sum(col("count_b")).as("_tb")))
+    counts.crossJoin(totals)
+      .select(col("token"), col("count_a"), col("count_b"),
+        abs(col("count_a") * col("_tb") - col("count_b") * col("_ta"))
+          .as("drift"))
+      .orderBy(col("drift").desc, col("token")).limit(k)
+  }
+
   private def validateMix(weights: Map[String, Double], budget: Long): Unit = {
     require(weights.nonEmpty, "mixPlan needs at least one weighted source")
     require(budget >= 0, s"budget must be non-negative, got $budget")

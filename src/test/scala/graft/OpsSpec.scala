@@ -153,6 +153,43 @@ class TextAnalysisSpec extends SparkSpec {
     // winnowing guarantees shared windows produce shared min-hashes
     assert(fps(0).toSet.intersect(fps(1).toSet).nonEmpty)
   }
+
+  test("profile: one row per column with exact null/distinct counts") {
+    val df = Seq(
+      (1L, Some("aa"), "x"), (2L, None, "x"), (3L, Some("bb"), "y"))
+      .toDF("id", "s", "t")
+    val p = TextAnalysis.profile(df).orderBy("col_name").collect()
+    assert(p.map(_.getString(0)).toSeq === Seq("id", "s", "t"))
+    val byCol = p.map(r => r.getString(0) -> r).toMap
+    assert(byCol("id").getAs[Long]("n_rows") === 3)
+    assert(byCol("id").getAs[Long]("n_nulls") === 0)
+    assert(byCol("id").getAs[Long]("n_distinct") === 3)
+    assert(byCol("id").getAs[String]("min_val") === "1")
+    assert(byCol("s").getAs[Long]("n_nulls") === 1)
+    assert(byCol("s").getAs[Long]("n_distinct") === 2)
+    assert(byCol("s").getAs[String]("max_val") === "bb")
+    assert(byCol("t").getAs[Long]("n_distinct") === 2)
+    assert(p.forall(_.getAs[Boolean]("hll_ok")))
+    // the 100 TB shape: expand-free, HLL stands in for the exact distinct
+    val approx = TextAnalysis.profile(df, exact = false).orderBy("col_name")
+    assert(approx.collect().map(_.getAs[Long]("n_distinct")).toSeq ===
+      Seq(3L, 2L, 2L))
+  }
+
+  test("tokenDrift ranks by the integer cross-multiplied frequency gap") {
+    // side a: 4 tokens total, side b: 4 tokens total; "x" only in a,
+    // "y" only in b, "c" balanced → drift |c_a*N_b - c_b*N_a| = 4*|..|
+    val a = Seq((2L, "c c c x")).toDF("doc_id", "text")
+    val b = Seq((1L, "c c c y")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenDrift(a, b, k = 10).collect()
+    val byTok = got.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byTok("x") === ((1L, 0L, 4L)))
+    assert(byTok("y") === ((0L, 1L, 4L)))
+    assert(byTok("c") === ((3L, 3L, 0L)))
+    // deterministic order: drift desc, then token asc
+    assert(got.map(_.getString(0)).toSeq === Seq("x", "y", "c"))
+  }
 }
 
 class DedupSpec extends SparkSpec {
