@@ -736,9 +736,13 @@ object TextAnalysis {
       a.select(explode(tokens(col(textCol))).as("token"), lit(0).as("_side"))
         .unionAll(b.select(explode(tokens(col(textCol))).as("token"),
           lit(1).as("_side")))
+    // counts is consumed twice (totals + the drift projection); checkpoint
+    // the vocab-sized table so the corpus union-scan runs once, not twice
+    // (the d_bm25 / d_unigram_lp convention for model-then-score passes).
     val counts = tagged.groupBy(col("token")).agg(
       coalesce(sum(when(col("_side") === 0, 1L)), lit(0L)).as("count_a"),
       coalesce(sum(when(col("_side") === 1, 1L)), lit(0L)).as("count_b"))
+      .localCheckpoint(eager = false)
     val totals = broadcast(counts.agg(
       sum(col("count_a")).as("_ta"), sum(col("count_b")).as("_tb")))
     counts.crossJoin(totals)
