@@ -730,19 +730,34 @@ object TextAnalysis {
     * sort). Nothing corpus-sized crosses the wire after the token count.
     */
   def tokenDrift(a: DataFrame, b: DataFrame, k: Int = 20,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    // counts is consumed twice by the finisher (totals + the drift
+    // projection); checkpoint the vocab-sized table so the corpus
+    // union-scan runs once, not twice (the d_bm25 / d_unigram_lp
+    // convention for model-then-score passes).
+    driftFromCounts(
+      sideTokenCounts(a, b, textCol).localCheckpoint(eager = false), k)
+
+  /** Live (token, count_a, count_b) table for [[tokenDrift]] — one tagged
+    * union scan into one vocab-sized grouped aggregate. A SINGLE
+    * aggregation with two conditional sums, so it is also legal as a
+    * streaming complete-mode aggregate (the streaming twin maintains this
+    * state; see `StreamSessions.streamingTokenCounts`). */
+  def sideTokenCounts(a: DataFrame, b: DataFrame,
+      textCol: String = "text"): DataFrame =
+    a.select(explode(tokens(col(textCol))).as("token"), lit(0).as("_side"))
+      .unionAll(b.select(explode(tokens(col(textCol))).as("token"),
+        lit(1).as("_side")))
+      .groupBy(col("token")).agg(
+        coalesce(sum(when(col("_side") === 0, 1L)), lit(0L)).as("count_a"),
+        coalesce(sum(when(col("_side") === 1, 1L)), lit(0L)).as("count_b"))
+
+  /** Drift ranking finisher over a [[sideTokenCounts]]-shaped table —
+    * pure batch arithmetic on the vocab-sized counts (1-row totals
+    * broadcast + top-k), shared by batch [[tokenDrift]] and the streaming
+    * twin's sink-side scoring. */
+  def driftFromCounts(counts: DataFrame, k: Int = 20): DataFrame = {
     require(k > 0, s"tokenDrift needs k > 0, got $k")
-    val tagged =
-      a.select(explode(tokens(col(textCol))).as("token"), lit(0).as("_side"))
-        .unionAll(b.select(explode(tokens(col(textCol))).as("token"),
-          lit(1).as("_side")))
-    // counts is consumed twice (totals + the drift projection); checkpoint
-    // the vocab-sized table so the corpus union-scan runs once, not twice
-    // (the d_bm25 / d_unigram_lp convention for model-then-score passes).
-    val counts = tagged.groupBy(col("token")).agg(
-      coalesce(sum(when(col("_side") === 0, 1L)), lit(0L)).as("count_a"),
-      coalesce(sum(when(col("_side") === 1, 1L)), lit(0L)).as("count_b"))
-      .localCheckpoint(eager = false)
     val totals = broadcast(counts.agg(
       sum(col("count_a")).as("_ta"), sum(col("count_b")).as("_tb")))
     counts.crossJoin(totals)

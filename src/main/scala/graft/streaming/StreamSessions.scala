@@ -455,6 +455,31 @@ object StreamSessions {
     graft.ops.TextAnalysis.mixPlanSeen(docs, weights, budget, sourceCol,
       textCol)
 
+  /** Streaming twin of [[graft.ops.TextAnalysis.profile]] — the ingest
+    * audit maintained LIVE over an arriving corpus: all per-column
+    * statistics (row/non-null counts, HLL distinct estimate, string
+    * min/max) are mergeable aggregates, so the profile is ONE global
+    * streaming aggregation (complete mode) with the unpivot as a
+    * post-aggregation projection. Necessarily the `exact = false` shape:
+    * exact count(distinct) is not a legal streaming aggregate — which is
+    * also why it is the documented 100 TB form. */
+  def streamingProfile(df: DataFrame, cols: Seq[String] = Nil,
+      rsd: Double = 0.02): DataFrame =
+    graft.ops.TextAnalysis.profile(df, cols, rsd, exact = false)
+
+  /** Streaming half of [[graft.ops.TextAnalysis.tokenDrift]] — maintains
+    * the live (token, count_a, count_b) state as both snapshot streams
+    * arrive (one complete-mode grouped aggregate over the tagged union).
+    * The drift RANKING stays a batch finisher over the vocab-sized sink
+    * (`TextAnalysis.driftFromCounts`): totals-then-rank is a second
+    * aggregation over the first, which streaming cannot nest — and the
+    * sink-side pass is exactly what a monitoring dashboard polls anyway.
+    * StreamingSpec proves sink + finisher ≡ batch tokenDrift across real
+    * micro-batch boundaries. */
+  def streamingTokenCounts(a: DataFrame, b: DataFrame,
+      textCol: String = "text"): DataFrame =
+    graft.ops.TextAnalysis.sideTokenCounts(a, b, textCol)
+
   /** Windowed event-type rates (the generic streaming rollup). */
   def eventRates(events: DataFrame, window: String = "5 minutes",
       watermark: String = "1 hour", typeCol: String = "event_type",

@@ -411,6 +411,75 @@ class StreamingSpec extends SparkSpec {
     assert(streamed("b")._2 === 285L)
   }
 
+  test("streaming profile: per-column audit merges across micro-batches to batch") {
+    // batch 2 introduces the first null and a new max — a frozen batch-1
+    // profile would miss both; the merged aggregate must equal batch
+    // profile(exact=false) over the full corpus.
+    val dir = Files.createTempDirectory("graft-sprof")
+    val src = dir.resolve("src").toString
+    val b1 = Seq((1L, Option("aa"), "x"), (2L, Option("bb"), "y"))
+    val b2 = Seq((3L, Option.empty[String], "z"), (4L, Option("zz"), "y"))
+    b1.toDF("id", "s", "t").coalesce(1).write.parquet(src)
+    Thread.sleep(1100)
+    b2.toDF("id", "s", "t").coalesce(1).write.mode("append").parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = StreamSessions.streamingProfile(stream)
+      .writeStream.outputMode("complete").format("memory").queryName("sprof")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val key = (r: org.apache.spark.sql.Row) => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getString(4)), Option(r.getString(5))))
+    val streamed = spark.sql(
+      "SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val FROM sprof")
+      .collect().map(key).toMap
+    val batch = graft.ops.TextAnalysis.profile(
+        (b1 ++ b2).toDF("id", "s", "t"), exact = false)
+      .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+      .collect().map(key).toMap
+    assert(streamed === batch)
+    assert(streamed("s") === ((4L, 1L, 3L, Some("aa"), Some("zz"))))
+  }
+
+  test("streaming token drift: live counts + batch finisher equal batch tokenDrift") {
+    // snapshot a and snapshot b each arrive in two micro-batches; the
+    // count state must merge per (token, side) before the finisher ranks.
+    val dir = Files.createTempDirectory("graft-sdrift")
+    val (srcA, srcB) = (dir.resolve("a").toString, dir.resolve("b").toString)
+    val a1 = Seq((1L, "c c x")); val a2 = Seq((2L, "c x w"))
+    val b1 = Seq((3L, "c y")); val b2 = Seq((4L, "c c y y"))
+    a1.toDF("doc_id", "text").coalesce(1).write.parquet(srcA)
+    b1.toDF("doc_id", "text").coalesce(1).write.parquet(srcB)
+    Thread.sleep(1100)
+    a2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcA)
+    b2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcB)
+
+    def read(p: String) = spark.readStream
+      .schema(spark.read.parquet(p).schema)
+      .option("maxFilesPerTrigger", 1).parquet(p)
+    val q = StreamSessions.streamingTokenCounts(read(srcA), read(srcB))
+      .writeStream.outputMode("complete").format("memory").queryName("sdrift")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val fromStream = graft.ops.TextAnalysis
+      .driftFromCounts(spark.table("sdrift"), k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val batch = graft.ops.TextAnalysis.tokenDrift(
+        (a1 ++ a2).toDF("doc_id", "text"), (b1 ++ b2).toDF("doc_id", "text"),
+        k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(fromStream === batch)
+    // "c" spans all four micro-batches: 3 on side a, 3 on side b
+    assert(fromStream.find(_._1 == "c").map(t => (t._2, t._3)) === Some((3L, 3L)))
+  }
+
   test("pure-projection text ops run unchanged on a stream (quality + PII scrub)") {
     val dir = Files.createTempDirectory("graft-sproj")
     val src = dir.resolve("src").toString
