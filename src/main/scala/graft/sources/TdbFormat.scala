@@ -151,6 +151,12 @@ object TdbFormat {
           val name = cstr(hdr, 0, 100)
           if (name.isEmpty) done = true // end-of-archive zero block
           else {
+            // members past 8 GiB use the base-256 size extension (high bit
+            // set on the first size byte) — refuse loudly instead of
+            // throwing an opaque NumberFormatException from the octal parse
+            require((hdr(124) & 0x80) == 0,
+              s"tdb: tar member '$name' uses base-256 size encoding " +
+                "(> 8 GiB member) — unsupported; repack members under 8 GiB")
             val size = java.lang.Long.parseLong(
               cstr(hdr, 124, 12).trim match { case "" => "0"; case s => s }, 8)
             val typeflag = hdr(156)
@@ -363,7 +369,10 @@ object TdbFormat {
   }
 
   /** Decode ONE trail's bit stream into events. `data` must be the
-    * trail's bytes with ≥8 bytes of readable padding after them.
+    * trail's bytes with ≥13 bytes of readable padding after them: the
+    * worst-case [[readBits64]] at the last valid bit offset touches byte
+    * `trailBytes + 12` (its second 16-bit half does a full 64-bit word
+    * load 6 bytes past the first's base). Call sites pad with 16.
     * Emits (timestamp, values) with values(i) = value id of ofield i+1
     * (0 = NULL) — full events, edge-encoding already resolved
     * (src/tdb_decode.c:227-329's non-edge path). */
