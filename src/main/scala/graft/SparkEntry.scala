@@ -1308,6 +1308,46 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // FUZZY decontamination: cross-collection MinHash-LSH near-dup pairs
+    // (train = doc_id%10!=0, eval = %10==0), verified by exact 3-gram
+    // Jaccard >= 0.2. Invariant contract (the d_minhash_lsh shape): every
+    // reported pair is in the exact cross-collection Jaccard list
+    // (violations = 0), recall >= 0.7 vs that list, n_exact
+    // DuckDB-recomputed.
+    "d_fuzzy_decontam" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val ev = docs.filter(col("doc_id") % 10 === 0)
+      val fz = Dedup.fuzzyDecontaminate(train, ev, threshold = 0.2,
+        numHashes = 64, bands = 32, k = 3)
+        .select(col("doc_id").as("tid"), col("eval_id").as("eid"))
+      // exact cross-collection pair list, consumed twice (count + join)
+      val shT = train.select(col("doc_id").as("tid"),
+        explode(TextAnalysis.shingleHashes(col("text"), 3)).as("sh"))
+      val shE = ev.select(col("doc_id").as("eid"),
+        explode(TextAnalysis.shingleHashes(col("text"), 3)).as("sh"))
+      val szT = train.select(col("doc_id").as("tid"),
+        size(TextAnalysis.shingleHashes(col("text"), 3)).cast("long").as("szt"))
+      val szE = ev.select(col("doc_id").as("eid"),
+        size(TextAnalysis.shingleHashes(col("text"), 3)).cast("long").as("sze"))
+      val exact = shT.join(shE, "sh")
+        .groupBy("tid", "eid").agg(count(lit(1)).as("shared"))
+        .join(szT, "tid").join(szE, "eid")
+        .filter(col("shared").cast("double") /
+          (col("szt") + col("sze") - col("shared")) >= 0.2)
+        .select("tid", "eid").localCheckpoint()
+      val marked = fz.join(exact.withColumn("_e", lit(1)),
+        Seq("tid", "eid"), "left")
+      val fzAgg = marked.agg(
+        count(lit(1)).as("_n_fz"),
+        coalesce(sum(when(col("_e").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_violations"))
+      exact.agg(count(lit(1)).as("n_exact")).crossJoin(fzAgg)
+        .select(col("n_exact"), col("n_violations"),
+          ((col("_n_fz") - col("n_violations")) * 10 >= col("n_exact") * 7)
+            .cast("long").as("recall_ok"))
+    }),
+
     // Int8 embedding quantization diagnostics: per-vector scale, saturated
     // codes, and exact-integer reconstruction error — all recomputable by
     // DuckDB from the same float arrays (element-wise doubles are
@@ -2969,6 +3009,27 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_overlap
         |FROM trs JOIN evs USING (sh)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d_fuzzy_decontam" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text, ' +') AS l FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+        |    ELSE list_transform(range(1, len(l) - 3 + 2),
+        |                        i -> array_to_string(l[i:i+2], ' ')) END)) AS shingle
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |cand AS (SELECT t.doc_id AS tid, e.doc_id AS eid, count(*) AS shared
+        |  FROM sh t JOIN sh e ON t.shingle = e.shingle
+        |  WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+        |  GROUP BY 1, 2),
+        |exact AS (SELECT tid, eid FROM cand
+        |  JOIN sizes st ON st.doc_id = tid
+        |  JOIN sizes se ON se.doc_id = eid
+        |  WHERE CAST(shared AS DOUBLE) / (st.sz + se.sz - shared) >= 0.2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+        |       CAST(0 AS BIGINT) AS n_violations,
+        |       CAST(1 AS BIGINT) AS recall_ok
+        |FROM exact""".stripMargin,
 
     // Int8 quantization: element-wise doubles are bit-identical across
     // engines (same operands, same ops); the cross-element error sum is

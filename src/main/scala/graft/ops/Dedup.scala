@@ -137,6 +137,24 @@ object Dedup {
     * (band_id, band_hash) bucket keys. Candidate pairs = docs sharing a
     * bucket — the standard S-curve trade-off (Leskovec et al., MMDS ch.3).
     */
+  /** (id, band, bucket) LSH keys for a signature table — the shared
+    * bucketing step of the self-join candidates and the cross-collection
+    * [[fuzzyDecontaminate]]. Explode the band index FIRST, then hash the
+    * signature slice per exploded row: the Generate node is a
+    * projection-collapse barrier, so the (expensive) native signature
+    * evaluates once per DOC in its child — a transform-lambda formulation
+    * would let CollapseProject inline it into the lambda body and
+    * recompute it once per BAND (the round-1 660s-class trap). */
+  private def lshBuckets(sig: DataFrame, bands: Int, rows: Int): DataFrame =
+    sig
+      .select(col("id"), col("minhash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("id"), col("band"),
+        xxhash64(concat_ws(",",
+          transform(slice(col("minhash"), col("band") * rows + 1, lit(rows)),
+            _.cast("string"))),
+          col("band").cast("string")).as("bucket"))
+
   def minhashLshCandidates(df: DataFrame, numHashes: Int = 128, bands: Int = 32,
       k: Int = 3, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val rows = numHashes / bands
@@ -146,20 +164,7 @@ object Dedup {
     // shuffle stage for AQE to reuse, so without this the signature pass
     // would run once per join side.
     val sig = minhashSignature(df, numHashes, k, textCol, idCol).localCheckpoint()
-    // Explode the band index FIRST, then hash the signature slice per
-    // exploded row: the Generate node is a projection-collapse barrier, so
-    // the (expensive) native signature evaluates once per DOC in its child
-    // — a transform-lambda formulation would let CollapseProject inline it
-    // into the lambda body and recompute it once per BAND (the round-1
-    // 660s-class trap).
-    val buckets = sig
-      .select(col("id"), col("minhash"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("id"), col("band"),
-        xxhash64(concat_ws(",",
-          transform(slice(col("minhash"), col("band") * rows + 1, lit(rows)),
-            _.cast("string"))),
-          col("band").cast("string")).as("bucket"))
+    val buckets = lshBuckets(sig, bands, rows)
     buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
@@ -636,6 +641,49 @@ object Dedup {
       .join(broadcast(evalShingles), "sh")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /** FUZZY decontamination — near-duplicate eval overlap, the companion of
+    * the exact-k-gram [[decontaminate]]: a training doc that paraphrases or
+    * lightly edits an eval doc shares no long exact k-gram run but still
+    * leaks the answer, so real pipelines pair the exact pass with a
+    * near-dup pass (GPT-3's "fuzzy dedup" appendix; Lee et al. ACL'22 §6).
+    *
+    * Shape at scale: MinHash-LSH banding on BOTH collections (zero-shuffle
+    * native signatures, one bucket equi-join between the two bucket tables
+    * — never train×eval), then candidates verified by exact k-gram Jaccard
+    * over hashed shingle sets. Verified pairs are a SUBSET of the exact
+    * threshold pair list by construction (the verification applies the
+    * exact predicate); banding may miss pairs — the S-curve trade — which
+    * the d_fuzzy_decontam contract measures as recall vs the DuckDB-
+    * recomputed exact list.
+    *
+    * Output: (train `idCol`, eval_id, jaccard), one row per verified
+    * contaminated pair (threshold on k-gram Jaccard). Drop policy is the
+    * caller's (typically: drop every train doc appearing at all). */
+  def fuzzyDecontaminate(train: DataFrame, eval: DataFrame,
+      threshold: Double = 0.5, numHashes: Int = 128, bands: Int = 32,
+      k: Int = 3, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide into bands ($bands)")
+    val rows = numHashes / bands
+    val sigT = minhashSignature(train, numHashes, k, textCol, idCol)
+    val sigE = minhashSignature(eval, numHashes, k, textCol, idCol)
+    val cands = lshBuckets(sigT, bands, rows).as("t")
+      .join(lshBuckets(sigE, bands, rows).as("e"),
+        col("t.band") === col("e.band") && col("t.bucket") === col("e.bucket"))
+      .select(col("t.id").as("_tid"), col("e.id").as("_eid")).distinct()
+    val setsT = train.select(col(idCol).as("_tid"),
+      TextAnalysis.shingleHashes(col(textCol), k).as("sh_t"))
+    val setsE = eval.select(col(idCol).as("_eid"),
+      TextAnalysis.shingleHashes(col(textCol), k).as("sh_e"))
+    cands.join(setsT, "_tid").join(setsE, "_eid")
+      .withColumn("shared",
+        size(array_intersect(col("sh_t"), col("sh_e"))).cast("long"))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (size(col("sh_t")) + size(col("sh_e")) - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("_tid").as(idCol), col("_eid").as("eval_id"), col("jaccard"))
   }
 
   /** Embedding cosine near-dup pairs above a similarity threshold, blocked

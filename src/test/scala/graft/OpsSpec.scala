@@ -272,6 +272,32 @@ class DedupSpec extends SparkSpec {
     assert(!verified.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("fuzzy decontamination: near-dup eval pairs surface, unrelated docs don't") {
+    // train 10 paraphrases eval 100 (shares most 3-grams), train 11 is
+    // unrelated prose, train 12 exactly duplicates eval 101
+    val train = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "completely different text with no overlap at all here"),
+      (12L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val got = Dedup.fuzzyDecontaminate(train, eval, threshold = 0.5,
+        numHashes = 64, bands = 16)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("eval_id"),
+        r.getAs[Double]("jaccard"))).toSeq
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((10L, 100L)))
+    assert(pairs.contains((12L, 101L)))
+    assert(!pairs.exists(_._1 == 11L))
+    // the exact duplicate verifies at jaccard 1.0
+    assert(got.find(t => t._1 == 12L).exists(_._3 === 1.0))
+    // every verified pair meets the exact threshold (subset-of-exact)
+    assert(got.forall(_._3 >= 0.5))
+  }
+
   test("simhash: identical docs distance 0; near dups within threshold; different docs far") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 12).collect()
       .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Long]("hamming"))).toMap
