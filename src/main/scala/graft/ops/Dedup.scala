@@ -149,11 +149,16 @@ object Dedup {
     sig
       .select(col("id"), col("minhash"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("id"), col("band"),
-        xxhash64(concat_ws(",",
-          transform(slice(col("minhash"), col("band") * rows + 1, lit(rows)),
-            _.cast("string"))),
-          col("band").cast("string")).as("bucket"))
+      .select(col("id"), col("band"), bandBucket(col("minhash"), col("band"), rows))
+
+  /** The band-bucket key expression shared by every LSH consumer (self-join
+    * candidates, cross-collection decontamination, and the streaming twin —
+    * one definition so the bucket hashes can never drift apart). */
+  private[graft] def bandBucket(minhash: Column, band: Column, rows: Int): Column =
+    xxhash64(concat_ws(",",
+      transform(slice(minhash, band * rows + 1, lit(rows)),
+        _.cast("string"))),
+      band.cast("string")).as("bucket")
 
   def minhashLshCandidates(df: DataFrame, numHashes: Int = 128, bands: Int = 32,
       k: Int = 3, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {

@@ -480,6 +480,55 @@ object StreamSessions {
       textCol: String = "text"): DataFrame =
     graft.ops.TextAnalysis.sideTokenCounts(a, b, textCol)
 
+  /** Streaming twin of [[graft.ops.Dedup.fuzzyDecontaminate]] — the
+    * ingest-time contamination alarm: training docs STREAM in, the eval
+    * set is the STATIC side (eval suites are small and fixed per run).
+    * Every step is a stateless stream-static operation: the stream-side
+    * signature/shingles/band-bucket are pure projections (shingle arrays
+    * ride along through the band explode instead of a join back to the
+    * stream — a stream cannot join itself), the bucket match and the
+    * eval shingle-set lookup are stream-static inner joins, and the
+    * Jaccard verification is a projection. The one stateful op is the
+    * final per-(doc, eval) pair dedup (the same pair can match in
+    * several bands); its state is one entry per CONTAMINATED pair —
+    * bounded by the leak volume, not the corpus. Spec-proven to emit
+    * exactly batch fuzzyDecontaminate's pair set across micro-batch
+    * boundaries. */
+  def streamingFuzzyDecontaminate(train: DataFrame, eval: DataFrame,
+      threshold: Double = 0.5, numHashes: Int = 128, bands: Int = 32,
+      k: Int = 3, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide into bands ($bands)")
+    val rows = numHashes / bands
+    val sigE = graft.ops.Dedup.minhashSignature(eval, numHashes, k, textCol, idCol)
+    val bucketsE = sigE
+      .select(col("id").as("_eid"), col("minhash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("_eid"), col("band"),
+        graft.ops.Dedup.bandBucket(col("minhash"), col("band"), rows))
+    val setsE = eval.select(col(idCol).as("_eid"),
+      graft.ops.TextAnalysis.shingleHashes(col(textCol), k).as("sh_e"))
+    val t = train
+      .select(col(idCol).as("_tid"),
+        graft.ops.TextAnalysis.shingleHashes(col(textCol), k).as("sh_t"))
+      .withColumn("minhash",
+        graft.functions.GraftFunctions.minhashSig(col("sh_t"), numHashes))
+      .select(col("_tid"), col("sh_t"), col("minhash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket",
+        graft.ops.Dedup.bandBucket(col("minhash"), col("band"), rows))
+      .drop("minhash")
+    t.join(bucketsE, Seq("band", "bucket"))
+      .join(setsE, "_eid")
+      .withColumn("shared",
+        size(array_intersect(col("sh_t"), col("sh_e"))).cast("long"))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (size(col("sh_t")) + size(col("sh_e")) - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("_tid").as(idCol), col("_eid").as("eval_id"), col("jaccard"))
+      .dropDuplicates(idCol, "eval_id")
+  }
+
   /** Windowed event-type rates (the generic streaming rollup). */
   def eventRates(events: DataFrame, window: String = "5 minutes",
       watermark: String = "1 hour", typeCol: String = "event_type",

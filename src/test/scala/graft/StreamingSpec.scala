@@ -480,6 +480,43 @@ class StreamingSpec extends SparkSpec {
     assert(fromStream.find(_._1 == "c").map(t => (t._2, t._3)) === Some((3L, 3L)))
   }
 
+  test("streaming fuzzy decontamination: stream-static LSH equals batch pair set") {
+    // training docs arrive in two micro-batches; the contaminated doc is
+    // in batch 2, so a batch-1-only view would miss it entirely
+    val dir = Files.createTempDirectory("graft-sfuzz")
+    val src = dir.resolve("src").toString
+    val b1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "completely different text with no overlap at all here"))
+    val b2 = Seq((12L, "alpha beta gamma delta epsilon zeta eta theta"))
+    b1.toDF("doc_id", "text").coalesce(1).write.parquet(src)
+    Thread.sleep(1100)
+    b2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = StreamSessions.streamingFuzzyDecontaminate(stream, eval,
+        threshold = 0.5, numHashes = 64, bands = 16)
+      .writeStream.outputMode("append").format("memory").queryName("sfuzz")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.sql("SELECT doc_id, eval_id, jaccard FROM sfuzz")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.ops.Dedup.fuzzyDecontaminate(
+        (b1 ++ b2).toDF("doc_id", "text"), eval, threshold = 0.5,
+        numHashes = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === batch)
+    // the batch-2 contamination (exact dup of eval 101) surfaced
+    assert(streamed.exists(t => t._1 == 12L && t._2 == 101L && t._3 == 1.0))
+  }
+
   test("pure-projection text ops run unchanged on a stream (quality + PII scrub)") {
     val dir = Files.createTempDirectory("graft-sproj")
     val src = dir.resolve("src").toString
