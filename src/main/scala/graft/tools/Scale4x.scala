@@ -271,6 +271,56 @@ object Scale4x {
       return
     }
 
+    if (args.contains("--fuzzy")) {
+      // Corpus-growth ladder for fuzzy decontamination: the exact
+      // cross-collection Jaccard join shuffles the full inverted shingle
+      // index (every (doc, shingle) occurrence — bytes scale with the
+      // tokenized corpus), the LSH path shuffles fixed-size signatures
+      // and bucket keys per doc with candidates tracking true near-dup
+      // pairs. At sf0.1 both are overhead-bound (see README's honest
+      // reading); the LINEAR pair column is the built-in sanity check
+      // this ladder exists to pin. Train replicates ×1/4/16
+      // (ids shifted); eval stays the BASE corpus' doc_id%10 slice, so
+      // every replica of an eval doc is a true contamination hit and the
+      // pair count grows linearly with the factor (the ladder's built-in
+      // sanity check).
+      val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+      def rep(f: Int): DataFrame = (0 until f).map(i =>
+          docs1.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+        .reduce(_.unionByName(_))
+      rep(4).write.mode("overwrite").parquet(s"$base/fz4")
+      rep(16).write.mode("overwrite").parquet(s"$base/fz16")
+      val eval = docs1.filter(col("doc_id") % 10 === 0)
+      def exactPairs(train: DataFrame): Long = {
+        val shT = train.select(col("doc_id").as("tid"), explode(
+          graft.ops.TextAnalysis.shingleHashes(col("text"), 3)).as("sh"))
+        val shE = eval.select(col("doc_id").as("eid"), explode(
+          graft.ops.TextAnalysis.shingleHashes(col("text"), 3)).as("sh"))
+        val szT = train.select(col("doc_id").as("tid"), size(
+          graft.ops.TextAnalysis.shingleHashes(col("text"), 3)).cast("long").as("szt"))
+        val szE = eval.select(col("doc_id").as("eid"), size(
+          graft.ops.TextAnalysis.shingleHashes(col("text"), 3)).cast("long").as("sze"))
+        shT.join(shE, "sh").groupBy("tid", "eid").agg(count(lit(1)).as("shared"))
+          .join(szT, "tid").join(szE, "eid")
+          .filter(col("shared").cast("double") /
+            (col("szt") + col("sze") - col("shared")) >= 0.2)
+          .count()
+      }
+      println("| factor | exact cross-Jaccard | fuzzy LSH (verified) | pairs |")
+      println("|---|---|---|---|")
+      for ((f, tr) <- Seq(1 -> docs1, 4 -> spark.read.parquet(s"$base/fz4"),
+          16 -> spark.read.parquet(s"$base/fz16"))) {
+        var nPairs = 0L
+        val tExact = time { nPairs = exactPairs(tr); nPairs }
+        val tFuzzy = time(graft.ops.Dedup.fuzzyDecontaminate(tr, eval,
+            threshold = 0.2, numHashes = 64, bands = 32, k = 3)
+          .queryExecution.toRdd.count())
+        println(f"| $f× | $tExact%.2fs | $tFuzzy%.2fs | $nPairs |")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.contains("--keyskew")) {
       // WHALE-KEY axis for the round-6 window→aggregate sweep: the four
       // text-pipeline operators whose grouping key can be a whale (one
