@@ -722,6 +722,24 @@ object SparkEntry {
     // content checksums. Every stage is engine-replayable, so the full
     // composition — the artifact a training job actually consumes — is
     // DuckDB-oracled end to end.
+    // Per-doc disposition audit of the training pipeline: every input doc
+    // labeled with the FIRST stage that dropped it (duplicate → quality →
+    // perplexity) or 'kept' — the "where did my data go" report, stage
+    // semantics identical to d_training_pipeline's composition.
+    "d_disposition" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val s1 = Dedup.exactDedup(docs)
+      val s2 = TextAnalysis.withQualitySignals(s1)
+        .filter(col("n_tokens") >= 20 && col("n_tokens") <= 600 &&
+          col("stopword_ratio") < 0.3 && col("punct_ratio") < 0.1)
+        .select("doc_id", "text")
+        .localCheckpoint() // consumed by the LM gate AND the audit join
+      val s3 = Retrieval.perplexityGate(s2, dropFrac = 0.1)
+      TextAnalysis.disposition(docs, Seq(
+          "duplicate" -> s1, "quality" -> s2, "perplexity" -> s3))
+        .orderBy("doc_id")
+    }),
+
     "d_training_pipeline" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val s1 = Dedup.exactDedup(docs)
@@ -2454,6 +2472,42 @@ object SparkEntry {
         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
         |SELECT id AS doc_id FROM reach
         |GROUP BY id HAVING id = min(comp) ORDER BY doc_id""".stripMargin,
+
+    "d_disposition" ->
+      """WITH s1 AS (SELECT d.doc_id, d.text FROM documents d
+        |  JOIN (SELECT md5(text) AS h, min(doc_id) AS keep
+        |        FROM documents GROUP BY 1) k
+        |    ON md5(d.text) = k.h AND d.doc_id = k.keep),
+        |s2 AS (SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      len(string_split_regex(text, ' +')) AS n_tokens,
+        |      CAST(len(list_filter(string_split_regex(text, ' +'),
+        |        w -> w IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |        / len(string_split_regex(text, ' +')) AS swr,
+        |      CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        |        / length(text) AS pr
+        |    FROM s1)
+        |  WHERE n_tokens >= 20 AND n_tokens <= 600 AND swr < 0.3 AND pr < 0.1),
+        |toks AS (SELECT doc_id, unnest(string_split_regex(text, ' +')) AS token
+        |  FROM s2),
+        |freq AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+        |totals AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS v FROM freq),
+        |scored AS (SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum(CAST(round(
+        |      ln(CAST(c + 1 AS DOUBLE) / (t + v)) * 1e6) AS BIGINT)) AS BIGINT)
+        |      AS lp_micro_sum
+        |  FROM toks JOIN freq USING (token) CROSS JOIN totals GROUP BY doc_id),
+        |sc2 AS (SELECT doc_id, CAST(round(CAST(lp_micro_sum AS DOUBLE) / n_tokens, 0)
+        |    AS BIGINT) AS lp_tok_micro FROM scored),
+        |q AS (SELECT quantile_cont(lp_tok_micro, 0.1) AS thr FROM sc2),
+        |s3 AS (SELECT sc2.doc_id FROM sc2 CROSS JOIN q
+        |  WHERE sc2.lp_tok_micro > q.thr)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM s1) THEN 'duplicate'
+        |       WHEN d.doc_id NOT IN (SELECT doc_id FROM s2) THEN 'quality'
+        |       WHEN d.doc_id NOT IN (SELECT doc_id FROM s3) THEN 'perplexity'
+        |       ELSE 'kept' END AS disposition
+        |FROM documents d ORDER BY doc_id""".stripMargin,
 
     "d_training_pipeline" ->
       s"""WITH s1 AS (SELECT d.doc_id, d.text FROM documents d

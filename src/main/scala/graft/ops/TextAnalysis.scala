@@ -767,6 +767,38 @@ object TextAnalysis {
       .orderBy(col("drift").desc, col("token")).limit(k)
   }
 
+  /** Per-row DISPOSITION audit over a chain of progressively-filtered
+    * survivor frames — the "where did my data go?" answer a 100 TB
+    * pipeline run owes its operator: every input row is labeled with the
+    * FIRST stage that dropped it (the stage label of the first survivor
+    * set it is absent from), or `kept` if it survived the whole chain.
+    *
+    * `stages` is the ordered (label, survivors) list, each survivors
+    * frame carrying `idCol`. Stages are expected to be nested (each a
+    * subset of the previous — the natural shape of a filter chain); a
+    * non-nested chain still labels by first absence, which may then skip
+    * stages a row re-entered. Shape at scale: one left semi-ish join per
+    * stage on the id projection (narrow keys), no stage's data columns
+    * move; the stage frames a real pipeline already computed — this adds
+    * bookkeeping joins, not recomputation.
+    */
+  def disposition(all: DataFrame, stages: Seq[(String, DataFrame)],
+      idCol: String = "doc_id"): DataFrame = {
+    require(stages.nonEmpty, "disposition needs at least one stage")
+    require(stages.map(_._1).distinct.length == stages.length,
+      s"duplicate stage labels: ${stages.map(_._1).mkString(", ")}")
+    val base = all.select(col(idCol))
+    val joined = stages.zipWithIndex.foldLeft(base) {
+      case (acc, ((_, surv), i)) =>
+        acc.join(surv.select(col(idCol)).distinct()
+          .withColumn(s"_s$i", lit(1)), Seq(idCol), "left")
+    }
+    val label = stages.zipWithIndex.foldRight(lit("kept")) {
+      case (((name, _), i), rest) => when(col(s"_s$i").isNull, name).otherwise(rest)
+    }
+    joined.select(col(idCol), label.as("disposition"))
+  }
+
   private def validateMix(weights: Map[String, Double], budget: Long): Unit = {
     require(weights.nonEmpty, "mixPlan needs at least one weighted source")
     require(budget >= 0, s"budget must be non-negative, got $budget")

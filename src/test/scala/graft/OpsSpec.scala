@@ -176,6 +176,23 @@ class TextAnalysisSpec extends SparkSpec {
       Seq(3L, 2L, 2L))
   }
 
+  test("disposition labels each row with the first stage that dropped it") {
+    val all = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val s1 = Seq(1L, 2L, 3L, 4L).toDF("doc_id")        // 5 dropped: dup
+    val s2 = Seq(1L, 2L, 3L).toDF("doc_id")            // 4 dropped: quality
+    val s3 = Seq(2L, 3L).toDF("doc_id")                // 1 dropped: ppl
+    val got = TextAnalysis.disposition(all, Seq(
+        "duplicate" -> s1, "quality" -> s2, "perplexity" -> s3))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "perplexity", 2L -> "kept", 3L -> "kept",
+      4L -> "quality", 5L -> "duplicate"))
+    // duplicate labels refuse loudly
+    intercept[IllegalArgumentException] {
+      TextAnalysis.disposition(all, Seq("a" -> s1, "a" -> s2))
+    }
+  }
+
   test("tokenDrift ranks by the integer cross-multiplied frequency gap") {
     // side a: 4 tokens total, side b: 4 tokens total; "x" only in a,
     // "y" only in b, "c" balanced → drift |c_a*N_b - c_b*N_a| = 4*|..|
