@@ -525,6 +525,13 @@ object SparkEntry {
       graft.agg.Cohorts.matrix(trails(s, dir).df)
         .orderBy("cohort", "age")),
 
+    // (A+) event-type audience overlap: distinct-trail counts per
+    // unordered type pair — "users who did X also did Y". One uuid-set
+    // shuffle; whale trails contribute <= |types| rows.
+    "t_overlap" -> ((s, dir) =>
+      graft.agg.Cohorts.typeOverlap(trails(s, dir).df)
+        .orderBy("type_a", "type_b")),
+
     // ---- training-data pipeline operators (documents/embeddings) ----
 
     // Exact dedup groups: content hash → survivor id + copy count.
@@ -2307,6 +2314,14 @@ object SparkEntry {
          |SELECT cohort, w - cohort AS age, count(*) AS n_active
          |FROM wk JOIN ch USING (uuid)
          |GROUP BY 1, 2 ORDER BY cohort, age""".stripMargin,
+
+    "t_overlap" ->
+      s"""$TrailsCte,
+         |dt AS (SELECT DISTINCT uuid, event_type FROM trails)
+         |SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |       count(*) AS n_trails
+         |FROM dt a JOIN dt b ON a.uuid = b.uuid AND a.event_type < b.event_type
+         |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin,
 
     "d_sentence_dedup" ->
       """WITH sents AS (

@@ -42,4 +42,23 @@ object Cohorts {
       "graft cohorts: negative time (trail time is u64 by contract; " +
       "truncating DIV would mis-bucket pre-epoch rows): "),
       col(timeCol).cast("string"))).cast("boolean")
+
+  /** Audience overlap between event types: for every unordered type pair
+    * (a < b), how many trails contain BOTH — the co-occurrence matrix
+    * behind "users who did X also did Y" segment analysis.
+    *
+    * Scale shape: one shuffle builds the distinct (uuid, type) set; a
+    * whale trail with 10^8 events contributes ≤ |types| rows, so the
+    * per-uuid self-join that forms pairs is bounded at |types|² per trail
+    * and the final aggregate is |types|²-sized. As with [[matrix]],
+    * `count(*)` IS the distinct-trail count — each trail emits each pair
+    * at most once by construction. */
+  def typeOverlap(df: DataFrame, uuidCol: String = "uuid",
+      typeCol: String = "event_type"): DataFrame = {
+    val dt = df.select(col(uuidCol).as("_u"), col(typeCol).as("_t")).distinct()
+    dt.as("a").join(dt.as("b"),
+        col("a._u") === col("b._u") && col("a._t") < col("b._t"))
+      .groupBy(col("a._t").as("type_a"), col("b._t").as("type_b"))
+      .agg(count(lit(1)).as("n_trails"))
+  }
 }

@@ -224,4 +224,16 @@ class AggSpec extends SparkSpec {
     val e = intercept[Exception](graft.agg.Cohorts.matrix(neg).collect())
     assert(e.getMessage.contains("negative time"))
   }
+
+  test("typeOverlap counts distinct trails per unordered type pair") {
+    val rows = Seq(
+      ("u0", "view"), ("u0", "view"), ("u0", "buy"),  // dup view: 1 trail
+      ("u1", "view"), ("u1", "buy"), ("u1", "ship"),
+      ("u2", "view"))                                 // single type: no pair
+      .toDF("uuid", "event_type")
+    val got = graft.agg.Cohorts.typeOverlap(rows)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("buy", "view") -> 2L, ("buy", "ship") -> 1L, ("ship", "view") -> 1L))
+  }
 }
