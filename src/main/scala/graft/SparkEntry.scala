@@ -532,6 +532,14 @@ object SparkEntry {
       graft.agg.Cohorts.typeOverlap(trails(s, dir).df)
         .orderBy("type_a", "type_b")),
 
+    // (A+) conversion latency: first signup → first purchase at-or-after
+    // it, per trail, hour-bucketed histogram. Two min-aggregates + one
+    // uuid join — no window, no event-pair join.
+    "t_latency" -> ((s, dir) =>
+      graft.agg.Cohorts.conversionLatency(trails(s, dir).df,
+          fromType = "signup", toType = "purchase")
+        .orderBy("bucket")),
+
     // ---- training-data pipeline operators (documents/embeddings) ----
 
     // Exact dedup groups: content hash → survivor id + copy count.
@@ -2322,6 +2330,17 @@ object SparkEntry {
          |       count(*) AS n_trails
          |FROM dt a JOIN dt b ON a.uuid = b.uuid AND a.event_type < b.event_type
          |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin,
+
+    "t_latency" ->
+      s"""$TrailsCte,
+         |f AS (SELECT uuid, min(time) AS tf FROM trails
+         |      WHERE event_type = 'signup' GROUP BY 1),
+         |lat AS (SELECT t.uuid, min(t.time - f.tf) AS l
+         |  FROM trails t JOIN f USING (uuid)
+         |  WHERE t.event_type = 'purchase' AND t.time >= f.tf
+         |  GROUP BY 1)
+         |SELECT l // 3600 AS bucket, count(*) AS n_trails
+         |FROM lat GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "d_sentence_dedup" ->
       """WITH sents AS (

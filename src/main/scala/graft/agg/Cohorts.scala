@@ -61,4 +61,28 @@ object Cohorts {
       .groupBy(col("a._t").as("type_a"), col("b._t").as("type_b"))
       .agg(count(lit(1)).as("n_trails"))
   }
+
+  /** Conversion-latency histogram: per trail, the time from the FIRST
+    * `fromType` event to the first `toType` event at-or-after it, bucketed
+    * (default: hours) — "how long from signup to purchase", the companion
+    * the funnel operators' yes/no answer lacks.
+    *
+    * Trails with no `fromType`, or no `toType` at-or-after it, are absent
+    * (they never converted — the funnel ops count those). Scale shape: two
+    * type-filtered min-aggregates on uuid (map-side combined — a whale
+    * trail folds to one row per side) joined on uuid, then a
+    * histogram-sized final aggregate. No window, no event×event join. */
+  def conversionLatency(df: DataFrame, fromType: String, toType: String,
+      bucketSeconds: Long = 3600L, uuidCol: String = "uuid",
+      typeCol: String = "event_type", timeCol: String = "time"): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
+    val f = df.filter(col(typeCol) === fromType)
+      .groupBy(col(uuidCol)).agg(min(col(timeCol)).as("_tf"))
+    df.filter(col(typeCol) === toType)
+      .join(f, uuidCol)
+      .filter(col(timeCol) >= col("_tf"))
+      .groupBy(col(uuidCol)).agg(min(col(timeCol) - col("_tf")).as("_lat"))
+      .groupBy(expr(s"_lat DIV $bucketSeconds").as("bucket"))
+      .agg(count(lit(1)).as("n_trails"))
+  }
 }

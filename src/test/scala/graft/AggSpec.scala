@@ -225,6 +225,22 @@ class AggSpec extends SparkSpec {
     assert(e.getMessage.contains("negative time"))
   }
 
+  test("conversionLatency: first-from to first-at-or-after-to, bucketed") {
+    val rows = Seq(
+      // u0: signup@100, purchases@50 (before — ignored) and @4000 → lat 3900, bucket 1
+      ("u0", "signup", 100L), ("u0", "purchase", 50L), ("u0", "purchase", 4000L),
+      // u1: signup@0, purchase@0 → lat 0, bucket 0 (at-or-after includes ties)
+      ("u1", "signup", 0L), ("u1", "purchase", 0L),
+      // u2: purchase only — no from event, absent
+      ("u2", "purchase", 10L),
+      // u3: signup only — never converted, absent
+      ("u3", "signup", 10L))
+      .toDF("uuid", "event_type", "time")
+    val got = graft.agg.Cohorts.conversionLatency(rows, "signup", "purchase")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 1L, 1L -> 1L))
+  }
+
   test("typeOverlap counts distinct trails per unordered type pair") {
     val rows = Seq(
       ("u0", "view"), ("u0", "view"), ("u0", "buy"),  // dup view: 1 trail
