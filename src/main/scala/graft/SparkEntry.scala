@@ -1274,6 +1274,17 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // Weighted deterministic sampling: keep probability proportional to a
+    // quality signal (token count / 400, clamped) — the row-wise
+    // generalization of the stratified sampler's per-stratum constants.
+    "d_weighted_sample" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.weightedHashSample(docs,
+          TextAnalysis.tokenCount(col("text")).cast("double") / lit(400.0))
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Incremental (batch-vs-corpus) dedup: the daily-ingest shape — batch =
     // every 10th doc, corpus = the rest; keep batch docs whose content is
     // new (anti-join on content hash, min-id survivor within the batch).
@@ -3018,6 +3029,18 @@ object SparkEntry {
         |       CAST(abs(count_a * (SELECT count(*) FROM tb)
         |              - count_b * (SELECT count(*) FROM ta)) AS BIGINT) AS drift
         |FROM j ORDER BY drift DESC, token LIMIT 20""".stripMargin,
+
+    "d_weighted_sample" ->
+      """WITH q AS (SELECT doc_id,
+        |  len(string_split_regex(text, ' +')) AS nt, md5(text) AS h
+        |  FROM documents)
+        |SELECT doc_id FROM q
+        |WHERE (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)
+        |  < floor(least(1.0, greatest(0.0, CAST(nt AS DOUBLE) / 400.0)) * 65536)
+        |ORDER BY doc_id""".stripMargin,
 
     "d_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

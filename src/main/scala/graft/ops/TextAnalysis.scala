@@ -356,6 +356,28 @@ object TextAnalysis {
     * [[hashSample]]. Pure filter: no shuffle, engine-portable, reproducible
     * on any cluster size.
     */
+  /** Per-row WEIGHTED deterministic sampling — [[stratifiedHashSample]]
+    * generalized from per-stratum constants to a continuous per-row keep
+    * probability (clamped to [0,1]): quality-proportional downsampling,
+    * temperature-weighted source mixing applied row-wise, any "keep this
+    * row with probability w(row)" rule. Keep iff the first two md5(text)
+    * bytes (a uniform 16-bit value) fall under floor(w·65536) — /65536
+    * quantization (vs the stratified sampler's /256: a continuous weight
+    * deserves the finer grid). Same properties: pure filter (no shuffle),
+    * engine-portable md5 rule, reproducible on any cluster size, and the
+    * SAME hash stream as the other samplers — so samples are NESTED, not
+    * independent: a w=0.25 sample is exactly a subset of the w=0.5 sample
+    * (shrinking a corpus cut keeps no new rows), and re-sampling an
+    * already-sampled frame keeps min(w1, w2), not the product. For an
+    * independent second draw, sample on a different column (e.g. a salted
+    * copy). */
+  def weightedHashSample(df: DataFrame, weight: Column,
+      textCol: String = "text"): DataFrame =
+    df.filter(
+      conv(substring(md5(col(textCol).cast("binary")), 1, 4), 16, 10)
+        .cast("long") <
+      floor(greatest(lit(0.0), least(lit(1.0), weight)) * 65536).cast("long"))
+
   def stratifiedHashSample(df: DataFrame, fractions: Map[String, Double],
       default: Double = 0.0, strataCol: String = "lang",
       textCol: String = "text"): DataFrame = {

@@ -176,6 +176,25 @@ class TextAnalysisSpec extends SparkSpec {
       Seq(3L, 2L, 2L))
   }
 
+  test("weightedHashSample: weight 0 drops all, 1 keeps all, clamps, composes") {
+    val docs = (1L to 200L).map(i => (i, s"doc body number $i")).toDF("doc_id", "text")
+    assert(TextAnalysis.weightedHashSample(docs, lit(0.0)).count() === 0L)
+    assert(TextAnalysis.weightedHashSample(docs, lit(1.0)).count() === 200L)
+    assert(TextAnalysis.weightedHashSample(docs, lit(7.5)).count() === 200L)   // clamp hi
+    assert(TextAnalysis.weightedHashSample(docs, lit(-3.0)).count() === 0L)    // clamp lo
+    val half = TextAnalysis.weightedHashSample(docs, lit(0.5))
+    val n = half.count()
+    assert(n > 60 && n < 140, s"0.5 sample kept $n of 200")
+    // same hash stream ⇒ samples NEST (min, not product): re-sampling the
+    // 0.5 cut at 0.25 keeps exactly the direct 0.25 cut's rows
+    val nested = TextAnalysis.weightedHashSample(half, lit(0.25))
+      .collect().map(_.getLong(0)).toSet
+    val direct = TextAnalysis.weightedHashSample(docs, lit(0.25))
+      .collect().map(_.getLong(0)).toSet
+    assert(nested === direct)
+    assert(direct.subsetOf(half.collect().map(_.getLong(0)).toSet))
+  }
+
   test("disposition labels each row with the first stage that dropped it") {
     val all = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val s1 = Seq(1L, 2L, 3L, 4L).toDF("doc_id")        // 5 dropped: dup
