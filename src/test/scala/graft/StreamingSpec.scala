@@ -527,7 +527,10 @@ class StreamingSpec extends SparkSpec {
 
     val stream = spark.readStream
       .schema(spark.read.parquet(src).schema).parquet(src)
-    val out = graft.ops.TextAnalysis.withQualitySignals(stream)
+    // weightedHashSample is a pure filter — streaming-legal unchanged;
+    // weight 1.0 keeps both rows so the assertions below still see them
+    val out = graft.ops.TextAnalysis.withQualitySignals(
+        graft.ops.TextAnalysis.weightedHashSample(stream, lit(1.0)))
       .withColumn("clean", graft.ops.TextAnalysis.scrubPii(col("text")))
       .select("doc_id", "n_tokens", "clean")
     val q = out.writeStream.outputMode("append").format("memory")
