@@ -1194,6 +1194,15 @@ object SparkEntry {
       Similarity.labelCentroids(s.read.parquet(s"$dir/embeddings.parquet"))
         .orderBy("label", "dim")),
 
+    // Dimension-covariance matrix of the embedding corpus (the whitening /
+    // PCA-energy statistic): ONE mergeable Gram aggregate — a dim²-sized
+    // buffer per partition through the shuffle, never the corpus — with
+    // exact micro² product sums DuckDB replays via the explode self-join.
+    "e_covariance" -> ((s, dir) =>
+      Similarity.covarianceMatrix(
+          s.read.parquet(s"$dir/embeddings.parquet"), dim = 64)
+        .orderBy("i", "j")),
+
     // Token-window chunking (size 32, stride 24): the pre-embedding split.
     // chunk_md5 proves exact chunk content without carrying the text.
     "d_chunk" -> ((s, dir) =>
@@ -3141,6 +3150,23 @@ object SparkEntry {
         |       CAST(0 AS BIGINT) AS n_violations,
         |       CAST(1 AS BIGINT) AS recall_ok
         |FROM exact""".stripMargin,
+
+    "e_covariance" ->
+      """WITH e AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS i,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS xm
+        |  FROM embeddings, unnest(range(1, 65)) AS t(i)),
+        |s AS (SELECT i, CAST(sum(xm) AS BIGINT) AS sm FROM e GROUP BY 1),
+        |p AS (SELECT a.i AS i, b.i AS j, count(*) AS n,
+        |    CAST(sum(a.xm * b.xm) AS BIGINT) AS pm
+        |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2)
+        |SELECT p.i, p.j, p.n AS n, sa.sm AS s_i_micro, sb.sm AS s_j_micro,
+        |  p.pm AS p_micro2,
+        |  (CAST(p.pm AS DOUBLE) / 1e12
+        |    - (CAST(sa.sm AS DOUBLE) / 1e6) * (CAST(sb.sm AS DOUBLE) / 1e6) / p.n)
+        |    / p.n AS cov
+        |FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
+        |ORDER BY 1, 2""".stripMargin,
 
     // Int8 quantization: element-wise doubles are bit-identical across
     // engines (same operands, same ops); the cross-element error sum is

@@ -903,4 +903,101 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum(col("_x_micro")).as("sum_micro"))
       .withColumn("centroid",
         col("sum_micro").cast("double") / col("n") / lit(1e6))
+
+  /** Mergeable Gram-matrix accumulator over embedding vectors: one buffer
+    * of (n, Σ micro(x_i), Σ micro(x_i)·micro(x_j) for i ≤ j) per partial —
+    * dim(dim+3)/2 + 1 longs through the shuffle regardless of corpus size
+    * (the whale-safe shape for second-moment statistics; an
+    * explode-and-self-join formulation would shuffle corpus × dim² rows).
+    * Products are exact micro² integers, so sums are order-independent
+    * and engine-replayable. */
+  final case class Gram(dim: Int) extends org.apache.spark.sql.expressions
+      .Aggregator[Seq[Float], (Long, Array[Long], Array[Long]),
+        (Long, Array[Long], Array[Long])] {
+    require(dim > 0, s"dim must be positive, got $dim")
+
+    override def zero: (Long, Array[Long], Array[Long]) =
+      (0L, new Array[Long](dim), new Array[Long](dim * (dim + 1) / 2))
+
+    override def reduce(b: (Long, Array[Long], Array[Long]),
+        v: Seq[Float]): (Long, Array[Long], Array[Long]) = {
+      require(v != null && v.length == dim,
+        s"gram: expected dense $dim-dim vector, got " +
+          (if (v == null) "null" else s"length ${v.length}"))
+      val xm = new Array[Long](dim)
+      var i = 0
+      while (i < dim) {
+        // HALF_UP away from zero — SQL round() semantics (both Spark's
+        // round(col, 0) and DuckDB's); Math.round is half-toward-+inf and
+        // diverges on negative halves.
+        val y = v(i).toDouble * 1e6
+        xm(i) = (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)).toLong
+        b._2(i) += xm(i); i += 1
+      }
+      var idx = 0
+      i = 0
+      while (i < dim) {
+        var j = i
+        while (j < dim) { b._3(idx) += xm(i) * xm(j); idx += 1; j += 1 }
+        i += 1
+      }
+      (b._1 + 1L, b._2, b._3)
+    }
+
+    override def merge(a: (Long, Array[Long], Array[Long]),
+        b: (Long, Array[Long], Array[Long])): (Long, Array[Long], Array[Long]) = {
+      var i = 0
+      while (i < a._2.length) { a._2(i) += b._2(i); i += 1 }
+      i = 0
+      while (i < a._3.length) { a._3(i) += b._3(i); i += 1 }
+      (a._1 + b._1, a._2, a._3)
+    }
+
+    override def finish(b: (Long, Array[Long], Array[Long])):
+        (Long, Array[Long], Array[Long]) = b
+
+    override def bufferEncoder:
+        org.apache.spark.sql.Encoder[(Long, Array[Long], Array[Long])] =
+      org.apache.spark.sql.Encoders.kryo[(Long, Array[Long], Array[Long])]
+    override def outputEncoder:
+        org.apache.spark.sql.Encoder[(Long, Array[Long], Array[Long])] =
+      org.apache.spark.sql.Encoders.kryo[(Long, Array[Long], Array[Long])]
+  }
+
+  /** Dimension-covariance matrix of an embedding corpus — the statistic
+    * behind whitening, PCA energy plots, and "are my dimensions already
+    * decorrelated" checks before trusting subspace quantizers (PQ splits
+    * assume roughly isotropic subspaces). One [[Gram]] aggregate (a
+    * dim²-sized buffer per partition through the shuffle — never the
+    * corpus), unpacked driver-side into the dim(dim+1)/2-row upper
+    * triangle: (i, j, n, s_i/s_j micro sums, p micro² product sum, and
+    * the biased covariance as one fixed double-expression chain both
+    * engines replay identically).
+    *
+    * Integer-exactness bound: p accumulates micro²-unit products, so
+    * |Σ| < 2⁶³ needs n · (1e6·max|x|)² < 9.2e18 — ~9M rows at |x| ≤ 1.
+    * The `maxRows` guard refuses LOUDLY past it (for bigger corpora,
+    * sample first — a covariance estimate does not need every row; the
+    * guard message says so). */
+  def covarianceMatrix(df: DataFrame, dim: Int,
+      vecCol: String = "embedding", maxRows: Long = 4000000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n0 = df.count()
+    require(n0 <= maxRows,
+      s"covarianceMatrix: $n0 rows exceeds the $maxRows exact-integer " +
+        "bound (micro^2 product sums overflow i64 past ~9M unit-norm " +
+        "rows) — hashSample the corpus first; a covariance estimate " +
+        "does not need every row")
+    val (n, s, p) = df.select(col(vecCol).cast("array<float>"))
+      .as[Seq[Float]].select(Gram(dim).toColumn).head()
+    val rows = for {
+      i <- 0 until dim; j <- i until dim
+    } yield (i, j, n, s(i), s(j), p(i * dim - i * (i - 1) / 2 + (j - i)))
+    rows.toDF("i", "j", "n", "s_i_micro", "s_j_micro", "p_micro2")
+      .withColumn("cov",
+        (col("p_micro2").cast("double") / lit(1e12) -
+          (col("s_i_micro").cast("double") / lit(1e6)) *
+          (col("s_j_micro").cast("double") / lit(1e6)) / col("n")) / col("n"))
+  }
 }

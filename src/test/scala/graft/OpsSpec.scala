@@ -657,6 +657,32 @@ class SimilaritySpec extends SparkSpec {
   private lazy val emb = TestSpark.spark.read
     .parquet("/root/testdata/sf0.001/embeddings.parquet")
 
+  test("covarianceMatrix: exact integer moments on a hand-computed case") {
+    // vectors (1,2), (3,4), (5,0): micro sums s=(9e6, 6e6);
+    // p00 = 1+9+25 = 35e12, p01 = 2+12+0 = 14e12, p11 = 4+16+0 = 20e12
+    val df = Seq(
+      (1L, Seq(1f, 2f)), (2L, Seq(3f, 4f)), (3L, Seq(5f, 0f)))
+      .toDF("vec_id", "embedding")
+      .repartition(3) // force partial buffers + merge
+    val got = Similarity.covarianceMatrix(df, dim = 2).orderBy("i", "j")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(got((0, 0))._3 === 35000000000000L)
+    assert(got((0, 1)) === ((9000000L, 6000000L, 14000000000000L,
+      (14.0 - 9.0 * 6.0 / 3.0) / 3.0)))
+    assert(got((1, 1))._3 === 20000000000000L)
+    // biased covariance: E[xy] - E[x]E[y]
+    assert(math.abs(got((0, 0))._4 - (35.0 / 3 - 9.0 * 9.0 / 9)) < 1e-9)
+    // guard: a corpus past the exact-integer bound refuses loudly
+    val e = intercept[IllegalArgumentException](
+      Similarity.covarianceMatrix(df, dim = 2, maxRows = 2L))
+    assert(e.getMessage.contains("exact-integer bound"))
+    // ragged input refuses loudly rather than mis-indexing
+    val bad = Seq((1L, Seq(1f))).toDF("vec_id", "embedding")
+    val e2 = intercept[Exception](Similarity.covarianceMatrix(bad, dim = 2).collect())
+    assert(e2.getMessage.contains("dense"))
+  }
+
   test("native dot_f64 is bit-identical to the builtin zip_with fold") {
     val pairs = emb.limit(40).select($"vec_id".as("ia"), $"embedding".as("va"))
       .crossJoin(emb.limit(40).select($"vec_id".as("ib"), $"embedding".as("vb")))
