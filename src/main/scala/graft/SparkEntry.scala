@@ -1203,6 +1203,26 @@ object SparkEntry {
           s.read.parquet(s"$dir/embeddings.parquet"), dim = 64)
         .orderBy("i", "j")),
 
+    // PCA whitening invariant contract: whiten the corpus with its own
+    // covariance, re-measure the whitened covariance, and assert it is
+    // ~identity (off-diagonals vanish, live diagonals ≈ 1) — eigenvectors
+    // are not SQL-replayable, so the oracle recomputes n and the CONTRACT
+    // is the checked property (the e_semantic_dedup pattern).
+    "e_whiten" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val wh = Similarity.whiten(emb, dim = 64)
+        .select(col("whitened").as("embedding"))
+      Similarity.covarianceMatrix(wh, dim = 64).agg(
+          first(col("n")).as("n_vectors"),
+          max(when(col("i") =!= col("j"), abs(col("cov")))
+            .otherwise(lit(0.0))).as("_off"),
+          max(when(col("i") === col("j"), abs(col("cov") - lit(1.0)))
+            .otherwise(lit(0.0))).as("_diag"))
+        .select(col("n_vectors"),
+          (col("_off") < 0.05).as("offdiag_ok"),
+          (col("_diag") < 0.05).as("diag_ok"))
+    }),
+
     // Token-window chunking (size 32, stride 24): the pre-embedding split.
     // chunk_md5 proves exact chunk content without carrying the text.
     "d_chunk" -> ((s, dir) =>
@@ -3167,6 +3187,10 @@ object SparkEntry {
         |    / p.n AS cov
         |FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
         |ORDER BY 1, 2""".stripMargin,
+
+    "e_whiten" ->
+      """SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
+        |       TRUE AS offdiag_ok, TRUE AS diag_ok""".stripMargin,
 
     // Int8 quantization: element-wise doubles are bit-identical across
     // engines (same operands, same ops); the cross-element error sum is

@@ -1000,4 +1000,120 @@ object Similarity {
           (col("s_i_micro").cast("double") / lit(1e6)) *
           (col("s_j_micro").cast("double") / lit(1e6)) / col("n")) / col("n"))
   }
+
+  /** Cyclic Jacobi eigendecomposition of a small symmetric matrix (the
+    * dim×dim covariance — a DRIVER-sized problem; the corpus-sized work
+    * is [[Gram]]). Returns (eigenvalues, eigenvector columns), unordered.
+    * Loud on non-convergence rather than returning a half-rotated basis. */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]],
+      maxSweeps: Int = 100, tol: Double = 1e-14):
+      (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = Array.tabulate(n, n)((i, j) => a0(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      s
+    }
+    // scale-relative stop: off-diagonal energy vs total energy
+    val total0 = math.max(off() + (0 until n).map(i => a(i)(i) * a(i)(i)).sum,
+      Double.MinPositiveValue)
+    var sweep = 0
+    while (sweep < maxSweeps && off() > tol * total0) {
+      var p = 0
+      while (p < n) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            val app = a(p)(p); val aqq = a(q)(q)
+            a(p)(p) = app - t * apq
+            a(q)(q) = aqq + t * apq
+            a(p)(q) = 0.0; a(q)(p) = 0.0
+            var k = 0
+            while (k < n) {
+              if (k != p && k != q) {
+                val akp = a(k)(p); val akq = a(k)(q)
+                a(k)(p) = c * akp - s * akq; a(p)(k) = a(k)(p)
+                a(k)(q) = s * akp + c * akq; a(q)(k) = a(k)(q)
+              }
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    require(off() <= tol * total0,
+      s"jacobiEigen: no convergence in $maxSweeps sweeps " +
+        s"(residual ${off()}, scale $total0)")
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** PCA whitening of an embedding column: y = Λ^(−1/2) Qᵀ (x − μ) with
+    * (Λ, Q) from the corpus covariance — the decorrelate-and-equalize
+    * transform run before subspace quantizers (PQ assumes roughly
+    * isotropic subspaces) and similarity calibration. Components are
+    * ordered by eigenvalue DESC, so truncating the output array is PCA
+    * dimensionality reduction for free.
+    *
+    * Scale shape: statistics via ONE [[Gram]] aggregate (driver-sized
+    * result), eigendecomposition driver-side on the dim×dim matrix
+    * ([[jacobiEigen]]), and the transform itself a pure projection —
+    * dim codegen'd zip_with/aggregate folds over broadcast literal rows
+    * of Λ^(−1/2)Qᵀ. No shuffle, no UDF; composes with any scan.
+    *
+    * Near-zero eigenvalues (rank-deficient corpora) are floored at `eps`:
+    * those output dims carry ~zero variance instead of amplified noise —
+    * the whitened covariance's diagonal is λ/(λ+eps), ≈1 for live dims,
+    * ≈0 for degenerate ones (the WhitenSpec contract). */
+  def whiten(df: DataFrame, dim: Int, eps: Double = 1e-9,
+      vecCol: String = "embedding", outCol: String = "whitened"): DataFrame = {
+    require(eps > 0, s"eps must be positive, got $eps")
+    val stats = covarianceMatrix(df, dim, vecCol)
+      .select("i", "j", "n", "s_i_micro", "p_micro2", "cov").collect()
+    require(stats.nonEmpty && stats.head.getLong(2) > 0,
+      "whiten: empty corpus")
+    val n = stats.head.getLong(2)
+    val cov = Array.ofDim[Double](dim, dim)
+    val mu = new Array[Double](dim)
+    stats.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(5))
+      cov(i)(j) = c; cov(j)(i) = c
+      if (i == j) mu(i) = r.getLong(3).toDouble / 1e6 / n
+    }
+    val (lambda, q) = jacobiEigen(cov)
+    val order = (0 until dim).sortBy(k => -lambda(k))
+    // row k of the whitening matrix: Q column order(k) scaled by
+    // 1/sqrt(λ+eps)
+    val w: Seq[Seq[Double]] = order.map { k =>
+      val sc = 1.0 / math.sqrt(math.max(lambda(k), 0.0) + eps)
+      (0 until dim).map(i => q(i)(k) * sc)
+    }
+    val centered = zip_with(col(vecCol).cast("array<double>"),
+      typedLit(mu.toSeq), (x, m) => x - m)
+    val comps = w.map { row =>
+      aggregate(zip_with(centered, typedLit(row), (x, y) => x * y),
+        lit(0.0), (acc, e) => acc + e)
+    }
+    df.withColumn(outCol, array(comps: _*))
+  }
 }

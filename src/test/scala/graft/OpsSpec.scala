@@ -683,6 +683,36 @@ class SimilaritySpec extends SparkSpec {
     assert(e2.getMessage.contains("dense"))
   }
 
+  test("whiten: whitened corpus has ~identity covariance; degenerate dims collapse") {
+    // correlated 2-d data plus a THIRD dimension that is an exact copy of
+    // the first — rank 2, so one whitened dim must carry ~zero variance
+    val rows = Seq(
+      Seq(1f, 2.1f, 1f), Seq(2f, 3.9f, 2f), Seq(3f, 6.2f, 3f),
+      Seq(4f, 7.8f, 4f), Seq(5f, 10.1f, 5f), Seq(0f, 0.2f, 0f))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val wh = Similarity.whiten(rows, dim = 3)
+      .select(col("whitened").as("embedding"))
+    val c = Similarity.covarianceMatrix(wh, dim = 3).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(6)).toMap
+    val diag = Seq(c((0, 0)), c((1, 1)), c((2, 2)))
+    // components ordered by variance: live dims ≈ 1 first, degenerate ≈ 0 last
+    assert(math.abs(diag(0) - 1.0) < 1e-2, s"diag $diag")
+    assert(math.abs(diag(1) - 1.0) < 1e-2, s"diag $diag")
+    assert(diag(2) < 1e-2, s"degenerate dim should collapse: $diag")
+    assert(Seq((0, 1), (0, 2), (1, 2)).forall(k => math.abs(c(k)) < 1e-2),
+      "whitened off-diagonals should vanish")
+    // the real corpus: 64 dims, all live
+    val embWh = Similarity.whiten(emb.limit(300), dim = 64)
+      .select(col("whitened").as("embedding"))
+    val ec = Similarity.covarianceMatrix(embWh, dim = 64).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(6)).toMap
+    val offMax = ec.collect { case ((i, j), v) if i != j => math.abs(v) }.max
+    val diagErr = ec.collect { case ((i, j), v) if i == j => math.abs(v - 1.0) }.max
+    assert(offMax < 1e-2, s"max off-diagonal $offMax")
+    assert(diagErr < 1e-2, s"max diag error $diagErr")
+  }
+
   test("native dot_f64 is bit-identical to the builtin zip_with fold") {
     val pairs = emb.limit(40).select($"vec_id".as("ia"), $"embedding".as("va"))
       .crossJoin(emb.limit(40).select($"vec_id".as("ib"), $"embedding".as("vb")))
