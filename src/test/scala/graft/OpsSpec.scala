@@ -334,6 +334,53 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_._3 >= 0.5))
   }
 
+  test("fuzzy decontamination property: reported pairs ⊆ exact threshold pairs, jaccards exact") {
+    // seeded random corpora built from a small token pool (so shingle
+    // overlap actually occurs), mutated eval copies planted in train
+    val rnd = new scala.util.Random(7)
+    val pool = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    def doc(len: Int): String = Seq.fill(len)(pool(rnd.nextInt(pool.size))).mkString(" ")
+    val eval = (100L to 109L).map(i => (i, doc(6 + rnd.nextInt(8))))
+    val train = (1L to 30L).map { i =>
+      if (i <= 10 && rnd.nextBoolean()) {
+        // mutate an eval doc: drop or swap one token
+        val toks = eval((i % 10).toInt)._2.split(" ").toBuffer
+        toks.remove(rnd.nextInt(toks.size))
+        (i, toks.mkString(" "))
+      } else (i, doc(6 + rnd.nextInt(8)))
+    }
+    val trainDf = train.toDF("doc_id", "text")
+    val evalDf = eval.toDF("doc_id", "text")
+    val k = 3
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.split(" +").toSeq
+      if (toks.length < k) Set(toks.mkString(" "))
+      else toks.sliding(k).map(_.mkString(" ")).toSet
+    }
+    def jac(a: String, b: String): Double = {
+      val (sa, sb) = (shingleSet(a), shingleSet(b))
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    val thr = 0.3
+    val exact = (for {
+      (ti, tt) <- train; (ei, et) <- eval if jac(tt, et) >= thr
+    } yield (ti, ei)).toSet
+    val got = Dedup.fuzzyDecontaminate(trainDf, evalDf, threshold = thr,
+        numHashes = 64, bands = 32, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // subset-of-exact with exact jaccard values (hashed-shingle jaccard ==
+    // string-shingle jaccard in the collision-free regime)
+    got.foreach { case (t, e, j) =>
+      assert(exact.contains((t, e)), s"false pair ($t,$e)")
+      val jd = jac(train.find(_._1 == t).get._2, eval.find(_._1 == e).get._2)
+      assert(math.abs(j - jd) < 1e-12, s"jaccard mismatch ($t,$e): $j vs $jd")
+    }
+    // with 32 bands of 2 rows, near-identical pairs are essentially
+    // always caught — require substantial recall, not perfection
+    assert(exact.isEmpty || got.size * 10 >= exact.size * 7,
+      s"recall ${got.size}/${exact.size}")
+  }
+
   test("simhash: identical docs distance 0; near dups within threshold; different docs far") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 12).collect()
       .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Long]("hamming"))).toMap
@@ -681,6 +728,36 @@ class SimilaritySpec extends SparkSpec {
     val bad = Seq((1L, Seq(1f))).toDF("vec_id", "embedding")
     val e2 = intercept[Exception](Similarity.covarianceMatrix(bad, dim = 2).collect())
     assert(e2.getMessage.contains("dense"))
+  }
+
+  test("Gram property: packed moments equal the naive computation on seeded random corpora") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val dim = 1 + rnd.nextInt(7)
+      val n = 1 + rnd.nextInt(40)
+      val vecs = Seq.fill(n)(Seq.fill(dim)((rnd.nextFloat() - 0.5f) * 4f))
+      // naive reference with the same SQL-round quantization
+      def micro(x: Float): Long = {
+        val y = x.toDouble * 1e6
+        (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)).toLong
+      }
+      val m = vecs.map(v => v.map(micro))
+      val expS = (0 until dim).map(i => m.map(_(i)).sum)
+      val expP = for (i <- 0 until dim; j <- i until dim)
+        yield ((i, j), m.map(v => v(i) * v(j)).sum)
+      val got = Similarity.covarianceMatrix(
+          vecs.zipWithIndex.map { case (v, k) => (k.toLong, v) }
+            .toDF("vec_id", "embedding").repartition(4),
+          dim).collect()
+      got.foreach { r =>
+        val (i, j) = (r.getInt(0), r.getInt(1))
+        assert(r.getLong(2) === n.toLong, s"trial $trial n")
+        assert(r.getLong(3) === expS(i), s"trial $trial s_i($i,$j)")
+        assert(r.getLong(4) === expS(j), s"trial $trial s_j($i,$j)")
+        assert(r.getLong(5) === expP.toMap.apply((i, j)), s"trial $trial p($i,$j)")
+      }
+      assert(got.length === dim * (dim + 1) / 2)
+    }
   }
 
   test("whiten: whitened corpus has ~identity covariance; degenerate dims collapse") {
