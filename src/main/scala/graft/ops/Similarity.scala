@@ -913,7 +913,7 @@ object Similarity {
     * and engine-replayable. */
   final case class Gram(dim: Int) extends org.apache.spark.sql.expressions
       .Aggregator[Seq[Float], (Long, Array[Long], Array[Long]),
-        (Long, Array[Long], Array[Long])] {
+        (Long, Seq[Long], Seq[Long])] {
     require(dim > 0, s"dim must be positive, got $dim")
 
     override def zero: (Long, Array[Long], Array[Long]) =
@@ -953,15 +953,18 @@ object Similarity {
       (a._1 + b._1, a._2, a._3)
     }
 
+    // product output (not kryo): the result lands as a plain struct, so a
+    // streaming memory/table sink stores readable columns and the batch
+    // head() needs no custom deserialization
     override def finish(b: (Long, Array[Long], Array[Long])):
-        (Long, Array[Long], Array[Long]) = b
+        (Long, Seq[Long], Seq[Long]) = (b._1, b._2.toSeq, b._3.toSeq)
 
     override def bufferEncoder:
         org.apache.spark.sql.Encoder[(Long, Array[Long], Array[Long])] =
       org.apache.spark.sql.Encoders.kryo[(Long, Array[Long], Array[Long])]
     override def outputEncoder:
-        org.apache.spark.sql.Encoder[(Long, Array[Long], Array[Long])] =
-      org.apache.spark.sql.Encoders.kryo[(Long, Array[Long], Array[Long])]
+        org.apache.spark.sql.Encoder[(Long, Seq[Long], Seq[Long])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Seq[Long], Seq[Long])]()
   }
 
   /** Dimension-covariance matrix of an embedding corpus — the statistic
@@ -991,6 +994,19 @@ object Similarity {
         "does not need every row")
     val (n, s, p) = df.select(col(vecCol).cast("array<float>"))
       .as[Seq[Float]].select(Gram(dim).toColumn).head()
+    covarianceFromMoments(spark, dim, n, s, p)
+  }
+
+  /** Unpack [[Gram]] moments into the upper-triangle covariance frame —
+    * shared by batch [[covarianceMatrix]] and the streaming twin's
+    * sink-side finisher (`StreamSessions.streamingGram` maintains the
+    * moments live; this turns the latest snapshot into the same frame). */
+  def covarianceFromMoments(spark: org.apache.spark.sql.SparkSession,
+      dim: Int, n: Long, s: Seq[Long], p: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    require(s.length == dim && p.length == dim * (dim + 1) / 2,
+      s"gram moments: expected $dim sums / ${dim * (dim + 1) / 2} products, " +
+        s"got ${s.length} / ${p.length}")
     val rows = for {
       i <- 0 until dim; j <- i until dim
     } yield (i, j, n, s(i), s(j), p(i * dim - i * (i - 1) / 2 + (j - i)))

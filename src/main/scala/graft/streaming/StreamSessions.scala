@@ -529,6 +529,27 @@ object StreamSessions {
       .dropDuplicates(idCol, "eval_id")
   }
 
+  /** Streaming twin of [[graft.ops.Similarity.covarianceMatrix]]'s Gram
+    * pass — live corpus moments (n, per-dim micro sums, upper-triangle
+    * micro² product sums) maintained as ONE complete-mode global typed
+    * aggregation: the [[graft.ops.Similarity.Gram]] buffer is mergeable,
+    * so state is dim(dim+3)/2+1 longs total regardless of stream volume —
+    * embedding-drift monitoring for an ingestion run. The covariance
+    * frame itself is the batch finisher over the latest sink snapshot
+    * (`Similarity.covarianceFromMoments` — the tokenDrift convention:
+    * unpacking dim² rows is a second "aggregation" streaming cannot
+    * nest). */
+  def streamingGram(df: DataFrame, dim: Int,
+      vecCol: String = "embedding"): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[Seq[Float]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()
+    // the typed select flattens the tuple output into _1/_2/_3 columns
+    df.select(col(vecCol).cast("array<float>")).as[Seq[Float]]
+      .select(graft.ops.Similarity.Gram(dim).toColumn.name("gram"))
+      .select(col("_1").as("n"), col("_2").as("s_micro"),
+        col("_3").as("p_micro2"))
+  }
+
   /** Windowed event-type rates (the generic streaming rollup). */
   def eventRates(events: DataFrame, window: String = "5 minutes",
       watermark: String = "1 hour", typeCol: String = "event_type",

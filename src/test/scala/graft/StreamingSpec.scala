@@ -480,6 +480,34 @@ class StreamingSpec extends SparkSpec {
     assert(fromStream.find(_._1 == "c").map(t => (t._2, t._3)) === Some((3L, 3L)))
   }
 
+  test("streaming Gram: live moments across micro-batches equal batch covariance") {
+    val dir = Files.createTempDirectory("graft-sgram")
+    val src = dir.resolve("src").toString
+    val b1 = Seq((1L, Seq(1f, 2f)), (2L, Seq(3f, 4f)))
+    val b2 = Seq((3L, Seq(5f, 0f)), (4L, Seq(-1f, 1f)))
+    b1.toDF("vec_id", "embedding").coalesce(1).write.parquet(src)
+    Thread.sleep(1100)
+    b2.toDF("vec_id", "embedding").coalesce(1).write.mode("append").parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = StreamSessions.streamingGram(stream, dim = 2)
+      .writeStream.outputMode("complete").format("memory").queryName("sgram")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val m = spark.sql("SELECT n, s_micro, p_micro2 FROM sgram").head()
+    val fromStream = graft.ops.Similarity.covarianceFromMoments(spark, 2,
+        m.getLong(0), m.getSeq[Long](1), m.getSeq[Long](2))
+      .orderBy("i", "j").collect().map(_.toSeq).toSeq
+    val batch = graft.ops.Similarity.covarianceMatrix(
+        (b1 ++ b2).toDF("vec_id", "embedding"), dim = 2)
+      .orderBy("i", "j").collect().map(_.toSeq).toSeq
+    assert(fromStream === batch)
+    assert(m.getLong(0) === 4L) // moments merged across both micro-batches
+  }
+
   test("streaming fuzzy decontamination: stream-static LSH equals batch pair set") {
     // training docs arrive in two micro-batches; the contaminated doc is
     // in batch 2, so a batch-1-only view would miss it entirely
