@@ -1102,7 +1102,37 @@ object Similarity {
     * the whitened covariance's diagonal is λ/(λ+eps), ≈1 for live dims,
     * ≈0 for degenerate ones (the WhitenSpec contract). */
   def whiten(df: DataFrame, dim: Int, eps: Double = 1e-9,
-      vecCol: String = "embedding", outCol: String = "whitened"): DataFrame = {
+      vecCol: String = "embedding", outCol: String = "whitened"): DataFrame =
+    fitWhitener(df, dim, eps, vecCol).transform(df, vecCol, outCol)
+
+  /** A fitted whitening model: the mean and the Λ^(−1/2)Qᵀ rows
+    * (eigenvalue-DESC). FIT ONCE on a reference corpus, [[transform]]
+    * every later batch with the FROZEN model — the same model-freeze
+    * convention as [[appendToIvfPqIndex]] (encoding new data under a
+    * drifted model is the caller's drift alarm, not a crash). The
+    * transform is a pure projection (dim codegen'd folds over literal
+    * rows): it runs UNCHANGED on a streaming batch (StreamingSpec),
+    * composes with any scan, and needs no shuffle. Serializable — ship
+    * it in a closure or persist its two fields next to the index. */
+  final case class Whitener(mu: Seq[Double], w: Seq[Seq[Double]])
+      extends Serializable {
+    def dim: Int = mu.length
+    def transform(df: DataFrame, vecCol: String = "embedding",
+        outCol: String = "whitened"): DataFrame = {
+      val centered = zip_with(col(vecCol).cast("array<double>"),
+        typedLit(mu), (x, m) => x - m)
+      val comps = w.map { row =>
+        aggregate(zip_with(centered, typedLit(row), (x, y) => x * y),
+          lit(0.0), (acc, e) => acc + e)
+      }
+      df.withColumn(outCol, array(comps: _*))
+    }
+  }
+
+  /** Fit a [[Whitener]] on a corpus: ONE [[Gram]] aggregate for the
+    * moments, driver-side [[jacobiEigen]] on the dim×dim covariance. */
+  def fitWhitener(df: DataFrame, dim: Int, eps: Double = 1e-9,
+      vecCol: String = "embedding"): Whitener = {
     require(eps > 0, s"eps must be positive, got $eps")
     val stats = covarianceMatrix(df, dim, vecCol)
       .select("i", "j", "n", "s_i_micro", "p_micro2", "cov").collect()
@@ -1124,12 +1154,6 @@ object Similarity {
       val sc = 1.0 / math.sqrt(math.max(lambda(k), 0.0) + eps)
       (0 until dim).map(i => q(i)(k) * sc)
     }
-    val centered = zip_with(col(vecCol).cast("array<double>"),
-      typedLit(mu.toSeq), (x, m) => x - m)
-    val comps = w.map { row =>
-      aggregate(zip_with(centered, typedLit(row), (x, y) => x * y),
-        lit(0.0), (acc, e) => acc + e)
-    }
-    df.withColumn(outCol, array(comps: _*))
+    Whitener(mu.toSeq, w)
   }
 }

@@ -480,6 +480,34 @@ class StreamingSpec extends SparkSpec {
     assert(fromStream.find(_._1 == "c").map(t => (t._2, t._3)) === Some((3L, 3L)))
   }
 
+  test("a fitted Whitener transforms a stream unchanged (pure projection)") {
+    val dir = Files.createTempDirectory("graft-swhite")
+    val src = dir.resolve("src").toString
+    val ref = Seq(
+      (1L, Seq(1f, 2.1f)), (2L, Seq(2f, 3.9f)), (3L, Seq(3f, 6.2f)),
+      (4L, Seq(4f, 7.8f)), (5L, Seq(0f, 0.2f)))
+    val incoming = Seq((10L, Seq(2.5f, 5f)), (11L, Seq(1.5f, 3f)))
+    incoming.toDF("vec_id", "embedding").write.parquet(src)
+
+    // fit on the reference corpus, apply the FROZEN model to the stream
+    val model = graft.ops.Similarity.fitWhitener(
+      ref.toDF("vec_id", "embedding"), dim = 2)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    val q = model.transform(stream).select("vec_id", "whitened")
+      .writeStream.outputMode("append").format("memory").queryName("swhite")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.sql("SELECT vec_id, whitened FROM swhite")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val batch = model.transform(incoming.toDF("vec_id", "embedding"))
+      .select("vec_id", "whitened")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(streamed === batch)
+    assert(streamed.keySet === Set(10L, 11L))
+  }
+
   test("streaming Gram: live moments across micro-batches equal batch covariance") {
     val dir = Files.createTempDirectory("graft-sgram")
     val src = dir.resolve("src").toString
