@@ -376,7 +376,11 @@ object TextAnalysis {
     df.filter(
       conv(substring(md5(col(textCol).cast("binary")), 1, 4), 16, 10)
         .cast("long") <
-      floor(greatest(lit(0.0), least(lit(1.0), weight)) * 65536).cast("long"))
+      // coalesce FIRST: least/greatest SKIP nulls (in both engines), so a
+      // null weight would otherwise clamp to 1.0 and silently KEEP the
+      // row — an unknown weight drops instead (the conservative read).
+      floor(greatest(lit(0.0), least(lit(1.0), coalesce(weight, lit(0.0))))
+        * 65536).cast("long"))
 
   def stratifiedHashSample(df: DataFrame, fractions: Map[String, Double],
       default: Double = 0.0, strataCol: String = "lang",

@@ -182,6 +182,10 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.weightedHashSample(docs, lit(1.0)).count() === 200L)
     assert(TextAnalysis.weightedHashSample(docs, lit(7.5)).count() === 200L)   // clamp hi
     assert(TextAnalysis.weightedHashSample(docs, lit(-3.0)).count() === 0L)    // clamp lo
+    // null weight drops (least/greatest skip nulls — an unguarded clamp
+    // would silently treat unknown weight as 1.0 and keep everything)
+    assert(TextAnalysis.weightedHashSample(docs,
+      lit(null).cast("double")).count() === 0L)
     val half = TextAnalysis.weightedHashSample(docs, lit(0.5))
     val n = half.count()
     assert(n > 60 && n < 140, s"0.5 sample kept $n of 200")
