@@ -1156,6 +1156,21 @@ object SparkEntry {
       Retrieval.bm25(s.read.parquet(s"$dir/documents.parquet"),
         Seq("hash", "join", "vector", "dup"), topK = 20)),
 
+    // Batched BM25: three query bags scored in ONE corpus pass, per-query
+    // shortlists via the mergeable TopK aggregate (the ANN discipline —
+    // no per-query window sort). Same idf/tf algebra as d_bm25, exact
+    // micro-integer scores, full DuckDB replay.
+    "d_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (1L, "hash"), (1L, "join"),
+        (2L, "vector"), (2L, "dup"),
+        (3L, "hash"), (3L, "vector"), (3L, "dup")).toDF("query_id", "term")
+      Retrieval.bm25Batch(s.read.parquet(s"$dir/documents.parquet"),
+          queries, topK = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // Hybrid retrieval: the BM25 lexical shortlist fused with the vector
     // shortlist by reciprocal-rank fusion (Cormack SIGIR'09) — rank-only
     // fusion, no score calibration; both inputs are bounded shortlists so
@@ -2898,6 +2913,36 @@ object SparkEntry {
     // BM25: DuckDB replays the full scoring formula; per-term contributions
     // round to exact micro-integers before the per-doc sum, so summation
     // order can't break the hash compare.
+    "d_bm25_batch" ->
+      """WITH q(query_id, term) AS (VALUES
+        |    (1, 'hash'), (1, 'join'), (2, 'vector'), (2, 'dup'),
+        |    (3, 'hash'), (3, 'vector'), (3, 'dup')),
+        |toks AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS dl,
+        |    unnest(string_split_regex(text, ' +')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, min(dl) AS dl, count(*) AS tf
+        |  FROM toks WHERE term IN (SELECT term FROM q)
+        |  GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n,
+        |    CAST(sum(len(string_split_regex(text, ' +'))) AS BIGINT) AS sum_dl
+        |  FROM documents),
+        |sc AS (SELECT doc_id, term, CAST(round(
+        |    ln((n - df + 0.5) / (df + 0.5) + 1.0)
+        |    * (tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 +
+        |        0.75 * dl / (CAST(sum_dl AS DOUBLE) / n))))
+        |    * 1e6) AS BIGINT) AS c
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN stats),
+        |pq AS (SELECT q.query_id, sc.doc_id, count(*) AS n_hit_terms,
+        |    CAST(sum(c) AS BIGINT) AS score_micro
+        |  FROM sc JOIN q USING (term) GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score_micro DESC, doc_id) AS rk FROM pq)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rk AS INTEGER) AS rank,
+        |  doc_id, n_hit_terms, score_micro
+        |FROM r WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
+
     "d_bm25" ->
       """WITH toks AS (SELECT doc_id,
         |    CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS dl,

@@ -66,6 +66,67 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** BATCHED BM25 — score MANY query bags in one corpus pass (the
+    * retrieval-eval / hybrid-shortlist-fleet shape; running [[bm25]] per
+    * query would rescan the corpus per query). `queries` is a
+    * `(query_id, term)` table; term bags are treated as SETS (duplicate
+    * terms in one bag count once, matching the single-query form's
+    * `isin`).
+    *
+    * Shape at scale: corpus tokens are filtered by a broadcast semi-join
+    * against the UNION of all query terms inside the scan projection, the
+    * (doc, term) tf/df/idf algebra runs once (shared across queries —
+    * identical values to [[bm25]]'s), per-term doc scores fan out to the
+    * queries using that term via a broadcast join on the (small) query
+    * table, and the per-query shortlist is the mergeable
+    * [[Sketch.TopK]] aggregate — ≤topK rows per (partition, query)
+    * through the exchange, never a per-query window sort (the ANN
+    * shortlist discipline). Micro-integer scores are ≤ ~1e8, exact in
+    * the aggregator's double.
+    *
+    * Output: (query_id, rank, `idCol`, n_hit_terms, score_micro),
+    * rank 1..topK by (score desc, id asc) — per query, exactly the rows
+    * the single-query [[bm25]] would return. */
+  def bm25Batch(df: DataFrame, queries: DataFrame, topK: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val qterms = queries.select(col("query_id"), col("term")).distinct()
+    val termSet = qterms.select("term").distinct()
+    val toks = TextAnalysis.tokens(col(textCol))
+    val hits = df.select(col(idCol), size(toks).cast("long").as("dl"),
+        explode(toks).as("term"))
+      .join(broadcast(termSet), "term")
+    val tf = hits.groupBy(col(idCol), col("term"))
+      .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf"))
+      .localCheckpoint() // consumed by df-per-term AND the score join
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = df.agg(count(lit(1)).as("n"),
+      sum(size(TextAnalysis.tokens(col(textCol)))).as("sum_dl"))
+    val idf = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val tfn = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+        lit(b) * col("dl") / (col("sum_dl").cast("double") / col("n"))))
+    val perQueryDoc = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("_c_micro", round(idf * tfn * lit(1e6), 0).cast("long"))
+      .join(broadcast(qterms), "term") // fan doc-term scores to their queries
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("n_hit_terms"), sum(col("_c_micro")).as("score_micro"))
+      // consumed twice (shortlist + the n_hit_terms join-back): without
+      // the checkpoint the 1-row stats aggregate — a full corpus scan —
+      // would run once per consumer
+      .localCheckpoint()
+    val top = Similarity.topKPerQuery(
+      perQueryDoc.select(col("query_id"),
+        col(idCol).cast("long").as("corpus_id"), col("score_micro")),
+      "score_micro", topK, "score_micro")
+    top.join(perQueryDoc.select(col("query_id"),
+        col(idCol).cast("long").as("corpus_id"), col("n_hit_terms")),
+        Seq("query_id", "corpus_id"))
+      .select(col("query_id"), col("rank"), col("corpus_id").as(idCol),
+        col("n_hit_terms"), col("score_micro").cast("long").as("score_micro"))
+  }
+
   /** Add-one-smoothed corpus unigram log-probability per document — the
     * classic cheap perplexity proxy for corpus quality ranking:
     * p(t) = (c(t) + 1) / (T + V) with T = total tokens, V = vocab size;

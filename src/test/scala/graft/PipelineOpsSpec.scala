@@ -59,6 +59,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L, s1), (2L, 1L, s2)))
   }
 
+  test("bm25Batch: each query's shortlist equals the single-query bm25") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val bags = Map(1L -> Seq("hash", "join"), 2L -> Seq("vector", "dup"),
+      3L -> Seq("hash", "vector", "dup"))
+    val queries = bags.toSeq.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val batch = Retrieval.bm25Batch(docs, queries, topK = 10)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(1))
+        .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq }
+    bags.foreach { case (q, terms) =>
+      val single = Retrieval.bm25(docs, terms, topK = 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(batch(q) === single, s"query $q diverged from single-query bm25")
+    }
+  }
+
   test("bm25 rare terms outscore common ones at equal tf") {
     // "rare" in 1 of 20 docs, "common" in all 20; one probe doc hits both once.
     val docs = (1L to 19L).map(i => (i, "common filler words here")) :+
