@@ -103,6 +103,22 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("batched BM25 shortlists with the mergeable TopK, never a per-query window") {
+    // bm25Batch inherits the ANN shortlist discipline: a row_number OVER
+    // (PARTITION BY query_id) would funnel each query's full scored doc
+    // list into one task — the same scale-killer the e_knn_* guard pins.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    import spark.implicits._
+    val queries = Seq((1L, "hash"), (1L, "join"), (2L, "vector"))
+      .toDF("query_id", "term")
+    val plan = graft.ops.Retrieval.bm25Batch(docs, queries, topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"bm25Batch regrew a per-query window sort:\n$plan")
+    assert(!plan.contains("row_number"),
+      s"bm25Batch regrew row_number:\n$plan")
+  }
+
   test("per-group quota ops carry the map-side WindowGroupLimit bound") {
     // capPerGroup / takePerStratum rank within FEW but potentially HUGE
     // groups (one domain/language can be half a web corpus). Round 7
