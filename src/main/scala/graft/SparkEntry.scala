@@ -553,6 +553,57 @@ object SparkEntry {
           k = 3, threshold = 0.2)
         .orderBy("id_a", "id_b")),
 
+    // Asymmetric containment near-dups (round 8): C = shared/min(|Sa|,|Sb|)
+    // over distinct k-shingle sets — the doc-inside-a-doc detector that
+    // symmetric Jaccard structurally misses (a short doc embedded in a long
+    // one scores J ≈ |short|/|long| → 0 but containment 1). Same inverted-
+    // index blocking as d_ngram_pairs; exact DuckDB replay.
+    "d_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(s.read.parquet(s"$dir/documents.parquet"),
+          k = 3, threshold = 0.6)
+        .orderBy("id_a", "id_b")),
+
+    // Vocabulary coverage / OOV rate (round 8): vocab = top-20 corpus
+    // tokens by frequency (ties token-ASC — the deterministic cut), per doc
+    // the total and out-of-vocab token counts. The tokenizer-fit health
+    // check run before committing to a vocab. Exact DuckDB replay,
+    // including the tie-broken vocab boundary.
+    "d_oov" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(s.read.parquet(s"$dir/documents.parquet"),
+          vocabSize = 20)
+        .orderBy("doc_id")),
+
+    // Content-defined chunking (round 8, LBFS-style rolling-hash cuts with
+    // min/max bounds): boundaries anchor to CONTENT (xxhash64 of the
+    // 4-token window), so an edit early in a doc shifts only chunks up to
+    // one expected chunk length past it — the property chunk-level dedup
+    // across near-identical docs needs, which d_chunk's fixed stride
+    // lacks. Hash-dependent cuts aren't DuckDB-replayable, so the contract
+    // row is: exact per-doc token total (DuckDB recomputes it) + the
+    // bounds the fold enforces by construction, as flags (chunks tile the
+    // doc, every chunk ≤ maxSize, every non-tail chunk ≥ minSize, chunk
+    // count within the [ceil(nt/max), floor(nt/min)+1] envelope).
+    "d_cdc_chunks" -> ((s, dir) => {
+      val ch = TextAnalysis.cdcChunks(s.read.parquet(s"$dir/documents.parquet"),
+        w = 4, maskBits = 3, minSize = 4, maxSize = 24)
+      val per = ch.groupBy("doc_id").agg(
+        sum("n_tokens").as("n_tokens"),
+        count(lit(1)).as("_nc"),
+        max("n_tokens").as("_mx"),
+        max("chunk_id").as("_last"))
+      val nonTail = ch.join(per.select(col("doc_id"), col("_last")), "doc_id")
+        .filter(col("chunk_id") < col("_last"))
+        .groupBy("doc_id").agg(min("n_tokens").as("_mnNT"))
+      per.join(nonTail, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("_mx") <= 24).cast("long").as("max_ok"),
+          coalesce(col("_mnNT") >= 4, lit(true)).cast("long").as("min_ok"),
+          (col("_nc") >= ceil(col("n_tokens") / lit(24.0)) &&
+            col("_nc") <= floor(col("n_tokens") / lit(4.0)) + 1)
+            .cast("long").as("count_ok"))
+        .orderBy("doc_id")
+    }),
+
     // Dedup clustering: pairwise near-dup matches (exact n-gram Jaccard)
     // → connected components → one cluster_id per doc (min id of the
     // component; singletons are their own cluster). The keep-one-per-
@@ -897,6 +948,48 @@ object SparkEntry {
     "e_knn_brute" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Filtered IVF (round 8): the predicate rides the bucket-join KEY
+    // (cell, label) — a probed cell contributes only its qualifying slice
+    // to the scoring stream. Own measured recall floor: low-selectivity
+    // predicates spread each query's true same-label neighbors across
+    // MORE cells than the unfiltered case (FilteredProbe: nprobe=8/16
+    // scores 21/25/24 of 30 at sf0.001/.01/.1 where unfiltered IVF gets
+    // comparable recall at nprobe=3 — nprobe must scale with 1/selectivity);
+    // floor 15 with margin. label_ok proves no result crosses the
+    // predicate — the invariant the post-filter shape cannot state.
+    "e_knn_ivf_filtered" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") < 10)
+      val ann = Similarity.filteredIvfKnn(emb, q, k = 3, nCells = 16,
+        nprobe = 8)
+      val labels = emb.select(col("vec_id"), col("label"))
+      val crossed = ann
+        .join(labels.select(col("vec_id").as("corpus_id"),
+          col("label").as("_cl")), "corpus_id")
+        .join(labels.select(col("vec_id").as("query_id"),
+          col("label").as("_ql")), "query_id")
+        .agg(coalesce(sum(when(col("_cl") =!= col("_ql"), 1L)
+          .otherwise(0L)), lit(0L)).as("_x"))
+      annInvariant(ann, Similarity.filteredKnn(emb, q, k = 3), q,
+          minHits = 15)
+        .crossJoin(crossed)
+        .select(col("n_queries"), col("n_returned"), col("hits_ok"),
+          col("ranked_ok"), (col("_x") === 0).cast("long").as("label_ok"))
+    }),
+
+    // Filtered exact kNN (round 8): per-query metadata predicate (same
+    // label) as the broadcast-join KEY below the shortlist aggregate —
+    // each query gets k MATCHING neighbors. Post-filtering an unfiltered
+    // shortlist instead silently starves to <k whenever true neighbors
+    // are off-predicate (Round8OpsSpec proves the divergence). Exact
+    // DuckDB replay: join on label, rank by cosine.
+    "e_knn_filtered" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.filteredKnn(emb, emb.filter(col("vec_id") < 10), k = 3)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
@@ -2186,6 +2279,49 @@ object SparkEntry {
         |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "d_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+        |    ELSE list_transform(range(1, len(l) - 3 + 2),
+        |                        i -> array_to_string(l[i:i+2], ' ')) END)) AS shingle
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared, sa.sz AS sz_a, sb.sz AS sz_b,
+        |       CAST(shared AS DOUBLE) / least(sa.sz, sb.sz) AS containment
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(shared AS DOUBLE) / least(sa.sz, sb.sz) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "d_oov" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |vocab AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM toks GROUP BY 1)
+        |          ORDER BY n DESC, tok LIMIT 20)
+        |SELECT t.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*) AS oov_frac
+        |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    // CDC cuts are hash-defined (not DuckDB-replayable); the oracle
+    // recomputes the exact per-doc token total and pins the fold's
+    // enforced bounds as contract constants.
+    "d_cdc_chunks" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(1 AS BIGINT) AS max_ok,
+        |       CAST(1 AS BIGINT) AS min_ok,
+        |       CAST(1 AS BIGINT) AS count_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // Invariant oracle (hash-family-specific output): DuckDB recomputes the
     // EXACT ngram-Jaccard pair list (same CTEs as d_ngram_pairs); the
     // subset-violation count and recall floor are contract constants.
@@ -2726,6 +2862,20 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, corpus_id, cosine
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
+    "e_knn_filtered" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label
+        |           FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, e.vec_id AS corpus_id,
+        |        list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS cosine
+        |      FROM embeddings e JOIN q
+        |        ON e.label = q.label AND e.vec_id != q.query_id),
+        |r AS (SELECT query_id, corpus_id, cosine,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY cosine DESC, corpus_id) AS rank
+        |      FROM s)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, corpus_id, cosine
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
     // Bit-exact margin replay: same k-NN lists (e_knn_brute shape), nano-
     // unit integer penalty sums, one fixed-shape double margin expression.
     "e_bitext" ->
@@ -2881,6 +3031,14 @@ object SparkEntry {
         |       CAST(3 * count(*) AS BIGINT) AS n_returned,
         |       CAST(1 AS BIGINT) AS hits_ok,
         |       CAST(1 AS BIGINT) AS ranked_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "e_knn_ivf_filtered" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |       CAST(3 * count(*) AS BIGINT) AS n_returned,
+        |       CAST(1 AS BIGINT) AS hits_ok,
+        |       CAST(1 AS BIGINT) AS ranked_ok,
+        |       CAST(1 AS BIGINT) AS label_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "e_knn_ivfpq_index" ->

@@ -51,12 +51,41 @@ object Dedup {
     * share at least one shingle are ever materialized.
     */
   def ngramJaccardPairs(df: DataFrame, k: Int = 3, threshold: Double = 0.5,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // 64-bit hashed shingles, not strings: the exploded inverted index and
-    // its self-join carry 8-byte keys instead of ~25-char strings (2-3× on
-    // shuffle volume and join compares). Counts are identical to the
-    // string form unless xxhash64 collides within the corpus shingle set
-    // (birthday bound ~n²/2⁶⁵ — ~1e-8 at 10⁶ distinct shingles).
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    sharedShingleCounts(df, k, textCol, idCol)
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "shared", "sz_a", "sz_b", "jaccard")
+
+  /** Asymmetric CONTAINMENT near-dup pairs (round 8): C = shared /
+    * min(|S_a|, |S_b|) over distinct k-shingle sets — the
+    * doc-inside-a-doc detector. Symmetric Jaccard misses a short document
+    * embedded verbatim in a much longer one (the union is dominated by the
+    * long doc, so J ≈ |short|/|long| → 0 while containment = 1); quote
+    * farms, boilerplate-wrapped reposts, and concatenated dumps are
+    * exactly this shape. Same inverted-index blocking as
+    * [[ngramJaccardPairs]] — only co-occurring shingles join, never
+    * all-pairs. */
+  def containmentPairs(df: DataFrame, k: Int = 3, threshold: Double = 0.8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    sharedShingleCounts(df, k, textCol, idCol)
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("sz_a"), col("sz_b")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "shared", "sz_a", "sz_b", "containment")
+
+  /** Shared-shingle pair counts — the blocked self-join behind
+    * [[ngramJaccardPairs]] and [[containmentPairs]]: (id_a < id_b, shared
+    * distinct-shingle count, both set sizes).
+    *
+    * 64-bit hashed shingles, not strings: the exploded inverted index and
+    * its self-join carry 8-byte keys instead of ~25-char strings (2-3× on
+    * shuffle volume and join compares). Counts are identical to the
+    * string form unless xxhash64 collides within the corpus shingle set
+    * (birthday bound ~n²/2⁶⁵ — ~1e-8 at 10⁶ distinct shingles). */
+  private def sharedShingleCounts(df: DataFrame, k: Int,
+      textCol: String, idCol: String): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
         explode(TextAnalysis.shingleHashes(col(textCol), k)).as("shingle"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
@@ -81,10 +110,6 @@ object Dedup {
     pairs
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("jaccard",
-        col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "shared", "sz_a", "sz_b", "jaccard")
   }
 
   /** Modulus for the MinHash permutation family: Mersenne prime 2^31-1, so

@@ -325,6 +325,55 @@ object Similarity {
     topKPerQuery(scored, "cosine", k, "cosine")
   }
 
+  /** Exact FILTERED top-k: each query retrieves only corpus rows whose
+    * `filterCol` value equals the query row's own — the metadata-constrained
+    * vector search every serving stack needs (retrieve within a language,
+    * a tenant, a safety tier). The predicate is an equi-join KEY, not a
+    * post-filter: the broadcast hash join pairs each corpus row only with
+    * queries of its own filter value, so the shortlist aggregate scores
+    * qualifying candidates exclusively and each query gets k MATCHING
+    * neighbors. The tempting alternative — run unfiltered kNN, then filter
+    * the shortlist — silently returns <k rows whenever the true neighbors
+    * are off-predicate (at selectivity 1/s, the expected survivors are k/s);
+    * this shape has no such failure mode and never scores a row the
+    * predicate excludes. */
+  def filteredKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      filterCol: String = "label", vecCol: String = "embedding",
+      idCol: String = "vec_id", excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      checkedNorm(col(vecCol), "corpus").as("cn"), col(filterCol).as("_fv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      checkedNorm(col(vecCol), "query").as("qn"), col(filterCol).as("_fv"))
+    val paired = c.join(broadcast(q), Seq("_fv"))
+    val scored = (if (excludeSelf)
+        paired.filter(col("corpus_id") =!= col("query_id")) else paired)
+      .withColumn("cosine", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+    topKPerQuery(scored, "cosine", k, "cosine")
+  }
+
+  /** Filtered IVF: [[ivfKnn]]'s coarse-cell pruning with the metadata
+    * predicate pushed INSIDE the probed cells — the bucket join keys on
+    * `(cell, filter value)`, so a probed cell contributes only its
+    * predicate-matching rows to the scoring stream. At serving scale this
+    * is the difference between "scan nprobe cells, keep 1/s of what you
+    * scored" and "scan the 1/s qualifying slice of nprobe cells": the
+    * scored stream (the dominant cost) shrinks by the predicate's
+    * selectivity, and the per-query shortlist stays the bounded mergeable
+    * [[topKPerQuery]] aggregate. Cells are trained on the full corpus
+    * (one quantizer, all filter values) — per-value quantizers would
+    * fragment training at high cardinality; the join key composition gets
+    * the same pruning without extra models. */
+  def filteredIvfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nprobe: Int = 2, filterCol: String = "label",
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val (cells, qCells) = coarseBlock(corpus, queries, nCells, nprobe,
+      vecCol, idCol, carryCol = Some(filterCol))
+    val scored = cells.join(broadcast(qCells), Seq("cell", "_fv"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+    topKPerQuery(scored, "cosine", k, "cosine")
+  }
+
   /** The coarse-quantizer blocking step shared by [[ivfKnn]] and the
     * cross-collection miner ([[Mining]]): train centroids with an
     * in-process Lloyd on a deterministic capped sample (same rationale as
@@ -338,18 +387,22 @@ object Similarity {
     * drops. */
   private[ops] def coarseBlock(corpus: DataFrame, queries: DataFrame,
       nCells: Int, nprobe: Int, vecCol: String, idCol: String,
-      maxSample: Int = 65536): (DataFrame, DataFrame) = {
+      maxSample: Int = 65536, carryCol: Option[String] = None)
+      : (DataFrame, DataFrame) = {
     val cents = lloyd(sampleVectors(corpus, vecCol, maxSample = maxSample),
       nCells, iters = 10, seed = 42L)
     val flat = cents.flatMap(_.toSeq).toSeq
-    val cells = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+    val carryC = carryCol.map(c => Seq(col(c).as("_fv"))).getOrElse(Nil)
+    val cells = corpus.select(Seq(col(idCol).as("corpus_id"),
+      col(vecCol).as("cv"),
       checkedNorm(col(vecCol), "corpus").as("cn"),
       element_at(graft.functions.GraftFunctions.pqCodes(
-        col(vecCol), 1, nCells, flat), 1).as("cell"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      checkedNorm(col(vecCol), "query").as("qn"))
+        col(vecCol), 1, nCells, flat), 1).as("cell")) ++ carryC: _*)
+    val q = queries.select(Seq(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      checkedNorm(col(vecCol), "query").as("qn")) ++ carryC: _*)
     val qCells = probeCells(q, cents, nprobe)
-      .select("query_id", "qv", "qn", "cell")
+      .select(("query_id" +: "qv" +: "qn" +: "cell" +:
+        carryCol.map(_ => "_fv").toSeq).map(col): _*)
     (cells, qCells)
   }
 

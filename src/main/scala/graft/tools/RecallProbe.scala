@@ -56,6 +56,22 @@ object RecallProbe {
         s"min_hits=$minHit hits=${perQ.map(_.getLong(2)).sorted.mkString(",")}")
     }
 
+    // e_knn_ivf_filtered: filtered IVF vs the exact filtered baseline
+    val fBrute = Similarity.filteredKnn(emb, q, k = 3)
+      .select("query_id", "corpus_id")
+    for (np <- Seq(3, 4)) {
+      val fIvf = Similarity.filteredIvfKnn(emb, q, k = 3, nCells = 16,
+          nprobe = np)
+        .select("query_id", "corpus_id")
+        .join(fBrute.withColumn("_hit", lit(1)), Seq("query_id", "corpus_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_ret"), sum(coalesce(col("_hit"), lit(0))).as("n_hit"))
+        .collect()
+      println(s"[probe] knn_ivf_filtered(np=$np): queries=${fIvf.length} " +
+        s"total_hits=${fIvf.map(_.getLong(2)).sum}/30 " +
+        s"hits=${fIvf.map(_.getLong(2)).sorted.mkString(",")}")
+    }
+
     // e_knn_q8: int8-reconstructed brute-force top-k vs exact
     val q8 = Similarity.bruteForceKnn(Similarity.dequantized(emb), q, k = 3)
       .select("query_id", "corpus_id")

@@ -154,6 +154,37 @@ class PlanGuardSpec extends SparkSpec {
       s"d_bloom_dedup lost the native bloom probe:\n$plan")
   }
 
+  test("filtered ANN inherits every shortlist discipline; CDC chunking plans no shuffle") {
+    // filteredKnn/filteredIvfKnn: the predicate is an equi-join KEY (a
+    // degradation to CartesianProduct or a post-shortlist filter shows as
+    // Window/row_number or a cartesian); the shortlist must stay the
+    // mergeable TopK aggregate.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    import graft.ops.Similarity
+    Seq(
+      "filtered" -> Similarity.filteredKnn(emb, q, k = 3),
+      "filtered_ivf" -> Similarity.filteredIvfKnn(emb, q, k = 3,
+        nCells = 8, nprobe = 4)).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name knn regrew a per-query window sort:\n$plan")
+      assert(!plan.contains("row_number"),
+        s"$name knn regrew row_number:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name knn lost its predicate equi-join key:\n$plan")
+      assert(plan.contains("ObjectHashAggregate"),
+        s"$name knn lost the mergeable top-k aggregate:\n$plan")
+    }
+    // cdcChunks is scan + per-row fold + explode: any Exchange means the
+    // per-document boundary fold leaked into a shuffle.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val cdc = graft.ops.TextAnalysis.cdcChunks(docs)
+      .queryExecution.executedPlan.toString
+    assert(!cdc.contains("Exchange"),
+      s"cdcChunks grew a shuffle — the boundary fold must stay per-row:\n$cdc")
+  }
+
   test("range join never degrades to a nested loop; horizon ops stay one-pass") {
     // The whole point of q_range_join's binning is turning the inequality
     // join into an equi-join — a refactor that loses the bin key falls

@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Round-8 operators: filtered ANN (metadata predicate below the
+  * shortlist), vocabulary coverage / OOV stats, content-defined chunking,
+  * and asymmetric containment dedup. */
+class Round8OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic pseudo-random unit-ish vector per (id, dim). */
+  private def vec(id: Int, dim: Int): Array[Float] =
+    Array.tabulate(dim) { d =>
+      val z = (id * 131L + d * 31L + 7L) * 0x9e3779b97f4a7c15L
+      ((z >>> 20) % 1000L).toFloat / 1000f - 0.5f
+    }
+
+  private def embFrame(n: Int, dim: Int = 8) =
+    (0 until n).map(i => (i.toLong, vec(i, dim), i % 3))
+      .toDF("vec_id", "embedding", "label")
+
+  // ---- Filtered ANN ----
+
+  test("filteredKnn: equals per-label bruteForceKnn, never crosses the predicate") {
+    val emb = embFrame(60)
+    val q = emb.filter(col("vec_id") < 6)
+    val got = Similarity.filteredKnn(emb, q, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2))
+    // reference: run unfiltered brute kNN inside each label slice
+    val want = (0 until 3).flatMap { lab =>
+      val slice = emb.filter(col("label") === lab)
+      Similarity.bruteForceKnn(slice, slice.filter(col("vec_id") < 6), k = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    }.sortBy(x => (x._1, x._2))
+    assert(got === want)
+    // and every neighbor really satisfies the predicate
+    val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    got.foreach { case (qid, _, cid, _) =>
+      assert(labels(qid) === labels(cid), s"pair ($qid,$cid) crosses labels")
+    }
+  }
+
+  test("filteredKnn: post-filtering an unfiltered shortlist is NOT equivalent (the failure mode this op exists to avoid)") {
+    val emb = embFrame(60)
+    val q = emb.filter(col("vec_id") < 6)
+    val post = Similarity.bruteForceKnn(emb, q, k = 4)
+      .join(emb.select(col("vec_id").as("corpus_id"), col("label").as("_cl")), "corpus_id")
+      .join(emb.select(col("vec_id").as("query_id"), col("label").as("_ql")), "query_id")
+      .filter(col("_cl") === col("_ql"))
+    // the post-filter form starves: fewer than k survivors for some query
+    val counts = post.groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.values.exists(_ < 4),
+      "expected at least one starved query under post-filtering")
+    // while the filtered op returns exactly k everywhere (corpus slices are big enough)
+    val full = Similarity.filteredKnn(emb, q, k = 4)
+      .groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(full.values.forall(_ === 4))
+  }
+
+  test("filteredIvfKnn: exhaustive probes reproduce filteredKnn exactly; partial probes stay inside the predicate") {
+    val emb = embFrame(90)
+    val q = emb.filter(col("vec_id") < 6)
+    val exact = Similarity.filteredKnn(emb, q, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    val ivfAll = Similarity.filteredIvfKnn(emb, q, k = 3, nCells = 4, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(ivfAll === exact) // nprobe = nCells ⇒ no pruning ⇒ identical
+    val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val pruned = Similarity.filteredIvfKnn(emb, q, k = 3, nCells = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    pruned.foreach { case (qid, cid) =>
+      assert(labels(qid) === labels(cid), s"pruned pair ($qid,$cid) crosses labels")
+    }
+  }
+
+  // ---- Vocabulary coverage ----
+
+  test("vocabCoverage: deterministic top-N vocab with tie-break, exact per-doc OOV counts") {
+    val df = Seq(
+      (1L, "a a a b b c"),   // freq: a=3(+2 below)=5? no — corpus-wide counts
+      (2L, "a a b z q"),
+      (3L, "c c b")
+    ).toDF("doc_id", "text")
+    // corpus counts: a=5, b=4, c=3, z=1, q=1 → vocab(3) = {a, b, c}
+    val got = TextAnalysis.vocabCoverage(df, vocabSize = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got === Array(
+      (1L, 6L, 0L, 0.0),
+      (2L, 5L, 2L, 0.4),
+      (3L, 3L, 0L, 0.0)))
+    // vocab boundary tie: size 4 must pick q over z? counts equal (1,1) →
+    // tie-break token-ASC picks 'q' before 'z'
+    val got4 = TextAnalysis.vocabCoverage(df, vocabSize = 4)
+      .filter(col("doc_id") === 2L)
+      .collect().map(r => (r.getLong(2))).head
+    assert(got4 === 1L) // 'z' still OOV, 'q' now in-vocab
+  }
+
+  test("fitVocab + oovAgainst ≡ vocabCoverage (the fit/apply split is exact)") {
+    val df = Seq(
+      (1L, "a a a b b c"), (2L, "a a b z q"), (3L, "c c b")
+    ).toDF("doc_id", "text")
+    val vocab = TextAnalysis.fitVocab(df, vocabSize = 3)
+    assert(vocab === Seq("a", "b", "c"))
+    val applied = TextAnalysis.oovAgainst(df, vocab).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val joined = TextAnalysis.vocabCoverage(df, vocabSize = 3).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(applied === joined)
+  }
+
+  // ---- Content-defined chunking ----
+
+  private def tokenDoc(id: Long, toks: Seq[String]) = (id, toks.mkString(" "))
+
+  test("cdcChunks: chunks tile the document, respect min/max bounds, deterministic") {
+    val words = Array.tabulate(400)(i =>
+      "w" + ((i * 2654435761L) % 97L)) // content-varied token stream
+    val df = Seq(tokenDoc(1L, words.toSeq)).toDF("doc_id", "text")
+    val ch = TextAnalysis.cdcChunks(df, w = 4, maskBits = 3, minSize = 6,
+        maxSize = 24)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    val sizes = ch.map(_._2)
+    assert(sizes.sum === 400L, "chunks must tile the token stream")
+    assert(sizes.forall(_ <= 24L), "maxSize bound violated")
+    assert(sizes.dropRight(1).forall(_ >= 6L), "minSize bound violated (non-tail)")
+    assert(ch.map(_._1) === ch.indices.map(_.toLong).toArray, "dense chunk ids")
+    // deterministic: a second run bit-agrees
+    val again = TextAnalysis.cdcChunks(df, w = 4, maskBits = 3, minSize = 6,
+        maxSize = 24).orderBy("chunk_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(again === ch)
+  }
+
+  test("cdcChunks: boundaries resynchronize after a prefix edit (the CDC property fixed-stride chunking lacks)") {
+    val words = Array.tabulate(400)(i => "w" + i) // all-distinct tokens
+    val a = Seq(tokenDoc(1L, words.toSeq)).toDF("doc_id", "text")
+    val b = Seq(tokenDoc(1L, "INS1 INS2 INS3" .split(" ").toSeq ++ words))
+      .toDF("doc_id", "text")
+    def md5s(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.cdcChunks(df, w = 4, maskBits = 3, minSize = 6, maxSize = 24)
+        .select("chunk_md5").as[String].collect().toSet
+    val shared = md5s(a) intersect md5s(b)
+    assert(shared.size >= 5,
+      s"expected suffix chunks to resynchronize, got ${shared.size} shared")
+    // fixed-stride chunking shares NOTHING after a 3-token prefix shift
+    def strideMd5s(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.chunks(df, size = 16, stride = 16)
+        .select("chunk_md5").as[String].collect().toSet
+    assert((strideMd5s(a) intersect strideMd5s(b)).isEmpty)
+  }
+
+  test("cdcChunks: short docs yield one chunk; parameter validation is loud") {
+    val df = Seq((1L, "only three tokens")).toDF("doc_id", "text")
+    val ch = TextAnalysis.cdcChunks(df, w = 4, maskBits = 4, minSize = 8,
+        maxSize = 64)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(ch === Array((0L, 3L)))
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.cdcChunks(df, minSize = 10, maxSize = 5))
+    assert(e.getMessage.contains("minSize"))
+  }
+
+  // ---- Containment dedup ----
+
+  test("containmentPairs: finds a doc embedded in a doc that Jaccard misses") {
+    val short = (0 until 6).map(i => s"tok$i").mkString(" ")
+    val long = ((0 until 6) ++ (100 until 160)).map(i => s"tok$i").mkString(" ")
+    val other = (200 until 230).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, short), (2L, long), (3L, other)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(df, k = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    assert(cont === Array((1L, 2L, 1.0))) // short's shingles all inside long
+    // symmetric Jaccard at the same cut finds nothing: 4/(4+64-4) ≈ 0.06
+    val jac = Dedup.ngramJaccardPairs(df, k = 3, threshold = 0.5).count()
+    assert(jac === 0L)
+  }
+
+  test("containmentPairs: counts match a driver-side exact recomputation") {
+    val docs = (0 until 12).map { i =>
+      val toks = (0 until 20).map(j => "t" + ((i * 7 + j * 3) % 31))
+      (i.toLong, toks.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    def shingleSet(text: String, k: Int): Set[String] =
+      text.split(" +").sliding(k).map(_.mkString(" ")).toSet
+    val sets = docs.map { case (id, t) => id -> shingleSet(t, 3) }.toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      shared = (sets(a) intersect sets(b)).size
+      c = shared.toDouble / math.min(sets(a).size, sets(b).size)
+      if c >= 0.3
+    } yield (a, b, shared.toLong, c)).toSeq.sorted
+    val got = Dedup.containmentPairs(df, k = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+      .toSeq.sorted
+    assert(got === want)
+  }
+}

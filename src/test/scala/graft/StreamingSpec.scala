@@ -599,6 +599,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1).getAs[String]("clean") === "mail me at <EMAIL> right now")
   }
 
+  test("frozen-vocab OOV scoring and CDC chunking run unchanged on a stream (pure projections)") {
+    val dir = Files.createTempDirectory("graft-soov")
+    val src = dir.resolve("src").toString
+    val batch = Seq(
+      (1L, "a a b z"),
+      (2L, (0 until 60).map(i => "w" + i).mkString(" ")))
+      .toDF("doc_id", "text")
+    batch.write.parquet(src)
+    val vocab = graft.ops.TextAnalysis.fitVocab(batch, vocabSize = 2) // {a, b}
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    val q = graft.ops.TextAnalysis.oovAgainst(stream, vocab)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("soov").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val oov = spark.sql("SELECT doc_id, n_oov FROM soov ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(oov === Array((1L, 1L), (2L, 60L)))
+    // cdcChunks: per-row boundary fold + explode — batch ≡ stream
+    val q2 = graft.ops.TextAnalysis.cdcChunks(stream, w = 2, maskBits = 2,
+        minSize = 3, maxSize = 12)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("scdc").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    val streamed = spark.sql("SELECT * FROM scdc ORDER BY doc_id, chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val batched = graft.ops.TextAnalysis.cdcChunks(batch, w = 2, maskBits = 2,
+        minSize = 3, maxSize = 12)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(streamed === batched)
+  }
+
   test("BPE segmentation runs unchanged on a stream (native expression is a pure projection)") {
     import graft.ops.Bpe
     val dir = Files.createTempDirectory("graft-sbpe")
