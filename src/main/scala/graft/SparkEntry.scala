@@ -553,6 +553,29 @@ object SparkEntry {
           k = 3, threshold = 0.2)
         .orderBy("id_a", "id_b")),
 
+    // CDC shared-chunk dedup stats (round 8): how much of each doc is
+    // duplicated elsewhere at CHUNK granularity — the storage-dedup
+    // measurement content-defined boundaries exist for. Contract: exact
+    // text-duplicate membership is DuckDB-recomputed (md5(text) freq>1),
+    // and the CDC invariant rides as a flag — a text-dup doc must have
+    // EVERY chunk shared (identical text ⇒ identical cuts ⇒ identical
+    // chunk set), i.e. is_text_dup ⇒ shared_frac = 1.
+    "d_cdc_dedup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val stats = TextAnalysis.cdcSharedChunkStats(docs,
+        w = 4, maskBits = 3, minSize = 4, maxSize = 24)
+      val hashed = docs.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("_h"))
+      val freq = hashed.groupBy("_h").agg(count(lit(1)).as("_n"))
+      stats.join(hashed.join(freq, "_h")
+          .select(col("doc_id"), (col("_n") > 1).cast("long").as("is_text_dup")),
+        "doc_id")
+        .select(col("doc_id"), col("is_text_dup"),
+          (col("is_text_dup") === 0 || col("shared_frac") === 1.0)
+            .cast("long").as("dup_implies_shared"))
+        .orderBy("doc_id")
+    }),
+
     // Asymmetric containment near-dups (round 8): C = shared/min(|Sa|,|Sb|)
     // over distinct k-shingle sets — the doc-inside-a-doc detector that
     // symmetric Jaccard structurally misses (a short doc embedded in a long
@@ -2278,6 +2301,14 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d_cdc_dedup" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
+        |f AS (SELECT hh, count(*) AS n FROM h GROUP BY 1)
+        |SELECT doc_id,
+        |       CAST(CASE WHEN n > 1 THEN 1 ELSE 0 END AS BIGINT) AS is_text_dup,
+        |       CAST(1 AS BIGINT) AS dup_implies_shared
+        |FROM h JOIN f USING (hh) ORDER BY doc_id""".stripMargin,
 
     "d_containment" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -108,6 +108,11 @@ object GraftFunctions {
   def shingleHashesAll(tokens: Column, k: Int): Column =
     ColumnBridge.column(ShingleHashesAll(ColumnBridge.expression(tokens), k))
 
+  def cdcBoundaries(tokens: Column, w: Int, maskBits: Int,
+      minSize: Int, maxSize: Int): Column =
+    ColumnBridge.column(CdcBoundaries(ColumnBridge.expression(tokens), w,
+      maskBits, minSize, maxSize))
+
   def bpeEncode(tokens: Column, flatMerges: Seq[String]): Column =
     ColumnBridge.column(BpeEncode(ColumnBridge.expression(tokens), flatMerges))
 

@@ -195,6 +195,38 @@ object VectorOps {
     h
   }
 
+  /** Content-defined chunk boundaries (one native pass; called from
+    * generated code): cut after 1-indexed position e when the chained-XXH64
+    * hash of the w-token window ending at e (same [[windowHash]] chain as
+    * the shingle family — bit-identical to `xxhash64(slice(toks, e-w+1, w))`)
+    * has its maskBits low bits zero AND the chunk so far is >= minSize;
+    * a chunk reaching maxSize cuts unconditionally; the array end is
+    * always a boundary. Returns the ascending cut positions (last = n).
+    * The sequential cut-depends-on-previous-cut fold that makes this a
+    * per-row loop rather than a window/shuffle. */
+  def cdcBoundaries(tokens: ArrayData, w: Int, maskBits: Int,
+      minSize: Int, maxSize: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Int](0))
+    val mask = (1L << maskBits) - 1L
+    val out = new java.util.ArrayList[Integer](n / minSize + 1)
+    var last = 0
+    var e = 1
+    while (e <= n) {
+      val len = e - last
+      val cand = e >= w && (windowHash(tokens, e - w, w) & mask) == 0L
+      if ((cand && len >= minSize) || len >= maxSize) { out.add(e); last = e }
+      e += 1
+    }
+    if (last != n) out.add(n)
+    val arr = new Array[Int](out.size())
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j).intValue(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
   def shingleHashes(tokens: ArrayData, k: Int): ArrayData = {
     val n = tokens.numElements()
     def windowHash(start: Int, len: Int): Long = VectorOps.windowHash(tokens, start, len)
@@ -379,6 +411,41 @@ case class ShingleHashes(child: Expression, k: Int)
     defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.shingleHashes($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** Content-defined chunk boundaries as a native expression — the CDC
+  * boundary fold of [[graft.ops.TextAnalysis.cdcChunks]] in one tight loop
+  * per row (the interpreted higher-order aggregate it replaces was the
+  * per-doc hot path; same chained window hash as [[ShingleHashes]], so a
+  * CDC cut and a span key agree on window identity). Bit-identical to the
+  * builtin fold composition (spec-enforced). */
+case class CdcBoundaries(child: Expression, w: Int, maskBits: Int,
+    minSize: Int, maxSize: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(w >= 1, s"w must be >= 1, got $w")
+  require(maskBits >= 0 && maskBits < 63, s"maskBits out of range: $maskBits")
+  require(minSize >= 1 && minSize <= maxSize,
+    s"need 1 <= minSize <= maxSize, got $minSize/$maxSize")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "cdc_boundaries"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cdc_boundaries requires array<string> input, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.cdcBoundaries(input.asInstanceOf[ArrayData], w, maskBits,
+      minSize, maxSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorOps.cdcBoundaries($c, $w, $maskBits, $minSize, $maxSize)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcBoundaries =
     copy(child = newChild)
 }
 

@@ -927,32 +927,75 @@ object TextAnalysis {
     require(maskBits >= 0 && maskBits < 63, s"maskBits out of range: $maskBits")
     require(minSize > 0 && minSize <= maxSize,
       s"need 0 < minSize <= maxSize, got minSize=$minSize maxSize=$maxSize")
+    // Boundaries via the native codegen'd CdcBoundaries expression — one
+    // tight loop per row, same chained window hash as the shingle family
+    // (a CDC cut and a span key agree on window identity). The builtin
+    // fold it replaced ([[cdcBoundariesFold]], kept for the bit-identity
+    // spec) is interpreted per HOF step and measured 4-20× slower
+    // depending on how projection collapse inlines the candidate array.
+    df.select(col(idCol), tokens(col(textCol)).as("_t"))
+      .withColumn("_b", graft.functions.GraftFunctions.cdcBoundaries(
+        col("_t"), w, maskBits, minSize, maxSize))
+      .select(col(idCol), col("_t"), col("_b"),
+        posexplode(col("_b")).as(Seq("_j", "_e")))
+      .withColumn("_s",
+        when(col("_j") === 0, lit(0)).otherwise(element_at(col("_b"), col("_j"))))
+      .select(col(idCol), col("_j").cast("long").as("chunk_id"),
+        (col("_e") - col("_s")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", slice(col("_t"), col("_s") + 1, col("_e") - col("_s")))
+          .cast("binary")).as("chunk_md5"))
+  }
+
+  /** The CDC payoff composition: per-document shared-chunk statistics —
+    * how much of each doc's content is duplicated elsewhere in the corpus
+    * at CHUNK granularity (the storage-dedup / near-identical-doc-family
+    * measurement content-defined boundaries exist for; fixed-stride chunks
+    * under-count it because one early edit de-syncs every later chunk).
+    * Output per doc over DISTINCT chunk contents (a doc internally
+    * repeating its own chunk is not "shared"): n_chunks, n_shared (chunk
+    * contents held by ≥2 distinct docs), shared_frac.
+    *
+    * Scale shape: distinct (doc, chunk_md5) pairs, then a map-side-
+    * combined groupBy on chunk_md5 for the distinct-doc frequency — a
+    * boilerplate chunk shared by 10^8 docs is a mergeable count, never a
+    * window partition (the whale-key discipline) — joined back on
+    * chunk_md5 (1-row build side per key; AQE splits the whale probe
+    * partition), one per-doc re-aggregation. */
+  def cdcSharedChunkStats(df: DataFrame, w: Int = 4, maskBits: Int = 4,
+      minSize: Int = 8, maxSize: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pairs = cdcChunks(df, w, maskBits, minSize, maxSize, idCol, textCol)
+      .select(col(idCol), col("chunk_md5")).distinct()
+    val freq = pairs.groupBy("chunk_md5").agg(count(lit(1)).as("_docs"))
+    pairs.join(freq, "chunk_md5")
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        col("n_shared").cast("double") / col("n_chunks").cast("double"))
+  }
+
+  /** The builtin-composed boundary fold [[cdcChunks]] replaced — kept for
+    * the bit-identity spec (Round8OpsSpec: same cut positions as the
+    * native expression on dense token arrays). Candidate hashes use
+    * `xxhash64(slice(...))` — Catalyst's array hash chains XXH64 across
+    * the window's elements with seed 42, exactly the native
+    * `VectorOps.windowHash`. The fold consumes the candidate ARRAY
+    * directly, carrying the position in the accumulator — an
+    * element_at(_c, e) per step would let projection collapse inline the
+    * whole transform() and re-evaluate all n window hashes at every step:
+    * O(n²) interpreted evaluations per document (measured 31.5 s for 500
+    * sf0.001 docs vs ~1.5 s for this shape, vs ~sub-second native). */
+  private[graft] def cdcBoundariesFold(t: Column, w: Int, maskBits: Int,
+      minSize: Int, maxSize: Int): Column = {
     import org.apache.spark.sql.functions.{size => asize}
     val modulus = 1L << maskBits
-    val t = col("_t")
     val n = asize(t)
-    // cand(e) for 1-indexed end position e: window t[e-w+1 .. e] exists
-    // (e >= w) and its hash selects a boundary. Materialized as a per-doc
-    // boolean array so the fold below reads it O(1) per element.
     val cands = transform(sequence(lit(1), n), e =>
-      e >= w && pmod(xxhash64(concat_ws(" ", slice(t, e - w + 1, lit(w)))),
+      e >= w && pmod(xxhash64(slice(t, e - w + 1, lit(w))),
         lit(modulus)) === 0)
-    // Left-to-right boundary fold with min/max enforcement: cut at e when
-    // (e - lastCut >= minSize AND cand(e)) OR e - lastCut = maxSize; the
-    // document end is always a cut (final chunk may run short of minSize —
-    // the standard CDC tail). Sequential by nature — CDC cut decisions
-    // depend on the previous cut — but per-document, inside the scan.
-    //
-    // The fold iterates the candidate ARRAY itself, carrying the position
-    // in the accumulator — NOT sequence(1,n) with element_at(_c, e):
-    // projection collapse inlines `_c`'s full transform() into any
-    // reference, and higher-order lambdas are interpreted, so an
-    // element_at(_c, e) per step re-evaluates all n window hashes at
-    // EVERY step — O(n²) hash evaluations per document (measured: 31.5 s
-    // for 500 sf0.001 docs; this shape runs in ~0.4 s). With `_c`
-    // referenced exactly once, collapse inlining keeps it one O(n) pass.
-    val bnds = aggregate(
-      col("_c"),
+    aggregate(
+      cands,
       struct(lit(0).as("pos"), lit(0).as("last"),
         array().cast("array<int>").as("bnds")),
       (acc, c) => {
@@ -968,17 +1011,6 @@ object TextAnalysis {
           acc.getField("bnds"))
         .otherwise(concat(acc.getField("bnds"),
           array(acc.getField("pos").cast("int")))))
-    df.select(col(idCol), tokens(col(textCol)).as("_t"))
-      .withColumn("_c", cands)
-      .withColumn("_b", bnds)
-      .select(col(idCol), col("_t"), col("_b"),
-        posexplode(col("_b")).as(Seq("_j", "_e")))
-      .withColumn("_s",
-        when(col("_j") === 0, lit(0)).otherwise(element_at(col("_b"), col("_j"))))
-      .select(col(idCol), col("_j").cast("long").as("chunk_id"),
-        (col("_e") - col("_s")).cast("long").as("n_tokens"),
-        md5(concat_ws(" ", slice(col("_t"), col("_s") + 1, col("_e") - col("_s")))
-          .cast("binary")).as("chunk_md5"))
   }
 
   private def validateMix(weights: Map[String, Double], budget: Long): Unit = {

@@ -154,6 +154,28 @@ class Round8OpsSpec extends SparkSpec {
     assert((strideMd5s(a) intersect strideMd5s(b)).isEmpty)
   }
 
+  test("native CdcBoundaries ≡ the builtin fold composition (bit-identical cuts)") {
+    val docs = Seq(
+      (1L, Array.tabulate(400)(i => "w" + ((i * 2654435761L) % 97L)).mkString(" ")),
+      (2L, "only three tokens"),
+      (3L, "a"),
+      (4L, (0 until 50).map(i => "x" + i).mkString(" "))
+    ).toDF("doc_id", "text")
+    for ((w, mb, mn, mx) <- Seq((4, 3, 6, 24), (2, 2, 3, 12), (5, 4, 8, 64))) {
+      val base = docs.select(col("doc_id"),
+        graft.ops.TextAnalysis.tokens(col("text")).as("_t"))
+      val native = base.select(col("doc_id"),
+          graft.functions.GraftFunctions.cdcBoundaries(col("_t"), w, mb, mn, mx)
+            .as("b"))
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+      val fold = base.select(col("doc_id"),
+          graft.ops.TextAnalysis.cdcBoundariesFold(col("_t"), w, mb, mn, mx)
+            .as("b"))
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+      assert(native === fold, s"divergence at (w=$w, maskBits=$mb, $mn..$mx)")
+    }
+  }
+
   test("cdcChunks: short docs yield one chunk; parameter validation is loud") {
     val df = Seq((1L, "only three tokens")).toDF("doc_id", "text")
     val ch = TextAnalysis.cdcChunks(df, w = 4, maskBits = 4, minSize = 8,
@@ -163,6 +185,32 @@ class Round8OpsSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       TextAnalysis.cdcChunks(df, minSize = 10, maxSize = 5))
     assert(e.getMessage.contains("minSize"))
+  }
+
+  test("cdcSharedChunkStats: exact dups share all chunks, prefix-edited docs share some, internal repeats are not 'shared'") {
+    val base = (0 until 120).map(i => "u" + i)
+    val docs = Seq(
+      (1L, base.mkString(" ")),                              // original
+      (2L, base.mkString(" ")),                              // exact dup of 1
+      (3L, (Seq("EDIT1", "EDIT2") ++ base.drop(1)).mkString(" ")), // prefix edit
+      (4L, (0 until 120).map(i => "v" + i).mkString(" ")),   // unique content
+      (5L, {                                                 // internal repeat, unique corpus-wide
+        val piece = (0 until 40).map(i => "r" + i)
+        (piece ++ piece ++ piece).mkString(" ")
+      })
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.cdcSharedChunkStats(docs,
+        w = 4, maskBits = 3, minSize = 4, maxSize = 24)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .map(x => x._1 -> x).toMap
+    assert(got(1L)._4 === 1.0, "exact dup must share every chunk")
+    assert(got(2L)._4 === 1.0)
+    assert(got(3L)._4 > 0.0 && got(3L)._4 < 1.0,
+      s"prefix-edited doc should share a proper subset, got ${got(3L)._4}")
+    assert(got(4L)._3 === 0L, "unique content shares nothing")
+    assert(got(5L)._3 === 0L,
+      "a doc repeating its OWN chunk is not shared (distinct-pair semantics)")
   }
 
   // ---- Containment dedup ----
