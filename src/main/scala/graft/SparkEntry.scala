@@ -553,6 +553,21 @@ object SparkEntry {
           k = 3, threshold = 0.2)
         .orderBy("id_a", "id_b")),
 
+    // Leakage-safe eval split (round 8): split side decided by DEDUP
+    // CLUSTER — near-dups of a doc land on the same side, so the eval set
+    // cannot hold a near-copy of a training doc (the leakage a doc-level
+    // hash split permits and post-hoc decontamination then has to scrub).
+    // Exact DuckDB replay: recursive-CTE clusters + the md5 split rule on
+    // the cluster id.
+    "d_cluster_split" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val clusters = Dedup.dedupClusters(docs,
+        Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.2))
+      Dedup.clusterSafeSplit(docs, clusters, evalFrac = 0.25)
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // CDC shared-chunk dedup stats (round 8): how much of each doc is
     // duplicated elsewhere at CHUNK granularity — the storage-dedup
     // measurement content-defined boundaries exist for. Contract: exact
@@ -2301,6 +2316,37 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d_cluster_split" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+        |    ELSE list_transform(range(1, len(l) - 3 + 2),
+        |                        i -> array_to_string(l[i:i+2], ' ')) END)) AS shingle
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM cand
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.2),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+        |cl AS (SELECT id AS doc_id, CAST(min(comp) AS BIGINT) AS cluster_id
+        |       FROM reach GROUP BY id)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN
+        |    (strpos('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 2, 1)) - 1) < 64
+        |  THEN 'eval' ELSE 'train' END AS split
+        |FROM cl ORDER BY doc_id""".stripMargin,
 
     "d_cdc_dedup" ->
       """WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),

@@ -358,6 +358,31 @@ object Dedup {
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
   }
 
+  /** Leakage-safe train/eval split (round 8): the split side is decided by
+    * DEDUP CLUSTER, not by document, so every near-duplicate of a doc
+    * lands on the SAME side — a doc-level hash split lets two copies of
+    * one document straddle the cut, and the eval set then "holds out"
+    * text the model trained on (the leakage mode decontamination papers
+    * measure; splitting by cluster removes it by construction rather than
+    * by after-the-fact scrubbing). `clusters` is any (idCol, cluster_id)
+    * labeling (e.g. [[dedupClusters]]); docs absent from it are their own
+    * singleton cluster. Side = the same md5 hash rule as the library's
+    * other samplers, applied to the CLUSTER id — deterministic,
+    * engine-replayable, order/partitioning-independent.
+    *
+    * Scale shape: one id join (labels are a narrow (id, cluster) frame) +
+    * a pure projection; no window, no per-cluster shuffle. */
+  def clusterSafeSplit(df: DataFrame, clusters: DataFrame, evalFrac: Double,
+      idCol: String = "doc_id", clusterCol: String = "cluster_id"): DataFrame = {
+    require(evalFrac >= 0.0 && evalFrac <= 1.0,
+      s"evalFrac $evalFrac not in [0,1]")
+    df.join(clusters.select(col(idCol), col(clusterCol)), Seq(idCol), "left")
+      .withColumn(clusterCol, coalesce(col(clusterCol), col(idCol)))
+      .withColumn("split",
+        when(TextAnalysis.hashSample(col(clusterCol).cast("string"), evalFrac),
+          lit("eval")).otherwise(lit("train")))
+  }
+
   /** Canonical selection: keep ONE row per dedup cluster — the
     * highest-scoring member (quality, length, recency...), tie-broken by
     * lowest id. The keep-policy real pipelines use instead of

@@ -215,6 +215,28 @@ class Round8OpsSpec extends SparkSpec {
 
   // ---- Containment dedup ----
 
+  test("clusterSafeSplit: no dedup cluster straddles train/eval; singletons split independently") {
+    import org.apache.spark.sql.DataFrame
+    val docs = (0 until 40).map { i =>
+      // pairs (0,1), (2,3), ... share text → same cluster
+      (i.toLong, s"grp${i / 2} " + (0 until 10).map(j => s"t${i / 2}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val clusters = Dedup.dedupClusters(docs,
+      Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.5))
+    val split = Dedup.clusterSafeSplit(docs, clusters, evalFrac = 0.5)
+    val perCluster = split.groupBy("cluster_id")
+      .agg(countDistinct("split").as("sides")).as[(Long, Long)].collect()
+    assert(perCluster.forall(_._2 === 1L), "a cluster straddled the split")
+    // both sides are populated at evalFrac = 0.5 over 20 clusters
+    val sides = split.select("split").distinct().as[String].collect().toSet
+    assert(sides === Set("train", "eval"))
+    // docs absent from the cluster frame fall back to singleton clusters
+    val extra = Seq((1000L, "completely new text here")).toDF("doc_id", "text")
+    val s2 = Dedup.clusterSafeSplit(extra, clusters.limit(0), evalFrac = 0.5)
+      .select("cluster_id").as[Long].collect()
+    assert(s2 === Array(1000L))
+  }
+
   test("containmentPairs: finds a doc embedded in a doc that Jaccard misses") {
     val short = (0 until 6).map(i => s"tok$i").mkString(" ")
     val long = ((0 until 6) ++ (100 until 160)).map(i => s"tok$i").mkString(" ")
