@@ -553,6 +553,13 @@ object SparkEntry {
           k = 3, threshold = 0.2)
         .orderBy("id_a", "id_b")),
 
+    // PMI collocations (round 8): top-k "word pairs that stick together"
+    // (Church & Hanks) with a count floor; pmi rounded to integral
+    // micro-nats so the ranking (and the top-k cut) is engine-replayable.
+    "d_pmi" -> ((s, dir) =>
+      Retrieval.pmiCollocations(s.read.parquet(s"$dir/documents.parquet"),
+        k = 20, minCount = 5)),
+
     // Leakage-safe eval split (round 8): split side decided by DEDUP
     // CLUSTER — near-dups of a doc land on the same side, so the eval set
     // cannot hold a near-copy of a training doc (the leakage a doc-level
@@ -2316,6 +2323,27 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d_pmi" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS l FROM documents),
+        |uc AS (SELECT tok, count(*) AS cu
+        |       FROM (SELECT unnest(l) AS tok FROM toks) GROUP BY 1),
+        |n AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uc),
+        |bc AS (SELECT bigram, count(*) AS cb FROM (
+        |    SELECT unnest(list_transform(range(1, len(l)),
+        |      i -> array_to_string(l[i:i+1], ' '))) AS bigram
+        |    FROM toks WHERE len(l) >= 2) GROUP BY 1),
+        |nb AS (SELECT CAST(sum(cb) AS BIGINT) AS nb FROM bc),
+        |sel AS (SELECT bc.bigram, bc.cb, x.cu AS cx, y.cu AS cy
+        |  FROM bc
+        |  JOIN uc x ON x.tok = string_split(bc.bigram, ' ')[1]
+        |  JOIN uc y ON y.tok = string_split(bc.bigram, ' ')[2]
+        |  WHERE bc.cb >= 5)
+        |SELECT bigram, CAST(cb AS BIGINT) AS c,
+        |  CAST(round(ln((CAST(cb AS DOUBLE) * (SELECT n FROM n) * (SELECT n FROM n))
+        |    / (CAST((SELECT nb FROM nb) AS DOUBLE) * cx * cy)) * 1e6, 0) AS BIGINT)
+        |    AS pmi_micro
+        |FROM sel ORDER BY pmi_micro DESC, bigram LIMIT 20""".stripMargin,
 
     "d_cluster_split" ->
       """WITH RECURSIVE

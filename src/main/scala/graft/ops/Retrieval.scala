@@ -225,6 +225,53 @@ object Retrieval {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("_lp_micro")).as("lp2_micro_sum"))
   }
 
+  /** Top-k bigram collocations by PMI (Church & Hanks, CL 1990) with a
+    * count floor — the corpus-analysis "which word pairs stick together"
+    * measure: pmi = ln((c_xy/Nb) / ((c_x/N)·(c_y/N))), rounded to integral
+    * micro-nats so the RANKING is engine-replayable (the same micro-integer
+    * discipline as the LM scores — a raw libm double in the sort key would
+    * make the top-k cut depend on last-ulp cross-engine agreement);
+    * `minCount` floors out hapax pairs (PMI is maximal for a pair seen
+    * once). Ties break on bigram text.
+    *
+    * Scale shape: two map-side-combined groupBys (unigram and bigram
+    * streams — both outputs vocab-bounded), the bigram table joins the
+    * unigram table twice on its own group key (vocab ⋈ vocab, AQE picks
+    * the strategy), totals ride as broadcast one-row aggregates, and the
+    * top-k is TakeOrderedAndProject — nothing but the two scans grows
+    * with the corpus. */
+  def pmiCollocations(df: DataFrame, k: Int = 20, minCount: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val withT = df.select(TextAnalysis.tokens(col(textCol)).as("_t"))
+    val t = col("_t")
+    // unigram counts: consumed twice (x-side and y-side joins) plus the
+    // total — checkpoint the vocab-sized table, not the corpus stream.
+    val uni = withT.select(explode(t).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cu")).localCheckpoint()
+    val nTok = uni.agg(sum("cu").as("n"))
+    val bigramArr = when(size(t) >= 2,
+      transform(slice(t, lit(1), size(t) - 1),
+        (w, i) => concat_ws(" ", w, element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val bi = withT.select(explode(bigramArr).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cb")).localCheckpoint()
+    val nBi = bi.agg(sum("cb").as("nb"))
+    bi.filter(col("cb") >= minCount)
+      .withColumn("_w1", split(col("bigram"), " ", 2).getItem(0))
+      .withColumn("_w2", split(col("bigram"), " ", 2).getItem(1))
+      .join(uni.select(col("tok").as("_w1"), col("cu").as("_cx")), "_w1")
+      .join(uni.select(col("tok").as("_w2"), col("cu").as("_cy")), "_w2")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBi))
+      .select(col("bigram"), col("cb").as("c"),
+        round(log((col("cb").cast("double") * col("n") * col("n")) /
+            (col("nb").cast("double") * col("_cx") * col("_cy"))) * lit(1e6), 0)
+          .cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("bigram")).limit(k)
+      .orderBy(col("pmi_micro").desc, col("bigram"))
+  }
+
   /** CCNet-style perplexity gate: score every doc with the unigram LM,
     * round to an integral per-token micro-nat score, and keep docs STRICTLY
     * above the `dropFrac` quantile of that score — i.e. drop the

@@ -99,6 +99,29 @@ class Round8OpsSpec extends SparkSpec {
     assert(got4 === 1L) // 'z' still OOV, 'q' now in-vocab
   }
 
+  test("pmiCollocations: glued pairs rank above independent pairs; exact micro-nat values; minCount floors") {
+    // "aa bb" always adjacent (perfect collocation); "cc"/"dd" appear often
+    // but never adjacent to each other; "ee ff" appears once (hapax —
+    // floored out even though its PMI would be maximal).
+    val docs = (
+      (0 until 10).map(i => (i.toLong, "aa bb cc xx dd yy")) :+
+      (10L, "ee ff cc dd") // one cc-dd adjacency, and the hapax pair
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Retrieval.pmiCollocations(docs, k = 50, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byName = got.map(x => x._1 -> x).toMap
+    assert(!byName.contains("ee ff"), "hapax pair must be floored out")
+    assert(byName.contains("aa bb") && byName("aa bb")._2 === 10L)
+    // exact replay of the formula for "aa bb":
+    // N = 6*10+4 = 64 tokens, Nb = 5*10+3 = 53 bigrams, c_xy=10, c_aa=c_bb=10
+    val expect = math.round(math.log(
+      (10.0 * 64 * 64) / (53.0 * 10 * 10)) * 1e6)
+    assert(byName("aa bb")._3 === expect)
+    // the perfect collocation outranks every cross pair of frequent tokens
+    val ranks = got.map(_._1).zipWithIndex.toMap
+    assert(ranks("aa bb") < ranks.getOrElse("cc xx", Int.MaxValue))
+  }
+
   test("fitVocab + oovAgainst ≡ vocabCoverage (the fit/apply split is exact)") {
     val df = Seq(
       (1L, "a a a b b c"), (2L, "a a b z q"), (3L, "c c b")
