@@ -853,8 +853,9 @@ object TextAnalysis {
     * TakeOrderedAndProject top-N for the vocab (distributed partial top-N
     * per partition, never a global sort of the token table), then one
     * broadcast left join of the exploded corpus against the ≤vocabSize-row
-    * vocab and a per-doc re-aggregation. Two bounded shuffles; nothing
-    * scales with anything but the corpus scan. */
+    * vocab and a per-doc re-aggregation. Two bounded shuffles; the corpus
+    * is scanned twice (vocab fit + scoring) — for a fit-once model over
+    * many frames or a stream, use [[fitVocab]]/[[oovAgainst]]. */
   def vocabCoverage(df: DataFrame, vocabSize: Int = 1000,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
