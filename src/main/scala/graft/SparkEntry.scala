@@ -553,6 +553,30 @@ object SparkEntry {
           k = 3, threshold = 0.2)
         .orderBy("id_a", "id_b")),
 
+    // Text normalization (round 8): lowercase + whitespace collapse +
+    // trim as a pure projection — exact byte-for-byte DuckDB replay via
+    // the Java∩RE2-portable \s class (the scrubPii discipline).
+    "d_normalize" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val norm = TextAnalysis.normalizeText(col("text"))
+      docs.select(col("doc_id"),
+          length(col("text")).cast("long").as("n_before"),
+          length(norm).cast("long").as("n_after"),
+          md5(norm.cast("binary")).as("norm_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact containment via the prefix filter (round 8): the 100 TB path
+    // for d_containment — index each doc's rarest floor((1-t)*sz)+1
+    // shingles; a pair at containment ≥ t must hit the smaller doc's
+    // prefix (set-similarity-join bound), so candidates are a guaranteed
+    // superset and verification is exact. Same oracle as d_containment:
+    // the outputs are provably identical (also spec-enforced).
+    "d_containment_prefix" -> ((s, dir) =>
+      Dedup.containmentPairsPrefix(s.read.parquet(s"$dir/documents.parquet"),
+          k = 3, threshold = 0.6)
+        .orderBy("id_a", "id_b")),
+
     // PMI collocations (round 8): top-k "word pairs that stick together"
     // (Church & Hanks) with a count floor; pmi rounded to integral
     // micro-nats so the ranking (and the top-k cut) is engine-replayable.
@@ -2322,6 +2346,32 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "d_normalize" ->
+      """SELECT doc_id,
+        |       CAST(length(text) AS BIGINT) AS n_before,
+        |       CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_after,
+        |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d_containment_prefix" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+        |    ELSE list_transform(range(1, len(l) - 3 + 2),
+        |                        i -> array_to_string(l[i:i+2], ' ')) END)) AS shingle
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared, sa.sz AS sz_a, sb.sz AS sz_b,
+        |       CAST(shared AS DOUBLE) / least(sa.sz, sb.sz) AS containment
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(shared AS DOUBLE) / least(sa.sz, sb.sz) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,
 
     "d_pmi" ->

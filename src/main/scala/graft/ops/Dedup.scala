@@ -75,6 +75,59 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select("id_a", "id_b", "shared", "sz_a", "sz_b", "containment")
 
+  /** EXACT containment pairs via the prefix filter (the set-similarity-join
+    * bound of Chaudhuri et al., ICDE'06 / Xiao et al., WWW'08) — the
+    * 100 TB path for [[containmentPairs]], same output, PROVABLY identical
+    * (spec-enforced equality, no recall floor):
+    *
+    * Index only each doc's p = ⌊(1−t)·sz⌋+1 RAREST shingles (global order
+    * = (corpus doc-frequency, hash) — any fixed order preserves the bound;
+    * rare-first makes prefixes avoid boilerplate shingles). If
+    * C(A,B) = |A∩B|/|A| ≥ t with A the smaller side, B misses at most
+    * (1−t)·|A| of A's shingles, so it must HIT one of A's p prefix
+    * shingles — probing every doc's full shingle stream against the
+    * prefix index yields a guaranteed candidate superset, then exact
+    * verification over the full shingle-hash arrays touches candidates
+    * only. The inverted-index self-join this replaces fans out
+    * quadratically on EVERY co-occurring shingle; here the fan-out is
+    * full-stream × prefix, and prefixes prefer the corpus' rarest keys. */
+  def containmentPairsPrefix(df: DataFrame, k: Int = 3, threshold: Double = 0.8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold $threshold not in (0,1]")
+    val sets = df.select(col(idCol).as("id"),
+      TextAnalysis.shingleHashes(col(textCol), k).as("shs")).localCheckpoint()
+    val ex = sets.select(col("id"), explode(col("shs")).as("shingle"))
+    val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("_df"))
+    // rare-first per-doc order: collect (df, shingle) per doc (bounded by
+    // doc length — the per-doc-local convention), sort, slice the prefix.
+    val ordered = ex.join(dfreq, "shingle")
+      .groupBy("id").agg(
+        sort_array(collect_list(struct(col("_df"), col("shingle")))).as("_ord"),
+        count(lit(1)).as("_sz"))
+    val prefix = ordered.select(col("id").as("pid"),
+        explode(slice(col("_ord"), lit(1),
+          (floor((lit(1.0) - threshold) * col("_sz")) + 1).cast("int"))).as("_pe"))
+      .select(col("pid"), col("_pe").getField("shingle").as("shingle"))
+    val cands = ex.select(col("id").as("qid"), col("shingle"))
+      .join(prefix, "shingle")
+      .filter(col("qid") =!= col("pid"))
+      .select(least(col("qid"), col("pid")).as("id_a"),
+        greatest(col("qid"), col("pid")).as("id_b"))
+      .distinct()
+    cands
+      .join(sets.select(col("id").as("id_a"), col("shs").as("_sha")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shs").as("_shb")), "id_b")
+      .withColumn("shared",
+        size(array_intersect(col("_sha"), col("_shb"))).cast("long"))
+      .withColumn("sz_a", size(col("_sha")).cast("long"))
+      .withColumn("sz_b", size(col("_shb")).cast("long"))
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("sz_a"), col("sz_b")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "shared", "sz_a", "sz_b", "containment")
+  }
+
   /** Shared-shingle pair counts — the blocked self-join behind
     * [[ngramJaccardPairs]] and [[containmentPairs]]: (id_a < id_b, shared
     * distinct-shingle count, both set sizes).

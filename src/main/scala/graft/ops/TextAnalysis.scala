@@ -842,6 +842,14 @@ object TextAnalysis {
     joined.select(col(idCol), label.as("disposition"))
   }
 
+  /** Canonical text normalization (round 8) — the first step of every
+    * ingest pipeline, pinned to an engine-portable form: lowercase,
+    * collapse whitespace runs to one space, trim. `\s` is Java∩RE2-
+    * portable (the scrubPii regex discipline), so the oracle replays it
+    * byte-for-byte. Pure projection: streaming-legal, zero shuffle. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
   /** Vocabulary-coverage / OOV-rate statistics (round 8): the tokenizer-fit
     * health check a training pipeline runs before committing to a vocab —
     * what fraction of each document's tokens fall outside the top-`vocabSize`

@@ -273,6 +273,48 @@ class Round8OpsSpec extends SparkSpec {
     assert(jac === 0L)
   }
 
+  test("containmentPairsPrefix ≡ containmentPairs (the prefix filter loses nothing, at any threshold)") {
+    // mixed corpus: exact dup, short-in-long embedding, overlapping and
+    // disjoint docs — plus unequal-size containment the prefix bound must
+    // not miss (B hits only a t-fraction of A, scattered anywhere in B).
+    val docs = ((0 until 15).map { i =>
+      val toks = (0 until 24).map(j => "t" + ((i * 5 + j * 2) % 41))
+      (i.toLong, toks.mkString(" "))
+    } ++ Seq(
+      (100L, (0 until 8).map(i => s"emb$i").mkString(" ")),
+      (101L, ((0 until 8).map(i => s"emb$i") ++
+        (0 until 60).map(i => s"pad$i")).mkString(" ")),
+      (102L, ((0 until 6).map(i => s"emb$i") ++
+        (200 until 230).map(i => s"oth$i")).mkString(" "))
+    )).toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.6, 0.9)) {
+      val exact = Dedup.containmentPairs(docs, k = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).sorted
+      val prefix = Dedup.containmentPairsPrefix(docs, k = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).sorted
+      assert(prefix === exact, s"divergence at threshold $t")
+      assert(t > 0.85 || exact.nonEmpty, s"test corpus yields no pairs at $t")
+    }
+  }
+
+  test("normalizeText: lowercase, collapse whitespace, trim — pure and idempotent") {
+    val df = Seq(
+      (1L, "  Hello   WORLD \t x "),
+      (2L, "already normal"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("n"))
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(got === Array((1L, "hello world x"), (2L, "already normal"), (3L, "")))
+    val twice = df.select(TextAnalysis.normalizeText(
+        TextAnalysis.normalizeText(col("text"))).as("n"))
+      .orderBy("n").as[String].collect()
+    assert(twice.sorted === got.map(_._2).sorted)
+  }
+
   test("containmentPairs: counts match a driver-side exact recomputation") {
     val docs = (0 until 12).map { i =>
       val toks = (0 until 20).map(j => "t" + ((i * 7 + j * 3) % 31))

@@ -599,6 +599,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1).getAs[String]("clean") === "mail me at <EMAIL> right now")
   }
 
+  test("clusterSafeSplit scores a stream against frozen cluster labels (stream-static join + projection)") {
+    val dir = Files.createTempDirectory("graft-scsplit")
+    val src = dir.resolve("src").toString
+    val batch = Seq((1L, "doc one"), (2L, "doc two"), (7L, "doc seven"))
+      .toDF("doc_id", "text")
+    batch.write.parquet(src)
+    // frozen labels: 1 and 2 share a cluster; 7 is absent → singleton
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    val q = graft.ops.Dedup.clusterSafeSplit(stream, clusters, evalFrac = 0.5)
+      .select("doc_id", "cluster_id", "split")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("scsplit").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql("SELECT * FROM scsplit ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val batched = graft.ops.Dedup.clusterSafeSplit(batch, clusters, evalFrac = 0.5)
+      .select("doc_id", "cluster_id", "split")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(streamed === batched)
+    assert(streamed.filter(_._2 === 1L).map(_._3).distinct.length === 1,
+      "cluster members must land on one side, stream or batch")
+  }
+
   test("frozen-vocab OOV scoring and CDC chunking run unchanged on a stream (pure projections)") {
     val dir = Files.createTempDirectory("graft-soov")
     val src = dir.resolve("src").toString
