@@ -1050,6 +1050,18 @@ object SparkEntry {
           col("ranked_ok"), (col("_x") === 0).cast("long").as("label_ok"))
     }),
 
+    // Hard-negative mining (round 8): top-k most-similar DIFFERENT-label
+    // rows per query — the contrastive-training negative sampler (random
+    // negatives are trivially easy; hard ones carry the gradient). Label
+    // inequality rides the broadcast-join filter below the mergeable
+    // shortlist. Exact DuckDB replay.
+    "e_hard_negatives" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), k = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Filtered exact kNN (round 8): per-query metadata predicate (same
     // label) as the broadcast-join KEY below the shortlist aggregate —
     // each query gets k MATCHING neighbors. Post-filtering an unfiltered
@@ -3010,6 +3022,19 @@ object SparkEntry {
         |s AS (SELECT q.query_id, e.vec_id AS corpus_id,
         |        list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS cosine
         |      FROM embeddings e, q WHERE e.vec_id != q.query_id),
+        |r AS (SELECT query_id, corpus_id, cosine,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY cosine DESC, corpus_id) AS rank
+        |      FROM s)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, corpus_id, cosine
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "e_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label
+        |           FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, e.vec_id AS corpus_id,
+        |        list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS cosine
+        |      FROM embeddings e JOIN q ON e.label != q.label),
         |r AS (SELECT query_id, corpus_id, cosine,
         |        row_number() OVER (PARTITION BY query_id
         |                           ORDER BY cosine DESC, corpus_id) AS rank

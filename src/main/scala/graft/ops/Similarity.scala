@@ -351,6 +351,30 @@ object Similarity {
     topKPerQuery(scored, "cosine", k, "cosine")
   }
 
+  /** Hard-negative mining (round 8): each query's top-k most similar
+    * corpus rows with a DIFFERENT label — the contrastive-training
+    * counterpart of [[filteredKnn]] (a hard negative is maximally
+    * similar while labeled otherwise; random negatives are trivially
+    * easy and teach nothing — the standard retrieval/embedding-training
+    * recipe). Same broadcast + mergeable-TopK discipline; the label
+    * INEQUALITY cannot be an equi-join key, so the predicate rides the
+    * broadcast-join filter below the shortlist — still never a
+    * post-filter of an unfiltered shortlist (which would starve exactly
+    * when the nearest neighbors are same-label, i.e. always, for a good
+    * embedding). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      labelCol: String = "label", vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      checkedNorm(col(vecCol), "corpus").as("cn"), col(labelCol).as("_cl"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      checkedNorm(col(vecCol), "query").as("qn"), col(labelCol).as("_ql"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(!(col("_cl") <=> col("_ql")))
+      .withColumn("cosine", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+    topKPerQuery(scored, "cosine", k, "cosine")
+  }
+
   /** Filtered IVF: [[ivfKnn]]'s coarse-cell pruning with the metadata
     * predicate pushed INSIDE the probed cells — the bucket join keys on
     * `(cell, filter value)`, so a probed cell contributes only its

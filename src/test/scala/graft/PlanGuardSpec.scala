@@ -176,6 +176,15 @@ class PlanGuardSpec extends SparkSpec {
       assert(plan.contains("ObjectHashAggregate"),
         s"$name knn lost the mergeable top-k aggregate:\n$plan")
     }
+    // hardNegatives inherits the same shortlist discipline (its predicate
+    // is an inequality, so the join is BroadcastNestedLoop on the small
+    // query side — fine; a Window would not be).
+    val hn = Similarity.hardNegatives(emb, q, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!hn.contains("Window") && !hn.contains("row_number"),
+      s"hardNegatives regrew a per-query window sort:\n$hn")
+    assert(hn.contains("ObjectHashAggregate"),
+      s"hardNegatives lost the mergeable top-k aggregate:\n$hn")
     // cdcChunks is scan + per-row fold + explode: any Exchange means the
     // per-document boundary fold leaked into a shuffle.
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -183,6 +192,13 @@ class PlanGuardSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!cdc.contains("Exchange"),
       s"cdcChunks grew a shuffle — the boundary fold must stay per-row:\n$cdc")
+    // the prefix-filter containment join must never fall back to an
+    // unkeyed product: every join is on shingle / id keys.
+    val cp = graft.ops.Dedup.containmentPairsPrefix(docs, k = 3,
+        threshold = 0.6)
+      .queryExecution.executedPlan.toString
+    assert(!cp.contains("CartesianProduct"),
+      s"containmentPairsPrefix degraded to a cartesian product:\n$cp")
   }
 
   test("range join never degrades to a nested loop; horizon ops stay one-pass") {

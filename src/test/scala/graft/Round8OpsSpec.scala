@@ -75,6 +75,36 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("hardNegatives: top-k cross-label by cosine, exact; null labels count as different") {
+    val emb = embFrame(60)
+    val got = Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5), k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2))
+    // driver recompute: per query, rank all different-label rows by cosine
+    val rows = emb.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val want = rows.filter(_._1 < 5).flatMap { case (qid, qv, ql) =>
+      rows.filter(_._3 != ql)
+        .map { case (cid, cv, _) => (qid, cid, cos(cv, qv)) }
+        .sortBy { case (_, cid, c) => (-c, cid) }.take(4).zipWithIndex
+        .map { case ((q2, cid, c), i) => (q2, i + 1, cid, c) }
+    }.sortBy(x => (x._1, x._2))
+    assert(got.map(x => (x._1, x._2, x._3)) === want.map(x => (x._1, x._2, x._3)))
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g._4 - w._4) < 1e-12) }
+    // a NULL corpus label is a valid negative for a labeled query
+    val withNull = emb.withColumn("label",
+      when(col("vec_id") === 59L, lit(null)).otherwise(col("label")))
+    val nullRes = Similarity.hardNegatives(withNull,
+        withNull.filter(col("vec_id") < 1), k = 60)
+      .filter(col("corpus_id") === 59L).count()
+    assert(nullRes === 1L, "null-label corpus row must count as different")
+  }
+
   // ---- Vocabulary coverage ----
 
   test("vocabCoverage: deterministic top-N vocab with tie-break, exact per-doc OOV counts") {
