@@ -321,6 +321,49 @@ object Scale4x {
       return
     }
 
+    if (args.contains("--cdc")) {
+      // Corpus-growth ladder for the round-8 CDC family and the two
+      // containment joins, on TWO shapes: disjoint (per-replica token
+      // tagging — duplicate DENSITY constant, the real corpus-growth
+      // axis) and alldup (every doc gains f−1 exact copies — adversarial
+      // for the sharing/pair ops, whose true OUTPUT grows ~f² there;
+      // sub-output-quadratic time is the pass bar, not sub-linear).
+      val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+      val nD = docs1.count()
+      def rep(f: Int, tag: Boolean): DataFrame = (0 until f).map { i =>
+        val s = docs1.withColumn("doc_id", col("doc_id") + lit(i * nD))
+        if (tag && i > 0) s.withColumn("text",
+          array_join(transform(split(col("text"), "\\s+"),
+            t => concat(lit(s"r$i"), t)), " "))
+        else s
+      }.reduce(_.unionByName(_))
+      for (shape <- Seq("disjoint", "alldup")) {
+        val tag = shape == "disjoint"
+        rep(4, tag).write.mode("overwrite").parquet(s"$base/cdc4-$shape")
+        rep(16, tag).write.mode("overwrite").parquet(s"$base/cdc16-$shape")
+        println(s"shape=$shape")
+        println("| factor | cdcChunks | sharedChunkStats | containment prefix | containment exact |")
+        println("|---|---|---|---|---|")
+        for ((f, df) <- Seq(1 -> docs1,
+            4 -> spark.read.parquet(s"$base/cdc4-$shape"),
+            16 -> spark.read.parquet(s"$base/cdc16-$shape"))) {
+          val tCh = time(graft.ops.TextAnalysis.cdcChunks(df,
+            w = 4, maskBits = 3, minSize = 4, maxSize = 24)
+            .queryExecution.toRdd.count())
+          val tSh = time(graft.ops.TextAnalysis.cdcSharedChunkStats(df,
+            w = 4, maskBits = 3, minSize = 4, maxSize = 24)
+            .queryExecution.toRdd.count())
+          val tCp = time(graft.ops.Dedup.containmentPairsPrefix(df,
+            k = 3, threshold = 0.6).queryExecution.toRdd.count())
+          val tCe = time(graft.ops.Dedup.containmentPairs(df,
+            k = 3, threshold = 0.6).queryExecution.toRdd.count())
+          println(f"| $f× | $tCh%.2fs | $tSh%.2fs | $tCp%.2fs | $tCe%.2fs |")
+        }
+      }
+      spark.stop()
+      return
+    }
+
     if (args.contains("--keyskew")) {
       // WHALE-KEY axis for the round-6 window→aggregate sweep: the four
       // text-pipeline operators whose grouping key can be a whale (one
