@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotF64, MinHashSig, RepetitionStats, ShingleHashes, SignLsh, SimHash64, Winnow, ZOrder2}
+import graft.functions.{CdcBoundaries, DotF64, MinHashSig, RepetitionStats, ShingleHashes, SignLsh, SimHash64, Winnow, ZOrder2}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for SQL use. Enable with
@@ -74,6 +74,9 @@ object GraftExtensions {
     fn("z_order2", 2, classOf[ZOrder2])(es => ZOrder2(es(0), es(1))),
     fn("sign_lsh", 3, classOf[SignLsh])(es =>
       SignLsh(es(0), intLit(es(1), "nPlanes"), intLit(es(2), "dim"))),
+    fn("cdc_boundaries", 5, classOf[CdcBoundaries])(es =>
+      CdcBoundaries(es(0), intLit(es(1), "w"), intLit(es(2), "maskBits"),
+        intLit(es(3), "minSize"), intLit(es(4), "maxSize"))),
     // Item codec (built-in compositions, not custom expressions — they
     // register so SQL users migrating item-valued u64 columns off the
     // reference can decode in place: SELECT tdb_item_val(item) ...).

@@ -725,7 +725,8 @@ class StreamingSpec extends SparkSpec {
     // register the REAL arity-checked builders on the live session's
     // registry (extensions apply at session build time; this exercises the
     // same GraftExtensions.functions entries the injection path uses)
-    for (name <- Seq("simhash64", "shingle_hashes", "z_order2", "sign_lsh"))
+    for (name <- Seq("simhash64", "shingle_hashes", "z_order2", "sign_lsh",
+        "cdc_boundaries"))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, graft.GraftExtensions.builderFor(name), "built-in")
 
@@ -746,6 +747,15 @@ class StreamingSpec extends SparkSpec {
     val zSql = spark.sql("SELECT z_order2(3L, 0L) AS z, z_order2(0L, 3L) AS w")
       .head()
     assert(zSql.getLong(0) === 5L && zSql.getLong(1) === 10L)
+
+    // four-int-literal expression through the same injection path (CDC)
+    val cdcSql = spark.sql(
+      "SELECT cdc_boundaries(array('a','b','c','d','e'), 2, 2, 1, 3) AS b")
+      .head().getSeq[Int](0)
+    val cdcCol = Seq(Seq("a", "b", "c", "d", "e")).toDF("t")
+      .select(graft.functions.GraftFunctions.cdcBoundaries($"t", 2, 2, 1, 3).as("b"))
+      .head().getSeq[Int](0)
+    assert(cdcSql === cdcCol && cdcSql.last === 5)
 
     // two-int-literal expression through the same injection path (sign_lsh)
     val lshSql = spark.sql(
