@@ -336,7 +336,13 @@ object Similarity {
     * the shortlist — silently returns <k rows whenever the true neighbors
     * are off-predicate (at selectivity 1/s, the expected survivors are k/s);
     * this shape has no such failure mode and never scores a row the
-    * predicate excludes. */
+    * predicate excludes.
+    *
+    * NULL filter values follow equi-join semantics: a NULL-valued corpus
+    * row matches no query, and a NULL-valued QUERY row returns zero rows
+    * (not an error) — coalesce a sentinel upstream if NULL should be a
+    * matchable group. For different-label retrieval see [[hardNegatives]]
+    * (which treats NULL as its own label, null-safely). */
   def filteredKnn(corpus: DataFrame, queries: DataFrame, k: Int,
       filterCol: String = "label", vecCol: String = "embedding",
       idCol: String = "vec_id", excludeSelf: Boolean = true): DataFrame = {
