@@ -653,22 +653,28 @@ object SparkEntry {
     // doc, every chunk ≤ maxSize, every non-tail chunk ≥ minSize, chunk
     // count within the [ceil(nt/max), floor(nt/min)+1] envelope).
     "d_cdc_chunks" -> ((s, dir) => {
+      // ONE aggregation pass over the chunk stream (an uncached second
+      // consumer would recompute the whole tokenize+fold+explode+md5
+      // pipeline): min_ok = every sub-minSize chunk is the tail, checked
+      // as "at most one short chunk, and its id is the last id". Bounds
+      // are shared vals so the flags can never drift from the call.
+      val (minSz, maxSz) = (4, 24)
       val ch = TextAnalysis.cdcChunks(s.read.parquet(s"$dir/documents.parquet"),
-        w = 4, maskBits = 3, minSize = 4, maxSize = 24)
-      val per = ch.groupBy("doc_id").agg(
-        sum("n_tokens").as("n_tokens"),
-        count(lit(1)).as("_nc"),
-        max("n_tokens").as("_mx"),
-        max("chunk_id").as("_last"))
-      val nonTail = ch.join(per.select(col("doc_id"), col("_last")), "doc_id")
-        .filter(col("chunk_id") < col("_last"))
-        .groupBy("doc_id").agg(min("n_tokens").as("_mnNT"))
-      per.join(nonTail, Seq("doc_id"), "left")
+        w = 4, maskBits = 3, minSize = minSz, maxSize = maxSz)
+      ch.groupBy("doc_id").agg(
+          sum("n_tokens").as("n_tokens"),
+          count(lit(1)).as("_nc"),
+          max("n_tokens").as("_mx"),
+          max("chunk_id").as("_last"),
+          sum(when(col("n_tokens") < minSz, 1L).otherwise(0L)).as("_nshort"),
+          max(when(col("n_tokens") < minSz, col("chunk_id"))).as("_shortId"))
         .select(col("doc_id"), col("n_tokens"),
-          (col("_mx") <= 24).cast("long").as("max_ok"),
-          coalesce(col("_mnNT") >= 4, lit(true)).cast("long").as("min_ok"),
-          (col("_nc") >= ceil(col("n_tokens") / lit(24.0)) &&
-            col("_nc") <= floor(col("n_tokens") / lit(4.0)) + 1)
+          (col("_mx") <= maxSz).cast("long").as("max_ok"),
+          (col("_nshort") === 0 ||
+            (col("_nshort") === 1 && col("_shortId") === col("_last")))
+            .cast("long").as("min_ok"),
+          (col("_nc") >= ceil(col("n_tokens") / lit(maxSz.toDouble)) &&
+            col("_nc") <= floor(col("n_tokens") / lit(minSz.toDouble)) + 1)
             .cast("long").as("count_ok"))
         .orderBy("doc_id")
     }),
@@ -2363,8 +2369,8 @@ object SparkEntry {
     "d_normalize" ->
       """SELECT doc_id,
         |       CAST(length(text) AS BIGINT) AS n_before,
-        |       CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_after,
-        |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_md5
+        |       CAST(length(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS BIGINT) AS n_after,
+        |       md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS norm_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "d_containment_prefix" ->
@@ -3034,7 +3040,8 @@ object SparkEntry {
         |           FROM embeddings WHERE vec_id < 10),
         |s AS (SELECT q.query_id, e.vec_id AS corpus_id,
         |        list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS cosine
-        |      FROM embeddings e JOIN q ON e.label != q.label),
+        |      FROM embeddings e JOIN q
+        |        ON e.label IS DISTINCT FROM q.label),
         |r AS (SELECT query_id, corpus_id, cosine,
         |        row_number() OVER (PARTITION BY query_id
         |                           ORDER BY cosine DESC, corpus_id) AS rank

@@ -216,8 +216,12 @@ object VectorOps {
     var e = 1
     while (e <= n) {
       val len = e - last
-      val cand = e >= w && (windowHash(tokens, e - w, w) & mask) == 0L
-      if ((cand && len >= minSize) || len >= maxSize) { out.add(e); last = e }
+      // hash only when a candidate cut could take effect (len >= minSize):
+      // the standard LBFS/FastCDC skip — ~minSize/avgChunk of all window
+      // hashes never need computing (this loop is the per-doc hot path).
+      val cand = len >= minSize && e >= w &&
+        (windowHash(tokens, e - w, w) & mask) == 0L
+      if (cand || len >= maxSize) { out.add(e); last = e }
       e += 1
     }
     if (last != n) out.add(n)

@@ -844,11 +844,14 @@ object TextAnalysis {
 
   /** Canonical text normalization (round 8) — the first step of every
     * ingest pipeline, pinned to an engine-portable form: lowercase,
-    * collapse whitespace runs to one space, trim. `\s` is Java∩RE2-
-    * portable (the scrubPii regex discipline), so the oracle replays it
-    * byte-for-byte. Pure projection: streaming-legal, zero shuffle. */
+    * collapse whitespace runs to one space, trim. An EXPLICIT character
+    * class, not `\s` (the scrubPii regex discipline): Java's \s includes
+    * vertical tab U+000B, RE2's does not, so `\s` would silently diverge
+    * from the oracle on \x0B — the class below is identical in both
+    * engines and the oracle replays it byte-for-byte. Pure projection:
+    * streaming-legal, zero shuffle. */
   def normalizeText(text: Column): Column =
-    trim(regexp_replace(lower(text), "\\s+", " "))
+    trim(regexp_replace(lower(text), "[ \\t\\n\\u000B\\f\\r]+", " "))
 
   /** Vocabulary-coverage / OOV-rate statistics (round 8): the tokenizer-fit
     * health check a training pipeline runs before committing to a vocab —
@@ -1000,9 +1003,14 @@ object TextAnalysis {
     import org.apache.spark.sql.functions.{size => asize}
     val modulus = 1L << maskBits
     val n = asize(t)
-    val cands = transform(sequence(lit(1), n), e =>
-      e >= w && pmod(xxhash64(slice(t, e - w + 1, lit(w))),
-        lit(modulus)) === 0)
+    // n = 0 guard: sequence(1, 0) steps DOWN ([1, 0]) in Spark, which
+    // would feed the fold two phantom positions — an empty array must
+    // yield no boundaries, matching the native expression.
+    val cands = when(n >= 1,
+      transform(sequence(lit(1), n), e =>
+        e >= w && pmod(xxhash64(slice(t, e - w + 1, lit(w))),
+          lit(modulus)) === 0))
+      .otherwise(array().cast("array<boolean>"))
     aggregate(
       cands,
       struct(lit(0).as("pos"), lit(0).as("last"),

@@ -33,17 +33,14 @@ class CdcPropertySpec extends SparkSpec {
     val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
       toks.map(org.apache.spark.unsafe.types.UTF8String.fromString))
     val mask = (1L << maskBits) - 1L
+    // window hashes via the public shingle identity, computed ONCE per doc:
+    // hash of tokens[e-w, e) = element (e-w) of shingleHashesAll(w)
+    val all = graft.functions.VectorOps.shingleHashesAll(arr, w).toLongArray()
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
     var last = 0
     for (e <- 1 to n) {
       val len = e - last
-      val cand = e >= w && {
-        // re-derive the window hash through the public shingle identity:
-        // hash of tokens[e-w, e) = element (e-w) of shingleHashesAll(w)
-        val all = graft.functions.VectorOps
-          .shingleHashesAll(arr, w).toLongArray()
-        (all(e - w) & mask) == 0L
-      }
+      val cand = e >= w && (all(e - w) & mask) == 0L
       if ((cand && len >= minSize) || len >= maxSize) { out += e; last = e }
     }
     if (last != n) out += n

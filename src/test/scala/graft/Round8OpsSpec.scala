@@ -227,6 +227,18 @@ class Round8OpsSpec extends SparkSpec {
         .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
       assert(native === fold, s"divergence at (w=$w, maskBits=$mb, $mn..$mx)")
     }
+    // a genuinely EMPTY token array (unreachable via tokens(), which maps
+    // "" to [""]) must yield no boundaries in BOTH forms — Spark's
+    // sequence(1, 0) steps DOWN, so the fold needs (and has) an n >= 1
+    // guard against two phantom positions
+    val empty = Seq(Tuple1(Seq.empty[String])).toDF("_t")
+    val nEmpty = empty.select(
+        graft.functions.GraftFunctions.cdcBoundaries(col("_t"), 4, 3, 4, 24)
+          .as("b")).head().getSeq[Int](0)
+    val fEmpty = empty.select(
+        graft.ops.TextAnalysis.cdcBoundariesFold(col("_t"), 4, 3, 4, 24)
+          .as("b")).head().getSeq[Int](0)
+    assert(nEmpty.isEmpty && fEmpty.isEmpty)
   }
 
   test("cdcChunks: short docs yield one chunk; parameter validation is loud") {
