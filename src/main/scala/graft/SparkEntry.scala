@@ -1996,6 +1996,20 @@ object SparkEntry {
       graft.agg.Attribution.transitions(trails(s, dir).df)
         .orderBy("from_type", "to_type")),
 
+    // Inter-event gap histogram (round 8): consecutive within-trail time
+    // deltas in named engagement bands (explicit integer boundaries —
+    // engine-exact, no float bucket edges). The diagnostic behind every
+    // session-gap choice. One uuid window pass + a 4-row aggregate.
+    "t_gaps" -> ((s, dir) =>
+      graft.agg.Cohorts.interEventGaps(trails(s, dir).df)
+        .orderBy("gap_band")),
+
+    // Day-of-week × hour activity heatmap (round 8): pure integer epoch
+    // arithmetic (dow 0 = Sunday), timezone-library-free on both engines.
+    "t_heatmap" -> ((s, dir) =>
+      graft.agg.Cohorts.activityMatrix(trails(s, dir).df)
+        .orderBy("dow", "hour")),
+
     // EXACT bounded-memory global top-k (Sketch.TopK): map tasks keep ≤k
     // rows, shuffle carries k rows per partition — vs ORDER BY LIMIT whose
     // exchange carries the table. Result provably equals the sort-limit.
@@ -3923,6 +3937,26 @@ object SparkEntry {
          |                  / (n - 2), 6) END AS DOUBLE)
          |    AS credit
          |FROM x ORDER BY uuid, time, seq, pos""".stripMargin,
+
+    "t_gaps" ->
+      s"""$TrailsCte,
+         |g AS (SELECT time - lag(time) OVER (
+         |        PARTITION BY uuid ORDER BY time, seq) AS gap
+         |      FROM trails)
+         |SELECT CASE WHEN gap < 60 THEN 'lt_1m'
+         |            WHEN gap < 3600 THEN '1m_1h'
+         |            WHEN gap < 86400 THEN '1h_1d'
+         |            ELSE 'ge_1d' END AS gap_band,
+         |       CAST(count(*) AS BIGINT) AS n_gaps
+         |FROM g WHERE gap IS NOT NULL
+         |GROUP BY 1 ORDER BY gap_band""".stripMargin,
+
+    "t_heatmap" ->
+      s"""$TrailsCte
+         |SELECT (time // 86400 + 4) % 7 AS dow,
+         |       (time % 86400) // 3600 AS hour,
+         |       CAST(count(*) AS BIGINT) AS n_events
+         |FROM trails GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin,
 
     "t_transitions" ->
       s"""$TrailsCte,

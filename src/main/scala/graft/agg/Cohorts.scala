@@ -72,6 +72,48 @@ object Cohorts {
     * type-filtered min-aggregates on uuid (map-side combined — a whale
     * trail folds to one row per side) joined on uuid, then a
     * histogram-sized final aggregate. No window, no event×event join. */
+  /** Inter-event gap histogram (round 8): the distribution of time deltas
+    * between CONSECUTIVE events within a trail, in named engagement bands
+    * — the "how bursty are my users" diagnostic behind every session-gap
+    * choice (the 30-minute sessionization default is exactly a cut on
+    * this histogram). Bands are explicit integer boundaries (same minute /
+    * same hour / same day / longer), so the bucketing is engine-exact —
+    * no log/float bucket edges to disagree on.
+    *
+    * Scale shape: ONE uuid window pass for the lag (trail-bounded
+    * partitions — the t_rolling convention), then a 4-row aggregate. */
+  def interEventGaps(df: DataFrame, uuidCol: String = "uuid",
+      timeCol: String = "time", seqCol: String = "seq"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(uuidCol).orderBy(col(timeCol), col(seqCol))
+    df.select(col(uuidCol), col(timeCol),
+        lag(col(timeCol), 1).over(w).as("_prev"))
+      .filter(col("_prev").isNotNull)
+      .select((col(timeCol) - col("_prev")).as("_gap"))
+      .groupBy(
+        when(col("_gap") < 60, "lt_1m")
+          .when(col("_gap") < 3600, "1m_1h")
+          .when(col("_gap") < 86400, "1h_1d")
+          .otherwise("ge_1d").as("gap_band"))
+      .agg(count(lit(1)).as("n_gaps"))
+  }
+
+  /** Day-of-week × hour activity matrix (round 8): the weekly heatmap of
+    * event volume. Pure integer epoch arithmetic — dow = (days since
+    * epoch + 4) mod 7 with 0 = Sunday (1970-01-01 was a Thursday), hour =
+    * seconds-into-day DIV 3600 — so the grid is engine-exact with no
+    * timezone or calendar library in either engine (trail time is
+    * epoch-second u64 by contract, application-defined epoch per the
+    * reference). One map-side-combined groupBy into a ≤168-cell grid. */
+  def activityMatrix(df: DataFrame, uuidCol: String = "uuid",
+      timeCol: String = "time"): DataFrame = {
+    df.filter(col(timeCol) >= 0 || raiseNegative(timeCol))
+      .groupBy(
+        expr(s"($timeCol DIV 86400 + 4) % 7").as("dow"),
+        expr(s"($timeCol % 86400) DIV 3600").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
   def conversionLatency(df: DataFrame, fromType: String, toType: String,
       bucketSeconds: Long = 3600L, uuidCol: String = "uuid",
       typeCol: String = "event_type", timeCol: String = "time"): DataFrame = {

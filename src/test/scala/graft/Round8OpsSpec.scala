@@ -278,6 +278,24 @@ class Round8OpsSpec extends SparkSpec {
       "a doc repeating its OWN chunk is not shared (distinct-pair semantics)")
   }
 
+  test("interEventGaps + activityMatrix: hand-computed bands and grid cells") {
+    val df = Seq(
+      // trail u1: gaps 30 (lt_1m), 3570 (1m_1h), 86400 (ge_1d)
+      ("u1", 1000L, "a", "", 1L), ("u1", 1030L, "a", "", 2L),
+      ("u1", 4600L, "a", "", 3L), ("u1", 91000L, "a", "", 4L),
+      // trail u2: single event — contributes no gap
+      ("u2", 50L, "b", "", 1L)
+    ).toDF("uuid", "time", "event_type", "props", "seq")
+    val gaps = graft.agg.Cohorts.interEventGaps(df).orderBy("gap_band")
+      .as[(String, Long)].collect()
+    assert(gaps === Array(("1m_1h", 1L), ("ge_1d", 1L), ("lt_1m", 1L)))
+    // epoch day 0 = Thursday → dow 4: times 50/1000/1030 land in hour 0,
+    // 4600 in hour 1; 91000 = day 1 (Friday, dow 5) second 4600 → hour 1
+    val grid = graft.agg.Cohorts.activityMatrix(df).orderBy("dow", "hour")
+      .as[(Long, Long, Long)].collect()
+    assert(grid === Array((4L, 0L, 3L), (4L, 1L, 1L), (5L, 1L, 1L)))
+  }
+
   // ---- Containment dedup ----
 
   test("clusterSafeSplit: no dedup cluster straddles train/eval; singletons split independently") {
