@@ -333,6 +333,47 @@ object StreamSessions {
       }
   }
 
+  final case class GapState(lastTime: Long)
+  final case class GapBand(uuid: String, band: String)
+
+  /** Streaming inter-event gap bands — the live twin of
+    * [[graft.agg.Cohorts.interEventGaps]]: O(1) state per trail (the last
+    * event time); each arriving event past a trail's first emits its gap
+    * band. Aggregate the emitted bands downstream (a plain streaming
+    * count) to maintain the live histogram. ≡ batch under in-order
+    * delivery per trail (StreamingSpec proves it across real micro-batch
+    * boundaries); a late out-of-order event bands against the LATEST seen
+    * time — the causal as-of-arrival reading, same convention as
+    * statefulTrailingStats on ties. */
+  def statefulGapBands(events: Dataset[(String, Long)])(
+      implicit enc: org.apache.spark.sql.Encoder[GapBand],
+      stateEnc: org.apache.spark.sql.Encoder[GapState]): Dataset[GapBand] = {
+    implicit val strEnc: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[GapState, GapBand](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uuid: String, rows: Iterator[(String, Long)],
+         state: GroupState[GapState]) =>
+          val ts = rows.map(_._2).toArray.sorted
+          if (ts.isEmpty) Iterator.empty
+          else {
+            var last = state.getOption.map(_.lastTime).getOrElse(Long.MinValue)
+            val out = ts.flatMap { t =>
+              val band = if (last == Long.MinValue) None else {
+                val gap = t - last
+                Some(if (gap < 60) "lt_1m" else if (gap < 3600) "1m_1h"
+                  else if (gap < 86400) "1h_1d" else "ge_1d")
+              }
+              last = t
+              band.map(GapBand(uuid, _))
+            }
+            state.update(GapState(last))
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup on a content key: keep the first arrival of each
     * key, drop later duplicates. State is bounded by the watermark —
     * dropDuplicatesWithinWatermark evicts keys once the event-time

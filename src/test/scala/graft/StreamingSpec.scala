@@ -1000,6 +1000,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stateful gap bands carry last-time state across batches, histogram equals batch") {
+    import graft.streaming.StreamSessions.{GapBand, GapState}
+    implicit val gbEnc = org.apache.spark.sql.Encoders.product[GapBand]
+    implicit val gsEnc = org.apache.spark.sql.Encoders.product[GapState]
+
+    val dir = Files.createTempDirectory("graft-sgaps")
+    val src = dir.resolve("src").toString
+    // the batch boundary splits u1's 1h_1d gap (4600 → 91000): the band
+    // for 91000 must come from CARRIED state, not within-batch lag
+    val b1 = Seq(("u1", 1000L), ("u1", 1030L), ("u1", 4600L), ("u2", 50L))
+    val b2 = Seq(("u1", 91000L), ("u2", 80L))
+    b1.toDF("uuid", "time").coalesce(1).write.parquet(src)
+    Thread.sleep(1100)
+    b2.toDF("uuid", "time").coalesce(1).write.mode("append").parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .as[(String, Long)]
+    val q = StreamSessions.statefulGapBands(stream)
+      .writeStream.outputMode("append").format("memory").queryName("sgaps")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.sql(
+        "SELECT band, count(*) FROM sgaps GROUP BY 1 ORDER BY 1")
+      .as[(String, Long)].collect()
+    val batch = graft.agg.Cohorts.interEventGaps(
+        (b1 ++ b2).map { case (u, t) => (u, t, "", "", 0L) }
+          .toDF("uuid", "time", "event_type", "props", "seq"))
+      .orderBy("gap_band").as[(String, Long)].collect()
+    assert(streamed === batch)
+    assert(streamed.map(_._1).contains("ge_1d"),
+      "the cross-batch gap must band from carried state")
+  }
+
   test("stateful lastTouch carries touch state across batches, equal to batch") {
     import graft.streaming.StreamSessions.{AttributionHit, TouchState}
     implicit val hitEnc = org.apache.spark.sql.Encoders.product[AttributionHit]
