@@ -1739,6 +1739,76 @@ object SparkEntry {
     }),
 
     // Q3-style shipping priority: 3-way join, top-10 revenue orders.
+    // TPC-H Q10 shape (returned-item reporting): revenue lost to returns
+    // per customer over one order-date year, top 20. Exact decimal sums
+    // (order-independent) ranked after the double cast, q3's discipline;
+    // nation is the only broadcast side — the per-customer aggregate
+    // joins customer on its own grouping key.
+    "q10_returns" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_returnflag") === "R")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+      val discPrice = (col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+        .cast(DecimalType(18, 4))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(discPrice).cast("double").as("revenue"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("c_acctbal").cast("double").as("acctbal"), col("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q14 shape (promotion effect): promo revenue share over one
+    // ship-date month — conditional exact-decimal sums, ONE fixed-shape
+    // double division at the end.
+    "q14_promo" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      val part = s.read.parquet(s"$dir/part.parquet")
+      val discPrice = (col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+        .cast(DecimalType(18, 4))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", discPrice)
+            .otherwise(lit(0).cast(DecimalType(18, 4)))).cast("double")
+            .as("promo_revenue"),
+          sum(discPrice).cast("double").as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          (lit(100.0) * col("promo_revenue") / col("total_revenue"))
+            .as("promo_pct"))
+    }),
+
+    // TPC-H Q18 shape (large-volume customers): orders whose total
+    // quantity exceeds the threshold, with customer names, by order value.
+    // The quantity HAVING runs on the per-order aggregate BEFORE any join
+    // — the classic semi-reduction.
+    "q18_large" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).as("_sumq"))
+        .filter(col("_sumq") > 250)
+      big.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp_ltz").cast("long").as("o_orderdate_s"),
+          col("o_totalprice").cast("double").as("totalprice"),
+          col("_sumq").cast("double").as("sum_qty"))
+        .orderBy(col("totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
     "q3_revenue" -> ((s, dir) => {
       val cust = s.read.parquet(s"$dir/customer.parquet")
       val ord = s.read.parquet(s"$dir/orders.parquet")
@@ -3723,6 +3793,55 @@ object SparkEntry {
         |  CAST(sum(disc) AS DOUBLE) / count(*) AS avg_disc,
         |  count(*) AS count_order
         |FROM t2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q10_returns" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1)
+        |SELECT c_custkey, c_name, n_name,
+        |  CAST(c_acctbal AS DOUBLE) AS acctbal, revenue
+        |FROM rev
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q14_promo" ->
+      """WITH t AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS dp,
+        |    p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01')
+        |SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN dp
+        |           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(sum(dp) AS DOUBLE) AS total_revenue,
+        |  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN dp
+        |           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(sum(dp) AS DOUBLE) AS promo_pct
+        |FROM t""".stripMargin,
+
+    "q18_large" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sumq
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_s,
+        |  CAST(o_totalprice AS DOUBLE) AS totalprice,
+        |  CAST(sumq AS DOUBLE) AS sum_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "q3_revenue" ->
       """SELECT l_orderkey,
