@@ -62,16 +62,6 @@ object Cohorts {
       .agg(count(lit(1)).as("n_trails"))
   }
 
-  /** Conversion-latency histogram: per trail, the time from the FIRST
-    * `fromType` event to the first `toType` event at-or-after it, bucketed
-    * (default: hours) — "how long from signup to purchase", the companion
-    * the funnel operators' yes/no answer lacks.
-    *
-    * Trails with no `fromType`, or no `toType` at-or-after it, are absent
-    * (they never converted — the funnel ops count those). Scale shape: two
-    * type-filtered min-aggregates on uuid (map-side combined — a whale
-    * trail folds to one row per side) joined on uuid, then a
-    * histogram-sized final aggregate. No window, no event×event join. */
   /** Inter-event gap histogram (round 8): the distribution of time deltas
     * between CONSECUTIVE events within a trail, in named engagement bands
     * — the "how bursty are my users" diagnostic behind every session-gap
@@ -99,14 +89,14 @@ object Cohorts {
   }
 
   /** Day-of-week × hour activity matrix (round 8): the weekly heatmap of
-    * event volume. Pure integer epoch arithmetic — dow = (days since
-    * epoch + 4) mod 7 with 0 = Sunday (1970-01-01 was a Thursday), hour =
-    * seconds-into-day DIV 3600 — so the grid is engine-exact with no
-    * timezone or calendar library in either engine (trail time is
-    * epoch-second u64 by contract, application-defined epoch per the
-    * reference). One map-side-combined groupBy into a ≤168-cell grid. */
-  def activityMatrix(df: DataFrame, uuidCol: String = "uuid",
-      timeCol: String = "time"): DataFrame = {
+    * event volume — a per-EVENT grid, so no trail key is involved. Pure
+    * integer epoch arithmetic — dow = (days since epoch + 4) mod 7 with
+    * 0 = Sunday (1970-01-01 was a Thursday), hour = seconds-into-day DIV
+    * 3600 — so the grid is engine-exact with no timezone or calendar
+    * library in either engine (trail time is epoch-second u64 by
+    * contract, application-defined epoch per the reference). One
+    * map-side-combined groupBy into a ≤168-cell grid. */
+  def activityMatrix(df: DataFrame, timeCol: String = "time"): DataFrame = {
     df.filter(col(timeCol) >= 0 || raiseNegative(timeCol))
       .groupBy(
         expr(s"($timeCol DIV 86400 + 4) % 7").as("dow"),
@@ -114,6 +104,16 @@ object Cohorts {
       .agg(count(lit(1)).as("n_events"))
   }
 
+  /** Conversion-latency histogram: per trail, the time from the FIRST
+    * `fromType` event to the first `toType` event at-or-after it, bucketed
+    * (default: hours) — "how long from signup to purchase", the companion
+    * the funnel operators' yes/no answer lacks.
+    *
+    * Trails with no `fromType`, or no `toType` at-or-after it, are absent
+    * (they never converted — the funnel ops count those). Scale shape: two
+    * type-filtered min-aggregates on uuid (map-side combined — a whale
+    * trail folds to one row per side) joined on uuid, then a
+    * histogram-sized final aggregate. No window, no event×event join. */
   def conversionLatency(df: DataFrame, fromType: String, toType: String,
       bucketSeconds: Long = 3600L, uuidCol: String = "uuid",
       typeCol: String = "event_type", timeCol: String = "time"): DataFrame = {

@@ -264,14 +264,27 @@ object Similarity {
     * legitimate cross-collection pair. */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      excludeSelf: Boolean = true): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
-      checkedNorm(col(vecCol), "corpus").as("cn"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      checkedNorm(col(vecCol), "query").as("qn"))
+      excludeSelf: Boolean = true): DataFrame =
+    crossScoredTopK(
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+        checkedNorm(col(vecCol), "corpus").as("cn")),
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        checkedNorm(col(vecCol), "query").as("qn")),
+      k,
+      keep = if (excludeSelf) Some(col("corpus_id") =!= col("query_id"))
+             else None)
+
+  /** The shared broadcast-scoring scaffold of [[bruteForceKnn]] and
+    * [[hardNegatives]]: corpus × broadcast(queries), an optional pair
+    * predicate, the exact cosine, and the mergeable TopK shortlist — one
+    * definition so a change to norm checking, the cosine fold, or the
+    * shortlist discipline cannot drift between the variants. Expects the
+    * canonical (corpus_id, cv, cn) / (query_id, qv, qn) projections plus
+    * any predicate columns. */
+  private def crossScoredTopK(c: DataFrame, q: DataFrame, k: Int,
+      keep: Option[Column]): DataFrame = {
     val paired = c.crossJoin(broadcast(q))
-    val scored = (if (excludeSelf)
-        paired.filter(col("corpus_id") =!= col("query_id")) else paired)
+    val scored = keep.fold(paired)(paired.filter)
       .withColumn("cosine", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
     topKPerQuery(scored, "cosine", k, "cosine")
   }
@@ -370,16 +383,14 @@ object Similarity {
     * embedding). */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
       labelCol: String = "label", vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
-      checkedNorm(col(vecCol), "corpus").as("cn"), col(labelCol).as("_cl"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      checkedNorm(col(vecCol), "query").as("qn"), col(labelCol).as("_ql"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(!(col("_cl") <=> col("_ql")))
-      .withColumn("cosine", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
-    topKPerQuery(scored, "cosine", k, "cosine")
-  }
+      idCol: String = "vec_id"): DataFrame =
+    crossScoredTopK(
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+        checkedNorm(col(vecCol), "corpus").as("cn"), col(labelCol).as("_cl")),
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        checkedNorm(col(vecCol), "query").as("qn"), col(labelCol).as("_ql")),
+      k,
+      keep = Some(!(col("_cl") <=> col("_ql"))))
 
   /** Filtered IVF: [[ivfKnn]]'s coarse-cell pruning with the metadata
     * predicate pushed INSIDE the probed cells — the bucket join keys on

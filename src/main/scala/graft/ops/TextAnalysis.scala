@@ -1005,12 +1005,14 @@ object TextAnalysis {
     val n = asize(t)
     // n = 0 guard: sequence(1, 0) steps DOWN ([1, 0]) in Spark, which
     // would feed the fold two phantom positions — an empty array must
-    // yield no boundaries, matching the native expression.
+    // yield no boundaries, matching the native expression. A NULL array
+    // must stay NULL (the native expression is null-safe), so only the
+    // EXPLICIT n = 0 case maps to empty; NULL n falls through to NULL.
     val cands = when(n >= 1,
       transform(sequence(lit(1), n), e =>
         e >= w && pmod(xxhash64(slice(t, e - w + 1, lit(w))),
           lit(modulus)) === 0))
-      .otherwise(array().cast("array<boolean>"))
+      .when(n === 0, array().cast("array<boolean>"))
     aggregate(
       cands,
       struct(lit(0).as("pos"), lit(0).as("last"),

@@ -337,14 +337,15 @@ object StreamSessions {
   final case class GapBand(uuid: String, band: String)
 
   /** Streaming inter-event gap bands — the live twin of
-    * [[graft.agg.Cohorts.interEventGaps]]: O(1) state per trail (the last
-    * event time); each arriving event past a trail's first emits its gap
-    * band. Aggregate the emitted bands downstream (a plain streaming
-    * count) to maintain the live histogram. ≡ batch under in-order
-    * delivery per trail (StreamingSpec proves it across real micro-batch
-    * boundaries); a late out-of-order event bands against the LATEST seen
-    * time — the causal as-of-arrival reading, same convention as
-    * statefulTrailingStats on ties. */
+    * [[graft.agg.Cohorts.interEventGaps]]: O(1) state per trail (the
+    * LATEST event time seen); each arriving IN-ORDER event past a trail's
+    * first emits its gap band. Aggregate the emitted bands downstream (a
+    * plain streaming count) to maintain the live histogram. ≡ batch under
+    * in-order delivery per trail (StreamingSpec proves it across real
+    * micro-batch boundaries). A LATE out-of-order event emits nothing —
+    * its inter-event gap is not defined in arrival space — and, crucially,
+    * never regresses the carried time (state advances by max), so one
+    * late straggler cannot mis-band the next in-order event. */
   def statefulGapBands(events: Dataset[(String, Long)])(
       implicit enc: org.apache.spark.sql.Encoder[GapBand],
       stateEnc: org.apache.spark.sql.Encoder[GapState]): Dataset[GapBand] = {
@@ -360,12 +361,12 @@ object StreamSessions {
           else {
             var last = state.getOption.map(_.lastTime).getOrElse(Long.MinValue)
             val out = ts.flatMap { t =>
-              val band = if (last == Long.MinValue) None else {
+              val band = if (last == Long.MinValue || t < last) None else {
                 val gap = t - last
                 Some(if (gap < 60) "lt_1m" else if (gap < 3600) "1m_1h"
                   else if (gap < 86400) "1h_1d" else "ge_1d")
               }
-              last = t
+              last = math.max(last, t)
               band.map(GapBand(uuid, _))
             }
             state.update(GapState(last))

@@ -334,7 +334,7 @@ object Scale4x {
         val s = docs1.withColumn("doc_id", col("doc_id") + lit(i * nD))
         if (tag && i > 0) s.withColumn("text",
           array_join(transform(split(col("text"), "\\s+"),
-            t => concat(lit(s"r$i"), t)), " "))
+            t => concat(lit(s"r${i}_"), t)), " "))
         else s
       }.reduce(_.unionByName(_))
       for (shape <- Seq("disjoint", "alldup")) {
@@ -385,7 +385,7 @@ object Scale4x {
           val shifted = df.withColumn("doc_id", col("doc_id") + lit(i * nD1))
           if (tagTokens && i > 0) shifted.withColumn("text",
             array_join(transform(split(col("text"), "\\s+"),
-              t => concat(lit(s"r$i"), t)), " "))
+              t => concat(lit(s"r${i}_"), t)), " "))
           else shifted
         }.reduce(_.unionByName(_))
       // 256× for the grouped-quota ops (1.28M docs, whale partition
