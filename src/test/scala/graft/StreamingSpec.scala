@@ -1036,6 +1036,41 @@ class StreamingSpec extends SparkSpec {
       "the cross-batch gap must band from carried state")
   }
 
+  test("stateful gap bands: a late straggler emits nothing and never regresses the carried time") {
+    import graft.streaming.StreamSessions.{GapBand, GapState}
+    implicit val gbEnc = org.apache.spark.sql.Encoders.product[GapBand]
+    implicit val gsEnc = org.apache.spark.sql.Encoders.product[GapState]
+
+    val dir = Files.createTempDirectory("graft-sgaps2")
+    val src = dir.resolve("src").toString
+    // batch 2 delivers a LATE event (t=50 after t=100000 was seen), then
+    // batch 3 an in-order event 30s past the true latest — which must
+    // band lt_1m (against 100000), NOT ge_1d (against the stale 50)
+    Seq(("u1", 1000L), ("u1", 100000L)).toDF("uuid", "time")
+      .coalesce(1).write.parquet(src)
+    Thread.sleep(1100)
+    Seq(("u1", 50L)).toDF("uuid", "time")
+      .coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1100)
+    Seq(("u1", 100030L)).toDF("uuid", "time")
+      .coalesce(1).write.mode("append").parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .as[(String, Long)]
+    val q = StreamSessions.statefulGapBands(stream)
+      .writeStream.outputMode("append").format("memory").queryName("sgaps2")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val bands = spark.sql("SELECT band FROM sgaps2 ORDER BY band")
+      .as[String].collect()
+    // 1000→100000 = ge_1d; the late 50 emits NOTHING; 100030 vs the
+    // carried 100000 = lt_1m
+    assert(bands.sorted === Array("ge_1d", "lt_1m"))
+  }
+
   test("stateful lastTouch carries touch state across batches, equal to batch") {
     import graft.streaming.StreamSessions.{AttributionHit, TouchState}
     implicit val hitEnc = org.apache.spark.sql.Encoders.product[AttributionHit]
