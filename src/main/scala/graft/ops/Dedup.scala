@@ -105,9 +105,16 @@ object Dedup {
       .groupBy("id").agg(
         sort_array(collect_list(struct(col("_df"), col("shingle")))).as("_ord"),
         count(lit(1)).as("_sz"))
+    // Integer-exact prefix size: a pair at containment ≥ t with smaller
+    // side A (|A| = sz) shares ≥ ⌈t·sz⌉ shingles, so B misses ≤ sz−⌈t·sz⌉
+    // of them and the prefix needs sz−⌈t·sz⌉+1 entries. Computing
+    // ⌊(1−t)·sz⌋+1 in doubles under-sizes it by one when (1−t)·sz is a
+    // mathematical integer (t=0.9, sz=10 → 0.9999999999999998, floor 0);
+    // the ε guard inside ceil makes t·sz-integer cases land exactly.
     val prefix = ordered.select(col("id").as("pid"),
         explode(slice(col("_ord"), lit(1),
-          (floor((lit(1.0) - threshold) * col("_sz")) + 1).cast("int"))).as("_pe"))
+          (col("_sz") - ceil(lit(threshold) * col("_sz") - lit(1e-9)) + 1)
+            .cast("int"))).as("_pe"))
       .select(col("pid"), col("_pe").getField("shingle").as("shingle"))
     val cands = ex.select(col("id").as("qid"), col("shingle"))
       .join(prefix, "shingle")

@@ -359,6 +359,29 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairsPrefix: exact integer (1-t)·sz boundary, rarest shingle missed") {
+    // Engineered for the FP under-sizing bug: t=0.9, A has exactly 10
+    // distinct shingles, B holds exactly 9 of them (containment 9/10 = t,
+    // (1-t)·sz = 1 a mathematical integer), and the ONE shingle B misses
+    // (x1 x2 x3) is corpus-rarest (df=1 — every shared shingle has df=2,
+    // B's pads are B-only). A one-element prefix is exactly that missed
+    // shingle, so the buggy ⌊(1-t)·sz⌋+1 = 1 sizing silently drops the
+    // pair; the integer-exact sizing keeps sz-⌈t·sz⌉+1 = 2 entries.
+    val aToks = (1 to 12).map(i => s"x$i")           // 10 distinct shingles
+    val bToks = (2 to 12).map(i => s"x$i") ++        // 9 of A's shingles
+      (1 to 62).map(i => s"p$i")                     // B-only padding
+    val docs = Seq((1L, aToks.mkString(" ")), (2L, bToks.mkString(" ")))
+      .toDF("doc_id", "text")
+    val t = 0.9
+    val exact = Dedup.containmentPairs(docs, k = 3, threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    assert(exact === Array((1L, 2L, 0.9)), "corpus not at the boundary")
+    val prefix = Dedup.containmentPairsPrefix(docs, k = 3, threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    assert(prefix === exact,
+      "prefix filter dropped the boundary pair — prefix under-sized")
+  }
+
   test("normalizeText: lowercase, collapse whitespace, trim — pure and idempotent") {
     val df = Seq(
       (1L, "  Hello   WORLD \t x "),
