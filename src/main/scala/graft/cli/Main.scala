@@ -50,7 +50,7 @@ object Main {
     "dump"  -> Set("-i", "-F", "-o", "--fields", "--uuids", "--delimiter", "--index"),
     "merge" -> Set("-o", "-i", "-F", "--uuids"),
     "index" -> Set("-i", "-o"),
-    "diff"  -> Set("-i", "-o")
+    "diff"  -> Set("-i", "-o", "--summary-limit")
   ).withDefaultValue(Set.empty)
 
   /** Boolean switches per op — together with [[valueFlags]] this is the
@@ -302,13 +302,30 @@ object Main {
         def z(i: Int): Long = if (tot.isNullAt(i)) 0L else tot.getLong(i)
         println(s"[diff] ${ins(0)} -> ${ins(1)}: +${z(0)} -${z(1)} events " +
           s"across ${z(2)} trails")
-        if (flags("--summary").nonEmpty)
-          d.groupBy(col(TrailSchema.UuidCol))
+        if (flags("--summary").nonEmpty) {
+          // toLocalIterator + a row cap, NOT collect: per-trail summary
+          // rows are unbounded when diffing two large dbs, and a
+          // human-readable report path must never be the one operation in
+          // the repo that pulls an unbounded result to the driver.
+          // toLocalIterator holds one partition at a time; the cap (r8
+          // ADVICE; override with --summary-limit N, 0 = unlimited)
+          // truncates LOUDLY so a cut report can't read as a short diff.
+          val limit = one("--summary-limit").map(_.toLong).getOrElse(10000L)
+          val it = d.groupBy(col(TrailSchema.UuidCol))
             .agg(sum(col("n_added")).as("n_added"),
               sum(col("n_removed")).as("n_removed"))
             .orderBy(TrailSchema.UuidCol)
-            .collect()
-            .foreach(r => println(s"${r.getString(0)} +${r.getLong(1)} -${r.getLong(2)}"))
+            .toLocalIterator()
+          var shown = 0L
+          while (it.hasNext && (limit <= 0L || shown < limit)) {
+            val r = it.next()
+            println(s"${r.getString(0)} +${r.getLong(1)} -${r.getLong(2)}")
+            shown += 1L
+          }
+          if (it.hasNext)
+            println(s"[diff] summary truncated at $limit trails " +
+              "(raise with --summary-limit N, 0 = unlimited)")
+        }
 
       case other =>
         usage(); throw GraftError.BadArgs(s"unknown op '$other'")

@@ -78,6 +78,38 @@ class CliSpec extends SparkSpec {
     assert(stale.getMessage.contains("STALE INDEX"), stale.getMessage)
   }
 
+  test("diff --summary-limit truncates loudly; default path bounded (r8 VERDICT)") {
+    val dir = Files.createTempDirectory("graft-cli-difflim")
+    def writeCsv(name: String, rows: Int): String = {
+      val p = dir.resolve(name)
+      Files.writeString(p,
+        "uuid,time,etype\n" +
+        (0 until rows).map(i => f"${i % 5}%032x,${100 + i},e${i % 2}").mkString("\n"))
+      p.toString
+    }
+    Main.run(spark, "make", Seq("-o", s"$dir/a", "-c", writeCsv("a.csv", 25),
+      "-f", "etype", "--csv-header"))
+    Main.run(spark, "make", Seq("-o", s"$dir/b", "-c", writeCsv("b.csv", 15),
+      "-f", "etype", "--csv-header"))
+    def capture(args: Seq[String]): Seq[String] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+        Main.run(spark, "diff", args)
+      }
+      bos.toString("UTF-8").linesIterator.toSeq
+    }
+    // 5 trails differ; a limit of 2 must print 2 rows + a loud truncation
+    val lim = capture(Seq("-i", s"$dir/a", "-i", s"$dir/b",
+      "--summary", "--summary-limit", "2"))
+    assert(lim.count(_.matches("^[0-9a-f]{32} \\+\\d+ -\\d+$")) === 2, lim)
+    assert(lim.exists(_.contains("summary truncated at 2 trails")), lim)
+    // unlimited (0) prints all 5, no truncation note
+    val full = capture(Seq("-i", s"$dir/a", "-i", s"$dir/b",
+      "--summary", "--summary-limit", "0"))
+    assert(full.count(_.matches("^[0-9a-f]{32} \\+\\d+ -\\d+$")) === 5, full)
+    assert(!full.exists(_.contains("truncated")), full)
+  }
+
   test("--uuids @file: whitelist from file on dump and make, counts like the reference (r5 VERDICT)") {
     val dir = Files.createTempDirectory("graft-cli-uuids")
     val csv = dir.resolve("in.csv")
