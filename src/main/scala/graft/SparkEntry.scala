@@ -111,6 +111,13 @@ object SparkEntry {
         trails(s, dir).df, Seq("event_type", "props"), p)
       p
     }
+    def tdbV0Dir(s: SparkSession, dir: String): String = memo(s"tdbv0:$dir") {
+      val p = java.nio.file.Files.createTempDirectory("graft-fix")
+        .resolve("v0db").toString
+      graft.sources.TdbWriter.writeV0Directory(
+        trails(s, dir).df, Seq("event_type", "props"), p)
+      p
+    }
     def jsonlDump(s: SparkSession, dir: String): String = memo(s"jsonl:$dir") {
       val p = java.nio.file.Files.createTempDirectory("graft-fix")
         .resolve("jsonl").toString
@@ -342,6 +349,19 @@ object SparkEntry {
     // (the reference's value-id-0 convention, src/tdb.c:520-523).
     "t_tdb_read" -> ((s, dir) => {
       s.read.format("tdb").load(Fixtures.tdbPackage(s, dir))
+        .select(col("uuid"), col("time"), col("event_type"), col("props"))
+        .orderBy("uuid", "time", "event_type", "props")
+    }),
+
+    // FORMAT-V0 read (round 9, the last read-path divergence from
+    // tdb_open): pre-release layout with cookies/NUL-terminated
+    // lexicons/12-byte codebook entries/unordered uuid index
+    // (src/tdb.c:255-261,357-369,134-136; src/tdb_huffman.c:377-420).
+    // The fixture is graft-written but v0-validated EXTERNALLY: the
+    // reference C engine dumps the same writer's output identically
+    // (TdbInteropSpec).
+    "t_tdb_v0" -> ((s, dir) => {
+      s.read.format("tdb").load(Fixtures.tdbV0Dir(s, dir))
         .select(col("uuid"), col("time"), col("event_type"), col("props"))
         .orderBy("uuid", "time", "event_type", "props")
     }),
@@ -2338,6 +2358,13 @@ object SparkEntry {
          |FROM trails ORDER BY uuid, time, seq""".stripMargin,
 
     "t_tdb_read" ->
+      s"""$TrailsCte
+         |SELECT uuid, time, nullif(event_type, '') AS event_type,
+         |       nullif(props, '') AS props
+         |FROM trails
+         |ORDER BY uuid, time, event_type NULLS FIRST, props NULLS FIRST""".stripMargin,
+
+    "t_tdb_v0" ->
       s"""$TrailsCte
          |SELECT uuid, time, nullif(event_type, '') AS event_type,
          |       nullif(props, '') AS props

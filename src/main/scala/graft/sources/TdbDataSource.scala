@@ -173,15 +173,34 @@ final class TdbScan(meta: TdbFormat.TdbMeta, required: StructType,
 
   /** v1 uuid binary search: the index is ordered by the uuid bytes read
     * as a LITTLE-ENDIAN u128 (reference memcpy-to-__uint128_t compare,
-    * src/tdb.c:556-585). */
+    * src/tdb.c:556-585). v0 gives NO order guarantee, so the lookup is
+    * the reference's linear scan (src/tdb.c:558-567) — chunked reads, not
+    * one row per IO. */
   private def findTrail(hexUuid: String): Option[Long] = {
     if (hexUuid.length != 32 ||
         !hexUuid.forall(c => Character.digit(c, 16) >= 0)) return None
     val key = TdbFormat.hexToBytes(hexUuid)
+    if (meta.version == 0L) {
+      val chunkTrails = 4096
+      var base = 0L
+      while (base < meta.numTrails) {
+        val n = math.min(chunkTrails.toLong, meta.numTrails - base)
+        val raw = meta.archive.readRange(meta.uuidsMember, base * 16, n * 16)
+        var i = 0
+        while (i < n) {
+          if (java.util.Arrays.equals(raw, i * 16, i * 16 + 16, key, 0, 16))
+            return Some(base + i)
+          i += 1
+        }
+        base += n
+      }
+      return None
+    }
     var lo = 0L; var hi = meta.numTrails - 1
     while (lo <= hi) {
       val mid = (lo + hi) >>> 1
-      val c = compareLeU128(meta.archive.readRange("uuids", mid * 16, 16), key)
+      val c = compareLeU128(
+        meta.archive.readRange(meta.uuidsMember, mid * 16, 16), key)
       if (c == 0) return Some(mid)
       else if (c < 0) lo = mid + 1
       else hi = mid - 1
@@ -231,9 +250,9 @@ final class TdbPartitionReader(meta: TdbFormat.TdbMeta,
   // the whole range's data bytes, padded for the 64-bit word loads
   private val data: Array[Byte] = meta.archive.readRange("trails.data",
     part.startOffs, part.endOffs - part.startOffs, pad = 16)
-  private val uuidBytes: Array[Byte] = meta.archive.readRange("uuids",
+  private val uuidBytes: Array[Byte] = meta.archive.readRange(meta.uuidsMember,
     part.startTrail * 16, nTrails.toLong * 16)
-  private val cb = TdbFormat.codebook(meta.archive)
+  private val cb = TdbFormat.codebook(meta.archive, meta.version)
 
   // projection plan: for each output column, -2 = uuid, -1 = time,
   // else ofield index (0-based)

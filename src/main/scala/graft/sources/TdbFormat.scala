@@ -187,6 +187,10 @@ object TdbFormat {
     /** num_fields including the implicit time field 0. */
     def numFields: Int = fieldNames.length + 1
 
+    /** The uuid index member: v0 predates the cookie→uuid rename
+      * (src/tdb.c:357-369 "UUIDs used to be called cookies"). */
+    def uuidsMember: String = if (version == 0L) "cookies" else "uuids"
+
     /** Bits for a literal's field id / per-field value, derived exactly
       * like huff_field_stats (src/tdb_huffman.c:232-247 with
       * bits_needed :34-43). */
@@ -224,7 +228,15 @@ object TdbFormat {
           if (wide) leLong(raw, width + i * 8)
           else leInt(raw, width + i * 4) & 0xffffffffL
         Array.tabulate(n) { i =>
-          val a = offAt(i); val b = offAt(i + 1)
+          val a = offAt(i)
+          val b =
+            if (version == 0L) {
+              // v0 strings are 0-terminated, length via strlen
+              // (src/tdb.c:134-136); v1 lengths come from the offset diff
+              var e = a.toInt
+              while (e < raw.length && raw(e) != 0) e += 1
+              e.toLong
+            } else offAt(i + 1)
           new String(raw, a.toInt, (b - a).toInt, StandardCharsets.UTF_8)
         }
       })
@@ -232,7 +244,7 @@ object TdbFormat {
 
     /** uuid hex for one trail (driver-side point access). */
     def uuidHex(trailId: Long): String =
-      bytesToHex(archive.readRange("uuids", trailId * 16, 16))
+      bytesToHex(archive.readRange(uuidsMember, trailId * 16, 16))
 
     /** trails.toc entry width: u32 iff trails.data < 4 GiB
       * (src/tdb_decode.c:7-13). */
@@ -254,10 +266,9 @@ object TdbFormat {
         s"tdb: $path has no info/fields members — not a tdb")
       val version =
         if (ar.has("version")) ar.readString("version").trim.toLong else 0L
-      require(version == 1L,
-        s"tdb: format version $version unsupported (v1 only; v0 is the " +
-          "pre-release layout with 0-terminated lexicons and an unordered " +
-          "uuid index)")
+      require(version <= 1L,
+        s"tdb: format version $version unsupported (latest known is 1, " +
+          "src/traildb.h:12-14)")
       val info = ar.readString("info").trim.split("\\s+").map(_.toLong)
       require(info.length >= 5, s"tdb: malformed info member")
       val fields = ar.readString("fields").split("\n", -1)
@@ -341,20 +352,32 @@ object TdbFormat {
   final class Codebook(val lo: Array[Long], val hi: Array[Long],
       val bits: Array[Int])
 
-  def codebook(ar: TdbArchive): Codebook =
+  def codebook(ar: TdbArchive, version: Long = 1L): Codebook =
     codebookCache.computeIfAbsent(ar.path, _ => {
       val n = 65536
-      require(ar.size("trails.codebook") >= n * 20L,
+      val entry = if (version == 0L) 12 else 20
+      require(ar.size("trails.codebook") >= n.toLong * entry,
         s"tdb: trails.codebook is ${ar.size("trails.codebook")} bytes, " +
-          s"expected ${n * 20L}")
+          s"expected ${n.toLong * entry}")
       val raw = ar.readAll("trails.codebook")
       val lo = new Array[Long](n); val hi = new Array[Long](n)
       val bits = new Array[Int](n)
       var i = 0
       while (i < n) {
-        lo(i) = leLong(raw, i * 20)
-        hi(i) = leLong(raw, i * 20 + 8)
-        bits(i) = leInt(raw, i * 20 + 16)
+        if (version == 0L) {
+          // v0 entry: packed {u64 symbol, u32 bits}; the u64 packs the
+          // bigram as (first item lo32, second item hi32) — widened to
+          // the v1 (lo, hi) pair exactly like huff_convert_v0_codebook
+          // (src/tdb_huffman.c:377-420)
+          val sym = leLong(raw, i * 12)
+          lo(i) = sym & 0xffffffffL
+          hi(i) = sym >>> 32
+          bits(i) = leInt(raw, i * 12 + 8)
+        } else {
+          lo(i) = leLong(raw, i * 20)
+          hi(i) = leLong(raw, i * 20 + 8)
+          bits(i) = leInt(raw, i * 20 + 16)
+        }
         i += 1
       }
       new Codebook(lo, hi, bits)

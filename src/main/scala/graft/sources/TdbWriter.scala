@@ -47,14 +47,36 @@ import org.apache.spark.sql.functions._
 object TdbWriter {
 
   def writePackage(df: DataFrame, fieldNames: Seq[String], out: String,
-      compress: Boolean = true): Unit = {
+      compress: Boolean = true): Unit =
+    writeImpl(df, fieldNames, out, compress, v0 = false)
+
+  /** Write a FORMAT-V0 directory — the pre-release layout (no `version`
+    * file, `cookies` instead of `uuids`, 0-terminated lexicon strings,
+    * packed 12-byte codebook entries with u64 bigram symbols, and NO
+    * uuid-order guarantee: src/tdb.c:255-261,357-369,134-136;
+    * src/tdb_huffman.c:377-420). The reference can READ v0 but has not
+    * been able to WRITE it since v1 shipped, so this writer exists to
+    * make v0 READ support testable at all: fixtures it produces are
+    * validated against the reference C engine (TdbInteropSpec) and then
+    * against graft's own reader. Trails are deliberately emitted in hex-
+    * string uuid order — NOT the v1 LE-u128 order — so a reader that
+    * wrongly binary-searches a v0 index fails the spec. */
+  def writeV0Directory(df: DataFrame, fieldNames: Seq[String], out: String,
+      compress: Boolean = true): Unit =
+    writeImpl(df, fieldNames, out, compress, v0 = true)
+
+  private def writeImpl(df: DataFrame, fieldNames: Seq[String], out: String,
+      compress: Boolean, v0: Boolean): Unit = {
     import graft.core.TrailSchema.{SeqCol, TimeCol, UuidCol}
 
     // byte-reversed hex = sort key whose string order equals the
     // LITTLE-ENDIAN u128 order of the raw uuid bytes (hex pairs swap as
-    // whole bytes; lowercase hex compares numerically)
-    val leKey = concat((0 until 16).reverse.map(i =>
-      substring(col(UuidCol), i * 2 + 1, 2)): _*)
+    // whole bytes; lowercase hex compares numerically). v0 carries no
+    // order contract — hex-string order exercises that freedom.
+    val leKey =
+      if (v0) col(UuidCol)
+      else concat((0 until 16).reverse.map(i =>
+        substring(col(UuidCol), i * 2 + 1, 2)): _*)
     val sortable = df.select(
       (col(UuidCol) +: col(TimeCol) +:
         (if (df.columns.contains(SeqCol)) col(SeqCol) else lit(0L).as(SeqCol)) +:
@@ -156,6 +178,12 @@ object TdbWriter {
     }
     if (numEvents == 0) { minTs = 0L; maxTs = 0L }
     val codeMap = buildCodes(freqs)
+    // v0 codebook symbols are u64 (two 32-bit item halves) — a code for a
+    // wide item or a wide-item bigram cannot be represented, so such
+    // symbols go back to the literal path (correct either way; the
+    // encoder always falls back when a symbol has no code)
+    if (v0) codeMap.entrySet().removeIf(e =>
+      e.getKey._1 > 0xffffffffL || e.getKey._2 > 0xffffffffL)
     require(maxDelta < (1L << 47) && minTs < (1L << 47),
       s"tdb package: timestamp delta $maxDelta / min $minTs exceeds the " +
         "47-bit timestamp-item budget (src/tdb_types.h:36-38)")
@@ -272,8 +300,11 @@ object TdbWriter {
     // ---- assemble members ----
     val infoBytes = s"$numTrails $numEvents $minTs $maxTs $maxDelta\n"
       .getBytes(StandardCharsets.UTF_8)
+    // v1 terminates the fields file with an extra blank line; v0 has no
+    // such terminator — it reads until EOF (src/tdb.c fields_open comment)
     val fieldsBytes = (fieldNames.mkString("\n") +
-      (if (fieldNames.nonEmpty) "\n\n" else "\n"))
+      (if (v0) (if (fieldNames.nonEmpty) "\n" else "")
+       else if (fieldNames.nonEmpty) "\n\n" else "\n"))
       .getBytes(StandardCharsets.UTF_8)
     // toc entries are u32: trails.data is capped at 1.5 GiB above, far
     // under the 4 GiB u32/u64 switch point (the READER still handles u64
@@ -287,29 +318,49 @@ object TdbWriter {
     }
     val lexBytes: Seq[Array[Byte]] = lexicons.toSeq.map { values =>
       val data = values.map(_.getBytes(StandardCharsets.UTF_8))
+      // v0 strings are 0-terminated (length read via strlen,
+      // src/tdb.c:134-136); v1 lengths come from the offset diffs. The
+      // offset table shape is identical — offsets simply point past the
+      // accumulated NULs in v0.
+      val term = if (v0) 1 else 0
       val headerLen = 4 + (values.length + 1) * 4
-      val total = headerLen + data.map(_.length).sum
+      val total = headerLen + data.map(_.length + term).sum
       require(total <= 0xffffffffL, "tdb package: >4 GiB lexicon unsupported")
       val b = java.nio.ByteBuffer.allocate(total)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       b.putInt(values.length)
       var off = headerLen
-      data.foreach { d => b.putInt(off); off += d.length }
+      data.foreach { d => b.putInt(off); off += d.length + term }
       b.putInt(off)
-      data.foreach(b.put)
+      data.foreach { d => b.put(d); if (v0) b.put(0.toByte) }
       b.array()
     }
     val members: Seq[(String, Array[Byte])] =
-      Seq("version" -> "1".getBytes(StandardCharsets.UTF_8),
-        "info" -> infoBytes) ++
+      (if (v0) Seq.empty // v0 predates the version file (src/tdb.c:260-261)
+       else Seq("version" -> "1".getBytes(StandardCharsets.UTF_8))) ++
+      Seq("info" -> infoBytes) ++
       // tar.toc placeholder replaced below once offsets are known
-      Seq("tar.toc" -> Array.empty[Byte]) ++
+      (if (v0) Seq.empty else Seq("tar.toc" -> Array.empty[Byte])) ++
       fieldNames.zip(lexBytes).map { case (f, b) => s"lexicon.$f" -> b } ++
       Seq("fields" -> fieldsBytes,
-        "trails.codebook" -> codebookBytes(codeMap),
+        "trails.codebook" ->
+          (if (v0) codebookBytesV0(codeMap) else codebookBytes(codeMap)),
         "trails.toc" -> tocBytes,
         "trails.data" -> dataBuf.toByteArray,
-        "uuids" -> uuidBuf.toByteArray)
+        (if (v0) "cookies" else "uuids") -> uuidBuf.toByteArray)
+
+    if (v0) {
+      // v0 fixtures are directories (predating the single-file package)
+      val dirPath = new HPath(out)
+      val fs = dirPath.getFileSystem(
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      fs.mkdirs(dirPath)
+      members.foreach { case (name, bytes) =>
+        val os = fs.create(new HPath(dirPath, name), true)
+        try os.write(bytes) finally os.close()
+      }
+      return
+    }
 
     // reference-style max-size preallocation for tar.toc
     // (src/tdb_cons_package.c:166-199: name lengths + 43 bytes per line)
@@ -459,6 +510,28 @@ object TdbWriter {
       while (idx < 65536) {
         b.position(idx * 20)
         b.putLong(sym._1); b.putLong(sym._2); b.putInt(bits)
+        idx += step
+      }
+    }
+    b.array()
+  }
+
+  /** The v0 decode table: same 65536-slot low-bits indexing, but packed
+    * 12-byte entries {u64 symbol, u32 bits} where the symbol holds the
+    * bigram as (first item lo32, second item hi32) — the inverse of
+    * huff_convert_v0_codebook (src/tdb_huffman.c:377-420). Callers
+    * guarantee every coded symbol's halves fit 32 bits. */
+  private def codebookBytesV0(
+      codeMap: java.util.HashMap[(Long, Long), (Int, Int)]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(65536 * 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    codeMap.forEach { (sym, cb) =>
+      val (code, bits) = cb
+      val step = 1 << bits
+      var idx = code
+      while (idx < 65536) {
+        b.position(idx * 12)
+        b.putLong((sym._2 << 32) | sym._1); b.putInt(bits)
         idx += step
       }
     }

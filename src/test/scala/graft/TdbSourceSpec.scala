@@ -326,15 +326,50 @@ class TdbSourceSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
-  test("v0 and malformed inputs refuse loudly") {
+  test("v0 directory roundtrip: cookies index, NUL lexicons, 12-byte codebook, linear lookup") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 800).map { i =>
+      val u = f"${rnd.nextInt(25)}%032x"
+      (u, 2000L + (i / 25) * 45L, Seq("a", "bb", "ccc")(rnd.nextInt(3)),
+        if (rnd.nextInt(7) == 0) null else "v" + rnd.nextInt(5))
+    }
+    val df = rows.toDF("uuid", "time", "f1", "f2")
+      .withColumn("seq", monotonically_increasing_id())
+    val dir = Files.createTempDirectory("graft-tdb-v0rt")
+    for (compress <- Seq(true, false)) {
+      val out = s"$dir/v0-$compress"
+      TdbWriter.writeV0Directory(df, Seq("f1", "f2"), out,
+        compress = compress)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/version")))
+      val meta = TdbFormat.TdbMeta.open(out)
+      assert(meta.version === 0L && meta.uuidsMember === "cookies")
+      val back = spark.read.format("tdb").load(out)
+        .select("uuid", "time", "f1", "f2").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          Option(r.getString(2)).getOrElse(""),
+          Option(r.getString(3)).getOrElse(""))).sorted.toSeq
+      assert(back === rows.map(t => (t._1, t._2, t._3,
+        Option(t._4).getOrElse(""))).sorted, s"compress=$compress")
+      // uuid equality pushdown must use the v0 LINEAR path and still
+      // prune to one trail's partition
+      val one = spark.read.format("tdb").load(out)
+        .filter(col("uuid") === f"${3}%032x")
+      assert(one.count() === rows.count(_._1 == f"${3}%032x").toLong)
+    }
+  }
+
+  test("future-versioned and malformed inputs refuse loudly") {
     val dir = Files.createTempDirectory("graft-tdb-bad")
-    Files.write(dir.resolve("version"), "0".getBytes)
+    // v0 reads are supported (round 9); an UNKNOWN future version must
+    // refuse, exactly like the reference (src/tdb.c:265-266
+    // version > TDB_VERSION_LATEST → TDB_ERR_UNKNOWN_VERSION)
+    Files.write(dir.resolve("version"), "2".getBytes)
     Files.write(dir.resolve("info"), "0 0 0 0 0".getBytes)
     Files.write(dir.resolve("fields"), "\n".getBytes)
     val e = intercept[IllegalArgumentException] {
       TdbFormat.TdbMeta.open(dir.toString)
     }
-    assert(e.getMessage.contains("version 0"), e.getMessage)
+    assert(e.getMessage.contains("version 2"), e.getMessage)
     val e2 = intercept[Exception] {
       TdbFormat.TdbMeta.open(s"$dir/nope")
     }
