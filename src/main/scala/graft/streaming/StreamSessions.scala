@@ -375,6 +375,106 @@ object StreamSessions {
       }
   }
 
+  /** Per-trail state for [[statefulTypeOverlap]]: the distinct event types
+    * this trail has shown so far — O(|types|) per trail, the same bound
+    * the batch op's distinct (uuid, type) set carries per trail. */
+  final case class TypeSetState(types: Seq[String])
+  final case class TypePairHit(uuid: String, typeA: String, typeB: String)
+
+  /** Streaming twin of [[graft.agg.Cohorts.typeOverlap]] (round 9): emits
+    * one (uuid, type_a, type_b) row — a < b — the FIRST time a trail has
+    * shown both types; `groupBy(type_a, type_b).count()` over the
+    * appended hits IS the batch co-occurrence matrix. Exactly-once per
+    * (trail, pair) by construction: a pair is emitted only in the batch
+    * where its second type first appears, so the downstream count never
+    * double-counts a trail regardless of how many events repeat the
+    * types. Order-insensitive — set membership doesn't depend on event
+    * time — so stream≡batch needs no in-order caveat (StreamingSpec
+    * proves it under shuffled delivery). */
+  def statefulTypeOverlap(events: Dataset[(String, String)])(
+      implicit enc: org.apache.spark.sql.Encoder[TypePairHit],
+      stateEnc: org.apache.spark.sql.Encoder[TypeSetState]): Dataset[TypePairHit] = {
+    implicit val strEnc: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[TypeSetState, TypePairHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uuid: String, rows: Iterator[(String, String)],
+         state: GroupState[TypeSetState]) =>
+          val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+          seen ++= state.getOption.map(_.types).getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[TypePairHit]
+          rows.foreach { case (_, t) =>
+            if (!seen.contains(t)) {
+              seen.foreach { old =>
+                val (a, b) = if (old < t) (old, t) else (t, old)
+                out += TypePairHit(uuid, a, b)
+              }
+              seen += t
+            }
+          }
+          state.update(TypeSetState(seen.toSeq))
+          out.iterator
+      }
+  }
+
+  /** Per-trail state for [[statefulConversionLatency]]: earliest fromType
+    * time seen (MaxValue = none yet) and whether the conversion was
+    * already emitted — O(1) per trail. */
+  final case class ConvState(firstFrom: Long, done: Boolean)
+  final case class Conversion(uuid: String, latency: Long)
+
+  /** Streaming twin of [[graft.agg.Cohorts.conversionLatency]] (round 9):
+    * emits (uuid, latency) ONCE per trail — when the first `toType` event
+    * at-or-after the trail's first `fromType` arrives — and
+    * `groupBy(latency DIV bucketSeconds).count()` over the appended rows
+    * is the batch histogram. Within a batch, events are processed in time
+    * order with `fromType` before `toType` on ties (batch counts an
+    * equal-time pair as a conversion, so the state machine must too).
+    *
+    * Cross-batch the equivalence contract is PER-TRAIL IN-ORDER delivery,
+    * the same contract every trail state machine here carries
+    * (statefulTrailStats, statefulGapBands): once a conversion is
+    * emitted, a late-arriving EARLIER fromType cannot retract it in
+    * append mode — the spec pins that deviation explicitly. */
+  def statefulConversionLatency(events: Dataset[(String, Long, String)],
+      fromType: String, toType: String)(
+      implicit enc: org.apache.spark.sql.Encoder[Conversion],
+      stateEnc: org.apache.spark.sql.Encoder[ConvState]): Dataset[Conversion] = {
+    implicit val strEnc: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[ConvState, Conversion](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uuid: String, rows: Iterator[(String, Long, String)],
+         state: GroupState[ConvState]) =>
+          val st = state.getOption.getOrElse(ConvState(Long.MaxValue, done = false))
+          var firstFrom = st.firstFrom
+          var done = st.done
+          var emitted: Option[Conversion] = None
+          if (!done) {
+            // time order, fromType first on ties (t._3 == fromType sorts
+            // false-before-true for toType via the boolean key)
+            val sorted = rows.filter(r => r._3 == fromType || r._3 == toType)
+              .toArray.sortBy(r => (r._2, r._3 != fromType))
+            sorted.foreach { case (_, t, tp) =>
+              if (!done) {
+                // two independent ifs, not else-if: with fromType ==
+                // toType an event is both the start and the conversion
+                // (batch gives latency 0), so it must pass through both
+                if (tp == fromType && t < firstFrom) firstFrom = t
+                if (tp == toType && firstFrom != Long.MaxValue && t >= firstFrom) {
+                  emitted = Some(Conversion(uuid, t - firstFrom))
+                  done = true
+                }
+              }
+            }
+            state.update(ConvState(firstFrom, done))
+          }
+          emitted.iterator
+      }
+  }
+
   /** Streaming exact dedup on a content key: keep the first arrival of each
     * key, drop later duplicates. State is bounded by the watermark —
     * dropDuplicatesWithinWatermark evicts keys once the event-time

@@ -1216,6 +1216,120 @@ class StreamingSpec extends SparkSpec {
     assert(streamed("u3") === ((1L, Some(10L))))  // same-ts tie: seq decides
   }
 
+  test("stateful type overlap: exactly-once pairs across batches, matrix equals batch") {
+    import graft.streaming.StreamSessions.{TypePairHit, TypeSetState}
+    implicit val tpEnc = org.apache.spark.sql.Encoders.product[TypePairHit]
+    implicit val tsEnc = org.apache.spark.sql.Encoders.product[TypeSetState]
+
+    val dir = Files.createTempDirectory("graft-sto")
+    val src = dir.resolve("src").toString
+    // u1's 'buy' lands in batch 2 → its two pairs must come from CARRIED
+    // type-set state; u2 REPEATS 'view' in batch 2 → (click,view) must
+    // not double-count; deliberately unsorted within each batch — the op
+    // is order-insensitive
+    val b1 = Seq(("u1", "click"), ("u2", "view"), ("u1", "view"),
+      ("u3", "buy"), ("u1", "view"))
+    val b2 = Seq(("u2", "click"), ("u1", "buy"), ("u2", "view"), ("u3", "buy"))
+    b1.toDF("uuid", "etype").coalesce(1).write.parquet(src)
+    Thread.sleep(1100)
+    b2.toDF("uuid", "etype").coalesce(1).write.mode("append").parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .as[(String, String)]
+    val q = StreamSessions.statefulTypeOverlap(stream)
+      .writeStream.outputMode("append").format("memory").queryName("stov")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.sql(
+        "SELECT typeA, typeB, count(*) FROM stov GROUP BY 1, 2 ORDER BY 1, 2")
+      .as[(String, String, Long)].collect()
+    val batch = graft.agg.Cohorts.typeOverlap(
+        (b1 ++ b2).toDF("uuid", "event_type"))
+      .orderBy("type_a", "type_b").as[(String, String, Long)].collect()
+    assert(streamed === batch)
+    assert(streamed.toSeq === Seq(("buy", "click", 1L), ("buy", "view", 1L),
+      ("click", "view", 2L)))
+    // exactly-once per (trail, pair): no uuid emits a pair twice
+    val dup = spark.sql(
+      "SELECT 1 FROM stov GROUP BY uuid, typeA, typeB HAVING count(*) > 1")
+    assert(dup.count() === 0L)
+  }
+
+  test("stateful conversion latency: once-per-trail across batches, histogram equals batch") {
+    import graft.streaming.StreamSessions.{ConvState, Conversion}
+    implicit val cvEnc = org.apache.spark.sql.Encoders.product[Conversion]
+    implicit val csEnc = org.apache.spark.sql.Encoders.product[ConvState]
+
+    val dir = Files.createTempDirectory("graft-scl")
+    val src = dir.resolve("src").toString
+    // u1 converts ACROSS the batch boundary (carried firstFrom); u2's
+    // buy@50 precedes its signup and must not count, its buy@60 TIES the
+    // signup time (batch counts equal-time pairs); u4 already converted
+    // in batch 1 — the batch-2 buy must not re-emit; u5 never converts
+    val b1 = Seq(("u1", 100L, "signup"), ("u2", 50L, "buy"),
+      ("u2", 60L, "signup"), ("u3", 10L, "signup"), ("u3", 10L, "buy"),
+      ("u4", 0L, "signup"), ("u4", 100L, "buy"), ("u5", 999L, "buy"))
+    val b2 = Seq(("u1", 4000L, "buy"), ("u2", 60L, "buy"),
+      ("u4", 50000L, "buy"))
+    b1.toDF("uuid", "time", "etype").coalesce(1).write.parquet(src)
+    Thread.sleep(1100)
+    b2.toDF("uuid", "time", "etype").coalesce(1).write.mode("append").parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .as[(String, Long, String)]
+    val q = StreamSessions.statefulConversionLatency(stream, "signup", "buy")
+      .writeStream.outputMode("append").format("memory").queryName("sconv")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.sql(
+        "SELECT latency DIV 3600 AS bucket, count(*) FROM sconv " +
+        "GROUP BY 1 ORDER BY 1")
+      .as[(Long, Long)].collect()
+    val batch = graft.agg.Cohorts.conversionLatency(
+        (b1 ++ b2).toDF("uuid", "time", "event_type"), "signup", "buy")
+      .orderBy("bucket").as[(Long, Long)].collect()
+    assert(streamed === batch)
+    assert(streamed.toSeq === Seq((0L, 3L), (1L, 1L)))
+    // once-only: u4 emitted exactly one conversion, latency 100
+    assert(spark.sql("SELECT count(*) FROM sconv WHERE uuid = 'u4'")
+      .head().getLong(0) === 1L)
+    assert(spark.sql("SELECT latency FROM sconv WHERE uuid = 'u4'")
+      .head().getLong(0) === 100L)
+    assert(spark.sql("SELECT count(*) FROM sconv WHERE uuid = 'u5'")
+      .head().getLong(0) === 0L)
+  }
+
+  test("stateful conversion latency: from == to converts at latency 0, like batch") {
+    import graft.streaming.StreamSessions.{ConvState, Conversion}
+    implicit val cvEnc = org.apache.spark.sql.Encoders.product[Conversion]
+    implicit val csEnc = org.apache.spark.sql.Encoders.product[ConvState]
+    val dir = Files.createTempDirectory("graft-scl0")
+    val src = dir.resolve("src").toString
+    Seq(("u1", 7L, "ping"), ("u2", 9L, "other")).toDF("uuid", "time", "etype")
+      .coalesce(1).write.parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+      .as[(String, Long, String)]
+    val q = StreamSessions.statefulConversionLatency(stream, "ping", "ping")
+      .writeStream.outputMode("append").format("memory").queryName("sconv0")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT uuid, latency FROM sconv0")
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("u1", 0L)))
+    val batch = graft.agg.Cohorts.conversionLatency(
+        Seq(("u1", 7L, "ping"), ("u2", 9L, "other"))
+          .toDF("uuid", "time", "event_type"), "ping", "ping")
+      .as[(Long, Long)].collect().toSeq
+    assert(batch === Seq((0L, 1L)))
+  }
+
   test("typed TrailSummaryAggregator folds trails with partial aggregation") {
     val events = Seq(
       TrailEvent("u1", 10L, Map("a" -> "x")),
