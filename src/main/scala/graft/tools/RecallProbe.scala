@@ -19,6 +19,8 @@ object RecallProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    if (args.contains("--aniso")) { anisoWhiteningProbe(spark); return }
+
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
 
@@ -147,6 +149,76 @@ object RecallProbe {
     val nConsistent = grp.filter(col("nfp") === 1).count()
     println(s"[probe] fingerprint: dup_groups=$nGroups consistent=$nConsistent")
 
+    spark.stop()
+  }
+
+  /** `--aniso` (round 9, r8 VERDICT task 4): measure whitening's value
+    * case for PQ on a LOW-RANK-DOMINANT corpus — the shape real model
+    * embeddings have (a handful of dominant directions over isotropic
+    * noise), which the driver's near-isotropic synthetic embeddings
+    * (eigenvalue spread 1.9×) cannot exhibit. 8 orthonormal dominant
+    * directions with scales 8..1.5 over σ=0.25 noise at dim 64, then
+    * PQ recall@10 against exact search IN THE SAME SPACE, with and
+    * without [[Similarity.whiten]] feeding the quantizer — apples to
+    * apples: does PQ approximate its own search space better once
+    * components are decorrelated and variance-balanced? */
+  private def anisoWhiteningProbe(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val dim = 64; val nDom = 8; val n = 3000; val nQ = 40; val k = 10
+    val rnd = new scala.util.Random(1234L)
+    val dirs = Array.ofDim[Double](nDom, dim)
+    for (j <- 0 until nDom) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      for (p <- 0 until j) {
+        val d = dirs(p)
+        var dot = 0.0
+        var i = 0
+        while (i < dim) { dot += v(i) * d(i); i += 1 }
+        i = 0
+        while (i < dim) { v(i) -= dot * d(i); i += 1 }
+      }
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      dirs(j) = v.map(_ / nrm)
+    }
+    val scales = Array(8.0, 6.5, 5.0, 4.0, 3.0, 2.5, 2.0, 1.5)
+    val sigma = 0.25
+    def sample(id: Long): (Long, Array[Float]) = {
+      val x = Array.fill(dim)(sigma * rnd.nextGaussian())
+      for (j <- 0 until nDom) {
+        val a = scales(j) * rnd.nextGaussian()
+        var i = 0
+        while (i < dim) { x(i) += a * dirs(j)(i); i += 1 }
+      }
+      (id, x.map(_.toFloat))
+    }
+    val corpus = (0 until n).map(i => sample(i.toLong))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val queries = (0 until nQ).map(i => sample(100000L + i))
+      .toDF("vec_id", "embedding").localCheckpoint()
+
+    def recallOf(ann: org.apache.spark.sql.DataFrame,
+        truth: org.apache.spark.sql.DataFrame): Double = {
+      val t = truth.select("query_id", "corpus_id").localCheckpoint()
+      val hits = ann.select("query_id", "corpus_id")
+        .join(t, Seq("query_id", "corpus_id")).count()
+      hits.toDouble / t.count()
+    }
+    def arm(tag: String, m: Int, c: org.apache.spark.sql.DataFrame,
+        q: org.apache.spark.sql.DataFrame): Unit = {
+      val truth = Similarity.bruteForceKnn(c, q, k = k)
+      val pq = Similarity.pqKnn(c, q, k = k, m = m, codebookK = 16,
+        shortlist = 50, dim = dim)
+      println(f"[probe] aniso pq recall@$k m=$m $tag: ${recallOf(pq, truth)}%.3f")
+    }
+    val wh = Similarity.fitWhitener(corpus, dim)
+    def white(df: org.apache.spark.sql.DataFrame) =
+      wh.transform(df).select(col("vec_id"),
+        col("whitened").cast("array<float>").as("embedding")).localCheckpoint()
+    val (cw, qw) = (white(corpus), white(queries))
+    for (m <- Seq(4, 8, 16)) {
+      arm("raw      ", m, corpus, queries)
+      arm("whitened ", m, cw, qw)
+    }
     spark.stop()
   }
 }
