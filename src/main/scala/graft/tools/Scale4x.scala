@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * every doc gains 3 exact copies — worst case for dedup) and compare each
   * heavy operator's wall-clock at 1× vs 4×. Prints a markdown table row
   * per operator. Usage: runMain graft.tools.Scale4x [sfDir]
-  * [--x16|--asof|--skew|--embskew|--keyskew|--tdb|--bitext]
+  * [--x16|--asof|--skew|--embskew|--keyskew|--tdb|--bitext|--index]
   *
   * `--x16` instead runs the 1×/4×/16× ladder: the dedup-family operators
   * whose 4× ratio was highest in round 2 (n-gram Jaccard pairs, connected-
@@ -39,6 +39,37 @@ object Scale4x {
     val base = "/tmp/graft-scale4x"
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    if (args.contains("--index")) {
+      // Persistent IVF-PQ index crossover ladder (r8 VERDICT task 5): the
+      // index's whole justification is that ENCODE cost scales with the
+      // corpus while SEARCH does not — round 8 conceded no local-scale
+      // win at one SF and asserted the crossover; this ladder SHOWS it.
+      // Same corpus replicated 1×/4×/16× (ids shifted), same 24 queries:
+      // one-pass ivfPqKnn re-trains and re-encodes the full corpus per
+      // query batch; the index path pays build ONCE, then search touches
+      // only probed cells (partition-pruned) + the bounded rerank.
+      import graft.ops.Similarity
+      val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .localCheckpoint()
+      val n1 = emb1.count()
+      val queries = emb1.filter(col("vec_id") < 24).localCheckpoint()
+      def min2(f: => Long): Double = Seq(time(f), time(f)).min
+      println("| factor | n_vecs | one-pass ivfPqKnn | index build (once) | index search |")
+      println("|---|---|---|---|---|")
+      for (f <- Seq(1, 16, 64, 256)) {
+        val corpus = emb1.crossJoin(
+            spark.range(f.toLong).select(col("id").as("_r")))
+          .withColumn("vec_id", col("vec_id") + col("_r") * n1)
+          .drop("_r").localCheckpoint()
+        val one = min2(Similarity.ivfPqKnn(corpus, queries, k = 8).count())
+        val path = s"$base/ivfidx-$f"
+        val build = time { Similarity.buildIvfPqIndex(corpus, path); 0L }
+        val search = min2(
+          Similarity.searchIvfPqIndex(path, corpus, queries, k = 8).count())
+        println(f"| ${f}× | ${f * n1} | $one%.2f s | $build%.2f s | $search%.2f s |")
+      }
+      spark.stop(); return
     }
     if (args.contains("--tdb")) {
       // Legacy .tdb READER ladder: corpus ×1/×4 (uuid-shift replication —
