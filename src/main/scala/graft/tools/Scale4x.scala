@@ -45,7 +45,7 @@ object Scale4x {
       // index's whole justification is that ENCODE cost scales with the
       // corpus while SEARCH does not — round 8 conceded no local-scale
       // win at one SF and asserted the crossover; this ladder SHOWS it.
-      // Same corpus replicated 1×/4×/16× (ids shifted), same 24 queries:
+      // Same corpus replicated 1×/16×/64×/256× (ids shifted), same 24 queries:
       // one-pass ivfPqKnn re-trains and re-encodes the full corpus per
       // query batch; the index path pays build ONCE, then search touches
       // only probed cells (partition-pruned) + the bounded rerank.
