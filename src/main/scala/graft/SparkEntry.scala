@@ -1438,6 +1438,33 @@ object SparkEntry {
           (col("_diag") < 0.05).as("diag_ok"))
     }),
 
+    // OPQ eigenvalue-allocation rotation (round 9): contract row. A pure
+    // orthogonal transform must (a) preserve every vector's norm exactly
+    // (cosine neighbors invariant — the property that makes it a FREE PQ
+    // preprocessor, unlike whitening) and (b) land in the eigenbasis, so
+    // rotated covariance off-diagonals vanish. n_vectors is the exact
+    // DuckDB-recomputed side; the booleans are the Spark-checked
+    // contract. README aniso table has the measured recall win
+    // (m=4: 0.245 raw / 0.200 whitened / 0.698 opq-rotated).
+    "e_opq" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val rot = Similarity.fitOpqRotation(emb, dim = 64, m = 4)
+      val r = rot.transform(emb).localCheckpoint()
+      val norms = r.select(
+          aggregate(col("embedding").cast("array<double>"), lit(0.0),
+            (a, e) => a + e * e).as("_raw2"),
+          aggregate(col("rotated"), lit(0.0), (a, e) => a + e * e).as("_rot2"))
+        .agg(count(lit(1)).as("n_vectors"),
+          max(abs(col("_raw2") - col("_rot2"))).as("_nd"))
+        .select(col("n_vectors"), (col("_nd") < 1e-6).as("norms_ok"))
+      val decor = Similarity.covarianceMatrix(
+          r.select(col("rotated").as("embedding")), dim = 64)
+        .agg(max(when(col("i") =!= col("j"), abs(col("cov")))
+          .otherwise(lit(0.0))).as("_off"))
+        .select((col("_off") < 0.05).as("offdiag_ok"))
+      norms.crossJoin(decor)
+    }),
+
     // Token-window chunking (size 32, stride 24): the pre-embedding split.
     // chunk_md5 proves exact chunk content without carrying the text.
     "d_chunk" -> ((s, dir) =>
@@ -3692,6 +3719,10 @@ object SparkEntry {
     "e_whiten" ->
       """SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
         |       TRUE AS offdiag_ok, TRUE AS diag_ok""".stripMargin,
+
+    "e_opq" ->
+      """SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
+        |       TRUE AS norms_ok, TRUE AS offdiag_ok""".stripMargin,
 
     // Int8 quantization: element-wise doubles are bit-identical across
     // engines (same operands, same ops); the cross-element error sum is

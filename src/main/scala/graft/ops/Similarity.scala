@@ -1250,4 +1250,78 @@ object Similarity {
     }
     Whitener(mu.toSeq, w)
   }
+
+  /** A fitted OPQ rotation (round 9): a PURE ORTHOGONAL transform — no
+    * centering, no scaling — so norms, inner products, and therefore
+    * COSINE NEIGHBORS are exactly preserved: searching the rotated space
+    * returns the raw space's answer, only the PQ quantization error
+    * changes. Same model-freeze convention as [[Whitener]]: fit once,
+    * transform every later batch with the frozen rows; the transform is
+    * dim codegen'd folds over literal rows, shuffle-free and
+    * streaming-safe. */
+  final case class OpqRotation(rows: Seq[Seq[Double]]) extends Serializable {
+    def dim: Int = rows.length
+    def transform(df: DataFrame, vecCol: String = "embedding",
+        outCol: String = "rotated"): DataFrame = {
+      val x = col(vecCol).cast("array<double>")
+      val comps = rows.map { row =>
+        aggregate(zip_with(x, typedLit(row), (a, b) => a * b),
+          lit(0.0), (acc, e) => acc + e)
+      }
+      df.withColumn(outCol, array(comps: _*))
+    }
+  }
+
+  /** Fit an OPQ rotation by EIGENVALUE ALLOCATION (the parametric OPQ of
+    * Ge et al., CVPR'13 §4 — no iterative codebook/rotation alternation):
+    * rotate to the PCA eigenbasis, then PERMUTE eigendirections into the
+    * m product-quantizer subspaces so the per-subspace variance PRODUCTS
+    * balance (greedy: eigenvalues descending, each to the non-full bucket
+    * with the smallest log-variance sum). This is what PQ actually wants
+    * — variance balanced ACROSS subspaces — where full whitening
+    * (flatten per-dimension) measurably HURTS coarse PQ on low-rank
+    * corpora (README aniso table: m=4 recall 0.245→0.200 whitened,
+    * vs gains under this rotation). Fit cost: one [[Gram]] covariance
+    * aggregate + driver Jacobi on dim×dim, same as [[fitWhitener]]. */
+  def fitOpqRotation(df: DataFrame, dim: Int, m: Int,
+      vecCol: String = "embedding"): OpqRotation = {
+    require(m > 0 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val stats = covarianceMatrix(df, dim, vecCol)
+      .select("i", "j", "n", "cov").collect()
+    require(stats.nonEmpty && stats.head.getLong(2) > 0,
+      "opq: empty corpus")
+    val cov = Array.ofDim[Double](dim, dim)
+    stats.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(3))
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (lambda, q) = jacobiEigen(cov)
+    val order = (0 until dim).sortBy(k => -lambda(k))
+    val cap = dim / m
+    val bucketOf = new Array[Int](dim) // position in `order` → bucket
+    val logSum = new Array[Double](m)
+    val fill = new Array[Int](m)
+    order.indices.foreach { pos =>
+      val lam = math.max(lambda(order(pos)), 1e-300)
+      var best = -1
+      var bestSum = Double.MaxValue
+      var b = 0
+      while (b < m) {
+        if (fill(b) < cap && logSum(b) < bestSum) { best = b; bestSum = logSum(b) }
+        b += 1
+      }
+      bucketOf(pos) = best
+      logSum(best) += math.log(lam)
+      fill(best) += 1
+    }
+    // rows grouped bucket-by-bucket: subspace s occupies output dims
+    // [s·cap, (s+1)·cap) — exactly the contiguous slices pqTrain cuts
+    val rows: Seq[Seq[Double]] = (0 until m).flatMap { b =>
+      order.indices.filter(pos => bucketOf(pos) == b).map { pos =>
+        val k = order(pos)
+        (0 until dim).map(i => q(i)(k))
+      }
+    }
+    OpqRotation(rows)
+  }
 }

@@ -28,8 +28,14 @@ import org.apache.spark.sql.functions._
   * codemap). Codes are stored LOW-BITS-FIRST (the decode table matches
   * `idx & ((1<<bits)-1) == code`), so canonical MSB codes are
   * bit-reversed per length — prefix-freeness is preserved under
-  * reversal. Bigram symbols are NOT emitted (a codebook without them is
-  * fully valid; the reader handles both). `compress = false` restores
+  * reversal. BIGRAM symbols are emitted too (round 8 — stale round-7
+  * docs said otherwise): an event's (timestamp item, first changed-field
+  * item) pair is counted as a candidate symbol alongside its two
+  * unigrams, and the encoder fuses the pair into one flag-1 gram
+  * whenever the bigram's code is shorter than its two parts — the
+  * reference's big win on repetitive streams (src/tdb_encode_model.c:
+  * 383-446 mines bigrams via Apriori; this writer admits the one
+  * bigram shape that dominates trail data). `compress = false` restores
   * the literal-only stream (all-zero codebook, never consulted). Edge
   * encoding is exact either way: only items whose value CHANGED since
   * the trail's previous event are emitted, timestamps as deltas

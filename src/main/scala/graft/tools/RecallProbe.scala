@@ -218,6 +218,14 @@ object RecallProbe {
     for (m <- Seq(4, 8, 16)) {
       arm("raw      ", m, corpus, queries)
       arm("whitened ", m, cw, qw)
+      // OPQ eigenvalue-allocation rotation is fit PER m (the allocation
+      // depends on the subspace count); pure rotation → same cosine
+      // neighbors as raw, so its recall is directly comparable
+      val rot = Similarity.fitOpqRotation(corpus, dim, m)
+      def rotated(df: org.apache.spark.sql.DataFrame) =
+        rot.transform(df).select(col("vec_id"),
+          col("rotated").cast("array<float>").as("embedding")).localCheckpoint()
+      arm("opq-rot  ", m, rotated(corpus), rotated(queries))
     }
     spark.stop()
   }

@@ -794,6 +794,57 @@ class SimilaritySpec extends SparkSpec {
     assert(diagErr < 1e-2, s"max diag error $diagErr")
   }
 
+  test("opq rotation: orthogonal, cosine neighbors invariant, subspaces balanced") {
+    val corpus = emb.limit(200).localCheckpoint()
+    val rot = Similarity.fitOpqRotation(corpus, dim = 64, m = 4)
+    // 1. R·Rᵀ = I — a pure rotation, nothing scaled or centered
+    val R = rot.rows.map(_.toArray).toArray
+    for (i <- 0 until 64; j <- i until 64) {
+      val d = (0 until 64).map(t => R(i)(t) * R(j)(t)).sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"RRt($i,$j) = $d")
+    }
+    // 2. cosine neighbors EXACTLY invariant: same pairs, same cosines
+    val queries = corpus.filter(col("vec_id") < 5)
+    def rotated(df: org.apache.spark.sql.DataFrame) =
+      rot.transform(df).select(col("vec_id"),
+        col("rotated").cast("array<float>").as("embedding"))
+    val raw = Similarity.bruteForceKnn(corpus, queries, k = 5)
+      .select(col("query_id"), col("corpus_id"), col("cosine"))
+    val rotKnn = Similarity.bruteForceKnn(rotated(corpus), rotated(queries), k = 5)
+      .select(col("query_id"), col("corpus_id"), col("cosine").as("rcos"))
+    val joined = raw.join(rotKnn, Seq("query_id", "corpus_id")).collect()
+    assert(joined.length.toLong === raw.count(),
+      "rotation changed the neighbor set")
+    // float32 cast after rotation: agreement to ~1e-6, far under any gap
+    joined.foreach(r => assert(
+      math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-5,
+      s"cosine drift on pair (${r.getLong(0)}, ${r.getLong(1)})"))
+    // 3. eigenvalue allocation BALANCES per-subspace log-variance vs the
+    // naive PCA-descending contiguous slicing — visible only on an
+    // anisotropic corpus, so build one (2 dominant directions at dim 8)
+    val rnd = new scala.util.Random(5)
+    val aniso = (0 until 400).map { i =>
+      val a = 6.0 * rnd.nextGaussian(); val b = 4.0 * rnd.nextGaussian()
+      val x = Array.tabulate(8)(d => 0.3f * rnd.nextGaussian().toFloat)
+      x(0) = (x(0) + a).toFloat; x(3) = (x(3) + b).toFloat
+      (i.toLong, x.toSeq)
+    }.toDF("vec_id", "embedding")
+    val rot8 = Similarity.fitOpqRotation(aniso, dim = 8, m = 4)
+    val diag = Similarity.covarianceMatrix(
+        rot8.transform(aniso).select(col("rotated").as("embedding")), dim = 8)
+      .filter(col("i") === col("j")).orderBy("i")
+      .select("cov").collect().map(_.getDouble(0))
+    def spread(vs: Seq[Double]): Double = {
+      val sums = vs.grouped(2).map(_.map(v => math.log(v max 1e-12)).sum).toSeq
+      sums.max - sums.min
+    }
+    val opqSpread = spread(diag.toSeq)
+    val naiveSpread = spread(diag.toSeq.sorted.reverse)
+    assert(opqSpread < naiveSpread,
+      s"allocation not balanced: opq $opqSpread vs naive $naiveSpread")
+  }
+
   test("native dot_f64 is bit-identical to the builtin zip_with fold") {
     val pairs = emb.limit(40).select($"vec_id".as("ia"), $"embedding".as("va"))
       .crossJoin(emb.limit(40).select($"vec_id".as("ib"), $"embedding".as("vb")))
