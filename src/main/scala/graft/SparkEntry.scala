@@ -1990,6 +1990,85 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
     }),
 
+    // TPC-H Q2 shape (minimum-cost supplier, round 9): the testdata has
+    // no partsupp table, so lineitem is the part↔supplier bridge — the
+    // SHAPE survives intact: per-part supplier cost table, correlated-min
+    // semi-join (cost = per-part minimum), then three broadcast dims with
+    // a region filter. Cost is an exact DECIMAL min, so the min-equality
+    // join is engine-exact (2dp source data; no double compare).
+    "q2_min_cost" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+      val reg = s.read.parquet(s"$dir/region.parquet")
+        .filter(col("r_name") === "EUROPE")
+      val ps = li.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice").cast(DecimalType(12, 2))).as("cost"))
+      val euSupp = supp
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      val euCost = ps.join(euSupp, col("l_suppkey") === col("s_suppkey"))
+      val minc = euCost.groupBy(col("l_partkey").as("_mk"))
+        .agg(min(col("cost")).as("min_cost"))
+      euCost.join(minc, col("l_partkey") === col("_mk") &&
+          col("cost") === col("min_cost"))
+        .select(col("l_partkey").as("p_partkey"), col("s_name"),
+          col("n_name"), col("s_acctbal").cast("double").as("acctbal"),
+          col("cost").cast("double").as("cost"))
+        .orderBy(col("acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q15 shape (top supplier, round 9): quarterly revenue per
+    // supplier, then the supplier(s) achieving the MAX — the scalar-
+    // subquery-on-an-aggregate-view shape. Revenue stays an exact
+    // DECIMAL(18,4) sum through the max-equality compare (order-
+    // independent, engine-exact); doubles appear only in the output.
+    "q15_top_supplier" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-04-01").cast("timestamp"))
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+      val discPrice = (col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+        .cast(DecimalType(18, 4))
+      val rev = li.groupBy(col("l_suppkey"))
+        .agg(sum(discPrice).as("total_rev"))
+      val best = rev.agg(max(col("total_rev")).as("_max"))
+      rev.join(broadcast(best), col("total_rev") === col("_max"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_rev"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q22 shape (global sales opportunity, round 9): customers with
+    // above-average positive balance and NO recent orders → per-nation
+    // count + total. The avg threshold is the classic cross-engine
+    // hazard (a double `avg` differs in the last ulp between engines and
+    // flips boundary customers), so the compare is CROSS-MULTIPLIED in
+    // exact integer cents: keep bal_cents · n_pos > sum_pos_cents — no
+    // division, no doubles, engine-exact. Anti-join on 2001+ orders.
+    "q22_opportunity" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .withColumn("bal_cents",
+          round(col("c_acctbal") * 100).cast("long"))
+      val pos = cust.filter(col("bal_cents") > 0)
+        .agg(sum(col("bal_cents")).as("_sum"), count(lit(1)).as("_n"))
+      val recent = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(pos))
+        .filter(col("bal_cents") > 0 &&
+          col("bal_cents") * col("_n") > col("_sum"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("nation"))
+        .agg(count(lit(1)).as("numcust"),
+          (sum(col("bal_cents")) / 100.0).as("totacctbal"))
+        .orderBy("nation")
+    }),
+
     // Trail funnel: trails where a signup is later followed by a purchase
     // (first-signup-before-last-purchase, the classic conversion query) —
     // one shuffle, conditional aggregates, no self-join.
@@ -3971,6 +4050,55 @@ object SparkEntry {
         |                           ORDER BY o_totalprice DESC, o_orderkey) AS rank
         |      FROM orders) t
         |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
+
+    "q2_min_cost" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |eu AS (
+        |  SELECT ps.*, s_name, s_acctbal, n_name
+        |  FROM ps
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |mc AS (SELECT l_partkey AS mk, min(cost) AS min_cost FROM eu GROUP BY 1)
+        |SELECT l_partkey AS p_partkey, s_name, n_name,
+        |  CAST(s_acctbal AS DOUBLE) AS acctbal, CAST(cost AS DOUBLE) AS cost
+        |FROM eu JOIN mc ON l_partkey = mk AND cost = min_cost
+        |ORDER BY acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)))
+        |      AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+        |    AND l_shipdate < TIMESTAMP '1999-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q22_opportunity" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |pos AS (SELECT sum(bal_cents) AS s, count(*) AS n
+        |        FROM c WHERE bal_cents > 0)
+        |SELECT c_nationkey AS nation, count(*) AS numcust,
+        |  sum(bal_cents) / 100.0 AS totacctbal
+        |FROM c, pos
+        |WHERE bal_cents > 0 AND bal_cents * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q6_forecast" ->
       """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
