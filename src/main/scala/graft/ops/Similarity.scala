@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -614,10 +614,13 @@ object Similarity {
   /** Query a [[buildIvfPqIndex]] index. `corpus` is the SOURCE table (for
     * the exact rerank of the shortlist only); candidate generation runs
     * entirely off the index. Output contract identical to [[ivfPqKnn]]. */
-  def searchIvfPqIndex(indexPath: String, corpus: DataFrame,
-      queries: DataFrame, k: Int, nprobe: Int = 4, shortlist: Int = 50,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val spark = corpus.sparkSession
+  /** Driver-resident view of a persistent index's COMPACT side: coarse
+    * centroids + product codebooks (the codes table stays on disk). */
+  private[graft] final case class IvfPqIndexMeta(cents: Array[Array[Float]],
+      cb: PqCodebooks)
+
+  private[graft] def loadIvfPqIndexMeta(spark: SparkSession,
+      indexPath: String): IvfPqIndexMeta = {
     val meta = spark.read.parquet(s"$indexPath/meta").head()
     val nCells = meta.getAs[Int]("ncells")
     val m = meta.getAs[Int]("m")
@@ -629,27 +632,76 @@ object Similarity {
       s"ivfpq index $indexPath: meta dims inconsistent")
     val cents = Array.tabulate(nCells)(i => flatCells.slice(i * dim, (i + 1) * dim))
     val subDim = dim / m
-    val cb = PqCodebooks(m, codebookK, subDim,
+    IvfPqIndexMeta(cents, PqCodebooks(m, codebookK, subDim,
       Array.tabulate(m, codebookK) { (s, j) =>
         flatCb.slice((s * codebookK + j) * subDim, (s * codebookK + j + 1) * subDim)
-      })
+      }))
+  }
+
+  /** Query-side ADC scoring against a persistent index — the pipeline
+    * shared by the batch search (which adds static partition pruning and
+    * exact rerank) and [[streamingIndexSearch]] (where a driver collect
+    * on the query side is illegal, so the codes join stays a plain
+    * stream-static equi-join on `cell`). */
+  private[graft] def indexAdcScores(indexPath: String, queries: DataFrame,
+      nprobe: Int, vecCol: String, idCol: String,
+      pruneCells: Boolean): DataFrame = {
+    val spark = queries.sparkSession
+    val idx = loadIvfPqIndexMeta(spark, indexPath)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      checkedNorm(col(vecCol), "query").as("qn"), adcTable(col(vecCol), cb).as("tbl"))
-    val qCells = probeCells(q, cents, nprobe)
+      checkedNorm(col(vecCol), "query").as("qn"),
+      adcTable(col(vecCol), idx.cb).as("tbl"))
+    val qCells = probeCells(q, idx.cents, nprobe)
       .select("query_id", "qn", "tbl", "cell", "_qcdot")
+    val codes = spark.read.parquet(s"$indexPath/codes")
     // The union of probed cells is BOUNDED by nCells regardless of query
     // count, so collecting it is always driver-safe — and turning it into
     // a literal isin() is what makes the codes scan PARTITION-PRUNE
-    // statically (a join key alone prunes nothing at plan time).
-    val probed = qCells.select("cell").distinct().collect().map(_.getInt(0))
-    val c = spark.read.parquet(s"$indexPath/codes")
-      .filter(col("cell").isin(probed.map(Int.box): _*))
-    val adc = c.join(broadcast(qCells), Seq("cell"))
+    // statically (a join key alone prunes nothing at plan time). Streams
+    // cannot collect, so the streaming path joins unpruned — per-batch
+    // cost is one codes scan, the price of a fully declarative plan.
+    val c =
+      if (pruneCells) {
+        val probed = qCells.select("cell").distinct().collect().map(_.getInt(0))
+        codes.filter(col("cell").isin(probed.map(Int.box): _*))
+      } else codes
+    c.join(if (pruneCells) broadcast(qCells) else qCells, Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("adc",
         (col("_qcdot") +
           graft.functions.GraftFunctions.adcSum(col("codes"), col("tbl"))) /
         (col("cn") * col("qn")))
+  }
+
+  /** STREAMING search against a frozen persistent index (round 9) — the
+    * model-serving shape: an unbounded stream of query vectors scored
+    * against [[buildIvfPqIndex]]'s on-disk codes, emitting each query's
+    * ADC top-k. The whole pipeline is stream-legal: probe-cell selection
+    * and ADC tables are pure expressions, the codes join is
+    * stream-static, and the shortlist is the mergeable Sketch.TopK
+    * aggregate — run it with `outputMode("update")` (each query's row
+    * group finalizes in the micro-batch that carries the query; state is
+    * O(k) per distinct query_id, so bound upstream query-id cardinality
+    * with a watermark/dedup for truly unbounded feeds). Returns ADC-
+    * ranked hits (query_id, rank, corpus_id, adc) — the exact-cosine
+    * rerank of the batch path needs a second stateful stage; do it
+    * downstream (foreachBatch) where the shortlist is already tiny.
+    * Spec-proven EQUAL to the batch execution of the same pipeline. */
+  def streamingIndexSearch(indexPath: String, queryStream: DataFrame, k: Int,
+      nprobe: Int = 4, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame =
+    topKPerQuery(
+      indexAdcScores(indexPath, queryStream, nprobe, vecCol, idCol,
+        pruneCells = false),
+      "adc", k, "adc")
+
+  def searchIvfPqIndex(indexPath: String, corpus: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int = 4, shortlist: Int = 50,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val adc = indexAdcScores(indexPath, queries, nprobe, vecCol, idCol,
+      pruneCells = true)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      checkedNorm(col(vecCol), "query").as("qn"))
     val short = topKPerQuery(adc, "adc", shortlist, "adc")
       .select("query_id", "corpus_id")
     val raw = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))

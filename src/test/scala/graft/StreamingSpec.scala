@@ -1330,6 +1330,47 @@ class StreamingSpec extends SparkSpec {
     assert(batch === Seq((0L, 1L)))
   }
 
+  test("streaming index search: ADC top-k over a frozen IVF-PQ index equals batch execution") {
+    val dir = Files.createTempDirectory("graft-sidx")
+    val rnd = new scala.util.Random(17)
+    def vec(): Seq[Float] = Seq.fill(8)(rnd.nextGaussian().toFloat)
+    val corpus = (0 until 200).map(i => (i.toLong, vec()))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val idx = s"$dir/idx"
+    graft.ops.Similarity.buildIvfPqIndex(corpus, idx,
+      nCells = 4, m = 2, codebookK = 8, dim = 8)
+    // two disjoint query batches — each query's top-k finalizes in the
+    // micro-batch that carries it, so update mode emits it exactly once
+    val q1 = (1000 until 1004).map(i => (i.toLong, vec()))
+    val q2 = (2000 until 2004).map(i => (i.toLong, vec()))
+    val src = s"$dir/src"
+    q1.toDF("vec_id", "embedding").coalesce(1).write.parquet(src)
+    Thread.sleep(1100)
+    q2.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("append").parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = graft.ops.Similarity.streamingIndexSearch(idx, stream, k = 3)
+      .writeStream.outputMode("update").format("memory").queryName("sidx")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.sql(
+        "SELECT query_id, rank, corpus_id, adc FROM sidx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e9))).sorted.toSeq
+    // batch execution of the SAME pipeline over the same queries
+    val batchQ = (q1 ++ q2).toDF("vec_id", "embedding")
+    val batch = graft.ops.Similarity.streamingIndexSearch(idx, batchQ, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e9))).sorted.toSeq
+    assert(streamed === batch)
+    assert(streamed.map(_._1).distinct.size === 8 &&
+      streamed.size === 24, "each of 8 queries must emit exactly k=3 rows")
+  }
+
   test("typed TrailSummaryAggregator folds trails with partial aggregation") {
     val events = Seq(
       TrailEvent("u1", 10L, Map("a" -> "x")),

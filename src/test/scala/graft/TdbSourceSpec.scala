@@ -299,6 +299,22 @@ class TdbSourceSpec extends SparkSpec {
       === Set("hello", "it"))
   }
 
+  test("TrailDB.open and the CLI accept a v0 directory directly") {
+    val dir = Files.createTempDirectory("graft-tdb-v0cli")
+    val df = Seq(
+      ("0" * 31 + "1", 10L, "a"), ("0" * 31 + "1", 20L, "b"),
+      ("0" * 31 + "2", 5L, "a")).toDF("uuid", "time", "etype")
+    TdbWriter.writeV0Directory(df, Seq("etype"), s"$dir/v0db")
+    val db = graft.core.TrailDB.open(spark, s"$dir/v0db")
+    assert(db.fields.toSet === Set("etype") && db.df.count() === 3)
+    graft.cli.Main.run(spark, "dump", Seq("-i", s"$dir/v0db",
+      "-o", s"$dir/out", "--csv-header"))
+    val dumped = spark.read.option("header", "true").csv(s"$dir/out")
+    assert(dumped.count() === 3)
+    assert(dumped.select("etype").collect().map(_.getString(0)).sorted.toSeq
+      === Seq("a", "a", "b"))
+  }
+
   test("make --package emits a single-file tar the CLI round-trips (S2)") {
     val dir = Files.createTempDirectory("graft-tdb-pkg")
     val csv = dir.resolve("in.csv")
