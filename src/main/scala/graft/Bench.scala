@@ -104,11 +104,19 @@ object Bench {
           .filter(kv => knownQ.contains(kv._1)).toMap
       }
     }
+    // Suspects: rows >1.5× their prior, plus rows with NO prior at all —
+    // a first-time query has no clean reference, so its first recorded
+    // number should be the isolated one, not a sweep artifact. No-prior
+    // rows sort first (infinite ratio), regressions fill the rest of the
+    // 15-row cap.
     val suspects: Seq[(String, Double)] =
       if (prior.nonEmpty)
         sweep.filter { case (n, v) =>
-          v.isFinite && v > 0.3 && prior.get(n).exists(p => v > p * 1.5) }
-          .sortBy { case (n, v) => -(v / prior(n)) }.take(15)
+          v.isFinite && v > 0.3 &&
+            prior.get(n).forall(p => v > p * 1.5) }
+          .sortBy { case (n, v) =>
+            -prior.get(n).map(p => v / p).getOrElse(Double.MaxValue) }
+          .take(15)
       else sweep.filter(_._2.isFinite).sortBy(-_._2).take(8)
     val adjudicated: Seq[(String, (Double, Double))] = suspects.map {
       case (name, sweepMin) =>

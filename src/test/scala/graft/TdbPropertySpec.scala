@@ -64,4 +64,34 @@ class TdbPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("random corpora round-trip through the FORMAT-V0 directory layout (round 9)") {
+    // Same adversarial generator through writeV0Directory → the v0 read
+    // paths: NUL-terminated lexicons (multi-byte UTF-8 byte offsets),
+    // 12-byte codebook entries, unordered cookies index. Wide timestamp
+    // items exercise the u64-packable symbol FILTER (their codes must
+    // fall back to literals, losing nothing).
+    val dir = Files.createTempDirectory("graft-tdb-propv0")
+    for (corpus <- 0 until 4) {
+      val n = 60 + corpus * 80
+      val rows = (0 until n).map(i =>
+        sample(genRow, corpus * 700001L + i))
+      val df = rows.toDF("uuid", "time", "f1", "f2").repartition(5)
+      val want = rows
+        .map(t => (t._1, t._2, Option(t._3).getOrElse(""), Option(t._4).getOrElse("")))
+        .sorted
+      for (compress <- Seq(true, false)) {
+        val out = s"$dir/v0-$corpus-$compress"
+        TdbWriter.writeV0Directory(df, Seq("f1", "f2"), out,
+          compress = compress)
+        val got = spark.read.format("tdb").load(out).collect()
+          .map(r => (r.getString(0), r.getLong(1),
+            Option(r.getString(2)).getOrElse(""),
+            Option(r.getString(3)).getOrElse("")))
+          .sorted.toSeq
+        assert(got === want,
+          s"v0 corpus $corpus (compress=$compress, $n rows) diverged")
+      }
+    }
+  }
 }
