@@ -140,6 +140,56 @@ class TdbInteropSpec extends SparkSpec {
     assert(g === c.sorted, "graft v0 reader disagrees with the C engine")
   }
 
+  test("reference engine point-lookup and CNF filters agree on a graft package") {
+    requireBinary()
+    // --uuids drives the C engine's BINARY SEARCH over OUR uuids member
+    // (src/tdb.c:569-585) — a plain dump passes even if the writer's
+    // LE-u128 sort order were wrong, but the lookup would miss; -F
+    // drives its CNF filter over OUR lexicons (item ids must line up).
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 500).map { i =>
+      val u = f"${rnd.nextInt(30)}%032x"
+      (u, 100L + i, Seq("view", "click", "buy")(rnd.nextInt(3)),
+        if (rnd.nextInt(5) == 0) null else "t" + rnd.nextInt(3))
+    }
+    val df = rows.toDF("uuid", "time", "etype", "tag")
+      .withColumn("seq", monotonically_increasing_id())
+    val dir = Files.createTempDirectory("graft-interop3")
+    val pkg = s"$dir/f.tdb"
+    TdbWriter.writePackage(df, Seq("etype", "tag"), pkg)
+
+    // 1. binary-search point lookup: every uuid in the pool individually
+    for (uid <- Seq(0, 7, 29).map(i => f"$i%032x")) {
+      val c = Process(Seq(refBin, "dump", "-j", "-i", pkg, "--uuids", uid)).!!
+        .linesIterator.count(_.nonEmpty)
+      assert(c.toLong === rows.count(_._1 == uid).toLong,
+        s"C binary search missed trail $uid")
+    }
+    // 2. CNF filters: equality, within-clause OR, negation, empty-value,
+    // and a two-clause AND — each vs the equivalent Spark filter over
+    // the same package (reference grammar: '&'-separated clauses of
+    // space-separated OR terms, f!=v negation, f= the NULL value)
+    val back = spark.read.format("tdb").load(pkg)
+      .select(col("uuid"), col("time"),
+        coalesce(col("etype"), lit("")).as("etype"),
+        coalesce(col("tag"), lit("")).as("tag")).localCheckpoint()
+    def cCount(filter: String): Long =
+      Process(Seq(refBin, "dump", "-j", "-i", pkg, "-F", filter)).!!
+        .linesIterator.count(_.nonEmpty).toLong
+    val cases: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      ("etype=view", col("etype") === "view"),
+      ("etype=view etype=buy", col("etype") === "view" || col("etype") === "buy"),
+      ("etype!=view", col("etype") =!= "view"),
+      ("tag=", col("tag") === ""),
+      ("etype=click & tag!=", col("etype") === "click" && col("tag") =!= ""))
+    cases.foreach { case (f, cond) =>
+      val c = cCount(f)
+      val ours = back.filter(cond).count()
+      assert(c === ours && ours > 0L,
+        s"filter '$f': C engine $c vs graft $ours")
+    }
+  }
+
   test("reference engine honors trail structure of a graft package (edge-encoding reverts, LE uuid order)") {
     requireBinary()
     val df = Seq(
