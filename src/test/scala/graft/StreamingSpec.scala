@@ -1305,6 +1305,36 @@ class StreamingSpec extends SparkSpec {
       .head().getLong(0) === 0L)
   }
 
+  test("stateful conversion latency: a late earlier fromType never retracts or re-emits") {
+    import graft.streaming.StreamSessions.{ConvState, Conversion}
+    implicit val cvEnc = org.apache.spark.sql.Encoders.product[Conversion]
+    implicit val csEnc = org.apache.spark.sql.Encoders.product[ConvState]
+    val dir = Files.createTempDirectory("graft-scl-late")
+    val src = dir.resolve("src").toString
+    // batch 1 converts u1 at latency 100; batch 2 delivers a LATE
+    // earlier signup@50 and a buy@60 — batch semantics over the union
+    // would say latency 10, but append mode cannot retract: the pinned
+    // contract is ONE emission, the in-order answer, nothing more
+    Seq(("u1", 100L, "signup"), ("u1", 200L, "buy"))
+      .toDF("uuid", "time", "etype").coalesce(1).write.parquet(src)
+    Thread.sleep(1100)
+    Seq(("u1", 50L, "signup"), ("u1", 60L, "buy"))
+      .toDF("uuid", "time", "etype").coalesce(1)
+      .write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .as[(String, Long, String)]
+    val q = StreamSessions.statefulConversionLatency(stream, "signup", "buy")
+      .writeStream.outputMode("append").format("memory").queryName("sconvl")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT uuid, latency FROM sconvl")
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("u1", 100L)),
+      "late straggler must neither retract nor re-emit the conversion")
+  }
+
   test("stateful conversion latency: from == to converts at latency 0, like batch") {
     import graft.streaming.StreamSessions.{ConvState, Conversion}
     implicit val cvEnc = org.apache.spark.sql.Encoders.product[Conversion]
