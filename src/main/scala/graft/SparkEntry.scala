@@ -1289,6 +1289,22 @@ object SparkEntry {
         Similarity.bruteForceKnn(emb, q, k = 3), q, minHits = 11)
     }),
 
+    // Index health statistics (round 9): the pre-trust check for the
+    // persistent index — exact code count (must equal the corpus or the
+    // index silently serves a subset) plus occupancy contract flags (cell
+    // ids are kmeans-hash-dependent, so occupancy NUMBERS are not SQL-
+    // replayable; their invariants are).
+    "e_index_stats" -> ((s, dir) => {
+      val stats = Similarity.ivfPqIndexStats(s,
+        Fixtures.ivfPqIndexPath(s, dir))
+      stats.select(col("n_cells"), col("m"), col("k"), col("dim"),
+        col("n_vectors"),
+        (col("n_cells_used") >= 1 && col("n_cells_used") <= col("n_cells"))
+          .as("cells_ok"),
+        (col("min_cell") >= 1 && col("max_cell") <= col("n_vectors") &&
+          col("min_cell") <= col("max_cell")).as("occupancy_ok"))
+    }),
+
     // Product-quantization ANN (shortlist by ADC over codegen'd PQ codes —
     // 16 codes replace the 64-float vector in the candidate stream — then
     // exact-cosine rerank of the tiny shortlist). Same invariant contract
@@ -3802,6 +3818,12 @@ object SparkEntry {
     "e_opq" ->
       """SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
         |       TRUE AS norms_ok, TRUE AS offdiag_ok""".stripMargin,
+
+    "e_index_stats" ->
+      """SELECT CAST(16 AS INT) AS n_cells, CAST(16 AS INT) AS m,
+        |       CAST(32 AS INT) AS k, CAST(64 AS INT) AS dim,
+        |       (SELECT count(*) FROM embeddings) AS n_vectors,
+        |       TRUE AS cells_ok, TRUE AS occupancy_ok""".stripMargin,
 
     // Int8 quantization: element-wise doubles are bit-identical across
     // engines (same operands, same ops); the cross-element error sum is

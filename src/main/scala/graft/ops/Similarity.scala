@@ -611,6 +611,32 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$indexPath/codes")
   }
 
+  /** Operational statistics of a persistent index (round 9) — the "is my
+    * index healthy" check before trusting search results at scale: cell
+    * occupancy (empty cells waste probes; a whale cell concentrates
+    * search cost — the README embskew hazard), total code count (must
+    * equal the corpus after build+appends, or the index silently serves
+    * a subset), and the declared geometry. ONE aggregate over the codes
+    * table's partition column — at 100 TB this reads parquet footers'
+    * worth of work per cell, never vectors. */
+  def ivfPqIndexStats(spark: SparkSession, indexPath: String): DataFrame = {
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val nCells = meta.getAs[Int]("ncells")
+    val perCell = spark.read.parquet(s"$indexPath/codes")
+      .groupBy("cell").agg(count(lit(1)).as("_n"))
+    perCell.agg(
+        count(lit(1)).as("n_cells_used"),
+        sum("_n").as("n_vectors"),
+        min("_n").as("min_cell"),
+        max("_n").as("max_cell"))
+      .select(lit(nCells).as("n_cells"),
+        lit(meta.getAs[Int]("m")).as("m"),
+        lit(meta.getAs[Int]("k")).as("k"),
+        lit(meta.getAs[Int]("dim")).as("dim"),
+        col("n_cells_used"), col("n_vectors"),
+        col("min_cell"), col("max_cell"))
+  }
+
   /** Query a [[buildIvfPqIndex]] index. `corpus` is the SOURCE table (for
     * the exact rerank of the shortlist only); candidate generation runs
     * entirely off the index. Output contract identical to [[ivfPqKnn]]. */
