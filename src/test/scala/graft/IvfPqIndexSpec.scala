@@ -59,6 +59,24 @@ class IvfPqIndexSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqIndexStats tracks build + append exactly; occupancy invariants hold") {
+    val dir = Files.createTempDirectory("graft-ivfpq-stats").toString
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 =!= 0)
+    Similarity.buildIvfPqIndex(half1, dir, nCells = 8, m = 16, codebookK = 32)
+    def stats() = Similarity.ivfPqIndexStats(spark, dir).head()
+    val s1 = stats()
+    assert(s1.getAs[Int]("n_cells") === 8 && s1.getAs[Int]("m") === 16)
+    assert(s1.getAs[Long]("n_vectors") === half1.count())
+    Similarity.appendToIvfPqIndex(half2, dir)
+    val s2 = stats()
+    assert(s2.getAs[Long]("n_vectors") === emb.count(),
+      "append must grow the code count to the full corpus")
+    assert(s2.getAs[Long]("n_cells_used") <= 8L &&
+      s2.getAs[Long]("min_cell") >= 1L &&
+      s2.getAs[Long]("max_cell") <= s2.getAs[Long]("n_vectors"))
+  }
+
   test("the codes scan partition-prunes to the probed cells") {
     val dir = Files.createTempDirectory("graft-ivfpq2").toString
     Similarity.buildIvfPqIndex(emb, dir, nCells = 8, m = 16, codebookK = 32)
