@@ -721,6 +721,29 @@ object Similarity {
         pruneCells = false),
       "adc", k, "adc")
 
+  /** The PRUNED streaming search — the production serving shape at index
+    * scale. [[streamingIndexSearch]] is fully declarative but its
+    * stream-static codes join cannot partition-prune (pruning needs a
+    * driver collect of the probed cells, illegal on a stream): every
+    * micro-batch scans ALL cells — an nCells/nprobe waste per batch on a
+    * big index. This variant runs each micro-batch through the BATCH
+    * pipeline inside foreachBatch, where the collect is legal again, so
+    * each batch reads only its probed cell partitions (same
+    * PartitionFilters the plan guard pins on the batch path) and the
+    * results go to `sink`. Exactly the same recorded rows as the
+    * declarative twin (spec-proven); trade: output is a callback, not a
+    * composable streaming DataFrame. */
+  def streamingIndexSearchPruned(indexPath: String, queryStream: DataFrame,
+      k: Int, nprobe: Int = 4, vecCol: String = "embedding",
+      idCol: String = "vec_id")(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queryStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(topKPerQuery(
+        indexAdcScores(indexPath, batch, nprobe, vecCol, idCol,
+          pruneCells = true),
+        "adc", k, "adc"), batchId)
+    }
+
   def searchIvfPqIndex(indexPath: String, corpus: DataFrame,
       queries: DataFrame, k: Int, nprobe: Int = 4, shortlist: Int = 50,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {

@@ -1401,6 +1401,49 @@ class StreamingSpec extends SparkSpec {
       streamed.size === 24, "each of 8 queries must emit exactly k=3 rows")
   }
 
+  test("pruned streaming index search: equal rows to the declarative twin, partition-pruned per batch") {
+    val dir = Files.createTempDirectory("graft-sidxp")
+    val rnd = new scala.util.Random(19)
+    def vec(): Seq[Float] = Seq.fill(8)(rnd.nextGaussian().toFloat)
+    val corpus = (0 until 200).map(i => (i.toLong, vec()))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val idx = s"$dir/idx"
+    graft.ops.Similarity.buildIvfPqIndex(corpus, idx,
+      nCells = 4, m = 2, codebookK = 8, dim = 8)
+    val qs = (500 until 506).map(i => (i.toLong, vec()))
+    val src = s"$dir/src"
+    qs.take(3).toDF("vec_id", "embedding").coalesce(1).write.parquet(src)
+    Thread.sleep(1100)
+    qs.drop(3).toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Long, Long)]
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = graft.ops.Similarity.streamingIndexSearchPruned(idx, stream, k = 3) {
+      (batchDf, _) =>
+        plans += batchDf.queryExecution.executedPlan.toString
+        collected ++= batchDf.collect().map(r => (r.getLong(0), r.getInt(1),
+          r.getLong(2), math.round(r.getDouble(3) * 1e9)))
+    }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val declarative = graft.ops.Similarity.streamingIndexSearch(idx,
+        qs.toDF("vec_id", "embedding"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e9))).sorted.toSeq
+    assert(collected.sorted.toSeq === declarative,
+      "pruned foreachBatch path diverged from the declarative twin")
+    // every per-batch codes scan must carry PartitionFilters (the prune
+    // the declarative stream-static join cannot have)
+    assert(plans.nonEmpty && plans.forall(p =>
+      p.contains("PartitionFilters: [cell")),
+      s"no partition pruning in a batch plan:\n${plans.head.take(1500)}")
+  }
+
   test("typed TrailSummaryAggregator folds trails with partial aggregation") {
     val events = Seq(
       TrailEvent("u1", 10L, Map("a" -> "x")),
