@@ -2085,6 +2085,88 @@ object SparkEntry {
         .orderBy("nation")
     }),
 
+    // TPC-H Q8 shape (national market share, round 9): a nation's share
+    // of regional revenue for one part type per order year — the widest
+    // join tree in the suite (lineitem ⋈ part ⋈ supplier ⋈ nation(supp)
+    // ⋈ orders ⋈ customer ⋈ nation(cust) ⋈ region), every dim broadcast;
+    // numerator/denominator as exact decimal sums, ONE fixed-shape
+    // double division per year (the q14 discipline).
+    "q8_market_share" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val part = s.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_type") === "ECONOMY")
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+      val n2 = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").as("_sn_key"), col("n_name").as("supp_nation"))
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val n1 = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").as("_cn_key"), col("n_regionkey").as("_cr_key"))
+      val reg = s.read.parquet(s"$dir/region.parquet")
+        .filter(col("r_name") === "ASIA")
+      val vol = (col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+        .cast(DecimalType(18, 4))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("_sn_key"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("_cn_key"))
+        .join(broadcast(reg), col("_cr_key") === col("r_regionkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_2", vol)
+            .otherwise(lit(0).cast(DecimalType(18, 4)))).cast("double") /
+          sum(vol).cast("double")).as("mkt_share"),
+          sum(vol).cast("double").as("total_volume"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    // zero-order customers land in the c_count = 0 bucket, the priority
+    // exclusion rides the JOIN condition (a WHERE would silently drop
+    // the zero bucket), two cascaded aggregates.
+    "q13_custdist" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q17 shape (small-quantity-order revenue): lineitems under
+    // 20% of their part's average quantity, for one brand. The
+    // correlated-avg threshold is the cross-engine hazard (double avg
+    // differs in the last ulp and flips boundary rows), so the compare
+    // is CROSS-MULTIPLIED in exact integers: qty < 0.2·(sum/cnt) ⟺
+    // 5·qty·cnt < sum — quantities are integral by data contract (the
+    // cast would corrupt silently otherwise, so it asserts).
+    "q17_small_qty" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val part = s.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_brand") === "Brand#13")
+      val qtyLong = {
+        val q = col("l_quantity")
+        when(q === q.cast("long").cast("double"), q.cast("long"))
+          .otherwise(raise_error(lit(
+            "q17: non-integral l_quantity breaks the exact threshold")))
+      }
+      val stats = li.groupBy(col("l_partkey").as("_pk"))
+        .agg(sum(qtyLong).as("_sq"), count(lit(1)).as("_cq"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(stats, col("l_partkey") === col("_pk"))
+        .filter(qtyLong * lit(5L) * col("_cq") < col("_sq"))
+        .agg((sum(col("l_extendedprice").cast(DecimalType(12, 2)))
+          .cast("double") / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     // Trail funnel: trails where a signup is later followed by a purchase
     // (first-signup-before-last-purchase, the classic conversion query) —
     // one shuffle, conditional aggregates, no self-join.
@@ -4105,6 +4187,50 @@ object SparkEntry {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_rev = (SELECT max(total_rev) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH v AS (
+        |  SELECT year(o_orderdate) AS o_year, n2.n_name AS supp_nation,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS vol
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA')
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN vol
+        |               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(sum(vol) AS DOUBLE) AS mkt_share,
+        |  CAST(sum(vol) AS DOUBLE) AS total_volume
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q17_small_qty" ->
+      """WITH stats AS (
+        |  SELECT l_partkey AS pk, sum(CAST(l_quantity AS BIGINT)) AS sq,
+        |         count(*) AS cq
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |         / 7.0 AS avg_yearly,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#13'
+        |JOIN stats ON l_partkey = pk
+        |WHERE CAST(l_quantity AS BIGINT) * 5 * cq < sq""".stripMargin,
 
     "q22_opportunity" ->
       """WITH c AS (
