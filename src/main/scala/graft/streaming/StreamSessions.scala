@@ -418,6 +418,48 @@ object StreamSessions {
       }
   }
 
+  /** Per-trail state for [[statefulTransitions]]: the last event's
+    * (time, seq, type) — O(1) per trail. */
+  final case class TransState(lastTime: Long, lastSeq: Long, lastType: String)
+  final case class Transition(uuid: String, fromType: String, toType: String)
+
+  /** Streaming twin of [[graft.agg.Attribution.transitions]] (round 9):
+    * each arriving event emits its (from_type, to_type) edge against the
+    * carried last event, so `groupBy(fromType, toType).count()` over the
+    * appended edges IS the batch transition-count matrix (derive the
+    * per-from probabilities downstream from the live counts). In-batch
+    * events process in (time, seq) order — the batch window's order — and
+    * NULL types coalesce to "" like the batch op. Late stragglers follow
+    * the statefulGapBands convention: emit nothing, never regress the
+    * carried (time, seq) watermark — a late event must not fabricate an
+    * edge the batch order doesn't contain. */
+  def statefulTransitions(events: Dataset[(String, Long, Long, String)])(
+      implicit enc: org.apache.spark.sql.Encoder[Transition],
+      stateEnc: org.apache.spark.sql.Encoder[TransState]): Dataset[Transition] = {
+    implicit val strEnc: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uuid: String, rows: Iterator[(String, Long, Long, String)],
+         state: GroupState[TransState]) =>
+          val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+          var last = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          sorted.foreach { case (_, t, q, tp0) =>
+            val tp = Option(tp0).getOrElse("")
+            if (last == null) last = TransState(t, q, tp)
+            else if (t > last.lastTime ||
+                (t == last.lastTime && q >= last.lastSeq)) {
+              out += Transition(uuid, last.lastType, tp)
+              last = TransState(t, q, tp)
+            }
+          }
+          if (last != null) state.update(last)
+          out.iterator
+      }
+  }
+
   /** Per-trail state for [[statefulConversionLatency]]: earliest fromType
     * time seen (MaxValue = none yet) and whether the conversion was
     * already emitted — O(1) per trail. */

@@ -1216,6 +1216,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamed("u3") === ((1L, Some(10L))))  // same-ts tie: seq decides
   }
 
+  test("stateful transitions: edges across batches equal the batch matrix incl. probabilities") {
+    import graft.streaming.StreamSessions.{Transition, TransState}
+    implicit val trEnc = org.apache.spark.sql.Encoders.product[Transition]
+    implicit val tsEnc = org.apache.spark.sql.Encoders.product[TransState]
+
+    val dir = Files.createTempDirectory("graft-strans")
+    val src = dir.resolve("src").toString
+    // u1's view→buy edge SPANS the batch boundary (carried last-type
+    // state); a null type must edge as "" like batch; ties break on seq
+    val b1 = Seq(("u1", 10L, 1L, "view"), ("u1", 20L, 2L, "click"),
+      ("u2", 5L, 1L, null), ("u2", 5L, 2L, "view"))
+    val b2 = Seq(("u1", 30L, 3L, "buy"), ("u2", 9L, 3L, "view"))
+    b1.toDF("uuid", "time", "seq", "etype").coalesce(1).write.parquet(src)
+    Thread.sleep(1100)
+    b2.toDF("uuid", "time", "seq", "etype").coalesce(1)
+      .write.mode("append").parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .as[(String, Long, Long, String)]
+    val q = StreamSessions.statefulTransitions(stream)
+      .writeStream.outputMode("append").format("memory").queryName("strn")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.sql(
+        """SELECT fromType, toType, cnt,
+          |  round(cnt / sum(cnt) OVER (PARTITION BY fromType), 6) AS p
+          |FROM (SELECT fromType, toType, count(*) AS cnt
+          |      FROM strn GROUP BY 1, 2)
+          |ORDER BY 1, 2""".stripMargin)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val batch = graft.agg.Attribution.transitions(
+        (b1 ++ b2).toDF("uuid", "time", "seq", "event_type")
+          .select(col("uuid"), col("time"), col("event_type"), col("seq")))
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.exists(t => t._1 == "click" && t._2 == "buy"),
+      "the cross-batch edge must come from carried state")
+    assert(streamed.exists(t => t._1 == ""),
+      "null type must edge as empty string like batch")
+  }
+
   test("stateful type overlap: exactly-once pairs across batches, matrix equals batch") {
     import graft.streaming.StreamSessions.{TypePairHit, TypeSetState}
     implicit val tpEnc = org.apache.spark.sql.Encoders.product[TypePairHit]
