@@ -460,6 +460,51 @@ object StreamSessions {
       }
   }
 
+  /** Per-trail state for [[statefulRetention]]: the distinct weeks this
+    * trail has been active — O(weeks-active) per trail (a year of weekly
+    * activity is 52 longs). */
+  final case class WeekSetState(weeks: Seq[Long])
+  final case class RetentionMark(uuid: String, week: Long, mark: String)
+
+  /** Streaming twin of the weekly retention rollup (round 9, t_retention):
+    * emits an `active` mark ONCE per (trail, week) and a `retained` mark
+    * ONCE per consecutive-week pair (w, w+1) — attributed to week w, in
+    * the batch where the SECOND week of the pair first appears. Downstream
+    * `groupBy(week)` counting actives and retained marks IS the batch
+    * rollup. Adjacency is checked in BOTH directions (a new week w pairs
+    * with an already-seen w−1 AND w+1), so the operator is
+    * order-insensitive — a late week that completes a pair still emits
+    * it, exactly like the batch distinct-week window would count it. */
+  def statefulRetention(events: Dataset[(String, Long)],
+      weekSeconds: Long = 604800L)(
+      implicit enc: org.apache.spark.sql.Encoder[RetentionMark],
+      stateEnc: org.apache.spark.sql.Encoder[WeekSetState]): Dataset[RetentionMark] = {
+    implicit val strEnc: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[WeekSetState, RetentionMark](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uuid: String, rows: Iterator[(String, Long)],
+         state: GroupState[WeekSetState]) =>
+          val seen = scala.collection.mutable.HashSet.empty[Long]
+          seen ++= state.getOption.map(_.weeks).getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[RetentionMark]
+          rows.foreach { case (_, t) =>
+            val w = java.lang.Math.floorDiv(t, weekSeconds)
+            if (!seen.contains(w)) {
+              out += RetentionMark(uuid, w, "active")
+              if (seen.contains(w - 1))
+                out += RetentionMark(uuid, w - 1, "retained")
+              if (seen.contains(w + 1))
+                out += RetentionMark(uuid, w, "retained")
+              seen += w
+            }
+          }
+          state.update(WeekSetState(seen.toSeq))
+          out.iterator
+      }
+  }
+
   /** Per-trail state for [[statefulConversionLatency]]: earliest fromType
     * time seen (MaxValue = none yet) and whether the conversion was
     * already emitted — O(1) per trail. */

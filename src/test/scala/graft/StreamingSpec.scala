@@ -1261,6 +1261,56 @@ class StreamingSpec extends SparkSpec {
       "null type must edge as empty string like batch")
   }
 
+  test("stateful retention: active/retained marks across batches equal the batch rollup") {
+    import graft.streaming.StreamSessions.{RetentionMark, WeekSetState}
+    implicit val rmEnc = org.apache.spark.sql.Encoders.product[RetentionMark]
+    implicit val wsEnc = org.apache.spark.sql.Encoders.product[WeekSetState]
+    val W = 604800L
+    val dir = Files.createTempDirectory("graft-sret")
+    val src = dir.resolve("src").toString
+    // u1: weeks 5,6 SPAN the batch boundary (retained pair from carried
+    // state); u2: duplicate events in week 3 (one active mark), then an
+    // OUT-OF-ORDER week 2 in batch 2 completing the (2,3) pair late;
+    // u3: isolated week 9 (active only)
+    val b1 = Seq(("u1", 5 * W + 10), ("u2", 3 * W + 1), ("u2", 3 * W + 99),
+      ("u3", 9 * W))
+    val b2 = Seq(("u1", 6 * W + 3), ("u2", 2 * W + 7))
+    b1.toDF("uuid", "time").coalesce(1).write.parquet(src)
+    Thread.sleep(1100)
+    b2.toDF("uuid", "time").coalesce(1).write.mode("append").parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .as[(String, Long)]
+    val q = StreamSessions.statefulRetention(stream)
+      .writeStream.outputMode("append").format("memory").queryName("sret")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.sql(
+        """SELECT week, count(CASE WHEN mark = 'active' THEN 1 END) AS n_active,
+          |       count(CASE WHEN mark = 'retained' THEN 1 END) AS n_retained
+          |FROM sret GROUP BY 1 ORDER BY 1""".stripMargin)
+      .as[(Long, Long, Long)].collect().toSeq
+    // the batch rollup (the t_retention shape) over the same events
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("uuid").orderBy("week")
+    val batch = (b1 ++ b2).toDF("uuid", "time")
+      .select(col("uuid"), expr("time DIV 604800").as("week")).distinct()
+      .withColumn("ret", (lead("week", 1).over(w) === col("week") + 1).cast("long"))
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_active"),
+        coalesce(sum("ret"), lit(0L)).as("n_retained"))
+      .orderBy("week").as[(Long, Long, Long)].collect().toSeq
+    assert(streamed === batch)
+    // the late week-2 must have completed the (2,3) pair
+    assert(streamed.exists(t => t._1 == 2L && t._3 == 1L),
+      "late earlier week must still complete its retained pair")
+    assert(streamed === Seq((2L, 1L, 1L), (3L, 1L, 0L), (5L, 1L, 1L),
+      (6L, 1L, 0L), (9L, 1L, 0L)))
+  }
+
   test("stateful type overlap: exactly-once pairs across batches, matrix equals batch") {
     import graft.streaming.StreamSessions.{TypePairHit, TypeSetState}
     implicit val tpEnc = org.apache.spark.sql.Encoders.product[TypePairHit]
