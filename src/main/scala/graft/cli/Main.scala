@@ -11,7 +11,7 @@ import graft.filter.EventFilter
   *
   *   tdb make  -o OUT (-c CSV | -j JSONL) -f f1,f2 [--csv-header]
   *             [--delimiter D] [--skip-bad-input] [--uuid-col C] [--time-col C]
-  *             [--uuids SPEC]
+  *             [--uuids SPEC] [--package PKG | --tdb-format pkg|dir]
   *   tdb dump  -i DB [-F FILTER] [--fields uuid,time,f1] [--uuids SPEC]
   *             [--index IDX] [-o OUT] [-c | -j] [--json-no-empty]
   *             [--delimiter D] [--csv-header]
@@ -46,7 +46,7 @@ object Main {
     * has separate long_options tables per op for exactly this reason). */
   private val valueFlags: Map[String, Set[String]] = Map(
     "make"  -> Set("-o", "-c", "-j", "-f", "--delimiter", "--uuid-col",
-      "--time-col", "--uuids", "--package"),
+      "--time-col", "--uuids", "--package", "--tdb-format"),
     "dump"  -> Set("-i", "-F", "-o", "--fields", "--uuids", "--delimiter", "--index"),
     "merge" -> Set("-o", "-i", "-F", "--uuids"),
     "index" -> Set("-i", "-o"),
@@ -202,6 +202,22 @@ object Main {
         one("--package").foreach { pkg =>
           graft.sources.TdbWriter.writePackage(db.df, db.fields, pkg)
           println(s"[make] packaged $out as $pkg")
+        }
+        // reference-CLI parity: `--tdb-format pkg` makes the OUTPUT a
+        // single-file package at `<out>.tdb` (the reference writes the
+        // one-file format in place; here the parquet dir remains the
+        // scale layout and the package is the interchange artifact
+        // beside it). 'dir' is the default and a no-op; anything else
+        // refuses like getopt would.
+        one("--tdb-format").foreach {
+          case "pkg" =>
+            val pkg = s"$out.tdb"
+            graft.sources.TdbWriter.writePackage(db.df, db.fields, pkg)
+            println(s"[make] packaged $out as $pkg")
+          case "dir" => ()
+          case other =>
+            throw GraftError.BadArgs(
+              s"make: --tdb-format must be 'pkg' or 'dir', got '$other'")
         }
 
       case "dump" =>

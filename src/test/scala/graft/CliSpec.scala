@@ -78,6 +78,28 @@ class CliSpec extends SparkSpec {
     assert(stale.getMessage.contains("STALE INDEX"), stale.getMessage)
   }
 
+  test("make --tdb-format pkg emits a package beside the dir (reference flag parity)") {
+    val dir = Files.createTempDirectory("graft-cli-tdbfmt")
+    val csv = dir.resolve("in.csv")
+    Files.writeString(csv,
+      "uuid,time,etype\n" +
+      (0 until 12).map(i => f"${i % 3}%032x,${100 + i},e${i % 2}").mkString("\n"))
+    Main.run(spark, "make", Seq("-o", s"$dir/db", "-c", csv.toString,
+      "-f", "etype", "--csv-header", "--tdb-format", "pkg"))
+    val back = spark.read.format("tdb").load(s"$dir/db.tdb")
+    assert(back.count() === 12L)
+    // 'dir' is the default layout — a no-op beyond the parquet db
+    Main.run(spark, "make", Seq("-o", s"$dir/db2", "-c", csv.toString,
+      "-f", "etype", "--csv-header", "--tdb-format", "dir"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/db2.tdb")))
+    // anything else refuses with the bad-args exit class
+    val e = intercept[graft.core.GraftError.BadArgs] {
+      Main.run(spark, "make", Seq("-o", s"$dir/db3", "-c", csv.toString,
+        "-f", "etype", "--csv-header", "--tdb-format", "zip"))
+    }
+    assert(e.getMessage.contains("pkg"), e.getMessage)
+  }
+
   test("diff --summary-limit truncates loudly; default path bounded (r8 VERDICT)") {
     val dir = Files.createTempDirectory("graft-cli-difflim")
     def writeCsv(name: String, rows: Int): String = {
