@@ -58,7 +58,7 @@ object Main {
     * that is not a known flag of the op (e.g. `-F '-x=1'`, `--delimiter
     * '-'`), mirroring getopt_long's behavior in the reference CLI. */
   private val boolFlags: Map[String, Set[String]] = Map(
-    "make"  -> Set("--csv-header", "--skip-bad-input"),
+    "make"  -> Set("--csv-header", "--skip-bad-input", "--no-bigrams"),
     "dump"  -> Set("-c", "-j", "--json-no-empty", "--csv-header"),
     "merge" -> Set.empty[String],
     "index" -> Set.empty[String],
@@ -199,8 +199,10 @@ object Main {
         // can open (src/tdb_cons_package.c's layout), for shipping samples
         // as one artifact. The parquet dir stays the scale layout; the
         // package is an additional bounded export.
+        val useBigrams = flags("--no-bigrams").isEmpty
         one("--package").foreach { pkg =>
-          graft.sources.TdbWriter.writePackage(db.df, db.fields, pkg)
+          graft.sources.TdbWriter.writePackage(db.df, db.fields, pkg,
+            bigrams = useBigrams)
           println(s"[make] packaged $out as $pkg")
         }
         // reference-CLI parity: `--tdb-format pkg` makes the OUTPUT a
@@ -212,7 +214,8 @@ object Main {
         one("--tdb-format").foreach {
           case "pkg" =>
             val pkg = s"$out.tdb"
-            graft.sources.TdbWriter.writePackage(db.df, db.fields, pkg)
+            graft.sources.TdbWriter.writePackage(db.df, db.fields, pkg,
+              bigrams = useBigrams)
             println(s"[make] packaged $out as $pkg")
           case "dir" => ()
           case other =>

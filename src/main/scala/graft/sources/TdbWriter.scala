@@ -53,8 +53,8 @@ import org.apache.spark.sql.functions._
 object TdbWriter {
 
   def writePackage(df: DataFrame, fieldNames: Seq[String], out: String,
-      compress: Boolean = true): Unit =
-    writeImpl(df, fieldNames, out, compress, v0 = false)
+      compress: Boolean = true, bigrams: Boolean = true): Unit =
+    writeImpl(df, fieldNames, out, compress, v0 = false, bigrams)
 
   /** Write a FORMAT-V0 directory — the pre-release layout (no `version`
     * file, `cookies` instead of `uuids`, 0-terminated lexicon strings,
@@ -69,10 +69,15 @@ object TdbWriter {
     * wrongly binary-searches a v0 index fails the spec. */
   def writeV0Directory(df: DataFrame, fieldNames: Seq[String], out: String,
       compress: Boolean = true): Unit =
-    writeImpl(df, fieldNames, out, compress, v0 = true)
+    writeImpl(df, fieldNames, out, compress, v0 = true, bigrams = true)
 
+  /** `bigrams = false` mirrors the reference CLI's `--no-bigrams`
+    * (tdbcli/main.c usage; TDB_CONS_NO_BIGRAMS in tdb_cons_finalize):
+    * unigram Huffman codes only — the codebook carries no fused symbols,
+    * trading compression for a cheaper model pass. Format-valid either
+    * way; the reader handles both. */
   private def writeImpl(df: DataFrame, fieldNames: Seq[String], out: String,
-      compress: Boolean, v0: Boolean): Unit = {
+      compress: Boolean, v0: Boolean, bigrams: Boolean): Unit = {
     import graft.core.TrailSchema.{SeqCol, TimeCol, UuidCol}
 
     // byte-reversed hex = sort key whose string order equals the
@@ -175,7 +180,7 @@ object TdbWriter {
         if (!isFirst) {
           val tsItem = TdbFormat.makeItem(0, ts - prevTs)
           count(tsItem, 0L)
-          if (firstChanged != -1L) count(tsItem, firstChanged)
+          if (bigrams && firstChanged != -1L) count(tsItem, firstChanged)
         }
         prevTs = ts
       }
@@ -289,7 +294,7 @@ object TdbWriter {
         val delta = ts - prevTs
         prevTs = ts
         var from = 0
-        val big = if (nCh == 0) null else codeMap.get(
+        val big = if (!bigrams || nCh == 0) null else codeMap.get(
           (TdbFormat.makeItem(0, delta), TdbFormat.makeItem(chF(0), chV(0))))
         if (big != null && big._2 + 1 < costOf(0, delta) + costOf(chF(0), chV(0))) {
           enc.huffman(big._1, big._2); from = 1

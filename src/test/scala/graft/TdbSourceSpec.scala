@@ -299,6 +299,31 @@ class TdbSourceSpec extends SparkSpec {
       === Set("hello", "it"))
   }
 
+  test("--no-bigrams: unigram-only codebook, still round-trips (reference flag parity)") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 600).map { i =>
+      (f"${rnd.nextInt(12)}%032x", 1000L + (i / 12) * 30L,
+        Seq("a", "b")(rnd.nextInt(2)))
+    }
+    val df = rows.toDF("uuid", "time", "etype")
+      .withColumn("seq", monotonically_increasing_id())
+    val dir = Files.createTempDirectory("graft-tdb-nobig")
+    val big = s"$dir/big.tdb"; val nobig = s"$dir/nobig.tdb"
+    TdbWriter.writePackage(df, Seq("etype"), big)
+    TdbWriter.writePackage(df, Seq("etype"), nobig, bigrams = false)
+    def readBack(p: String) = spark.read.format("tdb").load(p)
+      .select("uuid", "time", "etype").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(readBack(nobig) === readBack(big))
+    assert(readBack(nobig) === rows.sorted)
+    // the no-bigrams codebook must carry NO fused symbols (hi all zero);
+    // the regular-cadence corpus guarantees the default build has some
+    def hasBigram(p: String): Boolean =
+      TdbFormat.codebook(TdbFormat.TdbArchive.open(p)).hi.exists(_ != 0L)
+    assert(hasBigram(big), "test corpus failed to produce bigram symbols")
+    assert(!hasBigram(nobig), "--no-bigrams codebook carries fused symbols")
+  }
+
   test("TrailDB.open and the CLI accept a v0 directory directly") {
     val dir = Files.createTempDirectory("graft-tdb-v0cli")
     val df = Seq(
