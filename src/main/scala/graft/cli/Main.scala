@@ -99,8 +99,11 @@ object Main {
     var flags = Map.empty[String, List[String]].withDefaultValue(Nil)
     var pos = List.empty[String]
     var i = 0
-    val takesValue = valueFlags(op)
-    val known = takesValue ++ boolFlags(op)
+    // -T/--threads and -v/--verbose are GLOBAL options in the reference
+    // (tdbcli/main.c getopt table) — accepted for every op here so
+    // reference scripts parse identically; semantics in [[run]].
+    val takesValue = valueFlags(op) + "-T" + "--threads"
+    val known = takesValue ++ boolFlags(op) ++ Set("-v", "--verbose")
     while (i < args.length) {
       val a = args(i)
       // A value-taking flag consumes the next token unless it is a KNOWN
@@ -164,6 +167,17 @@ object Main {
   def run(spark: SparkSession, op: String, rest: Seq[String]): Unit = {
     val (flags, _) = parseFlags(op, rest)
     def one(k: String): Option[String] = flags(k).headOption.filter(_.nonEmpty)
+
+    // Reference-global flags, for script parity: the reference's
+    // -T/--threads picks its encode-thread count — parallelism here is
+    // Spark's scheduler, so the flag is acknowledged loudly rather than
+    // silently swallowed or crashed on; -v/--verbose turns on INFO
+    // logging, the reference's diagnostic chatter to stderr.
+    one("-T").orElse(one("--threads")).foreach(n => System.err.println(
+      s"[tdb] --threads $n noted: parallelism is managed by Spark " +
+        "(executor/core config), not a per-op thread count"))
+    if (flags("-v").nonEmpty || flags("--verbose").nonEmpty)
+      spark.sparkContext.setLogLevel("INFO")
 
     op match {
       case "make" =>
