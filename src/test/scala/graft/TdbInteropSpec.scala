@@ -188,6 +188,21 @@ class TdbInteropSpec extends SparkSpec {
       assert(c === ours && ours > 0L,
         s"filter '$f': C engine $c vs graft $ours")
     }
+    // 3. --fields projection: the C engine's output column mapping over
+    // our lexicons (op_dump.c output_fields) must yield exactly our
+    // projected rows
+    val proj = Process(Seq(refBin, "dump", "-j", "-i", pkg,
+        "--fields", "uuid,etype")).!!
+      .linesIterator.filter(_.nonEmpty).map { line =>
+        val kv = """"([^"]*)": "([^"]*)"""".r
+          .findAllMatchIn(line).map(m => m.group(1) -> m.group(2)).toMap
+        assert(kv.keySet === Set("uuid", "etype"),
+          s"C --fields dump leaked columns: ${kv.keySet}")
+        (kv("uuid"), kv("etype"))
+      }.toSeq.sorted
+    val oursProj = back.select("uuid", "etype").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(proj === oursProj, "C --fields projection diverges")
   }
 
   test("reference engine honors trail structure of a graft package (edge-encoding reverts, LE uuid order)") {
