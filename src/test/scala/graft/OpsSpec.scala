@@ -845,6 +845,43 @@ class SimilaritySpec extends SparkSpec {
       s"allocation not balanced: opq $opqSpread vs naive $naiveSpread")
   }
 
+  test("opq rotation: orthogonality and neighbor invariance hold on random anisotropic corpora") {
+    // property sweep over seeded random low-rank corpora — the shapes
+    // the single-case spec above can't cover (varying rank, scale
+    // spread, rank-deficient dims)
+    for (seed <- Seq(101, 202, 303)) {
+      val rnd = new scala.util.Random(seed)
+      val dim = 16
+      val nDom = 2 + rnd.nextInt(4)
+      val corpus = (0 until 250).map { i =>
+        val x = Array.fill(dim)(0.2f * rnd.nextGaussian().toFloat)
+        for (j <- 0 until nDom) {
+          val a = (5.0 - j) * rnd.nextGaussian()
+          x(j * 3 % dim) = (x(j * 3 % dim) + a).toFloat
+        }
+        (i.toLong, x.toSeq)
+      }.toDF("vec_id", "embedding").localCheckpoint()
+      val rot = Similarity.fitOpqRotation(corpus, dim, m = 4)
+      val R = rot.rows.map(_.toArray).toArray
+      for (i <- 0 until dim; j <- i until dim) {
+        val d = (0 until dim).map(t => R(i)(t) * R(j)(t)).sum
+        assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9,
+          s"seed $seed RRt($i,$j) = $d")
+      }
+      val queries = corpus.filter(col("vec_id") < 4)
+      def rotated(df: org.apache.spark.sql.DataFrame) =
+        rot.transform(df).select(col("vec_id"),
+          col("rotated").cast("array<float>").as("embedding"))
+      val raw = Similarity.bruteForceKnn(corpus, queries, k = 4)
+        .select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rotSet = Similarity.bruteForceKnn(rotated(corpus), rotated(queries), k = 4)
+        .select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rotSet === raw, s"seed $seed: neighbor set changed under rotation")
+    }
+  }
+
   test("native dot_f64 is bit-identical to the builtin zip_with fold") {
     val pairs = emb.limit(40).select($"vec_id".as("ia"), $"embedding".as("va"))
       .crossJoin(emb.limit(40).select($"vec_id".as("ib"), $"embedding".as("vb")))

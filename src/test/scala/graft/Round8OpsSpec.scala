@@ -359,6 +359,42 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairsPrefix ≡ containmentPairs on random corpora at random thresholds") {
+    // The ADVICE bug class was a threshold-dependent prefix under-sizing
+    // invisible to fixed-threshold tests — so sweep SEEDED random corpora
+    // (shared shingle pools force overlap, variable doc lengths hit many
+    // (1−t)·sz residues) against random thresholds including exact
+    // tenths (the integer-boundary-prone values).
+    val rnd = new scala.util.Random(97)
+    for (round <- 0 until 3) {
+      val pool = (0 until 60).map(i => s"w$i")
+      val bases = (0 until 15).map { d =>
+        val n = 8 + rnd.nextInt(30)
+        (0 until n).map(_ => pool(rnd.nextInt(pool.length)))
+      }
+      // half the corpus is random; half is EDITS of earlier docs
+      // (prefix/suffix trims, insertions) — real containment pairs at
+      // many different (1−t)·sz residues
+      val docs = (bases.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t.mkString(" "))
+      } ++ bases.take(10).zipWithIndex.map { case (t, i) =>
+        val drop = rnd.nextInt(math.max(1, t.length / 3))
+        val extra = (0 until rnd.nextInt(8)).map(_ => s"x${i}_${rnd.nextInt(99)}")
+        ((100 + i).toLong, (t.drop(drop) ++ extra).mkString(" "))
+      }).toDF("doc_id", "text")
+      val t = Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9,
+        0.25 + rnd.nextDouble() * 0.7)(rnd.nextInt(8))
+      val exact = Dedup.containmentPairs(docs, k = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      val prefix = Dedup.containmentPairsPrefix(docs, k = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      assert(prefix === exact,
+        s"round $round t=$t: prefix ${prefix.length} vs exact ${exact.length}")
+      assert(exact.nonEmpty || t > 0.75,
+        s"round $round t=$t: corpus produced no pairs — test has no teeth")
+    }
+  }
+
   test("containmentPairsPrefix: exact integer (1-t)·sz boundary, rarest shingle missed") {
     // Engineered for the FP under-sizing bug: t=0.9, A has exactly 10
     // distinct shingles, B holds exactly 9 of them (containment 9/10 = t,
