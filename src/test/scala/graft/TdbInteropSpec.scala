@@ -78,9 +78,12 @@ class TdbInteropSpec extends SparkSpec {
     val df = rows.toDF("uuid", "time", "etype", "tag")
       .withColumn("seq", monotonically_increasing_id())
     val dir = Files.createTempDirectory("graft-interop")
-    for (compress <- Seq(true, false)) {
-      val pkg = s"$dir/x$compress.tdb"
-      TdbWriter.writePackage(df, Seq("etype", "tag"), pkg, compress = compress)
+    // three encoder modes, all format-v1: bigram huffman (default),
+    // unigram-only huffman (--no-bigrams), literal-only
+    for ((compress, bigrams) <- Seq((true, true), (true, false), (false, true))) {
+      val pkg = s"$dir/x$compress-$bigrams.tdb"
+      TdbWriter.writePackage(df, Seq("etype", "tag"), pkg,
+        compress = compress, bigrams = bigrams)
       val c = cDumpJson(pkg)
         .map { case (u, t, m) => (u, t, m("etype"), m("tag")) }.sorted
       val ours = spark.read.format("tdb").load(pkg)
@@ -89,11 +92,11 @@ class TdbInteropSpec extends SparkSpec {
           Option(r.getString(2)).getOrElse(""),
           Option(r.getString(3)).getOrElse(""))).sorted.toSeq
       assert(c === ours,
-        s"C engine and graft reader disagree on compress=$compress package")
+        s"C engine and graft reader disagree on compress=$compress bigrams=$bigrams package")
       // and both equal the source data (NULL and "" both dump as "")
       val want = rows.map(t => (t._1, t._2, t._3,
         Option(t._4).getOrElse(""))).sorted
-      assert(c === want, s"C dump diverges from source at compress=$compress")
+      assert(c === want, s"C dump diverges from source at compress=$compress bigrams=$bigrams")
     }
   }
 
