@@ -1261,6 +1261,46 @@ class StreamingSpec extends SparkSpec {
       "null type must edge as empty string like batch")
   }
 
+  test("stateful type overlap: random corpus under a random 3-way batch split equals batch") {
+    import graft.streaming.StreamSessions.{TypePairHit, TypeSetState}
+    implicit val tpEnc = org.apache.spark.sql.Encoders.product[TypePairHit]
+    implicit val tsEnc = org.apache.spark.sql.Encoders.product[TypeSetState]
+    val rnd = new scala.util.Random(73)
+    val events = (0 until 300).map { _ =>
+      (s"u${rnd.nextInt(25)}", s"t${rnd.nextInt(6)}")
+    }
+    // random split — types repeat across arbitrary batch boundaries, the
+    // case the engineered fixture can't sweep
+    val parts = events.map(e => (rnd.nextInt(3), e)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    val dir = Files.createTempDirectory("graft-stov-prop")
+    val src = dir.resolve("src").toString
+    (0 until 3).foreach { b =>
+      parts.getOrElse(b, Seq(("u0", "t0"))).toDF("uuid", "etype")
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100)
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .as[(String, String)]
+    val q = StreamSessions.statefulTypeOverlap(stream)
+      .writeStream.outputMode("append").format("memory").queryName("stovp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql(
+        "SELECT typeA, typeB, count(*) FROM stovp GROUP BY 1, 2 ORDER BY 1, 2")
+      .as[(String, String, Long)].collect().toSeq
+    val all = events ++ (0 until 3).filterNot(parts.contains)
+      .map(_ => ("u0", "t0"))
+    val batch = graft.agg.Cohorts.typeOverlap(all.toDF("uuid", "event_type"))
+      .orderBy("type_a", "type_b").as[(String, String, Long)].collect().toSeq
+    assert(streamed === batch)
+    val dup = spark.sql(
+      "SELECT 1 FROM stovp GROUP BY uuid, typeA, typeB HAVING count(*) > 1")
+    assert(dup.count() === 0L, "a (trail, pair) emitted twice")
+  }
+
   test("stateful retention: active/retained marks across batches equal the batch rollup") {
     import graft.streaming.StreamSessions.{RetentionMark, WeekSetState}
     implicit val rmEnc = org.apache.spark.sql.Encoders.product[RetentionMark]
