@@ -322,6 +322,13 @@ class TdbSourceSpec extends SparkSpec {
       TdbFormat.codebook(TdbFormat.TdbArchive.open(p)).hi.exists(_ != 0L)
     assert(hasBigram(big), "test corpus failed to produce bigram symbols")
     assert(!hasBigram(nobig), "--no-bigrams codebook carries fused symbols")
+    // and the fused symbols must actually pay on this regular-cadence
+    // corpus: the bigram stream is strictly smaller
+    def dataSize(p: String): Long =
+      TdbFormat.TdbArchive.open(p).size("trails.data")
+    assert(dataSize(big) < dataSize(nobig),
+      s"bigram stream ${dataSize(big)} not smaller than unigram-only " +
+        s"${dataSize(nobig)}")
   }
 
   test("TrailDB.open and the CLI accept a v0 directory directly") {
