@@ -108,7 +108,10 @@ object Bench {
     // a first-time query has no clean reference, so its first recorded
     // number should be the isolated one, not a sweep artifact. No-prior
     // rows sort first (infinite ratio), regressions fill the rest of the
-    // 15-row cap.
+    // 15-row cap. The 0.3 s floor applies to no-prior rows too: a
+    // sub-0.3 s first appearance can't hide a meaningful phantom, and
+    // the 15 adjudication slots are better spent on rows where suite
+    // interference is actually visible.
     val suspects: Seq[(String, Double)] =
       if (prior.nonEmpty)
         sweep.filter { case (n, v) =>

@@ -343,7 +343,12 @@ object Main {
           // toLocalIterator holds one partition at a time; the cap (r8
           // ADVICE; override with --summary-limit N, 0 = unlimited)
           // truncates LOUDLY so a cut report can't read as a short diff.
-          val limit = one("--summary-limit").map(_.toLong).getOrElse(10000L)
+          val limit = one("--summary-limit").map { v =>
+            try v.toLong catch {
+              case _: NumberFormatException => throw GraftError.BadArgs(
+                s"diff: --summary-limit must be a number, got '$v'")
+            }
+          }.getOrElse(10000L)
           val it = d.groupBy(col(TrailSchema.UuidCol))
             .agg(sum(col("n_added")).as("n_added"),
               sum(col("n_removed")).as("n_removed"))

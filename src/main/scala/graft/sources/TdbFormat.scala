@@ -352,7 +352,7 @@ object TdbFormat {
   final class Codebook(val lo: Array[Long], val hi: Array[Long],
       val bits: Array[Int])
 
-  def codebook(ar: TdbArchive, version: Long = 1L): Codebook =
+  def codebook(ar: TdbArchive, version: Long): Codebook =
     codebookCache.computeIfAbsent(ar.path, _ => {
       val n = 65536
       val entry = if (version == 0L) 12 else 20

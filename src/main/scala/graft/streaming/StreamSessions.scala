@@ -432,7 +432,11 @@ object StreamSessions {
     * NULL types coalesce to "" like the batch op. Late stragglers follow
     * the statefulGapBands convention: emit nothing, never regress the
     * carried (time, seq) watermark — a late event must not fabricate an
-    * edge the batch order doesn't contain. */
+    * edge the batch order doesn't contain. The comparison is STRICT:
+    * (time, seq) is unique per trail (seq is the per-trail sequence), so
+    * an event at exactly the carried watermark can only be an
+    * at-least-once redelivery of the last event — it is dropped rather
+    * than fabricating a self-edge. */
   def statefulTransitions(events: Dataset[(String, Long, Long, String)])(
       implicit enc: org.apache.spark.sql.Encoder[Transition],
       stateEnc: org.apache.spark.sql.Encoder[TransState]): Dataset[Transition] = {
@@ -450,7 +454,7 @@ object StreamSessions {
             val tp = Option(tp0).getOrElse("")
             if (last == null) last = TransState(t, q, tp)
             else if (t > last.lastTime ||
-                (t == last.lastTime && q >= last.lastSeq)) {
+                (t == last.lastTime && q > last.lastSeq)) {
               out += Transition(uuid, last.lastType, tp)
               last = TransState(t, q, tp)
             }
