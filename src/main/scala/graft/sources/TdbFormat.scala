@@ -353,7 +353,7 @@ object TdbFormat {
       val bits: Array[Int])
 
   def codebook(ar: TdbArchive, version: Long): Codebook =
-    codebookCache.computeIfAbsent(ar.path, _ => {
+    codebookCache.computeIfAbsent((ar.path, version), _ => {
       val n = 65536
       val entry = if (version == 0L) 12 else 20
       require(ar.size("trails.codebook") >= n.toLong * entry,
@@ -384,7 +384,7 @@ object TdbFormat {
     })
 
   private val codebookCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Codebook]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Codebook]()
   private val lexiconCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[String]]()
   private[sources] def clearCaches(): Unit = {

@@ -319,7 +319,7 @@ class TdbSourceSpec extends SparkSpec {
     // the no-bigrams codebook must carry NO fused symbols (hi all zero);
     // the regular-cadence corpus guarantees the default build has some
     def hasBigram(p: String): Boolean =
-      TdbFormat.codebook(TdbFormat.TdbArchive.open(p)).hi.exists(_ != 0L)
+      TdbFormat.codebook(TdbFormat.TdbArchive.open(p), 1L).hi.exists(_ != 0L)
     assert(hasBigram(big), "test corpus failed to produce bigram symbols")
     assert(!hasBigram(nobig), "--no-bigrams codebook carries fused symbols")
     // and the fused symbols must actually pay on this regular-cadence
