@@ -2167,6 +2167,183 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
     }),
 
+    // TPC-H Q9 shape (product-type profit by nation and year): the
+    // 5-way star join with a two-term profit expression. No partsupp
+    // table in this schema, so unit cost is p_retailprice (the
+    // q2_min_cost adaptation discipline). Each term is summed as an
+    // exact decimal separately and the subtraction is ONE double op at
+    // the end — order-independent on both engines. Part (name-filtered,
+    // selective) and nation broadcast; lineitem⋈orders is the only big
+    // shuffle.
+    "q9_profit" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val part = s.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_name").contains("bolt"))
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val dp = (col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+        .cast(DecimalType(18, 4))
+      val cost = (col("p_retailprice").cast(DecimalType(12, 2)) *
+        col("l_quantity").cast(DecimalType(12, 2))).cast(DecimalType(18, 4))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg((sum(dp).cast("double") - sum(cost).cast("double"))
+          .as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q12 shape (shipping-mode priority split): the order⋈lineitem
+    // join with a non-equi residual (late ship: l_shipdate > o_orderdate,
+    // standing in for the commit/receipt pair this schema lacks) and
+    // priority-conditional counts, grouped by l_returnflag (the shipmode
+    // stand-in). Pure counts — no float hazard at all.
+    "q12_priority" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.join(ord, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // TPC-H Q16 shape (supplier count by part attributes): distinct
+    // part-supplier pairs (derived from lineitem — no partsupp table),
+    // a NOT-IN exclusion subquery (s_suppkey is non-null by data
+    // contract, so NOT IN ⟺ left-anti join — the null-aware variant
+    // would need a degenerate broadcast null check), and COUNT(DISTINCT)
+    // per attribute triple. The anti side and the filtered part dim are
+    // both broadcast; the only big shuffles are the pair-distinct and
+    // the final partial-distinct aggregate.
+    "q16_supplier_cnt" -> ((s, dir) => {
+      val pairs = s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_partkey", "l_suppkey").distinct()
+      val part = s.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "MEDIUM" &&
+          col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+      val badSupp = s.read.parquet(s"$dir/supplier.parquet")
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      pairs.join(broadcast(badSupp),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"),
+          col("p_size").cast("long").as("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // TPC-H Q19 shape (discounted revenue, OR-of-ANDs): three disjoint
+    // brand/size/quantity/type branches OR'd together across the
+    // part⋈lineitem join. The mixed-table disjunction cannot be pushed
+    // through the join as-is, so each side's IMPLIED disjunction is
+    // derived by hand (part: the three part-only branches; lineitem:
+    // the quantity hull 1..30) — both reach the parquet scans as
+    // PushedFilters while the full residual runs post-join.
+    "q19_disjunctive" -> ((s, dir) => {
+      val pb1 = col("p_brand") === "Brand#11" &&
+        col("p_size").between(1, 5) && col("p_type") === "SMALL"
+      val pb2 = col("p_brand") === "Brand#22" &&
+        col("p_size").between(1, 10) && col("p_type") === "MEDIUM"
+      val pb3 = col("p_brand") === "Brand#33" &&
+        col("p_size").between(1, 15) && col("p_type") === "LARGE"
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_quantity").between(1, 30))
+      val part = s.read.parquet(s"$dir/part.parquet")
+        .filter(pb1 || pb2 || pb3)
+      val dp = (col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+        .cast(DecimalType(18, 4))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter((pb1 && col("l_quantity").between(1, 11)) ||
+          (pb2 && col("l_quantity").between(10, 20)) ||
+          (pb3 && col("l_quantity").between(20, 30)))
+        .agg(sum(dp).cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // TPC-H Q20 shape (excess-stock suppliers): nested aggregation —
+    // per-(part, supplier) shipped quantity in one year vs HALF the
+    // part's total, for name-matched parts, then a semi join into
+    // supplier. No partsupp/availqty in this schema, so "excess" =
+    // the supplier shipped the strict majority of the part's volume
+    // (2·qty > total, exact in longs — quantities are integral by data
+    // contract). The part filter is applied BEFORE both aggregates
+    // (per-part totals are unaffected); the qualifying-supplier set is
+    // tiny and broadcast into the semi join.
+    "q20_excess" -> ((s, dir) => {
+      val part = s.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_name").contains("bolt"))
+      val sq = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      val tot = sq.groupBy(col("l_partkey").as("_pk"))
+        .agg(sum("qty").as("tq"))
+      val qual = sq.join(tot, col("l_partkey") === col("_pk"))
+        .filter(lit(2L) * col("qty") > col("tq"))
+        .select("l_suppkey").distinct()
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+        .filter(col("n_name").isin("NATION_3", "NATION_4"))
+      s.read.parquet(s"$dir/supplier.parquet")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(qual), col("s_suppkey") === col("l_suppkey"),
+          "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_name")
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the double
+    // EXISTS / NOT-EXISTS lineitem self-join, rewritten Spark-first as
+    // ONE pass — after the li⋈orders('F') shuffle the per-(order,
+    // supplier) late-line counts, the per-order supplier/late-supplier
+    // counts (window over the SAME partitioning — EnsureRequirements
+    // inserts no further exchange), and the qualification predicate
+    // (line late ∧ >1 supplier in order ∧ exactly 1 late supplier ⟺
+    // EXISTS other-supplier ∧ NOT EXISTS other-late-supplier) all run
+    // without a second scan of lineitem. Lateness = shipped >60 days
+    // after order date (this schema has no commit/receipt dates). The
+    // DuckDB oracle keeps the literal double-EXISTS form, proving the
+    // rewrite.
+    "q21_waiting" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey")
+      val ordF = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val perSupp = s.read.parquet(s"$dir/lineitem.parquet")
+        .join(ordF, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("_late",
+          (col("l_shipdate") > col("o_orderdate") +
+            expr("INTERVAL 60 DAYS")).cast("int"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(sum("_late").as("_n_late"))
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+      perSupp
+        .withColumn("_nsupp", count(lit(1)).over(w))
+        .withColumn("_nlate_supp",
+          sum((col("_n_late") > 0).cast("int")).over(w))
+        .filter(col("_n_late") > 0 && col("_nsupp") > 1 &&
+          col("_nlate_supp") === 1)
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(sum("_n_late").as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
     // Trail funnel: trails where a signup is later followed by a purchase
     // (first-signup-before-last-purchase, the classic conversion query) —
     // one shuffle, conditional aggregates, no self-join.
@@ -4257,6 +4434,91 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount >= 0.03 AND l_discount <= 0.05
         |  AND l_quantity < 24""".stripMargin,
+
+    "q9_profit" ->
+      """WITH t AS (
+        |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS dp,
+        |    CAST(CAST(p_retailprice AS DECIMAL(12,2))
+        |      * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(18,4)) AS cost
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT nation, o_year,
+        |  CAST(sum(dp) AS DOUBLE) - CAST(sum(cost) AS DOUBLE) AS sum_profit
+        |FROM t GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q12_priority" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM pairs JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type <> 'MEDIUM'
+        |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11 AND p_type = 'SMALL')
+        |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20 AND p_type = 'MEDIUM')
+        |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30 AND p_type = 'LARGE')""".stripMargin,
+
+    "q20_excess" ->
+      """WITH sq AS (
+        |  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS qty
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+        |  WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+        |    AND l_shipdate < TIMESTAMP '2000-01-01'
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT l_partkey AS pk, sum(qty) AS tq FROM sq GROUP BY 1),
+        |qual AS (
+        |  SELECT DISTINCT l_suppkey FROM sq JOIN tot ON l_partkey = pk
+        |  WHERE 2 * qty > tq)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM qual)
+        |  AND n_name IN ('NATION_3', 'NATION_4')
+        |ORDER BY s_name""".stripMargin,
+
+    "q21_waiting" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
 
     "t_funnel" ->
       s"""$TrailsCte
