@@ -558,28 +558,70 @@ object Similarity {
     * the tiny shortlist (the `corpus` arg — the source table — supplies
     * them; the index stays m×log2(k) bits per vector). Same
     * residual-IVFADC math as [[ivfPqKnn]]; IvfPqIndexSpec proves
-    * build+search ≡ the in-one-pass operator row-for-row. */
+    * build+search ≡ the in-one-pass operator row-for-row.
+    *
+    * `opq = true` (round 11) trains a [[fitOpqRotation]] on the corpus
+    * and freezes it in the index meta: centroids, codebooks, and codes
+    * all live in the ROTATED space (where PQ subspace variances are
+    * balanced — the README aniso table's measured recall win), and
+    * every later query/append batch is rotated with the frozen rows
+    * before encoding. The rotation is orthogonal, so cosine neighbors
+    * are mathematically unchanged — only quantization error shrinks —
+    * and the exact rerank still runs on RAW vectors. */
   def buildIvfPqIndex(corpus: DataFrame, path: String, nCells: Int = 16,
       m: Int = 4, codebookK: Int = 16, dim: Int = 64,
-      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      opq: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val pts = sampleVectors(corpus, vecCol)
+    val rot: Option[OpqRotation] =
+      if (opq) Some(fitOpqRotation(corpus, dim, m, vecCol)) else None
+    val src = applyRotation(corpus, rot, vecCol, "_ev")
+    val pts = sampleVectors(src, "_ev")
     val cents = lloyd(pts, nCells, iters = 10, seed = 42L)
     val flatCells = cents.flatMap(_.toSeq).toSeq
     val cb = pqTrainPoints(residualPoints(pts, cents), m, codebookK, dim)
-    corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("_cv"),
-        checkedNorm(col(vecCol), "corpus").as("cn"),
+    src.select(col(idCol).as("corpus_id"), col("_ev").as("_cv"),
+        checkedNorm(col("_ev"), "corpus").as("cn"),
         element_at(graft.functions.GraftFunctions.pqCodes(
-          col(vecCol), 1, nCells, flatCells), 1).as("cell"))
+          col("_ev"), 1, nCells, flatCells), 1).as("cell"))
       .withColumn("codes", graft.functions.GraftFunctions.pqResidualCodes(
         col("_cv"), col("cell"), m, codebookK, cb.flat, flatCells))
       .drop("_cv")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
-    Seq((nCells, m, codebookK, dim, flatCells, cb.flat))
-      .toDF("ncells", "m", "k", "dim", "cells", "codebooks")
+    val rotFlat: Seq[Double] = rot.map(_.rows.flatten).getOrElse(Seq.empty)
+    Seq((nCells, m, codebookK, dim, flatCells, cb.flat, rotFlat))
+      .toDF("ncells", "m", "k", "dim", "cells", "codebooks", "rot")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
+
+  /** Rotate `vecCol` into `outCol` with the frozen OPQ rows (identity
+    * when none). The PQ/ADC expressions are float-typed, so the rotated
+    * doubles cast back to float — the same rounding on the build, append,
+    * and query paths, so all three see one consistent geometry. */
+  private def applyRotation(df: DataFrame, rot: Option[OpqRotation],
+      vecCol: String, outCol: String): DataFrame = rot match {
+    case Some(r) =>
+      r.transform(df, vecCol, outCol)
+        .withColumn(outCol, col(outCol).cast("array<float>"))
+    case None => df.withColumn(outCol, col(vecCol))
+  }
+
+  /** Parse the frozen rotation out of an index meta row. Absent column
+    * (an index built before round 11) or an empty array both mean "no
+    * rotation" — on-disk back-compat. */
+  private def rotationFromMeta(meta: org.apache.spark.sql.Row,
+      dim: Int): Option[OpqRotation] =
+    if (!meta.schema.fieldNames.contains("rot")) None
+    else {
+      val flat = meta.getSeq[Double](meta.fieldIndex("rot"))
+      if (flat.isEmpty) None
+      else {
+        require(flat.length == dim * dim,
+          s"ivfpq index: rot has ${flat.length} entries, want ${dim * dim}")
+        Some(OpqRotation(flat.grouped(dim).map(_.toSeq).toSeq))
+      }
+    }
 
   /** Append new vectors to a [[buildIvfPqIndex]] index WITHOUT retraining
     * — the incremental-ingest path (the batch-vs-corpus analog of
@@ -601,10 +643,12 @@ object Similarity {
     val codebookK = meta.getAs[Int]("k")
     val flatCells = meta.getSeq[Float](meta.fieldIndex("cells"))
     val flatCb = meta.getSeq[Float](meta.fieldIndex("codebooks"))
-    newRows.select(col(idCol).as("corpus_id"), col(vecCol).as("_cv"),
-        checkedNorm(col(vecCol), "corpus").as("cn"),
+    val rot = rotationFromMeta(meta, meta.getAs[Int]("dim"))
+    applyRotation(newRows, rot, vecCol, "_ev")
+      .select(col(idCol).as("corpus_id"), col("_ev").as("_cv"),
+        checkedNorm(col("_ev"), "corpus").as("cn"),
         element_at(graft.functions.GraftFunctions.pqCodes(
-          col(vecCol), 1, nCells, flatCells), 1).as("cell"))
+          col("_ev"), 1, nCells, flatCells), 1).as("cell"))
       .withColumn("codes", graft.functions.GraftFunctions.pqResidualCodes(
         col("_cv"), col("cell"), m, codebookK, flatCb, flatCells))
       .drop("_cv")
@@ -643,7 +687,7 @@ object Similarity {
   /** Driver-resident view of a persistent index's COMPACT side: coarse
     * centroids + product codebooks (the codes table stays on disk). */
   private[graft] final case class IvfPqIndexMeta(cents: Array[Array[Float]],
-      cb: PqCodebooks)
+      cb: PqCodebooks, rot: Option[OpqRotation])
 
   private[graft] def loadIvfPqIndexMeta(spark: SparkSession,
       indexPath: String): IvfPqIndexMeta = {
@@ -661,7 +705,7 @@ object Similarity {
     IvfPqIndexMeta(cents, PqCodebooks(m, codebookK, subDim,
       Array.tabulate(m, codebookK) { (s, j) =>
         flatCb.slice((s * codebookK + j) * subDim, (s * codebookK + j + 1) * subDim)
-      }))
+      }), rotationFromMeta(meta, dim))
   }
 
   /** Query-side ADC scoring against a persistent index — the pipeline
@@ -674,9 +718,12 @@ object Similarity {
       pruneCells: Boolean): DataFrame = {
     val spark = queries.sparkSession
     val idx = loadIvfPqIndexMeta(spark, indexPath)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      checkedNorm(col(vecCol), "query").as("qn"),
-      adcTable(col(vecCol), idx.cb).as("tbl"))
+    // frozen-rotation queries: probe cells, ADC tables, and norms are all
+    // computed in the SAME rotated space the codes were encoded in
+    val q = applyRotation(queries, idx.rot, vecCol, "_eqv")
+      .select(col(idCol).as("query_id"), col("_eqv").as("qv"),
+        checkedNorm(col("_eqv"), "query").as("qn"),
+        adcTable(col("_eqv"), idx.cb).as("tbl"))
     val qCells = probeCells(q, idx.cents, nprobe)
       .select("query_id", "qn", "tbl", "cell", "_qcdot")
     val codes = spark.read.parquet(s"$indexPath/codes")
