@@ -9,12 +9,13 @@ import graft.filter.EventFilter
 /** CLI front-end mirroring the reference's `tdb` tool
   * (reference: tdbcli/main.c:30-141 ops and flags):
   *
-  *   tdb make  -o OUT (-c CSV | -j JSONL) -f f1,f2 [--csv-header]
+  *   tdb make  -o OUT (-c CSV | -j JSONL) (-f f1,f2 | -f 2:uuid,5:time,30:f3)
+  *             [--csv-header]
   *             [--delimiter D] [--skip-bad-input] [--uuid-col C] [--time-col C]
   *             [--uuids SPEC] [--package PKG | --tdb-format pkg|dir]
   *   tdb dump  -i DB [-F FILTER] [--fields uuid,time,f1] [--uuids SPEC]
-  *             [--index IDX] [-o OUT] [-c | -j] [--json-no-empty]
-  *             [--delimiter D] [--csv-header]
+  *             [--index IDX | --no-index] [-o OUT] [-c | -j]
+  *             [--json-no-empty] [--delimiter D] [--csv-header]
   *   tdb merge -o OUT -i DB1 -i DB2 [...] [-F FILTER] [--uuids SPEC]
   *   tdb index -i DB [-o IDX]   (build the inverted (field,value,page)
   *                               skipping index — see [[graft.core.TrailIndex]];
@@ -59,7 +60,7 @@ object Main {
     * '-'`), mirroring getopt_long's behavior in the reference CLI. */
   private val boolFlags: Map[String, Set[String]] = Map(
     "make"  -> Set("--csv-header", "--skip-bad-input", "--no-bigrams"),
-    "dump"  -> Set("-c", "-j", "--json-no-empty", "--csv-header"),
+    "dump"  -> Set("-c", "-j", "--json-no-empty", "--csv-header", "--no-index"),
     "merge" -> Set.empty[String],
     "index" -> Set.empty[String],
     "diff"  -> Set("--summary")
@@ -182,17 +183,72 @@ object Main {
     op match {
       case "make" =>
         val out = one("-o").getOrElse(throw GraftError.BadArgs("make: -o OUT required"))
-        val fields = one("-f").map(_.split(",").toSeq).getOrElse(Nil)
+        val rawFields = one("-f").map(_.split(",").toSeq).getOrElse(Nil)
+        // Positional column-ID form — `-f 2:uuid,5:time,30:f3` (reference:
+        // tdbcli/main.c:102-108 help, op_make.c:93-117
+        // init_fields_from_arg): 1-based CSV column ids; 'uuid' and 'time'
+        // are required names, the rest become fields in ARG order, and
+        // unlisted columns are ignored. Headerless Spark CSV names columns
+        // _c0.., so id N routes to _c{N-1}. The reference silently prefers
+        // the header when --csv-header is also given (op_make.c:245-248) —
+        // graft refuses the ambiguous combination loudly instead
+        // (documented divergence). An id past the file's widest row fails
+        // the uuid/time projection loudly, like the reference's per-line
+        // "UUID missing" DIE.
+        val positional = rawFields.exists(_.contains(":"))
+        val (fields, posMapping) =
+          if (!positional) (rawFields, Map.empty[String, String])
+          else {
+            if (flags("--csv-header").nonEmpty)
+              throw GraftError.BadArgs(
+                "make: positional --fields (N:name) and --csv-header are mutually exclusive")
+            val entries = rawFields.map { e =>
+              val i = e.indexOf(':')
+              if (i <= 0 || i == e.length - 1)
+                throw GraftError.BadArgs(
+                  s"make: bad positional field '$e' (want N:name)")
+              val idx =
+                try e.substring(0, i).toInt
+                catch { case _: NumberFormatException =>
+                  throw GraftError.BadArgs(s"make: bad field index in '$e'") }
+              if (idx < 1)
+                throw GraftError.BadArgs(s"make: field index must be >= 1 in '$e'")
+              (idx, e.substring(i + 1))
+            }
+            val names = entries.map(_._2)
+            Seq(TrailSchema.UuidCol, TrailSchema.TimeCol).foreach { req =>
+              if (!names.contains(req))
+                throw GraftError.BadArgs(s"make: field '$req' is missing in --fields")
+            }
+            val dups = names.diff(names.distinct).distinct
+            if (dups.nonEmpty)
+              throw GraftError.BadArgs(
+                s"make: duplicate field(s) in --fields: ${dups.mkString(",")}")
+            val ids = entries.map(_._1)
+            val idDups = ids.diff(ids.distinct).distinct
+            if (idDups.nonEmpty)
+              throw GraftError.BadArgs(
+                s"make: duplicate column id(s) in --fields: ${idDups.mkString(",")}")
+            (names.filterNot(n =>
+                n == TrailSchema.UuidCol || n == TrailSchema.TimeCol),
+              entries.map { case (idx, n) => n -> s"_c${idx - 1}" }.toMap)
+          }
         val cons = new TrailDBCons(spark, fields)
-        val mapping = Seq(
-          one("--uuid-col").map("uuid" -> _),
-          one("--time-col").map("time" -> _)).flatten.toMap
+        val mapping =
+          if (positional) posMapping
+          else Seq(
+            one("--uuid-col").map("uuid" -> _),
+            one("--time-col").map("time" -> _)).flatten.toMap
         val skipBad = flags("--skip-bad-input").nonEmpty
         one("-c").foreach(csv => cons.addCsv(csv,
           delimiter = one("--delimiter").getOrElse(","),
           header = flags("--csv-header").nonEmpty,
           mapping = mapping, skipBadInput = skipBad))
-        one("-j").foreach(j => cons.addJsonl(j, mapping, skipBad))
+        // JSON input addresses values by KEY, never by position (reference:
+        // op_make.c:262-372 json path uses field NAMES) — the positional
+        // ids apply to the CSV reader only.
+        one("-j").foreach(j =>
+          cons.addJsonl(j, if (positional) Map.empty else mapping, skipBad))
         // --uuids on make selects the subset of trails to INGEST
         // (reference usage: tdbcli/main.c:84-90). The count line is
         // derived from the FINALIZED db instead of a pre-pass: after the
@@ -247,14 +303,50 @@ object Main {
         // it would silently dump the whole db instead.
         flags("-F").headOption.foreach { f =>
           val filter = parseFilter(f)
+          val unfiltered = db
           db = db.withFilter(filter)
-          // --index IDX: prune to candidate pages before the scan (the
-          // reference's "Evaluating X/N trails" path, op_dump.c:239-247).
-          one("--index").foreach { idx =>
-            // validate the binding against THIS -i db (a db+index pair
-            // moved together still validates; a stale index still refuses)
-            db = graft.core.TrailIndex.prunedDb(db,
-              graft.core.TrailIndex.open(spark, idx, Some(in)), filter)
+          // Index pruning before the scan (the reference's "Evaluating X/N
+          // trails" path, op_dump.c:227-252): an explicit --index IDX wins;
+          // otherwise probe the canonical paths beside the db —
+          // DB/index, DB.index, DB.tdb.index in that order
+          // (tdbcli/tdb_index.c:637-662 tdb_index_find; DB.index is also
+          // our `tdb index` default output). --no-index disables BOTH,
+          // like the reference's `!opt->no_index &&` guard. A discovered
+          // index that fails its db-binding check still refuses loudly —
+          // auto-discovery relaxes WHERE the index is found, never whether
+          // a stale one may prune.
+          val idxPath =
+            if (flags("--no-index").nonEmpty) None
+            else one("--index").orElse(
+              Seq(s"$in/index", s"$in.index", s"$in.tdb.index").find { p =>
+                val hp = new org.apache.hadoop.fs.Path(p)
+                hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                  .exists(hp)
+              })
+          idxPath match {
+            case Some(idx) =>
+              // validate the binding against THIS -i db (a db+index pair
+              // moved together still validates; a stale index still refuses)
+              val index = graft.core.TrailIndex.open(spark, idx, Some(in))
+              val candDb = graft.core.TrailIndex
+                .prunedDb(unfiltered, index, filter)
+              if (!(candDb eq unfiltered)) {
+                // the progress line counts what the INDEX rules in, not
+                // what the filter will keep (the reference's candidates
+                // are pages × trails_per_page, pre-filter;
+                // op_dump.c:239-247) — so both numbers come from the
+                // UNFILTERED handle: one distinct count on the page-
+                // restricted, column-pruned uuid scan
+                val cand = candDb.df.select(TrailSchema.UuidCol)
+                  .distinct().count()
+                val total = unfiltered.numTrails
+                val pct = if (total == 0) 0.0 else 100.0 * cand / total
+                println(f"[dump] using index at $idx. " +
+                  f"Evaluating $cand/$total ($pct%2.2f%%) trails.")
+              } else println(s"[dump] index at $idx cannot prune this filter")
+              db = graft.core.TrailIndex.prunedDb(db, index, filter)
+            case None =>
+              println("[dump] not using an index")
           }
         }
         flags("--uuids").headOption.foreach { us =>

@@ -326,4 +326,96 @@ class CliSpec extends SparkSpec {
     assert(kept.filter(org.apache.spark.sql.functions.col("val").isNull).count() === 1)
     assert(kept.filter(org.apache.spark.sql.functions.col("val") === "hello").count() === 1)
   }
+
+  test("make -f N:name maps out-of-order positional CSV columns (op_make.c:93-117)") {
+    val dir = Files.createTempDirectory("graft-cli-posf")
+    val csv = dir.resolve("in.csv")
+    // headerless; uuid in col 2, time in col 4, fields from cols 5 and 1 —
+    // deliberately out of order and with an ignored column (3)
+    Files.writeString(csv,
+      (0 until 12).map(i =>
+        s"v${i % 3},${f"${i % 4}%032x"},junk$i,${100 + i},e${i % 2}")
+        .mkString("\n"))
+    Main.run(spark, "make", Seq("-o", s"$dir/db", "-c", csv.toString,
+      "-f", "2:uuid,4:time,5:etype,1:vcol"))
+    val db = TrailDB.open(spark, s"$dir/db")
+    assert(db.numTrails === 4 && db.numEvents === 12)
+    // fields appear in ARG order (etype before vcol), values routed by
+    // column id, the unlisted col 3 ignored
+    assert(db.fields === Seq("etype", "vcol"))
+    val r = db.df.filter(org.apache.spark.sql.functions.col("time") === 100)
+      .select("etype", "vcol").head()
+    assert(r.getString(0) === "e0" && r.getString(1) === "v0")
+
+    // same data via the name-mapped header path must round-trip identically
+    val csvh = dir.resolve("inh.csv")
+    Files.writeString(csvh, "vcol,uuid,junk,time,etype\n" +
+      Files.readString(csv))
+    Main.run(spark, "make", Seq("-o", s"$dir/dbh", "-c", csvh.toString,
+      "-f", "etype,vcol", "--csv-header"))
+    val viaHeader = TrailDB.open(spark, s"$dir/dbh").df
+      .select("uuid", "time", "etype", "vcol")
+      .collect().map(_.toString).sorted.toSeq
+    val viaPos = db.df.select("uuid", "time", "etype", "vcol")
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaPos === viaHeader && viaPos.nonEmpty)
+
+    // malformed specs refuse loudly: missing uuid/time, bad index, dup id,
+    // and the ambiguous positional+header combination
+    def bad(fields: String, extra: Seq[String] = Nil) =
+      intercept[graft.core.GraftError.BadArgs] {
+        Main.run(spark, "make", Seq("-o", s"$dir/x", "-c", csv.toString,
+          "-f", fields) ++ extra)
+      }
+    assert(bad("2:uuid,5:etype").getMessage.contains("time"))
+    assert(bad("0:uuid,4:time").getMessage.contains(">= 1"))
+    assert(bad("2:uuid,4:time,2:etype").getMessage.contains("duplicate"))
+    assert(bad("2:uuid,4:time,5:").getMessage.contains("N:name"))
+    assert(bad("2:uuid,4:time,5:etype", Seq("--csv-header"))
+      .getMessage.contains("mutually exclusive"))
+  }
+
+  test("dump auto-discovers DB.index and --no-index disables it (op_dump.c:227-252)") {
+    val dir = Files.createTempDirectory("graft-cli-autoidx")
+    val csv = dir.resolve("in.csv")
+    // uuids differ in the FIRST two hex chars — one index page (prefix
+    // len 2) per trail, so the candidate count reflects REAL pruning
+    Files.writeString(csv,
+      "uuid,time,etype\n" +
+      (0 until 40).map(i => f"${i % 8}%02x${"00" * 15},${100 + i},e${i % 4}")
+        .mkString("\n"))
+    Main.run(spark, "make", Seq("-o", s"$dir/db", "-c", csv.toString,
+      "-f", "etype", "--csv-header"))
+    Main.run(spark, "index", Seq("-i", s"$dir/db"))  // default: db.index
+
+    def capture(args: Seq[String]): Seq[String] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+        Main.run(spark, "dump", args)
+      }
+      bos.toString("UTF-8").linesIterator.toSeq
+    }
+    // no --index flag: the canonical sibling path is probed and used, and
+    // the reference's progress line is printed
+    val auto = capture(Seq("-i", s"$dir/db", "-F", "etype=e1",
+      "-o", s"$dir/dump-auto", "--csv-header"))
+    // etype=e1 lives in trails 1 and 5 only → the index prunes 8 → 2, and
+    // the reference-style line reports candidates out of ALL db trails
+    assert(auto.exists(_.contains(
+      s"using index at $dir/db.index. Evaluating 2/8 (25.00%) trails.")), auto)
+    // --no-index: same rows, no index line
+    val noIdx = capture(Seq("-i", s"$dir/db", "-F", "etype=e1",
+      "--no-index", "-o", s"$dir/dump-noidx", "--csv-header"))
+    assert(noIdx.exists(_.contains("not using an index")), noIdx)
+    def rows(p: String) = spark.read.option("header", "true").csv(p)
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(s"$dir/dump-auto") === rows(s"$dir/dump-noidx"))
+    assert(rows(s"$dir/dump-auto").nonEmpty)
+    // --no-index beats an explicit --index too (the reference's
+    // !opt->no_index guards BOTH discovery and --index-path)
+    val both = capture(Seq("-i", s"$dir/db", "-F", "etype=e1", "--no-index",
+      "--index", s"$dir/db.index", "-o", s"$dir/dump-both", "--csv-header"))
+    assert(both.exists(_.contains("not using an index")), both)
+    assert(rows(s"$dir/dump-both") === rows(s"$dir/dump-noidx"))
+  }
 }
