@@ -53,8 +53,22 @@ import org.apache.spark.sql.functions._
 object TdbWriter {
 
   def writePackage(df: DataFrame, fieldNames: Seq[String], out: String,
-      compress: Boolean = true, bigrams: Boolean = true): Unit =
-    writeImpl(df, fieldNames, out, compress, v0 = false, bigrams)
+      compress: Boolean = true, bigrams: Boolean = true,
+      maxLexiconValues: Long = DefaultMaxLexiconValues): Unit =
+    writeImpl(df, fieldNames, out, compress, v0 = false, bigrams,
+      maxLexiconValues)
+
+  /** Driver-lexicon guard for the single-file export: the format packs
+    * EVERY distinct field value into one in-memory lexicon section
+    * (reference: src/tdb_cons.c lexicon build — the same inherent
+    * single-node bound), so a field whose cardinality exceeds the cap
+    * must refuse loudly instead of OOMing the driver mid-export. 2^22
+    * values (~a few hundred MB of strings at typical value sizes) is far
+    * past any db the single-file format is suited for; callers exporting
+    * a wider lexicon on a big driver raise the cap explicitly. Same
+    * sizing discipline as [[graft.ops.Dedup.bloomDedup]]'s
+    * maxBloomBytes. */
+  val DefaultMaxLexiconValues: Long = 1L << 22
 
   /** Write a FORMAT-V0 directory — the pre-release layout (no `version`
     * file, `cookies` instead of `uuids`, 0-terminated lexicon strings,
@@ -68,8 +82,10 @@ object TdbWriter {
     * string uuid order — NOT the v1 LE-u128 order — so a reader that
     * wrongly binary-searches a v0 index fails the spec. */
   def writeV0Directory(df: DataFrame, fieldNames: Seq[String], out: String,
-      compress: Boolean = true): Unit =
-    writeImpl(df, fieldNames, out, compress, v0 = true, bigrams = true)
+      compress: Boolean = true,
+      maxLexiconValues: Long = DefaultMaxLexiconValues): Unit =
+    writeImpl(df, fieldNames, out, compress, v0 = true, bigrams = true,
+      maxLexiconValues)
 
   /** `bigrams = false` mirrors the reference CLI's `--no-bigrams`
     * (tdbcli/main.c usage; TDB_CONS_NO_BIGRAMS in tdb_cons_finalize):
@@ -77,7 +93,8 @@ object TdbWriter {
     * trading compression for a cheaper model pass. Format-valid either
     * way; the reader handles both. */
   private def writeImpl(df: DataFrame, fieldNames: Seq[String], out: String,
-      compress: Boolean, v0: Boolean, bigrams: Boolean): Unit = {
+      compress: Boolean, v0: Boolean, bigrams: Boolean,
+      maxLexiconValues: Long = DefaultMaxLexiconValues): Unit = {
     import graft.core.TrailSchema.{SeqCol, TimeCol, UuidCol}
 
     // byte-reversed hex = sort key whose string order equals the
@@ -95,11 +112,25 @@ object TdbWriter {
       .withColumn("_le", leKey)
       .orderBy(col("_le"), col(TimeCol), col(SeqCol))
 
-    // lexicons: distinct non-null non-empty values per field, sorted
+    // lexicons: distinct non-null non-empty values per field, sorted.
+    // The collect is capped (cap+1 via TakeOrdered, so driver memory is
+    // bounded BEFORE the refusal fires — never "count then re-collect",
+    // which would double-scan, and never an uncapped collect that OOMs
+    // first and refuses never).
+    require(maxLexiconValues > 0, "maxLexiconValues must be positive")
     val lexicons: Array[Array[String]] = fieldNames.map { f =>
-      df.select(col(f).cast("string").as("v"))
+      val vals = df.select(col(f).cast("string").as("v"))
         .filter(col("v").isNotNull && col("v") =!= "")
-        .distinct().orderBy("v").collect().map(_.getString(0))
+        .distinct().orderBy("v").limit(
+          (math.min(maxLexiconValues, Int.MaxValue - 1L) + 1L).toInt)
+        .collect().map(_.getString(0))
+      require(vals.length <= maxLexiconValues,
+        s"tdb export: field '$f' has more than $maxLexiconValues distinct " +
+          "values — the single-file .tdb format packs the whole lexicon " +
+          "into one driver-resident section, so this export would not fit. " +
+          "Raise maxLexiconValues explicitly if the driver has the memory, " +
+          "or keep the db in the parquet 'dir' layout (no lexicon bound).")
+      vals
     }.toArray
     val valId: Array[Map[String, Long]] = lexicons.map(
       _.zipWithIndex.map { case (v, i) => v -> (i + 1L) }.toMap)

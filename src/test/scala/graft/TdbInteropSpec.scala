@@ -208,6 +208,71 @@ class TdbInteropSpec extends SparkSpec {
     assert(proj === oursProj, "C --fields projection diverges")
   }
 
+  test("what you write you get back: length-0, 1 MB, and NUL-bearing binary values (c-tests/what_you_write_you_get_back.c:22-83)") {
+    requireBinary()
+    // The reference's flagship round-trip fixture: value lengths
+    // {0, 1, 2, 1000, 1_000_000} of one repeated byte per (trail, field),
+    // uuid bytes = the trail ordinal repeated, 3 events per trail at
+    // time = ordinal — PLUS a sixth trail whose values embed NUL bytes
+    // (the v1 lexicon is offset-delimited, so 0x00 is an ordinary byte;
+    // only v0's 0-terminated lexicons cannot carry it). All bytes stay
+    // < 0x80 so UTF-8 string transport is byte-identity.
+    val lengths = Seq(0, 1, 2, 1000, 1000000)
+    def rep(b: Int, n: Int): String = (b.toChar.toString) * n
+    val perTrail: Seq[(String, Seq[(String, String, String)])] =
+      lengths.zipWithIndex.map { case (len, i) =>
+        (f"$i%02x" * 16,
+          Seq.fill(3)((rep(i, len), rep(i + 10, len), rep(i + 20, len))))
+      } :+ (("05" * 16), Seq.fill(3)(("x\u0000y", "\u0000\u0000", "\u0000abc")))
+    val rows = perTrail.zipWithIndex.flatMap { case ((u, evs), i) =>
+      evs.zipWithIndex.map { case ((a, b, c), j) =>
+        (u, i.toLong, j.toLong, a, b, c)
+      }
+    }
+    val df = rows.toDF("uuid", "time", "seq", "a", "b", "c")
+    val dir = Files.createTempDirectory("graft-interop-big")
+    val pkg = s"$dir/big.tdb"
+    TdbWriter.writePackage(df, Seq("a", "b", "c"), pkg)
+
+    // 1. byte-hash the C engine's raw JSON dump against the expected
+    // stream constructed from the source (dump_json_event prints value
+    // bytes unescaped via `%.*s` — precision caps the length but printf
+    // still STOPS at the first NUL, so the faithful model of the C CLI's
+    // output truncates each value there; the reference's own API-level
+    // test uses memcmp and sees the full bytes, which part 2 below
+    // checks through our reader. Trail order = LE u128 uuid order =
+    // ordinal order here.)
+    val dumpFile = new java.io.File(s"$dir/cdump.json")
+    val rc = (Process(Seq(refBin, "dump", "-j", "-i", pkg)) #> dumpFile).!
+    assert(rc === 0, s"reference dump exited $rc")
+    def printfS(v: String): String = v.takeWhile(_ != '\u0000')
+    val expected = rows.map { case (u, t, _, a, b, c) =>
+      s"""{"uuid": "$u", "time": "$t", "a": "${printfS(a)}", """ +
+        s""""b": "${printfS(b)}", "c": "${printfS(c)}"}\n"""
+    }.mkString
+    def sha(bytes: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+        .map("%02x".format(_)).mkString
+    val got = java.nio.file.Files.readAllBytes(dumpFile.toPath)
+    assert(got.length === expected.getBytes("UTF-8").length,
+      s"C dump size ${got.length} != expected ${expected.getBytes("UTF-8").length}")
+    assert(sha(got) === sha(expected.getBytes("UTF-8")),
+      "C engine dump bytes diverge from the written values")
+
+    // 2. graft's own reader returns the identical values (NULL ≡ "")
+    val back = spark.read.format("tdb").load(pkg)
+      .select(col("uuid"), col("time"),
+        coalesce(col("a"), lit("")).as("a"),
+        coalesce(col("b"), lit("")).as("b"),
+        coalesce(col("c"), lit("")).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4))).sortBy(t => (t._1, t._2)).toSeq
+    val want = rows.map(t => (t._1, t._2, t._4, t._5, t._6))
+      .sortBy(t => (t._1, t._2))
+    assert(back === want, "graft reader diverges on the edge-value corpus")
+  }
+
   test("reference engine honors trail structure of a graft package (edge-encoding reverts, LE uuid order)") {
     requireBinary()
     val df = Seq(

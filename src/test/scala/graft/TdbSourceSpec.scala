@@ -525,6 +525,29 @@ class TdbSourceSpec extends SparkSpec {
       === Seq(("3" * 32, 10L), ("3" * 32, 20L), ("4" * 32, 15L)))
   }
 
+  test("export refuses a field lexicon past maxLexiconValues instead of collecting it (r9 item 7)") {
+    val dir = Files.createTempDirectory("graft-tdb-lexcap")
+    // 'tag' has 12 distinct values; 'etype' has 2 — a cap of 10 must name
+    // the offending FIELD and never OOM first (the collect itself is
+    // capped at cap+1 via TakeOrdered)
+    val df = (0 until 24).map(i =>
+        (f"${i % 3}%032x", 100L + i, s"e${i % 2}", s"t${i % 12}"))
+      .toDF("uuid", "time", "etype", "tag")
+    val e = intercept[IllegalArgumentException] {
+      TdbWriter.writePackage(df, Seq("etype", "tag"), s"$dir/capped.tdb",
+        maxLexiconValues = 10)
+    }
+    assert(e.getMessage.contains("'tag'") &&
+      e.getMessage.contains("10"), e.getMessage)
+    // at exactly the cardinality the export proceeds and round-trips
+    val out = s"$dir/fits.tdb"
+    TdbWriter.writePackage(df, Seq("etype", "tag"), out,
+      maxLexiconValues = 12)
+    val back = spark.read.format("tdb").load(out)
+    assert(back.count() === 24L)
+    assert(back.select("tag").distinct().count() === 12L)
+  }
+
   test("a malformed uuid refuses loudly instead of corrupting the index") {
     val dir = Files.createTempDirectory("graft-tdb-baduuid")
     for (bad <- Seq("ab" * 15, "zz" + "00" * 15)) { // short / non-hex
