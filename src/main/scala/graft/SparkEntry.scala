@@ -78,16 +78,23 @@ object SparkEntry {
     }
     /** Persistent IVF-PQ index over the sf dir's embeddings (the offline
       * build half of build/search) — cached so e_knn_ivfpq_index times
-      * the SEARCH path, the way a serving deployment runs it. Same
-      * params as e_knn_ivfpq, so the measured recall floor carries over
-      * (IvfPqIndexSpec: search ≡ one-pass row-for-row). */
+      * the SEARCH path, the way a serving deployment runs it. Built with
+      * the frozen OPQ rotation (round 11) — the production configuration:
+      * on this near-isotropic fixture the rotation is recall-neutral
+      * (same invariant floor as e_knn_ivfpq, margin intact), and on
+      * low-rank-dominant corpora it is the measured win (RecallProbe
+      * --aniso serving path: recall@10 0.508 → 0.855 at m=4). The
+      * rotated index is NOT row-for-row equal to the unrotated one-pass
+      * operator — IvfPqIndexSpec proves that equality on an opq=false
+      * build, and the rotation contract (orthogonality, frozen
+      * query/append geometry, raw-vector rerank) separately. */
     def ivfPqIndexPath(s: SparkSession, dir: String): String =
       memo(s"ivfpq:$dir") {
         val p = java.nio.file.Files.createTempDirectory("graft-fix")
           .resolve("ivfpq").toString
         Similarity.buildIvfPqIndex(
           s.read.parquet(s"$dir/embeddings.parquet"), p,
-          nCells = 16, m = 16, codebookK = 32)
+          nCells = 16, m = 16, codebookK = 32, opq = true)
         p
       }
     /** Trail dump as CSV/JSONL — the INPUT fixture for the ingest
@@ -1277,9 +1284,11 @@ object SparkEntry {
     // The PERSISTENT-index variant: candidate generation off the
     // cell-partitioned parquet index (static partition pruning reads
     // nprobe/nCells of the inverted lists; raw vectors only in the
-    // shortlist rerank) — the serving-table shape of IVF-PQ. Build is a
-    // cached fixture so the timed region is the search. Identical math
-    // to e_knn_ivfpq (IvfPqIndexSpec: row-for-row equal), same floor.
+    // shortlist rerank) — the serving-table shape of IVF-PQ, with the
+    // frozen OPQ rotation applied on the query path (round 11; see
+    // Fixtures.ivfPqIndexPath). Build is a cached fixture so the timed
+    // region is the search. Same invariant floor as e_knn_ivfpq — the
+    // rotation is orthogonal, so only quantization error moves.
     "e_knn_ivfpq_index" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val q = emb.filter(col("vec_id") < 10)

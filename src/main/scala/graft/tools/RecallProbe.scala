@@ -227,6 +227,23 @@ object RecallProbe {
           col("rotated").cast("array<float>").as("embedding")).localCheckpoint()
       arm("opq-rot  ", m, rotated(corpus), rotated(queries))
     }
+    // The SERVING-path form of the same comparison (round 11): the
+    // persistent IVF-PQ index built with and without the frozen OPQ
+    // rotation, searched through the normal query path (probe → ADC →
+    // exact rerank). Coarse m=4 codes are where subspace-variance
+    // imbalance hurts most, so the rotation's recall win shows here.
+    val truth = Similarity.bruteForceKnn(corpus, queries, k = k)
+      .localCheckpoint()
+    for (opq <- Seq(false, true)) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("probe-aniso-ivfpq").toString
+      Similarity.buildIvfPqIndex(corpus, dir, nCells = 16, m = 4,
+        codebookK = 16, dim = dim, opq = opq)
+      val ann = Similarity.searchIvfPqIndex(dir, corpus, queries, k = k,
+        nprobe = 4, shortlist = 50)
+      println(f"[probe] aniso ivfpq-index recall@$k m=4 opq=$opq%-5s: " +
+        f"${recallOf(ann, truth)}%.3f")
+    }
     spark.stop()
   }
 }

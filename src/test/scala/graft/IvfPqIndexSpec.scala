@@ -77,6 +77,51 @@ class IvfPqIndexSpec extends SparkSpec {
       s2.getAs[Long]("max_cell") <= s2.getAs[Long]("n_vectors"))
   }
 
+  test("opq=true freezes an orthogonal rotation in meta; query and append share it (r9 VERDICT item 2)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ivfpq-opq").toString
+    val half1 = emb.filter(col("vec_id") % 2 === 0)
+    val half2 = emb.filter(col("vec_id") % 2 === 1)
+    Similarity.buildIvfPqIndex(half1, dir, nCells = 8, m = 16, codebookK = 32,
+      opq = true)
+    // 1. the rotation round-trips: dim x dim and ORTHOGONAL (R Rt = I),
+    // so cosine neighbors are provably preserved by construction
+    val idx = Similarity.loadIvfPqIndexMeta(spark, dir)
+    val rot = idx.rot.getOrElse(fail("opq index meta carries no rotation"))
+    val r = rot.rows.map(_.toArray).toArray
+    assert(r.length === 64 && r.forall(_.length === 64))
+    for (i <- 0 until 64; j <- i until 64) {
+      val dot = (0 until 64).map(t => r(i)(t) * r(j)(t)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-8, s"R Rt[$i][$j] = $dot")
+    }
+    // 2. append encodes with the FROZEN rotation: all vectors land in
+    // valid cells and the appended half is searchable
+    Similarity.appendToIvfPqIndex(half2, dir)
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.count() === emb.count())
+    assert(codes.filter(col("cell") < 0 || col("cell") >= 8).count() === 0)
+    val q = emb.filter(col("vec_id") < 6)
+    val res = Similarity.searchIvfPqIndex(dir, emb, q, k = 3, nprobe = 4,
+      shortlist = 50).localCheckpoint()
+    assert(res.select("corpus_id").as[Long].collect().exists(_ % 2 === 1),
+      "no appended-half vector surfaced from the rotated index")
+    // 3. the exact rerank runs on RAW vectors: reported cosines equal the
+    // brute-force cosine for the same (query, corpus) pairs
+    val brute = Similarity.bruteForceKnn(emb, q, k = 50)
+      .select(col("query_id"), col("corpus_id"), col("cosine").as("bc"))
+    val joined = res.join(brute, Seq("query_id", "corpus_id")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { row =>
+      assert(math.abs(row.getAs[Double]("cosine") - row.getAs[Double]("bc")) < 1e-9)
+    }
+    // 4. an index built WITHOUT opq stores no rotation (back-compat: the
+    // empty rot column reads as None, like a pre-rotation index)
+    val dir2 = Files.createTempDirectory("graft-ivfpq-noopq").toString
+    Similarity.buildIvfPqIndex(half1, dir2, nCells = 8, m = 16, codebookK = 32)
+    assert(Similarity.loadIvfPqIndexMeta(spark, dir2).rot.isEmpty)
+  }
+
   test("the codes scan partition-prunes to the probed cells") {
     val dir = Files.createTempDirectory("graft-ivfpq2").toString
     Similarity.buildIvfPqIndex(emb, dir, nCells = 8, m = 16, codebookK = 32)
