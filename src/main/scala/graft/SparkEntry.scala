@@ -2207,6 +2207,41 @@ object SparkEntry {
         .orderBy(col("nation"), col("o_year").desc)
     }),
 
+    // TPC-H Q11 shape (important stock): the per-group aggregate filtered
+    // by a correlated GLOBAL scalar over the SAME derived table — the one
+    // TPC-H subquery shape where the HAVING threshold aggregates the
+    // grouped result itself. No partsupp table, so supply value is the
+    // nation-scoped lineitem revenue per part (q2_min_cost adaptation
+    // discipline). Q11's 0.0001/SF fraction is SF-dependent; the
+    // scale-free equivalent keeps parts above 2x the average part value,
+    // compared as value·nParts > 2·total in EXACT integer-scaled decimals
+    // (no fraction typing to diverge between engines). The threshold side
+    // is a one-row aggregate broadcast; the per-part aggregate shuffles
+    // once on its own grouping key.
+    "q11_important_stock" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+        .filter(col("n_name") === "NATION_3")
+      val dp = (col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+        .cast(DecimalType(18, 4))
+      // localCheckpoint: the per-part table is consumed twice (output
+      // side + the global threshold aggregate) — the d_bm25 convention;
+      // without it both consumers re-run the corpus join.
+      val perPart = li.join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("l_partkey").as("ps_partkey"))
+        .agg(sum(dp).as("_v"))
+        .localCheckpoint()
+      val tot = perPart.agg(sum(col("_v")).as("_tot"),
+        count(lit(1)).as("_n"))
+      perPart.crossJoin(broadcast(tot))
+        .filter(col("_v") * col("_n") > col("_tot") * lit(2))
+        .select(col("ps_partkey"), col("_v").cast("double").as("value"))
+        .orderBy(col("value").desc, col("ps_partkey"))
+    }),
+
     // TPC-H Q12 shape (shipping-mode priority split): the order⋈lineitem
     // join with a non-equi residual (late ship: l_shipdate > o_orderdate,
     // standing in for the commit/receipt pair this schema lacks) and
@@ -4459,6 +4494,23 @@ object SparkEntry {
         |SELECT nation, o_year,
         |  CAST(sum(dp) AS DOUBLE) - CAST(sum(cost) AS DOUBLE) AS sum_profit
         |FROM t GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH scoped AS (
+        |  SELECT l_partkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS dp
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'),
+        |per_part AS (
+        |  SELECT l_partkey AS ps_partkey, sum(dp) AS v
+        |  FROM scoped GROUP BY 1),
+        |tot AS (SELECT sum(v) AS t, count(*) AS n FROM per_part)
+        |SELECT ps_partkey, CAST(v AS DOUBLE) AS value
+        |FROM per_part, tot
+        |WHERE v * n > 2 * t
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
 
     "q12_priority" ->
       """SELECT l_returnflag,
