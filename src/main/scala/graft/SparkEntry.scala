@@ -52,7 +52,7 @@ object SparkEntry {
     * re-opens with the caller's session, so the cache is session-agnostic. */
   private object Fixtures {
     private val paths = new java.util.concurrent.ConcurrentHashMap[String, String]()
-    private def memo(key: String)(build: => String): String =
+    def memo(key: String)(build: => String): String =
       paths.computeIfAbsent(key, _ => build)
     def dbPath(s: SparkSession, dir: String): String = memo(s"db:$dir") {
       val p = java.nio.file.Files.createTempDirectory("graft-fix")
@@ -218,6 +218,208 @@ object SparkEntry {
     "t_only_diff" -> ((s, dir) =>
       ordered(trails(s, dir).onlyDiffItems)
         .select("uuid", "time", "event_type", "props", "seq")),
+
+    // S8: CSV sink round-trip (tdb dump -c) — write the projection to
+    // CSV, read it back, and the rows must survive quoting/NULL≡""
+    // exactly (round 11: upgrades the sink from spec-only to oracled).
+    // No seq in the dump (the reference emits none), so the total order
+    // is over every dumped column.
+    "t_csv_sink" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-csvsink")
+        .resolve("csv").toString
+      trails(s, dir).dumpCsv(out, delimiter = ",", header = true)
+      s.read.option("header", "true").csv(out)
+        .select(col("uuid"), col("time").cast("long").as("time"),
+          coalesce(col("event_type"), lit("")).as("event_type"),
+          coalesce(col("props"), lit("")).as("props"))
+        .orderBy("uuid", "time", "event_type", "props")
+    }),
+
+    // S9: JSON sink round-trip with --json-no-empty (tdb dump -j) —
+    // empty values are DROPPED from the objects (read back as null) and
+    // must coalesce to the same NULL≡"" rows.
+    "t_json_sink" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-jsonsink")
+        .resolve("json").toString
+      trails(s, dir).dumpJson(out, noEmpty = true)
+      s.read.json(out)
+        .select(col("uuid"), col("time").cast("long").as("time"),
+          coalesce(col("event_type"), lit("")).as("event_type"),
+          coalesce(col("props"), lit("")).as("props"))
+        .orderBy("uuid", "time", "event_type", "props")
+    }),
+
+    // P7: the constant filters — match-all (zero clauses, vacuous AND)
+    // scans everything; match-none (one empty clause, vacuous OR —
+    // src/tdb.c:803-816) scans nothing.
+    "t_filter_const" -> ((s, dir) => {
+      val db = trails(s, dir)
+      db.events(EventFilter.matchAll).agg(count(lit(1)).as("n_all"))
+        .crossJoin(
+          db.events(EventFilter.matchNone).agg(count(lit(1)).as("n_none")))
+    }),
+
+    // P11: the `field=@file` grammar form — the term VALUE is read from
+    // a file (reference: tdbcli/filter.c:18-140) and must behave exactly
+    // like the inline equality.
+    "t_filter_at_file" -> ((s, dir) => {
+      val f = java.nio.file.Files.createTempFile("graft-filterval", ".txt")
+      java.nio.file.Files.writeString(f, "click")
+      ordered(trails(s, dir).events(EventFilter.parse(s"event_type=@$f")))
+        .select("uuid", "time", "event_type", "seq")
+    }),
+
+    // J5: append — tdb_cons_append twice over the same db doubles every
+    // trail's event count in the finalized result.
+    "t_append" -> ((s, dir) => {
+      val db = trails(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft-append")
+        .resolve("db").toString
+      new graft.core.TrailDBCons(s, db.fields).append(db).append(db)
+        .finalizeTo(out)
+        .df.groupBy("uuid").agg(count(lit(1)).as("n_events"))
+        .orderBy("uuid")
+    }),
+
+    // F6: --skip-bad-input — malformed time values and missing uuids are
+    // dropped row-by-row (reference: op_make.c:133-136 safely_to_int),
+    // never aborting the ingest; the clean rows all survive.
+    "t_skip_bad" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft-skipbad")
+      val csvDir = base.resolve("csv").toString
+      trails(s, dir).df.select("uuid", "time", "event_type")
+        .write.option("header", "true").csv(csvDir)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(csvDir, "part-zz-bad.csv"),
+        "uuid,time,event_type\n" +
+          f"${1}%032x,notatime,click\n" +   // unparseable time → dropped
+          ",123,view\n")                     // missing uuid → dropped
+      new graft.core.TrailDBCons(s, Seq("event_type"))
+        .addCsv(csvDir, delimiter = ",", header = true, skipBadInput = true)
+        .stagedView
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("uuid")).as("n_trails"))
+    }),
+
+    // §2.9: the streaming sessionizer through the gate — session_window
+    // over the trail source (AvailableNow) must reproduce the batch
+    // gap-sessionization row-for-row (same oracle as t_sessionize).
+    "t_stream_sessionize" -> ((s, dir) => {
+      val src = Fixtures.memo(s"streamsrc:$dir") {
+        val p = java.nio.file.Files.createTempDirectory("graft-streamsrc")
+          .resolve("src").toString
+        trails(s, dir).df.select(col("uuid"),
+          col("time").cast("timestamp").as("ts")).write.parquet(p)
+        p
+      }
+      val stream = s.readStream
+        .schema(s.read.parquet(src).schema).parquet(src)
+      val name = "t_stream_sess_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamSessions
+        .sessionCounts(stream, gap = "30 minutes")
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+      s.sql(s"""SELECT uuid, count(*) AS num_sessions,
+                sum(n_events) AS num_events
+                FROM $name GROUP BY uuid ORDER BY uuid""")
+    }),
+
+    // §2.10a: the per-trail cursor API (tdb_get_trail + tdb_cursor_next
+    // walk) — a cursor fold over each trail's time-ordered iterator.
+    "t_trail_cursor" -> ((s, dir) => {
+      import s.implicits._
+      trails(s, dir).trailCursor { (uuid, events) =>
+        var n = 0L
+        var first = Long.MaxValue
+        var last = Long.MinValue
+        events.foreach { e =>
+          n += 1
+          if (e.time < first) first = e.time
+          if (e.time > last) last = e.time
+        }
+        Iterator.single((uuid, first, last, n))
+      }.toDF("uuid", "first_time", "last_time", "n_events").orderBy("uuid")
+    }),
+
+    // §2.10b: the typed Aggregator surface — TrailSummaryAggregator with
+    // partial aggregation (map-side combine through the Dataset API).
+    "t_agg_summary" -> ((s, dir) => {
+      import s.implicits._
+      trails(s, dir).df.select(col("uuid"), col("time"))
+        .as[(String, Long)]
+        .map { case (u, t) => graft.agg.TrailEvent(u, t, Map.empty) }
+        .groupByKey(_.uuid)
+        .agg(graft.agg.TrailSummaryAggregator.toColumn.name("s"))
+        .map { case (u, sm) => (u, sm.first, sm.last, sm.n) }
+        .toDF("uuid", "first_time", "last_time", "n_events")
+        .orderBy("uuid")
+    }),
+
+    // P12: filter introspection — the public CNF AST. Parse a grammar
+    // string exercising every textual term form (equality, OR within a
+    // clause, AND between clauses, the NULL/"" `f=` form, negation, and
+    // `!=@file` value indirection), explode the AST to rows, and prove
+    // the render→re-parse round-trip is the identity (each row carries
+    // the bit so the oracle pins it).
+    "t_filter_introspect" -> ((s, dir) => {
+      import s.implicits._
+      val f = java.nio.file.Files.createTempFile("graft-introspect", ".txt")
+      java.nio.file.Files.writeString(f, "purchase")
+      val parsed = EventFilter.parse(
+        s"event_type=click event_type=view & props= & event_type!=@$f")
+      val roundtrip = EventFilter.parse(parsed.render) == parsed
+      val rows = for {
+        (cl, ci) <- parsed.clauses.zipWithIndex
+        (tm, ti) <- cl.terms.zipWithIndex
+      } yield tm match {
+        case graft.filter.Match(fld, v, neg) =>
+          (ci.toLong, ti.toLong, fld, v, neg, roundtrip)
+        case graft.filter.TimeRange(st, en) =>
+          (ci.toLong, ti.toLong, "time", s"[$st,$en)", false, roundtrip)
+      }
+      s.createDataset(rows).toDF(
+          "clause_idx", "term_idx", "field", "value", "negated",
+          "roundtrip_ok")
+        .orderBy("clause_idx", "term_idx")
+    }),
+
+    // F5: error codes → distinct exit codes — drive each REAL failure
+    // path through the CLI/library surface (no constructed GraftErrors):
+    // missing required flag → TDB_ERR_ARGS/2, unreadable db →
+    // TDB_ERR_IO_OPEN/3, malformed -F filter → TDB_ERR_FILTER_PARSE/4,
+    // an index whose db binding cannot be verified →
+    // TDB_ERR_STALE_INDEX/5, anything else → TDB_ERR_UNKNOWN/1
+    // (reference: tdb_error enum src/tdb.c:591-675; the CLI DIE paths).
+    "t_error_codes" -> ((s, dir) => {
+      import s.implicits._
+      def classifyOf(body: => Unit): (String, Long) = {
+        val e = try { body; null } catch {
+          case t: Throwable => t
+        }
+        require(e != null, "expected the op to fail")
+        val (n, c) = graft.core.GraftError.classify(e)
+        (n, c.toLong)
+      }
+      val db = Fixtures.dbPath(s, dir)
+      val rows = Seq(
+        ("bad_args", classifyOf(graft.cli.Main.run(s, "dump", Seq.empty))),
+        ("open_error", classifyOf(graft.cli.Main.run(s, "dump",
+          Seq("-i", "/nonexistent/graft-db")))),
+        ("filter_parse", classifyOf(graft.cli.Main.run(s, "dump",
+          Seq("-i", db, "-F", "badterm", "-o",
+            java.nio.file.Files.createTempDirectory("graft-errout")
+              .resolve("out").toString)))),
+        ("stale_index", classifyOf(graft.core.TrailIndex.open(s,
+          Fixtures.indexPath(s, dir),
+          dbPath = Some(java.nio.file.Files
+            .createTempDirectory("graft-nodb").toString)))),
+        ("unknown", classifyOf(throw new RuntimeException("boom")))
+      ).map { case (k, (n, c)) => (k, n, c) }
+      s.createDataset(rows).toDF("case_name", "err_name", "exit_code")
+        .orderBy("case_name")
+    }),
 
     // (J+) snapshot diff: base misses every 7th event, revision misses
     // every 5th — content-identity (no seq) multiset diff, rolled up per
@@ -2705,6 +2907,86 @@ object SparkEntry {
          |SELECT uuid, CAST(max(session_id) + 1 AS BIGINT) AS num_sessions,
          |       count(*) AS num_events
          |FROM sess GROUP BY uuid ORDER BY uuid""".stripMargin,
+
+    "t_csv_sink" ->
+      s"""$TrailsCte
+         |SELECT uuid, time, coalesce(event_type,'') AS event_type,
+         |       coalesce(props,'') AS props
+         |FROM trails ORDER BY uuid, time, event_type, props""".stripMargin,
+
+    "t_json_sink" ->
+      s"""$TrailsCte
+         |SELECT uuid, time, coalesce(event_type,'') AS event_type,
+         |       coalesce(props,'') AS props
+         |FROM trails ORDER BY uuid, time, event_type, props""".stripMargin,
+
+    "t_filter_const" ->
+      s"""$TrailsCte
+         |SELECT count(*) AS n_all, CAST(0 AS BIGINT) AS n_none
+         |FROM trails""".stripMargin,
+
+    "t_filter_at_file" ->
+      s"""$TrailsCte
+         |SELECT uuid, time, event_type, seq FROM trails
+         |WHERE coalesce(event_type,'') = 'click'
+         |ORDER BY uuid, time, seq""".stripMargin,
+
+    "t_append" ->
+      s"""$TrailsCte
+         |SELECT uuid, CAST(2 * count(*) AS BIGINT) AS n_events
+         |FROM trails GROUP BY uuid ORDER BY uuid""".stripMargin,
+
+    "t_skip_bad" ->
+      s"""$TrailsCte
+         |SELECT count(*) AS n_events, count(DISTINCT uuid) AS n_trails
+         |FROM trails""".stripMargin,
+
+    "t_stream_sessionize" ->
+      s"""$TrailsCte,
+         |gaps AS (
+         |  SELECT uuid, time, seq,
+         |    CASE WHEN time - lag(time) OVER (PARTITION BY uuid ORDER BY time, seq) > 1800
+         |         THEN 1 ELSE 0 END AS new_s
+         |  FROM trails),
+         |sess AS (
+         |  SELECT uuid,
+         |    sum(new_s) OVER (PARTITION BY uuid ORDER BY time, seq
+         |                     ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM gaps)
+         |SELECT uuid, CAST(max(session_id) + 1 AS BIGINT) AS num_sessions,
+         |       count(*) AS num_events
+         |FROM sess GROUP BY uuid ORDER BY uuid""".stripMargin,
+
+    "t_trail_cursor" ->
+      s"""$TrailsCte
+         |SELECT uuid, min(time) AS first_time, max(time) AS last_time,
+         |       count(*) AS n_events
+         |FROM trails GROUP BY uuid ORDER BY uuid""".stripMargin,
+
+    "t_agg_summary" ->
+      s"""$TrailsCte
+         |SELECT uuid, min(time) AS first_time, max(time) AS last_time,
+         |       count(*) AS n_events
+         |FROM trails GROUP BY uuid ORDER BY uuid""".stripMargin,
+
+    "t_filter_introspect" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'event_type', 'click', false, true),
+        |  (0, 1, 'event_type', 'view', false, true),
+        |  (1, 0, 'props', '', false, true),
+        |  (2, 0, 'event_type', 'purchase', true, true))
+        |  AS t(clause_idx, term_idx, field, value, negated, roundtrip_ok)
+        |ORDER BY clause_idx, term_idx""".stripMargin,
+
+    "t_error_codes" ->
+      """SELECT * FROM (VALUES
+        |  ('bad_args', 'TDB_ERR_ARGS', CAST(2 AS BIGINT)),
+        |  ('filter_parse', 'TDB_ERR_FILTER_PARSE', 4),
+        |  ('open_error', 'TDB_ERR_IO_OPEN', 3),
+        |  ('stale_index', 'TDB_ERR_STALE_INDEX', 5),
+        |  ('unknown', 'TDB_ERR_UNKNOWN', 1))
+        |  AS t(case_name, err_name, exit_code)
+        |ORDER BY case_name""".stripMargin,
 
     "t_only_diff" ->
       s"""$TrailsCte
