@@ -21,6 +21,14 @@ import graft.filter.EventFilter
   *                               skipping index — see [[graft.core.TrailIndex]];
   *                               `dump --index IDX -F ...` prunes with it)
   *
+  * Every option accepts the reference's OTHER spelling too (getopt_long
+  * parity, tdbcli/main.c:152-171): `--input`/`-i`, `--output`/`-o`,
+  * `--filter`/`-F`, `--csv`/`-c`, `--json`/`-j`, `--fields`/`-f`,
+  * `--uuids`/`-u`, `--delimiter`/`-d`, `--threads`/`-T`, `--verbose`/`-v`,
+  * and `--index-path` for dump's `--index` / index's `-o`. `-T` refuses
+  * non-positive or non-numeric values and `-d` refuses multi-char
+  * delimiters up front, like the reference's DIE paths.
+  *
   * `--uuids SPEC` is either a comma-separated uuid list or `@file` with one
   * uuid per line (reference: tdbcli/main.c:84-91, tdbcli/filter.c:164-213).
   * Invalid (non-32-hex) and missing uuids are ignored; a count line
@@ -66,6 +74,29 @@ object Main {
     "diff"  -> Set("--summary")
   ).withDefaultValue(Set.empty)
 
+  /** getopt_long parity: the reference gives every option BOTH a short and
+    * a long spelling usable in any op (tdbcli/main.c:152-171 long_options —
+    * `-c/--csv`, `-j/--json`, `-i/--input`, `-o/--output`, `-d/--delimiter`,
+    * `-f/--fields`, `-u/--uuids`, `-F/--filter`, `-T/--threads`,
+    * `-v/--verbose`, plus long-only `--index-path`). Graft's canonical keys
+    * vary per op (make reads `-f`, dump reads `--fields`), so each alias
+    * normalizes to THAT op's canonical key before lookup — a reference
+    * script using either spelling parses identically. */
+  private val globalAliases: Map[String, String] = Map(
+    "--input" -> "-i", "--output" -> "-o", "--filter" -> "-F",
+    "--csv" -> "-c", "--json" -> "-j",
+    "--threads" -> "-T", "--verbose" -> "-v")
+  private val opAliases: Map[String, Map[String, String]] = Map(
+    "make"  -> Map("--fields" -> "-f", "-d" -> "--delimiter",
+      "-u" -> "--uuids"),
+    "dump"  -> Map("-f" -> "--fields", "-u" -> "--uuids",
+      "-d" -> "--delimiter", "--index-path" -> "--index"),
+    "merge" -> Map("-u" -> "--uuids"),
+    // `tdb index` writes its output where --index-path says (the same
+    // flag dump reads it back with); it is -o's long spelling here.
+    "index" -> Map("--index-path" -> "-o")
+  ).withDefaultValue(Map.empty)
+
   /** `--uuids` spec → entry list: a comma-separated list, or `@file` with
     * one uuid per line (reference: tdbcli/filter.c:190-213 apply_uuids /
     * :164-186 apply_uuids_from_file; an unreadable file dies loudly). */
@@ -103,17 +134,19 @@ object Main {
     // -T/--threads and -v/--verbose are GLOBAL options in the reference
     // (tdbcli/main.c getopt table) — accepted for every op here so
     // reference scripts parse identically; semantics in [[run]].
-    val takesValue = valueFlags(op) + "-T" + "--threads"
-    val known = takesValue ++ boolFlags(op) ++ Set("-v", "--verbose")
+    val takesValue = valueFlags(op) + "-T"
+    val known = takesValue ++ boolFlags(op) + "-v"
+    val aliases = globalAliases ++ opAliases(op)
+    def canon(tok: String): String = aliases.getOrElse(tok, tok)
     while (i < args.length) {
-      val a = args(i)
+      val a = canon(args(i))
       // A value-taking flag consumes the next token unless it is a KNOWN
       // flag of this op — `dump -F -o OUT` must not let -F swallow -o, but
       // `dump -F '-x=1'` is a legitimate filter value starting with '-'.
       // Running out of tokens (or hitting a known flag) is a loud error:
       // an unfiltered dump from a silently-dropped -F is worse than a crash.
       if (a.startsWith("-") && takesValue(a)) {
-        if (i + 1 >= args.length || known(args(i + 1)))
+        if (i + 1 >= args.length || known(canon(args(i + 1))))
           throw GraftError.BadArgs(s"$op: flag $a requires a value")
         flags = flags.updated(a, flags(a) :+ args(i + 1)); i += 2
       } else if (a.startsWith("-")) {
@@ -174,11 +207,23 @@ object Main {
     // Spark's scheduler, so the flag is acknowledged loudly rather than
     // silently swallowed or crashed on; -v/--verbose turns on INFO
     // logging, the reference's diagnostic chatter to stderr.
-    one("-T").orElse(one("--threads")).foreach(n => System.err.println(
-      s"[tdb] --threads $n noted: parallelism is managed by Spark " +
-        "(executor/core config), not a per-op thread count"))
-    if (flags("-v").nonEmpty || flags("--verbose").nonEmpty)
+    one("-T").foreach { n =>
+      // the reference strtoul-validates and DIEs on garbage or zero
+      // (tdbcli/main.c:229-234) — same refusal here, then the honest note.
+      if (scala.util.Try(n.toLong).toOption.forall(_ <= 0))
+        throw GraftError.BadArgs(s"Invalid value for --threads: '$n'")
+      System.err.println(
+        s"[tdb] --threads $n noted: parallelism is managed by Spark " +
+          "(executor/core config), not a per-op thread count")
+    }
+    if (flags("-v").nonEmpty)
       spark.sparkContext.setLogLevel("INFO")
+    // the reference refuses multi-char delimiters up front
+    // (tdbcli/main.c:217-220) — for ANY op, before the op body runs.
+    one("--delimiter").foreach { d =>
+      if (d.length != 1)
+        throw GraftError.BadArgs(s"Delimiter must be one character, not '$d'")
+    }
 
     op match {
       case "make" =>

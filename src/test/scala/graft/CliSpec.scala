@@ -418,4 +418,60 @@ class CliSpec extends SparkSpec {
     assert(both.exists(_.contains("not using an index")), both)
     assert(rows(s"$dir/dump-both") === rows(s"$dir/dump-noidx"))
   }
+
+  test("getopt_long spelling parity: every reference long/short alias parses (main.c:152-171)") {
+    val dir = Files.createTempDirectory("graft-cli-alias")
+    val csv = dir.resolve("in.csv")
+    Files.writeString(csv,
+      "uuid,time,etype\n" +
+      (0 until 12).map(i => f"${i % 3}%032x,${100 + i},e${i % 2}").mkString("\n"))
+
+    // make with ONLY long spellings (--output/--csv/--fields)
+    Main.run(spark, "make", Seq("--output", s"$dir/db", "--csv",
+      csv.toString, "--fields", "etype", "--csv-header"))
+    assert(TrailDB.open(spark, s"$dir/db").numEvents === 12)
+
+    // dump: --input/--filter long forms, -f/-u/-d SHORT forms — all must
+    // land on the same canonical flags as the native spellings
+    Main.run(spark, "dump", Seq("--input", s"$dir/db", "--filter",
+      "etype=e1", "-u", f"${0}%032x,${1}%032x", "-f", "uuid,time,etype",
+      "-d", "|", "--output", s"$dir/dump-alias", "--csv-header"))
+    Main.run(spark, "dump", Seq("-i", s"$dir/db", "-F", "etype=e1",
+      "--uuids", f"${0}%032x,${1}%032x", "--fields", "uuid,time,etype",
+      "--delimiter", "|", "-o", s"$dir/dump-native", "--csv-header"))
+    def rows(p: String): Seq[String] = spark.read
+      .option("header", "true").option("delimiter", "|").csv(p)
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(s"$dir/dump-alias") === rows(s"$dir/dump-native"))
+    assert(rows(s"$dir/dump-alias").nonEmpty)
+
+    // index --index-path is -o's long spelling; dump accepts the same
+    // flag name for the read side (the reference's one option table)
+    Main.run(spark, "index", Seq("--input", s"$dir/db",
+      "--index-path", s"$dir/alias.index"))
+    Main.run(spark, "dump", Seq("-i", s"$dir/db", "-F", "etype=e1",
+      "--index-path", s"$dir/alias.index", "-o", s"$dir/dump-idx",
+      "--csv-header"))
+    def rows2(p: String): Seq[String] = spark.read
+      .option("header", "true").csv(p).collect().map(_.toString).sorted.toSeq
+    Main.run(spark, "dump", Seq("-i", s"$dir/db", "-F", "etype=e1",
+      "--no-index", "-o", s"$dir/dump-plain", "--csv-header"))
+    assert(rows2(s"$dir/dump-idx") === rows2(s"$dir/dump-plain"))
+
+    // -T strtoul parity: garbage or zero DIEs (main.c:229-234)
+    for (bad <- Seq("x", "0", "-3"))
+      assert(intercept[RuntimeException] {
+        Main.run(spark, "dump", Seq("-i", s"$dir/db", "-T", bad))
+      }.getMessage.contains("Invalid value for --threads"))
+    // a valid -T is acknowledged, not fatal
+    Main.run(spark, "dump", Seq("-i", s"$dir/db", "--threads", "4",
+      "-o", s"$dir/dump-t", "--csv-header"))
+    assert(rows2(s"$dir/dump-t").nonEmpty)
+
+    // -d multi-char delimiter DIEs for any op (main.c:217-220)
+    assert(intercept[RuntimeException] {
+      Main.run(spark, "dump", Seq("-i", s"$dir/db", "-d", "ab",
+        "-o", s"$dir/dump-bad"))
+    }.getMessage.contains("Delimiter must be one character"))
+  }
 }
