@@ -415,7 +415,18 @@ object SparkEntry {
           Fixtures.indexPath(s, dir),
           dbPath = Some(java.nio.file.Files
             .createTempDirectory("graft-nodb").toString)))),
-        ("unknown", classifyOf(throw new RuntimeException("boom")))
+        ("unknown", classifyOf(throw new RuntimeException("boom"))),
+        // the cons-open field taxonomy (src/tdb_cons.c:258-281;
+        // tests/c-tests/invalid_fields.c): each its own code
+        ("invalid_fieldname", classifyOf(graft.cli.Main.run(s, "make",
+          Seq("-o", "/tmp/graft-badfield", "-c", "/dev/null",
+            "-f", "a.b")))),
+        ("duplicate_fields", classifyOf(graft.cli.Main.run(s, "make",
+          Seq("-o", "/tmp/graft-dupfield", "-c", "/dev/null",
+            "-f", "a,a")))),
+        ("too_many_fields", classifyOf(
+          new graft.core.TrailDBCons(s,
+            (0 to graft.core.TrailSchema.MaxNumFields).map(i => s"f$i"))))
       ).map { case (k, (n, c)) => (k, n, c) }
       s.createDataset(rows).toDF("case_name", "err_name", "exit_code")
         .orderBy("case_name")
@@ -2981,9 +2992,12 @@ object SparkEntry {
     "t_error_codes" ->
       """SELECT * FROM (VALUES
         |  ('bad_args', 'TDB_ERR_ARGS', CAST(2 AS BIGINT)),
+        |  ('duplicate_fields', 'TDB_ERR_DUPLICATE_FIELDS', 7),
         |  ('filter_parse', 'TDB_ERR_FILTER_PARSE', 4),
+        |  ('invalid_fieldname', 'TDB_ERR_INVALID_FIELDNAME', 6),
         |  ('open_error', 'TDB_ERR_IO_OPEN', 3),
         |  ('stale_index', 'TDB_ERR_STALE_INDEX', 5),
+        |  ('too_many_fields', 'TDB_ERR_TOO_MANY_FIELDS', 8),
         |  ('unknown', 'TDB_ERR_UNKNOWN', 1))
         |  AS t(case_name, err_name, exit_code)
         |ORDER BY case_name""".stripMargin,

@@ -9,7 +9,8 @@ package graft.core
   * the machine-readable classification on top.
   *
   * Exit codes: 1 = unclassified, 2 = bad arguments, 3 = open failure,
-  * 4 = filter parse error, 5 = stale/unverifiable index.
+  * 4 = filter parse error, 5 = stale/unverifiable index, 6 = invalid
+  * field name, 7 = duplicate fields, 8 = too many fields.
   */
 sealed abstract class GraftError(val errName: String, val exitCode: Int,
     message: String, cause: Throwable)
@@ -32,6 +33,24 @@ object GraftError {
     * (tdbcli/filter.c:18-140). */
   final case class FilterParseError(msg: String, causeEx: Throwable = null)
       extends GraftError("TDB_ERR_FILTER_PARSE", 4, msg, causeEx)
+
+  /** A field name failing the constructor's rules — charset
+    * `[A-Za-z0-9_%-]`, length 1..511, "time" (and graft's other reserved
+    * schema columns) excluded (reference: src/tdb_cons.c:181-196
+    * is_fieldname_invalid, tdb_error.h:47). */
+  final case class InvalidFieldname(msg: String)
+      extends GraftError("TDB_ERR_INVALID_FIELDNAME", 6, msg, null)
+
+  /** The same field name listed twice at cons-open
+    * (reference: src/tdb_cons.c:206-223, tdb_error.h:46). */
+  final case class DuplicateFields(msg: String)
+      extends GraftError("TDB_ERR_DUPLICATE_FIELDS", 7, msg, null)
+
+  /** More user fields than the format supports — TDB_MAX_NUM_FIELDS =
+    * 2^14 - 2 (reference: src/tdb_limits.h:24, src/tdb_cons.c:264-265,
+    * tdb_error.h:45). */
+  final case class TooManyFields(msg: String)
+      extends GraftError("TDB_ERR_TOO_MANY_FIELDS", 8, msg, null)
 
   /** Classify ANY failure escaping a CLI op into (errName, exitCode).
     * Typed GraftErrors carry their own; [[StaleIndexException]] (which

@@ -371,7 +371,7 @@ object TrailDB {
     */
   def fromEvents(df: DataFrame, uuidCol: String, timeCol: String,
       fieldCols: Seq[String], seqCol: Option[String] = None): TrailDB = {
-    TrailSchema.validateFields(fieldCols).left.foreach(e => throw new IllegalArgumentException(e))
+    TrailSchema.validateFields(fieldCols).left.foreach(e => throw e)
     // String uuids normalize to the documented 32-char lowercase hex form:
     // lowercase AND strip hyphens, so the canonical "123e4567-e89b-..."
     // rendering and the bare-hex rendering of the same UUID key ONE trail

@@ -18,7 +18,7 @@ import org.apache.spark.sql.types.StringType
   * should track input size (AQE coalesces). No driver-side state.
   */
 final class TrailDBCons(val spark: SparkSession, val fields: Seq[String]) {
-  TrailSchema.validateFields(fields).left.foreach(e => throw new IllegalArgumentException(e))
+  TrailSchema.validateFields(fields).left.foreach(e => throw e)
 
   private var staged: Option[DataFrame] = None
   private var uuidWhitelist: Option[Seq[String]] = None

@@ -24,29 +24,47 @@ object TrailSchema {
   val BucketCol = "_bucket"
   val ReservedCols: Set[String] = Set(UuidCol, TimeCol, SeqCol, BucketCol)
 
-  /** Reference limit TDB_MAX_FIELDNAME_LENGTH (src/tdb_limits.h:44-51). */
+  /** Reference limit TDB_MAX_FIELDNAME_LENGTH (src/tdb_limits.h:9) — an
+    * EXCLUSIVE bound: is_fieldname_invalid rejects a name that reaches it
+    * (src/tdb_cons.c:192), so valid lengths are 1..511. */
   val MaxFieldNameLength = 512
 
+  /** Reference limit TDB_MAX_NUM_FIELDS = 2^14 - 2 (src/tdb_limits.h:24) —
+    * the cap on USER fields at cons-open (src/tdb_cons.c:264-265). */
+  val MaxNumFields: Int = (1 << 14) - 2
+
   /** Mirrors `is_fieldname_invalid` (reference: src/tdb_cons.c:181-196):
-    * nonempty, bounded length, chars in the printable set excluding
-    * whitespace and the chars the CLI grammar reserves. Field 0 is always
-    * the implicit `time` (src/tdb.c:193), so "time" is rejected as a user
-    * field name.
+    * nonempty, length < 512, and every char in TDB_FIELDNAME_CHARS =
+    * `[A-Za-z0-9_%-]` (src/tdb_limits.h:48-51 — field names become
+    * filenames in the reference, hence the urlencode-safe set; here they
+    * become Parquet column names, where the same set avoids Spark's
+    * dotted/backtick quoting hazards). Field 0 is always the implicit
+    * `time` (src/tdb.c:193), so "time" is rejected as a user field name;
+    * graft also reserves uuid/seq/_bucket, its real schema columns —
+    * `_bucket` starts with `_` and "uuid" is reference-legal, so both are
+    * graft-specific reservations (documented divergence).
     */
   def isValidFieldName(name: String): Boolean =
     name.nonEmpty &&
-      name.length <= MaxFieldNameLength &&
-      !ReservedCols.contains(name) && // time/uuid reserved by the reference; seq by our tiebreak column
-      name.forall(c => c > 32 && c < 127 && c != '=' && c != '&' && c != '!')
+      name.length < MaxFieldNameLength &&
+      !ReservedCols.contains(name) &&
+      name.forall(c =>
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_' || c == '-' || c == '%')
 
-  /** Validate a user field list: charset + duplicate rejection
-    * (reference: src/tdb_cons.c:198-223 rejects duplicate names). */
-  def validateFields(fields: Seq[String]): Either[String, Seq[String]] = {
-    fields.find(!isValidFieldName(_)) match {
-      case Some(bad) => Left(s"invalid field name '$bad'")
+  /** Validate a user field list exactly like cons-open (reference:
+    * src/tdb_cons.c:258-281): count cap, then per-name charset, then
+    * duplicates — each failure its own typed error / exit code. */
+  def validateFields(fields: Seq[String]): Either[GraftError, Seq[String]] = {
+    if (fields.size > MaxNumFields)
+      Left(GraftError.TooManyFields(
+        s"${fields.size} fields exceeds TDB_MAX_NUM_FIELDS=$MaxNumFields"))
+    else fields.find(!isValidFieldName(_)) match {
+      case Some(bad) => Left(GraftError.InvalidFieldname(s"invalid field name '$bad'"))
       case None =>
         val dups = fields.groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
-        if (dups.nonEmpty) Left(s"duplicate field name(s): ${dups.mkString(",")}")
+        if (dups.nonEmpty)
+          Left(GraftError.DuplicateFields(s"duplicate field name(s): ${dups.mkString(",")}"))
         else Right(fields)
     }
   }

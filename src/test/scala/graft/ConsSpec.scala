@@ -269,12 +269,54 @@ class ConsSpec extends SparkSpec {
     assert(mapSalted === direct)
   }
 
-  test("schema validation rejects bad and duplicate field names (src/tdb_cons.c:181-223)") {
-    assertThrows[IllegalArgumentException](new TrailDBCons(spark, Seq("ok", "ok")))
-    assertThrows[IllegalArgumentException](new TrailDBCons(spark, Seq("time")))
-    assertThrows[IllegalArgumentException](new TrailDBCons(spark, Seq("has space")))
-    assertThrows[IllegalArgumentException](new TrailDBCons(spark, Seq("a=b")))
-    new TrailDBCons(spark, Seq("ok-name_1", "other"))
+  test("schema validation: the invalid_fields.c matrix with typed errors (src/tdb_cons.c:181-281)") {
+    import graft.core.{GraftError, TrailSchema}
+    def errOf(fields: Seq[String]): GraftError =
+      intercept[GraftError](new TrailDBCons(spark, fields))
+    // duplicates → TDB_ERR_DUPLICATE_FIELDS / exit 7
+    assert(errOf(Seq("ok", "ok")).errName === "TDB_ERR_DUPLICATE_FIELDS")
+    assert(errOf(Seq("ok", "ok")).exitCode === 7)
+    // reserved "time" (tests/c-tests/invalid_fields.c:44-48), empty name,
+    // name AT the length cap (length < 512 required), and every char
+    // outside TDB_FIELDNAME_CHARS → TDB_ERR_INVALID_FIELDNAME / exit 6
+    for (bad <- Seq(Seq("time"), Seq(""),
+        Seq("a" * TrailSchema.MaxFieldNameLength),
+        Seq("has space"), Seq("a=b"), Seq("a.b"), Seq("a/b"), Seq("a!b"),
+        Seq("päivä"))) {
+      assert(errOf(bad).errName === "TDB_ERR_INVALID_FIELDNAME", bad)
+      assert(errOf(bad).exitCode === 6, bad)
+    }
+    // one char under the cap is VALID (1..511 allowed)
+    new TrailDBCons(spark, Seq("a" * (TrailSchema.MaxFieldNameLength - 1)))
+    // too many fields → TDB_ERR_TOO_MANY_FIELDS / exit 8
+    // (tests/c-tests/invalid_fields.c:20-26, TDB_MAX_NUM_FIELDS + 1)
+    val many = (0 to TrailSchema.MaxNumFields).map(i => s"f$i")
+    assert(errOf(many).errName === "TDB_ERR_TOO_MANY_FIELDS")
+    assert(errOf(many).exitCode === 8)
+    // the whole urlencode-safe charset is accepted
+    new TrailDBCons(spark, Seq("ok-name_1", "OTHER", "pct%40", "0digit"))
+  }
+
+  test("a huge number of fields works ok (tests/c-tests/really_lots_of_fields.c)") {
+    import graft.core.TrailSchema
+    // exactly AT the cap constructs (the reference opens a cons with
+    // TDB_MAX_NUM_FIELDS fields and finalizes it; one over refuses —
+    // covered in the validation test above)
+    new TrailDBCons(spark, (0 until TrailSchema.MaxNumFields).map(i => s"f$i"))
+    // a wide finalize round-trips with names and values preserved in
+    // order (the reference re-opens and walks every field name; Spark's
+    // analog must survive a 1k-column schema through write + open)
+    val n = 1024
+    val fields = (0 until n).map(i => s"w$i")
+    val dir = java.nio.file.Files.createTempDirectory("graft-wide")
+    val row = org.apache.spark.sql.Row.fromSeq(
+      ("0" * 32) +: 100L +: fields.map(f => s"v$f") :+ 0L)
+    val df = spark.createDataFrame(
+      java.util.List.of(row), TrailSchema.schemaFor(fields))
+    val db = new TrailDBCons(spark, fields).add(df).finalizeTo(s"$dir/db")
+    assert(db.fields === fields)  // declared order, like tdb_get_field_name
+    val back = db.df.head()
+    assert(fields.forall(f => back.getAs[String](f) === s"v$f"))
   }
 
   test("CSV and JSONL ingest with field mapping and skip-bad-input (op_make.c)") {
