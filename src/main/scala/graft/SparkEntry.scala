@@ -426,7 +426,9 @@ object SparkEntry {
             "-f", "a,a")))),
         ("too_many_fields", classifyOf(
           new graft.core.TrailDBCons(s,
-            (0 to graft.core.TrailSchema.MaxNumFields).map(i => s"f$i"))))
+            (0 to graft.core.TrailSchema.MaxNumFields).map(i => s"f$i")))),
+        ("only_diff_filter", classifyOf(
+          trails(s, dir).withFilter("event_type=click").onlyDiffItems))
       ).map { case (k, (n, c)) => (k, n, c) }
       s.createDataset(rows).toDF("case_name", "err_name", "exit_code")
         .orderBy("case_name")
@@ -2995,6 +2997,7 @@ object SparkEntry {
         |  ('duplicate_fields', 'TDB_ERR_DUPLICATE_FIELDS', 7),
         |  ('filter_parse', 'TDB_ERR_FILTER_PARSE', 4),
         |  ('invalid_fieldname', 'TDB_ERR_INVALID_FIELDNAME', 6),
+        |  ('only_diff_filter', 'TDB_ERR_ONLY_DIFF_FILTER', 9),
         |  ('open_error', 'TDB_ERR_IO_OPEN', 3),
         |  ('stale_index', 'TDB_ERR_STALE_INDEX', 5),
         |  ('too_many_fields', 'TDB_ERR_TOO_MANY_FIELDS', 8),

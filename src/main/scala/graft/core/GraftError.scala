@@ -10,7 +10,8 @@ package graft.core
   *
   * Exit codes: 1 = unclassified, 2 = bad arguments, 3 = open failure,
   * 4 = filter parse error, 5 = stale/unverifiable index, 6 = invalid
-  * field name, 7 = duplicate fields, 8 = too many fields.
+  * field name, 7 = duplicate fields, 8 = too many fields,
+  * 9 = only-diff-items combined with a filter.
   */
 sealed abstract class GraftError(val errName: String, val exitCode: Int,
     message: String, cause: Throwable)
@@ -51,6 +52,15 @@ object GraftError {
     * tdb_error.h:45). */
   final case class TooManyFields(msg: String)
       extends GraftError("TDB_ERR_TOO_MANY_FIELDS", 8, msg, null)
+
+  /** Only-diff-items combined with an event filter — the reference
+    * refuses the pair wherever they meet (src/tdb_decode.c:110-120
+    * cursor_set_event_filter, :140-181 get_trail under a db/trail
+    * filter): filtering diff-encoded events answers a DIFFERENT question
+    * than diffing filtered events, so the incoherent combination fails
+    * loudly instead of silently picking one. */
+  final case class OnlyDiffFilter(msg: String)
+      extends GraftError("TDB_ERR_ONLY_DIFF_FILTER", 9, msg, null)
 
   /** Classify ANY failure escaping a CLI op into (errName, exitCode).
     * Typed GraftErrors carry their own; [[StaleIndexException]] (which

@@ -192,8 +192,16 @@ final class TrailDB private (
     * NULL/"" in the output. The reference's behavior is approximate (a
     * compression artifact); ours is exact lag-based dedup — a documented,
     * strictly-more-useful divergence.
+    *
+    * Refuses on a filtered view, like every reference path where the two
+    * meet (TDB_ERR_ONLY_DIFF_FILTER, src/tdb_decode.c:110-120,140-181):
+    * diff-over-filtered-events and filter-over-diffed-events are different
+    * answers, and silently picking one is the trap the error exists for.
     */
   def onlyDiffItems: DataFrame = {
+    if (dbFilter.isDefined)
+      throw GraftError.OnlyDiffFilter(
+        "only-diff-items cannot be combined with an event filter")
     val w = Window.partitionBy(TrailSchema.UuidCol)
       .orderBy(TrailSchema.TimeCol, TrailSchema.SeqCol)
     fields.foldLeft(df) { (acc, f) =>

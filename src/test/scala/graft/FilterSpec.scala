@@ -164,4 +164,13 @@ class FilterSpec extends SparkSpec {
     assert(byTrail(f"${2}%032x") === 1)   // b=b2
     assert(byTrail(f"${30}%032x") === 1)  // no override: db filter a=foo
   }
+
+  test("only-diff-items refuses on a filtered view (TDB_ERR_ONLY_DIFF_FILTER, tdb_decode.c:110-120)") {
+    val e = intercept[graft.core.GraftError](
+      db.withFilter("a=foo").onlyDiffItems)
+    assert(e.errName === "TDB_ERR_ONLY_DIFF_FILTER")
+    assert(e.exitCode === 9)
+    // the unfiltered view still diffs fine
+    assert(db.onlyDiffItems.count() === 4)
+  }
 }
