@@ -428,7 +428,11 @@ object SparkEntry {
           new graft.core.TrailDBCons(s,
             (0 to graft.core.TrailSchema.MaxNumFields).map(i => s"f$i")))),
         ("only_diff_filter", classifyOf(
-          trails(s, dir).withFilter("event_type=click").onlyDiffItems))
+          trails(s, dir).withFilter("event_type=click").onlyDiffItems)),
+        ("append_mismatch", classifyOf(
+          new graft.core.TrailDBCons(s, Seq("other_field"))
+            .append(trails(s, dir)))),
+        ("invalid_range", classifyOf(graft.filter.TimeRange(5L, 5L)))
       ).map { case (k, (n, c)) => (k, n, c) }
       s.createDataset(rows).toDF("case_name", "err_name", "exit_code")
         .orderBy("case_name")
@@ -2993,9 +2997,11 @@ object SparkEntry {
 
     "t_error_codes" ->
       """SELECT * FROM (VALUES
-        |  ('bad_args', 'TDB_ERR_ARGS', CAST(2 AS BIGINT)),
+        |  ('append_mismatch', 'TDB_ERR_APPEND_FIELDS_MISMATCH', CAST(10 AS BIGINT)),
+        |  ('bad_args', 'TDB_ERR_ARGS', 2),
         |  ('duplicate_fields', 'TDB_ERR_DUPLICATE_FIELDS', 7),
         |  ('filter_parse', 'TDB_ERR_FILTER_PARSE', 4),
+        |  ('invalid_range', 'TDB_ERR_INVALID_RANGE', 11),
         |  ('invalid_fieldname', 'TDB_ERR_INVALID_FIELDNAME', 6),
         |  ('only_diff_filter', 'TDB_ERR_ONLY_DIFF_FILTER', 9),
         |  ('open_error', 'TDB_ERR_IO_OPEN', 3),

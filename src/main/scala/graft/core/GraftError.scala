@@ -11,7 +11,9 @@ package graft.core
   * Exit codes: 1 = unclassified, 2 = bad arguments, 3 = open failure,
   * 4 = filter parse error, 5 = stale/unverifiable index, 6 = invalid
   * field name, 7 = duplicate fields, 8 = too many fields,
-  * 9 = only-diff-items combined with a filter.
+  * 9 = only-diff-items combined with a filter, 10 = append field
+  * mismatch, 11 = invalid time range, 12 = timestamp too large for the
+  * package format, 13 = lexicon too large for the package export.
   */
 sealed abstract class GraftError(val errName: String, val exitCode: Int,
     message: String, cause: Throwable)
@@ -61,6 +63,32 @@ object GraftError {
     * loudly instead of silently picking one. */
   final case class OnlyDiffFilter(msg: String)
       extends GraftError("TDB_ERR_ONLY_DIFF_FILTER", 9, msg, null)
+
+  /** `append` with a different field list — the reference deliberately
+    * refuses the permissive fill-with-NULLs join at cons_append
+    * (src/tdb_cons.c:629-638, tdb_error.h:49); schema-union is merge's
+    * job, not append's. */
+  final case class AppendFieldsMismatch(msg: String)
+      extends GraftError("TDB_ERR_APPEND_FIELDS_MISMATCH", 10, msg, null)
+
+  /** A time-range term whose end <= start — refused at build like
+    * tdb_event_filter_add_time_range (src/tdb.c:861-879,
+    * tdb_error.h:58 TDB_ERR_INVALID_RANGE). */
+  final case class InvalidRange(msg: String)
+      extends GraftError("TDB_ERR_INVALID_RANGE", 11, msg, null)
+
+  /** The single-file `.tdb` export meets the format's timestamp limits —
+    * min timestamp or max delta at/over 2^47 (reference:
+    * src/tdb_limits.h:33, src/tdb_encode.c:113-122,150-152). The parquet
+    * layout itself has no such limit; only the interchange format does. */
+  final case class TimestampTooLarge(msg: String)
+      extends GraftError("TDB_ERR_TIMESTAMP_TOO_LARGE", 12, msg, null)
+
+  /** The single-file export's per-field lexicon exceeds the documented
+    * driver cap (the reference's analog is TDB_ERR_LEXICON_TOO_LARGE,
+    * tdb_error.h:50, raised when a lexicon outgrows the format). */
+  final case class LexiconTooLarge(msg: String)
+      extends GraftError("TDB_ERR_LEXICON_TOO_LARGE", 13, msg, null)
 
   /** Classify ANY failure escaping a CLI op into (errName, exitCode).
     * Typed GraftErrors carry their own; [[StaleIndexException]] (which

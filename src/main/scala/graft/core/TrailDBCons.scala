@@ -107,7 +107,19 @@ final class TrailDBCons(val spark: SparkSession, val fields: Seq[String]) {
   /** Bulk-append an existing TrailDB honoring its active db filter —
     * tdb_cons_append (reference: src/tdb_cons.c:625-657; the fast
     * lexicon-remap path is moot here since Parquet re-encodes on write). */
-  def append(db: TrailDB): this.type = add(db.df)
+  /** Bulk-append an existing db — tdb_cons_append (reference:
+    * src/tdb_cons.c:625-657). The field LISTS must match exactly, names
+    * and order (the reference deliberately refuses the permissive
+    * fill-missing-with-NULLs join here, :629-638 — use
+    * [[TrailOps.merge]] for schema-union); the db's active filter rides
+    * in via `db.df`, the reference's subset-append path. */
+  def append(db: TrailDB): this.type = {
+    if (db.fields != fields)
+      throw GraftError.AppendFieldsMismatch(
+        s"cons fields (${fields.mkString(",")}) != db fields " +
+          s"(${db.fields.mkString(",")})")
+    add(db.df)
+  }
 
   /** Restrict staged events to the listed trails — `make --uuids`
     * (reference: tdbcli/main.c:84-90: "--uuids selects a subset of trails

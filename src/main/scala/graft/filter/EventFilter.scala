@@ -29,7 +29,12 @@ sealed trait Term
 final case class Match(field: String, value: String, negated: Boolean = false) extends Term
 /** Half-open [start, end) on the `time` column (reference: src/tdb.c:861-879). */
 final case class TimeRange(start: Long, end: Long) extends Term {
-  require(end > start, s"time range end must be > start (got [$start, $end))")
+  // the reference refuses end <= start AT BUILD (src/tdb.c:861-879,
+  // TDB_ERR_INVALID_RANGE) — same typed refusal here, so the CLI exits
+  // with the range code, not the generic filter-parse one
+  if (end <= start)
+    throw graft.core.GraftError.InvalidRange(
+      s"time range end must be > start (got [$start, $end))")
 }
 
 final case class Clause(terms: Seq[Term])

@@ -124,12 +124,13 @@ object TdbWriter {
         .distinct().orderBy("v").limit(
           (math.min(maxLexiconValues, Int.MaxValue - 1L) + 1L).toInt)
         .collect().map(_.getString(0))
-      require(vals.length <= maxLexiconValues,
-        s"tdb export: field '$f' has more than $maxLexiconValues distinct " +
-          "values — the single-file .tdb format packs the whole lexicon " +
-          "into one driver-resident section, so this export would not fit. " +
-          "Raise maxLexiconValues explicitly if the driver has the memory, " +
-          "or keep the db in the parquet 'dir' layout (no lexicon bound).")
+      if (vals.length > maxLexiconValues)
+        throw graft.core.GraftError.LexiconTooLarge(
+          s"tdb export: field '$f' has more than $maxLexiconValues distinct " +
+            "values — the single-file .tdb format packs the whole lexicon " +
+            "into one driver-resident section, so this export would not fit. " +
+            "Raise maxLexiconValues explicitly if the driver has the memory, " +
+            "or keep the db in the parquet 'dir' layout (no lexicon bound).")
       vals
     }.toArray
     val valId: Array[Map[String, Long]] = lexicons.map(
@@ -226,9 +227,15 @@ object TdbWriter {
     // encoder always falls back when a symbol has no code)
     if (v0) codeMap.entrySet().removeIf(e =>
       e.getKey._1 > 0xffffffffL || e.getKey._2 > 0xffffffffL)
-    require(maxDelta < (1L << 47) && minTs < (1L << 47),
-      s"tdb package: timestamp delta $maxDelta / min $minTs exceeds the " +
-        "47-bit timestamp-item budget (src/tdb_types.h:36-38)")
+    // exact reference bound: valid deltas are 0..TDB_MAX_TIMEDELTA-1 and
+    // min_timestamp < TDB_MAX_TIMEDELTA, TDB_MAX_TIMEDELTA = 2^47 - 1
+    // (src/tdb_encode.c:113-122 `delta < TDB_MAX_TIMEDELTA`, :150-152)
+    val MaxTimedelta = (1L << 47) - 1
+    if (maxDelta >= MaxTimedelta || minTs >= MaxTimedelta)
+      throw graft.core.GraftError.TimestampTooLarge(
+        s"tdb package: timestamp delta $maxDelta / min $minTs exceeds " +
+          "TDB_MAX_TIMEDELTA = 2^47 - 1 (src/tdb_limits.h:33, " +
+          "src/tdb_encode.c:113-122)")
 
     val numFields = fieldNames.length + 1
     val fieldIdBits = TdbFormat.bitsNeeded(numFields.toLong)

@@ -297,6 +297,34 @@ class ConsSpec extends SparkSpec {
     new TrailDBCons(spark, Seq("ok-name_1", "OTHER", "pct%40", "0digit"))
   }
 
+  test("append refuses a field-list mismatch (tdb_cons_append, src/tdb_cons.c:629-638)") {
+    import spark.implicits._
+    val db = graft.core.TrailDB.fromTrailFrame(Seq(
+      (("0" * 32), 1L, "x", 0L)).toDF("uuid", "time", "a", "seq"))
+    // different names, missing fields, same names in a different ORDER —
+    // all refuse (the reference compares positionally); merge is the
+    // schema-union tool, append is not
+    for (fields <- Seq(Seq("b"), Seq.empty[String], Seq("a", "b"))) {
+      val e = intercept[graft.core.GraftError](
+        new TrailDBCons(spark, fields).append(db))
+      assert(e.errName === "TDB_ERR_APPEND_FIELDS_MISMATCH", fields)
+      assert(e.exitCode === 10, fields)
+    }
+    val two = graft.core.TrailDB.fromTrailFrame(Seq(
+      (("0" * 32), 1L, "x", "y", 0L)).toDF("uuid", "time", "a", "b", "seq"))
+    intercept[graft.core.GraftError](
+      new TrailDBCons(spark, Seq("b", "a")).append(two))
+    // the exact field list appends fine — and an ACTIVE filter rides in
+    // (the reference's subset-append path honors db filters)
+    val dir = java.nio.file.Files.createTempDirectory("graft-append-match")
+    val out = new TrailDBCons(spark, Seq("a", "b"))
+      .append(two.withFilter("a=nomatch")).finalizeTo(s"$dir/db")
+    assert(out.numEvents === 0L)
+    val out2 = new TrailDBCons(spark, Seq("a", "b"))
+      .append(two).finalizeTo(s"$dir/db2")
+    assert(out2.numEvents === 1L)
+  }
+
   test("a huge number of fields works ok (tests/c-tests/really_lots_of_fields.c)") {
     import graft.core.TrailSchema
     // exactly AT the cap constructs (the reference opens a cons with

@@ -67,7 +67,8 @@ class FilterSpec extends SparkSpec {
   test("time range is half-open: [2,3) matches 1 (time_range_filter_simple.c:48-90)") {
     assert(n(EventFilter(Seq(Clause(Seq(TimeRange(2, 3)))))) === 1)
     assert(n(EventFilter(Seq(Clause(Seq(TimeRange(2, 4)))))) === 2)
-    assertThrows[IllegalArgumentException](TimeRange(3, 3))
+    val bad = intercept[graft.core.GraftError](TimeRange(3, 3))
+    assert(bad.errName === "TDB_ERR_INVALID_RANGE" && bad.exitCode === 11)
   }
 
   test("duplicate terms in a clause are harmless (event_filter_simple.c dup terms)") {

@@ -297,4 +297,21 @@ class TdbInteropSpec extends SparkSpec {
       ("00" * 15 + "02", 170L, "a", "x"),
       ("ff" * 16, 1L, "z", "z")))
   }
+
+  test("reference engine reads wide timestamps at the 47-bit delta edge (tests/c-tests/wide_timestamps.c)") {
+    requireBinary()
+    // a delta near the 47-bit bound (2^47 - 2^32), plus the
+    // wide_timestamps.c shapes: small min + huge delta, and the
+    // UINT32_MAX straddle — all through the C engine, byte-for-byte
+    val MaxTd = (1L << 47) - 1
+    val u = "0" * 32
+    val times = Seq(1L, 2L, 0xffffffffL, 0x100000000L, MaxTd + 1L)
+    val df = times.zipWithIndex
+      .map { case (t, i) => (u, t, s"e$i") }.toDF("uuid", "time", "etype")
+    val dir = Files.createTempDirectory("graft-interop-widets")
+    val pkg = s"$dir/wide.tdb"
+    TdbWriter.writePackage(df, Seq("etype"), pkg)
+    val c = cDumpJson(pkg).map { case (_, t, m) => (t, m("etype")) }
+    assert(c === times.zipWithIndex.map { case (t, i) => (t, s"e$i") })
+  }
 }

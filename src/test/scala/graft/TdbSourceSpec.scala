@@ -533,10 +533,11 @@ class TdbSourceSpec extends SparkSpec {
     val df = (0 until 24).map(i =>
         (f"${i % 3}%032x", 100L + i, s"e${i % 2}", s"t${i % 12}"))
       .toDF("uuid", "time", "etype", "tag")
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[graft.core.GraftError] {
       TdbWriter.writePackage(df, Seq("etype", "tag"), s"$dir/capped.tdb",
         maxLexiconValues = 10)
     }
+    assert(e.errName === "TDB_ERR_LEXICON_TOO_LARGE")
     assert(e.getMessage.contains("'tag'") &&
       e.getMessage.contains("10"), e.getMessage)
     // at exactly the cardinality the export proceeds and round-trips
@@ -546,6 +547,31 @@ class TdbSourceSpec extends SparkSpec {
     val back = spark.read.format("tdb").load(out)
     assert(back.count() === 24L)
     assert(back.select("tag").distinct().count() === 12L)
+  }
+
+  test("wide timestamps: the export refuses past TDB_MAX_TIMEDELTA, fits just under (tests/c-tests/wide_timestamps.c)") {
+    val dir = Files.createTempDirectory("graft-tdb-widets")
+    val MaxTd = (1L << 47) - 1
+    def pkg(times: Seq[Long], out: String): Unit =
+      TdbWriter.writePackage(
+        times.zipWithIndex.map { case (t, i) => ("0" * 32, t, s"e$i") }
+          .toDF("uuid", "time", "etype"),
+        Seq("etype"), out)
+    // delta = MaxTd - 1 is the largest VALID delta (TSTAMPS3: {10, MAX+9})
+    pkg(Seq(10L, MaxTd + 9L), s"$dir/fits.tdb")
+    val backTs = spark.read.format("tdb").load(s"$dir/fits.tdb")
+      .select("time").as[Long].collect().sorted
+    assert(backTs === Array(10L, MaxTd + 9L))
+    // delta = MaxTd fails (TSTAMPS4: {10, MAX+11} → delta MAX+1 there;
+    // the boundary itself is refused by `delta < TDB_MAX_TIMEDELTA`)
+    val e = intercept[graft.core.GraftError](
+      pkg(Seq(10L, MaxTd + 10L), s"$dir/delta.tdb"))
+    assert(e.errName === "TDB_ERR_TIMESTAMP_TOO_LARGE" && e.exitCode === 12)
+    // min_timestamp >= TDB_MAX_TIMEDELTA fails even with a tiny delta
+    // (src/tdb_encode.c:150-152)
+    val e2 = intercept[graft.core.GraftError](
+      pkg(Seq(MaxTd, MaxTd + 1L), s"$dir/min.tdb"))
+    assert(e2.errName === "TDB_ERR_TIMESTAMP_TOO_LARGE")
   }
 
   test("a malformed uuid refuses loudly instead of corrupting the index") {
