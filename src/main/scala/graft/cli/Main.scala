@@ -57,7 +57,7 @@ object Main {
     "make"  -> Set("-o", "-c", "-j", "-f", "--delimiter", "--uuid-col",
       "--time-col", "--uuids", "--package", "--tdb-format"),
     "dump"  -> Set("-i", "-F", "-o", "--fields", "--uuids", "--delimiter", "--index"),
-    "merge" -> Set("-o", "-i", "-F", "--uuids"),
+    "merge" -> Set("-o", "-i", "-F", "--uuids", "--tdb-format"),
     "index" -> Set("-i", "-o"),
     "diff"  -> Set("-i", "-o", "--summary-limit")
   ).withDefaultValue(Set.empty)
@@ -443,6 +443,18 @@ object Main {
         val merged = TrailOps.merge(dbs)
         val db = new TrailDBCons(spark, merged.fields).add(merged.df).finalizeTo(out)
         println(s"[merge] ${ins.size} dbs -> ${db.numEvents} events / ${db.numTrails} trails at $out")
+        // --tdb-format pkg on merge, like make (the reference's option
+        // table is global and op_merge.c:216-219 honors it the same way)
+        one("--tdb-format").foreach {
+          case "pkg" =>
+            val pkg = s"$out.tdb"
+            graft.sources.TdbWriter.writePackage(db.df, db.fields, pkg)
+            println(s"[merge] packaged $out as $pkg")
+          case "dir" => ()
+          case other =>
+            throw GraftError.BadArgs(
+              s"merge: --tdb-format must be 'pkg' or 'dir', got '$other'")
+        }
 
       case "index" =>
         val in = one("-i").getOrElse(throw GraftError.BadArgs("index: -i DB required"))

@@ -98,6 +98,12 @@ class CliSpec extends SparkSpec {
         "-f", "etype", "--csv-header", "--tdb-format", "zip"))
     }
     assert(e.getMessage.contains("pkg"), e.getMessage)
+    // merge honors the same flag (op_merge.c:216-219: the option table is
+    // global) — the merged package carries both inputs' events
+    Main.run(spark, "merge", Seq("-o", s"$dir/m", "-i", s"$dir/db",
+      "-i", s"$dir/db2", "--tdb-format", "pkg"))
+    val mback = spark.read.format("tdb").load(s"$dir/m.tdb")
+    assert(mback.count() === 24L)
   }
 
   test("diff --summary-limit truncates loudly; default path bounded (r8 VERDICT)") {
