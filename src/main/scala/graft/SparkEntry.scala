@@ -1837,6 +1837,51 @@ object SparkEntry {
           (col("_n_kept") * 100 >= col("n_exact_new") * 95).as("recall_ok"))
     }),
 
+    // Streaming ingest dedup: flatMapGroupsWithState keep-first over the
+    // document stream (AvailableNow) — one kept id per content key,
+    // dropping duplicates across micro-batches (the production pattern in
+    // front of a training-data pipeline; StreamDedup.keepFirst). Contract
+    // row: n_total/n_keys exact (DuckDB recomputes), exactly one kept row
+    // per key, and every kept (key, id) exists in the corpus under that
+    // key (violations = 0). Batch ≡ stream for any micro-batch split —
+    // the multi-batch identity is pinned in StreamingSpec.
+    "d_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val src = Fixtures.memo(s"docsrc:$dir") {
+        val p = java.nio.file.Files.createTempDirectory("graft-docsrc")
+          .resolve("src").toString
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id").cast("string").as("id"),
+            coalesce(col("text"), lit("")).as("text"))
+          .write.parquet(p)
+        p
+      }
+      val stream = s.readStream
+        .schema(s.read.parquet(src).schema).parquet(src)
+      val keyed = stream.select(md5(col("text")).as("key"), col("id"))
+        .as[(String, String)]
+      val name = "d_stream_dedup_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamDedup.keepFirst(keyed)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+      val kept = s.table(name)
+      val corpus = s.read.parquet(src)
+        .select(md5(col("text")).as("key"), col("id"))
+      val stats = corpus.agg(count(lit(1)).as("n_total"),
+        count_distinct(col("key")).as("n_keys"))
+      val keptAgg = kept.agg(count(lit(1)).as("_n_kept"),
+        count_distinct(col("key")).as("_n_kept_keys"))
+      val bad = kept.join(corpus, Seq("key", "id"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+      stats.crossJoin(broadcast(keptAgg)).crossJoin(broadcast(bad))
+        .select(col("n_total"), col("n_keys"),
+          (col("_n_kept") === col("n_keys")).as("kept_eq_keys"),
+          (col("_n_kept_keys") === col("_n_kept")).as("one_per_key"),
+          col("violations"))
+    }),
+
     // Temperature-weighted source mixture (mT5/XLM-R-style alpha-
     // resampling): exact per-source counts and the alpha=0.5 sampling
     // weights/budgets a stratified sampler would be fed with.
@@ -4347,6 +4392,13 @@ object SparkEntry {
         |    THEN CAST(CAST(floor(1000000 * wt) AS BIGINT) AS DOUBLE) / n_tokens
         |  END AS epochs
         |FROM w LEFT JOIN st USING (source) ORDER BY source""".stripMargin,
+
+    "d_stream_dedup" ->
+      """SELECT count(*) AS n_total,
+        |       count(DISTINCT md5(coalesce(text,''))) AS n_keys,
+        |       true AS kept_eq_keys, true AS one_per_key,
+        |       CAST(0 AS BIGINT) AS violations
+        |FROM documents""".stripMargin,
 
     "d_incremental_dedup" ->
       """SELECT doc_id FROM (

@@ -120,6 +120,50 @@ class StreamingSpec extends SparkSpec {
     assert(kept === Seq("doc a", "doc b", "doc c"))
   }
 
+  test("exact streaming keep-first: cross-batch dups drop forever, one kept id per key") {
+    // three source files forced into three micro-batches in mtime order;
+    // key K appears in batches 1, 2 and 3 — only batch 1's minimum id
+    // may survive (never re-admitted, unlike the watermark-bounded form)
+    val dir = Files.createTempDirectory("graft-skeepfirst")
+    val src = dir.resolve("src")
+    Files.createDirectories(src)
+    def writeFile(name: String, rows: Seq[(String, String)], mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft-skf-part")
+      rows.toDF("key", "id").coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator()
+      var found: java.nio.file.Path = null
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.toString.endsWith(".parquet")) found = p
+      }
+      val dst = src.resolve(name)
+      Files.copy(found, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    writeFile("b1.parquet",
+      Seq(("K", "d07"), ("K", "d03"), ("A", "d01")), 1000000L)
+    writeFile("b2.parquet",
+      Seq(("K", "d00"), ("B", "d05")), 2000000L)   // d00 < d03 but LATE
+    writeFile("b3.parquet",
+      Seq(("K", "d09"), ("B", "d99"), ("C", "d08")), 3000000L)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    val q = graft.streaming.StreamDedup.keepFirst(
+        stream.as[(String, String)])
+      .writeStream.outputMode("append").format("memory").queryName("skf")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val kept = spark.sql("SELECT key, id FROM skf")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // K: batch-1 min id d03 (d00 arrives later and must NOT displace it);
+    // within-batch tie on K broke to the minimum (d03 < d07)
+    assert(kept === Map("K" -> "d03", "A" -> "d01", "B" -> "d05", "C" -> "d08"))
+  }
+
   test("streaming as-of enrichment agrees with the batch asOfJoin on identical inputs") {
     val views = Seq(
       ("u1", 100L, 1L), ("u1", 200L, 2L), ("u1", 300L, 3L),
