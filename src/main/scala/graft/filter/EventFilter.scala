@@ -47,7 +47,7 @@ final case class EventFilter(clauses: Seq[Clause]) {
     */
   def toColumn(fields: Set[String]): Column =
     if (clauses.isEmpty) lit(true)
-    else clauses.map(clauseColumn(_, fields)).reduce(_ && _)
+    else balancedReduce(clauses.map(clauseColumn(_, fields)))(_ && _)
 
   /** CNF text form using the reference CLI grammar (tdbcli/filter.c:18-34):
     * space = OR within a clause, `&` = AND between clauses. */
@@ -82,9 +82,40 @@ object EventFilter {
     case Match(f, v, true)   => col(f).isNull || col(f) =!= lit(v)
   }
 
+  /** Pairwise (balanced) reduce — a left-deep `reduce` builds a chain as
+    * deep as the term count, and Spark's Column→Expression conversion
+    * recurses per node: a 1000-value clause (a big `--uuids` list, the
+    * event_filter_large.c shape) overflows the stack. Balancing bounds
+    * depth at log2(n). */
+  private def balancedReduce(cols: Seq[Column])(op: (Column, Column) => Column): Column = {
+    var cur = cols
+    while (cur.length > 1)
+      cur = cur.grouped(2)
+        .map(g => if (g.length == 2) op(g.head, g(1)) else g.head).toSeq
+    cur.head
+  }
+
   private def clauseColumn(c: Clause, fields: Set[String]): Column =
     if (c.terms.isEmpty) lit(false)
-    else c.terms.map(termColumn(_, fields)).reduce(_ || _)
+    else {
+      // Same-field positive equality terms collapse to ONE `isin` — a
+      // Catalyst In, which reaches the parquet scan as a pushed In filter
+      // (a 1000-way OR chain pushes nothing) and keeps expression depth
+      // constant no matter how wide the disjunction. NULL semantics are
+      // unchanged: a positive equality never matches NULL, and In on a
+      // NULL column is null → filtered, exactly like the OR chain.
+      val (posEq, rest) = c.terms.partition {
+        case Match(f, v, false) => fields.contains(f) && v.nonEmpty
+        case _ => false
+      }
+      val collapsed = posEq.collect { case m: Match => m }
+        .groupBy(_.field).toSeq.sortBy(_._1).map {
+          case (f, ms) if ms.length >= 2 =>
+            col(f).isin(ms.map(_.value).distinct: _*)
+          case (f, ms) => col(f) === lit(ms.head.value)
+        }
+      balancedReduce(collapsed ++ rest.map(termColumn(_, fields)))(_ || _)
+    }
 
   /** Parse the reference CLI filter grammar (tdbcli/filter.c:18-140):
     * whitespace separates OR'd terms, `&` separates AND'd clauses;

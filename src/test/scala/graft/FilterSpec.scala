@@ -166,6 +166,23 @@ class FilterSpec extends SparkSpec {
     assert(byTrail(f"${30}%032x") === 1)  // no override: db filter a=foo
   }
 
+  test("large filters: a 1000-term OR clause and 1000 empty clauses (event_filter_large.c)") {
+    val big = TrailDB.fromTrailFrame(
+      (0 until 1000).map(i =>
+        (f"$i%032x", 1L, i.toString, if (i % 2 == 1) "t" else "", i.toLong))
+        .toDF("uuid", "time", "number", "is_odd", "seq"))
+    // odd/even split via the sparse field (the C test's first checks)
+    assert(big.events(EventFilter(Seq(Clause(Seq(Match("is_odd", "t")))))).count() === 500)
+    assert(big.events(EventFilter(Seq(Clause(Seq(Match("is_odd", "t", negated = true)))))).count() === 500)
+    // one clause OR-ing all 1000 values matches everything; half matches half
+    def union(n: Int) = EventFilter(Seq(Clause(
+      (0 until n).map(i => Match("number", i.toString): Term))))
+    assert(big.events(union(1000)).count() === 1000)
+    assert(big.events(union(500)).count() === 500)
+    // a long conjunction of empty clauses is valid and matches nothing
+    assert(big.events(EventFilter(Seq.fill(1000)(Clause(Nil)))).count() === 0)
+  }
+
   test("only-diff-items refuses on a filtered view (TDB_ERR_ONLY_DIFF_FILTER, tdb_decode.c:110-120)") {
     val e = intercept[graft.core.GraftError](
       db.withFilter("a=foo").onlyDiffItems)
