@@ -47,6 +47,22 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("a multi-value clause pushes ONE In filter on a finalized layout (round-11 isin collapse)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-guard-in")
+    val db = new graft.core.TrailDBCons(spark, Seq("etype"))
+      .add((0 until 200).map(i =>
+          (f"${i % 20}%032x", 100L + i, s"e${i % 8}"))
+        .toDF("uuid", "time", "etype"))
+      .finalizeTo(s"$tmp/db")
+    val filter = graft.filter.EventFilter.parse("etype=e1 etype=e3 etype=e5")
+    val plan = db.events(filter).queryExecution.executedPlan.toString
+    assert(plan.contains("In(etype"),
+      s"expected a pushed In(etype, ...) filter in:\n$plan")
+    assert(db.events(filter).count() ===
+      (0 until 200).count(i => Set(1, 3, 5)(i % 8)))
+  }
+
   test("bounded-memory aggregates keep their bounded shuffle shape") {
     // q_topk_agg's whole point is that the exchange carries k rows per
     // partition — a refactor that reintroduces a global sort would show up
