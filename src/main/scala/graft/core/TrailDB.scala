@@ -69,9 +69,9 @@ final class TrailDB private (
         val bucketClauses = filter.clauses.flatMap { c =>
           val ranges = c.terms.collect { case tr: graft.filter.TimeRange => tr }
           if (ranges.nonEmpty && ranges.size == c.terms.size)
-            Some(ranges.map(r =>
+            Some(graft.filter.EventFilter.balancedReduce(ranges.map(r =>
               col(TrailSchema.BucketCol) >= lit(r.start / n) &&
-              col(TrailSchema.BucketCol) <= lit((r.end - 1) / n)).reduce(_ || _))
+              col(TrailSchema.BucketCol) <= lit((r.end - 1) / n)))(_ || _))
           else None
         }
         bucketClauses.foldLeft(filtered)(_ filter _)
@@ -98,9 +98,12 @@ final class TrailDB private (
   def eventsWithTrailFilters(overrides: Map[String, EventFilter],
       joinThreshold: Int = 10000): DataFrame =
     if (overrides.size <= joinThreshold) {
-      val overridden = overrides.map { case (u, f) =>
+      val perTrail = overrides.toSeq.sortBy(_._1).map { case (u, f) =>
         col(TrailSchema.UuidCol) === lit(u) && f.toColumn(fieldSet)
-      }.reduceOption(_ || _).getOrElse(lit(false))
+      }
+      val overridden =
+        if (perTrail.isEmpty) lit(false)
+        else EventFilter.balancedReduce(perTrail)(_ || _)
       val baseKeeps = !col(TrailSchema.UuidCol).isin(overrides.keys.toSeq: _*) &&
         dbFilter.map(_.toColumn(fieldSet)).getOrElse(lit(true))
       base.filter(overridden || baseKeeps)

@@ -241,9 +241,13 @@ object TrailIndex {
 
     // One scan of the (small) index for all terms of all prunable clauses.
     val wanted = indexable.flatten.map(m => (m.field, m.value)).distinct
-    val pred = wanted.map { case (f, v) =>
-      col("field") === lit(f) && col("value") === lit(v)
-    }.reduce(_ || _)
+    // balanced: `wanted` is as wide as the filter (a 1000-term clause is
+    // legal, event_filter_large.c) — a left-deep OR would overflow the
+    // Column->Expression conversion stack
+    val pred = graft.filter.EventFilter.balancedReduce(
+      wanted.map { case (f, v) =>
+        col("field") === lit(f) && col("value") === lit(v)
+      })(_ || _)
     val hits: Map[(String, String), Set[String]] =
       index.filter(pred).select("field", "value", "page").collect()
         .groupBy(r => (r.getString(0), r.getString(1)))
@@ -263,10 +267,13 @@ object TrailIndex {
     candidatePages(index, filter) match {
       case None => db
       case Some(pages) =>
+        // balanced: the page set can reach the full page count (65k in
+        // the reference's layout) — log-depth, not a 65k-deep chain
         val pagePred =
           if (pages.isEmpty) lit(false)
-          else pages.toSeq.sorted.map(p =>
-            col(TrailSchema.UuidCol).startsWith(p)).reduce(_ || _)
+          else graft.filter.EventFilter.balancedReduce(
+            pages.toSeq.sorted.map(p =>
+              col(TrailSchema.UuidCol).startsWith(p)))(_ || _)
         db.restrict(pagePred)
     }
 

@@ -86,8 +86,9 @@ object EventFilter {
     * deep as the term count, and Spark's Column→Expression conversion
     * recurses per node: a 1000-value clause (a big `--uuids` list, the
     * event_filter_large.c shape) overflows the stack. Balancing bounds
-    * depth at log2(n). */
-  private def balancedReduce(cols: Seq[Column])(op: (Column, Column) => Column): Column = {
+    * depth at log2(n). Shared with the index page-predicate builders,
+    * which face the same width (up to 65k page prefixes). */
+  private[graft] def balancedReduce(cols: Seq[Column])(op: (Column, Column) => Column): Column = {
     var cur = cols
     while (cur.length > 1)
       cur = cur.grouped(2)

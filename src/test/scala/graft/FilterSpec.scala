@@ -164,6 +164,13 @@ class FilterSpec extends SparkSpec {
     assert(!byTrail.contains(f"${1}%032x")) // match-none
     assert(byTrail(f"${2}%032x") === 1)   // b=b2
     assert(byTrail(f"${30}%032x") === 1)  // no override: db filter a=foo
+    // width stress: 2000 overrides on the DISJUNCTION path (threshold
+    // above the map size) — the balanced reduce keeps expression depth
+    // log2(n); the left-deep chain this replaced overflowed at ~1000
+    val wide = (0 until 2000).map(t =>
+      f"$t%032x" -> EventFilter.matchAll).toMap
+    assert(big.eventsWithTrailFilters(wide, joinThreshold = 5000)
+      .count() === 40 * 3)  // every trail overridden to match-all
   }
 
   test("large filters: a 1000-term OR clause and 1000 empty clauses (event_filter_large.c)") {
