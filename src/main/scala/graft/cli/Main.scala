@@ -183,6 +183,22 @@ object Main {
     if (code != 0) sys.exit(code)
   }
 
+  /** uuid-presence projection of `df` restricted to `valid` — isin while
+    * the list is plan-friendly, semi-join past the same threshold the
+    * whitelist itself switches at (TrailDB.LargeListThreshold). */
+  private def presentUuids(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame,
+      valid: Seq[String]): org.apache.spark.sql.DataFrame =
+    if (valid.size <= TrailDB.LargeListThreshold)
+      df.filter(col(TrailSchema.UuidCol).isin(valid: _*))
+        .select(TrailSchema.UuidCol)
+    else {
+      import spark.implicits._
+      df.select(TrailSchema.UuidCol).join(
+        valid.toDF(TrailSchema.UuidCol).distinct(),
+        Seq(TrailSchema.UuidCol), "left_semi")
+    }
+
   /** Open a db for a CLI op, classifying failure as TDB_ERR_IO_OPEN. */
   private def openDb(spark: SparkSession, path: String): TrailDB =
     try TrailDB.open(spark, path)
@@ -397,8 +413,7 @@ object Main {
         flags("--uuids").headOption.foreach { us =>
           val entries = parseUuidSpec(us)
           val valid = entries.filter(isValidUuid).map(_.toLowerCase).distinct
-          val present = db.df.filter(col(TrailSchema.UuidCol).isin(valid: _*))
-            .select(TrailSchema.UuidCol).distinct().count()
+          val present = presentUuids(spark, db.df, valid).distinct().count()
           reportUuids(entries, valid, present)
           db = db.whitelist(valid)
         }
@@ -433,9 +448,7 @@ object Main {
           // line (the reference reports once; one line per input — and one
           // Spark job per input — was ADVICE r6). The union is a
           // column-pruned uuid scan with the isin pushed to parquet.
-          val present = dbs.map(_.df
-              .filter(col(TrailSchema.UuidCol).isin(valid: _*))
-              .select(TrailSchema.UuidCol))
+          val present = dbs.map(db => presentUuids(spark, db.df, valid))
             .reduce(_ union _).distinct().count()
           reportUuids(entries, valid, present)
           dbs = dbs.map(_.whitelist(valid))

@@ -145,10 +145,21 @@ final class TrailDB private (
 
   /** Trail whitelist — keep only listed uuids (reference `--uuids` pattern:
     * MATCH_NONE db-wide + MATCH_ALL per listed trail, tdbcli/filter.c:142-243).
-    * Spark-native: a broadcast semi-join / isin, which Catalyst pushes down. */
+    * Spark-native: isin (pushed to the scan as an In filter) while the
+    * list is plan-friendly; past [[TrailDB.LargeListThreshold]] it routes
+    * to the semi-join overload — a million-literal In bloats the plan and
+    * the pushed filter evaluates per row group, where the semi-join
+    * broadcasts one hashed set (AQE shuffles both sides past broadcast
+    * size). The reference's own stress runs 1M-trail uuid lists
+    * (tests/tdbcli/test_tdbcli.py:143-184). */
   def whitelist(uuids: Seq[String]): TrailDB =
-    new TrailDB(spark, base.filter(col(TrailSchema.UuidCol).isin(uuids: _*)),
-      dbFilter, bucketSeconds)
+    if (uuids.size <= TrailDB.LargeListThreshold)
+      new TrailDB(spark, base.filter(col(TrailSchema.UuidCol).isin(uuids: _*)),
+        dbFilter, bucketSeconds)
+    else {
+      import spark.implicits._
+      whitelist(uuids.toDF(TrailSchema.UuidCol))
+    }
 
   /** Whitelist against a (possibly huge) uuid set as a DataFrame — semi-join,
     * broadcast when small (AQE decides at scale). */
@@ -163,10 +174,18 @@ final class TrailDB private (
   private[core] def restrict(pred: Column): TrailDB =
     new TrailDB(spark, base.filter(pred), dbFilter, bucketSeconds)
 
-  /** Trail blacklist — drop listed uuids (anti of [[whitelist]]). */
+  /** Trail blacklist — drop listed uuids (anti of [[whitelist]]; same
+    * large-list routing, via a left-anti join). */
   def blacklist(uuids: Seq[String]): TrailDB =
-    new TrailDB(spark, base.filter(!col(TrailSchema.UuidCol).isin(uuids: _*)),
-      dbFilter, bucketSeconds)
+    if (uuids.size <= TrailDB.LargeListThreshold)
+      new TrailDB(spark, base.filter(!col(TrailSchema.UuidCol).isin(uuids: _*)),
+        dbFilter, bucketSeconds)
+    else {
+      import spark.implicits._
+      new TrailDB(spark,
+        base.join(uuids.toDF(TrailSchema.UuidCol).distinct(),
+          Seq(TrailSchema.UuidCol), "left_anti"), dbFilter, bucketSeconds)
+    }
 
   /** Retention compaction — the periodic-rebuild policy reference users
     * apply when re-consing shards (immutable dbs are rebuilt, never edited
@@ -308,6 +327,13 @@ final case class CursorEvent(uuid: String, time: Long, seq: Long,
     fields: Map[String, String])
 
 object TrailDB {
+  /** Above this many listed uuids, whitelist/blacklist switch from an
+    * isin literal list to a (semi/anti) join — see [[TrailDB.whitelist]].
+    * The In→InSet conversion keeps isin CORRECT at any width; the join
+    * keeps it CHEAP (one hashed set broadcast vs a per-row-group
+    * million-value pushed filter and a million-literal plan). */
+  val LargeListThreshold = 10000
+
   /** Open a finalized trail table (reference: tdb_open, src/tdb.c:298-393).
     * Reads the `_graft_info.json` metadata sidecar when present (reference:
     * info file read at src/tdb.c:677-700) so numTrails/numEvents/timeRange

@@ -190,6 +190,24 @@ class FilterSpec extends SparkSpec {
     assert(big.events(EventFilter(Seq.fill(1000)(Clause(Nil)))).count() === 0)
   }
 
+  test("huge uuid lists route whitelist/blacklist to the join path, same rows") {
+    val many = TrailDB.fromTrailFrame(
+      (0 until 50).map(t => (f"$t%032x", 1L, "x", "", "", t.toLong))
+        .toDF("uuid", "time", "a", "b", "c", "seq"))
+    // a list one past the threshold: 25 real trails + padding uuids that
+    // match nothing — the join path must return exactly the isin rows
+    val real = (0 until 25).map(t => f"$t%032x")
+    val pad = (0 until TrailDB.LargeListThreshold - 24).map(i => f"${1000000 + i}%032x")
+    val bigList = real ++ pad
+    assert(bigList.size === TrailDB.LargeListThreshold + 1)
+    assert(many.whitelist(bigList).df.count() ===
+      many.whitelist(real).df.count())
+    assert(many.blacklist(bigList).df.count() ===
+      many.blacklist(real).df.count())
+    assert(many.whitelist(bigList).df.count() === 25)
+    assert(many.blacklist(bigList).df.count() === 25)
+  }
+
   test("only-diff-items refuses on a filtered view (TDB_ERR_ONLY_DIFF_FILTER, tdb_decode.c:110-120)") {
     val e = intercept[graft.core.GraftError](
       db.withFilter("a=foo").onlyDiffItems)
