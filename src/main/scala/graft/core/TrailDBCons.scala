@@ -38,7 +38,7 @@ final class TrailDBCons(val spark: SparkSession, val fields: Seq[String]) {
     // unlisted trails into a db the docstring promises contains only the
     // listed ones.
     val filtered = uuidWhitelist match {
-      case Some(us) => df.filter(col(TrailSchema.UuidCol).isin(us: _*))
+      case Some(us) => restrictToWhitelist(df, us)
       case None => df
     }
     staged = Some(staged.map(_.unionByName(filtered)).getOrElse(filtered))
@@ -104,9 +104,6 @@ final class TrailDBCons(val spark: SparkSession, val fields: Seq[String]) {
     add(clean)
   }
 
-  /** Bulk-append an existing TrailDB honoring its active db filter —
-    * tdb_cons_append (reference: src/tdb_cons.c:625-657; the fast
-    * lexicon-remap path is moot here since Parquet re-encodes on write). */
   /** Bulk-append an existing db — tdb_cons_append (reference:
     * src/tdb_cons.c:625-657). The field LISTS must match exactly, names
     * and order (the reference deliberately refuses the permissive
@@ -128,9 +125,22 @@ final class TrailDBCons(val spark: SparkSession, val fields: Seq[String]) {
     * staging op — the isin predicate rides the ingest plan. */
   def whitelist(uuids: Seq[String]): this.type = synchronized {
     uuidWhitelist = Some(uuids)
-    staged = staged.map(_.filter(col(TrailSchema.UuidCol).isin(uuids: _*)))
+    staged = staged.map(restrictToWhitelist(_, uuids))
     this
   }
+
+  /** isin while the list is plan-friendly; semi-join past the same
+    * threshold the read-side whitelist switches at
+    * ([[TrailDB.LargeListThreshold]] — a make --uuids file can be as huge
+    * as a dump one). */
+  private def restrictToWhitelist(df: DataFrame, uuids: Seq[String]): DataFrame =
+    if (uuids.size <= TrailDB.LargeListThreshold)
+      df.filter(col(TrailSchema.UuidCol).isin(uuids: _*))
+    else {
+      import spark.implicits._
+      df.join(uuids.toDF(TrailSchema.UuidCol).distinct(),
+        Seq(TrailSchema.UuidCol), "left_semi")
+    }
 
   /** The staged (pre-finalize) view — CLI-side counts only. */
   private[graft] def stagedView: DataFrame = stagedOrEmpty
