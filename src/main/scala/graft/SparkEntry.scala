@@ -432,7 +432,11 @@ object SparkEntry {
         ("append_mismatch", classifyOf(
           new graft.core.TrailDBCons(s, Seq("other_field"))
             .append(trails(s, dir)))),
-        ("invalid_range", classifyOf(graft.filter.TimeRange(5L, 5L)))
+        ("invalid_range", classifyOf(graft.filter.TimeRange(5L, 5L))),
+        // the whale-trail refusal: a 1-event bound any real trail exceeds
+        ("trail_too_long", classifyOf(graft.agg.Funnel.windowFunnel(
+          trails(s, dir).df, Seq("view", "click"), window = 86400L,
+          maxTrailEvents = Some(1L))))
       ).map { case (k, (n, c)) => (k, n, c) }
       s.createDataset(rows).toDF("case_name", "err_name", "exit_code")
         .orderBy("case_name")
@@ -2692,12 +2696,18 @@ object SparkEntry {
     // cursor-walk sequence analysis (what reference users loop cursors
     // for, technical_overview.md trail model) as ONE uuid-shuffle: ordered
     // per-trail sequence via sorted struct collect, 3-gram explode, count.
+    // This op genuinely needs the WHOLE trail in one array (the n-grams
+    // span arbitrary event types), so it carries the loud TrailGuard
+    // whale refusal instead of a pre-filter — a bot uuid holding 10^7+
+    // events refuses with advice BEFORE the collect materializes it.
     "t_paths" -> ((s, dir) => {
       val evs = transform(
         array_sort(collect_list(struct(col("time"), col("seq"),
           coalesce(col("event_type"), lit("")).as("et")))),
         x => x.getField("et"))
-      trails(s, dir).df.groupBy("uuid").agg(evs.as("evs"))
+      graft.agg.TrailGuard.requireBoundedTrails(trails(s, dir).df,
+          col("uuid"), graft.agg.TrailGuard.DefaultMaxTrailEvents, "t_paths")
+        .groupBy("uuid").agg(evs.as("evs"))
         .filter(size(col("evs")) >= 3)
         .select(explode(transform(sequence(lit(1), size(col("evs")) - 2),
           i => concat_ws(">", slice(col("evs"), i, lit(3))))).as("path"))
@@ -3052,6 +3062,7 @@ object SparkEntry {
         |  ('open_error', 'TDB_ERR_IO_OPEN', 3),
         |  ('stale_index', 'TDB_ERR_STALE_INDEX', 5),
         |  ('too_many_fields', 'TDB_ERR_TOO_MANY_FIELDS', 8),
+        |  ('trail_too_long', 'GRAFT_ERR_TRAIL_TOO_LONG', 14),
         |  ('unknown', 'TDB_ERR_UNKNOWN', 1))
         |  AS t(case_name, err_name, exit_code)
         |ORDER BY case_name""".stripMargin,

@@ -23,6 +23,17 @@ import org.apache.spark.sql.functions._
   * and the step chain evaluated by a codegen'd higher-order `aggregate`
   * fold over that array — no per-step self-join cascade (k-1 joins of
   * corpus-sized sides), no UDF. State is k nullable longs per trail.
+  *
+  * Whale-trail safety: only events whose type is in `steps ++ exclude`
+  * are collected — the fold provably ignores every other type (stepFn
+  * falls through to the accumulator), so the conditional collect is
+  * semantics-preserving (FunnelEquivalenceSpec proves it). It is done as
+  * `collect_list(when(relevant, struct))` rather than a row pre-filter so
+  * every uuid keeps its output row (a trail with zero relevant events
+  * still reports level 0); collect_list skips the nulls, so a bot trail
+  * of 10^8 irrelevant heartbeats contributes an EMPTY array instead of a
+  * single 10^8-element in-memory row. Trails that are whales even in
+  * relevant events are caught by the loud [[TrailGuard]] refusal.
   */
 object Funnel {
 
@@ -42,16 +53,26 @@ object Funnel {
   def windowFunnel(df: DataFrame, steps: Seq[String], window: Long,
       uuidCol: String = "uuid", timeCol: String = "time",
       typeCol: String = "event_type", seqCol: String = "seq",
-      exclude: Seq[String] = Nil): DataFrame = {
+      exclude: Seq[String] = Nil,
+      maxTrailEvents: Option[Long] = Some(TrailGuard.DefaultMaxTrailEvents)
+  ): DataFrame = {
     require(steps.nonEmpty, "windowFunnel needs at least one step")
     require(window >= 0, s"window must be non-negative, got $window")
     require(exclude.intersect(steps).isEmpty,
       s"exclusion types overlap steps: ${exclude.intersect(steps)}")
     val k = steps.length
 
-    val evs = array_sort(collect_list(struct(
+    // Conditional collect (see the scaladoc): only relevant event types
+    // enter the per-trail array; the null branch of the `when` is skipped
+    // by collect_list, and the partial (map-side) aggregation already
+    // drops irrelevant events BEFORE the shuffle.
+    val relevant = coalesce(col(typeCol), lit(""))
+      .isin((steps ++ exclude).distinct: _*)
+    val evs = array_sort(collect_list(when(relevant, struct(
       col(timeCol).cast("long").as("time"), col(seqCol).as("seq"),
-      coalesce(col(typeCol), lit("")).as("et"))))
+      coalesce(col(typeCol), lit("")).as("et")))))
+    maxTrailEvents.foreach(m => TrailGuard.requireBoundedTrails(
+      df.filter(relevant), col(uuidCol), m, "windowFunnel"))
     // state: the k slot times of the CURRENT segment's chain, plus the
     // best (level, t0) over closed segments — bl/bt cost nothing when
     // exclude is empty (they stay 0/null and the final max is a no-op)

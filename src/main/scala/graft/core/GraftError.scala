@@ -13,7 +13,8 @@ package graft.core
   * field name, 7 = duplicate fields, 8 = too many fields,
   * 9 = only-diff-items combined with a filter, 10 = append field
   * mismatch, 11 = invalid time range, 12 = timestamp too large for the
-  * package format, 13 = lexicon too large for the package export.
+  * package format, 13 = lexicon too large for the package export,
+  * 14 = a trail exceeding an operator's maxTrailEvents bound.
   */
 sealed abstract class GraftError(val errName: String, val exitCode: Int,
     message: String, cause: Throwable)
@@ -89,6 +90,16 @@ object GraftError {
     * tdb_error.h:50, raised when a lexicon outgrows the format). */
   final case class LexiconTooLarge(msg: String)
       extends GraftError("TDB_ERR_LEXICON_TOO_LARGE", 13, msg, null)
+
+  /** A single trail exceeds an operator's `maxTrailEvents` bound — raised
+    * by [[graft.agg.TrailGuard]] BEFORE any per-trail array materializes,
+    * so a whale trail (a bot uuid holding 10^7-10^8 events) refuses
+    * loudly instead of OOM-ing an executor inside a `collect_list`. No
+    * reference analog (the C engine streams trails through a cursor and
+    * never materializes one); the graft-side whale-cell refusal
+    * discipline of ops/Dedup.scala applied to trail-sequence folds. */
+  final case class TrailTooLong(msg: String)
+      extends GraftError("GRAFT_ERR_TRAIL_TOO_LONG", 14, msg, null)
 
   /** Classify ANY failure escaping a CLI op into (errName, exitCode).
     * Typed GraftErrors carry their own; [[StaleIndexException]] (which

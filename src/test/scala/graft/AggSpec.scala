@@ -206,6 +206,80 @@ class AggSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("windowFunnel whale safety: conditional collect ≡ pre-filtered input, level-0 rows kept") {
+    val steps = Seq("view", "click", "purchase")
+    val rng = new scala.util.Random(12)
+    val types = steps ++ Seq("error", "heartbeat", "ping", "scroll")
+    val rows = (for {
+      u <- 0 until 80
+      i <- 0 until (1 + rng.nextInt(15))
+    } yield (s"u$u", rng.nextInt(100).toLong,
+        types(rng.nextInt(types.length)))) ++
+      // u_noise: ONLY irrelevant events — must still report level 0
+      (0 until 50).map(i => ("u_noise", i.toLong, "heartbeat"))
+    val df = rows.zipWithIndex
+      .map { case ((u, t, e), i) => (u, t, e, i.toLong) }
+      .toDF("uuid", "time", "event_type", "seq")
+
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).sorted.toSeq
+    val full = graft.agg.Funnel.windowFunnel(df, steps, window = 50L,
+      exclude = Seq("error"))
+    // the equivalence the conditional collect relies on: feeding ONLY the
+    // relevant event types produces identical (level, first_time) for
+    // every uuid that has any relevant event
+    val relevantOnly = graft.agg.Funnel.windowFunnel(
+      df.filter(col("event_type").isin(steps :+ "error": _*)),
+      steps, window = 50L, exclude = Seq("error"))
+    val fullMap = full.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.get(2))).toMap
+    val relMap = relevantOnly.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.get(2))).toMap
+    relMap.foreach { case (u, v) => assert(fullMap(u) === v, u) }
+    // uuids with zero relevant events keep their level-0 row
+    assert(fullMap.contains("u_noise"))
+    assert(fullMap("u_noise") === ((0L, null)))
+    assert(fullMap.keySet === rows.map(_._1).toSet)
+
+    // maxTrailEvents counts RELEVANT events only: u_noise's 50 heartbeats
+    // never trip a bound of 10, while a trail with >10 step events does
+    val smallDf = ((0 until 50).map(i => ("w", i.toLong, "heartbeat")) ++
+      Seq(("w", 100L, "view"))).zipWithIndex
+      .map { case ((u, t, e), i) => (u, t, e, i.toLong) }
+      .toDF("uuid", "time", "event_type", "seq")
+    assert(canon(graft.agg.Funnel.windowFunnel(smallDf, steps, 50L,
+      maxTrailEvents = Some(10L))).nonEmpty)
+    val whaleDf = (0 until 20).map(i => ("w", i.toLong, "view"))
+      .zipWithIndex.map { case ((u, t, e), i) => (u, t, e, i.toLong) }
+      .toDF("uuid", "time", "event_type", "seq")
+    val err = intercept[graft.core.GraftError.TrailTooLong] {
+      graft.agg.Funnel.windowFunnel(whaleDf, steps, 50L,
+        maxTrailEvents = Some(10L))
+    }
+    assert(err.getMessage.contains("maxTrailEvents"))
+    assert(err.getMessage.contains("w"))
+    // opt-out still works
+    assert(canon(graft.agg.Funnel.windowFunnel(whaleDf, steps, 50L,
+      maxTrailEvents = None)).nonEmpty)
+  }
+
+  test("TrailGuard refuses BEFORE collecting: count-only pre-pass, named uuid, exit code 14") {
+    val df = ((0 until 200).map(i => ("whale", i.toLong)) ++
+      (0 until 5).map(i => ("ok", i.toLong)))
+      .toDF("uuid", "time")
+    val e = intercept[graft.core.GraftError.TrailTooLong] {
+      graft.agg.TrailGuard.requireBoundedTrails(df, col("uuid"), 100L, "specOp")
+    }
+    assert(e.getMessage.contains("whale"))
+    assert(e.getMessage.contains("specOp"))
+    assert(graft.core.GraftError.classify(e) ===
+      (("GRAFT_ERR_TRAIL_TOO_LONG", 14)))
+    // bounded input passes through unchanged
+    val ok = graft.agg.TrailGuard.requireBoundedTrails(df, col("uuid"),
+      1000L, "specOp")
+    assert(ok.count() === 205L)
+  }
+
   test("cohort matrix: first-bucket cohort, age counts, whale trail counts once per bucket") {
     val wk = 604800L
     val rows =
