@@ -372,42 +372,65 @@ object Main {
           // DB/index, DB.index, DB.tdb.index in that order
           // (tdbcli/tdb_index.c:637-662 tdb_index_find; DB.index is also
           // our `tdb index` default output). --no-index disables BOTH,
-          // like the reference's `!opt->no_index &&` guard. A discovered
-          // index that fails its db-binding check still refuses loudly —
-          // auto-discovery relaxes WHERE the index is found, never whether
-          // a stale one may prune.
+          // like the reference's `!opt->no_index &&` guard.
+          //
+          // An AUTO-discovered path must carry the index's binding sidecar
+          // to count as an index at all — a stray non-index file/dir at a
+          // canonical name downgrades (with a stderr note) to the
+          // unindexed scan instead of failing a previously-working dump.
+          // A REAL index that fails its db-binding check still refuses
+          // loudly (TrailIndex.open), and an explicit --index path is
+          // taken at its word: auto-discovery relaxes WHERE an index is
+          // found, never whether a stale one may prune.
+          //
+          // Progress lines go to stderr and only under -v/--verbose,
+          // matching the reference (op_dump.c prints its Evaluating line
+          // under opt->verbose); the count feeding "Evaluating X/N" is
+          // only computed when it will be printed.
+          val verbose = flags("-v").nonEmpty
+          def progress(msg: String): Unit =
+            if (verbose) Console.err.println(msg)
           val idxPath =
             if (flags("--no-index").nonEmpty) None
             else one("--index").orElse(
               Seq(s"$in/index", s"$in.index", s"$in.tdb.index").find { p =>
                 val hp = new org.apache.hadoop.fs.Path(p)
-                hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-                  .exists(hp)
+                val fs = hp.getFileSystem(
+                  spark.sparkContext.hadoopConfiguration)
+                fs.exists(hp) && {
+                  val marked = fs.exists(new org.apache.hadoop.fs.Path(
+                    hp, graft.core.TrailIndex.SidecarName))
+                  if (!marked) Console.err.println(s"[dump] ignoring $p: " +
+                    s"no ${graft.core.TrailIndex.SidecarName} sidecar — " +
+                    "not an index (pass --index to force)")
+                  marked
+                }
               })
           idxPath match {
             case Some(idx) =>
               // validate the binding against THIS -i db (a db+index pair
               // moved together still validates; a stale index still refuses)
               val index = graft.core.TrailIndex.open(spark, idx, Some(in))
-              val candDb = graft.core.TrailIndex
-                .prunedDb(unfiltered, index, filter)
-              if (!(candDb eq unfiltered)) {
-                // the progress line counts what the INDEX rules in, not
-                // what the filter will keep (the reference's candidates
-                // are pages × trails_per_page, pre-filter;
-                // op_dump.c:239-247) — so both numbers come from the
-                // UNFILTERED handle: one distinct count on the page-
-                // restricted, column-pruned uuid scan
-                val cand = candDb.df.select(TrailSchema.UuidCol)
-                  .distinct().count()
-                val total = unfiltered.numTrails
-                val pct = if (total == 0) 0.0 else 100.0 * cand / total
-                println(f"[dump] using index at $idx. " +
-                  f"Evaluating $cand/$total ($pct%2.2f%%) trails.")
-              } else println(s"[dump] index at $idx cannot prune this filter")
-              db = graft.core.TrailIndex.prunedDb(db, index, filter)
+              val pages = graft.core.TrailIndex.candidatePages(index, filter)
+              if (pages.isDefined) {
+                if (verbose) {
+                  // the progress line counts what the INDEX rules in, not
+                  // what the filter will keep (the reference's candidates
+                  // are pages × trails_per_page, pre-filter;
+                  // op_dump.c:239-247) — so both numbers come from the
+                  // UNFILTERED handle: one distinct count on the page-
+                  // restricted, column-pruned uuid scan
+                  val cand = graft.core.TrailIndex.prunedDb(unfiltered, pages)
+                    .df.select(TrailSchema.UuidCol).distinct().count()
+                  val total = unfiltered.numTrails
+                  val pct = if (total == 0) 0.0 else 100.0 * cand / total
+                  progress(f"[dump] using index at $idx. " +
+                    f"Evaluating $cand/$total ($pct%2.2f%%) trails.")
+                }
+                db = graft.core.TrailIndex.prunedDb(db, pages)
+              } else progress(s"[dump] index at $idx cannot prune this filter")
             case None =>
-              println("[dump] not using an index")
+              progress("[dump] not using an index")
           }
         }
         flags("--uuids").headOption.foreach { us =>

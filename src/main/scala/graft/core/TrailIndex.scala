@@ -264,15 +264,23 @@ object TrailIndex {
     * re-checked, same guarantee as the reference's cursor filter;
     * tdbcli/op_dump.c:239-247). */
   def prunedDb(db: TrailDB, index: DataFrame, filter: EventFilter): TrailDB =
-    candidatePages(index, filter) match {
+    prunedDb(db, candidatePages(index, filter))
+
+  /** [[prunedDb]] from an already-computed [[candidatePages]] result —
+    * callers needing BOTH a progress count and the pruned scan (the CLI's
+    * "Evaluating X/N trails" line, op_dump.c:239-247) compute the page set
+    * once and restrict twice, instead of re-running the index scan+collect
+    * per restriction. */
+  def prunedDb(db: TrailDB, pages: Option[Set[String]]): TrailDB =
+    pages match {
       case None => db
-      case Some(pages) =>
+      case Some(ps) =>
         // balanced: the page set can reach the full page count (65k in
         // the reference's layout) — log-depth, not a 65k-deep chain
         val pagePred =
-          if (pages.isEmpty) lit(false)
+          if (ps.isEmpty) lit(false)
           else graft.filter.EventFilter.balancedReduce(
-            pages.toSeq.sorted.map(p =>
+            ps.toSeq.sorted.map(p =>
               col(TrailSchema.UuidCol).startsWith(p)))(_ || _)
         db.restrict(pagePred)
     }

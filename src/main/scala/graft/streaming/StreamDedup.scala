@@ -12,9 +12,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (doc/docs/index.md:43-48); this is the parity-plus streaming form:
   * state carries one kept id per content key across micro-batches, so a
   * document whose key was EVER seen is dropped no matter how many batches
-  * later it arrives — batch ≡ stream for any micro-batch split of the
-  * same input (within-batch ties break deterministically by minimum id,
-  * cross-batch the earlier batch wins, which IS arrival order).
+  * later it arrives. The SET OF KEPT KEYS is identical for any
+  * micro-batch split of the same input; the kept id for a key is the
+  * minimum id of the FIRST batch containing that key (within-batch ties
+  * break deterministically by minimum id, cross-batch the earlier batch
+  * wins, which IS arrival order — so a split that separates two ids of
+  * one key keeps the earlier-arriving one, not the global minimum).
   *
   * Complement to [[StreamSessions.streamingDedup]]
   * (dropDuplicatesWithinWatermark): that form bounds state by EVICTING

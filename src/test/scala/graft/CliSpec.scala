@@ -394,35 +394,62 @@ class CliSpec extends SparkSpec {
       "-f", "etype", "--csv-header"))
     Main.run(spark, "index", Seq("-i", s"$dir/db"))  // default: db.index
 
-    def capture(args: Seq[String]): Seq[String] = {
-      val bos = new java.io.ByteArrayOutputStream()
-      Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
-        Main.run(spark, "dump", args)
+    // progress lines go to STDERR and only under -v (reference parity:
+    // op_dump.c prints under opt->verbose), so capture both streams
+    def capture(args: Seq[String]): (Seq[String], Seq[String]) = {
+      val out = new java.io.ByteArrayOutputStream()
+      val err = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+        Console.withErr(new java.io.PrintStream(err, true, "UTF-8")) {
+          Main.run(spark, "dump", args)
+        }
       }
-      bos.toString("UTF-8").linesIterator.toSeq
+      (out.toString("UTF-8").linesIterator.toSeq,
+        err.toString("UTF-8").linesIterator.toSeq)
     }
     // no --index flag: the canonical sibling path is probed and used, and
-    // the reference's progress line is printed
-    val auto = capture(Seq("-i", s"$dir/db", "-F", "etype=e1",
-      "-o", s"$dir/dump-auto", "--csv-header"))
+    // the reference's progress line is printed (stderr, -v only)
+    val (autoOut, auto) = capture(Seq("-i", s"$dir/db", "-F", "etype=e1",
+      "-v", "-o", s"$dir/dump-auto", "--csv-header"))
     // etype=e1 lives in trails 1 and 5 only → the index prunes 8 → 2, and
     // the reference-style line reports candidates out of ALL db trails
     assert(auto.exists(_.contains(
       s"using index at $dir/db.index. Evaluating 2/8 (25.00%) trails.")), auto)
+    assert(!autoOut.exists(_.contains("Evaluating")), autoOut)
+    // without -v: silent on both streams (but still index-pruned)
+    val (quietOut, quietErr) = capture(Seq("-i", s"$dir/db", "-F",
+      "etype=e1", "-o", s"$dir/dump-quiet", "--csv-header"))
+    assert(!(quietOut ++ quietErr).exists(_.contains("Evaluating")),
+      (quietOut, quietErr))
     // --no-index: same rows, no index line
-    val noIdx = capture(Seq("-i", s"$dir/db", "-F", "etype=e1",
+    val (_, noIdx) = capture(Seq("-i", s"$dir/db", "-F", "etype=e1", "-v",
       "--no-index", "-o", s"$dir/dump-noidx", "--csv-header"))
     assert(noIdx.exists(_.contains("not using an index")), noIdx)
     def rows(p: String) = spark.read.option("header", "true").csv(p)
       .collect().map(_.toString).sorted.toSeq
     assert(rows(s"$dir/dump-auto") === rows(s"$dir/dump-noidx"))
+    assert(rows(s"$dir/dump-quiet") === rows(s"$dir/dump-noidx"))
     assert(rows(s"$dir/dump-auto").nonEmpty)
     // --no-index beats an explicit --index too (the reference's
     // !opt->no_index guards BOTH discovery and --index-path)
-    val both = capture(Seq("-i", s"$dir/db", "-F", "etype=e1", "--no-index",
-      "--index", s"$dir/db.index", "-o", s"$dir/dump-both", "--csv-header"))
+    val (_, both) = capture(Seq("-i", s"$dir/db", "-F", "etype=e1", "-v",
+      "--no-index", "--index", s"$dir/db.index", "-o", s"$dir/dump-both",
+      "--csv-header"))
     assert(both.exists(_.contains("not using an index")), both)
     assert(rows(s"$dir/dump-both") === rows(s"$dir/dump-noidx"))
+
+    // a STRAY non-index file at a canonical path downgrades with a stderr
+    // note instead of failing a previously-working `dump -F`: copy the db
+    // (no index of its own), plant garbage at its DB.index slot
+    Main.run(spark, "make", Seq("-o", s"$dir/db2", "-c", csv.toString,
+      "-f", "etype", "--csv-header"))
+    java.nio.file.Files.writeString(dir.resolve("db2.index"), "not an index")
+    val (_, stray) = capture(Seq("-i", s"$dir/db2", "-F", "etype=e1", "-v",
+      "-o", s"$dir/dump-stray", "--csv-header"))
+    assert(stray.exists(s => s.contains("ignoring") &&
+      s.contains(s"$dir/db2.index")), stray)
+    assert(stray.exists(_.contains("not using an index")), stray)
+    assert(rows(s"$dir/dump-stray") === rows(s"$dir/dump-noidx"))
   }
 
   test("getopt_long spelling parity: every reference long/short alias parses (main.c:152-171)") {
