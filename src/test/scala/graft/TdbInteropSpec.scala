@@ -298,6 +298,108 @@ class TdbInteropSpec extends SparkSpec {
       ("ff" * 16, 1L, "z", "z")))
   }
 
+  test("randomized cross-engine filter differential: 60 random CNF filters agree byte-for-byte, with and without index") {
+    requireBinary()
+    // The reference's CLI suite runs EVERY filter with and without the
+    // index and asserts identical results (tests/tdbcli/test_tdbcli.py:
+    // 72-78); this is the cross-ENGINE generalization: random filters
+    // drawn from the FULL shared CLI grammar (tdbcli/filter.c:17-31 —
+    // equality, inequality, empty value, `=@file`, unknown field, unknown
+    // value, multi-clause `&`; time ranges are API-only in the reference,
+    // not CLI-expressible, so the in-engine t_filter_time_range twin
+    // covers them) dumped through BOTH engines over a graft-written
+    // package, asserted byte-identical in the C engine's own output
+    // order, and through graft's TrailIndex-pruned path as well.
+    val rnd = new scala.util.Random(101)
+    val uuidPool = (0 until 24).map(i => f"$i%032x")
+    val etypes = Seq("view", "click", "buy", "ship", "")
+    val tags = Seq("t0", "t1", "t2", "t3", "t4", null)
+    val rows = uuidPool.zipWithIndex.flatMap { case (u, ui) =>
+      (0 until 10 + rnd.nextInt(40)).map { j =>
+        // unique time within a trail → (LE-uuid, time) is a total order
+        // identical to the C engine's stored dump order
+        (u, 1000L + j * 7L + ui, etypes(rnd.nextInt(etypes.length)),
+          tags(rnd.nextInt(tags.length)))
+      }
+    }
+    val df = rows.toDF("uuid", "time", "etype", "tag")
+      .withColumn("seq", monotonically_increasing_id())
+    val dir = Files.createTempDirectory("graft-interop-diff")
+    val pkg = s"$dir/rdiff.tdb"
+    TdbWriter.writePackage(df, Seq("etype", "tag"), pkg)
+
+    // @file indirection fixtures: a real value and an empty file (the
+    // reference mmaps st_size bytes; empty file = the NULL/"" value)
+    val valFile = dir.resolve("val.txt"); Files.writeString(valFile, "t1")
+    val emptyFile = dir.resolve("empty.txt"); Files.writeString(emptyFile, "")
+
+    val db = graft.core.TrailDB.open(spark, pkg)
+    // one decode of the package, then 60 filters over the cached frame —
+    // full-dump package fidelity is separately asserted below
+    val base = graft.core.TrailDB.fromTrailFrame(db.df.localCheckpoint())
+    val idxDir = s"$dir/rdiff.index"
+    graft.core.TrailIndex.build(base, idxDir)
+    val index = graft.core.TrailIndex.open(spark, idxDir)
+
+    def randTerm(): String = rnd.nextInt(10) match {
+      case 0 => s"etype=${etypes(rnd.nextInt(4))}"        // known equality
+      case 1 => s"tag=${Seq("t0","t1","t2")(rnd.nextInt(3))}"
+      case 2 => s"etype!=${etypes(rnd.nextInt(4))}"        // negation
+      case 3 => "tag="                                     // empty value
+      case 4 => "tag!="                                    // negated empty
+      case 5 => "etype=zzz"                                // unknown value
+      case 6 => if (rnd.nextBoolean()) "ghost=x" else "ghost!=x" // unknown field
+      case 7 => s"tag=@$valFile"                           // @file value
+      case 8 => s"etype=@$emptyFile"                       // @file empty
+      case _ => s"tag!=${tags(rnd.nextInt(5))}"
+    }
+    def randFilter(): String =
+      Seq.fill(1 + rnd.nextInt(3))(
+        Seq.fill(1 + rnd.nextInt(4))(randTerm()).mkString(" ")
+      ).mkString(" & ")
+
+    // C dump order = little-endian u128 uuid order, stored event order
+    def leKey(u: String): String = u.grouped(2).toSeq.reverse.mkString
+    def graftBytes(rows: Seq[(String, Long, String, String)]): String =
+      rows.sortBy(t => (leKey(t._1), t._2)).map { case (u, t, e, g) =>
+        s"""{"uuid": "$u", "time": "$t", "etype": "$e", "tag": "$g"}\n"""
+      }.mkString
+    def collectRows(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("uuid"), col("time"),
+          coalesce(col("etype"), lit("")).as("etype"),
+          coalesce(col("tag"), lit("")).as("tag"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getString(3))).toSeq
+
+    // anchor: the unfiltered dumps agree byte-for-byte (package fidelity)
+    assert(Process(Seq(refBin, "dump", "-j", "-i", pkg)).!! ===
+      graftBytes(collectRows(base.df)))
+
+    var pruned = 0
+    var nonEmpty = 0
+    (0 until 60).foreach { i =>
+      val fstr = randFilter()
+      val cOut = Process(Seq(refBin, "dump", "-j", "-i", pkg, "-F", fstr)).!!
+      val filter = graft.filter.EventFilter.parse(fstr)
+      val got = collectRows(base.withFilter(filter).df)
+      assert(cOut === graftBytes(got),
+        s"filter #$i '$fstr': C engine and graft disagree")
+      if (got.nonEmpty) nonEmpty += 1
+      // index-pruned scan must return the identical rows (false positives
+      // re-checked by the full filter; false negatives would diverge here)
+      val pages = graft.core.TrailIndex.candidatePages(index, filter)
+      if (pages.isDefined) pruned += 1
+      val viaIdx = collectRows(
+        graft.core.TrailIndex.prunedDb(base.withFilter(filter), pages).df)
+      assert(got.sorted === viaIdx.sorted,
+        s"filter #$i '$fstr': index-pruned scan diverges")
+    }
+    // the draw must exercise both regimes, not vacuously pass
+    assert(pruned >= 10, s"only $pruned/60 filters were index-prunable")
+    assert(nonEmpty >= 10, s"only $nonEmpty/60 filters matched any event")
+  }
+
   test("reference engine reads wide timestamps at the 47-bit delta edge (tests/c-tests/wide_timestamps.c)") {
     requireBinary()
     // a delta near the 47-bit bound (2^47 - 2^32), plus the
