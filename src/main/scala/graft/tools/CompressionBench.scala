@@ -1,0 +1,146 @@
+package graft.tools
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.sys.process._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Compression parity vs the reference engine (round-12 VERDICT item 3).
+  *
+  * Compression IS the reference's headline published number — ~8.8
+  * bytes/event on the wikipedia-history corpus ("Zip-comparable",
+  * doc/docs/tutorial.md:167-174, 5.8 GB / 663 M edits) — and until this
+  * tool graft's bytes/event had never been measured against the C engine
+  * on identical data. It builds the SAME event stream (the sf trails
+  * fixture: uuid, time, event_type, props) as:
+  *
+  *  - a reference-engine db: `tools/refbin/tdb-make make` (built from the
+  *    UNMODIFIED reference sources by tools/refdump/build_full.sh)
+  *  - graft TdbWriter packages: bigram huffman / unigram huffman
+  *    (--no-bigrams) / literal, and the v0 directory layout
+  *  - graft's native parquet finalize (the production layout, for
+  *    context — it is not the interchange format)
+  *
+  * and prints bytes + bytes/event for each, plus a cross-engine dump
+  * check (the reference binary must read every graft package it is
+  * sized against). Usage:
+  *   runMain graft.tools.CompressionBench [sfDir] [workDir]
+  */
+object CompressionBench {
+
+  private def dirBytes(p: Path): Long = {
+    if (!Files.exists(p)) 0L
+    else if (Files.isRegularFile(p)) Files.size(p)
+    else {
+      val s = Files.list(p)
+      try s.toArray.map(q => dirBytes(q.asInstanceOf[Path])).sum
+      finally s.close()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = Paths.get(
+      args.lift(1).getOrElse("/tmp/graft-compression-bench"))
+    val refBin = "tools/refbin/tdb-make"
+    require(Files.exists(Paths.get(refBin)),
+      s"$refBin missing — run tools/refdump/build_full.sh first")
+    if (Files.exists(work))
+      Process(Seq("rm", "-rf", work.toString)).!
+    Files.createDirectories(work)
+
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val ev = graft.core.EventSource.events(spark, sfDir)
+    val df = graft.core.TrailDB.fromEvents(ev,
+      uuidCol = "user_id", timeCol = "ts",
+      fieldCols = Seq("event_type", "props"), seqCol = Some("event_id"))
+      .df.localCheckpoint()
+    val n = df.count()
+
+    // identical input for the C engine: (uuid, time, seq)-ordered CSV,
+    // comma-delimited (props contain spaces, never commas — checked)
+    val rows = df.orderBy("uuid", "time", "seq")
+      .select(col("uuid"), col("time"),
+        coalesce(col("event_type"), lit("")).as("event_type"),
+        coalesce(col("props"), lit("")).as("props"))
+      .collect()
+    rows.foreach(r => require(!r.getString(2).contains(",") &&
+      !r.getString(3).contains(","), "comma in a field value"))
+    val csv = work.resolve("events.csv")
+    val w = Files.newBufferedWriter(csv)
+    try rows.foreach { r =>
+      w.write(s"${r.getString(0)},${r.getLong(1)},${r.getString(2)},${r.getString(3)}\n")
+    } finally w.close()
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Long]()
+
+    // 1. reference engine, default options (bigram model, dir output)
+    val refDb = work.resolve("refdb")
+    val rc = Process(Seq(refBin, "make", "-o", refDb.toString, "-c",
+      "-i", csv.toString, "-d", ",",
+      "-f", "uuid,time,event_type,props")).!
+    require(rc == 0, s"reference tdb make exited $rc")
+    results += "reference C dir (bigrams)" -> dirBytes(refDb)
+
+    // 2. reference engine --no-bigrams
+    val refDbNb = work.resolve("refdb-nobigrams")
+    val rc2 = Process(Seq(refBin, "make", "-o", refDbNb.toString, "-c",
+      "-i", csv.toString, "-d", ",", "--no-bigrams",
+      "-f", "uuid,time,event_type,props")).!
+    require(rc2 == 0, s"reference tdb make --no-bigrams exited $rc2")
+    results += "reference C dir (no bigrams)" -> dirBytes(refDbNb)
+
+    // 3-5. graft packages (v1 tar; tar adds ~0.1 B/event of member
+    // headers at this scale — reported as-is)
+    for ((label, compress, bigrams) <- Seq(
+        ("graft pkg (bigrams)", true, true),
+        ("graft pkg (no bigrams)", true, false),
+        ("graft pkg (literal)", false, true))) {
+      val p = work.resolve(label.replaceAll("[^a-z0-9]+", "-") + ".tdb")
+      graft.sources.TdbWriter.writePackage(df,
+        Seq("event_type", "props"), p.toString,
+        compress = compress, bigrams = bigrams)
+      results += label -> dirBytes(p)
+      // the reference engine must read what it is being compared to
+      val cn = Process(Seq(refBin, "dump", "-c", "-i", p.toString)).!!
+        .linesIterator.count(_.nonEmpty)
+      require(cn.toLong == n, s"$label: C dump rows $cn != $n")
+    }
+
+    // 6. graft v0 directory
+    val v0 = work.resolve("graft-v0dir")
+    graft.sources.TdbWriter.writeV0Directory(df,
+      Seq("event_type", "props"), v0.toString)
+    results += "graft v0 dir (bigrams)" -> dirBytes(v0)
+
+    // 7. graft native parquet finalize (production layout, context only)
+    val pq = work.resolve("graft-parquet")
+    new graft.core.TrailDBCons(spark, Seq("event_type", "props"))
+      .add(df).finalizeTo(pq.toString, 8)
+    results += "graft parquet db" -> dirBytes(pq)
+
+    // cross-engine row-level agreement on the reference-made db: graft's
+    // reader returns exactly n rows from the C-engine-built directory
+    val back = spark.read.format("tdb").load(refDb.toString).count()
+    require(back == n, s"graft read of C db: $back != $n")
+
+    println(f"%ns-- compression parity at $sfDir ($n%d events) --")
+    results.foreach { case (k, b) =>
+      println(f"$k%-30s ${b}%10d bytes  ${b.toDouble / n}%8.2f B/event")
+    }
+    val json = results.map { case (k, b) =>
+      s""""${k.replaceAll("[^a-zA-Z0-9]+", "_")}":${b.toDouble / n}"""
+    }.mkString(",")
+    println(s"""{"metric":"bytes_per_event","n":$n,$json}""")
+    spark.stop()
+  }
+}

@@ -298,6 +298,51 @@ class TdbInteropSpec extends SparkSpec {
       ("ff" * 16, 1L, "z", "z")))
   }
 
+  test("reverse interop: a db the reference C engine WRITES (tdb-make) reads identically through graft") {
+    // The make-capable binary (tools/refdump/build_full.sh — cons/encode/
+    // model compiled from unmodified reference sources over the
+    // hash-backed Judy shim) closes the loop in the OTHER direction:
+    // graft's reader over a db the C engine itself encoded, huffman
+    // codebook and all. Also the binary the compression-parity bench
+    // (tools/CompressionBench) relies on.
+    val makeBin = s"$repoRoot/tools/refbin/tdb-make"
+    if (!Files.exists(Paths.get(makeBin)))
+      Process(Seq("sh", s"$repoRoot/tools/refdump/build_full.sh")).! // best effort
+    assume(Files.exists(Paths.get(makeBin)),
+      s"reference make binary not buildable at $makeBin")
+
+    val rnd = new scala.util.Random(77)
+    val rows = (0 until 800).map { i =>
+      val u = f"${rnd.nextInt(25)}%032x"
+      (u, 2000L + i, Seq("view", "click", "buy", "")(rnd.nextInt(4)),
+        if (rnd.nextInt(7) == 0) "" else "p" + rnd.nextInt(9))
+    }.sortBy(t => (t._1, t._2))
+    val dir = Files.createTempDirectory("graft-interop-rev")
+    val csv = dir.resolve("in.csv")
+    Files.writeString(csv, rows.map(t =>
+      s"${t._1},${t._2},${t._3},${t._4}").mkString("", "\n", "\n"))
+    val cdb = s"$dir/cdb"
+    val rc = Process(Seq(makeBin, "make", "-o", cdb, "-c",
+      "-i", csv.toString, "-d", ",", "-f", "uuid,time,etype,tag")).!
+    assert(rc === 0, s"reference tdb make exited $rc")
+
+    // graft reads the C-encoded db row-for-row (NULL ≡ "")
+    val got = spark.read.format("tdb").load(cdb)
+      .select(col("uuid"), col("time"),
+        coalesce(col("etype"), lit("")).as("etype"),
+        coalesce(col("tag"), lit("")).as("tag"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3))).sorted.toSeq
+    assert(got === rows.sorted, "graft reader diverges from a C-written db")
+
+    // and the C binaries agree with each other on the same db (the
+    // upgraded shim must not have changed the original dump path)
+    val viaMake = Process(Seq(makeBin, "dump", "-j", "-i", cdb)).!!
+    val viaDump = Process(Seq(refBin, "dump", "-j", "-i", cdb)).!!
+    assert(viaMake === viaDump, "tdb and tdb-make dumps diverge")
+  }
+
   test("randomized cross-engine filter differential: 60 random CNF filters agree byte-for-byte, with and without index") {
     requireBinary()
     // The reference's CLI suite runs EVERY filter with and without the
