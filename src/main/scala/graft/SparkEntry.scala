@@ -2692,28 +2692,12 @@ object SparkEntry {
           exclude = Seq("error"))
         .orderBy("uuid")),
 
-    // Path mining: top event-type 3-gram sequences across trails — the
-    // cursor-walk sequence analysis (what reference users loop cursors
-    // for, technical_overview.md trail model) as ONE uuid-shuffle: ordered
-    // per-trail sequence via sorted struct collect, 3-gram explode, count.
-    // This op genuinely needs the WHOLE trail in one array (the n-grams
-    // span arbitrary event types), so it carries the loud TrailGuard
-    // whale refusal instead of a pre-filter — a bot uuid holding 10^7+
-    // events refuses with advice BEFORE the collect materializes it.
-    "t_paths" -> ((s, dir) => {
-      val evs = transform(
-        array_sort(collect_list(struct(col("time"), col("seq"),
-          coalesce(col("event_type"), lit("")).as("et")))),
-        x => x.getField("et"))
-      graft.agg.TrailGuard.requireBoundedTrails(trails(s, dir).df,
-          col("uuid"), graft.agg.TrailGuard.DefaultMaxTrailEvents, "t_paths")
-        .groupBy("uuid").agg(evs.as("evs"))
-        .filter(size(col("evs")) >= 3)
-        .select(explode(transform(sequence(lit(1), size(col("evs")) - 2),
-          i => concat_ws(">", slice(col("evs"), i, lit(3))))).as("path"))
-        .groupBy("path").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("path")).limit(25)
-    }),
+    // Path mining: top event-type 3-gram sequences across trails
+    // (agg/Paths.topNgrams — one uuid shuffle, sorted struct collect,
+    // n-gram explode, count; carries the loud TrailGuard whale refusal
+    // because the n-grams genuinely span the whole trail).
+    "t_paths" -> ((s, dir) =>
+      graft.agg.Paths.topNgrams(trails(s, dir).df, n = 3, limit = 25)),
 
     // Daily event rollup: count + exact sum(value) per (event_type, day).
     "q_events_daily" -> ((s, dir) => {

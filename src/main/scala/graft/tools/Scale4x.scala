@@ -563,6 +563,37 @@ object Scale4x {
       return
     }
 
+    if (args.contains("--shards")) {
+      // K-SHARD MULTI-CURSOR ladder (r11 VERDICT item 6): the daily-shard
+      // deployment merges K dbs. PlanGuardSpec pins the plan shape (one
+      // Union + one global sort at K=64, zero joins, zero per-shard
+      // driver work); this ladder measures the wall-clock trend as K
+      // grows with per-shard size constant — total rows grow K×, so the
+      // honest target is time ~ K (one shuffle over K× the data), not
+      // K log K per shard or worse.
+      val ev1 = graft.core.EventSource.events(spark, sfDir)
+      val maxU = ev1.agg(max("user_id")).head().getLong(0) + 1L
+      def t(ev: DataFrame): graft.core.TrailDB =
+        graft.core.TrailDB.fromEvents(ev, "user_id", "ts",
+          Seq("event_type", "props"), Some("event_id"))
+      println("| K shards | rows | multiCursor (union+sort) | rows/s |")
+      println("|---|---|---|---|")
+      for (k <- Seq(1, 4, 16, 64)) {
+        // uuid-shifted replicas: each shard holds the full sf corpus
+        // under its own uuid range — the daily-shard shape
+        val shards = (0 until k).map(i => t(
+          ev1.withColumn("user_id", col("user_id") + lit(i.toLong * maxU))))
+        val rows = k.toLong * ev1.count()
+        val s = Seq(
+          time(graft.core.TrailOps.multiCursor(shards)
+            .queryExecution.toRdd.count()),
+          time(graft.core.TrailOps.multiCursor(shards)
+            .queryExecution.toRdd.count())).min
+        println(f"| $k | $rows | $s%.2f s | ${rows / s / 1e6}%.2f M/s |")
+      }
+      spark.stop()
+      return
+    }
     if (args.contains("--skew")) {
       // WHALE-TRAIL axis: per-trail window operators partition by uuid, so
       // one trail holding a large share of all events (bot traffic, a
@@ -604,7 +635,12 @@ object Scale4x {
               d.filter(col("event_type") === "view").select("uuid", "time", "seq"),
               d.filter(col("event_type") === "click").select(col("uuid"),
                 col("time"), col("time").as("ct")),
-              Seq("ct"))))) {
+              Seq("ct"))),
+          // the one op that MUST hold the whole trail as one array: the
+          // r12 TrailGuard bound is waived here (the whale is the point)
+          // so the measurement shows the honest whole-trail collect cost
+          "paths 3-gram collect (unguarded)" ->
+            (d => graft.agg.Paths.topNgrams(d, maxTrailEvents = None)))) {
         val ts = Seq(t(ev1), t(whaled(ev1)), t(ev16), t(whaled(ev16)))
           .map(d => time(f(d).queryExecution.toRdd.count()))
         println(f"| $label | ${ts(0)}%.2fs | ${ts(1)}%.2fs (${ts(1) / ts(0)}%.1f×) " +

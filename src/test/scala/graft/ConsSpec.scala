@@ -472,4 +472,54 @@ class ConsSpec extends SparkSpec {
       .finalizePartitioned(dir.resolve("dbp").toString)
     assert(db2.numEvents === 0)
   }
+
+  test("large lexicon: 2M distinct values through finalize, lexicon, a 10k-term clause, and the export cap (c-tests-large/large_lexicon.c)") {
+    // The reference's large-lexicon stress proves one field can carry an
+    // arbitrarily wide value space (its c-test uses a GB-scale value; the
+    // scale axis that matters on Spark is CARDINALITY). 2M distinct
+    // values in one field, generated distributively — never on the
+    // driver — through the full chain the VERDICT names.
+    val dir = Files.createTempDirectory("graft-biglex")
+    val n = 2000000L
+    val df = spark.range(n).select(
+      md5((col("id") % 1000).cast("string")).as("uuid"),
+      col("id").as("time"),
+      concat(lit("v"), col("id")).as("val"),
+      (col("id") % 3).cast("string").as("small"))
+    val db = new TrailDBCons(spark, Seq("val", "small"))
+      .add(df).finalizeTo(dir.resolve("db").toString)
+
+    // lexicon() stays a distributed distinct; lexiconSize = distinct + 1
+    // for the implicit NULL (src/tdb.c:455-465)
+    assert(db.lexiconSize("val") === n + 1)
+    assert(db.lexiconSize("small") === 4L)
+
+    // a 10,000-term positive clause over the wide field compiles to ONE
+    // isin (Catalyst In/InSet — constant plan depth, parquet-pushable),
+    // not a 10k-deep OR chain, and evaluates exactly
+    val terms = (0 until 10000).map(i =>
+      graft.filter.Match("val", s"v${i * 200}"): graft.filter.Term)
+    val f = graft.filter.EventFilter(Seq(graft.filter.Clause(terms)))
+    val plan = db.events(f).queryExecution.executedPlan.toString
+    assert(!plan.contains(" OR "), "10k-term clause did not collapse to isin")
+    assert(db.events(f).count() === 10000L)
+
+    // negated terms stay per-term but balanced — no stack overflow, exact
+    val negTerms = (0 until 1000).map(i =>
+      graft.filter.Match("val", s"v$i", negated = true): graft.filter.Term)
+    val nf = graft.filter.EventFilter(Seq(graft.filter.Clause(negTerms)))
+    assert(db.events(nf).count() === n) // OR of NOTs: any event missing one value passes
+
+    // package export refuses the 2M-value lexicon at an explicit 1M cap
+    // BEFORE collecting it (TdbWriter's TakeOrdered cap+1 discipline),
+    // naming the field and the cap
+    val e = intercept[graft.core.GraftError.LexiconTooLarge] {
+      graft.sources.TdbWriter.writePackage(db.df, Seq("val", "small"),
+        dir.resolve("refuse.tdb").toString, maxLexiconValues = 1L << 20)
+    }
+    assert(e.getMessage.contains("val"), e.getMessage)
+    // and the CLI taxonomy maps it to its reserved exit code
+    assert(graft.core.GraftError.classify(e) ===
+      (("TDB_ERR_LEXICON_TOO_LARGE", 13)))
+  }
 }

@@ -111,6 +111,76 @@ class IndexSpec extends SparkSpec {
     assert(db.events(f).count() === 0)
   }
 
+  test("1M-trail stress: point lookups prune to one page, wide items stay exact (test_tdbcli.py:161-184)") {
+    // The reference stresses its index at 100k trails (multiple trails
+    // per page, num_trails > 2^16) and 1M trails (>4 pages per item,
+    // forcing its overflow mapping); graft's page lists are plain index
+    // rows with no inline/overflow split, so the analogs here are: a
+    // point value pruning to its single page out of 256, and a value
+    // living on EVERY page (third=const — the >4-pages case) still
+    // returning exact results. Generated distributively — 1M trails of
+    // 1 event, uuid = md5(id) so trails spread over all 256 2-hex pages.
+    val dir = Files.createTempDirectory("graft-idx-1m")
+    val n = 1000000L
+    val df = spark.range(n).select(
+      md5(col("id").cast("string")).as("uuid"),
+      (col("id") + 100L).as("time"),
+      col("id").cast("string").as("first"),
+      (col("id") % 10).cast("string").as("second"),
+      lit("const").as("third"))
+    val d = new TrailDBCons(spark, Seq("first", "second", "third"))
+      .add(df).finalizeTo(dir.resolve("db").toString)
+    TrailIndex.build(d, dir.resolve("idx").toString)
+    val idx = TrailIndex.open(spark, dir.resolve("idx").toString)
+    val totalPages = idx.select("page").distinct().count()
+    assert(totalPages === 256L, s"md5 spread should fill all 256 pages")
+
+    // the reference's probe ranges: the first and last ids (its
+    // TestLargeFilter single-item loop)
+    def f1(field: String, v: String) =
+      EventFilter(Seq(Clause(Seq(Match(field, v)))))
+    ((0 until 10) ++ (999990 until 1000000)).foreach { i =>
+      val f = f1("first", i.toString)
+      val pages = TrailIndex.candidatePages(idx, f).get
+      assert(pages.size === 1, s"first=$i should live on exactly one page")
+      val rows = TrailIndex.prunedEvents(d, idx, f).collect()
+      assert(rows.length === 1 && rows(0).getAs[Long]("time") === i + 100L,
+        s"first=$i pruned lookup wrong")
+    }
+    info(f"point-lookup selectivity: 1/$totalPages pages = " +
+      f"${100.0 / totalPages}%.2f%% of trails evaluated (~3900/1M)")
+
+    // a value on EVERY page (the >4-pages-per-item analog): pruning is a
+    // no-op but must stay exact — counts and a content checksum agree
+    // with the unpruned scan
+    def scanStats(dfr: org.apache.spark.sql.DataFrame) =
+      dfr.agg(count(lit(1)), sum(col("time"))).collect()(0)
+    val constAll = TrailIndex.candidatePages(idx, f1("third", "const")).get
+    assert(constAll.size === totalPages)
+    assert(scanStats(TrailIndex.prunedEvents(d, idx, f1("third", "const")))
+      === scanStats(d.events(f1("third", "const"))))
+
+    // a 10%-selectivity value (second=5): exact through the pruned path
+    assert(scanStats(TrailIndex.prunedEvents(d, idx, f1("second", "5")))
+      === scanStats(d.events(f1("second", "5"))))
+
+    // clause intersection: second=0 & first=500 prunes to first=500's
+    // single page (the reference's final TestLargeFilter case)
+    val both = EventFilter(Seq(
+      Clause(Seq(Match("second", "0"))), Clause(Seq(Match("first", "500")))))
+    assert(TrailIndex.candidatePages(idx, both).get.size === 1)
+    val hit = TrailIndex.prunedEvents(d, idx, both).collect()
+    assert(hit.length === 1 && hit(0).getAs[Long]("time") === 600L)
+
+    // unknown value: the 1M-entry index still PROVES emptiness
+    assert(TrailIndex.candidatePages(idx, f1("first", "-1"))
+      === Some(Set.empty[String]))
+    // negation disables pruning (None = all pages), never wrong rows
+    assert(TrailIndex.candidatePages(idx,
+      EventFilter(Seq(Clause(Seq(Match("third", "const", negated = true))))))
+      .isEmpty)
+  }
+
   test("stale index: a db rewrite after build is refused loudly at open") {
     // tdbcli/tdb_index.c:439-451,701-702 — the index is bound to the db it
     // was built from; a rewritten db could be missing pages for new values,

@@ -234,4 +234,36 @@ class PlanGuardSpec extends SparkSpec {
         s"$name grew extra exchanges:\n$plan")
     }
   }
+
+  test("K=64 multi-cursor merge plans ONE union + ONE sort — no per-shard driver work (src/tdb_multi_cursor.c)") {
+    // The daily-shard deployment merges K dbs (the reference's k-way heap
+    // merge, one cursor per shard). The Spark-native shape must stay a
+    // single Union of K scans feeding ONE global sort exchange — a
+    // refactor that loops shards on the driver (K sorts, K collects, or a
+    // K-deep join cascade) dies at K×corpus scale.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val shards = (0 until 64).map { s =>
+      graft.core.TrailDB.fromTrailFrame(
+        (0 until 20).map(i =>
+          (f"${i % 5}%032x", (1000 + s * 20 + i).toLong, s"e$s", i.toLong))
+          .toDF("uuid", "time", "etype", "seq"))
+    }
+    val merged = graft.core.TrailOps.multiCursor(shards)
+    val plan = merged.queryExecution.executedPlan.toString
+    // exactly one global ordering: a single range-partitioned exchange
+    assert("rangepartitioning".r.findAllIn(plan.toLowerCase).size === 1,
+      s"multiCursor K=64 must sort ONCE:\n${plan.take(2000)}")
+    // no joins at all — merge is a union, not a join cascade
+    assert(!plan.toLowerCase.contains("join"),
+      s"multiCursor grew a join:\n${plan.take(2000)}")
+    // one Union node over all 64 inputs (Spark flattens nested unions)
+    assert("Union".r.findAllIn(plan).size === 1,
+      s"multiCursor K=64 must flatten to one Union:\n${plan.take(2000)}")
+    // and the merge is CORRECT: global (uuid, time, seq) order, all rows
+    val rows = merged.collect()
+    assert(rows.length === 64 * 20)
+    val key = rows.map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(key === key.sortBy(t => (t._1, t._2, t._3)), "merge order broken")
+  }
 }
