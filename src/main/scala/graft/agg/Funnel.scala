@@ -32,8 +32,13 @@ import org.apache.spark.sql.functions._
   * every uuid keeps its output row (a trail with zero relevant events
   * still reports level 0); collect_list skips the nulls, so a bot trail
   * of 10^8 irrelevant heartbeats contributes an EMPTY array instead of a
-  * single 10^8-element in-memory row. Trails that are whales even in
-  * relevant events are caught by the loud [[TrailGuard]] refusal.
+  * single 10^8-element in-memory row. The residual exposure — a trail
+  * that is a whale IN STEP-TYPE EVENTS — is opt-in guarded: pass
+  * `maxTrailEvents = Some(n)` to run the loud [[TrailGuard]] refusal
+  * first. It defaults OFF here (unlike [[Paths.topNgrams]], whose array
+  * is unbounded by construction) because the guard is a second scan of
+  * the filtered input — a real cost at 100 TB — while the funnel's
+  * arrays are already bounded by per-trail RELEVANT-event counts.
   */
 object Funnel {
 
@@ -54,8 +59,7 @@ object Funnel {
       uuidCol: String = "uuid", timeCol: String = "time",
       typeCol: String = "event_type", seqCol: String = "seq",
       exclude: Seq[String] = Nil,
-      maxTrailEvents: Option[Long] = Some(TrailGuard.DefaultMaxTrailEvents)
-  ): DataFrame = {
+      maxTrailEvents: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "windowFunnel needs at least one step")
     require(window >= 0, s"window must be non-negative, got $window")
     require(exclude.intersect(steps).isEmpty,

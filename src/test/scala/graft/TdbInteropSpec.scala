@@ -343,6 +343,60 @@ class TdbInteropSpec extends SparkSpec {
     assert(viaMake === viaDump, "tdb and tdb-make dumps diverge")
   }
 
+  test("cross-engine merge: the C engine's tdb merge over graft packages equals TrailOps.merge (op_merge.c:92-186)") {
+    val makeBin = s"$repoRoot/tools/refbin/tdb-make"
+    if (!Files.exists(Paths.get(makeBin)))
+      Process(Seq("sh", s"$repoRoot/tools/refdump/build_full.sh")).!
+    assume(Files.exists(Paths.get(makeBin)),
+      s"reference make binary not buildable at $makeBin")
+
+    // two shards with OVERLAPPING uuids and DIFFERENT field sets — the
+    // schema-union semantics J4 claims (missing values become "")
+    val rnd = new scala.util.Random(55)
+    val aRows = (0 until 300).map { i =>
+      (f"${rnd.nextInt(12)}%032x", 100L + i,
+        Seq("view", "click")(rnd.nextInt(2)), "g" + rnd.nextInt(3))
+    }
+    val bRows = (0 until 200).map { i =>
+      (f"${4 + rnd.nextInt(12)}%032x", 500L + i,
+        Seq("buy", "ship")(rnd.nextInt(2)), "x" + rnd.nextInt(2))
+    }
+    val dir = Files.createTempDirectory("graft-interop-merge")
+    val aPkg = s"$dir/a.tdb"; val bPkg = s"$dir/b.tdb"
+    TdbWriter.writePackage(
+      aRows.toDF("uuid", "time", "etype", "tag")
+        .withColumn("seq", monotonically_increasing_id()),
+      Seq("etype", "tag"), aPkg)
+    TdbWriter.writePackage(
+      bRows.toDF("uuid", "time", "etype", "extra")
+        .withColumn("seq", monotonically_increasing_id()),
+      Seq("etype", "extra"), bPkg)
+
+    // the C engine merges the two graft-written packages natively
+    val merged = s"$dir/merged"
+    val rc = Process(Seq(makeBin, "merge", "-o", merged, aPkg, bPkg)).!
+    assert(rc === 0, s"reference tdb merge exited $rc")
+    def canonRow(u: String, t: Long, m: Map[String, String]) =
+      (u, t, m.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(","))
+    val c = cDumpJson(merged)
+      .map { case (u, t, m) => canonRow(u, t, m) }.sorted
+
+    // graft's merge over the same packages: same schema union, "" fill
+    val g = graft.core.TrailOps.merge(Seq(
+        graft.core.TrailDB.open(spark, aPkg),
+        graft.core.TrailDB.open(spark, bPkg)))
+      .df.select(col("uuid"), col("time"),
+        coalesce(col("etype"), lit("")).as("etype"),
+        coalesce(col("tag"), lit("")).as("tag"),
+        coalesce(col("extra"), lit("")).as("extra"))
+      .collect()
+      .map(r => canonRow(r.getString(0), r.getLong(1), Map(
+        "etype" -> r.getString(2), "tag" -> r.getString(3),
+        "extra" -> r.getString(4)))).toSeq.sorted
+    assert(c === g, "C merge and TrailOps.merge diverge")
+    assert(c.size === 500)
+  }
+
   test("randomized cross-engine filter differential: 60 random CNF filters agree byte-for-byte, with and without index") {
     requireBinary()
     // The reference's CLI suite runs EVERY filter with and without the
