@@ -440,6 +440,18 @@ class TdbInteropSpec extends SparkSpec {
     graft.core.TrailIndex.build(base, idxDir)
     val index = graft.core.TrailIndex.open(spark, idxDir)
 
+    // FOUR-WAY when the make-capable binary exists: the reference's OWN
+    // index (tdb index, tdbcli/tdb_index.c) built over the graft-written
+    // package — its indexed dump must also agree (the reference suite's
+    // with/without-index equality, here over OUR lexicons and layout)
+    val makeBin = s"$repoRoot/tools/refbin/tdb-make"
+    if (!Files.exists(Paths.get(makeBin)))
+      Process(Seq("sh", s"$repoRoot/tools/refdump/build_full.sh")).!
+    val cIndexed = Files.exists(Paths.get(makeBin)) && {
+      val rc = Process(Seq(makeBin, "index", "-i", pkg)).!
+      rc == 0 && Files.exists(Paths.get(s"$pkg.index"))
+    }
+
     def randTerm(): String = rnd.nextInt(10) match {
       case 0 => s"etype=${etypes(rnd.nextInt(4))}"        // known equality
       case 1 => s"tag=${Seq("t0","t1","t2")(rnd.nextInt(3))}"
@@ -493,7 +505,28 @@ class TdbInteropSpec extends SparkSpec {
         graft.core.TrailIndex.prunedDb(base.withFilter(filter), pages).df)
       assert(got.sorted === viaIdx.sorted,
         s"filter #$i '$fstr': index-pruned scan diverges")
+      // the C engine's own index-pruned dump (refBin has tdb_index_find
+      // stubbed to NULL, so cOut above was the UNINDEXED C path).
+      //
+      // REFERENCE BUG found by this differential: a POSITIVE term whose
+      // item is unresolvable (unknown field, or a value not in the
+      // lexicon → item 0) SEGFAULTS the reference's indexed dump —
+      // get_index_pages returns NULL for field_offset 0 WITHOUT setting
+      // *num_pages (tdbcli/tdb_index.c:528-529), and the match loop then
+      // reads NULL[k] for an uninitialized count (:598-600). `--no-index`
+      // and graft are both correct (graft: candidatePages proves Some(∅)
+      // and returns zero rows). The C-indexed leg therefore only runs
+      // for filters whose positive terms all resolve.
+      val unresolvablePositive = fstr.contains("etype=zzz") ||
+        fstr.split("\\s+").contains("ghost=x")
+      if (cIndexed && !unresolvablePositive) {
+        val cIdx = Process(Seq(makeBin, "dump", "-j", "-i", pkg,
+          "-F", fstr)).!!
+        assert(cIdx === cOut,
+          s"filter #$i '$fstr': C indexed dump diverges from unindexed")
+      }
     }
+    assert(cIndexed, "C-side index differential did not run")
     // the draw must exercise both regimes, not vacuously pass
     assert(pruned >= 10, s"only $pruned/60 filters were index-prunable")
     assert(nonEmpty >= 10, s"only $nonEmpty/60 filters matched any event")
