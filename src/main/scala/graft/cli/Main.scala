@@ -68,7 +68,8 @@ object Main {
     * '-'`), mirroring getopt_long's behavior in the reference CLI. */
   private val boolFlags: Map[String, Set[String]] = Map(
     "make"  -> Set("--csv-header", "--skip-bad-input", "--no-bigrams"),
-    "dump"  -> Set("-c", "-j", "--json-no-empty", "--csv-header", "--no-index"),
+    "dump"  -> Set("-c", "-j", "--json-no-empty", "--csv-header", "--no-index",
+      "--single-file"),
     "merge" -> Set.empty[String],
     "index" -> Set.empty[String],
     "diff"  -> Set("--summary")
@@ -441,12 +442,23 @@ object Main {
           db = db.whitelist(valid)
         }
         val cols = one("--fields").map(_.split(",").toSeq).getOrElse(Nil)
+        // --single-file: the reference's artifact shape — ONE ordered
+        // file (op_dump.c writes a single stream), driver-streamed in
+        // the C CLI's exact row format; default stays the distributed
+        // Spark directory write.
+        val single = flags("--single-file").nonEmpty
         one("-o") match {
           case Some(out) if flags("-j").nonEmpty =>
-            db.dumpJson(out, noEmpty = flags("--json-no-empty").nonEmpty)
+            if (single)
+              db.dumpJsonFile(out, noEmpty = flags("--json-no-empty").nonEmpty,
+                cols = cols)
+            else db.dumpJson(out, noEmpty = flags("--json-no-empty").nonEmpty)
             println(s"[dump] wrote JSON to $out")
           case Some(out) =>
-            db.dumpCsv(out, delimiter = one("--delimiter").getOrElse(","),
+            if (single)
+              db.dumpCsvFile(out, delimiter = one("--delimiter").getOrElse(","),
+                header = flags("--csv-header").nonEmpty, cols = cols)
+            else db.dumpCsv(out, delimiter = one("--delimiter").getOrElse(","),
               header = flags("--csv-header").nonEmpty, cols = cols)
             println(s"[dump] wrote CSV to $out")
           case None =>

@@ -319,6 +319,84 @@ final class TrailDB private (
     else base
     projected.write.mode("overwrite").json(path)
   }
+
+  // ---- single-file sinks (the reference CLI's artifact shape) ----
+
+  /** The distributed sorts above write a Spark DIRECTORY of part files;
+    * the reference's `tdb dump` writes ONE ordered stream to -o/stdout
+    * (op_dump.c:92-100). These single-file variants close that (formerly
+    * documented) divergence: the sort still runs cluster-side, and only
+    * the final serialization streams through `toLocalIterator` —
+    * O(one partition) driver memory, the same inherently-single-consumer
+    * constraint as the reference's single-threaded dump loop. Formatting
+    * mirrors op_dump.c byte-for-byte: CSV joins RAW values with the
+    * delimiter, no quoting (op_dump.c:52-67 — values containing the
+    * delimiter are the caller's concern, exactly like the reference);
+    * JSON prints `{"k": "v", ...}` with raw value bytes (:69-90).
+    *
+    * `refOrder = true` emits trails in the reference's LE-u128 uuid
+    * order (its stored trail order, src/tdb.c:552-585) instead of
+    * graft's canonical hex order — a graft dump of a shared db is then
+    * byte-diffable against the C engine's dump (TdbInteropSpec proves
+    * byte identity). */
+  def dumpCsvFile(path: String, delimiter: String = " ",
+      header: Boolean = false, cols: Seq[String] = Nil,
+      refOrder: Boolean = false): Unit = {
+    val proj = projectedFile(cols, refOrder)
+    val names = proj.columns
+    import scala.jdk.CollectionConverters._
+    writeSingle(path,
+      (if (header) Iterator.single(names.mkString(delimiter))
+       else Iterator.empty) ++
+      proj.toLocalIterator.asScala.map(r =>
+        names.indices.map(i => Option(r.get(i)).fold("")(_.toString))
+          .mkString(delimiter)))
+  }
+
+  /** Single-file JSON (see [[dumpCsvFile]]): one `{"k": "v", ...}` object
+    * per line in the C CLI's exact shape — keys in dump order, every
+    * value a string, `noEmpty` dropping empty values like
+    * `--json-no-empty`. */
+  def dumpJsonFile(path: String, noEmpty: Boolean = false,
+      cols: Seq[String] = Nil, refOrder: Boolean = false): Unit = {
+    val proj = projectedFile(cols, refOrder)
+    val names = proj.columns
+    import scala.jdk.CollectionConverters._
+    writeSingle(path, proj.toLocalIterator.asScala.map { r =>
+      names.indices.flatMap { i =>
+        val v = Option(r.get(i)).fold("")(_.toString)
+        if (v.isEmpty && noEmpty) None
+        else Some(s""""${names(i)}": "$v"""")
+      }.mkString("{", ", ", "}")
+    })
+  }
+
+  private def projectedFile(cols: Seq[String], refOrder: Boolean): DataFrame = {
+    if (!refOrder) dumpProjection(cols)
+    else {
+      // LE-u128 order = byte-reversed hex, string-sorted; same db view
+      // (events() applies the db filter) as the hex-order projection
+      val out = if (cols.nonEmpty) cols
+        else TrailSchema.UuidCol +: TrailSchema.TimeCol +: fields
+      val leKey = lower(hex(reverse(unhex(col(TrailSchema.UuidCol)))))
+      events()
+        .orderBy(leKey, col(TrailSchema.TimeCol), col(TrailSchema.SeqCol))
+        .select(out.map {
+          case c @ (TrailSchema.UuidCol | TrailSchema.TimeCol |
+            TrailSchema.SeqCol) => col(c)
+          case f => coalesce(col(f), lit("")).as(f)
+        }: _*)
+    }
+  }
+
+  private def writeSingle(path: String, lines: Iterator[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8), 1 << 20)
+    try lines.foreach { l => out.write(l); out.write('\n') }
+    finally out.close()
+  }
 }
 
 /** One event as seen by [[TrailDB.trailCursor]]: NULL fields already

@@ -452,6 +452,39 @@ class CliSpec extends SparkSpec {
     assert(rows(s"$dir/dump-stray") === rows(s"$dir/dump-noidx"))
   }
 
+  test("dump --single-file writes ONE file with the directory dump's content (op_dump.c single stream)") {
+    val dir = Files.createTempDirectory("graft-cli-single")
+    val csv = dir.resolve("in.csv")
+    Files.writeString(csv,
+      "uuid,time,etype\n" +
+      (0 until 24).map(i => f"${i % 6}%032x,${100 + i},e${i % 3}")
+        .mkString("\n"))
+    Main.run(spark, "make", Seq("-o", s"$dir/db", "-c", csv.toString,
+      "-f", "etype", "--csv-header"))
+    Main.run(spark, "dump", Seq("-i", s"$dir/db", "--single-file",
+      "-d", ",", "--csv-header", "-o", s"$dir/one.csv"))
+    // one FILE, not a Spark part-file directory
+    assert(java.nio.file.Files.isRegularFile(dir.resolve("one.csv")))
+    Main.run(spark, "dump", Seq("-i", s"$dir/db", "-d", ",",
+      "--csv-header", "-o", s"$dir/parts"))
+    def lines(p: java.nio.file.Path): Seq[String] =
+      java.nio.file.Files.readAllLines(p).toArray.map(_.toString).toSeq
+    val single = lines(dir.resolve("one.csv"))
+    val parts = spark.read.option("header", "true").csv(s"$dir/parts")
+      .collect().map(r => s"${r.getString(0)},${r.getString(1)},${r.getString(2)}")
+    assert(single.head === "uuid,time,etype") // header row like the reference
+    assert(single.tail.sorted === parts.sorted.toSeq)
+    // the single file is globally (uuid, time) ordered — the dir form
+    // only orders within parts
+    assert(single.tail === single.tail.sorted)
+    // JSON form too
+    Main.run(spark, "dump", Seq("-i", s"$dir/db", "--single-file", "-j",
+      "-o", s"$dir/one.json"))
+    val j = lines(dir.resolve("one.json"))
+    assert(j.size === 24 && j.forall(l => l.startsWith("{\"uuid\": ") &&
+      l.endsWith("}")), j.take(2))
+  }
+
   test("getopt_long spelling parity: every reference long/short alias parses (main.c:152-171)") {
     val dir = Files.createTempDirectory("graft-cli-alias")
     val csv = dir.resolve("in.csv")

@@ -343,6 +343,47 @@ class TdbInteropSpec extends SparkSpec {
     assert(viaMake === viaDump, "tdb and tdb-make dumps diverge")
   }
 
+  test("single-file dump in refOrder is BYTE-IDENTICAL to the C engine's dump of the same package") {
+    requireBinary()
+    // dumpJsonFile/dumpCsvFile close the one documented artifact-shape
+    // divergence (Spark part-file dir vs the reference's single ordered
+    // stream): with refOrder=true the rows come out in the reference's
+    // LE-u128 trail order in the C CLI's exact row format, so the two
+    // engines' dump FILES diff clean — not just their row multisets.
+    val rnd = new scala.util.Random(63)
+    val rows = (0 until 400).map { i =>
+      val u = f"${rnd.nextInt(20)}%032x"
+      (u, 3000L + i, Seq("view", "click", "")(rnd.nextInt(3)),
+        if (rnd.nextInt(6) == 0) null else "q" + rnd.nextInt(4))
+    }
+    val df = rows.toDF("uuid", "time", "etype", "tag")
+      .withColumn("seq", monotonically_increasing_id())
+    val dir = Files.createTempDirectory("graft-interop-single")
+    val pkg = s"$dir/single.tdb"
+    TdbWriter.writePackage(df, Seq("etype", "tag"), pkg)
+
+    val db = graft.core.TrailDB.open(spark, pkg)
+    val jsonOut = s"$dir/graft.json"
+    db.dumpJsonFile(jsonOut, refOrder = true)
+    val cJson = Process(Seq(refBin, "dump", "-j", "-i", pkg)).!!
+    val gJson = new String(Files.readAllBytes(Paths.get(jsonOut)), "UTF-8")
+    assert(gJson === cJson, "single-file JSON dump != C engine bytes")
+
+    val csvOut = s"$dir/graft.csv"
+    db.dumpCsvFile(csvOut, refOrder = true) // reference default delim ' '
+    val cCsv = Process(Seq(refBin, "dump", "-c", "-i", pkg)).!!
+    val gCsv = new String(Files.readAllBytes(Paths.get(csvOut)), "UTF-8")
+    assert(gCsv === cCsv, "single-file CSV dump != C engine bytes")
+
+    // and a FILTERED single-file dump matches the C engine's too
+    val fOut = s"$dir/graft-f.json"
+    db.withFilter("etype=view").dumpJsonFile(fOut, refOrder = true)
+    val cF = Process(Seq(refBin, "dump", "-j", "-i", pkg,
+      "-F", "etype=view")).!!
+    assert(new String(Files.readAllBytes(Paths.get(fOut)), "UTF-8") === cF,
+      "filtered single-file dump != C engine bytes")
+  }
+
   test("cross-engine merge: the C engine's tdb merge over graft packages equals TrailOps.merge (op_merge.c:92-186)") {
     val makeBin = s"$repoRoot/tools/refbin/tdb-make"
     if (!Files.exists(Paths.get(makeBin)))
