@@ -563,6 +563,48 @@ object Scale4x {
       return
     }
 
+    if (args.contains("--whaleguard")) {
+      // GUARD-SCALE demonstration (r12): a whale big enough to actually
+      // trip TrailGuard's 2^20 default — 128× the sf events with 25%
+      // reassigned to one uuid = a 3.2M-event trail. Measures (a) the
+      // refusal latency (one count-only pre-pass — what a misconfigured
+      // pipeline pays to fail LOUD instead of OOM), and (b) the
+      // unguarded whole-trail collect for contrast (survivable in this
+      // 128 GiB JVM; the 10^7-10^8 regime it models is not).
+      val ev1 = graft.core.EventSource.events(spark, sfDir)
+      val maxU = ev1.agg(max("user_id")).head().getLong(0) + 1L
+      (0 until 128).map(i =>
+          ev1.withColumn("user_id", col("user_id") + lit(i * maxU))
+            .withColumn("event_id", col("event_id") + lit(i * 10000000L)))
+        .reduce(_.unionByName(_))
+        .withColumn("user_id",
+          when(pmod(col("event_id"), lit(4)) === 0, lit(-1L))
+            .otherwise(col("user_id")))
+        .write.mode("overwrite").parquet(s"$base/whale128")
+      val ev = spark.read.parquet(s"$base/whale128")
+      val df = graft.core.TrailDB.fromEvents(ev, "user_id", "ts",
+        Seq("event_type", "props"), Some("event_id")).df
+      val n = df.count()
+      val whale = df.filter(col("uuid") === f"${-1L}%032x").count()
+      println(s"corpus: $n events, whale trail: $whale events " +
+        s"(bound ${graft.agg.TrailGuard.DefaultMaxTrailEvents})")
+      val t0 = System.nanoTime()
+      val refused = try {
+        graft.agg.Paths.topNgrams(df); false
+      } catch { case _: graft.core.GraftError.TrailTooLong => true }
+      val refuse = (System.nanoTime() - t0) / 1e9
+      val unguarded = time(graft.agg.Paths.topNgrams(df,
+        maxTrailEvents = None).queryExecution.toRdd.count())
+      val funnel = time(graft.agg.Funnel.windowFunnel(df,
+        Seq("view", "click", "purchase"), window = 86400L)
+        .queryExecution.toRdd.count())
+      println("| corpus | whale | guard refusal | unguarded 3-gram collect | funnel (cond. collect) |")
+      println("|---|---|---|---|---|")
+      println(f"| $n | $whale | ${if (refused) f"$refuse%.2f s (refused)" else "DID NOT FIRE"} " +
+        f"| $unguarded%.2f s | $funnel%.2f s |")
+      spark.stop()
+      return
+    }
     if (args.contains("--shards")) {
       // K-SHARD MULTI-CURSOR ladder (r11 VERDICT item 6): the daily-shard
       // deployment merges K dbs. PlanGuardSpec pins the plan shape (one
