@@ -2692,6 +2692,17 @@ object SparkEntry {
           exclude = Seq("error"))
         .orderBy("uuid")),
 
+    // The STREAMED funnel (whale-proof shape: hash-partition + in-
+    // partition sort + O(k)-state mapPartitions walk — no per-trail
+    // array at any trail length) replaying the IDENTICAL exclusion
+    // semantics against the same independent DuckDB oracle as
+    // t_funnel_excl.
+    "t_funnel_streamed" -> ((s, dir) =>
+      graft.agg.Funnel.windowFunnelStreamed(trails(s, dir).df,
+          Seq("view", "click", "purchase"), window = 86400L,
+          exclude = Seq("error"))
+        .orderBy("uuid")),
+
     // Path mining: top event-type 3-gram sequences across trails
     // (agg/Paths.topNgrams — one uuid shuffle, sorted struct collect,
     // n-gram explode, count; carries the loud TrailGuard whale refusal
@@ -5176,6 +5187,43 @@ object SparkEntry {
          |FROM m GROUP BY uuid ORDER BY uuid""".stripMargin,
 
     "t_funnel_excl" ->
+      s"""$TrailsCte,
+         |e AS (SELECT uuid, time, seq, coalesce(event_type,'') AS et,
+         |  count(CASE WHEN coalesce(event_type,'') = 'error' THEN 1 END)
+         |    OVER (PARTITION BY uuid ORDER BY time, seq
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seg
+         |  FROM trails),
+         |tr AS (SELECT * FROM e WHERE et != 'error'),
+         |s1 AS (SELECT uuid, seg, min(time) AS t0 FROM tr
+         |       WHERE et = 'view' GROUP BY uuid, seg),
+         |s2 AS (SELECT tr.uuid AS uuid, tr.seg AS seg, min(tr.time) AS t1
+         |       FROM tr JOIN s1 ON tr.uuid IS NOT DISTINCT FROM s1.uuid
+         |         AND tr.seg = s1.seg
+         |       WHERE et = 'click' AND tr.time > s1.t0 GROUP BY 1, 2),
+         |s3 AS (SELECT tr.uuid AS uuid, tr.seg AS seg, min(tr.time) AS t2
+         |       FROM tr JOIN s2 ON tr.uuid IS NOT DISTINCT FROM s2.uuid
+         |         AND tr.seg = s2.seg
+         |       WHERE et = 'purchase' AND tr.time > s2.t1 GROUP BY 1, 2),
+         |lv AS (SELECT s1.uuid, s1.seg, s1.t0,
+         |    CASE WHEN s2.t1 IS NULL OR s2.t1 - s1.t0 > 86400 THEN 1
+         |         WHEN s3.t2 IS NULL OR s3.t2 - s1.t0 > 86400 THEN 2
+         |         ELSE 3 END AS lvl
+         |  FROM s1
+         |  LEFT JOIN s2 ON s1.uuid IS NOT DISTINCT FROM s2.uuid
+         |    AND s1.seg = s2.seg
+         |  LEFT JOIN s3 ON s1.uuid IS NOT DISTINCT FROM s3.uuid
+         |    AND s1.seg = s3.seg),
+         |best AS (SELECT uuid, lvl, t0, row_number() OVER (
+         |    PARTITION BY uuid ORDER BY lvl DESC, seg ASC) AS rn FROM lv),
+         |u AS (SELECT DISTINCT uuid FROM trails)
+         |SELECT u.uuid,
+         |  CAST(coalesce(b.lvl, 0) AS BIGINT) AS funnel_level,
+         |  b.t0 AS first_time
+         |FROM u LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+         |  ON u.uuid IS NOT DISTINCT FROM b.uuid
+         |ORDER BY u.uuid""".stripMargin,
+
+    "t_funnel_streamed" ->
       s"""$TrailsCte,
          |e AS (SELECT uuid, time, seq, coalesce(event_type,'') AS et,
          |  count(CASE WHEN coalesce(event_type,'') = 'error' THEN 1 END)

@@ -137,4 +137,101 @@ object Funnel {
     grouped.select(col(uuidCol), level.cast("long").as("funnel_level"),
       first.as("first_time"))
   }
+
+  /** [[windowFunnel]] as a per-partition STREAMING fold — identical
+    * results (AggSpec proves ≡ on random trails; the t_funnel_streamed
+    * gate row replays the same independent DuckDB oracle as
+    * t_funnel_excl), but NO per-trail array ever materializes: events
+    * are hash-partitioned by uuid and sorted within partitions (ONE
+    * shuffle, the same exchange class as the groupBy) and a
+    * mapPartitions walk carries O(k) slot state per open trail. Memory
+    * is INDEPENDENT of trail length — the shape for the 10^7-10^8-event
+    * whale where even the relevant-event array would OOM, closing the
+    * residual exposure [[windowFunnel]]'s scaladoc documents. Only
+    * output rows (one tiny tuple per uuid) buffer per partition, never
+    * input events.
+    *
+    * Trade-off, measured: the fold runs outside whole-stage codegen on
+    * deserialized rows, so at ordinary trail sizes the codegen'd array
+    * fold above is faster — use this variant when trails can be
+    * pathological. (mapPartitions is this library's documented last
+    * resort; it is used here because no built-in aggregate folds
+    * SORTED groups with bounded state.) */
+  def windowFunnelStreamed(df: DataFrame, steps: Seq[String], window: Long,
+      uuidCol: String = "uuid", timeCol: String = "time",
+      typeCol: String = "event_type", seqCol: String = "seq",
+      exclude: Seq[String] = Nil): DataFrame = {
+    require(steps.nonEmpty, "windowFunnel needs at least one step")
+    require(window >= 0, s"window must be non-negative, got $window")
+    require(exclude.intersect(steps).isEmpty,
+      s"exclusion types overlap steps: ${exclude.intersect(steps)}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = steps.length
+    val stepArr = steps.toArray
+    val excl = exclude.toSet
+    // same ordering keys as the array fold's sorted struct (time, seq,
+    // type) so same-instant ties resolve identically
+    val sorted = df.select(
+        col(uuidCol).cast("string").as("_u"),
+        col(timeCol).cast("long").as("_t"),
+        coalesce(col(typeCol), lit("")).as("_e"),
+        col(seqCol).cast("long").as("_q"))
+      .repartition(col("_u"))
+      .sortWithinPartitions("_u", "_t", "_q", "_e")
+      .as[(String, Long, String, Long)]
+    sorted.mapPartitions { it =>
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Option[Long])]
+      val slots = new Array[java.lang.Long](k)
+      var cur: String = null
+      var bl = 0L
+      var bt: java.lang.Long = null
+      def level: Long =
+        if (slots(0) == null) 0L
+        else {
+          var l = 1
+          while (l < k && slots(l) != null && slots(l) - slots(0) <= window)
+            l += 1
+          l.toLong
+        }
+      def finish(): Unit = {
+        val curL = level
+        if (curL > bl) out += ((cur, curL, Option(slots(0)).map(_.longValue)))
+        else out += ((cur, bl, Option(bt).map(_.longValue)))
+      }
+      def reset(): Unit = {
+        java.util.Arrays.fill(slots.asInstanceOf[Array[AnyRef]], null)
+        bl = 0L; bt = null
+      }
+      it.foreach { case (u, t, e, _) =>
+        if (u != cur) {
+          if (cur != null) finish()
+          reset(); cur = u
+        }
+        if (excl.contains(e)) {
+          // segment close: strict improvement keeps the EARLIEST best
+          val l = level
+          if (l > bl) { bl = l; bt = slots(0) }
+          java.util.Arrays.fill(slots.asInstanceOf[Array[AnyRef]], null)
+        } else {
+          // fill the FIRST unfilled matching slot whose order holds —
+          // the exact branch chain of the array fold (repeated step
+          // names fill their lowest open slot first)
+          var i = 0
+          var done = false
+          while (i < k && !done) {
+            if (slots(i) == null && stepArr(i) == e &&
+                (i == 0 || (slots(i - 1) != null && t > slots(i - 1)))) {
+              slots(i) = t
+              done = true
+            }
+            i += 1
+          }
+        }
+      }
+      if (cur != null) finish()
+      out.iterator
+    }.toDF(uuidCol, "funnel_level", "first_time")
+  }
 }

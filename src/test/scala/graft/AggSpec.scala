@@ -263,6 +263,35 @@ class AggSpec extends SparkSpec {
       maxTrailEvents = None)).nonEmpty)
   }
 
+  test("windowFunnelStreamed ≡ windowFunnel on random trails (plain, exclusion, repeated steps)") {
+    def canon(d: org.apache.spark.sql.DataFrame): Seq[(String, Long, Any)] =
+      d.collect().map(r => (r.getString(0), r.getLong(1), r.get(2)))
+        .sortBy(_._1).toSeq
+    val rng = new scala.util.Random(13)
+    val types = Seq("view", "click", "purchase", "error", "signup", "ping")
+    val rows = (for {
+      u <- 0 until 120
+      i <- 0 until (1 + rng.nextInt(14))
+    } yield (s"u$u", rng.nextInt(80).toLong,
+        types(rng.nextInt(types.length)))) :+ (("lonely", 5L, "ping"))
+    val df = rows.zipWithIndex
+      .map { case ((u, t, e), i) => (u, t, e, i.toLong) }
+      .toDF("uuid", "time", "event_type", "seq")
+
+    for ((steps, excl) <- Seq(
+        (Seq("view", "click", "purchase"), Nil),
+        (Seq("view", "click", "purchase"), Seq("error")),
+        (Seq("view", "view", "click"), Seq("error")))) { // repeated step
+      val arr = canon(graft.agg.Funnel.windowFunnel(
+        df, steps, window = 30L, exclude = excl))
+      val str = canon(graft.agg.Funnel.windowFunnelStreamed(
+        df, steps, window = 30L, exclude = excl))
+      assert(str === arr, s"steps=$steps exclude=$excl")
+      // every uuid present, incl. the level-0-only one
+      assert(str.map(_._1).toSet === rows.map(_._1).toSet)
+    }
+  }
+
   test("TrailGuard refuses BEFORE collecting: count-only pre-pass, named uuid, exit code 14") {
     val df = ((0 until 200).map(i => ("whale", i.toLong)) ++
       (0 until 5).map(i => ("ok", i.toLong)))
