@@ -2710,6 +2710,12 @@ object SparkEntry {
     "t_paths" -> ((s, dir) =>
       graft.agg.Paths.topNgrams(trails(s, dir).df, n = 3, limit = 25)),
 
+    // The STREAMED path miner (ring-buffer walk — no whole-trail array,
+    // no guard needed at any trail length) against the same DuckDB
+    // oracle as t_paths.
+    "t_paths_streamed" -> ((s, dir) =>
+      graft.agg.Paths.topNgramsStreamed(trails(s, dir).df, n = 3, limit = 25)),
+
     // Daily event rollup: count + exact sum(value) per (event_type, day).
     "q_events_daily" -> ((s, dir) => {
       graft.core.EventSource.events(s, dir)
@@ -4980,6 +4986,16 @@ object SparkEntry {
          |ORDER BY u.uuid""".stripMargin,
 
     "t_paths" ->
+      s"""$TrailsCte
+         |, s AS (SELECT uuid, list(coalesce(event_type, '')
+         |    ORDER BY time, seq, coalesce(event_type, '')) AS evs
+         |  FROM trails GROUP BY uuid)
+         |, g AS (SELECT array_to_string(evs[i : i+2], '>') AS path
+         |  FROM s, unnest(range(1, len(evs) - 1)) AS u(i) WHERE len(evs) >= 3)
+         |SELECT path, count(*) AS cnt FROM g
+         |GROUP BY path ORDER BY cnt DESC, path LIMIT 25""".stripMargin,
+
+    "t_paths_streamed" ->
       s"""$TrailsCte
          |, s AS (SELECT uuid, list(coalesce(event_type, '')
          |    ORDER BY time, seq, coalesce(event_type, '')) AS evs

@@ -36,4 +36,48 @@ object Paths {
       .groupBy("path").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("path")).limit(limit)
   }
+
+  /** [[topNgrams]] as a STREAMING ring-buffer walk — identical results
+    * (AggSpec proves ≡; the t_paths_streamed gate row replays the same
+    * DuckDB oracle as t_paths) with NO whole-trail array and NO guard
+    * needed at any trail length: an n-gram only ever needs the last n
+    * events, so the per-partition state is one n-slot ring per OPEN
+    * trail. Events hash-partition by uuid and sort within partitions
+    * (one shuffle, same class as the groupBy); grams stream out through
+    * a lazy flatMap — nothing buffers per trail OR per partition. The
+    * whale-proof shape for path mining, same pattern as
+    * [[Funnel.windowFunnelStreamed]]. */
+  def topNgramsStreamed(df: DataFrame, n: Int = 3, limit: Int = 25,
+      uuidCol: String = "uuid", timeCol: String = "time",
+      typeCol: String = "event_type", seqCol: String = "seq"): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df.select(
+        col(uuidCol).cast("string").as("_u"),
+        col(timeCol).cast("long").as("_t"),
+        coalesce(col(typeCol), lit("")).as("_e"),
+        col(seqCol).cast("long").as("_q"))
+      .repartition(col("_u"))
+      .sortWithinPartitions("_u", "_t", "_q", "_e")
+      .as[(String, Long, String, Long)]
+    sorted.mapPartitions { it =>
+      var cur: String = null
+      val ring = new Array[String](n)
+      var filled = 0
+      // flatMap keeps this lazy: state advances only as the consumer
+      // pulls — single-threaded per partition, so closure state is safe
+      it.flatMap { case (u, _, e, _) =>
+        if (u != cur) { cur = u; filled = 0 }
+        var i = 0
+        while (i < n - 1) { ring(i) = ring(i + 1); i += 1 }
+        ring(n - 1) = e
+        filled += 1
+        if (filled >= n) Iterator.single(ring.mkString(">"))
+        else Iterator.empty
+      }
+    }.toDF("path")
+      .groupBy("path").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path")).limit(limit)
+  }
 }

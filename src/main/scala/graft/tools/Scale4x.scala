@@ -601,10 +601,12 @@ object Scale4x {
       val streamed = time(graft.agg.Funnel.windowFunnelStreamed(df,
         Seq("view", "click", "purchase"), window = 86400L)
         .queryExecution.toRdd.count())
-      println("| corpus | whale | guard refusal | unguarded 3-gram collect | funnel (cond. collect) | funnel (streamed, no array) |")
-      println("|---|---|---|---|---|---|")
+      val pathsStreamed = time(graft.agg.Paths.topNgramsStreamed(df)
+        .queryExecution.toRdd.count())
+      println("| corpus | whale | guard refusal | unguarded 3-gram collect | 3-gram (streamed, no array) | funnel (cond. collect) | funnel (streamed, no array) |")
+      println("|---|---|---|---|---|---|---|")
       println(f"| $n | $whale | ${if (refused) f"$refuse%.2f s (refused)" else "DID NOT FIRE"} " +
-        f"| $unguarded%.2f s | $funnel%.2f s | $streamed%.2f s |")
+        f"| $unguarded%.2f s | $pathsStreamed%.2f s | $funnel%.2f s | $streamed%.2f s |")
       spark.stop()
       return
     }

@@ -292,6 +292,36 @@ class AggSpec extends SparkSpec {
     }
   }
 
+  test("topNgramsStreamed ≡ topNgrams on random trails (n=2,3,4), no guard needed") {
+    val rng = new scala.util.Random(14)
+    val types = Seq("a", "b", "c", "d", "e")
+    val rows = (for {
+      u <- 0 until 100
+      i <- 0 until (1 + rng.nextInt(12))
+    } yield (s"u$u", rng.nextInt(50).toLong, types(rng.nextInt(5)))) ++
+      Seq(("short", 1L, "a"), ("short", 2L, "b")) // below n=3 → no grams
+    val df = rows.zipWithIndex
+      .map { case ((u, t, e), i) => (u, t, e, i.toLong) }
+      .toDF("uuid", "time", "event_type", "seq")
+    for (n <- Seq(2, 3, 4)) {
+      val arr = graft.agg.Paths.topNgrams(df, n = n, limit = 1000,
+        maxTrailEvents = None).collect().map(_.toString).toSeq
+      val str = graft.agg.Paths.topNgramsStreamed(df, n = n, limit = 1000)
+        .collect().map(_.toString).toSeq
+      assert(str === arr, s"n=$n")
+      assert(str.nonEmpty)
+    }
+    // and the streamed form has no trail-length bound to trip: a trail
+    // past the array form's guard streams through fine
+    val whale = (0 until 30).map(i => ("w", i.toLong, types(i % 5)))
+      .zipWithIndex.map { case ((u, t, e), i) => (u, t, e, i.toLong) }
+      .toDF("uuid", "time", "event_type", "seq")
+    intercept[graft.core.GraftError.TrailTooLong] {
+      graft.agg.Paths.topNgrams(whale, maxTrailEvents = Some(10L))
+    }
+    assert(graft.agg.Paths.topNgramsStreamed(whale).count() > 0)
+  }
+
   test("TrailGuard refuses BEFORE collecting: count-only pre-pass, named uuid, exit code 14") {
     val df = ((0 until 200).map(i => ("whale", i.toLong)) ++
       (0 until 5).map(i => ("ok", i.toLong)))
