@@ -462,7 +462,17 @@ object Main {
               header = flags("--csv-header").nonEmpty, cols = cols)
             println(s"[dump] wrote CSV to $out")
           case None =>
-            db.dumpProjection(cols).show(100, truncate = false)
+            // reference parity: no -o → the FULL ordered dump streams to
+            // stdout (op_dump.c defaults its output file to stdout), in
+            // the same raw single-stream row format as --single-file
+            val lines =
+              if (flags("-j").nonEmpty)
+                db.jsonLines(noEmpty = flags("--json-no-empty").nonEmpty,
+                  cols = cols)
+              else db.csvLines(
+                delimiter = one("--delimiter").getOrElse(","),
+                header = flags("--csv-header").nonEmpty, cols = cols)
+            lines.foreach(println)
         }
 
       case "merge" =>

@@ -341,34 +341,45 @@ final class TrailDB private (
     * byte identity). */
   def dumpCsvFile(path: String, delimiter: String = " ",
       header: Boolean = false, cols: Seq[String] = Nil,
-      refOrder: Boolean = false): Unit = {
-    val proj = projectedFile(cols, refOrder)
-    val names = proj.columns
-    import scala.jdk.CollectionConverters._
-    writeSingle(path,
-      (if (header) Iterator.single(names.mkString(delimiter))
-       else Iterator.empty) ++
-      proj.toLocalIterator.asScala.map(r =>
-        names.indices.map(i => Option(r.get(i)).fold("")(_.toString))
-          .mkString(delimiter)))
-  }
+      refOrder: Boolean = false): Unit =
+    writeSingle(path, csvLines(delimiter, header, cols, refOrder))
 
   /** Single-file JSON (see [[dumpCsvFile]]): one `{"k": "v", ...}` object
     * per line in the C CLI's exact shape — keys in dump order, every
     * value a string, `noEmpty` dropping empty values like
     * `--json-no-empty`. */
   def dumpJsonFile(path: String, noEmpty: Boolean = false,
-      cols: Seq[String] = Nil, refOrder: Boolean = false): Unit = {
+      cols: Seq[String] = Nil, refOrder: Boolean = false): Unit =
+    writeSingle(path, jsonLines(noEmpty, cols, refOrder))
+
+  /** The single-stream dump as a driver-side line iterator (what
+    * [[dumpCsvFile]] writes; the CLI streams it to stdout when no -o is
+    * given — the reference's default output, op_dump.c). */
+  def csvLines(delimiter: String = " ", header: Boolean = false,
+      cols: Seq[String] = Nil, refOrder: Boolean = false): Iterator[String] = {
     val proj = projectedFile(cols, refOrder)
     val names = proj.columns
     import scala.jdk.CollectionConverters._
-    writeSingle(path, proj.toLocalIterator.asScala.map { r =>
+    (if (header) Iterator.single(names.mkString(delimiter))
+     else Iterator.empty) ++
+      proj.toLocalIterator.asScala.map(r =>
+        names.indices.map(i => Option(r.get(i)).fold("")(_.toString))
+          .mkString(delimiter))
+  }
+
+  /** [[csvLines]]' JSON twin. */
+  def jsonLines(noEmpty: Boolean = false, cols: Seq[String] = Nil,
+      refOrder: Boolean = false): Iterator[String] = {
+    val proj = projectedFile(cols, refOrder)
+    val names = proj.columns
+    import scala.jdk.CollectionConverters._
+    proj.toLocalIterator.asScala.map { r =>
       names.indices.flatMap { i =>
         val v = Option(r.get(i)).fold("")(_.toString)
         if (v.isEmpty && noEmpty) None
         else Some(s""""${names(i)}": "$v"""")
       }.mkString("{", ", ", "}")
-    })
+    }
   }
 
   private def projectedFile(cols: Seq[String], refOrder: Boolean): DataFrame = {

@@ -464,6 +464,54 @@ object StreamSessions {
       }
   }
 
+  /** Per-trail state for [[statefulNgrams]]: the (time, seq) watermark
+    * plus the last n−1 event types — O(n) per trail. */
+  final case class NgramState(lastTime: Long, lastSeq: Long,
+      recent: Seq[String])
+  final case class NgramHit(uuid: String, path: String)
+
+  /** Streaming twin of [[graft.agg.Paths]] (round 12): each arriving
+    * event completes (at most) one n-gram against the carried last n−1
+    * types, so `groupBy(path).count()` over the appended hits IS the
+    * live path histogram — the batch topNgrams cut is a downstream
+    * ranking over the live counts. Generalizes [[statefulTransitions]]
+    * (its edges are exactly n = 2 paths). In-batch events process in
+    * (time, seq) order — the batch sort's order — NULL types coalesce to
+    * "" like the batch op, and late stragglers follow the gap-bands
+    * convention: emit nothing, never regress the carried (time, seq)
+    * watermark (a late event must not fabricate a gram the batch order
+    * doesn't contain — in-order per-trail delivery is the documented
+    * contract, redeliveries are dropped). */
+  def statefulNgrams(events: Dataset[(String, Long, Long, String)],
+      n: Int = 3)(
+      implicit enc: org.apache.spark.sql.Encoder[NgramHit],
+      stateEnc: org.apache.spark.sql.Encoder[NgramState]): Dataset[NgramHit] = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    implicit val strEnc: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[NgramState, NgramHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uuid: String, rows: Iterator[(String, Long, Long, String)],
+         state: GroupState[NgramState]) =>
+          val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+          var st = state.getOption.getOrElse(
+            NgramState(Long.MinValue, Long.MinValue, Seq.empty))
+          val out = scala.collection.mutable.ArrayBuffer.empty[NgramHit]
+          sorted.foreach { case (_, t, q, tp0) =>
+            if (t > st.lastTime || (t == st.lastTime && q > st.lastSeq)) {
+              val tp = Option(tp0).getOrElse("")
+              val recent = (st.recent :+ tp).takeRight(n)
+              if (recent.length == n)
+                out += NgramHit(uuid, recent.mkString(">"))
+              st = NgramState(t, q, recent.takeRight(n - 1))
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Per-trail state for [[statefulRetention]]: the distinct weeks this
     * trail has been active — O(weeks-active) per trail (a year of weekly
     * activity is 52 longs). */

@@ -483,6 +483,16 @@ class CliSpec extends SparkSpec {
     val j = lines(dir.resolve("one.json"))
     assert(j.size === 24 && j.forall(l => l.startsWith("{\"uuid\": ") &&
       l.endsWith("}")), j.take(2))
+
+    // no -o: the FULL raw dump streams to stdout (the reference's
+    // default output target), not a truncated table
+    val bos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+      Main.run(spark, "dump", Seq("-i", s"$dir/db", "-d", ",",
+        "--csv-header"))
+    }
+    val stdout = bos.toString("UTF-8").linesIterator.toSeq
+    assert(stdout === single, "stdout dump != --single-file dump")
   }
 
   test("getopt_long spelling parity: every reference long/short alias parses (main.c:152-171)") {

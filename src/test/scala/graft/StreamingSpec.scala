@@ -1345,6 +1345,48 @@ class StreamingSpec extends SparkSpec {
     assert(dup.count() === 0L, "a (trail, pair) emitted twice")
   }
 
+  test("stateful n-grams: live path histogram across batches equals batch topNgrams (n=2 and 3)") {
+    import graft.streaming.StreamSessions.{NgramHit, NgramState}
+    implicit val nhEnc = org.apache.spark.sql.Encoders.product[NgramHit]
+    implicit val nsEnc = org.apache.spark.sql.Encoders.product[NgramState]
+    val rnd = new scala.util.Random(91)
+    val types = Seq("a", "b", "c", "d", null)
+    // unique global times → per-trail order is preserved by a
+    // time-consecutive split (the operator's in-order delivery contract)
+    val events = (0 until 360).map { i =>
+      (s"u${rnd.nextInt(20)}", i.toLong, i.toLong, types(rnd.nextInt(5)))
+    }
+    for (n <- Seq(2, 3)) {
+      val dir = Files.createTempDirectory(s"graft-sngram$n")
+      val src = dir.resolve("src").toString
+      events.grouped(120).foreach { chunk =>
+        chunk.toDF("uuid", "time", "seq", "event_type")
+          .coalesce(1).write.mode("append").parquet(src)
+        Thread.sleep(1100)
+      }
+      val stream = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .as[(String, Long, Long, String)]
+      val q = StreamSessions.statefulNgrams(stream, n = n)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"sngram$n").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      val streamed = spark.sql(
+          s"SELECT path, count(*) AS cnt FROM sngram$n GROUP BY 1 ORDER BY 1")
+        .as[(String, Long)].collect().toSeq
+      val batch = graft.agg.Paths.topNgrams(
+          events.toDF("uuid", "time", "seq", "event_type"),
+          n = n, limit = 1000000)
+        .orderBy("path").as[(String, Long)].collect().toSeq
+      assert(streamed === batch, s"n=$n")
+      // grams must come from carried cross-batch state too: at least one
+      // trail spans a batch boundary by construction (360 events over 20
+      // trails in 3 time-consecutive chunks)
+      assert(streamed.map(_._2).sum > 0)
+    }
+  }
+
   test("stateful retention: active/retained marks across batches equal the batch rollup") {
     import graft.streaming.StreamSessions.{RetentionMark, WeekSetState}
     implicit val rmEnc = org.apache.spark.sql.Encoders.product[RetentionMark]
