@@ -16,6 +16,10 @@ import graft.filter.EventFilter
   *   tdb dump  -i DB [-F FILTER] [--fields uuid,time,f1] [--uuids SPEC]
   *             [--index IDX | --no-index] [-o OUT] [-c | -j]
   *             [--json-no-empty] [--delimiter D] [--csv-header]
+  *             [--single-file]   (-o with --single-file writes ONE ordered
+  *                               file in the reference's raw row format;
+  *                               no -o streams the full dump to stdout,
+  *                               the reference's default output)
   *   tdb merge -o OUT -i DB1 -i DB2 [...] [-F FILTER] [--uuids SPEC]
   *   tdb index -i DB [-o IDX]   (build the inverted (field,value,page)
   *                               skipping index — see [[graft.core.TrailIndex]];
