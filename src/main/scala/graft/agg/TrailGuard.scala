@@ -52,10 +52,12 @@ object TrailGuard {
       throw GraftError.TrailTooLong(
         s"$op: trail ${r.get(0)} holds ${r.getLong(1)} events, over the " +
           s"maxTrailEvents bound of $maxEvents — collecting it as one " +
-          "in-memory array row would OOM an executor. Pre-filter the " +
-          "input to the event types the operator actually consumes, or " +
-          "pass a larger (or None) maxTrailEvents if the trail is " +
-          "genuinely this large and the executors are sized for it.")
+          "in-memory array row would OOM an executor. Use the bounded-" +
+          "state streamed twin (Paths.topNgramsStreamed / " +
+          "Funnel.windowFunnelStreamed — no per-trail array at any " +
+          "length), pre-filter the input to the event types the operator " +
+          "actually consumes, or pass a larger (or None) maxTrailEvents " +
+          "if the executors are genuinely sized for this trail.")
     }
     df
   }

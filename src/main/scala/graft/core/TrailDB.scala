@@ -447,7 +447,15 @@ object TrailDB {
         "format has no partitioned layout; re-finalize with " +
         "finalizePartitioned for time pruning")
       val df = spark.read.format("tdb").load(path)
-      return fromTrailFrame(df)
+      // same seq synthesis as fromTrailFrame (the tdb reader exposes no
+      // seq column), but KEEPING the filesystem identity: an index built
+      // over a legacy package then gets the same staleness binding as
+      // one over a parquet db (TrailIndex fingerprints the package FILE)
+      // instead of the unbound-index warning fromTrailFrame would cause
+      val withSeq =
+        if (df.columns.contains(TrailSchema.SeqCol)) df
+        else df.withColumn(TrailSchema.SeqCol, monotonically_increasing_id())
+      return new TrailDB(spark, withSeq, None, None, None, Some(path))
     }
     val info = TrailInfo.read(spark, path)
     new TrailDB(spark, spark.read.parquet(path), None,

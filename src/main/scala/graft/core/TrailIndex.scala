@@ -65,15 +65,36 @@ object TrailIndex {
   }
 
   private def dbFingerprint(spark: SparkSession, dbPath: String): Option[(String, Long)] = {
-    val p = new Path(dbPath, TrailInfo.FileName)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def shaOf(fs: org.apache.hadoop.fs.FileSystem, p: Path): (String, Long) = {
       val st = fs.getFileStatus(p)
-      val bytes = readAll(fs, p)
       val sha = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(bytes).map(b => f"$b%02x").mkString
-      Some((sha, st.getModificationTime))
+        .digest(readAll(fs, p)).map(b => f"$b%02x").mkString
+      (sha, st.getModificationTime)
+    }
+    val root = new Path(dbPath)
+    val fs = root.getFileSystem(conf)
+    val info = new Path(dbPath, TrailInfo.FileName)
+    // Legacy dbs get the same staleness binding as parquet dbs (r12):
+    //  - a single-file .tdb package → sha of the whole file (packages
+    //    are single-node-scale by the format's own limits, so the full
+    //    hash is cheap) — also probed at `<path>.tdb` like tdb_open;
+    //  - a reference member DIRECTORY → sha of its `info` member (the
+    //    reference rewrites it on every finalize, like our sidecar).
+    val legacyFile =
+      if (fs.exists(root) && fs.getFileStatus(root).isFile) Some(root)
+      else {
+        val dotTdb = new Path(dbPath + ".tdb")
+        if (!fs.exists(root) && fs.exists(dotTdb)) Some(dotTdb) else None
+      }
+    legacyFile match {
+      case Some(f) => Some(shaOf(fs, f))
+      case None =>
+        val legacyInfo = new Path(dbPath, "info")
+        if (fs.exists(info)) Some(shaOf(fs, info))
+        else if (fs.exists(legacyInfo) &&
+            fs.exists(new Path(dbPath, "fields"))) Some(shaOf(fs, legacyInfo))
+        else None
     }
   }
 

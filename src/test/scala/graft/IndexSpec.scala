@@ -208,6 +208,37 @@ class IndexSpec extends SparkSpec {
     assert(TrailIndex.open(spark, idxPath).count() > 0)
   }
 
+  test("an index over a legacy .tdb package gets the same staleness binding (round 12)") {
+    val dir = Files.createTempDirectory("graft-idx-pkg")
+    val pkg = s"$dir/p.tdb"
+    def mkPkg(n: Int): Unit = graft.sources.TdbWriter.writePackage(
+      (0 until n).map(i => (uuidOf(i % 8), 100L + i, s"e${i % 3}"))
+        .toDF("uuid", "time", "etype")
+        .withColumn("seq", monotonically_increasing_id()),
+      Seq("etype"), pkg)
+    mkPkg(40)
+    val db = TrailDB.open(spark, pkg)
+    assert(db.sourcePath === Some(pkg), "legacy open must keep its path")
+    val idxPath = s"$dir/p.tdb.index"
+    TrailIndex.build(db, idxPath)
+    // bound, validates, prunes exactly
+    val idx = TrailIndex.open(spark, idxPath, Some(pkg))
+    val f = EventFilter(Seq(Clause(Seq(Match("etype", "e1")))))
+    assert(TrailIndex.prunedEvents(db, idx, f)
+      .collect().toSeq.sortBy(_.toString) ===
+      db.events(f).collect().toSeq.sortBy(_.toString))
+    // a rewritten package refuses at open — same guarantee as parquet dbs
+    Thread.sleep(5)
+    mkPkg(44)
+    val e = intercept[IllegalStateException] {
+      TrailIndex.open(spark, idxPath, Some(pkg))
+    }
+    assert(e.getMessage.contains("STALE INDEX"), e.getMessage)
+    // rebuild restores service
+    TrailIndex.build(TrailDB.open(spark, pkg), idxPath)
+    assert(TrailIndex.open(spark, idxPath, Some(pkg)).count() > 0)
+  }
+
   test("a corrupt binding sidecar refuses loudly instead of opening unverified") {
     val dir = Files.createTempDirectory("graft-idx-corrupt")
     val d = new TrailDBCons(spark, Seq("etype"))
