@@ -573,6 +573,53 @@ class TdbInteropSpec extends SparkSpec {
     assert(nonEmpty >= 10, s"only $nonEmpty/60 filters matched any event")
   }
 
+  test("value-id boundary reverts and zero-field dbs round-trip both engines (off_by_one_encoding_bug.c, zero_fields.c)") {
+    requireBinary()
+    // 1. the off-by-one regression fixture verbatim: single-event trails
+    // whose second field walks a1→a2→a3 with REVERTS (a3→a2), a constant
+    // first field — the exact value-id boundary pattern the reference's
+    // historic encode bug corrupted. uuid = memcpy(&i, 4) little-endian.
+    val events = Seq((0, "a1"), (10, "a1"), (100, "a1"), (200, "a2"),
+      (300, "a2"), (400, "a3"), (500, "a2"), (600, "a3"), (700, "a2"))
+    val rows = events.zipWithIndex.map { case ((t, v), i) =>
+      (f"$i%02x" + "00" * 15, t.toLong, "cli", v)
+    }
+    val dir = Files.createTempDirectory("graft-interop-ob1")
+    val pkg = s"$dir/ob1.tdb"
+    TdbWriter.writePackage(
+      rows.toDF("uuid", "time", "a", "b")
+        .withColumn("seq", monotonically_increasing_id()),
+      Seq("a", "b"), pkg)
+    val c = cDumpJson(pkg).map { case (u, t, m) => (u, t, m("a"), m("b")) }
+    assert(c === rows, "C dump diverges on the off-by-one fixture")
+    val g = spark.read.format("tdb").load(pkg)
+      .select("uuid", "time", "a", "b").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3))).sortBy(t => (t._1, t._2)).toSeq
+    assert(g === rows, "graft reader diverges on the off-by-one fixture")
+
+    // 2. zero user fields (zero_fields.c: tdb_num_fields == 1, time
+    // only): 100 trails of varying length, uuid+time and nothing else —
+    // through the writer, the C engine, and graft's reader
+    val zf = for {
+      i <- 0 until 100
+      j <- 0 until (3 + i % 5)
+    } yield (f"$i%02x" + "00" * 15, j.toLong)
+    val zpkg = s"$dir/zf.tdb"
+    TdbWriter.writePackage(
+      zf.toDF("uuid", "time")
+        .withColumn("seq", monotonically_increasing_id()),
+      Seq.empty, zpkg)
+    val cz = Process(Seq(refBin, "dump", "-c", "-i", zpkg)).!!
+      .linesIterator.filter(_.nonEmpty).map { l =>
+        val p = l.split(" "); (p(0), p(1).toLong)
+      }.toSeq
+    assert(cz.sorted === zf.sorted, "C dump diverges on the zero-field db")
+    val gz = spark.read.format("tdb").load(zpkg)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(gz.sorted === zf.sorted, "graft reader diverges on zero fields")
+  }
+
   test("reference engine reads wide timestamps at the 47-bit delta edge (tests/c-tests/wide_timestamps.c)") {
     requireBinary()
     // a delta near the 47-bit bound (2^47 - 2^32), plus the
