@@ -385,11 +385,17 @@ final class TrailDB private (
   private def projectedFile(cols: Seq[String], refOrder: Boolean): DataFrame = {
     if (!refOrder) dumpProjection(cols)
     else {
-      // LE-u128 order = byte-reversed hex, string-sorted; same db view
-      // (events() applies the db filter) as the hex-order projection
+      // LE-u128 order = byte-reversed hex, string-sorted — as pure
+      // SUBSTRING swaps (TdbWriter's own key): hex pairs swap as whole
+      // bytes and lowercase hex compares numerically. NOT
+      // hex(reverse(unhex(...))): reverse has no binary overload, so
+      // that form silently casts the bytes through a UTF-8 string and
+      // mangles every byte > 0x7f (caught by the random-uuid
+      // byte-identity interop test).
       val out = if (cols.nonEmpty) cols
         else TrailSchema.UuidCol +: TrailSchema.TimeCol +: fields
-      val leKey = lower(hex(reverse(unhex(col(TrailSchema.UuidCol)))))
+      val leKey = concat((0 until 16).reverse.map(i =>
+        substring(col(TrailSchema.UuidCol), i * 2 + 1, 2)): _*)
       events()
         .orderBy(leKey, col(TrailSchema.TimeCol), col(TrailSchema.SeqCol))
         .select(out.map {

@@ -350,9 +350,15 @@ class TdbInteropSpec extends SparkSpec {
     // stream): with refOrder=true the rows come out in the reference's
     // LE-u128 trail order in the C CLI's exact row format, so the two
     // engines' dump FILES diff clean — not just their row multisets.
+    // FULLY random uuids (every byte position varies) so the LE-u128
+    // order agreement is exercised across all 16 bytes — the
+    // uuid_ordering.c contract — under byte identity, not just multiset
+    // equality
     val rnd = new scala.util.Random(63)
+    val uuidPool = Seq.fill(20)(
+      Array.fill(16)(f"${rnd.nextInt(256)}%02x").mkString)
     val rows = (0 until 400).map { i =>
-      val u = f"${rnd.nextInt(20)}%032x"
+      val u = uuidPool(rnd.nextInt(uuidPool.length))
       (u, 3000L + i, Seq("view", "click", "")(rnd.nextInt(3)),
         if (rnd.nextInt(6) == 0) null else "q" + rnd.nextInt(4))
     }
