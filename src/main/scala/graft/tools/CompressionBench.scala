@@ -41,6 +41,7 @@ object CompressionBench {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.contains("--throughput")) { throughput(args); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = Paths.get(
       args.lift(1).getOrElse("/tmp/graft-compression-bench"))
@@ -141,6 +142,73 @@ object CompressionBench {
       s""""${k.replaceAll("[^a-zA-Z0-9]+", "_")}":${b.toDouble / n}"""
     }.mkString(",")
     println(s"""{"metric":"bytes_per_event","n":$n,$json}""")
+    spark.stop()
+  }
+
+  /** `--throughput [factor]` (default 128): the head-to-head DECODE
+    * comparison against the reference's OWN benchmark harness
+    * (util/traildb_bench.c `decode-all`, the manual timing tool
+    * BASELINE.md cites — built by tools/refdump/build_bench.sh). Both
+    * engines decode the SAME graft-written package: the sf0.1 trails
+    * replicated factor× by uuid shift, every event of every trail, all
+    * fields. The C side is a full process wall-clock (mmap + decode —
+    * its startup is microscopic); the graft side is a warm full scan
+    * (`toRdd.count` over all columns) so JVM/Spark startup is excluded
+    * on both sides' own terms. min-of-2 each. */
+  private def throughput(args: Array[String]): Unit = {
+    val pos = args.filterNot(_.startsWith("--"))
+    val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = pos.lift(1).map(_.toInt).getOrElse(128)
+    val benchBin = "tools/refbin/tdb-bench"
+    if (!Files.exists(Paths.get(benchBin)))
+      Process(Seq("sh", "tools/refdump/build_bench.sh")).!
+    require(Files.exists(Paths.get(benchBin)),
+      s"$benchBin missing — run tools/refdump/build_bench.sh first")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      // the reader's parallelism tracks maxPartitionBytes like a parquet
+      // scan (round-8 decode ladder) — the 128 MB default would split a
+      // ~220 MB package into only 2 tasks on 32 cores
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val ev = graft.core.EventSource.events(spark, sfDir)
+    val maxU = ev.agg(max("user_id")).head().getLong(0) + 1L
+    val big = (0 until factor).map(i =>
+        ev.withColumn("user_id", col("user_id") + lit(i * maxU))
+          .withColumn("event_id", col("event_id") + lit(i * 10000000L)))
+      .reduce(_.unionByName(_))
+    val df = graft.core.TrailDB.fromEvents(big, "user_id", "ts",
+      Seq("event_type", "props"), Some("event_id")).df
+    val n = df.count()
+    val pkg = s"/tmp/graft-throughput-$factor.tdb"
+    val t0 = System.nanoTime()
+    graft.sources.TdbWriter.writePackage(df,
+      Seq("event_type", "props"), pkg)
+    val wWrite = (System.nanoTime() - t0) / 1e9
+
+    def timeOf(f: => Unit): Double = {
+      val s = System.nanoTime(); f; (System.nanoTime() - s) / 1e9
+    }
+    def min2(f: => Unit): Double = Seq(timeOf(f), timeOf(f)).min
+    val cSec = min2 {
+      val rc = Process(Seq(benchBin, "decode-all", pkg)).!
+      require(rc == 0, s"tdb-bench exited $rc")
+    }
+    val scan = spark.read.format("tdb").load(pkg)
+    scan.queryExecution.toRdd.count() // warm (codegen, file index)
+    val gSec = min2 { require(scan.queryExecution.toRdd.count() == n) }
+
+    println(f"-- decode throughput, $n%d events, package $pkg (written in $wWrite%.1f s) --")
+    println("| engine | decode-all wall | events/s |")
+    println("|---|---|---|")
+    println(f"| reference C (tdb-bench decode-all, 1 thread) | $cSec%.2f s | ${n / cSec / 1e6}%.1f M/s |")
+    println(f"| graft tdb reader (local[32], full scan) | $gSec%.2f s | ${n / gSec / 1e6}%.1f M/s |")
+    println(f"""{"metric":"decode_events_per_sec","n":$n,"c":${n / cSec},"graft":${n / gSec}}""")
     spark.stop()
   }
 }
