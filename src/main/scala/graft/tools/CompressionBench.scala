@@ -203,12 +203,24 @@ object CompressionBench {
     scan.queryExecution.toRdd.count() // warm (codegen, file index)
     val gSec = min2 { require(scan.queryExecution.toRdd.count() == n) }
 
+    // the harness's `decode <field>` twin: one projected column — the
+    // reader's pruneColumns means graft decodes ONLY event_type items
+    val cProjSec = min2 {
+      val rc = Process(Seq(benchBin, "decode", pkg, "event_type")).!
+      require(rc == 0, s"tdb-bench decode exited $rc")
+    }
+    val proj = spark.read.format("tdb").load(pkg).select("event_type")
+    proj.queryExecution.toRdd.count()
+    val gProjSec = min2 { require(proj.queryExecution.toRdd.count() == n) }
+
     println(f"-- decode throughput, $n%d events, package $pkg (written in $wWrite%.1f s) --")
-    println("| engine | decode-all wall | events/s |")
-    println("|---|---|---|")
-    println(f"| reference C (tdb-bench decode-all, 1 thread) | $cSec%.2f s | ${n / cSec / 1e6}%.1f M/s |")
-    println(f"| graft tdb reader (local[32], full scan) | $gSec%.2f s | ${n / gSec / 1e6}%.1f M/s |")
-    println(f"""{"metric":"decode_events_per_sec","n":$n,"c":${n / cSec},"graft":${n / gSec}}""")
+    println("| engine | decode-all wall | events/s | decode event_type | events/s |")
+    println("|---|---|---|---|---|")
+    println(f"| reference C (tdb-bench, 1 thread) | $cSec%.2f s | ${n / cSec / 1e6}%.1f M/s " +
+      f"| $cProjSec%.2f s | ${n / cProjSec / 1e6}%.1f M/s |")
+    println(f"| graft tdb reader (local[32]) | $gSec%.2f s | ${n / gSec / 1e6}%.1f M/s " +
+      f"| $gProjSec%.2f s | ${n / gProjSec / 1e6}%.1f M/s |")
+    println(f"""{"metric":"decode_events_per_sec","n":$n,"c":${n / cSec},"graft":${n / gSec},"c_proj":${n / cProjSec},"graft_proj":${n / gProjSec}}""")
     spark.stop()
   }
 }
