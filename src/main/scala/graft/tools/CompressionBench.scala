@@ -213,6 +213,20 @@ object CompressionBench {
     proj.queryExecution.toRdd.count()
     val gProjSec = min2 { require(proj.queryExecution.toRdd.count() == n) }
 
+    // ENCODE side: the C harness's `recode` (decode + re-encode the
+    // whole db through tdb_cons, single-threaded) vs graft's two write
+    // paths — the driver-side interchange package writer (wWrite above)
+    // and the PRODUCTION distributed parquet finalize.
+    val cRecodeSec = timeOf {
+      val rc = Process(Seq(benchBin, "recode", "/tmp/graft-crecode-out",
+        pkg, "event_type", "props")).!
+      require(rc == 0, s"tdb-bench recode exited $rc")
+    }
+    val gFinalizeSec = timeOf {
+      new graft.core.TrailDBCons(spark, Seq("event_type", "props"))
+        .add(df).finalizeTo(s"/tmp/graft-finalize-$factor", 32)
+    }
+
     println(f"-- decode throughput, $n%d events, package $pkg (written in $wWrite%.1f s) --")
     println("| engine | decode-all wall | events/s | decode event_type | events/s |")
     println("|---|---|---|---|---|")
@@ -220,7 +234,12 @@ object CompressionBench {
       f"| $cProjSec%.2f s | ${n / cProjSec / 1e6}%.1f M/s |")
     println(f"| graft tdb reader (local[32]) | $gSec%.2f s | ${n / gSec / 1e6}%.1f M/s " +
       f"| $gProjSec%.2f s | ${n / gProjSec / 1e6}%.1f M/s |")
-    println(f"""{"metric":"decode_events_per_sec","n":$n,"c":${n / cSec},"graft":${n / gSec},"c_proj":${n / cProjSec},"graft_proj":${n / gProjSec}}""")
+    println("| encode path | wall | events/s |")
+    println("|---|---|---|")
+    println(f"| reference C recode (1 thread) | $cRecodeSec%.2f s | ${n / cRecodeSec / 1e6}%.2f M/s |")
+    println(f"| graft writePackage (driver-side export) | $wWrite%.2f s | ${n / wWrite / 1e6}%.2f M/s |")
+    println(f"| graft finalizeTo (distributed parquet, production) | $gFinalizeSec%.2f s | ${n / gFinalizeSec / 1e6}%.2f M/s |")
+    println(f"""{"metric":"decode_events_per_sec","n":$n,"c":${n / cSec},"graft":${n / gSec},"c_proj":${n / cProjSec},"graft_proj":${n / gProjSec},"c_recode":${n / cRecodeSec},"graft_pkg_write":${n / wWrite},"graft_finalize":${n / gFinalizeSec}}""")
     spark.stop()
   }
 }
