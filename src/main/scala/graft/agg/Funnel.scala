@@ -147,9 +147,20 @@ object Funnel {
     * mapPartitions walk carries O(k) slot state per open trail. Memory
     * is INDEPENDENT of trail length — the shape for the 10^7-10^8-event
     * whale where even the relevant-event array would OOM, closing the
-    * residual exposure [[windowFunnel]]'s scaladoc documents. Only
-    * output rows (one tiny tuple per uuid) buffer per partition, never
-    * input events.
+    * residual exposure [[windowFunnel]]'s scaladoc documents. NOTHING
+    * buffers — neither input events nor output rows: a trail's result
+    * row is emitted lazily through the wrapping iterator the moment its
+    * uuid changes (one pending row of state), the same nothing-buffers
+    * shape as [[Paths.topNgramsStreamed]]'s lazy flatMap.
+    *
+    * Precondition (streamed twins only): `time` and `seq` must be
+    * NON-NULL — they deserialize into primitive Longs here, so a null
+    * (tolerated by the batch twin via SQL null ordering, and producible
+    * by casting a non-numeric seq column) throws at runtime instead of
+    * matching the batch result. Coalesce or filter nulls upstream if
+    * your trails can carry them. A null `uuid` group IS handled: it
+    * sorts first within its partition and emits one row with a null
+    * uuid, exactly like the batch groupBy.
     *
     * Trade-off, measured: the fold runs outside whole-stage codegen on
     * deserialized rows, so at ordinary trail sizes the codegen'd array
@@ -181,57 +192,79 @@ object Funnel {
       .sortWithinPartitions("_u", "_t", "_q", "_e")
       .as[(String, Long, String, Long)]
     sorted.mapPartitions { it =>
-      val out = scala.collection.mutable.ArrayBuffer
-        .empty[(String, Long, Option[Long])]
-      val slots = new Array[java.lang.Long](k)
-      var cur: String = null
-      var bl = 0L
-      var bt: java.lang.Long = null
-      def level: Long =
-        if (slots(0) == null) 0L
-        else {
-          var l = 1
-          while (l < k && slots(l) != null && slots(l) - slots(0) <= window)
-            l += 1
-          l.toLong
+      // Lazy trail-close emission: wrap the input iterator and yield a
+      // finished trail's row the moment its uuid changes — at most ONE
+      // pending row of state, so neither input events nor output rows
+      // ever accumulate per partition (a 10^7-trail partition holds one
+      // tuple, not 10^7).
+      new Iterator[(String, Long, Option[Long])] {
+        private val slots = new Array[java.lang.Long](k)
+        private var cur: String = null
+        private var started = false // distinguishes "no trail yet" from a null-uuid trail
+        private var bl = 0L
+        private var bt: java.lang.Long = null
+        private var pending: (String, Long, Option[Long]) = null
+        private var drained = false
+
+        private def level: Long =
+          if (slots(0) == null) 0L
+          else {
+            var l = 1
+            while (l < k && slots(l) != null && slots(l) - slots(0) <= window)
+              l += 1
+            l.toLong
+          }
+        private def result(): (String, Long, Option[Long]) = {
+          val curL = level
+          if (curL > bl) (cur, curL, Option(slots(0)).map(_.longValue))
+          else (cur, bl, Option(bt).map(_.longValue))
         }
-      def finish(): Unit = {
-        val curL = level
-        if (curL > bl) out += ((cur, curL, Option(slots(0)).map(_.longValue)))
-        else out += ((cur, bl, Option(bt).map(_.longValue)))
-      }
-      def reset(): Unit = {
-        java.util.Arrays.fill(slots.asInstanceOf[Array[AnyRef]], null)
-        bl = 0L; bt = null
-      }
-      it.foreach { case (u, t, e, _) =>
-        if (u != cur) {
-          if (cur != null) finish()
-          reset(); cur = u
-        }
-        if (excl.contains(e)) {
-          // segment close: strict improvement keeps the EARLIEST best
-          val l = level
-          if (l > bl) { bl = l; bt = slots(0) }
+        private def reset(): Unit = {
           java.util.Arrays.fill(slots.asInstanceOf[Array[AnyRef]], null)
-        } else {
-          // fill the FIRST unfilled matching slot whose order holds —
-          // the exact branch chain of the array fold (repeated step
-          // names fill their lowest open slot first)
-          var i = 0
-          var done = false
-          while (i < k && !done) {
-            if (slots(i) == null && stepArr(i) == e &&
-                (i == 0 || (slots(i - 1) != null && t > slots(i - 1)))) {
-              slots(i) = t
-              done = true
+          bl = 0L; bt = null
+        }
+        private def consume(t: Long, e: String): Unit =
+          if (excl.contains(e)) {
+            // segment close: strict improvement keeps the EARLIEST best
+            val l = level
+            if (l > bl) { bl = l; bt = slots(0) }
+            java.util.Arrays.fill(slots.asInstanceOf[Array[AnyRef]], null)
+          } else {
+            // fill the FIRST unfilled matching slot whose order holds —
+            // the exact branch chain of the array fold (repeated step
+            // names fill their lowest open slot first)
+            var i = 0
+            var done = false
+            while (i < k && !done) {
+              if (slots(i) == null && stepArr(i) == e &&
+                  (i == 0 || (slots(i - 1) != null && t > slots(i - 1)))) {
+                slots(i) = t
+                done = true
+              }
+              i += 1
             }
-            i += 1
+          }
+
+        private def advance(): Unit = {
+          while (pending == null && it.hasNext) {
+            val (u, t, e, _) = it.next()
+            if (!started) { started = true; cur = u }
+            else if (u != cur) { pending = result(); reset(); cur = u }
+            consume(t, e)
+          }
+          if (pending == null && started && !drained) {
+            pending = result(); drained = true
           }
         }
+        override def hasNext: Boolean = {
+          if (pending == null && !drained) advance()
+          pending != null
+        }
+        override def next(): (String, Long, Option[Long]) = {
+          if (!hasNext) throw new NoSuchElementException("funnel iterator")
+          val r = pending; pending = null; r
+        }
       }
-      if (cur != null) finish()
-      out.iterator
     }.toDF(uuidCol, "funnel_level", "first_time")
   }
 }

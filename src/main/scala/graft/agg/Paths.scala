@@ -46,7 +46,14 @@ object Paths {
     * (one shuffle, same class as the groupBy); grams stream out through
     * a lazy flatMap — nothing buffers per trail OR per partition. The
     * whale-proof shape for path mining, same pattern as
-    * [[Funnel.windowFunnelStreamed]]. */
+    * [[Funnel.windowFunnelStreamed]].
+    *
+    * Precondition (streamed twins only): `time` and `seq` must be
+    * NON-NULL — they deserialize into primitive Longs, so a null
+    * (tolerated by the batch twin via SQL null ordering) throws at
+    * runtime. Coalesce or filter nulls upstream if trails can carry
+    * them. Null uuids are fine: they sort first and mine as one trail,
+    * like the batch groupBy's null group. */
   def topNgramsStreamed(df: DataFrame, n: Int = 3, limit: Int = 25,
       uuidCol: String = "uuid", timeCol: String = "time",
       typeCol: String = "event_type", seqCol: String = "seq"): DataFrame = {

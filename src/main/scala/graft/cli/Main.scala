@@ -306,6 +306,10 @@ object Main {
             one("--uuid-col").map("uuid" -> _),
             one("--time-col").map("time" -> _)).flatten.toMap
         val skipBad = flags("--skip-bad-input").nonEmpty
+        // deliberate divergence: make's INPUT delimiter defaults to ","
+        // (the Spark/CSV-ecosystem default) where the reference's is ' '
+        // (main.c:150) — ingest defaults follow the data ecosystem;
+        // dump defaults follow the reference for byte-diffability.
         one("-c").foreach(csv => cons.addCsv(csv,
           delimiter = one("--delimiter").getOrElse(","),
           header = flags("--csv-header").nonEmpty,
@@ -451,6 +455,11 @@ object Main {
         // the C CLI's exact row format; default stays the distributed
         // Spark directory write.
         val single = flags("--single-file").nonEmpty
+        // dump's default delimiter is the reference's ' '
+        // (main.c:150 DEFAULT_DELIMITER) so an un-flagged dump is
+        // byte-diffable against the C engine's (make's INPUT default
+        // stays "," — see the make scaladoc for that divergence).
+        val delim = one("--delimiter").getOrElse(" ")
         one("-o") match {
           case Some(out) if flags("-j").nonEmpty =>
             if (single)
@@ -460,9 +469,9 @@ object Main {
             println(s"[dump] wrote JSON to $out")
           case Some(out) =>
             if (single)
-              db.dumpCsvFile(out, delimiter = one("--delimiter").getOrElse(","),
+              db.dumpCsvFile(out, delimiter = delim,
                 header = flags("--csv-header").nonEmpty, cols = cols)
-            else db.dumpCsv(out, delimiter = one("--delimiter").getOrElse(","),
+            else db.dumpCsv(out, delimiter = delim,
               header = flags("--csv-header").nonEmpty, cols = cols)
             println(s"[dump] wrote CSV to $out")
           case None =>
@@ -473,8 +482,7 @@ object Main {
               if (flags("-j").nonEmpty)
                 db.jsonLines(noEmpty = flags("--json-no-empty").nonEmpty,
                   cols = cols)
-              else db.csvLines(
-                delimiter = one("--delimiter").getOrElse(","),
+              else db.csvLines(delimiter = delim,
                 header = flags("--csv-header").nonEmpty, cols = cols)
             lines.foreach(println)
         }

@@ -347,7 +347,15 @@ final class TrailDB private (
   /** Single-file JSON (see [[dumpCsvFile]]): one `{"k": "v", ...}` object
     * per line in the C CLI's exact shape — keys in dump order, every
     * value a string, `noEmpty` dropping empty values like
-    * `--json-no-empty`. */
+    * `--json-no-empty`.
+    *
+    * NOTE: like the reference (op_dump.c:69-90 prints raw value bytes),
+    * values are emitted UNESCAPED — a value containing `"` or `\`
+    * produces a line that is not parseable JSON, and this single-file
+    * form therefore diverges from the directory [[dumpJson]] sink
+    * (Spark's JSON writer escapes). That is the point: this is the
+    * byte-parity artifact; use [[dumpJson]] when consumers need
+    * guaranteed-valid JSON. */
   def dumpJsonFile(path: String, noEmpty: Boolean = false,
       cols: Seq[String] = Nil, refOrder: Boolean = false): Unit =
     writeSingle(path, jsonLines(noEmpty, cols, refOrder))
@@ -367,7 +375,8 @@ final class TrailDB private (
           .mkString(delimiter))
   }
 
-  /** [[csvLines]]' JSON twin. */
+  /** [[csvLines]]' JSON twin. Raw-byte values, unescaped — see the
+    * [[dumpJsonFile]] validity note. */
   def jsonLines(noEmpty: Boolean = false, cols: Seq[String] = Nil,
       refOrder: Boolean = false): Iterator[String] = {
     val proj = projectedFile(cols, refOrder)

@@ -48,9 +48,20 @@ object CompressionBench {
     val refBin = "tools/refbin/tdb-make"
     require(Files.exists(Paths.get(refBin)),
       s"$refBin missing — run tools/refdump/build_full.sh first")
-    if (Files.exists(work))
+    // Never recursively delete a directory this bench didn't create: a
+    // mistyped workDir (e.g. a data directory) must refuse, not vanish.
+    // A prior bench output is recognized by the marker file we drop at
+    // creation; anything else non-empty is refused loudly.
+    val marker = work.resolve(".graft-compression-bench")
+    if (Files.exists(work)) {
+      val empty = { val s = Files.list(work); try !s.findFirst().isPresent finally s.close() }
+      require(empty || Files.exists(marker),
+        s"$work exists, is non-empty, and has no ${marker.getFileName} " +
+        "marker — refusing to rm -rf a directory this bench didn't create")
       Process(Seq("rm", "-rf", work.toString)).!
+    }
     Files.createDirectories(work)
+    Files.writeString(marker, "workdir of graft.tools.CompressionBench\n")
 
     val spark = SparkSession.builder()
       .master("local[32]")

@@ -292,6 +292,54 @@ class AggSpec extends SparkSpec {
     }
   }
 
+  test("streamed twins tie grid: duplicate (time,seq) at one instant — array ≡ streamed") {
+    // Random trails rarely generate EXACT (time, seq) ties; this grid
+    // forces them. Both forms break such ties by the event-type string
+    // (the sort's third key) — step-vs-exclusion and step-vs-step at one
+    // instant must resolve identically, or the gate rows drift apart.
+    def canon(d: org.apache.spark.sql.DataFrame): Seq[(String, Long, Any)] =
+      d.collect().map(r => (r.getString(0), r.getLong(1), r.get(2)))
+        .sortBy(t => Option(t._1).getOrElse("")).toSeq
+    val types = Seq("view", "click", "purchase", "error")
+    // every ordered pair of types planted at the SAME (time, seq), with
+    // a lead-in and follow-up event so chains can extend across the tie
+    val grid = for {
+      (a, ai) <- types.zipWithIndex
+      (b, bi) <- types.zipWithIndex
+    } yield {
+      val u = s"tie_${ai}_$bi"
+      Seq((u, 5L, "view", 0L),
+        (u, 10L, a, 1L), (u, 10L, b, 1L), // the tie: identical (time, seq)
+        (u, 15L, "purchase", 2L), (u, 15L, "click", 2L)) // second tie later
+    }
+    // plus: identical duplicate events, and a null-uuid trail (the batch
+    // groupBy emits a null-uuid row; the streamed twin must too)
+    val extra = Seq(
+      ("dup", 10L, "view", 1L), ("dup", 10L, "view", 1L),
+      ("dup", 10L, "click", 1L),
+      (null.asInstanceOf[String], 3L, "view", 0L),
+      (null.asInstanceOf[String], 4L, "click", 1L))
+    val df = (grid.flatten ++ extra).toDF("uuid", "time", "event_type", "seq")
+    for ((steps, excl) <- Seq(
+        (Seq("view", "click", "purchase"), Nil),
+        (Seq("view", "click", "purchase"), Seq("error")),
+        (Seq("view", "view", "click"), Seq("error")))) {
+      val arr = canon(graft.agg.Funnel.windowFunnel(
+        df, steps, window = 30L, exclude = excl))
+      val str = canon(graft.agg.Funnel.windowFunnelStreamed(
+        df, steps, window = 30L, exclude = excl))
+      assert(str === arr, s"steps=$steps exclude=$excl")
+      assert(str.exists(_._1 == null), "null-uuid trail row missing")
+    }
+    for (n <- Seq(2, 3)) {
+      val arr = graft.agg.Paths.topNgrams(df, n = n, limit = 1000,
+        maxTrailEvents = None).collect().map(_.toString).sorted.toSeq
+      val str = graft.agg.Paths.topNgramsStreamed(df, n = n, limit = 1000)
+        .collect().map(_.toString).sorted.toSeq
+      assert(str === arr, s"paths n=$n")
+    }
+  }
+
   test("topNgramsStreamed ≡ topNgrams on random trails (n=2,3,4), no guard needed") {
     val rng = new scala.util.Random(14)
     val types = Seq("a", "b", "c", "d", "e")

@@ -22,7 +22,7 @@ class CliSpec extends SparkSpec {
     assert(db1.numTrails === 4)
 
     // dump with filter + uuid whitelist
-    Main.run(spark, "dump", Seq("-i", s"$dir/db1", "-F", "etype=e0 etype=e1",
+    Main.run(spark, "dump", Seq("-d", ",", "-i", s"$dir/db1", "-F", "etype=e0 etype=e1",
       "--uuids", f"${0}%032x", "-o", s"$dir/dump1", "--csv-header"))
     val dumped = spark.read.option("header", "true").csv(s"$dir/dump1")
     assert(dumped.count() > 0)
@@ -38,9 +38,9 @@ class CliSpec extends SparkSpec {
 
     // dump --index: pruned scan must return the same rows as the plain
     // filtered dump (the index only skips pages, never rows)
-    Main.run(spark, "dump", Seq("-i", s"$dir/merged", "-F", "etype=e1",
+    Main.run(spark, "dump", Seq("-d", ",", "-i", s"$dir/merged", "-F", "etype=e1",
       "-o", s"$dir/dump-plain", "--csv-header"))
-    Main.run(spark, "dump", Seq("-i", s"$dir/merged", "-F", "etype=e1",
+    Main.run(spark, "dump", Seq("-d", ",", "-i", s"$dir/merged", "-F", "etype=e1",
       "--index", s"$dir/merged.index", "-o", s"$dir/dump-idx", "--csv-header"))
     val plain = spark.read.option("header", "true").csv(s"$dir/dump-plain")
       .collect().map(_.toString).sorted.toSeq
@@ -72,7 +72,7 @@ class CliSpec extends SparkSpec {
     Main.run(spark, "merge", Seq("-o", s"$dir/merged",
       "-i", s"$dir/db1", "-i", s"$dir/db1"))
     val stale = intercept[IllegalStateException] {
-      Main.run(spark, "dump", Seq("-i", s"$dir/merged", "-F", "etype=e1",
+      Main.run(spark, "dump", Seq("-d", ",", "-i", s"$dir/merged", "-F", "etype=e1",
         "--index", s"$dir/merged.index", "-o", s"$dir/dump-stale"))
     }
     assert(stale.getMessage.contains("STALE INDEX"), stale.getMessage)
@@ -156,7 +156,7 @@ class CliSpec extends SparkSpec {
 
     val errBuf = new java.io.ByteArrayOutputStream()
     Console.withErr(new java.io.PrintStream(errBuf)) {
-      Main.run(spark, "dump", Seq("-i", s"$dir/db", "--uuids", s"@$uf",
+      Main.run(spark, "dump", Seq("-d", ",", "-i", s"$dir/db", "--uuids", s"@$uf",
         "-o", s"$dir/dump-uf", "--csv-header"))
     }
     val dumped = spark.read.option("header", "true").csv(s"$dir/dump-uf")
@@ -164,7 +164,7 @@ class CliSpec extends SparkSpec {
     assert(dumped.count() === 10) // trails 0 and 3 have 5 events each
 
     // comma-list form stays equivalent (t_whitelist semantics unchanged)
-    Main.run(spark, "dump", Seq("-i", s"$dir/db",
+    Main.run(spark, "dump", Seq("-d", ",", "-i", s"$dir/db",
       "--uuids", f"${0}%032x,${3}%032x", "-o", s"$dir/dump-cl", "--csv-header"))
     val viaList = spark.read.option("header", "true").csv(s"$dir/dump-cl")
       .collect().map(_.toString).sorted.toSeq
@@ -187,14 +187,14 @@ class CliSpec extends SparkSpec {
 
     // an explicitly-empty --uuids '' still applies and selects NOTHING —
     // silently dumping the whole db would be the -F '' trap (r6 review)
-    Main.run(spark, "dump", Seq("-i", s"$dir/db", "--uuids", "",
+    Main.run(spark, "dump", Seq("-d", ",", "-i", s"$dir/db", "--uuids", "",
       "-o", s"$dir/dump-empty", "--csv-header"))
     assert(spark.read.option("header", "true").csv(s"$dir/dump-empty")
       .count() === 0)
 
     // uppercase entries match the lowercase-stored hex (the reference
     // hex-decodes, so its match is case-insensitive too — r6 review)
-    Main.run(spark, "dump", Seq("-i", s"$dir/db",
+    Main.run(spark, "dump", Seq("-d", ",", "-i", s"$dir/db",
       "--uuids", f"${0}%032x".toUpperCase, "-o", s"$dir/dump-uc",
       "--csv-header"))
     assert(spark.read.option("header", "true").csv(s"$dir/dump-uc")
@@ -204,7 +204,7 @@ class CliSpec extends SparkSpec {
     val errBuf2 = new java.io.ByteArrayOutputStream()
     val prevErr = System.err
     System.setErr(new java.io.PrintStream(errBuf2))
-    try Main.run(spark, "dump", Seq("-i", s"$dir/db",
+    try Main.run(spark, "dump", Seq("-d", ",", "-i", s"$dir/db",
       "--uuids", f"${0}%032x,${0}%032x", "-o", s"$dir/dump-dup",
       "--csv-header"))
     finally System.setErr(prevErr)
@@ -268,7 +268,7 @@ class CliSpec extends SparkSpec {
     Main.run(spark, "make", Seq("-o", s"$dir/db", "-c", csv.toString,
       "-f", "etype", "--csv-header"))
     val stale = intercept[IllegalStateException] {
-      Main.run(spark, "dump", Seq("-i", s"$dir/db", "-F", "etype=e0",
+      Main.run(spark, "dump", Seq("-d", ",", "-i", s"$dir/db", "-F", "etype=e0",
         "--index", s"$dir/db.index", "-o", s"$dir/d"))
     }
     assert(GraftError.classify(stale) === ("TDB_ERR_STALE_INDEX", 5))
@@ -284,7 +284,7 @@ class CliSpec extends SparkSpec {
     Main.run(spark, "make", Seq("-o", s"$dir/db", "-c", csv.toString,
       "-f", "etype", "--csv-header"))
     // -F value starting with '-' must be consumed as the filter, not dropped
-    Main.run(spark, "dump", Seq("-i", s"$dir/db", "-F", "etype=-x",
+    Main.run(spark, "dump", Seq("-d", ",", "-i", s"$dir/db", "-F", "etype=-x",
       "-o", s"$dir/dump", "--csv-header"))
     val dumped = spark.read.option("header", "true").csv(s"$dir/dump")
     assert(dumped.count() === 1)
@@ -303,7 +303,7 @@ class CliSpec extends SparkSpec {
     // explicitly-EMPTY -F '' applies the reference's parse_filter("")
     // semantics (one empty clause = match NOTHING) — it must not be
     // silently dropped into an unfiltered dump
-    Main.run(spark, "dump", Seq("-i", s"$dir/db", "-F", "",
+    Main.run(spark, "dump", Seq("-d", ",", "-i", s"$dir/db", "-F", "",
       "-o", s"$dir/dump-none", "--csv-header"))
     assert(spark.read.option("header", "true").csv(s"$dir/dump-none").count() === 0)
   }
@@ -525,12 +525,12 @@ class CliSpec extends SparkSpec {
     // flag name for the read side (the reference's one option table)
     Main.run(spark, "index", Seq("--input", s"$dir/db",
       "--index-path", s"$dir/alias.index"))
-    Main.run(spark, "dump", Seq("-i", s"$dir/db", "-F", "etype=e1",
+    Main.run(spark, "dump", Seq("-d", ",", "-i", s"$dir/db", "-F", "etype=e1",
       "--index-path", s"$dir/alias.index", "-o", s"$dir/dump-idx",
       "--csv-header"))
     def rows2(p: String): Seq[String] = spark.read
       .option("header", "true").csv(p).collect().map(_.toString).sorted.toSeq
-    Main.run(spark, "dump", Seq("-i", s"$dir/db", "-F", "etype=e1",
+    Main.run(spark, "dump", Seq("-d", ",", "-i", s"$dir/db", "-F", "etype=e1",
       "--no-index", "-o", s"$dir/dump-plain", "--csv-header"))
     assert(rows2(s"$dir/dump-idx") === rows2(s"$dir/dump-plain"))
 
@@ -540,7 +540,7 @@ class CliSpec extends SparkSpec {
         Main.run(spark, "dump", Seq("-i", s"$dir/db", "-T", bad))
       }.getMessage.contains("Invalid value for --threads"))
     // a valid -T is acknowledged, not fatal
-    Main.run(spark, "dump", Seq("-i", s"$dir/db", "--threads", "4",
+    Main.run(spark, "dump", Seq("-d", ",", "-i", s"$dir/db", "--threads", "4",
       "-o", s"$dir/dump-t", "--csv-header"))
     assert(rows2(s"$dir/dump-t").nonEmpty)
 

@@ -291,7 +291,7 @@ class TdbSourceSpec extends SparkSpec {
     // CLI dump over the legacy package (the reference user's first
     // command against their existing files)
     val dir = Files.createTempDirectory("graft-tdb-cli")
-    graft.cli.Main.run(spark, "dump", Seq("-i", refFixture,
+    graft.cli.Main.run(spark, "dump", Seq("-d", ",", "-i", refFixture,
       "-o", s"$dir/out", "--csv-header"))
     val dumped = spark.read.option("header", "true").csv(s"$dir/out")
     assert(dumped.count() === 2)
@@ -339,7 +339,7 @@ class TdbSourceSpec extends SparkSpec {
     TdbWriter.writeV0Directory(df, Seq("etype"), s"$dir/v0db")
     val db = graft.core.TrailDB.open(spark, s"$dir/v0db")
     assert(db.fields.toSet === Set("etype") && db.df.count() === 3)
-    graft.cli.Main.run(spark, "dump", Seq("-i", s"$dir/v0db",
+    graft.cli.Main.run(spark, "dump", Seq("-d", ",", "-i", s"$dir/v0db",
       "-o", s"$dir/out", "--csv-header"))
     val dumped = spark.read.option("header", "true").csv(s"$dir/out")
     assert(dumped.count() === 3)
@@ -361,7 +361,7 @@ class TdbSourceSpec extends SparkSpec {
     val head = Files.readAllBytes(pkg).slice(257, 262)
     assert(new String(head) === "ustar")
     // dump straight from the package
-    graft.cli.Main.run(spark, "dump", Seq("-i", s"$dir/db.tdb",
+    graft.cli.Main.run(spark, "dump", Seq("-d", ",", "-i", s"$dir/db.tdb",
       "-o", s"$dir/out", "--csv-header"))
     val dumped = spark.read.option("header", "true").csv(s"$dir/out")
     assert(dumped.count() === 20)
