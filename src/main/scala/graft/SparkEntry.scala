@@ -2054,6 +2054,44 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // Multimodal: PERCEPTUAL image dedup — planted exact/near/independent
+    // duplicate groups (PPM for even groups, QOI for odd — one run covers
+    // both decoders via the magic-byte dispatch), dHash64 native
+    // expression over real decoded thumbnails, Hamming-LSH band blocking,
+    // exact Hamming verify, exact thumbnail pixel diff. The oracle replays
+    // the PLANTED STRUCTURE: within-group pairs among members {base, exact
+    // copy, one-pixel flip} with n_diff_ch 0 for base↔copy and 3 (one RGB
+    // pixel) for pairs touching the flipped member; independent members
+    // and cross-group pairs must NOT appear — so precision AND recall are
+    // both exact-checked, not floor-checked.
+    "m_image_dedup" -> ((s, dir) => {
+      val media = Multimodal.dedupImageMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet"))
+      val dec = Multimodal.decodeAnyImages(media, thumbSide = 8)
+      Multimodal.imageNearDupPairs(dec, maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("n_diff_ch"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Multimodal: EXACT blob dedup across WebDataset shards — export the
+    // planted-duplicate media to tar shards, read them back with the ustar
+    // walker, content-hash groupBy. The base↔exact-copy members encode to
+    // byte-identical blobs; the oracle replays which groups carry both.
+    "m_blob_dedup" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-wds-dedup")
+        .resolve("shards").toString
+      val media = Multimodal.dedupImageMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet"))
+      Multimodal.exportWebDataset(media, out, nShards = 8, ext = "img")
+        .count() // force the export before the read-back
+      val back = Multimodal.readWebDataset(s, out)
+        .filter(col("ext") === "img")
+      Multimodal.blobDupGroups(back)
+        .filter(col("n_copies") >= 2)
+        .select(col("kept_key"), col("n_copies"), col("key_sum"))
+        .orderBy("kept_key")
+    }),
+
     // ---- analytics (TPC-H-style) over the star schema ----
 
     // Q1-style pricing summary: exact decimal sums surfaced as doubles.
@@ -4592,6 +4630,37 @@ object SparkEntry {
         |SELECT media_id, kind, unnest(range(nf)) AS frame_idx,
         |       CAST(floor(unnest(range(nf)) * 1000.0 / 1.0) AS BIGINT) AS frame_ts_ms
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+    // Exact replay of the planted perceptual-dup structure (see the query
+    // comment): all within-group pairs among members m ∈ {0,1,2};
+    // n_diff_ch = 0 iff both sides are the base/exact-copy pair, else 3
+    // (the one flipped RGB pixel). Recall is guaranteed by construction
+    // (≤2 differing dHash bits ⇒ ≥1 of 4 bands agrees); precision is the
+    // absence of every other pair from this list.
+    "m_image_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |           FROM documents)
+        |SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+        |       CAST(b.doc_id AS BIGINT) AS id_b,
+        |       CAST(CASE WHEN a.m <= 1 AND b.m <= 1 THEN 0 ELSE 3 END
+        |            AS BIGINT) AS n_diff_ch
+        |FROM d a JOIN d b
+        |  ON a.gid = b.gid AND a.doc_id < b.doc_id
+        | WHERE a.m <= 2 AND b.m <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Exact replay of the byte-identical blob groups: members m=0 and m=1
+    // of each group encode identical rasters to the same format, so every
+    // group holding both contributes one 2-copy blob group.
+    "m_blob_dedup" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 4 <= 1),
+        |g AS (SELECT doc_id // 4 AS gid, min(doc_id) AS kept,
+        |        count(*) AS n, sum(doc_id) AS ks
+        |      FROM d GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT CAST(kept AS BIGINT) AS kept_key,
+        |       CAST(n AS BIGINT) AS n_copies,
+        |       CAST(ks AS BIGINT) AS key_sum
+        |FROM g ORDER BY kept_key""".stripMargin,
 
     "m_webdataset" ->
       """WITH m AS (SELECT doc_id % 16 AS shard, doc_id AS k,

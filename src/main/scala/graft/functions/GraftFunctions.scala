@@ -90,6 +90,12 @@ object GraftFunctions {
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
 
+  def dhash64(thumb: Column): Column =
+    ColumnBridge.column(ImageHash64(ColumnBridge.expression(thumb), dhash = true))
+
+  def ahash64(thumb: Column): Column =
+    ColumnBridge.column(ImageHash64(ColumnBridge.expression(thumb), dhash = false))
+
   def dotF64(a: Column, b: Column): Column =
     ColumnBridge.column(DotF64(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 

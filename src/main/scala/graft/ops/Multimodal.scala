@@ -742,4 +742,156 @@ object Multimodal {
       }
       .toDF("key", "ext", "bytes")
   }
+
+  // ---- perceptual image dedup (round 13) ----
+
+  /** Mixed-format image decode: dispatch per blob on the magic bytes
+    * (`P6` → [[Ppm]], `qoif` → [[Qoi]]) — real corpora are never
+    * single-format, and a two-scan filter+union reads the media table
+    * twice. Same output contract as [[decodeImages]]. */
+  def decodeAnyImages(media: DataFrame, thumbSide: Int = 2,
+      skipMalformed: Boolean = true): DataFrame =
+    decodeImagesWith(media, bytes =>
+      if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6')
+        Ppm.decode(bytes)
+      else Qoi.decode(bytes), thumbSide, skipMalformed)
+
+  /** Perceptual near-duplicate image pairs: dHash/aHash 64-bit signatures
+    * over decode thumbnails ([[graft.functions.ImageHash64]], a native
+    * codegen'd expression), Hamming-LSH band-blocking for candidates,
+    * exact Hamming verify, plus an exact thumbnail pixel diff so callers
+    * (and the oracle) can audit what "near" meant. Closes the capability
+    * gap the text side filled long ago: this is SimHash dedup
+    * ([[Dedup.simhashPairs]]) with the signature driven by pixels instead
+    * of tokens — re-encodes, tiny edits, and brightness-shifted copies
+    * (dHash is gradient-based) land within `maxHamming`.
+    *
+    * Blocking (Manku et al., WWW'07): the 64-bit signature splits into
+    * `maxHamming + 1` contiguous bands — a pair within `maxHamming` must
+    * agree EXACTLY on at least one band (pigeonhole), so candidates come
+    * from an equi-join on (band, bits), never an all-pairs product.
+    * The exact `bit_count(xor)` then removes band-collision false
+    * positives, and the thumbnail diff (`n_diff_ch`: channels differing
+    * by > 1/255) is computed only for surviving pairs via two narrow
+    * id joins back to the signature frame.
+    *
+    * Scale: ~n·bands rows shuffle on 16-bit-ish band values. The skew to
+    * watch at 100 TB is DEGENERATE buckets — near-flat images all hash to
+    * the same few signatures (dHash of a constant raster is 0), making
+    * one bucket quadratic. Pre-filter flats (zero thumbnail variance) or
+    * salt them out; the planted-fixture and real-photo regimes have
+    * high-entropy signatures and spread fine.
+    *
+    * Returns (id_a, id_b, hamming, n_diff_ch), id_a < id_b. Feed
+    * [[Dedup.connectedComponents]] / [[Dedup.dedupClusters]] /
+    * [[Dedup.keepBest]] for clustering and survivor selection — the
+    * pairs frame is drop-in compatible. */
+  def imageNearDupPairs(decoded: DataFrame, maxHamming: Int = 3,
+      idCol: String = "media_id", thumbCol: String = "thumb",
+      ahash: Boolean = false): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0,15], got $maxHamming")
+    val hashed =
+      if (ahash) graft.functions.GraftFunctions.ahash64(col(thumbCol))
+      else graft.functions.GraftFunctions.dhash64(col(thumbCol))
+    val sig = decoded.select(col(idCol).cast("long").as("id"),
+      col(thumbCol).as("t"), hashed.as("sig"))
+    val nb = maxHamming + 1
+    val w = 64 / nb // band width; the last band absorbs the remainder
+    val bandCols = (0 until nb).map { b =>
+      val width = if (b == nb - 1) 64 - w * b else w
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * w).bitwiseAND(lit(mask)).as("bits"))
+    }
+    val bands = sig
+      .select(col("id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+    val thumbs = sig.select(col("id"), col("t"))
+    cand
+      .join(thumbs.as("ta"), col("id_a") === col("ta.id"))
+      .join(thumbs.as("tb"), col("id_b") === col("tb.id"))
+      .withColumn("n_diff_ch", size(filter(
+        zip_with(col("ta.t"), col("tb.t"), (x, y) => abs(x - y)),
+        d => d > lit(1.0 / 255 / 2))))
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("long").as("hamming"),
+        col("n_diff_ch").cast("long").as("n_diff_ch"))
+  }
+
+  /** Exact blob dedup groups over any (key, bytes) frame — e.g. a
+    * [[readWebDataset]] read-back: "the same image landed in the tar
+    * twice". One hash-groupBy on md5(bytes) (16-byte content identity;
+    * map-side partials shrink each partition to its distinct blobs before
+    * the shuffle), min-key survivor — the [[Dedup.exactDedup]] convention
+    * applied to binary payloads. Returns one row per distinct blob:
+    * (blob_md5, kept_key, n_copies, key_sum, blob_len). */
+  def blobDupGroups(blobs: DataFrame, keyCol: String = "key",
+      blobCol: String = "bytes"): DataFrame =
+    blobs.groupBy(md5(col(blobCol)).as("blob_md5"))
+      .agg(min(col(keyCol).cast("long")).as("kept_key"),
+        count(lit(1)).as("n_copies"),
+        sum(col(keyCol).cast("long")).as("key_sum"),
+        max(length(col(blobCol))).as("blob_len"))
+
+  /** Survivor rows of [[blobDupGroups]]: the input minus every non-first
+    * copy of each distinct blob (min key kept). One narrow semi-join on
+    * (md5, key) — no window, no collect. */
+  def dedupBlobs(blobs: DataFrame, keyCol: String = "key",
+      blobCol: String = "bytes"): DataFrame = {
+    val kept = blobDupGroups(blobs, keyCol, blobCol)
+      .select(col("blob_md5").as("_m"), col("kept_key"))
+    blobs.withColumn("_md5", md5(col(blobCol)))
+      .join(kept, col("_md5") === col("_m") &&
+        col(keyCol).cast("long") === col("kept_key"), "left_semi")
+      .drop("_md5")
+  }
+
+  /** Planted-duplicate image fixture for the perceptual-dedup gate row:
+    * doc_ids group in fours (gid = id/4, member m = id%4) —
+    * m=0 a pseudo-random 8×8 binary raster seeded by gid, m=1 an EXACT
+    * copy, m=2 the raster with ONE flipped pixel (≤2 dHash bits — the
+    * flip perturbs its own gradient bit and its left neighbor's), m=3 an
+    * independent raster (expected Hamming ~32, never paired). Even gids
+    * encode PPM, odd gids QOI, so one run exercises both decoders and
+    * the magic-byte dispatch. The structure (NOT the pixels) is what the
+    * DuckDB oracle replays: within-group pairs among m∈{0,1,2} with
+    * n_diff_ch 0 for (0,1) and 3 for pairs touching m=2. */
+  def dedupImageMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val gid = id / 4
+      val m = (id % 4).toInt
+      def mix(v: Long): Long = {
+        var z = v + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      val pattern = if (m == 3) mix(gid * 7919L + 104729L) else mix(gid)
+      val flip = if (m == 2) ((mix(gid * 31L + 7L) >>> 8) & 63L).toInt else -1
+      val rgb = new Array[Byte](8 * 8 * 3)
+      var p = 0
+      while (p < 64) {
+        val bit = (((pattern >>> p) & 1L) == 1L) ^ (p == flip)
+        val v = if (bit) 255.toByte else 0.toByte
+        rgb(3 * p) = v; rgb(3 * p + 1) = v; rgb(3 * p + 2) = v
+        p += 1
+      }
+      val fmt = if (gid % 2 == 0) "ppm" else "qoi"
+      val bytes = if (gid % 2 == 0) Ppm.encode(8, 8, rgb)
+        else Qoi.encode(8, 8, rgb)
+      (id, fmt, bytes)
+    }.toDF("media_id", "fmt", "bytes")
+  }
 }

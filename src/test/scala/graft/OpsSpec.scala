@@ -1409,3 +1409,121 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 }
+
+class ImageDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def thumbOf(rgb: Array[Int]): Array[Float] =
+    rgb.map(_ / 255.0f)
+
+  test("dhash64/ahash64: known bit patterns, brightness invariance, type check") {
+    import graft.functions.GraftFunctions.{ahash64, dhash64}
+    // 2x2 grid (4 pixels, 12 channels), grayscale values per pixel
+    def gray(vals: Int*): Array[Float] =
+      thumbOf(vals.flatMap(v => Seq(v, v, v)).toArray)
+    // constant image: no gradients, no above-mean pixels → both hashes 0
+    val flat = Seq(Tuple1(gray(7, 7, 7, 7))).toDF("t")
+    assert(flat.select(dhash64(col("t"))).head().getLong(0) === 0L)
+    assert(flat.select(ahash64(col("t"))).head().getLong(0) === 0L)
+    // row-increasing pixels: pixel 0<1 (bit 0), 1>0-wrap (bit 1 clear),
+    // 2<3 (bit 2), 3>2-wrap (bit 3 clear) → dhash 0b0101
+    val grad = Seq(Tuple1(gray(10, 20, 10, 20))).toDF("t")
+    assert(grad.select(dhash64(col("t"))).head().getLong(0) === 5L)
+    // ahash: mean 15 → pixels 1 and 3 above → 0b1010
+    assert(grad.select(ahash64(col("t"))).head().getLong(0) === 10L)
+    // dhash is invariant to a global brightness shift; this ahash too
+    // (mean shifts with the pixels)
+    val bright = Seq(Tuple1(gray(110, 120, 110, 120))).toDF("t")
+    assert(bright.select(dhash64(col("t"))).head().getLong(0) === 5L)
+    assert(bright.select(ahash64(col("t"))).head().getLong(0) === 10L)
+    // analysis-time type error on a non-thumbnail column
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Tuple1("nope")).toDF("t").select(dhash64(col("t"))).collect()
+    }
+    assert(err.getMessage.contains("array<float>"))
+  }
+
+  test("decodeAnyImages dispatches on magic bytes: mixed PPM+QOI batch decodes like per-format") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    val media = Multimodal.dedupImageMediaFromDocuments(docs)
+    assert(media.select("fmt").distinct().collect().map(_.getString(0)).toSet
+      === Set("ppm", "qoi"))
+    val mixed = Multimodal.decodeAnyImages(media, thumbSide = 8)
+      .select("media_id", "mean_r").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val perFmt = (Multimodal.decodeImages(
+        media.filter(col("fmt") === "ppm"), thumbSide = 8)
+      .unionByName(Multimodal.decodeQoiImages(
+        media.filter(col("fmt") === "qoi"), thumbSide = 8)))
+      .select("media_id", "mean_r").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(mixed === perFmt && mixed.size === 40)
+  }
+
+  test("imageNearDupPairs finds exactly the planted pairs and feeds CC/keepBest") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(80) // 20 groups
+    val media = Multimodal.dedupImageMediaFromDocuments(docs)
+    val dec = Multimodal.decodeAnyImages(media, thumbSide = 8)
+    val pairs = Multimodal.imageNearDupPairs(dec, maxHamming = 3)
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(p => (p._1, p._2))
+    // planted: per group g, pairs (4g,4g+1) exact, (4g,4g+2) and
+    // (4g+1,4g+2) one-pixel near dups; nothing else
+    val expected = (0 until 20).flatMap { g =>
+      val b = 4L * g
+      Seq((b, b + 1), (b, b + 2), (b + 1, b + 2))
+    }
+    assert(got.map(p => (p._1, p._2)).toSeq === expected)
+    got.foreach { case (a, bb, ham, diff) =>
+      if (bb - a == 1 && a % 4 == 0) { // exact copy
+        assert(ham === 0L && diff === 0L, s"($a,$bb)")
+      } else { // one flipped pixel: ≤2 dHash bits, exactly 3 channels
+        assert(ham <= 2L && diff === 3L, s"($a,$bb)")
+      }
+    }
+    // clusters: {4g, 4g+1, 4g+2} per group; m=3 members stay singletons
+    val clusters = Dedup.dedupClusters(
+      dec.withColumnRenamed("media_id", "doc_id"), pairs)
+    val byCluster = clusters.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._2)
+      .map { case (c, xs) => c -> xs.map(_._1).sorted.toSeq }
+    val triples = byCluster.values.filter(_.size > 1).toSeq.sortBy(_.head)
+    assert(triples === (0 until 20).map(g =>
+      Seq(4L * g, 4L * g + 1, 4L * g + 2)))
+    // keepBest: min media_id survives per cluster (score = -id)
+    val kept = Dedup.keepBest(
+      dec.withColumnRenamed("media_id", "doc_id"),
+      clusters, -col("doc_id"))
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(keptIds.toSeq === (0 until 20).flatMap(g =>
+      Seq(4L * g, 4L * g + 3)).sorted)
+  }
+
+  test("ahash mode pairs the planted duplicates too") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(24)
+    val dec = Multimodal.decodeAnyImages(
+      Multimodal.dedupImageMediaFromDocuments(docs), thumbSide = 8)
+    val pairs = Multimodal.imageNearDupPairs(dec, maxHamming = 3, ahash = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact copies always pair under any perceptual hash
+    (0 until 6).foreach(g => assert(pairs.contains((4L * g, 4L * g + 1))))
+  }
+
+  test("blobDupGroups/dedupBlobs: byte-identical blobs collapse to the min key") {
+    val rows = Seq(
+      (10L, "aaa".getBytes), (11L, "bbb".getBytes), (12L, "aaa".getBytes),
+      (13L, "ccc".getBytes), (14L, "aaa".getBytes), (15L, "bbb".getBytes))
+      .toDF("key", "bytes")
+    val groups = Multimodal.blobDupGroups(rows).collect()
+      .map(r => (r.getAs[Long]("kept_key"), r.getAs[Long]("n_copies"),
+        r.getAs[Long]("key_sum"))).sortBy(_._1)
+    assert(groups.toSeq === Seq((10L, 3L, 36L), (11L, 2L, 26L), (13L, 1L, 13L)))
+    val kept = Multimodal.dedupBlobs(rows).select("key").collect()
+      .map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(10L, 11L, 13L))
+  }
+}

@@ -21,7 +21,8 @@ class PlanGuardSpec extends SparkSpec {
     "d_dup_spans", "d_sentence_dedup", "t_heavy_hitters", "d_corpus_stats",
     "e_knn_brute", "e_knn_lsh", "e_knn_ivf", "e_knn_pq", "e_knn_ivfpq",
     "e_knn_ivfpq_index", "e_knn_q8", "e_neardup",
-    "e_neardup_lsh", "e_dedup_clusters", "e_semantic_dedup", "t_asof", "t_asof_tol",
+    "e_neardup_lsh", "e_dedup_clusters", "e_semantic_dedup", "m_image_dedup",
+    "t_asof", "t_asof_tol",
     "t_asof_tol_native", "t_retention", "d_bigram_lp", "t_cms",
     "q3_revenue", "q4_semi", "q5_nation_volume", "q7_volume",
     "q_anti_customers", "q_range_join")
@@ -168,6 +169,23 @@ class PlanGuardSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), s"d_bloom_dedup regrew a UDF:\n$plan")
     assert(plan.contains("bloom_might_contain"),
       s"d_bloom_dedup lost the native bloom probe:\n$plan")
+  }
+
+  test("perceptual image dedup blocks on bands: equi-join candidates, native dhash, no all-pairs") {
+    // The Hamming-LSH candidate step must plan as an EQUI-join on
+    // (band, bits) — a CartesianProduct or nested-loop here means the
+    // image corpus went quadratic. The dHash must stay the codegen'd
+    // native expression (a ScalaUDF is an interpreted per-row boundary
+    // on every thumbnail).
+    val plan = SparkEntry.queries("m_image_dedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"m_image_dedup degraded to all-pairs:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"m_image_dedup candidate join lost its equi-keys:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"m_image_dedup regrew a UDF:\n$plan")
+    assert(plan.contains("dhash64"),
+      s"m_image_dedup lost the native dhash expression:\n$plan")
   }
 
   test("filtered ANN inherits every shortlist discipline; CDC chunking plans no shuffle") {
