@@ -97,6 +97,28 @@ object SparkEntry {
           nCells = 16, m = 16, codebookK = 32, opq = true)
         p
       }
+    /** Drift-health fixture: its OWN index (appends mutate the codes dir,
+      * so the shared search fixture must stay untouched) + two appends —
+      * an IDENTICAL-distribution batch (the same vectors, offset ids:
+      * drift ratio must sit at 1) and a shifted batch (+3 per dim: far
+      * from every build centroid, the ratio must blow past the warn
+      * threshold). The e_index_drift row replays both expectations. */
+    def ivfPqDriftIndexPath(s: SparkSession, dir: String): String =
+      memo(s"ivfpqdrift:$dir") {
+        val p = java.nio.file.Files.createTempDirectory("graft-fix")
+          .resolve("ivfpq-drift").toString
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val n = emb.count()
+        Similarity.buildIvfPqIndex(emb, p, nCells = 16, m = 16,
+          codebookK = 32)
+        Similarity.appendToIvfPqIndex(
+          emb.withColumn("vec_id", col("vec_id") + n), p)
+        Similarity.appendToIvfPqIndex(
+          emb.withColumn("vec_id", col("vec_id") + 2 * n)
+            .withColumn("embedding",
+              transform(col("embedding"), x => x + lit(3.0f))), p)
+        p
+      }
     /** Trail dump as CSV/JSONL — the INPUT fixture for the ingest
       * round-trips (the operator those queries time is the S4/S5 ingest;
       * the dump is setup). */
@@ -1534,7 +1556,29 @@ object SparkEntry {
         (col("n_cells_used") >= 1 && col("n_cells_used") <= col("n_cells"))
           .as("cells_ok"),
         (col("min_cell") >= 1 && col("max_cell") <= col("n_vectors") &&
-          col("min_cell") <= col("max_cell")).as("occupancy_ok"))
+          col("min_cell") <= col("max_cell")).as("occupancy_ok"),
+        // never-appended index: one epoch, neutral drift, no advisory
+        col("n_epochs"),
+        (abs(col("max_drift_ratio") - 1.0) < 1e-9).as("drift_neutral"),
+        col("retrain_advised"))
+    }),
+
+    // ANN index drift health (round 13): the drift fixture appends an
+    // IDENTICAL batch (epoch 1 — mean assignment distance must equal the
+    // build's, ratio ≈ 1, no advisory) and a +3-per-dim SHIFTED batch
+    // (epoch 2 — far from every frozen centroid, ratio must exceed the
+    // 1.5 warn threshold and fire the retrain advisory). DuckDB replays
+    // the per-epoch counts and both expected verdicts exactly.
+    "e_index_drift" -> ((s, dir) => {
+      Similarity.ivfPqIndexDrift(s, Fixtures.ivfPqDriftIndexPath(s, dir),
+          warnRatio = 1.5)
+        .select(col("epoch").cast("long").as("epoch"),
+          col("n_vectors"),
+          when(col("epoch") === 0, col("drift_ratio") === 1.0)
+            .when(col("epoch") === 1, abs(col("drift_ratio") - 1.0) < 1e-6)
+            .otherwise(col("drift_ratio") > lit(1.5)).as("ratio_ok"),
+          col("retrain_advised"))
+        .orderBy("epoch")
     }),
 
     // Product-quantization ANN (shortlist by ADC over codegen'd PQ codes —
@@ -4533,7 +4577,18 @@ object SparkEntry {
       """SELECT CAST(16 AS INT) AS n_cells, CAST(16 AS INT) AS m,
         |       CAST(32 AS INT) AS k, CAST(64 AS INT) AS dim,
         |       (SELECT count(*) FROM embeddings) AS n_vectors,
-        |       TRUE AS cells_ok, TRUE AS occupancy_ok""".stripMargin,
+        |       TRUE AS cells_ok, TRUE AS occupancy_ok,
+        |       CAST(1 AS BIGINT) AS n_epochs, TRUE AS drift_neutral,
+        |       FALSE AS retrain_advised""".stripMargin,
+
+    "e_index_drift" ->
+      """WITH n AS (SELECT count(*) AS c FROM embeddings)
+        |SELECT CAST(e AS BIGINT) AS epoch,
+        |       (SELECT c FROM n) AS n_vectors,
+        |       TRUE AS ratio_ok,
+        |       (e = 2) AS retrain_advised
+        |FROM (VALUES (0), (1), (2)) AS t(e)
+        |ORDER BY epoch""".stripMargin,
 
     // Int8 quantization: element-wise doubles are bit-identical across
     // engines (same operands, same ops); the cross-element error sum is

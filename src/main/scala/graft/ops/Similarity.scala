@@ -587,6 +587,11 @@ object Similarity {
           col("_ev"), 1, nCells, flatCells), 1).as("cell"))
       .withColumn("codes", graft.functions.GraftFunctions.pqResidualCodes(
         col("_cv"), col("cell"), m, codebookK, cb.flat, flatCells))
+      // drift bookkeeping (round 13): the assignment distance is recorded
+      // AT ENCODE TIME (exact, from the vector we are already holding) so
+      // later health checks never re-read vectors; epoch 0 = build.
+      .withColumn("cdist", cdistCol(col("_cv"), col("cell"), flatCells, dim))
+      .withColumn("epoch", lit(0))
       .drop("_cv")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     val rotFlat: Seq[Double] = rot.map(_.rows.flatten).getOrElse(Seq.empty)
@@ -641,9 +646,18 @@ object Similarity {
     val nCells = meta.getAs[Int]("ncells")
     val m = meta.getAs[Int]("m")
     val codebookK = meta.getAs[Int]("k")
+    val dim = meta.getAs[Int]("dim")
     val flatCells = meta.getSeq[Float](meta.fieldIndex("cells"))
     val flatCb = meta.getSeq[Float](meta.fieldIndex("codebooks"))
-    val rot = rotationFromMeta(meta, meta.getAs[Int]("dim"))
+    val rot = rotationFromMeta(meta, dim)
+    // each append batch is its own drift EPOCH (one narrow-column agg on
+    // the existing codes; an index built before drift tracking starts at
+    // epoch 1 — its build rows read as epoch 0 in the drift view)
+    val existing = spark.read.parquet(s"$indexPath/codes")
+    val epoch =
+      if (existing.columns.contains("epoch"))
+        existing.agg(max(col("epoch"))).head().getInt(0) + 1
+      else 1
     applyRotation(newRows, rot, vecCol, "_ev")
       .select(col(idCol).as("corpus_id"), col("_ev").as("_cv"),
         checkedNorm(col("_ev"), "corpus").as("cn"),
@@ -651,8 +665,58 @@ object Similarity {
           col("_ev"), 1, nCells, flatCells), 1).as("cell"))
       .withColumn("codes", graft.functions.GraftFunctions.pqResidualCodes(
         col("_cv"), col("cell"), m, codebookK, flatCb, flatCells))
+      .withColumn("cdist", cdistCol(col("_cv"), col("cell"), flatCells, dim))
+      .withColumn("epoch", lit(epoch))
       .drop("_cv")
       .write.mode("append").partitionBy("cell").parquet(s"$indexPath/codes")
+  }
+
+  /** Exact L2 distance of an encoded vector to its assigned coarse
+    * centroid, composed from codegen'd builtins over the frozen centroid
+    * literal — recorded per row at build/append so drift checks are a
+    * narrow column aggregate, never a vector re-read. */
+  private def cdistCol(vecCol: Column, cellCol: Column,
+      flatCells: Seq[Float], dim: Int): Column =
+    sqrt(aggregate(
+      zip_with(vecCol,
+        slice(lit(flatCells.toArray), (cellCol * dim + 1).cast("int"), lit(dim)),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Append-drift health of a persistent index (round 13): the frozen
+    * quantizers encode every later batch, so as the data distribution
+    * walks away from the build-time centroids the assignment distances
+    * grow and recall silently decays — this measures exactly that, from
+    * the `cdist` recorded at encode time. Per epoch (or per cell × epoch
+    * with `perCell = true`): vector count, mean assignment distance, and
+    * `drift_ratio` = mean ÷ the BUILD epoch's mean; `retrain_advised`
+    * fires when an append epoch's ratio exceeds `warnRatio`. An identical-
+    * distribution append sits at ratio ≈ 1; rebuild (or re-cluster) when
+    * the advisory fires — appending further only compounds the decay.
+    *
+    * Scale: one narrow (cell, epoch, cdist) scan + tiny aggregates; the
+    * epoch-0 baseline broadcast is one row (or ≤ nCells rows per-cell). */
+  def ivfPqIndexDrift(spark: SparkSession, indexPath: String,
+      warnRatio: Double = 1.5, perCell: Boolean = false): DataFrame = {
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    require(codes.columns.contains("cdist") && codes.columns.contains("epoch"),
+      s"index at $indexPath predates drift tracking (no cdist/epoch " +
+      "columns) — rebuild it to enable drift stats")
+    val keys = if (perCell) Seq(col("cell"), col("epoch")) else Seq(col("epoch"))
+    val agg = codes.groupBy(keys: _*).agg(count(lit(1)).as("n_vectors"),
+      avg(col("cdist")).as("mean_cdist"))
+    val base = agg.filter(col("epoch") === 0)
+    val joined =
+      if (perCell) agg.join(
+        base.select(col("cell"), col("mean_cdist").as("_base")),
+        Seq("cell"), "left")
+      else agg.crossJoin(broadcast(
+        base.select(col("mean_cdist").as("_base"))))
+    joined
+      .withColumn("drift_ratio", col("mean_cdist") / col("_base"))
+      .withColumn("retrain_advised",
+        col("epoch") > 0 && col("drift_ratio") > warnRatio)
+      .drop("_base")
   }
 
   /** Operational statistics of a persistent index (round 9) — the "is my
@@ -666,8 +730,26 @@ object Similarity {
   def ivfPqIndexStats(spark: SparkSession, indexPath: String): DataFrame = {
     val meta = spark.read.parquet(s"$indexPath/meta").head()
     val nCells = meta.getAs[Int]("ncells")
-    val perCell = spark.read.parquet(s"$indexPath/codes")
-      .groupBy("cell").agg(count(lit(1)).as("_n"))
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    // append-drift summary (round 13): worst epoch ratio + the advisory,
+    // computed eagerly (tiny aggregate) so the health check can WARN
+    // loudly instead of hiding a decayed index behind a lazy column.
+    // Indexes written before drift tracking report neutral values.
+    val (nEpochs, maxRatio, advised) =
+      if (codes.columns.contains("cdist") && codes.columns.contains("epoch")) {
+        val d = ivfPqIndexDrift(spark, indexPath)
+          .agg(count(lit(1)).as("ne"),
+            max(coalesce(col("drift_ratio"), lit(1.0))).as("mr"),
+            max(col("retrain_advised").cast("int")).as("adv")).head()
+        (d.getLong(0), d.getDouble(1), d.getInt(2) == 1)
+      } else (1L, 1.0, false)
+    if (advised) Console.err.println(
+      s"[ivfPqIndexStats] RETRAIN ADVISED for $indexPath: an append " +
+      f"epoch's mean assignment distance is $maxRatio%.2f× the build " +
+      "epoch's — the frozen quantizers no longer fit the data; recall is " +
+      "decaying. Rebuild the index (ivfPqIndexDrift(...) per epoch/cell " +
+      "shows which batches drifted).")
+    val perCell = codes.groupBy("cell").agg(count(lit(1)).as("_n"))
     perCell.agg(
         count(lit(1)).as("n_cells_used"),
         sum("_n").as("n_vectors"),
@@ -678,7 +760,10 @@ object Similarity {
         lit(meta.getAs[Int]("k")).as("k"),
         lit(meta.getAs[Int]("dim")).as("dim"),
         col("n_cells_used"), col("n_vectors"),
-        col("min_cell"), col("max_cell"))
+        col("min_cell"), col("max_cell"),
+        lit(nEpochs).as("n_epochs"),
+        lit(maxRatio).as("max_drift_ratio"),
+        lit(advised).as("retrain_advised"))
   }
 
   /** Query a [[buildIvfPqIndex]] index. `corpus` is the SOURCE table (for

@@ -77,6 +77,50 @@ class IvfPqIndexSpec extends SparkSpec {
       s2.getAs[Long]("max_cell") <= s2.getAs[Long]("n_vectors"))
   }
 
+  test("drift health: identical append sits at ratio 1, shifted append fires the retrain advisory") {
+    val dir = Files.createTempDirectory("graft-ivfpq-drift").toString
+    val n = emb.count()
+    Similarity.buildIvfPqIndex(emb, dir, nCells = 8, m = 16, codebookK = 32)
+    // epoch 1: the SAME vectors (offset ids) — same frozen model, same
+    // assignments, same per-row cdist; the mean can differ only by float
+    // summation order
+    Similarity.appendToIvfPqIndex(
+      emb.withColumn("vec_id", col("vec_id") + n), dir)
+    // epoch 2: every vector shifted +3 per dim — far from every build
+    // centroid, the drifted-ingest regime the advisory exists for
+    Similarity.appendToIvfPqIndex(
+      emb.withColumn("vec_id", col("vec_id") + 2 * n)
+        .withColumn("embedding", transform(col("embedding"), x => x + lit(3.0f))),
+      dir)
+    val drift = Similarity.ivfPqIndexDrift(spark, dir).collect()
+      .map(r => r.getAs[Int]("epoch") ->
+        (r.getAs[Long]("n_vectors"), r.getAs[Double]("drift_ratio"),
+          r.getAs[Boolean]("retrain_advised"))).toMap
+    assert(drift.keySet === Set(0, 1, 2))
+    assert(drift(0)._1 === n && drift(0)._2 === 1.0 && !drift(0)._3)
+    assert(drift(1)._1 === n && math.abs(drift(1)._2 - 1.0) < 1e-6
+      && !drift(1)._3, s"identical append drifted: ${drift(1)}")
+    assert(drift(2)._1 === n && drift(2)._2 > 1.5 && drift(2)._3,
+      s"shifted append did not fire: ${drift(2)}")
+    // per-cell view joins each epoch against ITS cell's build baseline
+    val perCell = Similarity.ivfPqIndexDrift(spark, dir, perCell = true)
+    assert(perCell.filter(col("epoch") === 0)
+      .filter(col("drift_ratio") =!= 1.0).count() === 0)
+    // stats surfaces the worst ratio + the advisory and keeps its counts
+    val stats = Similarity.ivfPqIndexStats(spark, dir).head()
+    assert(stats.getAs[Long]("n_vectors") === 3 * n)
+    assert(stats.getAs[Long]("n_epochs") === 3L)
+    assert(stats.getAs[Double]("max_drift_ratio") > 1.5)
+    assert(stats.getAs[Boolean]("retrain_advised"))
+    // the search fixture never appends → neutral drift columns
+    val cleanDir = Files.createTempDirectory("graft-ivfpq-clean").toString
+    Similarity.buildIvfPqIndex(emb, cleanDir, nCells = 8, m = 16, codebookK = 32)
+    val clean = Similarity.ivfPqIndexStats(spark, cleanDir).head()
+    assert(clean.getAs[Long]("n_epochs") === 1L &&
+      clean.getAs[Double]("max_drift_ratio") === 1.0 &&
+      !clean.getAs[Boolean]("retrain_advised"))
+  }
+
   test("opq=true freezes an orthogonal rotation in meta; query and append share it (r9 VERDICT item 2)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-ivfpq-opq").toString
