@@ -529,20 +529,45 @@ object Dedup {
     * Output: (doc_id, n_tokens, n_kept, text_clean) for EVERY input doc —
     * a fully-duplicated doc survives with n_kept = 0 and empty text.
     */
+  /** Whale-SPAN hardening (round 13): the first-occurrence join-back
+    * routes every occurrence of a span through the task owning its hash
+    * partition — a boilerplate span repeated 10^8 times is 10^8 rows in
+    * ONE probe task. Spark's AQE skew-join splitting does NOT save this
+    * shape: `OptimizeSkewedJoin` matches a join whose children are bare
+    * shuffle stages (± sort), and the build side here sits BEHIND the
+    * first-occurrence HashAggregate, so the rule never fires (and the
+    * default 256 MB `skewedPartitionThresholdInBytes` would not trigger
+    * at bench scale anyway). The fix is differentiated salting, paid
+    * ONLY by whale keys: the same aggregate that picks the first
+    * occurrence also counts occurrences; keys past `skewThreshold` (top
+    * `maxHeavyKeys` of them — a bounded driver list, compiled into an
+    * InSet) get their probe rows spread over `skewSalt` sub-keys while
+    * the one-row build side is replicated `skewSalt`× for just those
+    * keys. Light keys join exactly as before (salt 0, no extra build
+    * rows), so the non-skewed plan and its bytes are unchanged; the
+    * whale's single 10^8-row task becomes `skewSalt` tasks of 10^8/S.
+    * Measured in the Scale4x --keyskew ladder (README whale-KEY table). */
   def scrubDupSpans(df: DataFrame, k: Int = 5, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
-    scrubDupSpansKeyed(df, k, idCol, textCol, hashedKeys = true)
+      textCol: String = "text", skewSalt: Int = 16,
+      skewThreshold: Long = 1L << 20, maxHeavyKeys: Int = 1024): DataFrame =
+    scrubDupSpansKeyed(df, k, idCol, textCol, hashedKeys = true,
+      skewSalt, skewThreshold, maxHeavyKeys)
 
   /** String-span-key twin of [[scrubDupSpans]] — k tokens of text as the
     * span identity, exactly replayable by the DuckDB oracle (and immune
     * to hash collisions). Kept for the equivalence spec; use the hashed
     * form at scale. */
   private[graft] def scrubDupSpansStringKey(df: DataFrame, k: Int = 5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    scrubDupSpansKeyed(df, k, idCol, textCol, hashedKeys = false)
+      idCol: String = "doc_id", textCol: String = "text",
+      skewSalt: Int = 16, skewThreshold: Long = 1L << 20,
+      maxHeavyKeys: Int = 1024): DataFrame =
+    scrubDupSpansKeyed(df, k, idCol, textCol, hashedKeys = false,
+      skewSalt, skewThreshold, maxHeavyKeys)
 
   private def scrubDupSpansKeyed(df: DataFrame, k: Int, idCol: String,
-      textCol: String, hashedKeys: Boolean): DataFrame = {
+      textCol: String, hashedKeys: Boolean, skewSalt: Int = 16,
+      skewThreshold: Long = 1L << 20, maxHeavyKeys: Int = 1024): DataFrame = {
+    require(skewSalt >= 1, s"skewSalt must be >= 1, got $skewSalt")
     require(k > 0, s"span width must be positive, got $k")
     val base = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
       .withColumn("_n", size(col("_toks")).cast("long"))
@@ -568,7 +593,35 @@ object Dedup {
     // occurrence per span, identical to rank > 1.
     val first = spans.groupBy(col("g"))
       .agg(min(struct(col(idCol), col("p"))).as("_f"))
-    val dup = spans.join(first, Seq("g"))
+    // whale keys (see the scrubDupSpans scaladoc): bounded driver list of
+    // the heaviest span keys past the threshold — empty on non-skewed
+    // corpora, leaving the plain equi-join untouched. The detection pass
+    // is a plain count HashAggregate over the checkpointed spans (NOT the
+    // min-struct sort-aggregate the first-occurrence choice needs) —
+    // map-side partials make it the cheapest shuffle in the operator.
+    // short-circuit: no key can reach the threshold if the WHOLE table
+    // is under it — a count over the checkpointed spans is near-free and
+    // spares small corpora the detection aggregate entirely
+    val heavy: Array[Any] =
+      if (skewSalt <= 1 || spans.count() < skewThreshold) Array.empty
+      else spans.groupBy(col("g")).agg(count(lit(1)).as("_c"))
+        .filter(col("_c") >= skewThreshold)
+        .orderBy(col("_c").desc, col("g")).limit(maxHeavyKeys)
+        .select(col("g")).collect().map(_.get(0))
+    val joined =
+      if (heavy.isEmpty) spans.join(first, Seq("g"))
+      else {
+        val build = first
+          .withColumn("_s", explode(
+            when(col("g").isin(heavy: _*), sequence(lit(0), lit(skewSalt - 1)))
+              .otherwise(array(lit(0)))))
+        val probe = spans.withColumn("_s",
+          when(col("g").isin(heavy: _*),
+            pmod(xxhash64(col(idCol), col("p")), lit(skewSalt.toLong)).cast("int"))
+            .otherwise(lit(0)))
+        probe.join(build, Seq("g", "_s")).drop("_s")
+      }
+    val dup = joined
       .filter(col(idCol) =!= col(s"_f.$idCol") || col("p") =!= col("_f.p"))
       .drop("_f")
     val covered = dup

@@ -12,10 +12,21 @@ import org.apache.spark.sql.functions._
   * src/tdb.c:330-341; member layout src/tdb_cons_package.c:24-34 with
   * `tar.toc` pinned at byte 2560, src/tdb_package.h:11). This is the
   * sample/interchange artifact ("ship one file"), NOT the 100 TB storage
-  * path — that is the Parquet trail layout. The writer is driver-side by
-  * design: a package is a bounded export (the reference tutorial ships a
-  * single 103 MB file), and the hard cap is the tar size-field limit
-  * anyway.
+  * path — that is the Parquet trail layout.
+  *
+  * DISTRIBUTED ENCODE (round 13; driver-side before): per-trail bit
+  * streams are independent given the lexicons + codebook, so trails
+  * range-partition by their LE-u128 uuid key and every expensive pass
+  * runs executor-side over that one shuffle — the metadata walk, the
+  * Huffman model's symbol counting (per-partition maps → one exact
+  * groupBy → the deterministic top-4096 candidate cut), and the encode
+  * itself (a lazy per-trail iterator, nothing buffers past one trail).
+  * Only ASSEMBLY is driver-side, inherently: the format is one
+  * sequential tar, so the driver drains compact per-trail byte blocks
+  * in partition order (the encoded stream is ~17 B/event — far smaller
+  * than the rows) and concatenates data/toc/uuids. The hard cap is the
+  * tar size-field limit anyway; the in-memory caps below guard the
+  * driver's assembly buffers, same bound as before.
   *
   * Encoding: HUFFMAN-CODED v1 streams by default (round 7; literal-only
   * before). Item frequencies are counted during the metadata pass, the
@@ -96,6 +107,10 @@ object TdbWriter {
       compress: Boolean, v0: Boolean, bigrams: Boolean,
       maxLexiconValues: Long = DefaultMaxLexiconValues): Unit = {
     import graft.core.TrailSchema.{SeqCol, TimeCol, UuidCol}
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    require(maxLexiconValues > 0, "maxLexiconValues must be positive")
 
     // byte-reversed hex = sort key whose string order equals the
     // LITTLE-ENDIAN u128 order of the raw uuid bytes (hex pairs swap as
@@ -105,21 +120,30 @@ object TdbWriter {
       if (v0) col(UuidCol)
       else concat((0 until 16).reverse.map(i =>
         substring(col(UuidCol), i * 2 + 1, 2)): _*)
+    // ONE shuffle, HASH-partitioned on the trail key (hash, not range:
+    // range partitioning costs an extra sampling pass over the input and
+    // buys nothing here — global trail order is restored for free at
+    // assembly, where the driver merge-sorts the per-partition uuid
+    // lists it is already holding). Trails never straddle partitions
+    // (equal keys hash together); within a partition trails sit in
+    // final order (the sort), so every later pass is a partition walk.
+    // Everything downstream reads the CACHED shuffle — the input plan
+    // (often an expensive upstream) is computed exactly once.
     val sortable = df.select(
       (col(UuidCol) +: col(TimeCol) +:
         (if (df.columns.contains(SeqCol)) col(SeqCol) else lit(0L).as(SeqCol)) +:
         fieldNames.map(f => col(f).cast("string"))): _*)
-      .withColumn("_le", leKey)
-      .orderBy(col("_le"), col(TimeCol), col(SeqCol))
+      .repartition(col(UuidCol))
+      .sortWithinPartitions(leKey, col(TimeCol), col(SeqCol))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
     // lexicons: distinct non-null non-empty values per field, sorted.
     // The collect is capped (cap+1 via TakeOrdered, so driver memory is
     // bounded BEFORE the refusal fires — never "count then re-collect",
     // which would double-scan, and never an uncapped collect that OOMs
-    // first and refuses never).
-    require(maxLexiconValues > 0, "maxLexiconValues must be positive")
+    // first and refuses never). The first action populates the cache.
     val lexicons: Array[Array[String]] = fieldNames.map { f =>
-      val vals = df.select(col(f).cast("string").as("v"))
+      val vals = sortable.select(col(f).as("v"))
         .filter(col("v").isNotNull && col("v") =!= "")
         .distinct().orderBy("v").limit(
           (math.min(maxLexiconValues, Int.MaxValue - 1L) + 1L).toInt)
@@ -135,60 +159,63 @@ object TdbWriter {
     }.toArray
     val valId: Array[Map[String, Long]] = lexicons.map(
       _.zipWithIndex.map { case (v, i) => v -> (i + 1L) }.toMap)
+    // broadcast the value→id maps once — the model and encode walks both
+    // need them on executors (re-shipping 2^22-value maps per task
+    // closure would dominate small-task time)
+    val nF = fieldNames.length
+    val bcValId = spark.sparkContext.broadcast(valId)
 
-    // pass 1 (streaming): min/max timestamp, max delta, trail/event
-    // counts — ONE pass (each toLocalIterator re-executes the sorted
-    // plan, so a separate delta pass would re-run the whole export
-    // shuffle+sort; r7 review). A trail's FIRST delta is ts − minTs,
-    // and minTs is only known at the end — so track the max first-event
-    // timestamp during the pass and fold it in afterwards:
-    // maxDelta = max(intra-trail max, maxFirstTs − minTs).
-    var numEvents = 0L
-    var minTs = Long.MaxValue
-    var maxTs = Long.MinValue
-    var maxDelta = 0L
-    var numTrails = 0L
-    // Item frequencies for the Huffman pass, counted alongside the
-    // metadata with the same edge-encoding walk the encode pass does.
-    // First-event timestamp items (delta = ts − minTs) are SKIPPED —
-    // minTs is unknown until the pass ends — which only forfeits one
-    // potential code hit per trail, never correctness (the encoder
-    // checks the codemap per emitted item regardless of what was
-    // counted). Map growth is capped: past the cap, new items stop
-    // being admitted (existing keys keep counting; compression degrades
-    // gracefully, correctness never).
-    // Symbols are (lo, hi) item pairs: hi = 0 for unigrams, hi != 0 for
-    // BIGRAM symbols — an event's (timestamp item, first changed-field
-    // item) fused into one gram, the reference's big win on repetitive
-    // streams (regular cadence + few event types collapse to ~1 gram per
-    // event). The decoder's bigram path is spec-proven (hand-built
-    // codebook test).
-    val freqs = new java.util.HashMap[(Long, Long), Long]()
-    val FreqCap = 1 << 22
-    def count(lo: Long, hi: Long): Unit = if (compress) {
-      val k = (lo, hi)
-      val cur = freqs.get(k)
-      if (cur != null) freqs.put(k, cur + 1L)
-      else if (freqs.size < FreqCap) freqs.put(k, 1L)
-    }
-    locally {
+    // pass 1 (DISTRIBUTED model + metadata, ONE walk): each partition
+    // replays the edge-encoding walk the encode pass will do, emitting
+    //  - kind 0: Huffman symbol frequency rows (lo, hi item pair — hi=0
+    //    unigram, hi!=0 the (ts, first-changed) BIGRAM candidate, the
+    //    reference's big win on repetitive streams; the decoder's bigram
+    //    path is spec-proven). First-event timestamp items (delta =
+    //    ts − minTs) are SKIPPED — minTs is unknown during the walk —
+    //    which only forfeits one potential code hit per trail, never
+    //    correctness. Per-partition map growth is capped: past the cap,
+    //    new items stop being admitted (compression degrades gracefully,
+    //    correctness never).
+    //  - kind 1: per-partition metadata (events, trails, min/max ts,
+    //    intra-trail max delta, max first-event ts), keyed uniquely by
+    //    (stat id, partition id) so the shared sum-aggregate passes each
+    //    value through untouched.
+    // ONE groupBy aggregates both; the tiny result is cached for its two
+    // consumers (stats collect + the deterministic top-4096 candidate
+    // cut: count ≥ 2, (-count, lo, hi) order — buildCodes' former
+    // driver-side cut, computed where the data is).
+    val compressL = compress
+    val bigramsL = bigrams
+    val tagged = sortable.mapPartitions { it =>
+      val valIdL = bcValId.value
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      val m = new java.util.HashMap[(Long, Long), Long]()
+      val FreqCap = 1 << 22
+      def count(lo: Long, hi: Long): Unit = if (compressL) {
+        val k = (lo, hi)
+        val cur = m.get(k)
+        if (cur != null) m.put(k, cur + 1L)
+        else if (m.size < FreqCap) m.put(k, 1L)
+      }
+      var events = 0L; var trails = 0L
+      var mn = Long.MaxValue; var mx = Long.MinValue
+      var mxd = 0L; var mxFirst = Long.MinValue
       var curUuid: String = null
+      var started = false
       var prevTs = 0L
-      var maxFirstTs = Long.MinValue
-      val prevVals = new Array[Long](fieldNames.length + 1)
-      val it = sortable.toLocalIterator()
+      val prevVals = new Array[Long](nF + 1)
       while (it.hasNext) {
         val r = it.next()
         val uuid = r.getString(0); val ts = r.getLong(1)
-        numEvents += 1
-        if (ts < minTs) minTs = ts
-        if (ts > maxTs) maxTs = ts
-        val isFirst = uuid != curUuid
+        events += 1
+        if (ts < mn) mn = ts
+        if (ts > mx) mx = ts
+        val isFirst = !started || uuid != curUuid
         if (isFirst) {
-          curUuid = uuid; numTrails += 1
-          if (ts > maxFirstTs) maxFirstTs = ts
+          started = true; curUuid = uuid; trails += 1
+          if (ts > mxFirst) mxFirst = ts
           java.util.Arrays.fill(prevVals, 0L)
-        } else if (ts - prevTs > maxDelta) maxDelta = ts - prevTs
+        } else if (ts - prevTs > mxd) mxd = ts - prevTs
         // every emitted item counts as a unigram (so every emission path
         // has a fallback code), and an intra event's (ts item, first
         // changed item) pair ALSO counts as a bigram candidate — the
@@ -196,9 +223,9 @@ object TdbWriter {
         // code path
         var firstChanged = -1L
         var f = 0
-        while (f < fieldNames.length) {
+        while (f < nF) {
           val s = r.getString(3 + f)
-          val v = if (s == null || s.isEmpty) 0L else valId(f)(s)
+          val v = if (s == null || s.isEmpty) 0L else valIdL(f)(s)
           if (v != prevVals(f + 1)) {
             val item = TdbFormat.makeItem(f + 1, v)
             if (firstChanged == -1L) firstChanged = item
@@ -212,14 +239,45 @@ object TdbWriter {
         if (!isFirst) {
           val tsItem = TdbFormat.makeItem(0, ts - prevTs)
           count(tsItem, 0L)
-          if (bigrams && firstChanged != -1L) count(tsItem, firstChanged)
+          if (bigramsL && firstChanged != -1L) count(tsItem, firstChanged)
         }
         prevTs = ts
       }
-      if (numEvents > 0 && maxFirstTs - minTs > maxDelta)
-        maxDelta = maxFirstTs - minTs
+      import scala.jdk.CollectionConverters._
+      val freqRows = m.entrySet().iterator().asScala
+        .map(e => (0, e.getKey._1, e.getKey._2, e.getValue))
+      val statRows =
+        if (events == 0) Iterator.empty
+        else Iterator((1, 0L, pid, events), (1, 1L, pid, trails),
+          (1, 2L, pid, mn), (1, 3L, pid, mx), (1, 4L, pid, mxd),
+          (1, 5L, pid, mxFirst))
+      freqRows ++ statRows
+    }.toDF("kind", "lo", "hi", "cnt")
+      .groupBy("kind", "lo", "hi").agg(sum("cnt").as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val statRows = tagged.filter(col("kind") === 1).collect()
+      .map(r => (r.getLong(1), r.getLong(3)))
+    def statAgg(id: Long, fold: (Long, Long) => Long, empty: Long): Long = {
+      val vs = statRows.filter(_._1 == id).map(_._2)
+      if (vs.isEmpty) empty else vs.reduce(fold)
     }
-    if (numEvents == 0) { minTs = 0L; maxTs = 0L }
+    val numEvents = statAgg(0, _ + _, 0L)
+    val numTrails = statAgg(1, _ + _, 0L)
+    var minTs = statAgg(2, math.min, 0L)
+    var maxTs = statAgg(3, math.max, 0L)
+    var maxDelta = statAgg(4, math.max, 0L)
+    if (numEvents > 0) {
+      val maxFirstTs = statAgg(5, math.max, Long.MinValue)
+      if (maxFirstTs - minTs > maxDelta) maxDelta = maxFirstTs - minTs
+    }
+    val freqs = new java.util.HashMap[(Long, Long), Long]()
+    if (compress)
+      tagged.filter(col("kind") === 0 && col("cnt") >= 2)
+        .orderBy(col("cnt").desc, col("lo"), col("hi"))
+        .limit(4096)
+        .collect()
+        .foreach(r => freqs.put((r.getLong(1), r.getLong(2)), r.getLong(3)))
+    tagged.unpersist()
     val codeMap = buildCodes(freqs)
     // v0 codebook symbols are u64 (two 32-bit item halves) — a code for a
     // wide item or a wide-item bigram cannot be represented, so such
@@ -244,74 +302,75 @@ object TdbWriter {
     fieldNames.indices.foreach(i =>
       fieldBits(i + 1) = TdbFormat.bitsNeeded(lexicons(i).length.toLong))
 
-    // pass 2 (streaming): encode trails — bigram Huffman gram when the
-    // event's (ts, first-field) pair has a code that beats its two parts,
-    // unigram Huffman when an item's code beats its literal, flag-0
-    // literal otherwise (the reference's split, src/tdb_huffman.c:
-    // everything outside the codemap goes literal)
-    def unigram(field: Int, value: Long): (Int, Int) = {
-      val code = codeMap.get((TdbFormat.makeItem(field, value), 0L))
-      // code only when it is SHORTER than the literal for this field —
-      // a deep code can exceed a narrow field's literal width
-      if (code != null && code._2 < fieldIdBits + fieldBits(field)) code
-      else null
-    }
-    def costOf(field: Int, value: Long): Int = {
-      val c = unigram(field, value)
-      1 + (if (c != null) c._2 else fieldIdBits + fieldBits(field))
-    }
-    def emit(enc: BitWriter, field: Int, value: Long): Unit = {
-      val code = unigram(field, value)
-      if (code != null) enc.huffman(code._1, code._2)
-      else enc.literal(field, value, fieldIdBits, fieldBits)
-    }
-    val dataBuf = new ByteArrayOutputStream()
-    val tocBuf = scala.collection.mutable.ArrayBuffer[Long]()
-    val uuidBuf = new ByteArrayOutputStream()
-    locally {
+    // pass 2 (DISTRIBUTED encode): every partition encodes ITS trails —
+    // bigram Huffman gram when the event's (ts, first-field) pair has a
+    // code that beats its two parts, unigram Huffman when an item's code
+    // beats its literal, flag-0 literal otherwise (the reference's
+    // split, src/tdb_huffman.c: everything outside the codemap goes
+    // literal) — and emits ONE compact block per partition: the
+    // concatenated trail bit-streams (the package's own ~17 B/event
+    // density, NOT the rows), per-trail byte lengths, and the raw
+    // 16-byte uuids. persist + count materializes every partition IN
+    // PARALLEL (toLocalIterator alone would run one partition-sized job
+    // at a time, serializing the very work this distributes); the drain
+    // then fetches ≤numPartitions cached blocks.
+    val bcCodeMap = spark.sparkContext.broadcast(codeMap)
+    val fieldIdBitsE = fieldIdBits
+    val fieldBitsE = fieldBits
+    val minTsE = minTs
+    val encoded = sortable.mapPartitions { it =>
+      val cm = bcCodeMap.value
+      val valIdL = bcValId.value
+      def unigram(field: Int, value: Long): (Int, Int) = {
+        val code = cm.get((TdbFormat.makeItem(field, value), 0L))
+        // code only when it is SHORTER than the literal for this field —
+        // a deep code can exceed a narrow field's literal width
+        if (code != null && code._2 < fieldIdBitsE + fieldBitsE(field)) code
+        else null
+      }
+      def costOf(field: Int, value: Long): Int = {
+        val c = unigram(field, value)
+        1 + (if (c != null) c._2 else fieldIdBitsE + fieldBitsE(field))
+      }
       val enc = new BitWriter
-      var curUuid: String = null
-      var prevTs = 0L
-      val prevVals = new Array[Long](numFields)
-      val chF = new Array[Int](numFields)
-      val chV = new Array[Long](numFields)
+      def emit(field: Int, value: Long): Unit = {
+        val code = unigram(field, value)
+        if (code != null) enc.huffman(code._1, code._2)
+        else enc.literal(field, value, fieldIdBitsE, fieldBitsE)
+      }
       // A malformed uuid would CORRUPT the package silently: hexToBytes
       // of a short string writes <16 bytes into the uuids member and
       // every later trail's index entry misaligns (non-hex chars turn
       // into garbage bytes the same way). The reference requires raw
-      // 16-byte uuids at the API boundary (tdb_cons_add's
-      // uuid[16]); this writer takes the repo's 32-hex form, so
-      // validate it here, once per trail.
+      // 16-byte uuids at the API boundary (tdb_cons_add's uuid[16]);
+      // this writer takes the repo's 32-hex form, so validate it at the
+      // encoder, once per trail.
       def requireHexUuid(u: String): Unit =
         require(u.length == 32 && u.forall(c => Character.digit(c, 16) >= 0),
-          s"tdb package: uuid '$u' is not 32 hex chars — the uuids index " +
-            "is 16 raw bytes per trail and a malformed uuid would corrupt " +
-            "every entry after it")
+          s"tdb package: uuid '$u' is not 32 hex chars — the uuids " +
+            "index is 16 raw bytes per trail and a malformed uuid " +
+            "would corrupt every entry after it")
+      val data = new ByteArrayOutputStream()
+      val uuids = new ByteArrayOutputStream()
+      val lens = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var curUuid: String = null
+      var prevTs = 0L
+      val prevVals = new Array[Long](nF + 1)
+      val chF = new Array[Int](nF + 1)
+      val chV = new Array[Long](nF + 1)
       def flushTrail(): Unit = if (curUuid != null) {
-        // trails.data is buffered in driver memory (this writer exists
-        // for shipping bounded sample packages; the parquet dir is the
-        // scale layout) — refuse LOUDLY at 1.5 GiB rather than dying in
-        // ByteArrayOutputStream's array growth near Int.MaxValue
-        // uuids too: 16 bytes per trail also accumulates in driver memory
-        // and can hit the byte-array limit first on many-tiny-trail
-        // corpora (Huffman trails can be 1 byte each)
-        require(dataBuf.size() < (3L << 29) && uuidBuf.size() < (3L << 29),
-          s"tdb package: trails.data (${dataBuf.size()} B) or uuids " +
-            s"(${uuidBuf.size()} B) exceeds the 1.5 GiB in-memory writer " +
-            s"cap after ${tocBuf.length} trails — export a sample " +
-            "(the parquet directory is the scale layout)")
-        tocBuf += dataBuf.size().toLong
-        dataBuf.write(enc.finish())
-        uuidBuf.write(TdbFormat.hexToBytes(curUuid))
+        val bytes = enc.finish()
+        lens += bytes.length
+        data.write(bytes)
+        uuids.write(TdbFormat.hexToBytes(curUuid))
       }
-      val it = sortable.toLocalIterator()
       while (it.hasNext) {
         val r = it.next()
         val uuid = r.getString(0); val ts = r.getLong(1)
         if (uuid != curUuid) {
           flushTrail()
           requireHexUuid(uuid)
-          curUuid = uuid; prevTs = minTs
+          curUuid = uuid; prevTs = minTsE
           java.util.Arrays.fill(prevVals, 0L)
           enc.reset()
         }
@@ -320,9 +379,9 @@ object TdbWriter {
         // together before anything is written
         var nCh = 0
         var f = 0
-        while (f < fieldNames.length) {
+        while (f < nF) {
           val s = r.getString(3 + f)
-          val v = if (s == null || s.isEmpty) 0L else valId(f)(s)
+          val v = if (s == null || s.isEmpty) 0L else valIdL(f)(s)
           if (v != prevVals(f + 1)) {
             chF(nCh) = f + 1; chV(nCh) = v; nCh += 1
             prevVals(f + 1) = v
@@ -332,15 +391,92 @@ object TdbWriter {
         val delta = ts - prevTs
         prevTs = ts
         var from = 0
-        val big = if (!bigrams || nCh == 0) null else codeMap.get(
+        val big = if (!bigramsL || nCh == 0) null else cm.get(
           (TdbFormat.makeItem(0, delta), TdbFormat.makeItem(chF(0), chV(0))))
-        if (big != null && big._2 + 1 < costOf(0, delta) + costOf(chF(0), chV(0))) {
+        if (big != null &&
+            big._2 + 1 < costOf(0, delta) + costOf(chF(0), chV(0))) {
           enc.huffman(big._1, big._2); from = 1
-        } else emit(enc, 0, delta)
+        } else emit(0, delta)
         var c = from
-        while (c < nCh) { emit(enc, chF(c), chV(c)); c += 1 }
+        while (c < nCh) { emit(chF(c), chV(c)); c += 1 }
       }
       flushTrail()
+      if (lens.isEmpty) Iterator.empty
+      else Iterator.single((uuids.toByteArray, lens.toArray, data.toByteArray))
+    }.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    encoded.count() // parallel materialization of every partition's encode
+
+    // driver-side ASSEMBLY, the format's inherent single stream: fetch
+    // the compact per-partition blocks (driver memory = the encoded
+    // package, same caps as ever — refuse LOUDLY at 1.5 GiB rather than
+    // dying in ByteArrayOutputStream's array growth near Int.MaxValue;
+    // uuids at 16 B/trail can hit the limit first on many-tiny-trail
+    // corpora), then restore GLOBAL trail order with one driver
+    // merge-sort over the uuid keys: v1 orders by the uuid's
+    // little-endian u128 value (compare raw bytes reversed), v0 by hex
+    // string == raw byte order.
+    val blocks = scala.collection.mutable.ArrayBuffer
+      .empty[(Array[Byte], Array[Int], Array[Byte])]
+    locally {
+      var dataBytes = 0L; var uuidBytes = 0L; var trailsSeen = 0L
+      val it = encoded.toLocalIterator()
+      while (it.hasNext) {
+        val b = it.next()
+        dataBytes += b._3.length.toLong
+        uuidBytes += b._1.length.toLong
+        trailsSeen += b._2.length.toLong
+        require(dataBytes < (3L << 29) && uuidBytes < (3L << 29),
+          s"tdb package: trails.data ($dataBytes B) or uuids " +
+            s"($uuidBytes B) exceeds the 1.5 GiB in-memory writer " +
+            s"cap after $trailsSeen trails — export a sample " +
+            "(the parquet directory is the scale layout)")
+        blocks += b
+      }
+    }
+    encoded.unpersist()
+    sortable.unpersist()
+    val totalTrails = blocks.map(_._2.length.toLong).sum
+    require(totalTrails == numTrails,
+      s"tdb package: encoded $totalTrails trails, metadata counted " +
+        s"$numTrails — partition walk diverged (report this)")
+    // global order: index every trail as (block, idx, uuidOff, dataOff)
+    // and sort by its 16 uuid bytes under the format's comparator
+    final case class TrailRef(block: Int, uuidOff: Int, dataOff: Long,
+      len: Int)
+    val refs = new Array[TrailRef](
+      math.toIntExact(totalTrails))
+    var ri = 0
+    blocks.zipWithIndex.foreach { case ((_, lens, _), bi) =>
+      var off = 0L
+      var i = 0
+      while (i < lens.length) {
+        refs(ri) = TrailRef(bi, i * 16, off, lens(i))
+        off += lens(i); i += 1; ri += 1
+      }
+    }
+    val cmp = new java.util.Comparator[TrailRef] {
+      override def compare(a: TrailRef, b: TrailRef): Int = {
+        val ua = blocks(a.block)._1; val ub = blocks(b.block)._1
+        var i = 0
+        while (i < 16) {
+          // v1: LE-u128 order == most-significant byte LAST
+          val ia = if (v0) a.uuidOff + i else a.uuidOff + 15 - i
+          val ib = if (v0) b.uuidOff + i else b.uuidOff + 15 - i
+          val d = (ua(ia) & 0xff) - (ub(ib) & 0xff)
+          if (d != 0) return d
+          i += 1
+        }
+        0
+      }
+    }
+    java.util.Arrays.sort(refs, cmp)
+    val dataBuf = new ByteArrayOutputStream()
+    val tocBuf = scala.collection.mutable.ArrayBuffer[Long]()
+    val uuidBuf = new ByteArrayOutputStream()
+    refs.foreach { t =>
+      tocBuf += dataBuf.size().toLong
+      dataBuf.write(blocks(t.block)._3, t.dataOff.toInt, t.len)
+      uuidBuf.write(blocks(t.block)._1, t.uuidOff, 16)
     }
     tocBuf += dataBuf.size().toLong
     dataBuf.write(new Array[Byte](8)) // the 7-byte overread guarantee

@@ -193,8 +193,12 @@ object CompressionBench {
         ev.withColumn("user_id", col("user_id") + lit(i * maxU))
           .withColumn("event_id", col("event_id") + lit(i * 10000000L)))
       .reduce(_.unionByName(_))
+    // localCheckpoint: the same input-materialization convention as the
+    // compression leg (line ~70) — the C side's input is a materialized
+    // package on disk, so graft's timed legs start from materialized
+    // rows, not a lazy 128-way-union recompute chain.
     val df = graft.core.TrailDB.fromEvents(big, "user_id", "ts",
-      Seq("event_type", "props"), Some("event_id")).df
+      Seq("event_type", "props"), Some("event_id")).df.localCheckpoint()
     val n = df.count()
     val pkg = s"/tmp/graft-throughput-$factor.tdb"
     val t0 = System.nanoTime()

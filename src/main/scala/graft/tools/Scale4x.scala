@@ -493,10 +493,37 @@ object Scale4x {
           .filter(col("_r") > 1)
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
       def spanKernelAgg(df: DataFrame): DataFrame = {
-        val spans = spanTable(df, 5)
+        // checkpoint parity with the real operator (scrubDupSpansKeyed
+        // checkpoints the span table for its two consumers)
+        val spans = spanTable(df, 5).localCheckpoint()
         val first = spans.groupBy(col("g"))
           .agg(min(struct(col("doc_id"), col("p"))).as("_f"))
         spans.join(first, Seq("g"))
+          .filter(col("doc_id") =!= col("_f.doc_id") || col("p") =!= col("_f.p"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+      }
+      // round 13: the SHIPPED salted join-back (scrubDupSpans' whale-span
+      // hardening) — the whale span's probe rows spread over skewSalt
+      // sub-keys; threshold forced low enough to trigger at ladder scale
+      // (the default 2^20 is sized for production corpora; ladder whale keys occur ~80k times)
+      def spanKernelAggSalted(df: DataFrame): DataFrame = {
+        val salt = 16
+        val spans = spanTable(df, 5).localCheckpoint()
+        val first = spans.groupBy(col("g"))
+          .agg(min(struct(col("doc_id"), col("p"))).as("_f"))
+        val heavy = spans.groupBy(col("g")).agg(count(lit(1)).as("_c"))
+          .filter(col("_c") >= 10000L)
+          .orderBy(col("_c").desc, col("g")).limit(1024)
+          .select(col("g")).collect().map(_.get(0))
+        val build = first
+          .withColumn("_s", explode(
+            when(col("g").isin(heavy.toSeq: _*), sequence(lit(0), lit(salt - 1)))
+              .otherwise(array(lit(0)))))
+        val probe = spans.withColumn("_s",
+          when(col("g").isin(heavy.toSeq: _*),
+            pmod(xxhash64(col("doc_id"), col("p")), lit(salt.toLong)).cast("int"))
+            .otherwise(lit(0)))
+        probe.join(build, Seq("g", "_s"))
           .filter(col("doc_id") =!= col("_f.doc_id") || col("p") =!= col("_f.p"))
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
       }
@@ -524,8 +551,10 @@ object Scale4x {
             col("n_chars").cast("double")), whaleCluster _, false),
         ("span first-occ (BEFORE: window)",
           spanKernelWindow _, whaleSpan _, true),
-        ("span first-occ (AFTER: min agg)",
-          spanKernelAgg _, whaleSpan _, true))
+        ("span first-occ (r6: min agg, unsalted)",
+          spanKernelAgg _, whaleSpan _, true),
+        ("span first-occ (r13 SHIPPED: min agg + whale salt 16)",
+          spanKernelAggSalted _, whaleSpan _, true))
       // Wall-clock alone under-reports the quota ops' whale hazard at
       // this sf (sorting 640k rows in one task is still sub-second on
       // local[32]); the listener captures the DIRECT evidence — the max
@@ -546,12 +575,30 @@ object Scale4x {
       spark.sparkContext.addSparkListener(maxTask)
       for ((label, op, wt, spanCorpus) <- rows) {
         val big = if (spanCorpus) s64 else d64
+        // span rows measure at 128 shuffle partitions with AQE partition
+        // coalescing OFF: at 32 partitions the EVEN ambient share
+        // (17.5M probe + 15.6M build rows / 32 ≈ 1M/task) drowns the
+        // whale key's 800k concentration, and with coalescing on, AQE
+        // re-merges everything to its ~64MB advisory — the ladder whale
+        // (~30MB) hides under it. At 100 TB the whale key is tens of GB:
+        // far past any advisory, and NO post-shuffle mechanism can split
+        // one key's partition (OptimizeSkewedJoin can't see through the
+        // build side's aggregate) — only the salt can. The raw-partition
+        // measurement shows that structure at ladder scale.
+        if (spanCorpus) {
+          spark.conf.set("spark.sql.shuffle.partitions", "128")
+          spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        }
         val tsAndMax = Seq(d1, wt(d1), big, wt(big)).map { d =>
           maxTask.max.set(0L)
           val t = time(op(d).queryExecution.toRdd.count())
           // listener events drain asynchronously after the job ends
           Thread.sleep(500)
           (t, maxTask.max.get())
+        }
+        if (spanCorpus) {
+          spark.conf.set("spark.sql.shuffle.partitions", "32")
+          spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
         }
         val ts = tsAndMax.map(_._1)
         println(f"| $label | ${ts(0)}%.2fs | ${ts(1)}%.2fs (${ts(1) / ts(0)}%.1f×) " +

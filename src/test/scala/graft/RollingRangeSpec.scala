@@ -200,6 +200,37 @@ class RollingRangeSpec extends SparkSpec {
     assert(hashed === strung)
   }
 
+  test("scrubDupSpans whale-span salting: salted join-back ≡ unsalted, output unchanged (r13)") {
+    // boilerplate span in most docs = the whale key; force the heavy
+    // threshold low enough to trigger on this corpus and assert the
+    // salted plan's output is IDENTICAL to the unsalted one (light keys
+    // stay salt-0; whale keys spread across skewSalt sub-keys)
+    val rng = new scala.util.Random(11)
+    val words = Array("a", "b", "c", "d", "e", "f", "g")
+    val boiler = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    val df = (1L to 80L).map { i =>
+      val body = (0 until 10 + rng.nextInt(15)).map(_ => words(rng.nextInt(7)))
+      (i, if (i % 2 == 0) s"${body.mkString(" ")} $boiler" else body.mkString(" "))
+    }.toDF("doc_id", "text")
+    val unsalted = graft.ops.Dedup.scrubDupSpans(df, k = 5, skewSalt = 1)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    val salted = graft.ops.Dedup.scrubDupSpans(df, k = 5,
+        skewSalt = 8, skewThreshold = 10L, maxHeavyKeys = 16)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(salted === unsalted)
+    // the string-keyed twin salts identically (string heavy keys in the
+    // InSet instead of hashes)
+    val saltedStr = graft.ops.Dedup.scrubDupSpansStringKey(df, k = 5,
+        skewSalt = 8, skewThreshold = 10L, maxHeavyKeys = 16)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(saltedStr === unsalted)
+    // default thresholds never trigger at this scale: heavy list empty,
+    // plan untouched (no _s column in the join)
+    val plan = graft.ops.Dedup.scrubDupSpans(df, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("_s"), "default scrub grew a salt column")
+  }
+
   test("decayScore weights recent trails above stale ones of equal size") {
     val dense = (0 until 20).map(i => ("fresh", 1000000L - i * 60L))
     val stale = (0 until 20).map(i => ("stale", 1000000L - i * 864000L))
