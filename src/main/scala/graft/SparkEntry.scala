@@ -2117,6 +2117,41 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Multimodal: PERCEPTUAL audio dedup — planted groups of base /
+    // exact copy / 2x-amplitude copy / independent WAVs; Haitsma-Kalker
+    // band-energy fingerprints (sign-of-change bits are EXACTLY invariant
+    // to power-of-two gain), hamming-LSH banding, exact frame-word
+    // verify. The three within-group pairs all land at fingerprint
+    // distance 0; the md5 comparison distinguishes "same perception"
+    // (the 2x copy) from "same bytes" — the oracle replays both.
+    "m_audio_dedup" -> ((s, dir) => {
+      val media = Multimodal.dedupAudioMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet"))
+      val md5s = media.select(col("media_id"), md5(col("bytes")).as("_m"))
+      Multimodal.audioNearDupPairs(media, maxHamming = 3)
+        .join(md5s.select(col("media_id").as("_ja"), col("_m").as("_ma")),
+          col("id_a") === col("_ja"))
+        .join(md5s.select(col("media_id").as("_jb"), col("_m").as("_mb")),
+          col("id_b") === col("_jb"))
+        .select(col("id_a"), col("id_b"), col("hamming"),
+          col("n_diff_words"), (col("_ma") === col("_mb")).as("identical"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Multimodal: PERCEPTUAL video dedup — planted groups of base /
+    // exact copy / last-frame-replaced copy / independent Y4M videos;
+    // per-frame luma dHash, inverted-index join on exact frame-hash
+    // matches with stop-frame removal, shared-frame count. The oracle
+    // replays the matched-frame counts exactly: nf for the exact pair,
+    // nf-1 for pairs touching the replaced-frame member.
+    "m_video_dedup" -> ((s, dir) => {
+      val media = Multimodal.dedupVideoMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet"))
+      Multimodal.videoNearDupPairs(media, minMatchedFrames = 2)
+        .select(col("id_a"), col("id_b"), col("n_matched"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Multimodal: EXACT blob dedup across WebDataset shards — export the
     // planted-duplicate media to tar shards, read them back with the ustar
     // walker, content-hash groupBy. The base↔exact-copy members encode to
@@ -4699,6 +4734,38 @@ object SparkEntry {
         |       CAST(b.doc_id AS BIGINT) AS id_b,
         |       CAST(CASE WHEN a.m <= 1 AND b.m <= 1 THEN 0 ELSE 3 END
         |            AS BIGINT) AS n_diff_ch
+        |FROM d a JOIN d b
+        |  ON a.gid = b.gid AND a.doc_id < b.doc_id
+        | WHERE a.m <= 2 AND b.m <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Exact replay of the planted audio structure: all within-group pairs
+    // among members {base, exact copy, 2x-amplitude copy} at fingerprint
+    // distance 0 with 0 differing frame words; only base↔copy is
+    // byte-identical. Precision = no other pair appears.
+    "m_audio_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |           FROM documents)
+        |SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+        |       CAST(b.doc_id AS BIGINT) AS id_b,
+        |       CAST(0 AS BIGINT) AS hamming,
+        |       CAST(0 AS BIGINT) AS n_diff_words,
+        |       (a.m <= 1 AND b.m <= 1) AS identical
+        |FROM d a JOIN d b
+        |  ON a.gid = b.gid AND a.doc_id < b.doc_id
+        | WHERE a.m <= 2 AND b.m <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Exact replay of the planted video structure: shared-frame counts
+    // are nf = 3 + gid%3 for the exact pair and nf-1 for pairs touching
+    // the replaced-frame member; nothing else reaches 2 shared frames.
+    "m_video_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |           FROM documents)
+        |SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+        |       CAST(b.doc_id AS BIGINT) AS id_b,
+        |       CAST(CASE WHEN a.m <= 1 AND b.m <= 1 THEN 3 + a.gid % 3
+        |            ELSE 2 + a.gid % 3 END AS BIGINT) AS n_matched
         |FROM d a JOIN d b
         |  ON a.gid = b.gid AND a.doc_id < b.doc_id
         | WHERE a.m <= 2 AND b.m <= 2

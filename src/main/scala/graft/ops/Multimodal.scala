@@ -796,26 +796,7 @@ object Multimodal {
       else graft.functions.GraftFunctions.dhash64(col(thumbCol))
     val sig = decoded.select(col(idCol).cast("long").as("id"),
       col(thumbCol).as("t"), hashed.as("sig"))
-    val nb = maxHamming + 1
-    val w = 64 / nb // band width; the last band absorbs the remainder
-    val bandCols = (0 until nb).map { b =>
-      val width = if (b == nb - 1) 64 - w * b else w
-      val mask = if (width >= 64) -1L else (1L << width) - 1L
-      struct(lit(b).as("band"),
-        shiftright(col("sig"), b * w).bitwiseAND(lit(mask)).as("bits"))
-    }
-    val bands = sig
-      .select(col("id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("sig"),
-        col("bb.band").as("band"), col("bb.bits").as("bits"))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      .filter(col("hamming") <= maxHamming)
+    val cand = hammingPairs64(sig.select(col("id"), col("sig")), maxHamming)
     val thumbs = sig.select(col("id"), col("t"))
     cand
       .join(thumbs.as("ta"), col("id_a") === col("ta.id"))
@@ -854,6 +835,313 @@ object Multimodal {
       .join(kept, col("_md5") === col("_m") &&
         col(keyCol).cast("long") === col("kept_key"), "left_semi")
       .drop("_md5")
+  }
+
+  // ---- perceptual audio dedup (round 13) ----
+
+  /** Haitsma-Kalker-style audio fingerprint (the PRH "robust hash" of
+    * ISMIR'02, public literature): frame the PCM (256-sample windows,
+    * 128 hop), per frame measure energy at `bands + 1` Goertzel bins,
+    * and set frame-word bit b when the band-energy DIFFERENCE
+    * (E(f,b) − E(f,b+1)) GREW since the previous frame — sign-of-change
+    * bits, so the fingerprint is EXACTLY invariant to amplitude scaling
+    * by powers of two (every intermediate double scales by an exact
+    * power of four; signs cannot move) and robust to gentle gain
+    * changes generally. The per-audio 64-bit signature SimHash-folds the
+    * frame words (splitmix-hashed, ±1 votes per bit), so near-identical
+    * audio lands within a small Hamming distance and the text/image
+    * band-blocking machinery applies unchanged. Returns one row per
+    * decodable audio: (media_id, fp, words). */
+  def audioFingerprints(media: DataFrame,
+      skipMalformed: Boolean = true): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[AudioRow].mapPartitions { it =>
+      it.flatMap { m =>
+        try {
+          val (_, samples) = Wav.decode(m.bytes)
+          val words = AudioFp.frameWords(samples)
+          Iterator.single((m.media_id, AudioFp.simhash(words), words))
+        } catch {
+          case e: Exception if skipMalformed => Iterator.empty
+          case e: Exception => throw new RuntimeException(
+            s"malformed audio for media_id ${m.media_id}", e)
+        }
+      }
+    }.toDF("media_id", "fp", "words")
+  }
+
+  private[graft] object AudioFp {
+    final val Win = 256
+    final val Hop = 128
+    final val Bands = 9 // 8 difference bits per frame
+
+    /** Goertzel power at bin k of `x(off until off+Win)`. */
+    private def goertzel(x: Array[Short], off: Int, k: Int): Double = {
+      val w = 2.0 * math.Pi * k / Win
+      val coeff = 2.0 * math.cos(w)
+      var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+      var i = 0
+      while (i < Win) {
+        s0 = x(off + i) + coeff * s1 - s2
+        s2 = s1; s1 = s0
+        i += 1
+      }
+      s1 * s1 + s2 * s2 - coeff * s1 * s2
+    }
+
+    /** One word per frame (after the first): bit b set when
+      * (E(f,b) − E(f,b+1)) − (E(f−1,b) − E(f−1,b+1)) > 0. */
+    def frameWords(samples: Array[Short]): Array[Int] = {
+      if (samples.length < 2 * Win) return Array.empty
+      val nFrames = (samples.length - Win) / Hop + 1
+      val e = Array.ofDim[Double](nFrames, Bands)
+      var f = 0
+      while (f < nFrames) {
+        var b = 0
+        while (b < Bands) {
+          e(f)(b) = goertzel(samples, f * Hop, 4 * (b + 1))
+          b += 1
+        }
+        f += 1
+      }
+      val words = new Array[Int](nFrames - 1)
+      f = 1
+      while (f < nFrames) {
+        var w = 0
+        var b = 0
+        while (b < Bands - 1) {
+          val d = (e(f)(b) - e(f)(b + 1)) - (e(f - 1)(b) - e(f - 1)(b + 1))
+          if (d > 0) w |= (1 << b)
+          b += 1
+        }
+        words(f - 1) = w
+        f += 1
+      }
+      words
+    }
+
+    private def mix(v: Long): Long = {
+      var z = v + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+
+    /** SimHash over the frame words: position-salted so word ORDER
+      * matters (the same multiset in a different order is different
+      * audio). */
+    def simhash(words: Array[Int]): Long = {
+      val counts = new Array[Int](64)
+      var i = 0
+      while (i < words.length) {
+        val h = mix(words(i).toLong * 1000003L + i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        if (counts(b) > 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+  }
+
+  /** Perceptual near-duplicate audio pairs: [[audioFingerprints]], the
+    * same Manku band-blocking as [[imageNearDupPairs]] (equi-join on
+    * (band, bits), exact `bit_count` verify — never all-pairs), plus an
+    * exact frame-word diff for the surviving pairs. Amplitude-scaled
+    * copies land at Hamming 0; the audit column distinguishes "same
+    * perception" from "same bytes" (callers compare blob hashes for
+    * that — see the m_audio_dedup gate row). Same degenerate-bucket
+    * caveat as images: silence hashes alike; pre-filter or salt flat
+    * audio at corpus scale. */
+  def audioNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fps = audioFingerprints(media)
+    hammingPairs64(fps.select(col("media_id").cast("long").as("id"),
+        col("fp").as("sig")), maxHamming)
+      .join(fps.select(col("media_id").as("_ia"), col("words").as("_wa")),
+        col("id_a") === col("_ia"))
+      .join(fps.select(col("media_id").as("_ib"), col("words").as("_wb")),
+        col("id_b") === col("_ib"))
+      .withColumn("n_diff_words",
+        when(size(col("_wa")) =!= size(col("_wb")), lit(-1L))
+          .otherwise(size(filter(zip_with(col("_wa"), col("_wb"),
+            (x, y) => x =!= y), d => d)).cast("long")))
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("long").as("hamming"), col("n_diff_words"))
+  }
+
+  /** The shared Hamming-LSH block: `maxHamming + 1` contiguous bands of
+    * a 64-bit signature, equi-join candidates, exact bit_count verify.
+    * Input (id, sig); output (id_a, id_b, hamming), id_a < id_b. */
+  private[graft] def hammingPairs64(sig: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0,15], got $maxHamming")
+    val nb = maxHamming + 1
+    val w = 64 / nb
+    val bandCols = (0 until nb).map { b =>
+      val width = if (b == nb - 1) 64 - w * b else w
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * w).bitwiseAND(lit(mask)).as("bits"))
+    }
+    val bands = sig
+      .select(col("id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Planted-duplicate AUDIO fixture, the [[dedupImageMediaFromDocuments]]
+    * convention: groups of four — m=0 a gid-seeded pseudo-random PCM
+    * stream, m=1 an EXACT copy, m=2 the same stream at 2× amplitude
+    * (different bytes, EXACTLY the same fingerprint — power-of-two
+    * scaling cannot move a sign-of-change bit), m=3 independent. */
+  def dedupAudioMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val gid = id / 4
+      val m = (id % 4).toInt
+      def mix(v: Long): Long = {
+        var z = v + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      val seed = if (m == 3) gid * 7919L + 104729L else gid
+      val n = 1024 + (gid % 4).toInt * 256
+      val amp = if (m == 2) 2 else 1
+      val samples = Array.tabulate(n) { i =>
+        // smooth-ish pseudo-random walk, |s| <= 8000 so 2x never clips
+        val r = (mix(seed * 131071L + i / 8) % 8000L).toInt
+        (r * amp).toShort
+      }
+      (id, Wav.encode(16000, samples))
+    }.toDF("media_id", "bytes")
+  }
+
+  // ---- perceptual video dedup (round 13) ----
+
+  /** Per-frame luma thumbnails from Y4M containers: one row per frame
+    * with a `thumbSide`² nearest-neighbor GRAY thumbnail in the
+    * [[decodeImages]] interleaved-RGB float layout (r = g = b = luma),
+    * so [[graft.functions.ImageHash64]] applies to frames unchanged.
+    * (Chroma is ignored: frame identity for dedup is a luma question.) */
+  def decodeVideoThumbs(media: DataFrame, thumbSide: Int = 8,
+      skipMalformed: Boolean = true): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[VideoRow].mapPartitions { it =>
+      it.flatMap { m =>
+        try {
+          val (w, h, _, frames) = Y4m.decode(m.bytes)
+          frames.iterator.zipWithIndex.map { case (f, k) =>
+            val thumb = new Array[Float](thumbSide * thumbSide * 3)
+            var ty = 0
+            while (ty < thumbSide) {
+              var tx = 0
+              while (tx < thumbSide) {
+                val sx = (tx * w) / thumbSide
+                val sy = (ty * h) / thumbSide
+                val y = (f(sy * w + sx) & 0xff) / 255.0f
+                val dst = (ty * thumbSide + tx) * 3
+                thumb(dst) = y; thumb(dst + 1) = y; thumb(dst + 2) = y
+                tx += 1
+              }
+              ty += 1
+            }
+            (m.media_id, k, thumb)
+          }
+        } catch {
+          case e: Exception if skipMalformed => Iterator.empty
+          case e: Exception => throw new RuntimeException(
+            s"malformed video for media_id ${m.media_id}", e)
+        }
+      }
+    }.toDF("media_id", "frame_idx", "thumb")
+  }
+
+  /** Perceptual near-duplicate video pairs: per-frame dHash over
+    * [[decodeVideoThumbs]], candidates from an INVERTED-INDEX equi-join
+    * on exact frame-hash matches (alignment-free — a re-encoded or
+    * trimmed copy shares most frame hashes even when frame INDICES
+    * shift), `n_matched` = distinct shared frame hashes, keep pairs with
+    * at least `minMatchedFrames`. STOP-FRAME removal is the whale guard:
+    * a frame hash present in more than `maxFrameDf` videos (black
+    * frames, test cards) is dropped from the index before the self-join
+    * — the same stop-token discipline as text inverted indexes, without
+    * which one common frame makes the join quadratic in the corpus. */
+  def videoNearDupPairs(media: DataFrame, minMatchedFrames: Int = 2,
+      maxFrameDf: Int = 1000, thumbSide: Int = 8): DataFrame = {
+    val frames = decodeVideoThumbs(media, thumbSide)
+      .select(col("media_id").cast("long").as("id"),
+        graft.functions.GraftFunctions.dhash64(col("thumb")).as("fh"))
+      .distinct() // one row per (video, distinct frame hash)
+    val rare = frames.groupBy(col("fh"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxFrameDf)
+      .select(col("fh"))
+    val indexed = frames.join(rare, Seq("fh"), "left_semi")
+    indexed.as("a").join(indexed.as("b"),
+        col("a.fh") === col("b.fh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= minMatchedFrames)
+  }
+
+  /** Planted-duplicate VIDEO fixture: groups of four — m=0 a gid-seeded
+    * pseudo-random-luma video (frame count and dims derived from gid so
+    * the whole group shares them), m=1 an EXACT copy, m=2 the same video
+    * with its LAST frame REPLACED by an independent one (a scene
+    * change/insert: that frame's hash moves for sure — a single flipped
+    * pixel can leave a dHash unchanged when its row neighbors agree —
+    * while the other nf−1 frame hashes still match), m=3 independent. */
+  def dedupVideoMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val gid = id / 4
+      val m = (id % 4).toInt
+      def mix(v: Long): Long = {
+        var z = v + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      val seed = if (m == 3) gid * 7919L + 104729L else gid
+      val w = 8; val h = 8
+      val nf = 3 + (gid % 3).toInt
+      val frames = (0 until nf).map { k =>
+        // m=2's last frame draws from a different seed — a replaced frame
+        val s = if (m == 2 && k == nf - 1) seed * 31L + 7L else seed
+        val f = new Array[Byte]((w * h * 3) / 2)
+        var p = 0
+        while (p < w * h) {
+          f(p) = (if (((mix(s * 524287L + k * 131L + p) >>> 13) & 1L) == 1L)
+            200 else 30).toByte
+          p += 1
+        }
+        java.util.Arrays.fill(f, w * h, f.length, 128.toByte)
+        f
+      }
+      (id, Y4m.encode(w, h, 25, frames))
+    }.toDF("media_id", "bytes")
   }
 
   /** Planted-duplicate image fixture for the perceptual-dedup gate row:

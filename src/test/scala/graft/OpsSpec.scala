@@ -1527,3 +1527,83 @@ class ImageDedupSpec extends SparkSpec {
     assert(kept.toSeq === Seq(10L, 11L, 13L))
   }
 }
+
+class AvDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("audio fingerprint: exact power-of-two gain invariance, sensitivity to content") {
+    val rng = new scala.util.Random(3)
+    val base = Array.tabulate(2048)(i => ((rng.nextInt(16000) - 8000)).toShort)
+    val scaled = base.map(s => (s * 2).toShort)
+    val wordsB = Multimodal.AudioFp.frameWords(base)
+    val wordsS = Multimodal.AudioFp.frameWords(scaled)
+    assert(wordsB.nonEmpty && wordsB.toSeq === wordsS.toSeq,
+      "2x gain moved a sign-of-change bit")
+    assert(Multimodal.AudioFp.simhash(wordsB) ===
+      Multimodal.AudioFp.simhash(wordsS))
+    // different content → far fingerprint
+    val other = Array.tabulate(2048)(i => ((rng.nextInt(16000) - 8000)).toShort)
+    val ham = java.lang.Long.bitCount(
+      Multimodal.AudioFp.simhash(wordsB) ^
+      Multimodal.AudioFp.simhash(Multimodal.AudioFp.frameWords(other)))
+    assert(ham > 10, s"independent audio landed at hamming $ham")
+    // too short for even two frames → empty words
+    assert(Multimodal.AudioFp.frameWords(new Array[Short](100)).isEmpty)
+  }
+
+  test("audioNearDupPairs finds exactly the planted groups; 2x copy is perceptual-only") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    val media = Multimodal.dedupAudioMediaFromDocuments(docs)
+    val pairs = Multimodal.audioNearDupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(p => (p._1, p._2))
+    val expected = (0 until 10).flatMap { g =>
+      val b = 4L * g
+      Seq((b, b + 1), (b, b + 2), (b + 1, b + 2))
+    }
+    assert(pairs.map(p => (p._1, p._2)).toSeq === expected)
+    pairs.foreach { case (a, b, ham, diff) =>
+      assert(ham === 0L && diff === 0L, s"($a,$b)")
+    }
+    // the 2x member's BYTES differ (perceptual match, not blob match)
+    val md5s = media.select(col("media_id"), md5(col("bytes")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(md5s(0L) === md5s(1L)); assert(md5s(0L) != md5s(2L))
+  }
+
+  test("decodeVideoThumbs: per-frame gray thumbnails, dHash stable across exact copies") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(8)
+    val media = Multimodal.dedupVideoMediaFromDocuments(docs)
+    val t = Multimodal.decodeVideoThumbs(media, thumbSide = 8)
+    val row = t.head()
+    assert(row.getAs[Seq[Float]]("thumb").length === 8 * 8 * 3)
+    // same gid, m0 vs m1: identical per-frame hashes; m3: none shared
+    val hashes = t.select(col("media_id"), col("frame_idx"),
+        graft.functions.GraftFunctions.dhash64(col("thumb")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val nf0 = hashes.keys.filter(_._1 == 0L).map(_._2).max + 1
+    (0 until nf0).foreach(k => assert(hashes((0L, k)) === hashes((1L, k))))
+    assert((0 until nf0).map(k => hashes((0L, k))).toSet
+      .intersect((0 until nf0).map(k => hashes((3L, k))).toSet).isEmpty)
+  }
+
+  test("videoNearDupPairs: planted matched-frame counts; stop-frame removal kills common frames") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(24)
+    val media = Multimodal.dedupVideoMediaFromDocuments(docs)
+    val got = Multimodal.videoNearDupPairs(media, minMatchedFrames = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(p => (p._1, p._2))
+    val expected = (0 until 6).flatMap { g =>
+      val b = 4L * g; val nf = 3L + g % 3
+      Seq((b, b + 1, nf), (b, b + 2, nf - 1), (b + 1, b + 2, nf - 1))
+    }
+    assert(got.toSeq === expected)
+    // stop-frame removal: with maxFrameDf = 1 every within-group shared
+    // frame (df >= 2) is dropped from the index → no pairs at all
+    assert(Multimodal.videoNearDupPairs(media, minMatchedFrames = 1,
+      maxFrameDf = 1).count() === 0L)
+  }
+}

@@ -22,7 +22,7 @@ class PlanGuardSpec extends SparkSpec {
     "e_knn_brute", "e_knn_lsh", "e_knn_ivf", "e_knn_pq", "e_knn_ivfpq",
     "e_knn_ivfpq_index", "e_knn_q8", "e_neardup",
     "e_neardup_lsh", "e_dedup_clusters", "e_semantic_dedup", "m_image_dedup",
-    "t_asof", "t_asof_tol",
+    "m_audio_dedup", "m_video_dedup", "t_asof", "t_asof_tol",
     "t_asof_tol_native", "t_retention", "d_bigram_lp", "t_cms",
     "q3_revenue", "q4_semi", "q5_nation_volume", "q7_volume",
     "q_anti_customers", "q_range_join")
@@ -186,6 +186,12 @@ class PlanGuardSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), s"m_image_dedup regrew a UDF:\n$plan")
     assert(plan.contains("dhash64"),
       s"m_image_dedup lost the native dhash expression:\n$plan")
+    // audio/video twins: same equi-join discipline (the joinShaped sweep
+    // covers the cartesian check; pin the video index's native dhash too)
+    val vplan = SparkEntry.queries("m_video_dedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!vplan.contains("BroadcastNestedLoopJoin") &&
+      vplan.contains("dhash64"), s"m_video_dedup plan degraded:\n$vplan")
   }
 
   test("filtered ANN inherits every shortlist discipline; CDC chunking plans no shuffle") {
