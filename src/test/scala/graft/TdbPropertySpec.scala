@@ -65,6 +65,17 @@ class TdbPropertySpec extends SparkSpec {
     }
   }
 
+  test("an EMPTY corpus writes a valid zero-trail package (r13 distributed-encode edge)") {
+    val dir = Files.createTempDirectory("graft-tdb-empty")
+    val df = Seq.empty[(String, Long, String, String)]
+      .toDF("uuid", "time", "f1", "f2")
+    val out = s"$dir/empty.tdb"
+    TdbWriter.writePackage(df, Seq("f1", "f2"), out)
+    assert(spark.read.format("tdb").load(out).count() === 0L)
+    val db = graft.core.TrailDB.open(spark, out)
+    assert(db.numTrails === 0L && db.numEvents === 0L)
+  }
+
   test("random corpora round-trip through the FORMAT-V0 directory layout (round 9)") {
     // Same adversarial generator through writeV0Directory → the v0 read
     // paths: NUL-terminated lexicons (multi-byte UTF-8 byte offsets),
