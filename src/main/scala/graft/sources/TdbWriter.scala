@@ -138,25 +138,41 @@ object TdbWriter {
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
     // lexicons: distinct non-null non-empty values per field, sorted.
-    // The collect is capped (cap+1 via TakeOrdered, so driver memory is
-    // bounded BEFORE the refusal fires — never "count then re-collect",
-    // which would double-scan, and never an uncapped collect that OOMs
-    // first and refuses never). The first action populates the cache.
-    val lexicons: Array[Array[String]] = fieldNames.map { f =>
-      val vals = sortable.select(col(f).as("v"))
-        .filter(col("v").isNotNull && col("v") =!= "")
-        .distinct().orderBy("v").limit(
-          (math.min(maxLexiconValues, Int.MaxValue - 1L) + 1L).toInt)
-        .collect().map(_.getString(0))
-      if (vals.length > maxLexiconValues)
-        throw graft.core.GraftError.LexiconTooLarge(
-          s"tdb export: field '$f' has more than $maxLexiconValues distinct " +
-            "values — the single-file .tdb format packs the whole lexicon " +
-            "into one driver-resident section, so this export would not fit. " +
-            "Raise maxLexiconValues explicitly if the driver has the memory, " +
-            "or keep the db in the parquet 'dir' layout (no lexicon bound).")
-      vals
-    }.toArray
+    // ONE pass over the big cache builds the fused (field, value)
+    // distinct frame (a DISK_ONLY cache pass deserializes full rows
+    // whatever is selected, so per-field passes would each pay the whole
+    // deserialize); the per-field sorted collects then run over the
+    // SMALL cached distinct frame. Each collect is capped (cap+1 via
+    // TakeOrdered, so driver memory is bounded BEFORE the refusal fires
+    // — never "count then re-collect", which would double-scan, and
+    // never an uncapped collect that OOMs first and refuses never).
+    val lexicons: Array[Array[String]] =
+      if (fieldNames.isEmpty) Array.empty
+      else {
+        val fvDistinct = sortable.select(explode(array(
+            fieldNames.zipWithIndex.map { case (f, i) =>
+              struct(lit(i).as("fi"), col(f).as("v")) }: _*)).as("e"))
+          .select(col("e.fi").as("fi"), col("e.v").as("v"))
+          .filter(col("v").isNotNull && col("v") =!= "")
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        try fieldNames.zipWithIndex.map { case (f, i) =>
+          val vals = fvDistinct.filter(col("fi") === i).select(col("v"))
+            .orderBy("v").limit(
+              (math.min(maxLexiconValues, Int.MaxValue - 1L) + 1L).toInt)
+            .collect().map(_.getString(0))
+          if (vals.length > maxLexiconValues)
+            throw graft.core.GraftError.LexiconTooLarge(
+              s"tdb export: field '$f' has more than $maxLexiconValues " +
+                "distinct values — the single-file .tdb format packs the " +
+                "whole lexicon into one driver-resident section, so this " +
+                "export would not fit. Raise maxLexiconValues explicitly " +
+                "if the driver has the memory, or keep the db in the " +
+                "parquet 'dir' layout (no lexicon bound).")
+          vals
+        }.toArray
+        finally fvDistinct.unpersist()
+      }
     val valId: Array[Map[String, Long]] = lexicons.map(
       _.zipWithIndex.map { case (v, i) => v -> (i + 1L) }.toMap)
     // broadcast the value→id maps once — the model and encode walks both
