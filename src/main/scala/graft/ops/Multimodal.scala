@@ -792,10 +792,17 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0,15], got $maxHamming")
     val hashed =
-      if (ahash) graft.functions.GraftFunctions.ahash64(col(thumbCol))
-      else graft.functions.GraftFunctions.dhash64(col(thumbCol))
-    val sig = decoded.select(col(idCol).cast("long").as("id"),
-      col(thumbCol).as("t"), hashed.as("sig"))
+      if (ahash) graft.functions.GraftFunctions.ahash64(col("t"))
+      else graft.functions.GraftFunctions.dhash64(col("t"))
+    // localCheckpoint the DECODED thumbs: they are consumed four times
+    // (the band self-join's two sides + the two verify joins) — cut the
+    // lineage so the decode pipeline runs once, not once per consumer
+    // (the minhashDedupPairs signature-table pattern). The cheap native
+    // hash stays ABOVE the checkpoint, in the audited plan.
+    val thumbed = decoded.select(col(idCol).cast("long").as("id"),
+      col(thumbCol).as("t")).localCheckpoint()
+    val sig = thumbed.select(col("id"),
+      col("t"), hashed.as("sig"))
     val cand = hammingPairs64(sig.select(col("id"), col("sig")), maxHamming)
     val thumbs = sig.select(col("id"), col("t"))
     cand
@@ -963,7 +970,9 @@ object Multimodal {
     * caveat as images: silence hashes alike; pre-filter or salt flat
     * audio at corpus scale. */
   def audioNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fps = audioFingerprints(media)
+    // localCheckpoint: four consumers (band self-join sides + two word
+    // joins) — decode and fingerprint the audio ONCE
+    val fps = audioFingerprints(media).localCheckpoint()
     hammingPairs64(fps.select(col("media_id").cast("long").as("id"),
         col("fp").as("sig")), maxHamming)
       .join(fps.select(col("media_id").as("_ia"), col("words").as("_wa")),
@@ -1089,8 +1098,15 @@ object Multimodal {
     * which one common frame makes the join quadratic in the corpus. */
   def videoNearDupPairs(media: DataFrame, minMatchedFrames: Int = 2,
       maxFrameDf: Int = 1000, thumbSide: Int = 8): DataFrame = {
-    val frames = decodeVideoThumbs(media, thumbSide)
-      .select(col("media_id").cast("long").as("id"),
+    // localCheckpoint the decoded frame thumbs: three consumers
+    // (frame-df count + the self-join's two sides) — decode the frames
+    // ONCE; the cheap native hash stays above the checkpoint, in the
+    // audited plan
+    val thumbs = decodeVideoThumbs(media, thumbSide)
+      .select(col("media_id").cast("long").as("id"), col("thumb"))
+      .localCheckpoint()
+    val frames = thumbs
+      .select(col("id"),
         graft.functions.GraftFunctions.dhash64(col("thumb")).as("fh"))
       .distinct() // one row per (video, distinct frame hash)
     val rare = frames.groupBy(col("fh"))
