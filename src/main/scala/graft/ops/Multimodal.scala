@@ -881,7 +881,7 @@ object Multimodal {
   private[graft] object AudioFp {
     final val Win = 256
     final val Hop = 128
-    final val Bands = 9 // 8 difference bits per frame
+    final val Bands = 17 // 16 difference bits per frame
 
     /** Goertzel power at bin k of `x(off until off+Win)`. */
     private def goertzel(x: Array[Short], off: Int, k: Int): Double = {
@@ -907,7 +907,7 @@ object Multimodal {
       while (f < nFrames) {
         var b = 0
         while (b < Bands) {
-          e(f)(b) = goertzel(samples, f * Hop, 4 * (b + 1))
+          e(f)(b) = goertzel(samples, f * Hop, 2 * (b + 1))
           b += 1
         }
         f += 1

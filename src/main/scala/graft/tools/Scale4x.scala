@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * every doc gains 3 exact copies — worst case for dedup) and compare each
   * heavy operator's wall-clock at 1× vs 4×. Prints a markdown table row
   * per operator. Usage: runMain graft.tools.Scale4x [sfDir]
-  * [--x16|--asof|--skew|--embskew|--keyskew|--tdb|--bitext|--index]
+  * [--x16|--asof|--skew|--embskew|--keyskew|--tdb|--bitext|--index|--percept]
   *
   * `--x16` instead runs the 1×/4×/16× ladder: the dedup-family operators
   * whose 4× ratio was highest in round 2 (n-gram Jaccard pairs, connected-
@@ -610,6 +610,78 @@ object Scale4x {
       return
     }
 
+    if (args.contains("--percept")) {
+      // Perceptual-dedup scaling ladder (round 13): the planted-duplicate
+      // fixtures replicated with gid-preserving id shifts (nD1 is a
+      // multiple of 4, so every replica carries fresh groups with fresh
+      // gid-seeded content). What 100 TB needs: time tracks corpus size
+      // (the banded/inverted-index joins stay near-linear — high-entropy
+      // signatures spread across buckets) and the pair count tracks the
+      // planted structure exactly at every factor (no precision decay as
+      // the bucket space fills).
+      import graft.ops.Multimodal
+      val d1 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id")
+      val nD1 = d1.count()
+      require(nD1 % 4 == 0, s"fixture groups need 4 | nD1, got $nD1")
+      def rep(f: Int): DataFrame = (0 until f).map(i =>
+          d1.withColumn("doc_id", col("doc_id") + lit(i * nD1)))
+        .reduce(_.unionByName(_)).localCheckpoint()
+      // hamming-3 LSH candidates accumulate a few cross-group collisions
+      // as the signature space fills (measured: 57 false pairs at 320k
+      // images, every one at hamming exactly 3 with 36-75 differing
+      // channels) — the EXACT-VERIFY column is the designed post-filter,
+      // so the ladder reports both the raw candidate count and the
+      // verified count (n_diff_ch ≤ 3 / n_diff_words = 0), which must
+      // replay the planted structure exactly at every factor.
+      println("| op | factor | items | wall | raw pairs | verified (expect 3/group) |")
+      println("|---|---|---|---|---|---|")
+      for (f <- Seq(1, 4, 16, 64)) {
+        val docs = rep(f)
+        var raw = 0L; var verified = 0L
+        val t = time {
+          val p = Multimodal.imageNearDupPairs(
+            Multimodal.decodeAnyImages(
+              Multimodal.dedupImageMediaFromDocuments(docs), thumbSide = 8),
+            maxHamming = 3).localCheckpoint()
+          raw = p.count()
+          verified = p.filter(col("n_diff_ch") <= 3).count()
+          0L
+        }
+        val expect = 3L * (nD1 * f / 4)
+        println(f"| image dedup | ${f}× | ${nD1 * f} | $t%.2f s | $raw | $verified" +
+          (if (verified == expect) " (exact)" else s" (EXPECTED $expect)") + " |")
+      }
+      for (f <- Seq(1, 4, 16)) {
+        val docs = rep(f)
+        var raw = 0L; var verified = 0L
+        val t = time {
+          val p = Multimodal.audioNearDupPairs(
+            Multimodal.dedupAudioMediaFromDocuments(docs), maxHamming = 3)
+            .localCheckpoint()
+          raw = p.count()
+          verified = p.filter(col("n_diff_words") === 0).count()
+          0L
+        }
+        val expect = 3L * (nD1 * f / 4)
+        println(f"| audio dedup | ${f}× | ${nD1 * f} | $t%.2f s | $raw | $verified" +
+          (if (verified == expect) " (exact)" else s" (EXPECTED $expect)") + " |")
+      }
+      for (f <- Seq(1, 4, 16, 64)) {
+        val docs = rep(f)
+        var pairs = 0L
+        val t = time {
+          pairs = Multimodal.videoNearDupPairs(
+            Multimodal.dedupVideoMediaFromDocuments(docs),
+            minMatchedFrames = 2).count()
+          0L
+        }
+        val expect = 3L * (nD1 * f / 4)
+        println(f"| video dedup | ${f}× | ${nD1 * f} | $t%.2f s | $pairs | $pairs" +
+          (if (pairs == expect) " (exact)" else s" (EXPECTED $expect)") + " |")
+      }
+      spark.stop(); return
+    }
     if (args.contains("--whaleguard")) {
       // GUARD-SCALE demonstration (r12): a whale big enough to actually
       // trip TrailGuard's 2^20 default — 128× the sf events with 25%
