@@ -778,9 +778,17 @@ object Multimodal {
     * Scale: ~n·bands rows shuffle on 16-bit-ish band values. The skew to
     * watch at 100 TB is DEGENERATE buckets — near-flat images all hash to
     * the same few signatures (dHash of a constant raster is 0), making
-    * one bucket quadratic. Pre-filter flats (zero thumbnail variance) or
-    * salt them out; the planted-fixture and real-photo regimes have
-    * high-entropy signatures and spread fine.
+    * one bucket quadratic — and at crawl scale flat media (tracking
+    * pixels, solid rasters) is the COMMON case, not the corner. The
+    * guard is ENFORCED, not documented: a (band, bits) bucket holding
+    * more than `maxBucketDf` signatures is dropped from candidate
+    * generation (the [[videoNearDupPairs]] stop-frame discipline; the
+    * reference index's page-bitmap applies the same refusal — one item
+    * is never allowed to explode the scan, tdbcli/tdb_index.c:575-606).
+    * Audit the dropped buckets with [[degenerateHammingBuckets]] — a
+    * nonempty result means a flat-media cohort was excluded and should
+    * be routed to exact blob dedup ([[blobDupGroups]]) instead, which
+    * handles byte-identical degenerates at linear cost.
     *
     * Returns (id_a, id_b, hamming, n_diff_ch), id_a < id_b. Feed
     * [[Dedup.connectedComponents]] / [[Dedup.dedupClusters]] /
@@ -788,7 +796,7 @@ object Multimodal {
     * pairs frame is drop-in compatible. */
   def imageNearDupPairs(decoded: DataFrame, maxHamming: Int = 3,
       idCol: String = "media_id", thumbCol: String = "thumb",
-      ahash: Boolean = false): DataFrame = {
+      ahash: Boolean = false, maxBucketDf: Int = 1000): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0,15], got $maxHamming")
     val hashed =
@@ -803,7 +811,8 @@ object Multimodal {
       col(thumbCol).as("t")).localCheckpoint()
     val sig = thumbed.select(col("id"),
       col("t"), hashed.as("sig"))
-    val cand = hammingPairs64(sig.select(col("id"), col("sig")), maxHamming)
+    val cand = hammingPairs64(sig.select(col("id"), col("sig")), maxHamming,
+      maxBucketDf)
     val thumbs = sig.select(col("id"), col("t"))
     cand
       .join(thumbs.as("ta"), col("id_a") === col("ta.id"))
@@ -967,14 +976,17 @@ object Multimodal {
     * copies land at Hamming 0; the audit column distinguishes "same
     * perception" from "same bytes" (callers compare blob hashes for
     * that — see the m_audio_dedup gate row). Same degenerate-bucket
-    * caveat as images: silence hashes alike; pre-filter or salt flat
-    * audio at corpus scale. */
-  def audioNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * guard as images: silence fingerprints collide, so a (band, bits)
+    * bucket past `maxBucketDf` is dropped from candidate generation
+    * (audit with [[degenerateHammingBuckets]]; route silent clips to
+    * [[blobDupGroups]]). */
+  def audioNearDupPairs(media: DataFrame, maxHamming: Int = 3,
+      maxBucketDf: Int = 1000): DataFrame = {
     // localCheckpoint: four consumers (band self-join sides + two word
     // joins) — decode and fingerprint the audio ONCE
     val fps = audioFingerprints(media).localCheckpoint()
     hammingPairs64(fps.select(col("media_id").cast("long").as("id"),
-        col("fp").as("sig")), maxHamming)
+        col("fp").as("sig")), maxHamming, maxBucketDf)
       .join(fps.select(col("media_id").as("_ia"), col("words").as("_wa")),
         col("id_a") === col("_ia"))
       .join(fps.select(col("media_id").as("_ib"), col("words").as("_wb")),
@@ -987,10 +999,10 @@ object Multimodal {
         col("hamming").cast("long").as("hamming"), col("n_diff_words"))
   }
 
-  /** The shared Hamming-LSH block: `maxHamming + 1` contiguous bands of
-    * a 64-bit signature, equi-join candidates, exact bit_count verify.
-    * Input (id, sig); output (id_a, id_b, hamming), id_a < id_b. */
-  private[graft] def hammingPairs64(sig: DataFrame, maxHamming: Int): DataFrame = {
+  /** The `maxHamming + 1` contiguous-band explode shared by the Hamming
+    * blocking and its degenerate-bucket audit: one row per (id, band)
+    * with the band's bit slice. */
+  private def hammingBands64(sig: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0,15], got $maxHamming")
     val nb = maxHamming + 1
@@ -1001,11 +1013,51 @@ object Multimodal {
       struct(lit(b).as("band"),
         shiftright(col("sig"), b * w).bitwiseAND(lit(mask)).as("bits"))
     }
-    val bands = sig
+    sig
       .select(col("id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("sig"),
         col("bb.band").as("band"), col("bb.bits").as("bits"))
-    bands.as("a").join(bands.as("b"),
+  }
+
+  /** The degenerate (band, bits) buckets [[hammingPairs64]] DROPS at the
+    * given cap — the loud side of the guard. One row per dropped bucket
+    * with its item count (`bucket_df`). Empty ⇒ the pair list is the
+    * full pigeonhole-guaranteed candidate set; nonempty ⇒ `bucket_df`
+    * items' worth of flat media (dHash 0 rasters, silence) were excluded
+    * from perceptual pairing in that band and belong in exact blob dedup.
+    * Runs the same explode + count the guard runs — audit and guard can
+    * never disagree. */
+  def degenerateHammingBuckets(sig: DataFrame, maxHamming: Int,
+      maxBucketDf: Int = 1000): DataFrame =
+    hammingBands64(sig, maxHamming)
+      .groupBy(col("band"), col("bits"))
+      .agg(count(lit(1)).as("bucket_df"))
+      .filter(col("bucket_df") > maxBucketDf)
+
+  /** The shared Hamming-LSH block: `maxHamming + 1` contiguous bands of
+    * a 64-bit signature, equi-join candidates, exact bit_count verify.
+    * Input (id, sig); output (id_a, id_b, hamming), id_a < id_b.
+    *
+    * Degenerate-bucket guard: the band self-join is quadratic within a
+    * (band, bits) bucket, and flat media collapse whole corpora into one
+    * bucket (dHash of any constant raster is 0). Buckets holding more
+    * than `maxBucketDf` signatures are REMOVED from both join sides via
+    * a broadcast anti-join (heavy buckets are ≤ n/cap distinct keys — a
+    * tiny frame by construction), bounding any bucket's pair fan-out at
+    * `maxBucketDf`². The pigeonhole recall guarantee then holds for any
+    * pair with at least one surviving shared band; pairs ONLY sharing
+    * degenerate buckets are deliberately not perceptual-pair material —
+    * [[degenerateHammingBuckets]] reports exactly what was dropped. */
+  private[graft] def hammingPairs64(sig: DataFrame, maxHamming: Int,
+      maxBucketDf: Int = 1000): DataFrame = {
+    require(maxBucketDf > 0, s"maxBucketDf must be positive, got $maxBucketDf")
+    val bands = hammingBands64(sig, maxHamming)
+    val heavy = bands.groupBy(col("band"), col("bits"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxBucketDf)
+      .select(col("band"), col("bits"))
+    val ok = bands.join(broadcast(heavy), Seq("band", "bits"), "left_anti")
+    ok.as("a").join(ok.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

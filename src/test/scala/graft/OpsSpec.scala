@@ -1513,6 +1513,82 @@ class ImageDedupSpec extends SparkSpec {
     (0 until 6).foreach(g => assert(pairs.contains((4L * g, 4L * g + 1))))
   }
 
+  test("degenerate-bucket guard: flat media cannot make the band join quadratic") {
+    // 200 flat thumbnails all dHash to 0 — one (band, bits) bucket per
+    // band holding the whole cohort. Unguarded that bucket is quadratic
+    // (19,900 pairs from 200 items; at corpus scale, 10^12 from 10^6).
+    // With the cap below the cohort size the bucket is DROPPED, planted
+    // high-entropy pairs are untouched, and the audit names what went.
+    val flat = Array.fill(8 * 8 * 3)(0.5f)
+    def bumped(rowCols: (Int, Int)*): Array[Float] = {
+      val t = flat.clone()
+      rowCols.foreach { case (r, c) =>
+        var ch = 0
+        while (ch < 3) { t((r * 8 + c) * 3 + ch) = 0.8f; ch += 1 }
+      }
+      t
+    }
+    // two planted near-dup pairs with high-entropy (distinct-bucket) sigs
+    val a0 = bumped((0, 1), (1, 3), (2, 5), (3, 2), (4, 6), (5, 4), (6, 2), (7, 5))
+    val a1 = bumped((0, 1), (1, 3), (2, 5), (3, 2), (4, 6), (5, 4), (6, 2), (7, 6))
+    val b0 = bumped((0, 4), (1, 6), (2, 1), (3, 7), (4, 2), (5, 1), (6, 5), (7, 3))
+    val b1 = bumped((0, 4), (1, 6), (2, 1), (3, 7), (4, 2), (5, 1), (6, 6), (7, 3))
+    val rows = (0 until 200).map(i => (1000L + i, flat)) ++
+      Seq((1L, a0), (2L, a1), (3L, b0), (4L, b1))
+    val dec = rows.toDF("media_id", "thumb")
+    val guarded = Multimodal.imageNearDupPairs(dec, maxHamming = 3,
+        maxBucketDf = 50)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(guarded.toSet === Set((1L, 2L), (3L, 4L)),
+      s"guard broke the planted pairs or leaked flat pairs: ${guarded.toSeq}")
+    // the audit reports the dropped flat bucket in every band, df = 200
+    import graft.functions.GraftFunctions.dhash64
+    val sig = dec.select(col("media_id").as("id"), dhash64(col("thumb")).as("sig"))
+    val dropped = Multimodal.degenerateHammingBuckets(sig, maxHamming = 3,
+        maxBucketDf = 50)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(dropped.toSeq === (0 until 4).map(b => (b, 0L, 200L)),
+      s"audit should name the 4 flat-sig buckets: ${dropped.toSeq}")
+    // above the cap nothing is dropped: the flat cohort pairs all-pairs
+    val unguarded = Multimodal.imageNearDupPairs(dec, maxHamming = 3,
+      maxBucketDf = 1000)
+    assert(unguarded.count() === 200L * 199 / 2 + 2)
+    assert(Multimodal.degenerateHammingBuckets(sig, 3, 1000).count() === 0L)
+  }
+
+  test("band pigeonhole at its edge: hamming exactly 3 pairs, exactly 4 does not") {
+    // maxHamming = 3 ⇒ 4 bands of 16 bits (rows 2b, 2b+1). A single
+    // raised pixel at (r, c+1) sets exactly dHash bit (r, c) over a flat
+    // base, so planted distances are EXACT, sitting AT the boundary:
+    //  - 3 bits in 3 distinct bands → the 4th band agrees → recalled;
+    //  - 4 bits in 4 distinct bands → NO shared band → correctly absent
+    //    (this is the pigeonhole limit, not a bug: hamming 4 > maxHamming
+    //    must not pair);
+    //  - 4 bits inside ONE band → candidate via the 3 agreeing bands,
+    //    killed by the exact bit_count verify.
+    val flat = Array.fill(8 * 8 * 3)(0.5f)
+    def bumped(rowCols: (Int, Int)*): Array[Float] = {
+      val t = flat.clone()
+      rowCols.foreach { case (r, c) =>
+        var ch = 0
+        while (ch < 3) { t((r * 8 + c) * 3 + ch) = 0.8f; ch += 1 }
+      }
+      t
+    }
+    def pairsOf(a: Array[Float], b: Array[Float]): Seq[(Long, Long, Long)] =
+      Multimodal.imageNearDupPairs(
+          Seq((0L, a), (1L, b)).toDF("media_id", "thumb"), maxHamming = 3)
+        .select("id_a", "id_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // exactly 3 bits, bands 0/1/2 → recalled at the boundary, hamming 3
+    assert(pairsOf(flat, bumped((0, 1), (2, 1), (4, 1))) ===
+      Seq((0L, 1L, 3L)))
+    // exactly 4 bits, one per band → zero shared bands → absent
+    assert(pairsOf(flat, bumped((0, 1), (2, 1), (4, 1), (6, 1))) === Seq.empty)
+    // exactly 4 bits all in band 0 → candidate, exact verify rejects
+    assert(pairsOf(flat, bumped((0, 1), (0, 4), (1, 1), (1, 4))) === Seq.empty)
+  }
+
   test("blobDupGroups/dedupBlobs: byte-identical blobs collapse to the min key") {
     val rows = Seq(
       (10L, "aaa".getBytes), (11L, "bbb".getBytes), (12L, "aaa".getBytes),

@@ -186,6 +186,14 @@ class PlanGuardSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), s"m_image_dedup regrew a UDF:\n$plan")
     assert(plan.contains("dhash64"),
       s"m_image_dedup lost the native dhash expression:\n$plan")
+    // the degenerate-bucket guard must be IN the plan: heavy (band, bits)
+    // buckets leave via a broadcast anti-join (a tiny frame by
+    // construction — never a shuffled anti side)
+    assert(plan.contains("LeftAnti"),
+      s"m_image_dedup lost the degenerate-bucket guard anti-join:\n$plan")
+    assert(!plan.replaceAll("(?s)BroadcastHashJoin[^\\n]*LeftAnti", "")
+        .contains("LeftAnti"),
+      s"the guard anti-join stopped broadcasting:\n$plan")
     // audio/video twins: same equi-join discipline (the joinShaped sweep
     // covers the cartesian check; pin the video index's native dhash too)
     val vplan = SparkEntry.queries("m_video_dedup")(spark, dir)
