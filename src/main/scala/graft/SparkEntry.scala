@@ -2171,6 +2171,44 @@ object SparkEntry {
         .orderBy("kept_key")
     }),
 
+    // The COMPLETE media dedup pipeline as one composed run — the media
+    // twin of d_pipeline: mixed-format decode → perceptual near-dup
+    // pairs (banded dHash + exact verify) → connected-components
+    // clustering → keepBest survivor per cluster (score = id, so the
+    // LAST member wins — proving the keep policy, not dedupClusters'
+    // min-id convention) → WebDataset export of the survivors → tar
+    // read-back with a byte-integrity audit. The oracle replays the
+    // planted structure end to end: each group's survivor set is
+    // {near-dup cluster's max id, the independent member}, every
+    // exported blob reads back byte-identical.
+    "m_dedup_pipeline" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-media-pipe")
+        .resolve("shards").toString
+      // media is consumed by decode, keepBest, export, and the audit —
+      // generate the fixture once
+      val media = Multimodal.dedupImageMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet")).localCheckpoint()
+      val dec = Multimodal.decodeAnyImages(media, thumbSide = 8)
+      val pairs = Multimodal.imageNearDupPairs(dec, maxHamming = 3)
+      val asDocs = media.withColumnRenamed("media_id", "doc_id")
+      val clusters = Dedup.dedupClusters(asDocs, pairs).localCheckpoint()
+      val sizes = clusters.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"))
+      val kept = Dedup.keepBest(asDocs, clusters, col("doc_id"))
+      Multimodal.exportWebDataset(kept, out, nShards = 4, ext = "img",
+        keyCol = "doc_id").count() // force the export before the read-back
+      val back = Multimodal.readWebDataset(s, out)
+        .filter(col("ext") === "img")
+        .select(col("key").as("doc_id"), md5(col("bytes")).as("_mb"))
+      kept.select(col("doc_id"), md5(col("bytes")).as("_mo"))
+        .join(clusters, "doc_id")
+        .join(sizes, "cluster_id")
+        .join(back, "doc_id") // inner: a survivor lost by the export loses its row
+        .select(col("doc_id").as("survivor_id"), col("cluster_id"),
+          col("n_members"), (col("_mo") === col("_mb")).as("blob_ok"))
+        .orderBy("survivor_id")
+    }),
+
     // ---- analytics (TPC-H-style) over the star schema ----
 
     // Q1-style pricing summary: exact decimal sums surfaced as doubles.
@@ -4783,6 +4821,23 @@ object SparkEntry {
         |       CAST(n AS BIGINT) AS n_copies,
         |       CAST(ks AS BIGINT) AS key_sum
         |FROM g ORDER BY kept_key""".stripMargin,
+
+    // Exact replay of the composed media pipeline: the near-dup cluster
+    // {4g, 4g+1, 4g+2} is labeled by its min id (4g), keepBest with
+    // score = id crowns 4g+2, the independent member 4g+3 survives as
+    // its own singleton, and every survivor's exported blob reads back
+    // byte-identical from the tar shards.
+    "m_dedup_pipeline" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |           FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS survivor_id,
+        |       CAST(CASE WHEN m = 2 THEN gid * 4 ELSE doc_id END
+        |            AS BIGINT) AS cluster_id,
+        |       CAST(CASE WHEN m = 2 THEN 3 ELSE 1 END AS BIGINT)
+        |         AS n_members,
+        |       TRUE AS blob_ok
+        |FROM d WHERE m IN (2, 3)
+        |ORDER BY survivor_id""".stripMargin,
 
     "m_webdataset" ->
       """WITH m AS (SELECT doc_id % 16 AS shard, doc_id AS k,
