@@ -2171,6 +2171,43 @@ object SparkEntry {
         .orderBy("kept_key")
     }),
 
+    // STREAMING perceptual image dedup — the ingest-time "have I seen
+    // this picture" twin: members m in {0,3} of each planted group are
+    // the FROZEN corpus index (fit-once/apply-frozen, degenerate-bucket
+    // guard frozen with it); members m in {1,2} arrive as the stream.
+    // Stateless decode/hash/band projections, stream-static bucket join,
+    // exact verify; state = matched pairs only. The oracle replays the
+    // planted structure: each copy and flipped member matches its group
+    // base, nothing matches the independent member.
+    "m_stream_image_dedup" -> ((s, dir) => {
+      val media = Multimodal.dedupImageMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet"))
+      val src = Fixtures.memo(s"imgstream:$dir") {
+        val p = java.nio.file.Files.createTempDirectory("graft-imgsrc")
+          .resolve("src").toString
+        media.filter(col("media_id") % 4 === 1 || col("media_id") % 4 === 2)
+          .select("media_id", "bytes").write.parquet(p)
+        p
+      }
+      // freeze the index: the static join side re-executes per
+      // micro-batch, so materialize the decode + band explode once
+      val index = Multimodal.imageSignatureIndex(
+        Multimodal.decodeAnyImages(
+          media.filter(col("media_id") % 4 === 0 || col("media_id") % 4 === 3),
+          thumbSide = 8)).localCheckpoint()
+      val stream = s.readStream
+        .schema(s.read.parquet(src).schema).parquet(src)
+      val name = "m_stream_image_dedup_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamSessions.streamingImageNearDup(stream, index)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+      s.table(name)
+        .select(col("media_id"), col("match_id"), col("n_diff_ch"))
+        .orderBy("media_id")
+    }),
+
     // The COMPLETE media dedup pipeline as one composed run — the media
     // twin of d_pipeline: mixed-format decode → perceptual near-dup
     // pairs (banded dHash + exact verify) → connected-components
@@ -4821,6 +4858,20 @@ object SparkEntry {
         |       CAST(n AS BIGINT) AS n_copies,
         |       CAST(ks AS BIGINT) AS key_sum
         |FROM g ORDER BY kept_key""".stripMargin,
+
+    // Exact replay of the planted structure through the frozen-index
+    // stream: the copy (m=1, 0 differing channels) and the flipped
+    // member (m=2, the one RGB pixel) each match their group base;
+    // the independent index member never matches.
+    "m_stream_image_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |           FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |       CAST(gid * 4 AS BIGINT) AS match_id,
+        |       CAST(CASE WHEN m = 1 THEN 0 ELSE 3 END AS BIGINT)
+        |         AS n_diff_ch
+        |FROM d WHERE m IN (1, 2)
+        |ORDER BY media_id""".stripMargin,
 
     // Exact replay of the composed media pipeline: the near-dup cluster
     // {4g, 4g+1, 4g+2} is labeled by its min id (4g), keepBest with

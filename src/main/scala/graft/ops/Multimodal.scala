@@ -1000,9 +1000,10 @@ object Multimodal {
   }
 
   /** The `maxHamming + 1` contiguous-band explode shared by the Hamming
-    * blocking and its degenerate-bucket audit: one row per (id, band)
-    * with the band's bit slice. */
-  private def hammingBands64(sig: DataFrame, maxHamming: Int): DataFrame = {
+    * blocking, its degenerate-bucket audit, and the streaming twin's
+    * frozen index: requires a `sig` column, preserves every input
+    * column, appends (band, bits) — one row per input row per band. */
+  private[graft] def hammingBands64(sig: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0,15], got $maxHamming")
     val nb = maxHamming + 1
@@ -1014,9 +1015,10 @@ object Multimodal {
         shiftright(col("sig"), b * w).bitwiseAND(lit(mask)).as("bits"))
     }
     sig
-      .select(col("id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("sig"),
-        col("bb.band").as("band"), col("bb.bits").as("bits"))
+      .withColumn("bb", explode(array(bandCols: _*)))
+      .withColumn("band", col("bb.band"))
+      .withColumn("bits", col("bb.bits"))
+      .drop("bb")
   }
 
   /** The degenerate (band, bits) buckets [[hammingPairs64]] DROPS at the
@@ -1033,6 +1035,49 @@ object Multimodal {
       .groupBy(col("band"), col("bits"))
       .agg(count(lit(1)).as("bucket_df"))
       .filter(col("bucket_df") > maxBucketDf)
+
+  /** FROZEN perceptual image index for the streaming twin — the
+    * fit-once/apply-frozen convention ([[fitVocab]]-style): band-explode
+    * the corpus signatures, remove degenerate buckets at `maxBucketDf`
+    * (the guard freezes WITH the index, like a frozen quantizer), keep
+    * the thumbnail for the exact channel verify. One row per surviving
+    * (id, band): (band, bits, id, sig, thumb). Persist it / hand it to
+    * [[graft.streaming.StreamSessions.streamingImageNearDup]] as the
+    * static join side. */
+  def imageSignatureIndex(decoded: DataFrame, maxHamming: Int = 3,
+      maxBucketDf: Int = 1000, idCol: String = "media_id",
+      thumbCol: String = "thumb", ahash: Boolean = false): DataFrame = {
+    val hashed =
+      if (ahash) graft.functions.GraftFunctions.ahash64(col("t"))
+      else graft.functions.GraftFunctions.dhash64(col("t"))
+    val sig = decoded.select(col(idCol).cast("long").as("id"),
+        col(thumbCol).as("t"))
+      .select(col("id"), col("t").as("thumb"), hashed.as("sig"))
+    val bands = hammingBands64(sig, maxHamming)
+    val heavy = bands.groupBy(col("band"), col("bits"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxBucketDf)
+      .select(col("band"), col("bits"))
+    bands.join(broadcast(heavy), Seq("band", "bits"), "left_anti")
+      .select(col("band"), col("bits"), col("id"), col("sig"), col("thumb"))
+  }
+
+  /** FROZEN perceptual audio index — [[imageSignatureIndex]]'s audio
+    * twin over [[audioFingerprints]]: (band, bits, id, sig, words),
+    * degenerate buckets removed at freeze time. */
+  def audioSignatureIndex(media: DataFrame, maxHamming: Int = 3,
+      maxBucketDf: Int = 1000): DataFrame = {
+    val sig = audioFingerprints(media)
+      .select(col("media_id").cast("long").as("id"),
+        col("fp").as("sig"), col("words"))
+    val bands = hammingBands64(sig, maxHamming)
+    val heavy = bands.groupBy(col("band"), col("bits"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxBucketDf)
+      .select(col("band"), col("bits"))
+    bands.join(broadcast(heavy), Seq("band", "bits"), "left_anti")
+      .select(col("band"), col("bits"), col("id"), col("sig"), col("words"))
+  }
 
   /** The shared Hamming-LSH block: `maxHamming + 1` contiguous bands of
     * a 64-bit signature, equi-join candidates, exact bit_count verify.

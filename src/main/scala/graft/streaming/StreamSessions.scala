@@ -810,6 +810,75 @@ object StreamSessions {
       .dropDuplicates(idCol, "eval_id")
   }
 
+  /** Streaming twin of perceptual image dedup — the ingest-time "have I
+    * seen this picture" check: new media STREAM in, the corpus signature
+    * index is FROZEN static state ([[graft.ops.Multimodal.imageSignatureIndex]]
+    * — the fit-once/apply-frozen convention fitVocab / fitWhitener /
+    * clusterSafeSplit follow; the degenerate-bucket guard froze with the
+    * index, like a frozen quantizer). Every step before the final pair
+    * dedup is STATELESS: the decode is a per-partition projection, the
+    * dHash a native expression, the band explode a projection (thumbnail
+    * and signature ride along — a stream cannot join itself), the bucket
+    * match a stream-static inner join, and the exact Hamming +
+    * channel-diff verify are projections. The one stateful op is the
+    * per-(stream, index) pair dedup (a pair can match in several bands);
+    * its state is one entry per MATCHED pair — bounded by the duplicate
+    * volume, not the corpus (the [[streamingFuzzyDecontaminate]] shape).
+    * Spec-proven to emit exactly the batch pair set across micro-batch
+    * boundaries.
+    *
+    * Returns (media_id, match_id, hamming, n_diff_ch) in append mode. */
+  def streamingImageNearDup(stream: DataFrame, index: DataFrame,
+      maxHamming: Int = 3, thumbSide: Int = 8): DataFrame = {
+    val dec = graft.ops.Multimodal.decodeAnyImages(stream, thumbSide)
+    val sig = dec.select(col("media_id").cast("long").as("sid"),
+      col("thumb").as("s_t"),
+      graft.functions.GraftFunctions.dhash64(col("thumb")).as("sig"))
+    val sBands = graft.ops.Multimodal.hammingBands64(sig, maxHamming)
+      .select(col("sid"), col("s_t"), col("sig").as("s_sig"),
+        col("band"), col("bits"))
+    val idx = index.select(col("band"), col("bits"), col("id").as("_iid"),
+      col("sig").as("i_sig"), col("thumb").as("i_t"))
+    sBands.join(idx, Seq("band", "bits"))
+      .withColumn("hamming", bit_count(col("s_sig").bitwiseXOR(col("i_sig"))))
+      .filter(col("hamming") <= maxHamming)
+      .withColumn("n_diff_ch", size(filter(
+        zip_with(col("s_t"), col("i_t"), (x, y) => abs(x - y)),
+        d => d > lit(1.0 / 255 / 2))))
+      .select(col("sid").as("media_id"), col("_iid").as("match_id"),
+        col("hamming").cast("long").as("hamming"),
+        col("n_diff_ch").cast("long").as("n_diff_ch"))
+      .dropDuplicates("media_id", "match_id")
+  }
+
+  /** Streaming twin of perceptual audio dedup against a FROZEN
+    * [[graft.ops.Multimodal.audioSignatureIndex]] — same shape as
+    * [[streamingImageNearDup]] (stateless fingerprint projection +
+    * band explode + stream-static bucket join + exact verifies; state =
+    * matched pairs only). Returns (media_id, match_id, hamming,
+    * n_diff_words) in append mode. */
+  def streamingAudioNearDup(stream: DataFrame, index: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = graft.ops.Multimodal.audioFingerprints(stream)
+      .select(col("media_id").cast("long").as("sid"),
+        col("fp").as("sig"), col("words").as("s_w"))
+    val sBands = graft.ops.Multimodal.hammingBands64(sig, maxHamming)
+      .select(col("sid"), col("s_w"), col("sig").as("s_sig"),
+        col("band"), col("bits"))
+    val idx = index.select(col("band"), col("bits"), col("id").as("_iid"),
+      col("sig").as("i_sig"), col("words").as("i_w"))
+    sBands.join(idx, Seq("band", "bits"))
+      .withColumn("hamming", bit_count(col("s_sig").bitwiseXOR(col("i_sig"))))
+      .filter(col("hamming") <= maxHamming)
+      .withColumn("n_diff_words",
+        when(size(col("s_w")) =!= size(col("i_w")), lit(-1L))
+          .otherwise(size(filter(zip_with(col("s_w"), col("i_w"),
+            (x, y) => x =!= y), d => d)).cast("long")))
+      .select(col("sid").as("media_id"), col("_iid").as("match_id"),
+        col("hamming").cast("long").as("hamming"), col("n_diff_words"))
+      .dropDuplicates("media_id", "match_id")
+  }
+
   /** Streaming twin of [[graft.ops.Similarity.covarianceMatrix]]'s Gram
     * pass — live corpus moments (n, per-dim micro sums, upper-triangle
     * micro² product sums) maintained as ONE complete-mode global typed

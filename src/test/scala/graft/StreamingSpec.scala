@@ -617,6 +617,95 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(t => t._1 == 12L && t._2 == 101L && t._3 == 1.0))
   }
 
+  test("streaming perceptual image dedup against a frozen index equals the batch cross-pair set") {
+    // corpus (index side): members m in {0, 3} of each planted group —
+    // the "already ingested" media. Stream: m in {1, 2} (exact copy +
+    // one-pixel near dup), split across two micro-batches so the second
+    // batch's matches prove the frozen index survives the boundary.
+    import graft.ops.Multimodal
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(48) // 12 groups
+    val media = Multimodal.dedupImageMediaFromDocuments(docs)
+    val indexMedia = media.filter(col("media_id") % 4 === 0 ||
+      col("media_id") % 4 === 3)
+    val index = Multimodal.imageSignatureIndex(
+      Multimodal.decodeAnyImages(indexMedia, thumbSide = 8))
+
+    val dir = Files.createTempDirectory("graft-simg")
+    val src = dir.resolve("src").toString
+    media.filter(col("media_id") % 4 === 1).select("media_id", "bytes")
+      .coalesce(1).write.parquet(src)
+    Thread.sleep(1100)
+    media.filter(col("media_id") % 4 === 2).select("media_id", "bytes")
+      .coalesce(1).write.mode("append").parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = StreamSessions.streamingImageNearDup(stream, index)
+      .writeStream.outputMode("append").format("memory").queryName("simg")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.sql(
+        "SELECT media_id, match_id, hamming, n_diff_ch FROM simg")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // batch equivalent: imageNearDupPairs over the union, restricted to
+    // (stream member, index member) cross pairs
+    val batch = Multimodal.imageNearDupPairs(
+        Multimodal.decodeAnyImages(media, thumbSide = 8), maxHamming = 3)
+      .filter((col("id_a") % 4 === 0 || col("id_a") % 4 === 3) &&
+        (col("id_b") % 4 === 1 || col("id_b") % 4 === 2))
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed === batch && streamed.nonEmpty)
+    // planted structure: each group's copy (4g+1, hamming 0) and flipped
+    // member (4g+2, 3 channels) match the group base 4g; nothing matches
+    // the independent member 4g+3
+    val expected = (0 until 12).flatMap { g =>
+      Seq((4L * g + 1, 4L * g, 0L), (4L * g + 2, 4L * g, 3L))
+    }.toSet
+    assert(streamed.map(t => (t._1, t._2, t._4)) === expected)
+    assert(!streamed.exists(_._2 % 4 == 3))
+  }
+
+  test("streaming perceptual audio dedup against a frozen index equals the batch pair set") {
+    import graft.ops.Multimodal
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(32) // 8 groups
+    val media = Multimodal.dedupAudioMediaFromDocuments(docs)
+    val index = Multimodal.audioSignatureIndex(
+      media.filter(col("media_id") % 4 === 0 || col("media_id") % 4 === 3))
+
+    val dir = Files.createTempDirectory("graft-saud")
+    val src = dir.resolve("src").toString
+    media.filter(col("media_id") % 4 === 1).select("media_id", "bytes")
+      .coalesce(1).write.parquet(src)
+    Thread.sleep(1100)
+    media.filter(col("media_id") % 4 === 2).select("media_id", "bytes")
+      .coalesce(1).write.mode("append").parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = StreamSessions.streamingAudioNearDup(stream, index)
+      .writeStream.outputMode("append").format("memory").queryName("saud")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.sql(
+        "SELECT media_id, match_id, hamming, n_diff_words FROM saud")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // every stream member (copy + 2x-amplitude copy) lands at fingerprint
+    // distance 0 from its group base with zero differing frame words
+    val expected = (0 until 8).flatMap { g =>
+      Seq((4L * g + 1, 4L * g, 0L, 0L), (4L * g + 2, 4L * g, 0L, 0L))
+    }.toSet
+    assert(streamed === expected)
+  }
+
   test("pure-projection text ops run unchanged on a stream (quality + PII scrub)") {
     val dir = Files.createTempDirectory("graft-sproj")
     val src = dir.resolve("src").toString
