@@ -654,10 +654,15 @@ object Similarity {
     // the existing codes; an index built before drift tracking starts at
     // epoch 1 — its build rows read as epoch 0 in the drift view)
     val existing = spark.read.parquet(s"$indexPath/codes")
-    val epoch =
-      if (existing.columns.contains("epoch"))
-        existing.agg(max(col("epoch"))).head().getInt(0) + 1
-      else 1
+    // refuse to create a mixed-schema codes dir: appending drift-tracked
+    // rows to a pre-drift index would leave parquet footers disagreeing
+    // on (cdist, epoch), and a later read picks one nondeterministically
+    // — epoch detection and the epoch-0 baseline both break silently
+    require(existing.columns.contains("epoch") &&
+      existing.columns.contains("cdist"),
+      s"index at $indexPath predates drift tracking (no cdist/epoch " +
+      "columns) — rebuild it (rebuildIvfPqIndex) before appending")
+    val epoch = existing.agg(max(col("epoch"))).head().getInt(0) + 1
     applyRotation(newRows, rot, vecCol, "_ev")
       .select(col(idCol).as("corpus_id"), col("_ev").as("_cv"),
         checkedNorm(col("_ev"), "corpus").as("cn"),
@@ -669,6 +674,45 @@ object Similarity {
       .withColumn("epoch", lit(epoch))
       .drop("_cv")
       .write.mode("append").partitionBy("cell").parquet(s"$indexPath/codes")
+  }
+
+  /** Retrain a persistent index in place — the one-call answer to
+    * [[ivfPqIndexDrift]]'s retrain advisory: re-train the coarse/product
+    * quantizers (and the OPQ rotation if the old index had one) on the
+    * CURRENT corpus, re-encode everything, and swap the staged result in
+    * with same-filesystem renames (the TrailIndex rebuild convention —
+    * searchers read either the complete old index or the complete new
+    * one, never a half-written mix; on a failed swap the old index is
+    * restored). Geometry (nCells, m, k, dim) carries over from the old
+    * meta; every re-encoded row is drift epoch 0 again, so the next
+    * drift report starts from a fresh ≈1.0 baseline. `corpus` is the
+    * current source table — the index stores codes, not vectors, so the
+    * caller supplies the rows to retrain on (same contract as search's
+    * rerank side). */
+  def rebuildIvfPqIndex(corpus: DataFrame, indexPath: String,
+      vecCol: String = "embedding", idCol: String = "vec_id"): Unit = {
+    val spark = corpus.sparkSession
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val opq = meta.schema.fieldNames.contains("rot") &&
+      meta.getSeq[Double](meta.fieldIndex("rot")).nonEmpty
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stage(tag: String) = new org.apache.hadoop.fs.Path(p.getParent,
+      s".${p.getName}.$tag-${java.util.UUID.randomUUID().toString.take(8)}")
+    val tmp = stage("rebuild")
+    buildIvfPqIndex(corpus, tmp.toString, meta.getAs[Int]("ncells"),
+      meta.getAs[Int]("m"), meta.getAs[Int]("k"), meta.getAs[Int]("dim"),
+      vecCol, idCol, opq)
+    val old = stage("old")
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(
+        s"rebuildIvfPqIndex: could not stage out the old index at $p")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // roll the old index back before failing loud
+      throw new java.io.IOException(
+        s"rebuildIvfPqIndex: could not move staged rebuild $tmp to $p")
+    }
+    fs.delete(old, true)
   }
 
   /** Exact L2 distance of an encoded vector to its assigned coarse
@@ -703,8 +747,13 @@ object Similarity {
       s"index at $indexPath predates drift tracking (no cdist/epoch " +
       "columns) — rebuild it to enable drift stats")
     val keys = if (perCell) Seq(col("cell"), col("epoch")) else Seq(col("epoch"))
+    // localCheckpoint: the baseline derives from this same tiny frame —
+    // materializing it means BOTH join sides read the one computed
+    // average, so epoch 0's drift_ratio is exactly 1.0 by construction
+    // (recomputing the avg per side leaves it at the mercy of double
+    // partial-merge order, which can differ by an ulp across shuffles)
     val agg = codes.groupBy(keys: _*).agg(count(lit(1)).as("n_vectors"),
-      avg(col("cdist")).as("mean_cdist"))
+      avg(col("cdist")).as("mean_cdist")).localCheckpoint()
     val base = agg.filter(col("epoch") === 0)
     val joined =
       if (perCell) agg.join(
@@ -712,10 +761,14 @@ object Similarity {
         Seq("cell"), "left")
       else agg.crossJoin(broadcast(
         base.select(col("mean_cdist").as("_base"))))
+    // a NULL baseline (perCell: append rows landed in a cell the build
+    // never populated) is the MOST drifted case — data where the frozen
+    // quantizer saw nothing — so it fires the advisory, never drops out
     joined
       .withColumn("drift_ratio", col("mean_cdist") / col("_base"))
       .withColumn("retrain_advised",
-        col("epoch") > 0 && col("drift_ratio") > warnRatio)
+        col("epoch") > 0 &&
+          (col("_base").isNull || col("drift_ratio") > warnRatio))
       .drop("_base")
   }
 

@@ -121,6 +121,82 @@ class IvfPqIndexSpec extends SparkSpec {
       !clean.getAs[Boolean]("retrain_advised"))
   }
 
+  test("rebuildIvfPqIndex answers the advisory: retrain on the current corpus resets drift to a fresh epoch-0 baseline") {
+    val dir = Files.createTempDirectory("graft-ivfpq-rebuild").toString
+    val n = emb.count()
+    Similarity.buildIvfPqIndex(emb, dir, nCells = 8, m = 16, codebookK = 32)
+    val shifted = emb.withColumn("vec_id", col("vec_id") + n)
+      .withColumn("embedding", transform(col("embedding"), x => x + lit(3.0f)))
+    Similarity.appendToIvfPqIndex(shifted, dir)
+    assert(Similarity.ivfPqIndexStats(spark, dir).head()
+      .getAs[Boolean]("retrain_advised"), "shifted append must advise retrain")
+    // the one-call answer: retrain + re-encode on the CURRENT corpus
+    Similarity.rebuildIvfPqIndex(emb.unionByName(shifted), dir)
+    val drift = Similarity.ivfPqIndexDrift(spark, dir).collect()
+    assert(drift.length === 1 && drift.head.getAs[Int]("epoch") === 0 &&
+      drift.head.getAs[Double]("drift_ratio") === 1.0 &&
+      !drift.head.getAs[Boolean]("retrain_advised"),
+      s"rebuild did not reset drift: ${drift.toSeq}")
+    val stats = Similarity.ivfPqIndexStats(spark, dir).head()
+    assert(stats.getAs[Long]("n_vectors") === 2 * n &&
+      stats.getAs[Long]("n_epochs") === 1L &&
+      stats.getAs[Double]("max_drift_ratio") === 1.0 &&
+      !stats.getAs[Boolean]("retrain_advised"))
+    // geometry carried over from the old meta, and the swap left no
+    // staging dirs behind
+    assert(stats.getAs[Int]("n_cells") === 8 && stats.getAs[Int]("m") === 16 &&
+      stats.getAs[Int]("k") === 32)
+    val parent = new java.io.File(dir).getParentFile
+    assert(!parent.listFiles().exists(f =>
+      f.getName.contains(".rebuild-") || f.getName.contains(".old-")))
+    // the rebuilt index searches: the shifted half is findable
+    val q = shifted.limit(3)
+    val res = Similarity.searchIvfPqIndex(dir, emb.unionByName(shifted), q,
+      k = 3, nprobe = 8, shortlist = 50)
+    assert(res.count() === 9)
+  }
+
+  test("appending to a pre-drift index refuses loudly instead of writing a mixed-schema codes dir") {
+    val dir = Files.createTempDirectory("graft-ivfpq-predrift").toString
+    Similarity.buildIvfPqIndex(emb, dir, nCells = 8, m = 16, codebookK = 32)
+    // simulate an index written before drift tracking: same codes, no
+    // (cdist, epoch) columns
+    val legacy = spark.read.parquet(s"$dir/codes")
+      .drop("cdist", "epoch").localCheckpoint()
+    legacy.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPqIndex(
+        emb.withColumn("vec_id", col("vec_id") + 10000), dir)
+    }
+    assert(err.getMessage.contains("predates drift tracking"))
+    // nothing was appended: the codes dir still reads with one schema
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.count() === emb.count() && !codes.columns.contains("epoch"))
+  }
+
+  test("perCell drift: a cell the build never populated fires the advisory instead of dropping out") {
+    import spark.implicits._
+    // drift reads only <path>/codes — synthesize the exact degenerate
+    // layout: build rows in cell 0 only, an append batch landing in
+    // cell 1 (data where the frozen quantizer saw NOTHING at train time)
+    val dir = Files.createTempDirectory("graft-ivfpq-nullbase").toString
+    Seq(
+      (1L, 0.2, 0, 0), (2L, 0.3, 0, 0),   // build epoch, cell 0
+      (3L, 0.25, 0, 1),                   // identical-ish append, cell 0
+      (4L, 9.0, 1, 1), (5L, 9.5, 1, 1))   // append rows in an unseen cell
+      .toDF("corpus_id", "cdist", "cell", "epoch")
+      .write.partitionBy("cell").parquet(s"$dir/codes")
+    val perCell = Similarity.ivfPqIndexDrift(spark, dir, perCell = true)
+      .collect().map(r => (r.getAs[Int]("cell"), r.getAs[Int]("epoch")) ->
+        (Option(r.get(r.fieldIndex("drift_ratio"))),
+          r.getAs[Boolean]("retrain_advised"))).toMap
+    // the unseen cell has no baseline → NULL ratio but the advisory FIRES
+    assert(perCell((1, 1))._1.isEmpty && perCell((1, 1))._2,
+      s"null-baseline cell must advise retrain: $perCell")
+    // populated cell at epoch 0: exact 1.0, no advisory
+    assert(perCell((0, 0))._1.contains(1.0) && !perCell((0, 0))._2)
+  }
+
   test("opq=true freezes an orthogonal rotation in meta; query and append share it (r9 VERDICT item 2)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-ivfpq-opq").toString
