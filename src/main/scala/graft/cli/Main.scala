@@ -459,7 +459,16 @@ object Main {
         // (main.c:150 DEFAULT_DELIMITER) so an un-flagged dump is
         // byte-diffable against the C engine's (make's INPUT default
         // stays "," — see the make scaladoc for that divergence).
-        val delim = one("--delimiter").getOrElse(" ")
+        val delim = one("--delimiter").getOrElse {
+          // the default changed from "," (pre-r13) for C byte-parity;
+          // one stderr line keeps un-flagged scripts (and a default
+          // dump | make round-trip, whose make input default stays ",")
+          // from mismatching silently
+          Console.err.println("[dump] no --delimiter given: using the " +
+            "reference's default ' ' (space); pass --delimiter ',' for " +
+            "the pre-r13 CSV default / make's input default")
+          " "
+        }
         one("-o") match {
           case Some(out) if flags("-j").nonEmpty =>
             if (single)

@@ -63,6 +63,15 @@ import org.apache.spark.sql.functions._
   */
 object TdbWriter {
 
+  /** Driver drain cap for the in-memory package assembly. The ordered
+    * dataBuf/uuidBuf are a second full copy of the drained blocks, so
+    * peak driver memory is ~2× this (≈1.5 GiB). Also the per-partition
+    * encoder bound: one partition's block can never exceed what the
+    * drain would refuse anyway, and guarding executor-side fails loud
+    * BEFORE a skewed-uuid partition's ByteArrayOutputStream hits the
+    * JVM's 2 GB array ceiling. */
+  private[graft] final val DrainCapBytes: Long = 3L << 28 // 768 MiB
+
   def writePackage(df: DataFrame, fieldNames: Seq[String], out: String,
       compress: Boolean = true, bigrams: Boolean = true,
       maxLexiconValues: Long = DefaultMaxLexiconValues): Unit =
@@ -379,6 +388,16 @@ object TdbWriter {
         lens += bytes.length
         data.write(bytes)
         uuids.write(TdbFormat.hexToBytes(curUuid))
+        // executor-side size guard: fail loud here (with the partition's
+        // running total) rather than in BAOS array growth near 2 GB on a
+        // skewed-uuid partition — anything this size would be refused at
+        // the driver drain regardless
+        require(data.size().toLong < TdbWriter.DrainCapBytes,
+          s"tdb package: one partition's encoded block (${data.size()} B " +
+            s"after ${lens.length} trails) exceeds the 768 MiB writer " +
+            "cap — a skewed uuid distribution concentrated too many " +
+            "events in one partition; export a sample (the parquet " +
+            "directory is the scale layout)")
       }
       while (it.hasNext) {
         val r = it.next()
@@ -423,14 +442,15 @@ object TdbWriter {
     encoded.count() // parallel materialization of every partition's encode
 
     // driver-side ASSEMBLY, the format's inherent single stream: fetch
-    // the compact per-partition blocks (driver memory = the encoded
-    // package, same caps as ever — refuse LOUDLY at 1.5 GiB rather than
-    // dying in ByteArrayOutputStream's array growth near Int.MaxValue;
-    // uuids at 16 B/trail can hit the limit first on many-tiny-trail
-    // corpora), then restore GLOBAL trail order with one driver
-    // merge-sort over the uuid keys: v1 orders by the uuid's
-    // little-endian u128 value (compare raw bytes reversed), v0 by hex
-    // string == raw byte order.
+    // the compact per-partition blocks, then restore GLOBAL trail order
+    // with one driver merge-sort over the uuid keys: v1 orders by the
+    // uuid's little-endian u128 value (compare raw bytes reversed), v0
+    // by hex string == raw byte order. The drain cap is 768 MiB: the
+    // ordered dataBuf/uuidBuf below are a SECOND full copy of the
+    // blocks, so peak driver memory is ~2× the cap — 1.5 GiB total,
+    // refused LOUDLY rather than dying in ByteArrayOutputStream's array
+    // growth near Int.MaxValue (uuids at 16 B/trail can hit the limit
+    // first on many-tiny-trail corpora).
     val blocks = scala.collection.mutable.ArrayBuffer
       .empty[(Array[Byte], Array[Int], Array[Byte])]
     locally {
@@ -441,9 +461,10 @@ object TdbWriter {
         dataBytes += b._3.length.toLong
         uuidBytes += b._1.length.toLong
         trailsSeen += b._2.length.toLong
-        require(dataBytes < (3L << 29) && uuidBytes < (3L << 29),
+        require(dataBytes < TdbWriter.DrainCapBytes &&
+          uuidBytes < TdbWriter.DrainCapBytes,
           s"tdb package: trails.data ($dataBytes B) or uuids " +
-            s"($uuidBytes B) exceeds the 1.5 GiB in-memory writer " +
+            s"($uuidBytes B) exceeds the 768 MiB in-memory writer " +
             s"cap after $trailsSeen trails — export a sample " +
             "(the parquet directory is the scale layout)")
         blocks += b
@@ -507,7 +528,7 @@ object TdbWriter {
       (if (v0) (if (fieldNames.nonEmpty) "\n" else "")
        else if (fieldNames.nonEmpty) "\n\n" else "\n"))
       .getBytes(StandardCharsets.UTF_8)
-    // toc entries are u32: trails.data is capped at 1.5 GiB above, far
+    // toc entries are u32: trails.data is capped at 768 MiB above, far
     // under the 4 GiB u32/u64 switch point (the READER still handles u64
     // tocs, for reference-written packages past 4 GiB)
     val tocWidth = 4
