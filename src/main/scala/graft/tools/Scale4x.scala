@@ -667,6 +667,13 @@ object Scale4x {
         println(f"| audio dedup | ${f}× | ${nD1 * f} | $t%.2f s | $raw | $verified" +
           (if (verified == expect) " (exact)" else s" (EXPECTED $expect)") + " |")
       }
+      // no silent caps: the audio leg stops at 16× because the Goertzel
+      // fingerprint (17 bins × 256-sample windows per frame) makes the
+      // DECODE the cost, not the banded join — 64× would spend ~4× the
+      // 16× wall on CPU-bound fingerprinting while exercising the same
+      // join plan the image 64× row already proves near-linear
+      println("| audio dedup | 64× | — | skipped: fingerprint decode is " +
+        "CPU-bound (Goertzel), join plan identical to image 64× | — | — |")
       for (f <- Seq(1, 4, 16, 64)) {
         val docs = rep(f)
         var pairs = 0L
@@ -679,6 +686,65 @@ object Scale4x {
         val expect = 3L * (nD1 * f / 4)
         println(f"| video dedup | ${f}× | ${nD1 * f} | $t%.2f s | $pairs | $pairs" +
           (if (pairs == expect) " (exact)" else s" (EXPECTED $expect)") + " |")
+      }
+
+      // FLAT-MEDIA leg (round 14): the degenerate regime the guard
+      // exists for — nD1·f all-black rasters (every dHash = 0, the
+      // whole cohort in ONE (band, bits) bucket per band) mixed with
+      // the 1× planted fixture. Guarded (default cap 1000) the flat
+      // bucket is dropped: wall-clock stays near-linear, planted pairs
+      // replay exactly, zero flat pairs leak, and the audit names the
+      // 4 dropped buckets. The unguarded contrast column measures the
+      // quadratic join the guard prevents; it stops at 16× because 64×
+      // unguarded IS the failure mode (≈2×10⁹ joined rows) — the row
+      // says so instead of hiding it.
+      println()
+      println("| op | factor | flats | wall (guarded) | dropped buckets " +
+        "(df) | planted/flat pairs | wall (unguarded) |")
+      println("|---|---|---|---|---|---|---|")
+      val fixture1 = Multimodal.dedupImageMediaFromDocuments(d1)
+        .select("media_id", "bytes")
+      val flatBytes = Multimodal.Ppm.encode(8, 8, new Array[Byte](8 * 8 * 3))
+      val expectPlanted = 3L * (nD1 / 4)
+      for (f <- Seq(1, 4, 16, 64)) {
+        val nFlat = nD1 * f
+        val flats = spark.range(nFlat)
+          .select((col("id") + lit(1000000L)).as("media_id"),
+            lit(flatBytes).as("bytes"))
+        val dec = Multimodal.decodeAnyImages(
+            fixture1.unionByName(flats), thumbSide = 8)
+          .localCheckpoint() // decode once for guarded + unguarded + audit
+        var pairs = 0L; var flatPairs = 0L
+        val tg = time {
+          val p = Multimodal.imageNearDupPairs(dec, maxHamming = 3)
+            .localCheckpoint()
+          pairs = p.count()
+          flatPairs = p.filter(col("id_a") >= 1000000L ||
+            col("id_b") >= 1000000L).count()
+          0L
+        }
+        val dropped = Multimodal.degenerateHammingBuckets(
+            dec.select(col("media_id").as("id"),
+              graft.functions.GraftFunctions.dhash64(col("thumb")).as("sig")),
+            maxHamming = 3)
+          .collect().map(r => r.getLong(2))
+        // under the default cap (1×: 500 flats ≤ 1000) nothing is
+        // dropped and the flat cohort legitimately pairs all-pairs —
+        // the row demonstrates the cap THRESHOLD, not a guard miss
+        val expFlat = if (nFlat <= 1000) nFlat.toLong * (nFlat - 1) / 2 else 0L
+        val ok = pairs == expectPlanted + expFlat && flatPairs == expFlat
+        val tu =
+          if (f <= 16) f"${time {
+            Multimodal.imageNearDupPairs(dec, maxHamming = 3,
+              maxBucketDf = Int.MaxValue).count(); 0L
+          }}%.2f s"
+          else "skipped: this IS the quadratic regime the guard removes"
+        println(f"| flat-image dedup | ${f}× | $nFlat | $tg%.2f s " +
+          f"| ${dropped.length} × df=${if (dropped.isEmpty) 0L else dropped.max} " +
+          f"| $pairs/$flatPairs" +
+          (if (ok) " (exact)"
+           else s" (EXPECTED ${expectPlanted + expFlat}/$expFlat)") +
+          s" | $tu |")
       }
       spark.stop(); return
     }
