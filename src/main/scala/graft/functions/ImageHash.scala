@@ -57,6 +57,15 @@ case class ImageHash64(child: Expression, dhash: Boolean)
 
 object ImageHash64 {
 
+  /** Scala-side entry for per-partition callers — the streaming video
+    * decode hashes frames INSIDE its mapPartitions (a stream cannot
+    * stage per-frame rows through a distinct), and routing through the
+    * same `compute` keeps stream and batch hashes identical by
+    * construction, not by parallel implementation. */
+  def computeFloats(thumb: Array[Float], dhash: Boolean): Long =
+    compute(org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(thumb), dhash)
+
   /** One-pass perceptual hash over an interleaved-RGB float thumbnail;
     * called from generated code. Throws on a non-square or non-RGB array
     * length (a decode-contract violation, not data noise). */

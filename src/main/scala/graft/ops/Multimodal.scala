@@ -1158,21 +1158,7 @@ object Multimodal {
         try {
           val (w, h, _, frames) = Y4m.decode(m.bytes)
           frames.iterator.zipWithIndex.map { case (f, k) =>
-            val thumb = new Array[Float](thumbSide * thumbSide * 3)
-            var ty = 0
-            while (ty < thumbSide) {
-              var tx = 0
-              while (tx < thumbSide) {
-                val sx = (tx * w) / thumbSide
-                val sy = (ty * h) / thumbSide
-                val y = (f(sy * w + sx) & 0xff) / 255.0f
-                val dst = (ty * thumbSide + tx) * 3
-                thumb(dst) = y; thumb(dst + 1) = y; thumb(dst + 2) = y
-                tx += 1
-              }
-              ty += 1
-            }
-            (m.media_id, k, thumb)
+            (m.media_id, k, lumaThumb(f, w, h, thumbSide))
           }
         } catch {
           case e: Exception if skipMalformed => Iterator.empty
@@ -1181,6 +1167,75 @@ object Multimodal {
         }
       }
     }.toDF("media_id", "frame_idx", "thumb")
+  }
+
+  /** Gray `side`² thumbnail of one luma plane in the [[decodeImages]]
+    * interleaved-RGB float layout (r = g = b = luma). */
+  private def lumaThumb(f: Array[Byte], w: Int, h: Int,
+      thumbSide: Int): Array[Float] = {
+    val thumb = new Array[Float](thumbSide * thumbSide * 3)
+    var ty = 0
+    while (ty < thumbSide) {
+      var tx = 0
+      while (tx < thumbSide) {
+        val sx = (tx * w) / thumbSide
+        val sy = (ty * h) / thumbSide
+        val y = (f(sy * w + sx) & 0xff) / 255.0f
+        val dst = (ty * thumbSide + tx) * 3
+        thumb(dst) = y; thumb(dst + 1) = y; thumb(dst + 2) = y
+        tx += 1
+      }
+      ty += 1
+    }
+    thumb
+  }
+
+  /** Per-video DISTINCT frame dHashes as ONE stateless row per video:
+    * (media_id, frame_hashes sorted array). The streaming decode path —
+    * a stream cannot run the batch side's `.distinct()` without
+    * unbounded state, but every frame of a video arrives inside its one
+    * blob, so the distinct is computed IN-TASK during the decode. The
+    * hash routes through the same [[graft.functions.ImageHash64]]
+    * compute as the batch plan's native expression, so stream and batch
+    * frame hashes are identical by construction. */
+  def videoFrameHashSets(media: DataFrame, thumbSide: Int = 8,
+      skipMalformed: Boolean = true): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[VideoRow].mapPartitions { it =>
+      it.flatMap { m =>
+        try {
+          val (w, h, _, frames) = Y4m.decode(m.bytes)
+          val set = scala.collection.mutable.SortedSet.empty[Long]
+          frames.foreach { f =>
+            set += graft.functions.ImageHash64.computeFloats(
+              lumaThumb(f, w, h, thumbSide), dhash = true)
+          }
+          Iterator.single((m.media_id, set.toArray))
+        } catch {
+          case e: Exception if skipMalformed => Iterator.empty
+          case e: Exception => throw new RuntimeException(
+            s"malformed video for media_id ${m.media_id}", e)
+        }
+      }
+    }.toDF("media_id", "frame_hashes")
+  }
+
+  /** FROZEN per-frame inverted index for the streaming video twin —
+    * [[imageSignatureIndex]]'s video analog: (fh, id) with STOP FRAMES
+    * (frame hashes in more than `maxFrameDf` videos — black frames,
+    * test cards) removed at freeze time, exactly the
+    * [[videoNearDupPairs]] whale guard. */
+  def videoFrameIndex(media: DataFrame, maxFrameDf: Int = 1000,
+      thumbSide: Int = 8): DataFrame = {
+    val frames = videoFrameHashSets(media, thumbSide)
+      .select(col("media_id").cast("long").as("id"),
+        explode(col("frame_hashes")).as("fh"))
+    val rare = frames.groupBy(col("fh"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxFrameDf)
+      .select(col("fh"))
+    frames.join(rare, Seq("fh"), "left_semi").select(col("fh"), col("id"))
   }
 
   /** Perceptual near-duplicate video pairs: per-frame dHash over

@@ -879,6 +879,33 @@ object StreamSessions {
       .dropDuplicates("media_id", "match_id")
   }
 
+  /** Streaming twin of perceptual video dedup against a FROZEN
+    * [[graft.ops.Multimodal.videoFrameIndex]] — completes the
+    * image/audio/video streaming modality set. The per-video distinct
+    * frame hashes are computed IN-TASK by the decode
+    * ([[graft.ops.Multimodal.videoFrameHashSets]] — a stream cannot run
+    * the batch `.distinct()`), the explode and the frame-hash match are
+    * stateless stream-static operations, and the shared-frame count is
+    * a streaming aggregation whose state is one counter per (stream
+    * video, index video) pair sharing ≥1 frame — bounded by the
+    * candidate-pair volume the stop-frame removal already caps, not by
+    * the corpus. Aggregation ⇒ run the sink in UPDATE mode (the
+    * [[graft.ops.Similarity.streamingIndexSearch]] convention); a
+    * video's frames all arrive in its one blob, so each pair's count is
+    * complete in the micro-batch that carries the video and the final
+    * sink state equals the batch pair set (spec-proven).
+    *
+    * Returns (media_id, match_id, n_matched ≥ `minMatchedFrames`). */
+  def streamingVideoNearDup(stream: DataFrame, index: DataFrame,
+      minMatchedFrames: Int = 2, thumbSide: Int = 8): DataFrame =
+    graft.ops.Multimodal.videoFrameHashSets(stream, thumbSide)
+      .select(col("media_id").cast("long").as("sid"),
+        explode(col("frame_hashes")).as("fh"))
+      .join(index.select(col("fh"), col("id").as("_iid")), Seq("fh"))
+      .groupBy(col("sid").as("media_id"), col("_iid").as("match_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= minMatchedFrames)
+
   /** Streaming twin of [[graft.ops.Similarity.covarianceMatrix]]'s Gram
     * pass — live corpus moments (n, per-dim micro sums, upper-triangle
     * micro² product sums) maintained as ONE complete-mode global typed

@@ -1665,6 +1665,21 @@ class AvDedupSpec extends SparkSpec {
       .intersect((0 until nf0).map(k => hashes((3L, k))).toSet).isEmpty)
   }
 
+  test("videoFrameHashSets: in-task distinct equals the batch plan's dhash64-distinct set") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(12)
+    val media = Multimodal.dedupVideoMediaFromDocuments(docs)
+    val inTask = Multimodal.videoFrameHashSets(media).collect()
+      .map(r => r.getLong(0) -> r.getAs[Seq[Long]]("frame_hashes").toSet).toMap
+    val viaPlan = Multimodal.decodeVideoThumbs(media, thumbSide = 8)
+      .select(col("media_id"),
+        graft.functions.GraftFunctions.dhash64(col("thumb")).as("h"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert(inTask === viaPlan && inTask.size === 12)
+  }
+
   test("videoNearDupPairs: planted matched-frame counts; stop-frame removal kills common frames") {
     val docs = TestSpark.spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet").limit(24)

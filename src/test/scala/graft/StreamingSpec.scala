@@ -706,6 +706,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === expected)
   }
 
+  test("streaming perceptual video dedup against a frozen frame index equals the batch pair set") {
+    import graft.ops.Multimodal
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(32) // 8 groups
+    val media = Multimodal.dedupVideoMediaFromDocuments(docs)
+    val index = Multimodal.videoFrameIndex(
+      media.filter(col("media_id") % 4 === 0 || col("media_id") % 4 === 3))
+      .localCheckpoint()
+
+    val dir = Files.createTempDirectory("graft-svid")
+    val src = dir.resolve("src").toString
+    media.filter(col("media_id") % 4 === 1).select("media_id", "bytes")
+      .coalesce(1).write.parquet(src)
+    Thread.sleep(1100)
+    media.filter(col("media_id") % 4 === 2).select("media_id", "bytes")
+      .coalesce(1).write.mode("append").parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    // aggregation state → UPDATE mode; each pair's count completes in
+    // the micro-batch carrying its video, so final state == batch
+    val q = StreamSessions.streamingVideoNearDup(stream, index)
+      .writeStream.outputMode("update").format("memory").queryName("svid")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.sql("SELECT media_id, match_id, n_matched FROM svid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // planted structure: the exact copy shares all nf frames with its
+    // base, the replaced-frame member nf-1; nothing matches m=3
+    val expected = (0 until 8).flatMap { g =>
+      val nf = 3L + g % 3
+      Seq((4L * g + 1, 4L * g, nf), (4L * g + 2, 4L * g, nf - 1))
+    }.toSet
+    assert(streamed === expected)
+    // and the batch operator, restricted to (index, stream) cross pairs,
+    // says exactly the same
+    val batch = Multimodal.videoNearDupPairs(media, minMatchedFrames = 2)
+      .filter((col("id_a") % 4 === 0 || col("id_a") % 4 === 3) &&
+        (col("id_b") % 4 === 1 || col("id_b") % 4 === 2))
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
   test("pure-projection text ops run unchanged on a stream (quality + PII scrub)") {
     val dir = Files.createTempDirectory("graft-sproj")
     val src = dir.resolve("src").toString
