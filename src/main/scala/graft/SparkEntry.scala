@@ -2208,6 +2208,22 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Degenerate-aware dedup ROUTING — the composition the bucket
+    // guard prescribes, gated: a corpus of planted perceptual groups
+    // PLUS a cohort of byte-identical flat rasters (the tracking-pixel
+    // regime). Flats route to exact blob dedup (linear star pairs to
+    // the min-key survivor), non-flats to banded perceptual pairing;
+    // the oracle replays both halves exactly.
+    "m_routed_dedup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val planted = Multimodal.dedupImageMediaFromDocuments(docs)
+        .select("media_id", "bytes")
+      val flats = docs.select((col("doc_id") + lit(1000000L)).as("media_id"),
+        lit(Multimodal.Ppm.encode(8, 8, new Array[Byte](8 * 8 * 3))).as("bytes"))
+      Multimodal.routedImageDedup(planted.unionByName(flats))
+        .orderBy("id_a", "id_b")
+    }),
+
     // The COMPLETE media dedup pipeline as one composed run — the media
     // twin of d_pipeline: mixed-format decode → perceptual near-dup
     // pairs (banded dHash + exact verify) → connected-components
@@ -4872,6 +4888,25 @@ object SparkEntry {
         |         AS n_diff_ch
         |FROM d WHERE m IN (1, 2)
         |ORDER BY media_id""".stripMargin,
+
+    // Exact replay of the routed dedup: flat rasters (all byte-identical)
+    // collapse to star pairs under their min key via the exact-blob
+    // branch; the planted perceptual groups pair within-group as ever.
+    "m_routed_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |           FROM documents)
+        |SELECT * FROM (
+        |  SELECT CAST(1000000 + (SELECT min(doc_id) FROM d) AS BIGINT)
+        |           AS id_a,
+        |         CAST(1000000 + doc_id AS BIGINT) AS id_b,
+        |         'exact_blob' AS kind
+        |  FROM d WHERE doc_id > (SELECT min(doc_id) FROM d)
+        |  UNION ALL
+        |  SELECT CAST(a.doc_id AS BIGINT), CAST(b.doc_id AS BIGINT),
+        |         'perceptual'
+        |  FROM d a JOIN d b ON a.gid = b.gid AND a.doc_id < b.doc_id
+        |  WHERE a.m <= 2 AND b.m <= 2)
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Exact replay of the composed media pipeline: the near-dup cluster
     // {4g, 4g+1, 4g+2} is labeled by its min id (4g), keepBest with

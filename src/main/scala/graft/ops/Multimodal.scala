@@ -825,6 +825,70 @@ object Multimodal {
         col("n_diff_ch").cast("long").as("n_diff_ch"))
   }
 
+  /** Per-image quality signals over decode thumbnails — the media twin
+    * of [[TextAnalysis.withQualitySignals]], and the measured input the
+    * degenerate-media routing needs: `thumb_var` (population variance of
+    * the thumbnail channels — exactly 0 for a constant raster),
+    * `edge_energy` (mean |adjacent-channel difference| — a cheap
+    * sharpness proxy; 0 for flat, high for noise/detail), and `is_flat`
+    * (`thumb_var ≤ flatEps` — the tracking-pixel/solid-raster predicate
+    * [[imageNearDupPairs]]' bucket guard exists for). All composed from
+    * codegen'd builtins (`aggregate`/`zip_with`/`slice`) — no UDF, no
+    * extra pass. */
+  def withImageQualitySignals(decoded: DataFrame,
+      thumbCol: String = "thumb", flatEps: Double = 1e-9): DataFrame = {
+    val t = col(thumbCol)
+    val n = size(t).cast("double")
+    val mean = aggregate(t, lit(0.0), (acc, x) => acc + x) / n
+    decoded
+      .withColumn("thumb_var",
+        aggregate(t, lit(0.0), (acc, x) => acc + (x - mean) * (x - mean)) / n)
+      .withColumn("edge_energy",
+        // both slices are exactly size-1 long: zip_with pads the SHORTER
+        // side with nulls, so equal lengths are a correctness requirement
+        aggregate(zip_with(
+            slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+            (a, b) => abs(b - a)), lit(0.0), (acc, x) => acc + x) /
+          greatest(size(t) - 1, lit(1)).cast("double"))
+      .withColumn("is_flat", col("thumb_var") <= flatEps)
+  }
+
+  /** Degenerate-aware image dedup ROUTING — the composition the bucket
+    * guard's scaladoc prescribes, as one operator: flat media (where
+    * perceptual hashing degenerates — every flat raster dHashes to 0 and
+    * one (band, bits) bucket would go quadratic) route to EXACT blob
+    * dedup (linear: hash-groupBy + star pairs to the min-key survivor),
+    * non-flat media route to banded perceptual pairing. Returns one
+    * unified pair frame (id_a, id_b, kind ∈ {'exact_blob',
+    * 'perceptual'}), id_a < id_b, drop-in for
+    * [[Dedup.connectedComponents]] / [[Dedup.keepBest]]. A flat group's
+    * star pairs label the same connected component the quadratic
+    * all-pairs would — at linear, not quadratic, output cost. */
+  def routedImageDedup(media: DataFrame, maxHamming: Int = 3,
+      maxBucketDf: Int = 1000, thumbSide: Int = 8,
+      flatEps: Double = 1e-9): DataFrame = {
+    // decoded thumbs feed the flat split AND the perceptual branch —
+    // decode once (the imageNearDupPairs checkpoint discipline)
+    val dec = withImageQualitySignals(
+      decodeAnyImages(media, thumbSide), flatEps = flatEps)
+      .select(col("media_id"), col("thumb"), col("is_flat"))
+      .localCheckpoint()
+    val flatIds = dec.filter(col("is_flat")).select(col("media_id"))
+    val flatBlobs = media.join(flatIds, Seq("media_id"), "left_semi")
+      .select(col("media_id").as("key"), col("bytes"))
+    val groups = blobDupGroups(flatBlobs)
+      .select(col("blob_md5").as("_m"), col("kept_key"))
+    val blobPairs = flatBlobs.withColumn("_md5", md5(col("bytes")))
+      .join(groups, col("_md5") === col("_m") &&
+        col("key").cast("long") =!= col("kept_key"))
+      .select(col("kept_key").as("id_a"), col("key").cast("long").as("id_b"),
+        lit("exact_blob").as("kind"))
+    val perceptual = imageNearDupPairs(dec.filter(!col("is_flat")),
+        maxHamming = maxHamming, maxBucketDf = maxBucketDf)
+      .select(col("id_a"), col("id_b"), lit("perceptual").as("kind"))
+    blobPairs.unionByName(perceptual)
+  }
+
   /** Exact blob dedup groups over any (key, bytes) frame — e.g. a
     * [[readWebDataset]] read-back: "the same image landed in the tar
     * twice". One hash-groupBy on md5(bytes) (16-byte content identity;

@@ -1589,6 +1589,59 @@ class ImageDedupSpec extends SparkSpec {
     assert(pairsOf(flat, bumped((0, 1), (0, 4), (1, 1), (1, 4))) === Seq.empty)
   }
 
+  test("image quality signals: flatness and edge energy separate degenerate from real media") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(16)
+    val planted = Multimodal.dedupImageMediaFromDocuments(docs)
+      .select("media_id", "bytes")
+    val flats = (0 until 5).map(i =>
+      (2000L + i, Multimodal.Ppm.encode(8, 8, new Array[Byte](192))))
+      .toDF("media_id", "bytes")
+    val q = Multimodal.withImageQualitySignals(
+        Multimodal.decodeAnyImages(planted.unionByName(flats), thumbSide = 8))
+      .select("media_id", "thumb_var", "edge_energy", "is_flat").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(q.size === 21)
+    q.foreach { case (id, (v, e, flat)) =>
+      if (id >= 2000L) assert(flat && v === 0.0 && e === 0.0, s"flat $id: $v/$e")
+      else assert(!flat && v > 0.0 && e > 0.0, s"planted $id: $v/$e")
+    }
+  }
+
+  test("routedImageDedup: flats go to exact blob star pairs, the rest to perceptual banding") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(16) // 4 groups
+    val planted = Multimodal.dedupImageMediaFromDocuments(docs)
+      .select("media_id", "bytes")
+    val flats = (0 until 6).map(i =>
+      (2000L + i, Multimodal.Ppm.encode(8, 8, new Array[Byte](192))))
+      .toDF("media_id", "bytes")
+    val got = Multimodal.routedImageDedup(planted.unionByName(flats))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val expected =
+      (1 until 6).map(i => (2000L, 2000L + i, "exact_blob")).toSet ++
+      (0 until 4).flatMap { g =>
+        val b = 4L * g
+        Seq((b, b + 1, "perceptual"), (b, b + 2, "perceptual"),
+          (b + 1, b + 2, "perceptual"))
+      }.toSet
+    assert(got === expected)
+    // the unified pair frame is drop-in for clustering: flats form ONE
+    // component, planted groups keep theirs
+    val all = planted.unionByName(flats)
+      .select(col("media_id").as("doc_id"))
+    val comps = Dedup.dedupClusters(all,
+        Multimodal.routedImageDedup(planted.unionByName(flats))
+          .select("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 6).foreach(i => assert(comps(2000L + i) === 2000L))
+    (0 until 4).foreach { g =>
+      (0 to 2).foreach(mm => assert(comps(4L * g + mm) === 4L * g))
+      assert(comps(4L * g + 3) === 4L * g + 3)
+    }
+  }
+
   test("blobDupGroups/dedupBlobs: byte-identical blobs collapse to the min key") {
     val rows = Seq(
       (10L, "aaa".getBytes), (11L, "bbb".getBytes), (12L, "aaa".getBytes),
