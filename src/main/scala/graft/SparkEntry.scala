@@ -2224,6 +2224,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Degenerate-aware AUDIO routing — the silent-clip regime: silence
+    // fingerprints collide exactly like flat rasters hash to 0, so
+    // silent clips (byte-identical planted cohort) route to exact blob
+    // star pairs and audible clips to fingerprint banding.
+    "m_routed_audio" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val planted = Multimodal.dedupAudioMediaFromDocuments(docs)
+      val silents = docs.select((col("doc_id") + lit(1000000L)).as("media_id"),
+        lit(Multimodal.Wav.encode(16000, new Array[Short](1024))).as("bytes"))
+      Multimodal.routedAudioDedup(planted.unionByName(silents))
+        .orderBy("id_a", "id_b")
+    }),
+
     // The COMPLETE media dedup pipeline as one composed run — the media
     // twin of d_pipeline: mixed-format decode → perceptual near-dup
     // pairs (banded dHash + exact verify) → connected-components
@@ -4893,6 +4906,25 @@ object SparkEntry {
     // collapse to star pairs under their min key via the exact-blob
     // branch; the planted perceptual groups pair within-group as ever.
     "m_routed_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |           FROM documents)
+        |SELECT * FROM (
+        |  SELECT CAST(1000000 + (SELECT min(doc_id) FROM d) AS BIGINT)
+        |           AS id_a,
+        |         CAST(1000000 + doc_id AS BIGINT) AS id_b,
+        |         'exact_blob' AS kind
+        |  FROM d WHERE doc_id > (SELECT min(doc_id) FROM d)
+        |  UNION ALL
+        |  SELECT CAST(a.doc_id AS BIGINT), CAST(b.doc_id AS BIGINT),
+        |         'perceptual'
+        |  FROM d a JOIN d b ON a.gid = b.gid AND a.doc_id < b.doc_id
+        |  WHERE a.m <= 2 AND b.m <= 2)
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Exact replay of the routed audio dedup: byte-identical silent
+    // clips star-pair under their min key; planted audible groups pair
+    // within-group (the m_audio_dedup structure).
+    "m_routed_audio" ->
       """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
         |           FROM documents)
         |SELECT * FROM (

@@ -917,6 +917,74 @@ object Multimodal {
       .drop("_md5")
   }
 
+  /** Per-clip audio quality signals — [[withImageQualitySignals]]' audio
+    * twin and the silence predicate the fingerprint bucket guard points
+    * at: `rms` (root-mean-square amplitude over the PCM), `peak` (max
+    * |sample|), `clip_rate` (fraction of samples at the 16-bit rails —
+    * the distortion signal), `n_samples`, and `is_silent`
+    * (`peak ≤ silenceFloor` — silence fingerprints collide exactly like
+    * flat rasters dHash to 0). One decode pass per partition, exact
+    * integer accumulation before the one IEEE division. */
+  def withAudioQualitySignals(media: DataFrame,
+      silenceFloor: Int = 0, skipMalformed: Boolean = true): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[AudioRow].mapPartitions { it =>
+      it.flatMap { m =>
+        try {
+          val (_, samples) = Wav.decode(m.bytes)
+          var sq = 0.0
+          var peak = 0
+          var clipped = 0L
+          var i = 0
+          while (i < samples.length) {
+            val s = samples(i).toInt
+            val a = math.abs(s)
+            sq += s.toDouble * s
+            if (a > peak) peak = a
+            if (s == Short.MaxValue || s == Short.MinValue) clipped += 1
+            i += 1
+          }
+          val n = samples.length
+          Iterator.single((m.media_id,
+            if (n == 0) 0.0 else math.sqrt(sq / n), peak.toLong,
+            if (n == 0) 0.0 else clipped.toDouble / n, n.toLong,
+            peak <= silenceFloor))
+        } catch {
+          case e: Exception if skipMalformed => Iterator.empty
+          case e: Exception => throw new RuntimeException(
+            s"malformed audio for media_id ${m.media_id}", e)
+        }
+      }
+    }.toDF("media_id", "rms", "peak", "clip_rate", "n_samples", "is_silent")
+  }
+
+  /** Degenerate-aware AUDIO dedup routing — [[routedImageDedup]]'s audio
+    * twin: silent clips (colliding fingerprints, the quadratic-bucket
+    * regime) route to exact blob dedup as linear star pairs; audible
+    * clips route to banded perceptual fingerprint pairing. Returns
+    * (id_a, id_b, kind ∈ {'exact_blob', 'perceptual'}), id_a < id_b,
+    * drop-in for the clustering stack. */
+  def routedAudioDedup(media: DataFrame, maxHamming: Int = 3,
+      maxBucketDf: Int = 1000, silenceFloor: Int = 0): DataFrame = {
+    val silentIds = withAudioQualitySignals(media, silenceFloor)
+      .filter(col("is_silent")).select(col("media_id"))
+      .localCheckpoint()
+    val silent = media.join(silentIds, Seq("media_id"), "left_semi")
+      .select(col("media_id").as("key"), col("bytes"))
+    val groups = blobDupGroups(silent)
+      .select(col("blob_md5").as("_m"), col("kept_key"))
+    val blobPairs = silent.withColumn("_md5", md5(col("bytes")))
+      .join(groups, col("_md5") === col("_m") &&
+        col("key").cast("long") =!= col("kept_key"))
+      .select(col("kept_key").as("id_a"), col("key").cast("long").as("id_b"),
+        lit("exact_blob").as("kind"))
+    val audible = media.join(silentIds, Seq("media_id"), "left_anti")
+    val perceptual = audioNearDupPairs(audible, maxHamming, maxBucketDf)
+      .select(col("id_a"), col("id_b"), lit("perceptual").as("kind"))
+    blobPairs.unionByName(perceptual)
+  }
+
   // ---- perceptual audio dedup (round 13) ----
 
   /** Haitsma-Kalker-style audio fingerprint (the PRH "robust hash" of

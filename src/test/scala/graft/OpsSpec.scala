@@ -1701,6 +1701,54 @@ class AvDedupSpec extends SparkSpec {
     assert(md5s(0L) === md5s(1L)); assert(md5s(0L) != md5s(2L))
   }
 
+  test("audio quality signals: silence/rms/clip separate degenerate from audible clips") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(8)
+    val planted = Multimodal.dedupAudioMediaFromDocuments(docs)
+    val silents = (0 until 3).map(i =>
+      (3000L + i, Multimodal.Wav.encode(16000, new Array[Short](512))))
+      .toDF("media_id", "bytes")
+    // one clip clipped at the rails to exercise clip_rate
+    val clipped = Seq((4000L, Multimodal.Wav.encode(16000,
+      Array.fill[Short](100)(Short.MaxValue)))).toDF("media_id", "bytes")
+    val q = Multimodal.withAudioQualitySignals(
+        planted.select("media_id", "bytes").unionByName(silents)
+          .unionByName(clipped))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getBoolean(5))).toMap
+    assert(q.size === 12)
+    (0 until 3).foreach { i =>
+      val (rms, peak, clip, silent) = q(3000L + i)
+      assert(silent && rms === 0.0 && peak === 0L && clip === 0.0)
+    }
+    (0L until 8L).foreach { id =>
+      val (rms, peak, _, silent) = q(id)
+      assert(!silent && rms > 0.0 && peak > 0L, s"planted $id")
+    }
+    val (_, peakC, clipC, silentC) = q(4000L)
+    assert(!silentC && peakC === Short.MaxValue.toLong && clipC === 1.0)
+  }
+
+  test("routedAudioDedup: silent clips star-pair via blob dedup, audible clips via fingerprints") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(16) // 4 groups
+    val planted = Multimodal.dedupAudioMediaFromDocuments(docs)
+    val silents = (0 until 5).map(i =>
+      (3000L + i, Multimodal.Wav.encode(16000, new Array[Short](512))))
+      .toDF("media_id", "bytes")
+    val got = Multimodal.routedAudioDedup(
+        planted.select("media_id", "bytes").unionByName(silents))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val expected =
+      (1 until 5).map(i => (3000L, 3000L + i, "exact_blob")).toSet ++
+      (0 until 4).flatMap { g =>
+        val b = 4L * g
+        Seq((b, b + 1, "perceptual"), (b, b + 2, "perceptual"),
+          (b + 1, b + 2, "perceptual"))
+      }.toSet
+    assert(got === expected)
+  }
+
   test("decodeVideoThumbs: per-frame gray thumbnails, dHash stable across exact copies") {
     val docs = TestSpark.spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet").limit(8)
