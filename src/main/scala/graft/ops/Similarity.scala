@@ -794,7 +794,10 @@ object Similarity {
           .agg(count(lit(1)).as("ne"),
             max(coalesce(col("drift_ratio"), lit(1.0))).as("mr"),
             max(col("retrain_advised").cast("int")).as("adv")).head()
-        (d.getLong(0), d.getDouble(1), d.getInt(2) == 1)
+        // an empty drift frame (no codes rows at all) aggregates to
+        // (0, null, null) — report neutral instead of NPEing on the null
+        if (d.isNullAt(1)) (d.getLong(0), 1.0, false)
+        else (d.getLong(0), d.getDouble(1), d.getInt(2) == 1)
       } else (1L, 1.0, false)
     if (advised) Console.err.println(
       s"[ivfPqIndexStats] RETRAIN ADVISED for $indexPath: an append " +

@@ -733,8 +733,11 @@ object Scale4x {
         // the row demonstrates the cap THRESHOLD, not a guard miss
         val expFlat = if (nFlat <= 1000) nFlat.toLong * (nFlat - 1) / 2 else 0L
         val ok = pairs == expectPlanted + expFlat && flatPairs == expFlat
+        // contrast bound is SIZE-based, not factor-based: the unguarded
+        // join is ~2·(bands)·nFlat² rows, so 8k flats (~10⁸ joined rows)
+        // is the largest honest contrast this ladder affords
         val tu =
-          if (f <= 16) f"${time {
+          if (nFlat <= 8000) f"${time {
             Multimodal.imageNearDupPairs(dec, maxHamming = 3,
               maxBucketDf = Int.MaxValue).count(); 0L
           }}%.2f s"
