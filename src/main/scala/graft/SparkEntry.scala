@@ -2224,6 +2224,24 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // INCREMENTAL perceptual dedup — the batch-vs-corpus contract of
+    // d_incremental_dedup applied to media: members m in {0,3} are the
+    // frozen corpus index, m in {1,2} arrive as the new batch; pairs
+    // WITHIN the batch plus batch-vs-corpus matches, never a corpus
+    // self-join. The oracle replays both sides exactly.
+    "m_incr_dedup" -> ((s, dir) => {
+      val media = Multimodal.dedupImageMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet")).localCheckpoint()
+      val index = Multimodal.imageSignatureIndex(
+        Multimodal.decodeAnyImages(
+          media.filter(col("media_id") % 4 === 0 || col("media_id") % 4 === 3),
+          thumbSide = 8)).localCheckpoint()
+      val batch = media.filter(col("media_id") % 4 === 1 ||
+        col("media_id") % 4 === 2).select("media_id", "bytes")
+      Multimodal.incrementalImageNearDup(batch, index)
+        .orderBy("id_a", "id_b", "side")
+    }),
+
     // Degenerate-aware AUDIO routing — the silent-clip regime: silence
     // fingerprints collide exactly like flat rasters hash to 0, so
     // silent clips (byte-identical planted cohort) route to exact blob
@@ -4920,6 +4938,26 @@ object SparkEntry {
         |  FROM d a JOIN d b ON a.gid = b.gid AND a.doc_id < b.doc_id
         |  WHERE a.m <= 2 AND b.m <= 2)
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Exact replay of the incremental split: within the new batch the
+    // copy and the flipped member pair with each other (3 differing
+    // channels — the one flipped pixel); against the frozen corpus each
+    // matches its group base (0 for the exact copy, 3 for the flip);
+    // the independent corpus member matches nothing.
+    "m_incr_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |           FROM documents)
+        |SELECT * FROM (
+        |  SELECT CAST(gid * 4 + 1 AS BIGINT) AS id_a,
+        |         CAST(gid * 4 + 2 AS BIGINT) AS id_b,
+        |         CAST(3 AS BIGINT) AS n_diff_ch, 'batch' AS side
+        |  FROM (SELECT DISTINCT gid FROM d)
+        |  UNION ALL
+        |  SELECT CAST(gid * 4 AS BIGINT), CAST(doc_id AS BIGINT),
+        |         CAST(CASE WHEN m = 1 THEN 0 ELSE 3 END AS BIGINT),
+        |         'corpus'
+        |  FROM d WHERE m IN (1, 2))
+        |ORDER BY id_a, id_b, side""".stripMargin,
 
     // Exact replay of the routed audio dedup: byte-identical silent
     // clips star-pair under their min key; planted audible groups pair

@@ -1206,6 +1206,59 @@ object Multimodal {
       .select(col("band"), col("bits"), col("id"), col("sig"), col("thumb"))
   }
 
+  /** Match media against a FROZEN [[imageSignatureIndex]] — the shared
+    * core of the streaming twin and the batch incremental path: decode
+    * (per-partition projection), native dHash, band explode (thumbnail
+    * and signature ride along), equi-join on (band, bits) against the
+    * index, exact Hamming + channel-diff verify, one row per matched
+    * pair. Every step is stream-legal (the one stateful op is the final
+    * pair dedup, state bounded by matches), and on a batch frame the
+    * same plan is an ordinary broadcast/shuffle join — one body, two
+    * execution modes. Returns (media_id, match_id, hamming, n_diff_ch). */
+  def imageNearDupAgainstIndex(media: DataFrame, index: DataFrame,
+      maxHamming: Int = 3, thumbSide: Int = 8): DataFrame = {
+    val dec = decodeAnyImages(media, thumbSide)
+    val sig = dec.select(col("media_id").cast("long").as("sid"),
+      col("thumb").as("s_t"),
+      graft.functions.GraftFunctions.dhash64(col("thumb")).as("sig"))
+    val sBands = hammingBands64(sig, maxHamming)
+      .select(col("sid"), col("s_t"), col("sig").as("s_sig"),
+        col("band"), col("bits"))
+    val idx = index.select(col("band"), col("bits"), col("id").as("_iid"),
+      col("sig").as("i_sig"), col("thumb").as("i_t"))
+    sBands.join(idx, Seq("band", "bits"))
+      .withColumn("hamming", bit_count(col("s_sig").bitwiseXOR(col("i_sig"))))
+      .filter(col("hamming") <= maxHamming)
+      .withColumn("n_diff_ch", size(filter(
+        zip_with(col("s_t"), col("i_t"), (x, y) => abs(x - y)),
+        d => d > lit(1.0 / 255 / 2))))
+      .select(col("sid").as("media_id"), col("_iid").as("match_id"),
+        col("hamming").cast("long").as("hamming"),
+        col("n_diff_ch").cast("long").as("n_diff_ch"))
+      .dropDuplicates("media_id", "match_id")
+  }
+
+  /** Incremental perceptual image dedup — the media analog of
+    * [[Dedup.incrementalDedup]]'s batch-vs-corpus contract: pairs WITHIN
+    * the new batch plus new-batch members matched against the FROZEN
+    * corpus index, never a corpus self-join (the corpus was deduped when
+    * the index froze; re-pairing it is the quadratic bill incremental
+    * ingest exists to avoid). Returns (id_a, id_b, n_diff_ch, side ∈
+    * {'batch', 'corpus'}) — for 'corpus' rows id_a is the index member. */
+  def incrementalImageNearDup(newMedia: DataFrame, index: DataFrame,
+      maxHamming: Int = 3, maxBucketDf: Int = 1000,
+      thumbSide: Int = 8): DataFrame = {
+    val within = imageNearDupPairs(decodeAnyImages(newMedia, thumbSide),
+        maxHamming, maxBucketDf = maxBucketDf)
+      .select(col("id_a"), col("id_b"), col("n_diff_ch"),
+        lit("batch").as("side"))
+    val vsCorpus = imageNearDupAgainstIndex(newMedia, index, maxHamming,
+        thumbSide)
+      .select(col("match_id").as("id_a"), col("media_id").as("id_b"),
+        col("n_diff_ch"), lit("corpus").as("side"))
+    within.unionByName(vsCorpus)
+  }
+
   /** FROZEN perceptual audio index — [[imageSignatureIndex]]'s audio
     * twin over [[audioFingerprints]]: (band, bits, id, sig, words),
     * degenerate buckets removed at freeze time. */

@@ -827,29 +827,16 @@ object StreamSessions {
     * Spec-proven to emit exactly the batch pair set across micro-batch
     * boundaries.
     *
-    * Returns (media_id, match_id, hamming, n_diff_ch) in append mode. */
+    * Returns (media_id, match_id, hamming, n_diff_ch) in append mode.
+    * One body, two execution modes: the plan is
+    * [[graft.ops.Multimodal.imageNearDupAgainstIndex]], which also
+    * serves the batch incremental path
+    * ([[graft.ops.Multimodal.incrementalImageNearDup]]) — stream and
+    * batch matching can never drift apart. */
   def streamingImageNearDup(stream: DataFrame, index: DataFrame,
-      maxHamming: Int = 3, thumbSide: Int = 8): DataFrame = {
-    val dec = graft.ops.Multimodal.decodeAnyImages(stream, thumbSide)
-    val sig = dec.select(col("media_id").cast("long").as("sid"),
-      col("thumb").as("s_t"),
-      graft.functions.GraftFunctions.dhash64(col("thumb")).as("sig"))
-    val sBands = graft.ops.Multimodal.hammingBands64(sig, maxHamming)
-      .select(col("sid"), col("s_t"), col("sig").as("s_sig"),
-        col("band"), col("bits"))
-    val idx = index.select(col("band"), col("bits"), col("id").as("_iid"),
-      col("sig").as("i_sig"), col("thumb").as("i_t"))
-    sBands.join(idx, Seq("band", "bits"))
-      .withColumn("hamming", bit_count(col("s_sig").bitwiseXOR(col("i_sig"))))
-      .filter(col("hamming") <= maxHamming)
-      .withColumn("n_diff_ch", size(filter(
-        zip_with(col("s_t"), col("i_t"), (x, y) => abs(x - y)),
-        d => d > lit(1.0 / 255 / 2))))
-      .select(col("sid").as("media_id"), col("_iid").as("match_id"),
-        col("hamming").cast("long").as("hamming"),
-        col("n_diff_ch").cast("long").as("n_diff_ch"))
-      .dropDuplicates("media_id", "match_id")
-  }
+      maxHamming: Int = 3, thumbSide: Int = 8): DataFrame =
+    graft.ops.Multimodal.imageNearDupAgainstIndex(stream, index,
+      maxHamming, thumbSide)
 
   /** Streaming twin of perceptual audio dedup against a FROZEN
     * [[graft.ops.Multimodal.audioSignatureIndex]] — same shape as

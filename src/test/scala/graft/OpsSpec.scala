@@ -1642,6 +1642,36 @@ class ImageDedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalImageNearDup = full-batch pairs minus the corpus self-join") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(40) // 10 groups
+    val media = Multimodal.dedupImageMediaFromDocuments(docs)
+      .select("media_id", "bytes").localCheckpoint()
+    val isCorpus = (id: Long) => id % 4 == 0 || id % 4 == 3
+    val index = Multimodal.imageSignatureIndex(Multimodal.decodeAnyImages(
+      media.filter(col("media_id") % 4 === 0 || col("media_id") % 4 === 3),
+      thumbSide = 8))
+    val batch = media.filter(col("media_id") % 4 === 1 ||
+      col("media_id") % 4 === 2)
+    val incr = Multimodal.incrementalImageNearDup(batch, index)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    // the contract: full pairs over the union, minus corpus-internal
+    // pairs, with the side label telling which half each pair came from
+    val full = Multimodal.imageNearDupPairs(
+        Multimodal.decodeAnyImages(media, thumbSide = 8), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val expected = full.flatMap { case (a, b, d) =>
+      (isCorpus(a), isCorpus(b)) match {
+        case (true, true) => None // the corpus self-join incremental skips
+        case (false, false) => Some((a, b, d, "batch"))
+        case (true, false) => Some((a, b, d, "corpus"))
+        case (false, true) => Some((b, a, d, "corpus"))
+      }
+    }.toSet
+    assert(incr === expected && incr.nonEmpty)
+  }
+
   test("blobDupGroups/dedupBlobs: byte-identical blobs collapse to the min key") {
     val rows = Seq(
       (10L, "aaa".getBytes), (11L, "bbb".getBytes), (12L, "aaa".getBytes),
