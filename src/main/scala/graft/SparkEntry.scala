@@ -2278,7 +2278,9 @@ object SparkEntry {
       val clusters = Dedup.dedupClusters(asDocs, pairs).localCheckpoint()
       val sizes = clusters.groupBy("cluster_id")
         .agg(count(lit(1)).as("n_members"))
+      // kept feeds the export AND the final audit select — one keepBest
       val kept = Dedup.keepBest(asDocs, clusters, col("doc_id"))
+        .localCheckpoint()
       Multimodal.exportWebDataset(kept, out, nShards = 4, ext = "img",
         keyCol = "doc_id").count() // force the export before the read-back
       val back = Multimodal.readWebDataset(s, out)
