@@ -459,7 +459,9 @@ object Main {
         // (main.c:150 DEFAULT_DELIMITER) so an un-flagged dump is
         // byte-diffable against the C engine's (make's INPUT default
         // stays "," — see the make scaladoc for that divergence).
-        val delim = one("--delimiter").getOrElse {
+        // lazy: the note concerns only delimiter CONSUMERS (CSV/stdout
+        // dumps) — a JSON dump never resolves it and stays note-free
+        lazy val delim = one("--delimiter").getOrElse {
           // the default changed from "," (pre-r13) for C byte-parity;
           // one stderr line keeps un-flagged scripts (and a default
           // dump | make round-trip, whose make input default stays ",")

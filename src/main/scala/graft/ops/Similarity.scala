@@ -700,9 +700,16 @@ object Similarity {
     def stage(tag: String) = new org.apache.hadoop.fs.Path(p.getParent,
       s".${p.getName}.$tag-${java.util.UUID.randomUUID().toString.take(8)}")
     val tmp = stage("rebuild")
-    buildIvfPqIndex(corpus, tmp.toString, meta.getAs[Int]("ncells"),
-      meta.getAs[Int]("m"), meta.getAs[Int]("k"), meta.getAs[Int]("dim"),
-      vecCol, idCol, opq)
+    try {
+      buildIvfPqIndex(corpus, tmp.toString, meta.getAs[Int]("ncells"),
+        meta.getAs[Int]("m"), meta.getAs[Int]("k"), meta.getAs[Int]("dim"),
+        vecCol, idCol, opq)
+    } catch {
+      case e: Throwable =>
+        // a failed retrain must not leave a staged half-index behind
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        throw e
+    }
     val old = stage("old")
     if (!fs.rename(p, old))
       throw new java.io.IOException(
