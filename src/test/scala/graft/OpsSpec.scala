@@ -1513,6 +1513,43 @@ class ImageDedupSpec extends SparkSpec {
     (0 until 6).foreach(g => assert(pairs.contains((4L * g, 4L * g + 1))))
   }
 
+  test("hammingPairs64 property: equals brute force at every radius (planted random clusters)") {
+    // 40 random base signatures, each with variants at Hamming distance
+    // 0..5 (distinct random bit positions per variant) — brute force
+    // over all 240 sigs is the oracle: banding must find EXACTLY the
+    // pairs within maxHamming, for several maxHamming values (recall =
+    // pigeonhole, precision = the exact bit_count verify).
+    val rnd = new scala.util.Random(7)
+    def flip(sig: Long, k: Int): Long = {
+      var s = sig
+      rnd.shuffle((0 until 64).toList).take(k).foreach(b => s ^= (1L << b))
+      s
+    }
+    val sigs = (0 until 40).flatMap { g =>
+      val base = rnd.nextLong()
+      (0 to 5).map(k => (g * 10L + k, flip(base, k)))
+    }
+    val byId = sigs.toMap
+    for (mh <- Seq(0, 1, 3, 7)) {
+      val brute = (for {
+        (a, sa) <- sigs; (b, sb) <- sigs
+        if a < b && java.lang.Long.bitCount(sa ^ sb) <= mh
+      } yield (a, b, java.lang.Long.bitCount(sa ^ sb).toLong)).toSet
+      val got = Multimodal.hammingPairs64(sigs.toDF("id", "sig"), mh,
+          maxBucketDf = 1000000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+      assert(got === brute, s"maxHamming=$mh: banding != brute force")
+      // the guard only ever REMOVES pairs, never invents them
+      val guarded = Multimodal.hammingPairs64(sigs.toDF("id", "sig"), mh,
+          maxBucketDf = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+      assert(guarded.subsetOf(brute), s"maxHamming=$mh: guard invented pairs")
+      guarded.foreach { case (a, b, h) =>
+        assert(java.lang.Long.bitCount(byId(a) ^ byId(b)).toLong === h)
+      }
+    }
+  }
+
   test("degenerate-bucket guard: flat media cannot make the band join quadratic") {
     // 200 flat thumbnails all dHash to 0 — one (band, bits) bucket per
     // band holding the whole cohort. Unguarded that bucket is quadratic
