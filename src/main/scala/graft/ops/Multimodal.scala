@@ -1216,8 +1216,14 @@ object Multimodal {
     * same plan is an ordinary broadcast/shuffle join — one body, two
     * execution modes. Returns (media_id, match_id, hamming, n_diff_ch). */
   def imageNearDupAgainstIndex(media: DataFrame, index: DataFrame,
-      maxHamming: Int = 3, thumbSide: Int = 8): DataFrame = {
-    val dec = decodeAnyImages(media, thumbSide)
+      maxHamming: Int = 3, thumbSide: Int = 8): DataFrame =
+    decodedAgainstIndex(decodeAnyImages(media, thumbSide), index, maxHamming)
+
+  /** [[imageNearDupAgainstIndex]] from ALREADY-DECODED (media_id, thumb)
+    * frames — the batch incremental path decodes once and feeds both its
+    * within-batch pairing and this join from the same checkpoint. */
+  private def decodedAgainstIndex(dec: DataFrame, index: DataFrame,
+      maxHamming: Int): DataFrame = {
     val sig = dec.select(col("media_id").cast("long").as("sid"),
       col("thumb").as("s_t"),
       graft.functions.GraftFunctions.dhash64(col("thumb")).as("sig"))
@@ -1248,12 +1254,14 @@ object Multimodal {
   def incrementalImageNearDup(newMedia: DataFrame, index: DataFrame,
       maxHamming: Int = 3, maxBucketDf: Int = 1000,
       thumbSide: Int = 8): DataFrame = {
-    val within = imageNearDupPairs(decodeAnyImages(newMedia, thumbSide),
-        maxHamming, maxBucketDf = maxBucketDf)
+    // decode the new batch ONCE: both the within-batch pairing and the
+    // against-index join read the checkpoint
+    val dec = decodeAnyImages(newMedia, thumbSide)
+      .select(col("media_id"), col("thumb")).localCheckpoint()
+    val within = imageNearDupPairs(dec, maxHamming, maxBucketDf = maxBucketDf)
       .select(col("id_a"), col("id_b"), col("n_diff_ch"),
         lit("batch").as("side"))
-    val vsCorpus = imageNearDupAgainstIndex(newMedia, index, maxHamming,
-        thumbSide)
+    val vsCorpus = decodedAgainstIndex(dec, index, maxHamming)
       .select(col("match_id").as("id_a"), col("media_id").as("id_b"),
         col("n_diff_ch"), lit("corpus").as("side"))
     within.unionByName(vsCorpus)
