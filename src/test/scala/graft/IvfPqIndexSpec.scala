@@ -156,6 +156,26 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(res.count() === 9)
   }
 
+  test("rebuild carries the OPQ rotation flag: a rotated index retrains rotated") {
+    val dir = Files.createTempDirectory("graft-ivfpq-rebuild-opq").toString
+    Similarity.buildIvfPqIndex(emb, dir, nCells = 8, m = 16, codebookK = 32,
+      opq = true)
+    assert(Similarity.loadIvfPqIndexMeta(spark, dir).rot.isDefined)
+    Similarity.rebuildIvfPqIndex(emb, dir)
+    // the rebuilt meta holds a (fresh) rotation, still orthogonal
+    val rot = Similarity.loadIvfPqIndexMeta(spark, dir).rot
+      .getOrElse(fail("rebuild dropped the OPQ rotation"))
+    val r = rot.rows.map(_.toArray).toArray
+    for (i <- 0 until 64; j <- i until 64) {
+      val dot = (0 until 64).map(t => r(i)(t) * r(j)(t)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8)
+    }
+    // and the rebuilt rotated index searches
+    val q = emb.filter(col("vec_id") < 3)
+    assert(Similarity.searchIvfPqIndex(dir, emb, q, k = 3, nprobe = 8,
+      shortlist = 50).count() === 9)
+  }
+
   test("appending to a pre-drift index refuses loudly instead of writing a mixed-schema codes dir") {
     val dir = Files.createTempDirectory("graft-ivfpq-predrift").toString
     Similarity.buildIvfPqIndex(emb, dir, nCells = 8, m = 16, codebookK = 32)
