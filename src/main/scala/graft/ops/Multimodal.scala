@@ -1165,6 +1165,91 @@ object Multimodal {
       .drop("bb")
   }
 
+  /** Column-metadata key recording which 64-bit hash family an
+    * [[imageSignatureIndex]] froze with — the probe side derives its
+    * hash from this, so index and probe can never disagree. */
+  private[graft] final val ImageHashKindKey = "graft.image_hash"
+
+  /** The hash family a frozen [[imageSignatureIndex]] was built with,
+    * read from its `sig` column metadata. An index built before the
+    * metadata existed reads as dHash (the only family old probe code
+    * ever applied); an unrecognized kind fails loud rather than
+    * silently returning zero matches. */
+  private[graft] def indexHashIsAhash(index: DataFrame): Boolean = {
+    val md = index.schema("sig").metadata
+    val kind =
+      if (md.contains(ImageHashKindKey)) md.getString(ImageHashKindKey)
+      else "dhash"
+    kind match {
+      case "dhash" => false
+      case "ahash" => true
+      case other => throw new IllegalArgumentException(
+        s"image signature index records unknown hash kind '$other' — " +
+          "expected 'dhash' or 'ahash'; rebuild the index with " +
+          "imageSignatureIndex")
+    }
+  }
+
+  /** The shared degenerate-bucket guard: anti-join the heavy
+    * (band, bits) buckets out of a [[hammingBands64]] frame, and make
+    * the drop LOUD — each dropped bucket feeds two named Spark
+    * accumulators (`graft.dropped_hamming_buckets` /
+    * `graft.dropped_hamming_signatures`, visible in the UI next to the
+    * stage that built the broadcast) and each task holding dropped
+    * buckets logs one WARN line with the bucket count, signature
+    * volume, and cap, so a legitimate >cap near-dup cluster (a popular
+    * re-encoded photo at crawl scale) can never vanish silently.
+    * Counts are at-least-once (task retries or a non-reused broadcast
+    * build may double-count) — they are a signal; the exact audit is
+    * [[degenerateHammingBuckets]], which runs the same explode+count.
+    * The heavy frame is ≤ n/cap distinct keys by construction —
+    * broadcast-safe — and the signal rides that tiny build, never the
+    * hot path. */
+  private def dropHeavyBuckets(bands: DataFrame, maxBucketDf: Int,
+      context: String): DataFrame = {
+    val spark = bands.sparkSession
+    import spark.implicits._
+    val nBuckets = spark.sparkContext.longAccumulator(
+      s"graft.dropped_hamming_buckets ($context)")
+    val nSigs = spark.sparkContext.longAccumulator(
+      s"graft.dropped_hamming_signatures ($context)")
+    val heavy = bands.groupBy(col("band"), col("bits"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxBucketDf)
+      .select(col("band").cast("int").as("band"), col("bits"),
+        col("_df"))
+      .as[(Int, Long, Long)]
+      .mapPartitions { it =>
+        var nb = 0L
+        var ns = 0L
+        val counted = it.map { r =>
+          nb += 1; ns += r._3
+          nBuckets.add(1); nSigs.add(r._3)
+          r
+        }
+        // log ONE WARN per task holding drops, after its rows drain
+        new Iterator[(Int, Long, Long)] {
+          override def hasNext: Boolean = {
+            val h = counted.hasNext
+            if (!h && nb > 0) {
+              org.slf4j.LoggerFactory.getLogger("graft.ops.Multimodal")
+                .warn(s"hamming bucket guard ($context): dropped $nb " +
+                  s"degenerate (band, bits) buckets holding $ns " +
+                  s"signatures (cap $maxBucketDf) — audit with " +
+                  "degenerateHammingBuckets; route flat/silent cohorts " +
+                  "through the routed*Dedup exact-blob branch")
+              nb = 0
+            }
+            h
+          }
+          override def next(): (Int, Long, Long) = counted.next()
+        }
+      }
+      .toDF("band", "bits", "_df")
+      .select(col("band"), col("bits"))
+    bands.join(broadcast(heavy), Seq("band", "bits"), "left_anti")
+  }
+
   /** The degenerate (band, bits) buckets [[hammingPairs64]] DROPS at the
     * given cap — the loud side of the guard. One row per dropped bucket
     * with its item count (`bucket_df`). Empty ⇒ the pair list is the
@@ -1194,21 +1279,26 @@ object Multimodal {
     val hashed =
       if (ahash) graft.functions.GraftFunctions.ahash64(col("t"))
       else graft.functions.GraftFunctions.dhash64(col("t"))
+    // the hash FAMILY freezes with the index (column metadata — survives
+    // a parquet round-trip): the probe side derives its hash from this,
+    // so an ahash index can never be silently probed with dhash (which
+    // would return zero matches — different families never collide)
+    val kindMd = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(ImageHashKindKey, if (ahash) "ahash" else "dhash").build()
     val sig = decoded.select(col(idCol).cast("long").as("id"),
         col(thumbCol).as("t"))
       .select(col("id"), col("t").as("thumb"), hashed.as("sig"))
     val bands = hammingBands64(sig, maxHamming)
-    val heavy = bands.groupBy(col("band"), col("bits"))
-      .agg(count(lit(1)).as("_df"))
-      .filter(col("_df") > maxBucketDf)
-      .select(col("band"), col("bits"))
-    bands.join(broadcast(heavy), Seq("band", "bits"), "left_anti")
-      .select(col("band"), col("bits"), col("id"), col("sig"), col("thumb"))
+    dropHeavyBuckets(bands, maxBucketDf, "imageSignatureIndex")
+      .select(col("band"), col("bits"), col("id"),
+        col("sig").as("sig", kindMd), col("thumb"))
   }
 
   /** Match media against a FROZEN [[imageSignatureIndex]] — the shared
     * core of the streaming twin and the batch incremental path: decode
-    * (per-partition projection), native dHash, band explode (thumbnail
+    * (per-partition projection), the index's FROZEN hash family (read
+    * from its `sig` metadata — an ahash index is probed with ahash,
+    * never silently dhash), band explode (thumbnail
     * and signature ride along), equi-join on (band, bits) against the
     * index, exact Hamming + channel-diff verify, one row per matched
     * pair. Every step is stream-legal (the one stateful op is the final
@@ -1224,9 +1314,15 @@ object Multimodal {
     * within-batch pairing and this join from the same checkpoint. */
   private def decodedAgainstIndex(dec: DataFrame, index: DataFrame,
       maxHamming: Int): DataFrame = {
+    // probe with the family the INDEX froze with (its sig metadata) —
+    // index and probe can never disagree, and an index recording an
+    // unknown family fails loud here instead of returning zero matches
+    val probeHash =
+      if (indexHashIsAhash(index))
+        graft.functions.GraftFunctions.ahash64(col("thumb"))
+      else graft.functions.GraftFunctions.dhash64(col("thumb"))
     val sig = dec.select(col("media_id").cast("long").as("sid"),
-      col("thumb").as("s_t"),
-      graft.functions.GraftFunctions.dhash64(col("thumb")).as("sig"))
+      col("thumb").as("s_t"), probeHash.as("sig"))
     val sBands = hammingBands64(sig, maxHamming)
       .select(col("sid"), col("s_t"), col("sig").as("s_sig"),
         col("band"), col("bits"))
@@ -1258,7 +1354,8 @@ object Multimodal {
     // against-index join read the checkpoint
     val dec = decodeAnyImages(newMedia, thumbSide)
       .select(col("media_id"), col("thumb")).localCheckpoint()
-    val within = imageNearDupPairs(dec, maxHamming, maxBucketDf = maxBucketDf)
+    val within = imageNearDupPairs(dec, maxHamming,
+        ahash = indexHashIsAhash(index), maxBucketDf = maxBucketDf)
       .select(col("id_a"), col("id_b"), col("n_diff_ch"),
         lit("batch").as("side"))
     val vsCorpus = decodedAgainstIndex(dec, index, maxHamming)
@@ -1276,11 +1373,7 @@ object Multimodal {
       .select(col("media_id").cast("long").as("id"),
         col("fp").as("sig"), col("words"))
     val bands = hammingBands64(sig, maxHamming)
-    val heavy = bands.groupBy(col("band"), col("bits"))
-      .agg(count(lit(1)).as("_df"))
-      .filter(col("_df") > maxBucketDf)
-      .select(col("band"), col("bits"))
-    bands.join(broadcast(heavy), Seq("band", "bits"), "left_anti")
+    dropHeavyBuckets(bands, maxBucketDf, "audioSignatureIndex")
       .select(col("band"), col("bits"), col("id"), col("sig"), col("words"))
   }
 
@@ -1302,11 +1395,7 @@ object Multimodal {
       maxBucketDf: Int = 1000): DataFrame = {
     require(maxBucketDf > 0, s"maxBucketDf must be positive, got $maxBucketDf")
     val bands = hammingBands64(sig, maxHamming)
-    val heavy = bands.groupBy(col("band"), col("bits"))
-      .agg(count(lit(1)).as("_df"))
-      .filter(col("_df") > maxBucketDf)
-      .select(col("band"), col("bits"))
-    val ok = bands.join(broadcast(heavy), Seq("band", "bits"), "left_anti")
+    val ok = dropHeavyBuckets(bands, maxBucketDf, "hammingPairs64")
     ok.as("a").join(ok.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
           col("a.id") < col("b.id"))

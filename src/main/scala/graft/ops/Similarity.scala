@@ -681,9 +681,11 @@ object Similarity {
     * quantizers (and the OPQ rotation if the old index had one) on the
     * CURRENT corpus, re-encode everything, and swap the staged result in
     * with same-filesystem renames (the TrailIndex rebuild convention —
-    * searchers read either the complete old index or the complete new
-    * one, never a half-written mix; on a failed swap the old index is
-    * restored). Geometry (nCells, m, k, dim) carries over from the old
+    * a searcher never reads a half-written MIX of old and new; there is
+    * a brief unavailability window between the two renames where a
+    * concurrent open fails loud on a missing path, and on a failed swap
+    * the old index is rolled back). Geometry (nCells, m, k, dim) carries
+    * over from the old
     * meta; every re-encoded row is drift epoch 0 again, so the next
     * drift report starts from a fresh ≈1.0 baseline. `corpus` is the
     * current source table — the index stores codes, not vectors, so the
@@ -715,9 +717,14 @@ object Similarity {
       throw new java.io.IOException(
         s"rebuildIvfPqIndex: could not stage out the old index at $p")
     if (!fs.rename(tmp, p)) {
-      fs.rename(old, p) // roll the old index back before failing loud
+      // roll the old index back before failing loud; if the rollback
+      // rename ALSO fails the old index is stranded at the hidden
+      // staging path — surface that path so the operator can recover it
+      val rolledBack = fs.rename(old, p)
       throw new java.io.IOException(
-        s"rebuildIvfPqIndex: could not move staged rebuild $tmp to $p")
+        s"rebuildIvfPqIndex: could not move staged rebuild $tmp to $p" +
+          (if (rolledBack) "" else
+            s"; rollback ALSO failed — the previous index is stranded at $old"))
     }
     fs.delete(old, true)
   }

@@ -63,13 +63,18 @@ import org.apache.spark.sql.functions._
   */
 object TdbWriter {
 
-  /** Driver drain cap for the in-memory package assembly. The ordered
-    * dataBuf/uuidBuf are a second full copy of the drained blocks, so
-    * peak driver memory is ~2× this (≈1.5 GiB). Also the per-partition
-    * encoder bound: one partition's block can never exceed what the
-    * drain would refuse anyway, and guarding executor-side fails loud
-    * BEFORE a skewed-uuid partition's ByteArrayOutputStream hits the
-    * JVM's 2 GB array ceiling. */
+  /** Driver drain cap for the in-memory package assembly, applied to
+    * EACH of the two drained streams (event data and 16 B/trail uuids).
+    * The ordered dataBuf/uuidBuf are a second full copy of the drained
+    * blocks, so worst-case peak driver memory is ~2× the SUM of both
+    * streams ≈ 4× this cap (≈3 GiB) — in practice the uuid stream is a
+    * small fraction of the data stream, so the realistic peak is ~2×
+    * the data cap (≈1.5 GiB). Also the per-partition encoder bound: one
+    * partition's block can never exceed what the drain would refuse
+    * anyway, and guarding executor-side fails loud BEFORE a skewed
+    * partition's ByteArrayOutputStream hits the JVM's 2 GB array
+    * ceiling — the uuid stream is the one that overflows first on
+    * many-tiny-trail partitions, so it is guarded too. */
   private[graft] final val DrainCapBytes: Long = 3L << 28 // 768 MiB
 
   def writePackage(df: DataFrame, fieldNames: Seq[String], out: String,
@@ -398,6 +403,13 @@ object TdbWriter {
             "cap — a skewed uuid distribution concentrated too many " +
             "events in one partition; export a sample (the parquet " +
             "directory is the scale layout)")
+        // the uuid stream (16 B/trail) is the buffer that overflows
+        // FIRST on a many-tiny-trail partition — bound it independently
+        require(uuids.size().toLong < TdbWriter.DrainCapBytes,
+          s"tdb package: one partition's uuid stream (${uuids.size()} B " +
+            s"after ${lens.length} trails) exceeds the 768 MiB writer " +
+            "cap — too many tiny trails landed in one partition; " +
+            "export a sample (the parquet directory is the scale layout)")
       }
       while (it.hasNext) {
         val r = it.next()

@@ -1722,6 +1722,46 @@ class ImageDedupSpec extends SparkSpec {
       .map(_.getLong(0)).sorted
     assert(kept.toSeq === Seq(10L, 11L, 13L))
   }
+
+  test("imageSignatureIndex freezes its hash family; probes follow it") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(16) // 4 groups
+    val media = Multimodal.dedupImageMediaFromDocuments(docs)
+      .select("media_id", "bytes").localCheckpoint()
+    val corpus = media.filter(col("media_id") % 4 === 0 ||
+      col("media_id") % 4 === 3)
+    val copies = media.filter(col("media_id") % 4 === 1) // exact copies
+    // an aHash-built index: the probe derives aHash from the metadata —
+    // before the family was recorded this silently returned ZERO matches
+    // (dhash probe signatures never collide with ahash index signatures)
+    val aIdx = Multimodal.imageSignatureIndex(
+      Multimodal.decodeAnyImages(corpus, thumbSide = 8), ahash = true)
+    assert(Multimodal.indexHashIsAhash(aIdx))
+    val got = Multimodal.imageNearDupAgainstIndex(copies, aIdx)
+      .select("media_id", "match_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === (0 until 4).map(g => (4L * g + 1, 4L * g)).toSet)
+    // the family survives the parquet round-trip a frozen index lives as
+    val p = java.nio.file.Files.createTempDirectory("graft-ahash-idx")
+      .resolve("idx").toString
+    aIdx.write.parquet(p)
+    assert(Multimodal.indexHashIsAhash(TestSpark.spark.read.parquet(p)))
+    // dHash records dhash; a pre-metadata index defaults to dhash (the
+    // only family old probe code ever applied)
+    val dIdx = Multimodal.imageSignatureIndex(
+      Multimodal.decodeAnyImages(corpus, thumbSide = 8))
+    assert(!Multimodal.indexHashIsAhash(dIdx))
+    val legacy = dIdx.select(col("band"), col("bits"), col("id"),
+      col("sig").as("sig", org.apache.spark.sql.types.Metadata.empty),
+      col("thumb"))
+    assert(!Multimodal.indexHashIsAhash(legacy))
+    // an unknown recorded family fails loud, never zero-matches
+    val bad = dIdx.select(col("band"), col("bits"), col("id"),
+      col("sig").as("sig", new org.apache.spark.sql.types.MetadataBuilder()
+        .putString(Multimodal.ImageHashKindKey, "phash").build()),
+      col("thumb"))
+    intercept[IllegalArgumentException] { Multimodal.indexHashIsAhash(bad) }
+  }
 }
 
 class AvDedupSpec extends SparkSpec {
