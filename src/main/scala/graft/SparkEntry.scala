@@ -119,6 +119,32 @@ object SparkEntry {
               transform(col("embedding"), x => x + lit(3.0f))), p)
         p
       }
+    /** Rebuild-loop fixture (round 15): its OWN index — build on the
+      * embeddings, append a +3-per-dim SHIFTED batch (the drift advisory
+      * fires), snapshot the PRE-rebuild drift report to `pre/`, then
+      * [[Similarity.rebuildIvfPqIndex]] on the full current corpus: every
+      * epoch collapses to 0 and the ratio returns to exactly 1.0 (the
+      * drift report's localCheckpoint construction makes the baseline
+      * ratio 1.0 by construction, not within-epsilon). The e_index_rebuild
+      * row replays advisory-fires → rebuild → fresh-baseline end to end. */
+    def ivfPqRebuildRoot(s: SparkSession, dir: String): String =
+      memo(s"ivfpqrebuild:$dir") {
+        val root = java.nio.file.Files.createTempDirectory("graft-fix")
+          .toString
+        val idx = s"$root/ivfpq-rebuild"
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val n = emb.count()
+        Similarity.buildIvfPqIndex(emb, idx, nCells = 16, m = 16,
+          codebookK = 32)
+        val shifted = emb.withColumn("vec_id", col("vec_id") + n)
+          .withColumn("embedding",
+            transform(col("embedding"), x => x + lit(3.0f)))
+        Similarity.appendToIvfPqIndex(shifted, idx)
+        Similarity.ivfPqIndexDrift(s, idx, warnRatio = 1.5)
+          .write.parquet(s"$root/pre")
+        Similarity.rebuildIvfPqIndex(emb.unionByName(shifted), idx)
+        root
+      }
     /** Trail dump as CSV/JSONL — the INPUT fixture for the ingest
       * round-trips (the operator those queries time is the S4/S5 ingest;
       * the dump is setup). */
@@ -1581,6 +1607,30 @@ object SparkEntry {
         .orderBy("epoch")
     }),
 
+    // The DRIFT LOOP closed end to end (round 15): build → shifted append
+    // (pre-rebuild report shows epoch 1 past the 1.5 warn threshold,
+    // advisory fired) → rebuildIvfPqIndex on the current corpus → the
+    // post-rebuild report is ONE epoch-0 row over ALL vectors at ratio
+    // exactly 1.0 (fresh baseline), advisory clear. The fixture snapshots
+    // the pre-rebuild report; the query times the two report reads (the
+    // e_index_stats convention — a serving deployment reads health, the
+    // rebuild is offline).
+    "e_index_rebuild" -> ((s, dir) => {
+      val root = Fixtures.ivfPqRebuildRoot(s, dir)
+      val pre = s.read.parquet(s"$root/pre")
+        .select(lit("pre").as("phase"), col("epoch").cast("long").as("epoch"),
+          col("n_vectors"),
+          when(col("epoch") === 0, col("drift_ratio") === 1.0)
+            .otherwise(col("drift_ratio") > lit(1.5)).as("ratio_ok"),
+          col("retrain_advised"))
+      val post = Similarity.ivfPqIndexDrift(s, s"$root/ivfpq-rebuild",
+          warnRatio = 1.5)
+        .select(lit("post").as("phase"), col("epoch").cast("long").as("epoch"),
+          col("n_vectors"), (col("drift_ratio") === 1.0).as("ratio_ok"),
+          col("retrain_advised"))
+      pre.unionByName(post).orderBy("phase", "epoch")
+    }),
+
     // Product-quantization ANN (shortlist by ADC over codegen'd PQ codes —
     // 16 codes replace the 64-float vector in the candidate stream — then
     // exact-cosine rerank of the tiny shortlist). Same invariant contract
@@ -2253,6 +2303,145 @@ object SparkEntry {
         lit(Multimodal.Wav.encode(16000, new Array[Short](1024))).as("bytes"))
       Multimodal.routedAudioDedup(planted.unionByName(silents))
         .orderBy("id_a", "id_b")
+    }),
+
+    // Degenerate-aware VIDEO routing — closes the modality asymmetry: a
+    // byte-identical all-black cohort (ONE frame hash in every copy, df
+    // far past maxFrameDf) loses every frame to stop-frame removal and
+    // previously exited dedup entirely; now it routes to exact blob star
+    // pairs while the planted perceptual groups pair via frame matching.
+    "m_routed_video" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val planted = Multimodal.dedupVideoMediaFromDocuments(docs)
+      val blackFrame = {
+        val f = new Array[Byte]((8 * 8 * 3) / 2)
+        java.util.Arrays.fill(f, 8 * 8, f.length, 128.toByte)
+        f
+      }
+      val blacks = docs.select((col("doc_id") + lit(1000000L)).as("media_id"),
+        lit(Multimodal.Y4m.encode(8, 8, 25, Seq(blackFrame))).as("bytes"))
+      Multimodal.routedVideoDedup(planted.unionByName(blacks),
+          maxFrameDf = 20)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Unified MIXED-MODALITY routing — one media column carrying planted
+    // image, audio, AND video groups plus a byte-identical unknown-magic
+    // cohort: the magic-byte dispatch sends each cohort through its
+    // modality's routed dedup (each blob decoded at most once, in exactly
+    // one branch); unknown blobs keep their exact duplicates via blob
+    // star pairs. The oracle replays every modality's group structure.
+    "m_routed_media" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val img = Multimodal.dedupImageMediaFromDocuments(docs)
+        .select("media_id", "bytes")
+      val aud = Multimodal.dedupAudioMediaFromDocuments(docs)
+        .select((col("media_id") + lit(2000000L)).as("media_id"), col("bytes"))
+      val vid = Multimodal.dedupVideoMediaFromDocuments(docs)
+        .select((col("media_id") + lit(4000000L)).as("media_id"), col("bytes"))
+      val unk = docs.select((col("doc_id") + lit(6000000L)).as("media_id"),
+        lit("unknown-container".getBytes).as("bytes"))
+      Multimodal.routedMediaDedup(
+          img.unionByName(aud).unionByName(vid).unionByName(unk))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // STREAMING perceptual audio dedup — the audio twin of
+    // m_stream_image_dedup: corpus members m in {0,3} freeze into the
+    // signature index, m in {1,2} arrive as the stream. The exact copy
+    // AND the 2x-amplitude copy both fingerprint identically to their
+    // group base (power-of-two gain cannot move a sign-of-change bit),
+    // so every stream member matches at hamming 0 with 0 differing
+    // frame words.
+    "m_stream_audio_dedup" -> ((s, dir) => {
+      val media = Multimodal.dedupAudioMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet"))
+      val src = Fixtures.memo(s"audstream:$dir") {
+        val p = java.nio.file.Files.createTempDirectory("graft-audsrc")
+          .resolve("src").toString
+        media.filter(col("media_id") % 4 === 1 || col("media_id") % 4 === 2)
+          .select("media_id", "bytes").write.parquet(p)
+        p
+      }
+      val index = Multimodal.audioSignatureIndex(
+        media.filter(col("media_id") % 4 === 0 || col("media_id") % 4 === 3))
+        .localCheckpoint()
+      val stream = s.readStream
+        .schema(s.read.parquet(src).schema).parquet(src)
+      val name = "m_stream_audio_dedup_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamSessions.streamingAudioNearDup(stream, index)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+      s.table(name)
+        .select(col("media_id"), col("match_id"), col("hamming"),
+          col("n_diff_words"))
+        .orderBy("media_id", "match_id")
+    }),
+
+    // STREAMING perceptual video dedup — the video twin: the frame index
+    // freezes over m in {0,3}, m in {1,2} stream in; the shared-frame
+    // count is an aggregation, so the sink runs in UPDATE mode (each
+    // video's frames arrive inside its one blob, so every pair's count
+    // completes in the micro-batch that carries the video). The exact
+    // copy shares all nf frames with its base, the last-frame-replaced
+    // member nf−1.
+    "m_stream_video_dedup" -> ((s, dir) => {
+      val media = Multimodal.dedupVideoMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet"))
+      val src = Fixtures.memo(s"vidstream:$dir") {
+        val p = java.nio.file.Files.createTempDirectory("graft-vidsrc")
+          .resolve("src").toString
+        media.filter(col("media_id") % 4 === 1 || col("media_id") % 4 === 2)
+          .select("media_id", "bytes").write.parquet(p)
+        p
+      }
+      val index = Multimodal.videoFrameIndex(
+        media.filter(col("media_id") % 4 === 0 || col("media_id") % 4 === 3))
+        .localCheckpoint()
+      val stream = s.readStream
+        .schema(s.read.parquet(src).schema).parquet(src)
+      val name = "m_stream_video_dedup_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamSessions.streamingVideoNearDup(stream, index)
+        .writeStream.outputMode("update").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+      s.table(name)
+        .select(col("media_id"), col("match_id"), col("n_matched"))
+        .orderBy("media_id", "match_id")
+    }),
+
+    // INCREMENTAL perceptual AUDIO dedup — m_incr_dedup's audio sibling
+    // (ingest pipelines batch more often than they stream): within-batch
+    // pairs plus batch-vs-frozen-corpus matches, never a corpus
+    // self-join. Every planted pair fingerprints at hamming 0.
+    "m_incr_audio" -> ((s, dir) => {
+      val media = Multimodal.dedupAudioMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet")).localCheckpoint()
+      val index = Multimodal.audioSignatureIndex(
+        media.filter(col("media_id") % 4 === 0 || col("media_id") % 4 === 3))
+        .localCheckpoint()
+      val batch = media.filter(col("media_id") % 4 === 1 ||
+        col("media_id") % 4 === 2).select("media_id", "bytes")
+      Multimodal.incrementalAudioNearDup(batch, index)
+        .orderBy("id_a", "id_b", "side")
+    }),
+
+    // INCREMENTAL perceptual VIDEO dedup — the video sibling: the new
+    // batch's copy/replaced members pair with each other (nf−1 shared
+    // frames) and match their frozen-corpus base (nf and nf−1).
+    "m_incr_video" -> ((s, dir) => {
+      val media = Multimodal.dedupVideoMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet")).localCheckpoint()
+      val index = Multimodal.videoFrameIndex(
+        media.filter(col("media_id") % 4 === 0 || col("media_id") % 4 === 3))
+        .localCheckpoint()
+      val batch = media.filter(col("media_id") % 4 === 1 ||
+        col("media_id") % 4 === 2).select("media_id", "bytes")
+      Multimodal.incrementalVideoNearDup(batch, index)
+        .orderBy("id_a", "id_b", "side")
     }),
 
     // The COMPLETE media dedup pipeline as one composed run — the media
@@ -4749,6 +4938,23 @@ object SparkEntry {
         |FROM (VALUES (0), (1), (2)) AS t(e)
         |ORDER BY epoch""".stripMargin,
 
+    // Exact replay of the rebuild loop: pre-rebuild the shifted append
+    // (epoch 1) fires the advisory; post-rebuild ALL vectors sit in one
+    // epoch-0 row at ratio exactly 1.0 with the advisory clear.
+    "e_index_rebuild" ->
+      """WITH n AS (SELECT count(*) AS c FROM embeddings)
+        |SELECT phase, CAST(epoch AS BIGINT) AS epoch,
+        |       CAST(n_vectors AS BIGINT) AS n_vectors,
+        |       ratio_ok, retrain_advised
+        |FROM (
+        |  SELECT 'pre' AS phase, 0 AS epoch, (SELECT c FROM n) AS n_vectors,
+        |         TRUE AS ratio_ok, FALSE AS retrain_advised
+        |  UNION ALL
+        |  SELECT 'pre', 1, (SELECT c FROM n), TRUE, TRUE
+        |  UNION ALL
+        |  SELECT 'post', 0, 2 * (SELECT c FROM n), TRUE, FALSE)
+        |ORDER BY phase, epoch""".stripMargin,
+
     // Int8 quantization: element-wise doubles are bit-identical across
     // engines (same operands, same ops); the cross-element error sum is
     // exact integer picounits.
@@ -4979,6 +5185,109 @@ object SparkEntry {
         |  FROM d a JOIN d b ON a.gid = b.gid AND a.doc_id < b.doc_id
         |  WHERE a.m <= 2 AND b.m <= 2)
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Exact replay of the routed video dedup: byte-identical all-black
+    // clips (one stop frame each) star-pair under their min key; planted
+    // perceptual groups pair within-group via frame matching.
+    "m_routed_video" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |           FROM documents)
+        |SELECT * FROM (
+        |  SELECT CAST(1000000 + (SELECT min(doc_id) FROM d) AS BIGINT)
+        |           AS id_a,
+        |         CAST(1000000 + doc_id AS BIGINT) AS id_b,
+        |         'exact_blob' AS kind
+        |  FROM d WHERE doc_id > (SELECT min(doc_id) FROM d)
+        |  UNION ALL
+        |  SELECT CAST(a.doc_id AS BIGINT), CAST(b.doc_id AS BIGINT),
+        |         'perceptual'
+        |  FROM d a JOIN d b ON a.gid = b.gid AND a.doc_id < b.doc_id
+        |  WHERE a.m <= 2 AND b.m <= 2)
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Exact replay of the unified mixed-modality routing: each planted
+    // modality's group triangle at its id offset, plus the star pairs of
+    // the byte-identical unknown-magic cohort.
+    "m_routed_media" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |           FROM documents),
+        |tri AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+        |        FROM d a JOIN d b ON a.gid = b.gid AND a.doc_id < b.doc_id
+        |        WHERE a.m <= 2 AND b.m <= 2)
+        |SELECT * FROM (
+        |  SELECT CAST(ia AS BIGINT) AS id_a, CAST(ib AS BIGINT) AS id_b,
+        |         'perceptual' AS kind, 'image' AS modality FROM tri
+        |  UNION ALL
+        |  SELECT CAST(2000000 + ia AS BIGINT), CAST(2000000 + ib AS BIGINT),
+        |         'perceptual', 'audio' FROM tri
+        |  UNION ALL
+        |  SELECT CAST(4000000 + ia AS BIGINT), CAST(4000000 + ib AS BIGINT),
+        |         'perceptual', 'video' FROM tri
+        |  UNION ALL
+        |  SELECT CAST(6000000 + (SELECT min(doc_id) FROM d) AS BIGINT),
+        |         CAST(6000000 + doc_id AS BIGINT), 'exact_blob', 'unknown'
+        |  FROM d WHERE doc_id > (SELECT min(doc_id) FROM d))
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Exact replay of the audio stream: the copy (m=1) AND the
+    // 2x-amplitude member (m=2) fingerprint identically to their group
+    // base — hamming 0, zero differing frame words.
+    "m_stream_audio_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |           FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |       CAST(gid * 4 AS BIGINT) AS match_id,
+        |       CAST(0 AS BIGINT) AS hamming,
+        |       CAST(0 AS BIGINT) AS n_diff_words
+        |FROM d WHERE m IN (1, 2)
+        |ORDER BY media_id, match_id""".stripMargin,
+
+    // Exact replay of the video stream: the copy shares all nf = 3+gid%3
+    // frames with its base, the last-frame-replaced member nf-1.
+    "m_stream_video_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |           FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |       CAST(gid * 4 AS BIGINT) AS match_id,
+        |       CAST(CASE WHEN m = 1 THEN 3 + gid % 3
+        |                 ELSE 2 + gid % 3 END AS BIGINT) AS n_matched
+        |FROM d WHERE m IN (1, 2)
+        |ORDER BY media_id, match_id""".stripMargin,
+
+    // Exact replay of the incremental audio split: within the new batch
+    // the copy and the 2x member pair at hamming 0 (identical
+    // fingerprints); against the frozen corpus each matches its base.
+    "m_incr_audio" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |           FROM documents)
+        |SELECT * FROM (
+        |  SELECT CAST(gid * 4 + 1 AS BIGINT) AS id_a,
+        |         CAST(gid * 4 + 2 AS BIGINT) AS id_b,
+        |         CAST(0 AS BIGINT) AS hamming, 'batch' AS side
+        |  FROM (SELECT DISTINCT gid FROM d)
+        |  UNION ALL
+        |  SELECT CAST(gid * 4 AS BIGINT), CAST(doc_id AS BIGINT),
+        |         CAST(0 AS BIGINT), 'corpus'
+        |  FROM d WHERE m IN (1, 2))
+        |ORDER BY id_a, id_b, side""".stripMargin,
+
+    // Exact replay of the incremental video split: batch pairs share
+    // nf-1 frames (the replaced last frame); corpus matches share nf
+    // (copy) and nf-1 (replaced).
+    "m_incr_video" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |           FROM documents)
+        |SELECT * FROM (
+        |  SELECT CAST(gid * 4 + 1 AS BIGINT) AS id_a,
+        |         CAST(gid * 4 + 2 AS BIGINT) AS id_b,
+        |         CAST(2 + gid % 3 AS BIGINT) AS n_matched, 'batch' AS side
+        |  FROM (SELECT DISTINCT gid FROM d)
+        |  UNION ALL
+        |  SELECT CAST(gid * 4 AS BIGINT), CAST(doc_id AS BIGINT),
+        |         CAST(CASE WHEN m = 1 THEN 3 + gid % 3
+        |                   ELSE 2 + gid % 3 END AS BIGINT), 'corpus'
+        |  FROM d WHERE m IN (1, 2))
+        |ORDER BY id_a, id_b, side""".stripMargin,
 
     // Exact replay of the composed media pipeline: the near-dup cluster
     // {4g, 4g+1, 4g+2} is labeled by its min id (4g), keepBest with

@@ -997,6 +997,57 @@ object Multimodal {
     blobPairs.unionByName(perceptual)
   }
 
+  /** Unified MIXED-MODALITY dedup routing — real corpora carry images,
+    * audio, and video in ONE media column: dispatch each blob on its
+    * magic bytes (`P6`/`qoif` → image, `RIFF` → audio, `YUV4MPEG2` →
+    * video — the [[decodeAnyImages]] dispatch extended across
+    * containers), route each cohort through its modality's
+    * degenerate-aware routed dedup, and return ONE pair frame
+    * (id_a, id_b, kind, modality). Blobs with an unrecognized magic
+    * still dedup EXACTLY (star pairs under the min key, kind =
+    * 'exact_blob', modality = 'unknown') — an undecodable blob loses
+    * perceptual matching, never its byte-identical duplicates (the
+    * routing discipline, applied to the dispatcher itself). The
+    * classification is one native substring compare per blob; each blob
+    * is decoded at most once, in exactly one modality branch. */
+  def routedMediaDedup(media: DataFrame, maxHamming: Int = 3,
+      maxBucketDf: Int = 1000, minMatchedFrames: Int = 2,
+      maxFrameDf: Int = 1000, thumbSide: Int = 8,
+      flatEps: Double = 1e-9, silenceFloor: Int = 0): DataFrame = {
+    def magic(n: Int) = substring(col("bytes"), 1, n)
+    // classify ONCE and checkpoint: four cohort filters read the tagged
+    // frame, so the upstream media subtree (generation/read) runs once
+    val tagged = media.select(col("media_id"), col("bytes"),
+        when(magic(2) === lit("P6".getBytes) ||
+            magic(4) === lit("qoif".getBytes), "image")
+          .when(magic(4) === lit("RIFF".getBytes), "audio")
+          .when(magic(9) === lit("YUV4MPEG2".getBytes), "video")
+          .otherwise("unknown").as("modality"))
+      .localCheckpoint()
+    def cohort(m: String) = tagged.filter(col("modality") === m)
+      .select(col("media_id"), col("bytes"))
+    val img = routedImageDedup(cohort("image"), maxHamming, maxBucketDf,
+        thumbSide, flatEps)
+      .withColumn("modality", lit("image"))
+    val aud = routedAudioDedup(cohort("audio"), maxHamming, maxBucketDf,
+        silenceFloor)
+      .withColumn("modality", lit("audio"))
+    val vid = routedVideoDedup(cohort("video"), minMatchedFrames,
+        maxFrameDf, thumbSide)
+      .withColumn("modality", lit("video"))
+    val unk = cohort("unknown")
+      .select(col("media_id").as("key"), col("bytes"))
+      .localCheckpoint() // two consumers: group aggregate + star probe
+    val unkGroups = blobDupGroups(unk)
+      .select(col("blob_md5").as("_m"), col("kept_key"))
+    val unkPairs = unk.withColumn("_md5", md5(col("bytes")))
+      .join(unkGroups, col("_md5") === col("_m") &&
+        col("key").cast("long") =!= col("kept_key"))
+      .select(col("kept_key").as("id_a"), col("key").cast("long").as("id_b"),
+        lit("exact_blob").as("kind"), lit("unknown").as("modality"))
+    img.unionByName(aud).unionByName(vid).unionByName(unkPairs)
+  }
+
   // ---- perceptual audio dedup (round 13) ----
 
   /** Haitsma-Kalker-style audio fingerprint (the PRH "robust hash" of
@@ -1377,6 +1428,53 @@ object Multimodal {
       .select(col("band"), col("bits"), col("id"), col("sig"), col("words"))
   }
 
+  /** Match audio against a FROZEN [[audioSignatureIndex]] — the shared
+    * core of the streaming audio twin and the batch incremental path
+    * (one body, so stream and batch matching can never drift): stateless
+    * fingerprint projection, band explode, equi-join on (band, bits),
+    * exact Hamming + frame-word verifies; the one stateful op on a
+    * stream is the final pair dedup (state = matched pairs). Returns
+    * (media_id, match_id, hamming, n_diff_words — −1 when the word
+    * streams differ in length). */
+  def audioAgainstIndex(media: DataFrame, index: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = audioFingerprints(media)
+      .select(col("media_id").cast("long").as("sid"),
+        col("fp").as("sig"), col("words").as("s_w"))
+    val sBands = hammingBands64(sig, maxHamming)
+      .select(col("sid"), col("s_w"), col("sig").as("s_sig"),
+        col("band"), col("bits"))
+    val idx = index.select(col("band"), col("bits"), col("id").as("_iid"),
+      col("sig").as("i_sig"), col("words").as("i_w"))
+    sBands.join(idx, Seq("band", "bits"))
+      .withColumn("hamming", bit_count(col("s_sig").bitwiseXOR(col("i_sig"))))
+      .filter(col("hamming") <= maxHamming)
+      .withColumn("n_diff_words",
+        when(size(col("s_w")) =!= size(col("i_w")), lit(-1L))
+          .otherwise(size(filter(zip_with(col("s_w"), col("i_w"),
+            (x, y) => x =!= y), d => d)).cast("long")))
+      .select(col("sid").as("media_id"), col("_iid").as("match_id"),
+        col("hamming").cast("long").as("hamming"), col("n_diff_words"))
+      .dropDuplicates("media_id", "match_id")
+  }
+
+  /** Incremental perceptual AUDIO dedup — [[incrementalImageNearDup]]'s
+    * audio sibling (batch-vs-frozen-corpus): pairs WITHIN the new batch
+    * plus new-batch clips matched against the FROZEN
+    * [[audioSignatureIndex]], never a corpus self-join. Returns
+    * (id_a, id_b, hamming, side ∈ {'batch', 'corpus'}) — for 'corpus'
+    * rows id_a is the index member. */
+  def incrementalAudioNearDup(newMedia: DataFrame, index: DataFrame,
+      maxHamming: Int = 3, maxBucketDf: Int = 1000): DataFrame = {
+    val within = audioNearDupPairs(newMedia, maxHamming, maxBucketDf)
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        lit("batch").as("side"))
+    val vsCorpus = audioAgainstIndex(newMedia, index, maxHamming)
+      .select(col("match_id").as("id_a"), col("media_id").as("id_b"),
+        col("hamming"), lit("corpus").as("side"))
+    within.unionByName(vsCorpus)
+  }
+
   /** The shared Hamming-LSH block: `maxHamming + 1` contiguous bands of
     * a 64-bit signature, equi-join candidates, exact bit_count verify.
     * Input (id, sig); output (id_a, id_b, hamming), id_a < id_b.
@@ -1565,6 +1663,99 @@ object Multimodal {
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_matched"))
       .filter(col("n_matched") >= minMatchedFrames)
+  }
+
+  /** Degenerate-aware VIDEO dedup routing — [[routedImageDedup]]'s video
+    * twin, closing the modality asymmetry: a video whose ENTIRE frame set
+    * is stop frames (all-black filler, test patterns — frame hashes in
+    * more than `maxFrameDf` videos) loses every frame to the whale guard
+    * and would silently exit candidate generation, so even byte-identical
+    * copies never pair. Here those empty-after-removal videos (including
+    * zero-frame clips) route to EXACT blob dedup (linear star pairs to
+    * the min-key survivor — the reference index never silently drops a
+    * trail it cannot index either, tdbcli/filter.c:221-243 routes it to
+    * the unindexed path); videos keeping ≥1 rare frame route to the
+    * inverted-index frame matching. The stop-frame list is corpus-wide
+    * and ≤ n_frames/maxFrameDf keys by construction — broadcast-safe —
+    * so the removal is a broadcast anti-join, never a shuffle of the
+    * frame table. Returns (id_a, id_b, kind ∈ {'exact_blob',
+    * 'perceptual'}), id_a < id_b, drop-in for the clustering stack. */
+  def routedVideoDedup(media: DataFrame, minMatchedFrames: Int = 2,
+      maxFrameDf: Int = 1000, thumbSide: Int = 8): DataFrame = {
+    // the frame-hash sets feed the stop-frame census, the survivor test,
+    // AND the perceptual self-join — decode every video ONCE
+    val sets = videoFrameHashSets(media, thumbSide)
+      .select(col("media_id").cast("long").as("id"), col("frame_hashes"))
+      .localCheckpoint()
+    val frames = sets.select(col("id"),
+      explode(col("frame_hashes")).as("fh"))
+    val stop = frames.groupBy(col("fh"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxFrameDf)
+      .select(col("fh"))
+    val indexed = frames.join(broadcast(stop), Seq("fh"), "left_anti")
+    // degenerate = decodable video with NO surviving frame (every frame
+    // a stop frame, or no frames at all — explode drops empty sets)
+    val degenerateIds = sets.select(col("id"))
+      .join(indexed.select(col("id")).distinct(), Seq("id"), "left_anti")
+    // same reuse cut as routedImageDedup's flatBlobs (two consumers)
+    val degBlobs = media.join(degenerateIds,
+        media("media_id").cast("long") === degenerateIds("id"), "left_semi")
+      .select(col("media_id").as("key"), col("bytes"))
+      .localCheckpoint()
+    val groups = blobDupGroups(degBlobs)
+      .select(col("blob_md5").as("_m"), col("kept_key"))
+    val blobPairs = degBlobs.withColumn("_md5", md5(col("bytes")))
+      .join(groups, col("_md5") === col("_m") &&
+        col("key").cast("long") =!= col("kept_key"))
+      .select(col("kept_key").as("id_a"), col("key").cast("long").as("id_b"),
+        lit("exact_blob").as("kind"))
+    val perceptual = indexed.as("a").join(indexed.as("b"),
+        col("a.fh") === col("b.fh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= minMatchedFrames)
+      .select(col("id_a"), col("id_b"), lit("perceptual").as("kind"))
+    blobPairs.unionByName(perceptual)
+  }
+
+  /** Match videos against a FROZEN [[videoFrameIndex]] — the shared core
+    * of the streaming video twin and the batch incremental path (one
+    * body, so stream and batch matching can never drift): in-task
+    * distinct frame hashes ([[videoFrameHashSets]]), stateless explode,
+    * equi-join on the frame hash, shared-frame count ≥
+    * `minMatchedFrames`. On a stream the count is an aggregation whose
+    * state is one counter per candidate pair (run the sink in UPDATE
+    * mode); on a batch frame it is an ordinary shuffle aggregate.
+    * Returns (media_id, match_id, n_matched). */
+  def videoAgainstIndex(media: DataFrame, index: DataFrame,
+      minMatchedFrames: Int = 2, thumbSide: Int = 8): DataFrame =
+    videoFrameHashSets(media, thumbSide)
+      .select(col("media_id").cast("long").as("sid"),
+        explode(col("frame_hashes")).as("fh"))
+      .join(index.select(col("fh"), col("id").as("_iid")), Seq("fh"))
+      .groupBy(col("sid").as("media_id"), col("_iid").as("match_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= minMatchedFrames)
+
+  /** Incremental perceptual VIDEO dedup — [[incrementalImageNearDup]]'s
+    * video sibling (batch-vs-frozen-corpus, ingest pipelines batch more
+    * often than they stream): pairs WITHIN the new batch plus new-batch
+    * videos matched against the FROZEN [[videoFrameIndex]], never a
+    * corpus self-join. Returns (id_a, id_b, n_matched, side ∈ {'batch',
+    * 'corpus'}) — for 'corpus' rows id_a is the index member. */
+  def incrementalVideoNearDup(newMedia: DataFrame, index: DataFrame,
+      minMatchedFrames: Int = 2, maxFrameDf: Int = 1000,
+      thumbSide: Int = 8): DataFrame = {
+    val within = videoNearDupPairs(newMedia, minMatchedFrames, maxFrameDf,
+        thumbSide)
+      .select(col("id_a"), col("id_b"), col("n_matched"),
+        lit("batch").as("side"))
+    val vsCorpus = videoAgainstIndex(newMedia, index, minMatchedFrames,
+        thumbSide)
+      .select(col("match_id").as("id_a"), col("media_id").as("id_b"),
+        col("n_matched"), lit("corpus").as("side"))
+    within.unionByName(vsCorpus)
   }
 
   /** Planted-duplicate VIDEO fixture: groups of four — m=0 a gid-seeded

@@ -843,28 +843,14 @@ object StreamSessions {
     * [[streamingImageNearDup]] (stateless fingerprint projection +
     * band explode + stream-static bucket join + exact verifies; state =
     * matched pairs only). Returns (media_id, match_id, hamming,
-    * n_diff_words) in append mode. */
+    * n_diff_words) in append mode. One body, two execution modes: the
+    * plan is [[graft.ops.Multimodal.audioAgainstIndex]], which also
+    * serves the batch incremental path
+    * ([[graft.ops.Multimodal.incrementalAudioNearDup]]) — stream and
+    * batch matching can never drift apart. */
   def streamingAudioNearDup(stream: DataFrame, index: DataFrame,
-      maxHamming: Int = 3): DataFrame = {
-    val sig = graft.ops.Multimodal.audioFingerprints(stream)
-      .select(col("media_id").cast("long").as("sid"),
-        col("fp").as("sig"), col("words").as("s_w"))
-    val sBands = graft.ops.Multimodal.hammingBands64(sig, maxHamming)
-      .select(col("sid"), col("s_w"), col("sig").as("s_sig"),
-        col("band"), col("bits"))
-    val idx = index.select(col("band"), col("bits"), col("id").as("_iid"),
-      col("sig").as("i_sig"), col("words").as("i_w"))
-    sBands.join(idx, Seq("band", "bits"))
-      .withColumn("hamming", bit_count(col("s_sig").bitwiseXOR(col("i_sig"))))
-      .filter(col("hamming") <= maxHamming)
-      .withColumn("n_diff_words",
-        when(size(col("s_w")) =!= size(col("i_w")), lit(-1L))
-          .otherwise(size(filter(zip_with(col("s_w"), col("i_w"),
-            (x, y) => x =!= y), d => d)).cast("long")))
-      .select(col("sid").as("media_id"), col("_iid").as("match_id"),
-        col("hamming").cast("long").as("hamming"), col("n_diff_words"))
-      .dropDuplicates("media_id", "match_id")
-  }
+      maxHamming: Int = 3): DataFrame =
+    graft.ops.Multimodal.audioAgainstIndex(stream, index, maxHamming)
 
   /** Streaming twin of perceptual video dedup against a FROZEN
     * [[graft.ops.Multimodal.videoFrameIndex]] — completes the
@@ -882,16 +868,16 @@ object StreamSessions {
     * complete in the micro-batch that carries the video and the final
     * sink state equals the batch pair set (spec-proven).
     *
-    * Returns (media_id, match_id, n_matched ≥ `minMatchedFrames`). */
+    * Returns (media_id, match_id, n_matched ≥ `minMatchedFrames`).
+    * One body, two execution modes: the plan is
+    * [[graft.ops.Multimodal.videoAgainstIndex]], which also serves the
+    * batch incremental path
+    * ([[graft.ops.Multimodal.incrementalVideoNearDup]]) — stream and
+    * batch matching can never drift apart. */
   def streamingVideoNearDup(stream: DataFrame, index: DataFrame,
       minMatchedFrames: Int = 2, thumbSide: Int = 8): DataFrame =
-    graft.ops.Multimodal.videoFrameHashSets(stream, thumbSide)
-      .select(col("media_id").cast("long").as("sid"),
-        explode(col("frame_hashes")).as("fh"))
-      .join(index.select(col("fh"), col("id").as("_iid")), Seq("fh"))
-      .groupBy(col("sid").as("media_id"), col("_iid").as("match_id"))
-      .agg(count(lit(1)).as("n_matched"))
-      .filter(col("n_matched") >= minMatchedFrames)
+    graft.ops.Multimodal.videoAgainstIndex(stream, index,
+      minMatchedFrames, thumbSide)
 
   /** Streaming twin of [[graft.ops.Similarity.covarianceMatrix]]'s Gram
     * pass — live corpus moments (n, per-dim micro sums, upper-triangle

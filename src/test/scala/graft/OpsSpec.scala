@@ -1905,4 +1905,119 @@ class AvDedupSpec extends SparkSpec {
     assert(Multimodal.videoNearDupPairs(media, minMatchedFrames = 1,
       maxFrameDf = 1).count() === 0L)
   }
+
+  test("routedVideoDedup: all-stop-frame and zero-frame videos star-pair via blob dedup") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(16) // 4 groups
+    val planted = Multimodal.dedupVideoMediaFromDocuments(docs)
+    // 6 byte-identical all-black clips: their ONE frame hash has df=6 >
+    // maxFrameDf=5, so stop-frame removal empties their frame sets —
+    // before the routing these silently exited dedup entirely
+    val blackFrame = {
+      val f = new Array[Byte]((8 * 8 * 3) / 2)
+      java.util.Arrays.fill(f, 8 * 8, f.length, 128.toByte)
+      f
+    }
+    val blacks = (0 until 6).map(i =>
+      (2000L + i, Multimodal.Y4m.encode(8, 8, 25, Seq(blackFrame))))
+      .toDF("media_id", "bytes")
+    // 2 byte-identical ZERO-frame clips (header-only y4m): no frames at
+    // all, also degenerate, also blob-deduped
+    val empties = (0 until 2).map(i =>
+      (3000L + i, Multimodal.Y4m.encode(8, 8, 25, Seq.empty)))
+      .toDF("media_id", "bytes")
+    val got = Multimodal.routedVideoDedup(
+        planted.unionByName(blacks).unionByName(empties), maxFrameDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val expected =
+      (1 until 6).map(i => (2000L, 2000L + i, "exact_blob")).toSet ++
+      Set((3000L, 3001L, "exact_blob")) ++
+      (0 until 4).flatMap { g =>
+        val b = 4L * g
+        Seq((b, b + 1, "perceptual"), (b, b + 2, "perceptual"),
+          (b + 1, b + 2, "perceptual"))
+      }.toSet
+    assert(got === expected)
+  }
+
+  test("routedMediaDedup: magic-byte dispatch per modality; unknown blobs keep exact dedup") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(8) // 2 groups
+    val img = Multimodal.dedupImageMediaFromDocuments(docs)
+      .select("media_id", "bytes")
+    val aud = Multimodal.dedupAudioMediaFromDocuments(docs)
+      .select((col("media_id") + 2000L).as("media_id"), col("bytes"))
+    val vid = Multimodal.dedupVideoMediaFromDocuments(docs)
+      .select((col("media_id") + 4000L).as("media_id"), col("bytes"))
+    val unk = (Seq((9000L, "not-a-container".getBytes),
+        (9001L, "not-a-container".getBytes),
+        (9002L, "not-a-container".getBytes),
+        (9003L, "something-else".getBytes)))
+      .toDF("media_id", "bytes")
+    val got = Multimodal.routedMediaDedup(
+        img.unionByName(aud).unionByName(vid).unionByName(unk))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    val triangle = (off: Long, mod: String) => (0 until 2).flatMap { g =>
+      val b = off + 4L * g
+      Seq((b, b + 1, "perceptual", mod), (b, b + 2, "perceptual", mod),
+        (b + 1, b + 2, "perceptual", mod))
+    }.toSet
+    val expected = triangle(0L, "image") ++ triangle(2000L, "audio") ++
+      triangle(4000L, "video") ++
+      Set((9000L, 9001L, "exact_blob", "unknown"),
+        (9000L, 9002L, "exact_blob", "unknown"))
+    assert(got === expected)
+  }
+
+  test("incrementalAudioNearDup = full-batch pairs minus the corpus self-join") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(40) // 10 groups
+    val media = Multimodal.dedupAudioMediaFromDocuments(docs).localCheckpoint()
+    val isCorpus = (id: Long) => id % 4 == 0 || id % 4 == 3
+    val index = Multimodal.audioSignatureIndex(
+      media.filter(col("media_id") % 4 === 0 || col("media_id") % 4 === 3))
+    val batch = media.filter(col("media_id") % 4 === 1 ||
+      col("media_id") % 4 === 2)
+    val incr = Multimodal.incrementalAudioNearDup(batch, index)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    val full = Multimodal.audioNearDupPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = full.flatMap { case (a, b, h) =>
+      (isCorpus(a), isCorpus(b)) match {
+        case (true, true) => None
+        case (false, false) => Some((a, b, h, "batch"))
+        case (true, false) => Some((a, b, h, "corpus"))
+        case (false, true) => Some((b, a, h, "corpus"))
+      }
+    }.toSet
+    assert(incr === expected && incr.nonEmpty)
+  }
+
+  test("incrementalVideoNearDup = full-batch pairs minus the corpus self-join") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(40) // 10 groups
+    val media = Multimodal.dedupVideoMediaFromDocuments(docs).localCheckpoint()
+    val isCorpus = (id: Long) => id % 4 == 0 || id % 4 == 3
+    val index = Multimodal.videoFrameIndex(
+      media.filter(col("media_id") % 4 === 0 || col("media_id") % 4 === 3))
+    val batch = media.filter(col("media_id") % 4 === 1 ||
+      col("media_id") % 4 === 2)
+    val incr = Multimodal.incrementalVideoNearDup(batch, index)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    val full = Multimodal.videoNearDupPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = full.flatMap { case (a, b, n) =>
+      (isCorpus(a), isCorpus(b)) match {
+        case (true, true) => None
+        case (false, false) => Some((a, b, n, "batch"))
+        case (true, false) => Some((a, b, n, "corpus"))
+        case (false, true) => Some((b, a, n, "corpus"))
+      }
+    }.toSet
+    assert(incr === expected && incr.nonEmpty)
+  }
 }
