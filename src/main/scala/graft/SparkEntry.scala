@@ -2447,28 +2447,37 @@ object SparkEntry {
     // The COMPLETE media dedup pipeline as one composed run — the media
     // twin of d_pipeline: mixed-format decode → perceptual near-dup
     // pairs (banded dHash + exact verify) → connected-components
-    // clustering → keepBest survivor per cluster (score = id, so the
-    // LAST member wins — proving the keep policy, not dedupClusters'
-    // min-id convention) → WebDataset export of the survivors → tar
-    // read-back with a byte-integrity audit. The oracle replays the
-    // planted structure end to end: each group's survivor set is
-    // {near-dup cluster's max id, the independent member}, every
-    // exported blob reads back byte-identical.
+    // clustering → QUALITY-AWARE keepBest (score = edge_energy, what a
+    // real training-data pipeline keeps: the cluster's contrast-degraded
+    // member holds the MIN id and its two sharp siblings tie, so the
+    // survivor — the sharp original, ties broken toward the smaller id —
+    // is distinguishable from both the min-id convention and a max-id
+    // policy) → WebDataset export of the survivors → tar read-back with
+    // a byte-integrity audit. The oracle replays the planted structure
+    // end to end: each group's survivor set is {the sharp original, the
+    // independent member}, every exported blob reads back byte-identical.
     "m_dedup_pipeline" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft-media-pipe")
         .resolve("shards").toString
       // media is consumed by decode, keepBest, export, and the audit —
       // generate the fixture once
-      val media = Multimodal.dedupImageMediaFromDocuments(
-        s.read.parquet(s"$dir/documents.parquet")).localCheckpoint()
+      val media = Multimodal.qualityImageMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet"))
+        .select("media_id", "bytes").localCheckpoint()
+      // the decode feeds the pair generation AND the quality scoring —
+      // decode once
       val dec = Multimodal.decodeAnyImages(media, thumbSide = 8)
+        .localCheckpoint()
       val pairs = Multimodal.imageNearDupPairs(dec, maxHamming = 3)
+      val quality = Multimodal.withImageQualitySignals(dec)
+        .select(col("media_id").as("doc_id"), col("edge_energy"))
       val asDocs = media.withColumnRenamed("media_id", "doc_id")
       val clusters = Dedup.dedupClusters(asDocs, pairs).localCheckpoint()
       val sizes = clusters.groupBy("cluster_id")
         .agg(count(lit(1)).as("n_members"))
       // kept feeds the export AND the final audit select — one keepBest
-      val kept = Dedup.keepBest(asDocs, clusters, col("doc_id"))
+      val kept = Dedup.keepBest(asDocs.join(quality, "doc_id"), clusters,
+          col("edge_energy"))
         .localCheckpoint()
       Multimodal.exportWebDataset(kept, out, nShards = 4, ext = "img",
         keyCol = "doc_id").count() // force the export before the read-back
@@ -5290,20 +5299,22 @@ object SparkEntry {
         |ORDER BY id_a, id_b, side""".stripMargin,
 
     // Exact replay of the composed media pipeline: the near-dup cluster
-    // {4g, 4g+1, 4g+2} is labeled by its min id (4g), keepBest with
-    // score = id crowns 4g+2, the independent member 4g+3 survives as
-    // its own singleton, and every survivor's exported blob reads back
-    // byte-identical from the tar shards.
+    // {4g, 4g+1, 4g+2} is labeled by its min id (4g — the DEGRADED
+    // member), quality-aware keepBest crowns the sharp original 4g+1
+    // (edge_energy beats the degraded copy; the tie with the identical
+    // 4g+2 breaks toward the smaller id), the independent member 4g+3
+    // survives as its own singleton, and every survivor's exported blob
+    // reads back byte-identical from the tar shards.
     "m_dedup_pipeline" ->
       """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
         |           FROM documents)
         |SELECT CAST(doc_id AS BIGINT) AS survivor_id,
-        |       CAST(CASE WHEN m = 2 THEN gid * 4 ELSE doc_id END
+        |       CAST(CASE WHEN m = 1 THEN gid * 4 ELSE doc_id END
         |            AS BIGINT) AS cluster_id,
-        |       CAST(CASE WHEN m = 2 THEN 3 ELSE 1 END AS BIGINT)
+        |       CAST(CASE WHEN m = 1 THEN 3 ELSE 1 END AS BIGINT)
         |         AS n_members,
         |       TRUE AS blob_ok
-        |FROM d WHERE m IN (2, 3)
+        |FROM d WHERE m IN (1, 3)
         |ORDER BY survivor_id""".stripMargin,
 
     "m_webdataset" ->

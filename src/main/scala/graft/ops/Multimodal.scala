@@ -1835,4 +1835,46 @@ object Multimodal {
       (id, fmt, bytes)
     }.toDF("media_id", "fmt", "bytes")
   }
+
+  /** Quality-graded planted image fixture for the quality-aware keep
+    * policy: groups of four — m=1 a gid-seeded SHARP binary raster
+    * (values 0/255), m=2 an EXACT copy of m=1, m=0 a CONTRAST-DEGRADED
+    * copy of the same pattern (values 100/130: a positive affine map
+    * preserves every horizontal gradient sign, so its dHash is
+    * IDENTICAL to the sharp members' and it lands in the same near-dup
+    * cluster, while its `edge_energy` is strictly lower — 30/255 per
+    * edge vs 1.0), m=3 an independent raster. The DEGRADED member holds
+    * the group's MIN id, so a survivor chosen by edge_energy (m=1 — the
+    * two identical sharp copies tie and [[Dedup.keepBest]] breaks ties
+    * toward the smaller id) is distinguishable from BOTH the min-id
+    * convention (m=0) and a max-id policy (m=2). Even gids encode PPM,
+    * odd gids QOI. */
+  def qualityImageMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val gid = id / 4
+      val m = (id % 4).toInt
+      def mix(v: Long): Long = {
+        var z = v + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      val pattern = if (m == 3) mix(gid * 7919L + 104729L) else mix(gid)
+      val (lo, hi) =
+        if (m == 0) (100.toByte, 130.toByte) else (0.toByte, 255.toByte)
+      val rgb = new Array[Byte](8 * 8 * 3)
+      var p = 0
+      while (p < 64) {
+        val v = if (((pattern >>> p) & 1L) == 1L) hi else lo
+        rgb(3 * p) = v; rgb(3 * p + 1) = v; rgb(3 * p + 2) = v
+        p += 1
+      }
+      val fmt = if (gid % 2 == 0) "ppm" else "qoi"
+      val bytes = if (gid % 2 == 0) Ppm.encode(8, 8, rgb)
+        else Qoi.encode(8, 8, rgb)
+      (id, fmt, bytes)
+    }.toDF("media_id", "fmt", "bytes")
+  }
 }

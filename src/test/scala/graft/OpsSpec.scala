@@ -1502,6 +1502,48 @@ class ImageDedupSpec extends SparkSpec {
       Seq(4L * g, 4L * g + 3)).sorted)
   }
 
+  test("quality-aware keepBest: the sharp original survives; ties break toward the min id") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(16) // 4 groups
+    val media = Multimodal.qualityImageMediaFromDocuments(docs)
+      .select("media_id", "bytes")
+    val dec = Multimodal.decodeAnyImages(media, thumbSide = 8).localCheckpoint()
+    // the degraded member's positive-affine contrast map preserves every
+    // gradient sign: its dHash is IDENTICAL, so the cluster is {m0,m1,m2}
+    val pairs = Multimodal.imageNearDupPairs(dec, maxHamming = 3)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      (0 until 4).flatMap { g =>
+        val b = 4L * g
+        Seq((b, b + 1), (b, b + 2), (b + 1, b + 2))
+      }.toSet)
+    val quality = Multimodal.withImageQualitySignals(dec)
+      .select(col("media_id"), col("edge_energy"))
+    val q = quality.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0 until 4).foreach { g =>
+      val b = 4L * g
+      // the sharp twins tie EXACTLY (identical bytes); the degraded
+      // member is strictly duller
+      assert(q(b + 1) === q(b + 2) && q(b) < q(b + 1), s"group $g: $q")
+    }
+    val clusters = Dedup.dedupClusters(
+      dec.withColumnRenamed("media_id", "doc_id"), pairs)
+    val kept = Dedup.keepBest(
+      quality.withColumnRenamed("media_id", "doc_id"), clusters,
+      col("edge_energy"))
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).sorted
+    // survivor = the sharp ORIGINAL (4g+1): beats the degraded min-id
+    // member on score, beats its identical copy (4g+2) on the pinned
+    // min-id tie-break — distinguishable from min-id AND max-id policies
+    assert(keptIds.toSeq === (0 until 4).flatMap(g =>
+      Seq(4L * g + 1, 4L * g + 3)).sorted)
+    // determinism: the tie-break is a total order, not partition luck
+    val again = Dedup.keepBest(
+      quality.withColumnRenamed("media_id", "doc_id").repartition(7),
+      clusters, col("edge_energy"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(again.toSeq === keptIds.toSeq)
+  }
+
   test("ahash mode pairs the planted duplicates too") {
     val docs = TestSpark.spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet").limit(24)
