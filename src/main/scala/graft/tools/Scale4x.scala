@@ -751,6 +751,71 @@ object Scale4x {
       }
       spark.stop(); return
     }
+    if (args.contains("--mediapipe")) {
+      // COMPOSED media-pipeline ladder (round 15): the m_dedup_pipeline
+      // shape end to end — decode → near-dup pairs → connected
+      // components → quality-aware keepBest → WebDataset export → tar
+      // read-back byte audit. The pieces are individually ladder-proven;
+      // this measures the COMPOSITION: one decode checkpoint feeds the
+      // pair generation AND the quality scoring (the "decode passes"
+      // column counts rows entering the decoder via an accumulator tap —
+      // 1.00 means every blob decoded exactly once per factor), survivors
+      // and the byte audit must replay the planted structure exactly, and
+      // wall-clock should track corpus size near-linearly.
+      import graft.ops.{Multimodal, Dedup}
+      import spark.implicits._
+      val d1 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id")
+      val nD1 = d1.count()
+      require(nD1 % 4 == 0, s"fixture groups need 4 | nD1, got $nD1")
+      def rep(f: Int): DataFrame = (0 until f).map(i =>
+          d1.withColumn("doc_id", col("doc_id") + lit(i * nD1)))
+        .reduce(_.unionByName(_)).localCheckpoint()
+      println("| op | factor | items | wall | survivors | blob audit | decode passes |")
+      println("|---|---|---|---|---|---|---|")
+      for (f <- Seq(1, 4, 16, 64)) {
+        val media = Multimodal.qualityImageMediaFromDocuments(rep(f))
+          .select("media_id", "bytes").localCheckpoint()
+        val n = nD1 * f
+        val acc = spark.sparkContext.longAccumulator(s"decode_feed_${f}x")
+        val tapped = media.as[(Long, Array[Byte])]
+          .mapPartitions { it => it.map { x => acc.add(1); x } }
+          .toDF("media_id", "bytes")
+        val out = s"$base/mediapipe-$f/shards"
+        var survivors = 0L; var backOk = 0L; var backRows = 0L
+        val t = time {
+          val dec = Multimodal.decodeAnyImages(tapped, thumbSide = 8)
+            .localCheckpoint()
+          val pairs = Multimodal.imageNearDupPairs(dec, maxHamming = 3)
+          val quality = Multimodal.withImageQualitySignals(dec)
+            .select(col("media_id").as("doc_id"), col("edge_energy"))
+          val asDocs = media.withColumnRenamed("media_id", "doc_id")
+          val clusters = Dedup.dedupClusters(asDocs, pairs).localCheckpoint()
+          val kept = Dedup.keepBest(asDocs.join(quality, "doc_id"),
+            clusters, col("edge_energy")).localCheckpoint()
+          survivors = kept.count()
+          Multimodal.exportWebDataset(kept, out, nShards = 8, ext = "img",
+            keyCol = "doc_id").count()
+          val back = Multimodal.readWebDataset(spark, out)
+            .filter(col("ext") === "img")
+            .select(col("key").as("doc_id"), md5(col("bytes")).as("_mb"))
+          val audit = kept
+            .select(col("doc_id"), md5(col("bytes")).as("_mo")).join(back, "doc_id")
+          backRows = audit.count()
+          backOk = audit.filter(col("_mo") === col("_mb")).count()
+          0L
+        }
+        // per group: the sharp original + the independent member survive
+        val expect = n / 2
+        val ok = survivors == expect && backOk == survivors &&
+          backRows == survivors
+        println(f"| media pipeline | ${f}× | $n | $t%.2f s | $survivors" +
+          (if (ok) " (exact)" else s" (EXPECTED $expect)") +
+          f" | $backOk/$backRows byte-identical " +
+          f"| ${acc.value.toDouble / n}%.2f |")
+      }
+      spark.stop(); return
+    }
     if (args.contains("--whaleguard")) {
       // GUARD-SCALE demonstration (r12): a whale big enough to actually
       // trip TrailGuard's 2^20 default — 128× the sf events with 25%
