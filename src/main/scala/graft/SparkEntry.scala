@@ -2468,7 +2468,13 @@ object SparkEntry {
       // decode once
       val dec = Multimodal.decodeAnyImages(media, thumbSide = 8)
         .localCheckpoint()
+      // two-stage discipline BEFORE clustering: the Scale4x --mediapipe
+      // ladder measured raw hamming-3 band collisions merging 9 groups
+      // at 320k items (every false candidate at hamming exactly 3; this
+      // fixture's true pairs all sit at 0), so the composed pipeline
+      // exact-verifies candidates before they reach connected components
       val pairs = Multimodal.imageNearDupPairs(dec, maxHamming = 3)
+        .filter(col("hamming") <= 2)
       val quality = Multimodal.withImageQualitySignals(dec)
         .select(col("media_id").as("doc_id"), col("edge_energy"))
       val asDocs = media.withColumnRenamed("media_id", "doc_id")
