@@ -638,10 +638,14 @@ object Multimodal {
     * multimodal training loaders stream.
     *
     * Scale shape: EXECUTOR-SIDE distributed write — rows repartition by
-    * shard id and each task streams its shards' entries straight into
-    * `shard-NNNNN.tar` through the Hadoop FS (no driver collect, no
-    * per-entry seeks; a shard is written once, sequentially, keys sorted
-    * for determinism). The default shard key is `key % nShards`
+    * shard id and each task streams its shards' entries into a unique
+    * `.staging/` temp through the Hadoop FS and PROMOTES the complete
+    * tar to `shard-NNNNN.tar` with one rename (task-committed: retries
+    * re-promote, concurrent speculative attempts race the rename and the
+    * loser discards its identical-bytes temp — safe with
+    * `spark.speculation` on). No driver collect, no per-entry seeks; a
+    * shard is written once, sequentially, keys sorted for determinism.
+    * The default shard key is `key % nShards`
     * (engine-replayable); pass a hashed column for balance when keys are
     * clustered. Returns the manifest AS READ BACK from the written tars
     * (same audit convention as exportTrainingShards: the manifest counts
@@ -662,19 +666,35 @@ object Multimodal {
       .as[(Long, Array[Byte], Int)]
     // hash partitioning may co-locate several shard ids in one task (and
     // leave others empty) — entries arrive shard-contiguous (the sort),
-    // so the writer rolls to a new tar on shard change. Task RETRIES are
-    // safe (create(overwrite=true) rewrites the whole shard); concurrent
-    // SPECULATIVE attempts are not — like every direct-write
-    // foreachPartition exporter, run with spark.speculation off (the
-    // default) or point outDir at a task-committed staging layer.
+    // so the writer rolls to a new tar on shard change. TASK-COMMITTED
+    // writes (round 15): each attempt streams its shard into a unique
+    // `.staging/` temp and promotes it with ONE rename on shard close,
+    // so a shard only ever appears at its final name COMPLETE. Retries
+    // re-promote (the failed attempt never promoted); concurrent
+    // SPECULATIVE attempts race renames, and the loser deletes its temp
+    // — both attempts of a partition write identical bytes (entries are
+    // (shard, key)-sorted, content deterministic), so either winner is
+    // correct. The driver sweeps `.staging/` after the job: leftover
+    // temps from failed attempts never pollute the manifest (it lists
+    // only top-level shard-*.tar).
     tagged.foreachPartition { (it: Iterator[(Long, Array[Byte], Int)]) =>
       val fs = new org.apache.hadoop.fs.Path(outDir)
         .getFileSystem(new org.apache.hadoop.conf.Configuration())
       var cur = -1
       var os: org.apache.hadoop.fs.FSDataOutputStream = null
+      var tmp: org.apache.hadoop.fs.Path = null
+      var fin: org.apache.hadoop.fs.Path = null
       def close(): Unit = if (os != null) {
         os.write(new Array[Byte](1024)) // end-of-archive blocks
         os.close(); os = null
+        // promote: rename is the commit point. A pre-existing final file
+        // is deleted first (re-export semantics — the old
+        // create(overwrite) behavior); if the rename STILL fails a
+        // concurrent attempt won the race with identical bytes (entries
+        // are (shard, key)-sorted, content deterministic), so discard
+        // the loser's temp instead of corrupting the winner.
+        if (fs.exists(fin)) fs.delete(fin, false)
+        if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
       }
       def entry(name: String, bytes: Array[Byte]): Unit = {
         os.write(graft.sources.TdbWriter.tarHeader(name, bytes.length.toLong))
@@ -686,8 +706,11 @@ object Multimodal {
         if (shard != cur) {
           close()
           cur = shard
-          os = fs.create(new org.apache.hadoop.fs.Path(
-            outDir, f"shard-$shard%05d.tar"), true)
+          fin = new org.apache.hadoop.fs.Path(outDir, f"shard-$shard%05d.tar")
+          tmp = new org.apache.hadoop.fs.Path(outDir,
+            f".staging/shard-$shard%05d.tar." +
+              java.util.UUID.randomUUID().toString.take(8))
+          os = fs.create(tmp, true)
         }
         entry(s"$k.$ext", blob)
         entry(s"$k.json",
@@ -695,6 +718,12 @@ object Multimodal {
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
       close()
+    }
+    // sweep staging leftovers (failed attempts) before the manifest read
+    locally {
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(outDir, ".staging"), true)
     }
     // manifest from READ-BACK: the repo's ustar walker re-opens each
     // written shard (driver-side over nShards files — bounded)

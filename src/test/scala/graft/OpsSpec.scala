@@ -1408,6 +1408,38 @@ class MultimodalSpec extends SparkSpec {
       assert(java.util.Arrays.equals(backBlobs(k), b), s"read-back blob $k diverged")
     }
   }
+
+  test("webdataset export is task-committed: no staging residue, re-export overwrites") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media1 = Multimodal.ppmMediaFromDocuments(docs).limit(20)
+      .localCheckpoint()
+    val out = java.nio.file.Files.createTempDirectory("graft-wds-commit")
+      .resolve("shards").toString
+    Multimodal.exportWebDataset(media1, out, nShards = 2).count()
+    // every shard was promoted out of .staging and the sweep removed it —
+    // a crash-leftover temp can never shadow or pollute the manifest
+    assert(!new java.io.File(out, ".staging").exists())
+    val n1 = Multimodal.readWebDataset(spark, out)
+      .filter(col("ext") === "ppm").count()
+    assert(n1 === 20L)
+    // re-export DIFFERENT bytes for the same keys into the same dir:
+    // the promote must replace the stale shard (the old create-overwrite
+    // semantics), not silently keep it
+    val media2 = media1.withColumn("bytes",
+      concat(col("bytes"), lit(Array[Byte](7))))
+    Multimodal.exportWebDataset(media2, out, nShards = 2).count()
+    assert(!new java.io.File(out, ".staging").exists())
+    val lens1 = media1.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).length).toMap
+    val back = Multimodal.readWebDataset(spark, out)
+      .filter(col("ext") === "ppm").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](2)).toMap
+    assert(back.size === 20)
+    back.foreach { case (k, b) =>
+      assert(b.length === lens1(k) + 1 && b.last === 7.toByte,
+        s"blob $k not overwritten by the re-export")
+    }
+  }
 }
 
 class ImageDedupSpec extends SparkSpec {
