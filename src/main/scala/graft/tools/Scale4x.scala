@@ -824,6 +824,83 @@ object Scale4x {
           f" | $backOk/$backRows byte-identical " +
           f"| ${acc.value.toDouble / n}%.2f |")
       }
+
+      // MIXED-MODALITY routing leg: one media column carrying all three
+      // planted fixtures plus a byte-identical unknown-magic cohort,
+      // through routedMediaDedup — the magic-byte dispatch must hold its
+      // near-linear wall while every modality's pair structure replays.
+      // The routed frame carries RAW banded candidates by design (the
+      // verify columns live on the underlying pair ops), so — like the
+      // --percept ladder — the row reports both the raw count (which
+      // accumulates the documented hamming-≤3 near-collision tail as the
+      // signature space fills: +2 image pairs at 80k) and the
+      // exact-verified count (image channel diff ≤ 3, audio frame words
+      // equal, video ≥2 shared frames, blob star pairs byte-identical by
+      // construction), which must replay the planted structure exactly.
+      // The verify joins run OUTSIDE the timed window (a caller keeps
+      // the verify columns instead of re-deriving them). Stops at 16×
+      // (80k clips per modality): the audio fingerprint decode is
+      // CPU-bound (Goertzel — the --percept ladder documents the same
+      // 64× omission), and the dispatch/join plan is identical to what
+      // the per-modality 64× rows already prove.
+      println()
+      println("| op | factor | blobs | wall | raw pairs | verified | expected |")
+      println("|---|---|---|---|---|---|---|")
+      for (f <- Seq(1, 4, 16)) {
+        val docs = rep(f)
+        val img = Multimodal.dedupImageMediaFromDocuments(docs)
+          .select("media_id", "bytes")
+        val audOff = 100000000L
+        val vidOff = 200000000L
+        val unkOff = 300000000L
+        val aud = Multimodal.dedupAudioMediaFromDocuments(docs)
+          .select((col("media_id") + audOff).as("media_id"), col("bytes"))
+        val vid = Multimodal.dedupVideoMediaFromDocuments(docs)
+          .select((col("media_id") + vidOff).as("media_id"), col("bytes"))
+        val unk = docs.select((col("doc_id") + unkOff).as("media_id"),
+          lit("unknown-container".getBytes).as("bytes"))
+        val media = img.unionByName(aud).unionByName(vid).unionByName(unk)
+          .localCheckpoint()
+        var raw = 0L
+        var p: DataFrame = null
+        val t = time {
+          p = Multimodal.routedMediaDedup(media).localCheckpoint()
+          raw = p.count()
+          0L
+        }
+        // exact verify, untimed: blob star pairs are byte-identity by
+        // construction; video pairs already require ≥2 shared frames
+        val star = p.filter(col("kind") === "exact_blob").count()
+        val vidV = p.filter(col("modality") === "video" &&
+          col("kind") === "perceptual").count()
+        val it = Multimodal.decodeAnyImages(img, thumbSide = 8)
+          .select(col("media_id").as("vid"), col("thumb")).localCheckpoint()
+        val imgV = p.filter(col("modality") === "image" &&
+            col("kind") === "perceptual")
+          .join(it.as("ta"), col("id_a") === col("ta.vid"))
+          .join(it.as("tb"), col("id_b") === col("tb.vid"))
+          .filter(size(filter(
+            zip_with(col("ta.thumb"), col("tb.thumb"), (x, y) => abs(x - y)),
+            d => d > lit(1.0 / 255 / 2))) <= 3)
+          .count()
+        val fw = Multimodal.audioFingerprints(aud)
+          .select(col("media_id").as("vid"), col("words")).localCheckpoint()
+        val audV = p.filter(col("modality") === "audio" &&
+            col("kind") === "perceptual")
+          .join(fw.as("wa"), col("id_a") === col("wa.vid"))
+          .join(fw.as("wb"), col("id_b") === col("wb.vid"))
+          .filter(size(col("wa.words")) === size(col("wb.words")) &&
+            size(filter(zip_with(col("wa.words"), col("wb.words"),
+              (x, y) => x =!= y), d => d)) === 0)
+          .count()
+        val verified = star + imgV + audV + vidV
+        val n = nD1 * f
+        val expect = 3L * 3L * (n / 4) + (n - 1) // triangles + unknown star
+        println(f"| routed media dedup | ${f}× | ${4 * n} | $t%.2f s " +
+          f"| $raw | $verified" +
+          (if (verified == expect) " (exact)" else s" (EXPECTED $expect)") +
+          " |")
+      }
       spark.stop(); return
     }
     if (args.contains("--whaleguard")) {
