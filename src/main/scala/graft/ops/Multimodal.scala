@@ -1652,11 +1652,16 @@ object Multimodal {
     val frames = videoFrameHashSets(media, thumbSide)
       .select(col("media_id").cast("long").as("id"),
         explode(col("frame_hashes")).as("fh"))
-    val rare = frames.groupBy(col("fh"))
+    // STOP frames (df > cap) are ≤ n_frames/maxFrameDf distinct keys by
+    // construction — broadcast the tiny stop list and anti-join, never a
+    // semi-join against the corpus-sized rare side (round 15; the
+    // hammingPairs64 heavy-bucket shape)
+    val stop = frames.groupBy(col("fh"))
       .agg(count(lit(1)).as("_df"))
-      .filter(col("_df") <= maxFrameDf)
+      .filter(col("_df") > maxFrameDf)
       .select(col("fh"))
-    frames.join(rare, Seq("fh"), "left_semi").select(col("fh"), col("id"))
+    frames.join(broadcast(stop), Seq("fh"), "left_anti")
+      .select(col("fh"), col("id"))
   }
 
   /** Perceptual near-duplicate video pairs: per-frame dHash over
@@ -1682,11 +1687,14 @@ object Multimodal {
       .select(col("id"),
         graft.functions.GraftFunctions.dhash64(col("thumb")).as("fh"))
       .distinct() // one row per (video, distinct frame hash)
-    val rare = frames.groupBy(col("fh"))
+    // broadcast the tiny stop list (≤ n_frames/maxFrameDf keys), anti-join
+    // — the semi-join against the corpus-sized rare side shuffled the
+    // whole frame table a second time (round 15)
+    val stop = frames.groupBy(col("fh"))
       .agg(count(lit(1)).as("_df"))
-      .filter(col("_df") <= maxFrameDf)
+      .filter(col("_df") > maxFrameDf)
       .select(col("fh"))
-    val indexed = frames.join(rare, Seq("fh"), "left_semi")
+    val indexed = frames.join(broadcast(stop), Seq("fh"), "left_anti")
     indexed.as("a").join(indexed.as("b"),
         col("a.fh") === col("b.fh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
