@@ -209,6 +209,41 @@ object SparkEntry {
         (col("_rank_bad") === 0).cast("long").as("ranked_ok"))
   }
 
+  /** Planted MIXED-media corpus — each modality's dedup fixture at its
+    * id offset plus a byte-identical unknown-magic cohort: the
+    * m_routed_media corpus, shared by the streaming/incremental media
+    * gates so all three replay the same planted structure. */
+  private def mixedMediaFixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val img = Multimodal.dedupImageMediaFromDocuments(docs)
+      .select("media_id", "bytes")
+    val aud = Multimodal.dedupAudioMediaFromDocuments(docs)
+      .select((col("media_id") + lit(2000000L)).as("media_id"), col("bytes"))
+    val vid = Multimodal.dedupVideoMediaFromDocuments(docs)
+      .select((col("media_id") + lit(4000000L)).as("media_id"), col("bytes"))
+    val unk = docs.select((col("doc_id") + lit(6000000L)).as("media_id"),
+      lit("unknown-container".getBytes).as("bytes"))
+    img.unionByName(aud).unionByName(vid).unionByName(unk)
+  }
+
+  /** Frozen per-modality + exact-blob indexes over the m ∈ {0,3} corpus
+    * slice of [[mixedMediaFixture]] (the m_incr_dedup split; the id
+    * offsets are multiples of 4, so media_id % 4 IS doc_id % 4). */
+  private def mixedMediaIndexes(media: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val corpus = media.filter(col("media_id") % 4 === 0 ||
+      col("media_id") % 4 === 3)
+    val tagged = Multimodal.classifyMedia(corpus).localCheckpoint()
+    def cohort(m: String) = tagged.filter(col("modality") === m)
+      .select("media_id", "bytes")
+    (Multimodal.imageSignatureIndex(
+        Multimodal.decodeAnyImages(cohort("image"), thumbSide = 8))
+        .localCheckpoint(),
+      Multimodal.audioSignatureIndex(cohort("audio")).localCheckpoint(),
+      Multimodal.videoFrameIndex(cohort("video")).localCheckpoint(),
+      Multimodal.blobMd5Index(tagged).localCheckpoint())
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("t_sessionize")(spark, "/root/testdata/sf0.001")
@@ -2332,17 +2367,7 @@ object SparkEntry {
     // one branch); unknown blobs keep their exact duplicates via blob
     // star pairs. The oracle replays every modality's group structure.
     "m_routed_media" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val img = Multimodal.dedupImageMediaFromDocuments(docs)
-        .select("media_id", "bytes")
-      val aud = Multimodal.dedupAudioMediaFromDocuments(docs)
-        .select((col("media_id") + lit(2000000L)).as("media_id"), col("bytes"))
-      val vid = Multimodal.dedupVideoMediaFromDocuments(docs)
-        .select((col("media_id") + lit(4000000L)).as("media_id"), col("bytes"))
-      val unk = docs.select((col("doc_id") + lit(6000000L)).as("media_id"),
-        lit("unknown-container".getBytes).as("bytes"))
-      Multimodal.routedMediaDedup(
-          img.unionByName(aud).unionByName(vid).unionByName(unk))
+      Multimodal.routedMediaDedup(mixedMediaFixture(s, dir))
         .orderBy("id_a", "id_b")
     }),
 
@@ -2442,6 +2467,55 @@ object SparkEntry {
         col("media_id") % 4 === 2).select("media_id", "bytes")
       Multimodal.incrementalVideoNearDup(batch, index)
         .orderBy("id_a", "id_b", "side")
+    }),
+
+    // Incremental MIXED-MODALITY dedup — the batch-vs-frozen-corpus
+    // contract over ONE media column carrying all three modalities plus
+    // unknown containers: within-batch the full degenerate-aware routing
+    // (each modality's m∈{1,2} pair + the unknown cohort's star pairs),
+    // against the corpus each batch blob matches its frozen group base
+    // perceptually AND — for the byte-identical m=1 copies and every
+    // unknown — exactly via the frozen blobMd5Index. The oracle replays
+    // every modality's structure on both sides.
+    "m_incr_media" -> ((s, dir) => {
+      val media = mixedMediaFixture(s, dir).localCheckpoint()
+      val (imgIdx, audIdx, vidIdx, blobIdx) = mixedMediaIndexes(media)
+      val batch = media.filter(col("media_id") % 4 === 1 ||
+        col("media_id") % 4 === 2)
+      Multimodal.incrementalMediaDedup(batch, imgIdx, audIdx, vidIdx,
+          blobIdx)
+        .orderBy("id_a", "id_b", "side", "kind")
+    }),
+
+    // STREAMING mixed-modality dedup — the media stream of a real crawl
+    // (images, audio, video, unknown containers interleaved) matched per
+    // micro-batch against the frozen per-modality indexes + the frozen
+    // exact-blob index via foreachBatch (every match is
+    // stream-vs-frozen-static, so per-batch application of the ONE batch
+    // body is exact — the streamingIndexSearchPruned convention). Each
+    // m∈{1,2} member matches its group base perceptually; the m=1 copies
+    // and every unknown blob also match exactly by content hash.
+    "m_stream_media" -> ((s, dir) => {
+      val media = mixedMediaFixture(s, dir).localCheckpoint()
+      val (imgIdx, audIdx, vidIdx, blobIdx) = mixedMediaIndexes(media)
+      val src = Fixtures.memo(s"medstream:$dir") {
+        val p = java.nio.file.Files.createTempDirectory("graft-medsrc")
+          .resolve("src").toString
+        media.filter(col("media_id") % 4 === 1 || col("media_id") % 4 === 2)
+          .write.parquet(p)
+        p
+      }
+      val out = java.nio.file.Files.createTempDirectory("graft-medout")
+        .resolve("out").toString
+      val stream = s.readStream
+        .schema(s.read.parquet(src).schema).parquet(src)
+      val q = graft.streaming.StreamSessions.streamingMediaNearDup(
+          stream, imgIdx, audIdx, vidIdx, blobIdx) { (b, _) =>
+          b.write.mode("append").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+      s.read.parquet(out).orderBy("media_id", "match_id", "kind")
     }),
 
     // The COMPLETE media dedup pipeline as one composed run — the media
@@ -5303,6 +5377,105 @@ object SparkEntry {
         |                   ELSE 2 + gid % 3 END AS BIGINT), 'corpus'
         |  FROM d WHERE m IN (1, 2))
         |ORDER BY id_a, id_b, side""".stripMargin,
+
+    // Exact replay of the incremental mixed-modality split: within the
+    // batch each modality's m=1/m=2 members pair perceptually and the
+    // byte-identical unknown cohort star-pairs under its min batch key;
+    // against the frozen corpus every batch member matches its group
+    // base perceptually, the m=1 copies also match exactly by content
+    // hash, and every batch unknown matches the corpus representative.
+    "m_incr_media" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |           FROM documents),
+        |g AS (SELECT DISTINCT gid FROM d),
+        |bu AS (SELECT min(doc_id) AS mn FROM d WHERE m IN (1, 2)),
+        |cu AS (SELECT min(doc_id) AS mn FROM d WHERE m IN (0, 3))
+        |SELECT * FROM (
+        |  SELECT CAST(gid * 4 + 1 AS BIGINT) AS id_a,
+        |         CAST(gid * 4 + 2 AS BIGINT) AS id_b,
+        |         'perceptual' AS kind, 'image' AS modality, 'batch' AS side
+        |  FROM g
+        |  UNION ALL
+        |  SELECT CAST(2000000 + gid * 4 + 1 AS BIGINT),
+        |         CAST(2000000 + gid * 4 + 2 AS BIGINT),
+        |         'perceptual', 'audio', 'batch' FROM g
+        |  UNION ALL
+        |  SELECT CAST(4000000 + gid * 4 + 1 AS BIGINT),
+        |         CAST(4000000 + gid * 4 + 2 AS BIGINT),
+        |         'perceptual', 'video', 'batch' FROM g
+        |  UNION ALL
+        |  SELECT CAST(6000000 + (SELECT mn FROM bu) AS BIGINT),
+        |         CAST(6000000 + doc_id AS BIGINT),
+        |         'exact_blob', 'unknown', 'batch'
+        |  FROM d WHERE m IN (1, 2) AND doc_id > (SELECT mn FROM bu)
+        |  UNION ALL
+        |  SELECT CAST(gid * 4 AS BIGINT), CAST(doc_id AS BIGINT),
+        |         'perceptual', 'image', 'corpus' FROM d WHERE m IN (1, 2)
+        |  UNION ALL
+        |  SELECT CAST(2000000 + gid * 4 AS BIGINT),
+        |         CAST(2000000 + doc_id AS BIGINT),
+        |         'perceptual', 'audio', 'corpus' FROM d WHERE m IN (1, 2)
+        |  UNION ALL
+        |  SELECT CAST(4000000 + gid * 4 AS BIGINT),
+        |         CAST(4000000 + doc_id AS BIGINT),
+        |         'perceptual', 'video', 'corpus' FROM d WHERE m IN (1, 2)
+        |  UNION ALL
+        |  SELECT CAST(gid * 4 AS BIGINT), CAST(doc_id AS BIGINT),
+        |         'exact_blob', 'image', 'corpus' FROM d WHERE m = 1
+        |  UNION ALL
+        |  SELECT CAST(2000000 + gid * 4 AS BIGINT),
+        |         CAST(2000000 + doc_id AS BIGINT),
+        |         'exact_blob', 'audio', 'corpus' FROM d WHERE m = 1
+        |  UNION ALL
+        |  SELECT CAST(4000000 + gid * 4 AS BIGINT),
+        |         CAST(4000000 + doc_id AS BIGINT),
+        |         'exact_blob', 'video', 'corpus' FROM d WHERE m = 1
+        |  UNION ALL
+        |  SELECT CAST(6000000 + (SELECT mn FROM cu) AS BIGINT),
+        |         CAST(6000000 + doc_id AS BIGINT),
+        |         'exact_blob', 'unknown', 'corpus'
+        |  FROM d WHERE m IN (1, 2))
+        |ORDER BY id_a, id_b, side, kind""".stripMargin,
+
+    // Exact replay of the mixed-modality stream: every m in {1,2} member
+    // matches its group base perceptually (at each modality's id
+    // offset), the byte-identical m=1 copies also match exactly, and
+    // every stream unknown matches the corpus representative by content
+    // hash.
+    "m_stream_media" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |           FROM documents),
+        |cu AS (SELECT min(doc_id) AS mn FROM d WHERE m IN (0, 3))
+        |SELECT * FROM (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |         CAST(gid * 4 AS BIGINT) AS match_id,
+        |         'perceptual' AS kind, 'image' AS modality
+        |  FROM d WHERE m IN (1, 2)
+        |  UNION ALL
+        |  SELECT CAST(2000000 + doc_id AS BIGINT),
+        |         CAST(2000000 + gid * 4 AS BIGINT),
+        |         'perceptual', 'audio' FROM d WHERE m IN (1, 2)
+        |  UNION ALL
+        |  SELECT CAST(4000000 + doc_id AS BIGINT),
+        |         CAST(4000000 + gid * 4 AS BIGINT),
+        |         'perceptual', 'video' FROM d WHERE m IN (1, 2)
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS BIGINT), CAST(gid * 4 AS BIGINT),
+        |         'exact_blob', 'image' FROM d WHERE m = 1
+        |  UNION ALL
+        |  SELECT CAST(2000000 + doc_id AS BIGINT),
+        |         CAST(2000000 + gid * 4 AS BIGINT),
+        |         'exact_blob', 'audio' FROM d WHERE m = 1
+        |  UNION ALL
+        |  SELECT CAST(4000000 + doc_id AS BIGINT),
+        |         CAST(4000000 + gid * 4 AS BIGINT),
+        |         'exact_blob', 'video' FROM d WHERE m = 1
+        |  UNION ALL
+        |  SELECT CAST(6000000 + doc_id AS BIGINT),
+        |         CAST(6000000 + (SELECT mn FROM cu) AS BIGINT),
+        |         'exact_blob', 'unknown'
+        |  FROM d WHERE m IN (1, 2))
+        |ORDER BY media_id, match_id, kind""".stripMargin,
 
     // Exact replay of the composed media pipeline: the near-dup cluster
     // {4g, 4g+1, 4g+2} is labeled by its min id (4g — the DEGRADED

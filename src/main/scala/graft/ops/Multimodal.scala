@@ -908,6 +908,15 @@ object Multimodal {
       decodeAnyImages(media, thumbSide), flatEps = flatEps)
       .select(col("media_id"), col("thumb"), col("is_flat"))
       .localCheckpoint()
+    routedImageDedupDecoded(media, dec, maxHamming, maxBucketDf)
+  }
+
+  /** [[routedImageDedup]] from an ALREADY-DECODED quality-signal frame
+    * (media_id, thumb, is_flat — checkpointed by the caller): the mixed
+    * incremental path decodes its image cohort once and feeds both this
+    * within-batch routing and the against-index join from it. */
+  private def routedImageDedupDecoded(media: DataFrame, dec: DataFrame,
+      maxHamming: Int, maxBucketDf: Int): DataFrame = {
     val flatIds = dec.filter(col("is_flat")).select(col("media_id"))
     // checkpoint the flat-blob slice: it feeds BOTH the group aggregate
     // and the star-pair join probe — without the cut the media subtree
@@ -915,13 +924,8 @@ object Multimodal {
     val flatBlobs = media.join(flatIds, Seq("media_id"), "left_semi")
       .select(col("media_id").as("key"), col("bytes"))
       .localCheckpoint()
-    val groups = blobDupGroups(flatBlobs)
-      .select(col("blob_md5").as("_m"), col("kept_key"))
-    val blobPairs = flatBlobs.withColumn("_md5", md5(col("bytes")))
-      .join(groups, col("_md5") === col("_m") &&
-        col("key").cast("long") =!= col("kept_key"))
-      .select(col("kept_key").as("id_a"), col("key").cast("long").as("id_b"),
-        lit("exact_blob").as("kind"))
+    val blobPairs = blobStarPairs(flatBlobs)
+      .withColumn("kind", lit("exact_blob"))
     val perceptual = imageNearDupPairs(dec.filter(!col("is_flat")),
         maxHamming = maxHamming, maxBucketDf = maxBucketDf)
       .select(col("id_a"), col("id_b"), lit("perceptual").as("kind"))
@@ -954,6 +958,21 @@ object Multimodal {
       .join(kept, col("_md5") === col("_m") &&
         col(keyCol).cast("long") === col("kept_key"), "left_semi")
       .drop("_md5")
+  }
+
+  /** Star pairs of byte-identical blobs under the min-key survivor —
+    * the exact-dedup pair shape every degenerate-routing branch emits:
+    * (id_a = kept key, id_b = other copy), one row per non-survivor.
+    * A group's star pairs label the same connected component its full
+    * pair clique would, at linear (not quadratic) output cost. The
+    * caller checkpoints `blobs` when it has other consumers. */
+  private def blobStarPairs(blobs: DataFrame): DataFrame = {
+    val groups = blobDupGroups(blobs)
+      .select(col("blob_md5").as("_m"), col("kept_key"))
+    blobs.withColumn("_md5", md5(col("bytes")))
+      .join(groups, col("_md5") === col("_m") &&
+        col("key").cast("long") =!= col("kept_key"))
+      .select(col("kept_key").as("id_a"), col("key").cast("long").as("id_b"))
   }
 
   /** Per-clip audio quality signals — [[withImageQualitySignals]]' audio
@@ -1013,13 +1032,8 @@ object Multimodal {
     val silent = media.join(silentIds, Seq("media_id"), "left_semi")
       .select(col("media_id").as("key"), col("bytes"))
       .localCheckpoint()
-    val groups = blobDupGroups(silent)
-      .select(col("blob_md5").as("_m"), col("kept_key"))
-    val blobPairs = silent.withColumn("_md5", md5(col("bytes")))
-      .join(groups, col("_md5") === col("_m") &&
-        col("key").cast("long") =!= col("kept_key"))
-      .select(col("kept_key").as("id_a"), col("key").cast("long").as("id_b"),
-        lit("exact_blob").as("kind"))
+    val blobPairs = blobStarPairs(silent)
+      .withColumn("kind", lit("exact_blob"))
     val audible = media.join(silentIds, Seq("media_id"), "left_anti")
     val perceptual = audioNearDupPairs(audible, maxHamming, maxBucketDf)
       .select(col("id_a"), col("id_b"), lit("perceptual").as("kind"))
@@ -1042,17 +1056,34 @@ object Multimodal {
   def routedMediaDedup(media: DataFrame, maxHamming: Int = 3,
       maxBucketDf: Int = 1000, minMatchedFrames: Int = 2,
       maxFrameDf: Int = 1000, thumbSide: Int = 8,
-      flatEps: Double = 1e-9, silenceFloor: Int = 0): DataFrame = {
-    def magic(n: Int) = substring(col("bytes"), 1, n)
+      flatEps: Double = 1e-9, silenceFloor: Int = 0): DataFrame =
     // classify ONCE and checkpoint: four cohort filters read the tagged
     // frame, so the upstream media subtree (generation/read) runs once
-    val tagged = media.select(col("media_id"), col("bytes"),
-        when(magic(2) === lit("P6".getBytes) ||
-            magic(4) === lit("qoif".getBytes), "image")
-          .when(magic(4) === lit("RIFF".getBytes), "audio")
-          .when(magic(9) === lit("YUV4MPEG2".getBytes), "video")
-          .otherwise("unknown").as("modality"))
-      .localCheckpoint()
+    routedMediaDedupTagged(classifyMedia(media).localCheckpoint(),
+      maxHamming, maxBucketDf, minMatchedFrames, maxFrameDf, thumbSide,
+      flatEps, silenceFloor)
+
+  /** Magic-byte modality classification of a mixed media column — the
+    * [[decodeAnyImages]] dispatch extended across containers (`P6`/`qoif`
+    * → image, `RIFF` → audio, `YUV4MPEG2` → video, anything else →
+    * unknown): one native substring compare per blob, a pure projection
+    * (stream-legal). Returns (media_id, bytes, modality). */
+  def classifyMedia(media: DataFrame): DataFrame = {
+    def magic(n: Int) = substring(col("bytes"), 1, n)
+    media.select(col("media_id"), col("bytes"),
+      when(magic(2) === lit("P6".getBytes) ||
+          magic(4) === lit("qoif".getBytes), "image")
+        .when(magic(4) === lit("RIFF".getBytes), "audio")
+        .when(magic(9) === lit("YUV4MPEG2".getBytes), "video")
+        .otherwise("unknown").as("modality"))
+  }
+
+  /** [[routedMediaDedup]] over an already-classified (and checkpointed)
+    * [[classifyMedia]] frame — shared with [[incrementalMediaDedup]],
+    * whose two legs read one classification pass. */
+  private def routedMediaDedupTagged(tagged: DataFrame, maxHamming: Int,
+      maxBucketDf: Int, minMatchedFrames: Int, maxFrameDf: Int,
+      thumbSide: Int, flatEps: Double, silenceFloor: Int): DataFrame = {
     def cohort(m: String) = tagged.filter(col("modality") === m)
       .select(col("media_id"), col("bytes"))
     val img = routedImageDedup(cohort("image"), maxHamming, maxBucketDf,
@@ -1067,14 +1098,107 @@ object Multimodal {
     val unk = cohort("unknown")
       .select(col("media_id").as("key"), col("bytes"))
       .localCheckpoint() // two consumers: group aggregate + star probe
-    val unkGroups = blobDupGroups(unk)
-      .select(col("blob_md5").as("_m"), col("kept_key"))
-    val unkPairs = unk.withColumn("_md5", md5(col("bytes")))
-      .join(unkGroups, col("_md5") === col("_m") &&
-        col("key").cast("long") =!= col("kept_key"))
-      .select(col("kept_key").as("id_a"), col("key").cast("long").as("id_b"),
+    val unkPairs = blobStarPairs(unk)
+      .select(col("id_a"), col("id_b"),
         lit("exact_blob").as("kind"), lit("unknown").as("modality"))
     img.unionByName(aud).unionByName(vid).unionByName(unkPairs)
+  }
+
+  /** FROZEN exact-blob index — the md5 analog of [[imageSignatureIndex]]
+    * for the mixed-media stream/incremental paths: one row per distinct
+    * blob content, `id` = the corpus's kept representative (min id, the
+    * [[blobDupGroups]] survivor convention). A new blob byte-identical
+    * to ANY corpus blob matches its representative with one equi-join on
+    * the 16-byte content hash — no decode, no banding, any modality. */
+  def blobMd5Index(media: DataFrame, idCol: String = "media_id",
+      bytesCol: String = "bytes"): DataFrame =
+    media.select(md5(col(bytesCol)).as("blob_md5"),
+        col(idCol).cast("long").as("id"))
+      .groupBy(col("blob_md5")).agg(min(col("id")).as("id"))
+
+  /** Match a MIXED media batch against FROZEN per-modality indexes — the
+    * one shared body of the mixed-media streaming twin
+    * ([[graft.streaming.StreamSessions.streamingMediaNearDup]]) and the
+    * batch incremental path ([[incrementalMediaDedup]]): magic-byte
+    * classification (one pass, checkpointed — five consumers), each
+    * cohort through its modality's against-index body
+    * ([[imageNearDupAgainstIndex]] / [[audioAgainstIndex]] /
+    * [[videoAgainstIndex]] — the SAME bodies the single-modality twins
+    * execute), plus an exact-blob leg: EVERY blob (any modality,
+    * including unknown containers) md5-joins against the frozen
+    * [[blobMd5Index]], so a byte-identical re-crawl of a corpus blob is
+    * caught even when its container cannot be decoded. A pair can carry
+    * two rows — `exact_blob` AND `perceptual` — when a byte-identical
+    * copy also matches perceptually; the kinds are independent detectors
+    * and the clustering consumers dedup edges anyway. Returns
+    * (media_id, match_id ∈ index, kind, modality). Takes batch frames
+    * (the streaming twin applies it per micro-batch via foreachBatch —
+    * checkpoints are batch-only plumbing). */
+  def mediaAgainstIndexes(media: DataFrame, imageIndex: DataFrame,
+      audioIndex: DataFrame, videoIndex: DataFrame, blobIndex: DataFrame,
+      maxHamming: Int = 3, minMatchedFrames: Int = 2,
+      thumbSide: Int = 8): DataFrame =
+    mediaAgainstIndexesTagged(classifyMedia(media).localCheckpoint(),
+      imageIndex, audioIndex, videoIndex, blobIndex, maxHamming,
+      minMatchedFrames, thumbSide)
+
+  private def mediaAgainstIndexesTagged(tagged: DataFrame,
+      imageIndex: DataFrame, audioIndex: DataFrame, videoIndex: DataFrame,
+      blobIndex: DataFrame, maxHamming: Int, minMatchedFrames: Int,
+      thumbSide: Int): DataFrame = {
+    def cohort(m: String) = tagged.filter(col("modality") === m)
+      .select(col("media_id"), col("bytes"))
+    val img = imageNearDupAgainstIndex(cohort("image"), imageIndex,
+        maxHamming, thumbSide)
+      .select(col("media_id"), col("match_id"),
+        lit("perceptual").as("kind"), lit("image").as("modality"))
+    val aud = audioAgainstIndex(cohort("audio"), audioIndex, maxHamming)
+      .select(col("media_id"), col("match_id"),
+        lit("perceptual").as("kind"), lit("audio").as("modality"))
+    val vid = videoAgainstIndex(cohort("video"), videoIndex,
+        minMatchedFrames, thumbSide)
+      .select(col("media_id"), col("match_id"),
+        lit("perceptual").as("kind"), lit("video").as("modality"))
+    // the exact leg self-filters: when the batch overlaps the frozen
+    // corpus, a blob must not report ITSELF as its own duplicate
+    val exact = tagged.withColumn("_md5", md5(col("bytes")))
+      .join(blobIndex, col("_md5") === col("blob_md5"))
+      .filter(col("media_id").cast("long") =!= col("id"))
+      .select(col("media_id").cast("long").as("media_id"),
+        col("id").as("match_id"),
+        lit("exact_blob").as("kind"), col("modality"))
+    img.unionByName(aud).unionByName(vid).unionByName(exact)
+  }
+
+  /** Incremental MIXED-MODALITY dedup — [[routedMediaDedup]]'s
+    * batch-vs-frozen-corpus contract, completing the family: pairs
+    * WITHIN the new batch (the full degenerate-aware routing — flats,
+    * silents, stop-frame-only clips, and unknown containers all keep
+    * their exact duplicates) plus new-batch blobs matched against the
+    * FROZEN per-modality indexes and the frozen [[blobMd5Index]], never
+    * a corpus self-join. The batch is classified ONCE (both legs read
+    * the checkpointed tagged frame); within each leg every cohort is
+    * decoded once (the single-modality incrementals' decode discipline —
+    * the two legs answer different joins, so each decodes its own).
+    * Returns (id_a, id_b, kind, modality, side ∈ {'batch', 'corpus'}) —
+    * for 'corpus' rows id_a is the index member. */
+  def incrementalMediaDedup(newMedia: DataFrame, imageIndex: DataFrame,
+      audioIndex: DataFrame, videoIndex: DataFrame, blobIndex: DataFrame,
+      maxHamming: Int = 3, maxBucketDf: Int = 1000,
+      minMatchedFrames: Int = 2, maxFrameDf: Int = 1000,
+      thumbSide: Int = 8, flatEps: Double = 1e-9,
+      silenceFloor: Int = 0): DataFrame = {
+    val tagged = classifyMedia(newMedia).localCheckpoint()
+    val within = routedMediaDedupTagged(tagged, maxHamming, maxBucketDf,
+        minMatchedFrames, maxFrameDf, thumbSide, flatEps, silenceFloor)
+      .select(col("id_a"), col("id_b"), col("kind"), col("modality"),
+        lit("batch").as("side"))
+    val vsCorpus = mediaAgainstIndexesTagged(tagged, imageIndex,
+        audioIndex, videoIndex, blobIndex, maxHamming, minMatchedFrames,
+        thumbSide)
+      .select(col("match_id").as("id_a"), col("media_id").as("id_b"),
+        col("kind"), col("modality"), lit("corpus").as("side"))
+    within.unionByName(vsCorpus)
   }
 
   // ---- perceptual audio dedup (round 13) ----
@@ -1740,13 +1864,8 @@ object Multimodal {
         media("media_id").cast("long") === degenerateIds("id"), "left_semi")
       .select(col("media_id").as("key"), col("bytes"))
       .localCheckpoint()
-    val groups = blobDupGroups(degBlobs)
-      .select(col("blob_md5").as("_m"), col("kept_key"))
-    val blobPairs = degBlobs.withColumn("_md5", md5(col("bytes")))
-      .join(groups, col("_md5") === col("_m") &&
-        col("key").cast("long") =!= col("kept_key"))
-      .select(col("kept_key").as("id_a"), col("key").cast("long").as("id_b"),
-        lit("exact_blob").as("kind"))
+    val blobPairs = blobStarPairs(degBlobs)
+      .withColumn("kind", lit("exact_blob"))
     val perceptual = indexed.as("a").join(indexed.as("b"),
         col("a.fh") === col("b.fh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -879,6 +879,39 @@ object StreamSessions {
     graft.ops.Multimodal.videoAgainstIndex(stream, index,
       minMatchedFrames, thumbSide)
 
+  /** Streaming MIXED-MODALITY dedup against frozen indexes — completes
+    * the family: one media stream carrying images, audio, video, and
+    * unknown containers, matched per micro-batch against the frozen
+    * per-modality indexes plus the frozen
+    * [[graft.ops.Multimodal.blobMd5Index]] (byte-identical re-crawls are
+    * caught even for undecodable containers). Runs through foreachBatch
+    * — the [[graft.ops.Similarity.streamingIndexSearchPruned]] convention
+    * — because the unified body mixes stateful operator KINDS (the video
+    * branch is a shared-frame-count aggregation, the image/audio
+    * branches end in pair dedups) and Spark supports multiple stateful
+    * operators only in append mode, which the frame-count aggregation
+    * cannot run without event time. The per-batch application is EXACT,
+    * not an approximation: every match is stream-vs-frozen-static (a
+    * blob arrives whole in its row and never matches other stream rows),
+    * so a micro-batch's matches depend only on that batch's rows and the
+    * union over batches equals the one-shot batch application of the
+    * SAME body, [[graft.ops.Multimodal.mediaAgainstIndexes]] — stream
+    * and batch cannot drift. Delivery contract: exactly the batch pair
+    * set when each blob arrives once (at-least-once re-delivery re-emits
+    * that blob's matches — the foreachBatch convention; the declarative
+    * single-modality twins carry the cross-batch dedup state instead).
+    * `sink` receives each micro-batch's (media_id, match_id, kind,
+    * modality) frame. */
+  def streamingMediaNearDup(stream: DataFrame, imageIndex: DataFrame,
+      audioIndex: DataFrame, videoIndex: DataFrame, blobIndex: DataFrame,
+      maxHamming: Int = 3, minMatchedFrames: Int = 2, thumbSide: Int = 8)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.ops.Multimodal.mediaAgainstIndexes(batch, imageIndex,
+        audioIndex, videoIndex, blobIndex, maxHamming, minMatchedFrames,
+        thumbSide), batchId)
+    }
+
   /** Streaming twin of [[graft.ops.Similarity.covarianceMatrix]]'s Gram
     * pass — live corpus moments (n, per-dim micro sums, upper-triangle
     * micro² product sums) maintained as ONE complete-mode global typed

@@ -2094,4 +2094,64 @@ class AvDedupSpec extends SparkSpec {
     }.toSet
     assert(incr === expected && incr.nonEmpty)
   }
+
+  test("blobMd5Index: one row per distinct blob content, min-id representative") {
+    val blobs = Seq(
+      (7L, "aaaa".getBytes), (3L, "aaaa".getBytes), (9L, "aaaa".getBytes),
+      (5L, "bbbb".getBytes)).toDF("media_id", "bytes")
+    val idx = Multimodal.blobMd5Index(blobs)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(idx.length === 2)          // two distinct contents
+    assert(idx.map(_._2).toSet === Set(3L, 5L)) // min id per content
+  }
+
+  test("incrementalMediaDedup: every modality's structure on both sides of the batch/corpus split") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(8) // 2 groups
+    val img = Multimodal.dedupImageMediaFromDocuments(docs)
+      .select("media_id", "bytes")
+    val aud = Multimodal.dedupAudioMediaFromDocuments(docs)
+      .select((col("media_id") + 2000L).as("media_id"), col("bytes"))
+    val vid = Multimodal.dedupVideoMediaFromDocuments(docs)
+      .select((col("media_id") + 4000L).as("media_id"), col("bytes"))
+    // four byte-identical unknown containers: {9000, 9003} freeze into
+    // the corpus (9000 the blob-index representative), {9001, 9002}
+    // arrive in the batch
+    val unk = (0 until 4).map(i => (9000L + i, "unknown-container".getBytes))
+      .toDF("media_id", "bytes")
+    val media = img.unionByName(aud).unionByName(vid).unionByName(unk)
+      .localCheckpoint()
+    val corpus = media.filter(col("media_id") % 4 === 0 ||
+      col("media_id") % 4 === 3)
+    val tagged = Multimodal.classifyMedia(corpus).localCheckpoint()
+    def cohort(m: String) = tagged.filter(col("modality") === m)
+      .select("media_id", "bytes")
+    val imgIdx = Multimodal.imageSignatureIndex(
+      Multimodal.decodeAnyImages(cohort("image"), thumbSide = 8))
+    val audIdx = Multimodal.audioSignatureIndex(cohort("audio"))
+    val vidIdx = Multimodal.videoFrameIndex(cohort("video"))
+    val blobIdx = Multimodal.blobMd5Index(corpus)
+    val batch = media.filter(col("media_id") % 4 === 1 ||
+      col("media_id") % 4 === 2)
+    val got = Multimodal.incrementalMediaDedup(batch, imgIdx, audIdx,
+        vidIdx, blobIdx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSet
+    // per modality and group: the batch m=1/m=2 members pair with each
+    // other (within), both match the frozen base perceptually, and the
+    // byte-identical m=1 copy also matches it exactly
+    def mod(off: Long, name: String) = (0 until 2).flatMap { g =>
+      val b = off + 4L * g
+      Seq((b + 1, b + 2, "perceptual", name, "batch"),
+        (b, b + 1, "perceptual", name, "corpus"),
+        (b, b + 2, "perceptual", name, "corpus"),
+        (b, b + 1, "exact_blob", name, "corpus"))
+    }.toSet
+    val expected = mod(0L, "image") ++ mod(2000L, "audio") ++
+      mod(4000L, "video") ++
+      Set((9001L, 9002L, "exact_blob", "unknown", "batch"),
+        (9000L, 9001L, "exact_blob", "unknown", "corpus"),
+        (9000L, 9002L, "exact_blob", "unknown", "corpus"))
+    assert(got === expected)
+  }
 }

@@ -24,7 +24,7 @@ class PlanGuardSpec extends SparkSpec {
     "e_neardup_lsh", "e_dedup_clusters", "e_semantic_dedup", "m_image_dedup",
     "m_audio_dedup", "m_video_dedup", "m_routed_dedup", "m_routed_audio",
     "m_routed_video", "m_routed_media", "m_incr_dedup", "m_incr_audio",
-    "m_incr_video", "m_dedup_pipeline", "t_asof", "t_asof_tol",
+    "m_incr_video", "m_incr_media", "m_dedup_pipeline", "t_asof", "t_asof_tol",
     "t_asof_tol_native", "t_retention", "d_bigram_lp", "t_cms",
     "q3_revenue", "q4_semi", "q5_nation_volume", "q7_volume",
     "q_anti_customers", "q_range_join")

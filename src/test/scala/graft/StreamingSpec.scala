@@ -751,6 +751,80 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming mixed-media dedup (foreachBatch) equals the one-shot batch body across micro-batches") {
+    import graft.ops.Multimodal
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(16) // 4 groups
+    val img = Multimodal.dedupImageMediaFromDocuments(docs)
+      .select("media_id", "bytes")
+    val aud = Multimodal.dedupAudioMediaFromDocuments(docs)
+      .select((col("media_id") + 2000L).as("media_id"), col("bytes"))
+    val vid = Multimodal.dedupVideoMediaFromDocuments(docs)
+      .select((col("media_id") + 4000L).as("media_id"), col("bytes"))
+    val unk = (0 until 4).map(i => (9000L + i, "unknown-container".getBytes))
+      .toDF("media_id", "bytes")
+    val media = img.unionByName(aud).unionByName(vid).unionByName(unk)
+      .localCheckpoint()
+    val corpus = media.filter(col("media_id") % 4 === 0 ||
+      col("media_id") % 4 === 3)
+    val tagged = Multimodal.classifyMedia(corpus).localCheckpoint()
+    def cohort(m: String) = tagged.filter(col("modality") === m)
+      .select("media_id", "bytes")
+    // frozen static sides (the m_stream_image_dedup convention)
+    val imgIdx = Multimodal.imageSignatureIndex(
+      Multimodal.decodeAnyImages(cohort("image"), thumbSide = 8))
+      .localCheckpoint()
+    val audIdx = Multimodal.audioSignatureIndex(cohort("audio"))
+      .localCheckpoint()
+    val vidIdx = Multimodal.videoFrameIndex(cohort("video"))
+      .localCheckpoint()
+    val blobIdx = Multimodal.blobMd5Index(corpus).localCheckpoint()
+
+    val dir = Files.createTempDirectory("graft-smed")
+    val src = dir.resolve("src").toString
+    media.filter(col("media_id") % 4 === 1).coalesce(1).write.parquet(src)
+    Thread.sleep(1100)
+    media.filter(col("media_id") % 4 === 2).coalesce(1)
+      .write.mode("append").parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val sunk = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String, String)]
+    val q = StreamSessions.streamingMediaNearDup(stream, imgIdx, audIdx,
+        vidIdx, blobIdx) { (b, _) =>
+        val rows = b.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+        sunk.synchronized { sunk ++= rows }
+      }.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // the union over micro-batches IS the one-shot application of the
+    // same body to the whole stream frame — and nothing emits twice
+    val streamed = sunk.toSet
+    assert(sunk.size === streamed.size)
+    val oneShot = Multimodal.mediaAgainstIndexes(
+        media.filter(col("media_id") % 4 === 1 || col("media_id") % 4 === 2),
+        imgIdx, audIdx, vidIdx, blobIdx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(streamed === oneShot && streamed.nonEmpty)
+    // planted structure: every stream member matches its frozen group
+    // base perceptually; the byte-identical m=1 copies and every unknown
+    // blob also match exactly by content hash
+    def mod(off: Long, name: String) = (0 until 4).flatMap { g =>
+      val b = off + 4L * g
+      Seq((b + 1, b, "perceptual", name), (b + 2, b, "perceptual", name),
+        (b + 1, b, "exact_blob", name))
+    }.toSet
+    val expected = mod(0L, "image") ++ mod(2000L, "audio") ++
+      mod(4000L, "video") ++
+      Set((9001L, 9000L, "exact_blob", "unknown"),
+        (9002L, 9000L, "exact_blob", "unknown"))
+    assert(streamed === expected)
+  }
+
   test("pure-projection text ops run unchanged on a stream (quality + PII scrub)") {
     val dir = Files.createTempDirectory("graft-sproj")
     val src = dir.resolve("src").toString
