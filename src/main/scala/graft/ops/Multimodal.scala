@@ -1040,6 +1040,30 @@ object Multimodal {
     blobPairs.unionByName(perceptual)
   }
 
+  /** [[routedAudioDedup]] from an ALREADY-COMPUTED fingerprint frame
+    * covering the WHOLE cohort (checkpointed by the caller): the mixed
+    * incremental path fingerprints each clip once — the against-index
+    * probe needs every clip, so this within leg filters the shared frame
+    * to audible clips instead of fingerprinting its own subset. (The
+    * standalone [[routedAudioDedup]] keeps fingerprinting only the
+    * audible subset — cheaper when nothing else needs the silent fps.) */
+  private def routedAudioDedupFromFp(media: DataFrame, fps: DataFrame,
+      maxHamming: Int, maxBucketDf: Int, silenceFloor: Int): DataFrame = {
+    val silentIds = withAudioQualitySignals(media, silenceFloor)
+      .filter(col("is_silent")).select(col("media_id"))
+      .localCheckpoint()
+    val silent = media.join(silentIds, Seq("media_id"), "left_semi")
+      .select(col("media_id").as("key"), col("bytes"))
+      .localCheckpoint()
+    val blobPairs = blobStarPairs(silent)
+      .withColumn("kind", lit("exact_blob"))
+    val audible = fps.join(silentIds, Seq("media_id"), "left_anti")
+    val perceptual = audioNearDupPairsFromFp(audible, maxHamming,
+        maxBucketDf)
+      .select(col("id_a"), col("id_b"), lit("perceptual").as("kind"))
+    blobPairs.unionByName(perceptual)
+  }
+
   /** Unified MIXED-MODALITY dedup routing — real corpora carry images,
     * audio, and video in ONE media column: dispatch each blob on its
     * magic bytes (`P6`/`qoif` → image, `RIFF` → audio, `YUV4MPEG2` →
@@ -1079,8 +1103,9 @@ object Multimodal {
   }
 
   /** [[routedMediaDedup]] over an already-classified (and checkpointed)
-    * [[classifyMedia]] frame — shared with [[incrementalMediaDedup]],
-    * whose two legs read one classification pass. */
+    * [[classifyMedia]] frame. ([[incrementalMediaDedup]] does NOT reuse
+    * this body: it routes each cohort from a shared derived frame so the
+    * against-index probe reads the same decode — see there.) */
   private def routedMediaDedupTagged(tagged: DataFrame, maxHamming: Int,
       maxBucketDf: Int, minMatchedFrames: Int, maxFrameDf: Int,
       thumbSide: Int, flatEps: Double, silenceFloor: Int): DataFrame = {
@@ -1116,15 +1141,17 @@ object Multimodal {
         col(idCol).cast("long").as("id"))
       .groupBy(col("blob_md5")).agg(min(col("id")).as("id"))
 
-  /** Match a MIXED media batch against FROZEN per-modality indexes — the
-    * one shared body of the mixed-media streaming twin
-    * ([[graft.streaming.StreamSessions.streamingMediaNearDup]]) and the
-    * batch incremental path ([[incrementalMediaDedup]]): magic-byte
-    * classification (one pass, checkpointed — five consumers), each
-    * cohort through its modality's against-index body
+  /** Match a MIXED media batch against FROZEN per-modality indexes —
+    * the mixed-media streaming twin's per-micro-batch body
+    * ([[graft.streaming.StreamSessions.streamingMediaNearDup]]):
+    * magic-byte classification (one pass, checkpointed — five
+    * consumers), each cohort through its modality's against-index body
     * ([[imageNearDupAgainstIndex]] / [[audioAgainstIndex]] /
-    * [[videoAgainstIndex]] — the SAME bodies the single-modality twins
-    * execute), plus an exact-blob leg: EVERY blob (any modality,
+    * [[videoAgainstIndex]] — the SAME per-modality bodies the
+    * single-modality twins execute, and that [[incrementalMediaDedup]]
+    * reaches through their shared-frame entry points, so stream and
+    * batch matching cannot drift), plus an exact-blob leg
+    * ([[blobsAgainstMd5Index]]): EVERY blob (any modality,
     * including unknown containers) md5-joins against the frozen
     * [[blobMd5Index]], so a byte-identical re-crawl of a corpus blob is
     * caught even when its container cannot be decoded. A pair can carry
@@ -1159,16 +1186,25 @@ object Multimodal {
         minMatchedFrames, thumbSide)
       .select(col("media_id"), col("match_id"),
         lit("perceptual").as("kind"), lit("video").as("modality"))
-    // the exact leg self-filters: when the batch overlaps the frozen
-    // corpus, a blob must not report ITSELF as its own duplicate
-    val exact = tagged.withColumn("_md5", md5(col("bytes")))
+    val exact = blobsAgainstMd5Index(tagged, blobIndex)
+    img.unionByName(aud).unionByName(vid).unionByName(exact)
+  }
+
+  /** The exact-blob against-index leg shared by
+    * [[mediaAgainstIndexes]] and [[incrementalMediaDedup]]: every tagged
+    * blob (any modality, including unknown containers) md5-joins against
+    * the frozen [[blobMd5Index]]. Self-filters: when the batch overlaps
+    * the frozen corpus, a blob must not report ITSELF as its own
+    * duplicate. Returns (media_id, match_id, kind='exact_blob',
+    * modality). */
+  private def blobsAgainstMd5Index(tagged: DataFrame,
+      blobIndex: DataFrame): DataFrame =
+    tagged.withColumn("_md5", md5(col("bytes")))
       .join(blobIndex, col("_md5") === col("blob_md5"))
       .filter(col("media_id").cast("long") =!= col("id"))
       .select(col("media_id").cast("long").as("media_id"),
         col("id").as("match_id"),
         lit("exact_blob").as("kind"), col("modality"))
-    img.unionByName(aud).unionByName(vid).unionByName(exact)
-  }
 
   /** Incremental MIXED-MODALITY dedup — [[routedMediaDedup]]'s
     * batch-vs-frozen-corpus contract, completing the family: pairs
@@ -1176,12 +1212,15 @@ object Multimodal {
     * silents, stop-frame-only clips, and unknown containers all keep
     * their exact duplicates) plus new-batch blobs matched against the
     * FROZEN per-modality indexes and the frozen [[blobMd5Index]], never
-    * a corpus self-join. The batch is classified ONCE (both legs read
-    * the checkpointed tagged frame); within each leg every cohort is
-    * decoded once (the single-modality incrementals' decode discipline —
-    * the two legs answer different joins, so each decodes its own).
-    * Returns (id_a, id_b, kind, modality, side ∈ {'batch', 'corpus'}) —
-    * for 'corpus' rows id_a is the index member. */
+    * a corpus self-join. The batch is classified ONCE (every cohort
+    * filter reads the checkpointed tagged frame), and each cohort's
+    * expensive derived frame — decoded image thumbs, audio fingerprints,
+    * video frame-hash sets — is computed ONCE and shared by BOTH legs
+    * (the within-batch routing and the against-index probe read the same
+    * checkpoint; the incrementalImageNearDup decode discipline, applied
+    * per modality). Returns (id_a, id_b, kind, modality, side ∈
+    * {'batch', 'corpus'}) — for 'corpus' rows id_a is the index
+    * member. */
   def incrementalMediaDedup(newMedia: DataFrame, imageIndex: DataFrame,
       audioIndex: DataFrame, videoIndex: DataFrame, blobIndex: DataFrame,
       maxHamming: Int = 3, maxBucketDf: Int = 1000,
@@ -1189,13 +1228,62 @@ object Multimodal {
       thumbSide: Int = 8, flatEps: Double = 1e-9,
       silenceFloor: Int = 0): DataFrame = {
     val tagged = classifyMedia(newMedia).localCheckpoint()
-    val within = routedMediaDedupTagged(tagged, maxHamming, maxBucketDf,
-        minMatchedFrames, maxFrameDf, thumbSide, flatEps, silenceFloor)
+    def cohort(m: String) = tagged.filter(col("modality") === m)
+      .select(col("media_id"), col("bytes"))
+
+    // image: decode once — flats route to exact blob dedup within the
+    // batch; every thumb (flat or not) probes the frozen index
+    val img = cohort("image")
+    val imgDec = withImageQualitySignals(
+      decodeAnyImages(img, thumbSide), flatEps = flatEps)
+      .select(col("media_id"), col("thumb"), col("is_flat"))
+      .localCheckpoint()
+    val imgWithin = routedImageDedupDecoded(img, imgDec, maxHamming,
+        maxBucketDf)
+      .withColumn("modality", lit("image"))
+    val imgVs = decodedAgainstIndex(imgDec, imageIndex, maxHamming)
+      .select(col("media_id"), col("match_id"),
+        lit("perceptual").as("kind"), lit("image").as("modality"))
+
+    // audio: fingerprint once (the probe needs every clip; the within
+    // leg filters the shared frame to audible)
+    val aud = cohort("audio")
+    val audFp = audioFingerprints(aud).localCheckpoint()
+    val audWithin = routedAudioDedupFromFp(aud, audFp, maxHamming,
+        maxBucketDf, silenceFloor)
+      .withColumn("modality", lit("audio"))
+    val audVs = audioAgainstIndexFromFp(audFp, audioIndex, maxHamming)
+      .select(col("media_id"), col("match_id"),
+        lit("perceptual").as("kind"), lit("audio").as("modality"))
+
+    // video: frame-hash once
+    val vid = cohort("video")
+    val vidSets = videoFrameHashSets(vid, thumbSide).localCheckpoint()
+    val vidWithin = routedVideoDedupFromSets(vid, vidSets,
+        minMatchedFrames, maxFrameDf)
+      .withColumn("modality", lit("video"))
+    val vidVs = videoAgainstIndexFromSets(vidSets, videoIndex,
+        minMatchedFrames)
+      .select(col("media_id"), col("match_id"),
+        lit("perceptual").as("kind"), lit("video").as("modality"))
+
+    // unknown containers: exact star pairs within the batch (two
+    // consumers of the blob slice: group aggregate + star probe)
+    val unk = cohort("unknown")
+      .select(col("media_id").as("key"), col("bytes"))
+      .localCheckpoint()
+    val unkWithin = blobStarPairs(unk)
+      .select(col("id_a"), col("id_b"),
+        lit("exact_blob").as("kind"), lit("unknown").as("modality"))
+
+    val within = imgWithin.unionByName(audWithin).unionByName(vidWithin)
+      .unionByName(unkWithin)
       .select(col("id_a"), col("id_b"), col("kind"), col("modality"),
         lit("batch").as("side"))
-    val vsCorpus = mediaAgainstIndexesTagged(tagged, imageIndex,
-        audioIndex, videoIndex, blobIndex, maxHamming, minMatchedFrames,
-        thumbSide)
+    // the exact-blob leg needs no decode — one md5 equi-join over every
+    // tagged blob, any modality
+    val vsCorpus = imgVs.unionByName(audVs).unionByName(vidVs)
+      .unionByName(blobsAgainstMd5Index(tagged, blobIndex))
       .select(col("match_id").as("id_a"), col("media_id").as("id_b"),
         col("kind"), col("modality"), lit("corpus").as("side"))
     within.unionByName(vsCorpus)
@@ -1329,10 +1417,18 @@ object Multimodal {
     * (audit with [[degenerateHammingBuckets]]; route silent clips to
     * [[blobDupGroups]]). */
   def audioNearDupPairs(media: DataFrame, maxHamming: Int = 3,
-      maxBucketDf: Int = 1000): DataFrame = {
+      maxBucketDf: Int = 1000): DataFrame =
     // localCheckpoint: four consumers (band self-join sides + two word
     // joins) — decode and fingerprint the audio ONCE
-    val fps = audioFingerprints(media).localCheckpoint()
+    audioNearDupPairsFromFp(audioFingerprints(media).localCheckpoint(),
+      maxHamming, maxBucketDf)
+
+  /** [[audioNearDupPairs]] from an ALREADY-COMPUTED (media_id, fp, words)
+    * fingerprint frame (checkpointed by the caller): the incremental
+    * paths fingerprint each clip once and feed both this within-batch
+    * pairing and the against-index probe from the same frame. */
+  private[graft] def audioNearDupPairsFromFp(fps: DataFrame,
+      maxHamming: Int, maxBucketDf: Int): DataFrame = {
     hammingPairs64(fps.select(col("media_id").cast("long").as("id"),
         col("fp").as("sig")), maxHamming, maxBucketDf)
       .join(fps.select(col("media_id").as("_ia"), col("words").as("_wa")),
@@ -1590,8 +1686,14 @@ object Multimodal {
     * (media_id, match_id, hamming, n_diff_words — −1 when the word
     * streams differ in length). */
   def audioAgainstIndex(media: DataFrame, index: DataFrame,
-      maxHamming: Int = 3): DataFrame = {
-    val sig = audioFingerprints(media)
+      maxHamming: Int = 3): DataFrame =
+    audioAgainstIndexFromFp(audioFingerprints(media), index, maxHamming)
+
+  /** [[audioAgainstIndex]] from an ALREADY-COMPUTED fingerprint frame —
+    * the incremental paths' shared-fingerprint entry point. */
+  private[graft] def audioAgainstIndexFromFp(fps: DataFrame,
+      index: DataFrame, maxHamming: Int): DataFrame = {
+    val sig = fps
       .select(col("media_id").cast("long").as("sid"),
         col("fp").as("sig"), col("words").as("s_w"))
     val sBands = hammingBands64(sig, maxHamming)
@@ -1619,10 +1721,14 @@ object Multimodal {
     * rows id_a is the index member. */
   def incrementalAudioNearDup(newMedia: DataFrame, index: DataFrame,
       maxHamming: Int = 3, maxBucketDf: Int = 1000): DataFrame = {
-    val within = audioNearDupPairs(newMedia, maxHamming, maxBucketDf)
+    // fingerprint the new batch ONCE: both the within-batch pairing and
+    // the against-index probe read the checkpoint (the
+    // incrementalImageNearDup decode discipline)
+    val fps = audioFingerprints(newMedia).localCheckpoint()
+    val within = audioNearDupPairsFromFp(fps, maxHamming, maxBucketDf)
       .select(col("id_a"), col("id_b"), col("hamming"),
         lit("batch").as("side"))
-    val vsCorpus = audioAgainstIndex(newMedia, index, maxHamming)
+    val vsCorpus = audioAgainstIndexFromFp(fps, index, maxHamming)
       .select(col("match_id").as("id_a"), col("media_id").as("id_b"),
         col("hamming"), lit("corpus").as("side"))
     within.unionByName(vsCorpus)
@@ -1799,18 +1905,26 @@ object Multimodal {
     * — the same stop-token discipline as text inverted indexes, without
     * which one common frame makes the join quadratic in the corpus. */
   def videoNearDupPairs(media: DataFrame, minMatchedFrames: Int = 2,
-      maxFrameDf: Int = 1000, thumbSide: Int = 8): DataFrame = {
-    // localCheckpoint the decoded frame thumbs: three consumers
-    // (frame-df count + the self-join's two sides) — decode the frames
-    // ONCE; the cheap native hash stays above the checkpoint, in the
-    // audited plan
-    val thumbs = decodeVideoThumbs(media, thumbSide)
-      .select(col("media_id").cast("long").as("id"), col("thumb"))
-      .localCheckpoint()
-    val frames = thumbs
-      .select(col("id"),
-        graft.functions.GraftFunctions.dhash64(col("thumb")).as("fh"))
-      .distinct() // one row per (video, distinct frame hash)
+      maxFrameDf: Int = 1000, thumbSide: Int = 8): DataFrame =
+    // localCheckpoint the in-task-distinct frame-hash SETS, not the
+    // thumbs: three consumers (frame-df count + the self-join's two
+    // sides) decode the frames ONCE and the checkpoint holds 8 bytes per
+    // distinct frame instead of thumbSide² floats per frame (in-task
+    // distinct ≡ the plan-level distinct over per-frame dHash — pinned
+    // in OpsSpec)
+    videoNearDupPairsFromSets(
+      videoFrameHashSets(media, thumbSide).localCheckpoint(),
+      minMatchedFrames, maxFrameDf)
+
+  /** [[videoNearDupPairs]] from an ALREADY-COMPUTED
+    * [[videoFrameHashSets]] frame (checkpointed by the caller): the
+    * incremental paths frame-hash each video once and feed both this
+    * within-batch pairing and the against-index probe from the same
+    * frame. */
+  private[graft] def videoNearDupPairsFromSets(sets: DataFrame,
+      minMatchedFrames: Int, maxFrameDf: Int): DataFrame = {
+    val frames = sets.select(col("media_id").cast("long").as("id"),
+      explode(col("frame_hashes")).as("fh"))
     // broadcast the tiny stop list (≤ n_frames/maxFrameDf keys), anti-join
     // — the semi-join against the corpus-sized rare side shuffled the
     // whole frame table a second time (round 15)
@@ -1842,12 +1956,22 @@ object Multimodal {
     * frame table. Returns (id_a, id_b, kind ∈ {'exact_blob',
     * 'perceptual'}), id_a < id_b, drop-in for the clustering stack. */
   def routedVideoDedup(media: DataFrame, minMatchedFrames: Int = 2,
-      maxFrameDf: Int = 1000, thumbSide: Int = 8): DataFrame = {
+      maxFrameDf: Int = 1000, thumbSide: Int = 8): DataFrame =
     // the frame-hash sets feed the stop-frame census, the survivor test,
     // AND the perceptual self-join — decode every video ONCE
-    val sets = videoFrameHashSets(media, thumbSide)
+    routedVideoDedupFromSets(media,
+      videoFrameHashSets(media, thumbSide).localCheckpoint(),
+      minMatchedFrames, maxFrameDf)
+
+  /** [[routedVideoDedup]] from an ALREADY-COMPUTED
+    * [[videoFrameHashSets]] frame (checkpointed by the caller): the
+    * mixed incremental path frame-hashes its video cohort once and feeds
+    * both this within-batch routing and the against-index probe from the
+    * same frame. */
+  private def routedVideoDedupFromSets(media: DataFrame, sets0: DataFrame,
+      minMatchedFrames: Int, maxFrameDf: Int): DataFrame = {
+    val sets = sets0
       .select(col("media_id").cast("long").as("id"), col("frame_hashes"))
-      .localCheckpoint()
     val frames = sets.select(col("id"),
       explode(col("frame_hashes")).as("fh"))
     val stop = frames.groupBy(col("fh"))
@@ -1886,7 +2010,15 @@ object Multimodal {
     * Returns (media_id, match_id, n_matched). */
   def videoAgainstIndex(media: DataFrame, index: DataFrame,
       minMatchedFrames: Int = 2, thumbSide: Int = 8): DataFrame =
-    videoFrameHashSets(media, thumbSide)
+    videoAgainstIndexFromSets(videoFrameHashSets(media, thumbSide), index,
+      minMatchedFrames)
+
+  /** [[videoAgainstIndex]] from an ALREADY-COMPUTED
+    * [[videoFrameHashSets]] frame — the incremental paths'
+    * shared-frame-hash entry point. */
+  private[graft] def videoAgainstIndexFromSets(sets: DataFrame,
+      index: DataFrame, minMatchedFrames: Int): DataFrame =
+    sets
       .select(col("media_id").cast("long").as("sid"),
         explode(col("frame_hashes")).as("fh"))
       .join(index.select(col("fh"), col("id").as("_iid")), Seq("fh"))
@@ -1903,12 +2035,15 @@ object Multimodal {
   def incrementalVideoNearDup(newMedia: DataFrame, index: DataFrame,
       minMatchedFrames: Int = 2, maxFrameDf: Int = 1000,
       thumbSide: Int = 8): DataFrame = {
-    val within = videoNearDupPairs(newMedia, minMatchedFrames, maxFrameDf,
-        thumbSide)
+    // frame-hash the new batch ONCE: both the within-batch pairing and
+    // the against-index probe read the checkpoint (the
+    // incrementalImageNearDup decode discipline)
+    val sets = videoFrameHashSets(newMedia, thumbSide).localCheckpoint()
+    val within = videoNearDupPairsFromSets(sets, minMatchedFrames,
+        maxFrameDf)
       .select(col("id_a"), col("id_b"), col("n_matched"),
         lit("batch").as("side"))
-    val vsCorpus = videoAgainstIndex(newMedia, index, minMatchedFrames,
-        thumbSide)
+    val vsCorpus = videoAgainstIndexFromSets(sets, index, minMatchedFrames)
       .select(col("match_id").as("id_a"), col("media_id").as("id_b"),
         col("n_matched"), lit("corpus").as("side"))
     within.unionByName(vsCorpus)

@@ -197,11 +197,19 @@ class PlanGuardSpec extends SparkSpec {
         .contains("LeftAnti"),
       s"the guard anti-join stopped broadcasting:\n$plan")
     // audio/video twins: same equi-join discipline (the joinShaped sweep
-    // covers the cartesian check; pin the video index's native dhash too)
+    // covers the cartesian check). The video hash runs IN-TASK inside
+    // videoFrameHashSets (the same native ImageHash64.compute as the
+    // image path; in-task ≡ plan-level distinct is pinned in OpsSpec),
+    // so the plan discipline to pin is the stop-frame whale guard: a
+    // BROADCAST anti-join, never a shuffle of the frame table.
     val vplan = SparkEntry.queries("m_video_dedup")(spark, dir)
       .queryExecution.executedPlan.toString
     assert(!vplan.contains("BroadcastNestedLoopJoin") &&
-      vplan.contains("dhash64"), s"m_video_dedup plan degraded:\n$vplan")
+      !vplan.contains("ScalaUDF"), s"m_video_dedup plan degraded:\n$vplan")
+    assert(vplan.contains("LeftAnti") &&
+      !vplan.replaceAll("(?s)BroadcastHashJoin[^\\n]*LeftAnti", "")
+        .contains("LeftAnti"),
+      s"m_video_dedup stop-frame removal stopped broadcasting:\n$vplan")
   }
 
   test("filtered ANN inherits every shortlist discipline; CDC chunking plans no shuffle") {
