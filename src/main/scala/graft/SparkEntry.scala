@@ -210,9 +210,12 @@ object SparkEntry {
   }
 
   /** Planted MIXED-media corpus — each modality's dedup fixture at its
-    * id offset plus a byte-identical unknown-magic cohort: the
-    * m_routed_media corpus, shared by the streaming/incremental media
-    * gates so all three replay the same planted structure. */
+    * id offset, a byte-identical unknown-magic cohort, and a CORRUPT
+    * cohort (valid P6 magic, undecodable payload, byte-identical within
+    * each group — the truncated-download shape): the m_routed_media
+    * corpus, shared by the streaming/incremental media gates so all
+    * three replay the same planted structure, including the round-15
+    * undecodable routing (corrupt blobs keep exact duplicates). */
   private def mixedMediaFixture(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(s"$dir/documents.parquet")
     val img = Multimodal.dedupImageMediaFromDocuments(docs)
@@ -223,7 +226,11 @@ object SparkEntry {
       .select((col("media_id") + lit(4000000L)).as("media_id"), col("bytes"))
     val unk = docs.select((col("doc_id") + lit(6000000L)).as("media_id"),
       lit("unknown-container".getBytes).as("bytes"))
+    val bad = docs.select((col("doc_id") + lit(8000000L)).as("media_id"),
+      concat(lit("P6\ncorrupt-".getBytes),
+        encode(floor(col("doc_id") / 4).cast("string"), "UTF-8")).as("bytes"))
     img.unionByName(aud).unionByName(vid).unionByName(unk)
+      .unionByName(bad)
   }
 
   /** Frozen per-modality + exact-blob indexes over the m ∈ {0,3} corpus
@@ -2362,10 +2369,12 @@ object SparkEntry {
 
     // Unified MIXED-MODALITY routing — one media column carrying planted
     // image, audio, AND video groups plus a byte-identical unknown-magic
-    // cohort: the magic-byte dispatch sends each cohort through its
-    // modality's routed dedup (each blob decoded at most once, in exactly
-    // one branch); unknown blobs keep their exact duplicates via blob
-    // star pairs. The oracle replays every modality's group structure.
+    // cohort AND a corrupt-P6 cohort (valid magic, undecodable payload):
+    // the magic-byte dispatch sends each cohort through its modality's
+    // routed dedup (each blob decoded at most once, in exactly one
+    // branch); unknown AND undecodable blobs keep their exact duplicates
+    // via blob star pairs. The oracle replays every modality's group
+    // structure including the per-group corrupt stars.
     "m_routed_media" -> ((s, dir) => {
       Multimodal.routedMediaDedup(mixedMediaFixture(s, dir))
         .orderBy("id_a", "id_b")
@@ -5315,7 +5324,11 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT CAST(6000000 + (SELECT min(doc_id) FROM d) AS BIGINT),
         |         CAST(6000000 + doc_id AS BIGINT), 'exact_blob', 'unknown'
-        |  FROM d WHERE doc_id > (SELECT min(doc_id) FROM d))
+        |  FROM d WHERE doc_id > (SELECT min(doc_id) FROM d)
+        |  UNION ALL
+        |  SELECT CAST(8000000 + gid * 4 AS BIGINT),
+        |         CAST(8000000 + doc_id AS BIGINT), 'exact_blob', 'image'
+        |  FROM d WHERE m <> 0)
         |ORDER BY id_a, id_b""".stripMargin,
 
     // Exact replay of the audio stream: the copy (m=1) AND the
@@ -5434,7 +5447,15 @@ object SparkEntry {
         |  SELECT CAST(6000000 + (SELECT mn FROM cu) AS BIGINT),
         |         CAST(6000000 + doc_id AS BIGINT),
         |         'exact_blob', 'unknown', 'corpus'
-        |  FROM d WHERE m IN (1, 2))
+        |  FROM d WHERE m IN (1, 2)
+        |  UNION ALL
+        |  SELECT CAST(8000000 + gid * 4 + 1 AS BIGINT),
+        |         CAST(8000000 + gid * 4 + 2 AS BIGINT),
+        |         'exact_blob', 'image', 'batch' FROM g
+        |  UNION ALL
+        |  SELECT CAST(8000000 + gid * 4 AS BIGINT),
+        |         CAST(8000000 + doc_id AS BIGINT),
+        |         'exact_blob', 'image', 'corpus' FROM d WHERE m IN (1, 2))
         |ORDER BY id_a, id_b, side, kind""".stripMargin,
 
     // Exact replay of the mixed-modality stream: every m in {1,2} member
@@ -5474,7 +5495,11 @@ object SparkEntry {
         |  SELECT CAST(6000000 + doc_id AS BIGINT),
         |         CAST(6000000 + (SELECT mn FROM cu) AS BIGINT),
         |         'exact_blob', 'unknown'
-        |  FROM d WHERE m IN (1, 2))
+        |  FROM d WHERE m IN (1, 2)
+        |  UNION ALL
+        |  SELECT CAST(8000000 + doc_id AS BIGINT),
+        |         CAST(8000000 + gid * 4 AS BIGINT),
+        |         'exact_blob', 'image' FROM d WHERE m IN (1, 2))
         |ORDER BY media_id, match_id, kind""".stripMargin,
 
     // Exact replay of the composed media pipeline: the near-dup cluster

@@ -891,9 +891,13 @@ object Multimodal {
   /** Degenerate-aware image dedup ROUTING — the composition the bucket
     * guard's scaladoc prescribes, as one operator: flat media (where
     * perceptual hashing degenerates — every flat raster dHashes to 0 and
-    * one (band, bits) bucket would go quadratic) route to EXACT blob
-    * dedup (linear: hash-groupBy + star pairs to the min-key survivor),
-    * non-flat media route to banded perceptual pairing. Returns one
+    * one (band, bits) bucket would go quadratic) — and UNDECODABLE
+    * blobs (image magic, corrupt payload) — route to EXACT blob dedup
+    * (linear: hash-groupBy + star pairs to the min-key survivor),
+    * non-flat decodable media route to banded perceptual pairing. A
+    * corrupt blob loses perceptual matching, never its byte-identical
+    * duplicates (truncated downloads mirror across a crawl too).
+    * Returns one
     * unified pair frame (id_a, id_b, kind ∈ {'exact_blob',
     * 'perceptual'}), id_a < id_b, drop-in for
     * [[Dedup.connectedComponents]] / [[Dedup.keepBest]]. A flat group's
@@ -917,7 +921,14 @@ object Multimodal {
     * within-batch routing and the against-index join from it. */
   private def routedImageDedupDecoded(media: DataFrame, dec: DataFrame,
       maxHamming: Int, maxBucketDf: Int): DataFrame = {
+    // exact-route ids: FLAT rasters (perceptual hashing degenerates) and
+    // UNDECODABLE blobs (image magic, corrupt payload — the decoder
+    // skips them, so they have no row in `dec`). A skipped blob must
+    // keep its byte-identical duplicates: truncated downloads mirror
+    // across a crawl just like intact ones (round 15).
     val flatIds = dec.filter(col("is_flat")).select(col("media_id"))
+      .unionByName(media.select(col("media_id"))
+        .join(dec.select(col("media_id")), Seq("media_id"), "left_anti"))
     // checkpoint the flat-blob slice: it feeds BOTH the group aggregate
     // and the star-pair join probe — without the cut the media subtree
     // (and any upstream generation/read) evaluates once per consumer
@@ -1019,25 +1030,40 @@ object Multimodal {
 
   /** Degenerate-aware AUDIO dedup routing — [[routedImageDedup]]'s audio
     * twin: silent clips (colliding fingerprints, the quadratic-bucket
-    * regime) route to exact blob dedup as linear star pairs; audible
-    * clips route to banded perceptual fingerprint pairing. Returns
+    * regime) and UNDECODABLE clips (RIFF magic, corrupt payload) route
+    * to exact blob dedup as linear star pairs; audible decodable clips
+    * route to banded perceptual fingerprint pairing. Returns
     * (id_a, id_b, kind ∈ {'exact_blob', 'perceptual'}), id_a < id_b,
     * drop-in for the clustering stack. */
   def routedAudioDedup(media: DataFrame, maxHamming: Int = 3,
       maxBucketDf: Int = 1000, silenceFloor: Int = 0): DataFrame = {
-    val silentIds = withAudioQualitySignals(media, silenceFloor)
-      .filter(col("is_silent")).select(col("media_id"))
-      .localCheckpoint()
+    val exactIds = audioExactRouteIds(media, silenceFloor)
     // same reuse cut as routedImageDedup's flatBlobs (two consumers)
-    val silent = media.join(silentIds, Seq("media_id"), "left_semi")
+    val silent = media.join(exactIds, Seq("media_id"), "left_semi")
       .select(col("media_id").as("key"), col("bytes"))
       .localCheckpoint()
     val blobPairs = blobStarPairs(silent)
       .withColumn("kind", lit("exact_blob"))
-    val audible = media.join(silentIds, Seq("media_id"), "left_anti")
+    val audible = media.join(exactIds, Seq("media_id"), "left_anti")
     val perceptual = audioNearDupPairs(audible, maxHamming, maxBucketDf)
       .select(col("id_a"), col("id_b"), lit("perceptual").as("kind"))
     blobPairs.unionByName(perceptual)
+  }
+
+  /** The exact-route cohort of an audio frame: SILENT clips (colliding
+    * fingerprints) plus UNDECODABLE clips (RIFF magic, corrupt payload —
+    * the decoder skips them, so they have no signals row, and a skipped
+    * clip must keep its byte-identical duplicates; round 15). Returns a
+    * checkpointed (media_id) frame — two consumers (semi + anti). */
+  private def audioExactRouteIds(media: DataFrame,
+      silenceFloor: Int): DataFrame = {
+    val sig = withAudioQualitySignals(media, silenceFloor)
+      .select(col("media_id"), col("is_silent"))
+      .localCheckpoint()
+    sig.filter(col("is_silent")).select(col("media_id"))
+      .unionByName(media.select(col("media_id"))
+        .join(sig.select(col("media_id")), Seq("media_id"), "left_anti"))
+      .localCheckpoint()
   }
 
   /** [[routedAudioDedup]] from an ALREADY-COMPUTED fingerprint frame
@@ -1049,15 +1075,15 @@ object Multimodal {
     * audible subset — cheaper when nothing else needs the silent fps.) */
   private def routedAudioDedupFromFp(media: DataFrame, fps: DataFrame,
       maxHamming: Int, maxBucketDf: Int, silenceFloor: Int): DataFrame = {
-    val silentIds = withAudioQualitySignals(media, silenceFloor)
-      .filter(col("is_silent")).select(col("media_id"))
-      .localCheckpoint()
-    val silent = media.join(silentIds, Seq("media_id"), "left_semi")
+    val exactIds = audioExactRouteIds(media, silenceFloor)
+    val silent = media.join(exactIds, Seq("media_id"), "left_semi")
       .select(col("media_id").as("key"), col("bytes"))
       .localCheckpoint()
     val blobPairs = blobStarPairs(silent)
       .withColumn("kind", lit("exact_blob"))
-    val audible = fps.join(silentIds, Seq("media_id"), "left_anti")
+    // undecodable clips have no fps row either, so the anti-join on the
+    // exact cohort leaves exactly the audible, decodable fingerprints
+    val audible = fps.join(exactIds, Seq("media_id"), "left_anti")
     val perceptual = audioNearDupPairsFromFp(audible, maxHamming,
         maxBucketDf)
       .select(col("id_a"), col("id_b"), lit("perceptual").as("kind"))
@@ -1209,8 +1235,9 @@ object Multimodal {
   /** Incremental MIXED-MODALITY dedup — [[routedMediaDedup]]'s
     * batch-vs-frozen-corpus contract, completing the family: pairs
     * WITHIN the new batch (the full degenerate-aware routing — flats,
-    * silents, stop-frame-only clips, and unknown containers all keep
-    * their exact duplicates) plus new-batch blobs matched against the
+    * silents, stop-frame-only clips, corrupt payloads, and unknown
+    * containers all keep their exact duplicates) plus new-batch blobs
+    * matched against the
     * FROZEN per-modality indexes and the frozen [[blobMd5Index]], never
     * a corpus self-join. The batch is classified ONCE (every cohort
     * filter reads the checkpointed tagged frame), and each cohort's
@@ -1946,7 +1973,8 @@ object Multimodal {
     * more than `maxFrameDf` videos) loses every frame to the whale guard
     * and would silently exit candidate generation, so even byte-identical
     * copies never pair. Here those empty-after-removal videos (including
-    * zero-frame clips) route to EXACT blob dedup (linear star pairs to
+    * zero-frame clips, and UNDECODABLE clips — video magic, corrupt
+    * payload) route to EXACT blob dedup (linear star pairs to
     * the min-key survivor — the reference index never silently drops a
     * trail it cannot index either, tdbcli/filter.c:221-243 routes it to
     * the unindexed path); videos keeping ≥1 rare frame route to the
@@ -1980,9 +2008,14 @@ object Multimodal {
       .select(col("fh"))
     val indexed = frames.join(broadcast(stop), Seq("fh"), "left_anti")
     // degenerate = decodable video with NO surviving frame (every frame
-    // a stop frame, or no frames at all — explode drops empty sets)
+    // a stop frame, or no frames at all — explode drops empty sets),
+    // plus UNDECODABLE clips (video magic, corrupt payload — the decoder
+    // skips them, so they have no sets row, and a skipped clip must keep
+    // its byte-identical duplicates; round 15)
     val degenerateIds = sets.select(col("id"))
       .join(indexed.select(col("id")).distinct(), Seq("id"), "left_anti")
+      .unionByName(media.select(col("media_id").cast("long").as("id"))
+        .join(sets.select(col("id")), Seq("id"), "left_anti"))
     // same reuse cut as routedImageDedup's flatBlobs (two consumers)
     val degBlobs = media.join(degenerateIds,
         media("media_id").cast("long") === degenerateIds("id"), "left_semi")

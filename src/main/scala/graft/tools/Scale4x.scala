@@ -901,6 +901,86 @@ object Scale4x {
           (if (verified == expect) " (exact)" else s" (EXPECTED $expect)") +
           " |")
       }
+
+      // INCREMENTAL mixed-media leg (round 15): the m_incr_media shape
+      // at scale — corpus (m ∈ {0,3}) frozen into per-modality +
+      // exact-blob indexes (untimed: the frozen corpus is the
+      // incremental contract's precondition), batch (m ∈ {1,2}) through
+      // incrementalMediaDedup, which computes each cohort's derived
+      // frame (decoded thumbs, audio fingerprints, video frame-hash
+      // sets) ONCE and feeds BOTH legs — the within-batch routing and
+      // the against-index probe — from the same checkpoint. "two-op
+      // wall" times the same batch through the two public single-leg
+      // ops (routedMediaDedup + mediaAgainstIndexes): what a caller
+      // composing them naively pays — a second decode of every batch
+      // blob. Exact-kind pairs are byte-identity by construction and
+      // must replay the planted structure exactly; perceptual counts
+      // are raw banded candidates (the documented hamming-≤3 tail can
+      // add pairs as the signature space fills) reported against the
+      // planted expectation. Same 16× stop as the routing leg (the
+      // audio Goertzel decode is CPU-bound at 64×).
+      println()
+      println("| op | factor | batch blobs | wall | two-op wall | exact pairs | perceptual raw | perceptual expected |")
+      println("|---|---|---|---|---|---|---|---|")
+      for (f <- Seq(1, 4, 16)) {
+        val docs = rep(f)
+        val audOff = 100000000L
+        val vidOff = 200000000L
+        val unkOff = 300000000L
+        val img = Multimodal.dedupImageMediaFromDocuments(docs)
+          .select("media_id", "bytes")
+        val aud = Multimodal.dedupAudioMediaFromDocuments(docs)
+          .select((col("media_id") + audOff).as("media_id"), col("bytes"))
+        val vid = Multimodal.dedupVideoMediaFromDocuments(docs)
+          .select((col("media_id") + vidOff).as("media_id"), col("bytes"))
+        val unk = docs.select((col("doc_id") + unkOff).as("media_id"),
+          lit("unknown-container".getBytes).as("bytes"))
+        val media = img.unionByName(aud).unionByName(vid).unionByName(unk)
+        val n = nD1 * f
+        // the id offsets are multiples of 4, so media_id % 4 ≡ doc_id % 4
+        val corpus = media.filter(col("media_id") % 4 === 0 ||
+          col("media_id") % 4 === 3).localCheckpoint()
+        val batch = media.filter(col("media_id") % 4 === 1 ||
+          col("media_id") % 4 === 2).localCheckpoint()
+        val taggedC = Multimodal.classifyMedia(corpus).localCheckpoint()
+        def cohortC(m: String) = taggedC.filter(col("modality") === m)
+          .select("media_id", "bytes")
+        val imgIdx = Multimodal.imageSignatureIndex(
+          Multimodal.decodeAnyImages(cohortC("image"), thumbSide = 8))
+          .localCheckpoint()
+        val audIdx = Multimodal.audioSignatureIndex(cohortC("audio"))
+          .localCheckpoint()
+        val vidIdx = Multimodal.videoFrameIndex(cohortC("video"))
+          .localCheckpoint()
+        val blobIdx = Multimodal.blobMd5Index(corpus).localCheckpoint()
+        var exactP = 0L; var percP = 0L
+        val t = time {
+          val p = Multimodal.incrementalMediaDedup(batch, imgIdx, audIdx,
+            vidIdx, blobIdx).localCheckpoint()
+          exactP = p.filter(col("kind") === "exact_blob").count()
+          percP = p.filter(col("kind") === "perceptual").count()
+          0L
+        }
+        var naive = 0L
+        val t2 = time {
+          naive = Multimodal.routedMediaDedup(batch).count() +
+            Multimodal.mediaAgainstIndexes(batch, imgIdx, audIdx, vidIdx,
+              blobIdx).count()
+          0L
+        }
+        assert(naive == exactP + percP,
+          s"two-op composition diverged: $naive vs ${exactP + percP}")
+        // exact: batch-unknown star (n/2 − 1) + corpus m=1 byte matches
+        // (3 modalities × n/4) + batch unknowns vs corpus rep (n/2)
+        val expExact = (n / 2 - 1) + 3L * (n / 4) + n / 2
+        // perceptual: within (m1, m2) per group per modality + every
+        // batch member vs its frozen group base per modality
+        val expPerc = 3L * (n / 4) + 3L * (n / 2)
+        println(f"| incremental media dedup | ${f}× | ${2 * n} | $t%.2f s " +
+          f"| $t2%.2f s | $exactP" +
+          (if (exactP == expExact) " (exact)" else s" (EXPECTED $expExact)") +
+          f" | $percP | $expPerc |")
+      }
       spark.stop(); return
     }
     if (args.contains("--whaleguard")) {

@@ -2045,6 +2045,64 @@ class AvDedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("routed dedup keeps byte-identical duplicates of UNDECODABLE media (corrupt payloads)") {
+    // valid magic, garbage payload: the decoders skip these, and before
+    // round 15's undecodable routing they silently exited dedup — losing
+    // their byte-identical duplicates (truncated downloads mirror across
+    // a crawl like intact ones)
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(8) // 2 groups
+    val badImgBytes = "P6\nnot-a-raster".getBytes
+    val badAudBytes = "RIFFgarbage".getBytes
+    val badVidBytes = "YUV4MPEG2 garbage".getBytes
+    def trio(off: Long, b: Array[Byte]) =
+      (0 until 3).map(i => (off + i, b)).toDF("media_id", "bytes")
+
+    val img = Multimodal.dedupImageMediaFromDocuments(docs)
+      .select("media_id", "bytes")
+    val gotImg = Multimodal.routedImageDedup(
+        img.unionByName(trio(3000L, badImgBytes)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(gotImg.filter(t => t._1 >= 3000L || t._2 >= 3000L) ===
+      Set((3000L, 3001L, "exact_blob"), (3000L, 3002L, "exact_blob")))
+    assert(gotImg.count(_._3 == "perceptual") === 2 * 3) // planted intact
+
+    val aud = Multimodal.dedupAudioMediaFromDocuments(docs)
+      .select("media_id", "bytes")
+    val gotAud = Multimodal.routedAudioDedup(
+        aud.unionByName(trio(3000L, badAudBytes)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(gotAud.filter(t => t._1 >= 3000L || t._2 >= 3000L) ===
+      Set((3000L, 3001L, "exact_blob"), (3000L, 3002L, "exact_blob")))
+    assert(gotAud.count(_._3 == "perceptual") === 2 * 3)
+
+    val vid = Multimodal.dedupVideoMediaFromDocuments(docs)
+      .select("media_id", "bytes")
+    val gotVid = Multimodal.routedVideoDedup(
+        vid.unionByName(trio(3000L, badVidBytes)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(gotVid.filter(t => t._1 >= 3000L || t._2 >= 3000L) ===
+      Set((3000L, 3001L, "exact_blob"), (3000L, 3002L, "exact_blob")))
+    assert(gotVid.count(_._3 == "perceptual") === 2 * 3)
+
+    // through the dispatcher: each corrupt cohort routes INSIDE its
+    // modality branch (labeled by the magic, not 'unknown')
+    val mixed = trio(3000L, badImgBytes)
+      .unionByName(trio(3100L, badAudBytes))
+      .unionByName(trio(3200L, badVidBytes))
+    val gotMix = Multimodal.routedMediaDedup(mixed)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(gotMix === Set(
+      (3000L, 3001L, "exact_blob", "image"),
+      (3000L, 3002L, "exact_blob", "image"),
+      (3100L, 3101L, "exact_blob", "audio"),
+      (3100L, 3102L, "exact_blob", "audio"),
+      (3200L, 3201L, "exact_blob", "video"),
+      (3200L, 3202L, "exact_blob", "video")))
+  }
+
   test("incrementalAudioNearDup = full-batch pairs minus the corpus self-join") {
     val docs = TestSpark.spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet").limit(40) // 10 groups
