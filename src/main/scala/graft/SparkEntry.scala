@@ -2551,13 +2551,14 @@ object SparkEntry {
       // decode once
       val dec = Multimodal.decodeAnyImages(media, thumbSide = 8)
         .localCheckpoint()
-      // two-stage discipline BEFORE clustering: the Scale4x --mediapipe
-      // ladder measured raw hamming-3 band collisions merging 9 groups
-      // at 320k items (every false candidate at hamming exactly 3; this
-      // fixture's true pairs all sit at 0), so the composed pipeline
-      // exact-verifies candidates before they reach connected components
-      val pairs = Multimodal.imageNearDupPairs(dec, maxHamming = 3)
-        .filter(col("hamming") <= 2)
+      // tight radius BEFORE clustering: the Scale4x --mediapipe ladder
+      // measured raw hamming-3 band collisions merging 9 groups at 320k
+      // items (every false candidate at hamming exactly 3; this
+      // fixture's true pairs all sit at 0). Banding AT radius 2 returns
+      // exactly the hamming-≤2 pairs by pigeonhole — one fewer band row
+      // per signature and no hamming-3 tail to verify-and-discard,
+      // versus the first cut's band-at-3-then-filter
+      val pairs = Multimodal.imageNearDupPairs(dec, maxHamming = 2)
       val quality = Multimodal.withImageQualitySignals(dec)
         .select(col("media_id").as("doc_id"), col("edge_energy"))
       val asDocs = media.withColumnRenamed("media_id", "doc_id")

@@ -664,6 +664,25 @@ object Multimodal {
       .repartition(nShards, col("_shard"))
       .sortWithinPartitions("_shard", "_k")
       .as[(Long, Array[Byte], Int)]
+    // re-export semantics are committed DRIVER-SIDE, before the job:
+    // stale shards from a previous export (including ones a smaller
+    // nShards would no longer write) and staging leftovers go first, so
+    // task-side promotion never has to delete anything
+    locally {
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dir = new org.apache.hadoop.fs.Path(outDir)
+      if (fs.exists(dir))
+        fs.listStatus(dir)
+          .filter(_.getPath.getName.matches("shard-\\d+\\.tar"))
+          .foreach(st => fs.delete(st.getPath, false))
+      fs.delete(new org.apache.hadoop.fs.Path(outDir, ".staging"), true)
+    }
+    // executors must see the SESSION's Hadoop config (credentials,
+    // fs.<scheme> impls) — a bare `new Configuration()` only reads the
+    // classpath defaults
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     // hash partitioning may co-locate several shard ids in one task (and
     // leave others empty) — entries arrive shard-contiguous (the sort),
     // so the writer rolls to a new tar on shard change. TASK-COMMITTED
@@ -674,12 +693,15 @@ object Multimodal {
     // SPECULATIVE attempts race renames, and the loser deletes its temp
     // — both attempts of a partition write identical bytes (entries are
     // (shard, key)-sorted, content deterministic), so either winner is
-    // correct. The driver sweeps `.staging/` after the job: leftover
-    // temps from failed attempts never pollute the manifest (it lists
-    // only top-level shard-*.tar).
+    // correct. Promotion is MONOTONIC: no task ever deletes a promoted
+    // shard (a zombie attempt that deleted the winner's shard and then
+    // died would lose it silently — re-export cleanup happens driver-side
+    // above), so once a shard exists it stays. The driver sweeps
+    // `.staging/` after the job: leftover temps from failed attempts
+    // never pollute the manifest (it lists only top-level shard-*.tar).
     tagged.foreachPartition { (it: Iterator[(Long, Array[Byte], Int)]) =>
       val fs = new org.apache.hadoop.fs.Path(outDir)
-        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        .getFileSystem(serConf.value)
       var cur = -1
       var os: org.apache.hadoop.fs.FSDataOutputStream = null
       var tmp: org.apache.hadoop.fs.Path = null
@@ -687,13 +709,10 @@ object Multimodal {
       def close(): Unit = if (os != null) {
         os.write(new Array[Byte](1024)) // end-of-archive blocks
         os.close(); os = null
-        // promote: rename is the commit point. A pre-existing final file
-        // is deleted first (re-export semantics — the old
-        // create(overwrite) behavior); if the rename STILL fails a
-        // concurrent attempt won the race with identical bytes (entries
-        // are (shard, key)-sorted, content deterministic), so discard
-        // the loser's temp instead of corrupting the winner.
-        if (fs.exists(fin)) fs.delete(fin, false)
+        // promote: rename is the commit point. The rename fails only
+        // when a concurrent attempt already promoted (identical bytes —
+        // entries are (shard, key)-sorted, content deterministic), so
+        // the loser discards its temp; it NEVER deletes the final file.
         if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
       }
       def entry(name: String, bytes: Array[Byte]): Unit = {
@@ -918,9 +937,11 @@ object Multimodal {
   /** [[routedImageDedup]] from an ALREADY-DECODED quality-signal frame
     * (media_id, thumb, is_flat — checkpointed by the caller): the mixed
     * incremental path decodes its image cohort once and feeds both this
-    * within-batch routing and the against-index join from it. */
+    * within-batch routing and the against-index join from it, passing
+    * the INDEX's frozen hash family as `ahash` so the within-batch pairs
+    * use the same similarity definition as the corpus-side matches. */
   private def routedImageDedupDecoded(media: DataFrame, dec: DataFrame,
-      maxHamming: Int, maxBucketDf: Int): DataFrame = {
+      maxHamming: Int, maxBucketDf: Int, ahash: Boolean = false): DataFrame = {
     // exact-route ids: FLAT rasters (perceptual hashing degenerates) and
     // UNDECODABLE blobs (image magic, corrupt payload — the decoder
     // skips them, so they have no row in `dec`). A skipped blob must
@@ -938,7 +959,7 @@ object Multimodal {
     val blobPairs = blobStarPairs(flatBlobs)
       .withColumn("kind", lit("exact_blob"))
     val perceptual = imageNearDupPairs(dec.filter(!col("is_flat")),
-        maxHamming = maxHamming, maxBucketDf = maxBucketDf)
+        maxHamming = maxHamming, ahash = ahash, maxBucketDf = maxBucketDf)
       .select(col("id_a"), col("id_b"), lit("perceptual").as("kind"))
     blobPairs.unionByName(perceptual)
   }
@@ -1036,54 +1057,39 @@ object Multimodal {
     * (id_a, id_b, kind ∈ {'exact_blob', 'perceptual'}), id_a < id_b,
     * drop-in for the clustering stack. */
   def routedAudioDedup(media: DataFrame, maxHamming: Int = 3,
-      maxBucketDf: Int = 1000, silenceFloor: Int = 0): DataFrame = {
-    val exactIds = audioExactRouteIds(media, silenceFloor)
+      maxBucketDf: Int = 1000, silenceFloor: Int = 0): DataFrame =
+    // ONE decode pass for the whole routing: the fingerprint frame
+    // carries `peak`, so the silence predicate reads it instead of a
+    // second quality-signal decode, and silent clips skip the Goertzel
+    // stage entirely (their fingerprints are never read)
+    routedAudioDedupFromFp(media,
+      audioFingerprints(media, skipGoertzelBelowPeak = silenceFloor)
+        .localCheckpoint(),
+      maxHamming, maxBucketDf, silenceFloor)
+
+  /** [[routedAudioDedup]] from an ALREADY-COMPUTED fingerprint frame
+    * covering the WHOLE cohort (checkpointed by the caller, `peak`
+    * column included): the incremental paths fingerprint each clip once
+    * — the against-index probe needs every clip's full fingerprint, so
+    * they share a no-skip frame, while the standalone
+    * [[routedAudioDedup]] passes a Goertzel-skipped one. The exact-route
+    * cohort is SILENT clips (peak ≤ floor, read off this frame — no
+    * second decode) plus UNDECODABLE clips (RIFF magic, corrupt payload
+    * — no fps row; a skipped clip keeps its byte-identical duplicates,
+    * round 15). */
+  private def routedAudioDedupFromFp(media: DataFrame, fps: DataFrame,
+      maxHamming: Int, maxBucketDf: Int, silenceFloor: Int): DataFrame = {
+    val exactIds = fps.filter(col("peak") <= silenceFloor)
+      .select(col("media_id"))
+      .unionByName(media.select(col("media_id"))
+        .join(fps.select(col("media_id")), Seq("media_id"), "left_anti"))
     // same reuse cut as routedImageDedup's flatBlobs (two consumers)
     val silent = media.join(exactIds, Seq("media_id"), "left_semi")
       .select(col("media_id").as("key"), col("bytes"))
       .localCheckpoint()
     val blobPairs = blobStarPairs(silent)
       .withColumn("kind", lit("exact_blob"))
-    val audible = media.join(exactIds, Seq("media_id"), "left_anti")
-    val perceptual = audioNearDupPairs(audible, maxHamming, maxBucketDf)
-      .select(col("id_a"), col("id_b"), lit("perceptual").as("kind"))
-    blobPairs.unionByName(perceptual)
-  }
-
-  /** The exact-route cohort of an audio frame: SILENT clips (colliding
-    * fingerprints) plus UNDECODABLE clips (RIFF magic, corrupt payload —
-    * the decoder skips them, so they have no signals row, and a skipped
-    * clip must keep its byte-identical duplicates; round 15). Returns a
-    * checkpointed (media_id) frame — two consumers (semi + anti). */
-  private def audioExactRouteIds(media: DataFrame,
-      silenceFloor: Int): DataFrame = {
-    val sig = withAudioQualitySignals(media, silenceFloor)
-      .select(col("media_id"), col("is_silent"))
-      .localCheckpoint()
-    sig.filter(col("is_silent")).select(col("media_id"))
-      .unionByName(media.select(col("media_id"))
-        .join(sig.select(col("media_id")), Seq("media_id"), "left_anti"))
-      .localCheckpoint()
-  }
-
-  /** [[routedAudioDedup]] from an ALREADY-COMPUTED fingerprint frame
-    * covering the WHOLE cohort (checkpointed by the caller): the mixed
-    * incremental path fingerprints each clip once — the against-index
-    * probe needs every clip, so this within leg filters the shared frame
-    * to audible clips instead of fingerprinting its own subset. (The
-    * standalone [[routedAudioDedup]] keeps fingerprinting only the
-    * audible subset — cheaper when nothing else needs the silent fps.) */
-  private def routedAudioDedupFromFp(media: DataFrame, fps: DataFrame,
-      maxHamming: Int, maxBucketDf: Int, silenceFloor: Int): DataFrame = {
-    val exactIds = audioExactRouteIds(media, silenceFloor)
-    val silent = media.join(exactIds, Seq("media_id"), "left_semi")
-      .select(col("media_id").as("key"), col("bytes"))
-      .localCheckpoint()
-    val blobPairs = blobStarPairs(silent)
-      .withColumn("kind", lit("exact_blob"))
-    // undecodable clips have no fps row either, so the anti-join on the
-    // exact cohort leaves exactly the audible, decodable fingerprints
-    val audible = fps.join(exactIds, Seq("media_id"), "left_anti")
+    val audible = fps.filter(col("peak") > silenceFloor)
     val perceptual = audioNearDupPairsFromFp(audible, maxHamming,
         maxBucketDf)
       .select(col("id_a"), col("id_b"), lit("perceptual").as("kind"))
@@ -1259,14 +1265,16 @@ object Multimodal {
       .select(col("media_id"), col("bytes"))
 
     // image: decode once — flats route to exact blob dedup within the
-    // batch; every thumb (flat or not) probes the frozen index
+    // batch; every thumb (flat or not) probes the frozen index. The
+    // within-batch pairing hashes with the INDEX's frozen family so one
+    // result frame never mixes two similarity definitions.
     val img = cohort("image")
     val imgDec = withImageQualitySignals(
       decodeAnyImages(img, thumbSide), flatEps = flatEps)
       .select(col("media_id"), col("thumb"), col("is_flat"))
       .localCheckpoint()
     val imgWithin = routedImageDedupDecoded(img, imgDec, maxHamming,
-        maxBucketDf)
+        maxBucketDf, ahash = indexHashIsAhash(imageIndex))
       .withColumn("modality", lit("image"))
     val imgVs = decodedAgainstIndex(imgDec, imageIndex, maxHamming)
       .select(col("media_id"), col("match_id"),
@@ -1330,24 +1338,43 @@ object Multimodal {
     * frame words (splitmix-hashed, ±1 votes per bit), so near-identical
     * audio lands within a small Hamming distance and the text/image
     * band-blocking machinery applies unchanged. Returns one row per
-    * decodable audio: (media_id, fp, words). */
+    * decodable audio: (media_id, fp, words, peak). `peak` (max |sample|,
+    * the [[withAudioQualitySignals]] silence measure) rides along so the
+    * routed/incremental paths read the silence predicate off THIS frame
+    * instead of decoding the PCM a second time; clips at or below
+    * `skipGoertzelBelowPeak` skip the Goertzel stage entirely (empty
+    * words, fp = 0 — callers that route silent clips to exact dedup
+    * never read their fingerprints; the default never skips). */
   def audioFingerprints(media: DataFrame,
-      skipMalformed: Boolean = true): DataFrame = {
+      skipMalformed: Boolean = true,
+      skipGoertzelBelowPeak: Int = Int.MinValue): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("bytes")).as[AudioRow].mapPartitions { it =>
       it.flatMap { m =>
         try {
           val (_, samples) = Wav.decode(m.bytes)
-          val words = AudioFp.frameWords(samples)
-          Iterator.single((m.media_id, AudioFp.simhash(words), words))
+          var peak = 0
+          var i = 0
+          while (i < samples.length) {
+            val a = math.abs(samples(i).toInt)
+            if (a > peak) peak = a
+            i += 1
+          }
+          if (peak <= skipGoertzelBelowPeak)
+            Iterator.single((m.media_id, 0L, Array.empty[Int], peak.toLong))
+          else {
+            val words = AudioFp.frameWords(samples)
+            Iterator.single((m.media_id, AudioFp.simhash(words), words,
+              peak.toLong))
+          }
         } catch {
           case e: Exception if skipMalformed => Iterator.empty
           case e: Exception => throw new RuntimeException(
             s"malformed audio for media_id ${m.media_id}", e)
         }
       }
-    }.toDF("media_id", "fp", "words")
+    }.toDF("media_id", "fp", "words", "peak")
   }
 
   private[graft] object AudioFp {

@@ -786,17 +786,17 @@ object Scale4x {
         val t = time {
           val dec = Multimodal.decodeAnyImages(tapped, thumbSide = 8)
             .localCheckpoint()
-          // two-stage LSH discipline APPLIED, not just reported: at 320k
-          // the raw hamming-3 candidate set carries the measured
-          // cross-group collision tail (--percept: every false candidate
-          // sits at hamming EXACTLY 3), and feeding raw candidates to
-          // connected components MERGES those groups (measured: 9 lost
-          // survivors at 64×). The exact-verify stage before clustering
-          // removes them — this fixture's true pairs all sit at hamming 0
-          // (copies and the gradient-sign-preserving contrast map), so
-          // hamming ≤ 2 keeps every planted pair with margin
-          val pairs = Multimodal.imageNearDupPairs(dec, maxHamming = 3)
-            .filter(col("hamming") <= 2)
+          // tight LSH radius APPLIED, not just reported: at 320k the raw
+          // hamming-3 candidate set carries the measured cross-group
+          // collision tail (--percept: every false candidate sits at
+          // hamming EXACTLY 3), and feeding raw candidates to connected
+          // components MERGES those groups (measured: 9 lost survivors
+          // at 64×). Banding AT radius 2 returns exactly the hamming-≤2
+          // pairs by pigeonhole — the tail never becomes candidates —
+          // and this fixture's true pairs all sit at hamming 0 (copies
+          // and the gradient-sign-preserving contrast map), so radius 2
+          // keeps every planted pair with margin
+          val pairs = Multimodal.imageNearDupPairs(dec, maxHamming = 2)
           val quality = Multimodal.withImageQualitySignals(dec)
             .select(col("media_id").as("doc_id"), col("edge_energy"))
           val asDocs = media.withColumnRenamed("media_id", "doc_id")
