@@ -777,9 +777,17 @@ object Similarity {
         base.select(col("mean_cdist").as("_base"))))
     // a NULL baseline (perCell: append rows landed in a cell the build
     // never populated) is the MOST drifted case — data where the frozen
-    // quantizer saw nothing — so it fires the advisory, never drops out
+    // quantizer saw nothing — so it fires the advisory, never drops out.
+    // A ZERO baseline with a zero epoch mean (every vector ON its
+    // centroid — tiny or heavily-deduplicated corpora) is NO drift:
+    // ratio pins to 1.0 instead of 0/0 = NaN, which Spark's ordering
+    // treats as greater than warnRatio and would fire a spurious
+    // advisory on a perfectly healthy index. A zero baseline with a
+    // nonzero epoch mean divides to +Infinity — genuine drift, fires.
     joined
-      .withColumn("drift_ratio", col("mean_cdist") / col("_base"))
+      .withColumn("drift_ratio",
+        when(col("_base") === 0d && col("mean_cdist") === 0d, lit(1.0))
+          .otherwise(col("mean_cdist") / col("_base")))
       .withColumn("retrain_advised",
         col("epoch") > 0 &&
           (col("_base").isNull || col("drift_ratio") > warnRatio))
@@ -994,12 +1002,16 @@ object Similarity {
     * embedding stores (what an ANN index persists at 100 TB scale). Pure
     * projection: streams through the scan, no shuffle.
     *
-    * Output columns: the quantized codes plus reconstruction diagnostics —
-    * `scale6` (round-6 scale), `n_sat` (saturated |q|=127 codes), and
-    * `err_pico` (Σ per-element squared reconstruction error, each element
-    * rounded to an exact integer in 1e-12 units BEFORE the sum so the
-    * cross-element total is order-independent exact integer arithmetic).
-    * Vectors with max|x| = 0 have no defined scale and are dropped.
+    * Output columns: the per-vector reconstruction DIAGNOSTICS (not the
+    * code bytes — the quantization is deterministic from the raw vector,
+    * so the serving path rematerializes codes where it needs them, and
+    * [[dequantized]] is the reconstructed-corpus view for quantized
+    * search): `scale6` (round-6 scale), `n_sat` (saturated |q|=127
+    * codes), and `err_pico` (Σ per-element squared reconstruction error,
+    * each element rounded to an exact integer in 1e-12 units BEFORE the
+    * sum so the cross-element total is order-independent exact integer
+    * arithmetic). Vectors with max|x| = 0 have no defined scale and are
+    * dropped.
     */
   def quantizeInt8(df: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame =
@@ -1133,7 +1145,14 @@ object Similarity {
     * SemDeDup queries over the same corpus reuse one sample collect
     * instead of re-running the training scan per query execution. The
     * cache cannot see external file mutation within a session — matching
-    * the immutable-table contract everywhere else in the library. */
+    * the immutable-table contract everywhere else in the library.
+    * BOUNDED: each entry can hold ~16+ MB of float arrays, so a
+    * long-lived driver (notebook, serving session) querying many
+    * distinct corpora/filtered views must not accumulate one entry per
+    * semantic hash forever — past `SampleCacheMaxEntries` the cache
+    * resets (train-once still holds within a working set; a reset only
+    * re-pays one training scan per live corpus). */
+  private val SampleCacheMaxEntries = 16
   private val sampleCache = new java.util.concurrent.ConcurrentHashMap[
     (Int, String, Double, Long, Int), Array[Array[Float]]]()
   private[ops] def sampleVectors(corpus: DataFrame, vecCol: String,
@@ -1141,6 +1160,9 @@ object Similarity {
       maxSample: Int = 65536): Array[Array[Float]] = {
     val key = (corpus.queryExecution.analyzed.semanticHash(), vecCol,
       sampleFraction, seed, maxSample)
+    if (sampleCache.size() >= SampleCacheMaxEntries &&
+        !sampleCache.containsKey(key))
+      sampleCache.clear()
     sampleCache.computeIfAbsent(key, _ => {
       val sampled = if (sampleFraction < 1.0)
         corpus.sample(withReplacement = false, sampleFraction, seed) else corpus

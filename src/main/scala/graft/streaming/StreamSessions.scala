@@ -125,7 +125,11 @@ object StreamSessions {
             .getOrElse(Array.fill(k)(-1L))
           var best = state.getOption.map(_.bestLevel).getOrElse(0L)
           var bestT0 = state.getOption.flatMap(_.bestT0)
-          rows.toArray.sortBy(r => (r._2, r._3, r._4)).foreach { case (_, t, _, et) =>
+          // NULL event types coalesce to "" BEFORE sorting and matching —
+          // the batch twin's convention (a raw null both NPEs the string
+          // sort and never matches a configured "" step)
+          rows.toArray.map(r => (r._2, r._3, Option(r._4).getOrElse("")))
+            .sortBy(identity).foreach { case (t, _, et) =>
             if (exclude(et)) {
               // segment closes: best keeps the earliest winner (strict >)
               val cur = levelOf(slots)
@@ -193,7 +197,9 @@ object StreamSessions {
          state: GroupState[TouchState]) =>
           var last = state.getOption.orNull
           val out = scala.collection.mutable.ArrayBuffer.empty[AttributionHit]
-          rows.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, t, seq, et) =>
+          // NULL event types coalesce to "" — the batch twin's convention
+          rows.toArray.map(r => (r._2, r._3, Option(r._4).getOrElse("")))
+            .sortBy(r => (r._1, r._2)).foreach { case (t, seq, et) =>
             if (et == conversionType) {
               out += (if (last != null && last.t > t - lookback)
                 AttributionHit(uuid, t, seq, last.c, Some(last.t))
@@ -645,6 +651,7 @@ object StreamSessions {
   def streamAsOfJoin(stream: DataFrame, right: DataFrame,
       valueCols: Seq[String], uuidCol: String = "uuid",
       tsCol: String = "time", rightTimeCol: String = "time"): DataFrame = {
+    require(valueCols.nonEmpty, "streamAsOfJoin needs at least one value column")
     val r = right.groupBy(col(uuidCol), col(rightTimeCol))
       .agg(max(valueCols.head).as(valueCols.head),
         valueCols.tail.map(c => max(c).as(c)): _*)

@@ -121,6 +121,32 @@ class IvfPqIndexSpec extends SparkSpec {
       !clean.getAs[Boolean]("retrain_advised"))
   }
 
+  test("drift health: zero-distance baseline + zero-distance append is NOT drift (no NaN advisory)") {
+    // every vector ON its centroid (nCells = distinct vectors — tiny or
+    // heavily-deduplicated corpora): build epoch mean_cdist is exactly
+    // 0.0. An identical append is also 0.0 — 0/0 must read as ratio 1.0,
+    // not NaN (which Spark's ordering treats as greater than any
+    // warnRatio and would fire the advisory on a healthy index).
+    val dir = Files.createTempDirectory("graft-ivfpq-zero").toString
+    import spark.implicits._
+    val pts = (0 until 8).map(i =>
+        (i.toLong, Array.tabulate(64)(d => if (d == i) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    Similarity.buildIvfPqIndex(pts, dir, nCells = 8, m = 16, codebookK = 4)
+    Similarity.appendToIvfPqIndex(
+      pts.withColumn("vec_id", col("vec_id") + 8), dir)
+    val drift = Similarity.ivfPqIndexDrift(spark, dir).collect()
+      .map(r => r.getAs[Int]("epoch") ->
+        (r.getAs[Double]("drift_ratio"), r.getAs[Boolean]("retrain_advised")))
+      .toMap
+    assert(drift(0) === ((1.0, false)))
+    assert(drift(1) === ((1.0, false)),
+      s"zero-baseline epoch read ${drift(1)} — spurious advisory on a healthy index")
+    val stats = Similarity.ivfPqIndexStats(spark, dir).head()
+    assert(stats.getAs[Double]("max_drift_ratio") === 1.0 &&
+      !stats.getAs[Boolean]("retrain_advised"))
+  }
+
   test("rebuildIvfPqIndex answers the advisory: retrain on the current corpus resets drift to a fresh epoch-0 baseline") {
     val dir = Files.createTempDirectory("graft-ivfpq-rebuild").toString
     val n = emb.count()

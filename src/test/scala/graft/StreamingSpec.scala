@@ -1367,6 +1367,74 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(("u2", 10L, 3L)) === (("direct", None)))
   }
 
+  test("stateful twins coalesce NULL event types like the batch operators") {
+    import graft.streaming.StreamSessions.{AttributionHit, TouchState,
+      FunnelState, FunnelUpdate}
+    implicit val hitEnc = org.apache.spark.sql.Encoders.product[AttributionHit]
+    implicit val tsEnc = org.apache.spark.sql.Encoders.product[TouchState]
+    implicit val updEnc = org.apache.spark.sql.Encoders.product[FunnelUpdate]
+    implicit val fsEnc = org.apache.spark.sql.Encoders.product[FunnelState]
+    val nul = null.asInstanceOf[String]
+
+    // funnel with "" excluded: the batch op coalesces a NULL type to ""
+    // and CLOSES the segment on it; the twin must agree — and must not
+    // NPE sorting a (time, seq) tie against a null-typed event (u2)
+    val steps = Seq("view", "click", "purchase")
+    val ev = Seq(("u1", 10L, 0L, "view"), ("u1", 20L, 1L, "click"),
+      ("u1", 25L, 2L, nul), ("u1", 30L, 3L, "purchase"),
+      ("u2", 10L, 4L, nul), ("u2", 10L, 5L, "view"))
+    val dir = Files.createTempDirectory("graft-snull")
+    val src = dir.resolve("src").toString
+    ev.toDF("uuid", "time", "seq", "event_type").coalesce(1).write.parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+      .as[(String, Long, Long, String)]
+    val q = StreamSessions.statefulWindowFunnel(stream, steps,
+        window = 100L, exclude = Set(""))
+      .writeStream.outputMode("append").format("memory").queryName("snullf")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql("SELECT uuid, funnelLevel, firstTime FROM snullf")
+      .as[FunnelUpdate]
+      .collect().map(u => u.uuid -> (u.funnelLevel, u.firstTime)).toMap
+    val batch = graft.agg.Funnel.windowFunnel(
+        ev.map { case (u, t, sq, e) => (u, t, e, sq) }
+          .toDF("uuid", "time", "event_type", "seq"),
+        steps, window = 100L, exclude = Seq(""))
+      .collect()
+      .map(r => r.getAs[String]("uuid") ->
+        (r.getAs[Long]("funnel_level"), Option(r.getAs[Any]("first_time"))
+          .map(_.asInstanceOf[Long]))).toMap
+    assert(streamed === batch)
+    assert(streamed("u1") === ((2L, Some(10L)))) // null closed the segment
+
+    // lastTouch with conversionType "": a NULL-typed row IS a conversion
+    // in the batch op (coalesced) — the twin must score it, not skip it
+    val lt = Seq(("u1", 10L, 0L, "click"), ("u1", 20L, 1L, nul))
+    val src2 = dir.resolve("src2").toString
+    lt.toDF("uuid", "time", "seq", "event_type").coalesce(1).write.parquet(src2)
+    val stream2 = spark.readStream
+      .schema(spark.read.parquet(src2).schema).parquet(src2)
+      .as[(String, Long, Long, String)]
+    val q2 = StreamSessions.statefulLastTouch(stream2,
+        Set("click"), "", lookback = 100L)
+      .writeStream.outputMode("append").format("memory").queryName("snulla")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    val streamed2 = spark.sql(
+        "SELECT uuid, time, seq, channel, touchTime FROM snulla")
+      .as[AttributionHit].collect()
+      .map(h => (h.uuid, h.time, h.seq) -> (h.channel, h.touchTime)).toMap
+    val batch2 = graft.agg.Attribution.lastTouch(
+        lt.toDF("uuid", "time", "seq", "event_type"),
+        Seq("click"), "", lookback = 100L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        (r.getString(3), Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    assert(streamed2 === batch2)
+    assert(streamed2(("u1", 20L, 1L)) === (("click", Some(10L))))
+  }
+
   test("stateful windowFunnel carries slots across batches and matches the batch operator") {
     import graft.streaming.StreamSessions.{FunnelState, FunnelUpdate}
     implicit val updEnc = org.apache.spark.sql.Encoders.product[FunnelUpdate]
