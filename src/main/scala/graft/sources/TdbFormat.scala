@@ -74,7 +74,12 @@ object TdbFormat {
     * a per-member file for directories — so tasks can seek to exactly the
     * byte range they need (a partition never reads the whole archive). */
   final class TdbArchive private (val path: String, val isTar: Boolean,
-      members: Map[String, (String, Member)]) extends Serializable {
+      members: Map[String, (String, Member)],
+      /** Identity of the bytes BEHIND the path (length + mtime of the
+        * package file, or a fold over member files): the per-JVM
+        * lexicon/codebook caches key on it so overwriting a package at
+        * the same path never serves stale arrays to later reads. */
+      val fingerprint: Long = 0L) extends Serializable {
 
     def memberNames: Iterable[String] = members.keys
 
@@ -126,10 +131,15 @@ object TdbFormat {
     }
 
     private def openDir(fs: FileSystem, dir: HPath): TdbArchive = {
-      val members = fs.listStatus(dir).filter(_.isFile).map { st =>
+      val stats = fs.listStatus(dir).filter(_.isFile)
+      val members = stats.map { st =>
         st.getPath.getName -> (st.getPath.toString, Member(0L, st.getLen))
       }.toMap
-      new TdbArchive(dir.toString, isTar = false, members)
+      val fp = stats.foldLeft(1125899906842597L) { (h, st) =>
+        h * 31 + st.getPath.getName.hashCode * 31 + st.getLen * 31 +
+          st.getModificationTime
+      }
+      new TdbArchive(dir.toString, isTar = false, members, fp)
     }
 
     /** Plain ustar walk: 512-byte headers (name at 0, size as octal at
@@ -138,7 +148,9 @@ object TdbFormat {
       * seek-based reader (src/tdb_package.c:16-82); parsing the tar
       * headers directly yields the same offsets without trusting it. */
     private def openTar(fs: FileSystem, file: HPath): TdbArchive = {
-      val fileLen = fs.getFileStatus(file).getLen
+      val st = fs.getFileStatus(file)
+      val fileLen = st.getLen
+      val fp = fileLen * 31 + st.getModificationTime
       val in = fs.open(file)
       try {
         val hdr = new Array[Byte](512)
@@ -165,7 +177,7 @@ object TdbFormat {
             off += 512 + ((size + 511) / 512) * 512
           }
         }
-        new TdbArchive(file.toString, isTar = true, members.result())
+        new TdbArchive(file.toString, isTar = true, members.result(), fp)
       } finally in.close()
     }
 
@@ -216,10 +228,21 @@ object TdbFormat {
     }
 
     /** Materialize one ofield's full lexicon: values[v-1] is value id v
-      * (id 0 is NULL). Task-side, cached per (path, field) per JVM. */
+      * (id 0 is NULL). Task-side, cached per (path, fingerprint, field)
+      * per JVM — the fingerprint keeps an overwritten package from
+      * serving its predecessor's lexicon. */
     def lexicon(field: Int): Array[String] = {
       val name = s"lexicon.${fieldNames(field - 1)}"
-      TdbFormat.lexiconCache.computeIfAbsent((archive.path, field), _ => {
+      // honest bound: materialization is one JVM byte array, so a member
+      // past ~2 GiB (u32-offset members up to 4 GiB are format-valid,
+      // src/tdb.c:105-139) refuses HERE with the real reason instead of
+      // readRange's generic one-read message
+      require(archive.size(name) <= Int.MaxValue - 16L,
+        s"tdb: lexicon member '$name' is ${archive.size(name)} bytes — " +
+          "too large for the JVM reader's single-array materialization; " +
+          "keep a db this wide in the parquet 'dir' layout")
+      TdbFormat.lexiconCache.computeIfAbsent(
+          (archive.path, archive.fingerprint, field), _ => {
         val raw = archive.readAll(name)
         val wide = archive.size(name) > 0xffffffffL
         val width = if (wide) 8 else 4
@@ -353,7 +376,7 @@ object TdbFormat {
       val bits: Array[Int])
 
   def codebook(ar: TdbArchive, version: Long): Codebook =
-    codebookCache.computeIfAbsent((ar.path, version), _ => {
+    codebookCache.computeIfAbsent((ar.path, ar.fingerprint, version), _ => {
       val n = 65536
       val entry = if (version == 0L) 12 else 20
       require(ar.size("trails.codebook") >= n.toLong * entry,
@@ -384,9 +407,9 @@ object TdbFormat {
     })
 
   private val codebookCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Codebook]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Codebook]()
   private val lexiconCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[String]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Int), Array[String]]()
   private[sources] def clearCaches(): Unit = {
     codebookCache.clear(); lexiconCache.clear()
   }

@@ -584,4 +584,56 @@ class TdbSourceSpec extends SparkSpec {
       assert(e.getMessage.contains("not 32 hex chars"), e.getMessage)
     }
   }
+
+  test("mixed-case hex uuids are ONE trail (case-normalized before grouping)") {
+    // "AB..." and "ab..." hex-decode to the same 16 raw bytes — without
+    // normalization they hash-partition as two trails and write duplicate
+    // keys into the uuid index (unreachable under the reference's
+    // unique-key binary search, src/tdb.c:552-585)
+    val dir = Files.createTempDirectory("graft-tdb-case")
+    val u = "ab12" + "00" * 14
+    val df = Seq((u.toUpperCase, 1L, "a", "x"), (u, 2L, "b", "y"))
+      .toDF("uuid", "time", "f1", "f2")
+    val out = s"$dir/case.tdb"
+    TdbWriter.writePackage(df, Seq("f1", "f2"), out)
+    val back = spark.read.format("tdb").load(out)
+    assert(back.select("uuid").distinct().count() === 1L)
+    assert(back.orderBy("time").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq ===
+      Seq((u, 1L, "a"), (u, 2L, "b")))
+  }
+
+  test("writer validation: bad field names and negative timestamps refuse loudly") {
+    val dir = Files.createTempDirectory("graft-tdb-valid")
+    val df = Seq(("ab" * 16, 1L, "a", "x")).toDF("uuid", "time", "f1", "f2")
+    // duplicate / empty / newline-bearing field names would write a
+    // fields member the reader misparses into garbage decodes
+    for (names <- Seq(Seq("f1", "f1"), Seq("", "f2"), Seq("f\n1", "f2")))
+      assert(intercept[IllegalArgumentException] {
+        TdbWriter.writePackage(df, names, s"$dir/bad.tdb")
+      }.getMessage.contains("field name"))
+    // negative timestamps are unrepresentable in the format's u64 info
+    val neg = Seq(("ab" * 16, -5L, "a", "x")).toDF("uuid", "time", "f1", "f2")
+    val e = intercept[graft.core.GraftError] {
+      TdbWriter.writePackage(neg, Seq("f1", "f2"), s"$dir/neg.tdb")
+    }
+    assert(e.errName === "TDB_ERR_TIMESTAMP_TOO_LARGE" &&
+      e.getMessage.contains("negative"))
+  }
+
+  test("overwriting a package at the same path serves the NEW lexicons (cache fingerprint)") {
+    val dir = Files.createTempDirectory("graft-tdb-rewrite")
+    val out = s"$dir/db.tdb"
+    def write(v: String): Unit = TdbWriter.writePackage(
+      Seq(("ab" * 16, 1L, v)).toDF("uuid", "time", "f1"), Seq("f1"), out)
+    write("old-value")
+    assert(spark.read.format("tdb").load(out)
+      .select("f1").head().getString(0) === "old-value")
+    Thread.sleep(1100) // distinct mtime second for the fingerprint
+    write("new-value")
+    // the per-JVM lexicon/codebook caches key on (path, fingerprint) —
+    // before that, this read served the OLD lexicon array
+    assert(spark.read.format("tdb").load(out)
+      .select("f1").head().getString(0) === "new-value")
+  }
 }
