@@ -4183,7 +4183,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "d_shard" ->
-      s"""WITH d AS (SELECT text, ${hexPrefix("md5(text)", 6)} % 16 AS shard
+      s"""WITH d AS (SELECT text, ${hexPrefix("md5(text)", 12)} % 16 AS shard
          |  FROM documents)
          |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
          |  CAST(sum(len(string_split_regex(text, ' +'))) AS BIGINT) AS n_tokens,
@@ -4235,7 +4235,7 @@ object SparkEntry {
         |SELECT doc_id, lang FROM r WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
 
     "d_export" ->
-      s"""WITH d AS (SELECT text, ${hexPrefix("md5(text)", 6)} % 16 AS shard
+      s"""WITH d AS (SELECT text, ${hexPrefix("md5(text)", 12)} % 16 AS shard
          |  FROM documents)
          |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
          |  CAST(sum(len(string_split_regex(text, ' +'))) AS BIGINT) AS n_tokens,
@@ -4369,7 +4369,7 @@ object SparkEntry {
          |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
          |    CAST(len(l[i*24+1 : i*24+32]) AS BIGINT) AS n_tokens,
          |    md5(array_to_string(l[i*24+1 : i*24+32], ' ')) AS chunk_md5,
-         |    ${hexPrefix("md5(CAST(doc_id AS VARCHAR))", 6)} % 8 AS shard FROM cs),
+         |    ${hexPrefix("md5(CAST(doc_id AS VARCHAR))", 12)} % 8 AS shard FROM cs),
          |p AS (SELECT shard, n_tokens, chunk_md5,
          |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
          |      ORDER BY doc_id, chunk_id
@@ -4824,7 +4824,7 @@ object SparkEntry {
          |s AS (SELECT doc_id, l, unnest(range(0, (len(l) - 1) // 24 + 1)) AS i FROM t),
          |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
          |    CAST(len(l[i*24+1 : i*24+32]) AS BIGINT) AS n_tokens,
-         |    ${hexPrefix("md5(CAST(doc_id AS VARCHAR))", 6)} % 8 AS shard FROM s),
+         |    ${hexPrefix("md5(CAST(doc_id AS VARCHAR))", 12)} % 8 AS shard FROM s),
          |p AS (SELECT shard, n_tokens,
          |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
          |      ORDER BY doc_id, chunk_id

@@ -51,12 +51,18 @@ object Dedup {
     * share at least one shingle are ever materialized.
     */
   def ngramJaccardPairs(df: DataFrame, k: Int = 3, threshold: Double = 0.5,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // the same domain containmentPairsPrefix enforces — threshold 0 would
+    // return every co-occurring pair (the quadratic blowup these ops
+    // exist to bound)
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
     sharedShingleCounts(df, k, textCol, idCol)
       .withColumn("jaccard",
         col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "shared", "sz_a", "sz_b", "jaccard")
+  }
 
   /** Asymmetric CONTAINMENT near-dup pairs (round 8): C = shared /
     * min(|S_a|, |S_b|) over distinct k-shingle sets — the
@@ -68,12 +74,17 @@ object Dedup {
     * [[ngramJaccardPairs]] — only co-occurring shingles join, never
     * all-pairs. */
   def containmentPairs(df: DataFrame, k: Int = 3, threshold: Double = 0.8,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // containmentPairsPrefix's validated domain — the "provably
+    // identical" claim must hold over the SAME inputs
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
     sharedShingleCounts(df, k, textCol, idCol)
       .withColumn("containment",
         col("shared").cast("double") / least(col("sz_a"), col("sz_b")))
       .filter(col("containment") >= threshold)
       .select("id_a", "id_b", "shared", "sz_a", "sz_b", "containment")
+  }
 
   /** EXACT containment pairs via the prefix filter (the set-similarity-join
     * bound of Chaudhuri et al., ICDE'06 / Xiao et al., WWW'08) — the
@@ -247,6 +258,13 @@ object Dedup {
 
   def minhashLshCandidates(df: DataFrame, numHashes: Int = 128, bands: Int = 32,
       k: Int = 3, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // same contract fuzzyDecontaminate and the streaming twin enforce:
+    // bands > numHashes makes every band slice empty (ONE global bucket —
+    // the quadratic cross join LSH exists to avoid), and a non-dividing
+    // bands silently ignores the trailing hashes (a different S-curve
+    // than requested)
+    require(bands >= 1 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val rows = numHashes / bands
     // Materialize the signature table once (docs × numHashes longs — tiny
     // relative to the corpus): the bucket self-join consumes it on both
@@ -274,15 +292,25 @@ object Dedup {
     // corpus on both sides of the join.
     val sets = df.select(col(idCol).as("sid"),
       TextAnalysis.shingleHashes(col(textCol), k).as("shs"))
-    cands
-      .join(sets.select(col("sid").as("id_a"), col("shs").as("sh_a")), "id_a")
-      .join(sets.select(col("sid").as("id_b"), col("shs").as("sh_b")), "id_b")
-      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("jaccard", col("shared").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("shared")))
-      .filter(col("jaccard") >= threshold)
+    jaccardAtLeast(cands
+        .join(sets.select(col("sid").as("id_a"), col("shs").as("sh_a")), "id_a")
+        .join(sets.select(col("sid").as("id_b"), col("shs").as("sh_b")), "id_b"),
+        col("sh_a"), col("sh_b"), threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** The exact hashed-shingle Jaccard verify shared by
+    * [[minhashDedupPairs]] and [[fuzzyDecontaminate]] — ONE definition of
+    * the recall contract's predicate (the [[bandBucket]] discipline: the
+    * self-join and cross-corpus variants must never drift apart). Appends
+    * `shared` and `jaccard` from two shingle-set columns, keeps rows at
+    * or above `threshold`. */
+  private def jaccardAtLeast(df: DataFrame, shA: Column, shB: Column,
+      threshold: Double): DataFrame =
+    df.withColumn("shared", size(array_intersect(shA, shB)).cast("long"))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (size(shA) + size(shB) - col("shared")))
+      .filter(col("jaccard") >= threshold)
 
   /** Connected components over a near-dup pair list — the step that turns
     * pairwise matches into dedup CLUSTERS (keep one doc per component).
@@ -389,8 +417,18 @@ object Dedup {
       val (ra, rb) = (find(row.get(0)), find(row.get(1)))
       if (ra != rb) parent(rb) = ra
     }
-    def lt(x: Any, y: Any): Boolean =
-      x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    // string ids must compare exactly like the distributed rounds' min()
+    // — Spark orders strings by UTF-8 bytes (code-point order), while
+    // java.lang.String.compareTo is UTF-16 code-unit order; the two
+    // disagree on supplementary-plane characters, and the path taken
+    // here is chosen by edge-list SIZE, so the crowned cluster_id (and
+    // the keep-one-per-cluster survivor) must not depend on corpus scale
+    def lt(x: Any, y: Any): Boolean = (x, y) match {
+      case (a: String, b: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+      case _ => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    }
     val minOf = mutable.HashMap.empty[Any, Any]
     val nodes = collected.iterator.flatMap(r => Iterator(r.get(0), r.get(1))).toSet
     nodes.foreach { n =>
@@ -634,7 +672,11 @@ object Dedup {
         array_join(transform(
           array_sort(collect_list(struct(col("t"), col("tok")))),
           s => s.getField("tok")), " ").as("text_clean"))
-    base.select(col(idCol), col("_n").as("n_tokens"))
+    // n_tokens coalesces with its siblings: a NULL-text doc tokenizes to
+    // a NULL array (size → NULL), and emitting n_tokens = NULL next to
+    // the deliberately-coalesced n_kept = 0 / text_clean = "" would NULL
+    // any downstream scrub-fraction arithmetic for exactly that row
+    base.select(col(idCol), coalesce(col("_n"), lit(0L)).as("n_tokens"))
       .join(keptAgg, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
@@ -770,8 +812,12 @@ object Dedup {
   def incrementalDedup(corpus: DataFrame, batch: DataFrame,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val h = md5(col(textCol).cast("binary"))
+    // null-safe anti-join: NULL text is dedupable CONTENT in this library
+    // (the exactDedup convention), so a null-text batch row must match a
+    // null-text corpus row — plain equality would re-ingest it forever
     val fresh = batch.withColumn("_h", h)
-      .join(corpus.select(h.as("_h")), Seq("_h"), "left_anti")
+      .join(corpus.select(h.as("_ch")), col("_h") <=> col("_ch"),
+        "left_anti")
     // min-aggregate + semi-join (round 6): same whale-hash rationale and
     // null/duplicate handling as [[exactDedup]] — a duplicate-heavy batch
     // must not funnel one hash's copies into one window task.
@@ -845,12 +891,8 @@ object Dedup {
       TextAnalysis.shingleHashes(col(textCol), k).as("sh_t"))
     val setsE = eval.select(col(idCol).as("_eid"),
       TextAnalysis.shingleHashes(col(textCol), k).as("sh_e"))
-    cands.join(setsT, "_tid").join(setsE, "_eid")
-      .withColumn("shared",
-        size(array_intersect(col("sh_t"), col("sh_e"))).cast("long"))
-      .withColumn("jaccard", col("shared").cast("double") /
-        (size(col("sh_t")) + size(col("sh_e")) - col("shared")))
-      .filter(col("jaccard") >= threshold)
+    jaccardAtLeast(cands.join(setsT, "_tid").join(setsE, "_eid"),
+        col("sh_t"), col("sh_e"), threshold)
       .select(col("_tid").as(idCol), col("_eid").as("eval_id"), col("jaccard"))
   }
 
@@ -950,15 +992,19 @@ object Dedup {
     // exactly this shape) is unsplittable by any quantizer — the split
     // rounds would burn maxSplitDepth and then refuse with advice that
     // cannot work.
-    // coalesce: a NULL embedding has NULL norm, which fails BOTH a <= 0
-    // and a > 0 filter — without it such rows would vanish from the
-    // output entirely (r7 review). NULL-embedding rows are singletons
-    // for the same reason zero-norm ones are: no cosine can match them.
+    // coalesce + NaN-map: a NULL embedding has NULL norm and a NaN
+    // component yields a NaN norm — BOTH fail a <= 0 AND a > 0 filter
+    // (NaN comparisons are false), so without the normalization such
+    // rows would vanish from the output entirely (r7 review; NaN case
+    // r15). NULL/NaN-embedding rows are singletons for the same reason
+    // zero-norm ones are: no cosine can match them.
+    val nrmSafe = when(col("nrm").isNull || isnan(col("nrm")), lit(0.0))
+      .otherwise(col("nrm"))
     val zeroSingletons = assigned
-      .filter(coalesce(col("nrm"), lit(0.0)) <= 0)
+      .filter(nrmSafe <= 0)
       .select(col("id").as(idCol), col("cell"),
         col("id").as("cluster_id"), lit(true).as("kept"))
-    val all = assigned.filter(col("nrm") > 0)
+    val all = assigned.filter(nrmSafe > 0)
     // Exact-vector collapse: min-id representative per identical vector
     // group (the whale-safe min-agg + join shape, like exactDedup). The
     // insurance is priced to the duplicates it finds (r7 bench

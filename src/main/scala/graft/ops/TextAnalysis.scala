@@ -250,7 +250,11 @@ object TextAnalysis {
   }
 
   /** Deterministic training-shard assignment: uniform bucket from the
-    * first 24 bits of md5(text). Engine-portable, reproducible across
+    * first 48 bits of md5(text) (24 bits left a measurable deterministic
+    * imbalance for non-power-of-two nShards near the 2^20 cap — 2^24 mod
+    * nShards buckets get one extra hash value each, a 6% doc-count skew
+    * at nShards = 10^6; at 48 bits the bias is ≤ 2^-28).
+    * Engine-portable, reproducible across
     * runs and cluster sizes, and independent of input order/partitioning
     * (unlike `spark_partition_id` or `monotonically_increasing_id`, which
     * change under repartition or stage retry). Pairs with
@@ -260,7 +264,7 @@ object TextAnalysis {
     * projection: no shuffle until the manifest aggregate. */
   def shardAssign(text: Column, nShards: Int): Column = {
     require(nShards > 0 && nShards <= (1 << 20), s"nShards $nShards out of range")
-    conv(substring(md5(text.cast("binary")), 1, 6), 16, 10).cast("long") % nShards
+    conv(substring(md5(text.cast("binary")), 1, 12), 16, 10).cast("long") % nShards
   }
 
   /** Token-window chunking with overlap — the standard pre-tokenization
@@ -513,14 +517,20 @@ object TextAnalysis {
   def exportTrainingShards(docs: DataFrame, path: String,
       nShards: Int = 16): DataFrame = {
     val spark = docs.sparkSession
-    docs.withColumn("shard", shardAssign(col("text"), nShards))
+    // a NULL-text doc shards like empty text — md5(NULL) is NULL, and a
+    // NULL shard would land in the Hive default partition and NPE the
+    // manifest collect AFTER the full corpus write; the manifest sums
+    // coalesce for the same row shape (sum over all-null is NULL)
+    docs.withColumn("shard",
+        shardAssign(coalesce(col("text"), lit("")), nShards))
       .write.partitionBy("shard").mode("overwrite").json(path)
     val manifest = spark.read.json(path)
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(tokenCount(col("text")).cast("long")).as("n_tokens"),
-        sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
-          .cast("long")).as("checksum"))
+        coalesce(sum(tokenCount(col("text")).cast("long")), lit(0L))
+          .as("n_tokens"),
+        coalesce(sum(conv(substring(md5(col("text").cast("binary")), 1, 8),
+          16, 10).cast("long")), lit(0L)).as("checksum"))
       .orderBy("shard")
     val lines = manifest.collect().map(r =>
       s"""{"shard":${r.getLong(0)},"n_docs":${r.getLong(1)},""" +

@@ -418,6 +418,21 @@ class DedupSpec extends SparkSpec {
       uf.map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
+  test("connected components: driver and distributed paths agree on supplementary-plane string ids") {
+    // U+FFFF sorts BELOW U+10000 in UTF-8 byte order (Spark's min: EF BF
+    // BF < F0 90 80 80) but ABOVE it in UTF-16 code-unit order
+    // (String.compareTo: 0xFFFF > 0xD800) — the crowned cluster_id must
+    // not depend on which path the edge-list size picks
+    val hi = "𐀀" // U+10000
+    val pairs = Seq(("￿", hi)).toDF("id_a", "id_b")
+    val uf = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val dist = Dedup.connectedComponents(pairs, driverEdgeLimit = 0L).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(uf === dist)
+    assert(uf.values.toSet === Set("￿")) // Spark's byte-order min
+  }
+
   test("connected components: distributed path works on STRING ids (r2 ADVICE: sum-based convergence NPE'd)") {
     val pairs = Seq(("ant", "bee"), ("bee", "cat"), ("xen", "yak")).toDF("id_a", "id_b")
     val expect = Map("ant" -> "ant", "bee" -> "ant", "cat" -> "ant",
@@ -614,17 +629,21 @@ class DedupSpec extends SparkSpec {
     val df = (zeros ++ normal).toDF("vec_id", "embedding")
       // a NULL embedding must survive as a singleton too, not silently
       // vanish (its norm is NULL — fails both a <=0 and a >0 filter
-      // without the coalesce; r7 review)
+      // without the coalesce; r7 review), and so must a NaN-bearing one
+      // (a failed embedding job's row: its norm is NaN, which ALSO fails
+      // both filters; r15 review)
       .unionByName(Seq((999L, Option.empty[Array[Float]]))
+        .toDF("vec_id", "embedding"))
+      .unionByName(Seq((998L, Some(Array(Float.NaN, 1f, 0f, 0f, 0f, 0f, 0f, 0f))))
         .toDF("vec_id", "embedding"))
     // cap of 64 ≪ 500 zero vectors; completes without tuning or refusal
     val res = Dedup.semanticDedup(df, nCells = 4, threshold = 0.9,
       maxCellRows = 64L).collect()
-    assert(res.length === 521)
-    ((0L until 500L) ++ Seq(999L)).foreach { i =>
+    assert(res.length === 522)
+    ((0L until 500L) ++ Seq(998L, 999L)).foreach { i =>
       val r = res.find(_.getLong(0) == i).get
-      assert(r.getLong(2) === i, s"zero/null vec $i must be its own cluster")
-      assert(r.getBoolean(3), s"zero/null vec $i must be kept")
+      assert(r.getLong(2) === i, s"zero/null/NaN vec $i must be its own cluster")
+      assert(r.getBoolean(3), s"zero/null/NaN vec $i must be kept")
     }
   }
 

@@ -208,6 +208,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq(11L, 12L))
   }
 
+  test("incrementalDedup matches NULL-text content against the corpus (null-safe anti-join)") {
+    // null text is dedupable CONTENT in this library (the exactDedup
+    // convention) — a plain-equality anti-join would re-ingest a
+    // null-text duplicate on every batch forever
+    val corpus = Seq((1L, null.asInstanceOf[String]), (2L, "bbb"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, null.asInstanceOf[String]), (11L, "ccc"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(corpus, batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(11L)) // the null-text batch row matched the corpus
+  }
+
   test("incrementalDedup against an empty corpus equals exactDedup") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(100)
@@ -626,6 +639,20 @@ class PipelineOpsSpec extends SparkSpec {
         sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("t"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(manifest.map(m => (m._1, m._2, m._3)).sortBy(_._1).toSeq === direct.toSeq)
+  }
+
+  test("exportTrainingShards handles NULL-text docs (shards like empty text, manifest still writes)") {
+    // md5(NULL) is NULL: before r15 a null-text doc partitioned to the
+    // Hive default partition and the manifest collect NPE'd AFTER the
+    // full corpus write, leaving shards with no sidecar
+    val docs = Seq((1L, "real text here"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft-expn")
+      .resolve("s").toString
+    val manifest = TextAnalysis.exportTrainingShards(docs, out, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(manifest.map(_._2).sum === 2L) // both docs landed in real shards
+    assert(new java.io.File(new java.io.File(out), "_manifest.json").isFile)
   }
 
   // ---- Misra-Gries heavy hitters ----
