@@ -52,12 +52,26 @@ final class TrailDB private (
 
   def withFilter(text: String): TrailDB = withFilter(EventFilter.parse(text))
 
-  /** Events matching `filter` on top of the db view — the per-cursor filter
-    * (reference precedence db < trail < cursor: src/tdb_decode.c:140-181).
-    * Over a time-partitioned layout, every all-TimeRange clause also emits
-    * the implied `_bucket` bounds so whole partitions prune before IO. */
+  /** Events matching `filter` — the per-cursor filter. Reference
+    * precedence (db < trail < cursor, src/tdb_decode.c:141-181): ONE
+    * filter is active at a time, so an explicit cursor filter REPLACES
+    * the db-level filter (never ANDs with it — the same replace
+    * semantics [[eventsWithTrailFilters]] implements one level down).
+    * The default `matchAll` argument means "no cursor filter set": the
+    * db view applies. (Passing a hand-CONSTRUCTED match-all filter, as
+    * opposed to the `EventFilter.matchAll` singleton, counts as an
+    * explicit cursor filter and overrides the db filter — the
+    * reference's tdb_cursor_set_event_filter does too.)
+    * Over a time-partitioned layout, every all-TimeRange clause of the
+    * ACTIVE filter also emits the implied `_bucket` bounds so whole
+    * partitions prune before IO — including the db-level filter's
+    * ranges when no cursor filter is set (a time-filtered VIEW of a
+    * partitioned db must not scan every partition). */
   def events(filter: EventFilter = EventFilter.matchAll): DataFrame = {
-    val filtered = df.filter(filter.toColumn(fieldSet))
+    val active: Option[EventFilter] =
+      if (filter eq EventFilter.matchAll) dbFilter else Some(filter)
+    val filtered =
+      active.map(f => base.filter(f.toColumn(fieldSet))).getOrElse(base)
     bucketSeconds match {
       // The pruning predicates reference the Hive partition column; a
       // caller may pass bucketSeconds explicitly for a sidecar-less dir
@@ -66,14 +80,14 @@ final class TrailDB private (
       // UNRESOLVED_COLUMN analysis error.
       case Some(_) if !base.columns.contains(TrailSchema.BucketCol) => filtered
       case Some(n) =>
-        val bucketClauses = filter.clauses.flatMap { c =>
+        val bucketClauses = active.toSeq.flatMap(_.clauses.flatMap { c =>
           val ranges = c.terms.collect { case tr: graft.filter.TimeRange => tr }
           if (ranges.nonEmpty && ranges.size == c.terms.size)
             Some(graft.filter.EventFilter.balancedReduce(ranges.map(r =>
               col(TrailSchema.BucketCol) >= lit(r.start / n) &&
               col(TrailSchema.BucketCol) <= lit((r.end - 1) / n)))(_ || _))
           else None
-        }
+        })
         bucketClauses.foldLeft(filtered)(_ filter _)
       case None => filtered
     }
@@ -95,8 +109,11 @@ final class TrailDB private (
     *    and the filter dispatch is ONE case-expression over the DISTINCT
     *    filters, which stay few even when the uuid list is huge.
     */
-  def eventsWithTrailFilters(overrides: Map[String, EventFilter],
-      joinThreshold: Int = 10000): DataFrame =
+  def eventsWithTrailFilters(overrides0: Map[String, EventFilter],
+      joinThreshold: Int = 10000): DataFrame = {
+    // hex-uuid override keys normalize like the stored key (see trail())
+    val overrides = overrides0.map { case (u, f) =>
+      TrailDB.normalizeUuidKey(u) -> f }
     if (overrides.size <= joinThreshold) {
       val perTrail = overrides.toSeq.sortBy(_._1).map { case (u, f) =>
         col(TrailSchema.UuidCol) === lit(u) && f.toColumn(fieldSet)
@@ -104,7 +121,12 @@ final class TrailDB private (
       val overridden =
         if (perTrail.isEmpty) lit(false)
         else EventFilter.balancedReduce(perTrail)(_ || _)
-      val baseKeeps = !col(TrailSchema.UuidCol).isin(overrides.keys.toSeq: _*) &&
+      // null-safe like blacklist: a NULL-uuid row has no override, so it
+      // keeps the db view (the large-list path's left join reaches the
+      // same branch via _fid IS NULL)
+      val baseKeeps =
+        !coalesce(col(TrailSchema.UuidCol).isin(overrides.keys.toSeq: _*),
+          lit(false)) &&
         dbFilter.map(_.toColumn(fieldSet)).getOrElse(lit(true))
       base.filter(overridden || baseKeeps)
     } else {
@@ -129,6 +151,7 @@ final class TrailDB private (
           .otherwise(ovPred))
         .drop("_fid")
     }
+  }
 
   /** Full-table scan in (uuid, time, seq) order — the reference's
     * trail_id 0..N / cursor loop (tdbcli/op_dump.c:102-159). `seq` is the
@@ -138,9 +161,13 @@ final class TrailDB private (
 
   /** Point lookup of one trail (reference: tdb_get_trail_id binary search,
     * src/tdb.c:552-589). With uuid-sorted Parquet, row-group min/max stats
-    * prune to the few row groups containing the uuid. */
+    * prune to the few row groups containing the uuid. The argument is
+    * normalized like [[TrailDB.fromEvents]] normalized the stored key, so
+    * the canonical hyphenated UUID rendering finds the trail it keyed at
+    * ingest (the reference's uuid_raw accepts both renderings too). */
   def trail(uuid: String): DataFrame =
-    df.filter(col(TrailSchema.UuidCol) === lit(uuid))
+    df.filter(col(TrailSchema.UuidCol) ===
+        lit(TrailDB.normalizeUuidKey(uuid)))
       .orderBy(TrailSchema.TimeCol, TrailSchema.SeqCol)
 
   /** Trail whitelist — keep only listed uuids (reference `--uuids` pattern:
@@ -152,14 +179,16 @@ final class TrailDB private (
     * broadcasts one hashed set (AQE shuffles both sides past broadcast
     * size). The reference's own stress runs 1M-trail uuid lists
     * (tests/tdbcli/test_tdbcli.py:143-184). */
-  def whitelist(uuids: Seq[String]): TrailDB =
-    if (uuids.size <= TrailDB.LargeListThreshold)
-      new TrailDB(spark, base.filter(col(TrailSchema.UuidCol).isin(uuids: _*)),
+  def whitelist(uuids: Seq[String]): TrailDB = {
+    val keys = uuids.map(TrailDB.normalizeUuidKey)
+    if (keys.size <= TrailDB.LargeListThreshold)
+      new TrailDB(spark, base.filter(col(TrailSchema.UuidCol).isin(keys: _*)),
         dbFilter, bucketSeconds)
     else {
       import spark.implicits._
-      whitelist(uuids.toDF(TrailSchema.UuidCol))
+      whitelist(keys.toDF(TrailSchema.UuidCol))
     }
+  }
 
   /** Whitelist against a (possibly huge) uuid set as a DataFrame — semi-join,
     * broadcast when small (AQE decides at scale). */
@@ -176,16 +205,23 @@ final class TrailDB private (
 
   /** Trail blacklist — drop listed uuids (anti of [[whitelist]]; same
     * large-list routing, via a left-anti join). */
-  def blacklist(uuids: Seq[String]): TrailDB =
-    if (uuids.size <= TrailDB.LargeListThreshold)
-      new TrailDB(spark, base.filter(!col(TrailSchema.UuidCol).isin(uuids: _*)),
+  def blacklist(uuids: Seq[String]): TrailDB = {
+    val keys = uuids.map(TrailDB.normalizeUuidKey)
+    if (keys.size <= TrailDB.LargeListThreshold)
+      // null-safe: a NULL-uuid row is not listed, so it is KEPT — the
+      // bare !isin evaluates NULL for it and would drop it, flipping row
+      // semantics against the large-list anti-join path (where a NULL
+      // key matches nothing and survives)
+      new TrailDB(spark, base.filter(
+          !coalesce(col(TrailSchema.UuidCol).isin(keys: _*), lit(false))),
         dbFilter, bucketSeconds)
     else {
       import spark.implicits._
       new TrailDB(spark,
-        base.join(uuids.toDF(TrailSchema.UuidCol).distinct(),
+        base.join(keys.toDF(TrailSchema.UuidCol).distinct(),
           Seq(TrailSchema.UuidCol), "left_anti"), dbFilter, bucketSeconds)
     }
+  }
 
   /** Retention compaction — the periodic-rebuild policy reference users
     * apply when re-consing shards (immutable dbs are rebuilt, never edited
@@ -226,10 +262,17 @@ final class TrailDB private (
         "only-diff-items cannot be combined with an event filter")
     val w = Window.partitionBy(TrailSchema.UuidCol)
       .orderBy(TrailSchema.TimeCol, TrailSchema.SeqCol)
-    fields.foldLeft(df) { (acc, f) =>
-      acc.withColumn(f,
-        when(lag(col(f), 1).over(w) <=> col(f), lit("")).otherwise(coalesce(col(f), lit(""))))
-    }
+    // ONE select, not a withColumn per field: each withColumn copies and
+    // re-analyzes the whole growing projection, which is O(fields²)
+    // driver work — minutes of pure plan analysis at the supported
+    // 16k-field width before any executor starts
+    val userFields = fields.toSet
+    df.select(df.columns.map { c =>
+      if (userFields(c))
+        when(lag(col(c), 1).over(w) <=> col(c), lit(""))
+          .otherwise(coalesce(col(c), lit(""))).as(c)
+      else col(c)
+    }: _*)
   }
 
   /** Typed per-trail cursor — the reference's library read path
@@ -438,6 +481,20 @@ object TrailDB {
     * million-value pushed filter and a million-literal plan). */
   val LargeListThreshold = 10000
 
+  /** Normalize ONE uuid lookup argument exactly like [[fromEvents]]
+    * normalizes the stored key: a hex-UUID rendering (32 hex chars,
+    * hyphens optional) becomes the 32-char lowercase form, anything else
+    * passes through unchanged — so the canonical hyphenated rendering
+    * finds the trail it keyed at ingest (the reference's uuid_raw
+    * accepts both, src/tdb_uuid.c). */
+  private[core] def normalizeUuidKey(u: String): String = {
+    if (u == null) return u
+    val s = u.replace("-", "")
+    if (s.length == 32 && s.forall(c =>
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+        (c >= 'A' && c <= 'F'))) s.toLowerCase else u
+  }
+
   /** Open a finalized trail table (reference: tdb_open, src/tdb.c:298-393).
     * Reads the `_graft_info.json` metadata sidecar when present (reference:
     * info file read at src/tdb.c:677-700) so numTrails/numEvents/timeRange
@@ -473,8 +530,20 @@ object TrailDB {
       return new TrailDB(spark, withSeq, None, None, None, Some(path))
     }
     val info = TrailInfo.read(spark, path)
+    // an explicit bucketSeconds is the escape hatch for SIDECAR-LESS
+    // dirs; on a db whose sidecar RECORDS the finalize-time value, a
+    // disagreeing override would silently compute wrong _bucket pruning
+    // bounds and drop valid rows from every time-range query — refuse
+    val recorded = info.flatMap(_.bucketSeconds)
+    (bucketSeconds, recorded) match {
+      case (Some(b), Some(r)) => require(b == r,
+        s"open($path): bucketSeconds $b disagrees with the finalize-time " +
+          s"sidecar value $r — the layout's partition width is fixed at " +
+          "finalize; omit the argument (the sidecar applies)")
+      case _ =>
+    }
     new TrailDB(spark, spark.read.parquet(path), None,
-      bucketSeconds.orElse(info.flatMap(_.bucketSeconds)), info, Some(path))
+      bucketSeconds.orElse(recorded), info, Some(path))
   }
 
   /** A path is a legacy tdb iff it is a regular FILE (parquet dbs are
@@ -521,14 +590,18 @@ object TrailDB {
   def fromEvents(df: DataFrame, uuidCol: String, timeCol: String,
       fieldCols: Seq[String], seqCol: Option[String] = None): TrailDB = {
     TrailSchema.validateFields(fieldCols).left.foreach(e => throw e)
-    // String uuids normalize to the documented 32-char lowercase hex form:
-    // lowercase AND strip hyphens, so the canonical "123e4567-e89b-..."
-    // rendering and the bare-hex rendering of the same UUID key ONE trail
-    // (the reference's uuid_raw accepts both, src/tdb_uuid.c). Non-hex
-    // string keys pass through (hyphen-free) unchanged.
+    // String uuids that RENDER a hex UUID (32 hex chars, hyphens
+    // optional) normalize to the documented 32-char lowercase form, so
+    // the canonical "123e4567-e89b-..." rendering and the bare-hex
+    // rendering of the same UUID key ONE trail (the reference's uuid_raw
+    // accepts both, src/tdb_uuid.c). Non-hex string keys pass through
+    // UNCHANGED — blanket lowercasing would silently merge case-distinct
+    // app keys ("UserA"/"usera") into one trail (r15 review).
     val uuidExpr = df.schema(uuidCol).dataType match {
       case org.apache.spark.sql.types.StringType =>
-        regexp_replace(lower(col(uuidCol)), "-", "")
+        val stripped = regexp_replace(col(uuidCol), "-", "")
+        when(stripped.rlike("^[0-9a-fA-F]{32}$"),
+          lower(stripped)).otherwise(col(uuidCol))
       case _ => format_string("%032x", col(uuidCol))
     }
     // Prefer a natural unique key as the (uuid, time) sort tiebreaker —

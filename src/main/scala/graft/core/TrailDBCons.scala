@@ -124,6 +124,13 @@ final class TrailDBCons(val spark: SparkSession, val fields: Seq[String]) {
     * finalized db contains only the listed trails. Lazy like every other
     * staging op — the isin predicate rides the ingest plan. */
   def whitelist(uuids: Seq[String]): this.type = synchronized {
+    // one list per cons: already-staged rows were restricted by the
+    // PREVIOUS list at stage time, so replacing it mid-build would make
+    // the finalized content depend on add()-call ordering (earlier adds
+    // restricted by the intersection, later ones by the new list only)
+    require(uuidWhitelist.isEmpty,
+      "whitelist already set for this cons — the reference's make --uuids " +
+        "takes one list per build; create a new cons to change it")
     uuidWhitelist = Some(uuids)
     staged = staged.map(restrictToWhitelist(_, uuids))
     this
@@ -313,6 +320,7 @@ object TrailOps {
       tolerance: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     tolerance.foreach(t => require(t > 0, s"tolerance must be positive, got $t"))
+    require(valueCols.nonEmpty, "asOfJoin needs at least one value column")
     val r = right.groupBy(col(uuidCol), col(timeCol))
       .agg(max(valueCols.head).as(valueCols.head),
         valueCols.tail.map(c => max(c).as(c)): _*)

@@ -140,14 +140,18 @@ object EventFilter {
         s"filter '$text': empty clause (stray '&' or '&&'?) — clauses are " +
         "separated by a single '&'")
       val terms = toks.map { tok =>
-        val (f, v, neg) = tok.indexOf("!=") match {
-          case -1 =>
-            val i = tok.indexOf('=')
-            require(i > 0, s"bad filter term '$tok' (expected field=value)")
-            (tok.substring(0, i), tok.substring(i + 1), false)
-          case i =>
-            require(i > 0, s"bad filter term '$tok'")
-            (tok.substring(0, i), tok.substring(i + 2), true)
+        // the reference splits at the FIRST '=' and treats the term as
+        // negated iff the char before it is '!' (filter.c:70-75) — a
+        // first-"!=" search instead would misparse a POSITIVE term whose
+        // value contains "!=" (e.g. q=a!=b) into a negated term on a
+        // nonexistent field, which matches EVERYTHING
+        val (f, v, neg) = {
+          val i = tok.indexOf('=')
+          require(i > 0, s"bad filter term '$tok' (expected field=value)")
+          if (tok.charAt(i - 1) == '!') {
+            require(i > 1, s"bad filter term '$tok'")
+            (tok.substring(0, i - 1), tok.substring(i + 1), true)
+          } else (tok.substring(0, i), tok.substring(i + 1), false)
         }
         Match(f, resolveValue(v), neg): Term
       }

@@ -131,6 +131,21 @@ class ConsSpec extends SparkSpec {
     assert(empty.numEvents === 0L)
   }
 
+  test("open(): explicit bucketSeconds disagreeing with the sidecar refuses loudly") {
+    // the layout's partition width is fixed at finalize — a disagreeing
+    // override would compute wrong _bucket pruning bounds and silently
+    // drop valid rows from every time-range query
+    val dir = tmp()
+    new TrailDBCons(spark, Seq("f"))
+      .add(Seq((uuidOf(1), 100L, "v", 0L)).toDF("uuid", "time", "f", "seq"))
+      .finalizePartitioned(dir, secondsPerPartition = 3600L)
+    assert(TrailDB.open(spark, dir, Some(3600L)).numEvents === 1L) // agrees
+    assert(TrailDB.open(spark, dir).numEvents === 1L) // sidecar applies
+    val e = intercept[IllegalArgumentException](
+      TrailDB.open(spark, dir, Some(60L)))
+    assert(e.getMessage.contains("disagrees"))
+  }
+
   test("multi-cursor: K shards merge into timestamp order per trail (multi_cursor.c:14-60)") {
     val shards = (0 until 3).map { k =>
       TrailDB.fromTrailFrame(

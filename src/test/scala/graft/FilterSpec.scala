@@ -117,10 +117,48 @@ class FilterSpec extends SparkSpec {
     }
   }
 
-  test("db-level filter is a view; cursor filter composes (src/tdb_decode.c:140-181)") {
+  test("db-level filter is a view; a cursor filter REPLACES it (src/tdb_decode.c:141-181)") {
     val view = db.withFilter(EventFilter(Seq(Clause(Seq(Match("a", "foo"))))))
     assert(view.df.count() === 3)
-    assert(view.events(EventFilter(Seq(Clause(Seq(Match("b", "sun")))))).count() === 1)
+    // ONE filter is active at a time in the reference: an explicit
+    // cursor filter overrides the db-level filter, never ANDs with it —
+    // b=sun matches events 2 AND 4 (event 4 fails a=foo, but the db
+    // filter is inactive while a cursor filter is set)
+    assert(view.events(EventFilter(Seq(Clause(Seq(Match("b", "sun")))))).count() === 2)
+    // no cursor filter → the db view applies
+    assert(view.events().count() === 3)
+  }
+
+  test("uuid keys: hex renderings normalize at ingest AND lookup; non-hex keys keep their case") {
+    import graft.core.TrailDB
+    val hexA = "123e4567e89b12d3a456426614174000"
+    val ev = Seq(
+      (hexA.toUpperCase.grouped(8).mkString("-"), 1L, "x"), // canonical-ish rendering
+      (hexA, 2L, "y"),            // bare lowercase — SAME uuid
+      ("UserA", 3L, "a"),         // non-hex: case is CONTENT
+      ("usera", 4L, "b")).toDF("u", "t", "f1")
+    val tdb = TrailDB.fromEvents(ev, "u", "t", Seq("f1"))
+    // both hex renderings keyed ONE trail; case-distinct app keys stay two
+    assert(tdb.numTrails === 3)
+    // lookups normalize the ARGUMENT the same way (reference uuid_raw
+    // accepts both renderings, src/tdb_uuid.c)
+    assert(tdb.trail("123E4567-E89B-12D3-A456-426614174000").count() === 2)
+    assert(tdb.whitelist(Seq(hexA.toUpperCase)).df.count() === 2)
+    assert(tdb.blacklist(Seq("123E4567-E89B-12D3-A456-426614174000"))
+      .df.count() === 2)
+    assert(tdb.trail("UserA").count() === 1)
+  }
+
+  test("parser: first '=' splits the term — a positive value containing \"!=\" stays positive (filter.c:70-75)") {
+    // the reference splits at the FIRST '=' and negates only when the
+    // char BEFORE it is '!': "b=x!=y" is field b equals "x!=y" (matches
+    // nothing here), NOT a negated term on nonexistent field "b=x"
+    // (which would silently match EVERYTHING)
+    val f = EventFilter.parse("b=x!=y")
+    assert(f.clauses === Seq(Clause(Seq(Match("b", "x!=y")))))
+    assert(n(f) === 0)
+    assert(EventFilter.parse("a!=foo").clauses ===
+      Seq(Clause(Seq(Match("a", "foo", negated = true)))))
   }
 
   test("per-trail filter overrides replace the db filter for those trails") {
