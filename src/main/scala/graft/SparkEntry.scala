@@ -4116,7 +4116,8 @@ object SparkEntry {
 
     "t_overlap" ->
       s"""$TrailsCte,
-         |dt AS (SELECT DISTINCT uuid, event_type FROM trails)
+         |dt AS (SELECT DISTINCT uuid,
+         |         coalesce(event_type, '') AS event_type FROM trails)
          |SELECT a.event_type AS type_a, b.event_type AS type_b,
          |       count(*) AS n_trails
          |FROM dt a JOIN dt b ON a.uuid = b.uuid AND a.event_type < b.event_type

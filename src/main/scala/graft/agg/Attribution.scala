@@ -40,6 +40,12 @@ object Attribution {
       typeCol: String = "event_type", seqCol: String = "seq"): DataFrame = {
     require(touchTypes.nonEmpty, "lastTouch needs at least one touch type")
     require(lookback > 0, s"lookback must be positive, got $lookback")
+    // the windowFunnel exclude/steps disjointness discipline: a
+    // conversion type that is ALSO a touch type would credit repeat
+    // conversions to the previous conversion — plausible-looking but
+    // meaningless attribution from a configuration slip
+    require(!touchTypes.contains(conversionType),
+      s"conversionType '$conversionType' must not also be a touch type")
     val w = Window.partitionBy(uuidCol)
       .orderBy(col(timeCol), col(seqCol))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -93,6 +99,8 @@ object Attribution {
     require(touchTypes.nonEmpty, "multiTouch needs at least one touch type")
     require(lookback > 0, s"lookback must be positive, got $lookback")
     require(endWeight > 0 && endWeight < 0.5, s"endWeight $endWeight out of (0, 0.5)")
+    require(!touchTypes.contains(conversionType),
+      s"conversionType '$conversionType' must not also be a touch type")
     val w = Window.partitionBy(uuidCol)
       .orderBy(col(timeCol), col(seqCol))
       .rowsBetween(Window.unboundedPreceding, -1)

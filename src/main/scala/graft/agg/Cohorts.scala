@@ -38,10 +38,13 @@ object Cohorts {
   }
 
   private def raiseNegative(timeCol: String) =
+    // coalesce the rendered value: a NULL time also lands here (null >= 0
+    // is null, so the guard's Or falls through) and a null concat operand
+    // would raise with a BLANK message claiming "negative" for a NULL
     raise_error(concat(lit(
-      "graft cohorts: negative time (trail time is u64 by contract; " +
-      "truncating DIV would mis-bucket pre-epoch rows): "),
-      col(timeCol).cast("string"))).cast("boolean")
+      "graft cohorts: negative or NULL time (trail time is u64 by " +
+      "contract; truncating DIV would mis-bucket pre-epoch rows): "),
+      coalesce(col(timeCol).cast("string"), lit("NULL")))).cast("boolean")
 
   /** Audience overlap between event types: for every unordered type pair
     * (a < b), how many trails contain BOTH — the co-occurrence matrix
@@ -55,9 +58,14 @@ object Cohorts {
     * at most once by construction. */
   def typeOverlap(df: DataFrame, uuidCol: String = "uuid",
       typeCol: String = "event_type"): DataFrame = {
-    val dt = df.select(col(uuidCol).as("_u"), col(typeCol).as("_t")).distinct()
+    // NULL type coalesces to "" (the TrailSchema contract every sibling
+    // operator applies) and the self-join key is null-safe, so
+    // null-typed events and null-uuid trails count instead of silently
+    // vanishing from the matrix
+    val dt = df.select(col(uuidCol).as("_u"),
+      coalesce(col(typeCol), lit("")).as("_t")).distinct()
     dt.as("a").join(dt.as("b"),
-        col("a._u") === col("b._u") && col("a._t") < col("b._t"))
+        col("a._u") <=> col("b._u") && col("a._t") < col("b._t"))
       .groupBy(col("a._t").as("type_a"), col("b._t").as("type_b"))
       .agg(count(lit(1)).as("n_trails"))
   }

@@ -71,7 +71,10 @@ object Paths {
     sorted.mapPartitions { it =>
       var cur: String = null
       val ring = new Array[String](n)
-      var filled = 0
+      // Long, not Int: the whale trail this streamed twin exists for can
+      // exceed 2^31 events, and an Int wrap would silently drop every
+      // n-gram after it
+      var filled = 0L
       // flatMap keeps this lazy: state advances only as the consumer
       // pulls — single-threaded per partition, so closure state is safe
       it.flatMap { case (u, _, e, _) =>

@@ -26,6 +26,7 @@ object Sessionize {
       uuidCol: String = TrailSchema.UuidCol,
       timeCol: String = TrailSchema.TimeCol,
       tiebreak: Seq[String] = Seq(TrailSchema.SeqCol)): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
     // Tiebreak makes window order total when timestamps collide (common
     // after second-truncation) — required for deterministic output.
     val orderCols = (timeCol +: tiebreak.filter(events.columns.contains)).map(col)

@@ -602,6 +602,12 @@ case class MinHashSig(child: Expression, numHashes: Int)
   override def prettyName: String = "minhash_sig"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if numHashes <= 0 =>
+      // fail at ANALYSIS like the other parameterized expressions —
+      // a non-positive width would NegativeArraySize per row mid-job
+      // (or silently emit empty signatures that band-collide every doc)
+      TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig needs numHashes > 0, got $numHashes")
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"minhash_sig requires array<bigint> input, got ${other.catalogString}")

@@ -183,17 +183,13 @@ object Dedup {
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
   }
 
-  /** Modulus for the MinHash permutation family: Mersenne prime 2^31-1, so
-    * a*h + b stays ≤ ~2^62 — no long overflow under ANSI arithmetic. */
-  private val P = 2147483647L
-  /** Deterministic (a_i, b_i) permutation parameters derived from i — no RNG
-    * (splitmix64-style mixing of the index). */
-  private def mix(i: Long): Long = {
-    var z = i + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  /** Modulus and (a_i, b_i) permutation parameters: ONE definition,
+    * [[graft.functions.MinHashParams]] — this aggregate formulation must
+    * stay bit-identical to the native [[graft.functions.MinHashSig]]
+    * expression (spec-enforced), and a constant typo fixed in one copy of
+    * the splitmix derivation but not the other would silently break that
+    * equivalence. */
+  private val P = graft.functions.MinHashParams.P
 
   /** MinHash signature, computed by the native [[graft.functions.MinHashSig]]
     * expression: one pass over each doc's shingle-hash array INSIDE the scan
@@ -219,8 +215,8 @@ object Dedup {
         explode(TextAnalysis.shingleHashes(col(textCol), k)).as("_sh"))
       .withColumn("_h", pmod(col("_sh"), lit(P)))
     val aggs = (0 until numHashes).map { i =>
-      val a = java.lang.Math.floorMod(mix(2L * i), P - 1) + 1
-      val b = java.lang.Math.floorMod(mix(2L * i + 1), P)
+      val a = graft.functions.MinHashParams.a(i)
+      val b = graft.functions.MinHashParams.b(i)
       min(pmod(lit(a) * col("_h") + lit(b), lit(P))).as(s"_m$i")
     }
     sh.groupBy("id").agg(aggs.head, aggs.tail: _*)

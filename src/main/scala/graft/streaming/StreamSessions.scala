@@ -188,6 +188,8 @@ object StreamSessions {
       stateEnc: org.apache.spark.sql.Encoder[TouchState]): Dataset[AttributionHit] = {
     require(touchTypes.nonEmpty, "lastTouch needs at least one touch type")
     require(lookback > 0, s"lookback must be positive, got $lookback")
+    require(!touchTypes.contains(conversionType),
+      s"conversionType '$conversionType' must not also be a touch type")
     implicit val strEnc: org.apache.spark.sql.Encoder[String] =
       org.apache.spark.sql.Encoders.STRING
     events.groupByKey(_._1)

@@ -403,7 +403,7 @@ class AggSpec extends SparkSpec {
     // pre-epoch time: truncating DIV would silently mis-bucket it — loud
     val neg = Seq(("u0", -5L)).toDF("uuid", "time")
     val e = intercept[Exception](graft.agg.Cohorts.matrix(neg).collect())
-    assert(e.getMessage.contains("negative time"))
+    assert(e.getMessage.contains("negative or NULL time"))
   }
 
   test("conversionLatency: first-from to first-at-or-after-to, bucketed") {
