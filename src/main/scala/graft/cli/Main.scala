@@ -154,7 +154,20 @@ object Main {
         if (i + 1 >= args.length || known(canon(args(i + 1))))
           throw GraftError.BadArgs(s"$op: flag $a requires a value")
         flags = flags.updated(a, flags(a) :+ args(i + 1)); i += 2
+      } else if (a.startsWith("--") && a.contains('=') &&
+          takesValue(canon(a.substring(0, a.indexOf('='))))) {
+        // getopt_long's '--filter=type=click' spelling — reference
+        // scripts use it; split at the FIRST '=' only
+        val eq = a.indexOf('=')
+        val f = canon(a.substring(0, eq))
+        flags = flags.updated(f, flags(f) :+ a.substring(eq + 1)); i += 1
       } else if (a.startsWith("-")) {
+        // UNKNOWN flags refuse loudly like getopt_long — a misspelled
+        // --filter silently dropped would produce a full unfiltered
+        // dump with exit 0, the exact failure the -F guard above exists
+        // to prevent
+        if (!known(a))
+          throw GraftError.BadArgs(s"$op: unknown flag $a")
         flags = flags.updated(a, flags(a) :+ ""); i += 1
       } else { pos = pos :+ a; i += 1 }
     }
@@ -241,7 +254,10 @@ object Main {
       spark.sparkContext.setLogLevel("INFO")
     // the reference refuses multi-char delimiters up front
     // (tdbcli/main.c:217-220) — for ANY op, before the op body runs.
-    one("--delimiter").foreach { d =>
+    // Use the RAW flag value, not one(): one() filters empty strings,
+    // which would let --delimiter '' bypass the check and silently fall
+    // back to the default delimiter with exit 0.
+    flags("--delimiter").headOption.foreach { d =>
       if (d.length != 1)
         throw GraftError.BadArgs(s"Delimiter must be one character, not '$d'")
     }
@@ -300,6 +316,14 @@ object Main {
               entries.map { case (idx, n) => n -> s"_c${idx - 1}" }.toMap)
           }
         val cons = new TrailDBCons(spark, fields)
+        // positional --fields already pins every column source — a
+        // contradictory --uuid-col/--time-col must refuse like the
+        // positional/--csv-header conflict above, not win or lose silently
+        if (positional &&
+            (one("--uuid-col").nonEmpty || one("--time-col").nonEmpty))
+          throw GraftError.BadArgs(
+            "make: --uuid-col/--time-col conflict with positional --fields " +
+              "(the N:name ids already name the uuid/time columns)")
         val mapping =
           if (positional) posMapping
           else Seq(
@@ -319,6 +343,12 @@ object Main {
         // ids apply to the CSV reader only.
         one("-j").foreach(j =>
           cons.addJsonl(j, if (positional) Map.empty else mapping, skipBad))
+        // the declared contract is (-c CSV | -j JSONL): no input at all
+        // (e.g. a script whose -c argument came up empty) must refuse
+        // like the reference CLI, not finalize a valid-looking EMPTY db
+        // with exit 0 for downstream jobs to consume
+        if (one("-c").isEmpty && one("-j").isEmpty)
+          throw GraftError.BadArgs("make: an input is required (-c CSV | -j JSONL)")
         // --uuids on make selects the subset of trails to INGEST
         // (reference usage: tdbcli/main.c:84-90). The count line is
         // derived from the FINALIZED db instead of a pre-pass: after the
@@ -366,6 +396,11 @@ object Main {
       case "dump" =>
         val in = one("-i").getOrElse(throw GraftError.BadArgs("dump: -i DB required"))
         var db = openDb(spark, in)
+        // presence reporting runs against the OPENED db, before -F/index
+        // pruning (the reference counts by tdb_get_trail_id on the open
+        // handle): a uuid whose trail exists but has no filter-matching
+        // events is "selected", not "missing"
+        val pristine = db
         // NOT one(): an explicitly-empty -F '' must still apply — the
         // reference's parse_filter("") builds a filter with one empty
         // clause that matches NOTHING (tdb_event_filter_new semantics),
@@ -445,7 +480,8 @@ object Main {
         flags("--uuids").headOption.foreach { us =>
           val entries = parseUuidSpec(us)
           val valid = entries.filter(isValidUuid).map(_.toLowerCase).distinct
-          val present = presentUuids(spark, db.df, valid).distinct().count()
+          val present =
+            presentUuids(spark, pristine.df, valid).distinct().count()
           reportUuids(entries, valid, present)
           db = db.whitelist(valid)
         }
@@ -476,7 +512,8 @@ object Main {
             if (single)
               db.dumpJsonFile(out, noEmpty = flags("--json-no-empty").nonEmpty,
                 cols = cols)
-            else db.dumpJson(out, noEmpty = flags("--json-no-empty").nonEmpty)
+            else db.dumpJson(out, noEmpty = flags("--json-no-empty").nonEmpty,
+              cols = cols)
             println(s"[dump] wrote JSON to $out")
           case Some(out) =>
             if (single)
@@ -505,6 +542,9 @@ object Main {
         // The reference applies --filter and --uuids to every input db
         // before merging (tdbcli/op_merge.c:223-226 apply_filter per db).
         var dbs = ins.map(openDb(spark, _))
+        // presence counts run on the OPENED inputs, pre-filter (same
+        // convention as dump's report)
+        val pristineDbs = dbs
         flags("-F").headOption.foreach { f =>
           val filter = parseFilter(f)
           dbs = dbs.map(_.withFilter(filter))
@@ -516,7 +556,7 @@ object Main {
           // line (the reference reports once; one line per input — and one
           // Spark job per input — was ADVICE r6). The union is a
           // column-pruned uuid scan with the isin pushed to parquet.
-          val present = dbs.map(db => presentUuids(spark, db.df, valid))
+          val present = pristineDbs.map(db => presentUuids(spark, db.df, valid))
             .reduce(_ union _).distinct().count()
           reportUuids(entries, valid, present)
           dbs = dbs.map(_.whitelist(valid))

@@ -353,11 +353,15 @@ final class TrailDB private (
       .option("emptyValue", "").csv(path)
 
   /** JSON sink (reference: `tdb dump -j`, op_dump.c:69-90). `noEmpty` drops
-    * empty-string values (the `--json-no-empty` flag). */
-  def dumpJson(path: String, noEmpty: Boolean = false): Unit = {
-    val base = dumpProjection()
+    * empty-string values (the `--json-no-empty` flag); `cols` projects
+    * like every sibling sink (the directory JSON path was the one dump
+    * sink silently ignoring --fields). */
+  def dumpJson(path: String, noEmpty: Boolean = false,
+      cols: Seq[String] = Nil): Unit = {
+    val base = dumpProjection(cols)
+    val present = if (cols.nonEmpty) fields.filter(cols.contains) else fields
     val projected = if (noEmpty)
-      fields.foldLeft(base)((acc, f) =>
+      present.foldLeft(base)((acc, f) =>
         acc.withColumn(f, when(col(f) === "", lit(null)).otherwise(col(f))))
     else base
     projected.write.mode("overwrite").json(path)

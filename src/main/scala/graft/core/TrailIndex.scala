@@ -156,8 +156,14 @@ object TrailIndex {
   def entries(db: TrailDB, prefixLen: Int = DefaultPrefixLen): DataFrame = {
     val fs = db.fields
     require(fs.nonEmpty, "index over a db with no user fields")
+    // coalesce the uuid like the values: a NULL-uuid event (the library
+    // tolerates them — see TrailDB.blacklist) would store a NULL page,
+    // which NPEs candidate-page sorting and makes the pruned scan's
+    // startsWith(null) silently drop every row (a false negative, the
+    // one failure class the open() contract forbids)
     db.df.select(
-        substring(col(TrailSchema.UuidCol), 1, prefixLen).as("page"),
+        substring(coalesce(col(TrailSchema.UuidCol), lit("")), 1, prefixLen)
+          .as("page"),
         explode(array(fs.map(f =>
           struct(lit(f).as("field"),
             coalesce(col(f), lit("")).as("value"))): _*)).as("fv"))
@@ -298,11 +304,18 @@ object TrailIndex {
       case Some(ps) =>
         // balanced: the page set can reach the full page count (65k in
         // the reference's layout) — log-depth, not a 65k-deep chain
+        // the "" page holds NULL-uuid events (entries() coalesces) —
+        // startsWith on a NULL uuid is NULL, so that page must admit
+        // null-uuid rows explicitly or the pruned scan silently drops
+        // rows the unindexed scan returns (a forbidden false negative)
         val pagePred =
           if (ps.isEmpty) lit(false)
           else graft.filter.EventFilter.balancedReduce(
             ps.toSeq.sorted.map(p =>
-              col(TrailSchema.UuidCol).startsWith(p)))(_ || _)
+              if (p.isEmpty)
+                col(TrailSchema.UuidCol).isNull ||
+                  col(TrailSchema.UuidCol).startsWith(p)
+              else col(TrailSchema.UuidCol).startsWith(p)))(_ || _)
         db.restrict(pagePred)
     }
 

@@ -62,7 +62,18 @@ case class MetadataOnlyAggRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if projectList.forall(_.isInstanceOf[AttributeReference]) =>
       unfilteredScanRoot(child)
     case lr: LogicalRelation => lr.relation match {
-      case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 =>
+      // the sidecar answers PARQUET scans of the WHOLE db dir and
+      // nothing else: a text/csv/binaryFile read rooted at the same
+      // path counts different things entirely, and a file-restricting
+      // read option (glob/recursive/modified-time) scans a SUBSET the
+      // full-table sidecar must not answer for
+      case fs: HadoopFsRelation
+          if fs.location.rootPaths.length == 1 &&
+            fs.fileFormat.isInstanceOf[
+              org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] &&
+            !Seq("pathglobfilter", "recursivefilelookup", "modifiedafter",
+              "modifiedbefore").exists(k =>
+              fs.options.exists(_._1.toLowerCase(java.util.Locale.ROOT) == k)) =>
         Some(fs.location.rootPaths.head.toString)
       case _ => None
     }

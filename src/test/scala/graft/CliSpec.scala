@@ -550,4 +550,37 @@ class CliSpec extends SparkSpec {
         "-o", s"$dir/dump-bad"))
     }.getMessage.contains("Delimiter must be one character"))
   }
+
+  test("flag parsing: getopt_long '=' form works; unknown/empty-value flags refuse (r15)") {
+    val dir = Files.createTempDirectory("graft-cli-flags")
+    val csv = dir.resolve("in.csv")
+    Files.writeString(csv,
+      "uuid,time,etype\n" +
+      (0 until 8).map(i => f"${i % 2}%032x,${100 + i},e${i % 2}").mkString("\n"))
+    Main.run(spark, "make", Seq("-o", s"$dir/db", "-c", csv.toString,
+      "-f", "etype", "--csv-header"))
+    // '--filter=...' (the reference getopt_long spelling) must FILTER,
+    // not silently no-op into a full dump
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Main.run(spark, "dump", Seq("-i", s"$dir/db", "--filter=etype=e0",
+        "--delimiter=,"))
+    }
+    val lines = out.toString.split("\n").filter(_.contains(","))
+    assert(lines.length === 4 && lines.forall(_.endsWith("e0")))
+    // a misspelled flag refuses loudly instead of silently dumping all
+    assert(intercept[RuntimeException] {
+      Main.run(spark, "dump", Seq("-i", s"$dir/db", "--fliter", "etype=e0"))
+    }.getMessage.contains("unknown flag"))
+    // an EMPTY delimiter refuses like the reference, instead of silently
+    // using the default
+    assert(intercept[RuntimeException] {
+      Main.run(spark, "dump", Seq("-i", s"$dir/db", "--delimiter", "",
+        "-o", s"$dir/dump-e"))
+    }.getMessage.contains("Delimiter must be one character"))
+    // make without any input refuses instead of writing an empty db
+    assert(intercept[RuntimeException] {
+      Main.run(spark, "make", Seq("-o", s"$dir/db2"))
+    }.getMessage.contains("input is required"))
+  }
 }

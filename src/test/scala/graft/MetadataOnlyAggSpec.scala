@@ -88,6 +88,22 @@ class MetadataOnlyAggSpec extends SparkSpec {
     assert(counted() === 9L, "stale sidecar served after re-finalize")
   }
 
+  test("non-parquet and file-restricted reads of a db dir are NOT rewritten") {
+    // a text/binaryFile read rooted at the db dir counts different things
+    // entirely (lines/files, not events); a glob-filtered parquet read
+    // scans a SUBSET — the full-table sidecar must answer for neither
+    val path = mkDb(3, 2)
+    val textCount = spark.read.format("binaryFile").load(path)
+      .groupBy().agg(count(lit(1))).head().getLong(0)
+    assert(textCount != 6L,
+      "binaryFile count must be the FILE count, not the sidecar's events")
+    val glob = spark.read.option("pathGlobFilter", "part-00000*")
+      .parquet(path)
+      .groupBy().agg(count(lit(1))).head().getLong(0)
+    assert(glob < 6L,
+      s"glob-restricted count must reflect the scanned subset, got $glob")
+  }
+
   test("count of a NULL literal is NOT answered as num_events") {
     val path = mkDb(2, 3)
     val agg = spark.read.parquet(path).agg(count(lit(null)).as("n"))
