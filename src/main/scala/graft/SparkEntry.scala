@@ -2231,16 +2231,24 @@ object SparkEntry {
     }),
 
     // Multimodal: PERCEPTUAL video dedup — planted groups of base /
-    // exact copy / last-frame-replaced copy / independent Y4M videos;
-    // per-frame luma dHash, inverted-index join on exact frame-hash
-    // matches with stop-frame removal, shared-frame count. The oracle
-    // replays the matched-frame counts exactly: nf for the exact pair,
-    // nf-1 for pairs touching the replaced-frame member.
+    // exact copy / last-frame-replaced copy / independent Y4M videos
+    // PLUS the round-16 perturbation cohorts: a bit-perturbed member
+    // (every frame's dHash moved a guaranteed 1-2 bits — pairs under
+    // the banded Hamming frame matching ONLY, never under exact
+    // equality), a beyond-radius member (5-10 bits — pairs with
+    // nothing), and a REVERSED member (same frame-hash set as the base,
+    // so n_matched ties the exact copy's, but the LIS
+    // temporal-consistency score collapses to 1 — the shuffled-frame
+    // collage the score exists to expose). Per-frame luma dHash, banded
+    // frame matching with stop-frame removal + bucket guard,
+    // matched-frame + LIS rollup; the oracle replays every pair's
+    // n_matched AND lis exactly.
     "m_video_dedup" -> ((s, dir) => {
-      val media = Multimodal.dedupVideoMediaFromDocuments(
-        s.read.parquet(s"$dir/documents.parquet"))
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val media = Multimodal.dedupVideoMediaFromDocuments(docs)
+        .unionByName(Multimodal.perturbedVideoCohortsFromDocuments(docs))
       Multimodal.videoNearDupPairs(media, minMatchedFrames = 2)
-        .select(col("id_a"), col("id_b"), col("n_matched"))
+        .select(col("id_a"), col("id_b"), col("n_matched"), col("lis"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -2355,6 +2363,12 @@ object SparkEntry {
     "m_routed_video" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val planted = Multimodal.dedupVideoMediaFromDocuments(docs)
+        // round 16: the bit-perturbed cohort (pairs via banding only)
+        // and the beyond-radius cohort (pairs with nothing) ride the
+        // routing too — banded recall and its radius bound are gated on
+        // the routed path as well as the flat self-join path
+        .unionByName(Multimodal.perturbedVideoCohortsFromDocuments(docs,
+          Seq("within", "beyond")))
       val blackFrame = {
         val f = new Array[Byte]((8 * 8 * 3) / 2)
         java.util.Arrays.fill(f, 8 * 8, f.length, 128.toByte)
@@ -2414,21 +2428,28 @@ object SparkEntry {
         .orderBy("media_id", "match_id")
     }),
 
-    // STREAMING perceptual video dedup — the video twin: the frame index
-    // freezes over m in {0,3}, m in {1,2} stream in; the shared-frame
-    // count is an aggregation, so the sink runs in UPDATE mode (each
-    // video's frames arrive inside its one blob, so every pair's count
-    // completes in the micro-batch that carries the video). The exact
-    // copy shares all nf frames with its base, the last-frame-replaced
-    // member nf−1.
+    // STREAMING perceptual video dedup — the video twin: the BANDED
+    // frame index freezes over m in {0,3}; m in {1,2} AND the round-16
+    // bit-perturbed cohort (1-2 drifted dHash bits per frame — matches
+    // its group base through the banding ONLY, never by exact frame
+    // equality) stream in; the matched-frame rollup is an aggregation,
+    // so the sink runs in UPDATE mode (each video's frames arrive
+    // inside its one blob, so every pair's rollup completes in the
+    // micro-batch that carries the video). The exact copy shares all nf
+    // frames with its base, the last-frame-replaced member nf−1, the
+    // perturbed member nf; every planted match is in temporal order, so
+    // lis = n_matched throughout.
     "m_stream_video_dedup" -> ((s, dir) => {
-      val media = Multimodal.dedupVideoMediaFromDocuments(
-        s.read.parquet(s"$dir/documents.parquet"))
-      val src = Fixtures.memo(s"vidstream:$dir") {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val media = Multimodal.dedupVideoMediaFromDocuments(docs)
+      val src = Fixtures.memo(s"vidstream16:$dir") {
         val p = java.nio.file.Files.createTempDirectory("graft-vidsrc")
           .resolve("src").toString
         media.filter(col("media_id") % 4 === 1 || col("media_id") % 4 === 2)
-          .select("media_id", "bytes").write.parquet(p)
+          .select("media_id", "bytes")
+          .unionByName(Multimodal.perturbedVideoCohortsFromDocuments(docs,
+            Seq("within")))
+          .write.parquet(p)
         p
       }
       val index = Multimodal.videoFrameIndex(
@@ -2443,7 +2464,8 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination(180000)
       s.table(name)
-        .select(col("media_id"), col("match_id"), col("n_matched"))
+        .select(col("media_id"), col("match_id"), col("n_matched"),
+          col("lis"))
         .orderBy("media_id", "match_id")
     }),
 
@@ -2465,15 +2487,21 @@ object SparkEntry {
 
     // INCREMENTAL perceptual VIDEO dedup — the video sibling: the new
     // batch's copy/replaced members pair with each other (nf−1 shared
-    // frames) and match their frozen-corpus base (nf and nf−1).
+    // frames) and match their frozen-corpus base (nf and nf−1); the
+    // round-16 bit-perturbed batch member pairs with BOTH batch members
+    // and its corpus base through the banding only. Every planted match
+    // is in temporal order, so lis = n_matched throughout.
     "m_incr_video" -> ((s, dir) => {
-      val media = Multimodal.dedupVideoMediaFromDocuments(
-        s.read.parquet(s"$dir/documents.parquet")).localCheckpoint()
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val media = Multimodal.dedupVideoMediaFromDocuments(docs)
+        .localCheckpoint()
       val index = Multimodal.videoFrameIndex(
         media.filter(col("media_id") % 4 === 0 || col("media_id") % 4 === 3))
         .localCheckpoint()
       val batch = media.filter(col("media_id") % 4 === 1 ||
         col("media_id") % 4 === 2).select("media_id", "bytes")
+        .unionByName(Multimodal.perturbedVideoCohortsFromDocuments(docs,
+          Seq("within")))
       Multimodal.incrementalVideoNearDup(batch, index)
         .orderBy("id_a", "id_b", "side")
     }),
@@ -4114,13 +4142,18 @@ object SparkEntry {
          |FROM wk JOIN ch USING (uuid)
          |GROUP BY 1, 2 ORDER BY cohort, age""".stripMargin,
 
+    // the uuid join is NULL-SAFE (IS NOT DISTINCT FROM) to mirror the
+    // impl's <=>: a NULL-uuid trail with two or more event types counts
+    // in the matrix on both sides (r15 ADVICE — only the event_type
+    // coalesce had been mirrored)
     "t_overlap" ->
       s"""$TrailsCte,
          |dt AS (SELECT DISTINCT uuid,
          |         coalesce(event_type, '') AS event_type FROM trails)
          |SELECT a.event_type AS type_a, b.event_type AS type_b,
          |       count(*) AS n_trails
-         |FROM dt a JOIN dt b ON a.uuid = b.uuid AND a.event_type < b.event_type
+         |FROM dt a JOIN dt b ON a.uuid IS NOT DISTINCT FROM b.uuid
+         |  AND a.event_type < b.event_type
          |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin,
 
     "t_latency" ->
@@ -5186,19 +5219,36 @@ object SparkEntry {
         | WHERE a.m <= 2 AND b.m <= 2
         |ORDER BY id_a, id_b""".stripMargin,
 
-    // Exact replay of the planted video structure: shared-frame counts
-    // are nf = 3 + gid%3 for the exact pair and nf-1 for pairs touching
-    // the replaced-frame member; nothing else reaches 2 shared frames.
+    // Exact replay of the planted video structure: matched-frame counts
+    // are nf = 3 + gid%3 for full-frame-set pairs and nf-1 for pairs
+    // touching the replaced-frame member ('cut'); the perturbed member
+    // (3000000+gid) carries the full set at 1-2 drifted bits and the
+    // REVERSED member (5000000+gid) carries the full set in reverse
+    // order — lis collapses to 1 on any pair touching it. The
+    // beyond-radius member (4000000+gid) is in the INPUT and absent
+    // from every pair: the oracle's no-false-positive leg.
     "m_video_dedup" ->
       """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
-        |           FROM documents)
-        |SELECT CAST(a.doc_id AS BIGINT) AS id_a,
-        |       CAST(b.doc_id AS BIGINT) AS id_b,
-        |       CAST(CASE WHEN a.m <= 1 AND b.m <= 1 THEN 3 + a.gid % 3
-        |            ELSE 2 + a.gid % 3 END AS BIGINT) AS n_matched
-        |FROM d a JOIN d b
-        |  ON a.gid = b.gid AND a.doc_id < b.doc_id
-        | WHERE a.m <= 2 AND b.m <= 2
+        |           FROM documents),
+        |g AS (SELECT DISTINCT doc_id // 4 AS gid FROM documents),
+        |mem AS (
+        |  SELECT doc_id AS id, gid, FALSE AS cut, FALSE AS rev
+        |  FROM d WHERE m <= 1
+        |  UNION ALL
+        |  SELECT doc_id, gid, TRUE, FALSE FROM d WHERE m = 2
+        |  UNION ALL
+        |  SELECT 3000000 + gid, gid, FALSE, FALSE FROM g
+        |  UNION ALL
+        |  SELECT 5000000 + gid, gid, FALSE, TRUE FROM g)
+        |SELECT CAST(a.id AS BIGINT) AS id_a,
+        |       CAST(b.id AS BIGINT) AS id_b,
+        |       CAST(CASE WHEN a.cut OR b.cut THEN 2 + a.gid % 3
+        |            ELSE 3 + a.gid % 3 END AS BIGINT) AS n_matched,
+        |       CAST(CASE WHEN a.rev <> b.rev THEN 1
+        |            WHEN a.cut OR b.cut THEN 2 + a.gid % 3
+        |            ELSE 3 + a.gid % 3 END AS BIGINT) AS lis
+        |FROM mem a JOIN mem b
+        |  ON a.gid = b.gid AND a.id < b.id
         |ORDER BY id_a, id_b""".stripMargin,
 
     // Exact replay of the byte-identical blob groups: members m=0 and m=1
@@ -5288,10 +5338,18 @@ object SparkEntry {
 
     // Exact replay of the routed video dedup: byte-identical all-black
     // clips (one stop frame each) star-pair under their min key; planted
-    // perceptual groups pair within-group via frame matching.
+    // perceptual groups pair within-group via BANDED frame matching —
+    // including the bit-perturbed member (3000000+gid, banding-only
+    // recall) — while the beyond-radius member (4000000+gid) pairs with
+    // nothing despite riding the perceptual route.
     "m_routed_video" ->
       """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
-        |           FROM documents)
+        |           FROM documents),
+        |mem AS (
+        |  SELECT doc_id AS id, gid FROM d WHERE m <= 2
+        |  UNION ALL
+        |  SELECT 3000000 + gid, gid
+        |  FROM (SELECT DISTINCT doc_id // 4 AS gid FROM documents))
         |SELECT * FROM (
         |  SELECT CAST(1000000 + (SELECT min(doc_id) FROM d) AS BIGINT)
         |           AS id_a,
@@ -5299,10 +5357,9 @@ object SparkEntry {
         |         'exact_blob' AS kind
         |  FROM d WHERE doc_id > (SELECT min(doc_id) FROM d)
         |  UNION ALL
-        |  SELECT CAST(a.doc_id AS BIGINT), CAST(b.doc_id AS BIGINT),
+        |  SELECT CAST(a.id AS BIGINT), CAST(b.id AS BIGINT),
         |         'perceptual'
-        |  FROM d a JOIN d b ON a.gid = b.gid AND a.doc_id < b.doc_id
-        |  WHERE a.m <= 2 AND b.m <= 2)
+        |  FROM mem a JOIN mem b ON a.gid = b.gid AND a.id < b.id)
         |ORDER BY id_a, id_b""".stripMargin,
 
     // Exact replay of the unified mixed-modality routing: each planted
@@ -5347,15 +5404,24 @@ object SparkEntry {
         |ORDER BY media_id, match_id""".stripMargin,
 
     // Exact replay of the video stream: the copy shares all nf = 3+gid%3
-    // frames with its base, the last-frame-replaced member nf-1.
+    // frames with its base, the last-frame-replaced member nf-1, and the
+    // bit-perturbed member all nf through the banding only; every
+    // planted match is in temporal order, so lis = n_matched.
     "m_stream_video_dedup" ->
       """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
         |           FROM documents)
-        |SELECT CAST(doc_id AS BIGINT) AS media_id,
-        |       CAST(gid * 4 AS BIGINT) AS match_id,
-        |       CAST(CASE WHEN m = 1 THEN 3 + gid % 3
-        |                 ELSE 2 + gid % 3 END AS BIGINT) AS n_matched
-        |FROM d WHERE m IN (1, 2)
+        |SELECT * FROM (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |         CAST(gid * 4 AS BIGINT) AS match_id,
+        |         CAST(CASE WHEN m = 1 THEN 3 + gid % 3
+        |                   ELSE 2 + gid % 3 END AS BIGINT) AS n_matched,
+        |         CAST(CASE WHEN m = 1 THEN 3 + gid % 3
+        |                   ELSE 2 + gid % 3 END AS BIGINT) AS lis
+        |  FROM d WHERE m IN (1, 2)
+        |  UNION ALL
+        |  SELECT CAST(3000000 + gid AS BIGINT), CAST(gid * 4 AS BIGINT),
+        |         CAST(3 + gid % 3 AS BIGINT), CAST(3 + gid % 3 AS BIGINT)
+        |  FROM (SELECT DISTINCT gid FROM d))
         |ORDER BY media_id, match_id""".stripMargin,
 
     // Exact replay of the incremental audio split: within the new batch
@@ -5376,21 +5442,36 @@ object SparkEntry {
         |ORDER BY id_a, id_b, side""".stripMargin,
 
     // Exact replay of the incremental video split: batch pairs share
-    // nf-1 frames (the replaced last frame); corpus matches share nf
-    // (copy) and nf-1 (replaced).
+    // nf-1 frames (the replaced last frame) except pairs touching the
+    // bit-perturbed member (full set through the banding); corpus
+    // matches share nf (copy, perturbed) and nf-1 (replaced). Every
+    // planted match is in temporal order, so lis = n_matched.
     "m_incr_video" ->
       """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
-        |           FROM documents)
-        |SELECT * FROM (
-        |  SELECT CAST(gid * 4 + 1 AS BIGINT) AS id_a,
-        |         CAST(gid * 4 + 2 AS BIGINT) AS id_b,
-        |         CAST(2 + gid % 3 AS BIGINT) AS n_matched, 'batch' AS side
-        |  FROM (SELECT DISTINCT gid FROM d)
+        |           FROM documents),
+        |b AS (
+        |  SELECT doc_id AS id, gid, (m = 2) AS cut
+        |  FROM d WHERE m IN (1, 2)
         |  UNION ALL
-        |  SELECT CAST(gid * 4 AS BIGINT), CAST(doc_id AS BIGINT),
-        |         CAST(CASE WHEN m = 1 THEN 3 + gid % 3
-        |                   ELSE 2 + gid % 3 END AS BIGINT), 'corpus'
-        |  FROM d WHERE m IN (1, 2))
+        |  SELECT 3000000 + gid, gid, FALSE
+        |  FROM (SELECT DISTINCT doc_id // 4 AS gid FROM documents))
+        |SELECT * FROM (
+        |  SELECT CAST(x.id AS BIGINT) AS id_a,
+        |         CAST(y.id AS BIGINT) AS id_b,
+        |         CAST(CASE WHEN x.cut OR y.cut THEN 2 + x.gid % 3
+        |                   ELSE 3 + x.gid % 3 END AS BIGINT) AS n_matched,
+        |         CAST(CASE WHEN x.cut OR y.cut THEN 2 + x.gid % 3
+        |                   ELSE 3 + x.gid % 3 END AS BIGINT) AS lis,
+        |         'batch' AS side
+        |  FROM b x JOIN b y ON x.gid = y.gid AND x.id < y.id
+        |  UNION ALL
+        |  SELECT CAST(x.gid * 4 AS BIGINT), CAST(x.id AS BIGINT),
+        |         CAST(CASE WHEN x.cut THEN 2 + x.gid % 3
+        |                   ELSE 3 + x.gid % 3 END AS BIGINT),
+        |         CAST(CASE WHEN x.cut THEN 2 + x.gid % 3
+        |                   ELSE 3 + x.gid % 3 END AS BIGINT),
+        |         'corpus'
+        |  FROM b x)
         |ORDER BY id_a, id_b, side""".stripMargin,
 
     // Exact replay of the incremental mixed-modality split: within the

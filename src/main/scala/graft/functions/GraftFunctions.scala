@@ -96,6 +96,9 @@ object GraftFunctions {
   def ahash64(thumb: Column): Column =
     ColumnBridge.column(ImageHash64(ColumnBridge.expression(thumb), dhash = false))
 
+  def lisLen(pairs: Column): Column =
+    ColumnBridge.column(LisLen(ColumnBridge.expression(pairs)))
+
   def dotF64(a: Column, b: Column): Column =
     ColumnBridge.column(DotF64(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 

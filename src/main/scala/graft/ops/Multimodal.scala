@@ -1896,7 +1896,9 @@ object Multimodal {
   }
 
   /** Per-video DISTINCT frame dHashes as ONE stateless row per video:
-    * (media_id, frame_hashes sorted array). The streaming decode path —
+    * (media_id, frame_hashes sorted array, frame_pos aligned array of
+    * each hash's FIRST frame index — the temporal anchor the LIS
+    * consistency score chains over). The streaming decode path —
     * a stream cannot run the batch side's `.distinct()` without
     * unbounded state, but every frame of a video arrives inside its one
     * blob, so the distinct is computed IN-TASK during the decode. The
@@ -1911,31 +1913,70 @@ object Multimodal {
       it.flatMap { m =>
         try {
           val (w, h, _, frames) = Y4m.decode(m.bytes)
-          val set = scala.collection.mutable.SortedSet.empty[Long]
-          frames.foreach { f =>
-            set += graft.functions.ImageHash64.computeFloats(
+          val firstAt = scala.collection.mutable.TreeMap.empty[Long, Int]
+          frames.iterator.zipWithIndex.foreach { case (f, k) =>
+            val fh = graft.functions.ImageHash64.computeFloats(
               lumaThumb(f, w, h, thumbSide), dhash = true)
+            if (!firstAt.contains(fh)) firstAt(fh) = k
           }
-          Iterator.single((m.media_id, set.toArray))
+          Iterator.single(
+            (m.media_id, firstAt.keysIterator.toArray,
+              firstAt.valuesIterator.toArray))
         } catch {
           case e: Exception if skipMalformed => Iterator.empty
           case e: Exception => throw new RuntimeException(
             s"malformed video for media_id ${m.media_id}", e)
         }
       }
-    }.toDF("media_id", "frame_hashes")
+    }.toDF("media_id", "frame_hashes", "frame_pos")
   }
 
+  /** Column-metadata key recording the Hamming banding radius a
+    * [[videoFrameIndex]] froze with — the probe side derives its band
+    * layout from this, so index and probe band grids can never disagree
+    * (a radius mismatch would mean silently zero matches — the same bug
+    * class the [[ImageHashKindKey]] family contract closes). */
+  private[graft] final val VideoFrameHammingKey = "graft.frame_hamming"
+
+  /** The banding radius a frozen [[videoFrameIndex]] was built with,
+    * read from its `fh` column metadata; an index without it fails loud
+    * rather than silently returning zero matches. */
+  private[graft] def indexFrameHamming(index: DataFrame): Int = {
+    val md = index.schema("fh").metadata
+    if (!md.contains(VideoFrameHammingKey))
+      throw new IllegalArgumentException(
+        "video frame index records no banding radius in its fh column " +
+          "metadata — rebuild the index with videoFrameIndex")
+    md.getLong(VideoFrameHammingKey).toInt
+  }
+
+  /** One (id, fh, pos) row per distinct frame hash of each video in a
+    * [[videoFrameHashSets]] frame — the shared explode of every video
+    * matching path (pos = the hash's first frame index, the LIS
+    * temporal anchor). */
+  private def explodeFrameSets(sets: DataFrame, idCol: String = "id")
+      : DataFrame =
+    sets.select(col("media_id").cast("long").as(idCol),
+        explode(arrays_zip(col("frame_hashes"), col("frame_pos"))).as("z"))
+      .select(col(idCol), col("z.frame_hashes").as("fh"),
+        col("z.frame_pos").as("pos"))
+
   /** FROZEN per-frame inverted index for the streaming video twin —
-    * [[imageSignatureIndex]]'s video analog: (fh, id) with STOP FRAMES
-    * (frame hashes in more than `maxFrameDf` videos — black frames,
-    * test cards) removed at freeze time, exactly the
-    * [[videoNearDupPairs]] whale guard. */
+    * [[imageSignatureIndex]]'s video analog, BANDED like it (round 16 —
+    * before that the index matched on exact 64-bit frame-hash equality,
+    * the one hamming-tolerance asymmetry left across modalities): STOP
+    * FRAMES (frame hashes in more than `maxFrameDf` videos — black
+    * frames, test cards) removed at freeze time, exactly the
+    * [[videoNearDupPairs]] whale guard, then the survivors band-exploded
+    * at `maxFrameHamming` with degenerate (band, bits) buckets removed
+    * at `maxBucketDf` (the guard freezes WITH the index). One row per
+    * surviving (frame, band): (band, bits, fh, id, pos); the banding
+    * radius freezes into the `fh` column metadata and the probe side
+    * derives its band grid from it. */
   def videoFrameIndex(media: DataFrame, maxFrameDf: Int = 1000,
-      thumbSide: Int = 8): DataFrame = {
-    val frames = videoFrameHashSets(media, thumbSide)
-      .select(col("media_id").cast("long").as("id"),
-        explode(col("frame_hashes")).as("fh"))
+      thumbSide: Int = 8, maxFrameHamming: Int = 3,
+      maxBucketDf: Int = 1000): DataFrame = {
+    val frames = explodeFrameSets(videoFrameHashSets(media, thumbSide))
     // STOP frames (df > cap) are ≤ n_frames/maxFrameDf distinct keys by
     // construction — broadcast the tiny stop list and anti-join, never a
     // semi-join against the corpus-sized rare side (round 15; the
@@ -1944,22 +1985,40 @@ object Multimodal {
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxFrameDf)
       .select(col("fh"))
-    frames.join(broadcast(stop), Seq("fh"), "left_anti")
-      .select(col("fh"), col("id"))
+    val kept = frames.join(broadcast(stop), Seq("fh"), "left_anti")
+    val bands = hammingBands64(
+      kept.select(col("id"), col("fh").as("sig"), col("pos")),
+      maxFrameHamming)
+    val radiusMd = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(VideoFrameHammingKey, maxFrameHamming.toLong).build()
+    dropHeavyBuckets(bands, maxBucketDf, "videoFrameIndex")
+      .select(col("band"), col("bits"), col("sig").as("fh", radiusMd),
+        col("id"), col("pos"))
   }
 
   /** Perceptual near-duplicate video pairs: per-frame dHash over
-    * [[decodeVideoThumbs]], candidates from an INVERTED-INDEX equi-join
-    * on exact frame-hash matches (alignment-free — a re-encoded or
-    * trimmed copy shares most frame hashes even when frame INDICES
-    * shift), `n_matched` = distinct shared frame hashes, keep pairs with
-    * at least `minMatchedFrames`. STOP-FRAME removal is the whale guard:
-    * a frame hash present in more than `maxFrameDf` videos (black
-    * frames, test cards) is dropped from the index before the self-join
-    * — the same stop-token discipline as text inverted indexes, without
-    * which one common frame makes the join quadratic in the corpus. */
+    * [[decodeVideoThumbs]], candidates from the BANDED Hamming block
+    * over the exploded frame hashes (round 16 — frames tolerate up to
+    * `maxFrameHamming` drifted bits exactly as image/audio signatures
+    * do through [[hammingPairs64]]; before that a re-encoded clip whose
+    * per-frame dHashes drifted 1-3 bits never paired), exact bit_count
+    * verify, then the per-video rollup: `n_matched` = matched distinct
+    * frame hashes (the smaller side when one frame matches several),
+    * `lis` = the longest temporally CONSISTENT matched chain
+    * ([[graft.functions.LisLen]] over matched first-occurrence frame
+    * positions — a true near-dup clip scores ≈ n_matched, a
+    * shuffled-frame collage of the same frames scores ≈ 1). Keeps pairs
+    * with at least `minMatchedFrames`. Alignment-free: a trimmed copy
+    * shares frame hashes even when frame indices shift. STOP-FRAME
+    * removal is the whale guard: a frame hash present in more than
+    * `maxFrameDf` videos (black frames, test cards) is dropped before
+    * banding — the same stop-token discipline as text inverted indexes,
+    * without which one common frame makes the join quadratic in the
+    * corpus; the (band, bits) bucket guard at `maxBucketDf` bounds the
+    * residual fan-out and drops loudly ([[degenerateHammingBuckets]]). */
   def videoNearDupPairs(media: DataFrame, minMatchedFrames: Int = 2,
-      maxFrameDf: Int = 1000, thumbSide: Int = 8): DataFrame =
+      maxFrameDf: Int = 1000, thumbSide: Int = 8,
+      maxFrameHamming: Int = 3, maxBucketDf: Int = 1000): DataFrame =
     // localCheckpoint the in-task-distinct frame-hash SETS, not the
     // thumbs: three consumers (frame-df count + the self-join's two
     // sides) decode the frames ONCE and the checkpoint holds 8 bytes per
@@ -1968,7 +2027,7 @@ object Multimodal {
     // in OpsSpec)
     videoNearDupPairsFromSets(
       videoFrameHashSets(media, thumbSide).localCheckpoint(),
-      minMatchedFrames, maxFrameDf)
+      minMatchedFrames, maxFrameDf, maxFrameHamming, maxBucketDf)
 
   /** [[videoNearDupPairs]] from an ALREADY-COMPUTED
     * [[videoFrameHashSets]] frame (checkpointed by the caller): the
@@ -1976,9 +2035,9 @@ object Multimodal {
     * within-batch pairing and the against-index probe from the same
     * frame. */
   private[graft] def videoNearDupPairsFromSets(sets: DataFrame,
-      minMatchedFrames: Int, maxFrameDf: Int): DataFrame = {
-    val frames = sets.select(col("media_id").cast("long").as("id"),
-      explode(col("frame_hashes")).as("fh"))
+      minMatchedFrames: Int, maxFrameDf: Int, maxFrameHamming: Int = 3,
+      maxBucketDf: Int = 1000): DataFrame = {
+    val frames = explodeFrameSets(sets)
     // broadcast the tiny stop list (≤ n_frames/maxFrameDf keys), anti-join
     // — the semi-join against the corpus-sized rare side shuffled the
     // whole frame table a second time (round 15)
@@ -1987,10 +2046,37 @@ object Multimodal {
       .filter(col("_df") > maxFrameDf)
       .select(col("fh"))
     val indexed = frames.join(broadcast(stop), Seq("fh"), "left_anti")
-    indexed.as("a").join(indexed.as("b"),
-        col("a.fh") === col("b.fh") && col("a.id") < col("b.id"))
+    bandedFramePairs(indexed, minMatchedFrames, maxFrameHamming,
+      maxBucketDf)
+  }
+
+  /** The shared banded frame matcher: stop-filtered (id, fh, pos) frame
+    * rows in, (id_a, id_b, n_matched, lis) video pairs out. Band explode
+    * at `maxFrameHamming` (heavy buckets dropped loudly at
+    * `maxBucketDf`), equi-join candidates, exact bit_count verify, then
+    * ONE aggregation per video pair: collect_set dedups the band
+    * multiplicity, n_matched counts the smaller side's matched distinct
+    * frames (equals the shared-hash count when matching is 1-1, which
+    * radius 0 guarantees), and [[graft.functions.LisLen]] chains the
+    * matched first-occurrence positions into the temporal-consistency
+    * score. */
+  private def bandedFramePairs(indexed: DataFrame, minMatchedFrames: Int,
+      maxFrameHamming: Int, maxBucketDf: Int): DataFrame = {
+    val bands = hammingBands64(
+      indexed.select(col("id"), col("fh").as("sig"), col("pos")),
+      maxFrameHamming)
+    val ok = dropHeavyBuckets(bands, maxBucketDf, "videoNearDupPairs")
+    ok.as("a").join(ok.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.id") < col("b.id"))
+      .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
+        <= maxFrameHamming)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_matched"))
+      .agg(
+        least(size(collect_set(col("a.sig"))), size(collect_set(col("b.sig"))))
+          .cast("long").as("n_matched"),
+        graft.functions.GraftFunctions.lisLen(collect_set(
+          struct(col("a.pos").as("pa"), col("b.pos").as("pb")))).as("lis"))
       .filter(col("n_matched") >= minMatchedFrames)
   }
 
@@ -2011,12 +2097,13 @@ object Multimodal {
     * frame table. Returns (id_a, id_b, kind ∈ {'exact_blob',
     * 'perceptual'}), id_a < id_b, drop-in for the clustering stack. */
   def routedVideoDedup(media: DataFrame, minMatchedFrames: Int = 2,
-      maxFrameDf: Int = 1000, thumbSide: Int = 8): DataFrame =
+      maxFrameDf: Int = 1000, thumbSide: Int = 8,
+      maxFrameHamming: Int = 3, maxBucketDf: Int = 1000): DataFrame =
     // the frame-hash sets feed the stop-frame census, the survivor test,
     // AND the perceptual self-join — decode every video ONCE
     routedVideoDedupFromSets(media,
       videoFrameHashSets(media, thumbSide).localCheckpoint(),
-      minMatchedFrames, maxFrameDf)
+      minMatchedFrames, maxFrameDf, maxFrameHamming, maxBucketDf)
 
   /** [[routedVideoDedup]] from an ALREADY-COMPUTED
     * [[videoFrameHashSets]] frame (checkpointed by the caller): the
@@ -2024,11 +2111,11 @@ object Multimodal {
     * both this within-batch routing and the against-index probe from the
     * same frame. */
   private def routedVideoDedupFromSets(media: DataFrame, sets0: DataFrame,
-      minMatchedFrames: Int, maxFrameDf: Int): DataFrame = {
+      minMatchedFrames: Int, maxFrameDf: Int, maxFrameHamming: Int = 3,
+      maxBucketDf: Int = 1000): DataFrame = {
     val sets = sets0
       .select(col("media_id").cast("long").as("id"), col("frame_hashes"))
-    val frames = sets.select(col("id"),
-      explode(col("frame_hashes")).as("fh"))
+    val frames = explodeFrameSets(sets0)
     val stop = frames.groupBy(col("fh"))
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxFrameDf)
@@ -2050,11 +2137,8 @@ object Multimodal {
       .localCheckpoint()
     val blobPairs = blobStarPairs(degBlobs)
       .withColumn("kind", lit("exact_blob"))
-    val perceptual = indexed.as("a").join(indexed.as("b"),
-        col("a.fh") === col("b.fh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_matched"))
-      .filter(col("n_matched") >= minMatchedFrames)
+    val perceptual = bandedFramePairs(indexed, minMatchedFrames,
+        maxFrameHamming, maxBucketDf)
       .select(col("id_a"), col("id_b"), lit("perceptual").as("kind"))
     blobPairs.unionByName(perceptual)
   }
@@ -2062,12 +2146,18 @@ object Multimodal {
   /** Match videos against a FROZEN [[videoFrameIndex]] — the shared core
     * of the streaming video twin and the batch incremental path (one
     * body, so stream and batch matching can never drift): in-task
-    * distinct frame hashes ([[videoFrameHashSets]]), stateless explode,
-    * equi-join on the frame hash, shared-frame count ≥
-    * `minMatchedFrames`. On a stream the count is an aggregation whose
-    * state is one counter per candidate pair (run the sink in UPDATE
+    * distinct frame hashes ([[videoFrameHashSets]]), stateless band
+    * explode at the radius the INDEX froze with (read from its `fh`
+    * metadata — band grids can never disagree), equi-join on
+    * (band, bits), exact bit_count verify, then ONE aggregation per
+    * candidate pair: n_matched = matched distinct frames (smaller side)
+    * ≥ `minMatchedFrames`, lis = the [[graft.functions.LisLen]]
+    * temporal-consistency score over matched frame positions. On a
+    * stream the aggregation's state is the matched frame set per
+    * candidate pair — bounded by frames-per-video times the candidate
+    * volume the stop-frame removal already caps (run the sink in UPDATE
     * mode); on a batch frame it is an ordinary shuffle aggregate.
-    * Returns (media_id, match_id, n_matched). */
+    * Returns (media_id, match_id, n_matched, lis). */
   def videoAgainstIndex(media: DataFrame, index: DataFrame,
       minMatchedFrames: Int = 2, thumbSide: Int = 8): DataFrame =
     videoAgainstIndexFromSets(videoFrameHashSets(media, thumbSide), index,
@@ -2077,21 +2167,32 @@ object Multimodal {
     * [[videoFrameHashSets]] frame — the incremental paths'
     * shared-frame-hash entry point. */
   private[graft] def videoAgainstIndexFromSets(sets: DataFrame,
-      index: DataFrame, minMatchedFrames: Int): DataFrame =
-    sets
-      .select(col("media_id").cast("long").as("sid"),
-        explode(col("frame_hashes")).as("fh"))
-      .join(index.select(col("fh"), col("id").as("_iid")), Seq("fh"))
+      index: DataFrame, minMatchedFrames: Int): DataFrame = {
+    val radius = indexFrameHamming(index)
+    val probe = hammingBands64(
+      explodeFrameSets(sets, "sid")
+        .select(col("sid"), col("fh").as("sig"), col("pos").as("s_pos")),
+      radius)
+    probe
+      .join(index.select(col("band"), col("bits"), col("fh").as("i_fh"),
+        col("id").as("_iid"), col("pos").as("i_pos")), Seq("band", "bits"))
+      .filter(bit_count(col("sig").bitwiseXOR(col("i_fh"))) <= radius)
       .groupBy(col("sid").as("media_id"), col("_iid").as("match_id"))
-      .agg(count(lit(1)).as("n_matched"))
+      .agg(
+        least(size(collect_set(col("sig"))), size(collect_set(col("i_fh"))))
+          .cast("long").as("n_matched"),
+        graft.functions.GraftFunctions.lisLen(collect_set(
+          struct(col("s_pos").as("pa"), col("i_pos").as("pb")))).as("lis"))
       .filter(col("n_matched") >= minMatchedFrames)
+  }
 
   /** Incremental perceptual VIDEO dedup — [[incrementalImageNearDup]]'s
     * video sibling (batch-vs-frozen-corpus, ingest pipelines batch more
     * often than they stream): pairs WITHIN the new batch plus new-batch
     * videos matched against the FROZEN [[videoFrameIndex]], never a
-    * corpus self-join. Returns (id_a, id_b, n_matched, side ∈ {'batch',
-    * 'corpus'}) — for 'corpus' rows id_a is the index member. */
+    * corpus self-join. Returns (id_a, id_b, n_matched, lis, side ∈
+    * {'batch', 'corpus'}) — for 'corpus' rows id_a is the index
+    * member. */
   def incrementalVideoNearDup(newMedia: DataFrame, index: DataFrame,
       minMatchedFrames: Int = 2, maxFrameDf: Int = 1000,
       thumbSide: Int = 8): DataFrame = {
@@ -2101,11 +2202,11 @@ object Multimodal {
     val sets = videoFrameHashSets(newMedia, thumbSide).localCheckpoint()
     val within = videoNearDupPairsFromSets(sets, minMatchedFrames,
         maxFrameDf)
-      .select(col("id_a"), col("id_b"), col("n_matched"),
+      .select(col("id_a"), col("id_b"), col("n_matched"), col("lis"),
         lit("batch").as("side"))
     val vsCorpus = videoAgainstIndexFromSets(sets, index, minMatchedFrames)
       .select(col("match_id").as("id_a"), col("media_id").as("id_b"),
-        col("n_matched"), lit("corpus").as("side"))
+        col("n_matched"), col("lis"), lit("corpus").as("side"))
     within.unionByName(vsCorpus)
   }
 
@@ -2122,30 +2223,114 @@ object Multimodal {
     docs.select(col("doc_id")).as[Long].map { id =>
       val gid = id / 4
       val m = (id % 4).toInt
-      def mix(v: Long): Long = {
-        var z = v + 0x9e3779b97f4a7c15L
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        z ^ (z >>> 31)
-      }
-      val seed = if (m == 3) gid * 7919L + 104729L else gid
-      val w = 8; val h = 8
-      val nf = 3 + (gid % 3).toInt
-      val frames = (0 until nf).map { k =>
-        // m=2's last frame draws from a different seed — a replaced frame
-        val s = if (m == 2 && k == nf - 1) seed * 31L + 7L else seed
-        val f = new Array[Byte]((w * h * 3) / 2)
-        var p = 0
-        while (p < w * h) {
-          f(p) = (if (((mix(s * 524287L + k * 131L + p) >>> 13) & 1L) == 1L)
-            200 else 30).toByte
-          p += 1
-        }
-        java.util.Arrays.fill(f, w * h, f.length, 128.toByte)
-        f
-      }
-      (id, Y4m.encode(w, h, 25, frames))
+      (id, Y4m.encode(8, 8, 25, videoFixtureFrames(gid, m)))
     }.toDF("media_id", "bytes")
+  }
+
+  /** The planted video fixture's frame material, shared by
+    * [[dedupVideoMediaFromDocuments]] and the perturbation cohorts so
+    * the two can never drift: 8×8 binary-luma (30/200) pseudo-random
+    * frames, nf = 3 + gid%3, member semantics per
+    * [[dedupVideoMediaFromDocuments]]. */
+  private def videoFixtureFrames(gid: Long, m: Int): Seq[Array[Byte]] = {
+    def mix(v: Long): Long = {
+      var z = v + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val seed = if (m == 3) gid * 7919L + 104729L else gid
+    val w = 8; val h = 8
+    val nf = 3 + (gid % 3).toInt
+    (0 until nf).map { k =>
+      // m=2's last frame draws from a different seed — a replaced frame
+      val s = if (m == 2 && k == nf - 1) seed * 31L + 7L else seed
+      val f = new Array[Byte]((w * h * 3) / 2)
+      var p = 0
+      while (p < w * h) {
+        f(p) = (if (((mix(s * 524287L + k * 131L + p) >>> 13) & 1L) == 1L)
+          200 else 30).toByte
+        p += 1
+      }
+      java.util.Arrays.fill(f, w * h, f.length, 128.toByte)
+      f
+    }
+  }
+
+  /** Flip ONE pixel of the given row of a binary-luma (30/200) 8×8
+    * fixture frame, at a position chosen so the frame's dHash moves by
+    * AT LEAST one and at most two bits: flipping pixel x changes dHash
+    * bit x−1 iff its left neighbor is low and bit x iff its right
+    * neighbor is high (row-wrapped gradient bits —
+    * [[graft.functions.ImageHash64]]), and a binary row always has such
+    * a position (an all-high row moves any pixel's own bit, an all-low
+    * row any pixel's left bit). Deterministic: first qualifying x. */
+  private def flipOneFixturePixel(f: Array[Byte], row: Int): Unit = {
+    val w = 8
+    val base = row * w
+    val lo = 30.toByte
+    val hi = 200.toByte
+    var x = 0
+    while (x < w) {
+      if (f(base + (x + w - 1) % w) == lo || f(base + (x + 1) % w) == hi) {
+        f(base + x) = if (f(base + x) == lo) hi else lo
+        return
+      }
+      x += 1
+    }
+    throw new IllegalStateException(
+      "binary fixture row admits no dHash-moving flip — unreachable")
+  }
+
+  /** Perturbation cohorts for the banded video gate, derived from each
+    * planted group's base (m=0) video of [[dedupVideoMediaFromDocuments]]
+    * — one video per group and cohort:
+    *
+    *  - `within` (media_id 3000000+gid): every frame's dHash moved by a
+    *    guaranteed 1-2 bits (one [[flipOneFixturePixel]] in row 0) — the
+    *    re-encode/rescale drift regime. Pairs with its group's base
+    *    members UNDER BANDING ONLY: every frame hash differs from the
+    *    base's, so exact frame-hash equality never matches it (the
+    *    round-15 recall hole this cohort gates).
+    *  - `beyond` (media_id 4000000+gid): five rows flipped per frame —
+    *    a guaranteed 5-10 dHash bits from the base AND ≥4 bits from the
+    *    `within` member (the shared row-0 flip cancels), so it pairs
+    *    with NOTHING at radius 3; its absence from the pair list is the
+    *    oracle's no-false-positive leg.
+    *  - `reversed` (media_id 5000000+gid): the base's frames in reverse
+    *    ORDER — identical frame-hash set (n_matched ties the exact
+    *    copy's) but LIS 1: the shuffled-frame collage the
+    *    temporal-consistency score exists to expose.
+    */
+  def perturbedVideoCohortsFromDocuments(docs: DataFrame,
+      cohorts: Seq[String] = Seq("within", "beyond", "reversed"))
+      : DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val which = cohorts.toArray
+    require(which.forall(Set("within", "beyond", "reversed")),
+      s"unknown perturbation cohort in ${which.mkString(",")}")
+    docs.select(col("doc_id")).as[Long].filter((id: Long) => id % 4 == 0L)
+      .flatMap { id =>
+        val gid = id / 4
+        val base = videoFixtureFrames(gid, 0)
+        which.iterator.map {
+          case "within" =>
+            val frames = base.map { f =>
+              val c = f.clone(); flipOneFixturePixel(c, 0); c
+            }
+            (3000000L + gid, Y4m.encode(8, 8, 25, frames))
+          case "beyond" =>
+            val frames = base.map { f =>
+              val c = f.clone()
+              (0 until 5).foreach(r => flipOneFixturePixel(c, r))
+              c
+            }
+            (4000000L + gid, Y4m.encode(8, 8, 25, frames))
+          case "reversed" =>
+            (5000000L + gid, Y4m.encode(8, 8, 25, base.reverse))
+        }
+      }.toDF("media_id", "bytes")
   }
 
   /** Planted-duplicate image fixture for the perceptual-dedup gate row:

@@ -866,18 +866,21 @@ object StreamSessions {
     * image/audio/video streaming modality set. The per-video distinct
     * frame hashes are computed IN-TASK by the decode
     * ([[graft.ops.Multimodal.videoFrameHashSets]] — a stream cannot run
-    * the batch `.distinct()`), the explode and the frame-hash match are
-    * stateless stream-static operations, and the shared-frame count is
-    * a streaming aggregation whose state is one counter per (stream
-    * video, index video) pair sharing ≥1 frame — bounded by the
-    * candidate-pair volume the stop-frame removal already caps, not by
-    * the corpus. Aggregation ⇒ run the sink in UPDATE mode (the
+    * the batch `.distinct()`), the band explode (at the radius the
+    * INDEX froze with — frames tolerate 1-3 drifted dHash bits, round
+    * 16) and the exact bit_count verify are stateless stream-static
+    * operations, and the matched-frame rollup is a streaming
+    * aggregation whose state is the matched frame set per (stream
+    * video, index video) candidate pair — bounded by frames-per-video
+    * times the candidate volume the stop-frame removal already caps,
+    * not by the corpus. Aggregation ⇒ run the sink in UPDATE mode (the
     * [[graft.ops.Similarity.streamingIndexSearch]] convention); a
-    * video's frames all arrive in its one blob, so each pair's count is
-    * complete in the micro-batch that carries the video and the final
-    * sink state equals the batch pair set (spec-proven).
+    * video's frames all arrive in its one blob, so each pair's rollup
+    * is complete in the micro-batch that carries the video and the
+    * final sink state equals the batch pair set (spec-proven).
     *
-    * Returns (media_id, match_id, n_matched ≥ `minMatchedFrames`).
+    * Returns (media_id, match_id, n_matched ≥ `minMatchedFrames`, lis —
+    * the [[graft.functions.LisLen]] temporal-consistency score).
     * One body, two execution modes: the plan is
     * [[graft.ops.Multimodal.videoAgainstIndex]], which also serves the
     * batch incremental path

@@ -2158,15 +2158,18 @@ class AvDedupSpec extends SparkSpec {
       col("media_id") % 4 === 2)
     val incr = Multimodal.incrementalVideoNearDup(batch, index)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getString(3))).toSet
+        r.getLong(3), r.getString(4))).toSet
+    // the LIS chain is symmetric under (a, b) swap, so the corpus-side
+    // reorientation preserves it
     val full = Multimodal.videoNearDupPairs(media)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val expected = full.flatMap { case (a, b, n) =>
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val expected = full.flatMap { case (a, b, n, l) =>
       (isCorpus(a), isCorpus(b)) match {
         case (true, true) => None
-        case (false, false) => Some((a, b, n, "batch"))
-        case (true, false) => Some((a, b, n, "corpus"))
-        case (false, true) => Some((b, a, n, "corpus"))
+        case (false, false) => Some((a, b, n, l, "batch"))
+        case (true, false) => Some((a, b, n, l, "corpus"))
+        case (false, true) => Some((b, a, n, l, "corpus"))
       }
     }.toSet
     assert(incr === expected && incr.nonEmpty)
