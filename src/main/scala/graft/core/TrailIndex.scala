@@ -304,17 +304,20 @@ object TrailIndex {
       case Some(ps) =>
         // balanced: the page set can reach the full page count (65k in
         // the reference's layout) — log-depth, not a 65k-deep chain
-        // the "" page holds NULL-uuid events (entries() coalesces) —
-        // startsWith on a NULL uuid is NULL, so that page must admit
-        // null-uuid rows explicitly or the pruned scan silently drops
-        // rows the unindexed scan returns (a forbidden false negative)
+        // the "" page holds NULL-uuid events (entries() coalesces, and
+        // substring(coalesce(uuid,''),1,n) maps ONLY null/empty uuids
+        // there) — its exact predicate is isNull || === "". Emitting
+        // startsWith("") instead would be true for EVERY non-null uuid,
+        // silently degrading the pruned scan to a full scan whenever a
+        // matched value occurs in any NULL-uuid event (correct, but the
+        // index stops pruning — r15 ADVICE)
         val pagePred =
           if (ps.isEmpty) lit(false)
           else graft.filter.EventFilter.balancedReduce(
             ps.toSeq.sorted.map(p =>
               if (p.isEmpty)
                 col(TrailSchema.UuidCol).isNull ||
-                  col(TrailSchema.UuidCol).startsWith(p)
+                  col(TrailSchema.UuidCol) === ""
               else col(TrailSchema.UuidCol).startsWith(p)))(_ || _)
         db.restrict(pagePred)
     }

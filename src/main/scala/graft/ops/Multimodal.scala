@@ -924,14 +924,14 @@ object Multimodal {
     * all-pairs would — at linear, not quadratic, output cost. */
   def routedImageDedup(media: DataFrame, maxHamming: Int = 3,
       maxBucketDf: Int = 1000, thumbSide: Int = 8,
-      flatEps: Double = 1e-9): DataFrame = {
+      flatEps: Double = 1e-9, ahash: Boolean = false): DataFrame = {
     // decoded thumbs feed the flat split AND the perceptual branch —
     // decode once (the imageNearDupPairs checkpoint discipline)
     val dec = withImageQualitySignals(
       decodeAnyImages(media, thumbSide), flatEps = flatEps)
       .select(col("media_id"), col("thumb"), col("is_flat"))
       .localCheckpoint()
-    routedImageDedupDecoded(media, dec, maxHamming, maxBucketDf)
+    routedImageDedupDecoded(media, dec, maxHamming, maxBucketDf, ahash)
   }
 
   /** [[routedImageDedup]] from an ALREADY-DECODED quality-signal frame
@@ -1112,12 +1112,19 @@ object Multimodal {
   def routedMediaDedup(media: DataFrame, maxHamming: Int = 3,
       maxBucketDf: Int = 1000, minMatchedFrames: Int = 2,
       maxFrameDf: Int = 1000, thumbSide: Int = 8,
-      flatEps: Double = 1e-9, silenceFloor: Int = 0): DataFrame =
+      flatEps: Double = 1e-9, silenceFloor: Int = 0,
+      imageAhash: Boolean = false): DataFrame =
     // classify ONCE and checkpoint: four cohort filters read the tagged
-    // frame, so the upstream media subtree (generation/read) runs once
+    // frame, so the upstream media subtree (generation/read) runs once.
+    // `imageAhash` selects the image cohort's hash family — a caller
+    // composing this with [[mediaAgainstIndexes]] against an
+    // ahash-family [[imageSignatureIndex]] passes
+    // indexHashIsAhash(index) so the within-batch pairs use the SAME
+    // similarity definition as the corpus-side matches (exactly what
+    // [[incrementalMediaDedup]] does internally).
     routedMediaDedupTagged(classifyMedia(media).localCheckpoint(),
       maxHamming, maxBucketDf, minMatchedFrames, maxFrameDf, thumbSide,
-      flatEps, silenceFloor)
+      flatEps, silenceFloor, imageAhash)
 
   /** Magic-byte modality classification of a mixed media column — the
     * [[decodeAnyImages]] dispatch extended across containers (`P6`/`qoif`
@@ -1140,11 +1147,12 @@ object Multimodal {
     * against-index probe reads the same decode — see there.) */
   private def routedMediaDedupTagged(tagged: DataFrame, maxHamming: Int,
       maxBucketDf: Int, minMatchedFrames: Int, maxFrameDf: Int,
-      thumbSide: Int, flatEps: Double, silenceFloor: Int): DataFrame = {
+      thumbSide: Int, flatEps: Double, silenceFloor: Int,
+      imageAhash: Boolean = false): DataFrame = {
     def cohort(m: String) = tagged.filter(col("modality") === m)
       .select(col("media_id"), col("bytes"))
     val img = routedImageDedup(cohort("image"), maxHamming, maxBucketDf,
-        thumbSide, flatEps)
+        thumbSide, flatEps, imageAhash)
       .withColumn("modality", lit("image"))
     val aud = routedAudioDedup(cohort("audio"), maxHamming, maxBucketDf,
         silenceFloor)

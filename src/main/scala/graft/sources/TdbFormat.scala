@@ -150,10 +150,19 @@ object TdbFormat {
     private def openTar(fs: FileSystem, file: HPath): TdbArchive = {
       val st = fs.getFileStatus(file)
       val fileLen = st.getLen
-      val fp = fileLen * 31 + st.getModificationTime
+      // The per-JVM archive cache keys on this fingerprint. (length,
+      // mtime) alone is too weak: mtime has one-second granularity, so
+      // an overwrite within the same second that happens to keep the
+      // file length would serve the predecessor's lexicon/codebook.
+      // The walk below visits every member header anyway, so fold in
+      // each member's full 512-byte header (name, size, per-member
+      // mtime, checksum) AND a 64-byte sample of its data — content-
+      // sensitive at one extra small read per member.
+      var fp = fileLen * 31 + st.getModificationTime
       val in = fs.open(file)
       try {
         val hdr = new Array[Byte](512)
+        val sample = new Array[Byte](64)
         var off = 0L
         val members = Map.newBuilder[String, (String, Member)]
         var done = false
@@ -172,8 +181,16 @@ object TdbFormat {
             val size = java.lang.Long.parseLong(
               cstr(hdr, 124, 12).trim match { case "" => "0"; case s => s }, 8)
             val typeflag = hdr(156)
-            if (typeflag == '0'.toByte || typeflag == 0.toByte)
+            if (typeflag == '0'.toByte || typeflag == 0.toByte) {
               members += name -> (file.toString, Member(off + 512, size))
+              fp = fp * 31 + java.util.Arrays.hashCode(hdr)
+              val n = math.min(size, 64L).toInt
+              if (n > 0 && off + 512 + n <= fileLen) {
+                in.readFully(sample, 0, n)
+                var i = 0
+                while (i < n) { fp = fp * 31 + sample(i); i += 1 }
+              }
+            }
             off += 512 + ((size + 511) / 512) * 512
           }
         }

@@ -963,7 +963,12 @@ object Scale4x {
         }
         var naive = 0L
         val t2 = time {
-          naive = Multimodal.routedMediaDedup(batch).count() +
+          // pass the frozen index's hash family so the naive composition
+          // pairs under the SAME similarity definition the incremental
+          // op adopts internally — without it the equality below holds
+          // only while the corpus index happens to be dhash (r15 ADVICE)
+          naive = Multimodal.routedMediaDedup(batch,
+              imageAhash = Multimodal.indexHashIsAhash(imgIdx)).count() +
             Multimodal.mediaAgainstIndexes(batch, imgIdx, audIdx, vidIdx,
               blobIdx).count()
           0L

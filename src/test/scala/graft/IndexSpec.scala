@@ -111,6 +111,27 @@ class IndexSpec extends SparkSpec {
     assert(db.events(f).count() === 0)
   }
 
+  test("the '' page admits only NULL/empty uuids — pruning survives a NULL-uuid hit (r15 ADVICE)") {
+    // Before round 16 the '' page emitted startsWith(''), true for EVERY
+    // non-null uuid: one NULL-uuid event carrying a matched value silently
+    // degraded the pruned scan to a full scan. The page column is
+    // substring(coalesce(uuid,''),1,n), so only NULL/empty uuids ever map
+    // to '' — its exact predicate is isNull || === ''.
+    val edb = TrailDB.fromTrailFrame(Seq(
+      (null.asInstanceOf[String], 1L, "e0", 0L),
+      ("", 2L, "e1", 1L),
+      ("aa" + "0" * 30, 3L, "e2", 2L),
+      ("ff" + "0" * 30, 4L, "e3", 3L)
+    ).toDF("uuid", "time", "etype", "seq"))
+    def uuids(pages: Set[String]): Set[Option[String]] =
+      TrailIndex.prunedDb(edb, Some(pages)).df
+        .select("uuid").collect().map(r => Option(r.getString(0))).toSet
+    assert(uuids(Set("")) === Set(None, Some("")))
+    // '' plus a real page: the unrelated ff-prefix trail stays pruned out
+    assert(uuids(Set("", "aa")) ===
+      Set(None, Some(""), Some("aa" + "0" * 30)))
+  }
+
   test("1M-trail stress: point lookups prune to one page, wide items stay exact (test_tdbcli.py:161-184)") {
     // The reference stresses its index at 100k trails (multiple trails
     // per page, num_trails > 2^16) and 1M trails (>4 pages per item,

@@ -626,10 +626,13 @@ class TdbSourceSpec extends SparkSpec {
     val out = s"$dir/db.tdb"
     def write(v: String): Unit = TdbWriter.writePackage(
       Seq(("ab" * 16, 1L, v)).toDF("uuid", "time", "f1"), Seq("f1"), out)
+    // "old-value" and "new-value" are the SAME length, and the rewrite
+    // lands within the same mtime second — the adversarial case for a
+    // (length, mtime) fingerprint. The member-data sample folded into
+    // the tar fingerprint is what distinguishes the two packages.
     write("old-value")
     assert(spark.read.format("tdb").load(out)
       .select("f1").head().getString(0) === "old-value")
-    Thread.sleep(1100) // distinct mtime second for the fingerprint
     write("new-value")
     // the per-JVM lexicon/codebook caches key on (path, fingerprint) —
     // before that, this read served the OLD lexicon array
