@@ -2138,6 +2138,39 @@ object SparkEntry {
         .orderBy("shard")
     }),
 
+    // Multimodal: the hamming bucket guard's LOUD side, driver-gated —
+    // a synthetic signature frame plants one degenerate cluster (every
+    // fifth doc signs 0, the flat-raster/silence degenerate value) big
+    // enough to trip the cap in ALL four bands, while the light docs
+    // sign v·(1+2^16+2^32+2^48) for v = doc_id%961+1, putting the SAME
+    // nonzero 16-bit value in every band (identical within a residue
+    // class, never colliding with the planted cluster or each other).
+    // The result unions (a) degenerateHammingBuckets — one row per
+    // dropped (band, bits) bucket with its exact item count, and (b)
+    // the hammingPairs64 surviving-pair count at the same cap — proving
+    // the guard excluded exactly the planted cluster and nothing else.
+    // Every number is arithmetic over doc_id, so DuckDB replays the
+    // band explode, the >cap filter, and the per-residue pair counts
+    // bit-for-bit ("no silent caps", made driver-gated).
+    "m_bucket_audit" -> ((s, dir) => {
+      def sigs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long").as("id"),
+          when(col("doc_id") % 5 === 0, lit(0L))
+            .otherwise((col("doc_id") % 961 + 1).cast("long") *
+              lit(281479271743489L)) // 1 + 2^16 + 2^32 + 2^48
+            .as("sig"))
+      val audit = Multimodal.degenerateHammingBuckets(sigs,
+          maxHamming = 3, maxBucketDf = 50)
+        .select(lit("dropped_bucket").as("kind"), col("band"),
+          col("bits"), col("bucket_df").as("n"))
+      val pairs = Multimodal.hammingPairs64(sigs,
+          maxHamming = 3, maxBucketDf = 50)
+        .agg(count(lit(1)).as("n"))
+        .select(lit("surviving_pairs").as("kind"), lit(-1).as("band"),
+          lit(-1L).as("bits"), col("n"))
+      audit.unionByName(pairs).orderBy("kind", "band", "bits")
+    }),
+
     // Multimodal: REAL image decode — synthesize binary PPM (P6) per doc,
     // parse header+raster in mapPartitions, per-channel means. The r/g
     // channels are deterministic gradients, so DuckDB can recompute them
@@ -5111,6 +5144,35 @@ object SparkEntry {
         |       CAST(1 AS BIGINT) AS hits_ok,
         |       CAST(1 AS BIGINT) AS ranked_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    // Full structural replay of the bucket guard's loud side: rebuild the
+    // synthetic signature (0 for every fifth doc, v·(1+2^16+2^32+2^48)
+    // otherwise), explode the four 16-bit bands, count every bucket, keep
+    // the >cap ones as dropped_bucket rows, and count surviving pairs as
+    // C(k,2) per identical-signature light residue class at or under the
+    // cap (identical sigs verify at hamming 0; distinct residues never
+    // share a bucket; the planted cluster is dropped in all four bands so
+    // it contributes zero pairs).
+    "m_bucket_audit" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 0
+        |         ELSE ((doc_id % 961) + 1) * 281479271743489 END AS sig
+        |  FROM documents),
+        |bands AS (SELECT doc_id, band, (sig >> (band * 16)) & 65535 AS bits
+        |  FROM d CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)),
+        |df AS (SELECT band, bits, count(*) AS bucket_df
+        |  FROM bands GROUP BY 1, 2),
+        |dropped AS (SELECT 'dropped_bucket' AS kind, CAST(band AS INT) AS band,
+        |    CAST(bits AS BIGINT) AS bits, bucket_df AS n
+        |  FROM df WHERE bucket_df > 50),
+        |surv AS (SELECT 'surviving_pairs' AS kind, CAST(-1 AS INT) AS band,
+        |    CAST(-1 AS BIGINT) AS bits,
+        |    CAST(COALESCE(SUM((k * (k - 1)) // 2), 0) AS BIGINT) AS n
+        |  FROM (SELECT count(*) AS k FROM d
+        |        WHERE doc_id % 5 <> 0 GROUP BY sig)
+        |  WHERE k <= 50)
+        |SELECT * FROM dropped UNION ALL SELECT * FROM surv
+        |ORDER BY kind, band, bits""".stripMargin,
 
     "m_decode" ->
       """SELECT doc_id AS media_id,
