@@ -2171,6 +2171,25 @@ object SparkEntry {
       audit.unionByName(pairs).orderBy("kind", "band", "bits")
     }),
 
+    // Multimodal: REAL baseline-JPEG decode (round 16, from the public
+    // ITU-T T.81 spec) — synthesize a true DCT-coded Huffman-entropy
+    // JPEG per doc (grayscale / 4:2:0 / 4:4:4 by doc_id%3, restart
+    // markers on doc_id%4=1, TRUNCATED streams on doc_id%17=0 for the
+    // DROPMALFORMED cohort), decode through the full marker parse +
+    // Huffman + dequant + IDCT + fixed-point color-convert path, output
+    // per-channel means. Every planted 8x8 block is constant and the
+    // quant tables are all 8s, so the decode is EXACT and DuckDB
+    // replays the means — including the libjpeg fixed-point YCbCr→RGB
+    // integer arithmetic — analytically from doc_id.
+    "m_jpeg" -> ((s, dir) => {
+      val imgs = Multimodal.jpegMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet"))
+      Multimodal.decodeJpegImages(imgs, thumbSide = 2)
+        .select(col("media_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy("media_id")
+    }),
+
     // Multimodal: REAL image decode — synthesize binary PPM (P6) per doc,
     // parse header+raster in mapPartitions, per-channel means. The r/g
     // channels are deterministic gradients, so DuckDB can recompute them
@@ -5173,6 +5192,49 @@ object SparkEntry {
         |  WHERE k <= 50)
         |SELECT * FROM dropped UNION ALL SELECT * FROM surv
         |ORDER BY kind, band, bits""".stripMargin,
+
+    // Analytic replay of the JPEG decode: the planted stream is exact
+    // (constant DC-only blocks, quantizer 8), so each decoded pixel is
+    // pure integer arithmetic over doc_id — luma from the 8x8 block
+    // grid, chroma from the cs x cs region grid (16 for 4:2:0, 8 for
+    // 4:4:4), converted with the decoder's libjpeg fixed-point
+    // constants (91881/22554/46802/116130, +32768 >> 16; offsets are
+    // nonnegative so integer division floors identically). The
+    // truncated doc_id%17=0 cohort is DROPPED by the decoder and
+    // excluded here.
+    "m_jpeg" ->
+      """WITH m AS (SELECT doc_id, doc_id % 3 AS v,
+        |    10 + doc_id % 23 AS w, 9 + doc_id % 19 AS h,
+        |    CASE WHEN doc_id % 3 = 1 THEN 16 ELSE 8 END AS cs
+        |  FROM documents WHERE doc_id % 17 <> 0),
+        |s AS (SELECT doc_id, w, h,
+        |  list_sum(list_transform(range(0, w * h), p ->
+        |    64 + (doc_id*31 + ((p // h) // 8)*7 + ((p % h) // 8)*13) % 128
+        |    + CASE WHEN v = 0 THEN 0 ELSE
+        |        (91881 * ((doc_id*7 + ((p // h) // cs)*5
+        |                   + ((p % h) // cs)*3) % 32) + 32768) // 65536
+        |      END)) AS sr,
+        |  list_sum(list_transform(range(0, w * h), p ->
+        |    64 + (doc_id*31 + ((p // h) // 8)*7 + ((p % h) // 8)*13) % 128
+        |    - CASE WHEN v = 0 THEN 0 ELSE
+        |        (22554 * ((doc_id*5 + ((p // h) // cs)*3
+        |                   + ((p % h) // cs)*11) % 32)
+        |         + 46802 * ((doc_id*7 + ((p // h) // cs)*5
+        |                     + ((p % h) // cs)*3) % 32) + 32768) // 65536
+        |      END)) AS sg,
+        |  list_sum(list_transform(range(0, w * h), p ->
+        |    64 + (doc_id*31 + ((p // h) // 8)*7 + ((p % h) // 8)*13) % 128
+        |    + CASE WHEN v = 0 THEN 0 ELSE
+        |        (116130 * ((doc_id*5 + ((p // h) // cs)*3
+        |                    + ((p % h) // cs)*11) % 32) + 32768) // 65536
+        |      END)) AS sb
+        |  FROM m)
+        |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height,
+        |  CAST(sr AS DOUBLE) / (w * h) AS mean_r,
+        |  CAST(sg AS DOUBLE) / (w * h) AS mean_g,
+        |  CAST(sb AS DOUBLE) / (w * h) AS mean_b
+        |FROM s ORDER BY media_id""".stripMargin,
 
     "m_decode" ->
       """SELECT doc_id AS media_id,

@@ -1,0 +1,798 @@
+package graft.ops
+
+/** Minimal baseline JPEG codec, implemented from the PUBLIC ITU-T T.81
+  * specification (sequential DCT, Huffman entropy coding) with zero
+  * external dependencies — the heavyweight-codec tier the container
+  * decoders ([[Multimodal.Ppm]]/[[Multimodal.Qoi]]) stubbed out until
+  * round 16. Real crawl corpora are JPEG-dominated, so this is what
+  * makes image dedup/quality run on actual crawl data.
+  *
+  * Decoder scope (refuses anything else LOUDLY, never silently):
+  *  - SOF0/SOF1 (baseline + extended sequential, Huffman, 8-bit
+  *    precision); SOF2 progressive and arithmetic coding are rejected
+  *    with a named error.
+  *  - 1 or 3 components, any sampling factors 1-4 (covers 4:4:4,
+  *    4:2:2, 4:2:0, 4:4:0); nearest-neighbor chroma upsampling.
+  *  - One interleaved scan (Ns = Nf), or the trivial single-component
+  *    scan; restart markers (DRI/RSTn); FF00 byte stuffing; fill
+  *    bytes; APPn/COM skipped by length; 8- and 16-bit DQT.
+  *  - Huffman tables built per T.81 Annex C, decoded with the
+  *    MINCODE/MAXCODE/VALPTR procedure of F.2.2.3; DC prediction and
+  *    AC run/size coding per F.2.2.1-2.
+  *  - IDCT: double-precision separable reference definition (A.3.3).
+  *    A DC-only block therefore reconstructs its constant value
+  *    EXACTLY (D/8 is an exact integer for our fixtures' quant
+  *    tables), which is what makes the m_jpeg DuckDB oracle analytic.
+  *  - YCbCr→RGB: libjpeg-convention integer fixed point
+  *    (R = Y + (91881·Cr' + 32768) >> 16, etc., 2^16 scale) so a SQL
+  *    oracle can replay the conversion in exact integer arithmetic.
+  *
+  * Encoder scope (fixtures + interop tests): SOF0, grayscale or
+  * 3-component with arbitrary (sampH, sampV) chroma geometry, caller
+  * -supplied quantization tables, the standard Annex K Huffman
+  * tables, optional restart intervals. [[encode]] additionally does
+  * the JFIF RGB→YCbCr forward transform and box-average chroma
+  * subsampling; [[encodeYcc]] takes planes directly so fixture
+  * generators control the exact coded samples.
+  *
+  * Malformed input throws IllegalArgumentException — callers choose
+  * skip-vs-fail (the [[Multimodal.decodeAnyImages]] DROPMALFORMED
+  * contract, same as CSV).
+  */
+object Jpeg {
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"jpeg: $msg")
+
+  /** Zig-zag scan order: natural (row-major) index of the k-th
+    * coefficient in transmission order (T.81 Figure A.6). */
+  private[ops] val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** A(x)(u) = C(u)/2 · cos((2x+1)uπ/16) — the separable (I)DCT basis
+    * half-matrix; f = Aᵀ·F·A and F = A·f·Aᵀ (T.81 A.3.3). */
+  private val A: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+    val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    0.5 * c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  // ---- standard Huffman tables (T.81 Annex K.3) ----
+  // (BITS counts for code lengths 1..16, then HUFFVAL in code order)
+
+  private[ops] val StdDcLumaBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private[ops] val StdDcLumaVals = (0 to 11).toArray
+  private[ops] val StdDcChromaBits = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private[ops] val StdDcChromaVals = (0 to 11).toArray
+
+  private[ops] val StdAcLumaBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+  private[ops] val StdAcLumaVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+  private[ops] val StdAcChromaBits = Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119)
+  private[ops] val StdAcChromaVals: Array[Int] = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15,
+    0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17,
+    0x18, 0x19, 0x1a, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5,
+    0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9,
+    0xda, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** Standard quantization tables (T.81 Annex K.1, natural order). */
+  val StdQuantLuma: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+  val StdQuantChroma: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
+  /** Huffman table per T.81 Annex C: decode side builds the
+    * MINCODE/MAXCODE/VALPTR arrays of F.2.2.3, encode side the
+    * per-symbol (code, size) pair via the same canonical assignment. */
+  private final class Huff(counts: Array[Int], val vals: Array[Int]) {
+    require(counts.length == 16 && counts.sum == vals.length,
+      "huffman table BITS/HUFFVAL mismatch")
+    val mincode = new Array[Int](17)
+    val maxcode = new Array[Int](17)
+    val valptr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        valptr(l) = k
+        mincode(l) = code
+        code += counts(l - 1)
+        k += counts(l - 1)
+        maxcode(l) = if (counts(l - 1) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+    }
+    /** (code, size) indexed by symbol — encode side. */
+    lazy val enc: (Array[Int], Array[Int]) = {
+      val codes = new Array[Int](256)
+      val sizes = new Array[Int](256)
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        var i = 0
+        while (i < counts(l - 1)) {
+          codes(vals(k)) = code
+          sizes(vals(k)) = l
+          code += 1; k += 1; i += 1
+        }
+        code <<= 1
+        l += 1
+      }
+      (codes, sizes)
+    }
+  }
+
+  /** Entropy-segment bit reader with FF00 unstuffing (F.1.2.3); a bare
+    * marker inside coded data throws (truncated/garbled stream). */
+  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+    private var buf = 0
+    private var cnt = 0
+    def nextBit(): Int = {
+      if (cnt == 0) {
+        if (pos >= bytes.length) fail("truncated entropy-coded data")
+        var v = bytes(pos) & 0xff
+        pos += 1
+        if (v == 0xff) {
+          if (pos >= bytes.length) fail("truncated entropy-coded data")
+          val nxt = bytes(pos) & 0xff
+          if (nxt == 0) pos += 1 // stuffed FF00 → data byte FF
+          else { pos -= 1; fail(f"marker FF$nxt%02x inside entropy-coded data") }
+        }
+        buf = v; cnt = 8
+      }
+      cnt -= 1
+      (buf >> cnt) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+    /** Discard bits to the next byte boundary (before a restart marker). */
+    def align(): Unit = cnt = 0
+    def huffDecode(hf: Huff): Int = {
+      if (hf == null) fail("scan references an undefined huffman table")
+      var code = nextBit()
+      var l = 1
+      while (code > hf.maxcode(l)) {
+        code = (code << 1) | nextBit()
+        l += 1
+        if (l > 16) fail("invalid huffman code (no 16-bit match)")
+      }
+      hf.vals(hf.valptr(l) + code - hf.mincode(l))
+    }
+  }
+
+  /** EXTEND of F.2.2.1: map an s-bit magnitude to its signed value. */
+  @inline private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  private final case class Component(id: Int, hs: Int, vs: Int, tq: Int)
+
+  /** Decode a baseline JPEG stream → (width, height, interleaved RGB
+    * raster). Grayscale replicates Y into all three channels (the
+    * [[Multimodal.decodeImagesWith]] contract). Throws on anything
+    * outside the supported baseline subset. */
+  def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      fail("not a jpeg stream (no SOI)")
+    var pos = 2
+    def u8(): Int = {
+      if (pos >= bytes.length) fail("truncated segment")
+      val v = bytes(pos) & 0xff; pos += 1; v
+    }
+    def u16(): Int = { val hi = u8(); (hi << 8) | u8() }
+
+    val quant = Array.ofDim[Int](4, 64) // zigzag order
+    val quantSeen = new Array[Boolean](4)
+    val dcTabs = new Array[Huff](4)
+    val acTabs = new Array[Huff](4)
+    var ri = 0
+    var w = 0
+    var h = 0
+    var comps: Array[Component] = null
+    var raster: Array[Byte] = null
+
+    while (raster == null) {
+      if (pos + 2 > bytes.length) fail("truncated before SOS")
+      if ((bytes(pos) & 0xff) != 0xff)
+        fail(f"expected marker, got ${bytes(pos) & 0xff}%02x at $pos")
+      pos += 1
+      var m = u8()
+      while (m == 0xff) m = u8() // fill bytes (B.1.1.2)
+      if (m == 0xd9) fail("EOI before any SOS (no image data)")
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) () // TEM/RSTn: standalone
+      else if (m == 0xc0 || m == 0xc1) {
+        val len = u16(); val end = pos - 2 + len
+        val prec = u8()
+        if (prec != 8) fail(s"unsupported sample precision $prec (8-bit only)")
+        h = u16(); w = u16()
+        if (w <= 0 || h <= 0) fail(s"bad dimensions $w x $h")
+        if (w.toLong * h * 3 >= Int.MaxValue) fail(s"image too large $w x $h")
+        val nf = u8()
+        if (nf != 1 && nf != 3) fail(s"unsupported component count $nf (1 or 3)")
+        comps = Array.fill(nf) {
+          val id = u8(); val hv = u8(); val tq = u8()
+          val c = Component(id, hv >> 4, hv & 15, tq)
+          if (c.hs < 1 || c.hs > 4 || c.vs < 1 || c.vs > 4)
+            fail(s"bad sampling factors ${c.hs}x${c.vs}")
+          if (tq > 3) fail(s"bad quant table id $tq")
+          c
+        }
+        if (pos != end) fail("SOF length mismatch")
+      }
+      else if (m == 0xc2) fail("progressive JPEG (SOF2) unsupported — baseline sequential only")
+      else if (m >= 0xc3 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+        fail(f"unsupported SOF marker FF$m%02x (baseline sequential only)")
+      else if (m == 0xc4) { // DHT
+        val len = u16(); val end = pos - 2 + len
+        while (pos < end) {
+          val tcth = u8(); val tc = tcth >> 4; val th = tcth & 15
+          if (tc > 1 || th > 3) fail(s"bad DHT class/id $tc/$th")
+          val counts = Array.fill(16)(u8())
+          val n = counts.sum
+          if (n > 256 || pos + n > end) fail("DHT overruns its segment")
+          val vals = Array.fill(n)(u8())
+          val hf = new Huff(counts, vals)
+          if (tc == 0) dcTabs(th) = hf else acTabs(th) = hf
+        }
+        if (pos != end) fail("DHT length mismatch")
+      }
+      else if (m == 0xdb) { // DQT
+        val len = u16(); val end = pos - 2 + len
+        while (pos < end) {
+          val pqtq = u8(); val pq = pqtq >> 4; val tq = pqtq & 15
+          if (pq > 1 || tq > 3) fail(s"bad DQT precision/id $pq/$tq")
+          var k = 0
+          while (k < 64) {
+            quant(tq)(k) = if (pq == 0) u8() else u16()
+            if (quant(tq)(k) <= 0) fail("zero quantizer")
+            k += 1
+          }
+          quantSeen(tq) = true
+        }
+        if (pos != end) fail("DQT length mismatch")
+      }
+      else if (m == 0xdd) { // DRI
+        val len = u16()
+        if (len != 4) fail(s"bad DRI length $len")
+        ri = u16()
+      }
+      else if (m == 0xda) { // SOS
+        if (comps == null) fail("SOS before SOF")
+        val len = u16(); val end = pos - 2 + len
+        val ns = u8()
+        if (ns != comps.length)
+          fail(s"unsupported scan: $ns of ${comps.length} components " +
+            "(single interleaved scan only)")
+        val scanSel = Array.fill(ns) {
+          val cs = u8(); val tt = u8()
+          val ci = comps.indexWhere(_.id == cs)
+          if (ci < 0) fail(s"scan selects unknown component $cs")
+          (ci, tt >> 4, tt & 15)
+        }
+        val ss = u8(); val se = u8(); val ahal = u8()
+        if (ss != 0 || se != 63 || ahal != 0)
+          fail(s"non-baseline scan parameters Ss=$ss Se=$se AhAl=$ahal")
+        if (pos != end) fail("SOS length mismatch")
+        comps.foreach(c => if (!quantSeen(c.tq))
+          fail(s"component ${c.id} references undefined quant table ${c.tq}"))
+        raster = decodeScan(bytes, pos, w, h, comps, scanSel,
+          quant, dcTabs, acTabs, ri)
+      }
+      else { // APPn / COM / DNL / anything with a length: skip
+        val len = u16()
+        if (len < 2 || pos - 2 + len > bytes.length) fail(f"bad segment FF$m%02x length $len")
+        pos = pos - 2 + len
+      }
+    }
+    (w, h, raster)
+  }
+
+  /** The entropy-coded scan: MCU loop, per-block Huffman decode +
+    * dequant + IDCT into per-component planes, restart handling, then
+    * upsample + color-convert + crop. */
+  private def decodeScan(bytes: Array[Byte], start: Int, w: Int, h: Int,
+      comps: Array[Component], scanSel: Array[(Int, Int, Int)],
+      quant: Array[Array[Int]], dcTabs: Array[Huff], acTabs: Array[Huff],
+      ri: Int): Array[Byte] = {
+    val hmax = comps.map(_.hs).max
+    val vmax = comps.map(_.vs).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val planeW = comps.map(c => mcusX * 8 * c.hs)
+    val planeH = comps.map(c => mcusY * 8 * c.vs)
+    val planes = comps.indices.map(i =>
+      new Array[Byte](planeW(i) * planeH(i))).toArray
+
+    val br = new BitReader(bytes, start)
+    val preds = new Array[Int](comps.length)
+    val blk = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var rstIdx = 0
+    var mcu = 0
+    val totalMcus = mcusX * mcusY
+    while (mcu < totalMcus) {
+      if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+        br.align()
+        // expect RSTn with n cycling 0..7 (E.2.4)
+        if (br.pos + 2 > bytes.length) fail("truncated at restart marker")
+        val b0 = bytes(br.pos) & 0xff
+        val b1 = bytes(br.pos + 1) & 0xff
+        if (b0 != 0xff || b1 != 0xd0 + (rstIdx & 7))
+          fail(f"expected RST${rstIdx & 7} at ${br.pos}, got $b0%02x$b1%02x")
+        br.pos += 2
+        rstIdx += 1
+        java.util.Arrays.fill(preds, 0)
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var s = 0
+      while (s < scanSel.length) {
+        val (ci, td, ta) = scanSel(s)
+        val c = comps(ci)
+        val q = quant(c.tq)
+        var by = 0
+        while (by < c.vs) {
+          var bx = 0
+          while (bx < c.hs) {
+            preds(ci) = decodeBlock(br, dcTabs(td), acTabs(ta), q, preds(ci), blk)
+            idctInto(blk, tmp, planes(ci), planeW(ci),
+              (mx * c.hs + bx) * 8, (my * c.vs + by) * 8)
+            bx += 1
+          }
+          by += 1
+        }
+        s += 1
+      }
+      mcu += 1
+    }
+    // after the last MCU: padding bits, then (optionally fill bytes and)
+    // EOI. Requiring EOI here is what makes truncation loud.
+    br.align()
+    var p = br.pos
+    var sawEoi = false
+    while (!sawEoi && p + 1 < bytes.length) {
+      if ((bytes(p) & 0xff) == 0xff) {
+        val nxt = bytes(p + 1) & 0xff
+        if (nxt == 0xd9) sawEoi = true
+        else if (nxt == 0xff) p += 1 // fill byte
+        else if (nxt == 0x00) p += 2 // stray stuffed byte
+        else fail(f"unexpected marker FF$nxt%02x after final MCU")
+      } else p += 1
+    }
+    if (!sawEoi) fail("missing EOI after entropy-coded data")
+
+    // upsample (nearest) + color convert + crop
+    val out = new Array[Byte](w * h * 3)
+    if (comps.length == 1) {
+      val pl = planes(0); val pw = planeW(0)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = pl(y * pw + x)
+          val o = (y * w + x) * 3
+          out(o) = v; out(o + 1) = v; out(o + 2) = v
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      val py = planes(0); val pwy = planeW(0)
+      val pcb = planes(1); val pwcb = planeW(1)
+      val pcr = planes(2); val pwcr = planeW(2)
+      val cy = comps(0); val ccb = comps(1); val ccr = comps(2)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val yy = py((y * cy.vs / vmax) * pwy + (x * cy.hs / hmax)) & 0xff
+          val cb = (pcb((y * ccb.vs / vmax) * pwcb + (x * ccb.hs / hmax)) & 0xff) - 128
+          val cr = (pcr((y * ccr.vs / vmax) * pwcr + (x * ccr.hs / hmax)) & 0xff) - 128
+          // libjpeg-convention fixed point (2^16 scale), replayable in
+          // integer SQL: FIX(1.40200)=91881 FIX(1.77200)=116130
+          // FIX(0.34414)=22554 FIX(0.71414)=46802
+          val r = yy + ((91881 * cr + 32768) >> 16)
+          val g = yy - ((22554 * cb + 46802 * cr + 32768) >> 16)
+          val b = yy + ((116130 * cb + 32768) >> 16)
+          val o = (y * w + x) * 3
+          out(o) = clamp255(r).toByte
+          out(o + 1) = clamp255(g).toByte
+          out(o + 2) = clamp255(b).toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
+    out
+  }
+
+  @inline private def clamp255(v: Int): Int =
+    if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** One block: DC (F.2.2.1) + AC (F.2.2.2) decode, dequantized into
+    * `blk` in natural order. Returns the new DC prediction. */
+  private def decodeBlock(br: BitReader, dc: Huff, ac: Huff,
+      q: Array[Int], pred: Int, blk: Array[Int]): Int = {
+    java.util.Arrays.fill(blk, 0)
+    val t = br.huffDecode(dc)
+    if (t > 15) fail(s"bad DC category $t")
+    val diff = extend(br.receive(t), t)
+    val newPred = pred + diff
+    blk(0) = newPred * q(0)
+    var k = 1
+    var done = false
+    while (k < 64 && !done) {
+      val rs = br.huffDecode(ac)
+      val r = rs >>> 4
+      val s = rs & 15
+      if (s == 0) {
+        if (r == 15) k += 16 // ZRL
+        else done = true // EOB
+      } else {
+        k += r
+        if (k > 63) fail("AC coefficient index overruns the block")
+        blk(Zigzag(k)) = extend(br.receive(s), s) * q(k)
+        k += 1
+      }
+    }
+    newPred
+  }
+
+  /** Reference separable IDCT (T.81 A.3.3) + level shift, written into
+    * the component plane at (ox, oy). Double precision: a DC-only
+    * block reconstructs exactly (its value is an exact small integer
+    * scaled by (1/(2√2))², perturbed at most ~1e-13 — Math.round is
+    * unaffected). */
+  private def idctInto(blk: Array[Int], tmp: Array[Double],
+      plane: Array[Byte], pw: Int, ox: Int, oy: Int): Unit = {
+    // rows: tmp(v,x) = Σ_u A(x)(u) · F(v,u)
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) { acc += A(x)(u) * blk(v * 8 + u); u += 1 }
+        tmp(v * 8 + x) = acc
+        x += 1
+      }
+      v += 1
+    }
+    // cols: f(y,x) = Σ_v A(y)(v) · tmp(v,x)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var vv = 0
+        while (vv < 8) { acc += A(y)(vv) * tmp(vv * 8 + x); vv += 1 }
+        plane((oy + y) * pw + (ox + x)) =
+          clamp255(Math.round(acc).toInt + 128).toByte
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  // ---- encoder ----
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var buf = 0
+    private var cnt = 0
+    def put(code: Int, size: Int): Unit = {
+      var i = size - 1
+      while (i >= 0) {
+        buf = (buf << 1) | ((code >>> i) & 1)
+        cnt += 1
+        if (cnt == 8) {
+          out.write(buf)
+          if (buf == 0xff) out.write(0) // byte stuffing
+          buf = 0; cnt = 0
+        }
+        i -= 1
+      }
+    }
+    /** Pad to a byte boundary with 1-bits (F.1.2.3). */
+    def flush(): Unit = if (cnt > 0) put((1 << (8 - cnt)) - 1, 8 - cnt)
+  }
+
+  @inline private def category(v: Int): Int =
+    32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** Encode YCbCr planes directly (fixture generators control the exact
+    * coded samples this way): `yPlane` is w×h; `cbPlane`/`crPlane` are
+    * ceil(w/sampH)×ceil(h/sampV), or null for grayscale. Quant tables
+    * in natural order. */
+  def encodeYcc(w: Int, h: Int, yPlane: Array[Byte],
+      cbPlane: Array[Byte], crPlane: Array[Byte],
+      sampH: Int = 2, sampV: Int = 2,
+      qLuma: Array[Int] = StdQuantLuma, qChroma: Array[Int] = StdQuantChroma,
+      restartInterval: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dimensions $w x $h")
+    require(yPlane.length == w * h, "luma plane size mismatch")
+    val gray = cbPlane == null
+    require(gray == (crPlane == null), "cb/cr must both be present or absent")
+    val cw = (w + sampH - 1) / sampH
+    val ch = (h + sampV - 1) / sampV
+    if (!gray) {
+      require(sampH >= 1 && sampH <= 4 && sampV >= 1 && sampV <= 4, "bad sampling")
+      require(cbPlane.length == cw * ch && crPlane.length == cw * ch,
+        "chroma plane size mismatch")
+    }
+    require(qLuma.length == 64 && qLuma.forall(q => q >= 1 && q <= 255),
+      "luma quant table must be 64 entries in 1..255")
+    require(gray || (qChroma.length == 64 && qChroma.forall(q => q >= 1 && q <= 255)),
+      "chroma quant table must be 64 entries in 1..255")
+
+    val out = new java.io.ByteArrayOutputStream(w * h / 2 + 1024)
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+
+    marker(0xd8) // SOI
+    // APP0 / JFIF 1.1
+    marker(0xe0); u16(16)
+    "JFIF".foreach(c => u8(c)); u8(0)
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    // DQT (zigzag order on the wire)
+    marker(0xdb); u16(2 + (if (gray) 65 else 130))
+    u8(0x00); Zigzag.foreach(z => u8(qLuma(z)))
+    if (!gray) { u8(0x01); Zigzag.foreach(z => u8(qChroma(z))) }
+    // SOF0
+    val nf = if (gray) 1 else 3
+    marker(0xc0); u16(8 + 3 * nf); u8(8); u16(h); u16(w); u8(nf)
+    if (gray) { u8(1); u8(0x11); u8(0) }
+    else {
+      u8(1); u8((sampH << 4) | sampV); u8(0)
+      u8(2); u8(0x11); u8(1)
+      u8(3); u8(0x11); u8(1)
+    }
+    // DHT
+    def dht(tc: Int, th: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length)
+      u8((tc << 4) | th); bits.foreach(u8); vals.foreach(u8)
+    }
+    dht(0, 0, StdDcLumaBits, StdDcLumaVals)
+    dht(1, 0, StdAcLumaBits, StdAcLumaVals)
+    if (!gray) {
+      dht(0, 1, StdDcChromaBits, StdDcChromaVals)
+      dht(1, 1, StdAcChromaBits, StdAcChromaVals)
+    }
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
+    // SOS
+    marker(0xda); u16(6 + 2 * nf); u8(nf)
+    if (gray) { u8(1); u8(0x00) }
+    else { u8(1); u8(0x00); u8(2); u8(0x11); u8(3); u8(0x11) }
+    u8(0); u8(63); u8(0)
+
+    // entropy-coded data
+    val dcL = new Huff(StdDcLumaBits, StdDcLumaVals)
+    val acL = new Huff(StdAcLumaBits, StdAcLumaVals)
+    val dcC = new Huff(StdDcChromaBits, StdDcChromaVals)
+    val acC = new Huff(StdAcChromaBits, StdAcChromaVals)
+    val qzL = Array.tabulate(64)(k => qLuma(Zigzag(k)))
+    val qzC = if (gray) null else Array.tabulate(64)(k => qChroma(Zigzag(k)))
+
+    val hm = if (gray) 1 else sampH
+    val vm = if (gray) 1 else sampV
+    val mcusX = (w + 8 * hm - 1) / (8 * hm)
+    val mcusY = (h + 8 * vm - 1) / (8 * vm)
+    // pad planes to the MCU grid by edge replication
+    def padPlane(src: Array[Byte], sw: Int, sh: Int, pw: Int, ph: Int): Array[Byte] = {
+      val p = new Array[Byte](pw * ph)
+      var y = 0
+      while (y < ph) {
+        val sy = math.min(y, sh - 1)
+        var x = 0
+        while (x < pw) {
+          p(y * pw + x) = src(sy * sw + math.min(x, sw - 1))
+          x += 1
+        }
+        y += 1
+      }
+      p
+    }
+    val lpw = mcusX * 8 * hm; val lph = mcusY * 8 * vm
+    val lp = padPlane(yPlane, w, h, lpw, lph)
+    val cpw = mcusX * 8; val cph = mcusY * 8
+    val cbp = if (gray) null else padPlane(cbPlane, cw, ch, cpw, cph)
+    val crp = if (gray) null else padPlane(crPlane, cw, ch, cpw, cph)
+
+    val bw = new BitWriter(out)
+    val block = new Array[Double](64)
+    val coefZ = new Array[Int](64)
+    val preds = new Array[Int](3)
+    var rstIdx = 0
+
+    def encodeBlock(plane: Array[Byte], pw: Int, ox: Int, oy: Int,
+        qz: Array[Int], dc: Huff, ac: Huff, ci: Int): Unit = {
+      // forward DCT: F(v,u) = Σ_y Σ_x A(y)(v)·A(x)(u)·(s(y,x)−128)
+      var v = 0
+      while (v < 8) { // rows→freq pass: block(v,x) = Σ_y A(y)(v)·s(y,x)
+        var x = 0
+        while (x < 8) {
+          var acc = 0.0
+          var y = 0
+          while (y < 8) {
+            acc += A(y)(v) * ((plane((oy + y) * pw + (ox + x)) & 0xff) - 128)
+            y += 1
+          }
+          block(v * 8 + x) = acc
+          x += 1
+        }
+        v += 1
+      }
+      var k = 0
+      while (k < 64) { // cols→freq + quantize, straight into zigzag order
+        val zz = Zigzag(k)
+        val fv = zz / 8; val fu = zz % 8
+        var acc = 0.0
+        var x = 0
+        while (x < 8) { acc += A(x)(fu) * block(fv * 8 + x); x += 1 }
+        coefZ(k) = Math.round(acc / qz(k)).toInt
+        k += 1
+      }
+      // DC
+      val diff = coefZ(0) - preds(ci)
+      preds(ci) = coefZ(0)
+      val s = category(diff)
+      if (s > 11) fail(s"DC difference $diff out of baseline range")
+      val (dcCodes, dcSizes) = dc.enc
+      bw.put(dcCodes(s), dcSizes(s))
+      if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      // AC
+      val (acCodes, acSizes) = ac.enc
+      var run = 0
+      k = 1
+      while (k < 64) {
+        val c = coefZ(k)
+        if (c == 0) run += 1
+        else {
+          while (run > 15) { bw.put(acCodes(0xf0), acSizes(0xf0)); run -= 16 }
+          val ss = category(c)
+          if (ss > 10) fail(s"AC coefficient $c out of baseline range")
+          val rs = (run << 4) | ss
+          bw.put(acCodes(rs), acSizes(rs))
+          bw.put(if (c < 0) c + (1 << ss) - 1 else c, ss)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) bw.put(acCodes(0x00), acSizes(0x00)) // EOB
+    }
+
+    var mcu = 0
+    val total = mcusX * mcusY
+    while (mcu < total) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bw.flush()
+        marker(0xd0 + (rstIdx & 7))
+        rstIdx += 1
+        java.util.Arrays.fill(preds, 0)
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var by = 0
+      while (by < vm) {
+        var bx = 0
+        while (bx < hm) {
+          encodeBlock(lp, lpw, (mx * hm + bx) * 8, (my * vm + by) * 8,
+            qzL, dcL, acL, 0)
+          bx += 1
+        }
+        by += 1
+      }
+      if (!gray) {
+        encodeBlock(cbp, cpw, mx * 8, my * 8, qzC, dcC, acC, 1)
+        encodeBlock(crp, cpw, mx * 8, my * 8, qzC, dcC, acC, 2)
+      }
+      mcu += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode an interleaved RGB raster: JFIF forward color transform
+    * (ITU-R BT.601 as specified in the JFIF spec), box-average chroma
+    * subsampling, then [[encodeYcc]]. */
+  def encode(w: Int, h: Int, rgb: Array[Byte], sampH: Int = 2, sampV: Int = 2,
+      qLuma: Array[Int] = StdQuantLuma, qChroma: Array[Int] = StdQuantChroma,
+      restartInterval: Int = 0): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"raster ${rgb.length} != ${w * h * 3}")
+    val yP = new Array[Byte](w * h)
+    val cwF = w; val chF = h
+    val cbF = new Array[Double](cwF * chF)
+    val crF = new Array[Double](cwF * chF)
+    var i = 0
+    var p = 0
+    while (i < w * h) {
+      val r = rgb(p) & 0xff; val g = rgb(p + 1) & 0xff; val b = rgb(p + 2) & 0xff
+      yP(i) = clamp255(Math.round(0.299 * r + 0.587 * g + 0.114 * b).toInt).toByte
+      cbF(i) = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+      crF(i) = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+      i += 1; p += 3
+    }
+    val cw = (w + sampH - 1) / sampH
+    val ch = (h + sampV - 1) / sampV
+    val cbP = new Array[Byte](cw * ch)
+    val crP = new Array[Byte](cw * ch)
+    var cy = 0
+    while (cy < ch) {
+      var cx = 0
+      while (cx < cw) {
+        var sumB = 0.0; var sumR = 0.0; var n = 0
+        var dy = 0
+        while (dy < sampV) {
+          val y = cy * sampV + dy
+          if (y < h) {
+            var dx = 0
+            while (dx < sampH) {
+              val x = cx * sampH + dx
+              if (x < w) { sumB += cbF(y * w + x); sumR += crF(y * w + x); n += 1 }
+              dx += 1
+            }
+          }
+          dy += 1
+        }
+        cbP(cy * cw + cx) = clamp255(Math.round(sumB / n).toInt).toByte
+        crP(cy * cw + cx) = clamp255(Math.round(sumR / n).toInt).toByte
+        cx += 1
+      }
+      cy += 1
+    }
+    encodeYcc(w, h, yP, cbP, crP, sampH, sampV, qLuma, qChroma, restartInterval)
+  }
+
+  /** Grayscale convenience: single-component stream. */
+  def encodeGray(w: Int, h: Int, yPlane: Array[Byte],
+      qLuma: Array[Int] = StdQuantLuma, restartInterval: Int = 0): Array[Byte] =
+    encodeYcc(w, h, yPlane, null, null, 1, 1, qLuma, null, restartInterval)
+}

@@ -301,6 +301,59 @@ object Multimodal {
     }.toDF("media_id", "bytes")
   }
 
+  /** Synthesize a REAL baseline JPEG per document — the [[Jpeg]] tier's
+    * analytic-oracle fixture (the Y4M convention): every 8×8 luma block
+    * and every chroma region is CONSTANT, and the quantization tables
+    * are all 8s, so the quantized DC is exactly v−128 and the decoder
+    * reconstructs each planted value EXACTLY (AC of a constant block is
+    * zero; the double-precision IDCT of a DC-only block is exact).
+    * DuckDB then replays the decoded channel means in pure integer
+    * arithmetic — including the libjpeg fixed-point YCbCr→RGB
+    * conversion, whose chroma offsets are kept nonnegative so integer
+    * division floors identically on both sides.
+    *
+    * Variants by doc_id: %3=0 grayscale, %3=1 color 4:2:0 (chroma
+    * constant per 16×16 luma region), %3=2 color 4:4:4 (per 8×8);
+    * %4=1 additionally codes with a restart interval of 1-3 MCUs
+    * (DRI/RSTn on the wire); %17=0 is TRUNCATED mid-stream — the
+    * DROPMALFORMED cohort, absent from the decode output. */
+  def jpegMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q8 = Array.fill(64)(8)
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val m = (id % 3).toInt
+      val w = 10 + (id % 23).toInt
+      val h = 9 + (id % 19).toInt
+      val ri = if (id % 4 == 1) 1 + (id % 3).toInt else 0
+      def yv(bx: Int, by: Int): Int =
+        64 + ((id * 31 + bx * 7 + by * 13) % 128).toInt
+      val yPlane = Array.tabulate(w * h) { p =>
+        yv((p % w) / 8, (p / w) / 8).toByte
+      }
+      val bytes =
+        if (m == 0) Jpeg.encodeGray(w, h, yPlane, q8, ri)
+        else {
+          val samp = if (m == 1) 2 else 1
+          val cw = (w + samp - 1) / samp
+          val ch = (h + samp - 1) / samp
+          // chroma-plane block index cxp/8 == luma region x/(8*samp):
+          // constant per 16×16 luma for 4:2:0, per 8×8 for 4:4:4
+          val cb = Array.tabulate(cw * ch) { p =>
+            (128 + ((id * 5 + ((p % cw) / 8) * 3 + ((p / cw) / 8) * 11) % 32).toInt).toByte
+          }
+          val cr = Array.tabulate(cw * ch) { p =>
+            (128 + ((id * 7 + ((p % cw) / 8) * 5 + ((p / cw) / 8) * 3) % 32).toInt).toByte
+          }
+          Jpeg.encodeYcc(w, h, yPlane, cb, cr, samp, samp, q8, q8, ri)
+        }
+      val out =
+        if (id % 17 == 0) java.util.Arrays.copyOfRange(bytes, 0, bytes.length / 2)
+        else bytes
+      (id, out)
+    }.toDF("media_id", "bytes")
+  }
+
   // ---- real decode tier 3: WAV / RIFF PCM (audio) ----
 
   /** Minimal RIFF/WAVE PCM codec — the standard uncompressed audio
@@ -604,6 +657,14 @@ object Multimodal {
       skipMalformed: Boolean = true): DataFrame =
     decodeImagesWith(media, Qoi.decode, thumbSide, skipMalformed)
 
+  /** Baseline JPEG decode — the DCT tier ([[Jpeg]], implemented from the
+    * public ITU-T T.81 spec; round 16). Same output contract as
+    * [[decodeImages]]; grayscale streams replicate Y into all three
+    * channels. */
+  def decodeJpegImages(media: DataFrame, thumbSide: Int = 2,
+      skipMalformed: Boolean = true): DataFrame =
+    decodeImagesWith(media, Jpeg.decode, thumbSide, skipMalformed)
+
   /** Resize: pure metadata transform (the byte transform is the codec's job
     * and stays behind the stub boundary). */
   def resize(media: DataFrame, maxSide: Int): DataFrame = {
@@ -794,14 +855,18 @@ object Multimodal {
   // ---- perceptual image dedup (round 13) ----
 
   /** Mixed-format image decode: dispatch per blob on the magic bytes
-    * (`P6` → [[Ppm]], `qoif` → [[Qoi]]) — real corpora are never
-    * single-format, and a two-scan filter+union reads the media table
-    * twice. Same output contract as [[decodeImages]]. */
+    * (`P6` → [[Ppm]], `FFD8` → [[Jpeg]], `qoif` → [[Qoi]]) — real
+    * corpora are never single-format (and are JPEG-dominated), and a
+    * per-format filter+union would read the media table once per
+    * format. Same output contract as [[decodeImages]]. */
   def decodeAnyImages(media: DataFrame, thumbSide: Int = 2,
       skipMalformed: Boolean = true): DataFrame =
     decodeImagesWith(media, bytes =>
       if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6')
         Ppm.decode(bytes)
+      else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+          (bytes(1) & 0xff) == 0xd8)
+        Jpeg.decode(bytes)
       else Qoi.decode(bytes), thumbSide, skipMalformed)
 
   /** Perceptual near-duplicate image pairs: dHash/aHash 64-bit signatures
@@ -1127,15 +1192,17 @@ object Multimodal {
       flatEps, silenceFloor, imageAhash)
 
   /** Magic-byte modality classification of a mixed media column — the
-    * [[decodeAnyImages]] dispatch extended across containers (`P6`/`qoif`
-    * → image, `RIFF` → audio, `YUV4MPEG2` → video, anything else →
-    * unknown): one native substring compare per blob, a pure projection
-    * (stream-legal). Returns (media_id, bytes, modality). */
+    * [[decodeAnyImages]] dispatch extended across containers
+    * (`P6`/`qoif`/`FFD8` (JPEG SOI, round 16) → image, `RIFF` → audio,
+    * `YUV4MPEG2` → video, anything else → unknown): one native
+    * substring compare per blob, a pure projection (stream-legal).
+    * Returns (media_id, bytes, modality). */
   def classifyMedia(media: DataFrame): DataFrame = {
     def magic(n: Int) = substring(col("bytes"), 1, n)
     media.select(col("media_id"), col("bytes"),
       when(magic(2) === lit("P6".getBytes) ||
-          magic(4) === lit("qoif".getBytes), "image")
+          magic(4) === lit("qoif".getBytes) ||
+          magic(2) === lit(Array(0xff.toByte, 0xd8.toByte)), "image")
         .when(magic(4) === lit("RIFF".getBytes), "audio")
         .when(magic(9) === lit("YUV4MPEG2".getBytes), "video")
         .otherwise("unknown").as("modality"))

@@ -1,0 +1,239 @@
+package graft
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Jpeg, Multimodal}
+
+/** The from-spec baseline JPEG codec (ITU-T T.81, round 16): exact
+  * reconstruction on DC-only fixtures, interop against the JDK's own
+  * independent codec (javax.imageio) in both directions, restart
+  * markers, loud refusal of progressive streams, DROPMALFORMED
+  * skipping, and the decodeAnyImages / classifyMedia FFD8 dispatch. */
+class JpegSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val q8 = Array.fill(64)(8)
+
+  /** Planted constant-block planes, the jpegMediaFromDocuments shape. */
+  private def constPlanes(w: Int, h: Int, seed: Long):
+      (Array[Byte], (Int, Int) => Int) = {
+    def yv(bx: Int, by: Int): Int = 64 + ((seed * 31 + bx * 7 + by * 13) % 128).toInt
+    (Array.tabulate(w * h)(p => yv((p % w) / 8, (p / w) / 8).toByte), yv)
+  }
+
+  test("grayscale constant-block streams reconstruct EXACTLY (incl. restart intervals)") {
+    for (seed <- 0L to 5L; ri <- Seq(0, 1, 2)) {
+      val w = 10 + (seed % 23).toInt
+      val h = 9 + (seed % 19).toInt
+      val (yp, yv) = constPlanes(w, h, seed)
+      val bytes = Jpeg.encodeGray(w, h, yp, q8, ri)
+      val (dw, dh, rgb) = Jpeg.decode(bytes)
+      assert(dw === w && dh === h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        assert((rgb((y * w + x) * 3 + c) & 0xff) === yv(x / 8, y / 8),
+          s"seed=$seed ri=$ri ($x,$y,$c)")
+    }
+  }
+
+  test("4:2:0 and 4:4:4 color constant-block streams reconstruct EXACTLY via the fixed-point conversion") {
+    for (seed <- 1L to 6L; samp <- Seq(1, 2)) {
+      val w = 10 + (seed % 23).toInt
+      val h = 9 + (seed % 19).toInt
+      val (yp, yv) = constPlanes(w, h, seed)
+      val cw = (w + samp - 1) / samp
+      val ch = (h + samp - 1) / samp
+      def cbOff(rx: Int, ry: Int) = ((seed * 5 + rx * 3 + ry * 11) % 32).toInt
+      def crOff(rx: Int, ry: Int) = ((seed * 7 + rx * 5 + ry * 3) % 32).toInt
+      val cb = Array.tabulate(cw * ch)(p =>
+        (128 + cbOff((p % cw) / 8, (p / cw) / 8)).toByte)
+      val cr = Array.tabulate(cw * ch)(p =>
+        (128 + crOff((p % cw) / 8, (p / cw) / 8)).toByte)
+      val bytes = Jpeg.encodeYcc(w, h, yp, cb, cr, samp, samp, q8, q8)
+      val (dw, dh, rgb) = Jpeg.decode(bytes)
+      assert(dw === w && dh === h)
+      val cs = 8 * samp // chroma-constant luma region side
+      for (y <- 0 until h; x <- 0 until w) {
+        val yy = yv(x / 8, y / 8)
+        val co = cbOff(x / cs, y / cs)
+        val ro = crOff(x / cs, y / cs)
+        val er = yy + ((91881 * ro + 32768) >> 16)
+        val eg = yy - ((22554 * co + 46802 * ro + 32768) >> 16)
+        val eb = yy + ((116130 * co + 32768) >> 16)
+        val o = (y * w + x) * 3
+        assert((rgb(o) & 0xff) === er, s"R seed=$seed samp=$samp ($x,$y)")
+        assert((rgb(o + 1) & 0xff) === eg, s"G seed=$seed samp=$samp ($x,$y)")
+        assert((rgb(o + 2) & 0xff) === eb, s"B seed=$seed samp=$samp ($x,$y)")
+      }
+    }
+  }
+
+  private def randomRgb(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val rnd = new scala.util.Random(seed)
+    // smooth-ish content (JPEG-friendly): base gradient + small noise
+    Array.tabulate(w * h * 3) { p =>
+      val i = p / 3; val x = i % w; val y = i / w
+      val base = (x * 7 + y * 5) % 160 + 40
+      (base + rnd.nextInt(17) - 8).toByte
+    }
+  }
+
+  private def imageIoDecode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO failed to decode")
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = img.getRGB(x, y)
+      val o = (y * w + x) * 3
+      out(o) = ((p >> 16) & 0xff).toByte
+      out(o + 1) = ((p >> 8) & 0xff).toByte
+      out(o + 2) = (p & 0xff).toByte
+    }
+    (w, h, out)
+  }
+
+  private def maxAbsDiff(a: Array[Byte], b: Array[Byte]): Int = {
+    assert(a.length === b.length)
+    a.indices.map(i => math.abs((a(i) & 0xff) - (b(i) & 0xff))).max
+  }
+
+  test("interop: the JDK's independent codec decodes OUR streams (gray, 4:4:4, 4:2:0, restarts)") {
+    // IDCT implementations legitimately differ by ±1; chroma
+    // interpolation (ImageIO smooths, we use nearest) can add a little
+    // more on color streams — bound it tightly rather than exactly.
+    for ((samp, ri, tol) <- Seq((1, 0, 8), (2, 0, 8), (2, 3, 8))) {
+      val w = 37; val h = 29
+      val rgb = randomRgb(w, h, samp * 100L + ri)
+      val bytes = Jpeg.encode(w, h, rgb, samp, samp,
+        Jpeg.StdQuantLuma, Jpeg.StdQuantChroma, ri)
+      val (dw, dh, theirs) = imageIoDecode(bytes)
+      assert(dw === w && dh === h)
+      val (_, _, ours) = Jpeg.decode(bytes)
+      assert(maxAbsDiff(ours, theirs) <= tol,
+        s"samp=$samp ri=$ri diverged beyond ±$tol from ImageIO")
+    }
+    // grayscale: compare RAW raster samples — BufferedImage.getRGB on a
+    // TYPE_BYTE_GRAY image applies a linear→sRGB gamma conversion that
+    // has nothing to do with the codec
+    val w = 24; val h = 16
+    val yp = Array.tabulate(w * h)(p => ((p * 31) % 200 + 20).toByte)
+    val g = Jpeg.encodeGray(w, h, yp, Jpeg.StdQuantLuma, 2)
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(g))
+    assert(img != null && img.getWidth === w && img.getHeight === h)
+    val (_, _, ours) = Jpeg.decode(g)
+    val maxD = (for (y <- 0 until h; x <- 0 until w) yield
+      math.abs(img.getRaster.getSample(x, y, 0) -
+        (ours((y * w + x) * 3) & 0xff))).max
+    assert(maxD <= 2, s"grayscale diverged from ImageIO raster by $maxD")
+  }
+
+  test("interop: WE decode the JDK writer's streams (its own tables, subsampling choices)") {
+    for (quality <- Seq(0.95f, 0.7f)) {
+      val w = 33; val h = 25
+      val rgb = randomRgb(w, h, (quality * 100).toLong)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        img.setRGB(x, y, ((rgb(o) & 0xff) << 16) |
+          ((rgb(o + 1) & 0xff) << 8) | (rgb(o + 2) & 0xff))
+      }
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(quality)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      ios.close(); writer.dispose()
+      val bytes = bos.toByteArray
+      val (dw, dh, ours) = Jpeg.decode(bytes)
+      assert(dw === w && dh === h)
+      val (_, _, theirs) = imageIoDecode(bytes)
+      assert(maxAbsDiff(ours, theirs) <= 8,
+        s"quality=$quality diverged beyond ±8 from ImageIO's own decode")
+    }
+  }
+
+  test("progressive streams are refused LOUDLY, truncation throws") {
+    val w = 16; val h = 16
+    val rgb = randomRgb(w, h, 42L)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      img.setRGB(x, y, ((rgb(o) & 0xff) << 16) |
+        ((rgb(o + 1) & 0xff) << 8) | (rgb(o + 2) & 0xff))
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    ios.close(); writer.dispose()
+    val prog = intercept[IllegalArgumentException](Jpeg.decode(bos.toByteArray))
+    assert(prog.getMessage.contains("progressive"))
+
+    val good = Jpeg.encodeGray(8, 8, Array.fill(64)(100.toByte))
+    intercept[IllegalArgumentException](
+      Jpeg.decode(java.util.Arrays.copyOfRange(good, 0, good.length / 2)))
+    intercept[IllegalArgumentException](Jpeg.decode("nope".getBytes))
+  }
+
+  test("decodeAnyImages dispatches FFD8 and DROPMALFORMED skips truncated jpegs") {
+    val jp = Jpeg.encodeGray(8, 8, Array.fill(64)(100.toByte))
+    val ppm = Multimodal.Ppm.encode(2, 2, Array.fill(12)(50.toByte))
+    val qoi = Multimodal.Qoi.encode(2, 2, Array.fill(12)(60.toByte))
+    val bad = java.util.Arrays.copyOfRange(jp, 0, jp.length / 2)
+    val media = Seq(
+      (1L, jp), (2L, ppm), (3L, qoi), (4L, bad)
+    ).toDF("media_id", "bytes")
+    val dec = Multimodal.decodeAnyImages(media, thumbSide = 2)
+      .select("media_id", "mean_r").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dec.keySet === Set(1L, 2L, 3L)) // truncated jpeg dropped
+    assert(dec(1L) === 100.0 && dec(2L) === 50.0 && dec(3L) === 60.0)
+    // and the mixed-media classifier tags jpeg as image
+    val cls = Multimodal.classifyMedia(media.filter(col("media_id") === 1))
+      .select("modality").head().getString(0)
+    assert(cls === "image")
+  }
+
+  test("jpegMediaFromDocuments decodes to the closed-form channel means (the m_jpeg oracle, in-process)") {
+    val docs = (0L until 60L).toDF("doc_id")
+    val dec = Multimodal.decodeJpegImages(
+        Multimodal.jpegMediaFromDocuments(docs), thumbSide = 2)
+      .select("media_id", "width", "height", "mean_r", "mean_g", "mean_b")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(dec.keySet === (0L until 60L).filter(_ % 17 != 0).toSet)
+    for (id <- 0L until 60L if id % 17 != 0) {
+      val m = (id % 3).toInt
+      val w = 10 + (id % 23).toInt
+      val h = 9 + (id % 19).toInt
+      val cs = if (m == 1) 16 else 8
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (x <- 0 until w; y <- 0 until h) {
+        val yy = 64 + ((id * 31 + (x / 8) * 7 + (y / 8) * 13) % 128).toInt
+        if (m == 0) { sr += yy; sg += yy; sb += yy }
+        else {
+          val co = ((id * 5 + (x / cs) * 3 + (y / cs) * 11) % 32).toInt
+          val ro = ((id * 7 + (x / cs) * 5 + (y / cs) * 3) % 32).toInt
+          sr += yy + ((91881 * ro + 32768) >> 16)
+          sg += yy - ((22554 * co + 46802 * ro + 32768) >> 16)
+          sb += yy + ((116130 * co + 32768) >> 16)
+        }
+      }
+      val n = (w * h).toDouble
+      val (dw, dh, mr, mg, mb) = dec(id)
+      assert(dw === w && dh === h, s"dims id=$id")
+      assert(mr === sr / n && mg === sg / n && mb === sb / n, s"means id=$id")
+    }
+  }
+}
