@@ -2190,6 +2190,24 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Multimodal: PERCEPTUAL dedup over REAL JPEG streams (round 16) —
+    // the m_image_dedup structure lifted to the DCT-coded format:
+    // planted groups of base / exact byte copy / re-encoded one-block-
+    // flipped copy (different bytes everywhere via a restart interval;
+    // ≤2 drifted dHash bits, pairs via banding) / independent, decoded
+    // through the FFD8 dispatch into the unchanged banded dedup stack.
+    // Block-aligned constant values make the decode exact, so the 8×8
+    // thumb IS the planted pattern matrix and the oracle replays the
+    // pair structure exactly (precision AND recall).
+    "m_jpeg_dedup" -> ((s, dir) => {
+      val media = Multimodal.jpegDedupMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet"))
+      val dec = Multimodal.decodeAnyImages(media, thumbSide = 8)
+      Multimodal.imageNearDupPairs(dec, maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("n_diff_ch"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Multimodal: REAL image decode — synthesize binary PPM (P6) per doc,
     // parse header+raster in mapPartitions, per-channel means. The r/g
     // channels are deterministic gradients, so DuckDB can recompute them
@@ -5192,6 +5210,25 @@ object SparkEntry {
         |  WHERE k <= 50)
         |SELECT * FROM dropped UNION ALL SELECT * FROM surv
         |ORDER BY kind, band, bits""".stripMargin,
+
+    // Exact replay of the planted JPEG dedup structure — identical in
+    // shape to m_image_dedup (the fixture lifts the same pattern/flip
+    // construction to block granularity): within-group pairs among
+    // m ∈ {0,1,2}, n_diff_ch = 0 for base↔copy and 3 (one flipped
+    // grayscale thumb pixel = three replicated channels) for pairs
+    // touching the re-encoded member; independents and cross-group
+    // pairs must NOT appear.
+    "m_jpeg_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |           FROM documents)
+        |SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+        |       CAST(b.doc_id AS BIGINT) AS id_b,
+        |       CAST(CASE WHEN a.m <= 1 AND b.m <= 1 THEN 0 ELSE 3 END
+        |            AS BIGINT) AS n_diff_ch
+        |FROM d a JOIN d b
+        |  ON a.gid = b.gid AND a.doc_id < b.doc_id
+        | WHERE a.m <= 2 AND b.m <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Analytic replay of the JPEG decode: the planted stream is exact
     // (constant DC-only blocks, quantizer 8), so each decoded pixel is

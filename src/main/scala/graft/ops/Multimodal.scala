@@ -2447,6 +2447,46 @@ object Multimodal {
     }.toDF("media_id", "fmt", "bytes")
   }
 
+  /** Planted-duplicate JPEG fixture — [[dedupImageMediaFromDocuments]]'s
+    * structure lifted to a real DCT-coded format (round 16): groups of
+    * four, m=0 a 64×64 grayscale baseline JPEG whose 8×8 grid of
+    * CONSTANT blocks takes values 192/64 from a gid-seeded 64-bit
+    * pattern (block-aligned constants decode EXACTLY under the all-8
+    * quant table, and the 8×8 nearest-neighbor decode thumbnail IS the
+    * pattern matrix — the thumb-equals-pattern trick at block
+    * granularity), m=1 an EXACT byte copy, m=2 RE-ENCODED with one
+    * block flipped and a restart interval (different bytes everywhere,
+    * ≤2 differing dHash bits — pairs via banding), m=3 independent.
+    * Feeding [[decodeAnyImages]] → [[imageNearDupPairs]] drives the
+    * FFD8 dispatch and the whole perceptual dedup stack over real
+    * Huffman-coded streams with an exactly replayable pair structure. */
+  def jpegDedupMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q8 = Array.fill(64)(8)
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val gid = id / 4
+      val m = (id % 4).toInt
+      def mix(v: Long): Long = {
+        var z = v + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      val pattern = if (m == 3) mix(gid * 7919L + 104729L) else mix(gid)
+      val flip = if (m == 2) ((mix(gid * 31L + 7L) >>> 8) & 63L).toInt else -1
+      val yp = new Array[Byte](64 * 64)
+      var p = 0
+      while (p < 64 * 64) {
+        val b = ((p / 64) / 8) * 8 + (p % 64) / 8 // block index, row-major
+        val bit = (((pattern >>> b) & 1L) == 1L) ^ (b == flip)
+        yp(p) = if (bit) 192.toByte else 64.toByte
+        p += 1
+      }
+      (id, Jpeg.encodeGray(64, 64, yp, q8, if (m == 2) 2 else 0))
+    }.toDF("media_id", "bytes")
+  }
+
   /** Quality-graded planted image fixture for the quality-aware keep
     * policy: groups of four — m=1 a gid-seeded SHARP binary raster
     * (values 0/255), m=2 an EXACT copy of m=1, m=0 a CONTRAST-DEGRADED

@@ -986,6 +986,94 @@ object Scale4x {
           (if (exactP == expExact) " (exact)" else s" (EXPECTED $expExact)") +
           f" | $percP | $expPerc |")
       }
+
+      // STREAMING mixed-media leg (round 16): streamingMediaNearDup's
+      // foreachBatch path at growing FROZEN-INDEX sizes — the axis the
+      // incremental ladder doesn't measure. The stream side is FIXED at
+      // 1× (2n blobs, all modalities + unknown containers, forced
+      // through FOUR micro-batches via maxFilesPerTrigger so the
+      // per-micro-batch re-planning against the static sides is what
+      // the wall clock sees); only the corpus indexes grow 1×→16×.
+      // Correctness inside the leg: the stream total must EQUAL the
+      // static mediaAgainstIndexes count over the same batch (ONE
+      // shared body — equality proves micro-batch splitting neither
+      // loses nor duplicates matches), and the exact_blob rows must
+      // replay the planted byte-identity structure exactly. Index
+      // builds are untimed (the frozen corpus is the stream contract's
+      // precondition).
+      println()
+      println("| op | index factor | index blobs | micro-batches | wall | stream rows | static rows | exact | expected exact |")
+      println("|---|---|---|---|---|---|---|---|---|")
+      def mixedMediaOf(docs: DataFrame): DataFrame = {
+        val audOff = 100000000L
+        val vidOff = 200000000L
+        val unkOff = 300000000L
+        Multimodal.dedupImageMediaFromDocuments(docs)
+          .select("media_id", "bytes")
+          .unionByName(Multimodal.dedupAudioMediaFromDocuments(docs)
+            .select((col("media_id") + audOff).as("media_id"), col("bytes")))
+          .unionByName(Multimodal.dedupVideoMediaFromDocuments(docs)
+            .select((col("media_id") + vidOff).as("media_id"), col("bytes")))
+          .unionByName(docs.select((col("doc_id") + unkOff).as("media_id"),
+            lit("unknown-container".getBytes).as("bytes")))
+      }
+      val streamSrc = s"$base/medstream-src"
+      val batch1 = mixedMediaOf(rep(1)).filter(col("media_id") % 4 === 1 ||
+        col("media_id") % 4 === 2).localCheckpoint()
+      batch1.repartition(4).write.mode("overwrite").parquet(streamSrc)
+      val batchSchema = spark.read.parquet(streamSrc).schema
+      for (f <- Seq(1, 4, 16)) {
+        val corpus = mixedMediaOf(rep(f)).filter(col("media_id") % 4 === 0 ||
+          col("media_id") % 4 === 3).localCheckpoint()
+        val taggedC = Multimodal.classifyMedia(corpus).localCheckpoint()
+        def cohortC(m: String) = taggedC.filter(col("modality") === m)
+          .select("media_id", "bytes")
+        val imgIdx = Multimodal.imageSignatureIndex(
+          Multimodal.decodeAnyImages(cohortC("image"), thumbSide = 8))
+          .localCheckpoint()
+        val audIdx = Multimodal.audioSignatureIndex(cohortC("audio"))
+          .localCheckpoint()
+        val vidIdx = Multimodal.videoFrameIndex(cohortC("video"))
+          .localCheckpoint()
+        val blobIdx = Multimodal.blobMd5Index(corpus).localCheckpoint()
+        val out = s"$base/medstream-out-$f"
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(out), true)
+        val microBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+        var streamRows = 0L
+        val t = time {
+          val stream = spark.readStream.schema(batchSchema)
+            .option("maxFilesPerTrigger", 1).parquet(streamSrc)
+          val q = graft.streaming.StreamSessions.streamingMediaNearDup(
+              stream, imgIdx, audIdx, vidIdx, blobIdx) { (b, _) =>
+              microBatches.incrementAndGet()
+              b.write.mode("append").parquet(out)
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(600000)
+          streamRows = spark.read.parquet(out).count()
+          0L
+        }
+        // untimed static replay of the SAME batch against the SAME
+        // indexes — the one-body equality check
+        val staticRows = Multimodal.mediaAgainstIndexes(batch1, imgIdx,
+          audIdx, vidIdx, blobIdx).count()
+        val exact = spark.read.parquet(out)
+          .filter(col("kind") === "exact_blob").count()
+        val n = nD1
+        // m=1 byte-identical copies match their corpus base per modality
+        // (3 · n/4) + every batch unknown matches the corpus unknown
+        // representative (n/2)
+        val expExact = 3L * (n / 4) + n / 2
+        println(f"| streaming media dedup | ${f}× | ${2 * nD1 * f} " +
+          f"| ${microBatches.get()} | $t%.2f s | $streamRows | $staticRows" +
+          (if (streamRows == staticRows) " (equal)" else " (DIVERGED)") +
+          f" | $exact" +
+          (if (exact == expExact) " (exact)" else s" (EXPECTED $expExact)") +
+          " |")
+      }
       spark.stop(); return
     }
     if (args.contains("--whaleguard")) {
