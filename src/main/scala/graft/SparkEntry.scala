@@ -5202,11 +5202,16 @@ object SparkEntry {
         |dropped AS (SELECT 'dropped_bucket' AS kind, CAST(band AS INT) AS band,
         |    CAST(bits AS BIGINT) AS bits, bucket_df AS n
         |  FROM df WHERE bucket_df > 50),
+        |-- pairs come from EVERY identical-signature group whose per-band
+        |-- bucket df (= the group size) is at or under the cap — the
+        |-- planted zero-sig cluster INCLUDED, so the replay mirrors the
+        |-- guard's cap logic at any corpus size instead of assuming the
+        |-- cluster always trips it (it survives, and pairs, when
+        |-- n/5 <= 50)
         |surv AS (SELECT 'surviving_pairs' AS kind, CAST(-1 AS INT) AS band,
         |    CAST(-1 AS BIGINT) AS bits,
         |    CAST(COALESCE(SUM((k * (k - 1)) // 2), 0) AS BIGINT) AS n
-        |  FROM (SELECT count(*) AS k FROM d
-        |        WHERE doc_id % 5 <> 0 GROUP BY sig)
+        |  FROM (SELECT count(*) AS k FROM d GROUP BY sig)
         |  WHERE k <= 50)
         |SELECT * FROM dropped UNION ALL SELECT * FROM surv
         |ORDER BY kind, band, bits""".stripMargin,

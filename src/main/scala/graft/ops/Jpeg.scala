@@ -341,12 +341,22 @@ object Jpeg {
       comps: Array[Component], scanSel: Array[(Int, Int, Int)],
       quant: Array[Array[Int]], dcTabs: Array[Huff], acTabs: Array[Huff],
       ri: Int): Array[Byte] = {
-    val hmax = comps.map(_.hs).max
-    val vmax = comps.map(_.vs).max
+    // A single-component scan is NON-INTERLEAVED (T.81 A.2): the MCU is
+    // ONE data unit and blocks are coded in raster order over the
+    // component's own block grid — the frame's sampling factors do NOT
+    // group blocks into hs×vs sub-grids (a grayscale stream declaring
+    // 2x2 luma sampling, e.g. a grayscale transcode that kept the
+    // source's factors, codes ceil(w/8)·ceil(h/8) blocks in row order).
+    // Model that by clamping the effective factors to 1x1; for Nf=1 the
+    // component's full resolution is w×h regardless of declared factors.
+    val oneComp = comps.length == 1
+    val eff = if (oneComp) comps.map(_.copy(hs = 1, vs = 1)) else comps
+    val hmax = eff.map(_.hs).max
+    val vmax = eff.map(_.vs).max
     val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
     val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
-    val planeW = comps.map(c => mcusX * 8 * c.hs)
-    val planeH = comps.map(c => mcusY * 8 * c.vs)
+    val planeW = eff.map(c => mcusX * 8 * c.hs)
+    val planeH = eff.map(c => mcusY * 8 * c.vs)
     val planes = comps.indices.map(i =>
       new Array[Byte](planeW(i) * planeH(i))).toArray
 
@@ -375,7 +385,7 @@ object Jpeg {
       var s = 0
       while (s < scanSel.length) {
         val (ci, td, ta) = scanSel(s)
-        val c = comps(ci)
+        val c = eff(ci)
         val q = quant(c.tq)
         var by = 0
         while (by < c.vs) {
@@ -392,21 +402,30 @@ object Jpeg {
       }
       mcu += 1
     }
-    // after the last MCU: padding bits, then (optionally fill bytes and)
-    // EOI. Requiring EOI here is what makes truncation loud.
+    // after the last MCU: padding bits, then STRICTLY fill bytes (FFs),
+    // an optional DNL segment, and EOI — nothing else. Leftover
+    // non-marker bytes here mean the MCU loop consumed fewer entropy
+    // bytes than the stream carries (a desync), and skipping them
+    // silently would defeat the loudness this check exists for.
     br.align()
     var p = br.pos
     var sawEoi = false
-    while (!sawEoi && p + 1 < bytes.length) {
-      if ((bytes(p) & 0xff) == 0xff) {
-        val nxt = bytes(p + 1) & 0xff
-        if (nxt == 0xd9) sawEoi = true
-        else if (nxt == 0xff) p += 1 // fill byte
-        else if (nxt == 0x00) p += 2 // stray stuffed byte
-        else fail(f"unexpected marker FF$nxt%02x after final MCU")
-      } else p += 1
+    while (!sawEoi) {
+      if (p + 1 >= bytes.length) fail("missing EOI after entropy-coded data")
+      if ((bytes(p) & 0xff) != 0xff)
+        fail(f"leftover entropy byte ${bytes(p) & 0xff}%02x after final MCU " +
+          "(coded-data desync)")
+      val nxt = bytes(p + 1) & 0xff
+      if (nxt == 0xd9) sawEoi = true
+      else if (nxt == 0xff) p += 1 // fill byte
+      else if (nxt == 0xdc) { // DNL: number-of-lines segment may follow a scan
+        if (p + 5 >= bytes.length) fail("truncated DNL segment")
+        val len = ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+        if (len != 4) fail(s"bad DNL length $len")
+        p += 2 + len
+      }
+      else fail(f"unexpected byte sequence FF$nxt%02x after final MCU")
     }
-    if (!sawEoi) fail("missing EOI after entropy-coded data")
 
     // upsample (nearest) + color convert + crop
     val out = new Array[Byte](w * h * 3)
@@ -427,7 +446,7 @@ object Jpeg {
       val py = planes(0); val pwy = planeW(0)
       val pcb = planes(1); val pwcb = planeW(1)
       val pcr = planes(2); val pwcr = planeW(2)
-      val cy = comps(0); val ccb = comps(1); val ccr = comps(2)
+      val cy = eff(0); val ccb = eff(1); val ccr = eff(2)
       var y = 0
       while (y < h) {
         var x = 0

@@ -1366,11 +1366,15 @@ object Multimodal {
       .select(col("media_id"), col("match_id"),
         lit("perceptual").as("kind"), lit("audio").as("modality"))
 
-    // video: frame-hash once
+    // video: frame-hash once. The within-batch leg adopts the INDEX's
+    // frozen frame-hash radius (the image cohort's ahash discipline
+    // above) — one result frame never mixes two similarity definitions.
     val vid = cohort("video")
     val vidSets = videoFrameHashSets(vid, thumbSide).localCheckpoint()
     val vidWithin = routedVideoDedupFromSets(vid, vidSets,
-        minMatchedFrames, maxFrameDf)
+        minMatchedFrames, maxFrameDf,
+        maxFrameHamming = indexFrameHamming(videoIndex),
+        maxBucketDf = maxBucketDf)
       .withColumn("modality", lit("video"))
     val vidVs = videoAgainstIndexFromSets(vidSets, videoIndex,
         minMatchedFrames)
@@ -2275,8 +2279,12 @@ object Multimodal {
     // the against-index probe read the checkpoint (the
     // incrementalImageNearDup decode discipline)
     val sets = videoFrameHashSets(newMedia, thumbSide).localCheckpoint()
+    // the within-batch leg adopts the INDEX's frozen frame-hash radius
+    // (the image paths' ahash = indexHashIsAhash discipline): one result
+    // frame never mixes two similarity definitions — an index built at
+    // radius 1 must not see batch-side pairs matched at radius 3
     val within = videoNearDupPairsFromSets(sets, minMatchedFrames,
-        maxFrameDf)
+        maxFrameDf, maxFrameHamming = indexFrameHamming(index))
       .select(col("id_a"), col("id_b"), col("n_matched"), col("lis"),
         lit("batch").as("side"))
     val vsCorpus = videoAgainstIndexFromSets(sets, index, minMatchedFrames)

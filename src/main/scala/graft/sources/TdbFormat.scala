@@ -156,8 +156,13 @@ object TdbFormat {
       // file length would serve the predecessor's lexicon/codebook.
       // The walk below visits every member header anyway, so fold in
       // each member's full 512-byte header (name, size, per-member
-      // mtime, checksum) AND a 64-byte sample of its data — content-
-      // sensitive at one extra small read per member.
+      // mtime, checksum) AND a 64-byte sample from each END of its
+      // data — two extra small reads per member. NOT a full content
+      // hash (that would read the whole archive at open): an overwrite
+      // that preserves lengths, member mtimes, and both 64-byte edges
+      // of every member while editing only interior bytes still
+      // collides; full certainty requires a changed mtime second or
+      // path.
       var fp = fileLen * 31 + st.getModificationTime
       val in = fs.open(file)
       try {
@@ -185,10 +190,16 @@ object TdbFormat {
               members += name -> (file.toString, Member(off + 512, size))
               fp = fp * 31 + java.util.Arrays.hashCode(hdr)
               val n = math.min(size, 64L).toInt
-              if (n > 0 && off + 512 + n <= fileLen) {
-                in.readFully(sample, 0, n)
+              if (n > 0 && off + 512 + size <= fileLen) {
+                in.readFully(sample, 0, n) // head (stream sits at the data)
                 var i = 0
                 while (i < n) { fp = fp * 31 + sample(i); i += 1 }
+                if (size > 64L) { // tail — string tables grow at the end
+                  in.seek(off + 512 + size - n)
+                  in.readFully(sample, 0, n)
+                  i = 0
+                  while (i < n) { fp = fp * 31 + sample(i); i += 1 }
+                }
               }
             }
             off += 512 + ((size + 511) / 512) * 512

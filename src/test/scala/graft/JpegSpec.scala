@@ -185,6 +185,39 @@ class JpegSpec extends SparkSpec {
     intercept[IllegalArgumentException](Jpeg.decode("nope".getBytes))
   }
 
+  test("grayscale with declared 2x2 sampling decodes in raster block order (non-interleaved scan, T.81 A.2)") {
+    // a grayscale transcode can keep its source's 2x2 luma factors; the
+    // single-component scan is NON-interleaved, so block order must stay
+    // raster order regardless of the declared factors (24×16 = 3×2
+    // blocks, where an MCU-grouped reading would consume 8 blocks)
+    val w = 24; val h = 16
+    def bval(bx: Int, by: Int) = bx * 50 + by * 25 + 40
+    val yp = Array.tabulate(w * h)(p =>
+      bval((p % w) / 8, (p / w) / 8).toByte)
+    val bytes = Jpeg.encodeGray(w, h, yp, q8)
+    var i = 2
+    while (!((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc0)) i += 1
+    val hvIdx = i + 11 // FF C0 len(2) prec(1) h(2) w(2) nf(1) id(1) → h/v byte
+    assert(bytes(hvIdx) === 0x11.toByte)
+    bytes(hvIdx) = 0x22.toByte
+    val (dw, dh, rgb) = Jpeg.decode(bytes)
+    assert(dw === w && dh === h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((rgb((y * w + x) * 3) & 0xff) === bval(x / 8, y / 8), s"($x,$y)")
+  }
+
+  test("leftover entropy bytes before EOI fail loudly (coded-data desync)") {
+    val good = Jpeg.encodeGray(8, 8, Array.fill(64)(100.toByte))
+    // splice a non-marker byte between the entropy data and EOI
+    val bad = new Array[Byte](good.length + 1)
+    System.arraycopy(good, 0, bad, 0, good.length - 2)
+    bad(good.length - 2) = 0xab.toByte
+    bad(good.length - 1) = 0xff.toByte
+    bad(good.length) = 0xd9.toByte
+    val e = intercept[IllegalArgumentException](Jpeg.decode(bad))
+    assert(e.getMessage.contains("desync"))
+  }
+
   test("decodeAnyImages dispatches FFD8 and DROPMALFORMED skips truncated jpegs") {
     val jp = Jpeg.encodeGray(8, 8, Array.fill(64)(100.toByte))
     val ppm = Multimodal.Ppm.encode(2, 2, Array.fill(12)(50.toByte))
@@ -202,6 +235,23 @@ class JpegSpec extends SparkSpec {
     val cls = Multimodal.classifyMedia(media.filter(col("media_id") === 1))
       .select("modality").head().getString(0)
     assert(cls === "image")
+  }
+
+  test("routedMediaDedup routes JPEG blobs through the image path (FFD8 in the dispatcher)") {
+    // one group: base jpeg + exact copy + an independent, plus one WAV so
+    // the mixed dispatch actually branches; the jpeg pair must surface as
+    // an image-modality pair (perceptual or exact — both prove routing)
+    val docs = (0L until 8L).toDF("doc_id")
+    val jp = Multimodal.jpegDedupMediaFromDocuments(docs)
+      .filter(col("media_id") < 3) // m=0 base, m=1 copy, m=2 flipped
+    val wav = Multimodal.dedupAudioMediaFromDocuments(docs)
+      .filter(col("media_id") === 4)
+      .select((col("media_id") + 100L).as("media_id"), col("bytes"))
+    val pairs = Multimodal.routedMediaDedup(jp.unionByName(wav))
+      .filter(col("modality") === "image")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L), (0L, 2L), (1L, 2L)))
   }
 
   test("jpegMediaFromDocuments decodes to the closed-form channel means (the m_jpeg oracle, in-process)") {

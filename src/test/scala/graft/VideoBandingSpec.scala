@@ -118,6 +118,32 @@ class VideoBandingSpec extends SparkSpec {
     assert(!exact.exists(p => p._2 / 1000000L == 3))
   }
 
+  test("incrementalVideoNearDup's within-batch leg adopts the index's frozen radius") {
+    // one similarity definition per result frame (the image ahash
+    // discipline): an index frozen at radius 0 must see NO batch-side
+    // pairs matched at the old hard default of 3 — the bit-perturbed
+    // cohort (1-2 drifted bits vs the base's exact copies) pairs on
+    // neither side, while the exact m1/m2 members still pair everywhere
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(12)
+    val media = Multimodal.dedupVideoMediaFromDocuments(docs)
+    val index = Multimodal.videoFrameIndex(
+      media.filter(col("media_id") % 4 === 0), maxFrameHamming = 0)
+    val batch = media.filter(col("media_id") % 4 === 1 ||
+        col("media_id") % 4 === 2)
+      .unionByName(Multimodal.perturbedVideoCohortsFromDocuments(docs,
+        Seq("within")))
+    val got = Multimodal.incrementalVideoNearDup(batch, index)
+      .select("id_a", "id_b", "side").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(!got.exists(p => p._1 >= 3000000L || p._2 >= 3000000L),
+      s"perturbed member paired at radius 0: $got")
+    for (g <- 0L until 3L) {
+      assert(got.contains((4 * g + 1, 4 * g + 2, "batch")))
+      assert(got.contains((4 * g, 4 * g + 1, "corpus")))
+    }
+  }
+
   test("videoAgainstIndex derives its band grid from the index and fails loud without it") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet").limit(12)
