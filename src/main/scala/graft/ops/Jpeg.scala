@@ -314,8 +314,14 @@ object Jpeg {
           val cs = u8(); val tt = u8()
           val ci = comps.indexWhere(_.id == cs)
           if (ci < 0) fail(s"scan selects unknown component $cs")
-          (ci, tt >> 4, tt & 15)
+          val td = tt >> 4; val ta = tt & 15
+          if (td > 3 || ta > 3) fail(s"bad scan table selectors $td/$ta")
+          (ci, td, ta)
         }
+        // T.81 B.2.3 requires distinct Cs_j — a duplicate selector would
+        // leave some plane never written and decode silently wrong
+        if (scanSel.map(_._1).distinct.length != ns)
+          fail("duplicate component selector in scan header")
         val ss = u8(); val se = u8(); val ahal = u8()
         if (ss != 0 || se != 63 || ahal != 0)
           fail(s"non-baseline scan parameters Ss=$ss Se=$se AhAl=$ahal")
@@ -355,6 +361,18 @@ object Jpeg {
     val vmax = eff.map(_.vs).max
     val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
     val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    // bound the PADDED planes, not just w*h*3: degenerate-aspect SOF
+    // dims (w=700M, h=1, 4x4 sampling) pass the raster guard but wrap
+    // Int in plane width/allocation — and the resulting
+    // OutOfMemoryError is an Error, which escapes the DROPMALFORMED
+    // `case e: Exception` and would kill the executor on one crafted
+    // blob. Sizes go through Long BEFORE any Int materialization.
+    eff.foreach { c =>
+      val pw = mcusX.toLong * 8 * c.hs
+      val ph = mcusY.toLong * 8 * c.vs
+      if (pw * ph >= Int.MaxValue)
+        fail(s"component plane ${pw}x$ph too large")
+    }
     val planeW = eff.map(c => mcusX * 8 * c.hs)
     val planeH = eff.map(c => mcusY * 8 * c.vs)
     val planes = comps.indices.map(i =>
@@ -370,7 +388,10 @@ object Jpeg {
     while (mcu < totalMcus) {
       if (ri > 0 && mcu > 0 && mcu % ri == 0) {
         br.align()
-        // expect RSTn with n cycling 0..7 (E.2.4)
+        // expect RSTn with n cycling 0..7 (E.2.4); any number of 0xFF
+        // fill bytes may precede the marker (B.1.1.2)
+        while (br.pos + 2 < bytes.length && (bytes(br.pos) & 0xff) == 0xff &&
+            (bytes(br.pos + 1) & 0xff) == 0xff) br.pos += 1
         if (br.pos + 2 > bytes.length) fail("truncated at restart marker")
         val b0 = bytes(br.pos) & 0xff
         val b1 = bytes(br.pos + 1) & 0xff
@@ -481,7 +502,8 @@ object Jpeg {
       q: Array[Int], pred: Int, blk: Array[Int]): Int = {
     java.util.Arrays.fill(blk, 0)
     val t = br.huffDecode(dc)
-    if (t > 15) fail(s"bad DC category $t")
+    // baseline 8-bit caps DC SSSS at 11 (T.81 F.1.2.1.2)
+    if (t > 11) fail(s"bad DC category $t")
     val diff = extend(br.receive(t), t)
     val newPred = pred + diff
     blk(0) = newPred * q(0)
@@ -492,7 +514,10 @@ object Jpeg {
       val r = rs >>> 4
       val s = rs & 15
       if (s == 0) {
-        if (r == 15) k += 16 // ZRL
+        if (r == 15) {
+          k += 16 // ZRL: 16 zeros, a coefficient must still follow
+          if (k > 63) fail("ZRL overruns the block")
+        }
         else done = true // EOB
       } else {
         k += r
@@ -589,6 +614,11 @@ object Jpeg {
       "luma quant table must be 64 entries in 1..255")
     require(gray || (qChroma.length == 64 && qChroma.forall(q => q >= 1 && q <= 255)),
       "chroma quant table must be 64 entries in 1..255")
+    // DRI carries 16 bits — a larger value would silently truncate on
+    // the wire while the MCU loop used the full Int, emitting a stream
+    // whose RST spacing contradicts its own DRI
+    require(restartInterval >= 0 && restartInterval <= 0xffff,
+      s"restart interval $restartInterval out of the 16-bit DRI range")
 
     val out = new java.io.ByteArrayOutputStream(w * h / 2 + 1024)
     def u8(v: Int): Unit = out.write(v & 0xff)
