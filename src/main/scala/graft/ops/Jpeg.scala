@@ -8,14 +8,19 @@ package graft.ops
   * makes image dedup/quality run on actual crawl data.
   *
   * Decoder scope (refuses anything else LOUDLY, never silently):
-  *  - SOF0/SOF1 (baseline + extended sequential, Huffman, 8-bit
-  *    precision); SOF2 progressive and arithmetic coding are rejected
+  *  - SOF0/SOF1 (baseline + extended sequential) AND SOF2 progressive
+  *    (round 16: spectral selection + successive approximation per
+  *    Annex G — multi-scan coefficient accumulation, EOBRUN end-of-band
+  *    runs, DC/AC refinement passes), Huffman, 8-bit precision;
+  *    lossless, differential, and arithmetic-coded modes are rejected
   *    with a named error.
   *  - 1 or 3 components, any sampling factors 1-4 (covers 4:4:4,
   *    4:2:2, 4:2:0, 4:4:0); nearest-neighbor chroma upsampling.
-  *  - One interleaved scan (Ns = Nf), or the trivial single-component
-  *    scan; restart markers (DRI/RSTn); FF00 byte stuffing; fill
-  *    bytes; APPn/COM skipped by length; 8- and 16-bit DQT.
+  *  - Baseline: one interleaved scan (Ns = Nf), or the trivial
+  *    single-component scan; progressive: any spec-legal scan script
+  *    (interleaved DC, single-component AC bands). Restart markers
+  *    (DRI/RSTn); FF00 byte stuffing; fill bytes; APPn/COM skipped by
+  *    length; 8- and 16-bit DQT.
   *  - Huffman tables built per T.81 Annex C, decoded with the
   *    MINCODE/MAXCODE/VALPTR procedure of F.2.2.3; DC prediction and
   *    AC run/size coding per F.2.2.1-2.
@@ -236,6 +241,8 @@ object Jpeg {
     var w = 0
     var h = 0
     var comps: Array[Component] = null
+    var progressive = false
+    var prog: ProgState = null
     var raster: Array[Byte] = null
 
     while (raster == null) {
@@ -245,9 +252,15 @@ object Jpeg {
       pos += 1
       var m = u8()
       while (m == 0xff) m = u8() // fill bytes (B.1.1.2)
-      if (m == 0xd9) fail("EOI before any SOS (no image data)")
+      if (m == 0xd9) {
+        // EOI: in a progressive stream this is where reconstruction
+        // happens — every scan so far refined the coefficient buffers
+        if (prog != null) raster = prog.reconstruct()
+        else fail("EOI before any SOS (no image data)")
+      }
       else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) () // TEM/RSTn: standalone
-      else if (m == 0xc0 || m == 0xc1) {
+      else if (m == 0xc0 || m == 0xc1 || m == 0xc2) {
+        progressive = m == 0xc2
         val len = u16(); val end = pos - 2 + len
         val prec = u8()
         if (prec != 8) fail(s"unsupported sample precision $prec (8-bit only)")
@@ -266,9 +279,9 @@ object Jpeg {
         }
         if (pos != end) fail("SOF length mismatch")
       }
-      else if (m == 0xc2) fail("progressive JPEG (SOF2) unsupported — baseline sequential only")
       else if (m >= 0xc3 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
-        fail(f"unsupported SOF marker FF$m%02x (baseline sequential only)")
+        fail(f"unsupported SOF marker FF$m%02x (lossless/arithmetic/" +
+          "differential modes — baseline + progressive Huffman only)")
       else if (m == 0xc4) { // DHT
         val len = u16(); val end = pos - 2 + len
         while (pos < end) {
@@ -307,9 +320,7 @@ object Jpeg {
         if (comps == null) fail("SOS before SOF")
         val len = u16(); val end = pos - 2 + len
         val ns = u8()
-        if (ns != comps.length)
-          fail(s"unsupported scan: $ns of ${comps.length} components " +
-            "(single interleaved scan only)")
+        if (ns < 1 || ns > comps.length) fail(s"bad scan component count $ns")
         val scanSel = Array.fill(ns) {
           val cs = u8(); val tt = u8()
           val ci = comps.indexWhere(_.id == cs)
@@ -323,13 +334,29 @@ object Jpeg {
         if (scanSel.map(_._1).distinct.length != ns)
           fail("duplicate component selector in scan header")
         val ss = u8(); val se = u8(); val ahal = u8()
-        if (ss != 0 || se != 63 || ahal != 0)
-          fail(s"non-baseline scan parameters Ss=$ss Se=$se AhAl=$ahal")
         if (pos != end) fail("SOS length mismatch")
         comps.foreach(c => if (!quantSeen(c.tq))
           fail(s"component ${c.id} references undefined quant table ${c.tq}"))
-        raster = decodeScan(bytes, pos, w, h, comps, scanSel,
-          quant, dcTabs, acTabs, ri)
+        if (!progressive) {
+          if (ns != comps.length)
+            fail(s"unsupported scan: $ns of ${comps.length} components " +
+              "(baseline: single interleaved scan only)")
+          if (ss != 0 || se != 63 || ahal != 0)
+            fail(s"non-baseline scan parameters Ss=$ss Se=$se AhAl=$ahal")
+          raster = decodeScan(bytes, pos, w, h, comps, scanSel,
+            quant, dcTabs, acTabs, ri)
+        } else {
+          val ah = ahal >> 4; val al = ahal & 15
+          if (ss > 63 || se > 63 || ss > se || ah > 13 || al > 13)
+            fail(s"bad progressive scan parameters Ss=$ss Se=$se Ah=$ah Al=$al")
+          if (ss == 0 && se != 0)
+            fail("progressive DC scan must have Se=0 (spectral selection)")
+          if (ss > 0 && ns != 1)
+            fail("progressive AC scans must be single-component (G.1.1.1.1)")
+          if (prog == null) prog = new ProgState(comps, w, h, quant)
+          pos = prog.decodeScanInto(bytes, pos, scanSel, ss, se, ah, al,
+            dcTabs, acTabs, ri)
+        }
       }
       else { // APPn / COM / DNL / anything with a length: skip
         val len = u16()
@@ -450,7 +477,17 @@ object Jpeg {
 
     // upsample (nearest) + color convert + crop
     val out = new Array[Byte](w * h * 3)
-    if (comps.length == 1) {
+    planesToRgb(w, h, eff, planes, planeW, hmax, vmax, out)
+    out
+  }
+
+  /** Shared plane finisher: nearest-neighbor upsample + fixed-point
+    * color convert + crop, for both the baseline streaming path and
+    * the progressive coefficient-buffer path. */
+  private def planesToRgb(w: Int, h: Int, eff: Array[Component],
+      planes: Array[Array[Byte]], planeW: Array[Int],
+      hmax: Int, vmax: Int, out: Array[Byte]): Unit = {
+    if (eff.length == 1) {
       val pl = planes(0); val pw = planeW(0)
       var y = 0
       while (y < h) {
@@ -490,7 +527,6 @@ object Jpeg {
         y += 1
       }
     }
-    out
   }
 
   @inline private def clamp255(v: Int): Int =
@@ -527,6 +563,241 @@ object Jpeg {
       }
     }
     newPred
+  }
+
+  /** Progressive (SOF2, Huffman) decode state — T.81 Annex G: scans
+    * accumulate DCT coefficients into per-component buffers (spectral
+    * selection splits the zigzag band across scans, successive
+    * approximation splits each coefficient's bits), and EOI triggers
+    * one dequant + IDCT pass over the finished buffers. The refinement
+    * procedures follow G.1.2 (the same algorithm libjpeg's
+    * decode_mcu_DC/AC_refine implement from the spec): DC refinement
+    * appends one bit at position Al; AC first-scans carry EOBRUN
+    * end-of-band runs; AC refinement advances over zero-history
+    * coefficients while appending correction bits to nonzero-history
+    * ones. Quantization tables are latched at the first scan. */
+  private final class ProgState(comps: Array[Component], w: Int, h: Int,
+      quant: Array[Array[Int]]) {
+    private val eff: Array[Component] =
+      if (comps.length == 1) comps.map(_.copy(hs = 1, vs = 1)) else comps
+    private val hmax = eff.map(_.hs).max
+    private val vmax = eff.map(_.vs).max
+    private val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    private val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    private val gridW = eff.map(c => mcusX * c.hs)
+    private val gridH = eff.map(c => mcusY * c.vs)
+    // non-interleaved scans cover the component's REAL block grid
+    // (ceil(compW/8), T.81 A.2.2), indexed within the padded layout
+    private val realBw = eff.map(c => (((w * c.hs + hmax - 1) / hmax) + 7) / 8)
+    private val realBh = eff.map(c => (((h * c.vs + vmax - 1) / vmax) + 7) / 8)
+    eff.indices.foreach { i =>
+      if (gridW(i).toLong * gridH(i) * 64 >= Int.MaxValue)
+        fail(s"component plane ${gridW(i) * 8}x${gridH(i) * 8} too large")
+    }
+    private val coef: Array[Array[Int]] = eff.indices.map(i =>
+      new Array[Int](gridW(i) * gridH(i) * 64)).toArray
+    private val q: Array[Array[Int]] = comps.map(c => quant(c.tq).clone())
+
+    /** Decode one scan's entropy data into the coefficient buffers;
+      * returns the position just past it (the caller's marker loop
+      * resumes there). */
+    def decodeScanInto(bytes: Array[Byte], start: Int,
+        scanSel: Array[(Int, Int, Int)], ss: Int, se: Int, ah: Int,
+        al: Int, dcTabs: Array[Huff], acTabs: Array[Huff], ri: Int): Int = {
+      val br = new BitReader(bytes, start)
+      val preds = new Array[Int](comps.length)
+      var eobrun = 0
+      var rstIdx = 0
+      var unit = 0 // restart counting: MCUs (interleaved) or blocks
+
+      def restartCheck(): Unit =
+        if (ri > 0 && unit > 0 && unit % ri == 0) {
+          br.align()
+          while (br.pos + 2 < bytes.length && (bytes(br.pos) & 0xff) == 0xff &&
+              (bytes(br.pos + 1) & 0xff) == 0xff) br.pos += 1
+          if (br.pos + 2 > bytes.length) fail("truncated at restart marker")
+          val b0 = bytes(br.pos) & 0xff
+          val b1 = bytes(br.pos + 1) & 0xff
+          if (b0 != 0xff || b1 != 0xd0 + (rstIdx & 7))
+            fail(f"expected RST${rstIdx & 7} at ${br.pos}, got $b0%02x$b1%02x")
+          br.pos += 2
+          rstIdx += 1
+          java.util.Arrays.fill(preds, 0)
+          eobrun = 0
+        }
+
+      def dcFirst(ci: Int, dc: Huff, base: Int): Unit = {
+        val t = br.huffDecode(dc)
+        if (t > 11) fail(s"bad DC category $t")
+        preds(ci) += extend(br.receive(t), t)
+        coef(ci)(base) = preds(ci) << al
+      }
+      def dcRefine(ci: Int, base: Int): Unit =
+        if (br.nextBit() == 1) coef(ci)(base) |= (1 << al)
+
+      def acFirst(ci: Int, ac: Huff, base: Int): Unit = {
+        if (eobrun > 0) { eobrun -= 1; return }
+        val c = coef(ci)
+        var k = ss
+        var done = false
+        while (k <= se && !done) {
+          val rs = br.huffDecode(ac)
+          val r = rs >>> 4
+          val s = rs & 15
+          if (s == 0) {
+            if (r != 15) {
+              eobrun = (1 << r) - 1 + (if (r > 0) br.receive(r) else 0)
+              done = true
+            } else {
+              k += 16
+              if (k > se + 1) fail("ZRL overruns the band")
+            }
+          } else {
+            k += r
+            if (k > se) fail("AC coefficient index overruns the band")
+            c(base + Zigzag(k)) = extend(br.receive(s), s) << al
+            k += 1
+          }
+        }
+      }
+
+      def acRefine(ci: Int, ac: Huff, base: Int): Unit = {
+        val c = coef(ci)
+        val p1 = 1 << al
+        val m1 = -1 << al
+        def correct(idx: Int): Unit =
+          if (br.nextBit() == 1 && (c(idx) & p1) == 0)
+            c(idx) += (if (c(idx) >= 0) p1 else m1)
+        var k = ss
+        if (eobrun == 0) {
+          var done = false
+          while (k <= se && !done) {
+            val rs = br.huffDecode(ac)
+            var r = rs >>> 4
+            val s = rs & 15
+            var newval = 0
+            if (s != 0) {
+              if (s != 1) fail(s"bad refinement magnitude $s")
+              newval = if (br.nextBit() == 1) p1 else m1
+            } else if (r != 15) {
+              eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0)
+              done = true // the EOB tail below handles the rest of THIS band
+            }
+            if (!done) {
+              // advance over r zero-history coefficients, appending
+              // correction bits to every nonzero-history one passed
+              var placed = false
+              while (k <= se && !placed) {
+                val idx = base + Zigzag(k)
+                if (c(idx) != 0) { correct(idx); k += 1 }
+                else if (r == 0) {
+                  if (newval != 0) c(idx) = newval
+                  placed = true
+                  k += 1
+                } else { r -= 1; k += 1 }
+              }
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) {
+            val idx = base + Zigzag(k)
+            if (c(idx) != 0) correct(idx)
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+
+      if (scanSel.length > 1) {
+        // interleaved scan: progressive allows this for DC only
+        if (ss != 0) fail("interleaved progressive scan must be DC")
+        var mcu = 0
+        val total = mcusX * mcusY
+        while (mcu < total) {
+          restartCheck()
+          val mx = mcu % mcusX
+          val my = mcu / mcusX
+          var s = 0
+          while (s < scanSel.length) {
+            val (ci, td, _) = scanSel(s)
+            val c = eff(ci)
+            var by = 0
+            while (by < c.vs) {
+              var bx = 0
+              while (bx < c.hs) {
+                val base = ((my * c.vs + by) * gridW(ci) + (mx * c.hs + bx)) * 64
+                if (ah == 0) dcFirst(ci, dcTabs(td), base)
+                else dcRefine(ci, base)
+                bx += 1
+              }
+              by += 1
+            }
+            s += 1
+          }
+          mcu += 1
+          unit += 1
+        }
+      } else {
+        val (ci, td, ta) = scanSel(0)
+        var by = 0
+        while (by < realBh(ci)) {
+          var bx = 0
+          while (bx < realBw(ci)) {
+            restartCheck()
+            val base = (by * gridW(ci) + bx) * 64
+            if (ss == 0) {
+              if (ah == 0) dcFirst(ci, dcTabs(td), base)
+              else dcRefine(ci, base)
+            } else {
+              if (ah == 0) acFirst(ci, acTabs(ta), base)
+              else acRefine(ci, acTabs(ta), base)
+            }
+            bx += 1
+            unit += 1
+          }
+          by += 1
+        }
+      }
+      br.align()
+      br.pos
+    }
+
+    /** Dequantize + IDCT every buffered block, then the shared
+      * upsample/convert/crop finisher. */
+    def reconstruct(): Array[Byte] = {
+      val planeW = gridW.map(_ * 8)
+      val planeH = gridH.map(_ * 8)
+      val planes = eff.indices.map(i =>
+        new Array[Byte](planeW(i) * planeH(i))).toArray
+      val blk = new Array[Int](64)
+      val tmp = new Array[Double](64)
+      var ci = 0
+      while (ci < eff.length) {
+        val cf = coef(ci)
+        val qc = q(ci)
+        var by = 0
+        while (by < gridH(ci)) {
+          var bx = 0
+          while (bx < gridW(ci)) {
+            val base = (by * gridW(ci) + bx) * 64
+            var k = 0
+            while (k < 64) {
+              val nz = Zigzag(k)
+              blk(nz) = cf(base + nz) * qc(k)
+              k += 1
+            }
+            idctInto(blk, tmp, planes(ci), planeW(ci), bx * 8, by * 8)
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      val out = new Array[Byte](w * h * 3)
+      planesToRgb(w, h, eff, planes, planeW, hmax, vmax, out)
+      out
+    }
   }
 
   /** Reference separable IDCT (T.81 A.3.3) + level shift, written into

@@ -14,12 +14,16 @@ import org.apache.spark.sql.types._
   *  - COMPRESSED: [[decodeQoiImages]] decompresses QOI streams (run-length,
   *    64-slot color index, delta/luma chunks — the real decode loop of a
   *    compressed format) through the same batch-per-partition contract.
-  * Heavyweight codecs (JPEG/MP3/H.264) are out of scope for this container
-  * (no codec libraries); in a PySpark deployment the same mapPartitions
-  * row contract becomes a Pandas UDF over mapInPandas, in Scala a JNI
-  * codec opened once per partition — the Spark-side plumbing (schema,
-  * batch shape, partitioning, operator signatures) is identical to what
-  * [[Qoi]] exercises for real.
+  *  - DCT-CODED: [[decodeJpegImages]] ([[Jpeg]], round 16) decodes real
+  *    baseline AND progressive JPEG — the format crawl corpora are
+  *    dominated by — from the public ITU-T T.81 spec, zero external
+  *    codecs.
+  * MP3/H.264 remain out of scope for this container (no codec
+  * libraries); in a PySpark deployment the same mapPartitions row
+  * contract becomes a Pandas UDF over mapInPandas, in Scala a JNI codec
+  * opened once per partition — the Spark-side plumbing (schema, batch
+  * shape, partitioning, operator signatures) is identical to what
+  * [[Qoi]]/[[Jpeg]] exercise for real.
   */
 object Multimodal {
 
@@ -657,10 +661,11 @@ object Multimodal {
       skipMalformed: Boolean = true): DataFrame =
     decodeImagesWith(media, Qoi.decode, thumbSide, skipMalformed)
 
-  /** Baseline JPEG decode — the DCT tier ([[Jpeg]], implemented from the
-    * public ITU-T T.81 spec; round 16). Same output contract as
-    * [[decodeImages]]; grayscale streams replicate Y into all three
-    * channels. */
+  /** JPEG decode — the DCT tier ([[Jpeg]], implemented from the public
+    * ITU-T T.81 spec; round 16): baseline/extended sequential AND
+    * progressive (Annex G), cross-validated against the JDK's
+    * independent codec. Same output contract as [[decodeImages]];
+    * grayscale streams replicate Y into all three channels. */
   def decodeJpegImages(media: DataFrame, thumbSide: Int = 2,
       skipMalformed: Boolean = true): DataFrame =
     decodeImagesWith(media, Jpeg.decode, thumbSide, skipMalformed)

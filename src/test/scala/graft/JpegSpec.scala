@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{Jpeg, Multimodal}
 
-/** The from-spec baseline JPEG codec (ITU-T T.81, round 16): exact
+/** The from-spec JPEG codec (ITU-T T.81, round 16): exact
   * reconstruction on DC-only fixtures, interop against the JDK's own
-  * independent codec (javax.imageio) in both directions, restart
-  * markers, loud refusal of progressive streams, DROPMALFORMED
-  * skipping, and the decodeAnyImages / classifyMedia FFD8 dispatch. */
+  * independent codec (javax.imageio) in both directions — baseline
+  * AND progressive (Annex G multi-scan) — restart markers, raster
+  * block order for non-interleaved scans, DROPMALFORMED skipping, and
+  * the decodeAnyImages / classifyMedia FFD8 dispatch. */
 class JpegSpec extends SparkSpec {
   import spark.implicits._
 
@@ -99,20 +100,23 @@ class JpegSpec extends SparkSpec {
     a.indices.map(i => math.abs((a(i) & 0xff) - (b(i) & 0xff))).max
   }
 
-  test("interop: the JDK's independent codec decodes OUR streams (gray, 4:4:4, 4:2:0, restarts)") {
+  test("interop: the JDK's independent codec decodes OUR streams (gray, 4:4:4, 4:2:2, 4:4:0, 4:2:0, restarts)") {
     // IDCT implementations legitimately differ by ±1; chroma
     // interpolation (ImageIO smooths, we use nearest) can add a little
     // more on color streams — bound it tightly rather than exactly.
-    for ((samp, ri, tol) <- Seq((1, 0, 8), (2, 0, 8), (2, 3, 8))) {
+    // The asymmetric (2,1)/(1,2) rows cover 4:2:2 and 4:4:0 chroma
+    // geometry, which share no code path shortcuts with 2x2.
+    for ((sh, sv, ri, tol) <- Seq((1, 1, 0, 8), (2, 2, 0, 8),
+        (2, 1, 0, 8), (1, 2, 0, 8), (2, 2, 3, 8))) {
       val w = 37; val h = 29
-      val rgb = randomRgb(w, h, samp * 100L + ri)
-      val bytes = Jpeg.encode(w, h, rgb, samp, samp,
+      val rgb = randomRgb(w, h, sh * 100L + sv * 10L + ri)
+      val bytes = Jpeg.encode(w, h, rgb, sh, sv,
         Jpeg.StdQuantLuma, Jpeg.StdQuantChroma, ri)
       val (dw, dh, theirs) = imageIoDecode(bytes)
       assert(dw === w && dh === h)
       val (_, _, ours) = Jpeg.decode(bytes)
       assert(maxAbsDiff(ours, theirs) <= tol,
-        s"samp=$samp ri=$ri diverged beyond ±$tol from ImageIO")
+        s"samp=${sh}x$sv ri=$ri diverged beyond ±$tol from ImageIO")
     }
     // grayscale: compare RAW raster samples — BufferedImage.getRGB on a
     // TYPE_BYTE_GRAY image applies a linear→sRGB gamma conversion that
@@ -158,9 +162,8 @@ class JpegSpec extends SparkSpec {
     }
   }
 
-  test("progressive streams are refused LOUDLY, truncation throws") {
-    val w = 16; val h = 16
-    val rgb = randomRgb(w, h, 42L)
+  private def imageIoEncode(w: Int, h: Int, rgb: Array[Byte],
+      quality: Float, progressive: Boolean): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (y <- 0 until h; x <- 0 until w) {
@@ -170,19 +173,54 @@ class JpegSpec extends SparkSpec {
     }
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
     val params = writer.getDefaultWriteParam
-    params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    if (progressive)
+      params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
     val bos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
     writer.setOutput(ios)
     writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
     ios.close(); writer.dispose()
-    val prog = intercept[IllegalArgumentException](Jpeg.decode(bos.toByteArray))
-    assert(prog.getMessage.contains("progressive"))
+    bos.toByteArray
+  }
 
+  test("PROGRESSIVE streams decode (multi-scan spectral selection + successive approximation, T.81 Annex G)") {
+    for (quality <- Seq(0.9f, 0.5f)) {
+      val w = 41; val h = 27 // partial MCUs on both axes
+      val rgb = randomRgb(w, h, (quality * 1000).toLong)
+      val bytes = imageIoEncode(w, h, rgb, quality, progressive = true)
+      // confirm the stream really is SOF2 (the JDK writer honors the mode)
+      assert((0 until bytes.length - 1).exists(i =>
+        (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc2),
+        "fixture is not progressive")
+      val (dw, dh, ours) = Jpeg.decode(bytes)
+      assert(dw === w && dh === h)
+      val (_, _, theirs) = imageIoDecode(bytes)
+      assert(maxAbsDiff(ours, theirs) <= 8,
+        s"progressive quality=$quality diverged beyond ±8 from ImageIO's own decode")
+    }
+    // a progressive stream must equal the SEQUENTIAL encoding of the
+    // same raster up to IDCT/interpolation tolerance — the scans carry
+    // the same coefficients, just reordered
+    val w = 32; val h = 24
+    val rgb = randomRgb(w, h, 777L)
+    val (_, _, seq) = Jpeg.decode(imageIoEncode(w, h, rgb, 0.9f, progressive = false))
+    val (_, _, prg) = Jpeg.decode(imageIoEncode(w, h, rgb, 0.9f, progressive = true))
+    assert(maxAbsDiff(seq, prg) <= 2,
+      "progressive and sequential encodings of the same raster diverged")
+  }
+
+  test("truncation and garbage throw") {
     val good = Jpeg.encodeGray(8, 8, Array.fill(64)(100.toByte))
     intercept[IllegalArgumentException](
       Jpeg.decode(java.util.Arrays.copyOfRange(good, 0, good.length / 2)))
     intercept[IllegalArgumentException](Jpeg.decode("nope".getBytes))
+    // a truncated PROGRESSIVE stream throws too (mid-scan EOF)
+    val w = 24; val h = 24
+    val pbytes = imageIoEncode(w, h, randomRgb(w, h, 9L), 0.9f, progressive = true)
+    intercept[IllegalArgumentException](
+      Jpeg.decode(java.util.Arrays.copyOfRange(pbytes, 0, pbytes.length / 2)))
   }
 
   test("grayscale with declared 2x2 sampling decodes in raster block order (non-interleaved scan, T.81 A.2)") {
