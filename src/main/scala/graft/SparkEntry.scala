@@ -2171,13 +2171,15 @@ object SparkEntry {
       audit.unionByName(pairs).orderBy("kind", "band", "bits")
     }),
 
-    // Multimodal: REAL baseline-JPEG decode (round 16, from the public
-    // ITU-T T.81 spec) — synthesize a true DCT-coded Huffman-entropy
-    // JPEG per doc (grayscale / 4:2:0 / 4:4:4 by doc_id%3, restart
-    // markers on doc_id%4=1, TRUNCATED streams on doc_id%17=0 for the
-    // DROPMALFORMED cohort), decode through the full marker parse +
-    // Huffman + dequant + IDCT + fixed-point color-convert path, output
-    // per-channel means. Every planted 8x8 block is constant and the
+    // Multimodal: REAL JPEG decode (round 16, from the public ITU-T
+    // T.81 spec) — synthesize a true DCT-coded Huffman-entropy JPEG per
+    // doc (grayscale / 4:2:0 / 4:4:4 by doc_id%3, restart markers on
+    // doc_id%4=1, PROGRESSIVE SOF2 wire format on doc_id%5∈{3,4} — DC
+    // successive approximation + refinement scan + EOBRUN AC scans,
+    // decoding to the same constants as the sequential form — and
+    // TRUNCATED streams on doc_id%17=0 for the DROPMALFORMED cohort),
+    // decode through the full marker parse + Huffman + dequant + IDCT +
+    // fixed-point color-convert path, output per-channel means. Every planted 8x8 block is constant and the
     // quant tables are all 8s, so the decode is EXACT and DuckDB
     // replays the means — including the libjpeg fixed-point YCbCr→RGB
     // integer arithmetic — analytically from doc_id.

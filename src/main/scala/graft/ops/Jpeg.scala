@@ -861,6 +861,55 @@ object Jpeg {
   @inline private def category(v: Int): Int =
     32 - Integer.numberOfLeadingZeros(math.abs(v))
 
+  /** Pad a plane to the coded grid by edge replication. */
+  private def padPlane(src: Array[Byte], sw: Int, sh: Int,
+      pw: Int, ph: Int): Array[Byte] = {
+    val p = new Array[Byte](pw * ph)
+    var y = 0
+    while (y < ph) {
+      val sy = math.min(y, sh - 1)
+      var x = 0
+      while (x < pw) {
+        p(y * pw + x) = src(sy * sw + math.min(x, sw - 1))
+        x += 1
+      }
+      y += 1
+    }
+    p
+  }
+
+  /** Forward DCT + quantization of one 8×8 block into zigzag order:
+    * F(v,u) = Σ_y Σ_x A(y)(v)·A(x)(u)·(s(y,x)−128), then
+    * round(F/q). `block` is scratch; `coefZ` receives the result. */
+  private def fdctQuantize(plane: Array[Byte], pw: Int, ox: Int, oy: Int,
+      qz: Array[Int], block: Array[Double], coefZ: Array[Int]): Unit = {
+    var v = 0
+    while (v < 8) { // rows→freq pass: block(v,x) = Σ_y A(y)(v)·s(y,x)
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var y = 0
+        while (y < 8) {
+          acc += A(y)(v) * ((plane((oy + y) * pw + (ox + x)) & 0xff) - 128)
+          y += 1
+        }
+        block(v * 8 + x) = acc
+        x += 1
+      }
+      v += 1
+    }
+    var k = 0
+    while (k < 64) { // cols→freq + quantize, straight into zigzag order
+      val zz = Zigzag(k)
+      val fv = zz / 8; val fu = zz % 8
+      var acc = 0.0
+      var x = 0
+      while (x < 8) { acc += A(x)(fu) * block(fv * 8 + x); x += 1 }
+      coefZ(k) = Math.round(acc / qz(k)).toInt
+      k += 1
+    }
+  }
+
   /** Encode YCbCr planes directly (fixture generators control the exact
     * coded samples this way): `yPlane` is w×h; `cbPlane`/`crPlane` are
     * ceil(w/sampH)×ceil(h/sampV), or null for grayscale. Quant tables
@@ -944,21 +993,6 @@ object Jpeg {
     val vm = if (gray) 1 else sampV
     val mcusX = (w + 8 * hm - 1) / (8 * hm)
     val mcusY = (h + 8 * vm - 1) / (8 * vm)
-    // pad planes to the MCU grid by edge replication
-    def padPlane(src: Array[Byte], sw: Int, sh: Int, pw: Int, ph: Int): Array[Byte] = {
-      val p = new Array[Byte](pw * ph)
-      var y = 0
-      while (y < ph) {
-        val sy = math.min(y, sh - 1)
-        var x = 0
-        while (x < pw) {
-          p(y * pw + x) = src(sy * sw + math.min(x, sw - 1))
-          x += 1
-        }
-        y += 1
-      }
-      p
-    }
     val lpw = mcusX * 8 * hm; val lph = mcusY * 8 * vm
     val lp = padPlane(yPlane, w, h, lpw, lph)
     val cpw = mcusX * 8; val cph = mcusY * 8
@@ -973,32 +1007,7 @@ object Jpeg {
 
     def encodeBlock(plane: Array[Byte], pw: Int, ox: Int, oy: Int,
         qz: Array[Int], dc: Huff, ac: Huff, ci: Int): Unit = {
-      // forward DCT: F(v,u) = Σ_y Σ_x A(y)(v)·A(x)(u)·(s(y,x)−128)
-      var v = 0
-      while (v < 8) { // rows→freq pass: block(v,x) = Σ_y A(y)(v)·s(y,x)
-        var x = 0
-        while (x < 8) {
-          var acc = 0.0
-          var y = 0
-          while (y < 8) {
-            acc += A(y)(v) * ((plane((oy + y) * pw + (ox + x)) & 0xff) - 128)
-            y += 1
-          }
-          block(v * 8 + x) = acc
-          x += 1
-        }
-        v += 1
-      }
-      var k = 0
-      while (k < 64) { // cols→freq + quantize, straight into zigzag order
-        val zz = Zigzag(k)
-        val fv = zz / 8; val fu = zz % 8
-        var acc = 0.0
-        var x = 0
-        while (x < 8) { acc += A(x)(fu) * block(fv * 8 + x); x += 1 }
-        coefZ(k) = Math.round(acc / qz(k)).toInt
-        k += 1
-      }
+      fdctQuantize(plane, pw, ox, oy, qz, block, coefZ)
       // DC
       val diff = coefZ(0) - preds(ci)
       preds(ci) = coefZ(0)
@@ -1010,7 +1019,7 @@ object Jpeg {
       // AC
       val (acCodes, acSizes) = ac.enc
       var run = 0
-      k = 1
+      var k = 1
       while (k < 64) {
         val c = coefZ(k)
         if (c == 0) run += 1
@@ -1115,4 +1124,207 @@ object Jpeg {
   def encodeGray(w: Int, h: Int, yPlane: Array[Byte],
       qLuma: Array[Int] = StdQuantLuma, restartInterval: Int = 0): Array[Byte] =
     encodeYcc(w, h, yPlane, null, null, 1, 1, qLuma, null, restartInterval)
+
+  /** EOBn symbols (0x00..0xE0) at a flat code length — progressive AC
+    * scans need end-of-band run codes the Annex K baseline tables don't
+    * define, so the progressive encoder ships its own tiny table. */
+  private val EobBits: Array[Int] =
+    Array(0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val EobVals: Array[Int] = Array.tabulate(15)(r => r << 4)
+
+  /** PROGRESSIVE (SOF2) encoder for DC-ONLY content — fixture-grade:
+    * every 8×8 block must quantize to a lone DC coefficient (the
+    * constant-block oracle fixtures guarantee this; anything else fails
+    * loudly). The scan script deliberately exercises every progressive
+    * decode procedure: scan 1 codes DC first-pass at Al=1 (successive
+    * approximation, optionally with restart markers), scan 2 delivers
+    * the DC low bit as a refinement pass (Ah=1), then one AC scan per
+    * component codes the empty 1..63 band as maximal EOBRUN runs
+    * through a custom EOBn Huffman table. Decoded output is
+    * bit-identical to the sequential [[encodeYcc]] of the same planes. */
+  def encodeYccProgressive(w: Int, h: Int, yPlane: Array[Byte],
+      cbPlane: Array[Byte], crPlane: Array[Byte],
+      sampH: Int = 2, sampV: Int = 2,
+      qLuma: Array[Int] = StdQuantLuma, qChroma: Array[Int] = StdQuantChroma,
+      restartInterval: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dimensions $w x $h")
+    require(yPlane.length == w * h, "luma plane size mismatch")
+    val gray = cbPlane == null
+    require(gray == (crPlane == null), "cb/cr must both be present or absent")
+    val cw = (w + sampH - 1) / sampH
+    val ch = (h + sampV - 1) / sampV
+    if (!gray) {
+      require(sampH >= 1 && sampH <= 4 && sampV >= 1 && sampV <= 4, "bad sampling")
+      require(cbPlane.length == cw * ch && crPlane.length == cw * ch,
+        "chroma plane size mismatch")
+    }
+    require(qLuma.length == 64 && qLuma.forall(q => q >= 1 && q <= 255),
+      "luma quant table must be 64 entries in 1..255")
+    require(gray || (qChroma.length == 64 && qChroma.forall(q => q >= 1 && q <= 255)),
+      "chroma quant table must be 64 entries in 1..255")
+    require(restartInterval >= 0 && restartInterval <= 0xffff,
+      s"restart interval $restartInterval out of the 16-bit DRI range")
+
+    val out = new java.io.ByteArrayOutputStream(w * h / 8 + 1024)
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    def dht(tc: Int, th: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length)
+      u8((tc << 4) | th); bits.foreach(u8); vals.foreach(u8)
+    }
+
+    marker(0xd8) // SOI
+    marker(0xe0); u16(16) // APP0 / JFIF 1.1
+    "JFIF".foreach(c => u8(c)); u8(0)
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    marker(0xdb); u16(2 + (if (gray) 65 else 130)) // DQT, zigzag on the wire
+    u8(0x00); Zigzag.foreach(z => u8(qLuma(z)))
+    if (!gray) { u8(0x01); Zigzag.foreach(z => u8(qChroma(z))) }
+    val nf = if (gray) 1 else 3
+    marker(0xc2); u16(8 + 3 * nf); u8(8); u16(h); u16(w); u8(nf) // SOF2
+    if (gray) { u8(1); u8(0x11); u8(0) }
+    else {
+      u8(1); u8((sampH << 4) | sampV); u8(0)
+      u8(2); u8(0x11); u8(1)
+      u8(3); u8(0x11); u8(1)
+    }
+    dht(0, 0, StdDcLumaBits, StdDcLumaVals)
+    if (!gray) dht(0, 1, StdDcChromaBits, StdDcChromaVals)
+
+    // geometry + per-block quantized DC arrays over the PADDED grids
+    val hm = if (gray) 1 else sampH
+    val vm = if (gray) 1 else sampV
+    val mcusX = (w + 8 * hm - 1) / (8 * hm)
+    val mcusY = (h + 8 * vm - 1) / (8 * vm)
+    val qzL = Array.tabulate(64)(k => qLuma(Zigzag(k)))
+    val qzC = if (gray) null else Array.tabulate(64)(k => qChroma(Zigzag(k)))
+    val gridW = Array.tabulate(nf)(ci => if (ci == 0) mcusX * hm else mcusX)
+    val gridH = Array.tabulate(nf)(ci => if (ci == 0) mcusY * vm else mcusY)
+    val planes = Array.tabulate(nf) { ci =>
+      if (ci == 0) padPlane(yPlane, w, h, gridW(0) * 8, gridH(0) * 8)
+      else padPlane(if (ci == 1) cbPlane else crPlane, cw, ch,
+        gridW(ci) * 8, gridH(ci) * 8)
+    }
+    val block = new Array[Double](64)
+    val coefZ = new Array[Int](64)
+    val dcq = Array.tabulate(nf) { ci =>
+      val gw = gridW(ci); val gh = gridH(ci)
+      val arr = new Array[Int](gw * gh)
+      val qz = if (ci == 0) qzL else qzC
+      var by = 0
+      while (by < gh) {
+        var bx = 0
+        while (bx < gw) {
+          fdctQuantize(planes(ci), gw * 8, bx * 8, by * 8, qz, block, coefZ)
+          var k = 1
+          while (k < 64) {
+            if (coefZ(k) != 0) fail("encodeYccProgressive is fixture-grade: " +
+              s"block ($bx,$by) of component $ci has a nonzero AC coefficient")
+            k += 1
+          }
+          arr(by * gw + bx) = coefZ(0)
+          bx += 1
+        }
+        by += 1
+      }
+      arr
+    }
+
+    val dcHuffs = Array.tabulate(nf)(ci =>
+      if (ci == 0) new Huff(StdDcLumaBits, StdDcLumaVals)
+      else new Huff(StdDcChromaBits, StdDcChromaVals))
+    val vss = Array.tabulate(nf)(ci => if (ci == 0) vm else 1)
+    val hss = Array.tabulate(nf)(ci => if (ci == 0) hm else 1)
+
+    def sosHeader(sel: Seq[(Int, Int, Int)], ss: Int, se: Int,
+        ah: Int, al: Int): Unit = {
+      marker(0xda); u16(6 + 2 * sel.length); u8(sel.length)
+      sel.foreach { case (id, td, ta) => u8(id); u8((td << 4) | ta) }
+      u8(ss); u8(se); u8((ah << 4) | al)
+    }
+    /** Iterate blocks in the scan's coded order (interleaved MCU order
+      * for nf>1, raster for nf=1 — both match the decoder exactly),
+      * with per-`restart`-MCU callbacks. */
+    def blockOrder(ri: Int)(restart: () => Unit)(
+        visit: (Int, Int) => Unit): Unit = {
+      var mcu = 0
+      val total = mcusX * mcusY
+      while (mcu < total) {
+        if (ri > 0 && mcu > 0 && mcu % ri == 0) restart()
+        val mx = mcu % mcusX
+        val my = mcu / mcusX
+        var ci = 0
+        while (ci < nf) {
+          var by = 0
+          while (by < vss(ci)) {
+            var bx = 0
+            while (bx < hss(ci)) {
+              visit(ci, (my * vss(ci) + by) * gridW(ci) + (mx * hss(ci) + bx))
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+      }
+    }
+
+    // SCAN 1: DC first pass, Al = 1, optional restarts
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
+    sosHeader((0 until nf).map(ci => (ci + 1, if (ci == 0) 0 else 1, 0)),
+      0, 0, 0, 1)
+    var bw = new BitWriter(out)
+    val preds = new Array[Int](nf)
+    var rstIdx = 0
+    blockOrder(restartInterval) { () =>
+      bw.flush(); marker(0xd0 + (rstIdx & 7)); rstIdx += 1
+      java.util.Arrays.fill(preds, 0)
+    } { (ci, bi) =>
+      val v = dcq(ci)(bi) >> 1
+      val diff = v - preds(ci)
+      preds(ci) = v
+      val s = category(diff)
+      if (s > 11) fail(s"DC difference $diff out of range")
+      val (codes, sizes) = dcHuffs(ci).enc
+      bw.put(codes(s), sizes(s))
+      if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+    }
+    bw.flush()
+
+    // SCAN 2: DC refinement, Ah = 1, Al = 0 — one raw bit per block
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(0) }
+    sosHeader((0 until nf).map(ci => (ci + 1, 0, 0)), 0, 0, 1, 0)
+    bw = new BitWriter(out)
+    blockOrder(0)(() => ()) { (ci, bi) => bw.put(dcq(ci)(bi) & 1, 1) }
+    bw.flush()
+
+    // AC scans: one per component, the empty 1..63 band as EOBRUN runs
+    dht(1, 0, EobBits, EobVals)
+    val eobHuff = new Huff(EobBits, EobVals)
+    val (eobCodes, eobSizes) = eobHuff.enc
+    var ci = 0
+    while (ci < nf) {
+      // non-interleaved scans cover the component's REAL block grid
+      val compW = if (ci == 0) w else cw
+      val compH = if (ci == 0) h else ch
+      val nBlocks = ((compW + 7) / 8) * ((compH + 7) / 8)
+      sosHeader(Seq((ci + 1, 0, 0)), 1, 63, 0, 0)
+      bw = new BitWriter(out)
+      var left = nBlocks
+      while (left > 0) {
+        var r = 0
+        while (r < 14 && (1 << (r + 1)) <= left) r += 1
+        val run = math.min(left, (1 << (r + 1)) - 1) // ∈ [2^r, 2^(r+1))
+        bw.put(eobCodes(r << 4), eobSizes(r << 4))
+        if (r > 0) bw.put(run - (1 << r), r)
+        left -= run
+      }
+      bw.flush()
+      ci += 1
+    }
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
 }

@@ -319,8 +319,13 @@ object Multimodal {
     * Variants by doc_id: %3=0 grayscale, %3=1 color 4:2:0 (chroma
     * constant per 16×16 luma region), %3=2 color 4:4:4 (per 8×8);
     * %4=1 additionally codes with a restart interval of 1-3 MCUs
-    * (DRI/RSTn on the wire); %17=0 is TRUNCATED mid-stream — the
-    * DROPMALFORMED cohort, absent from the decode output. */
+    * (DRI/RSTn on the wire); %5∈{3,4} codes the SAME planes as a
+    * PROGRESSIVE (SOF2) stream — DC successive approximation at Al=1,
+    * a DC refinement scan, and per-component EOBRUN AC scans — whose
+    * decoded constants are bit-identical to the sequential encoding,
+    * so the oracle is unchanged while the gate drives the Annex G
+    * decode path; %17=0 is TRUNCATED mid-stream — the DROPMALFORMED
+    * cohort, absent from the decode output. */
   def jpegMediaFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -330,14 +335,18 @@ object Multimodal {
       val w = 10 + (id % 23).toInt
       val h = 9 + (id % 19).toInt
       val ri = if (id % 4 == 1) 1 + (id % 3).toInt else 0
+      val prog = id % 5 >= 3
       def yv(bx: Int, by: Int): Int =
         64 + ((id * 31 + bx * 7 + by * 13) % 128).toInt
       val yPlane = Array.tabulate(w * h) { p =>
         yv((p % w) / 8, (p / w) / 8).toByte
       }
       val bytes =
-        if (m == 0) Jpeg.encodeGray(w, h, yPlane, q8, ri)
-        else {
+        if (m == 0) {
+          if (prog) Jpeg.encodeYccProgressive(w, h, yPlane, null, null,
+            1, 1, q8, null, ri)
+          else Jpeg.encodeGray(w, h, yPlane, q8, ri)
+        } else {
           val samp = if (m == 1) 2 else 1
           val cw = (w + samp - 1) / samp
           val ch = (h + samp - 1) / samp
@@ -349,7 +358,9 @@ object Multimodal {
           val cr = Array.tabulate(cw * ch) { p =>
             (128 + ((id * 7 + ((p % cw) / 8) * 5 + ((p / cw) / 8) * 3) % 32).toInt).toByte
           }
-          Jpeg.encodeYcc(w, h, yPlane, cb, cr, samp, samp, q8, q8, ri)
+          if (prog) Jpeg.encodeYccProgressive(w, h, yPlane, cb, cr,
+            samp, samp, q8, q8, ri)
+          else Jpeg.encodeYcc(w, h, yPlane, cb, cr, samp, samp, q8, q8, ri)
         }
       val out =
         if (id % 17 == 0) java.util.Arrays.copyOfRange(bytes, 0, bytes.length / 2)

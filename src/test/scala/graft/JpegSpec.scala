@@ -185,6 +185,34 @@ class JpegSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  test("our progressive encoder round-trips constant-block planes EXACTLY (DC approximation + refinement + EOBRUN)") {
+    for (seed <- 0L to 4L; (samp, ri) <- Seq((0, 0), (0, 2), (2, 0), (1, 3))) {
+      // samp 0 = grayscale; the decoded constants must equal the planted
+      // values exactly, same as the sequential encoding of these planes
+      val w = 10 + (seed % 23).toInt
+      val h = 9 + (seed % 19).toInt
+      val (yp, yv) = constPlanes(w, h, seed)
+      val bytes =
+        if (samp == 0) Jpeg.encodeYccProgressive(w, h, yp, null, null, 1, 1, q8, null, ri)
+        else {
+          val cw = (w + samp - 1) / samp
+          val ch = (h + samp - 1) / samp
+          val cb = Array.tabulate(cw * ch)(_ => 128.toByte) // neutral chroma
+          val cr = Array.tabulate(cw * ch)(_ => 128.toByte)
+          Jpeg.encodeYccProgressive(w, h, yp, cb, cr, samp, samp, q8, q8, ri)
+        }
+      assert((bytes(2) & 0xff) == 0xff || true) // stream sanity below
+      assert((0 until bytes.length - 1).exists(i =>
+        (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc2),
+        "not SOF2")
+      val (dw, dh, rgb) = Jpeg.decode(bytes)
+      assert(dw === w && dh === h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        assert((rgb((y * w + x) * 3 + c) & 0xff) === yv(x / 8, y / 8),
+          s"seed=$seed samp=$samp ri=$ri ($x,$y,$c)")
+    }
+  }
+
   test("PROGRESSIVE streams decode (multi-scan spectral selection + successive approximation, T.81 Annex G)") {
     for (quality <- Seq(0.9f, 0.5f)) {
       val w = 41; val h = 27 // partial MCUs on both axes
