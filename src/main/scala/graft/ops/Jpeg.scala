@@ -217,6 +217,22 @@ object Jpeg {
   @inline private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
+  /** Align and consume the expected RSTn marker (n cycling 0..7,
+    * E.2.4); any number of 0xFF fill bytes may precede it (B.1.1.2).
+    * Shared by the baseline and progressive scan loops. */
+  private def expectRestart(bytes: Array[Byte], br: BitReader,
+      rstIdx: Int): Unit = {
+    br.align()
+    while (br.pos + 2 < bytes.length && (bytes(br.pos) & 0xff) == 0xff &&
+        (bytes(br.pos + 1) & 0xff) == 0xff) br.pos += 1
+    if (br.pos + 2 > bytes.length) fail("truncated at restart marker")
+    val b0 = bytes(br.pos) & 0xff
+    val b1 = bytes(br.pos + 1) & 0xff
+    if (b0 != 0xff || b1 != 0xd0 + (rstIdx & 7))
+      fail(f"expected RST${rstIdx & 7} at ${br.pos}, got $b0%02x$b1%02x")
+    br.pos += 2
+  }
+
   private final case class Component(id: Int, hs: Int, vs: Int, tq: Int)
 
   /** Decode a baseline JPEG stream → (width, height, interleaved RGB
@@ -260,6 +276,9 @@ object Jpeg {
       }
       else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) () // TEM/RSTn: standalone
       else if (m == 0xc0 || m == 0xc1 || m == 0xc2) {
+        // a second SOF after scans have started would silently desync
+        // the declared dimensions from the buffered geometry
+        if (comps != null) fail("multiple SOF markers")
         progressive = m == 0xc2
         val len = u16(); val end = pos - 2 + len
         val prec = u8()
@@ -335,8 +354,14 @@ object Jpeg {
           fail("duplicate component selector in scan header")
         val ss = u8(); val se = u8(); val ahal = u8()
         if (pos != end) fail("SOS length mismatch")
-        comps.foreach(c => if (!quantSeen(c.tq))
-          fail(s"component ${c.id} references undefined quant table ${c.tq}"))
+        // tables need only precede FIRST USE (B.2.4.1): check the
+        // components THIS scan selects — a progressive script may define
+        // a chroma DQT between the luma and chroma scans
+        scanSel.foreach { case (ci, _, _) =>
+          if (!quantSeen(comps(ci).tq))
+            fail(s"component ${comps(ci).id} references undefined " +
+              s"quant table ${comps(ci).tq}")
+        }
         if (!progressive) {
           if (ns != comps.length)
             fail(s"unsupported scan: $ns of ${comps.length} components " +
@@ -414,17 +439,7 @@ object Jpeg {
     val totalMcus = mcusX * mcusY
     while (mcu < totalMcus) {
       if (ri > 0 && mcu > 0 && mcu % ri == 0) {
-        br.align()
-        // expect RSTn with n cycling 0..7 (E.2.4); any number of 0xFF
-        // fill bytes may precede the marker (B.1.1.2)
-        while (br.pos + 2 < bytes.length && (bytes(br.pos) & 0xff) == 0xff &&
-            (bytes(br.pos + 1) & 0xff) == 0xff) br.pos += 1
-        if (br.pos + 2 > bytes.length) fail("truncated at restart marker")
-        val b0 = bytes(br.pos) & 0xff
-        val b1 = bytes(br.pos + 1) & 0xff
-        if (b0 != 0xff || b1 != 0xd0 + (rstIdx & 7))
-          fail(f"expected RST${rstIdx & 7} at ${br.pos}, got $b0%02x$b1%02x")
-        br.pos += 2
+        expectRestart(bytes, br, rstIdx)
         rstIdx += 1
         java.util.Arrays.fill(preds, 0)
       }
@@ -590,13 +605,20 @@ object Jpeg {
     // (ceil(compW/8), T.81 A.2.2), indexed within the padded layout
     private val realBw = eff.map(c => (((w * c.hs + hmax - 1) / hmax) + 7) / 8)
     private val realBh = eff.map(c => (((h * c.vs + vmax - 1) / vmax) + 7) / 8)
-    eff.indices.foreach { i =>
-      if (gridW(i).toLong * gridH(i) * 64 >= Int.MaxValue)
-        fail(s"component plane ${gridW(i) * 8}x${gridH(i) * 8} too large")
-    }
+    // bound the coefficient buffers in BYTES (4 per Int), summed across
+    // components — tighter than the baseline plane guard because these
+    // allocate eagerly at the first SOS, and an OutOfMemoryError from a
+    // crafted header would escape the DROPMALFORMED Exception catch
+    if (eff.indices.map(i => gridW(i).toLong * gridH(i) * 64 * 4).sum
+        >= Int.MaxValue)
+      fail(s"progressive coefficient buffers too large for ${w}x$h with " +
+        "these sampling factors")
     private val coef: Array[Array[Int]] = eff.indices.map(i =>
       new Array[Int](gridW(i) * gridH(i) * 64)).toArray
-    private val q: Array[Array[Int]] = comps.map(c => quant(c.tq).clone())
+    // quant tables latch PER COMPONENT at that component's first scan
+    // (tables need only precede first use, B.2.4.1)
+    private val q: Array[Array[Int]] = new Array[Array[Int]](comps.length)
+    private val quantRef = quant
 
     /** Decode one scan's entropy data into the coefficient buffers;
       * returns the position just past it (the caller's marker loop
@@ -604,6 +626,9 @@ object Jpeg {
     def decodeScanInto(bytes: Array[Byte], start: Int,
         scanSel: Array[(Int, Int, Int)], ss: Int, se: Int, ah: Int,
         al: Int, dcTabs: Array[Huff], acTabs: Array[Huff], ri: Int): Int = {
+      scanSel.foreach { case (ci, _, _) =>
+        if (q(ci) == null) q(ci) = quantRef(comps(ci).tq).clone()
+      }
       val br = new BitReader(bytes, start)
       val preds = new Array[Int](comps.length)
       var eobrun = 0
@@ -612,15 +637,7 @@ object Jpeg {
 
       def restartCheck(): Unit =
         if (ri > 0 && unit > 0 && unit % ri == 0) {
-          br.align()
-          while (br.pos + 2 < bytes.length && (bytes(br.pos) & 0xff) == 0xff &&
-              (bytes(br.pos + 1) & 0xff) == 0xff) br.pos += 1
-          if (br.pos + 2 > bytes.length) fail("truncated at restart marker")
-          val b0 = bytes(br.pos) & 0xff
-          val b1 = bytes(br.pos + 1) & 0xff
-          if (b0 != 0xff || b1 != 0xd0 + (rstIdx & 7))
-            fail(f"expected RST${rstIdx & 7} at ${br.pos}, got $b0%02x$b1%02x")
-          br.pos += 2
+          expectRestart(bytes, br, rstIdx)
           rstIdx += 1
           java.util.Arrays.fill(preds, 0)
           eobrun = 0
@@ -776,6 +793,8 @@ object Jpeg {
       while (ci < eff.length) {
         val cf = coef(ci)
         val qc = q(ci)
+        if (qc == null)
+          fail(s"component ${comps(ci).id} never appeared in any scan")
         var by = 0
         while (by < gridH(ci)) {
           var bx = 0
@@ -861,6 +880,44 @@ object Jpeg {
   @inline private def category(v: Int): Int =
     32 - Integer.numberOfLeadingZeros(math.abs(v))
 
+  /** Shared encoder preamble: SOI, JFIF APP0, DQT (zigzag on the wire),
+    * SOF (marker selects baseline FFC0 / progressive FFC2), and the DC
+    * Huffman tables (+AC tables when `withAcTables` — the progressive
+    * encoder ships its own EOBn table with its scans instead). */
+  private def writeFrameHeader(out: java.io.ByteArrayOutputStream,
+      sofMarker: Int, w: Int, h: Int, gray: Boolean,
+      sampH: Int, sampV: Int, qLuma: Array[Int], qChroma: Array[Int],
+      withAcTables: Boolean): Unit = {
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    def dht(tc: Int, th: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length)
+      u8((tc << 4) | th); bits.foreach(u8); vals.foreach(u8)
+    }
+    marker(0xd8) // SOI
+    marker(0xe0); u16(16) // APP0 / JFIF 1.1
+    "JFIF".foreach(c => u8(c)); u8(0)
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    marker(0xdb); u16(2 + (if (gray) 65 else 130))
+    u8(0x00); Zigzag.foreach(z => u8(qLuma(z)))
+    if (!gray) { u8(0x01); Zigzag.foreach(z => u8(qChroma(z))) }
+    val nf = if (gray) 1 else 3
+    marker(sofMarker); u16(8 + 3 * nf); u8(8); u16(h); u16(w); u8(nf)
+    if (gray) { u8(1); u8(0x11); u8(0) }
+    else {
+      u8(1); u8((sampH << 4) | sampV); u8(0)
+      u8(2); u8(0x11); u8(1)
+      u8(3); u8(0x11); u8(1)
+    }
+    dht(0, 0, StdDcLumaBits, StdDcLumaVals)
+    if (withAcTables) dht(1, 0, StdAcLumaBits, StdAcLumaVals)
+    if (!gray) {
+      dht(0, 1, StdDcChromaBits, StdDcChromaVals)
+      if (withAcTables) dht(1, 1, StdAcChromaBits, StdAcChromaVals)
+    }
+  }
+
   /** Pad a plane to the coded grid by edge replication. */
   private def padPlane(src: Array[Byte], sw: Int, sh: Int,
       pw: Int, ph: Int): Array[Byte] = {
@@ -945,35 +1002,9 @@ object Jpeg {
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
     def marker(m: Int): Unit = { u8(0xff); u8(m) }
 
-    marker(0xd8) // SOI
-    // APP0 / JFIF 1.1
-    marker(0xe0); u16(16)
-    "JFIF".foreach(c => u8(c)); u8(0)
-    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
-    // DQT (zigzag order on the wire)
-    marker(0xdb); u16(2 + (if (gray) 65 else 130))
-    u8(0x00); Zigzag.foreach(z => u8(qLuma(z)))
-    if (!gray) { u8(0x01); Zigzag.foreach(z => u8(qChroma(z))) }
-    // SOF0
     val nf = if (gray) 1 else 3
-    marker(0xc0); u16(8 + 3 * nf); u8(8); u16(h); u16(w); u8(nf)
-    if (gray) { u8(1); u8(0x11); u8(0) }
-    else {
-      u8(1); u8((sampH << 4) | sampV); u8(0)
-      u8(2); u8(0x11); u8(1)
-      u8(3); u8(0x11); u8(1)
-    }
-    // DHT
-    def dht(tc: Int, th: Int, bits: Array[Int], vals: Array[Int]): Unit = {
-      marker(0xc4); u16(2 + 1 + 16 + vals.length)
-      u8((tc << 4) | th); bits.foreach(u8); vals.foreach(u8)
-    }
-    dht(0, 0, StdDcLumaBits, StdDcLumaVals)
-    dht(1, 0, StdAcLumaBits, StdAcLumaVals)
-    if (!gray) {
-      dht(0, 1, StdDcChromaBits, StdDcChromaVals)
-      dht(1, 1, StdAcChromaBits, StdAcChromaVals)
-    }
+    writeFrameHeader(out, 0xc0, w, h, gray, sampH, sampV, qLuma, qChroma,
+      withAcTables = true)
     if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
     // SOS
     marker(0xda); u16(6 + 2 * nf); u8(nf)
@@ -1174,23 +1205,9 @@ object Jpeg {
       u8((tc << 4) | th); bits.foreach(u8); vals.foreach(u8)
     }
 
-    marker(0xd8) // SOI
-    marker(0xe0); u16(16) // APP0 / JFIF 1.1
-    "JFIF".foreach(c => u8(c)); u8(0)
-    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
-    marker(0xdb); u16(2 + (if (gray) 65 else 130)) // DQT, zigzag on the wire
-    u8(0x00); Zigzag.foreach(z => u8(qLuma(z)))
-    if (!gray) { u8(0x01); Zigzag.foreach(z => u8(qChroma(z))) }
     val nf = if (gray) 1 else 3
-    marker(0xc2); u16(8 + 3 * nf); u8(8); u16(h); u16(w); u8(nf) // SOF2
-    if (gray) { u8(1); u8(0x11); u8(0) }
-    else {
-      u8(1); u8((sampH << 4) | sampV); u8(0)
-      u8(2); u8(0x11); u8(1)
-      u8(3); u8(0x11); u8(1)
-    }
-    dht(0, 0, StdDcLumaBits, StdDcLumaVals)
-    if (!gray) dht(0, 1, StdDcChromaBits, StdDcChromaVals)
+    writeFrameHeader(out, 0xc2, w, h, gray, sampH, sampV, qLuma, qChroma,
+      withAcTables = false)
 
     // geometry + per-block quantized DC arrays over the PADDED grids
     val hm = if (gray) 1 else sampH

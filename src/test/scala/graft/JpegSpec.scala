@@ -201,7 +201,6 @@ class JpegSpec extends SparkSpec {
           val cr = Array.tabulate(cw * ch)(_ => 128.toByte)
           Jpeg.encodeYccProgressive(w, h, yp, cb, cr, samp, samp, q8, q8, ri)
         }
-      assert((bytes(2) & 0xff) == 0xff || true) // stream sanity below
       assert((0 until bytes.length - 1).exists(i =>
         (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc2),
         "not SOF2")
