@@ -2210,6 +2210,20 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Multimodal: structural JPEG metadata WITHOUT decoding (round 16) —
+    // a marker-level parse per blob over the same planted streams as
+    // m_jpeg: dimensions, component count, luma sampling, progressive
+    // flag, the DRI in effect at EOI (the progressive encoder resets it
+    // to 0 before its refinement scan), and a libjpeg-style quality
+    // estimate inverted from the luma DQT. Every column replays from
+    // doc_id arithmetic; the truncated %17 cohort drops because the
+    // parse requires EOI.
+    "m_jpeg_meta" -> ((s, dir) => {
+      Multimodal.jpegMetadata(Multimodal.jpegMediaFromDocuments(
+          s.read.parquet(s"$dir/documents.parquet")))
+        .orderBy("media_id")
+    }),
+
     // Multimodal: REAL image decode — synthesize binary PPM (P6) per doc,
     // parse header+raster in mapPartitions, per-channel means. The r/g
     // channels are deterministic gradients, so DuckDB can recompute them
@@ -5236,6 +5250,27 @@ object SparkEntry {
         |  ON a.gid = b.gid AND a.doc_id < b.doc_id
         | WHERE a.m <= 2 AND b.m <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Structural replay of the marker-level metadata: dims and variant
+    // flags from doc_id arithmetic; restart_interval is the DRI in
+    // effect at EOI (0 for progressive — the encoder disables restarts
+    // before its refinement scan); quality_est is constant 93: the
+    // all-8s table sums to 512, the Annex K luma base to 3688, so
+    // scale = round(51200/3688) = 14 and quality = (200-14)/2 = 93.
+    "m_jpeg_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(10 + doc_id % 23 AS INT) AS width,
+        |  CAST(9 + doc_id % 19 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS INT)
+        |    AS n_components,
+        |  doc_id % 5 >= 3 AS progressive,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 1 END AS INT) AS samp_h,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 1 END AS INT) AS samp_v,
+        |  CAST(CASE WHEN doc_id % 5 >= 3 THEN 0
+        |            WHEN doc_id % 4 = 1 THEN 1 + doc_id % 3
+        |            ELSE 0 END AS INT) AS restart_interval,
+        |  CAST(93 AS INT) AS quality_est
+        |FROM documents WHERE doc_id % 17 <> 0 ORDER BY media_id""".stripMargin,
 
     // Analytic replay of the JPEG decode: the planted stream is exact
     // (constant DC-only blocks, quantizer 8), so each decoded pixel is

@@ -580,6 +580,116 @@ object Jpeg {
     newPred
   }
 
+  /** Structural stream metadata from a marker-level parse — NO entropy
+    * decode, so it costs header-bytes instead of pixels. */
+  final case class Meta(width: Int, height: Int, nComponents: Int,
+      progressive: Boolean, sampH: Int, sampV: Int, restartInterval: Int,
+      qualityEst: Int)
+
+  /** Parse markers only: dimensions, component count, luma sampling
+    * factors, progressive flag, restart interval, and a libjpeg-style
+    * quality estimate from the luma DQT (scale% = 100·Σq/Σbase inverted
+    * through the quality→scale map: quality = 5000/scale below 50,
+    * (200−scale)/2 above). Entropy segments are SKIPPED by scanning for
+    * the next marker through FF00 stuffing; EOI is REQUIRED, so a
+    * truncated stream throws instead of returning partial metadata —
+    * which keeps "which blobs have metadata" deterministic for the
+    * oracle and for pipeline bookkeeping. */
+  def meta(bytes: Array[Byte]): Meta = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      fail("not a jpeg stream (no SOI)")
+    var pos = 2
+    def u8(): Int = {
+      if (pos >= bytes.length) fail("truncated segment")
+      val v = bytes(pos) & 0xff; pos += 1; v
+    }
+    def u16(): Int = { val hi = u8(); (hi << 8) | u8() }
+    var w = 0; var h = 0; var nf = 0
+    var progressive = false
+    var sampH = 0; var sampV = 0
+    var ri = 0
+    var qLumaSum = -1
+    var sawSof = false
+    var sawEoi = false
+    while (!sawEoi) {
+      if (pos + 2 > bytes.length) fail("truncated before EOI")
+      if ((bytes(pos) & 0xff) != 0xff)
+        fail(f"expected marker, got ${bytes(pos) & 0xff}%02x at $pos")
+      pos += 1
+      var m = u8()
+      while (m == 0xff) m = u8()
+      if (m == 0xd9) sawEoi = true
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) ()
+      else if (m == 0xc0 || m == 0xc1 || m == 0xc2) {
+        if (sawSof) fail("multiple SOF markers")
+        sawSof = true
+        progressive = m == 0xc2
+        val len = u16(); val end = pos - 2 + len
+        val prec = u8()
+        if (prec != 8) fail(s"unsupported sample precision $prec")
+        h = u16(); w = u16()
+        if (w <= 0 || h <= 0) fail(s"bad dimensions $w x $h")
+        nf = u8()
+        if (nf < 1 || nf > 4) fail(s"bad component count $nf")
+        var i = 0
+        while (i < nf) {
+          u8(); val hv = u8(); u8()
+          if (i == 0) { sampH = hv >> 4; sampV = hv & 15 }
+          i += 1
+        }
+        if (pos != end) fail("SOF length mismatch")
+      }
+      else if (m >= 0xc3 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+        fail(f"unsupported SOF marker FF$m%02x")
+      else if (m == 0xdb) {
+        val len = u16(); val end = pos - 2 + len
+        while (pos < end) {
+          val pqtq = u8(); val pq = pqtq >> 4; val tq = pqtq & 15
+          if (pq > 1 || tq > 3) fail(s"bad DQT precision/id $pq/$tq")
+          var sum = 0
+          var k = 0
+          while (k < 64) { sum += (if (pq == 0) u8() else u16()); k += 1 }
+          if (tq == 0) qLumaSum = sum // table 0 is luma by JFIF convention
+        }
+      }
+      else if (m == 0xdd) { val len = u16(); if (len != 4) fail("bad DRI"); ri = u16() }
+      else if (m == 0xda) {
+        if (!sawSof) fail("SOS before SOF")
+        val len = u16()
+        if (len < 2 || pos - 2 + len > bytes.length) fail("bad SOS length")
+        pos = pos - 2 + len
+        // skip the entropy segment: scan for the next marker through
+        // FF00 stuffing and RSTn
+        var inEntropy = true
+        while (inEntropy) {
+          if (pos + 1 >= bytes.length) fail("truncated entropy-coded data")
+          if ((bytes(pos) & 0xff) == 0xff) {
+            val nxt = bytes(pos + 1) & 0xff
+            if (nxt == 0x00 || (nxt >= 0xd0 && nxt <= 0xd7)) pos += 2
+            else if (nxt == 0xff) pos += 1
+            else inEntropy = false // a real marker: main loop handles it
+          } else pos += 1
+        }
+      }
+      else {
+        val len = u16()
+        if (len < 2 || pos - 2 + len > bytes.length) fail(f"bad segment FF$m%02x length $len")
+        pos = pos - 2 + len
+      }
+    }
+    if (!sawSof) fail("no SOF before EOI")
+    if (qLumaSum < 0) fail("no luma quantization table")
+    // invert the libjpeg quality→scale map on the summed table:
+    // scale% = round(100·Σq/Σbase); quality = 5000/scale (scale>100)
+    // or (200−scale)/2 (scale≤100), clamped to 1..100
+    val baseSum = StdQuantLuma.sum
+    val scale = math.max(1, math.round(qLumaSum * 100.0 / baseSum).toInt)
+    val quality =
+      if (scale > 100) math.max(1, math.round(5000.0 / scale).toInt)
+      else math.min(100, (200 - scale) / 2)
+    Meta(w, h, nf, progressive, sampH, sampV, ri, quality)
+  }
+
   /** Progressive (SOF2, Huffman) decode state — T.81 Annex G: scans
     * accumulate DCT coefficients into per-component buffers (spectral
     * selection splits the zigzag band across scans, successive

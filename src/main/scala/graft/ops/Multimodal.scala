@@ -681,6 +681,38 @@ object Multimodal {
       skipMalformed: Boolean = true): DataFrame =
     decodeImagesWith(media, Jpeg.decode, thumbSide, skipMalformed)
 
+  final case class JpegMetaRow(media_id: Long, width: Int, height: Int,
+      n_components: Int, progressive: Boolean, samp_h: Int, samp_v: Int,
+      restart_interval: Int, quality_est: Int)
+
+  /** Structural JPEG metadata WITHOUT decoding — a marker-level parse
+    * per blob ([[Jpeg.meta]]): dimensions, component count, luma
+    * sampling factors, progressive flag, the DRI in effect at EOI, and
+    * a libjpeg-style quality estimate inverted from the luma DQT. The
+    * crawl-pipeline filter/group pass (drop tiny thumbnails, split
+    * progressive from baseline, bucket by quality) runs at
+    * header-bytes cost instead of pixel cost. EOI is required, so
+    * truncated downloads drop under `skipMalformed` exactly like the
+    * decode path — "which blobs have metadata" stays deterministic. */
+  def jpegMetadata(media: DataFrame, skipMalformed: Boolean = true): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[ImageRow].mapPartitions { it =>
+      it.flatMap { m =>
+        try {
+          val md = Jpeg.meta(m.bytes)
+          Iterator.single(JpegMetaRow(m.media_id, md.width, md.height,
+            md.nComponents, md.progressive, md.sampH, md.sampV,
+            md.restartInterval, md.qualityEst))
+        } catch {
+          case e: Exception if skipMalformed => Iterator.empty
+          case e: Exception => throw new RuntimeException(
+            s"malformed jpeg for media_id ${m.media_id}", e)
+        }
+      }
+    }.toDF()
+  }
+
   /** Resize: pure metadata transform (the byte transform is the codec's job
     * and stays behind the stub boundary). */
   def resize(media: DataFrame, maxSide: Int): DataFrame = {

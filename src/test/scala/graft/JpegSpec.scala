@@ -238,6 +238,28 @@ class JpegSpec extends SparkSpec {
       "progressive and sequential encodings of the same raster diverged")
   }
 
+  test("meta: marker-level parse without decoding (dims, sampling, progressive, DRI, quality estimate)") {
+    val yp = Array.fill(24 * 16)(100.toByte)
+    // unscaled Annex K tables are by definition libjpeg quality 50
+    val std = Jpeg.meta(Jpeg.encodeGray(24, 16, yp))
+    assert(std === Jpeg.Meta(24, 16, 1, false, 1, 1, 0, 50))
+    val cw = 12; val chh = 8
+    val color = Jpeg.meta(Jpeg.encodeYcc(24, 16, yp,
+      Array.fill(cw * chh)(128.toByte), Array.fill(cw * chh)(128.toByte),
+      2, 2, Array.fill(64)(8), Array.fill(64)(8), 3))
+    assert(color === Jpeg.Meta(24, 16, 3, false, 2, 2, 3, 93))
+    val prog = Jpeg.meta(Jpeg.encodeYccProgressive(24, 16, yp,
+      Array.fill(cw * chh)(128.toByte), Array.fill(cw * chh)(128.toByte),
+      2, 2, Array.fill(64)(8), Array.fill(64)(8), 2))
+    // the progressive encoder resets DRI to 0 before its refinement scan
+    assert(prog === Jpeg.Meta(24, 16, 3, true, 2, 2, 0, 93))
+    // truncated stream: meta requires EOI, so bookkeeping stays
+    // deterministic
+    val g = Jpeg.encodeGray(24, 16, yp)
+    intercept[IllegalArgumentException](
+      Jpeg.meta(java.util.Arrays.copyOfRange(g, 0, g.length / 2)))
+  }
+
   test("truncation and garbage throw") {
     val good = Jpeg.encodeGray(8, 8, Array.fill(64)(100.toByte))
     intercept[IllegalArgumentException](
