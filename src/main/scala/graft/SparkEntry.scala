@@ -2214,10 +2214,11 @@ object SparkEntry {
     // a marker-level parse per blob over the same planted streams as
     // m_jpeg: dimensions, component count, luma sampling, progressive
     // flag, the DRI in effect at EOI (the progressive encoder resets it
-    // to 0 before its refinement scan), and a libjpeg-style quality
-    // estimate inverted from the luma DQT. Every column replays from
-    // doc_id arithmetic; the truncated %17 cohort drops because the
-    // parse requires EOI.
+    // to 0 before its refinement scan), a libjpeg-style quality
+    // estimate inverted from the luma DQT, and the EXIF orientation
+    // (APP1 TIFF IFD tag 0x0112, planted on ~3/7 of docs; absent reads
+    // 0). Every column replays from doc_id arithmetic; the truncated
+    // %17 cohort drops because the parse requires EOI.
     "m_jpeg_meta" -> ((s, dir) => {
       Multimodal.jpegMetadata(Multimodal.jpegMediaFromDocuments(
           s.read.parquet(s"$dir/documents.parquet")))
@@ -5269,7 +5270,9 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 5 >= 3 THEN 0
         |            WHEN doc_id % 4 = 1 THEN 1 + doc_id % 3
         |            ELSE 0 END AS INT) AS restart_interval,
-        |  CAST(93 AS INT) AS quality_est
+        |  CAST(93 AS INT) AS quality_est,
+        |  CAST(CASE WHEN doc_id % 7 < 3 THEN 1 + doc_id % 8
+        |            ELSE 0 END AS INT) AS orientation
         |FROM documents WHERE doc_id % 17 <> 0 ORDER BY media_id""".stripMargin,
 
     // Analytic replay of the JPEG decode: the planted stream is exact

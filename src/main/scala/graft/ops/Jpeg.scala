@@ -581,10 +581,15 @@ object Jpeg {
   }
 
   /** Structural stream metadata from a marker-level parse — NO entropy
-    * decode, so it costs header-bytes instead of pixels. */
+    * decode, so it costs header-bytes instead of pixels. `orientation`
+    * is the EXIF tag 0x0112 value (1-8) from an APP1 Exif segment, or 0
+    * when absent/unparseable — EXIF is ANCILLARY metadata, so a corrupt
+    * APP1 yields the absent sentinel rather than failing a stream whose
+    * coded image is intact (the loud-refusal contract covers the coded
+    * stream, not third-party metadata blobs). */
   final case class Meta(width: Int, height: Int, nComponents: Int,
       progressive: Boolean, sampH: Int, sampV: Int, restartInterval: Int,
-      qualityEst: Int)
+      qualityEst: Int, orientation: Int)
 
   /** Parse markers only: dimensions, component count, luma sampling
     * factors, progressive flag, restart interval, and a libjpeg-style
@@ -609,6 +614,7 @@ object Jpeg {
     var sampH = 0; var sampV = 0
     var ri = 0
     var qLumaSum = -1
+    var orientation = 0
     var sawSof = false
     var sawEoi = false
     while (!sawEoi) {
@@ -653,6 +659,49 @@ object Jpeg {
         }
       }
       else if (m == 0xdd) { val len = u16(); if (len != 4) fail("bad DRI"); ri = u16() }
+      else if (m == 0xe1) { // APP1: best-effort EXIF orientation (tag 0x0112)
+        val len = u16()
+        if (len < 2 || pos - 2 + len > bytes.length) fail(s"bad APP1 length $len")
+        val p0 = pos
+        val end = pos - 2 + len
+        pos = end
+        // every access below is bounds-checked against the segment;
+        // anything off leaves orientation at its current value
+        def ok(o: Int, n: Int) = o >= p0 && o + n <= end
+        if (ok(p0, 6) && bytes(p0) == 'E' && bytes(p0 + 1) == 'x' &&
+            bytes(p0 + 2) == 'i' && bytes(p0 + 3) == 'f' &&
+            bytes(p0 + 4) == 0 && bytes(p0 + 5) == 0) {
+          val t = p0 + 6 // TIFF header
+          def b16(o: Int, be: Boolean): Int =
+            if (be) ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+            else ((bytes(o + 1) & 0xff) << 8) | (bytes(o) & 0xff)
+          def b32(o: Int, be: Boolean): Long =
+            if (be) (b16(o, be).toLong << 16) | b16(o + 2, be)
+            else (b16(o + 2, be).toLong << 16) | b16(o, be)
+          if (ok(t, 8)) {
+            val be = bytes(t) == 'M' && bytes(t + 1) == 'M'
+            val le = bytes(t) == 'I' && bytes(t + 1) == 'I'
+            if ((be || le) && b16(t + 2, be) == 42) {
+              val ifd = b32(t + 4, be)
+              if (ifd >= 8 && ifd < Int.MaxValue && ok(t + ifd.toInt, 2)) {
+                val io = t + ifd.toInt
+                val n = b16(io, be)
+                var i = 0
+                while (i < n && ok(io + 2 + 12 * i, 12)) {
+                  val e0 = io + 2 + 12 * i
+                  if (b16(e0, be) == 0x0112 && b16(e0 + 2, be) == 3 &&
+                      b32(e0 + 4, be) == 1) {
+                    // SHORT values sit left-justified in the 4-byte field
+                    val v = b16(e0 + 8, be)
+                    if (v >= 1 && v <= 8) orientation = v
+                  }
+                  i += 1
+                }
+              }
+            }
+          }
+        }
+      }
       else if (m == 0xda) {
         if (!sawSof) fail("SOS before SOF")
         val len = u16()
@@ -687,7 +736,7 @@ object Jpeg {
     val quality =
       if (scale > 100) math.max(1, math.round(5000.0 / scale).toInt)
       else math.min(100, (200 - scale) / 2)
-    Meta(w, h, nf, progressive, sampH, sampV, ri, quality)
+    Meta(w, h, nf, progressive, sampH, sampV, ri, quality, orientation)
   }
 
   /** Progressive (SOF2, Huffman) decode state — T.81 Annex G: scans
@@ -997,7 +1046,7 @@ object Jpeg {
   private def writeFrameHeader(out: java.io.ByteArrayOutputStream,
       sofMarker: Int, w: Int, h: Int, gray: Boolean,
       sampH: Int, sampV: Int, qLuma: Array[Int], qChroma: Array[Int],
-      withAcTables: Boolean): Unit = {
+      withAcTables: Boolean, exifOrientation: Int = 0): Unit = {
     def u8(v: Int): Unit = out.write(v & 0xff)
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
     def marker(m: Int): Unit = { u8(0xff); u8(m) }
@@ -1009,6 +1058,18 @@ object Jpeg {
     marker(0xe0); u16(16) // APP0 / JFIF 1.1
     "JFIF".foreach(c => u8(c)); u8(0)
     u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    if (exifOrientation > 0) {
+      require(exifOrientation <= 8, s"bad EXIF orientation $exifOrientation")
+      // minimal APP1 Exif: big-endian TIFF, IFD0 with ONE entry (tag
+      // 0x0112 Orientation, SHORT, left-justified in the value field)
+      marker(0xe1); u16(2 + 32)
+      "Exif".foreach(c => u8(c)); u8(0); u8(0)
+      u8('M'); u8('M'); u16(42); u16(0); u16(8) // TIFF header, IFD0 @ 8
+      u16(1) // entry count
+      u16(0x0112); u16(3); u16(0); u16(1) // tag, type SHORT, count 1
+      u16(exifOrientation); u16(0)
+      u16(0); u16(0) // next-IFD offset
+    }
     marker(0xdb); u16(2 + (if (gray) 65 else 130))
     u8(0x00); Zigzag.foreach(z => u8(qLuma(z)))
     if (!gray) { u8(0x01); Zigzag.foreach(z => u8(qChroma(z))) }
@@ -1085,7 +1146,7 @@ object Jpeg {
       cbPlane: Array[Byte], crPlane: Array[Byte],
       sampH: Int = 2, sampV: Int = 2,
       qLuma: Array[Int] = StdQuantLuma, qChroma: Array[Int] = StdQuantChroma,
-      restartInterval: Int = 0): Array[Byte] = {
+      restartInterval: Int = 0, exifOrientation: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0, s"bad dimensions $w x $h")
     require(yPlane.length == w * h, "luma plane size mismatch")
     val gray = cbPlane == null
@@ -1114,7 +1175,7 @@ object Jpeg {
 
     val nf = if (gray) 1 else 3
     writeFrameHeader(out, 0xc0, w, h, gray, sampH, sampV, qLuma, qChroma,
-      withAcTables = true)
+      withAcTables = true, exifOrientation = exifOrientation)
     if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
     // SOS
     marker(0xda); u16(6 + 2 * nf); u8(nf)
@@ -1263,8 +1324,10 @@ object Jpeg {
 
   /** Grayscale convenience: single-component stream. */
   def encodeGray(w: Int, h: Int, yPlane: Array[Byte],
-      qLuma: Array[Int] = StdQuantLuma, restartInterval: Int = 0): Array[Byte] =
-    encodeYcc(w, h, yPlane, null, null, 1, 1, qLuma, null, restartInterval)
+      qLuma: Array[Int] = StdQuantLuma, restartInterval: Int = 0,
+      exifOrientation: Int = 0): Array[Byte] =
+    encodeYcc(w, h, yPlane, null, null, 1, 1, qLuma, null, restartInterval,
+      exifOrientation)
 
   /** EOBn symbols (0x00..0xE0) at a flat code length — progressive AC
     * scans need end-of-band run codes the Annex K baseline tables don't
@@ -1287,7 +1350,7 @@ object Jpeg {
       cbPlane: Array[Byte], crPlane: Array[Byte],
       sampH: Int = 2, sampV: Int = 2,
       qLuma: Array[Int] = StdQuantLuma, qChroma: Array[Int] = StdQuantChroma,
-      restartInterval: Int = 0): Array[Byte] = {
+      restartInterval: Int = 0, exifOrientation: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0, s"bad dimensions $w x $h")
     require(yPlane.length == w * h, "luma plane size mismatch")
     val gray = cbPlane == null
@@ -1317,7 +1380,7 @@ object Jpeg {
 
     val nf = if (gray) 1 else 3
     writeFrameHeader(out, 0xc2, w, h, gray, sampH, sampV, qLuma, qChroma,
-      withAcTables = false)
+      withAcTables = false, exifOrientation = exifOrientation)
 
     // geometry + per-block quantized DC arrays over the PADDED grids
     val hm = if (gray) 1 else sampH

@@ -336,6 +336,9 @@ object Multimodal {
       val h = 9 + (id % 19).toInt
       val ri = if (id % 4 == 1) 1 + (id % 3).toInt else 0
       val prog = id % 5 >= 3
+      // EXIF orientation planted on ~3/7 of docs (APP1 TIFF IFD on the
+      // wire); the rest carry no APP1 and read back as 0
+      val orient = if (id % 7 < 3) 1 + (id % 8).toInt else 0
       def yv(bx: Int, by: Int): Int =
         64 + ((id * 31 + bx * 7 + by * 13) % 128).toInt
       val yPlane = Array.tabulate(w * h) { p =>
@@ -344,8 +347,8 @@ object Multimodal {
       val bytes =
         if (m == 0) {
           if (prog) Jpeg.encodeYccProgressive(w, h, yPlane, null, null,
-            1, 1, q8, null, ri)
-          else Jpeg.encodeGray(w, h, yPlane, q8, ri)
+            1, 1, q8, null, ri, orient)
+          else Jpeg.encodeGray(w, h, yPlane, q8, ri, orient)
         } else {
           val samp = if (m == 1) 2 else 1
           val cw = (w + samp - 1) / samp
@@ -359,8 +362,9 @@ object Multimodal {
             (128 + ((id * 7 + ((p % cw) / 8) * 5 + ((p / cw) / 8) * 3) % 32).toInt).toByte
           }
           if (prog) Jpeg.encodeYccProgressive(w, h, yPlane, cb, cr,
-            samp, samp, q8, q8, ri)
-          else Jpeg.encodeYcc(w, h, yPlane, cb, cr, samp, samp, q8, q8, ri)
+            samp, samp, q8, q8, ri, orient)
+          else Jpeg.encodeYcc(w, h, yPlane, cb, cr, samp, samp, q8, q8, ri,
+            orient)
         }
       val out =
         if (id % 17 == 0) java.util.Arrays.copyOfRange(bytes, 0, bytes.length / 2)
@@ -683,7 +687,7 @@ object Multimodal {
 
   final case class JpegMetaRow(media_id: Long, width: Int, height: Int,
       n_components: Int, progressive: Boolean, samp_h: Int, samp_v: Int,
-      restart_interval: Int, quality_est: Int)
+      restart_interval: Int, quality_est: Int, orientation: Int)
 
   /** Structural JPEG metadata WITHOUT decoding — a marker-level parse
     * per blob ([[Jpeg.meta]]): dimensions, component count, luma
@@ -703,7 +707,7 @@ object Multimodal {
           val md = Jpeg.meta(m.bytes)
           Iterator.single(JpegMetaRow(m.media_id, md.width, md.height,
             md.nComponents, md.progressive, md.sampH, md.sampV,
-            md.restartInterval, md.qualityEst))
+            md.restartInterval, md.qualityEst, md.orientation))
         } catch {
           case e: Exception if skipMalformed => Iterator.empty
           case e: Exception => throw new RuntimeException(

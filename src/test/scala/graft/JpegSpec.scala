@@ -242,17 +242,32 @@ class JpegSpec extends SparkSpec {
     val yp = Array.fill(24 * 16)(100.toByte)
     // unscaled Annex K tables are by definition libjpeg quality 50
     val std = Jpeg.meta(Jpeg.encodeGray(24, 16, yp))
-    assert(std === Jpeg.Meta(24, 16, 1, false, 1, 1, 0, 50))
+    assert(std === Jpeg.Meta(24, 16, 1, false, 1, 1, 0, 50, 0))
     val cw = 12; val chh = 8
     val color = Jpeg.meta(Jpeg.encodeYcc(24, 16, yp,
       Array.fill(cw * chh)(128.toByte), Array.fill(cw * chh)(128.toByte),
       2, 2, Array.fill(64)(8), Array.fill(64)(8), 3))
-    assert(color === Jpeg.Meta(24, 16, 3, false, 2, 2, 3, 93))
+    assert(color === Jpeg.Meta(24, 16, 3, false, 2, 2, 3, 93, 0))
     val prog = Jpeg.meta(Jpeg.encodeYccProgressive(24, 16, yp,
       Array.fill(cw * chh)(128.toByte), Array.fill(cw * chh)(128.toByte),
       2, 2, Array.fill(64)(8), Array.fill(64)(8), 2))
     // the progressive encoder resets DRI to 0 before its refinement scan
-    assert(prog === Jpeg.Meta(24, 16, 3, true, 2, 2, 0, 93))
+    assert(prog === Jpeg.Meta(24, 16, 3, true, 2, 2, 0, 93, 0))
+    // EXIF orientation rides an APP1 TIFF IFD; decode ignores it, meta
+    // surfaces it; a garbled APP1 payload reads back as absent (0),
+    // never a failure — EXIF is ancillary metadata
+    for (o <- Seq(1, 6, 8)) {
+      val b = Jpeg.encodeGray(24, 16, yp, exifOrientation = o)
+      assert(Jpeg.meta(b).orientation === o)
+      val (dw, dh, _) = Jpeg.decode(b)
+      assert(dw === 24 && dh === 16)
+      // garble the TIFF byte-order mark inside APP1 (APP1 starts after
+      // the 20-byte SOI+APP0 prefix; 'M' sits at offset 20+4+6)
+      val g = b.clone()
+      assert(g(30) === 'M'.toByte)
+      g(30) = 'X'.toByte
+      assert(Jpeg.meta(g).orientation === 0)
+    }
     // truncated stream: meta requires EOI, so bookkeeping stays
     // deterministic
     val g = Jpeg.encodeGray(24, 16, yp)
