@@ -599,7 +599,13 @@ object Jpeg {
     * the next marker through FF00 stuffing; EOI is REQUIRED, so a
     * truncated stream throws instead of returning partial metadata —
     * which keeps "which blobs have metadata" deterministic for the
-    * oracle and for pipeline bookkeeping. */
+    * oracle and for pipeline bookkeeping. The SOF/DQT/DRI structural
+    * guards mirror [[decode]]'s exactly; what meta deliberately does
+    * NOT validate is entropy data and Huffman table CONTENTS (that is
+    * the decode-cost it exists to avoid), so a blob with intact
+    * markers but garbled coded data can carry metadata yet fail full
+    * decode — the one-directional containment a header-only pass can
+    * promise. */
   def meta(bytes: Array[Byte]): Meta = {
     if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
       fail("not a jpeg stream (no SOI)")
@@ -635,12 +641,20 @@ object Jpeg {
         if (prec != 8) fail(s"unsupported sample precision $prec")
         h = u16(); w = u16()
         if (w <= 0 || h <= 0) fail(s"bad dimensions $w x $h")
+        if (w.toLong * h * 3 >= Int.MaxValue) fail(s"image too large $w x $h")
+        // mirror decode()'s SOF guards EXACTLY: "which blobs have
+        // metadata" must match "which blobs decode" (the jpegMetadata
+        // contract) — meta must never accept a frame decode refuses
         nf = u8()
-        if (nf < 1 || nf > 4) fail(s"bad component count $nf")
+        if (nf != 1 && nf != 3) fail(s"unsupported component count $nf (1 or 3)")
         var i = 0
         while (i < nf) {
-          u8(); val hv = u8(); u8()
-          if (i == 0) { sampH = hv >> 4; sampV = hv & 15 }
+          u8(); val hv = u8(); val tq = u8()
+          val hs = hv >> 4; val vs = hv & 15
+          if (hs < 1 || hs > 4 || vs < 1 || vs > 4)
+            fail(s"bad sampling factors ${hs}x$vs")
+          if (tq > 3) fail(s"bad quant table id $tq")
+          if (i == 0) { sampH = hs; sampV = vs }
           i += 1
         }
         if (pos != end) fail("SOF length mismatch")
@@ -654,9 +668,15 @@ object Jpeg {
           if (pq > 1 || tq > 3) fail(s"bad DQT precision/id $pq/$tq")
           var sum = 0
           var k = 0
-          while (k < 64) { sum += (if (pq == 0) u8() else u16()); k += 1 }
+          while (k < 64) {
+            val q = if (pq == 0) u8() else u16()
+            if (q <= 0) fail("zero quantizer")
+            sum += q
+            k += 1
+          }
           if (tq == 0) qLumaSum = sum // table 0 is luma by JFIF convention
         }
+        if (pos != end) fail("DQT length mismatch")
       }
       else if (m == 0xdd) { val len = u16(); if (len != 4) fail("bad DRI"); ri = u16() }
       else if (m == 0xe1) { // APP1: best-effort EXIF orientation (tag 0x0112)

@@ -695,9 +695,12 @@ object Multimodal {
     * a libjpeg-style quality estimate inverted from the luma DQT. The
     * crawl-pipeline filter/group pass (drop tiny thumbnails, split
     * progressive from baseline, bucket by quality) runs at
-    * header-bytes cost instead of pixel cost. EOI is required, so
-    * truncated downloads drop under `skipMalformed` exactly like the
-    * decode path — "which blobs have metadata" stays deterministic. */
+    * header-bytes cost instead of pixel cost. EOI is required and the
+    * structural marker guards mirror the decoder's, so truncated
+    * downloads and malformed headers drop under `skipMalformed` like
+    * the decode path; entropy data and Huffman table contents are NOT
+    * validated (that is the decode cost this op avoids), so metadata
+    * presence contains — but does not equal — decodability. */
   def jpegMetadata(media: DataFrame, skipMalformed: Boolean = true): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._

@@ -273,6 +273,18 @@ class JpegSpec extends SparkSpec {
     val g = Jpeg.encodeGray(24, 16, yp)
     intercept[IllegalArgumentException](
       Jpeg.meta(java.util.Arrays.copyOfRange(g, 0, g.length / 2)))
+    // malformed-header PARITY with the decoder: a DQT whose declared
+    // length exceeds its payload must fail in BOTH parsers (before
+    // round-16's third review pass, meta silently desynchronized here)
+    var i = 2
+    while (!((g(i) & 0xff) == 0xff && (g(i + 1) & 0xff) == 0xdb)) i += 1
+    val bad = new Array[Byte](g.length + 1)
+    System.arraycopy(g, 0, bad, 0, i + 69) // marker+len+pqtq+64 q bytes
+    bad(i + 3) = 68.toByte                 // declared len 67 -> 68
+    bad(i + 69) = 0x55.toByte              // junk byte inside the segment
+    System.arraycopy(g, i + 69, bad, i + 70, g.length - (i + 69))
+    intercept[IllegalArgumentException](Jpeg.meta(bad))
+    intercept[IllegalArgumentException](Jpeg.decode(bad))
   }
 
   test("truncation and garbage throw") {
