@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes STRAIGHT to stdout — without this, sbt's
+// LoggedOutput both prefixes every line with "[info] " and can echo it
+// twice, which is why no round's bench tail ever machine-parsed
+// (BENCH_r16 "parsed": null). With StdoutOutput the bench's one-line
+// JSON contract reaches the captured tail verbatim, once.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -28,11 +28,16 @@ import org.apache.spark.sql.SparkSession
   * min(sweep, isolated) — so a recorded number can exceed 1.5× its
   * isolated time ONLY for a query named in "unadjudicated_suspects":
   * every suspect is re-measured until the adjudication wall-time budget
-  * (SPARK_GRAFT_BENCH_ADJ_BUDGET, default 180 s) runs out, and any
-  * remainder is published by name rather than silently skipped (round
-  * 16 — the former fixed 15-slot cap let BENCH_r15 record six phantom
-  * regressions it never re-measured). Refresh the prior snapshot with
-  * SPARK_GRAFT_BENCH_WRITE_PRIOR=1 after a clean local sweep.
+  * (SPARK_GRAFT_BENCH_ADJ_BUDGET, default 180 s) runs out — enforced
+  * PREDICTIVELY at 3·sweepMin per suspect since round 17, so one heavy
+  * suspect can no longer overrun the wall by its own full cost — and
+  * any remainder is published by name rather than silently skipped
+  * (round 16 — the former fixed 15-slot cap let BENCH_r15 record six
+  * phantom regressions it never re-measured). Refresh the prior
+  * snapshot with SPARK_GRAFT_BENCH_WRITE_PRIOR=1 after the session's
+  * FIRST clean local sweep and =min after every later one (per-query
+  * minima — rebasing to a single late sweep bakes ambient drift into
+  * the baseline, r16's finding).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -140,7 +145,20 @@ object Bench {
     val unadjudicated = scala.collection.mutable.ArrayBuffer.empty[String]
     var adjSpent = 0.0
     suspects.foreach { case (name, sweepMin) =>
-      if (adjSpent < adjBudgetSec) {
+      // The budget is enforced PREDICTIVELY: a suspect only starts when
+      // its estimated cost (3 isolated re-runs, each bounded above by
+      // the sweep time it is suspected of inflating) still fits — before
+      // round 17 the check was a soft pre-check and one heavy suspect
+      // could overrun the "wall seconds" budget by its own full cost
+      // (r16 ADVICE). Isolated runs are almost always FASTER than their
+      // sweep number (that is the phantom mechanism adjudication
+      // exists for), so 3·sweepMin over-estimates and the budget can
+      // only be exceeded by a query whose isolated runs are slower than
+      // its sweep — bounded, and then the row was a true regression
+      // worth the overrun. A no-prior first-time row uses the same
+      // estimate.
+      if (adjSpent + 3 * (if (sweepMin.isFinite) sweepMin else 0.0)
+          <= adjBudgetSec) {
         val t0 = System.nanoTime()
         spark.catalog.clearCache(); System.gc(); Thread.sleep(100)
         val iso = (1 to 3).map(_ => timeOnce(name, SparkEntry.queries(name))).min
@@ -191,7 +209,18 @@ object Bench {
       val total = results.map(_._2).sum
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,$extra$adjJson$failedJson"sf":"$sfDir","total_sec":${f3(total)}}"""
     }
-    println(line(results, ""))
+    val fullLine = line(results, "")
+    println(fullLine)
+    // The full line ALSO lands in a file (cwd, env-overridable): the
+    // captured-stdout tail is end-anchored at ~2000 chars, so whole-map
+    // consumers read the artifact instead of hoping the line survives
+    // truncation (BENCH_r16 "parsed": null — the tail never machine-
+    // parsed in any round).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     val bySlowest = results.sortBy(-_._2)
     val extraOf = (k: Int) =>
       s""""n_queries":${results.length},"repeats":$repeats,"queries_omitted_fastest":${results.length - k},"""
@@ -202,14 +231,29 @@ object Bench {
     // Optional: refresh the committed prior snapshot from this run's
     // recorded (post-adjudication) numbers — run locally each round so
     // the next driver sweep screens against a clean baseline.
-    if (sys.env.get("SPARK_GRAFT_BENCH_WRITE_PRIOR").contains("1")) {
-      val qs = results.filter(_._2.isFinite).sortBy(_._1)
+    // WRITE_PRIOR=1 overwrites (first sweep of a session);
+    // WRITE_PRIOR=min merges per-query MINIMA with the existing file
+    // (every later sweep of the same session). Min-of-N is the standard
+    // noise-floor estimator — r16 rebased to the LAST of three same-day
+    // sweeps (167.6 → 188.0 s ambient spread) and baked ~12% inflation
+    // into the next round's regression baseline, the slow-creep blind
+    // spot the adjudicator cannot see. Rows the current run does not
+    // know (renamed/removed queries) are dropped on merge.
+    val priorMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_WRITE_PRIOR", "")
+    if (priorMode == "1" || priorMode == "min") {
+      val merged = results.filter(_._2.isFinite).map { case (n, v) =>
+        n -> (if (priorMode == "min") math.min(v, prior.getOrElse(n, v)) else v)
+      }
+      val qs = merged.sortBy(_._1)
         .map { case (n, v) => "  \"" + n + "\": " + f3(v) }
         .mkString("{\n", ",\n", "\n}")
-      val body = s"""{"source":"local post-adjudication sweep","sf":"$sfDir","queries":$qs}"""
+      val src = if (priorMode == "min")
+        "local post-adjudication sweep (per-query min across session sweeps)"
+      else "local post-adjudication sweep"
+      val body = s"""{"source":"$src","sf":"$sfDir","queries":$qs}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(priorPath),
         body.getBytes("UTF-8"))
-      System.err.println(s"[bench] wrote prior snapshot to $priorPath")
+      System.err.println(s"[bench] wrote prior snapshot to $priorPath (mode=$priorMode)")
     }
     spark.stop()
     // A bench with failing queries is a FAILED bench — exit non-zero so
