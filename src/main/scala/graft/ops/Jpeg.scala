@@ -619,7 +619,15 @@ object Jpeg {
     var progressive = false
     var sampH = 0; var sampV = 0
     var ri = 0
-    var qLumaSum = -1
+    // per-slot DQT sums + the FIRST SOF component's table selector: a
+    // spec-legal stream may put its luma table in any slot 0-3
+    // (decode() only requires the tables the scans reference), so the
+    // quality estimate keys off the slot the luma component actually
+    // uses, not a hardcoded slot 0 (r16 ADVICE — requiring slot 0
+    // dropped decodable streams from jpegMetadata, breaking the
+    // "metadata presence contains decodability" containment)
+    val qSums = Array(-1, -1, -1, -1)
+    var lumaTq = -1
     var orientation = 0
     var sawSof = false
     var sawEoi = false
@@ -654,7 +662,7 @@ object Jpeg {
           if (hs < 1 || hs > 4 || vs < 1 || vs > 4)
             fail(s"bad sampling factors ${hs}x$vs")
           if (tq > 3) fail(s"bad quant table id $tq")
-          if (i == 0) { sampH = hs; sampV = vs }
+          if (i == 0) { sampH = hs; sampV = vs; lumaTq = tq }
           i += 1
         }
         if (pos != end) fail("SOF length mismatch")
@@ -674,7 +682,7 @@ object Jpeg {
             sum += q
             k += 1
           }
-          if (tq == 0) qLumaSum = sum // table 0 is luma by JFIF convention
+          qSums(tq) = sum
         }
         if (pos != end) fail("DQT length mismatch")
       }
@@ -747,6 +755,11 @@ object Jpeg {
       }
     }
     if (!sawSof) fail("no SOF before EOI")
+    // the luma table is whichever slot the first SOF component selects
+    // (slot 0 as a fallback for streams whose first component's table
+    // never appeared — though decode() would refuse those at SOS)
+    val qLumaSum = if (lumaTq >= 0 && qSums(lumaTq) >= 0) qSums(lumaTq)
+      else qSums(0)
     if (qLumaSum < 0) fail("no luma quantization table")
     // invert the libjpeg quality→scale map on the summed table:
     // scale% = round(100·Σq/Σbase); quality = 5000/scale (scale>100)

@@ -268,6 +268,25 @@ class JpegSpec extends SparkSpec {
       g(30) = 'X'.toByte
       assert(Jpeg.meta(g).orientation === 0)
     }
+    // a spec-legal stream whose component uses quant slot 1 (no slot 0
+    // at all) must carry metadata — decode only requires the tables the
+    // scans reference, and meta's containment must match (r16 ADVICE);
+    // patch the encoder's slot-0 stream: DQT Pq/Tq byte 0x00→0x01 and
+    // the SOF component's Tq 0→1
+    locally {
+      val b = Jpeg.encodeGray(24, 16, yp, Array.fill(64)(8))
+      var i = 2
+      while (!((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xdb)) i += 1
+      assert(b(i + 4) === 0x00.toByte) // DQT Pq/Tq
+      b(i + 4) = 0x01.toByte
+      var j = i + 2 // SOF follows the DQT in the encoder's layout
+      while (!((b(j) & 0xff) == 0xff && (b(j + 1) & 0xff) == 0xc0)) j += 1
+      assert(b(j + 12) === 0x00.toByte) // SOF comp Tq (FFC0 len2 prec h2 w2 nf id hv → tq)
+      b(j + 12) = 0x01.toByte
+      assert(Jpeg.meta(b) === Jpeg.Meta(24, 16, 1, false, 1, 1, 0, 93, 0))
+      val (dw, dh, _) = Jpeg.decode(b)
+      assert(dw === 24 && dh === 16)
+    }
     // truncated stream: meta requires EOI, so bookkeeping stays
     // deterministic
     val g = Jpeg.encodeGray(24, 16, yp)
