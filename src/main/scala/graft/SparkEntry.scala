@@ -210,12 +210,15 @@ object SparkEntry {
   }
 
   /** Planted MIXED-media corpus — each modality's dedup fixture at its
-    * id offset, a byte-identical unknown-magic cohort, and a CORRUPT
+    * id offset, a byte-identical unknown-magic cohort, a CORRUPT
     * cohort (valid P6 magic, undecodable payload, byte-identical within
-    * each group — the truncated-download shape): the m_routed_media
-    * corpus, shared by the streaming/incremental media gates so all
-    * three replay the same planted structure, including the round-15
-    * undecodable routing (corrupt blobs keep exact duplicates). */
+    * each group — the truncated-download shape), and (round 17) a PNG
+    * cohort whose m=2 member is a lossless RE-ENCODE — different bytes,
+    * identical pixels, the pair exact-blob matching structurally
+    * misses: the m_routed_media corpus, shared by the streaming/
+    * incremental media gates so all three replay the same planted
+    * structure, including the round-15 undecodable routing (corrupt
+    * blobs keep exact duplicates). */
   private def mixedMediaFixture(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(s"$dir/documents.parquet")
     val img = Multimodal.dedupImageMediaFromDocuments(docs)
@@ -229,8 +232,10 @@ object SparkEntry {
     val bad = docs.select((col("doc_id") + lit(8000000L)).as("media_id"),
       concat(lit("P6\ncorrupt-".getBytes),
         encode(floor(col("doc_id") / 4).cast("string"), "UTF-8")).as("bytes"))
+    val png = Multimodal.pngDedupMediaFromDocuments(docs)
+      .select((col("media_id") + lit(10000000L)).as("media_id"), col("bytes"))
     img.unionByName(aud).unionByName(vid).unionByName(unk)
-      .unionByName(bad)
+      .unionByName(bad).unionByName(png)
   }
 
   /** Frozen per-modality + exact-blob indexes over the m ∈ {0,3} corpus
@@ -2225,6 +2230,60 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Multimodal: REAL PNG decode (round 17, from the public W3C/ISO
+    // spec) — synthesize a true DEFLATE-compressed PNG per doc (colour
+    // type by doc_id%4: gray / truecolour / palette / RGBA, per-row
+    // filter (doc_id+y)%5 so ALL FIVE defilter paths run on the wire,
+    // 24-byte IDAT chunking, TRUNCATED on doc_id%17=0 — the CRC walk
+    // refuses, DROPMALFORMED drops), decode through chunk walk + CRC +
+    // Inflater + defilter + colour projection, output per-channel
+    // means. PNG is lossless, so DuckDB replays every mean EXACTLY
+    // from doc_id arithmetic — no quant trick, no tolerance.
+    "m_png" -> ((s, dir) => {
+      val imgs = Multimodal.pngMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet"))
+      Multimodal.decodePngImages(imgs, thumbSide = 2)
+        .select(col("media_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy("media_id")
+    }),
+
+    // Multimodal: PERCEPTUAL dedup over REAL PNG streams (round 17) —
+    // the capability the format previously lost: groups of base /
+    // exact byte copy / RE-ENCODED copy (same pixels, different
+    // per-row filters and IDAT chunking — different bytes end to end,
+    // so exact-blob dedup structurally misses it) / independent,
+    // decoded through the \x89PNG dispatch into the unchanged banded
+    // stack. Lossless decode ⇒ the re-encode pairs at hamming 0 with
+    // n_diff_ch 0; the oracle replays the pair structure exactly
+    // (precision AND recall).
+    "m_png_dedup" -> ((s, dir) => {
+      val media = Multimodal.pngDedupMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet"))
+      val dec = Multimodal.decodeAnyImages(media, thumbSide = 8)
+      Multimodal.imageNearDupPairs(dec, maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming"), col("n_diff_ch"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Multimodal: structural PNG metadata WITHOUT inflating (round
+    // 17) — the decodeless chunk walk over the same planted streams as
+    // m_png: geometry, bit depth, colour type, interlace, palette
+    // size, alpha presence at header+CRC cost. Every projected column
+    // replays from doc_id arithmetic; the truncated %17 cohort drops
+    // because the CRC walk requires intact chunks through IEND.
+    // (n_chunks / idat_bytes depend on the Deflater's output length —
+    // real but not DuckDB-replayable — and stay spec-gated in
+    // PngSpec.)
+    "m_png_meta" -> ((s, dir) => {
+      Multimodal.pngMetadata(Multimodal.pngMediaFromDocuments(
+          s.read.parquet(s"$dir/documents.parquet")))
+        .select(col("media_id"), col("width"), col("height"),
+          col("bit_depth"), col("color_type"), col("interlaced"),
+          col("palette_size"), col("has_alpha"))
+        .orderBy("media_id")
+    }),
+
     // Multimodal: REAL image decode — synthesize binary PPM (P6) per doc,
     // parse header+raster in mapPartitions, per-channel means. The r/g
     // channels are deterministic gradients, so DuckDB can recompute them
@@ -2470,12 +2529,15 @@ object SparkEntry {
 
     // Unified MIXED-MODALITY routing — one media column carrying planted
     // image, audio, AND video groups plus a byte-identical unknown-magic
-    // cohort AND a corrupt-P6 cohort (valid magic, undecodable payload):
-    // the magic-byte dispatch sends each cohort through its modality's
-    // routed dedup (each blob decoded at most once, in exactly one
-    // branch); unknown AND undecodable blobs keep their exact duplicates
-    // via blob star pairs. The oracle replays every modality's group
-    // structure including the per-group corrupt stars.
+    // cohort, a corrupt-P6 cohort (valid magic, undecodable payload),
+    // and (round 17) a PNG group whose m=2 member is a lossless
+    // re-encode — different bytes, identical pixels, the recall case
+    // exact-blob matching structurally misses: the magic-byte dispatch
+    // sends each cohort through its modality's routed dedup (each blob
+    // decoded at most once, in exactly one branch); unknown AND
+    // undecodable blobs keep their exact duplicates via blob star
+    // pairs. The oracle replays every modality's group structure
+    // including the per-group corrupt stars.
     "m_routed_media" -> ((s, dir) => {
       Multimodal.routedMediaDedup(mixedMediaFixture(s, dir))
         .orderBy("id_a", "id_b")
@@ -5318,6 +5380,71 @@ object SparkEntry {
         |  CAST(sb AS DOUBLE) / (w * h) AS mean_b
         |FROM s ORDER BY media_id""".stripMargin,
 
+    // Analytic replay of the PNG decode: lossless, so each channel is
+    // pure modular arithmetic over doc_id and the pixel index — gray
+    // (ct 0) replicates one ramp, palette (ct 2 → colour type 3) looks
+    // up a 16-slot planted palette by p%16, truecolour/RGBA share the
+    // channel ramps (alpha dropped). The truncated doc_id%17=0 cohort
+    // is refused by the CRC chunk walk and excluded here.
+    "m_png" ->
+      """WITH m AS (SELECT doc_id, doc_id % 4 AS ct,
+        |    8 + doc_id % 13 AS w, 6 + doc_id % 11 AS h
+        |  FROM documents WHERE doc_id % 17 <> 0),
+        |s AS (SELECT doc_id, w, h,
+        |  list_sum(list_transform(range(0, w * h), p ->
+        |    CASE WHEN ct = 0 THEN (doc_id*7 + p*5) % 256
+        |         WHEN ct = 2 THEN (doc_id + (p % 16)*17) % 256
+        |         ELSE (doc_id*3 + p) % 256 END)) AS sr,
+        |  list_sum(list_transform(range(0, w * h), p ->
+        |    CASE WHEN ct = 0 THEN (doc_id*7 + p*5) % 256
+        |         WHEN ct = 2 THEN (doc_id*3 + (p % 16)*29) % 256
+        |         ELSE (doc_id*5 + 2*p) % 256 END)) AS sg,
+        |  list_sum(list_transform(range(0, w * h), p ->
+        |    CASE WHEN ct = 0 THEN (doc_id*7 + p*5) % 256
+        |         WHEN ct = 2 THEN (doc_id*7 + (p % 16)*41) % 256
+        |         ELSE (doc_id*11 + 3*p) % 256 END)) AS sb
+        |  FROM m)
+        |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height,
+        |  CAST(sr AS DOUBLE) / (w * h) AS mean_r,
+        |  CAST(sg AS DOUBLE) / (w * h) AS mean_g,
+        |  CAST(sb AS DOUBLE) / (w * h) AS mean_b
+        |FROM s ORDER BY media_id""".stripMargin,
+
+    // Exact replay of the planted PNG dedup structure: all three
+    // members m ∈ {0,1,2} decode to IDENTICAL pixels (m=1 exact bytes,
+    // m=2 a lossless re-encode), so every within-group pair sits at
+    // hamming 0 / n_diff_ch 0; independents and cross-group pairs must
+    // NOT appear.
+    "m_png_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |           FROM documents)
+        |SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+        |       CAST(b.doc_id AS BIGINT) AS id_b,
+        |       CAST(0 AS BIGINT) AS hamming,
+        |       CAST(0 AS BIGINT) AS n_diff_ch
+        |FROM d a JOIN d b ON a.gid = b.gid AND a.doc_id < b.doc_id
+        | WHERE a.m <= 2 AND b.m <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Structural replay of the decodeless PNG chunk walk: geometry and
+    // colour type from doc_id arithmetic (ct 0→gray 0, 1→truecolour 2,
+    // 2→palette 3 with the planted 16-slot PLTE, 3→RGBA 6), depth
+    // always 8, never interlaced; alpha only on the RGBA cohort. The
+    // truncated %17 cohort drops at the CRC walk.
+    "m_png_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8 + doc_id % 13 AS INT) AS width,
+        |  CAST(6 + doc_id % 11 AS INT) AS height,
+        |  CAST(8 AS INT) AS bit_depth,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 2
+        |       WHEN 2 THEN 3 ELSE 6 END AS INT) AS color_type,
+        |  FALSE AS interlaced,
+        |  CAST(CASE WHEN doc_id % 4 = 2 THEN 16 ELSE 0 END AS INT)
+        |    AS palette_size,
+        |  doc_id % 4 = 3 AS has_alpha
+        |FROM documents WHERE doc_id % 17 <> 0 ORDER BY media_id""".stripMargin,
+
     "m_decode" ->
       """SELECT doc_id AS media_id,
         |  CAST(4 + doc_id % 5 AS INT) AS width,
@@ -5593,7 +5720,10 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT CAST(8000000 + gid * 4 AS BIGINT),
         |         CAST(8000000 + doc_id AS BIGINT), 'exact_blob', 'image'
-        |  FROM d WHERE m <> 0)
+        |  FROM d WHERE m <> 0
+        |  UNION ALL
+        |  SELECT CAST(10000000 + ia AS BIGINT), CAST(10000000 + ib AS BIGINT),
+        |         'perceptual', 'image' FROM tri)
         |ORDER BY id_a, id_b""".stripMargin,
 
     // Exact replay of the audio stream: the copy (m=1) AND the
@@ -5744,7 +5874,19 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT CAST(8000000 + gid * 4 AS BIGINT),
         |         CAST(8000000 + doc_id AS BIGINT),
-        |         'exact_blob', 'image', 'corpus' FROM d WHERE m IN (1, 2))
+        |         'exact_blob', 'image', 'corpus' FROM d WHERE m IN (1, 2)
+        |  UNION ALL
+        |  SELECT CAST(10000000 + gid * 4 + 1 AS BIGINT),
+        |         CAST(10000000 + gid * 4 + 2 AS BIGINT),
+        |         'perceptual', 'image', 'batch' FROM g
+        |  UNION ALL
+        |  SELECT CAST(10000000 + gid * 4 AS BIGINT),
+        |         CAST(10000000 + doc_id AS BIGINT),
+        |         'perceptual', 'image', 'corpus' FROM d WHERE m IN (1, 2)
+        |  UNION ALL
+        |  SELECT CAST(10000000 + gid * 4 AS BIGINT),
+        |         CAST(10000000 + doc_id AS BIGINT),
+        |         'exact_blob', 'image', 'corpus' FROM d WHERE m = 1)
         |ORDER BY id_a, id_b, side, kind""".stripMargin,
 
     // Exact replay of the mixed-modality stream: every m in {1,2} member
@@ -5788,7 +5930,15 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT CAST(8000000 + doc_id AS BIGINT),
         |         CAST(8000000 + gid * 4 AS BIGINT),
-        |         'exact_blob', 'image' FROM d WHERE m IN (1, 2))
+        |         'exact_blob', 'image' FROM d WHERE m IN (1, 2)
+        |  UNION ALL
+        |  SELECT CAST(10000000 + doc_id AS BIGINT),
+        |         CAST(10000000 + gid * 4 AS BIGINT),
+        |         'perceptual', 'image' FROM d WHERE m IN (1, 2)
+        |  UNION ALL
+        |  SELECT CAST(10000000 + doc_id AS BIGINT),
+        |         CAST(10000000 + gid * 4 AS BIGINT),
+        |         'exact_blob', 'image' FROM d WHERE m = 1)
         |ORDER BY media_id, match_id, kind""".stripMargin,
 
     // Exact replay of the composed media pipeline: the near-dup cluster

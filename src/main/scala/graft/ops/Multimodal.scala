@@ -373,6 +373,68 @@ object Multimodal {
     }.toDF("media_id", "bytes")
   }
 
+  /** Planted PNG fixture for the m_png gate row (round 17) — one
+    * stream per doc covering the codec's supported profile: colour
+    * type by doc_id%4 (0 grayscale, 1 truecolour, 2 palette, 3 RGBA —
+    * the alpha plane is parsed and dropped), per-row filter type
+    * (doc_id + y) % 5 so every stream (h ≥ 6) exercises ALL FIVE
+    * defilter paths on the wire, 24-byte IDAT chunking so the
+    * multi-IDAT reassembly is real, and a truncated cohort on
+    * doc_id%17=0 (cut mid-stream — the CRC-verified chunk walk
+    * refuses it) for DROPMALFORMED bookkeeping. PNG is lossless, so
+    * every decoded channel mean replays in DuckDB from doc_id
+    * arithmetic EXACTLY — no tolerance, no quant-table trick. */
+  def pngMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val ct = (id % 4).toInt
+      val w = 8 + (id % 13).toInt
+      val h = 6 + (id % 11).toInt
+      val n = w * h
+      def filt(y: Int): Int = ((id + y) % 5).toInt
+      val bytes = ct match {
+        case 0 =>
+          Png.encodeGray(w, h,
+            Array.tabulate(n)(p => ((id * 7 + p * 5) % 256).toByte), filt, 24)
+        case 2 =>
+          val pal = new Array[Byte](16 * 3)
+          var i = 0
+          while (i < 16) {
+            pal(3 * i) = ((id + i * 17) % 256).toByte
+            pal(3 * i + 1) = ((id * 3 + i * 29) % 256).toByte
+            pal(3 * i + 2) = ((id * 7 + i * 41) % 256).toByte
+            i += 1
+          }
+          Png.encodePalette(w, h, pal,
+            Array.tabulate(n)(p => (p % 16).toByte), filt, 24)
+        case 1 =>
+          Png.encode(w, h, Array.tabulate(n * 3) { q =>
+            val p = q / 3
+            ((q % 3) match {
+              case 0 => (id * 3 + p) % 256
+              case 1 => (id * 5 + 2 * p) % 256
+              case _ => (id * 11 + 3 * p) % 256
+            }).toByte
+          }, filt, 24)
+        case _ =>
+          Png.encodeRgba(w, h, Array.tabulate(n * 4) { q =>
+            val p = q / 4
+            ((q % 4) match {
+              case 0 => (id * 3 + p) % 256
+              case 1 => (id * 5 + 2 * p) % 256
+              case 2 => (id * 11 + 3 * p) % 256
+              case _ => (p * 13) % 256 // dropped by the RGB contract
+            }).toByte
+          }, filt, 24)
+      }
+      val out =
+        if (id % 17 == 0) java.util.Arrays.copyOfRange(bytes, 0, bytes.length / 2)
+        else bytes
+      (id, out)
+    }.toDF("media_id", "bytes")
+  }
+
   // ---- real decode tier 3: WAV / RIFF PCM (audio) ----
 
   /** Minimal RIFF/WAVE PCM codec — the standard uncompressed audio
@@ -685,6 +747,15 @@ object Multimodal {
       skipMalformed: Boolean = true): DataFrame =
     decodeImagesWith(media, Jpeg.decode, thumbSide, skipMalformed)
 
+  /** PNG decode — the lossless-compression tier ([[Png]], implemented
+    * from the public W3C/ISO PNG spec; round 17): DEFLATE via the JDK,
+    * all five scanline filters, gray/RGB/palette/alpha colour types,
+    * CRC-verified chunk walk. Same output contract as
+    * [[decodeImages]]; alpha is dropped, gray replicates into RGB. */
+  def decodePngImages(media: DataFrame, thumbSide: Int = 2,
+      skipMalformed: Boolean = true): DataFrame =
+    decodeImagesWith(media, Png.decode, thumbSide, skipMalformed)
+
   final case class JpegMetaRow(media_id: Long, width: Int, height: Int,
       n_components: Int, progressive: Boolean, samp_h: Int, samp_v: Int,
       restart_interval: Int, quality_est: Int, orientation: Int)
@@ -715,6 +786,39 @@ object Multimodal {
           case e: Exception if skipMalformed => Iterator.empty
           case e: Exception => throw new RuntimeException(
             s"malformed jpeg for media_id ${m.media_id}", e)
+        }
+      }
+    }.toDF()
+  }
+
+  final case class PngMetaRow(media_id: Long, width: Int, height: Int,
+      bit_depth: Int, color_type: Int, interlaced: Boolean, n_chunks: Int,
+      idat_bytes: Long, palette_size: Int, has_alpha: Boolean)
+
+  /** Structural PNG metadata WITHOUT inflating — [[jpegMetadata]]'s
+    * lossless-tier twin ([[Png.meta]]): IHDR geometry, bit depth,
+    * colour type, interlace flag, chunk census, compressed IDAT bytes,
+    * palette size, alpha presence, all at header+CRC cost. Unlike the
+    * decoder, the walk REPORTS interlaced and 16-bit streams instead
+    * of refusing — exactly the cost-routing signal a pre-decode crawl
+    * gate reads — so metadata presence contains decodability here too.
+    * The chunk CRCs ARE verified (PNG's own integrity check), so a
+    * truncated or bit-rotted download drops under `skipMalformed`
+    * without a single inflate call. */
+  def pngMetadata(media: DataFrame, skipMalformed: Boolean = true): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[ImageRow].mapPartitions { it =>
+      it.flatMap { m =>
+        try {
+          val md = Png.meta(m.bytes)
+          Iterator.single(PngMetaRow(m.media_id, md.width, md.height,
+            md.bitDepth, md.colorType, md.interlaced, md.nChunks,
+            md.idatBytes, md.paletteSize, md.hasAlpha))
+        } catch {
+          case e: Exception if skipMalformed => Iterator.empty
+          case e: Exception => throw new RuntimeException(
+            s"malformed png for media_id ${m.media_id}", e)
         }
       }
     }.toDF()
@@ -910,10 +1014,11 @@ object Multimodal {
   // ---- perceptual image dedup (round 13) ----
 
   /** Mixed-format image decode: dispatch per blob on the magic bytes
-    * (`P6` → [[Ppm]], `FFD8` → [[Jpeg]], `qoif` → [[Qoi]]) — real
-    * corpora are never single-format (and are JPEG-dominated), and a
-    * per-format filter+union would read the media table once per
-    * format. Same output contract as [[decodeImages]]. */
+    * (`P6` → [[Ppm]], `FFD8` → [[Jpeg]], `\x89PNG` → [[Png]] (round
+    * 17), `qoif` → [[Qoi]]) — real corpora are never single-format
+    * (and are JPEG+PNG-dominated), and a per-format filter+union would
+    * read the media table once per format. Same output contract as
+    * [[decodeImages]]. */
   def decodeAnyImages(media: DataFrame, thumbSide: Int = 2,
       skipMalformed: Boolean = true): DataFrame =
     decodeImagesWith(media, bytes =>
@@ -922,6 +1027,7 @@ object Multimodal {
       else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
           (bytes(1) & 0xff) == 0xd8)
         Jpeg.decode(bytes)
+      else if (Png.isPng(bytes)) Png.decode(bytes)
       else Qoi.decode(bytes), thumbSide, skipMalformed)
 
   /** Perceptual near-duplicate image pairs: dHash/aHash 64-bit signatures
@@ -1248,15 +1354,16 @@ object Multimodal {
 
   /** Magic-byte modality classification of a mixed media column — the
     * [[decodeAnyImages]] dispatch extended across containers
-    * (`P6`/`qoif`/`FFD8` (JPEG SOI, round 16) → image, `RIFF` → audio,
-    * `YUV4MPEG2` → video, anything else → unknown): one native
-    * substring compare per blob, a pure projection (stream-legal).
-    * Returns (media_id, bytes, modality). */
+    * (`P6`/`qoif`/`FFD8` (JPEG SOI, round 16)/`\x89PNG` (round 17) →
+    * image, `RIFF` → audio, `YUV4MPEG2` → video, anything else →
+    * unknown): one native substring compare per blob, a pure
+    * projection (stream-legal). Returns (media_id, bytes, modality). */
   def classifyMedia(media: DataFrame): DataFrame = {
     def magic(n: Int) = substring(col("bytes"), 1, n)
     media.select(col("media_id"), col("bytes"),
       when(magic(2) === lit("P6".getBytes) ||
           magic(4) === lit("qoif".getBytes) ||
+          magic(8) === lit(Png.Signature) ||
           magic(2) === lit(Array(0xff.toByte, 0xd8.toByte)), "image")
         .when(magic(4) === lit("RIFF".getBytes), "audio")
         .when(magic(9) === lit("YUV4MPEG2".getBytes), "video")
@@ -2547,6 +2654,48 @@ object Multimodal {
         p += 1
       }
       (id, Jpeg.encodeGray(64, 64, yp, q8, if (m == 2) 2 else 0))
+    }.toDF("media_id", "bytes")
+  }
+
+  /** Planted-duplicate PNG fixture — [[dedupImageMediaFromDocuments]]'s
+    * structure on the lossless wire format (round 17): groups of four,
+    * m=0 a gid-seeded 8×8 binary raster encoded with filter None and
+    * one IDAT, m=1 an EXACT byte copy, m=2 the SAME raster RE-ENCODED
+    * (per-row filters cycling 1..4, 8-byte IDAT chunking — different
+    * bytes end to end, IDENTICAL pixels: the cohort exact-blob dedup
+    * structurally misses and that routed PNG blobs previously lost),
+    * m=3 an independent raster. Lossless decode means the re-encode
+    * pairs at hamming 0 with n_diff_ch 0 — the oracle replays the
+    * structure exactly. The pattern family is DOUBLE-mixed so it never
+    * collides with [[dedupImageMediaFromDocuments]]'s — both cohorts
+    * ride the same image branch inside the mixed-media fixture, and a
+    * shared gid seed would pair across the id offsets. */
+  def pngDedupMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val gid = id / 4
+      val m = (id % 4).toInt
+      def mix(v: Long): Long = {
+        var z = v + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      val pattern = mix(
+        (if (m == 3) mix(gid * 7919L + 104729L) else mix(gid)) +
+          0x51f7a1d2e3c4b5a6L)
+      val rgb = new Array[Byte](8 * 8 * 3)
+      var p = 0
+      while (p < 64) {
+        val v = if (((pattern >>> p) & 1L) == 1L) 255.toByte else 0.toByte
+        rgb(3 * p) = v; rgb(3 * p + 1) = v; rgb(3 * p + 2) = v
+        p += 1
+      }
+      val bytes =
+        if (m == 2) Png.encode(8, 8, rgb, y => 1 + (y % 4), 8)
+        else Png.encode(8, 8, rgb)
+      (id, bytes)
     }.toDF("media_id", "bytes")
   }
 

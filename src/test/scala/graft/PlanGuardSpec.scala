@@ -22,6 +22,7 @@ class PlanGuardSpec extends SparkSpec {
     "e_knn_brute", "e_knn_lsh", "e_knn_ivf", "e_knn_pq", "e_knn_ivfpq",
     "e_knn_ivfpq_index", "e_knn_q8", "e_neardup",
     "e_neardup_lsh", "e_dedup_clusters", "e_semantic_dedup", "m_image_dedup",
+    "m_jpeg_dedup", "m_png_dedup",
     "m_audio_dedup", "m_video_dedup", "m_routed_dedup", "m_routed_audio",
     "m_routed_video", "m_routed_media", "m_incr_dedup", "m_incr_audio",
     "m_incr_video", "m_incr_media", "m_dedup_pipeline", "t_asof", "t_asof_tol",
