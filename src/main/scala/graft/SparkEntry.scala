@@ -2266,6 +2266,26 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Multimodal: EXIF-orientation-NORMALIZED perceptual dedup (round
+    // 17) — dHash is not rotation-invariant, so a rotated re-save of
+    // the same photo never paired before this. Planted groups: base /
+    // stored-rotated-90°CW-with-tag-8 (pairs ONLY via normalization —
+    // the thumb is bit-identical after the EXIF transform) / the same
+    // rotated raster WITHOUT the tag (the control: must pair with
+    // NOTHING, proving the pair comes from the tag, not a hash
+    // invariance) / independent-with-a-tag. The oracle replays the
+    // planted structure exactly: one (4g, 4g+1) pair per group at
+    // hamming 0, n_diff_ch 0.
+    "m_orient_dedup" -> ((s, dir) => {
+      val media = Multimodal.orientDedupMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet"))
+      val dec = Multimodal.decodeAnyImages(media, thumbSide = 8,
+        autoOrient = true)
+      Multimodal.imageNearDupPairs(dec, maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming"), col("n_diff_ch"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Multimodal: structural PNG metadata WITHOUT inflating (round
     // 17) — the decodeless chunk walk over the same planted streams as
     // m_png: geometry, bit depth, colour type, interlace, palette
@@ -5425,6 +5445,21 @@ object SparkEntry {
         |       CAST(0 AS BIGINT) AS n_diff_ch
         |FROM d a JOIN d b ON a.gid = b.gid AND a.doc_id < b.doc_id
         | WHERE a.m <= 2 AND b.m <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Exact replay of the planted rotated-re-save structure: the
+    // tag-8 member normalizes onto its base (one pair per group at
+    // hamming 0), the untagged rotated control and the tagged
+    // independent pair with nothing.
+    "m_orient_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |           FROM documents)
+        |SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+        |       CAST(b.doc_id AS BIGINT) AS id_b,
+        |       CAST(0 AS BIGINT) AS hamming,
+        |       CAST(0 AS BIGINT) AS n_diff_ch
+        |FROM d a JOIN d b ON a.gid = b.gid AND a.doc_id < b.doc_id
+        | WHERE a.m = 0 AND b.m = 1
         |ORDER BY id_a, id_b""".stripMargin,
 
     // Structural replay of the decodeless PNG chunk walk: geometry and

@@ -591,6 +591,86 @@ object Jpeg {
       progressive: Boolean, sampH: Int, sampV: Int, restartInterval: Int,
       qualityEst: Int, orientation: Int)
 
+  /** Bounds-checked EXIF orientation parse over an APP1 segment's
+    * payload [p0, end): the `Exif\0\0` identifier, TIFF header (either
+    * byte order), IFD0 walk for tag 0x0112 (type SHORT, count 1).
+    * Returns 1-8, or 0 when absent/unparseable — EXIF is ANCILLARY
+    * metadata, so corrupt third-party blobs read as absent, never as a
+    * failure of the coded stream. */
+  private def app1Orientation(bytes: Array[Byte], p0: Int, end: Int): Int = {
+    var orientation = 0
+    def ok(o: Int, n: Int) = o >= p0 && o + n <= end
+    if (ok(p0, 6) && bytes(p0) == 'E' && bytes(p0 + 1) == 'x' &&
+        bytes(p0 + 2) == 'i' && bytes(p0 + 3) == 'f' &&
+        bytes(p0 + 4) == 0 && bytes(p0 + 5) == 0) {
+      val t = p0 + 6 // TIFF header
+      def b16(o: Int, be: Boolean): Int =
+        if (be) ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+        else ((bytes(o + 1) & 0xff) << 8) | (bytes(o) & 0xff)
+      def b32(o: Int, be: Boolean): Long =
+        if (be) (b16(o, be).toLong << 16) | b16(o + 2, be)
+        else (b16(o + 2, be).toLong << 16) | b16(o, be)
+      if (ok(t, 8)) {
+        val be = bytes(t) == 'M' && bytes(t + 1) == 'M'
+        val le = bytes(t) == 'I' && bytes(t + 1) == 'I'
+        if ((be || le) && b16(t + 2, be) == 42) {
+          val ifd = b32(t + 4, be)
+          if (ifd >= 8 && ifd < Int.MaxValue && ok(t + ifd.toInt, 2)) {
+            val io = t + ifd.toInt
+            val n = b16(io, be)
+            var i = 0
+            while (i < n && ok(io + 2 + 12 * i, 12)) {
+              val e0 = io + 2 + 12 * i
+              if (b16(e0, be) == 0x0112 && b16(e0 + 2, be) == 3 &&
+                  b32(e0 + 4, be) == 1) {
+                // SHORT values sit left-justified in the 4-byte field
+                val v = b16(e0 + 8, be)
+                if (v >= 1 && v <= 8) orientation = v
+              }
+              i += 1
+            }
+          }
+        }
+      }
+    }
+    orientation
+  }
+
+  /** Best-effort EXIF orientation WITHOUT a full metadata walk: scan
+    * markers from SOI to the first SOS or EOI only (EXIF rides APP1,
+    * which precedes the scan data), parse nothing but APP1. NEVER
+    * throws — anything unparseable (including a non-JPEG blob) reads
+    * 0 — because callers pair this with an already-successful decode
+    * and EXIF is ancillary: a garbled header must degrade to
+    * "unoriented", not retroactively fail a decoded image. */
+  def exifOrientation(bytes: Array[Byte]): Int = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff ||
+        (bytes(1) & 0xff) != 0xd8) return 0
+    var pos = 2
+    var orientation = 0
+    var done = false
+    while (!done) {
+      if (pos + 4 > bytes.length) return orientation
+      if ((bytes(pos) & 0xff) != 0xff) return orientation
+      pos += 1
+      var m = bytes(pos) & 0xff; pos += 1
+      while (m == 0xff && pos < bytes.length) { m = bytes(pos) & 0xff; pos += 1 }
+      if (m == 0xd9 || m == 0xda) done = true // EOI / SOS: APP1 precedes both
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) () // standalone
+      else {
+        if (pos + 2 > bytes.length) return orientation
+        val len = ((bytes(pos) & 0xff) << 8) | (bytes(pos + 1) & 0xff)
+        if (len < 2 || pos + len > bytes.length) return orientation
+        if (m == 0xe1) {
+          val v = app1Orientation(bytes, pos + 2, pos + len)
+          if (v > 0) orientation = v
+        }
+        pos += len
+      }
+    }
+    orientation
+  }
+
   /** Parse markers only: dimensions, component count, luma sampling
     * factors, progressive flag, restart interval, and a libjpeg-style
     * quality estimate from the luma DQT (scale% = 100·Σq/Σbase inverted
@@ -693,42 +773,8 @@ object Jpeg {
         val p0 = pos
         val end = pos - 2 + len
         pos = end
-        // every access below is bounds-checked against the segment;
-        // anything off leaves orientation at its current value
-        def ok(o: Int, n: Int) = o >= p0 && o + n <= end
-        if (ok(p0, 6) && bytes(p0) == 'E' && bytes(p0 + 1) == 'x' &&
-            bytes(p0 + 2) == 'i' && bytes(p0 + 3) == 'f' &&
-            bytes(p0 + 4) == 0 && bytes(p0 + 5) == 0) {
-          val t = p0 + 6 // TIFF header
-          def b16(o: Int, be: Boolean): Int =
-            if (be) ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
-            else ((bytes(o + 1) & 0xff) << 8) | (bytes(o) & 0xff)
-          def b32(o: Int, be: Boolean): Long =
-            if (be) (b16(o, be).toLong << 16) | b16(o + 2, be)
-            else (b16(o + 2, be).toLong << 16) | b16(o, be)
-          if (ok(t, 8)) {
-            val be = bytes(t) == 'M' && bytes(t + 1) == 'M'
-            val le = bytes(t) == 'I' && bytes(t + 1) == 'I'
-            if ((be || le) && b16(t + 2, be) == 42) {
-              val ifd = b32(t + 4, be)
-              if (ifd >= 8 && ifd < Int.MaxValue && ok(t + ifd.toInt, 2)) {
-                val io = t + ifd.toInt
-                val n = b16(io, be)
-                var i = 0
-                while (i < n && ok(io + 2 + 12 * i, 12)) {
-                  val e0 = io + 2 + 12 * i
-                  if (b16(e0, be) == 0x0112 && b16(e0 + 2, be) == 3 &&
-                      b32(e0 + 4, be) == 1) {
-                    // SHORT values sit left-justified in the 4-byte field
-                    val v = b16(e0 + 8, be)
-                    if (v >= 1 && v <= 8) orientation = v
-                  }
-                  i += 1
-                }
-              }
-            }
-          }
-        }
+        val v = app1Orientation(bytes, p0, end)
+        if (v > 0) orientation = v
       }
       else if (m == 0xda) {
         if (!sawSof) fail("SOS before SOF")

@@ -1013,22 +1013,100 @@ object Multimodal {
 
   // ---- perceptual image dedup (round 13) ----
 
+  /** The eight EXIF orientation transforms as raster permutations
+    * (display(x,y) = stored(fx, fy), the public EXIF tag-0x0112 table:
+    * 2 mirror-H, 3 rotate 180, 4 mirror-V, 5 transpose, 6 rotate 90
+    * CW, 7 transverse, 8 rotate 270 CW). Tags 5-8 swap the dims. Pure
+    * per-pixel permutation — channel means are invariant, which is why
+    * the decode gates' mean oracles hold with or without it. */
+  private[graft] def applyOrientation(w: Int, h: Int, raster: Array[Byte],
+      tag: Int): (Int, Int, Array[Byte]) = {
+    if (tag <= 1 || tag > 8) return (w, h, raster)
+    val swap = tag >= 5
+    val ow = if (swap) h else w
+    val oh = if (swap) w else h
+    val out = new Array[Byte](raster.length)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val (sx, sy) = tag match {
+          case 2 => (w - 1 - x, y)
+          case 3 => (w - 1 - x, h - 1 - y)
+          case 4 => (x, h - 1 - y)
+          case 5 => (y, x)
+          case 6 => (y, h - 1 - x)
+          case 7 => (w - 1 - y, h - 1 - x)
+          case _ => (w - 1 - y, x) // 8
+        }
+        val s = (sy * w + sx) * 3
+        val d = (y * ow + x) * 3
+        out(d) = raster(s); out(d + 1) = raster(s + 1); out(d + 2) = raster(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    (ow, oh, out)
+  }
+
+  /** Column-metadata key recording whether a decoded frame's thumbs are
+    * EXIF-orientation-normalized — the hash-family contract
+    * ([[ImageHashKindKey]]) extended to the orientation convention: an
+    * index frozen over oriented thumbs must never be probed with raw
+    * ones (a rotated re-save would silently stop matching), and vice
+    * versa. */
+  private[graft] final val ImageOrientedKey = "graft.image_oriented"
+
+  /** Whether a decoded frame's thumbs were orientation-normalized, read
+    * from its `thumb` column metadata (frames from before the flag read
+    * as raw). */
+  private[graft] def thumbsAreOriented(decoded: DataFrame,
+      thumbCol: String = "thumb"): Boolean = {
+    val md = decoded.schema(thumbCol).metadata
+    md.contains(ImageOrientedKey) && md.getBoolean(ImageOrientedKey)
+  }
+
   /** Mixed-format image decode: dispatch per blob on the magic bytes
     * (`P6` → [[Ppm]], `FFD8` → [[Jpeg]], `\x89PNG` → [[Png]] (round
     * 17), `qoif` → [[Qoi]]) — real corpora are never single-format
     * (and are JPEG+PNG-dominated), and a per-format filter+union would
     * read the media table once per format. Same output contract as
-    * [[decodeImages]]. */
+    * [[decodeImages]].
+    *
+    * `autoOrient` (round 17) applies the EXIF orientation transform
+    * ([[Jpeg.exifOrientation]] tag 1-8 → [[applyOrientation]]) to the
+    * decoded raster BEFORE the thumbnail is sampled, inside the same
+    * mapPartitions projection — no new shuffle, no second decode. dHash
+    * is not rotation-invariant, so without this a rotated re-save of
+    * the same photo never pairs; with it the re-save's thumb is
+    * bit-identical to the original's. The output frame's `thumb`
+    * column records the convention ([[ImageOrientedKey]] metadata) so
+    * a frozen signature index can never be probed with the other
+    * convention. Non-JPEG formats carry no EXIF here and pass through
+    * unchanged (tag 0). */
   def decodeAnyImages(media: DataFrame, thumbSide: Int = 2,
-      skipMalformed: Boolean = true): DataFrame =
-    decodeImagesWith(media, bytes =>
+      skipMalformed: Boolean = true, autoOrient: Boolean = false): DataFrame = {
+    def base(bytes: Array[Byte]): (Int, Int, Array[Byte]) =
       if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6')
         Ppm.decode(bytes)
       else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
           (bytes(1) & 0xff) == 0xd8)
         Jpeg.decode(bytes)
       else if (Png.isPng(bytes)) Png.decode(bytes)
-      else Qoi.decode(bytes), thumbSide, skipMalformed)
+      else Qoi.decode(bytes)
+    val dec = decodeImagesWith(media,
+      if (!autoOrient) base
+      else { bytes =>
+        val (w, h, raster) = base(bytes)
+        applyOrientation(w, h, raster, Jpeg.exifOrientation(bytes))
+      }, thumbSide, skipMalformed)
+    if (!autoOrient) dec
+    else {
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .putBoolean(ImageOrientedKey, true).build()
+      dec.withColumn("thumb", col("thumb").as("thumb", md))
+    }
+  }
 
   /** Perceptual near-duplicate image pairs: dHash/aHash 64-bit signatures
     * over decode thumbnails ([[graft.functions.ImageHash64]], a native
@@ -1150,11 +1228,15 @@ object Multimodal {
     * all-pairs would — at linear, not quadratic, output cost. */
   def routedImageDedup(media: DataFrame, maxHamming: Int = 3,
       maxBucketDf: Int = 1000, thumbSide: Int = 8,
-      flatEps: Double = 1e-9, ahash: Boolean = false): DataFrame = {
+      flatEps: Double = 1e-9, ahash: Boolean = false,
+      autoOrient: Boolean = false): DataFrame = {
     // decoded thumbs feed the flat split AND the perceptual branch —
-    // decode once (the imageNearDupPairs checkpoint discipline)
+    // decode once (the imageNearDupPairs checkpoint discipline);
+    // `autoOrient` normalizes EXIF orientation before hashing so a
+    // rotated re-save routes into its original's cluster
     val dec = withImageQualitySignals(
-      decodeAnyImages(media, thumbSide), flatEps = flatEps)
+      decodeAnyImages(media, thumbSide, autoOrient = autoOrient),
+      flatEps = flatEps)
       .select(col("media_id"), col("thumb"), col("is_flat"))
       .localCheckpoint()
     routedImageDedupDecoded(media, dec, maxHamming, maxBucketDf, ahash)
@@ -1339,7 +1421,8 @@ object Multimodal {
       maxBucketDf: Int = 1000, minMatchedFrames: Int = 2,
       maxFrameDf: Int = 1000, thumbSide: Int = 8,
       flatEps: Double = 1e-9, silenceFloor: Int = 0,
-      imageAhash: Boolean = false): DataFrame =
+      imageAhash: Boolean = false,
+      imageAutoOrient: Boolean = false): DataFrame =
     // classify ONCE and checkpoint: four cohort filters read the tagged
     // frame, so the upstream media subtree (generation/read) runs once.
     // `imageAhash` selects the image cohort's hash family — a caller
@@ -1350,7 +1433,7 @@ object Multimodal {
     // [[incrementalMediaDedup]] does internally).
     routedMediaDedupTagged(classifyMedia(media).localCheckpoint(),
       maxHamming, maxBucketDf, minMatchedFrames, maxFrameDf, thumbSide,
-      flatEps, silenceFloor, imageAhash)
+      flatEps, silenceFloor, imageAhash, imageAutoOrient)
 
   /** Magic-byte modality classification of a mixed media column — the
     * [[decodeAnyImages]] dispatch extended across containers
@@ -1377,11 +1460,12 @@ object Multimodal {
   private def routedMediaDedupTagged(tagged: DataFrame, maxHamming: Int,
       maxBucketDf: Int, minMatchedFrames: Int, maxFrameDf: Int,
       thumbSide: Int, flatEps: Double, silenceFloor: Int,
-      imageAhash: Boolean = false): DataFrame = {
+      imageAhash: Boolean = false,
+      imageAutoOrient: Boolean = false): DataFrame = {
     def cohort(m: String) = tagged.filter(col("modality") === m)
       .select(col("media_id"), col("bytes"))
     val img = routedImageDedup(cohort("image"), maxHamming, maxBucketDf,
-        thumbSide, flatEps, imageAhash)
+        thumbSide, flatEps, imageAhash, imageAutoOrient)
       .withColumn("modality", lit("image"))
     val aud = routedAudioDedup(cohort("audio"), maxHamming, maxBucketDf,
         silenceFloor)
@@ -1785,6 +1869,16 @@ object Multimodal {
     }
   }
 
+  /** Whether a frozen [[imageSignatureIndex]] was built over
+    * EXIF-orientation-normalized thumbs, read from its `sig` column
+    * metadata (pre-r17 indexes read as raw — the only convention old
+    * code ever froze). The probe side derives its decode convention
+    * from this, like the hash family. */
+  private[graft] def indexIsOriented(index: DataFrame): Boolean = {
+    val md = index.schema("sig").metadata
+    md.contains(ImageOrientedKey) && md.getBoolean(ImageOrientedKey)
+  }
+
   /** The shared degenerate-bucket guard: anti-join the heavy
     * (band, bits) buckets out of a [[hammingBands64]] frame, and make
     * the drop LOUD — each dropped bucket feeds two named Spark
@@ -1878,8 +1972,14 @@ object Multimodal {
     // a parquet round-trip): the probe side derives its hash from this,
     // so an ahash index can never be silently probed with dhash (which
     // would return zero matches — different families never collide)
+    // the orientation convention freezes alongside the hash family —
+    // read from the decoded frame's thumb metadata, so an index built
+    // over decodeAnyImages(autoOrient = true) output records it
+    // without the builder having to thread a flag
     val kindMd = new org.apache.spark.sql.types.MetadataBuilder()
-      .putString(ImageHashKindKey, if (ahash) "ahash" else "dhash").build()
+      .putString(ImageHashKindKey, if (ahash) "ahash" else "dhash")
+      .putBoolean(ImageOrientedKey, thumbsAreOriented(decoded, thumbCol))
+      .build()
     val sig = decoded.select(col(idCol).cast("long").as("id"),
         col(thumbCol).as("t"))
       .select(col("id"), col("t").as("thumb"), hashed.as("sig"))
@@ -1902,13 +2002,27 @@ object Multimodal {
     * execution modes. Returns (media_id, match_id, hamming, n_diff_ch). */
   def imageNearDupAgainstIndex(media: DataFrame, index: DataFrame,
       maxHamming: Int = 3, thumbSide: Int = 8): DataFrame =
-    decodedAgainstIndex(decodeAnyImages(media, thumbSide), index, maxHamming)
+    // BOTH frozen conventions — hash family and orientation — derive
+    // from the index metadata, so probe and index can never disagree
+    decodedAgainstIndex(decodeAnyImages(media, thumbSide,
+      autoOrient = indexIsOriented(index)), index, maxHamming)
 
   /** [[imageNearDupAgainstIndex]] from ALREADY-DECODED (media_id, thumb)
     * frames — the batch incremental path decodes once and feeds both its
     * within-batch pairing and this join from the same checkpoint. */
   private def decodedAgainstIndex(dec: DataFrame, index: DataFrame,
       maxHamming: Int): DataFrame = {
+    // an ALREADY-decoded probe frame must carry the index's frozen
+    // orientation convention — a mismatch would silently zero the
+    // rotated-re-save matches (or manufacture raw-vs-oriented misses),
+    // so it fails loud like an unknown hash family
+    if (thumbsAreOriented(dec) != indexIsOriented(index))
+      throw new IllegalArgumentException(
+        s"orientation convention mismatch: probe thumbs are " +
+          s"${if (thumbsAreOriented(dec)) "EXIF-normalized" else "raw"} but " +
+          s"the index froze ${if (indexIsOriented(index)) "EXIF-normalized"
+            else "raw"} — decode the probe batch with autoOrient = " +
+          "indexIsOriented(index)")
     // probe with the family the INDEX froze with (its sig metadata) —
     // index and probe can never disagree, and an index recording an
     // unknown family fails loud here instead of returning zero matches
@@ -2696,6 +2810,57 @@ object Multimodal {
         if (m == 2) Png.encode(8, 8, rgb, y => 1 + (y % 4), 8)
         else Png.encode(8, 8, rgb)
       (id, bytes)
+    }.toDF("media_id", "bytes")
+  }
+
+  /** Planted ROTATED-RE-SAVE fixture for the orientation-normalization
+    * gate (round 17): groups of four 64×64 grayscale JPEGs with
+    * constant 8×8 blocks (the [[jpegDedupMediaFromDocuments]]
+    * exact-decode trick) — m=0 the base raster with no EXIF, m=1 the
+    * SAME image stored rotated 90° CW carrying EXIF orientation 8
+    * (rotate 270° CW to display — the camera-rotation shape: decoded
+    * raw it shares nothing with the base, normalized it is
+    * bit-identical), m=2 the same rotated raster WITHOUT the tag (the
+    * control: normalization must NOT invent this pair — proof the m=1
+    * pair comes from the tag, not from any rotation invariance of the
+    * hash), m=3 an independent raster carrying tag 3 (normalized, but
+    * never pairing). Expected pairs under autoOrient: (4g, 4g+1) only,
+    * hamming 0, n_diff_ch 0. */
+  def orientDedupMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q8 = Array.fill(64)(8)
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val gid = id / 4
+      val m = (id % 4).toInt
+      def mix(v: Long): Long = {
+        var z = v + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      val pattern =
+        if (m == 3) mix(gid * 2654435761L + 374761393L)
+        else mix(gid * 2246822519L + 3266489917L)
+      def base(px: Int, py: Int): Byte = {
+        val b = (py / 8) * 8 + px / 8
+        if (((pattern >>> b) & 1L) == 1L) 192.toByte else 64.toByte
+      }
+      val yp = new Array[Byte](64 * 64)
+      var p = 0
+      while (p < 64 * 64) {
+        val x = p % 64; val y = p / 64
+        // m=1/m=2 store the raster rotated 90° CW: stored(x,y) =
+        // base(y, 63-x) — blocks stay 8×8-aligned, so decode stays exact
+        yp(p) = if (m == 1 || m == 2) base(y, 63 - x) else base(x, y)
+        p += 1
+      }
+      val tag = m match {
+        case 1 => 8 // undoes the stored rotation on display
+        case 3 => 3 // a normalized-but-independent member
+        case _ => 0 // no APP1 at all
+      }
+      (id, Jpeg.encodeGray(64, 64, yp, q8, 0, tag))
     }.toDF("media_id", "bytes")
   }
 

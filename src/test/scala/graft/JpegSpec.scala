@@ -351,6 +351,101 @@ class JpegSpec extends SparkSpec {
     assert(e.getMessage.contains("desync"))
   }
 
+  test("applyOrientation implements the public EXIF tag table (all 8 transforms, hand-pinned)") {
+    // stored 3×2 raster  A B C / D E F  (one byte per channel, gray)
+    val names = "ABCDEF".getBytes("US-ASCII")
+    val stored = Array.tabulate(6 * 3)(i => names(i / 3))
+    def gridOf(w: Int, h: Int, r: Array[Byte]): Seq[String] =
+      (0 until h).map(y => new String(
+        (0 until w).map(x => r((y * w + x) * 3)).toArray, "US-ASCII"))
+    // expectations written from the EXIF orientation definitions
+    // (1 normal, 2 mirror-H, 3 rotate 180, 4 mirror-V, 5 transpose,
+    // 6 rotate 90 CW, 7 transverse, 8 rotate 270 CW)
+    val expected = Map(
+      1 -> (3, Seq("ABC", "DEF")),
+      2 -> (3, Seq("CBA", "FED")),
+      3 -> (3, Seq("FED", "CBA")),
+      4 -> (3, Seq("DEF", "ABC")),
+      5 -> (2, Seq("AD", "BE", "CF")),
+      6 -> (2, Seq("DA", "EB", "FC")),
+      7 -> (2, Seq("FC", "EB", "DA")),
+      8 -> (2, Seq("CF", "BE", "AD")))
+    for ((tag, (ew, rows)) <- expected) {
+      val (ow, oh, out) = Multimodal.applyOrientation(3, 2, stored, tag)
+      assert(ow === ew && oh === rows.length, s"tag $tag dims")
+      assert(gridOf(ow, oh, out) === rows, s"tag $tag grid")
+    }
+    // tag 0 (absent) is identity
+    val (zw, zh, zr) = Multimodal.applyOrientation(3, 2, stored, 0)
+    assert(zw === 3 && zh === 2 && (zr eq stored))
+  }
+
+  test("exifOrientation reads the tag without decoding and never throws") {
+    val yp = Array.fill(24 * 16)(100.toByte)
+    for (o <- 1 to 8)
+      assert(Jpeg.exifOrientation(
+        Jpeg.encodeGray(24, 16, yp, exifOrientation = o)) === o)
+    assert(Jpeg.exifOrientation(Jpeg.encodeGray(24, 16, yp)) === 0)
+    assert(Jpeg.exifOrientation("not a jpeg".getBytes) === 0)
+    // a truncated stream reads 0, never throws — EXIF is ancillary
+    val b = Jpeg.encodeGray(24, 16, yp, exifOrientation = 6)
+    assert(Jpeg.exifOrientation(java.util.Arrays.copyOfRange(b, 0, 6)) === 0)
+  }
+
+  test("a rotated re-save pairs ONLY under autoOrient (tag-8 thumb equality pinned)") {
+    val docs = (0L until 16L).toDF("doc_id")
+    val media = Multimodal.orientDedupMediaFromDocuments(docs)
+    // tag-8 pin: the normalized thumb of the rotated member is
+    // BIT-identical to its base's
+    val oriented = Multimodal.decodeAnyImages(media, thumbSide = 8,
+      autoOrient = true)
+    val thumbs = oriented.select("media_id", "thumb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(thumbs(1L) === thumbs(0L), "tag-8 member normalizes onto base")
+    assert(thumbs(2L) !== thumbs(0L), "untagged rotated control stays rotated")
+    val withNorm = Multimodal.imageNearDupPairs(oriented, maxHamming = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withNorm === (0L until 4L).map(g => (g * 4, g * 4 + 1)).toSet)
+    // without normalization the rotated re-save NEVER pairs with its
+    // base — but the two identically-stored rotated members (m=1, m=2)
+    // pair with each other, which is exactly the raw-bytes semantics
+    val raw = Multimodal.decodeAnyImages(media, thumbSide = 8)
+    val withoutNorm = Multimodal.imageNearDupPairs(raw, maxHamming = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withoutNorm === (0L until 4L).map(g => (g * 4 + 1, g * 4 + 2)).toSet)
+  }
+
+  test("the orientation convention freezes into the index and cannot be cross-probed") {
+    val docs = (0L until 16L).toDF("doc_id")
+    val media = Multimodal.orientDedupMediaFromDocuments(docs)
+    val corpus = media.filter(col("media_id") % 4 === 0)
+    val batch = media.filter(col("media_id") % 4 === 1)
+    // an index frozen over ORIENTED thumbs matches the rotated re-save
+    // through imageNearDupAgainstIndex, which derives the convention
+    // from the index metadata (nothing to pass)
+    val orientedIdx = Multimodal.imageSignatureIndex(
+      Multimodal.decodeAnyImages(corpus, thumbSide = 8, autoOrient = true))
+    assert(Multimodal.indexIsOriented(orientedIdx))
+    val matches = Multimodal.imageNearDupAgainstIndex(batch, orientedIdx)
+      .select("media_id", "match_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matches === (0L until 4L).map(g => (g * 4 + 1, g * 4)).toSet)
+    // a RAW index finds none of them (dHash is not rotation-invariant)
+    val rawIdx = Multimodal.imageSignatureIndex(
+      Multimodal.decodeAnyImages(corpus, thumbSide = 8))
+    assert(!Multimodal.indexIsOriented(rawIdx))
+    assert(Multimodal.imageNearDupAgainstIndex(batch, rawIdx).isEmpty)
+    // an already-decoded probe with the WRONG convention fails loud
+    // instead of silently missing every rotated re-save
+    val rawDec = Multimodal.decodeAnyImages(batch, thumbSide = 8)
+    val e = intercept[IllegalArgumentException](
+      Multimodal.incrementalImageNearDup(batch, orientedIdx).collect())
+    assert(e.getMessage.contains("orientation convention"))
+    assert(rawDec.count() === 4) // and the raw decode itself is fine
+  }
+
   test("decodeAnyImages dispatches FFD8 and DROPMALFORMED skips truncated jpegs") {
     val jp = Jpeg.encodeGray(8, 8, Array.fill(64)(100.toByte))
     val ppm = Multimodal.Ppm.encode(2, 2, Array.fill(12)(50.toByte))
