@@ -2304,6 +2304,32 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Multimodal: decodeless MP3 metadata (round 17) — the Jpeg.meta
+    // pattern on the dominant crawl audio format: a strict frame-header
+    // walk (version/layer/bitrate/samplerate indexes against the
+    // public MPEG tables, frame lengths chaining exactly to EOF, ID3v2
+    // syncsafe skip, ID3v1 trailer) at header cost, no committed
+    // decoder. Fixtures cover all three MPEG versions, a VBR cohort,
+    // and a truncated cohort (drops — the walk requires exact
+    // chaining). Every column replays from doc_id arithmetic and the
+    // same public tables inlined in the oracle.
+    "m_mp3_meta" -> ((s, dir) => {
+      Multimodal.mp3Metadata(Multimodal.mp3MediaFromDocuments(
+          s.read.parquet(s"$dir/documents.parquet")))
+        .orderBy("media_id")
+    }),
+
+    // Multimodal: decodeless MP4/ISO-BMFF metadata (round 17) — the
+    // box-walk twin for the dominant video container: brand, movie
+    // timescale/duration, track census, per-track sample-entry codec
+    // fourccs, mdat presence; sizes chain exactly so the truncated
+    // cohort drops. Every column replays from doc_id arithmetic.
+    "m_mp4_meta" -> ((s, dir) => {
+      Multimodal.mp4Metadata(Multimodal.mp4MediaFromDocuments(
+          s.read.parquet(s"$dir/documents.parquet")))
+        .orderBy("media_id")
+    }),
+
     // Multimodal: REAL image decode — synthesize binary PPM (P6) per doc,
     // parse header+raster in mapPartitions, per-channel means. The r/g
     // channels are deterministic gradients, so DuckDB can recompute them
@@ -5478,6 +5504,59 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 4 = 2 THEN 16 ELSE 0 END AS INT)
         |    AS palette_size,
         |  doc_id % 4 = 3 AS has_alpha
+        |FROM documents WHERE doc_id % 17 <> 0 ORDER BY media_id""".stripMargin,
+
+    // Structural replay of the MP3 frame-header walk: the public
+    // bitrate/sample-rate tables inlined as lists, frame count and
+    // sample-per-frame arithmetic from doc_id; the truncated %17
+    // cohort drops because frame lengths must chain exactly to EOF.
+    "m_mp3_meta" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN '1' WHEN 1 THEN '2'
+        |         ELSE '2.5' END AS version,
+        |    CAST(1 + doc_id % 13 AS INT) AS bridx,
+        |    CAST((doc_id // 3) % 3 AS INT) AS sridx,
+        |    3 + doc_id % 7 AS nf
+        |  FROM documents WHERE doc_id % 17 <> 0),
+        |t AS (SELECT doc_id, version, nf,
+        |  CASE WHEN version = '1'
+        |    THEN list_extract([32,40,48,56,64,80,96,112,128,160,192,224,
+        |                       256,320], bridx)
+        |    ELSE list_extract([8,16,24,32,40,48,56,64,80,96,112,128,
+        |                       144,160], bridx) END AS br,
+        |  CASE version
+        |    WHEN '1' THEN list_extract([44100,48000,32000], sridx + 1)
+        |    WHEN '2' THEN list_extract([22050,24000,16000], sridx + 1)
+        |    ELSE list_extract([11025,12000,8000], sridx + 1) END AS sr,
+        |  CASE WHEN version = '1' THEN 1152 ELSE 576 END AS spf
+        |  FROM m)
+        |SELECT doc_id AS media_id, version, CAST(3 AS INT) AS layer,
+        |  CAST(sr AS INT) AS sample_rate, CAST(br AS INT) AS bitrate_kbps,
+        |  doc_id % 6 = 0 AS vbr,
+        |  CAST(nf AS INT) AS n_frames,
+        |  CAST(nf * spf * 1000 // sr AS BIGINT) AS duration_ms,
+        |  doc_id % 2 = 0 AS has_id3v2,
+        |  doc_id % 5 = 0 AS has_id3v1
+        |FROM t ORDER BY media_id""".stripMargin,
+
+    // Structural replay of the ISO-BMFF box walk: brand, timescale,
+    // duration, track census, and codec fourccs all from doc_id
+    // arithmetic; the truncated %17 cohort drops because box sizes
+    // must chain exactly to EOF.
+    "m_mp4_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+        |       ELSE 'M4A ' END AS major_brand,
+        |  CAST(600 * (1 + doc_id % 4) AS BIGINT) AS timescale,
+        |  CAST((1000 + doc_id % 5000) * 1000
+        |       // (600 * (1 + doc_id % 4)) AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END AS INT)
+        |    AS n_tracks,
+        |  CASE WHEN doc_id % 4 = 1 THEN ''
+        |       WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hev1' END
+        |    AS video_codec,
+        |  'mp4a' AS audio_codec,
+        |  doc_id % 9 <> 0 AS has_mdat
         |FROM documents WHERE doc_id % 17 <> 0 ORDER BY media_id""".stripMargin,
 
     "m_decode" ->

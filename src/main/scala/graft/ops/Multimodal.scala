@@ -435,6 +435,69 @@ object Multimodal {
     }.toDF("media_id", "bytes")
   }
 
+  /** Planted MP3 fixture for the m_mp3_meta gate (round 17): Layer III
+    * streams across all three MPEG versions (doc_id%3 → 1 / 2 / 2.5),
+    * bitrate index 1+doc_id%13, sample-rate index (doc_id/3)%3,
+    * 3+doc_id%7 frames, a VBR cohort on doc_id%6=0 (per-frame bitrate
+    * cycling — first frame still carries the base index), ID3v2 on
+    * even docs (syncsafe size exercised), ID3v1 trailer on doc_id%5=0,
+    * TRUNCATED (last 3 bytes cut — mid-frame) on doc_id%17=0 for the
+    * DROPMALFORMED cohort. Every reported column replays from doc_id
+    * arithmetic and the public bitrate/sample-rate tables. */
+  def mp3MediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val verBits = (id % 3) match {
+        case 0 => 3 // MPEG-1
+        case 1 => 2 // MPEG-2
+        case _ => 0 // MPEG-2.5
+      }
+      val baseBr = 1 + (id % 13).toInt
+      val srIdx = ((id / 3) % 3).toInt
+      val nFrames = 3 + (id % 7).toInt
+      val brOf: Int => Int =
+        if (id % 6 == 0) (i: Int) => 1 + (baseBr - 1 + i) % 13
+        else (_: Int) => baseBr
+      val bytes = Mp3.encodeFrames(verBits, 1, brOf, srIdx, nFrames,
+        id3v2PayloadLen = if (id % 2 == 0) 17 + (id % 23).toInt else -1,
+        id3v1 = id % 5 == 0, seed = id)
+      val out =
+        if (id % 17 == 0) java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 3)
+        else bytes
+      (id, out)
+    }.toDF("media_id", "bytes")
+  }
+
+  /** Planted MP4 fixture for the m_mp4_meta gate (round 17): brand by
+    * doc_id%3 (isom/mp42/M4A ), movie timescale 600·(1+doc_id%4) and
+    * duration 1000+doc_id%5000 units, a video track (avc1/hev1 by
+    * parity) except on doc_id%4=1, an mp4a audio track always, mdat
+    * absent on doc_id%9=0, TRUNCATED (cut mid-moov) on doc_id%17=0.
+    * Every column replays from doc_id arithmetic. */
+  def mp4MediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val brand = (id % 3) match {
+        case 0 => "isom"
+        case 1 => "mp42"
+        case _ => "M4A "
+      }
+      val bytes = Mp4.encode(brand, id % 100, 600L * (1 + id % 4),
+        1000L + id % 5000,
+        video = if (id % 4 != 1) Some(if (id % 2 == 0) "avc1" else "hev1")
+          else None,
+        audio = Some("mp4a"),
+        mdatLen = if (id % 9 == 0) 0 else 20 + (id % 40).toInt,
+        seed = id)
+      val out =
+        if (id % 17 == 0) java.util.Arrays.copyOfRange(bytes, 0, bytes.length / 2)
+        else bytes
+      (id, out)
+    }.toDF("media_id", "bytes")
+  }
+
   // ---- real decode tier 3: WAV / RIFF PCM (audio) ----
 
   /** Minimal RIFF/WAVE PCM codec — the standard uncompressed audio
@@ -819,6 +882,64 @@ object Multimodal {
           case e: Exception if skipMalformed => Iterator.empty
           case e: Exception => throw new RuntimeException(
             s"malformed png for media_id ${m.media_id}", e)
+        }
+      }
+    }.toDF()
+  }
+
+  final case class Mp3MetaRow(media_id: Long, version: String, layer: Int,
+      sample_rate: Int, bitrate_kbps: Int, vbr: Boolean, n_frames: Int,
+      duration_ms: Long, has_id3v2: Boolean, has_id3v1: Boolean)
+
+  /** Decodeless MP3 metadata — [[jpegMetadata]]'s audio-container twin
+    * ([[Mp3.meta]]): MPEG version/layer, sample rate, bitrate,
+    * VBR-ness, frame count and duration from a strict frame-header
+    * walk, ID3v2/v1 presence — the crawl filter/group pass for the
+    * dominant audio format at header cost, with no committed decoder.
+    * Truncated or desynced streams drop under `skipMalformed` (the
+    * walk requires frame lengths to chain exactly to EOF). */
+  def mp3Metadata(media: DataFrame, skipMalformed: Boolean = true): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[ImageRow].mapPartitions { it =>
+      it.flatMap { m =>
+        try {
+          val md = Mp3.meta(m.bytes)
+          Iterator.single(Mp3MetaRow(m.media_id, md.version, md.layer,
+            md.sampleRate, md.bitrateKbps, md.vbr, md.nFrames,
+            md.durationMs, md.hasId3v2, md.hasId3v1))
+        } catch {
+          case e: Exception if skipMalformed => Iterator.empty
+          case e: Exception => throw new RuntimeException(
+            s"malformed mp3 for media_id ${m.media_id}", e)
+        }
+      }
+    }.toDF()
+  }
+
+  final case class Mp4MetaRow(media_id: Long, major_brand: String,
+      timescale: Long, duration_ms: Long, n_tracks: Int,
+      video_codec: String, audio_codec: String, has_mdat: Boolean)
+
+  /** Decodeless MP4/ISO-BMFF metadata — the video-container twin
+    * ([[Mp4.meta]]): brand, movie timescale/duration, track census,
+    * per-track codec fourccs, mdat presence from a strict box walk
+    * that never touches sample data. Truncated downloads drop under
+    * `skipMalformed` (box sizes must chain exactly to EOF). */
+  def mp4Metadata(media: DataFrame, skipMalformed: Boolean = true): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[ImageRow].mapPartitions { it =>
+      it.flatMap { m =>
+        try {
+          val md = Mp4.meta(m.bytes)
+          Iterator.single(Mp4MetaRow(m.media_id, md.majorBrand,
+            md.timescale, md.durationMs, md.nTracks, md.videoCodec,
+            md.audioCodec, md.hasMdat))
+        } catch {
+          case e: Exception if skipMalformed => Iterator.empty
+          case e: Exception => throw new RuntimeException(
+            s"malformed mp4 for media_id ${m.media_id}", e)
         }
       }
     }.toDF()
@@ -1438,18 +1559,32 @@ object Multimodal {
   /** Magic-byte modality classification of a mixed media column — the
     * [[decodeAnyImages]] dispatch extended across containers
     * (`P6`/`qoif`/`FFD8` (JPEG SOI, round 16)/`\x89PNG` (round 17) →
-    * image, `RIFF` → audio, `YUV4MPEG2` → video, anything else →
-    * unknown): one native substring compare per blob, a pure
-    * projection (stream-legal). Returns (media_id, bytes, modality). */
+    * image, `RIFF`/`ID3`/MP3 frame sync (round 17) → audio,
+    * `YUV4MPEG2`/`ftyp` at offset 4 (ISO BMFF, round 17) → video,
+    * anything else → unknown): native substring compares per blob, a
+    * pure projection (stream-legal). MP3/MP4 blobs route to their
+    * modality's dedup where the undecodable branch keeps their exact
+    * duplicates and [[mp3Metadata]]/[[mp4Metadata]] read them at
+    * header cost. Returns (media_id, bytes, modality). */
   def classifyMedia(media: DataFrame): DataFrame = {
     def magic(n: Int) = substring(col("bytes"), 1, n)
+    // MP3 sync prefixes (round 17): ID3v2-tagged streams lead with
+    // "ID3"; bare streams lead with the 11-bit sync + version/layer
+    // bits — the common Layer III codes (MPEG-1/2/2.5, with and
+    // without CRC). The strict frame walk is Mp3.meta's job;
+    // classification only routes.
+    val mp3Sync = Seq(0xfb, 0xfa, 0xf3, 0xf2, 0xe3, 0xe2)
+      .map(b => magic(2) === lit(Array(0xff.toByte, b.toByte)))
+      .reduce(_ || _)
     media.select(col("media_id"), col("bytes"),
       when(magic(2) === lit("P6".getBytes) ||
           magic(4) === lit("qoif".getBytes) ||
           magic(8) === lit(Png.Signature) ||
           magic(2) === lit(Array(0xff.toByte, 0xd8.toByte)), "image")
-        .when(magic(4) === lit("RIFF".getBytes), "audio")
-        .when(magic(9) === lit("YUV4MPEG2".getBytes), "video")
+        .when(magic(4) === lit("RIFF".getBytes) ||
+          magic(3) === lit("ID3".getBytes) || mp3Sync, "audio")
+        .when(magic(9) === lit("YUV4MPEG2".getBytes) ||
+          substring(col("bytes"), 5, 4) === lit("ftyp".getBytes), "video")
         .otherwise("unknown").as("modality"))
   }
 

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Mp3, Mp4, Multimodal}
+
+/** The decodeless MP3/MP4 metadata walkers (round 17): strict header
+  * walks against the public MPEG frame-header layout and ISO-BMFF box
+  * structure, truncation refusal, classifyMedia routing, and the
+  * undecodable-route guarantee (an MP3/MP4 blob keeps its exact
+  * duplicates through routedMediaDedup even with no committed
+  * decoder). */
+class ContainerMetaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mp3: frame-header walk across versions/layers, VBR, ID3 tags") {
+    // MPEG-1 Layer III, CBR 128 kbps @ 44100: frame = 144·128000/44100
+    // = 417 bytes (the canonical pub-quiz number)
+    val b = Mp3.encodeFrames(3, 1, _ => 9, 0, nFrames = 5)
+    assert(b.length === 417 * 5)
+    val m = Mp3.meta(b)
+    assert(m === Mp3.Meta("1", 3, 44100, 128, vbr = false, nFrames = 5,
+      durationMs = 5L * 1152 * 1000 / 44100, hasId3v2 = false,
+      hasId3v1 = false))
+    // MPEG-2 Layer III @ 16000 Hz: 576 samples/frame
+    val m2 = Mp3.meta(Mp3.encodeFrames(2, 1, _ => 5, 2, nFrames = 4))
+    assert(m2.version === "2" && m2.sampleRate === 16000)
+    assert(m2.durationMs === 4L * 576 * 1000 / 16000)
+    // MPEG-2.5 + both tags + VBR
+    val m25 = Mp3.meta(Mp3.encodeFrames(0, 1, i => 1 + (3 + i) % 13, 1,
+      nFrames = 6, id3v2PayloadLen = 200, id3v1 = true, seed = 7))
+    assert(m25.version === "2.5" && m25.sampleRate === 12000)
+    assert(m25.vbr && m25.hasId3v2 && m25.hasId3v1 && m25.nFrames === 6)
+    assert(m25.bitrateKbps === 32) // first frame: index 4 in the V2 table
+    // Layer I frame arithmetic (slots of 4 bytes)
+    val l1 = Mp3.meta(Mp3.encodeFrames(3, 3, _ => 4, 0, nFrames = 2))
+    assert(l1.layer === 1 && l1.durationMs === 2L * 384 * 1000 / 44100)
+    // Layer II
+    assert(Mp3.meta(Mp3.encodeFrames(3, 2, _ => 4, 1, nFrames = 2)).layer === 2)
+  }
+
+  test("mp3: truncation, junk, free-format, and desync refuse loudly") {
+    val good = Mp3.encodeFrames(3, 1, _ => 9, 0, nFrames = 3)
+    intercept[IllegalArgumentException](
+      Mp3.meta(java.util.Arrays.copyOfRange(good, 0, good.length - 3)))
+    intercept[IllegalArgumentException](Mp3.meta("not audio".getBytes))
+    // free-format bitrate (index 0) refuses
+    val free = good.clone()
+    free(2) = (free(2) & 0x0f).toByte // zero the bitrate index bits
+    intercept[IllegalArgumentException](Mp3.meta(free))
+    // a mid-stream sample-rate change is a desync, not a new stream
+    val twoRates = Mp3.encodeFrames(3, 1, _ => 9, 0, 1) ++
+      Mp3.encodeFrames(3, 1, _ => 9, 1, 1)
+    intercept[IllegalArgumentException](Mp3.meta(twoRates))
+    // ID3v2 whose declared size overruns the file
+    val id3 = Mp3.encodeFrames(3, 1, _ => 9, 0, 1, id3v2PayloadLen = 50)
+    intercept[IllegalArgumentException](
+      Mp3.meta(java.util.Arrays.copyOfRange(id3, 0, 30)))
+  }
+
+  test("mp4: box walk (brand, duration, tracks, codecs), largesize chaining, truncation") {
+    val b = Mp4.encode("isom", 512, 600, 3000, Some("avc1"), Some("mp4a"),
+      mdatLen = 64, seed = 3)
+    val m = Mp4.meta(b)
+    assert(m === Mp4.Meta("isom", 512, 600, 5000, 2, "avc1", "mp4a",
+      hasMdat = true))
+    val a = Mp4.meta(Mp4.encode("M4A ", 0, 1000, 2500, None, Some("mp4a")))
+    assert(a.nTracks === 1 && a.videoCodec === "" && a.audioCodec === "mp4a")
+    assert(a.durationMs === 2500 && !a.hasMdat)
+    // truncation anywhere inside moov refuses (sizes chain exactly)
+    intercept[IllegalArgumentException](
+      Mp4.meta(java.util.Arrays.copyOfRange(b, 0, b.length / 2)))
+    intercept[IllegalArgumentException](Mp4.meta("no boxes here".getBytes))
+    // a file NOT leading with ftyp refuses
+    intercept[IllegalArgumentException](
+      Mp4.meta(java.util.Arrays.copyOfRange(b, 24, b.length)))
+    // 64-bit largesize on mdat parses (size=1 + u64)
+    val mdat = b.slice(b.length - 72, b.length)
+    assert(new String(mdat, 4, 4, "ISO-8859-1") === "mdat")
+    val large = b.slice(0, b.length - 72) ++
+      Array[Byte](0, 0, 0, 1) ++ "mdat".getBytes("ISO-8859-1") ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 80) ++ mdat.drop(8)
+    assert(Mp4.meta(large).hasMdat)
+  }
+
+  test("classifyMedia routes MP3 (ID3 + bare sync) to audio and ftyp to video; exact dedup survives") {
+    val docs = (0L until 8L).toDF("doc_id")
+    val mp3Tagged = Mp3.encodeFrames(3, 1, _ => 9, 0, 2, id3v2PayloadLen = 10)
+    val mp3Bare = Mp3.encodeFrames(2, 1, _ => 5, 1, 2)
+    val mp4 = Mp4.encode("mp42", 1, 600, 1200, Some("hev1"), Some("mp4a"), 16)
+    val media = Seq((1L, mp3Tagged), (2L, mp3Bare), (3L, mp4),
+      (11L, mp3Tagged), (13L, mp4)).toDF("media_id", "bytes")
+    val cls = Multimodal.classifyMedia(media).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(cls(1L) === "audio" && cls(2L) === "audio")
+    assert(cls(3L) === "video" && cls(13L) === "video")
+    // the routed path keeps byte-identical MP3/MP4 copies as exact
+    // pairs even though neither container decodes (the undecodable
+    // branch) — no committed decoder, no lost duplicates
+    val pairs = Multimodal.routedMediaDedup(media)
+      .select("id_a", "id_b", "kind", "modality").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(pairs === Set((1L, 11L, "exact_blob", "audio"),
+      (3L, 13L, "exact_blob", "video")))
+  }
+
+  test("mp3Metadata / mp4Metadata drop truncated blobs under DROPMALFORMED (the gate fixtures, in-process)") {
+    val docs = (0L until 40L).toDF("doc_id")
+    val mp3Ids = Multimodal.mp3Metadata(
+        Multimodal.mp3MediaFromDocuments(docs))
+      .select("media_id").as[Long].collect().toSet
+    assert(mp3Ids === (0L until 40L).filter(_ % 17 != 0).toSet)
+    val mp4Rows = Multimodal.mp4Metadata(
+        Multimodal.mp4MediaFromDocuments(docs))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(mp4Rows.keySet === (0L until 40L).filter(_ % 17 != 0).toSet)
+    // spot-check one row against the closed form
+    val r6 = mp4Rows(6L)
+    assert(r6.getString(1) === "isom") // 6 % 3 = 0
+    assert(r6.getLong(2) === 600L * 3) // timescale
+    assert(r6.getLong(3) === (1000L + 6) * 1000 / 1800) // duration_ms
+    assert(r6.getInt(4) === 2 && r6.getString(5) === "avc1")
+  }
+}
