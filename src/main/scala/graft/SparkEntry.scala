@@ -2304,6 +2304,41 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Multimodal: the PRE-DECODE metadata gate (round 17) — the
+    // composition real crawl pipelines run BEFORE paying pixel cost:
+    // per-blob header classification over the m_jpeg fixture plus a
+    // planted junk cohort (real tiny JPEG / SOF-patched 4000×3000
+    // decode bomb / truncated stream / interlace-flagged PNG). Every
+    // disposition replays from doc_id arithmetic.
+    "m_meta_gate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val media = Multimodal.jpegMediaFromDocuments(docs)
+        .unionByName(Multimodal.junkImageMediaFromDocuments(docs)
+          .select((col("media_id") + lit(1000000L)).as("media_id"),
+            col("bytes")))
+      Multimodal.imageMetaGate(media, minSide = 8, maxPixels = 1000000L)
+        .select(col("media_id"), col("gate"))
+        .orderBy("media_id")
+    }),
+
+    // Multimodal: META-GATED dedup, composed end to end (round 17) —
+    // header gate → decode ONLY the kept cohort → routed perceptual
+    // dedup, with gated-out junk keeping its byte-identical duplicates
+    // as exact star pairs (the routing discipline applied to the gate:
+    // a decode bomb is never pixel-decoded — accumulator-proven in
+    // ContainerMetaSpec — but its crawl mirrors still dedup). The oracle
+    // replays the m_jpeg_dedup pair structure for the kept cohort and
+    // per-group stars for the junk.
+    "m_gated_dedup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val media = Multimodal.jpegDedupMediaFromDocuments(docs)
+        .unionByName(Multimodal.junkImageMediaFromDocuments(docs)
+          .select((col("media_id") + lit(1000000L)).as("media_id"),
+            col("bytes")))
+      Multimodal.gatedImageDedup(media, minSide = 8, maxPixels = 1000000L)
+        .orderBy("id_a", "id_b", "kind")
+    }),
+
     // Multimodal: decodeless MP3 metadata (round 17) — the Jpeg.meta
     // pattern on the dominant crawl audio format: a strict frame-header
     // walk (version/layer/bitrate/samplerate indexes against the
@@ -5505,6 +5540,42 @@ object SparkEntry {
         |    AS palette_size,
         |  doc_id % 4 = 3 AS has_alpha
         |FROM documents WHERE doc_id % 17 <> 0 ORDER BY media_id""".stripMargin,
+
+    // Structural replay of the pre-decode gate dispositions: the
+    // m_jpeg fixture keeps everything except its truncated %17 cohort;
+    // the junk cohort's gate follows its group kind (gid%4).
+    "m_meta_gate" ->
+      """SELECT * FROM (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN 'dropped_malformed'
+        |         ELSE 'kept' END AS gate
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT CAST(1000000 + doc_id AS BIGINT),
+        |    CASE (doc_id // 4) % 4 WHEN 0 THEN 'dropped_tiny'
+        |         WHEN 1 THEN 'dropped_huge'
+        |         WHEN 2 THEN 'dropped_malformed'
+        |         ELSE 'dropped_unsupported' END
+        |  FROM documents)
+        |ORDER BY media_id""".stripMargin,
+
+    // Exact replay of the composed gate→decode→dedup run: the kept
+    // JPEG cohort pairs exactly as m_jpeg_dedup (within-group m ≤ 2,
+    // perceptual); each junk group's byte-identical copies star under
+    // the min key as exact_blob.
+    "m_gated_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |           FROM documents)
+        |SELECT * FROM (
+        |  SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+        |         CAST(b.doc_id AS BIGINT) AS id_b, 'perceptual' AS kind
+        |  FROM d a JOIN d b ON a.gid = b.gid AND a.doc_id < b.doc_id
+        |   WHERE a.m <= 2 AND b.m <= 2
+        |  UNION ALL
+        |  SELECT CAST(1000000 + gid * 4 AS BIGINT),
+        |         CAST(1000000 + doc_id AS BIGINT), 'exact_blob'
+        |  FROM d WHERE m <> 0)
+        |ORDER BY id_a, id_b, kind""".stripMargin,
 
     // Structural replay of the MP3 frame-header walk: the public
     // bitrate/sample-rate tables inlined as lists, frame count and

@@ -753,9 +753,17 @@ object Multimodal {
       thumbSide: Int, skipMalformed: Boolean): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    // every blob entering a pixel decode counts here (one long-add per
+    // image — noise): the decode-work audit the meta-gate composition
+    // is judged by (ContainerMetaSpec asserts gated junk never reaches
+    // this, the Scale4x --metagate ladder prints the ratio), visible in
+    // the UI next to any decode stage
+    val attempts = spark.sparkContext
+      .longAccumulator("graft.image_decode_attempts")
     media.select(col("media_id"), col("bytes")).as[ImageRow].mapPartitions { it =>
       it.flatMap { m =>
         try {
+          attempts.add(1)
           val (w, h, raster) = decoder(m.bytes)
           var (sr, sg, sb) = (0L, 0L, 0L)
           var p = 0
@@ -943,6 +951,142 @@ object Multimodal {
         }
       }
     }.toDF()
+  }
+
+  /** Pre-decode metadata gate — the composition real crawl pipelines
+    * run with [[jpegMetadata]]/[[pngMetadata]] (round 17): classify
+    * each image blob by its HEADER metadata before any pixel decode.
+    * One mapPartitions projection, header-bytes cost per blob:
+    *  - `dropped_malformed`: the structural walk refuses (truncated
+    *    download, desynced markers, CRC rot)
+    *  - `dropped_tiny`: a side under `minSide` (tracking pixels,
+    *    spacer gifs — the crawl's most common junk)
+    *  - `dropped_huge`: more than `maxPixels` declared pixels (decode
+    *    cost bombs — a patched header can declare any dimensions; the
+    *    gate refuses to pay pixels to find out)
+    *  - `dropped_unsupported`: a profile the decoder would refuse
+    *    (interlaced / 16-bit PNG) — known BEFORE decode, which is the
+    *    cost-routing signal [[Png.meta]] reports them for
+    *  - `kept`: everything else, including non-JPEG/PNG magics (the
+    *    cheap formats have no header walker and decode directly; their
+    *    malformed blobs still drop at decode under DROPMALFORMED).
+    * Returns (media_id, bytes, gate). */
+  def imageMetaGate(media: DataFrame, minSide: Int = 8,
+      maxPixels: Long = 100000000L): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[ImageRow].mapPartitions { it =>
+      it.map { m =>
+        val b = m.bytes
+        val gate =
+          try {
+            if (b.length >= 2 && (b(0) & 0xff) == 0xff &&
+                (b(1) & 0xff) == 0xd8) {
+              val md = Jpeg.meta(b)
+              if (md.width < minSide || md.height < minSide) "dropped_tiny"
+              else if (md.width.toLong * md.height > maxPixels) "dropped_huge"
+              else "kept"
+            } else if (Png.isPng(b)) {
+              val md = Png.meta(b)
+              if (md.interlaced || md.bitDepth != 8) "dropped_unsupported"
+              else if (md.width < minSide || md.height < minSide) "dropped_tiny"
+              else if (md.width.toLong * md.height > maxPixels) "dropped_huge"
+              else "kept"
+            } else "kept"
+          } catch { case _: Exception => "dropped_malformed" }
+        (m.media_id, b, gate)
+      }
+    }.toDF("media_id", "bytes", "gate")
+  }
+
+  /** META-GATED image dedup — the composed pipeline shape: header gate
+    * → decode ONLY the kept cohort → degenerate-aware routed dedup.
+    * Gated-out blobs are never pixel-decoded (accumulator-proven in
+    * the spec and measured on the Scale4x junk ladder) but KEEP their
+    * byte-identical duplicates as exact star pairs — the routing
+    * discipline applied to the gate itself: truncated downloads and
+    * decode bombs mirror across a crawl too, and dropping a blob from
+    * perceptual matching must never drop it from exact dedup. Returns
+    * (id_a, id_b, kind), drop-in for the clustering stack. */
+  def gatedImageDedup(media: DataFrame, minSide: Int = 8,
+      maxPixels: Long = 100000000L, maxHamming: Int = 3,
+      maxBucketDf: Int = 1000, thumbSide: Int = 8,
+      flatEps: Double = 1e-9, ahash: Boolean = false,
+      autoOrient: Boolean = false): DataFrame = {
+    // one header pass feeds both cohorts (kept filter + dropped stars)
+    val gated = imageMetaGate(media, minSide, maxPixels).localCheckpoint()
+    val kept = gated.filter(col("gate") === "kept")
+      .select(col("media_id"), col("bytes"))
+    val dropped = gated.filter(col("gate") =!= "kept")
+      .select(col("media_id").as("key"), col("bytes"))
+      .localCheckpoint() // blobStarPairs reads it twice
+    blobStarPairs(dropped)
+      .select(col("id_a"), col("id_b"), lit("exact_blob").as("kind"))
+      .unionByName(routedImageDedup(kept, maxHamming, maxBucketDf,
+        thumbSide, flatEps, ahash, autoOrient))
+  }
+
+  /** Planted JUNK cohort for the meta-gate rows (round 17) — the blobs
+    * a crawl's pre-decode gate exists to refuse, in groups of four
+    * BYTE-IDENTICAL copies (gid = id/4) so the exact-dedup guarantee
+    * of [[gatedImageDedup]] is testable: gid%4 = 0 → a real 4×3 JPEG
+    * (dropped_tiny at minSide 8), 1 → a real JPEG whose SOF declares
+    * 4000×3000 (a decode-cost bomb: header-patched dims, CRC-free
+    * format makes it structurally valid — dropped_huge at maxPixels
+    * 10⁶), 2 → a truncated JPEG (dropped_malformed), 3 → an
+    * interlace-flagged PNG with a re-computed IHDR CRC
+    * (dropped_unsupported). */
+  def junkImageMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val gid = id / 4
+      val kind = (gid % 4).toInt
+      // group uniqueness must survive a LOSSY codec: bake the gid into
+      // a COM segment (spec-legal, skipped by meta and decode alike)
+      // instead of into quantized pixels, so two junk groups can never
+      // encode byte-identically and cross-link their star pairs
+      def withCom(b: Array[Byte]): Array[Byte] = {
+        val seg = new Array[Byte](12)
+        seg(0) = 0xff.toByte; seg(1) = 0xfe.toByte; seg(2) = 0; seg(3) = 10
+        var i = 0
+        while (i < 8) { seg(4 + i) = ((gid >>> (8 * i)) & 0xff).toByte; i += 1 }
+        java.util.Arrays.copyOfRange(b, 0, 2) ++ seg ++
+          java.util.Arrays.copyOfRange(b, 2, b.length)
+      }
+      val bytes = kind match {
+        case 0 =>
+          withCom(Jpeg.encodeGray(4, 3, Array.tabulate(12)(p =>
+            (40 + p * 5).toByte)))
+        case 1 =>
+          val b = withCom(Jpeg.encodeGray(8, 8, Array.tabulate(64)(p =>
+            (40 + p).toByte)))
+          // patch the SOF dims: FF C0 len(2) prec(1) h(2) w(2)
+          var i = 2
+          while (!((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xc0)) i += 1
+          b(i + 5) = ((3000 >> 8) & 0xff).toByte; b(i + 6) = (3000 & 0xff).toByte
+          b(i + 7) = ((4000 >> 8) & 0xff).toByte; b(i + 8) = (4000 & 0xff).toByte
+          b
+        case 2 =>
+          val b = withCom(Jpeg.encodeGray(8, 8, Array.tabulate(64)(p =>
+            (40 + p * 3).toByte)))
+          java.util.Arrays.copyOfRange(b, 0, b.length / 2)
+        case _ =>
+          // PNG is lossless: gid bytes in the pixels stay byte-exact
+          val b = Png.encodeGray(8, 8, Array.tabulate(64)(p =>
+            (((gid >>> (8 * (p % 8))) & 0xff) ^ p).toByte))
+          b(8 + 8 + 12) = 1 // IHDR interlace flag
+          val crc = new java.util.zip.CRC32()
+          crc.update(b, 8 + 4, 4 + 13)
+          val v = crc.getValue
+          var i = 0
+          while (i < 4) {
+            b(8 + 8 + 13 + i) = ((v >>> (24 - 8 * i)) & 0xff).toByte; i += 1
+          }
+          b
+      }
+      (id, bytes)
+    }.toDF("media_id", "bytes")
   }
 
   /** Resize: pure metadata transform (the byte transform is the codec's job

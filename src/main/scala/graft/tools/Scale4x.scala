@@ -1076,6 +1076,87 @@ object Scale4x {
       }
       spark.stop(); return
     }
+    if (args.contains("--metagate")) {
+      // META-GATE decode-savings ladder (round 17): the pre-decode
+      // header gate's whole justification is that junk (truncated
+      // downloads, tracking pixels, decode bombs) is refused at
+      // header cost instead of pixel cost. Ladder the junk FRACTION at
+      // fixed corpus size: gated vs ungated wall, decode attempts
+      // counted by the graft.image_decode_attempts accumulator tap on
+      // both runs (gated must equal the kept count exactly; ungated
+      // pays a decode attempt — and for the 4000×3000 SOF-patched
+      // bomb, a 36M-pixel allocation — per junk blob). Pair sets must
+      // agree on the kept cohort.
+      import graft.ops.Multimodal
+      val d1 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id")
+      val nD1 = d1.count()
+      val keptFixture = Multimodal.jpegDedupMediaFromDocuments(d1)
+        .select("media_id", "bytes").localCheckpoint()
+      println()
+      println("| op | junk | items | wall gated | wall ungated | decode " +
+        "attempts gated/ungated | kept pairs agree |")
+      println("|---|---|---|---|---|---|---|")
+      def attemptsOf(f: => Long): (Double, Long) = {
+        val seen = new java.util.concurrent.atomic.AtomicLong(0)
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit =
+            sc.stageInfo.accumulables.values
+              .filter(_.name.contains("graft.image_decode_attempts"))
+              .foreach(a => seen.addAndGet(
+                a.value.map(_.toString.toLong).getOrElse(0L)))
+        }
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          val w = time(f)
+          var waited = 0
+          while (waited < 50 && seen.get() == 0) { Thread.sleep(100); waited += 1 }
+          Thread.sleep(500) // drain stragglers
+          (w, seen.get())
+        } finally spark.sparkContext.removeSparkListener(listener)
+      }
+      for (junkPct <- Seq(10, 30, 100)) {
+        val nJunk = nD1 * junkPct / 100
+        val junk = Multimodal.junkImageMediaFromDocuments(
+            spark.range(nJunk).select(col("id").as("doc_id")))
+          .select((col("media_id") + lit(1000000L)).as("media_id"),
+            col("bytes"))
+        val media = keptFixture.unionByName(junk).localCheckpoint()
+        // compare on the KEPT cohort only (ids < 1e6): the ungated run
+        // legitimately ALSO finds perceptual pairs among decodable junk
+        // (the tiny gradient blobs), which is junk the gate exists to
+        // keep out of the cluster stack in the first place
+        var gatedPairs: Set[(Long, Long)] = Set.empty
+        val (wg, ag) = attemptsOf {
+          gatedPairs = Multimodal.gatedImageDedup(media, minSide = 8,
+              maxPixels = 1000000L)
+            .filter(col("kind") === "perceptual" &&
+              col("id_b") < 1000000L)
+            .select("id_a", "id_b").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          gatedPairs.size.toLong
+        }
+        // UNGATED control: decode everything (the junk cohort eats a
+        // decode attempt each; malformed ones drop inside the decoder,
+        // the 36M-pixel bomb eats its allocation before failing)
+        var rawPairs: Set[(Long, Long)] = Set.empty
+        val (wu, au) = attemptsOf {
+          rawPairs = Multimodal.routedImageDedup(media, maxHamming = 3)
+            .filter(col("kind") === "perceptual" &&
+              col("id_b") < 1000000L)
+            .select("id_a", "id_b").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          rawPairs.size.toLong
+        }
+        val agree = gatedPairs == rawPairs
+        println(f"| meta-gated dedup | $junkPct%d%% | ${nD1 + nJunk} | " +
+          f"$wg%.2f s | $wu%.2f s | $ag/$au (kept=$nD1) | " +
+          (if (agree) "yes" else "NO — DIVERGED") + " |")
+      }
+      spark.stop(); return
+    }
     if (args.contains("--whaleguard")) {
       // GUARD-SCALE demonstration (r12): a whale big enough to actually
       // trip TrailGuard's 2^20 default — 128× the sf events with 25%

@@ -105,6 +105,44 @@ class ContainerMetaSpec extends SparkSpec {
       (3L, 13L, "exact_blob", "video")))
   }
 
+  test("the meta gate classifies junk at header cost and gated junk is NEVER pixel-decoded (accumulator-proven)") {
+    val docs = (0L until 32L).toDF("doc_id")
+    val junk = Multimodal.junkImageMediaFromDocuments(docs)
+      .select((col("media_id") + lit(1000000L)).as("media_id"), col("bytes"))
+    val media = Multimodal.jpegDedupMediaFromDocuments(docs)
+      .unionByName(junk).localCheckpoint()
+    // collect every update of the decode-attempt accumulator
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        sc.stageInfo.accumulables.values
+          .filter(_.name.contains("graft.image_decode_attempts"))
+          .foreach(a => seen.addAndGet(
+            a.value.map(_.toString.toLong).getOrElse(0L)))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val pairs = Multimodal.gatedImageDedup(media, minSide = 8,
+        maxPixels = 1000000L).collect()
+      // junk keeps exact duplicates (per-group stars), kept cohort
+      // pairs perceptually — the m_gated_dedup structure
+      val exact = pairs.filter(_.getString(2) == "exact_blob")
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact === (0L until 8L).flatMap(g =>
+        (1L to 3L).map(m => (1000000L + g * 4, 1000000L + g * 4 + m))).toSet)
+      assert(pairs.count(_.getString(2) == "perceptual") === 8 * 3)
+      // listener events drain asynchronously
+      var waited = 0
+      while (seen.get() < 32 && waited < 50) { Thread.sleep(100); waited += 1 }
+      // the 32 kept JPEGs decode exactly once; the 32 junk blobs never
+      // reach a pixel decode (header gate only)
+      assert(seen.get() === 32L,
+        s"decode attempts ${seen.get()} != kept 32 — the gate leaked " +
+          "blobs into (or out of) the pixel decoder")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("mp3Metadata / mp4Metadata drop truncated blobs under DROPMALFORMED (the gate fixtures, in-process)") {
     val docs = (0L until 40L).toDF("doc_id")
     val mp3Ids = Multimodal.mp3Metadata(
