@@ -2470,13 +2470,25 @@ object SparkEntry {
     // frame matching with stop-frame removal + bucket guard,
     // matched-frame + LIS rollup; the oracle replays every pair's
     // n_matched AND lis exactly.
+    // Round 17: the row emits BOTH keep policies from one decode
+    // (shared frame-hash sets): 'all' is the set-similarity
+    // pass-through, 'temporal' applies minLisFrac = 0.8 — the
+    // reversed-frame collage cohort (lis = 1 at n_matched ≥ 3) is
+    // kept OUT of the temporal policy's pair list while every true
+    // near-dup pair (lis = n_matched) survives, so the knob's
+    // precision AND recall are both oracle-replayed.
     "m_video_dedup" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val media = Multimodal.dedupVideoMediaFromDocuments(docs)
         .unionByName(Multimodal.perturbedVideoCohortsFromDocuments(docs))
-      Multimodal.videoNearDupPairs(media, minMatchedFrames = 2)
-        .select(col("id_a"), col("id_b"), col("n_matched"), col("lis"))
-        .orderBy("id_a", "id_b")
+      val sets = Multimodal.videoFrameHashSets(media).localCheckpoint()
+      def leg(frac: Double, name: String) =
+        Multimodal.videoNearDupPairsFromSets(sets, 2, 1000,
+            minLisFrac = frac)
+          .select(col("id_a"), col("id_b"), col("n_matched"), col("lis"),
+            lit(name).as("policy"))
+      leg(0.0, "all").unionByName(leg(0.8, "temporal"))
+        .orderBy("id_a", "id_b", "policy")
     }),
 
     // Multimodal: EXACT blob dedup across WebDataset shards — export the
@@ -5757,17 +5769,23 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 3000000 + gid, gid, FALSE, FALSE FROM g
         |  UNION ALL
-        |  SELECT 5000000 + gid, gid, FALSE, TRUE FROM g)
-        |SELECT CAST(a.id AS BIGINT) AS id_a,
-        |       CAST(b.id AS BIGINT) AS id_b,
-        |       CAST(CASE WHEN a.cut OR b.cut THEN 2 + a.gid % 3
-        |            ELSE 3 + a.gid % 3 END AS BIGINT) AS n_matched,
-        |       CAST(CASE WHEN a.rev <> b.rev THEN 1
-        |            WHEN a.cut OR b.cut THEN 2 + a.gid % 3
-        |            ELSE 3 + a.gid % 3 END AS BIGINT) AS lis
-        |FROM mem a JOIN mem b
-        |  ON a.gid = b.gid AND a.id < b.id
-        |ORDER BY id_a, id_b""".stripMargin,
+        |  SELECT 5000000 + gid, gid, FALSE, TRUE FROM g),
+        |base AS (
+        |  SELECT CAST(a.id AS BIGINT) AS id_a,
+        |         CAST(b.id AS BIGINT) AS id_b,
+        |         CAST(CASE WHEN a.cut OR b.cut THEN 2 + a.gid % 3
+        |              ELSE 3 + a.gid % 3 END AS BIGINT) AS n_matched,
+        |         CAST(CASE WHEN a.rev <> b.rev THEN 1
+        |              WHEN a.cut OR b.cut THEN 2 + a.gid % 3
+        |              ELSE 3 + a.gid % 3 END AS BIGINT) AS lis
+        |  FROM mem a JOIN mem b
+        |    ON a.gid = b.gid AND a.id < b.id)
+        |SELECT * FROM (
+        |  SELECT *, 'all' AS policy FROM base
+        |  UNION ALL
+        |  SELECT *, 'temporal' FROM base
+        |  WHERE lis >= ceil(0.8 * n_matched))
+        |ORDER BY id_a, id_b, policy""".stripMargin,
 
     // Exact replay of the byte-identical blob groups: members m=0 and m=1
     // of each group encode identical rasters to the same format, so every

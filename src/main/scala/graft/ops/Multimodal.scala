@@ -2649,10 +2649,16 @@ object Multimodal {
     * banding — the same stop-token discipline as text inverted indexes,
     * without which one common frame makes the join quadratic in the
     * corpus; the (band, bits) bucket guard at `maxBucketDf` bounds the
-    * residual fan-out and drops loudly ([[degenerateHammingBuckets]]). */
+    * residual fan-out and drops loudly ([[degenerateHammingBuckets]]).
+    * `minLisFrac` (round 17) turns the `lis` score into a KEEP policy:
+    * a pair survives only if at least that fraction of its matched
+    * frames chain in temporal order — shuffled-frame collages
+    * (lis ≈ 1) drop, true near-dup clips (lis = n_matched) pass; the
+    * 0.0 default is the deliberate set-similarity pass-through. */
   def videoNearDupPairs(media: DataFrame, minMatchedFrames: Int = 2,
       maxFrameDf: Int = 1000, thumbSide: Int = 8,
-      maxFrameHamming: Int = 3, maxBucketDf: Int = 1000): DataFrame =
+      maxFrameHamming: Int = 3, maxBucketDf: Int = 1000,
+      minLisFrac: Double = 0.0): DataFrame =
     // localCheckpoint the in-task-distinct frame-hash SETS, not the
     // thumbs: three consumers (frame-df count + the self-join's two
     // sides) decode the frames ONCE and the checkpoint holds 8 bytes per
@@ -2661,7 +2667,8 @@ object Multimodal {
     // in OpsSpec)
     videoNearDupPairsFromSets(
       videoFrameHashSets(media, thumbSide).localCheckpoint(),
-      minMatchedFrames, maxFrameDf, maxFrameHamming, maxBucketDf)
+      minMatchedFrames, maxFrameDf, maxFrameHamming, maxBucketDf,
+      minLisFrac)
 
   /** [[videoNearDupPairs]] from an ALREADY-COMPUTED
     * [[videoFrameHashSets]] frame (checkpointed by the caller): the
@@ -2670,7 +2677,7 @@ object Multimodal {
     * frame. */
   private[graft] def videoNearDupPairsFromSets(sets: DataFrame,
       minMatchedFrames: Int, maxFrameDf: Int, maxFrameHamming: Int = 3,
-      maxBucketDf: Int = 1000): DataFrame = {
+      maxBucketDf: Int = 1000, minLisFrac: Double = 0.0): DataFrame = {
     val frames = explodeFrameSets(sets)
     // broadcast the tiny stop list (≤ n_frames/maxFrameDf keys), anti-join
     // — the semi-join against the corpus-sized rare side shuffled the
@@ -2681,7 +2688,7 @@ object Multimodal {
       .select(col("fh"))
     val indexed = frames.join(broadcast(stop), Seq("fh"), "left_anti")
     bandedFramePairs(indexed, minMatchedFrames, maxFrameHamming,
-      maxBucketDf)
+      maxBucketDf, minLisFrac)
   }
 
   /** The shared banded frame matcher: stop-filtered (id, fh, pos) frame
@@ -2695,12 +2702,13 @@ object Multimodal {
     * matched first-occurrence positions into the temporal-consistency
     * score. */
   private def bandedFramePairs(indexed: DataFrame, minMatchedFrames: Int,
-      maxFrameHamming: Int, maxBucketDf: Int): DataFrame = {
+      maxFrameHamming: Int, maxBucketDf: Int,
+      minLisFrac: Double = 0.0): DataFrame = {
     val bands = hammingBands64(
       indexed.select(col("id"), col("fh").as("sig"), col("pos")),
       maxFrameHamming)
     val ok = dropHeavyBuckets(bands, maxBucketDf, "videoNearDupPairs")
-    ok.as("a").join(ok.as("b"),
+    val pairs = ok.as("a").join(ok.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
           col("a.id") < col("b.id"))
       .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
@@ -2712,6 +2720,16 @@ object Multimodal {
         graft.functions.GraftFunctions.lisLen(collect_set(
           struct(col("a.pos").as("pa"), col("b.pos").as("pb")))).as("lis"))
       .filter(col("n_matched") >= minMatchedFrames)
+    // the TEMPORAL-IDENTITY knob (round 17): `lis` rode every pair
+    // since r16 but nothing consumed it — with minLisFrac > 0 a pair
+    // must keep at least that fraction of its matched frames in
+    // temporal order, so a shuffled-frame collage (lis ≈ 1) is kept
+    // OUT of the connected-components input while a true near-dup clip
+    // (lis = n_matched) passes untouched. 0.0 is the deliberate
+    // pass-through: set-similarity semantics, collages and all.
+    if (minLisFrac <= 0.0) pairs
+    else pairs.filter(col("lis") >=
+      ceil(lit(minLisFrac) * col("n_matched")))
   }
 
   /** Degenerate-aware VIDEO dedup routing — [[routedImageDedup]]'s video
@@ -2732,12 +2750,14 @@ object Multimodal {
     * 'perceptual'}), id_a < id_b, drop-in for the clustering stack. */
   def routedVideoDedup(media: DataFrame, minMatchedFrames: Int = 2,
       maxFrameDf: Int = 1000, thumbSide: Int = 8,
-      maxFrameHamming: Int = 3, maxBucketDf: Int = 1000): DataFrame =
+      maxFrameHamming: Int = 3, maxBucketDf: Int = 1000,
+      minLisFrac: Double = 0.0): DataFrame =
     // the frame-hash sets feed the stop-frame census, the survivor test,
     // AND the perceptual self-join — decode every video ONCE
     routedVideoDedupFromSets(media,
       videoFrameHashSets(media, thumbSide).localCheckpoint(),
-      minMatchedFrames, maxFrameDf, maxFrameHamming, maxBucketDf)
+      minMatchedFrames, maxFrameDf, maxFrameHamming, maxBucketDf,
+      minLisFrac)
 
   /** [[routedVideoDedup]] from an ALREADY-COMPUTED
     * [[videoFrameHashSets]] frame (checkpointed by the caller): the
@@ -2746,7 +2766,7 @@ object Multimodal {
     * same frame. */
   private def routedVideoDedupFromSets(media: DataFrame, sets0: DataFrame,
       minMatchedFrames: Int, maxFrameDf: Int, maxFrameHamming: Int = 3,
-      maxBucketDf: Int = 1000): DataFrame = {
+      maxBucketDf: Int = 1000, minLisFrac: Double = 0.0): DataFrame = {
     val sets = sets0
       .select(col("media_id").cast("long").as("id"), col("frame_hashes"))
     val frames = explodeFrameSets(sets0)
@@ -2772,7 +2792,7 @@ object Multimodal {
     val blobPairs = blobStarPairs(degBlobs)
       .withColumn("kind", lit("exact_blob"))
     val perceptual = bandedFramePairs(indexed, minMatchedFrames,
-        maxFrameHamming, maxBucketDf)
+        maxFrameHamming, maxBucketDf, minLisFrac)
       .select(col("id_a"), col("id_b"), lit("perceptual").as("kind"))
     blobPairs.unionByName(perceptual)
   }

@@ -144,6 +144,44 @@ class VideoBandingSpec extends SparkSpec {
     }
   }
 
+  test("minLisFrac keeps a shuffled-frame collage OUT of the connected-components input") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(16)
+    // base/copy groups plus the reversed-frame collage cohort: the
+    // collage matches its base on every frame (n_matched = nf) but in
+    // reverse temporal order (lis = 1)
+    val media = Multimodal.dedupVideoMediaFromDocuments(docs)
+      .unionByName(Multimodal.perturbedVideoCohortsFromDocuments(docs,
+        Seq("reversed")))
+    val all = Multimodal.videoNearDupPairs(media, minMatchedFrames = 2)
+      .select("id_a", "id_b", "n_matched", "lis").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // pass-through: the collage PAIRS at full n_matched (set
+    // similarity is deliberately order-blind) with lis collapsed to 1
+    val collagePairs = all.filter(_._1._2 >= 5000000L)
+    assert(collagePairs.nonEmpty)
+    // vs its base/copy the collage shares all nf ≥ 3 frames; vs the
+    // last-frame-replaced member nf−1 ≥ 2 — always reversed, so lis 1
+    collagePairs.foreach { case (_, (nm, lis)) =>
+      assert(nm >= 2L && lis === 1L)
+    }
+    // the knob: at minLisFrac 0.8 every collage pair is excluded and
+    // every true near-dup pair survives, so clustering the filtered
+    // pairs never merges a collage into its source's component
+    val temporal = Multimodal.videoNearDupPairs(media,
+        minMatchedFrames = 2, minLisFrac = 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(temporal === all.keySet.filterNot(_._2 >= 5000000L))
+    val comps = graft.ops.Dedup.connectedComponents(
+        Multimodal.videoNearDupPairs(media, minMatchedFrames = 2,
+          minLisFrac = 0.8).select("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!comps.keySet.exists(_ >= 5000000L),
+      "a collage leaked into the cluster input")
+  }
+
   test("videoAgainstIndex derives its band grid from the index and fails loud without it") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet").limit(12)
