@@ -5547,7 +5547,7 @@ object SparkEntry {
         |  CAST(8 AS INT) AS bit_depth,
         |  CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 2
         |       WHEN 2 THEN 3 ELSE 6 END AS INT) AS color_type,
-        |  FALSE AS interlaced,
+        |  doc_id % 5 = 0 AS interlaced,
         |  CAST(CASE WHEN doc_id % 4 = 2 THEN 16 ELSE 0 END AS INT)
         |    AS palette_size,
         |  doc_id % 4 = 3 AS has_alpha

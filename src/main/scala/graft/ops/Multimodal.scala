@@ -393,10 +393,12 @@ object Multimodal {
       val h = 6 + (id % 11).toInt
       val n = w * h
       def filt(y: Int): Int = ((id + y) % 5).toInt
+      val il = id % 5 == 0 // Adam7 cohort
       val bytes = ct match {
         case 0 =>
           Png.encodeGray(w, h,
-            Array.tabulate(n)(p => ((id * 7 + p * 5) % 256).toByte), filt, 24)
+            Array.tabulate(n)(p => ((id * 7 + p * 5) % 256).toByte), filt, 24,
+            il)
         case 2 =>
           val pal = new Array[Byte](16 * 3)
           var i = 0
@@ -407,7 +409,7 @@ object Multimodal {
             i += 1
           }
           Png.encodePalette(w, h, pal,
-            Array.tabulate(n)(p => (p % 16).toByte), filt, 24)
+            Array.tabulate(n)(p => (p % 16).toByte), filt, 24, il)
         case 1 =>
           Png.encode(w, h, Array.tabulate(n * 3) { q =>
             val p = q / 3
@@ -416,7 +418,7 @@ object Multimodal {
               case 1 => (id * 5 + 2 * p) % 256
               case _ => (id * 11 + 3 * p) % 256
             }).toByte
-          }, filt, 24)
+          }, filt, 24, il)
         case _ =>
           Png.encodeRgba(w, h, Array.tabulate(n * 4) { q =>
             val p = q / 4
@@ -426,7 +428,7 @@ object Multimodal {
               case 2 => (id * 11 + 3 * p) % 256
               case _ => (p * 13) % 256 // dropped by the RGB contract
             }).toByte
-          }, filt, 24)
+          }, filt, 24, il)
       }
       val out =
         if (id % 17 == 0) java.util.Arrays.copyOfRange(bytes, 0, bytes.length / 2)
@@ -864,7 +866,8 @@ object Multimodal {
 
   final case class PngMetaRow(media_id: Long, width: Int, height: Int,
       bit_depth: Int, color_type: Int, interlaced: Boolean, n_chunks: Int,
-      idat_bytes: Long, palette_size: Int, has_alpha: Boolean)
+      idat_bytes: Long, palette_size: Int, has_alpha: Boolean,
+      unknown_critical: Boolean)
 
   /** Structural PNG metadata WITHOUT inflating — [[jpegMetadata]]'s
     * lossless-tier twin ([[Png.meta]]): IHDR geometry, bit depth,
@@ -885,7 +888,8 @@ object Multimodal {
           val md = Png.meta(m.bytes)
           Iterator.single(PngMetaRow(m.media_id, md.width, md.height,
             md.bitDepth, md.colorType, md.interlaced, md.nChunks,
-            md.idatBytes, md.paletteSize, md.hasAlpha))
+            md.idatBytes, md.paletteSize, md.hasAlpha,
+            md.unknownCritical))
         } catch {
           case e: Exception if skipMalformed => Iterator.empty
           case e: Exception => throw new RuntimeException(
@@ -988,7 +992,10 @@ object Multimodal {
               else "kept"
             } else if (Png.isPng(b)) {
               val md = Png.meta(b)
-              if (md.interlaced || md.bitDepth != 8) "dropped_unsupported"
+              // interlace/16-bit DECODE since the r17 second pass; what
+              // the decoder genuinely refuses is an unknown critical
+              // chunk (Apple's CgBI shape) — known here without inflate
+              if (md.unknownCritical) "dropped_unsupported"
               else if (md.width < minSide || md.height < minSide) "dropped_tiny"
               else if (md.width.toLong * md.height > maxPixels) "dropped_huge"
               else "kept"
@@ -1072,18 +1079,28 @@ object Multimodal {
             (40 + p * 3).toByte)))
           java.util.Arrays.copyOfRange(b, 0, b.length / 2)
         case _ =>
-          // PNG is lossless: gid bytes in the pixels stay byte-exact
+          // a CRITICAL private chunk the decoder must refuse (spec
+          // §5.4) — the Apple-CgBI-shaped real-world case (spliced
+          // after IHDR so the chunk walk stays well-formed; PNG is
+          // lossless so the gid payload keeps groups byte-distinct)
           val b = Png.encodeGray(8, 8, Array.tabulate(64)(p =>
             (((gid >>> (8 * (p % 8))) & 0xff) ^ p).toByte))
-          b(8 + 8 + 12) = 1 // IHDR interlace flag
+          val data = Array.tabulate(8)(i => ((gid >>> (8 * i)) & 0xff).toByte)
+          val chunk = new java.io.ByteArrayOutputStream()
+          chunk.write(Array[Byte](0, 0, 0, 8), 0, 4)
+          chunk.write("CgBI".getBytes("US-ASCII"), 0, 4)
+          chunk.write(data, 0, 8)
           val crc = new java.util.zip.CRC32()
-          crc.update(b, 8 + 4, 4 + 13)
+          crc.update("CgBI".getBytes("US-ASCII")); crc.update(data)
           val v = crc.getValue
           var i = 0
           while (i < 4) {
-            b(8 + 8 + 13 + i) = ((v >>> (24 - 8 * i)) & 0xff).toByte; i += 1
+            chunk.write(((v >>> (24 - 8 * i)) & 0xff).toInt); i += 1
           }
-          b
+          val ihdrEnd = 8 + 8 + 13 + 4
+          java.util.Arrays.copyOfRange(b, 0, ihdrEnd) ++
+            chunk.toByteArray ++
+            java.util.Arrays.copyOfRange(b, ihdrEnd, b.length)
       }
       (id, bytes)
     }.toDF("media_id", "bytes")

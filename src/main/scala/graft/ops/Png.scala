@@ -6,27 +6,29 @@ package graft.ops
   * byte-identical copies still deduped exactly, but a re-encode (same
   * raster, different filter choices or chunking) never paired.
   *
-  * Scope, chosen like [[Jpeg]]'s (support what crawls actually carry,
-  * refuse the rest LOUDLY):
-  *  - decode: 8-bit grayscale (colour type 0), truecolour (2),
-  *    indexed/palette (3), grayscale+alpha (4), truecolour+alpha (6);
-  *    all five scanline filters (None/Sub/Up/Average/Paeth, spec §9);
-  *    multi-IDAT streams; CRC-verified chunk walk; IEND required and
-  *    final (trailing bytes fail — the [[Jpeg]] desync discipline).
-  *    Alpha is parsed and DROPPED (output contract is an RGB raster);
-  *    16-bit depth, sub-8-bit palettes, and Adam7 interlace refuse
-  *    loudly — a truncated or corrupt stream throws, so DROPMALFORMED
-  *    bookkeeping stays deterministic.
+  * Scope (full fixed profile since the round-17 second pass):
+  *  - decode: all five colour types (grayscale 0, truecolour 2,
+  *    indexed 3, grayscale+alpha 4, truecolour+alpha 6) at every
+  *    legal bit depth — 1/2/4/8/16; 16-bit reduces to the high byte,
+  *    sub-8 grayscale rescales by 255/(2^d−1), palette indexes never
+  *    scale — all five scanline filters (None/Sub/Up/Average/Paeth,
+  *    spec §9), Adam7 interlace (seven per-pass-filtered sub-images,
+  *    spec §8.2), multi-IDAT streams; CRC-verified chunk walk; IEND
+  *    required and final (trailing bytes fail — the [[Jpeg]] desync
+  *    discipline). Alpha is parsed and DROPPED (output contract is an
+  *    RGB raster). What refuses is what the spec itself makes
+  *    unreadable: unknown CRITICAL chunks (Apple's proprietary CgBI
+  *    shape), CRC rot, truncation, desynced deflate streams.
   *  - meta: a decodeless chunk walk ([[Jpeg.meta]]'s pattern) — IHDR
   *    geometry, palette size, alpha presence, interlace flag, IDAT
-  *    byte census at header cost, CRC-checked but never inflated. meta
-  *    deliberately accepts MORE than decode (interlace/16-bit report
-  *    instead of failing): that is the crawl cost-routing pass —
-  *    decodable ⊆ has-metadata still holds because meta's structural
-  *    guards are a subset of decode's.
-  *  - encode: fixture-grade writers for every supported colour type
-  *    with CALLER-CHOSEN per-row filter types, so planted gate streams
-  *    exercise all five defilter paths on the wire.
+  *    byte census, unknown-critical flag at header cost, CRC-checked
+  *    but never inflated: the crawl cost-routing pass; decodable ⊆
+  *    has-metadata holds because meta's structural guards are a
+  *    subset of decode's.
+  *  - encode: fixture-grade depth-8 writers for every colour type
+  *    with CALLER-CHOSEN per-row filter types and optional Adam7, so
+  *    planted gate streams exercise every defilter path and the pass
+  *    machinery on the wire.
   *
   * DEFLATE comes from `java.util.zip` (`Inflater`/`Deflater` — public
   * JDK API, zero new dependencies); everything else (signature, chunk
@@ -130,18 +132,26 @@ object Png {
     Ihdr(w.toInt, h.toInt, bitDepth, colorType, interlace)
   }
 
+  /** The Adam7 pass grid (spec §8.2): (x0, y0, dx, dy) per pass. */
+  private val Adam7 = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
   /** Decode → (width, height, RGB raster) — the [[Multimodal.Ppm]] /
-    * [[Qoi]] / [[Jpeg]] output contract. Throws on anything outside
-    * the supported profile (callers choose skip-vs-fail, like CSV
-    * DROPMALFORMED). */
+    * [[Qoi]] / [[Jpeg]] output contract. Round 17 second pass covers
+    * the FULL fixed profile: every legal bit depth (1/2/4/8/16 —
+    * 16-bit reduces to its high byte, the spec's sanctioned 8-bit
+    * scaling; sub-8 grayscale rescales by 255/(2^d−1), palette
+    * indexes never scale) and Adam7 interlace (seven sub-images, each
+    * with its own scanline filters). What still refuses is what the
+    * spec itself makes unreadable: unknown CRITICAL chunks (e.g.
+    * Apple's proprietary CgBI variant), CRC rot, truncation. Callers
+    * choose skip-vs-fail, like CSV DROPMALFORMED. */
   def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
     val chunks = walkChunks(bytes)
     val ihdr = parseIhdr(bytes, chunks.head)
-    if (ihdr.interlace != 0)
-      fail("Adam7 interlace unsupported (sequential scanlines only)")
-    if (ihdr.bitDepth != 8)
-      fail(s"unsupported bit depth ${ihdr.bitDepth} (8-bit only)")
     val ch = channelsOf(ihdr.colorType)
+    val depth = ihdr.bitDepth
     // critical chunks we do not understand must refuse, not skip
     // (spec §5.4: ancillary = bit 5 of the first type byte set)
     chunks.find(c => c.typ(0).isUpper &&
@@ -172,10 +182,22 @@ object Png {
       System.arraycopy(bytes, c.start, idat, o, c.end - c.start)
       o += c.end - c.start
     }
-    // inflate to EXACTLY h * (1 + rowBytes) — anything shorter is a
-    // truncated raster, anything longer a desynced stream
-    val rowBytes = ihdr.w * ch
-    val expected = ihdr.h * (1 + rowBytes)
+    // pass geometry: sequential = one full-frame pass; Adam7 = seven
+    // sub-images, empty passes contribute NO bytes (spec §8.2)
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (ihdr.interlace == 0) Array((0, 0, 1, 1)) else Adam7
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (x0, y0, dx, dy) = p
+      (if (ihdr.w > x0) (ihdr.w - x0 + dx - 1) / dx else 0,
+        if (ihdr.h > y0) (ihdr.h - y0 + dy - 1) / dy else 0)
+    }
+    def rowBytesOf(wp: Int): Int = (wp * ch * depth + 7) / 8
+    // inflate to EXACTLY the summed filtered-pass size — anything
+    // shorter is a truncated raster, anything longer a desynced stream
+    val expected = passes.map { p =>
+      val (wp, hp) = passDims(p)
+      if (wp == 0 || hp == 0) 0 else hp * (1 + rowBytesOf(wp))
+    }.sum
     val raw = new Array[Byte](expected)
     val inf = new java.util.zip.Inflater()
     try {
@@ -196,61 +218,85 @@ object Png {
       if (!inf.finished() && inf.inflate(probe, 0, 1) > 0)
         fail("deflate stream longer than the declared raster")
     } finally inf.end()
-    // defilter (spec §9): five per-row filter types over the previous
-    // reconstructed row; bpp = channels at depth 8
-    val bpp = ch
-    var y = 0
-    while (y < ihdr.h) {
-      val base = y * (1 + rowBytes) + 1
-      val prevBase = base - (1 + rowBytes)
-      val ft = raw(base - 1) & 0xff
-      var x = 0
-      while (x < rowBytes) {
-        val a = if (x >= bpp) raw(base + x - bpp) & 0xff else 0
-        val b = if (y > 0) raw(prevBase + x) & 0xff else 0
-        val c = if (y > 0 && x >= bpp) raw(prevBase + x - bpp) & 0xff else 0
-        val add = ft match {
-          case 0 => 0
-          case 1 => a
-          case 2 => b
-          case 3 => (a + b) >> 1
-          case 4 => // Paeth predictor (spec §9.4)
-            val p = a + b - c
-            val pa = math.abs(p - a); val pb = math.abs(p - b)
-            val pc = math.abs(p - c)
-            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
-          case t => fail(s"unknown filter type $t on row $y")
-        }
-        raw(base + x) = ((raw(base + x) & 0xff) + add).toByte
-        x += 1
-      }
-      y += 1
-    }
-    // project to the RGB output contract
+    // per pass: defilter (spec §9 — five per-row filter types over the
+    // previous reconstructed row OF THE SAME PASS; bpp = filter unit,
+    // one byte minimum for sub-8 depths), then scatter the pass's
+    // pixels onto the output grid at (x0 + i·dx, y0 + j·dy)
+    val bpp = math.max(1, ch * depth / 8)
     val out = new Array[Byte](ihdr.w * ihdr.h * 3)
-    var p = 0
-    val n = ihdr.w * ihdr.h
-    while (p < n) {
-      val row = p / ihdr.w
-      val src = row * (1 + rowBytes) + 1 + (p % ihdr.w) * ch
-      ihdr.colorType match {
-        case 0 =>
-          val v = raw(src)
-          out(3 * p) = v; out(3 * p + 1) = v; out(3 * p + 2) = v
-        case 2 | 6 =>
-          out(3 * p) = raw(src); out(3 * p + 1) = raw(src + 1)
-          out(3 * p + 2) = raw(src + 2)
-        case 3 =>
-          val idx = raw(src) & 0xff
-          if (idx * 3 + 2 >= palette.length)
-            fail(s"palette index $idx out of range")
-          out(3 * p) = palette(3 * idx); out(3 * p + 1) = palette(3 * idx + 1)
-          out(3 * p + 2) = palette(3 * idx + 2)
-        case 4 =>
-          val v = raw(src)
-          out(3 * p) = v; out(3 * p + 1) = v; out(3 * p + 2) = v
+    var passBase = 0
+    passes.foreach { pass =>
+      val (x0, y0, dx, dy) = pass
+      val (wp, hp) = passDims(pass)
+      if (wp > 0 && hp > 0) {
+        val rb = rowBytesOf(wp)
+        var j = 0
+        while (j < hp) {
+          val base = passBase + j * (1 + rb) + 1
+          val prevBase = base - (1 + rb)
+          val ft = raw(base - 1) & 0xff
+          var x = 0
+          while (x < rb) {
+            val a = if (x >= bpp) raw(base + x - bpp) & 0xff else 0
+            val b = if (j > 0) raw(prevBase + x) & 0xff else 0
+            val c = if (j > 0 && x >= bpp) raw(prevBase + x - bpp) & 0xff else 0
+            val add = ft match {
+              case 0 => 0
+              case 1 => a
+              case 2 => b
+              case 3 => (a + b) >> 1
+              case 4 => // Paeth predictor (spec §9.4)
+                val p = a + b - c
+                val pa = math.abs(p - a); val pb = math.abs(p - b)
+                val pc = math.abs(p - c)
+                if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+              case t => fail(s"unknown filter type $t on pass row $j")
+            }
+            raw(base + x) = ((raw(base + x) & 0xff) + add).toByte
+            x += 1
+          }
+          // scatter this pass row
+          var i = 0
+          while (i < wp) {
+            // channel sample c of pass pixel i at any depth; 16-bit
+            // keeps the high byte, the spec's 8-bit reduction
+            def sample(c: Int): Int = depth match {
+              case 8 => raw(base + i * ch + c) & 0xff
+              case 16 => raw(base + (i * ch + c) * 2) & 0xff
+              case d => // 1/2/4: single-channel types only (IHDR-enforced)
+                val bitPos = i * d
+                ((raw(base + (bitPos >> 3)) & 0xff)
+                  >> (8 - d - (bitPos & 7))) & ((1 << d) - 1)
+            }
+            val p = (y0 + j * dy) * ihdr.w + (x0 + i * dx)
+            ihdr.colorType match {
+              case 0 =>
+                val s = sample(0)
+                // sub-8 grayscale rescales to full range (spec §6.1)
+                val v = (if (depth >= 8) s
+                  else s * 255 / ((1 << depth) - 1)).toByte
+                out(3 * p) = v; out(3 * p + 1) = v; out(3 * p + 2) = v
+              case 2 | 6 =>
+                out(3 * p) = sample(0).toByte
+                out(3 * p + 1) = sample(1).toByte
+                out(3 * p + 2) = sample(2).toByte
+              case 3 =>
+                val idx = sample(0) // palette indexes never scale
+                if (idx * 3 + 2 >= palette.length)
+                  fail(s"palette index $idx out of range")
+                out(3 * p) = palette(3 * idx)
+                out(3 * p + 1) = palette(3 * idx + 1)
+                out(3 * p + 2) = palette(3 * idx + 2)
+              case 4 =>
+                val v = sample(0).toByte
+                out(3 * p) = v; out(3 * p + 1) = v; out(3 * p + 2) = v
+            }
+            i += 1
+          }
+          j += 1
+        }
+        passBase += hp * (1 + rb)
       }
-      p += 1
     }
     (ihdr.w, ihdr.h, out)
   }
@@ -265,7 +311,7 @@ object Png {
     * single inflate call). */
   final case class Meta(width: Int, height: Int, bitDepth: Int,
       colorType: Int, interlaced: Boolean, nChunks: Int, idatBytes: Long,
-      paletteSize: Int, hasAlpha: Boolean)
+      paletteSize: Int, hasAlpha: Boolean, unknownCritical: Boolean)
 
   def meta(bytes: Array[Byte]): Meta = {
     val chunks = walkChunks(bytes)
@@ -278,7 +324,11 @@ object Png {
     Meta(ihdr.w, ihdr.h, ihdr.bitDepth, ihdr.colorType,
       ihdr.interlace == 1, chunks.length, idatBytes, paletteSize,
       hasAlpha = ihdr.colorType == 4 || ihdr.colorType == 6 ||
-        chunks.exists(_.typ == "tRNS"))
+        chunks.exists(_.typ == "tRNS"),
+      // a critical chunk decode would refuse (Apple CgBI territory) —
+      // the dropped_unsupported routing signal, known without inflate
+      unknownCritical = chunks.exists(c => c.typ(0).isUpper &&
+        !Set("IHDR", "PLTE", "IDAT", "IEND").contains(c.typ)))
   }
 
   // ---- fixture-grade encoders ----
@@ -298,47 +348,75 @@ object Png {
     be32(crc.getValue)
   }
 
-  /** Forward-filter `samples` (channels-interleaved rows) with the
-    * caller's per-row filter choice, deflate, and frame the chunks.
-    * `filterOf(y)` ∈ 0..4 — gate fixtures cycle it so every defilter
-    * path is exercised on the wire. `idatChunkSize` splits the zlib
-    * stream across IDAT chunks (multi-IDAT is the common wild shape). */
+  /** Forward-filter `samples` (channels-interleaved rows, depth 8)
+    * with the caller's per-row filter choice, deflate, and frame the
+    * chunks. `filterOf(y)` ∈ 0..4 (y = the row's GLOBAL index) — gate
+    * fixtures cycle it so every defilter path is exercised on the
+    * wire. `idatChunkSize` splits the zlib stream across IDAT chunks
+    * (multi-IDAT is the common wild shape). `interlaced` writes the
+    * seven Adam7 sub-images, each forward-filtered within its own
+    * pass. */
   private def encodeRaw(w: Int, h: Int, colorType: Int,
       samples: Array[Byte], palette: Array[Byte], filterOf: Int => Int,
-      idatChunkSize: Int): Array[Byte] = {
+      idatChunkSize: Int, interlaced: Boolean = false): Array[Byte] = {
     val ch = channelsOf(colorType)
     require(samples.length == w * h * ch,
       s"samples ${samples.length} != ${w * h * ch}")
-    val rowBytes = w * ch
-    val raw = new Array[Byte](h * (1 + rowBytes))
-    var y = 0
-    while (y < h) {
-      val ft = filterOf(y)
-      require(ft >= 0 && ft <= 4, s"bad filter type $ft")
-      val base = y * (1 + rowBytes)
-      raw(base) = ft.toByte
-      var x = 0
-      while (x < rowBytes) {
-        val cur = samples(y * rowBytes + x) & 0xff
-        val a = if (x >= ch) samples(y * rowBytes + x - ch) & 0xff else 0
-        val b = if (y > 0) samples((y - 1) * rowBytes + x) & 0xff else 0
-        val c = if (y > 0 && x >= ch) samples((y - 1) * rowBytes + x - ch) & 0xff else 0
-        val pred = ft match {
-          case 0 => 0
-          case 1 => a
-          case 2 => b
-          case 3 => (a + b) >> 1
-          case 4 =>
-            val p = a + b - c
-            val pa = math.abs(p - a); val pb = math.abs(p - b)
-            val pc = math.abs(p - c)
-            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (!interlaced) Array((0, 0, 1, 1)) else Adam7
+    val rawOut = new java.io.ByteArrayOutputStream(
+      h * (1 + w * ch) + passes.length * 8)
+    passes.foreach { case (x0, y0, dx, dy) =>
+      val wp = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val hp = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (wp > 0 && hp > 0) {
+        val rb = wp * ch
+        // gather the pass's sample rows, then forward-filter within
+        // the pass (the decoder's per-pass inverse)
+        val ps = new Array[Byte](hp * rb)
+        var j = 0
+        while (j < hp) {
+          var i = 0
+          while (i < wp) {
+            val src = ((y0 + j * dy) * w + (x0 + i * dx)) * ch
+            var c = 0
+            while (c < ch) {
+              ps(j * rb + i * ch + c) = samples(src + c); c += 1
+            }
+            i += 1
+          }
+          j += 1
         }
-        raw(base + 1 + x) = (cur - pred).toByte
-        x += 1
+        j = 0
+        while (j < hp) {
+          val ft = filterOf(y0 + j * dy)
+          require(ft >= 0 && ft <= 4, s"bad filter type $ft")
+          rawOut.write(ft)
+          var x = 0
+          while (x < rb) {
+            val cur = ps(j * rb + x) & 0xff
+            val a = if (x >= ch) ps(j * rb + x - ch) & 0xff else 0
+            val b = if (j > 0) ps((j - 1) * rb + x) & 0xff else 0
+            val c = if (j > 0 && x >= ch) ps((j - 1) * rb + x - ch) & 0xff else 0
+            val pred = ft match {
+              case 0 => 0
+              case 1 => a
+              case 2 => b
+              case 3 => (a + b) >> 1
+              case 4 =>
+                val p = a + b - c
+                val pa = math.abs(p - a); val pb = math.abs(p - b)
+                val pc = math.abs(p - c)
+                if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            }
+            rawOut.write((cur - pred) & 0xff)
+            x += 1
+          }
+          j += 1
+        }
       }
-      y += 1
     }
+    val raw = rawOut.toByteArray
     val def_ = new java.util.zip.Deflater()
     val zBuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
     try {
@@ -358,7 +436,7 @@ object Png {
     ihdr(4) = ((h >>> 24) & 0xff).toByte; ihdr(5) = ((h >>> 16) & 0xff).toByte
     ihdr(6) = ((h >>> 8) & 0xff).toByte; ihdr(7) = (h & 0xff).toByte
     ihdr(8) = 8; ihdr(9) = colorType.toByte; ihdr(10) = 0; ihdr(11) = 0
-    ihdr(12) = 0
+    ihdr(12) = if (interlaced) 1 else 0
     writeChunk(out, "IHDR", ihdr)
     if (palette != null) writeChunk(out, "PLTE", palette)
     var off = 0
@@ -374,30 +452,35 @@ object Png {
 
   /** Truecolour (type 2) from an RGB raster. */
   def encode(w: Int, h: Int, rgb: Array[Byte],
-      filterOf: Int => Int = _ => 0, idatChunkSize: Int = 8192): Array[Byte] =
-    encodeRaw(w, h, 2, rgb, null, filterOf, idatChunkSize)
+      filterOf: Int => Int = _ => 0, idatChunkSize: Int = 8192,
+      interlaced: Boolean = false): Array[Byte] =
+    encodeRaw(w, h, 2, rgb, null, filterOf, idatChunkSize, interlaced)
 
   /** Grayscale (type 0). */
   def encodeGray(w: Int, h: Int, gray: Array[Byte],
-      filterOf: Int => Int = _ => 0, idatChunkSize: Int = 8192): Array[Byte] =
-    encodeRaw(w, h, 0, gray, null, filterOf, idatChunkSize)
+      filterOf: Int => Int = _ => 0, idatChunkSize: Int = 8192,
+      interlaced: Boolean = false): Array[Byte] =
+    encodeRaw(w, h, 0, gray, null, filterOf, idatChunkSize, interlaced)
 
   /** Indexed (type 3, depth 8): `palette` is 3·n RGB bytes, `idx` one
     * palette index per pixel. */
   def encodePalette(w: Int, h: Int, palette: Array[Byte], idx: Array[Byte],
-      filterOf: Int => Int = _ => 0, idatChunkSize: Int = 8192): Array[Byte] = {
+      filterOf: Int => Int = _ => 0, idatChunkSize: Int = 8192,
+      interlaced: Boolean = false): Array[Byte] = {
     require(palette.length % 3 == 0 && palette.length > 0 &&
       palette.length <= 768, s"bad palette length ${palette.length}")
-    encodeRaw(w, h, 3, idx, palette, filterOf, idatChunkSize)
+    encodeRaw(w, h, 3, idx, palette, filterOf, idatChunkSize, interlaced)
   }
 
   /** Truecolour+alpha (type 6) from an RGBA raster. */
   def encodeRgba(w: Int, h: Int, rgba: Array[Byte],
-      filterOf: Int => Int = _ => 0, idatChunkSize: Int = 8192): Array[Byte] =
-    encodeRaw(w, h, 6, rgba, null, filterOf, idatChunkSize)
+      filterOf: Int => Int = _ => 0, idatChunkSize: Int = 8192,
+      interlaced: Boolean = false): Array[Byte] =
+    encodeRaw(w, h, 6, rgba, null, filterOf, idatChunkSize, interlaced)
 
   /** Grayscale+alpha (type 4) from a GA-interleaved plane. */
   def encodeGrayAlpha(w: Int, h: Int, ga: Array[Byte],
-      filterOf: Int => Int = _ => 0, idatChunkSize: Int = 8192): Array[Byte] =
-    encodeRaw(w, h, 4, ga, null, filterOf, idatChunkSize)
+      filterOf: Int => Int = _ => 0, idatChunkSize: Int = 8192,
+      interlaced: Boolean = false): Array[Byte] =
+    encodeRaw(w, h, 4, ga, null, filterOf, idatChunkSize, interlaced)
 }

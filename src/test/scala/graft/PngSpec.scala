@@ -140,7 +140,10 @@ class PngSpec extends SparkSpec {
     // trailing garbage after IEND — the Jpeg desync discipline
     val trailing = java.util.Arrays.copyOf(good, good.length + 1)
     intercept[IllegalArgumentException](Png.decode(trailing))
-    // interlace: patch IHDR byte + re-CRC, decode refuses, meta REPORTS
+    // a LYING interlace flag (sequential payload, Adam7 header) is a
+    // size desync: the seven-pass layout expects different filtered
+    // byte counts, so decode refuses instead of misreading — and meta
+    // still REPORTS the flag at header cost
     val inter = good.clone()
     inter(8 + 8 + 12) = 1 // IHDR data byte 12 (interlace)
     val crc = new java.util.zip.CRC32()
@@ -149,9 +152,9 @@ class PngSpec extends SparkSpec {
     for (i <- 0 until 4)
       inter(8 + 8 + 13 + i) = ((cv >>> (24 - 8 * i)) & 0xff).toByte
     val eInter = intercept[IllegalArgumentException](Png.decode(inter))
-    assert(eInter.getMessage.contains("interlace"))
+    assert(eInter.getMessage.contains("inflated"))
     assert(Png.meta(inter).interlaced)
-    // 16-bit: same patch trick on the depth byte
+    // same for a lying 16-bit depth (the row layout doubles)
     val deep = good.clone()
     deep(8 + 8 + 8) = 16
     crc.reset(); crc.update(deep, 8 + 4, 4 + 13)
@@ -159,8 +162,30 @@ class PngSpec extends SparkSpec {
     for (i <- 0 until 4)
       deep(8 + 8 + 13 + i) = ((dv >>> (24 - 8 * i)) & 0xff).toByte
     val eDeep = intercept[IllegalArgumentException](Png.decode(deep))
-    assert(eDeep.getMessage.contains("bit depth"))
+    assert(eDeep.getMessage.contains("inflated"))
     assert(Png.meta(deep).bitDepth === 16)
+    // an unknown CRITICAL chunk refuses (spec §5.4 — the Apple CgBI
+    // shape); ancillary unknown chunks skip; meta reports the flag
+    def splice(b: Array[Byte], typ: String): Array[Byte] = {
+      val data = Array[Byte](1, 2, 3)
+      val c = new java.io.ByteArrayOutputStream()
+      c.write(Array[Byte](0, 0, 0, 3), 0, 4)
+      c.write(typ.getBytes("US-ASCII"), 0, 4)
+      c.write(data, 0, 3)
+      val cc = new java.util.zip.CRC32()
+      cc.update(typ.getBytes("US-ASCII")); cc.update(data)
+      for (i <- 0 until 4) c.write(((cc.getValue >>> (24 - 8 * i)) & 0xff).toInt)
+      val at = 8 + 8 + 13 + 4 // after IHDR
+      java.util.Arrays.copyOfRange(b, 0, at) ++ c.toByteArray ++
+        java.util.Arrays.copyOfRange(b, at, b.length)
+    }
+    val eCrit = intercept[IllegalArgumentException](
+      Png.decode(splice(good, "CgBI")))
+    assert(eCrit.getMessage.contains("critical"))
+    assert(Png.meta(splice(good, "CgBI")).unknownCritical)
+    val (aw, ah, _) = Png.decode(splice(good, "teXt")) // ancillary: skipped
+    assert(aw === 8 && ah === 8)
+    assert(!Png.meta(splice(good, "teXt")).unknownCritical)
     // a deflate stream longer than the declared raster desyncs loudly:
     // re-frame the good stream's zlib payload with an extra raster row
     val w9 = Png.encode(8, 9, randomRgb(8, 9, 4L))
@@ -192,6 +217,111 @@ class PngSpec extends SparkSpec {
     val good = Png.encode(8, 8, randomRgb(8, 8, 6L))
     intercept[IllegalArgumentException](
       Png.meta(java.util.Arrays.copyOfRange(good, 0, good.length / 2)))
+  }
+
+  test("Adam7 interlaced streams round-trip exactly (every colour type, per-pass filters)") {
+    // odd dims exercise the empty-pass and partial-pass geometry
+    for ((w, h) <- Seq((13, 11), (8, 8), (3, 2), (1, 1), (16, 5))) {
+      val n = w * h
+      val rgb = randomRgb(w, h, w * 100L + h)
+      val (dw, dh, out) = Png.decode(
+        Png.encode(w, h, rgb, y => y % 5, 16, interlaced = true))
+      assert(dw === w && dh === h)
+      assert(out.toSeq === rgb.toSeq, s"rgb $w x $h")
+      val gray = Array.tabulate(n)(p => ((p * 41 + 7) % 256).toByte)
+      val (_, _, g) = Png.decode(
+        Png.encodeGray(w, h, gray, y => (y + 1) % 5, 8192, interlaced = true))
+      for (p <- 0 until n) assert(g(3 * p) === gray(p), s"gray $w x $h p=$p")
+      val rgba = Array.tabulate(n * 4)(q =>
+        if (q % 4 == 3) ((q * 3) % 256).toByte else rgb(q / 4 * 3 + q % 4))
+      val (_, _, a) = Png.decode(
+        Png.encodeRgba(w, h, rgba, y => (y + 2) % 5, 32, interlaced = true))
+      assert(a.toSeq === rgb.toSeq, s"rgba $w x $h")
+      val pal = Array.tabulate(24)(i => ((i * 37 + 3) % 256).toByte)
+      val idx = Array.tabulate(n)(p => ((p * 5) % 8).toByte)
+      val (_, _, pd) = Png.decode(
+        Png.encodePalette(w, h, pal, idx, y => y % 5, 16, interlaced = true))
+      for (p <- 0 until n; c <- 0 until 3)
+        assert(pd(3 * p + c) === pal(3 * ((p * 5) % 8) + c),
+          s"palette $w x $h p=$p")
+    }
+    // and the JDK's reader decodes OUR interlaced stream exactly
+    val rgb = randomRgb(15, 9, 99L)
+    val (_, _, theirs) = imageIoRgb(
+      Png.encode(15, 9, rgb, y => y % 5, 16, interlaced = true))
+    assert(theirs.toSeq === rgb.toSeq)
+  }
+
+  test("interop: the JDK writer's Adam7, 16-bit, and sub-8-bit streams decode with the spec reductions") {
+    // Adam7 from the JDK writer (progressive mode)
+    val w = 21; val h = 13
+    val rgb = randomRgb(w, h, 11L)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      img.setRGB(x, y, ((rgb(o) & 0xff) << 16) |
+        ((rgb(o + 1) & 0xff) << 8) | (rgb(o + 2) & 0xff))
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val params = writer.getDefaultWriteParam
+    params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    ios.close(); writer.dispose()
+    val adam = bos.toByteArray
+    assert(Png.meta(adam).interlaced, "JDK writer ignored progressive mode")
+    val (aw, ah, ours) = Png.decode(adam)
+    assert(aw === w && ah === h && ours.toSeq === rgb.toSeq)
+    // 16-bit grayscale: our high-byte reduction vs the raw raster
+    val g16 = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    val rnd = new scala.util.Random(5)
+    for (y <- 0 until h; x <- 0 until w)
+      g16.getRaster.setSample(x, y, 0, rnd.nextInt(65536))
+    val b16 = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(g16, "png", b16))
+    assert(Png.meta(b16.toByteArray).bitDepth === 16)
+    val (_, _, ours16) = Png.decode(b16.toByteArray)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((ours16((y * w + x) * 3) & 0xff) ===
+        (g16.getRaster.getSample(x, y, 0) >> 8), s"16-bit ($x,$y)")
+    // 1-bit: TYPE_BYTE_BINARY writes a depth-1 stream; sub-8 gray
+    // rescales to {0, 255}
+    val g1 = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until h; x <- 0 until w)
+      g1.getRaster.setSample(x, y, 0, (x * 7 + y * 3) % 2)
+    val b1 = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(g1, "png", b1))
+    assert(Png.meta(b1.toByteArray).bitDepth === 1)
+    val (_, _, ours1) = Png.decode(b1.toByteArray)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((ours1((y * w + x) * 3) & 0xff) ===
+        (if ((x * 7 + y * 3) % 2 == 1) 255 else 0), s"1-bit ($x,$y)")
+    // 4-bit palette via an IndexColorModel
+    val cmap = Array.tabulate(16)(i =>
+      (i * 17 << 16) | ((255 - i * 17) << 8) | (i * 13))
+    val icm = new java.awt.image.IndexColorModel(4, 16, cmap, 0, false, -1,
+      java.awt.image.DataBuffer.TYPE_BYTE)
+    val p4 = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY, icm)
+    for (y <- 0 until h; x <- 0 until w)
+      p4.getRaster.setSample(x, y, 0, (x + y * 5) % 16)
+    val bp4 = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(p4, "png", bp4))
+    val m4 = Png.meta(bp4.toByteArray)
+    assert(m4.bitDepth === 4 && m4.colorType === 3)
+    val (_, _, ours4) = Png.decode(bp4.toByteArray)
+    for (y <- 0 until h; x <- 0 until w) {
+      val e = cmap((x + y * 5) % 16)
+      val o = (y * w + x) * 3
+      assert((ours4(o) & 0xff) === ((e >> 16) & 0xff) &&
+        (ours4(o + 1) & 0xff) === ((e >> 8) & 0xff) &&
+        (ours4(o + 2) & 0xff) === (e & 0xff), s"4-bit palette ($x,$y)")
+    }
   }
 
   test("decodeAnyImages dispatches \\x89PNG and DROPMALFORMED skips truncated pngs") {
