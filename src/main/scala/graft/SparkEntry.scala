@@ -2304,6 +2304,29 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Multimodal: UNIFIED decodeless metadata across every container
+    // (round 17) — one dispatch over a mixed corpus of all seven
+    // formats plus an unknown-magic cohort: modality, format, dims,
+    // duration, sample rate (−1 sentinels where the modality has no
+    // such axis). Every column replays from doc_id arithmetic; each
+    // format's truncated %17 cohort drops through its own strict walk;
+    // unknown blobs SURVIVE as (unknown, unknown, −1…).
+    "m_media_meta" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      def off(df: DataFrame, o: Long) = df.select(
+        (col("media_id") + lit(o)).as("media_id"), col("bytes"))
+      val media = Multimodal.jpegMediaFromDocuments(docs)
+        .unionByName(off(Multimodal.pngMediaFromDocuments(docs), 10000000L))
+        .unionByName(off(Multimodal.mp3MediaFromDocuments(docs), 20000000L))
+        .unionByName(off(Multimodal.mp4MediaFromDocuments(docs), 30000000L))
+        .unionByName(off(Multimodal.wavMediaFromDocuments(docs), 40000000L))
+        .unionByName(off(Multimodal.y4mMediaFromDocuments(docs), 50000000L))
+        .unionByName(docs.select(
+          (col("doc_id") + lit(60000000L)).as("media_id"),
+          lit("who-knows".getBytes).as("bytes")))
+      Multimodal.mediaMetadata(media).orderBy("media_id")
+    }),
+
     // Multimodal: the PRE-DECODE metadata gate (round 17) — the
     // composition real crawl pipelines run BEFORE paying pixel cost:
     // per-blob header classification over the m_jpeg fixture plus a
@@ -5552,6 +5575,68 @@ object SparkEntry {
         |    AS palette_size,
         |  doc_id % 4 = 3 AS has_alpha
         |FROM documents WHERE doc_id % 17 <> 0 ORDER BY media_id""".stripMargin,
+
+    // Structural replay of the unified metadata pre-pass: each
+    // format's columns from its fixture arithmetic (the m_jpeg_meta /
+    // m_png_meta / m_mp3_meta / m_mp4_meta forms plus the wav/y4m
+    // closed forms), −1 sentinels on the axes a modality lacks, each
+    // truncated %17 cohort dropped by its own strict walk.
+    "m_media_meta" ->
+      """WITH docs AS (SELECT doc_id FROM documents),
+        |mp3 AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN '1' WHEN 1 THEN '2'
+        |         ELSE '2.5' END AS version,
+        |    CAST((doc_id // 3) % 3 AS INT) AS sridx,
+        |    3 + doc_id % 7 AS nf
+        |  FROM docs WHERE doc_id % 17 <> 0),
+        |mp3r AS (SELECT doc_id, nf,
+        |  CASE version
+        |    WHEN '1' THEN list_extract([44100,48000,32000], sridx + 1)
+        |    WHEN '2' THEN list_extract([22050,24000,16000], sridx + 1)
+        |    ELSE list_extract([11025,12000,8000], sridx + 1) END AS sr,
+        |  CASE WHEN version = '1' THEN 1152 ELSE 576 END AS spf
+        |  FROM mp3)
+        |SELECT * FROM (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS modality,
+        |    'jpeg' AS format, CAST(10 + doc_id % 23 AS INT) AS width,
+        |    CAST(9 + doc_id % 19 AS INT) AS height,
+        |    CAST(-1 AS BIGINT) AS duration_ms, CAST(-1 AS INT) AS sample_rate
+        |  FROM docs WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT CAST(10000000 + doc_id AS BIGINT), 'image', 'png',
+        |    CAST(8 + doc_id % 13 AS INT), CAST(6 + doc_id % 11 AS INT),
+        |    CAST(-1 AS BIGINT), CAST(-1 AS INT)
+        |  FROM docs WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT CAST(20000000 + doc_id AS BIGINT), 'audio', 'mp3',
+        |    CAST(-1 AS INT), CAST(-1 AS INT),
+        |    CAST(nf * spf * 1000 // sr AS BIGINT), CAST(sr AS INT)
+        |  FROM mp3r
+        |  UNION ALL
+        |  SELECT CAST(30000000 + doc_id AS BIGINT), 'video', 'mp4',
+        |    CAST(-1 AS INT), CAST(-1 AS INT),
+        |    CAST((1000 + doc_id % 5000) * 1000
+        |         // (600 * (1 + doc_id % 4)) AS BIGINT), CAST(-1 AS INT)
+        |  FROM docs WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT CAST(40000000 + doc_id AS BIGINT), 'audio', 'wav',
+        |    CAST(-1 AS INT), CAST(-1 AS INT),
+        |    CAST((40 + doc_id % 50) * 1000
+        |         // (8000 + (doc_id % 8) * 1000) AS BIGINT),
+        |    CAST(8000 + (doc_id % 8) * 1000 AS INT)
+        |  FROM docs
+        |  UNION ALL
+        |  SELECT CAST(50000000 + doc_id AS BIGINT), 'video', 'y4m',
+        |    CAST(4 + (doc_id % 3) * 2 AS INT),
+        |    CAST(4 + (doc_id % 2) * 2 AS INT),
+        |    CAST((2 + doc_id % 4) * 40 AS BIGINT), CAST(-1 AS INT)
+        |  FROM docs
+        |  UNION ALL
+        |  SELECT CAST(60000000 + doc_id AS BIGINT), 'unknown', 'unknown',
+        |    CAST(-1 AS INT), CAST(-1 AS INT), CAST(-1 AS BIGINT),
+        |    CAST(-1 AS INT)
+        |  FROM docs)
+        |ORDER BY media_id""".stripMargin,
 
     // Structural replay of the pre-decode gate dispositions: the
     // m_jpeg fixture keeps everything except its truncated %17 cohort;

@@ -573,6 +573,58 @@ object Multimodal {
       require(samples != null, "no data chunk")
       (sampleRate, samples)
     }
+
+    final case class Meta(sampleRate: Int, nChannels: Int,
+        bitsPerSample: Int, nSamples: Long, durationMs: Long)
+
+    /** Decodeless RIFF metadata ([[graft.ops.Jpeg.meta]]'s pattern):
+      * walk the chunk list, read `fmt `, take the `data` chunk's SIZE
+      * without touching a sample byte. Unlike [[decode]] (16-bit mono
+      * PCM only), meta REPORTS channels/bits as declared — the
+      * cost-routing signal — while still validating chunk framing, so
+      * truncation refuses loudly. */
+    def meta(bytes: Array[Byte]): Meta = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(bytes.length >= 12, "truncated wav")
+      def fourcc(): String = {
+        val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+      }
+      require(fourcc() == "RIFF", "not a RIFF stream")
+      bb.getInt
+      require(fourcc() == "WAVE", "not a WAVE form")
+      var rate = -1; var ch = -1; var bits = -1; var blockAlign = -1
+      var dataSize = -1L
+      while (bb.remaining() >= 8) {
+        val id = fourcc()
+        val size = bb.getInt
+        require(size >= 0 && size <= bb.remaining(),
+          s"bad chunk size $size for $id")
+        id match {
+          case "fmt " =>
+            require(size >= 16, s"fmt chunk too short: $size")
+            val fmtEnd = bb.position() + size
+            bb.getShort // format tag: reported structure, not decoded
+            ch = bb.getShort.toInt
+            rate = bb.getInt
+            require(rate > 0 && ch > 0, s"bad fmt ($ch ch @ $rate)")
+            bb.getInt // byte rate
+            blockAlign = bb.getShort.toInt
+            bits = bb.getShort.toInt
+            bb.position(fmtEnd + (size & 1))
+          case "data" =>
+            require(rate > 0, "data chunk before fmt")
+            dataSize = size.toLong
+            bb.position(bb.position() + size + (size & 1))
+          case _ =>
+            bb.position(bb.position() + size + (size & 1))
+        }
+      }
+      require(dataSize >= 0, "no data chunk")
+      val ba = if (blockAlign > 0) blockAlign else math.max(1, ch * bits / 8)
+      val nSamples = dataSize / ba
+      Meta(rate, ch, bits, nSamples, nSamples * 1000L / rate)
+    }
   }
 
   /** Synthesize a REAL WAV stream per document: a deterministic sawtooth
@@ -646,6 +698,53 @@ object Multimodal {
         i += frameLen
       }
       (w, h, fps, frames.result())
+    }
+
+    final case class Meta(width: Int, height: Int, fpsNum: Int,
+        fpsDen: Int, nFrames: Int, durationMs: Long)
+
+    /** Decodeless Y4M metadata: parse the textual stream header, then
+      * STEP over the frames (marker line + a seek of the known planar
+      * frame size) without reading a pixel — the frame census at I/O
+      * cost only. Truncated streams refuse loudly (a partial frame
+      * cannot be stepped over). */
+    def meta(bytes: Array[Byte]): Meta = {
+      var i = 0
+      def line(): String = {
+        val start = i
+        while (i < bytes.length && bytes(i) != '\n') i += 1
+        require(i < bytes.length, "unterminated header line")
+        i += 1
+        new String(bytes, start, i - 1 - start, "US-ASCII")
+      }
+      val tags = line().split(" ")
+      require(tags.head == "YUV4MPEG2", "not a YUV4MPEG2 stream")
+      var (w, h, num, den) = (-1, -1, -1, 1)
+      tags.tail.foreach { t =>
+        if (t.nonEmpty) t.charAt(0) match {
+          case 'W' => w = t.drop(1).toInt
+          case 'H' => h = t.drop(1).toInt
+          case 'F' =>
+            val parts = t.drop(1).split(":")
+            num = parts(0).toInt
+            if (parts.length > 1) den = parts(1).toInt
+          case 'C' => require(t.startsWith("C420"), s"unsupported chroma $t")
+          case _ =>
+        }
+      }
+      require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0, s"bad dims $w x $h")
+      require(num > 0 && den > 0, s"bad frame rate $num:$den")
+      val frameLen = w * h + 2 * (w / 2) * (h / 2)
+      var n = 0
+      while (i < bytes.length) {
+        val marker = line()
+        require(marker == "FRAME" || marker.startsWith("FRAME "),
+          s"bad frame marker '$marker'")
+        require(bytes.length - i >= frameLen, "truncated frame")
+        i += frameLen // seek, never read
+        n += 1
+      }
+      Meta(w, h, num, den, n, n.toLong * 1000L * den / num)
     }
   }
 
@@ -952,6 +1051,81 @@ object Multimodal {
           case e: Exception if skipMalformed => Iterator.empty
           case e: Exception => throw new RuntimeException(
             s"malformed mp4 for media_id ${m.media_id}", e)
+        }
+      }
+    }.toDF()
+  }
+
+  final case class MediaMetaRow(media_id: Long, modality: String,
+      format: String, width: Int, height: Int, duration_ms: Long,
+      sample_rate: Int)
+
+  /** UNIFIED decodeless metadata across every supported container —
+    * the crawl's universal pre-pass (round 17): one magic-byte
+    * dispatch per blob into the format's header walker
+    * ([[graft.ops.Jpeg.meta]] / [[graft.ops.Png.meta]] /
+    * [[graft.ops.Mp3.meta]] / [[graft.ops.Mp4.meta]] / [[Wav.meta]] /
+    * [[Y4m.meta]]; the uncompressed P6/QOI tier validates via its
+    * trivial decode), one row per blob with the cross-modality
+    * filter/group columns: modality, format, dimensions, duration,
+    * sample rate (−1 where the modality has no such axis — sentinels
+    * instead of NULLs so downstream grouping and the oracle compare
+    * stay total-order clean). Blobs with an UNKNOWN magic survive as
+    * (unknown, unknown, −1…) — the routing-parity discipline: a
+    * pre-pass must never silently drop what it cannot read, only a
+    * failed STRUCTURAL walk drops (under `skipMalformed`, like every
+    * decode path). Header cost per blob for every compressed format. */
+  def mediaMetadata(media: DataFrame, skipMalformed: Boolean = true): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[ImageRow].mapPartitions { it =>
+      it.flatMap { m =>
+        val b = m.bytes
+        try {
+          val row =
+            if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+              val md = Jpeg.meta(b)
+              MediaMetaRow(m.media_id, "image", "jpeg", md.width, md.height,
+                -1L, -1)
+            } else if (Png.isPng(b)) {
+              val md = Png.meta(b)
+              MediaMetaRow(m.media_id, "image", "png", md.width, md.height,
+                -1L, -1)
+            } else if (b.length >= 2 && b(0) == 'P' && b(1) == '6') {
+              val (w, h, _) = Ppm.decode(b)
+              MediaMetaRow(m.media_id, "image", "ppm", w, h, -1L, -1)
+            } else if (b.length >= 4 && b(0) == 'q' && b(1) == 'o' &&
+                b(2) == 'i' && b(3) == 'f') {
+              val (w, h, _) = Qoi.decode(b)
+              MediaMetaRow(m.media_id, "image", "qoi", w, h, -1L, -1)
+            } else if (b.length >= 3 && b(0) == 'I' && b(1) == 'D' &&
+                b(2) == '3' ||
+                b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0) {
+              val md = Mp3.meta(b)
+              MediaMetaRow(m.media_id, "audio", "mp3", -1, -1,
+                md.durationMs, md.sampleRate)
+            } else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' &&
+                b(2) == 'F' && b(3) == 'F') {
+              val md = Wav.meta(b)
+              MediaMetaRow(m.media_id, "audio", "wav", -1, -1,
+                md.durationMs, md.sampleRate)
+            } else if (b.length >= 8 && b(4) == 'f' && b(5) == 't' &&
+                b(6) == 'y' && b(7) == 'p') {
+              val md = Mp4.meta(b)
+              MediaMetaRow(m.media_id, "video", "mp4", -1, -1,
+                md.durationMs, -1)
+            } else if (b.length >= 9 &&
+                new String(b, 0, 9, "US-ASCII") == "YUV4MPEG2") {
+              val md = Y4m.meta(b)
+              MediaMetaRow(m.media_id, "video", "y4m", md.width, md.height,
+                md.durationMs, -1)
+            } else MediaMetaRow(m.media_id, "unknown", "unknown",
+              -1, -1, -1L, -1)
+          Iterator.single(row)
+        } catch {
+          case e: Exception if skipMalformed => Iterator.empty
+          case e: Exception => throw new RuntimeException(
+            s"malformed media for media_id ${m.media_id}", e)
         }
       }
     }.toDF()

@@ -83,6 +83,37 @@ class ContainerMetaSpec extends SparkSpec {
     assert(Mp4.meta(large).hasMdat)
   }
 
+  test("wav/y4m decodeless meta: declared structure reported, truncation refused, frames stepped not read") {
+    val wav = Multimodal.Wav.encode(16000, Array.tabulate(800)(_.toShort))
+    val wm = Multimodal.Wav.meta(wav)
+    assert(wm === Multimodal.Wav.Meta(16000, 1, 16, 800, 50))
+    intercept[IllegalArgumentException](
+      Multimodal.Wav.meta(java.util.Arrays.copyOfRange(wav, 0, 30)))
+    // meta REPORTS what decode refuses (stereo/24-bit) — cost routing
+    val stereo = wav.clone()
+    stereo(22) = 2 // nChannels in the canonical fmt layout
+    assert(Multimodal.Wav.meta(stereo).nChannels === 2)
+    intercept[IllegalArgumentException](Multimodal.Wav.decode(stereo))
+    val frames = (0 until 5).map(_ => new Array[Byte](6 * 4 * 3 / 2))
+    val y4m = Multimodal.Y4m.encode(6, 4, 25, frames)
+    val ym = Multimodal.Y4m.meta(y4m)
+    assert(ym === Multimodal.Y4m.Meta(6, 4, 25, 1, 5, 200))
+    intercept[IllegalArgumentException](
+      Multimodal.Y4m.meta(java.util.Arrays.copyOfRange(y4m, 0, y4m.length - 3)))
+    // the unified dispatcher: one row per blob, -1 sentinels, unknown
+    // survives
+    val rows = Multimodal.mediaMetadata(Seq(
+        (1L, wav), (2L, y4m), (3L, "???".getBytes),
+        (4L, java.util.Arrays.copyOfRange(wav, 0, 30)))
+      .toDF("media_id", "bytes")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2),
+        r.getInt(3), r.getInt(4), r.getLong(5), r.getInt(6))).toMap
+    assert(rows(1L) === (("audio", "wav", -1, -1, 50L, 16000)))
+    assert(rows(2L) === (("video", "y4m", 6, 4, 200L, -1)))
+    assert(rows(3L) === (("unknown", "unknown", -1, -1, -1L, -1)))
+    assert(!rows.contains(4L)) // truncated: dropped, not misreported
+  }
+
   test("classifyMedia routes MP3 (ID3 + bare sync) to audio and ftyp to video; exact dedup survives") {
     val docs = (0L until 8L).toDF("doc_id")
     val mp3Tagged = Mp3.encodeFrames(3, 1, _ => 9, 0, 2, id3v2PayloadLen = 10)
