@@ -18,12 +18,20 @@ import org.apache.spark.sql.types._
   *    baseline AND progressive JPEG — the format crawl corpora are
   *    dominated by — from the public ITU-T T.81 spec, zero external
   *    codecs.
-  * MP3/H.264 remain out of scope for this container (no codec
-  * libraries); in a PySpark deployment the same mapPartitions row
-  * contract becomes a Pandas UDF over mapInPandas, in Scala a JNI codec
-  * opened once per partition — the Spark-side plumbing (schema, batch
-  * shape, partitioning, operator signatures) is identical to what
-  * [[Qoi]]/[[Jpeg]] exercise for real.
+  *  - LOSSLESS-COMPRESSED: [[decodePngImages]] ([[Png]], round 17)
+  *    decodes the other top-2 crawl format across its full fixed
+  *    profile (every bit depth, every colour type, Adam7) — DEFLATE
+  *    from the JDK, everything else from the public spec.
+  * MP3/H.264 PIXEL/SAMPLE decode remains out of scope for this
+  * container (no codec libraries) — but their METADATA does not:
+  * [[graft.ops.Mp3.meta]]/[[graft.ops.Mp4.meta]] walk the public
+  * frame-header/box structure at header cost (the crawl filter/group
+  * pass), and [[mediaMetadata]] unifies that pre-pass across every
+  * container. For sample decode, in a PySpark deployment the same
+  * mapPartitions row contract becomes a Pandas UDF over mapInPandas,
+  * in Scala a JNI codec opened once per partition — the Spark-side
+  * plumbing (schema, batch shape, partitioning, operator signatures)
+  * is identical to what [[Qoi]]/[[Jpeg]]/[[Png]] exercise for real.
   */
 object Multimodal {
 
