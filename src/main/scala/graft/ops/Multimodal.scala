@@ -2065,11 +2065,13 @@ object Multimodal {
 
     // image: decode once — flats route to exact blob dedup within the
     // batch; every thumb (flat or not) probes the frozen index. The
-    // within-batch pairing hashes with the INDEX's frozen family so one
-    // result frame never mixes two similarity definitions.
+    // within-batch pairing hashes with the INDEX's frozen family AND
+    // orientation convention (both derive from the index metadata) so
+    // one result frame never mixes two similarity definitions.
     val img = cohort("image")
     val imgDec = withImageQualitySignals(
-      decodeAnyImages(img, thumbSide), flatEps = flatEps)
+      decodeAnyImages(img, thumbSide,
+        autoOrient = indexIsOriented(imageIndex)), flatEps = flatEps)
       .select(col("media_id"), col("thumb"), col("is_flat"))
       .localCheckpoint()
     val imgWithin = routedImageDedupDecoded(img, imgDec, maxHamming,
@@ -2538,8 +2540,14 @@ object Multimodal {
       maxHamming: Int = 3, maxBucketDf: Int = 1000,
       thumbSide: Int = 8): DataFrame = {
     // decode the new batch ONCE: both the within-batch pairing and the
-    // against-index join read the checkpoint
-    val dec = decodeAnyImages(newMedia, thumbSide)
+    // against-index join read the checkpoint. BOTH frozen conventions
+    // — hash family and EXIF orientation — derive from the index, so
+    // the within-batch pairs use the same similarity definition as the
+    // corpus matches and a rotated re-save matches an oriented corpus
+    // seamlessly (the imageNearDupAgainstIndex contract; an explicitly
+    // pre-decoded mismatched probe still fails loud downstream)
+    val dec = decodeAnyImages(newMedia, thumbSide,
+        autoOrient = indexIsOriented(index))
       .select(col("media_id"), col("thumb")).localCheckpoint()
     val within = imageNearDupPairs(dec, maxHamming,
         ahash = indexHashIsAhash(index), maxBucketDf = maxBucketDf)

@@ -437,13 +437,20 @@ class JpegSpec extends SparkSpec {
       Multimodal.decodeAnyImages(corpus, thumbSide = 8))
     assert(!Multimodal.indexIsOriented(rawIdx))
     assert(Multimodal.imageNearDupAgainstIndex(batch, rawIdx).isEmpty)
-    // an already-decoded probe with the WRONG convention fails loud
-    // instead of silently missing every rotated re-save
-    val rawDec = Multimodal.decodeAnyImages(batch, thumbSide = 8)
-    val e = intercept[IllegalArgumentException](
-      Multimodal.incrementalImageNearDup(batch, orientedIdx).collect())
-    assert(e.getMessage.contains("orientation convention"))
-    assert(rawDec.count() === 4) // and the raw decode itself is fine
+    // the incremental path derives BOTH conventions from the index
+    // too: the rotated batch matches the oriented corpus seamlessly —
+    // no knob to thread, no way to cross the conventions
+    val incr = Multimodal.incrementalImageNearDup(batch, orientedIdx)
+      .filter(col("side") === "corpus")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr === (0L until 4L).map(g => (g * 4, g * 4 + 1)).toSet)
+    // and the thumb metadata the derivation rides round-trips a select
+    val dec = Multimodal.decodeAnyImages(batch, thumbSide = 8,
+      autoOrient = true).select("media_id", "thumb")
+    assert(Multimodal.thumbsAreOriented(dec))
+    assert(!Multimodal.thumbsAreOriented(
+      Multimodal.decodeAnyImages(batch, thumbSide = 8)))
   }
 
   test("decodeAnyImages dispatches FFD8 and DROPMALFORMED skips truncated jpegs") {
