@@ -2286,6 +2286,31 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Multimodal: the orientation convention FROZEN INTO an index and
+    // derived by the probe (round 17) — the m_orient_dedup contract on
+    // the against-index path every streaming/incremental twin shares:
+    // the corpus (untagged bases) freezes into an ORIENTED signature
+    // index; the probe batch carries the rotated members, and
+    // imageNearDupAgainstIndex derives autoOrient from the index
+    // metadata with nothing threaded. The tag-8 member matches its
+    // base at hamming 0; the untagged rotated control matches NOTHING
+    // (recall comes from the tag, not hash invariance).
+    "m_orient_index" -> ((s, dir) => {
+      val media = Multimodal.orientDedupMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet")).localCheckpoint()
+      val index = Multimodal.imageSignatureIndex(
+        Multimodal.decodeAnyImages(
+          media.filter(col("media_id") % 4 === 0), thumbSide = 8,
+          autoOrient = true)).localCheckpoint()
+      Multimodal.imageNearDupAgainstIndex(
+          media.filter(col("media_id") % 4 === 1 ||
+            col("media_id") % 4 === 2), index)
+        .select(col("media_id"), col("match_id"),
+          col("hamming").cast("long").as("hamming"),
+          col("n_diff_ch").cast("long").as("n_diff_ch"))
+        .orderBy("media_id")
+    }),
+
     // Multimodal: structural PNG metadata WITHOUT inflating (round
     // 17) — the decodeless chunk walk over the same planted streams as
     // m_png: geometry, bit depth, colour type, interlace, palette
@@ -5557,6 +5582,19 @@ object SparkEntry {
         |FROM d a JOIN d b ON a.gid = b.gid AND a.doc_id < b.doc_id
         | WHERE a.m = 0 AND b.m = 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Exact replay of the oriented-index probe: only the tag-8 member
+    // matches (its base, hamming 0, identical thumb); the untagged
+    // rotated control and the tagged independent match nothing.
+    "m_orient_index" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |           FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |       CAST(gid * 4 AS BIGINT) AS match_id,
+        |       CAST(0 AS BIGINT) AS hamming,
+        |       CAST(0 AS BIGINT) AS n_diff_ch
+        |FROM d WHERE m = 1
+        |ORDER BY media_id""".stripMargin,
 
     // Structural replay of the decodeless PNG chunk walk: geometry and
     // colour type from doc_id arithmetic (ct 0→gray 0, 1→truecolour 2,
