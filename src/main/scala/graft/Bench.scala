@@ -156,9 +156,13 @@ object Bench {
       // only be exceeded by a query whose isolated runs are slower than
       // its sweep — bounded, and then the row was a true regression
       // worth the overrun. A no-prior first-time row uses the same
-      // estimate.
-      if (adjSpent + 3 * (if (sweepMin.isFinite) sweepMin else 0.0)
-          <= adjBudgetSec) {
+      // estimate. The FIRST suspect always runs (suspects are sorted
+      // worst-ratio-first): without the floor, one query whose sweep
+      // alone exceeds budget/3 could never be adjudicated in any round
+      // — the exact phantom blind spot this stage exists to close.
+      if (adjudicatedBuf.isEmpty ||
+          adjSpent + 3 * (if (sweepMin.isFinite) sweepMin else 0.0)
+            <= adjBudgetSec) {
         val t0 = System.nanoTime()
         spark.catalog.clearCache(); System.gc(); Thread.sleep(100)
         val iso = (1 to 3).map(_ => timeOnce(name, SparkEntry.queries(name))).min
@@ -168,8 +172,9 @@ object Bench {
     }
     if (unadjudicated.nonEmpty)
       System.err.println(s"[bench] adjudication budget ($adjBudgetSec s) " +
-        s"exhausted after ${adjudicatedBuf.size} suspects; " +
-        s"${unadjudicated.size} NOT re-measured: " +
+        s"left no headroom after ${adjudicatedBuf.size} suspects " +
+        f"($adjSpent%.1f s spent; remaining estimated at 3x their sweep " +
+        s"time); ${unadjudicated.size} NOT re-measured: " +
         unadjudicated.mkString(", "))
     val adjudicated: Seq[(String, (Double, Double))] = adjudicatedBuf.toSeq
     val adjMap = adjudicated.toMap

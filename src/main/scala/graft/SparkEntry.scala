@@ -2356,7 +2356,7 @@ object SparkEntry {
     // composition real crawl pipelines run BEFORE paying pixel cost:
     // per-blob header classification over the m_jpeg fixture plus a
     // planted junk cohort (real tiny JPEG / SOF-patched 4000×3000
-    // decode bomb / truncated stream / interlace-flagged PNG). Every
+    // decode bomb / truncated stream / CgBI-critical PNG). Every
     // disposition replays from doc_id arithmetic.
     "m_meta_gate" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")

@@ -69,10 +69,18 @@ object Mp4 {
     val mvhds = moov.filter(_.typ == "mvhd")
     if (mvhds.length != 1) fail(s"${mvhds.length} mvhd boxes (need exactly 1)")
     val mv = mvhds.head
+    // every field read is bounded by the BOX end, not just the file
+    // end — a short mvhd whose siblings still chain to EOF must fail
+    // loudly, never read the next box's bytes as timescale/duration
+    if (mv.end - mv.start < 4) fail("mvhd too short")
     val mvVer = bytes(mv.start) & 0xff
     val (timescale, durationUnits) = mvVer match {
-      case 0 => (u32(mv.start + 12), u32(mv.start + 16))
-      case 1 => (u32(mv.start + 20), u64(mv.start + 24))
+      case 0 =>
+        if (mv.end - mv.start < 20) fail("mvhd v0 too short")
+        (u32(mv.start + 12), u32(mv.start + 16))
+      case 1 =>
+        if (mv.end - mv.start < 32) fail("mvhd v1 too short")
+        (u32(mv.start + 20), u64(mv.start + 24))
       case v => fail(s"unknown mvhd version $v")
     }
     if (timescale <= 0) fail("zero movie timescale")

@@ -35,6 +35,18 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** splitmix64 finalizer (the public SplitMix64 constants) — ONE
+    * definition shared by the audio fingerprint's word salt and every
+    * planted fixture family's pattern seeder: a constant tweak must
+    * never make the production hash and the fixtures silently
+    * diverge, nor two fixture families collide. */
+  private[graft] def splitmix64(v: Long): Long = {
+    var z = v + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   // ---- real decode tier 2: QOI (compressed) ----
 
   /** Minimal QOI codec (the "Quite OK Image" format, public spec at
@@ -1150,9 +1162,11 @@ object Multimodal {
     *  - `dropped_huge`: more than `maxPixels` declared pixels (decode
     *    cost bombs — a patched header can declare any dimensions; the
     *    gate refuses to pay pixels to find out)
-    *  - `dropped_unsupported`: a profile the decoder would refuse
-    *    (interlaced / 16-bit PNG) — known BEFORE decode, which is the
-    *    cost-routing signal [[Png.meta]] reports them for
+    *  - `dropped_unsupported`: a stream the decoder would refuse for
+    *    structural reasons a header walk can see — an unknown CRITICAL
+    *    chunk (the Apple CgBI shape; [[Png.meta]]'s `unknownCritical`
+    *    flag) — known BEFORE decode, which is the cost-routing signal
+    *    the decodeless walk exists for
     *  - `kept`: everything else, including non-JPEG/PNG magics (the
     *    cheap formats have no header walker and decode directly; their
     *    malformed blobs still drop at decode under DROPMALFORMED).
@@ -1222,9 +1236,11 @@ object Multimodal {
     * (dropped_tiny at minSide 8), 1 → a real JPEG whose SOF declares
     * 4000×3000 (a decode-cost bomb: header-patched dims, CRC-free
     * format makes it structurally valid — dropped_huge at maxPixels
-    * 10⁶), 2 → a truncated JPEG (dropped_malformed), 3 → an
-    * interlace-flagged PNG with a re-computed IHDR CRC
-    * (dropped_unsupported). */
+    * 10⁶), 2 → a truncated JPEG (dropped_malformed), 3 → a PNG
+    * carrying a CgBI-shaped unknown CRITICAL chunk — the Apple
+    * proprietary variant standard decoders refuse (dropped_unsupported;
+    * interlace/16-bit DECODE since the r17 second pass and no longer
+    * gate). */
   def junkImageMediaFromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -2232,12 +2248,7 @@ object Multimodal {
       words
     }
 
-    private def mix(v: Long): Long = {
-      var z = v + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
+    private def mix(v: Long): Long = splitmix64(v)
 
     /** SimHash over the frame words: position-salted so word ORDER
       * matters (the same multiset in a different order is different
@@ -2670,12 +2681,7 @@ object Multimodal {
     docs.select(col("doc_id")).as[Long].map { id =>
       val gid = id / 4
       val m = (id % 4).toInt
-      def mix(v: Long): Long = {
-        var z = v + 0x9e3779b97f4a7c15L
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        z ^ (z >>> 31)
-      }
+      def mix(v: Long): Long = splitmix64(v)
       val seed = if (m == 3) gid * 7919L + 104729L else gid
       val n = 1024 + (gid % 4).toInt * 256
       val amp = if (m == 2) 2 else 1
@@ -3098,12 +3104,7 @@ object Multimodal {
     * frames, nf = 3 + gid%3, member semantics per
     * [[dedupVideoMediaFromDocuments]]. */
   private def videoFixtureFrames(gid: Long, m: Int): Seq[Array[Byte]] = {
-    def mix(v: Long): Long = {
-      var z = v + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
+    def mix(v: Long): Long = splitmix64(v)
     val seed = if (m == 3) gid * 7919L + 104729L else gid
     val w = 8; val h = 8
     val nf = 3 + (gid % 3).toInt
@@ -3214,12 +3215,7 @@ object Multimodal {
     docs.select(col("doc_id")).as[Long].map { id =>
       val gid = id / 4
       val m = (id % 4).toInt
-      def mix(v: Long): Long = {
-        var z = v + 0x9e3779b97f4a7c15L
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        z ^ (z >>> 31)
-      }
+      def mix(v: Long): Long = splitmix64(v)
       val pattern = if (m == 3) mix(gid * 7919L + 104729L) else mix(gid)
       val flip = if (m == 2) ((mix(gid * 31L + 7L) >>> 8) & 63L).toInt else -1
       val rgb = new Array[Byte](8 * 8 * 3)
@@ -3257,12 +3253,7 @@ object Multimodal {
     docs.select(col("doc_id")).as[Long].map { id =>
       val gid = id / 4
       val m = (id % 4).toInt
-      def mix(v: Long): Long = {
-        var z = v + 0x9e3779b97f4a7c15L
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        z ^ (z >>> 31)
-      }
+      def mix(v: Long): Long = splitmix64(v)
       val pattern = if (m == 3) mix(gid * 7919L + 104729L) else mix(gid)
       val flip = if (m == 2) ((mix(gid * 31L + 7L) >>> 8) & 63L).toInt else -1
       val yp = new Array[Byte](64 * 64)
@@ -3296,12 +3287,7 @@ object Multimodal {
     docs.select(col("doc_id")).as[Long].map { id =>
       val gid = id / 4
       val m = (id % 4).toInt
-      def mix(v: Long): Long = {
-        var z = v + 0x9e3779b97f4a7c15L
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        z ^ (z >>> 31)
-      }
+      def mix(v: Long): Long = splitmix64(v)
       val pattern = mix(
         (if (m == 3) mix(gid * 7919L + 104729L) else mix(gid)) +
           0x51f7a1d2e3c4b5a6L)
@@ -3339,12 +3325,7 @@ object Multimodal {
     docs.select(col("doc_id")).as[Long].map { id =>
       val gid = id / 4
       val m = (id % 4).toInt
-      def mix(v: Long): Long = {
-        var z = v + 0x9e3779b97f4a7c15L
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        z ^ (z >>> 31)
-      }
+      def mix(v: Long): Long = splitmix64(v)
       val pattern =
         if (m == 3) mix(gid * 2654435761L + 374761393L)
         else mix(gid * 2246822519L + 3266489917L)
@@ -3389,12 +3370,7 @@ object Multimodal {
     docs.select(col("doc_id")).as[Long].map { id =>
       val gid = id / 4
       val m = (id % 4).toInt
-      def mix(v: Long): Long = {
-        var z = v + 0x9e3779b97f4a7c15L
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        z ^ (z >>> 31)
-      }
+      def mix(v: Long): Long = splitmix64(v)
       val pattern = if (m == 3) mix(gid * 7919L + 104729L) else mix(gid)
       val (lo, hi) =
         if (m == 0) (100.toByte, 130.toByte) else (0.toByte, 255.toByte)

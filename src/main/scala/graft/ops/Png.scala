@@ -83,8 +83,12 @@ object Png {
       if (!typ.forall(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')))
         fail(s"invalid chunk type at $pos")
       val dataStart = pos + 8
+      // Long arithmetic: dataStart + len can wrap Int for a crafted
+      // ~2 GiB length, turning the truncation guard into an
+      // ArrayIndexOutOfBounds inside the CRC update
+      if (dataStart.toLong + len + 4 > bytes.length)
+        fail(s"truncated $typ chunk")
       val dataEnd = dataStart + len
-      if (dataEnd + 4 > bytes.length) fail(s"truncated $typ chunk")
       crc.reset()
       crc.update(bytes, pos + 4, 4 + len)
       val want = ((bytes(dataEnd) & 0xff).toLong << 24) |
@@ -114,7 +118,11 @@ object Png {
       (bytes(o + 3) & 0xff)
     val w = u32(c.start); val h = u32(c.start + 4)
     if (w <= 0 || h <= 0) fail(s"bad dimensions $w x $h")
-    if (w * h * 3 >= Int.MaxValue) fail(s"image too large $w x $h")
+    // bound each axis BEFORE multiplying: u32 × u32 × 3 overflows Long
+    // for crafted headers (w = h = 0xFFFFFFFF would wrap PAST the
+    // guard and publish negative dims as successful metadata)
+    if (w > Int.MaxValue.toLong || h > Int.MaxValue.toLong ||
+        w * h >= Int.MaxValue / 3) fail(s"image too large $w x $h")
     val bitDepth = bytes(c.start + 8) & 0xff
     val colorType = bytes(c.start + 9) & 0xff
     channelsOf(colorType) // validates the type
@@ -191,13 +199,19 @@ object Png {
       (if (ihdr.w > x0) (ihdr.w - x0 + dx - 1) / dx else 0,
         if (ihdr.h > y0) (ihdr.h - y0 + dy - 1) / dy else 0)
     }
-    def rowBytesOf(wp: Int): Int = (wp * ch * depth + 7) / 8
+    // row/total sizes in LONG: the IHDR guard bounds w·h·3 below 2³¹,
+    // but a 16-bit RGBA filtered stream is up to 8/3× the output
+    // raster and wp·ch·depth alone can overflow Int at legal dims
+    def rowBytesOf(wp: Int): Long = (wp.toLong * ch * depth + 7) / 8
     // inflate to EXACTLY the summed filtered-pass size — anything
     // shorter is a truncated raster, anything longer a desynced stream
-    val expected = passes.map { p =>
+    val expectedL = passes.map { p =>
       val (wp, hp) = passDims(p)
-      if (wp == 0 || hp == 0) 0 else hp * (1 + rowBytesOf(wp))
+      if (wp == 0 || hp == 0) 0L else hp * (1 + rowBytesOf(wp))
     }.sum
+    if (expectedL >= Int.MaxValue)
+      fail(s"filtered stream too large (${expectedL} bytes)")
+    val expected = expectedL.toInt
     val raw = new Array[Byte](expected)
     val inf = new java.util.zip.Inflater()
     try {
@@ -229,7 +243,7 @@ object Png {
       val (x0, y0, dx, dy) = pass
       val (wp, hp) = passDims(pass)
       if (wp > 0 && hp > 0) {
-        val rb = rowBytesOf(wp)
+        val rb = rowBytesOf(wp).toInt // bounded by the expected check
         var j = 0
         while (j < hp) {
           val base = passBase + j * (1 + rb) + 1

@@ -1111,9 +1111,19 @@ object Scale4x {
         spark.sparkContext.addSparkListener(listener)
         try {
           val w = time(f)
+          // listener events drain asynchronously: wait until the count
+          // STABILIZES (1 s without change), not just until the first
+          // event — a fixed post-first-event sleep undercounts when a
+          // loaded host delivers late stage completions, and this
+          // column is the ladder's central claim
+          var last = -1L
+          var stableFor = 0
           var waited = 0
-          while (waited < 50 && seen.get() == 0) { Thread.sleep(100); waited += 1 }
-          Thread.sleep(500) // drain stragglers
+          while (waited < 300 && stableFor < 10) {
+            Thread.sleep(100); waited += 1
+            val v = seen.get()
+            if (v == last) stableFor += 1 else { stableFor = 0; last = v }
+          }
           (w, seen.get())
         } finally spark.sparkContext.removeSparkListener(listener)
       }

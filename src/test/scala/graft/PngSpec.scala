@@ -7,11 +7,11 @@ import org.apache.spark.sql.functions._
 import graft.ops.{Multimodal, Png}
 
 /** The from-spec PNG codec (round 17): exact round-trips across every
-  * supported colour type and all five scanline filters, interop against
-  * the JDK's independent codec (javax.imageio) in BOTH directions —
-  * exact, PNG is lossless — CRC/truncation refusal, loud refusal of
-  * interlace/16-bit, decodeless meta, and the decodeAnyImages /
-  * classifyMedia `\x89PNG` dispatch. */
+  * colour type, every bit depth, all five scanline filters, and Adam7
+  * interlace; interop against the JDK's independent codec
+  * (javax.imageio) in BOTH directions — exact, PNG is lossless —
+  * CRC/truncation/critical-chunk refusal, decodeless meta, and the
+  * decodeAnyImages / classifyMedia `\x89PNG` dispatch. */
 class PngSpec extends SparkSpec {
   import spark.implicits._
 
