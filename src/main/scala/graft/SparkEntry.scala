@@ -2329,6 +2329,43 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Multimodal: REAL GIF decode (round 17, from the public
+    // GIF87a/89a spec) — full LZW, interlace, animation compositing,
+    // transparency, all planted as doc_id%4 variants; the gate decodes
+    // the composited FIRST frame so every variant shares one analytic
+    // palette-lookup mean oracle (lossless format, exact replay). The
+    // truncated %17 cohort refuses (the walk cannot reach the
+    // trailer).
+    "m_gif" -> ((s, dir) => {
+      val imgs = Multimodal.gifMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet"))
+      Multimodal.decodeAnyImages(imgs, thumbSide = 2)
+        .select(col("media_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy("media_id")
+    }),
+
+    // Multimodal: decodeless GIF metadata (round 17) — the block walk
+    // skips LZW sub-blocks by length prefix: frame census, animation /
+    // transparency flags, interlace, total duration at I/O cost. Every
+    // column replays from the doc_id%4 variant arithmetic.
+    "m_gif_meta" -> ((s, dir) => {
+      Multimodal.gifMetadata(Multimodal.gifMediaFromDocuments(
+          s.read.parquet(s"$dir/documents.parquet")))
+        .orderBy("media_id")
+    }),
+
+    // Multimodal: decodeless WebP metadata (round 17) — the RIFF walk
+    // over real VP8 /VP8L/VP8X container headers (pixel decode is out
+    // of scope by design; the walker is the crawl filter/group pass).
+    // Every column replays from doc_id arithmetic; the truncated %17
+    // cohort refuses via the RIFF length census.
+    "m_webp_meta" -> ((s, dir) => {
+      Multimodal.webpMetadata(Multimodal.webpMediaFromDocuments(
+          s.read.parquet(s"$dir/documents.parquet")))
+        .orderBy("media_id")
+    }),
+
     // Multimodal: UNIFIED decodeless metadata across every container
     // (round 17) — one dispatch over a mixed corpus of all seven
     // formats plus an unknown-magic cohort: modality, format, dims,
@@ -2349,6 +2386,8 @@ object SparkEntry {
         .unionByName(docs.select(
           (col("doc_id") + lit(60000000L)).as("media_id"),
           lit("who-knows".getBytes).as("bytes")))
+        .unionByName(off(Multimodal.gifMediaFromDocuments(docs), 70000000L))
+        .unionByName(off(Multimodal.webpMediaFromDocuments(docs), 80000000L))
       Multimodal.mediaMetadata(media).orderBy("media_id")
     }),
 
@@ -5614,6 +5653,62 @@ object SparkEntry {
         |  doc_id % 4 = 3 AS has_alpha
         |FROM documents WHERE doc_id % 17 <> 0 ORDER BY media_id""".stripMargin,
 
+    // Analytic replay of the GIF decode: lossless palette lookup, so
+    // each channel mean is pure modular arithmetic (palette channel
+    // formulas composed with the index raster formula). All four
+    // variants (plain/interlaced/animated/transparent) share the same
+    // FIRST-frame pixels by construction.
+    "m_gif" ->
+      """WITH m AS (SELECT doc_id, 6 + doc_id % 9 AS w, 5 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id % 17 <> 0),
+        |s AS (SELECT doc_id, w, h,
+        |  list_sum(list_transform(range(0, w * h), p ->
+        |    (doc_id*5 + ((p*3 + doc_id) % 16) * 11) % 256)) AS sr,
+        |  list_sum(list_transform(range(0, w * h), p ->
+        |    (doc_id*7 + ((p*3 + doc_id) % 16) * 23) % 256)) AS sg,
+        |  list_sum(list_transform(range(0, w * h), p ->
+        |    (doc_id*11 + ((p*3 + doc_id) % 16) * 31) % 256)) AS sb
+        |  FROM m)
+        |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height,
+        |  CAST(sr AS DOUBLE) / (w * h) AS mean_r,
+        |  CAST(sg AS DOUBLE) / (w * h) AS mean_g,
+        |  CAST(sb AS DOUBLE) / (w * h) AS mean_b
+        |FROM s ORDER BY media_id""".stripMargin,
+
+    // Structural replay of the decodeless GIF block walk: every column
+    // from the doc_id%4 variant arithmetic; the truncated cohort drops
+    // because the walk must reach the trailer.
+    "m_gif_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(6 + doc_id % 9 AS INT) AS width,
+        |  CAST(5 + doc_id % 7 AS INT) AS height,
+        |  CASE WHEN doc_id % 4 >= 2 THEN '89a' ELSE '87a' END AS version,
+        |  CAST(CASE WHEN doc_id % 4 = 2 THEN 2 ELSE 1 END AS INT)
+        |    AS n_frames,
+        |  doc_id % 4 = 2 AS animated,
+        |  doc_id % 4 = 3 AS has_transparency,
+        |  CAST(16 AS INT) AS gct_size,
+        |  doc_id % 4 = 1 AS interlaced,
+        |  CAST(CASE WHEN doc_id % 4 = 2 THEN 5 + doc_id % 5 + doc_id % 7
+        |       ELSE 0 END AS INT) AS total_delay_cs
+        |FROM documents WHERE doc_id % 17 <> 0 ORDER BY media_id""".stripMargin,
+
+    // Structural replay of the WebP container walk: format by doc_id%3,
+    // the lossless alpha-hint cohort, the animated ANMF census; the
+    // truncated cohort drops via the RIFF length check.
+    "m_webp_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(16 + doc_id % 200 AS INT) AS width,
+        |  CAST(14 + doc_id % 150 AS INT) AS height,
+        |  CASE doc_id % 3 WHEN 0 THEN 'lossy' WHEN 1 THEN 'lossless'
+        |       ELSE 'extended' END AS format,
+        |  doc_id % 3 = 1 AND doc_id % 2 = 0 AS has_alpha,
+        |  doc_id % 3 = 2 AND doc_id % 5 = 0 AS animated,
+        |  CAST(CASE WHEN doc_id % 3 = 2 AND doc_id % 5 = 0
+        |       THEN 1 + doc_id % 4 ELSE 1 END AS INT) AS n_frames
+        |FROM documents WHERE doc_id % 17 <> 0 ORDER BY media_id""".stripMargin,
+
     // Structural replay of the unified metadata pre-pass: each
     // format's columns from its fixture arithmetic (the m_jpeg_meta /
     // m_png_meta / m_mp3_meta / m_mp4_meta forms plus the wav/y4m
@@ -5673,7 +5768,19 @@ object SparkEntry {
         |  SELECT CAST(60000000 + doc_id AS BIGINT), 'unknown', 'unknown',
         |    CAST(-1 AS INT), CAST(-1 AS INT), CAST(-1 AS BIGINT),
         |    CAST(-1 AS INT)
-        |  FROM docs)
+        |  FROM docs
+        |  UNION ALL
+        |  SELECT CAST(70000000 + doc_id AS BIGINT), 'image', 'gif',
+        |    CAST(6 + doc_id % 9 AS INT), CAST(5 + doc_id % 7 AS INT),
+        |    CAST(CASE WHEN doc_id % 4 = 2
+        |         THEN (5 + doc_id % 5 + doc_id % 7) * 10
+        |         ELSE 0 END AS BIGINT), CAST(-1 AS INT)
+        |  FROM docs WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT CAST(80000000 + doc_id AS BIGINT), 'image', 'webp',
+        |    CAST(16 + doc_id % 200 AS INT), CAST(14 + doc_id % 150 AS INT),
+        |    CAST(-1 AS BIGINT), CAST(-1 AS INT)
+        |  FROM docs WHERE doc_id % 17 <> 0)
         |ORDER BY media_id""".stripMargin,
 
     // Structural replay of the pre-decode gate dispositions: the

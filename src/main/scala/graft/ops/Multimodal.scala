@@ -457,6 +457,75 @@ object Multimodal {
     }.toDF("media_id", "bytes")
   }
 
+  /** Planted GIF fixture for the m_gif gates (round 17): a 16-colour
+    * palette and index raster both pure doc_id arithmetic, variants by
+    * doc_id%4 — plain / INTERLACED (the four-pass row order on the
+    * wire) / ANIMATED (two frames with distinct delays; the gate
+    * decodes the composited FIRST frame, so the means are invariant) /
+    * TRANSPARENT (index 0 transparent over a background that IS
+    * palette colour 0, so transparency is exercised without moving a
+    * single mean) — and a truncated cohort on doc_id%17=0. PNG-style
+    * losslessness: every decoded mean replays exactly. */
+  def gifMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val v = (id % 4).toInt
+      val w = 6 + (id % 9).toInt
+      val h = 5 + (id % 7).toInt
+      val pal = new Array[Byte](16 * 3)
+      var c = 0
+      while (c < 16) {
+        pal(3 * c) = ((id * 5 + c * 11) % 256).toByte
+        pal(3 * c + 1) = ((id * 7 + c * 23) % 256).toByte
+        pal(3 * c + 2) = ((id * 11 + c * 31) % 256).toByte
+        c += 1
+      }
+      val idx = Array.tabulate(w * h)(p => ((p * 3 + id) % 16).toByte)
+      val frames = v match {
+        case 2 =>
+          val idx2 = Array.tabulate(w * h)(p => ((p * 5 + id + 1) % 16).toByte)
+          Seq(Gif.EncFrame(idx, delayCs = 3 + (id % 5).toInt),
+            Gif.EncFrame(idx2, delayCs = 2 + (id % 7).toInt))
+        case 3 => Seq(Gif.EncFrame(idx, transparentIdx = 0))
+        case _ => Seq(Gif.EncFrame(idx, interlaced = v == 1))
+      }
+      val bytes = Gif.encode(w, h, pal, frames)
+      val out =
+        if (id % 17 == 0) java.util.Arrays.copyOfRange(bytes, 0, bytes.length / 2)
+        else bytes
+      (id, out)
+    }.toDF("media_id", "bytes")
+  }
+
+  /** Planted WebP fixture for the m_webp_meta gate (round 17):
+    * lossy / lossless / extended containers by doc_id%3, a lossless
+    * alpha-hint cohort, an ANIMATED extended cohort (1+doc_id%4 ANMF
+    * frames on doc_id%5=0), truncated on doc_id%17=0 (the RIFF length
+    * census refuses). Headers are real per the public container spec;
+    * payload bytes past the dimension fields are junk the walker never
+    * reads — this is a METADATA fixture (pixel decode is out of scope
+    * by design, the [[graft.ops.Webp]] scaladoc). */
+  def webpMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = 16 + (id % 200).toInt
+      val h = 14 + (id % 150).toInt
+      val bytes = (id % 3).toInt match {
+        case 0 => Webp.encodeLossy(w, h, 16 + (id % 13).toInt, id)
+        case 1 => Webp.encodeLossless(w, h, alphaHint = id % 2 == 0,
+          12 + (id % 11).toInt, id)
+        case _ => Webp.encodeExtended(w, h,
+          nFrames = if (id % 5 == 0) 1 + (id % 4).toInt else 0, seed = id)
+      }
+      val out =
+        if (id % 17 == 0) java.util.Arrays.copyOfRange(bytes, 0, bytes.length / 2)
+        else bytes
+      (id, out)
+    }.toDF("media_id", "bytes")
+  }
+
   /** Planted MP3 fixture for the m_mp3_meta gate (round 17): Layer III
     * streams across all three MPEG versions (doc_id%3 → 1 / 2 / 2.5),
     * bitrate index 1+doc_id%13, sample-rate index (doc_id/3)%3,
@@ -1076,6 +1145,64 @@ object Multimodal {
     }.toDF()
   }
 
+  final case class GifMetaRow(media_id: Long, width: Int, height: Int,
+      version: String, n_frames: Int, animated: Boolean,
+      has_transparency: Boolean, gct_size: Int, interlaced: Boolean,
+      total_delay_cs: Int)
+
+  /** Decodeless GIF metadata — [[jpegMetadata]]'s animated-format twin
+    * ([[Gif.meta]]): canvas geometry, version, frame census, animation
+    * and transparency flags, palette size, interlace, total duration —
+    * the block walk SKIPS every LZW sub-block by its length prefix, so
+    * the census costs I/O, never a decode. Truncated streams drop
+    * under `skipMalformed` (the walk must reach the trailer). */
+  def gifMetadata(media: DataFrame, skipMalformed: Boolean = true): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[ImageRow].mapPartitions { it =>
+      it.flatMap { m =>
+        try {
+          val md = Gif.meta(m.bytes)
+          Iterator.single(GifMetaRow(m.media_id, md.width, md.height,
+            md.version, md.nFrames, md.animated, md.hasTransparency,
+            md.gctSize, md.interlaced, md.totalDelayCs))
+        } catch {
+          case e: Exception if skipMalformed => Iterator.empty
+          case e: Exception => throw new RuntimeException(
+            s"malformed gif for media_id ${m.media_id}", e)
+        }
+      }
+    }.toDF()
+  }
+
+  final case class WebpMetaRow(media_id: Long, width: Int, height: Int,
+      format: String, has_alpha: Boolean, animated: Boolean,
+      n_frames: Int)
+
+  /** Decodeless WebP metadata ([[Webp.meta]]): container format
+    * (lossy/lossless/extended), dimensions, alpha, animation census —
+    * the crawl filter/group pass for the top-3 modern image format,
+    * whose PIXEL decode is deliberately out of scope (VP8 entropy
+    * coding — the MP3/H.264 boundary). Truncated streams drop under
+    * `skipMalformed` (the RIFF length census refuses). */
+  def webpMetadata(media: DataFrame, skipMalformed: Boolean = true): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[ImageRow].mapPartitions { it =>
+      it.flatMap { m =>
+        try {
+          val md = Webp.meta(m.bytes)
+          Iterator.single(WebpMetaRow(m.media_id, md.width, md.height,
+            md.format, md.hasAlpha, md.animated, md.nFrames))
+        } catch {
+          case e: Exception if skipMalformed => Iterator.empty
+          case e: Exception => throw new RuntimeException(
+            s"malformed webp for media_id ${m.media_id}", e)
+        }
+      }
+    }.toDF()
+  }
+
   final case class MediaMetaRow(media_id: Long, modality: String,
       format: String, width: Int, height: Int, duration_ms: Long,
       sample_rate: Int)
@@ -1118,6 +1245,14 @@ object Multimodal {
                 b(2) == 'i' && b(3) == 'f') {
               val (w, h, _) = Qoi.decode(b)
               MediaMetaRow(m.media_id, "image", "qoi", w, h, -1L, -1)
+            } else if (Gif.isGif(b)) {
+              val md = Gif.meta(b)
+              MediaMetaRow(m.media_id, "image", "gif", md.width, md.height,
+                md.totalDelayCs * 10L, -1)
+            } else if (Webp.isWebp(b)) {
+              val md = Webp.meta(b)
+              MediaMetaRow(m.media_id, "image", "webp", md.width, md.height,
+                -1L, -1)
             } else if (b.length >= 3 && b(0) == 'I' && b(1) == 'D' &&
                 b(2) == '3' ||
                 b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0) {
@@ -1193,6 +1328,19 @@ object Multimodal {
               // chunk (Apple's CgBI shape) — known here without inflate
               if (md.unknownCritical) "dropped_unsupported"
               else if (md.width < minSide || md.height < minSide) "dropped_tiny"
+              else if (md.width.toLong * md.height > maxPixels) "dropped_huge"
+              else "kept"
+            } else if (Gif.isGif(b)) {
+              val md = Gif.meta(b)
+              if (md.width < minSide || md.height < minSide) "dropped_tiny"
+              else if (md.width.toLong * md.height > maxPixels) "dropped_huge"
+              else "kept"
+            } else if (Webp.isWebp(b)) {
+              // no pixel decoder, but the GATE's dims/cost columns are
+              // exactly what the walker reads — a kept WebP routes to
+              // exact-blob dedup downstream (the undecodable discipline)
+              val md = Webp.meta(b)
+              if (md.width < minSide || md.height < minSide) "dropped_tiny"
               else if (md.width.toLong * md.height > maxPixels) "dropped_huge"
               else "kept"
             } else "kept"
@@ -1573,6 +1721,14 @@ object Multimodal {
           (bytes(1) & 0xff) == 0xd8)
         Jpeg.decode(bytes)
       else if (Png.isPng(bytes)) Png.decode(bytes)
+      else if (Gif.isGif(bytes)) Gif.decode(bytes)
+      else if (Webp.isWebp(bytes))
+        // explicit, self-documenting refusal: the container is image
+        // (classifyMedia) but VP8 pixel decode is codec territory —
+        // the blob keeps exact dedup through the undecodable route
+        throw new IllegalArgumentException(
+          "webp: pixel decode out of scope (VP8/VP8L entropy coding) — " +
+            "metadata via Webp.meta")
       else Qoi.decode(bytes)
     val dec = decodeImagesWith(media,
       if (!autoOrient) base
@@ -1939,6 +2095,13 @@ object Multimodal {
       when(magic(2) === lit("P6".getBytes) ||
           magic(4) === lit("qoif".getBytes) ||
           magic(8) === lit(Png.Signature) ||
+          magic(6) === lit("GIF87a".getBytes) ||
+          magic(6) === lit("GIF89a".getBytes) ||
+          // WebP is RIFF-framed: without this arm it routed to the
+          // AUDIO cohort (round-17 fix) — the image test must precede
+          // the bare-RIFF audio rule
+          (magic(4) === lit("RIFF".getBytes) &&
+            substring(col("bytes"), 9, 4) === lit("WEBP".getBytes)) ||
           magic(2) === lit(Array(0xff.toByte, 0xd8.toByte)), "image")
         .when(magic(4) === lit("RIFF".getBytes) ||
           magic(3) === lit("ID3".getBytes) || mp3Sync, "audio")

@@ -1,0 +1,176 @@
+package graft.ops
+
+/** Decodeless WebP metadata walker (round 17) — the [[Jpeg.meta]]
+  * pattern on the top-3 modern crawl image format. PIXEL decode stays
+  * out of scope (VP8/VP8L entropy coding is codec-library territory,
+  * the MP3/H.264 boundary), but the public container layout carries
+  * the crawl filter/group columns at header cost: RIFF framing, the
+  * `VP8 ` lossy frame tag (0x9D012A start code + 14-bit dims), the
+  * `VP8L` lossless signature (0x2F + packed 14-bit dims + alpha bit),
+  * and the `VP8X` extended header (flag byte + 24-bit canvas dims,
+  * ANMF frame census for animations). Chunk sizes must chain exactly
+  * (with RIFF even-padding), so truncation refuses loudly.
+  *
+  * Routing: [[Multimodal.classifyMedia]] tags WebP as IMAGE (before
+  * this walker existed, the RIFF magic routed WebP blobs to the AUDIO
+  * cohort); they stay undecodable there, so perceptual matching is
+  * lost but exact dedup survives — the documented routing discipline
+  * for every format without a pixel decoder. */
+object Webp {
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"webp: $msg")
+
+  def isWebp(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
+      bytes(9) == 'E' && bytes(10) == 'B' && bytes(11) == 'P'
+
+  final case class Meta(width: Int, height: Int, format: String,
+      hasAlpha: Boolean, animated: Boolean, nFrames: Int, nChunks: Int)
+
+  def meta(bytes: Array[Byte]): Meta = {
+    if (!isWebp(bytes)) fail("not a webp stream (bad RIFF/WEBP header)")
+    def u24le(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16)
+    def u32le(o: Int): Long = (u24le(o) & 0xffffffL) | ((bytes(o + 3) & 0xffL) << 24)
+    val riffLen = u32le(4)
+    if (8 + riffLen != bytes.length)
+      fail(s"RIFF length $riffLen does not match the stream")
+    var pos = 12
+    var format = ""
+    var w = -1; var h = -1
+    var alpha = false
+    var animated = false
+    var nFrames = 0
+    var nChunks = 0
+    while (pos < bytes.length) {
+      if (pos + 8 > bytes.length) fail("truncated chunk header")
+      val typ = new String(bytes, pos, 4, "ISO-8859-1")
+      val size = u32le(pos + 4)
+      val dataStart = pos + 8
+      if (dataStart + size > bytes.length) fail(s"truncated $typ chunk")
+      nChunks += 1
+      typ match {
+        case "VP8 " =>
+          if (size < 10) fail("VP8 chunk too short")
+          // 3-byte frame tag, then the 0x9D012A start code, then dims
+          if ((bytes(dataStart + 3) & 0xff) != 0x9d ||
+              (bytes(dataStart + 4) & 0xff) != 0x01 ||
+              (bytes(dataStart + 5) & 0xff) != 0x2a)
+            fail("VP8 start code missing")
+          val keyframe = (bytes(dataStart) & 1) == 0
+          if (!keyframe) fail("first VP8 frame is not a keyframe")
+          if (format.isEmpty) format = "lossy"
+          val wv = ((bytes(dataStart + 6) & 0xff) |
+            ((bytes(dataStart + 7) & 0xff) << 8)) & 0x3fff
+          val hv = ((bytes(dataStart + 8) & 0xff) |
+            ((bytes(dataStart + 9) & 0xff) << 8)) & 0x3fff
+          if (w < 0) { w = wv; h = hv }
+          nFrames += 1
+        case "VP8L" =>
+          if (size < 5) fail("VP8L chunk too short")
+          if ((bytes(dataStart) & 0xff) != 0x2f) fail("VP8L signature missing")
+          val b = u32le(dataStart + 1)
+          if (format.isEmpty) format = "lossless"
+          if (w < 0) {
+            w = ((b & 0x3fff) + 1).toInt
+            h = (((b >> 14) & 0x3fff) + 1).toInt
+          }
+          if (((b >> 28) & 1) == 1) alpha = true
+          nFrames += 1
+        case "VP8X" =>
+          if (size < 10) fail("VP8X chunk too short")
+          format = "extended"
+          val flags = bytes(dataStart) & 0xff
+          if ((flags & 0x10) != 0) alpha = true
+          if ((flags & 0x02) != 0) animated = true
+          w = u24le(dataStart + 4) + 1
+          h = u24le(dataStart + 7) + 1
+        case "ANMF" => nFrames += 1
+        case "ALPH" => alpha = true
+        case _ => () // ICCP/EXIF/XMP/unknown: structural skip
+      }
+      pos = dataStart + size.toInt + (size.toInt & 1) // RIFF even padding
+    }
+    if (format.isEmpty) fail("no VP8 /VP8L/VP8X chunk")
+    if (w <= 0 || h <= 0) fail("no dimensions")
+    if (animated && nFrames == 0) fail("animated VP8X without ANMF frames")
+    Meta(w, h, format, alpha, animated, math.max(nFrames, 1), nChunks)
+  }
+
+  // ---- fixture-grade writer (headers only — the payload past the
+  // dimension fields is deterministic junk the walker never reads) ----
+
+  private def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(payload.length + 8)
+    out.write(typ.getBytes("ISO-8859-1"), 0, 4)
+    var v = payload.length.toLong
+    for (i <- 0 until 4) { out.write((v & 0xff).toInt); v >>= 8 }
+    out.write(payload, 0, payload.length)
+    if (payload.length % 2 == 1) out.write(0) // RIFF even padding
+    out.toByteArray
+  }
+
+  /** A structurally-valid lossy (`VP8 `) stream. */
+  def encodeLossy(w: Int, h: Int, payloadLen: Int = 16,
+      seed: Long = 0L): Array[Byte] = {
+    require(w > 0 && w < 16384 && h > 0 && h < 16384, s"14-bit dims: $w x $h")
+    val p = new Array[Byte](10 + payloadLen)
+    p(0) = 0 // keyframe tag bits
+    p(3) = 0x9d.toByte; p(4) = 0x01; p(5) = 0x2a
+    p(6) = (w & 0xff).toByte; p(7) = ((w >> 8) & 0x3f).toByte
+    p(8) = (h & 0xff).toByte; p(9) = ((h >> 8) & 0x3f).toByte
+    for (i <- 0 until payloadLen) p(10 + i) = ((seed * 31 + i) & 0xff).toByte
+    wrap(chunk("VP8 ", p))
+  }
+
+  /** A structurally-valid lossless (`VP8L`) stream. */
+  def encodeLossless(w: Int, h: Int, alphaHint: Boolean = false,
+      payloadLen: Int = 12, seed: Long = 0L): Array[Byte] = {
+    require(w > 0 && w <= 16384 && h > 0 && h <= 16384, s"14-bit dims: $w x $h")
+    val p = new Array[Byte](5 + payloadLen)
+    p(0) = 0x2f
+    val b = (w - 1).toLong | ((h - 1).toLong << 14) |
+      (if (alphaHint) 1L << 28 else 0L)
+    for (i <- 0 until 4) p(1 + i) = ((b >> (8 * i)) & 0xff).toByte
+    for (i <- 0 until payloadLen) p(5 + i) = ((seed * 37 + i) & 0xff).toByte
+    wrap(chunk("VP8L", p))
+  }
+
+  /** A structurally-valid extended (`VP8X`) stream, optionally animated
+    * with `nFrames` ANMF entries. */
+  def encodeExtended(w: Int, h: Int, alpha: Boolean = false,
+      nFrames: Int = 0, seed: Long = 0L): Array[Byte] = {
+    require(w > 0 && w <= (1 << 24) && h > 0 && h <= (1 << 24), s"$w x $h")
+    val p = new Array[Byte](10)
+    p(0) = (((if (alpha) 0x10 else 0) | (if (nFrames > 0) 0x02 else 0))).toByte
+    def put24(o: Int, v: Int): Unit = {
+      p(o) = (v & 0xff).toByte; p(o + 1) = ((v >> 8) & 0xff).toByte
+      p(o + 2) = ((v >> 16) & 0xff).toByte
+    }
+    put24(4, w - 1); put24(7, h - 1)
+    val parts = Seq.newBuilder[Array[Byte]]
+    parts += chunk("VP8X", p)
+    if (nFrames == 0) parts += chunk("VP8 ", {
+      val q = new Array[Byte](12)
+      q(3) = 0x9d.toByte; q(4) = 0x01; q(5) = 0x2a
+      q(6) = (w & 0xff).toByte; q(7) = ((w >> 8) & 0x3f).toByte
+      q(8) = (h & 0xff).toByte; q(9) = ((h >> 8) & 0x3f).toByte
+      q
+    })
+    for (f <- 0 until nFrames)
+      parts += chunk("ANMF",
+        Array.tabulate(17)(i => ((seed * 13 + f * 7 + i) & 0xff).toByte))
+    wrap(parts.result().reduce(_ ++ _))
+  }
+
+  private def wrap(body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(body.length + 12)
+    out.write("RIFF".getBytes("ISO-8859-1"), 0, 4)
+    var v = (body.length + 4).toLong
+    for (i <- 0 until 4) { out.write((v & 0xff).toInt); v >>= 8 }
+    out.write("WEBP".getBytes("ISO-8859-1"), 0, 4)
+    out.write(body, 0, body.length)
+    out.toByteArray
+  }
+}

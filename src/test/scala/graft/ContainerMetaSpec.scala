@@ -114,6 +114,30 @@ class ContainerMetaSpec extends SparkSpec {
     assert(!rows.contains(4L)) // truncated: dropped, not misreported
   }
 
+  test("webp: container walk across lossy/lossless/extended, alpha/animation census, truncation refusal") {
+    import graft.ops.Webp
+    val lossy = Webp.meta(Webp.encodeLossy(320, 240))
+    assert(lossy === Webp.Meta(320, 240, "lossy", hasAlpha = false,
+      animated = false, nFrames = 1, nChunks = 1))
+    val ll = Webp.meta(Webp.encodeLossless(100, 50, alphaHint = true))
+    assert(ll.format === "lossless" && ll.width === 100 && ll.height === 50)
+    assert(ll.hasAlpha)
+    val anim = Webp.meta(Webp.encodeExtended(640, 480, alpha = true,
+      nFrames = 3))
+    assert(anim === Webp.Meta(640, 480, "extended", hasAlpha = true,
+      animated = true, nFrames = 3, nChunks = 4))
+    val still = Webp.meta(Webp.encodeExtended(12, 9))
+    assert(still.format === "extended" && !still.animated && still.nFrames === 1)
+    val good = Webp.encodeLossy(32, 24)
+    intercept[IllegalArgumentException](
+      Webp.meta(java.util.Arrays.copyOfRange(good, 0, good.length - 3)))
+    intercept[IllegalArgumentException](Webp.meta("RIFFxxxxWAVE".getBytes))
+    // a garbled VP8 start code refuses (the one in-chunk structural check)
+    val bad = good.clone()
+    bad(12 + 8 + 3) = 0x00
+    intercept[IllegalArgumentException](Webp.meta(bad))
+  }
+
   test("classifyMedia routes MP3 (ID3 + bare sync) to audio and ftyp to video; exact dedup survives") {
     val docs = (0L until 8L).toDF("doc_id")
     val mp3Tagged = Mp3.encodeFrames(3, 1, _ => 9, 0, 2, id3v2PayloadLen = 10)
