@@ -2345,6 +2345,21 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Multimodal: animated-GIF near-dup pairing through the VIDEO
+    // stack (round 17) — the image↔video bridge: composited frame
+    // hashes from gifFrameHashSets ride the SAME banded matcher as
+    // video clips (one body, spec-pinned). Planted groups: base /
+    // exact copy / TRIMMED re-encode (last frame dropped — the
+    // clip-trim shape, nf−1 shared frames in order) / independent;
+    // every match is temporal, so lis = n_matched throughout.
+    "m_gif_dedup" -> ((s, dir) => {
+      val media = Multimodal.gifDedupMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet"))
+      Multimodal.gifNearDupPairs(media, minMatchedFrames = 2)
+        .select(col("id_a"), col("id_b"), col("n_matched"), col("lis"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Multimodal: decodeless GIF metadata (round 17) — the block walk
     // skips LZW sub-blocks by length prefix: frame census, animation /
     // transparency flags, interlace, total duration at I/O cost. Every
@@ -5675,6 +5690,23 @@ object SparkEntry {
         |  CAST(sg AS DOUBLE) / (w * h) AS mean_g,
         |  CAST(sb AS DOUBLE) / (w * h) AS mean_b
         |FROM s ORDER BY media_id""".stripMargin,
+
+    // Exact replay of the animated-GIF trim structure: base/copy pairs
+    // share all nf = 3+gid%3 frames, pairs touching the trimmed member
+    // share nf−1; every match is in temporal order so lis = n_matched;
+    // the independent member pairs with nothing.
+    "m_gif_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |           FROM documents)
+        |SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+        |       CAST(b.doc_id AS BIGINT) AS id_b,
+        |       CAST(CASE WHEN a.m = 2 OR b.m = 2 THEN 2 + a.gid % 3
+        |            ELSE 3 + a.gid % 3 END AS BIGINT) AS n_matched,
+        |       CAST(CASE WHEN a.m = 2 OR b.m = 2 THEN 2 + a.gid % 3
+        |            ELSE 3 + a.gid % 3 END AS BIGINT) AS lis
+        |FROM d a JOIN d b ON a.gid = b.gid AND a.doc_id < b.doc_id
+        | WHERE a.m <= 2 AND b.m <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Structural replay of the decodeless GIF block walk: every column
     // from the doc_id%4 variant arithmetic; the truncated cohort drops

@@ -2941,6 +2941,102 @@ object Multimodal {
     }.toDF("media_id", "frame_hashes", "frame_pos")
   }
 
+  /** Per-animation DISTINCT frame dHashes — [[videoFrameHashSets]]'
+    * GIF twin (round 17): an animated GIF is a frame sequence, so its
+    * COMPOSITED frames (transparency and disposal already applied —
+    * what a viewer actually shows, which is what a re-encode
+    * preserves) ride the same banded frame matching, stop-frame
+    * census, bucket guard, and LIS temporal score as real video
+    * containers. Same output contract: (media_id, frame_hashes,
+    * frame_pos), first-occurrence positions as the temporal anchor. */
+  def gifFrameHashSets(media: DataFrame, thumbSide: Int = 8,
+      skipMalformed: Boolean = true): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[VideoRow].mapPartitions { it =>
+      it.flatMap { m =>
+        try {
+          val (w, h, fs) = Gif.frames(m.bytes)
+          val firstAt = scala.collection.mutable.TreeMap.empty[Long, Int]
+          fs.iterator.zipWithIndex.foreach { case ((_, rgb), k) =>
+            val thumb = new Array[Float](thumbSide * thumbSide * 3)
+            var ty = 0
+            while (ty < thumbSide) {
+              var tx = 0
+              while (tx < thumbSide) {
+                val src = (((ty * h) / thumbSide) * w +
+                  (tx * w) / thumbSide) * 3
+                val dst = (ty * thumbSide + tx) * 3
+                thumb(dst) = (rgb(src) & 0xff) / 255.0f
+                thumb(dst + 1) = (rgb(src + 1) & 0xff) / 255.0f
+                thumb(dst + 2) = (rgb(src + 2) & 0xff) / 255.0f
+                tx += 1
+              }
+              ty += 1
+            }
+            val fh = graft.functions.ImageHash64.computeFloats(thumb,
+              dhash = true)
+            if (!firstAt.contains(fh)) firstAt(fh) = k
+          }
+          Iterator.single(
+            (m.media_id, firstAt.keysIterator.toArray,
+              firstAt.valuesIterator.toArray))
+        } catch {
+          case e: Exception if skipMalformed => Iterator.empty
+          case e: Exception => throw new RuntimeException(
+            s"malformed gif for media_id ${m.media_id}", e)
+        }
+      }
+    }.toDF("media_id", "frame_hashes", "frame_pos")
+  }
+
+  /** Animated-GIF near-dup pairs — the image↔video bridge: a trimmed
+    * or re-encoded animation shares composited frame hashes exactly as
+    * a video clip shares frame hashes, so this DELEGATES to the same
+    * banded matcher as [[videoNearDupPairs]] (one body — GIF and video
+    * matching cannot drift): stop-frame census, guarded banding at
+    * `maxFrameHamming`, exact verify, matched-frame rollup with the
+    * `lis` temporal score and the `minLisFrac` keep policy. */
+  def gifNearDupPairs(media: DataFrame, minMatchedFrames: Int = 2,
+      maxFrameDf: Int = 1000, thumbSide: Int = 8,
+      maxFrameHamming: Int = 3, maxBucketDf: Int = 1000,
+      minLisFrac: Double = 0.0): DataFrame =
+    videoNearDupPairsFromSets(
+      gifFrameHashSets(media, thumbSide).localCheckpoint(),
+      minMatchedFrames, maxFrameDf, maxFrameHamming, maxBucketDf,
+      minLisFrac)
+
+  /** Planted animated-GIF dedup fixture (round 17): groups of four —
+    * m=0 a base animation of nf = 3+gid%3 binary-pattern frames, m=1
+    * an EXACT byte copy, m=2 a TRIMMED re-encode (the last frame
+    * dropped — shares nf−1 frames in order, the clip-trim shape), m=3
+    * an independent animation. Patterns are splitmix64 families
+    * decorrelated from every other fixture. */
+  def gifDedupMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pal = Array[Byte](0, 0, 0, 255.toByte, 255.toByte, 255.toByte,
+      64, 64, 64, 192.toByte, 192.toByte, 192.toByte)
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val gid = id / 4
+      val m = (id % 4).toInt
+      // disjoint-by-parity seed inputs: two affine forms (97g+11 vs
+      // 89g'+5) intersect — gid 66's base family collided with gid
+      // 72's independent at sf0.001 and cross-paired
+      val seed = splitmix64(gid * 2L + (if (m == 3) 1L else 0L) +
+        0x6a09e667f3bcc908L)
+      val nfFull = 3 + (gid % 3).toInt
+      val nf = if (m == 2) nfFull - 1 else nfFull
+      val frames = (0 until nf).map { k =>
+        val pattern = splitmix64(seed + k * 1013L)
+        Gif.EncFrame(Array.tabulate(64)(p =>
+          (if (((pattern >>> p) & 1L) == 1L) 1 else 0).toByte),
+          delayCs = 4)
+      }
+      (id, Gif.encode(8, 8, pal, frames))
+    }.toDF("media_id", "bytes")
+  }
+
   /** Column-metadata key recording the Hamming banding radius a
     * [[videoFrameIndex]] froze with — the probe side derives its band
     * layout from this, so index and probe band grids can never disagree

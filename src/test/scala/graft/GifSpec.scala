@@ -152,6 +152,53 @@ class GifSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 11L))
   }
 
+  test("animated GIFs ride the video dedup stack: trim pairs, reversed collage excluded by minLisFrac") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = (0L until 16L).toDF("doc_id")
+    val media = graft.ops.Multimodal.gifDedupMediaFromDocuments(docs)
+    val pairs = graft.ops.Multimodal.gifNearDupPairs(media)
+      .select("id_a", "id_b", "n_matched", "lis").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val expected = (for {
+      g <- 0L until 4L
+      a <- 0L until 3L; b <- 0L until 3L if a < b
+    } yield (g * 4 + a, g * 4 + b)).toSet
+    assert(pairs.keySet === expected)
+    pairs.foreach { case ((a, b), (nm, lis)) =>
+      val nf = 3 + ((a / 4) % 3)
+      val exp = if (a % 4 == 2 || b % 4 == 2) nf - 1 else nf
+      assert(nm === exp && lis === exp, s"($a,$b)")
+    }
+    // a frame-REVERSED animation pairs at full n_matched but lis 1 —
+    // and the temporal keep policy excludes it (the video semantics,
+    // inherited through the shared matcher)
+    val blobs = media.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val (w, h, fs) = graft.ops.Gif.frames(blobs(0L))
+    assert(fs.length === 3)
+    val pal = Array[Byte](0, 0, 0, 255.toByte, 255.toByte, 255.toByte,
+      64, 64, 64, 192.toByte, 192.toByte, 192.toByte)
+    // rebuild the base's frames reversed (indexes recovered from the
+    // composited rasters: colour 1 has r=255)
+    val revFrames = fs.reverse.map { case (_, rgb) =>
+      graft.ops.Gif.EncFrame(Array.tabulate(w * h)(p =>
+        (if ((rgb(3 * p) & 0xff) > 128) 1 else 0).toByte), delayCs = 4)
+    }
+    val withRev = media.unionByName(Seq(
+      (1000L, graft.ops.Gif.encode(w, h, pal, revFrames)))
+      .toDF("media_id", "bytes"))
+    val rev = graft.ops.Multimodal.gifNearDupPairs(withRev)
+      .filter(col("id_b") === 1000L)
+      .select("id_a", "n_matched", "lis").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rev(0L) === ((3L, 1L)), "reversed animation: full match, lis 1")
+    val temporal = graft.ops.Multimodal.gifNearDupPairs(withRev,
+        minLisFrac = 0.8)
+      .filter(col("id_b") === 1000L).count()
+    assert(temporal === 0L, "the collage must not survive the keep policy")
+  }
+
   test("truncation, junk, oversize frames, and trailing bytes refuse loudly; 87a census") {
     val good = Gif.encode(8, 8, pal16,
       Seq(Gif.EncFrame(Array.fill(64)(5.toByte))))
