@@ -2382,7 +2382,7 @@ object SparkEntry {
     }),
 
     // Multimodal: UNIFIED decodeless metadata across every container
-    // (round 17) — one dispatch over a mixed corpus of all seven
+    // (round 17) — one dispatch over a mixed corpus of all nine
     // formats plus an unknown-magic cohort: modality, format, dims,
     // duration, sample rate (−1 sentinels where the modality has no
     // such axis). Every column replays from doc_id arithmetic; each

@@ -325,6 +325,13 @@ object Gif {
     var interlaced = false
     var totalDelay = 0
     var sawTrailer = false
+    // the structural guards MIRROR the decoder's (the Jpeg.meta
+    // parity discipline from round 16): a header-visible
+    // malformation — frame rect outside the canvas, no colour table
+    // anywhere, short graphic control, out-of-range LZW code size —
+    // must fail the walk too, so "which blobs have metadata" matches
+    // "which blobs decode" for everything the walk can see for free.
+    // What meta deliberately does NOT validate is the LZW payload.
     while (!sawTrailer) {
       r.u8() match {
         case 0x3b => sawTrailer = true
@@ -332,19 +339,21 @@ object Gif {
           val label = r.u8()
           if (label == 0xf9) {
             val sub = r.readSubBlocks()
-            if (sub.length >= 4) {
-              if ((sub(0) & 1) != 0) hasTransparency = true
-              totalDelay += (sub(1) & 0xff) | ((sub(2) & 0xff) << 8)
-            }
+            if (sub.length < 4) fail("short graphic control extension")
+            if ((sub(0) & 1) != 0) hasTransparency = true
+            totalDelay += (sub(1) & 0xff) | ((sub(2) & 0xff) << 8)
           } else r.skipSubBlocks()
         case 0x2c =>
-          r.u16le(); r.u16le()
+          val left = r.u16le(); val top = r.u16le()
           val fw = r.u16le(); val fh = r.u16le()
-          if (fw <= 0 || fh <= 0) fail("bad frame rect")
+          if (fw <= 0 || fh <= 0 || left + fw > w || top + fh > h)
+            fail(s"frame rect ($left,$top ${fw}x$fh) outside canvas")
           val fp = r.u8()
           if ((fp & 0x40) != 0) interlaced = true
           if ((fp & 0x80) != 0) r.take((2 << (fp & 7)) * 3)
-          r.u8() // min code size
+          else if (gctSize == 0) fail("frame without any colour table")
+          val minCode = r.u8()
+          if (minCode < 2 || minCode > 8) fail(s"bad LZW code size $minCode")
           r.skipSubBlocks()
           nFrames += 1
         case b => fail(f"unknown block 0x$b%02x")

@@ -2886,6 +2886,48 @@ object Multimodal {
 
   /** Gray `side`² thumbnail of one luma plane in the [[decodeImages]]
     * interleaved-RGB float layout (r = g = b = luma). */
+  /** Nearest-neighbor RGB thumbnail as normalized floats — the
+    * sampling arithmetic every frame-hash path must share (a rounding
+    * tweak applied to one copy would silently drift GIF vs video
+    * hashes). decodeImagesWith keeps its own FUSED loop (thumbnail +
+    * exact channel sums in one pass over the raster) — fusion there is
+    * measured hot-path structure, not drift risk, because its thumb
+    * feeds the SAME ImageHash64 expression downstream. */
+  private def rgbThumb(rgb: Array[Byte], w: Int, h: Int,
+      thumbSide: Int): Array[Float] = {
+    val thumb = new Array[Float](thumbSide * thumbSide * 3)
+    var ty = 0
+    while (ty < thumbSide) {
+      var tx = 0
+      while (tx < thumbSide) {
+        val src = (((ty * h) / thumbSide) * w + (tx * w) / thumbSide) * 3
+        val dst = (ty * thumbSide + tx) * 3
+        thumb(dst) = (rgb(src) & 0xff) / 255.0f
+        thumb(dst + 1) = (rgb(src + 1) & 0xff) / 255.0f
+        thumb(dst + 2) = (rgb(src + 2) & 0xff) / 255.0f
+        tx += 1
+      }
+      ty += 1
+    }
+    thumb
+  }
+
+  /** DISTINCT frame dHashes with each hash's FIRST frame index — the
+    * in-task distinct + temporal anchor every frame-sequence hash path
+    * shares (video and GIF must chain the SAME pos semantics into the
+    * LIS score). */
+  private def distinctFrameHashes(thumbs: Iterator[Array[Float]])
+      : (Array[Long], Array[Int]) = {
+    val firstAt = scala.collection.mutable.TreeMap.empty[Long, Int]
+    var k = 0
+    thumbs.foreach { t =>
+      val fh = graft.functions.ImageHash64.computeFloats(t, dhash = true)
+      if (!firstAt.contains(fh)) firstAt(fh) = k
+      k += 1
+    }
+    (firstAt.keysIterator.toArray, firstAt.valuesIterator.toArray)
+  }
+
   private def lumaThumb(f: Array[Byte], w: Int, h: Int,
       thumbSide: Int): Array[Float] = {
     val thumb = new Array[Float](thumbSide * thumbSide * 3)
@@ -2923,15 +2965,9 @@ object Multimodal {
       it.flatMap { m =>
         try {
           val (w, h, _, frames) = Y4m.decode(m.bytes)
-          val firstAt = scala.collection.mutable.TreeMap.empty[Long, Int]
-          frames.iterator.zipWithIndex.foreach { case (f, k) =>
-            val fh = graft.functions.ImageHash64.computeFloats(
-              lumaThumb(f, w, h, thumbSide), dhash = true)
-            if (!firstAt.contains(fh)) firstAt(fh) = k
-          }
-          Iterator.single(
-            (m.media_id, firstAt.keysIterator.toArray,
-              firstAt.valuesIterator.toArray))
+          val (hashes, pos) = distinctFrameHashes(
+            frames.iterator.map(f => lumaThumb(f, w, h, thumbSide)))
+          Iterator.single((m.media_id, hashes, pos))
         } catch {
           case e: Exception if skipMalformed => Iterator.empty
           case e: Exception => throw new RuntimeException(
@@ -2957,30 +2993,9 @@ object Multimodal {
       it.flatMap { m =>
         try {
           val (w, h, fs) = Gif.frames(m.bytes)
-          val firstAt = scala.collection.mutable.TreeMap.empty[Long, Int]
-          fs.iterator.zipWithIndex.foreach { case ((_, rgb), k) =>
-            val thumb = new Array[Float](thumbSide * thumbSide * 3)
-            var ty = 0
-            while (ty < thumbSide) {
-              var tx = 0
-              while (tx < thumbSide) {
-                val src = (((ty * h) / thumbSide) * w +
-                  (tx * w) / thumbSide) * 3
-                val dst = (ty * thumbSide + tx) * 3
-                thumb(dst) = (rgb(src) & 0xff) / 255.0f
-                thumb(dst + 1) = (rgb(src + 1) & 0xff) / 255.0f
-                thumb(dst + 2) = (rgb(src + 2) & 0xff) / 255.0f
-                tx += 1
-              }
-              ty += 1
-            }
-            val fh = graft.functions.ImageHash64.computeFloats(thumb,
-              dhash = true)
-            if (!firstAt.contains(fh)) firstAt(fh) = k
-          }
-          Iterator.single(
-            (m.media_id, firstAt.keysIterator.toArray,
-              firstAt.valuesIterator.toArray))
+          val (hashes, pos) = distinctFrameHashes(
+            fs.iterator.map { case (_, rgb) => rgbThumb(rgb, w, h, thumbSide) })
+          Iterator.single((m.media_id, hashes, pos))
         } catch {
           case e: Exception if skipMalformed => Iterator.empty
           case e: Exception => throw new RuntimeException(
