@@ -2406,6 +2406,37 @@ object SparkEntry {
       Multimodal.mediaMetadata(media).orderBy("media_id")
     }),
 
+    // Multimodal: the CROSS-MODALITY pre-decode gate (round 17, late)
+    // — imageMetaGate's asymmetry closed: ONE header walk classifies
+    // every container before any decode. Geometry gates the image
+    // cohorts (gif's short-canvas cohort drops tiny; the junk cohort
+    // exercises all four image drop kinds), DURATION gates audio/video
+    // (sub-5ms wav clips and beyond-5s mp4 movies drop; y4m gates on
+    // its small canvas first), unknown magics stay kept. Every
+    // disposition replays from doc_id arithmetic.
+    "m_media_gate" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      def off(df: DataFrame, o: Long) = df.select(
+        (col("media_id") + lit(o)).as("media_id"), col("bytes"))
+      val media = Multimodal.jpegMediaFromDocuments(docs)
+        .unionByName(off(Multimodal.pngMediaFromDocuments(docs), 10000000L))
+        .unionByName(off(Multimodal.mp3MediaFromDocuments(docs), 20000000L))
+        .unionByName(off(Multimodal.mp4MediaFromDocuments(docs), 30000000L))
+        .unionByName(off(Multimodal.wavMediaFromDocuments(docs), 40000000L))
+        .unionByName(off(Multimodal.y4mMediaFromDocuments(docs), 50000000L))
+        .unionByName(docs.select(
+          (col("doc_id") + lit(60000000L)).as("media_id"),
+          lit("who-knows".getBytes).as("bytes")))
+        .unionByName(off(Multimodal.gifMediaFromDocuments(docs), 70000000L))
+        .unionByName(off(Multimodal.webpMediaFromDocuments(docs), 80000000L))
+        .unionByName(off(Multimodal.junkImageMediaFromDocuments(docs),
+          90000000L))
+      Multimodal.mediaMetaGate(media, minSide = 6, maxPixels = 1000000L,
+          minDurationMs = 5L, maxDurationMs = 5000L)
+        .select(col("media_id"), col("modality"), col("gate"))
+        .orderBy("media_id")
+    }),
+
     // Multimodal: the PRE-DECODE metadata gate (round 17) — the
     // composition real crawl pipelines run BEFORE paying pixel cost:
     // per-blob header classification over the m_jpeg fixture plus a
@@ -5813,6 +5844,68 @@ object SparkEntry {
         |    CAST(16 + doc_id % 200 AS INT), CAST(14 + doc_id % 150 AS INT),
         |    CAST(-1 AS BIGINT), CAST(-1 AS INT)
         |  FROM docs WHERE doc_id % 17 <> 0)
+        |ORDER BY media_id""".stripMargin,
+
+    // Structural replay of the cross-modality gate: per-cohort
+    // dispositions from each fixture's arithmetic — geometry for the
+    // image cohorts, integer-division durations for audio/video, the
+    // junk cohort's four image drop kinds, unknown kept.
+    "m_media_gate" ->
+      """WITH docs AS (SELECT doc_id FROM documents)
+        |SELECT * FROM (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS modality,
+        |    CASE WHEN doc_id % 17 = 0 THEN 'dropped_malformed'
+        |         ELSE 'kept' END AS gate
+        |  FROM docs
+        |  UNION ALL
+        |  SELECT CAST(10000000 + doc_id AS BIGINT), 'image',
+        |    CASE WHEN doc_id % 17 = 0 THEN 'dropped_malformed'
+        |         ELSE 'kept' END
+        |  FROM docs
+        |  UNION ALL
+        |  SELECT CAST(20000000 + doc_id AS BIGINT), 'audio',
+        |    CASE WHEN doc_id % 17 = 0 THEN 'dropped_malformed'
+        |         ELSE 'kept' END
+        |  FROM docs
+        |  UNION ALL
+        |  SELECT CAST(30000000 + doc_id AS BIGINT), 'video',
+        |    CASE WHEN doc_id % 17 = 0 THEN 'dropped_malformed'
+        |         WHEN (1000 + doc_id % 5000) * 1000
+        |              // (600 * (1 + doc_id % 4)) > 5000
+        |         THEN 'dropped_huge' ELSE 'kept' END
+        |  FROM docs
+        |  UNION ALL
+        |  SELECT CAST(40000000 + doc_id AS BIGINT), 'audio',
+        |    CASE WHEN (40 + doc_id % 50) * 1000
+        |              // (8000 + (doc_id % 8) * 1000) < 5
+        |         THEN 'dropped_tiny' ELSE 'kept' END
+        |  FROM docs
+        |  UNION ALL
+        |  SELECT CAST(50000000 + doc_id AS BIGINT), 'video',
+        |    CASE WHEN doc_id % 3 = 0 OR doc_id % 2 = 0
+        |         THEN 'dropped_tiny' ELSE 'kept' END
+        |  FROM docs
+        |  UNION ALL
+        |  SELECT CAST(60000000 + doc_id AS BIGINT), 'unknown', 'kept'
+        |  FROM docs
+        |  UNION ALL
+        |  SELECT CAST(70000000 + doc_id AS BIGINT), 'image',
+        |    CASE WHEN doc_id % 17 = 0 THEN 'dropped_malformed'
+        |         WHEN doc_id % 7 = 0 THEN 'dropped_tiny'
+        |         ELSE 'kept' END
+        |  FROM docs
+        |  UNION ALL
+        |  SELECT CAST(80000000 + doc_id AS BIGINT), 'image',
+        |    CASE WHEN doc_id % 17 = 0 THEN 'dropped_malformed'
+        |         ELSE 'kept' END
+        |  FROM docs
+        |  UNION ALL
+        |  SELECT CAST(90000000 + doc_id AS BIGINT), 'image',
+        |    CASE (doc_id // 4) % 4 WHEN 0 THEN 'dropped_tiny'
+        |         WHEN 1 THEN 'dropped_huge'
+        |         WHEN 2 THEN 'dropped_malformed'
+        |         ELSE 'dropped_unsupported' END
+        |  FROM docs)
         |ORDER BY media_id""".stripMargin,
 
     // Structural replay of the pre-decode gate dispositions: the

@@ -1350,6 +1350,83 @@ object Multimodal {
     }.toDF("media_id", "bytes", "gate")
   }
 
+  /** CROSS-MODALITY pre-decode gate — [[imageMetaGate]] extended over
+    * every container the unified pre-pass reads (round 17, late): one
+    * header walk per blob classifies it for the whole pipeline before
+    * any decode. Images gate on geometry ([[imageMetaGate]]'s rules,
+    * including the CgBI `dropped_unsupported` route); audio and video
+    * gate on DURATION — sub-`minDurationMs` clips are the tracking
+    * pixels of the audio/video world (click junk, zero-length
+    * uploads), beyond-`maxDurationMs` ones the cost bombs; GIFs gate as
+    * images (their duration is ancillary); unknown magics stay kept
+    * (the routing-parity discipline). A failed structural walk is
+    * `dropped_malformed` in every modality. Returns (media_id, bytes,
+    * modality, gate). */
+  def mediaMetaGate(media: DataFrame, minSide: Int = 8,
+      maxPixels: Long = 100000000L, minDurationMs: Long = 0L,
+      maxDurationMs: Long = Long.MaxValue): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[ImageRow].mapPartitions { it =>
+      it.map { m =>
+        val b = m.bytes
+        def geomGate(w: Int, h: Int): String =
+          if (w < minSide || h < minSide) "dropped_tiny"
+          else if (w.toLong * h > maxPixels) "dropped_huge"
+          else "kept"
+        def durGate(ms: Long): String =
+          if (ms < minDurationMs) "dropped_tiny"
+          else if (ms > maxDurationMs) "dropped_huge"
+          else "kept"
+        // classify by magic ONCE (so a corrupt blob's star pairs still
+        // land in the right modality cohort), then walk within
+        val isJpeg = b.length >= 2 && (b(0) & 0xff) == 0xff &&
+          (b(1) & 0xff) == 0xd8
+        val isPpm = b.length >= 2 && b(0) == 'P' && b(1) == '6'
+        val isQoi = b.length >= 4 && b(0) == 'q' && b(1) == 'o' &&
+          b(2) == 'i' && b(3) == 'f'
+        val isMp3 = !isJpeg && (b.length >= 3 && b(0) == 'I' &&
+          b(1) == 'D' && b(2) == '3' ||
+          b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0)
+        val isWav = !Webp.isWebp(b) && b.length >= 4 && b(0) == 'R' &&
+          b(1) == 'I' && b(2) == 'F' && b(3) == 'F'
+        val isMp4 = b.length >= 8 && b(4) == 'f' && b(5) == 't' &&
+          b(6) == 'y' && b(7) == 'p'
+        val isY4m = b.length >= 9 &&
+          new String(b, 0, 9, "US-ASCII") == "YUV4MPEG2"
+        val modality =
+          if (isJpeg || Png.isPng(b) || Gif.isGif(b) || Webp.isWebp(b) ||
+            isPpm || isQoi) "image"
+          else if (isMp3 || isWav) "audio"
+          else if (isMp4 || isY4m) "video"
+          else "unknown"
+        val gate =
+          try {
+            if (isJpeg) { val md = Jpeg.meta(b); geomGate(md.width, md.height) }
+            else if (Png.isPng(b)) {
+              val md = Png.meta(b)
+              if (md.unknownCritical) "dropped_unsupported"
+              else geomGate(md.width, md.height)
+            }
+            else if (Gif.isGif(b)) { val md = Gif.meta(b); geomGate(md.width, md.height) }
+            else if (Webp.isWebp(b)) { val md = Webp.meta(b); geomGate(md.width, md.height) }
+            else if (isPpm) { val (w, h, _) = Ppm.decode(b); geomGate(w, h) }
+            else if (isQoi) { val (w, h, _) = Qoi.decode(b); geomGate(w, h) }
+            else if (isMp3) durGate(Mp3.meta(b).durationMs)
+            else if (isWav) durGate(Wav.meta(b).durationMs)
+            else if (isMp4) durGate(Mp4.meta(b).durationMs)
+            else if (isY4m) {
+              val md = Y4m.meta(b)
+              val g = geomGate(md.width, md.height)
+              if (g != "kept") g else durGate(md.durationMs)
+            }
+            else "kept"
+          } catch { case _: Exception => "dropped_malformed" }
+        (m.media_id, b, modality, gate)
+      }
+    }.toDF("media_id", "bytes", "modality", "gate")
+  }
+
   /** META-GATED image dedup — the composed pipeline shape: header gate
     * → decode ONLY the kept cohort → degenerate-aware routed dedup.
     * Gated-out blobs are never pixel-decoded (accumulator-proven in
