@@ -209,6 +209,27 @@ object SparkEntry {
         (col("_rank_bad") === 0).cast("long").as("ranked_ok"))
   }
 
+  /** The nine-format mixed corpus the unified-metadata and
+    * cross-modality-gate rows share — ONE offset table (a transposed
+    * offset in a second copy would read as a codec bug in the oracle
+    * diff). Offsets are multiples of 4 so media_id%4 stays doc_id%4. */
+  private def mixedFormatCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    def off(df: DataFrame, o: Long) = df.select(
+      (col("media_id") + lit(o)).as("media_id"), col("bytes"))
+    Multimodal.jpegMediaFromDocuments(docs)
+      .unionByName(off(Multimodal.pngMediaFromDocuments(docs), 10000000L))
+      .unionByName(off(Multimodal.mp3MediaFromDocuments(docs), 20000000L))
+      .unionByName(off(Multimodal.mp4MediaFromDocuments(docs), 30000000L))
+      .unionByName(off(Multimodal.wavMediaFromDocuments(docs), 40000000L))
+      .unionByName(off(Multimodal.y4mMediaFromDocuments(docs), 50000000L))
+      .unionByName(docs.select(
+        (col("doc_id") + lit(60000000L)).as("media_id"),
+        lit("who-knows".getBytes).as("bytes")))
+      .unionByName(off(Multimodal.gifMediaFromDocuments(docs), 70000000L))
+      .unionByName(off(Multimodal.webpMediaFromDocuments(docs), 80000000L))
+  }
+
   /** Planted MIXED-media corpus — each modality's dedup fixture at its
     * id offset, a byte-identical unknown-magic cohort, a CORRUPT
     * cohort (valid P6 magic, undecodable payload, byte-identical within
@@ -2388,23 +2409,9 @@ object SparkEntry {
     // such axis). Every column replays from doc_id arithmetic; each
     // format's truncated %17 cohort drops through its own strict walk;
     // unknown blobs SURVIVE as (unknown, unknown, −1…).
-    "m_media_meta" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      def off(df: DataFrame, o: Long) = df.select(
-        (col("media_id") + lit(o)).as("media_id"), col("bytes"))
-      val media = Multimodal.jpegMediaFromDocuments(docs)
-        .unionByName(off(Multimodal.pngMediaFromDocuments(docs), 10000000L))
-        .unionByName(off(Multimodal.mp3MediaFromDocuments(docs), 20000000L))
-        .unionByName(off(Multimodal.mp4MediaFromDocuments(docs), 30000000L))
-        .unionByName(off(Multimodal.wavMediaFromDocuments(docs), 40000000L))
-        .unionByName(off(Multimodal.y4mMediaFromDocuments(docs), 50000000L))
-        .unionByName(docs.select(
-          (col("doc_id") + lit(60000000L)).as("media_id"),
-          lit("who-knows".getBytes).as("bytes")))
-        .unionByName(off(Multimodal.gifMediaFromDocuments(docs), 70000000L))
-        .unionByName(off(Multimodal.webpMediaFromDocuments(docs), 80000000L))
-      Multimodal.mediaMetadata(media).orderBy("media_id")
-    }),
+    "m_media_meta" -> ((s, dir) =>
+      Multimodal.mediaMetadata(mixedFormatCorpus(s, dir))
+        .orderBy("media_id")),
 
     // Multimodal: the CROSS-MODALITY pre-decode gate (round 17, late)
     // — imageMetaGate's asymmetry closed: ONE header walk classifies
@@ -2416,21 +2423,10 @@ object SparkEntry {
     // disposition replays from doc_id arithmetic.
     "m_media_gate" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      def off(df: DataFrame, o: Long) = df.select(
-        (col("media_id") + lit(o)).as("media_id"), col("bytes"))
-      val media = Multimodal.jpegMediaFromDocuments(docs)
-        .unionByName(off(Multimodal.pngMediaFromDocuments(docs), 10000000L))
-        .unionByName(off(Multimodal.mp3MediaFromDocuments(docs), 20000000L))
-        .unionByName(off(Multimodal.mp4MediaFromDocuments(docs), 30000000L))
-        .unionByName(off(Multimodal.wavMediaFromDocuments(docs), 40000000L))
-        .unionByName(off(Multimodal.y4mMediaFromDocuments(docs), 50000000L))
-        .unionByName(docs.select(
-          (col("doc_id") + lit(60000000L)).as("media_id"),
-          lit("who-knows".getBytes).as("bytes")))
-        .unionByName(off(Multimodal.gifMediaFromDocuments(docs), 70000000L))
-        .unionByName(off(Multimodal.webpMediaFromDocuments(docs), 80000000L))
-        .unionByName(off(Multimodal.junkImageMediaFromDocuments(docs),
-          90000000L))
+      val media = mixedFormatCorpus(s, dir)
+        .unionByName(Multimodal.junkImageMediaFromDocuments(docs)
+          .select((col("media_id") + lit(90000000L)).as("media_id"),
+            col("bytes")))
       Multimodal.mediaMetaGate(media, minSide = 6, maxPixels = 1000000L,
           minDurationMs = 5L, maxDurationMs = 5000L)
         .select(col("media_id"), col("modality"), col("gate"))

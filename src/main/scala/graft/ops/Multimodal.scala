@@ -65,6 +65,26 @@ object Multimodal {
     private def hash(r: Int, g: Int, b: Int, a: Int): Int =
       (r * 3 + g * 5 + b * 7 + a * 11) % 64
 
+    /** Header-only dims with the same structural guards decode applies
+      * before its allocation (14-byte header, channel check, dim
+      * bounds, the run-packing payload ceiling) — zero decode cost for
+      * the pre-decode gates. The chunk stream itself is deliberately
+      * unvalidated (that is the decode cost the gate avoids). */
+    def dims(bytes: Array[Byte]): (Int, Int) = {
+      require(bytes.length >= 14 + 8, "truncated qoi")
+      require(bytes(0) == 'q' && bytes(1) == 'o' && bytes(2) == 'i' &&
+        bytes(3) == 'f', "not a qoi stream")
+      def be32(o: Int): Int =
+        ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+        ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+      val w = be32(4); val h = be32(8)
+      require(bytes(12) == 3 || bytes(12) == 4, s"bad channels ${bytes(12)}")
+      require(w > 0 && h > 0 && w.toLong * h * 3 < Int.MaxValue, "bad dims")
+      require(w.toLong * h <= (bytes.length - 22).toLong * 62,
+        s"declared $w x $h cannot fit in ${bytes.length} bytes")
+      (w, h)
+    }
+
     def encode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
       require(rgb.length == w * h * 3, s"raster ${rgb.length} != ${w * h * 3}")
       val out = new java.io.ByteArrayOutputStream(rgb.length / 2 + 32)
@@ -136,6 +156,12 @@ object Multimodal {
       val w = be32(4); val h = be32(8)
       require(bytes(12) == 3 || bytes(12) == 4, s"bad channels ${bytes(12)}")
       require(w > 0 && h > 0 && w.toLong * h * 3 < Int.MaxValue, "bad dims")
+      // a declared-dims bomb (tiny stream, huge header) must fail before
+      // the raster allocation: the densest QOI op yields 3 bytes/px, so
+      // the payload bounds the pixel count from above (QOI_OP_RUN packs
+      // up to 62 px/byte — use that as the hard ceiling)
+      require(w.toLong * h <= (bytes.length - 22).toLong * 62,
+        s"declared $w x $h cannot fit in ${bytes.length} bytes")
       val raster = new Array[Byte](w * h * 3)
       val index = new Array[Int](64)
       var (r, g, b, a) = (0, 0, 0, 255)
@@ -256,8 +282,45 @@ object Multimodal {
       val w = int(); val h = int(); val maxVal = int()
       require(maxVal == 255, s"unsupported maxval $maxVal")
       i += 1 // single whitespace after maxval
+      require(w > 0 && h > 0 && w.toLong * h * 3 < Int.MaxValue,
+        s"bad dims $w x $h")
       require(bytes.length - i >= w * h * 3, "truncated raster")
       (w, h, java.util.Arrays.copyOfRange(bytes, i, i + w * h * 3))
+    }
+
+    /** Header-only dims + raster-LENGTH validation, zero copy — what a
+      * pre-decode gate reads (a declared-dims bomb must never cost an
+      * allocation inside the gate that exists to refuse it). */
+    def dims(bytes: Array[Byte]): (Int, Int) = {
+      var i = 0
+      def skipWs(): Unit = {
+        while (i < bytes.length &&
+          (bytes(i) == ' ' || bytes(i) == '\n' || bytes(i) == '\t' || bytes(i) == '\r')) i += 1
+        if (i < bytes.length && bytes(i) == '#') {
+          while (i < bytes.length && bytes(i) != '\n') i += 1
+          skipWs()
+        }
+      }
+      def int(): Long = {
+        skipWs()
+        var v = 0L
+        val start = i
+        while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+          v = v * 10 + (bytes(i) - '0')
+          require(v < Int.MaxValue, "header integer overflows")
+          i += 1
+        }
+        require(i > start, s"expected integer at offset $start")
+        v
+      }
+      require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 ppm")
+      i = 2
+      val w = int(); val h = int(); val maxVal = int()
+      require(maxVal == 255, s"unsupported maxval $maxVal")
+      i += 1
+      require(w > 0 && h > 0 && w * h * 3 < Int.MaxValue, s"bad dims $w x $h")
+      require(bytes.length - i >= w * h * 3, "truncated raster")
+      (w.toInt, h.toInt)
     }
   }
 
@@ -1203,6 +1266,75 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Magic-based container format id — the ONE sniffing order every
+    * Scala-side dispatch shares ([[mediaMetadata]], [[imageMetaGate]],
+    * [[mediaMetaGate]]; [[classifyMedia]] mirrors it as native column
+    * expressions, routing-pinned in the format specs). The round-17
+    * WebP-classified-as-audio bug is exactly what N parallel sniffing
+    * copies breed — there is one now. */
+  private[graft] def sniffFormat(b: Array[Byte]): String =
+    if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+    else if (Png.isPng(b)) "png"
+    else if (Gif.isGif(b)) "gif"
+    else if (Webp.isWebp(b)) "webp"
+    else if (b.length >= 2 && b(0) == 'P' && b(1) == '6') "ppm"
+    else if (b.length >= 4 && b(0) == 'q' && b(1) == 'o' && b(2) == 'i' &&
+      b(3) == 'f') "qoi"
+    else if (b.length >= 3 && b(0) == 'I' && b(1) == 'D' && b(2) == '3' ||
+      b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0) "mp3"
+    else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F') "wav"
+    else if (b.length >= 8 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
+      b(7) == 'p') "mp4"
+    else if (b.length >= 9 &&
+      new String(b, 0, 9, "US-ASCII") == "YUV4MPEG2") "y4m"
+    else "unknown"
+
+  private[graft] def modalityOf(format: String): String = format match {
+    case "jpeg" | "png" | "gif" | "webp" | "ppm" | "qoi" => "image"
+    case "mp3" | "wav" => "audio"
+    case "mp4" | "y4m" => "video"
+    case _ => "unknown"
+  }
+
+  /** One blob's gate disposition at header cost — the SHARED core of
+    * [[imageMetaGate]] and [[mediaMetaGate]] (two gates over one rule
+    * set, so a pipeline composing either sees the same dispositions):
+    * geometry for images (PPM/QOI via header-only dims readers — a
+    * declared-dims bomb never costs an allocation here), duration for
+    * audio/video, unknown kept. Throws on a failed structural walk
+    * (the caller maps that to dropped_malformed). */
+  private def gateOf(b: Array[Byte], format: String, minSide: Int,
+      maxPixels: Long, minDurationMs: Long, maxDurationMs: Long): String = {
+    def geom(w: Int, h: Int): String =
+      if (w < minSide || h < minSide) "dropped_tiny"
+      else if (w.toLong * h > maxPixels) "dropped_huge"
+      else "kept"
+    def dur(ms: Long): String =
+      if (ms < minDurationMs) "dropped_tiny"
+      else if (ms > maxDurationMs) "dropped_huge"
+      else "kept"
+    format match {
+      case "jpeg" => val md = Jpeg.meta(b); geom(md.width, md.height)
+      case "png" =>
+        val md = Png.meta(b)
+        if (md.unknownCritical) "dropped_unsupported"
+        else geom(md.width, md.height)
+      case "gif" => val md = Gif.meta(b); geom(md.width, md.height)
+      case "webp" => val md = Webp.meta(b); geom(md.width, md.height)
+      case "ppm" => val (w, h) = Ppm.dims(b); geom(w, h)
+      case "qoi" => val (w, h) = Qoi.dims(b); geom(w, h)
+      case "mp3" => dur(Mp3.meta(b).durationMs)
+      case "wav" => dur(Wav.meta(b).durationMs)
+      case "mp4" => dur(Mp4.meta(b).durationMs)
+      case "y4m" =>
+        val md = Y4m.meta(b)
+        val g = geom(md.width, md.height)
+        if (g != "kept") g else dur(md.durationMs)
+      case _ => "kept"
+    }
+  }
+
   final case class MediaMetaRow(media_id: Long, modality: String,
       format: String, width: Int, height: Int, duration_ms: Long,
       sample_rate: Int)
@@ -1229,53 +1361,45 @@ object Multimodal {
       it.flatMap { m =>
         val b = m.bytes
         try {
-          val row =
-            if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+          val fmt = sniffFormat(b)
+          val row = fmt match {
+            case "jpeg" =>
               val md = Jpeg.meta(b)
-              MediaMetaRow(m.media_id, "image", "jpeg", md.width, md.height,
-                -1L, -1)
-            } else if (Png.isPng(b)) {
+              MediaMetaRow(m.media_id, "image", fmt, md.width, md.height, -1L, -1)
+            case "png" =>
               val md = Png.meta(b)
-              MediaMetaRow(m.media_id, "image", "png", md.width, md.height,
-                -1L, -1)
-            } else if (b.length >= 2 && b(0) == 'P' && b(1) == '6') {
-              val (w, h, _) = Ppm.decode(b)
-              MediaMetaRow(m.media_id, "image", "ppm", w, h, -1L, -1)
-            } else if (b.length >= 4 && b(0) == 'q' && b(1) == 'o' &&
-                b(2) == 'i' && b(3) == 'f') {
-              val (w, h, _) = Qoi.decode(b)
-              MediaMetaRow(m.media_id, "image", "qoi", w, h, -1L, -1)
-            } else if (Gif.isGif(b)) {
+              MediaMetaRow(m.media_id, "image", fmt, md.width, md.height, -1L, -1)
+            case "ppm" =>
+              val (w, h) = Ppm.dims(b)
+              MediaMetaRow(m.media_id, "image", fmt, w, h, -1L, -1)
+            case "qoi" =>
+              val (w, h) = Qoi.dims(b)
+              MediaMetaRow(m.media_id, "image", fmt, w, h, -1L, -1)
+            case "gif" =>
               val md = Gif.meta(b)
-              MediaMetaRow(m.media_id, "image", "gif", md.width, md.height,
+              MediaMetaRow(m.media_id, "image", fmt, md.width, md.height,
                 md.totalDelayCs * 10L, -1)
-            } else if (Webp.isWebp(b)) {
+            case "webp" =>
               val md = Webp.meta(b)
-              MediaMetaRow(m.media_id, "image", "webp", md.width, md.height,
-                -1L, -1)
-            } else if (b.length >= 3 && b(0) == 'I' && b(1) == 'D' &&
-                b(2) == '3' ||
-                b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0) {
+              MediaMetaRow(m.media_id, "image", fmt, md.width, md.height, -1L, -1)
+            case "mp3" =>
               val md = Mp3.meta(b)
-              MediaMetaRow(m.media_id, "audio", "mp3", -1, -1,
+              MediaMetaRow(m.media_id, "audio", fmt, -1, -1,
                 md.durationMs, md.sampleRate)
-            } else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' &&
-                b(2) == 'F' && b(3) == 'F') {
+            case "wav" =>
               val md = Wav.meta(b)
-              MediaMetaRow(m.media_id, "audio", "wav", -1, -1,
+              MediaMetaRow(m.media_id, "audio", fmt, -1, -1,
                 md.durationMs, md.sampleRate)
-            } else if (b.length >= 8 && b(4) == 'f' && b(5) == 't' &&
-                b(6) == 'y' && b(7) == 'p') {
+            case "mp4" =>
               val md = Mp4.meta(b)
-              MediaMetaRow(m.media_id, "video", "mp4", -1, -1,
-                md.durationMs, -1)
-            } else if (b.length >= 9 &&
-                new String(b, 0, 9, "US-ASCII") == "YUV4MPEG2") {
+              MediaMetaRow(m.media_id, "video", fmt, -1, -1, md.durationMs, -1)
+            case "y4m" =>
               val md = Y4m.meta(b)
-              MediaMetaRow(m.media_id, "video", "y4m", md.width, md.height,
+              MediaMetaRow(m.media_id, "video", fmt, md.width, md.height,
                 md.durationMs, -1)
-            } else MediaMetaRow(m.media_id, "unknown", "unknown",
+            case _ => MediaMetaRow(m.media_id, "unknown", "unknown",
               -1, -1, -1L, -1)
+          }
           Iterator.single(row)
         } catch {
           case e: Exception if skipMalformed => Iterator.empty
@@ -1312,40 +1436,14 @@ object Multimodal {
     import spark.implicits._
     media.select(col("media_id"), col("bytes")).as[ImageRow].mapPartitions { it =>
       it.map { m =>
-        val b = m.bytes
+        // the SHARED gate core with the duration axes disabled — the
+        // image gate and the cross-modality gate apply ONE rule set,
+        // so a pipeline composing either sees the same dispositions
         val gate =
-          try {
-            if (b.length >= 2 && (b(0) & 0xff) == 0xff &&
-                (b(1) & 0xff) == 0xd8) {
-              val md = Jpeg.meta(b)
-              if (md.width < minSide || md.height < minSide) "dropped_tiny"
-              else if (md.width.toLong * md.height > maxPixels) "dropped_huge"
-              else "kept"
-            } else if (Png.isPng(b)) {
-              val md = Png.meta(b)
-              // interlace/16-bit DECODE since the r17 second pass; what
-              // the decoder genuinely refuses is an unknown critical
-              // chunk (Apple's CgBI shape) — known here without inflate
-              if (md.unknownCritical) "dropped_unsupported"
-              else if (md.width < minSide || md.height < minSide) "dropped_tiny"
-              else if (md.width.toLong * md.height > maxPixels) "dropped_huge"
-              else "kept"
-            } else if (Gif.isGif(b)) {
-              val md = Gif.meta(b)
-              if (md.width < minSide || md.height < minSide) "dropped_tiny"
-              else if (md.width.toLong * md.height > maxPixels) "dropped_huge"
-              else "kept"
-            } else if (Webp.isWebp(b)) {
-              // no pixel decoder, but the GATE's dims/cost columns are
-              // exactly what the walker reads — a kept WebP routes to
-              // exact-blob dedup downstream (the undecodable discipline)
-              val md = Webp.meta(b)
-              if (md.width < minSide || md.height < minSide) "dropped_tiny"
-              else if (md.width.toLong * md.height > maxPixels) "dropped_huge"
-              else "kept"
-            } else "kept"
-          } catch { case _: Exception => "dropped_malformed" }
-        (m.media_id, b, gate)
+          try gateOf(m.bytes, sniffFormat(m.bytes), minSide, maxPixels,
+            Long.MinValue, Long.MaxValue)
+          catch { case _: Exception => "dropped_malformed" }
+        (m.media_id, m.bytes, gate)
       }
     }.toDF("media_id", "bytes", "gate")
   }
@@ -1369,60 +1467,15 @@ object Multimodal {
     import spark.implicits._
     media.select(col("media_id"), col("bytes")).as[ImageRow].mapPartitions { it =>
       it.map { m =>
-        val b = m.bytes
-        def geomGate(w: Int, h: Int): String =
-          if (w < minSide || h < minSide) "dropped_tiny"
-          else if (w.toLong * h > maxPixels) "dropped_huge"
-          else "kept"
-        def durGate(ms: Long): String =
-          if (ms < minDurationMs) "dropped_tiny"
-          else if (ms > maxDurationMs) "dropped_huge"
-          else "kept"
-        // classify by magic ONCE (so a corrupt blob's star pairs still
-        // land in the right modality cohort), then walk within
-        val isJpeg = b.length >= 2 && (b(0) & 0xff) == 0xff &&
-          (b(1) & 0xff) == 0xd8
-        val isPpm = b.length >= 2 && b(0) == 'P' && b(1) == '6'
-        val isQoi = b.length >= 4 && b(0) == 'q' && b(1) == 'o' &&
-          b(2) == 'i' && b(3) == 'f'
-        val isMp3 = !isJpeg && (b.length >= 3 && b(0) == 'I' &&
-          b(1) == 'D' && b(2) == '3' ||
-          b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0)
-        val isWav = !Webp.isWebp(b) && b.length >= 4 && b(0) == 'R' &&
-          b(1) == 'I' && b(2) == 'F' && b(3) == 'F'
-        val isMp4 = b.length >= 8 && b(4) == 'f' && b(5) == 't' &&
-          b(6) == 'y' && b(7) == 'p'
-        val isY4m = b.length >= 9 &&
-          new String(b, 0, 9, "US-ASCII") == "YUV4MPEG2"
-        val modality =
-          if (isJpeg || Png.isPng(b) || Gif.isGif(b) || Webp.isWebp(b) ||
-            isPpm || isQoi) "image"
-          else if (isMp3 || isWav) "audio"
-          else if (isMp4 || isY4m) "video"
-          else "unknown"
+        // sniff ONCE: a corrupt blob's star pairs still land in the
+        // right modality cohort because the modality derives from the
+        // magic, not from the (failed) walk
+        val fmt = sniffFormat(m.bytes)
         val gate =
-          try {
-            if (isJpeg) { val md = Jpeg.meta(b); geomGate(md.width, md.height) }
-            else if (Png.isPng(b)) {
-              val md = Png.meta(b)
-              if (md.unknownCritical) "dropped_unsupported"
-              else geomGate(md.width, md.height)
-            }
-            else if (Gif.isGif(b)) { val md = Gif.meta(b); geomGate(md.width, md.height) }
-            else if (Webp.isWebp(b)) { val md = Webp.meta(b); geomGate(md.width, md.height) }
-            else if (isPpm) { val (w, h, _) = Ppm.decode(b); geomGate(w, h) }
-            else if (isQoi) { val (w, h, _) = Qoi.decode(b); geomGate(w, h) }
-            else if (isMp3) durGate(Mp3.meta(b).durationMs)
-            else if (isWav) durGate(Wav.meta(b).durationMs)
-            else if (isMp4) durGate(Mp4.meta(b).durationMs)
-            else if (isY4m) {
-              val md = Y4m.meta(b)
-              val g = geomGate(md.width, md.height)
-              if (g != "kept") g else durGate(md.durationMs)
-            }
-            else "kept"
-          } catch { case _: Exception => "dropped_malformed" }
-        (m.media_id, b, modality, gate)
+          try gateOf(m.bytes, fmt, minSide, maxPixels, minDurationMs,
+            maxDurationMs)
+          catch { case _: Exception => "dropped_malformed" }
+        (m.media_id, m.bytes, modalityOf(fmt), gate)
       }
     }.toDF("media_id", "bytes", "modality", "gate")
   }
@@ -1491,8 +1544,12 @@ object Multimodal {
         case 1 =>
           val b = withCom(Jpeg.encodeGray(8, 8, Array.tabulate(64)(p =>
             (40 + p).toByte)))
-          // patch the SOF dims: FF C0 len(2) prec(1) h(2) w(2)
-          var i = 2
+          // patch the SOF dims: FF C0 len(2) prec(1) h(2) w(2). Scan
+          // AFTER the spliced 14-byte COM segment — its little-endian
+          // gid payload can contain an FF C0 byte pair at corpus
+          // scales past ~198k docs, and the patch must never land in
+          // the comment
+          var i = 2 + 14
           while (!((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xc0)) i += 1
           b(i + 5) = ((3000 >> 8) & 0xff).toByte; b(i + 6) = (3000 & 0xff).toByte
           b(i + 7) = ((4000 >> 8) & 0xff).toByte; b(i + 8) = (4000 & 0xff).toByte
