@@ -175,8 +175,18 @@ object Gif {
 
   /** Decode every frame, composited onto the logical canvas per the
     * 89a disposal semantics. Returns (canvasW, canvasH,
-    * frames = (delay_cs, RGB raster)). */
-  def frames(bytes: Array[Byte]): (Int, Int, Seq[(Int, Array[Byte])]) = {
+    * frames = (delay_cs, RGB raster)).
+    *
+    * `maxFrames` caps the DECODED prefix (round 18, advisor): once the
+    * cap is emitted the remaining blocks are only structurally walked
+    * (the [[meta]] skip — rects, colour tables, LZW code-size bounds,
+    * trailer), never LZW-decoded or composited, so a first-frame
+    * consumer ([[decode]] → the m_gif gate, [[Multimodal.decodeAnyImages]])
+    * does not pay full animation decode per blob. Skipped frames'
+    * LZW PAYLOADS are deliberately not validated — exactly the
+    * meta/decode guard-parity boundary. */
+  def frames(bytes: Array[Byte],
+      maxFrames: Int = Int.MaxValue): (Int, Int, Seq[(Int, Array[Byte])]) = {
     if (!isGif(bytes)) fail("not a gif stream (bad signature)")
     val r = new Reader(bytes)
     r.take(6)
@@ -239,6 +249,14 @@ object Gif {
           val table = if (lct != null) lct else gct
           if (table == null) fail("frame without any colour table")
           val minCode = r.u8()
+          if (nFrames >= maxFrames) {
+            // past the decode cap: structural skip (the meta walk's
+            // guards), no LZW decode, no composite
+            if (minCode < 2 || minCode > 8) fail(s"bad LZW code size $minCode")
+            r.skipSubBlocks()
+            nFrames += 1
+            transparentIdx = -1; delayCs = 0; disposal = 0
+          } else {
           val lzw = r.readSubBlocks()
           var idx = lzwDecode(lzw, minCode, fw * fh)
           if (interlaced) idx = deinterlace(idx, fw, fh)
@@ -286,6 +304,7 @@ object Gif {
             case _ => () // 0/1: leave as drawn
           }
           transparentIdx = -1; delayCs = 0; disposal = 0
+          }
         case b => fail(f"unknown block 0x$b%02x")
       }
     }
@@ -295,9 +314,12 @@ object Gif {
   }
 
   /** Composited FIRST frame — the [[Multimodal.Ppm]]/[[Jpeg]]/[[Png]]
-    * (w, h, RGB) decode contract for the image stack. */
+    * (w, h, RGB) decode contract for the image stack. First-frame-only:
+    * the remaining animation frames are structurally skipped, not
+    * LZW-decoded (see [[frames]]' `maxFrames`) — animation length is
+    * not a hidden decode-cost multiplier for the single-image path. */
   def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
-    val (w, h, fs) = frames(bytes)
+    val (w, h, fs) = frames(bytes, maxFrames = 1)
     (w, h, fs.head._2)
   }
 

@@ -1266,12 +1266,30 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Second-byte values of a bare MPEG frame-sync header with
+    * NON-RESERVED version and layer codes — the ONE list both
+    * [[sniffFormat]] and [[classifyMedia]] enumerate (round 18: the two
+    * dispatches previously disagreed — classifyMedia listed only the
+    * Layer III codes while sniffFormat took any 0xFF 0xEx, including
+    * reserved version/layer combinations [[Mp3.meta]] refuses).
+    * Layout: 111 (sync tail) | version(2, ≠01 reserved) |
+    * layer(2, ≠00 reserved) | protection(1). */
+  private[graft] val Mp3SyncSecondBytes: Seq[Int] =
+    for {
+      ver <- Seq(0, 2, 3); layer <- Seq(1, 2, 3); prot <- Seq(0, 1)
+    } yield 0xe0 | (ver << 3) | (layer << 1) | prot
+
   /** Magic-based container format id — the ONE sniffing order every
     * Scala-side dispatch shares ([[mediaMetadata]], [[imageMetaGate]],
     * [[mediaMetaGate]]; [[classifyMedia]] mirrors it as native column
     * expressions, routing-pinned in the format specs). The round-17
     * WebP-classified-as-audio bug is exactly what N parallel sniffing
-    * copies breed — there is one now. */
+    * copies breed — there is one now. Round 18 tightened two arms so
+    * unrecognized blobs fall through to `unknown` and stay KEPT instead
+    * of failing a strict walk they were never valid for: the wav arm
+    * requires the `WAVE` form tag (a bare-RIFF AVI is not a wav), and
+    * the bare-MP3 arm requires non-reserved version/layer bits
+    * ([[Mp3SyncSecondBytes]]). */
   private[graft] def sniffFormat(b: Array[Byte]): String =
     if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
     else if (Png.isPng(b)) "png"
@@ -1281,9 +1299,11 @@ object Multimodal {
     else if (b.length >= 4 && b(0) == 'q' && b(1) == 'o' && b(2) == 'i' &&
       b(3) == 'f') "qoi"
     else if (b.length >= 3 && b(0) == 'I' && b(1) == 'D' && b(2) == '3' ||
-      b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0) "mp3"
-    else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
-      b(3) == 'F') "wav"
+      b.length >= 2 && (b(0) & 0xff) == 0xff &&
+        Mp3SyncSecondBytes.contains(b(1) & 0xff)) "mp3"
+    else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+      b(11) == 'E') "wav"
     else if (b.length >= 8 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
       b(7) == 'p') "mp4"
     else if (b.length >= 9 &&
@@ -2217,12 +2237,16 @@ object Multimodal {
     * header cost. Returns (media_id, bytes, modality). */
   def classifyMedia(media: DataFrame): DataFrame = {
     def magic(n: Int) = substring(col("bytes"), 1, n)
-    // MP3 sync prefixes (round 17): ID3v2-tagged streams lead with
-    // "ID3"; bare streams lead with the 11-bit sync + version/layer
-    // bits — the common Layer III codes (MPEG-1/2/2.5, with and
-    // without CRC). The strict frame walk is Mp3.meta's job;
+    // MP3 sync prefixes: ID3v2-tagged streams lead with "ID3"; bare
+    // streams lead with the 11-bit sync + version/layer bits. The
+    // second-byte values enumerate [[Mp3SyncSecondBytes]] — the SAME
+    // list sniffFormat tests, so the Scala-side and native-column
+    // classifications cannot diverge (round 18: they did — only the
+    // Layer III codes were listed here while sniffFormat took any
+    // sync, so a bare Layer I/II stream routed audio in the gate and
+    // unknown here). The strict frame walk is Mp3.meta's job;
     // classification only routes.
-    val mp3Sync = Seq(0xfb, 0xfa, 0xf3, 0xf2, 0xe3, 0xe2)
+    val mp3Sync = Mp3SyncSecondBytes
       .map(b => magic(2) === lit(Array(0xff.toByte, b.toByte)))
       .reduce(_ || _)
     media.select(col("media_id"), col("bytes"),
@@ -2233,11 +2257,12 @@ object Multimodal {
           magic(6) === lit("GIF89a".getBytes) ||
           // WebP is RIFF-framed: without this arm it routed to the
           // AUDIO cohort (round-17 fix) — the image test must precede
-          // the bare-RIFF audio rule
+          // the RIFF/WAVE audio rule
           (magic(4) === lit("RIFF".getBytes) &&
             substring(col("bytes"), 9, 4) === lit("WEBP".getBytes)) ||
           magic(2) === lit(Array(0xff.toByte, 0xd8.toByte)), "image")
-        .when(magic(4) === lit("RIFF".getBytes) ||
+        .when((magic(4) === lit("RIFF".getBytes) &&
+            substring(col("bytes"), 9, 4) === lit("WAVE".getBytes)) ||
           magic(3) === lit("ID3".getBytes) || mp3Sync, "audio")
         .when(magic(9) === lit("YUV4MPEG2".getBytes) ||
           substring(col("bytes"), 5, 4) === lit("ftyp".getBytes), "video")

@@ -160,6 +160,39 @@ class ContainerMetaSpec extends SparkSpec {
       (3L, 13L, "exact_blob", "video")))
   }
 
+  test("routing parity (r18): bare Layer I/II syncs route audio in BOTH dispatches; non-WAVE RIFF and reserved syncs stay kept as unknown") {
+    // a bare Layer II stream (verBits=3 layerBits=2 → second byte
+    // 0xFC/0xFD — absent from the pre-r18 classifyMedia list)
+    val layer2 = Mp3.encodeFrames(3, 2, _ => 4, 1, nFrames = 2)
+    assert((layer2(1) & 0xff) === 0xfd)
+    // a RIFF container that is neither WEBP nor WAVE (an AVI shape)
+    val avi = "RIFF".getBytes ++ Array[Byte](8, 0, 0, 0) ++
+      "AVI LIST".getBytes
+    // a sync byte pair with a RESERVED version code (0xFF 0xE9: ver=01)
+    val reserved = Array(0xff.toByte, 0xe9.toByte) ++
+      Array.tabulate(40)(_.toByte)
+    val media = Seq((1L, layer2), (2L, avi), (3L, reserved))
+      .toDF("media_id", "bytes")
+    // the native-column dispatch and the Scala-side gate dispatch agree
+    val cls = Multimodal.classifyMedia(media).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(cls === Map(1L -> "audio", 2L -> "unknown", 3L -> "unknown"))
+    val gate = Multimodal.mediaMetaGate(media).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getString(3)))).toMap
+    assert(gate(1L) === (("audio", "kept")))
+    // the pre-r18 bug: these two sniffed wav/mp3, failed their strict
+    // walks, and dropped as malformed — a pre-pass must never silently
+    // drop what it cannot read
+    assert(gate(2L) === (("unknown", "kept")))
+    assert(gate(3L) === (("unknown", "kept")))
+    // mediaMetadata keeps them as unknown rows, and parses the Layer II
+    // stream (Mp3.meta covers Layers I-III)
+    val rows = Multimodal.mediaMetadata(media).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(rows === Map(1L -> (("audio", "mp3")),
+      2L -> (("unknown", "unknown")), 3L -> (("unknown", "unknown"))))
+  }
+
   test("the meta gate classifies junk at header cost and gated junk is NEVER pixel-decoded (accumulator-proven)") {
     val docs = (0L until 32L).toDF("doc_id")
     val junk = Multimodal.junkImageMediaFromDocuments(docs)

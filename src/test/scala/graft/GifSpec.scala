@@ -221,4 +221,31 @@ class GifSpec extends SparkSpec {
     bad(i + 1) = 7 // left = 7 → 7 + 8 > 8
     intercept[IllegalArgumentException](Gif.decode(bad))
   }
+
+  test("decode is first-frame-only (r18): later frames structurally skipped, never LZW-decoded") {
+    val w = 8; val h = 8
+    val idx1 = Array.tabulate(w * h)(p => (p % 4).toByte)
+    val one = Gif.encode(w, h, pal16, Seq(Gif.EncFrame(idx1, delayCs = 1)))
+    // splice a SECOND frame whose LZW payload is garbage (first 3-bit
+    // code = 7, not a literal): full-decode refuses it, the
+    // first-frame path must not even read it
+    val frame2 = Array[Byte](0x21.toByte, 0xf9.toByte, 4, 0, 1, 0, 0, 0,
+      0x2c, 0, 0, 0, 0, 8, 0, 8, 0, 0, // descriptor 8x8 at (0,0), no LCT
+      2, // LZW min code size
+      1, 0xff.toByte, 0, // one sub-block of junk + terminator
+      0x3b)
+    val corrupt = one.dropRight(1) ++ frame2
+    intercept[IllegalArgumentException](Gif.frames(corrupt))
+    val (dw, dh, raster) = Gif.decode(corrupt)
+    assert(dw === w && dh === h)
+    assert(raster === Gif.decode(one)._3,
+      "first frame must decode identically with the junk tail skipped")
+    // meta (which never validates LZW payloads) agrees on the census
+    assert(Gif.meta(corrupt).nFrames === 2)
+    // the structural guards still apply to SKIPPED frames: a bad LZW
+    // code size past the cap refuses
+    val badCode = corrupt.clone()
+    badCode(one.length - 1 + 18) = 1 // min code size 1 on frame 2
+    intercept[IllegalArgumentException](Gif.decode(badCode))
+  }
 }
