@@ -2483,6 +2483,31 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Multimodal: decodeless FLAC metadata (round 18) — the lossless
+    // audio twin: strict metadata-block walk (the mandatory 34-byte
+    // STREAMINFO first, lengths chaining exactly, a frame sync
+    // required after the chain), sample rate/channels/bit depth/total
+    // samples → duration at header cost. The truncated cohort drops.
+    // Every column replays from doc_id arithmetic.
+    "m_flac_meta" -> ((s, dir) => {
+      Multimodal.flacMetadata(Multimodal.flacMediaFromDocuments(
+          s.read.parquet(s"$dir/documents.parquet")))
+        .orderBy("media_id")
+    }),
+
+    // Multimodal: decodeless OGG metadata (round 18) — the page-walk
+    // twin: RFC 3533 framing with every page CRC VERIFIED, BOS/EOS
+    // and sequence discipline, codec id from the BOS packet
+    // (vorbis/opus parsed; unknown codecs SURVIVE with −1 sentinels —
+    // the routing-parity discipline), terminal granule → duration.
+    // The truncated cohort drops (payload cut breaks both the tiling
+    // and the CRC).
+    "m_ogg_meta" -> ((s, dir) => {
+      Multimodal.oggMetadata(Multimodal.oggMediaFromDocuments(
+          s.read.parquet(s"$dir/documents.parquet")))
+        .orderBy("media_id")
+    }),
+
     // Multimodal: decodeless MP4/ISO-BMFF metadata (round 17) — the
     // box-walk twin for the dominant video container: brand, movie
     // timescale/duration, track census, per-track sample-entry codec
@@ -5972,6 +5997,55 @@ object SparkEntry {
         |  doc_id % 2 = 0 AS has_id3v2,
         |  doc_id % 5 = 0 AS has_id3v1
         |FROM t ORDER BY media_id""".stripMargin,
+
+    // Structural replay of the FLAC STREAMINFO fields and the
+    // metadata-block census from doc_id arithmetic; the truncated %17
+    // cohort drops (cut inside STREAMINFO).
+    "m_flac_meta" ->
+      """WITH m AS (SELECT doc_id,
+        |    list_extract([8000,16000,44100,48000],
+        |                 CAST(doc_id % 4 AS INT) + 1) AS sr,
+        |    1000 + doc_id % 90000 AS total
+        |  FROM documents WHERE doc_id % 17 <> 0)
+        |SELECT doc_id AS media_id,
+        |  CAST(sr AS INT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INT) AS n_channels,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 16 END AS INT)
+        |    AS bits_per_sample,
+        |  CAST(total AS BIGINT) AS total_samples,
+        |  CAST(total * 1000 // sr AS BIGINT) AS duration_ms,
+        |  CAST(1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+        |         + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+        |         + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS INT)
+        |    AS n_blocks,
+        |  doc_id % 5 = 0 AS has_seek_table,
+        |  doc_id % 2 = 0 AS has_vorbis_comment
+        |FROM m ORDER BY media_id""".stripMargin,
+
+    // Structural replay of the Ogg page walk: codec by doc_id%3, page
+    // census (BOS + audio pages), terminal granule = total samples,
+    // vorbis duration at the declared rate, opus at the fixed 48 kHz
+    // minus the 312-sample pre-skip, unknown codecs with −1 sentinels;
+    // the truncated %17 cohort drops (tiling + CRC both break).
+    "m_ogg_meta" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'vorbis' WHEN 1 THEN 'opus'
+        |         ELSE 'unknown' END AS codec,
+        |    list_extract([8000,11025,22050,44100],
+        |                 CAST(doc_id % 4 AS INT) + 1) AS vr,
+        |    4800 + doc_id % 100000 AS total
+        |  FROM documents WHERE doc_id % 17 <> 0)
+        |SELECT doc_id AS media_id, codec,
+        |  CAST(CASE codec WHEN 'vorbis' THEN vr WHEN 'opus' THEN 48000
+        |       ELSE -1 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN codec = 'unknown' THEN -1
+        |       ELSE 1 + doc_id % 2 END AS INT) AS n_channels,
+        |  CAST(2 + doc_id % 4 AS INT) AS n_pages,
+        |  CAST(total AS BIGINT) AS last_granule,
+        |  CAST(CASE codec WHEN 'vorbis' THEN total * 1000 // vr
+        |       WHEN 'opus' THEN (total - 312) * 1000 // 48000
+        |       ELSE -1 END AS BIGINT) AS duration_ms
+        |FROM m ORDER BY media_id""".stripMargin,
 
     // Structural replay of the ISO-BMFF box walk: brand, timescale,
     // duration, track census, and codec fourccs all from doc_id

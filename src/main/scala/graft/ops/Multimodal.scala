@@ -623,6 +623,65 @@ object Multimodal {
     }.toDF("media_id", "bytes")
   }
 
+  /** Planted FLAC fixture for the m_flac_meta gate (round 18): sample
+    * rate from a 4-entry table by doc_id%4, channels 1+doc_id%2, bit
+    * depth 16/24 by doc_id%3=0, total samples 1000+doc_id%90000, a
+    * VORBIS_COMMENT block on even docs, a SEEKTABLE on doc_id%5=0,
+    * PADDING on doc_id%7=0, TRUNCATED to 20 bytes (inside STREAMINFO)
+    * on doc_id%17=0 for the DROPMALFORMED cohort. Every reported
+    * column replays from doc_id arithmetic. */
+  def flacMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val sr = Array(8000, 16000, 44100, 48000)((id % 4).toInt)
+      val bytes = Flac.encode(sr,
+        nChannels = 1 + (id % 2).toInt,
+        bitsPerSample = if (id % 3 == 0) 24 else 16,
+        totalSamples = 1000L + id % 90000,
+        vorbisCommentLen = if (id % 2 == 0) 5 + (id % 20).toInt else -1,
+        seekPoints = if (id % 5 == 0) 1 + (id % 3).toInt else 0,
+        paddingLen = if (id % 7 == 0) (id % 50).toInt else -1,
+        frameLen = 24 + (id % 40).toInt, seed = id)
+      val out =
+        if (id % 17 == 0) java.util.Arrays.copyOfRange(bytes, 0, 20)
+        else bytes
+      (id, out)
+    }.toDF("media_id", "bytes")
+  }
+
+  /** Planted OGG fixture for the m_ogg_meta gate (round 18): codec by
+    * doc_id%3 (vorbis / opus / an unknown id packet — the page walk is
+    * codec-independent and the unknown cohort survives with −1
+    * sentinels), vorbis rate from a 4-entry table, channels
+    * 1+doc_id%2, total samples 4800+doc_id%100000, 1+doc_id%4 audio
+    * pages, TRUNCATED (last 5 bytes cut — inside the EOS page's
+    * payload, which also breaks its CRC) on doc_id%17=0. Every column
+    * replays from doc_id arithmetic; opus durations subtract the fixed
+    * 312-sample pre-skip at the RFC 7845 48 kHz timebase. */
+  def oggMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val codec = (id % 3) match {
+        case 0 => "vorbis"
+        case 1 => "opus"
+        case _ => "junk"
+      }
+      val rate =
+        if (codec == "vorbis") Array(8000, 11025, 22050, 44100)((id % 4).toInt)
+        else 48000
+      val bytes = Ogg.encode(codec, rate, 1 + (id % 2).toInt,
+        totalSamples = 4800L + id % 100000,
+        nAudioPages = 1 + (id % 4).toInt,
+        payloadLen = 30 + (id % 50).toInt, seed = id)
+      val out =
+        if (id % 17 == 0) java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 5)
+        else bytes
+      (id, out)
+    }.toDF("media_id", "bytes")
+  }
+
   /** Planted MP4 fixture for the m_mp4_meta gate (round 17): brand by
     * doc_id%3 (isom/mp42/M4A ), movie timescale 600·(1+doc_id%4) and
     * duration 1000+doc_id%5000 units, a video track (avc1/hev1 by
@@ -1180,6 +1239,64 @@ object Multimodal {
     }.toDF()
   }
 
+  final case class FlacMetaRow(media_id: Long, sample_rate: Int,
+      n_channels: Int, bits_per_sample: Int, total_samples: Long,
+      duration_ms: Long, n_blocks: Int, has_seek_table: Boolean,
+      has_vorbis_comment: Boolean)
+
+  /** Decodeless FLAC metadata — [[mp3Metadata]]'s lossless twin
+    * ([[Flac.meta]]): sample rate, channels, bit depth, total samples
+    * and duration from the mandatory STREAMINFO block, plus the
+    * metadata-block census, at header cost with no committed decoder.
+    * Streams truncated inside their metadata chain (or with no frame
+    * sync after it) drop under `skipMalformed`. */
+  def flacMetadata(media: DataFrame, skipMalformed: Boolean = true): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[ImageRow].mapPartitions { it =>
+      it.flatMap { m =>
+        try {
+          val md = Flac.meta(m.bytes)
+          Iterator.single(FlacMetaRow(m.media_id, md.sampleRate,
+            md.nChannels, md.bitsPerSample, md.totalSamples,
+            md.durationMs, md.nBlocks, md.hasSeekTable,
+            md.hasVorbisComment))
+        } catch {
+          case e: Exception if skipMalformed => Iterator.empty
+          case e: Exception => throw new RuntimeException(
+            s"malformed flac for media_id ${m.media_id}", e)
+        }
+      }
+    }.toDF()
+  }
+
+  final case class OggMetaRow(media_id: Long, codec: String,
+      sample_rate: Int, n_channels: Int, n_pages: Int,
+      last_granule: Long, duration_ms: Long)
+
+  /** Decodeless OGG metadata — the page-walk twin ([[Ogg.meta]]):
+    * codec (from the BOS identification header: vorbis/opus/unknown),
+    * declared rate and channels, page census, terminal granule
+    * position and the duration it implies. Every page CRC is verified;
+    * truncated or bit-rotted streams drop under `skipMalformed`. */
+  def oggMetadata(media: DataFrame, skipMalformed: Boolean = true): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[ImageRow].mapPartitions { it =>
+      it.flatMap { m =>
+        try {
+          val md = Ogg.meta(m.bytes)
+          Iterator.single(OggMetaRow(m.media_id, md.codec, md.sampleRate,
+            md.nChannels, md.nPages, md.lastGranule, md.durationMs))
+        } catch {
+          case e: Exception if skipMalformed => Iterator.empty
+          case e: Exception => throw new RuntimeException(
+            s"malformed ogg for media_id ${m.media_id}", e)
+        }
+      }
+    }.toDF()
+  }
+
   final case class Mp4MetaRow(media_id: Long, major_brand: String,
       timescale: Long, duration_ms: Long, n_tracks: Int,
       video_codec: String, audio_codec: String, has_mdat: Boolean)
@@ -1301,6 +1418,8 @@ object Multimodal {
     else if (b.length >= 3 && b(0) == 'I' && b(1) == 'D' && b(2) == '3' ||
       b.length >= 2 && (b(0) & 0xff) == 0xff &&
         Mp3SyncSecondBytes.contains(b(1) & 0xff)) "mp3"
+    else if (Flac.isFlac(b)) "flac"
+    else if (Ogg.isOgg(b)) "ogg"
     else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
       b(11) == 'E') "wav"
@@ -1312,7 +1431,11 @@ object Multimodal {
 
   private[graft] def modalityOf(format: String): String = format match {
     case "jpeg" | "png" | "gif" | "webp" | "ppm" | "qoi" => "image"
-    case "mp3" | "wav" => "audio"
+    // ogg routes AUDIO: the container is codec-agnostic but its crawl
+    // population is overwhelmingly Vorbis/Opus; a Theora-in-Ogg video
+    // would land in the audio cohort where only its exact duplicates
+    // survive — the documented boundary for formats without a decoder
+    case "mp3" | "wav" | "flac" | "ogg" => "audio"
     case "mp4" | "y4m" => "video"
     case _ => "unknown"
   }
@@ -1346,6 +1469,12 @@ object Multimodal {
       case "qoi" => val (w, h) = Qoi.dims(b); geom(w, h)
       case "mp3" => dur(Mp3.meta(b).durationMs)
       case "wav" => dur(Wav.meta(b).durationMs)
+      case "flac" => dur(Flac.meta(b).durationMs)
+      case "ogg" =>
+        val ms = Ogg.meta(b).durationMs
+        // unknown codec: the page walk is sound but the granule has no
+        // timebase — the gate keeps what it cannot judge
+        if (ms < 0) "kept" else dur(ms)
       case "mp4" => dur(Mp4.meta(b).durationMs)
       case "y4m" =>
         val md = Y4m.meta(b)
@@ -1408,6 +1537,14 @@ object Multimodal {
                 md.durationMs, md.sampleRate)
             case "wav" =>
               val md = Wav.meta(b)
+              MediaMetaRow(m.media_id, "audio", fmt, -1, -1,
+                md.durationMs, md.sampleRate)
+            case "flac" =>
+              val md = Flac.meta(b)
+              MediaMetaRow(m.media_id, "audio", fmt, -1, -1,
+                md.durationMs, md.sampleRate)
+            case "ogg" =>
+              val md = Ogg.meta(b)
               MediaMetaRow(m.media_id, "audio", fmt, -1, -1,
                 md.durationMs, md.sampleRate)
             case "mp4" =>
@@ -2263,6 +2400,8 @@ object Multimodal {
           magic(2) === lit(Array(0xff.toByte, 0xd8.toByte)), "image")
         .when((magic(4) === lit("RIFF".getBytes) &&
             substring(col("bytes"), 9, 4) === lit("WAVE".getBytes)) ||
+          magic(4) === lit("fLaC".getBytes) ||
+          magic(4) === lit("OggS".getBytes) ||
           magic(3) === lit("ID3".getBytes) || mp3Sync, "audio")
         .when(magic(9) === lit("YUV4MPEG2".getBytes) ||
           substring(col("bytes"), 5, 4) === lit("ftyp".getBytes), "video")

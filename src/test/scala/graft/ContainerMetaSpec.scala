@@ -160,6 +160,84 @@ class ContainerMetaSpec extends SparkSpec {
       (3L, 13L, "exact_blob", "video")))
   }
 
+  test("flac: STREAMINFO walk, block census, truncation/structure refusal (r18)") {
+    import graft.ops.Flac
+    val b = Flac.encode(44100, 2, 16, 441000L, vorbisCommentLen = 12,
+      seekPoints = 2, paddingLen = 30)
+    val m = Flac.meta(b)
+    assert(m === Flac.Meta(44100, 2, 16, 441000L, 10000L, 4, 4096, 4096,
+      hasSeekTable = true, hasVorbisComment = true))
+    // 20-bit sample rate and 36-bit total exercise the odd-width fields
+    val hi = Flac.meta(Flac.encode(655349, 8, 24, (1L << 35) + 7))
+    assert(hi.sampleRate === 655349 && hi.nChannels === 8)
+    assert(hi.bitsPerSample === 24 && hi.totalSamples === (1L << 35) + 7)
+    // truncation inside the metadata chain refuses
+    intercept[IllegalArgumentException](
+      Flac.meta(java.util.Arrays.copyOfRange(b, 0, 20)))
+    // a stream with no frame sync after the chain refuses
+    val noFrames = Flac.encode(8000, 1, 16, 100L, frameLen = 0)
+    intercept[IllegalArgumentException](Flac.meta(noFrames))
+    // a non-STREAMINFO first block refuses
+    val wrongFirst = b.clone(); wrongFirst(4) = 1
+    intercept[IllegalArgumentException](Flac.meta(wrongFirst))
+    intercept[IllegalArgumentException](Flac.meta("not flac".getBytes))
+  }
+
+  test("ogg: CRC-verified page walk, vorbis/opus/unknown codecs, truncation/sequence refusal (r18)") {
+    import graft.ops.Ogg
+    val v = Ogg.meta(Ogg.encode("vorbis", 44100, 2, 88200L, nAudioPages = 3))
+    assert(v === Ogg.Meta("vorbis", 44100, 2, 4, 88200L, 2000L))
+    val o = Ogg.meta(Ogg.encode("opus", 48000, 1, 48312L, nAudioPages = 2))
+    assert(o.codec === "opus" && o.sampleRate === 48000)
+    assert(o.durationMs === (48312L - 312) * 1000 / 48000)
+    // an unknown codec still walks (framing is codec-independent) and
+    // reports sentinels — never a refusal
+    val u = Ogg.meta(Ogg.encode("junk", 0, 0, 5000L))
+    assert(u.codec === "unknown" && u.sampleRate === -1 && u.nChannels === -1)
+    assert(u.durationMs === -1L && u.lastGranule === 5000L)
+    // truncation refuses (tiling AND CRC break)
+    val good = Ogg.encode("vorbis", 8000, 1, 4000L)
+    intercept[IllegalArgumentException](
+      Ogg.meta(java.util.Arrays.copyOfRange(good, 0, good.length - 5)))
+    // a single flipped payload bit fails the page CRC
+    val rot = good.clone(); rot(rot.length - 1) = (rot(rot.length - 1) ^ 1).toByte
+    intercept[IllegalArgumentException](Ogg.meta(rot))
+    // a missing EOS refuses (cut exactly at a page boundary)
+    val twoPages = Ogg.encode("vorbis", 8000, 1, 4000L, nAudioPages = 2,
+      payloadLen = 10)
+    val lastPageLen = 27 + 1 + 10
+    intercept[IllegalArgumentException](Ogg.meta(
+      java.util.Arrays.copyOfRange(twoPages, 0, twoPages.length - lastPageLen)))
+    intercept[IllegalArgumentException](Ogg.meta("OggX???".getBytes))
+  }
+
+  test("flac/ogg ride the unified pre-pass and both dispatches agree (r18)") {
+    import graft.ops.{Flac, Ogg}
+    val flac = Flac.encode(16000, 1, 16, 16000L)
+    val ogg = Ogg.encode("vorbis", 8000, 1, 8000L)
+    val media = Seq((1L, flac), (2L, ogg), (10L, flac), (20L, ogg))
+      .toDF("media_id", "bytes")
+    val cls = Multimodal.classifyMedia(media).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(cls.values.toSet === Set("audio"))
+    val rows = Multimodal.mediaMetadata(media).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        r.getLong(5), r.getInt(6)))).toMap
+    assert(rows(1L) === (("audio", "flac", 1000L, 16000)))
+    assert(rows(2L) === (("audio", "ogg", 1000L, 8000)))
+    // the gate's duration axis applies: both clips are exactly 1 s
+    val gate = Multimodal.mediaMetaGate(media, minDurationMs = 2000L)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(gate(1L) === "dropped_tiny" && gate(2L) === "dropped_tiny")
+    // exact dedup survives in the audio cohort (no committed decoder)
+    val pairs = Multimodal.routedMediaDedup(media)
+      .select("id_a", "id_b", "kind", "modality").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(pairs === Set((1L, 10L, "exact_blob", "audio"),
+      (2L, 20L, "exact_blob", "audio")))
+  }
+
   test("routing parity (r18): bare Layer I/II syncs route audio in BOTH dispatches; non-WAVE RIFF and reserved syncs stay kept as unknown") {
     // a bare Layer II stream (verBits=3 layerBits=2 → second byte
     // 0xFC/0xFD — absent from the pre-r18 classifyMedia list)
