@@ -2014,12 +2014,11 @@ object Multimodal {
       else if (Png.isPng(bytes)) Png.decode(bytes)
       else if (Gif.isGif(bytes)) Gif.decode(bytes)
       else if (Webp.isWebp(bytes))
-        // explicit, self-documenting refusal: the container is image
-        // (classifyMedia) but VP8 pixel decode is codec territory —
-        // the blob keeps exact dedup through the undecodable route
-        throw new IllegalArgumentException(
-          "webp: pixel decode out of scope (VP8/VP8L entropy coding) — " +
-            "metadata via Webp.meta")
+        // LOSSLESS (VP8L) decodes for real since round 18 (the
+        // from-spec Vp8l codec); lossy VP8 and animated containers
+        // keep refusing loudly inside Webp.decode — those blobs keep
+        // exact dedup through the undecodable route
+        Webp.decode(bytes)
       else Qoi.decode(bytes)
     val dec = decodeImagesWith(media,
       if (!autoOrient) base

@@ -98,6 +98,53 @@ object Webp {
     Meta(w, h, format, alpha, animated, math.max(nFrames, 1), nChunks)
   }
 
+  /** Pixel decode (round 18): LOSSLESS (VP8L) streams decode for real
+    * through the from-spec [[Vp8l]] codec — simple `VP8L` files and
+    * extended (`VP8X`) containers whose still image is a VP8L chunk.
+    * Returns (w, h, RGB raster), alpha dropped (the [[Png.decode]]
+    * convention). Lossy `VP8 ` payloads keep REFUSING loudly (the
+    * MP3/H.264 codec boundary), as do animated containers (their
+    * frames ride [[graft.ops.Multimodal]]'s video bridge instead) —
+    * both keep exact dedup through the undecodable route. */
+  def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    if (!isWebp(bytes)) fail("not a webp stream (bad RIFF/WEBP header)")
+    val md = meta(bytes) // the strict container walk (sizes must chain)
+    if (md.animated) fail(
+      "animated webp decode out of scope here — frames ride the video bridge")
+    def u32le(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    var pos = 12
+    while (pos < bytes.length) {
+      val typ = new String(bytes, pos, 4, "ISO-8859-1")
+      val size = u32le(pos + 4).toInt
+      if (typ == "VP8L") {
+        val (w, h, _, argb) = Vp8l.decode(bytes, pos + 8, size)
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          val p = argb(i)
+          rgb(3 * i) = ((p >> 16) & 0xff).toByte
+          rgb(3 * i + 1) = ((p >> 8) & 0xff).toByte
+          rgb(3 * i + 2) = (p & 0xff).toByte
+          i += 1
+        }
+        return (w, h, rgb)
+      }
+      if (typ == "VP8 ") fail(
+        "lossy VP8 pixel decode out of scope (codec territory) — " +
+          "metadata via Webp.meta")
+      pos = pos + 8 + size + (size & 1)
+    }
+    fail("no decodable image chunk")
+  }
+
+  /** REAL lossless fixture writer: ARGB pixels through the from-spec
+    * [[Vp8l]] encoder, RIFF-wrapped. */
+  def encodeVp8lPixels(w: Int, h: Int, argb: Array[Int],
+      opts: Vp8l.EncOptions = Vp8l.EncOptions()): Array[Byte] =
+    wrap(chunk("VP8L", Vp8l.encode(w, h, argb, opts)))
+
   // ---- fixture-grade writer (headers only — the payload past the
   // dimension fields is deterministic junk the walker never reads) ----
 
