@@ -228,6 +228,11 @@ object SparkEntry {
         lit("who-knows".getBytes).as("bytes")))
       .unionByName(off(Multimodal.gifMediaFromDocuments(docs), 70000000L))
       .unionByName(off(Multimodal.webpMediaFromDocuments(docs), 80000000L))
+      // round 18: the two remaining audio containers join the unified
+      // pre-pass (eleven formats); the ogg cohort's unknown-codec third
+      // stays KEPT with −1 sentinels (the routing-parity discipline)
+      .unionByName(off(Multimodal.flacMediaFromDocuments(docs), 100000000L))
+      .unionByName(off(Multimodal.oggMediaFromDocuments(docs), 110000000L))
   }
 
   /** Planted MIXED-media corpus — each modality's dedup fixture at its
@@ -255,8 +260,18 @@ object SparkEntry {
         encode(floor(col("doc_id") / 4).cast("string"), "UTF-8")).as("bytes"))
     val png = Multimodal.pngDedupMediaFromDocuments(docs)
       .select((col("media_id") + lit(10000000L)).as("media_id"), col("bytes"))
+    // round 18: a VP8L cohort whose m=2 member is a lossless re-encode
+    // through a different transform stack (the PNG recall shape on the
+    // newly-decodable format), and a LOSSY-VP8 refusal cohort
+    // (byte-identical groups the image route must keep as exact stars
+    // — the codec boundary exercised inside the mixed corpus)
+    val webp = Multimodal.webpDedupMediaFromDocuments(docs)
+      .select((col("media_id") + lit(12000000L)).as("media_id"), col("bytes"))
+    val lossy = Multimodal.lossyWebpMediaFromDocuments(docs)
+      .select((col("media_id") + lit(14000000L)).as("media_id"), col("bytes"))
     img.unionByName(aud).unionByName(vid).unionByName(unk)
-      .unionByName(bad).unionByName(png)
+      .unionByName(bad).unionByName(png).unionByName(webp)
+      .unionByName(lossy)
   }
 
   /** Frozen per-modality + exact-blob indexes over the m ∈ {0,3} corpus
@@ -2280,6 +2295,41 @@ object SparkEntry {
     // (precision AND recall).
     "m_png_dedup" -> ((s, dir) => {
       val media = Multimodal.pngDedupMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet"))
+      val dec = Multimodal.decodeAnyImages(media, thumbSide = 8)
+      Multimodal.imageNearDupPairs(dec, maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming"), col("n_diff_ch"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Multimodal: REAL VP8L (lossless WebP) decode (round 18, from the
+    // public VP8L bitstream spec) — per doc a real entropy-coded
+    // stream through a doc_id%6 rotation of encoder option sets, so
+    // every decoder path runs on the wire: plain literals / subtract-
+    // green / predictor / color transform / bundled palette /
+    // LZ77 + color cache + meta groups. Decode through the RIFF walk
+    // into prefix-code + transform inversion, output per-channel
+    // means. VP8L is lossless, so DuckDB replays every mean EXACTLY
+    // from doc_id arithmetic. The truncated %17 cohort refuses.
+    "m_webp" -> ((s, dir) => {
+      val imgs = Multimodal.webpDecodeMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet"))
+      Multimodal.decodeWebpImages(imgs, thumbSide = 2)
+        .select(col("media_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy("media_id")
+    }),
+
+    // Multimodal: PERCEPTUAL dedup over REAL VP8L streams (round 18) —
+    // the capability the format lost before the from-spec codec:
+    // groups of base / exact byte copy / RE-ENCODED copy (same pixels
+    // through a different transform stack — subtract-green + predictor
+    // + cache — so the bytes differ end to end and exact-blob dedup
+    // structurally misses it) / independent. Lossless decode ⇒ the
+    // re-encode pairs at hamming 0 with n_diff_ch 0; the oracle
+    // replays the pair structure exactly (precision AND recall).
+    "m_webp_dedup" -> ((s, dir) => {
+      val media = Multimodal.webpDedupMediaFromDocuments(
         s.read.parquet(s"$dir/documents.parquet"))
       val dec = Multimodal.decodeAnyImages(media, thumbSide = 8)
       Multimodal.imageNearDupPairs(dec, maxHamming = 3)
@@ -5674,6 +5724,53 @@ object SparkEntry {
         | WHERE a.m <= 2 AND b.m <= 2
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // Analytic replay of the VP8L decode: lossless, so each channel is
+    // pure modular arithmetic over doc_id and the pixel index — the
+    // palette variant (v=4) looks up a 16-slot planted palette by
+    // (p+doc_id)%16, the row-repeat variant (v=5) depends on x only,
+    // the rest share the ramp forms. The truncated doc_id%17=0 cohort
+    // refuses in the bitstream and is excluded here.
+    "m_webp" ->
+      """WITH m AS (SELECT doc_id, doc_id % 6 AS v,
+        |    8 + doc_id % 13 AS w, 6 + doc_id % 11 AS h
+        |  FROM documents WHERE doc_id % 17 <> 0),
+        |s AS (SELECT doc_id, w, h,
+        |  list_sum(list_transform(range(0, w * h), p ->
+        |    CASE WHEN v = 4 THEN (doc_id + ((p + doc_id) % 16)*17) % 256
+        |         WHEN v = 5 THEN (doc_id*3 + (p % w)) % 256
+        |         ELSE (doc_id*3 + p) % 256 END)) AS sr,
+        |  list_sum(list_transform(range(0, w * h), p ->
+        |    CASE WHEN v = 4 THEN (doc_id*3 + ((p + doc_id) % 16)*29) % 256
+        |         WHEN v = 5 THEN (doc_id*5 + 2*(p % w)) % 256
+        |         ELSE (doc_id*5 + 2*p) % 256 END)) AS sg,
+        |  list_sum(list_transform(range(0, w * h), p ->
+        |    CASE WHEN v = 4 THEN (doc_id*7 + ((p + doc_id) % 16)*41) % 256
+        |         WHEN v = 5 THEN (doc_id*7 + 3*(p % w)) % 256
+        |         ELSE (doc_id*11 + 3*p) % 256 END)) AS sb
+        |  FROM m)
+        |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height,
+        |  CAST(sr AS DOUBLE) / (w * h) AS mean_r,
+        |  CAST(sg AS DOUBLE) / (w * h) AS mean_g,
+        |  CAST(sb AS DOUBLE) / (w * h) AS mean_b
+        |FROM s ORDER BY media_id""".stripMargin,
+
+    // Exact replay of the planted VP8L dedup structure: all three
+    // members m ∈ {0,1,2} decode to IDENTICAL pixels (m=1 exact bytes,
+    // m=2 a lossless re-encode through a different transform stack),
+    // so every within-group pair sits at hamming 0 / n_diff_ch 0;
+    // independents and cross-group pairs must NOT appear.
+    "m_webp_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |           FROM documents)
+        |SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+        |       CAST(b.doc_id AS BIGINT) AS id_b,
+        |       CAST(0 AS BIGINT) AS hamming,
+        |       CAST(0 AS BIGINT) AS n_diff_ch
+        |FROM d a JOIN d b ON a.gid = b.gid AND a.doc_id < b.doc_id
+        | WHERE a.m <= 2 AND b.m <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // Exact replay of the planted rotated-re-save structure: the
     // tag-8 member normalizes onto its base (one pair per group at
     // hamming 0), the untagged rotated control and the tagged
@@ -5864,6 +5961,29 @@ object SparkEntry {
         |  SELECT CAST(80000000 + doc_id AS BIGINT), 'image', 'webp',
         |    CAST(16 + doc_id % 200 AS INT), CAST(14 + doc_id % 150 AS INT),
         |    CAST(-1 AS BIGINT), CAST(-1 AS INT)
+        |  FROM docs WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT CAST(100000000 + doc_id AS BIGINT), 'audio', 'flac',
+        |    CAST(-1 AS INT), CAST(-1 AS INT),
+        |    CAST((1000 + doc_id % 90000) * 1000
+        |         // list_extract([8000,16000,44100,48000],
+        |                         CAST(doc_id % 4 AS INT) + 1) AS BIGINT),
+        |    CAST(list_extract([8000,16000,44100,48000],
+        |                      CAST(doc_id % 4 AS INT) + 1) AS INT)
+        |  FROM docs WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT CAST(110000000 + doc_id AS BIGINT), 'audio', 'ogg',
+        |    CAST(-1 AS INT), CAST(-1 AS INT),
+        |    CAST(CASE doc_id % 3
+        |         WHEN 0 THEN (4800 + doc_id % 100000) * 1000
+        |              // list_extract([8000,11025,22050,44100],
+        |                              CAST(doc_id % 4 AS INT) + 1)
+        |         WHEN 1 THEN (4800 + doc_id % 100000 - 312) * 1000 // 48000
+        |         ELSE -1 END AS BIGINT),
+        |    CAST(CASE doc_id % 3
+        |         WHEN 0 THEN list_extract([8000,11025,22050,44100],
+        |                                  CAST(doc_id % 4 AS INT) + 1)
+        |         WHEN 1 THEN 48000 ELSE -1 END AS INT)
         |  FROM docs WHERE doc_id % 17 <> 0)
         |ORDER BY media_id""".stripMargin,
 
@@ -5926,6 +6046,22 @@ object SparkEntry {
         |         WHEN 1 THEN 'dropped_huge'
         |         WHEN 2 THEN 'dropped_malformed'
         |         ELSE 'dropped_unsupported' END
+        |  FROM docs
+        |  UNION ALL
+        |  SELECT CAST(100000000 + doc_id AS BIGINT), 'audio',
+        |    CASE WHEN doc_id % 17 = 0 THEN 'dropped_malformed'
+        |         WHEN (1000 + doc_id % 90000) * 1000
+        |              // list_extract([8000,16000,44100,48000],
+        |                              CAST(doc_id % 4 AS INT) + 1) > 5000
+        |         THEN 'dropped_huge' ELSE 'kept' END
+        |  FROM docs
+        |  UNION ALL
+        |  SELECT CAST(110000000 + doc_id AS BIGINT), 'audio',
+        |    CASE WHEN doc_id % 17 = 0 THEN 'dropped_malformed'
+        |         WHEN doc_id % 3 = 0 AND (4800 + doc_id % 100000) * 1000
+        |              // list_extract([8000,11025,22050,44100],
+        |                              CAST(doc_id % 4 AS INT) + 1) > 5000
+        |         THEN 'dropped_huge' ELSE 'kept' END
         |  FROM docs)
         |ORDER BY media_id""".stripMargin,
 
@@ -6351,7 +6487,14 @@ object SparkEntry {
         |  FROM d WHERE m <> 0
         |  UNION ALL
         |  SELECT CAST(10000000 + ia AS BIGINT), CAST(10000000 + ib AS BIGINT),
-        |         'perceptual', 'image' FROM tri)
+        |         'perceptual', 'image' FROM tri
+        |  UNION ALL
+        |  SELECT CAST(12000000 + ia AS BIGINT), CAST(12000000 + ib AS BIGINT),
+        |         'perceptual', 'image' FROM tri
+        |  UNION ALL
+        |  SELECT CAST(14000000 + gid * 4 AS BIGINT),
+        |         CAST(14000000 + doc_id AS BIGINT), 'exact_blob', 'image'
+        |  FROM d WHERE m <> 0)
         |ORDER BY id_a, id_b""".stripMargin,
 
     // Exact replay of the audio stream: the copy (m=1) AND the
@@ -6514,7 +6657,27 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT CAST(10000000 + gid * 4 AS BIGINT),
         |         CAST(10000000 + doc_id AS BIGINT),
-        |         'exact_blob', 'image', 'corpus' FROM d WHERE m = 1)
+        |         'exact_blob', 'image', 'corpus' FROM d WHERE m = 1
+        |  UNION ALL
+        |  SELECT CAST(12000000 + gid * 4 + 1 AS BIGINT),
+        |         CAST(12000000 + gid * 4 + 2 AS BIGINT),
+        |         'perceptual', 'image', 'batch' FROM g
+        |  UNION ALL
+        |  SELECT CAST(12000000 + gid * 4 AS BIGINT),
+        |         CAST(12000000 + doc_id AS BIGINT),
+        |         'perceptual', 'image', 'corpus' FROM d WHERE m IN (1, 2)
+        |  UNION ALL
+        |  SELECT CAST(12000000 + gid * 4 AS BIGINT),
+        |         CAST(12000000 + doc_id AS BIGINT),
+        |         'exact_blob', 'image', 'corpus' FROM d WHERE m = 1
+        |  UNION ALL
+        |  SELECT CAST(14000000 + gid * 4 + 1 AS BIGINT),
+        |         CAST(14000000 + gid * 4 + 2 AS BIGINT),
+        |         'exact_blob', 'image', 'batch' FROM g
+        |  UNION ALL
+        |  SELECT CAST(14000000 + gid * 4 AS BIGINT),
+        |         CAST(14000000 + doc_id AS BIGINT),
+        |         'exact_blob', 'image', 'corpus' FROM d WHERE m IN (1, 2))
         |ORDER BY id_a, id_b, side, kind""".stripMargin,
 
     // Exact replay of the mixed-modality stream: every m in {1,2} member
@@ -6566,7 +6729,19 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT CAST(10000000 + doc_id AS BIGINT),
         |         CAST(10000000 + gid * 4 AS BIGINT),
-        |         'exact_blob', 'image' FROM d WHERE m = 1)
+        |         'exact_blob', 'image' FROM d WHERE m = 1
+        |  UNION ALL
+        |  SELECT CAST(12000000 + doc_id AS BIGINT),
+        |         CAST(12000000 + gid * 4 AS BIGINT),
+        |         'perceptual', 'image' FROM d WHERE m IN (1, 2)
+        |  UNION ALL
+        |  SELECT CAST(12000000 + doc_id AS BIGINT),
+        |         CAST(12000000 + gid * 4 AS BIGINT),
+        |         'exact_blob', 'image' FROM d WHERE m = 1
+        |  UNION ALL
+        |  SELECT CAST(14000000 + doc_id AS BIGINT),
+        |         CAST(14000000 + gid * 4 AS BIGINT),
+        |         'exact_blob', 'image' FROM d WHERE m IN (1, 2))
         |ORDER BY media_id, match_id, kind""".stripMargin,
 
     // Exact replay of the composed media pipeline: the near-dup cluster

@@ -589,6 +589,111 @@ object Multimodal {
     }.toDF("media_id", "bytes")
   }
 
+  /** Planted REAL-VP8L fixture for the m_webp decode gate (round 18):
+    * per doc the same analytic channel ramps the m_png gate plants
+    * (r/g/b as affine mod-256 forms over doc_id and the pixel index),
+    * encoded through a doc_id%6 rotation of [[Vp8l]] option sets so
+    * every decoder path runs on the wire — plain literals / subtract-
+    * green / predictor / color transform / a 16-colour palette
+    * (bundled indices) / a row-repeat raster under LZ77 + cache + two
+    * meta groups. VP8L is lossless, so DuckDB replays every mean
+    * EXACTLY from doc_id arithmetic. TRUNCATED on doc_id%17=0 (the
+    * bitstream refuses, DROPMALFORMED drops). */
+  def webpDecodeMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (8 + id % 13).toInt
+      val h = (6 + id % 11).toInt
+      val v = (id % 6).toInt
+      val px = Array.tabulate(w * h) { p =>
+        val (r, g, b) = v match {
+          case 4 => // palette: 16 planted colours looked up by p%16
+            val i = ((p + id) % 16).toInt
+            (((id + i * 17) % 256).toInt, ((id * 3 + i * 29) % 256).toInt,
+              ((id * 7 + i * 41) % 256).toInt)
+          case 5 => // row-repeat: channels depend on x only (LZ77 food)
+            val x = p % w
+            (((id * 3 + x) % 256).toInt, ((id * 5 + 2 * x) % 256).toInt,
+              ((id * 7 + 3 * x) % 256).toInt)
+          case _ =>
+            (((id * 3 + p) % 256).toInt, ((id * 5 + 2 * p) % 256).toInt,
+              ((id * 11 + 3 * p) % 256).toInt)
+        }
+        0xff000000 | (r << 16) | (g << 8) | b
+      }
+      val opts = v match {
+        case 0 => Vp8l.EncOptions(lz77 = false)
+        case 1 => Vp8l.EncOptions(subtractGreen = true)
+        case 2 => Vp8l.EncOptions(predictorMode = 2, predictorBits = 2)
+        case 3 => Vp8l.EncOptions(colorTx = Some((17, -23, 5)),
+          colorBits = 3, cacheBits = 6)
+        case 4 => Vp8l.EncOptions(palette = true)
+        case _ => Vp8l.EncOptions(cacheBits = 8, metaBits = 2)
+      }
+      val bytes = Webp.encodeVp8lPixels(w, h, px, opts)
+      val out =
+        if (id % 17 == 0) java.util.Arrays.copyOfRange(bytes, 0, bytes.length / 2)
+        else bytes
+      (id, out)
+    }.toDF("media_id", "bytes")
+  }
+
+  /** Planted WebP dedup fixture for the m_webp_dedup gate (round 18) —
+    * the [[pngDedupMediaFromDocuments]] structure on the VP8L codec:
+    * groups of four 8×8 binary rasters (gid = id/4), m=0 the base
+    * (plain-literal encode), m=1 an EXACT byte copy, m=2 a RE-ENCODE
+    * of the same pixels through a different transform stack
+    * (subtract-green + predictor + cache — different bytes end to end,
+    * so exact-blob dedup structurally misses it; VP8L is lossless, so
+    * it pairs at hamming 0), m=3 an independent raster. The pattern
+    * seed is double-mixed with its own family salt (the round-17
+    * disjoint-domain discipline: never colliding with
+    * {mix(gid)} ∪ {mix(7919g+104729)}). */
+  def webpDedupMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val gid = id / 4
+      val m = (id % 4).toInt
+      def mix(v: Long): Long = splitmix64(v)
+      val pattern = mix(
+        (if (m == 3) mix(gid * 7919L + 104729L) else mix(gid)) +
+          0x6b2e9d4c1a8f7e35L)
+      val px = Array.tabulate(64) { p =>
+        if (((pattern >>> p) & 1L) == 1L) 0xffffffff else 0xff000000
+      }
+      val opts =
+        if (m == 2) Vp8l.EncOptions(subtractGreen = true,
+          predictorMode = 1, predictorBits = 2, cacheBits = 4)
+        else Vp8l.EncOptions(lz77 = false)
+      (id, Webp.encodeVp8lPixels(8, 8, px, opts))
+    }.toDF("media_id", "bytes")
+  }
+
+  /** Planted LOSSY-VP8 refusal cohort (round 18): groups of four
+    * BYTE-IDENTICAL structurally-valid lossy WebP blobs (gid = id/4,
+    * gid baked into the payload as LE-64 so groups can never collide
+    * at corpus scale — the encodeLossy seed only survives mod 256).
+    * classifyMedia routes them IMAGE (RIFF/WEBP), [[Webp.decode]]
+    * refuses them (the codec boundary), so the routed stack must keep
+    * their duplicates as exact star pairs — the m_routed_media lossy
+    * cohort. */
+  def lossyWebpMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val gid = id / 4
+      val b = Webp.encodeLossy(8, 8, payloadLen = 24, seed = gid)
+      var i = 0
+      while (i < 8) {
+        b(12 + 8 + 10 + i) = ((gid >>> (8 * i)) & 0xff).toByte
+        i += 1
+      }
+      (id, b)
+    }.toDF("media_id", "bytes")
+  }
+
   /** Planted MP3 fixture for the m_mp3_meta gate (round 17): Layer III
     * streams across all three MPEG versions (doc_id%3 → 1 / 2 / 2.5),
     * bitrate index 1+doc_id%13, sample-rate index (doc_id/3)%3,
@@ -1138,6 +1243,17 @@ object Multimodal {
   def decodePngImages(media: DataFrame, thumbSide: Int = 2,
       skipMalformed: Boolean = true): DataFrame =
     decodeImagesWith(media, Png.decode, thumbSide, skipMalformed)
+
+  /** Lossless-WebP decode — the VP8L tier ([[Vp8l]], implemented from
+    * the public VP8L bitstream spec; round 18): prefix codes, LZ77 +
+    * color cache, meta groups, all four transforms. Same output
+    * contract as [[decodeImages]]; alpha is dropped. Lossy VP8 and
+    * animated containers refuse inside [[Webp.decode]] and drop under
+    * `skipMalformed` (they keep exact dedup through the undecodable
+    * route). */
+  def decodeWebpImages(media: DataFrame, thumbSide: Int = 2,
+      skipMalformed: Boolean = true): DataFrame =
+    decodeImagesWith(media, Webp.decode, thumbSide, skipMalformed)
 
   final case class JpegMetaRow(media_id: Long, width: Int, height: Int,
       n_components: Int, progressive: Boolean, samp_h: Int, samp_v: Int,
