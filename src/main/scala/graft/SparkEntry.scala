@@ -2840,6 +2840,34 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Multimodal: the CROSS-MODALITY GATE COMPOSED END TO END (round
+    // 18) — mediaMetaGate → decode ONLY the kept cohort per modality →
+    // routed dedup, with gated-out blobs keeping their byte-identical
+    // duplicates as exact stars IN THEIR MAGIC-DERIVED MODALITY. The
+    // corpus is the full mixed dedup fixture (whose kept cohorts pass
+    // the gate and pair exactly as m_routed_media) plus three planted
+    // junk cohorts the gate must refuse at header cost: the four-kind
+    // image junk (tiny/bomb/truncated/CgBI), sub-5ms WAV click junk,
+    // and 6-second MP4 cost bombs. Decode attempts stay ≡ kept
+    // (listener-proven in ContainerMetaSpec, measured on the Scale4x
+    // --metagate ladder).
+    "m_gated_media" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val media = mixedMediaFixture(s, dir)
+        .unionByName(Multimodal.junkImageMediaFromDocuments(docs)
+          .select((col("media_id") + lit(16000000L)).as("media_id"),
+            col("bytes")))
+        .unionByName(Multimodal.junkAudioMediaFromDocuments(docs)
+          .select((col("media_id") + lit(18000000L)).as("media_id"),
+            col("bytes")))
+        .unionByName(Multimodal.junkVideoMediaFromDocuments(docs)
+          .select((col("media_id") + lit(20000000L)).as("media_id"),
+            col("bytes")))
+      Multimodal.gatedMediaDedup(media, minSide = 8,
+          maxPixels = 1000000L, minDurationMs = 5L, maxDurationMs = 5000L)
+        .orderBy("id_a", "id_b", "kind")
+    }),
+
     // STREAMING perceptual audio dedup — the audio twin of
     // m_stream_image_dedup: corpus members m in {0,3} freeze into the
     // signature index, m in {1,2} arrive as the stream. The exact copy
@@ -6496,6 +6524,59 @@ object SparkEntry {
         |         CAST(14000000 + doc_id AS BIGINT), 'exact_blob', 'image'
         |  FROM d WHERE m <> 0)
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Exact replay of the composed cross-modality gate: the kept
+    // cohorts pair exactly as m_routed_media (the gate admits every
+    // dedup fixture — 8×8 rasters at minSide 8, 64-200 ms clips inside
+    // [5 ms, 5 s]); the three junk cohorts drop at the gate and keep
+    // only their per-group exact stars, each in its magic-derived
+    // modality.
+    "m_gated_media" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |           FROM documents),
+        |tri AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+        |        FROM d a JOIN d b ON a.gid = b.gid AND a.doc_id < b.doc_id
+        |        WHERE a.m <= 2 AND b.m <= 2)
+        |SELECT * FROM (
+        |  SELECT CAST(ia AS BIGINT) AS id_a, CAST(ib AS BIGINT) AS id_b,
+        |         'perceptual' AS kind, 'image' AS modality FROM tri
+        |  UNION ALL
+        |  SELECT CAST(2000000 + ia AS BIGINT), CAST(2000000 + ib AS BIGINT),
+        |         'perceptual', 'audio' FROM tri
+        |  UNION ALL
+        |  SELECT CAST(4000000 + ia AS BIGINT), CAST(4000000 + ib AS BIGINT),
+        |         'perceptual', 'video' FROM tri
+        |  UNION ALL
+        |  SELECT CAST(6000000 + (SELECT min(doc_id) FROM d) AS BIGINT),
+        |         CAST(6000000 + doc_id AS BIGINT), 'exact_blob', 'unknown'
+        |  FROM d WHERE doc_id > (SELECT min(doc_id) FROM d)
+        |  UNION ALL
+        |  SELECT CAST(8000000 + gid * 4 AS BIGINT),
+        |         CAST(8000000 + doc_id AS BIGINT), 'exact_blob', 'image'
+        |  FROM d WHERE m <> 0
+        |  UNION ALL
+        |  SELECT CAST(10000000 + ia AS BIGINT), CAST(10000000 + ib AS BIGINT),
+        |         'perceptual', 'image' FROM tri
+        |  UNION ALL
+        |  SELECT CAST(12000000 + ia AS BIGINT), CAST(12000000 + ib AS BIGINT),
+        |         'perceptual', 'image' FROM tri
+        |  UNION ALL
+        |  SELECT CAST(14000000 + gid * 4 AS BIGINT),
+        |         CAST(14000000 + doc_id AS BIGINT), 'exact_blob', 'image'
+        |  FROM d WHERE m <> 0
+        |  UNION ALL
+        |  SELECT CAST(16000000 + gid * 4 AS BIGINT),
+        |         CAST(16000000 + doc_id AS BIGINT), 'exact_blob', 'image'
+        |  FROM d WHERE m <> 0
+        |  UNION ALL
+        |  SELECT CAST(18000000 + gid * 4 AS BIGINT),
+        |         CAST(18000000 + doc_id AS BIGINT), 'exact_blob', 'audio'
+        |  FROM d WHERE m <> 0
+        |  UNION ALL
+        |  SELECT CAST(20000000 + gid * 4 AS BIGINT),
+        |         CAST(20000000 + doc_id AS BIGINT), 'exact_blob', 'video'
+        |  FROM d WHERE m <> 0)
+        |ORDER BY id_a, id_b, kind""".stripMargin,
 
     // Exact replay of the audio stream: the copy (m=1) AND the
     // 2x-amplitude member (m=2) fingerprint identically to their group

@@ -1780,6 +1780,82 @@ object Multimodal {
         thumbSide, flatEps, ahash, autoOrient))
   }
 
+  /** META-GATED cross-modality dedup (round 18) — [[gatedImageDedup]]
+    * composed across EVERY modality, the full crawl pipeline shape:
+    * ONE header walk per blob ([[mediaMetaGate]]) classifies and gates
+    * it, decode runs ONLY on the kept cohort (per modality, through
+    * [[routedMediaDedup]]'s tagged body — the gate's modality column
+    * IS the classification, so the kept path never sniffs twice), and
+    * gated-out blobs keep their byte-identical duplicates as exact
+    * star pairs IN THEIR MAGIC-DERIVED MODALITY (truncated downloads,
+    * decode bombs, sub-audible clips and over-long movies all mirror
+    * across a crawl too — dropping a blob from perceptual matching
+    * must never drop it from exact dedup; two byte-identical blobs
+    * always share a magic, so the per-modality star groups are
+    * well-defined). Decode-attempt accumulators stay ≡ the kept
+    * census (listener-proven in the spec, measured on the Scale4x
+    * --metagate ladder). Returns (id_a, id_b, kind, modality). */
+  def gatedMediaDedup(media: DataFrame, minSide: Int = 8,
+      maxPixels: Long = 100000000L, minDurationMs: Long = 0L,
+      maxDurationMs: Long = Long.MaxValue, maxHamming: Int = 3,
+      maxBucketDf: Int = 1000, minMatchedFrames: Int = 2,
+      maxFrameDf: Int = 1000, thumbSide: Int = 8,
+      flatEps: Double = 1e-9, silenceFloor: Int = 0,
+      imageAhash: Boolean = false,
+      imageAutoOrient: Boolean = false): DataFrame = {
+    // one header pass feeds both cohorts (kept routing + dropped stars)
+    val gated = mediaMetaGate(media, minSide, maxPixels, minDurationMs,
+      maxDurationMs).localCheckpoint()
+    val kept = gated.filter(col("gate") === "kept")
+      .select(col("media_id"), col("bytes"), col("modality"))
+    val dropped = gated.filter(col("gate") =!= "kept")
+      .select(col("media_id").as("key"), col("bytes"), col("modality"))
+      .localCheckpoint() // two consumers: group aggregate + star probe
+    val groups = dropped
+      .groupBy(md5(col("bytes")).as("_m"))
+      .agg(min(col("key").cast("long")).as("kept_key"))
+    val dropPairs = dropped.withColumn("_md5", md5(col("bytes")))
+      .join(groups, col("_md5") === col("_m") &&
+        col("key").cast("long") =!= col("kept_key"))
+      .select(col("kept_key").as("id_a"), col("key").cast("long").as("id_b"),
+        lit("exact_blob").as("kind"), col("modality"))
+    dropPairs.unionByName(routedMediaDedupTagged(kept, maxHamming,
+      maxBucketDf, minMatchedFrames, maxFrameDf, thumbSide, flatEps,
+      silenceFloor, imageAhash, imageAutoOrient))
+  }
+
+  /** Planted sub-`minDurationMs` AUDIO junk for the cross-modality
+    * gate rows (round 18): groups of four BYTE-IDENTICAL WAV clips of
+    * 40+8·(gid%4) samples at 16 kHz (2-4 ms — the click-junk shape),
+    * gid-seeded samples so groups never collide. The gate must refuse
+    * them at header cost while their exact duplicates survive. */
+  def junkAudioMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val gid = id / 4
+      val n = 40 + (gid % 4).toInt * 8
+      val samples = Array.tabulate(n)(i =>
+        (splitmix64(gid * 131071L + i) % 8000L).toShort)
+      (id, Wav.encode(16000, samples))
+    }.toDF("media_id", "bytes")
+  }
+
+  /** Planted beyond-`maxDurationMs` VIDEO junk (round 18): groups of
+    * four BYTE-IDENTICAL MP4s declaring 6000 ms at timescale 600 (the
+    * cost-bomb shape — a crawl pipeline must refuse to pay frame
+    * decode to find out), gid-seeded so groups never collide. */
+  def junkVideoMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val gid = id / 4
+      (id, Mp4.encode("isom", gid, 600L, 3600L,
+        video = Some("avc1"), audio = Some("mp4a"),
+        mdatLen = 16 + (gid % 16).toInt, seed = gid))
+    }.toDF("media_id", "bytes")
+  }
+
   /** Planted JUNK cohort for the meta-gate rows (round 17) — the blobs
     * a crawl's pre-decode gate exists to refuse, in groups of four
     * BYTE-IDENTICAL copies (gid = id/4) so the exact-dedup guarantee
@@ -2747,9 +2823,15 @@ object Multimodal {
       skipGoertzelBelowPeak: Int = Int.MinValue): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    // the audio twin of graft.image_decode_attempts: every blob
+    // entering a PCM decode counts, so the cross-modality gate's
+    // decode-only-the-kept claim is accumulator-provable per modality
+    val attempts = spark.sparkContext
+      .longAccumulator("graft.audio_decode_attempts")
     media.select(col("media_id"), col("bytes")).as[AudioRow].mapPartitions { it =>
       it.flatMap { m =>
         try {
+          attempts.add(1)
           val (_, samples) = Wav.decode(m.bytes)
           var peak = 0
           var i = 0
@@ -3281,9 +3363,13 @@ object Multimodal {
       skipMalformed: Boolean = true): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    // the video twin of graft.image_decode_attempts (gate audit)
+    val attempts = spark.sparkContext
+      .longAccumulator("graft.video_decode_attempts")
     media.select(col("media_id"), col("bytes")).as[VideoRow].mapPartitions { it =>
       it.flatMap { m =>
         try {
+          attempts.add(1)
           val (w, h, _, frames) = Y4m.decode(m.bytes)
           frames.iterator.zipWithIndex.map { case (f, k) =>
             (m.media_id, k, lumaThumb(f, w, h, thumbSide))
@@ -3374,9 +3460,13 @@ object Multimodal {
       skipMalformed: Boolean = true): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    // the video twin of graft.image_decode_attempts (gate audit)
+    val attempts = spark.sparkContext
+      .longAccumulator("graft.video_decode_attempts")
     media.select(col("media_id"), col("bytes")).as[VideoRow].mapPartitions { it =>
       it.flatMap { m =>
         try {
+          attempts.add(1)
           val (w, h, _, frames) = Y4m.decode(m.bytes)
           val (hashes, pos) = distinctFrameHashes(
             frames.iterator.map(f => lumaThumb(f, w, h, thumbSide)))

@@ -309,6 +309,64 @@ class ContainerMetaSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("gatedMediaDedup (r18): one header walk gates every modality; decode attempts ≡ kept PER MODALITY (accumulator-proven); gated junk keeps exact stars in its modality") {
+    val docs = (0L until 32L).toDF("doc_id")
+    def off(df: org.apache.spark.sql.DataFrame, o: Long) = df.select(
+      (col("media_id") + lit(o)).as("media_id"), col("bytes"))
+    val media = Multimodal.dedupImageMediaFromDocuments(docs)
+      .select("media_id", "bytes")
+      .unionByName(off(Multimodal.dedupAudioMediaFromDocuments(docs), 2000000L))
+      .unionByName(off(Multimodal.dedupVideoMediaFromDocuments(docs), 4000000L))
+      .unionByName(off(Multimodal.junkImageMediaFromDocuments(docs), 16000000L))
+      .unionByName(off(Multimodal.junkAudioMediaFromDocuments(docs), 18000000L))
+      .unionByName(off(Multimodal.junkVideoMediaFromDocuments(docs), 20000000L))
+      .localCheckpoint()
+    val seen = scala.collection.mutable.Map(
+      "image" -> new java.util.concurrent.atomic.AtomicLong(0),
+      "audio" -> new java.util.concurrent.atomic.AtomicLong(0),
+      "video" -> new java.util.concurrent.atomic.AtomicLong(0))
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        sc.stageInfo.accumulables.values.foreach { a =>
+          seen.foreach { case (mod, ctr) =>
+            if (a.name.exists(_.contains(s"graft.${mod}_decode_attempts")))
+              ctr.addAndGet(a.value.map(_.toString.toLong).getOrElse(0L))
+          }
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val pairs = Multimodal.gatedMediaDedup(media, minSide = 8,
+          maxPixels = 1000000L, minDurationMs = 5L, maxDurationMs = 5000L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+        .toSet
+      // junk keeps per-group exact stars in its magic-derived modality
+      for ((offset, mod) <- Seq((16000000L, "image"), (18000000L, "audio"),
+          (20000000L, "video")); g <- 0L until 8L; m <- 1L to 3L)
+        assert(pairs.contains((offset + g * 4, offset + g * 4 + m,
+          "exact_blob", mod)), s"missing junk star at $offset g=$g m=$m")
+      // kept cohorts pair perceptually exactly as the ungated routing
+      for (g <- 0L until 8L)
+        assert(pairs.contains((g * 4, g * 4 + 1, "perceptual", "image")) &&
+          pairs.contains((2000000L + g * 4, 2000000L + g * 4 + 1,
+            "perceptual", "audio")) &&
+          pairs.contains((4000000L + g * 4, 4000000L + g * 4 + 1,
+            "perceptual", "video")))
+      // no junk blob ever reaches a decode: attempts == kept, per
+      // modality (32 each; the 96 junk blobs decode nowhere)
+      var waited = 0
+      while (seen.values.map(_.get()).sum < 96 && waited < 50) {
+        Thread.sleep(100); waited += 1
+      }
+      for ((mod, ctr) <- seen)
+        assert(ctr.get() === 32L,
+          s"$mod decode attempts ${ctr.get()} != kept 32 — the gate " +
+            "leaked blobs into (or out of) the decoder")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("mp3Metadata / mp4Metadata drop truncated blobs under DROPMALFORMED (the gate fixtures, in-process)") {
     val docs = (0L until 40L).toDF("doc_id")
     val mp3Ids = Multimodal.mp3Metadata(
