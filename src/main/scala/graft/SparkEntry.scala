@@ -3029,6 +3029,66 @@ object SparkEntry {
       s.read.parquet(out).orderBy("media_id", "match_id", "kind")
     }),
 
+    // STREAMING twin of the CROSS-MODALITY GATE (round 18) — the last
+    // media stage without one: the m_gated_media corpus (mixed dedup
+    // fixtures + three junk cohorts), its m ∈ {0,3} slice GATED before
+    // the per-modality indexes freeze (the decode-bomb corpus blob
+    // never costs the index build a decode; byte identity still
+    // freezes via the decodeless blob index), the m ∈ {1,2} slice
+    // streamed per micro-batch through gatedMediaAgainstIndexes: kept
+    // blobs run the full against-index body, gated-out junk only the
+    // exact-blob leg. Stream ≡ one-shot batch (spec-proven); decode
+    // attempts ≡ kept per modality (listener-proven).
+    "m_stream_gated" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val media = mixedMediaFixture(s, dir)
+        .unionByName(Multimodal.junkImageMediaFromDocuments(docs)
+          .select((col("media_id") + lit(16000000L)).as("media_id"),
+            col("bytes")))
+        .unionByName(Multimodal.junkAudioMediaFromDocuments(docs)
+          .select((col("media_id") + lit(18000000L)).as("media_id"),
+            col("bytes")))
+        .unionByName(Multimodal.junkVideoMediaFromDocuments(docs)
+          .select((col("media_id") + lit(20000000L)).as("media_id"),
+            col("bytes")))
+        .localCheckpoint()
+      val corpus = media.filter(col("media_id") % 4 === 0 ||
+        col("media_id") % 4 === 3)
+      val keptC = Multimodal.mediaMetaGate(corpus, minSide = 8,
+          maxPixels = 1000000L, minDurationMs = 5L, maxDurationMs = 5000L)
+        .filter(col("gate") === "kept").localCheckpoint()
+      def cohort(m: String) = keptC.filter(col("modality") === m)
+        .select("media_id", "bytes")
+      val imgIdx = Multimodal.imageSignatureIndex(
+        Multimodal.decodeAnyImages(cohort("image"), thumbSide = 8))
+        .localCheckpoint()
+      val audIdx = Multimodal.audioSignatureIndex(cohort("audio"))
+        .localCheckpoint()
+      val vidIdx = Multimodal.videoFrameIndex(cohort("video"))
+        .localCheckpoint()
+      val blobIdx = Multimodal.blobMd5Index(corpus).localCheckpoint()
+      val src = Fixtures.memo(s"gatedstream:$dir") {
+        val p = java.nio.file.Files.createTempDirectory("graft-gatedsrc")
+          .resolve("src").toString
+        media.filter(col("media_id") % 4 === 1 || col("media_id") % 4 === 2)
+          .write.parquet(p)
+        p
+      }
+      val out = java.nio.file.Files.createTempDirectory("graft-gatedout")
+        .resolve("out").toString
+      val stream = s.readStream
+        .schema(s.read.parquet(src).schema).parquet(src)
+      val q = graft.streaming.StreamSessions.streamingGatedMediaNearDup(
+          stream, imgIdx, audIdx, vidIdx, blobIdx, minSide = 8,
+          maxPixels = 1000000L, minDurationMs = 5L,
+          maxDurationMs = 5000L) { (b, _) =>
+          b.write.mode("append").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+      s.read.parquet(out).orderBy("media_id", "match_id", "kind")
+    }),
+
     // The COMPLETE media dedup pipeline as one composed run — the media
     // twin of d_pipeline: mixed-format decode → perceptual near-dup
     // pairs (banded dHash + exact verify) → connected-components
@@ -6823,6 +6883,81 @@ object SparkEntry {
         |  SELECT CAST(14000000 + doc_id AS BIGINT),
         |         CAST(14000000 + gid * 4 AS BIGINT),
         |         'exact_blob', 'image' FROM d WHERE m IN (1, 2))
+        |ORDER BY media_id, match_id, kind""".stripMargin,
+
+    // Exact replay of the GATED stream: kept cohorts match exactly as
+    // m_stream_media; the three junk cohorts drop at the per-batch
+    // header gate and match their frozen corpus representatives ONLY
+    // by content hash (never a decode).
+    "m_stream_gated" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |           FROM documents),
+        |cu AS (SELECT min(doc_id) AS mn FROM d WHERE m IN (0, 3))
+        |SELECT * FROM (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |         CAST(gid * 4 AS BIGINT) AS match_id,
+        |         'perceptual' AS kind, 'image' AS modality
+        |  FROM d WHERE m IN (1, 2)
+        |  UNION ALL
+        |  SELECT CAST(2000000 + doc_id AS BIGINT),
+        |         CAST(2000000 + gid * 4 AS BIGINT),
+        |         'perceptual', 'audio' FROM d WHERE m IN (1, 2)
+        |  UNION ALL
+        |  SELECT CAST(4000000 + doc_id AS BIGINT),
+        |         CAST(4000000 + gid * 4 AS BIGINT),
+        |         'perceptual', 'video' FROM d WHERE m IN (1, 2)
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS BIGINT), CAST(gid * 4 AS BIGINT),
+        |         'exact_blob', 'image' FROM d WHERE m = 1
+        |  UNION ALL
+        |  SELECT CAST(2000000 + doc_id AS BIGINT),
+        |         CAST(2000000 + gid * 4 AS BIGINT),
+        |         'exact_blob', 'audio' FROM d WHERE m = 1
+        |  UNION ALL
+        |  SELECT CAST(4000000 + doc_id AS BIGINT),
+        |         CAST(4000000 + gid * 4 AS BIGINT),
+        |         'exact_blob', 'video' FROM d WHERE m = 1
+        |  UNION ALL
+        |  SELECT CAST(6000000 + doc_id AS BIGINT),
+        |         CAST(6000000 + (SELECT mn FROM cu) AS BIGINT),
+        |         'exact_blob', 'unknown'
+        |  FROM d WHERE m IN (1, 2)
+        |  UNION ALL
+        |  SELECT CAST(8000000 + doc_id AS BIGINT),
+        |         CAST(8000000 + gid * 4 AS BIGINT),
+        |         'exact_blob', 'image' FROM d WHERE m IN (1, 2)
+        |  UNION ALL
+        |  SELECT CAST(10000000 + doc_id AS BIGINT),
+        |         CAST(10000000 + gid * 4 AS BIGINT),
+        |         'perceptual', 'image' FROM d WHERE m IN (1, 2)
+        |  UNION ALL
+        |  SELECT CAST(10000000 + doc_id AS BIGINT),
+        |         CAST(10000000 + gid * 4 AS BIGINT),
+        |         'exact_blob', 'image' FROM d WHERE m = 1
+        |  UNION ALL
+        |  SELECT CAST(12000000 + doc_id AS BIGINT),
+        |         CAST(12000000 + gid * 4 AS BIGINT),
+        |         'perceptual', 'image' FROM d WHERE m IN (1, 2)
+        |  UNION ALL
+        |  SELECT CAST(12000000 + doc_id AS BIGINT),
+        |         CAST(12000000 + gid * 4 AS BIGINT),
+        |         'exact_blob', 'image' FROM d WHERE m = 1
+        |  UNION ALL
+        |  SELECT CAST(14000000 + doc_id AS BIGINT),
+        |         CAST(14000000 + gid * 4 AS BIGINT),
+        |         'exact_blob', 'image' FROM d WHERE m IN (1, 2)
+        |  UNION ALL
+        |  SELECT CAST(16000000 + doc_id AS BIGINT),
+        |         CAST(16000000 + gid * 4 AS BIGINT),
+        |         'exact_blob', 'image' FROM d WHERE m IN (1, 2)
+        |  UNION ALL
+        |  SELECT CAST(18000000 + doc_id AS BIGINT),
+        |         CAST(18000000 + gid * 4 AS BIGINT),
+        |         'exact_blob', 'audio' FROM d WHERE m IN (1, 2)
+        |  UNION ALL
+        |  SELECT CAST(20000000 + doc_id AS BIGINT),
+        |         CAST(20000000 + gid * 4 AS BIGINT),
+        |         'exact_blob', 'video' FROM d WHERE m IN (1, 2))
         |ORDER BY media_id, match_id, kind""".stripMargin,
 
     // Exact replay of the composed media pipeline: the near-dup cluster

@@ -2689,6 +2689,34 @@ object Multimodal {
     img.unionByName(aud).unionByName(vid).unionByName(exact)
   }
 
+  /** GATED against-index matching (round 18) — the streaming twin's
+    * per-micro-batch body and [[gatedMediaDedup]]'s against-corpus
+    * sibling: ONE [[mediaMetaGate]] header walk classifies and gates
+    * the batch, the KEPT cohort runs the full per-modality
+    * against-index body (the same tagged body
+    * [[mediaAgainstIndexes]] executes — stream and batch matching
+    * cannot drift), and GATED-OUT blobs run only the decodeless
+    * exact-blob leg against the frozen [[blobMd5Index]] (a truncated
+    * download or cost bomb still catches its byte-identical corpus
+    * twin; it just never costs a decode — accumulator-auditable).
+    * Returns (media_id, match_id, kind, modality). */
+  def gatedMediaAgainstIndexes(media: DataFrame, imageIndex: DataFrame,
+      audioIndex: DataFrame, videoIndex: DataFrame, blobIndex: DataFrame,
+      minSide: Int = 8, maxPixels: Long = 100000000L,
+      minDurationMs: Long = 0L, maxDurationMs: Long = Long.MaxValue,
+      maxHamming: Int = 3, minMatchedFrames: Int = 2,
+      thumbSide: Int = 8): DataFrame = {
+    val gated = mediaMetaGate(media, minSide, maxPixels, minDurationMs,
+      maxDurationMs).localCheckpoint()
+    val kept = gated.filter(col("gate") === "kept")
+      .select(col("media_id"), col("bytes"), col("modality"))
+    val dropped = gated.filter(col("gate") =!= "kept")
+      .select(col("media_id"), col("bytes"), col("modality"))
+    mediaAgainstIndexesTagged(kept, imageIndex, audioIndex, videoIndex,
+        blobIndex, maxHamming, minMatchedFrames, thumbSide)
+      .unionByName(blobsAgainstMd5Index(dropped, blobIndex))
+  }
+
   /** The exact-blob against-index leg shared by
     * [[mediaAgainstIndexes]] and [[incrementalMediaDedup]]: every tagged
     * blob (any modality, including unknown containers) md5-joins against

@@ -924,6 +924,33 @@ object StreamSessions {
         thumbSide), batchId)
     }
 
+  /** Streaming twin of the CROSS-MODALITY PRE-DECODE GATE (round 18) —
+    * the last media stage without one: per micro-batch, ONE
+    * [[graft.ops.Multimodal.mediaMetaGate]] header walk gates the
+    * batch, kept blobs run the full per-modality against-index body
+    * and gated-out blobs only the decodeless exact-blob leg. One body,
+    * two execution modes (the r15 convention): the plan is
+    * [[graft.ops.Multimodal.gatedMediaAgainstIndexes]], so stream and
+    * batch gating cannot drift; per-batch application is EXACT (every
+    * match is stream-vs-frozen-static, so the union over micro-batches
+    * equals the one-shot batch application — spec-proven across batch
+    * boundaries including a junk cohort). foreachBatch for the same
+    * mixed-stateful-operator reason as [[streamingMediaNearDup]].
+    * Decode attempts stay ≡ the kept census per modality — the gate's
+    * saving survives the move to streaming. */
+  def streamingGatedMediaNearDup(stream: DataFrame, imageIndex: DataFrame,
+      audioIndex: DataFrame, videoIndex: DataFrame, blobIndex: DataFrame,
+      minSide: Int = 8, maxPixels: Long = 100000000L,
+      minDurationMs: Long = 0L, maxDurationMs: Long = Long.MaxValue,
+      maxHamming: Int = 3, minMatchedFrames: Int = 2, thumbSide: Int = 8)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.ops.Multimodal.gatedMediaAgainstIndexes(batch,
+        imageIndex, audioIndex, videoIndex, blobIndex, minSide, maxPixels,
+        minDurationMs, maxDurationMs, maxHamming, minMatchedFrames,
+        thumbSide), batchId)
+    }
+
   /** Streaming twin of [[graft.ops.Similarity.covarianceMatrix]]'s Gram
     * pass — live corpus moments (n, per-dim micro sums, upper-triangle
     * micro² product sums) maintained as ONE complete-mode global typed

@@ -825,6 +825,118 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === expected)
   }
 
+  test("streaming GATED media dedup (r18): one header walk per micro-batch, stream ≡ one-shot batch incl. junk, decode attempts ≡ kept") {
+    import graft.ops.Multimodal
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(16) // 4 groups
+    def off(df: org.apache.spark.sql.DataFrame, o: Long) = df.select(
+      (col("media_id") + o).as("media_id"), col("bytes"))
+    val media = Multimodal.dedupImageMediaFromDocuments(docs)
+      .select("media_id", "bytes")
+      .unionByName(off(Multimodal.dedupAudioMediaFromDocuments(docs), 2000L))
+      .unionByName(off(Multimodal.dedupVideoMediaFromDocuments(docs), 4000L))
+      .unionByName(off(Multimodal.junkImageMediaFromDocuments(docs), 16000L))
+      .unionByName(off(Multimodal.junkAudioMediaFromDocuments(docs), 18000L))
+      .unionByName(off(Multimodal.junkVideoMediaFromDocuments(docs), 20000L))
+      .localCheckpoint()
+    val corpus = media.filter(col("media_id") % 4 === 0 ||
+      col("media_id") % 4 === 3)
+    // the composed shape: the INDEX BUILD is gated too — junk corpus
+    // blobs (incl. the 4000×3000 SOF-patched decode bomb) never reach
+    // a decode; byte identity still freezes via the decodeless blob
+    // index
+    val keptC = Multimodal.mediaMetaGate(corpus, minSide = 8,
+        maxPixels = 1000000L, minDurationMs = 5L, maxDurationMs = 5000L)
+      .filter(col("gate") === "kept").localCheckpoint()
+    def cohort(m: String) = keptC.filter(col("modality") === m)
+      .select("media_id", "bytes")
+    val imgIdx = Multimodal.imageSignatureIndex(
+      Multimodal.decodeAnyImages(cohort("image"), thumbSide = 8))
+      .localCheckpoint()
+    val audIdx = Multimodal.audioSignatureIndex(cohort("audio"))
+      .localCheckpoint()
+    val vidIdx = Multimodal.videoFrameIndex(cohort("video"))
+      .localCheckpoint()
+    val blobIdx = Multimodal.blobMd5Index(corpus).localCheckpoint()
+
+    val dir = Files.createTempDirectory("graft-sgated")
+    val src = dir.resolve("src").toString
+    media.filter(col("media_id") % 4 === 1).coalesce(1).write.parquet(src)
+    Thread.sleep(1100)
+    media.filter(col("media_id") % 4 === 2).coalesce(1)
+      .write.mode("append").parquet(src)
+
+    // count decode attempts from HERE: the index build is done (eager
+    // checkpoints), so everything below is the stream's own decode work
+    val seen = scala.collection.mutable.Map(
+      "image" -> new java.util.concurrent.atomic.AtomicLong(0),
+      "audio" -> new java.util.concurrent.atomic.AtomicLong(0),
+      "video" -> new java.util.concurrent.atomic.AtomicLong(0))
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        sc.stageInfo.accumulables.values.foreach { a =>
+          seen.foreach { case (m, ctr) =>
+            if (a.name.exists(_.contains(s"graft.${m}_decode_attempts")))
+              ctr.addAndGet(a.value.map(_.toString.toLong).getOrElse(0L))
+          }
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val sunk = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, String, String)]
+      val q = StreamSessions.streamingGatedMediaNearDup(stream, imgIdx,
+          audIdx, vidIdx, blobIdx, minSide = 8, maxPixels = 1000000L,
+          minDurationMs = 5L, maxDurationMs = 5000L) { (b, _) =>
+          val rows = b.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+          sunk.synchronized { sunk ++= rows }
+        }.trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+
+      val streamed = sunk.toSet
+      assert(sunk.size === streamed.size)
+      // the gate's saving survives the move to streaming: only the 8
+      // kept stream blobs per modality ever reach a decode (counted
+      // BEFORE the one-shot verification run below adds its own)
+      var waited = 0
+      while (seen.values.map(_.get()).sum < 24 && waited < 50) {
+        Thread.sleep(100); waited += 1
+      }
+      for ((m, ctr) <- seen)
+        assert(ctr.get() === 8L,
+          s"$m stream decode attempts ${ctr.get()} != kept 8")
+      // ONE body, two execution modes: union over micro-batches equals
+      // the one-shot batch application
+      val oneShot = Multimodal.gatedMediaAgainstIndexes(
+          media.filter(col("media_id") % 4 === 1 || col("media_id") % 4 === 2),
+          imgIdx, audIdx, vidIdx, blobIdx, minSide = 8,
+          maxPixels = 1000000L, minDurationMs = 5L, maxDurationMs = 5000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getString(3))).toSet
+      assert(streamed === oneShot && streamed.nonEmpty)
+      // planted structure: kept members match perceptually (+ exact for
+      // the byte copies); gated-out junk matches ONLY by content hash
+      def mod(o: Long, name: String) = (0 until 4).flatMap { g =>
+        val b = o + 4L * g
+        Seq((b + 1, b, "perceptual", name), (b + 2, b, "perceptual", name),
+          (b + 1, b, "exact_blob", name))
+      }.toSet
+      def junk(o: Long, name: String) = (0 until 4).flatMap { g =>
+        val b = o + 4L * g
+        Seq((b + 1, b, "exact_blob", name), (b + 2, b, "exact_blob", name))
+      }.toSet
+      val expected = mod(0L, "image") ++ mod(2000L, "audio") ++
+        mod(4000L, "video") ++ junk(16000L, "image") ++
+        junk(18000L, "audio") ++ junk(20000L, "video")
+      assert(streamed === expected)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("pure-projection text ops run unchanged on a stream (quality + PII scrub)") {
     val dir = Files.createTempDirectory("graft-sproj")
     val src = dir.resolve("src").toString
