@@ -2431,6 +2431,35 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Multimodal: animated-PNG near-dup pairing through the VIDEO
+    // stack (round 18) — the GIF bridge extended to APNG: acTL/fcTL/
+    // fdAT walked over the CRC-checked chunk walk, per-frame zlib
+    // streams decoded through the shared raster core, composited
+    // frames' hashes into the SAME banded matcher (one body — GIF,
+    // APNG and video matching cannot drift). Planted groups: base /
+    // exact copy / TRIMMED re-encode with different per-row filters
+    // (nf−1 shared frames in order) / independent.
+    "m_apng_dedup" -> ((s, dir) => {
+      val media = Multimodal.apngDedupMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet"))
+      Multimodal.apngNearDupPairs(media, minMatchedFrames = 2)
+        .select(col("id_a"), col("id_b"), col("n_matched"), col("lis"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Multimodal: animated-WebP near-dup pairing (round 18) — the
+    // same bridge on the VP8X/ANMF container with REAL VP8L frames
+    // through the from-spec codec; the trim member also re-encodes
+    // through a different transform stack, so nothing matches at the
+    // byte level.
+    "m_awebp_dedup" -> ((s, dir) => {
+      val media = Multimodal.awebpDedupMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet"))
+      Multimodal.awebpNearDupPairs(media, minMatchedFrames = 2)
+        .select(col("id_a"), col("id_b"), col("n_matched"), col("lis"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Multimodal: decodeless GIF metadata (round 17) — the block walk
     // skips LZW sub-blocks by length prefix: frame census, animation /
     // transparency flags, interlace, total duration at I/O cost. Every
@@ -5933,6 +5962,37 @@ object SparkEntry {
     // share nf−1; every match is in temporal order so lis = n_matched;
     // the independent member pairs with nothing.
     "m_gif_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |           FROM documents)
+        |SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+        |       CAST(b.doc_id AS BIGINT) AS id_b,
+        |       CAST(CASE WHEN a.m = 2 OR b.m = 2 THEN 2 + a.gid % 3
+        |            ELSE 3 + a.gid % 3 END AS BIGINT) AS n_matched,
+        |       CAST(CASE WHEN a.m = 2 OR b.m = 2 THEN 2 + a.gid % 3
+        |            ELSE 3 + a.gid % 3 END AS BIGINT) AS lis
+        |FROM d a JOIN d b ON a.gid = b.gid AND a.doc_id < b.doc_id
+        | WHERE a.m <= 2 AND b.m <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Exact replay of the APNG trim structure — the m_gif_dedup shape:
+    // base/copy pairs share all nf = 3+gid%3 composited frames, pairs
+    // touching the trimmed member nf−1, temporal order throughout so
+    // lis = n_matched; the independent member pairs with nothing.
+    "m_apng_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |           FROM documents)
+        |SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+        |       CAST(b.doc_id AS BIGINT) AS id_b,
+        |       CAST(CASE WHEN a.m = 2 OR b.m = 2 THEN 2 + a.gid % 3
+        |            ELSE 3 + a.gid % 3 END AS BIGINT) AS n_matched,
+        |       CAST(CASE WHEN a.m = 2 OR b.m = 2 THEN 2 + a.gid % 3
+        |            ELSE 3 + a.gid % 3 END AS BIGINT) AS lis
+        |FROM d a JOIN d b ON a.gid = b.gid AND a.doc_id < b.doc_id
+        | WHERE a.m <= 2 AND b.m <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Exact replay of the animated-WebP trim structure (same shape).
+    "m_awebp_dedup" ->
       """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
         |           FROM documents)
         |SELECT CAST(a.doc_id AS BIGINT) AS id_a,

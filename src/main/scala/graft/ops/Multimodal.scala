@@ -3552,6 +3552,141 @@ object Multimodal {
       minMatchedFrames, maxFrameDf, maxFrameHamming, maxBucketDf,
       minLisFrac)
 
+  /** Per-APNG composited frame-hash sets — [[gifFrameHashSets]]' PNG
+    * sibling over [[Png.frames]]; a plain PNG contributes its single
+    * frame. */
+  def apngFrameHashSets(media: DataFrame, thumbSide: Int = 8,
+      skipMalformed: Boolean = true): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[VideoRow].mapPartitions { it =>
+      it.flatMap { m =>
+        try {
+          val (w, h, fs) = Png.frames(m.bytes)
+          val (hashes, pos) = distinctFrameHashes(
+            fs.iterator.map { case (_, rgb) => rgbThumb(rgb, w, h, thumbSide) })
+          Iterator.single((m.media_id, hashes, pos))
+        } catch {
+          case e: Exception if skipMalformed => Iterator.empty
+          case e: Exception => throw new RuntimeException(
+            s"malformed apng for media_id ${m.media_id}", e)
+        }
+      }
+    }.toDF("media_id", "frame_hashes", "frame_pos")
+  }
+
+  /** Animated-PNG near-dup pairs (round 18) — the image↔video bridge
+    * extended to APNG: composited frame hashes ride the SAME banded
+    * matcher as video clips and GIF animations (one body —
+    * [[videoNearDupPairsFromSets]] — so the three cannot drift),
+    * including the `minLisFrac` temporal keep policy that excludes a
+    * frame-reversed collage. */
+  def apngNearDupPairs(media: DataFrame, minMatchedFrames: Int = 2,
+      maxFrameDf: Int = 1000, thumbSide: Int = 8,
+      maxFrameHamming: Int = 3, maxBucketDf: Int = 1000,
+      minLisFrac: Double = 0.0): DataFrame =
+    videoNearDupPairsFromSets(
+      apngFrameHashSets(media, thumbSide).localCheckpoint(),
+      minMatchedFrames, maxFrameDf, maxFrameHamming, maxBucketDf,
+      minLisFrac)
+
+  /** Per-animated-WebP composited frame-hash sets over
+    * [[Webp.frames]] (VP8L frames through the from-spec codec); a
+    * still WebP contributes its single frame. */
+  def awebpFrameHashSets(media: DataFrame, thumbSide: Int = 8,
+      skipMalformed: Boolean = true): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[VideoRow].mapPartitions { it =>
+      it.flatMap { m =>
+        try {
+          val (w, h, fs) = Webp.frames(m.bytes)
+          val (hashes, pos) = distinctFrameHashes(
+            fs.iterator.map { case (_, rgb) => rgbThumb(rgb, w, h, thumbSide) })
+          Iterator.single((m.media_id, hashes, pos))
+        } catch {
+          case e: Exception if skipMalformed => Iterator.empty
+          case e: Exception => throw new RuntimeException(
+            s"malformed animated webp for media_id ${m.media_id}", e)
+        }
+      }
+    }.toDF("media_id", "frame_hashes", "frame_pos")
+  }
+
+  /** Animated-WebP near-dup pairs (round 18) — the same one-body
+    * delegation as [[gifNearDupPairs]]/[[apngNearDupPairs]]. */
+  def awebpNearDupPairs(media: DataFrame, minMatchedFrames: Int = 2,
+      maxFrameDf: Int = 1000, thumbSide: Int = 8,
+      maxFrameHamming: Int = 3, maxBucketDf: Int = 1000,
+      minLisFrac: Double = 0.0): DataFrame =
+    videoNearDupPairsFromSets(
+      awebpFrameHashSets(media, thumbSide).localCheckpoint(),
+      minMatchedFrames, maxFrameDf, maxFrameHamming, maxBucketDf,
+      minLisFrac)
+
+  /** Planted APNG dedup fixture (round 18) — the
+    * [[gifDedupMediaFromDocuments]] convention on the PNG animation
+    * chunks: groups of four — m=0 a base animation of nf = 3+gid%3
+    * binary-pattern frames (frame 0 in the IDAT, the rest in fdAT),
+    * m=1 an EXACT byte copy, m=2 a TRIMMED RE-ENCODE (last frame
+    * dropped AND different per-row filters — different bytes end to
+    * end, nf−1 shared composited frames in order: the clip-trim
+    * shape), m=3 an independent animation. Seeds are a disjoint
+    * splitmix64 family. */
+  def apngDedupMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val gid = id / 4
+      val m = (id % 4).toInt
+      val seed = splitmix64(gid * 2L + (if (m == 3) 1L else 0L) +
+        0x3c6ef372fe94f82bL)
+      val nfFull = 3 + (gid % 3).toInt
+      val nf = if (m == 2) nfFull - 1 else nfFull
+      val frames = (0 until nf).map { k =>
+        val pattern = splitmix64(seed + k * 1013L)
+        val rgb = new Array[Byte](64 * 3)
+        var p = 0
+        while (p < 64) {
+          val v = if (((pattern >>> p) & 1L) == 1L) 255.toByte else 0.toByte
+          rgb(3 * p) = v; rgb(3 * p + 1) = v; rgb(3 * p + 2) = v
+          p += 1
+        }
+        (4, rgb)
+      }
+      val filterOf: Int => Int = if (m == 2) y => 1 + (y % 4) else _ => 0
+      (id, Png.encodeApng(8, 8, frames, filterOf))
+    }.toDF("media_id", "bytes")
+  }
+
+  /** Planted animated-WebP dedup fixture (round 18) — the same
+    * structure on the VP8X/ANMF container with REAL VP8L frames; the
+    * m=2 trim also re-encodes through a different transform stack
+    * (subtract-green + cache), so its bytes share nothing with the
+    * base beyond the decoded pixels. */
+  def awebpDedupMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val gid = id / 4
+      val m = (id % 4).toInt
+      val seed = splitmix64(gid * 2L + (if (m == 3) 1L else 0L) +
+        0x1f83d9abfb41bd6bL)
+      val nfFull = 3 + (gid % 3).toInt
+      val nf = if (m == 2) nfFull - 1 else nfFull
+      val frames = (0 until nf).map { k =>
+        val pattern = splitmix64(seed + k * 1013L)
+        val px = Array.tabulate(64)(p =>
+          if (((pattern >>> p) & 1L) == 1L) 0xffffffff else 0xff000000)
+        (40, px)
+      }
+      val opts =
+        if (m == 2) Vp8l.EncOptions(subtractGreen = true, cacheBits = 4)
+        else Vp8l.EncOptions(lz77 = false)
+      (id, Webp.encodeAnimatedVp8l(8, 8, frames, opts))
+    }.toDF("media_id", "bytes")
+  }
+
   /** Planted animated-GIF dedup fixture (round 17): groups of four —
     * m=0 a base animation of nf = 3+gid%3 binary-pattern frames, m=1
     * an EXACT byte copy, m=2 a TRIMMED re-encode (the last frame

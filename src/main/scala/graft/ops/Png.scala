@@ -190,14 +190,28 @@ object Png {
       System.arraycopy(bytes, c.start, idat, o, c.end - c.start)
       o += c.end - c.start
     }
+    projectRaster(idat, ihdr.w, ihdr.h, depth, ihdr.colorType, palette,
+      ihdr.interlace, null)
+  }
+
+  /** The inflate + defilter + colour-project core shared by [[decode]]
+    * and the APNG frame path ([[frames]]): one complete zlib stream →
+    * an RGB raster of (w, h). When `alphaOut` (length w·h) is non-null
+    * it receives per-pixel alpha (255 for alpha-free colour types —
+    * tRNS chroma-keying is deliberately not composited), which the
+    * APNG blend step needs. */
+  private def projectRaster(idat: Array[Byte], w: Int, h: Int,
+      depth: Int, colorType: Int, palette: Array[Byte], interlace: Int,
+      alphaOut: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val ch = channelsOf(colorType)
     // pass geometry: sequential = one full-frame pass; Adam7 = seven
     // sub-images, empty passes contribute NO bytes (spec §8.2)
     val passes: Array[(Int, Int, Int, Int)] =
-      if (ihdr.interlace == 0) Array((0, 0, 1, 1)) else Adam7
+      if (interlace == 0) Array((0, 0, 1, 1)) else Adam7
     def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
       val (x0, y0, dx, dy) = p
-      (if (ihdr.w > x0) (ihdr.w - x0 + dx - 1) / dx else 0,
-        if (ihdr.h > y0) (ihdr.h - y0 + dy - 1) / dy else 0)
+      (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+        if (h > y0) (h - y0 + dy - 1) / dy else 0)
     }
     // row/total sizes in LONG: the IHDR guard bounds w·h·3 below 2³¹,
     // but a 16-bit RGBA filtered stream is up to 8/3× the output
@@ -237,7 +251,8 @@ object Png {
     // one byte minimum for sub-8 depths), then scatter the pass's
     // pixels onto the output grid at (x0 + i·dx, y0 + j·dy)
     val bpp = math.max(1, ch * depth / 8)
-    val out = new Array[Byte](ihdr.w * ihdr.h * 3)
+    if (alphaOut != null) java.util.Arrays.fill(alphaOut, 255.toByte)
+    val out = new Array[Byte](w * h * 3)
     var passBase = 0
     passes.foreach { pass =>
       val (x0, y0, dx, dy) = pass
@@ -282,8 +297,8 @@ object Png {
                 ((raw(base + (bitPos >> 3)) & 0xff)
                   >> (8 - d - (bitPos & 7))) & ((1 << d) - 1)
             }
-            val p = (y0 + j * dy) * ihdr.w + (x0 + i * dx)
-            ihdr.colorType match {
+            val p = (y0 + j * dy) * w + (x0 + i * dx)
+            colorType match {
               case 0 =>
                 val s = sample(0)
                 // sub-8 grayscale rescales to full range (spec §6.1)
@@ -294,6 +309,8 @@ object Png {
                 out(3 * p) = sample(0).toByte
                 out(3 * p + 1) = sample(1).toByte
                 out(3 * p + 2) = sample(2).toByte
+                if (colorType == 6 && alphaOut != null)
+                  alphaOut(p) = sample(3).toByte
               case 3 =>
                 val idx = sample(0) // palette indexes never scale
                 if (idx * 3 + 2 >= palette.length)
@@ -304,6 +321,7 @@ object Png {
               case 4 =>
                 val v = sample(0).toByte
                 out(3 * p) = v; out(3 * p + 1) = v; out(3 * p + 2) = v
+                if (alphaOut != null) alphaOut(p) = sample(1).toByte
             }
             i += 1
           }
@@ -312,7 +330,176 @@ object Png {
         passBase += hp * (1 + rb)
       }
     }
-    (ihdr.w, ihdr.h, out)
+    (w, h, out)
+  }
+
+  /** APNG frame decode (round 18, from the public APNG spec — now
+    * §"APNG" of the PNG 3rd edition): `acTL` animation control,
+    * per-frame `fcTL` (rect, delay, dispose/blend ops), frame rasters
+    * in the `IDAT` stream (when the first `fcTL` precedes it) and in
+    * `fdAT` chunks (one complete zlib stream per frame, shared
+    * strictly-consecutive sequence counter across fcTL+fdAT),
+    * composited onto an RGBA canvas per the dispose (none/background/
+    * previous) and blend (source/over) semantics — the [[Gif.frames]]
+    * contract, so animated PNGs ride the SAME video-bridge matcher.
+    * A plain PNG returns its single frame with delay 0. Returns
+    * (canvasW, canvasH, frames = (delay_cs, RGB raster)). */
+  def frames(bytes: Array[Byte]): (Int, Int, Seq[(Int, Array[Byte])]) = {
+    val chunks = walkChunks(bytes)
+    val ihdr = parseIhdr(bytes, chunks.head)
+    val actl = chunks.filter(_.typ == "acTL")
+    if (actl.isEmpty) {
+      val (w, h, rgb) = decode(bytes)
+      return (w, h, Seq((0, rgb)))
+    }
+    if (actl.length > 1) fail("multiple acTL chunks")
+    chunks.find(c => c.typ(0).isUpper &&
+        !Set("IHDR", "PLTE", "IDAT", "IEND").contains(c.typ))
+      .foreach(c => fail(s"unknown critical chunk ${c.typ}"))
+    def u32(o: Int): Long = ((bytes(o) & 0xffL) << 24) |
+      ((bytes(o + 1) & 0xff) << 16) | ((bytes(o + 2) & 0xff) << 8) |
+      (bytes(o + 3) & 0xff)
+    def u16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    val declaredFrames = u32(actl.head.start)
+    if (chunks.indexWhere(_.typ == "acTL") >
+        chunks.indexWhere(_.typ == "IDAT"))
+      fail("acTL after the first IDAT")
+    val palette: Array[Byte] = chunks.find(_.typ == "PLTE").map { c =>
+      val n = c.end - c.start
+      if (n % 3 != 0 || n == 0 || n > 256 * 3) fail(s"bad PLTE length $n")
+      java.util.Arrays.copyOfRange(bytes, c.start, c.end)
+    }.orNull
+    if (ihdr.colorType == 3 && palette == null)
+      fail("palette image without PLTE")
+    // frame assembly: each fcTL opens a frame; its data is the IDAT
+    // set (first fcTL before IDAT) or the fdAT set that follows it.
+    // fcTL + fdAT share ONE strictly-consecutive sequence counter.
+    final case class Fctl(w: Int, h: Int, x: Int, y: Int, delayCs: Int,
+        dispose: Int, blend: Int)
+    var nextSeq = 0L
+    def seqCheck(o: Int): Unit = {
+      if (u32(o) != nextSeq)
+        fail(s"APNG sequence ${u32(o)} != expected $nextSeq")
+      nextSeq += 1
+    }
+    val frameList = scala.collection.mutable.ArrayBuffer
+      .empty[(Fctl, Array[Byte])]
+    var cur: Fctl = null
+    var curData = new java.io.ByteArrayOutputStream()
+    var idatIsFrame = false
+    def flush(): Unit = if (cur != null) {
+      if (curData.size == 0) fail("APNG frame without data")
+      frameList += ((cur, curData.toByteArray))
+      curData = new java.io.ByteArrayOutputStream()
+    }
+    chunks.foreach { c =>
+      c.typ match {
+        case "fcTL" =>
+          if (c.end - c.start != 26) fail("fcTL length is not 26")
+          seqCheck(c.start)
+          flush()
+          val fw = u32(c.start + 4); val fh = u32(c.start + 8)
+          val fx = u32(c.start + 12); val fy = u32(c.start + 16)
+          if (fw <= 0 || fh <= 0 || fx + fw > ihdr.w || fy + fh > ihdr.h)
+            fail(s"frame rect ($fx,$fy ${fw}x$fh) outside the canvas")
+          val num = u16(c.start + 20)
+          val den0 = u16(c.start + 22)
+          val den = if (den0 == 0) 100 else den0 // spec: 0 ⇒ 100
+          val dispose = bytes(c.start + 24) & 0xff
+          val blend = bytes(c.start + 25) & 0xff
+          if (dispose > 2) fail(s"unknown dispose_op $dispose")
+          if (blend > 1) fail(s"unknown blend_op $blend")
+          cur = Fctl(fw.toInt, fh.toInt, fx.toInt, fy.toInt,
+            num * 100 / den, dispose, blend)
+          if (frameList.isEmpty && !idatIsFrame) {
+            // is this the pre-IDAT fcTL? (the IDAT participates)
+            val idatPos = chunks.indexWhere(_.typ == "IDAT")
+            if (chunks.indexOf(c) < idatPos) {
+              if (cur.w != ihdr.w || cur.h != ihdr.h || cur.x != 0 ||
+                  cur.y != 0)
+                fail("the IDAT frame must cover the whole canvas")
+              idatIsFrame = true
+            }
+          }
+        case "IDAT" if idatIsFrame && frameList.isEmpty =>
+          curData.write(bytes, c.start, c.end - c.start)
+        case "fdAT" =>
+          if (cur == null) fail("fdAT before any fcTL")
+          if (c.end - c.start < 4) fail("fdAT too short")
+          seqCheck(c.start)
+          curData.write(bytes, c.start + 4, c.end - c.start - 4)
+        case _ => ()
+      }
+    }
+    flush()
+    if (frameList.isEmpty) fail("acTL with no fcTL frames")
+    if (declaredFrames != frameList.length)
+      fail(s"acTL declares $declaredFrames frames, found ${frameList.length}")
+    // composite per the APNG model: an RGBA canvas starting fully
+    // transparent black; output drops alpha (the RGB decode contract)
+    val n = ihdr.w * ihdr.h
+    val canvas = new Array[Byte](n * 3)
+    val canvasA = new Array[Byte](n)
+    val out = Seq.newBuilder[(Int, Array[Byte])]
+    frameList.zipWithIndex.foreach { case ((f, z), k) =>
+      val fa = new Array[Byte](f.w * f.h)
+      val (_, _, rgb) = projectRaster(z, f.w, f.h, ihdr.bitDepth,
+        ihdr.colorType, palette, 0, fa)
+      // dispose PREVIOUS on the first frame degrades to BACKGROUND
+      val dispose = if (k == 0 && f.dispose == 2) 1 else f.dispose
+      val saved =
+        if (dispose == 2)
+          (java.util.Arrays.copyOf(canvas, canvas.length),
+            java.util.Arrays.copyOf(canvasA, canvasA.length))
+        else null
+      var j = 0
+      while (j < f.h) {
+        var i = 0
+        while (i < f.w) {
+          val src = j * f.w + i
+          val dst = (f.y + j) * ihdr.w + (f.x + i)
+          val sa = fa(src) & 0xff
+          if (f.blend == 0 || sa == 255) {
+            canvas(3 * dst) = rgb(3 * src)
+            canvas(3 * dst + 1) = rgb(3 * src + 1)
+            canvas(3 * dst + 2) = rgb(3 * src + 2)
+            canvasA(dst) = fa(src)
+          } else if (sa > 0) { // OVER: src.a·src + (1−src.a)·dst
+            var ci = 0
+            while (ci < 3) {
+              val s = rgb(3 * src + ci) & 0xff
+              val d = canvas(3 * dst + ci) & 0xff
+              canvas(3 * dst + ci) = ((s * sa + d * (255 - sa)) / 255).toByte
+              ci += 1
+            }
+            val da = canvasA(dst) & 0xff
+            canvasA(dst) = (sa + da * (255 - sa) / 255).toByte
+          }
+          i += 1
+        }
+        j += 1
+      }
+      out += ((f.delayCs, java.util.Arrays.copyOf(canvas, canvas.length)))
+      dispose match {
+        case 1 => // clear the frame region to transparent black
+          var jj = 0
+          while (jj < f.h) {
+            var ii = 0
+            while (ii < f.w) {
+              val dst = (f.y + jj) * ihdr.w + (f.x + ii)
+              canvas(3 * dst) = 0; canvas(3 * dst + 1) = 0
+              canvas(3 * dst + 2) = 0; canvasA(dst) = 0
+              ii += 1
+            }
+            jj += 1
+          }
+        case 2 =>
+          System.arraycopy(saved._1, 0, canvas, 0, canvas.length)
+          System.arraycopy(saved._2, 0, canvasA, 0, canvasA.length)
+        case _ => ()
+      }
+    }
+    (ihdr.w, ihdr.h, out.result())
   }
 
   /** Structural stream metadata from the CRC-checked chunk walk — NO
@@ -460,6 +647,155 @@ object Png {
       off += n
     }
     if (z.isEmpty) writeChunk(out, "IDAT", Array.emptyByteArray)
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Forward-filter one full-canvas pass and deflate it — the frame
+    * payload builder shared by [[encodeApng]]. */
+  private def filterDeflate(w: Int, h: Int, ch: Int,
+      samples: Array[Byte], filterOf: Int => Int): Array[Byte] = {
+    val rb = w * ch
+    val raw = new java.io.ByteArrayOutputStream(h * (1 + rb))
+    var j = 0
+    while (j < h) {
+      val ft = filterOf(j)
+      require(ft >= 0 && ft <= 4, s"bad filter type $ft")
+      raw.write(ft)
+      var x = 0
+      while (x < rb) {
+        val cur = samples(j * rb + x) & 0xff
+        val a = if (x >= ch) samples(j * rb + x - ch) & 0xff else 0
+        val b = if (j > 0) samples((j - 1) * rb + x) & 0xff else 0
+        val c = if (j > 0 && x >= ch) samples((j - 1) * rb + x - ch) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >> 1
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        raw.write((cur - pred) & 0xff)
+        x += 1
+      }
+      j += 1
+    }
+    val def_ = new java.util.zip.Deflater()
+    val zBuf = new java.io.ByteArrayOutputStream(raw.size / 2 + 64)
+    try {
+      def_.setInput(raw.toByteArray); def_.finish()
+      val tmp = new Array[Byte](4096)
+      while (!def_.finished()) zBuf.write(tmp, 0, def_.deflate(tmp))
+    } finally def_.end()
+    zBuf.toByteArray
+  }
+
+  /** Fixture-grade APNG writer (truecolour, depth 8): every frame a
+    * full-canvas RGB raster with its delay in centiseconds; frame 0
+    * rides the IDAT (its fcTL precedes it), later frames ride fdAT
+    * chunks — dispose none, blend source, real shared sequence
+    * numbering, real CRCs. `filterOf(y)` picks per-row filters, so a
+    * RE-ENCODE cohort differs byte-for-byte while decoding
+    * identically. */
+  def encodeApng(w: Int, h: Int, frames: Seq[(Int, Array[Byte])],
+      filterOf: Int => Int = _ => 0, fdatChunkSize: Int = 8192): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    frames.foreach { case (_, rgb) =>
+      require(rgb.length == w * h * 3, "frame raster size mismatch") }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Signature, 0, 8)
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = ((w >>> 24) & 0xff).toByte; ihdr(1) = ((w >>> 16) & 0xff).toByte
+    ihdr(2) = ((w >>> 8) & 0xff).toByte; ihdr(3) = (w & 0xff).toByte
+    ihdr(4) = ((h >>> 24) & 0xff).toByte; ihdr(5) = ((h >>> 16) & 0xff).toByte
+    ihdr(6) = ((h >>> 8) & 0xff).toByte; ihdr(7) = (h & 0xff).toByte
+    ihdr(8) = 8; ihdr(9) = 2; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    writeChunk(out, "IHDR", ihdr)
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    writeChunk(out, "acTL", be32(frames.length.toLong) ++ be32(0L))
+    var seq = 0L
+    def fctl(delayCs: Int): Array[Byte] = {
+      val b = be32(seq) ++ be32(w.toLong) ++ be32(h.toLong) ++
+        be32(0L) ++ be32(0L) ++
+        Array[Byte](((delayCs >> 8) & 0xff).toByte, (delayCs & 0xff).toByte,
+          0, 100.toByte, // delay_den = 100 (centiseconds)
+          0, 0) // dispose none, blend source
+      seq += 1
+      b
+    }
+    frames.zipWithIndex.foreach { case ((delayCs, rgb), k) =>
+      writeChunk(out, "fcTL", fctl(delayCs))
+      val z = filterDeflate(w, h, 3, rgb, filterOf)
+      if (k == 0) {
+        writeChunk(out, "IDAT", z)
+      } else {
+        var off = 0
+        while (off < z.length) {
+          val nn = math.min(fdatChunkSize, z.length - off)
+          writeChunk(out, "fdAT",
+            be32(seq) ++ java.util.Arrays.copyOfRange(z, off, off + nn))
+          seq += 1
+          off += nn
+        }
+      }
+    }
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** One advanced APNG fixture frame: an RGBA sub-rect with explicit
+    * dispose/blend ops. */
+  final case class ApngFrame(rgba: Array[Byte], x: Int = 0, y: Int = 0,
+      w: Int = -1, h: Int = -1, delayCs: Int = 0, dispose: Int = 0,
+      blend: Int = 0)
+
+  /** Fixture-grade RGBA APNG writer (colour type 6): sub-rect frames
+    * with dispose none/background/previous and blend source/over —
+    * the full compositing surface [[frames]] implements. Frame 0 must
+    * cover the canvas (it rides the IDAT). */
+  def encodeApngRgba(w: Int, h: Int, fs: Seq[ApngFrame]): Array[Byte] = {
+    require(fs.nonEmpty, "need at least one frame")
+    val f0 = fs.head
+    require((f0.w < 0 || f0.w == w) && (f0.h < 0 || f0.h == h) &&
+      f0.x == 0 && f0.y == 0, "frame 0 must cover the canvas")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Signature, 0, 8)
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = ((w >>> 24) & 0xff).toByte; ihdr(1) = ((w >>> 16) & 0xff).toByte
+    ihdr(2) = ((w >>> 8) & 0xff).toByte; ihdr(3) = (w & 0xff).toByte
+    ihdr(4) = ((h >>> 24) & 0xff).toByte; ihdr(5) = ((h >>> 16) & 0xff).toByte
+    ihdr(6) = ((h >>> 8) & 0xff).toByte; ihdr(7) = (h & 0xff).toByte
+    ihdr(8) = 8; ihdr(9) = 6; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    writeChunk(out, "IHDR", ihdr)
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    writeChunk(out, "acTL", be32(fs.length.toLong) ++ be32(0L))
+    var seq = 0L
+    fs.zipWithIndex.foreach { case (f, k) =>
+      val fw = if (f.w < 0) w else f.w
+      val fh = if (f.h < 0) h else f.h
+      require(f.rgba.length == fw * fh * 4, "frame raster size mismatch")
+      val fctl = be32(seq) ++ be32(fw.toLong) ++ be32(fh.toLong) ++
+        be32(f.x.toLong) ++ be32(f.y.toLong) ++
+        Array[Byte](((f.delayCs >> 8) & 0xff).toByte,
+          (f.delayCs & 0xff).toByte, 0, 100.toByte,
+          f.dispose.toByte, f.blend.toByte)
+      seq += 1
+      writeChunk(out, "fcTL", fctl)
+      val z = filterDeflate(fw, fh, 4, f.rgba, _ => 0)
+      if (k == 0) writeChunk(out, "IDAT", z)
+      else {
+        writeChunk(out, "fdAT", be32(seq) ++ z)
+        seq += 1
+      }
+    }
     writeChunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
   }

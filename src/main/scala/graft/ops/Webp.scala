@@ -102,15 +102,21 @@ object Webp {
     * through the from-spec [[Vp8l]] codec — simple `VP8L` files and
     * extended (`VP8X`) containers whose still image is a VP8L chunk.
     * Returns (w, h, RGB raster), alpha dropped (the [[Png.decode]]
-    * convention). Lossy `VP8 ` payloads keep REFUSING loudly (the
-    * MP3/H.264 codec boundary), as do animated containers (their
-    * frames ride [[graft.ops.Multimodal]]'s video bridge instead) —
-    * both keep exact dedup through the undecodable route. */
+    * convention). Animated containers decode their composited FIRST
+    * frame (the [[Gif.decode]] convention — full animations ride
+    * [[frames]] and the video bridge). Lossy `VP8 ` payloads keep
+    * REFUSING loudly (the MP3/H.264 codec boundary) and keep exact
+    * dedup through the undecodable route. */
   def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
     if (!isWebp(bytes)) fail("not a webp stream (bad RIFF/WEBP header)")
     val md = meta(bytes) // the strict container walk (sizes must chain)
-    if (md.animated) fail(
-      "animated webp decode out of scope here — frames ride the video bridge")
+    if (md.animated) {
+      // composited FIRST frame (the Gif.decode convention); later ANMF
+      // payloads are never decoded
+      val (w, h, fs) = frames(bytes, maxFrames = 1)
+      if (fs.isEmpty) fail("animated webp decoded no frame")
+      return (w, h, fs.head._2)
+    }
     def u32le(o: Int): Long =
       (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
         ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
@@ -144,6 +150,160 @@ object Webp {
   def encodeVp8lPixels(w: Int, h: Int, argb: Array[Int],
       opts: Vp8l.EncOptions = Vp8l.EncOptions()): Array[Byte] =
     wrap(chunk("VP8L", Vp8l.encode(w, h, argb, opts)))
+
+  /** ANIMATED WebP frame decode (round 18) — the [[Gif.frames]] /
+    * [[Png.frames]] contract on the VP8X/ANMF container, so animated
+    * WebPs ride the same video-bridge matcher: per-ANMF 16-byte frame
+    * header (x/y in 2-pixel units, dims −1, 24-bit duration, the
+    * blend/dispose flag byte), the frame raster from its embedded
+    * `VP8L` sub-chunk through the from-spec [[Vp8l]] decoder,
+    * composited onto a transparent canvas (no-blend = overwrite;
+    * alpha-blend = OVER; dispose-to-background clears the frame rect).
+    * Lossy `VP8 ` frames refuse loudly (the codec boundary). Returns
+    * (canvasW, canvasH, frames = (duration_ms, RGB raster)).
+    * `maxFrames` caps the DECODED prefix (the [[Gif.frames]]
+    * convention): past it, ANMF headers are still bounds-checked but
+    * their VP8L payloads never decode. */
+  def frames(bytes: Array[Byte],
+      maxFrames: Int = Int.MaxValue): (Int, Int, Seq[(Int, Array[Byte])]) = {
+    val md = meta(bytes) // strict container walk first
+    if (!md.animated) {
+      val (w, h, rgb) = decode(bytes)
+      return (w, h, Seq((0, rgb)))
+    }
+    def u24le(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16)
+    def u32le(o: Int): Long = (u24le(o) & 0xffffffL) |
+      ((bytes(o + 3) & 0xffL) << 24)
+    val cw = md.width; val chh = md.height
+    if (cw.toLong * chh * 4 >= Int.MaxValue) fail(s"canvas too large $cw x $chh")
+    val canvas = new Array[Byte](cw * chh * 3)
+    val canvasA = new Array[Byte](cw * chh)
+    val out = Seq.newBuilder[(Int, Array[Byte])]
+    var nEmitted = 0
+    var nSeen = 0
+    var pos = 12
+    while (pos < bytes.length) {
+      val typ = new String(bytes, pos, 4, "ISO-8859-1")
+      val size = u32le(pos + 4).toInt
+      val d = pos + 8
+      if (typ == "ANMF") {
+        if (size < 16 + 8) fail("ANMF frame too short")
+        val fx = u24le(d) * 2 // 2-pixel units per spec
+        val fy = u24le(d + 3) * 2
+        val fw = u24le(d + 6) + 1
+        val fh = u24le(d + 9) + 1
+        val dur = u24le(d + 12)
+        val flags = bytes(d + 15) & 0xff
+        val dispose = flags & 1
+        val noBlend = (flags & 2) != 0
+        if (fx + fw > cw || fy + fh > chh)
+          fail(s"frame rect ($fx,$fy ${fw}x$fh) outside the canvas")
+        if (nEmitted >= maxFrames) {
+          // past the decode cap: the header stays validated above, the
+          // VP8L payload never decodes (the Gif.frames discipline)
+        } else {
+        // the frame's image sub-chunk (skip an optional ALPH)
+        var sp = d + 16
+        var argb: Array[Int] = null
+        while (sp < d + size && argb == null) {
+          val st = new String(bytes, sp, 4, "ISO-8859-1")
+          val ss = u32le(sp + 4).toInt
+          st match {
+            case "VP8L" =>
+              val (vw, vh, _, px) = Vp8l.decode(bytes, sp + 8, ss)
+              if (vw != fw || vh != fh)
+                fail(s"VP8L frame ${vw}x$vh != ANMF rect ${fw}x$fh")
+              argb = px
+            case "VP8 " => fail(
+              "lossy VP8 animation frames out of scope (codec territory)")
+            case _ => () // ALPH/unknown: structural skip
+          }
+          sp = sp + 8 + ss + (ss & 1)
+        }
+        if (argb == null) fail("ANMF frame without an image sub-chunk")
+        var j = 0
+        while (j < fh) {
+          var i = 0
+          while (i < fw) {
+            val p = argb(j * fw + i)
+            val sa = p >>> 24
+            val dst = (fy + j) * cw + (fx + i)
+            if (noBlend || sa == 255) {
+              canvas(3 * dst) = ((p >> 16) & 0xff).toByte
+              canvas(3 * dst + 1) = ((p >> 8) & 0xff).toByte
+              canvas(3 * dst + 2) = (p & 0xff).toByte
+              canvasA(dst) = sa.toByte
+            } else if (sa > 0) {
+              var ci = 0
+              while (ci < 3) {
+                val s = (p >> (16 - 8 * ci)) & 0xff
+                val dv = canvas(3 * dst + ci) & 0xff
+                canvas(3 * dst + ci) =
+                  ((s * sa + dv * (255 - sa)) / 255).toByte
+                ci += 1
+              }
+              val da = canvasA(dst) & 0xff
+              canvasA(dst) = (sa + da * (255 - sa) / 255).toByte
+            }
+            i += 1
+          }
+          j += 1
+        }
+        out += ((dur, java.util.Arrays.copyOf(canvas, canvas.length)))
+        nEmitted += 1
+        if (dispose == 1) {
+          var jj = 0
+          while (jj < fh) {
+            var ii = 0
+            while (ii < fw) {
+              val dst = (fy + jj) * cw + (fx + ii)
+              canvas(3 * dst) = 0; canvas(3 * dst + 1) = 0
+              canvas(3 * dst + 2) = 0; canvasA(dst) = 0
+              ii += 1
+            }
+            jj += 1
+          }
+        }
+        }
+        nSeen += 1
+      }
+      pos = d + size + (size & 1)
+    }
+    if (nSeen == 0) fail("animated webp with no ANMF frames")
+    (cw, chh, out.result())
+  }
+
+  /** Fixture-grade ANIMATED lossless writer: full-canvas VP8L frames
+    * (no-blend, no dispose) behind a real VP8X+ANIM header — real
+    * entropy-coded pixels per frame through [[Vp8l.encode]]. */
+  def encodeAnimatedVp8l(w: Int, h: Int,
+      frames: Seq[(Int, Array[Int])],
+      opts: Vp8l.EncOptions = Vp8l.EncOptions()): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    def put24(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+      b(o + 2) = ((v >> 16) & 0xff).toByte
+    }
+    val vp8x = new Array[Byte](10)
+    vp8x(0) = 0x02 // animated
+    put24(vp8x, 4, w - 1); put24(vp8x, 7, h - 1)
+    val anim = new Array[Byte](6) // background 0, loop forever
+    val parts = Seq.newBuilder[Array[Byte]]
+    parts += chunk("VP8X", vp8x)
+    parts += chunk("ANIM", anim)
+    frames.foreach { case (durMs, argb) =>
+      require(argb.length == w * h, "frame raster size mismatch")
+      val payload = Vp8l.encode(w, h, argb, opts)
+      val hdr = new Array[Byte](16)
+      put24(hdr, 0, 0); put24(hdr, 3, 0) // full canvas at (0,0)
+      put24(hdr, 6, w - 1); put24(hdr, 9, h - 1)
+      put24(hdr, 12, durMs)
+      hdr(15) = 0x02 // no blend, dispose none
+      parts += chunk("ANMF", hdr ++ chunk("VP8L", payload))
+    }
+    wrap(parts.result().reduce(_ ++ _))
+  }
 
   // ---- fixture-grade writer (headers only — the payload past the
   // dimension fields is deterministic junk the walker never reads) ----

@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.ops.{Multimodal, Png, Vp8l, Webp}
+
+/** APNG + animated-WebP through the video bridge (round 18): frame
+  * assembly (acTL/fcTL/fdAT sequence discipline, the IDAT-as-frame
+  * rule; VP8X/ANMF with real VP8L payloads), compositing semantics
+  * (dispose none/background/previous, blend source/over; the
+  * no-blend/alpha-blend flag byte), the shared banded matcher (trim
+  * pairs, reversed-collage exclusion via minLisFrac), and first-frame
+  * decode caps. */
+class ApngSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rgbFrame(seed: Long): Array[Byte] = {
+    val pattern = graft.ops.Multimodal.splitmix64(seed)
+    val rgb = new Array[Byte](64 * 3)
+    var p = 0
+    while (p < 64) {
+      val v = if (((pattern >>> p) & 1L) == 1L) 255.toByte else 0.toByte
+      rgb(3 * p) = v; rgb(3 * p + 1) = v; rgb(3 * p + 2) = v
+      p += 1
+    }
+    rgb
+  }
+
+  test("apng: frame round-trip (IDAT frame + fdAT frames), delays, re-encode invariance") {
+    val fs = (0 until 4).map(k => (3 + k, rgbFrame(k * 7919L + 11)))
+    val bytes = Png.encodeApng(8, 8, fs)
+    val (w, h, dec) = Png.frames(bytes)
+    assert(w === 8 && h === 8 && dec.length === 4)
+    assert(dec.map(_._1) === Seq(3, 4, 5, 6))
+    // full-canvas source-blend frames: composite == the frame itself
+    dec.zip(fs).foreach { case ((_, got), (_, want)) => assert(got === want) }
+    // a re-encode with different per-row filters decodes identically
+    val re = Png.encodeApng(8, 8, fs, y => 1 + (y % 4))
+    assert(!java.util.Arrays.equals(bytes, re))
+    assert(Png.frames(re)._3.map(_._2.toSeq) === dec.map(_._2.toSeq))
+    // a plain PNG is its own single frame
+    val still = Png.encode(8, 8, rgbFrame(3))
+    val (_, _, one) = Png.frames(still)
+    assert(one.map(f => (f._1, f._2.toSeq)) ===
+      Seq((0, Png.decode(still)._3.toSeq)))
+    // Png.decode on an APNG is the FIRST frame (fdAT never inflated)
+    assert(Png.decode(bytes)._3 === fs.head._2)
+  }
+
+  test("apng: blend OVER and dispose background/previous composite per spec") {
+    val redFull = Array.tabulate(64 * 4)(i => (i % 4 match {
+      case 0 => 255; case 3 => 255; case _ => 0
+    }).toByte)
+    val bluePatch = Array.tabulate(16 * 4)(i => (i % 4 match {
+      case 2 => 255; case 3 => 128; case _ => 0
+    }).toByte) // 4x4 half-transparent blue
+    val greenDot = Array[Byte](0, 255.toByte, 0, 255.toByte)
+    def run(dispose: Int): Seq[Array[Byte]] =
+      Png.frames(Png.encodeApngRgba(8, 8, Seq(
+        Png.ApngFrame(redFull, delayCs = 1),
+        Png.ApngFrame(bluePatch, x = 2, y = 2, w = 4, h = 4,
+          delayCs = 1, dispose = dispose, blend = 1),
+        Png.ApngFrame(greenDot, x = 0, y = 0, w = 1, h = 1,
+          delayCs = 1))))._3.map(_._2)
+    val fs = run(dispose = 1) // background
+    assert(fs.length === 3)
+    // frame 1: OVER at alpha 128 — in (2,2): r = 255·127/255 = 127,
+    // b = 255·128/255 = 128; outside: full red
+    val in = 3 * (3 * 8 + 3)
+    assert((fs(1)(in) & 0xff) === 127 && (fs(1)(in + 2) & 0xff) === 128)
+    assert((fs(1)(0) & 0xff) === 255 && (fs(1)(2) & 0xff) === 0)
+    // frame 2 after dispose=background: the patch rect cleared to
+    // transparent black, the dot green, the rest red
+    assert(fs(2)(in) === 0 && fs(2)(in + 2) === 0)
+    assert((fs(2)(1) & 0xff) === 255, "the 1x1 dot is green")
+    assert((fs(2)(3 * 7) & 0xff) === 255, "outside the rect stays red")
+    // dispose=previous restores the pre-patch red instead
+    val fp = run(dispose = 2)
+    assert((fp(2)(in) & 0xff) === 255 && (fp(2)(in + 2) & 0xff) === 0,
+      "dispose-previous restores the red under the patch")
+  }
+
+  test("apng: sequence gaps, frame-count mismatch, and out-of-canvas rects refuse") {
+    val fs = (0 until 3).map(k => (2, rgbFrame(k * 31L)))
+    val good = Png.encodeApng(8, 8, fs)
+    // acTL declares 3 frames; drop the last fcTL+fdAT pair by
+    // re-encoding 2 frames under a patched acTL count
+    val two = Png.encodeApng(8, 8, fs.take(2))
+    // acTL data starts after sig(8) + IHDR(25): len(4)+type(4) → count at 41
+    val bad = two.clone()
+    bad(41 + 3) = 3 // declared 3, present 2 — and the CRC now lies
+    intercept[IllegalArgumentException](Png.frames(bad))
+    // fix the CRC so ONLY the count mismatch trips
+    val crc = new java.util.zip.CRC32()
+    crc.update(bad, 41 - 4, 4 + 8)
+    val v = crc.getValue
+    for (i <- 0 until 4) bad(41 + 8 + i) = ((v >>> (24 - 8 * i)) & 0xff).toByte
+    val e = intercept[IllegalArgumentException](Png.frames(bad))
+    assert(e.getMessage.contains("declares"))
+    // truncation anywhere refuses via the CRC walk
+    intercept[IllegalArgumentException](
+      Png.frames(java.util.Arrays.copyOfRange(good, 0, good.length - 6)))
+  }
+
+  test("awebp: VP8X/ANMF round-trip with real VP8L frames, re-encode invariance, first-frame cap") {
+    val fs = (0 until 3).map { k =>
+      val pattern = Multimodal.splitmix64(k * 104729L + 7)
+      (40 + k, Array.tabulate(64)(p =>
+        if (((pattern >>> p) & 1L) == 1L) 0xffffffff else 0xff000000))
+    }
+    val bytes = Webp.encodeAnimatedVp8l(8, 8, fs)
+    val md = Webp.meta(bytes)
+    assert(md.animated && md.nFrames === 3 && md.width === 8)
+    val (w, h, dec) = Webp.frames(bytes)
+    assert(w === 8 && h === 8 && dec.length === 3)
+    assert(dec.map(_._1) === Seq(40, 41, 42))
+    dec.zip(fs).foreach { case ((_, rgb), (_, px)) =>
+      for (p <- 0 until 64) {
+        assert((rgb(3 * p) & 0xff) === ((px(p) >> 16) & 0xff))
+        assert((rgb(3 * p + 2) & 0xff) === (px(p) & 0xff))
+      }
+    }
+    // a different transform stack decodes identically
+    val re = Webp.encodeAnimatedVp8l(8, 8, fs,
+      Vp8l.EncOptions(subtractGreen = true, cacheBits = 4))
+    assert(!java.util.Arrays.equals(bytes, re))
+    assert(Webp.frames(re)._3.map(_._2.toSeq) === dec.map(_._2.toSeq))
+    // Webp.decode on an animation = composited first frame only
+    assert(Webp.decode(bytes)._3 === dec.head._2)
+    // truncation refuses (the RIFF census), junk ANMF refuses
+    intercept[IllegalArgumentException](
+      Webp.frames(java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 4)))
+    intercept[IllegalArgumentException](
+      Webp.frames(Webp.encodeExtended(8, 8, nFrames = 2)))
+  }
+
+  test("apng + awebp ride the video dedup stack: trim pairs, reversed collage excluded by minLisFrac") {
+    val docs = (0L until 16L).toDF("doc_id")
+    for ((media, pairsOf) <- Seq(
+        (Multimodal.apngDedupMediaFromDocuments(docs),
+          (df: org.apache.spark.sql.DataFrame, f: Double) =>
+            Multimodal.apngNearDupPairs(df, minLisFrac = f)),
+        (Multimodal.awebpDedupMediaFromDocuments(docs),
+          (df: org.apache.spark.sql.DataFrame, f: Double) =>
+            Multimodal.awebpNearDupPairs(df, minLisFrac = f)))) {
+      val pairs = pairsOf(media, 0.0)
+        .select("id_a", "id_b", "n_matched", "lis").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      val expected = (for {
+        g <- 0L until 4L
+        a <- 0L until 3L; b <- 0L until 3L if a < b
+      } yield (g * 4 + a, g * 4 + b)).toSet
+      assert(pairs.keySet === expected)
+      pairs.foreach { case ((a, b), (nm, lis)) =>
+        val nf = 3 + ((a / 4) % 3)
+        val exp = if (a % 4 == 2 || b % 4 == 2) nf - 1 else nf
+        assert(nm === exp && lis === exp, s"($a,$b)")
+      }
+    }
+    // reversed-collage exclusion on the APNG path (the GIF semantics,
+    // inherited through the one shared matcher body)
+    val media = Multimodal.apngDedupMediaFromDocuments(docs)
+    val blobs = media.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val (w, h, fs) = Png.frames(blobs(0L))
+    assert(fs.length === 3)
+    val rev = Png.encodeApng(w, h, fs.reverse.map { case (_, rgb) =>
+      (4, rgb) })
+    val withRev = media.unionByName(
+      Seq((1000L, rev)).toDF("media_id", "bytes"))
+    val revPairs = Multimodal.apngNearDupPairs(withRev)
+      .filter(col("id_b") === 1000L)
+      .select("id_a", "n_matched", "lis").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(revPairs(0L) === ((3L, 1L)), "reversed animation: full match, lis 1")
+    assert(Multimodal.apngNearDupPairs(withRev, minLisFrac = 0.8)
+      .filter(col("id_b") === 1000L).count() === 0L,
+      "the collage must not survive the keep policy")
+  }
+}
