@@ -2234,4 +2234,65 @@ class AvDedupSpec extends SparkSpec {
         (9000L, 9002L, "exact_blob", "unknown", "corpus"))
     assert(got === expected)
   }
+
+  test("incrementalMediaDedup decodes each image blob ONCE across both legs (r18 adjudication: ppm/qoi/png/webp/corrupt/lossy cohorts)") {
+    // the m_incr_media cost question: its fixture absorbed the
+    // PNG/WebP/lossy cohorts — prove the decode-once checkpoint still
+    // covers them: ONE decode attempt per image-modality batch blob,
+    // counted across the within-batch AND against-index legs together
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(8) // 2 groups
+    def off(df: org.apache.spark.sql.DataFrame, o: Long) = df.select(
+      (col("media_id") + o).as("media_id"), col("bytes"))
+    val media = Multimodal.dedupImageMediaFromDocuments(docs)
+      .select("media_id", "bytes")
+      .unionByName(docs.select((col("doc_id") + 8000L).as("media_id"),
+        concat(lit("P6\ncorrupt-".getBytes),
+          encode(floor(col("doc_id") / 4).cast("string"), "UTF-8"))
+          .as("bytes")))
+      .unionByName(off(Multimodal.pngDedupMediaFromDocuments(docs), 10000L))
+      .unionByName(off(Multimodal.webpDedupMediaFromDocuments(docs), 12000L))
+      .unionByName(off(Multimodal.lossyWebpMediaFromDocuments(docs), 14000L))
+      .localCheckpoint()
+    val corpus = media.filter(col("media_id") % 4 === 0 ||
+      col("media_id") % 4 === 3)
+    val tagged = Multimodal.classifyMedia(corpus).localCheckpoint()
+    def cohort(m: String) = tagged.filter(col("modality") === m)
+      .select("media_id", "bytes")
+    // eager checkpoints: the index-build decodes land BEFORE the
+    // listener installs, so the count below is the incremental run's own
+    val imgIdx = Multimodal.imageSignatureIndex(
+      Multimodal.decodeAnyImages(cohort("image"), thumbSide = 8))
+      .localCheckpoint()
+    val audIdx = Multimodal.audioSignatureIndex(cohort("audio"))
+      .localCheckpoint()
+    val vidIdx = Multimodal.videoFrameIndex(cohort("video"))
+      .localCheckpoint()
+    val blobIdx = Multimodal.blobMd5Index(corpus).localCheckpoint()
+    val batch = media.filter(col("media_id") % 4 === 1 ||
+      col("media_id") % 4 === 2).localCheckpoint()
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        sc.stageInfo.accumulables.values
+          .filter(_.name.exists(_.contains("graft.image_decode_attempts")))
+          .foreach(a => seen.addAndGet(
+            a.value.map(_.toString.toLong).getOrElse(0L)))
+    }
+    TestSpark.spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = Multimodal.incrementalMediaDedup(batch, imgIdx, audIdx,
+        vidIdx, blobIdx).count()
+      assert(n > 0)
+      var waited = 0
+      while (seen.get() < 20 && waited < 50) { Thread.sleep(100); waited += 1 }
+      // 2 groups × (ppm/qoi 2 + corrupt 2 + png 2 + webp 2 + lossy 2)
+      // image-modality batch blobs — each decoded (or attempted)
+      // EXACTLY once; more means a leg re-decoded the cohort
+      assert(seen.get() === 20L,
+        s"image decode attempts ${seen.get()} != 20 batch image blobs — " +
+          "a leg re-decoded the shared cohort")
+    } finally TestSpark.spark.sparkContext.removeSparkListener(listener)
+  }
 }
