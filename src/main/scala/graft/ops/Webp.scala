@@ -1,20 +1,21 @@
 package graft.ops
 
-/** Decodeless WebP metadata walker (round 17) — the [[Jpeg.meta]]
-  * pattern on the top-3 modern crawl image format. PIXEL decode stays
-  * out of scope (VP8/VP8L entropy coding is codec-library territory,
-  * the MP3/H.264 boundary), but the public container layout carries
-  * the crawl filter/group columns at header cost: RIFF framing, the
+/** WebP container walker + lossless decode entry (rounds 17-18).
+  * The decodeless [[meta]] walk ([[Jpeg.meta]]'s pattern) carries the
+  * crawl filter/group columns at header cost: RIFF framing, the
   * `VP8 ` lossy frame tag (0x9D012A start code + 14-bit dims), the
   * `VP8L` lossless signature (0x2F + packed 14-bit dims + alpha bit),
   * and the `VP8X` extended header (flag byte + 24-bit canvas dims,
   * ANMF frame census for animations). Chunk sizes must chain exactly
   * (with RIFF even-padding), so truncation refuses loudly.
   *
-  * Routing: [[Multimodal.classifyMedia]] tags WebP as IMAGE (before
-  * this walker existed, the RIFF magic routed WebP blobs to the AUDIO
-  * cohort); they stay undecodable there, so perceptual matching is
-  * lost but exact dedup survives — the documented routing discipline
+  * PIXEL decode (round 18): LOSSLESS streams decode for real through
+  * the from-spec [[Vp8l]] codec — [[decode]] for stills (and an
+  * animation's composited first frame), [[frames]] for full ANMF
+  * animations riding the video-bridge matcher. LOSSY `VP8 ` payloads
+  * keep refusing loudly (VP8 entropy coding is codec-library
+  * territory, the MP3/H.264 boundary): their blobs keep exact dedup
+  * through the undecodable route — the documented routing discipline
   * for every format without a pixel decoder. */
 object Webp {
   private def fail(msg: String): Nothing =

@@ -2072,7 +2072,11 @@ class AvDedupSpec extends SparkSpec {
     val docs = TestSpark.spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet").limit(8) // 2 groups
     val badImgBytes = "P6\nnot-a-raster".getBytes
-    val badAudBytes = "RIFFgarbage".getBytes
+    // a REAL corrupt-wav shape: the RIFF/WAVE form tag intact, the
+    // chunk list garbage (r18: a bare RIFF without WAVE is no longer
+    // an audio magic — it stays kept as unknown, the routing-parity
+    // fix — so the corrupt-audio cohort must carry the full magic)
+    val badAudBytes = "RIFF0000WAVEgarbage".getBytes("ISO-8859-1")
     val badVidBytes = "YUV4MPEG2 garbage".getBytes
     def trio(off: Long, b: Array[Byte]) =
       (0 until 3).map(i => (off + i, b)).toDF("media_id", "bytes")
