@@ -2883,15 +2883,7 @@ object SparkEntry {
     "m_gated_media" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val media = mixedMediaFixture(s, dir)
-        .unionByName(Multimodal.junkImageMediaFromDocuments(docs)
-          .select((col("media_id") + lit(16000000L)).as("media_id"),
-            col("bytes")))
-        .unionByName(Multimodal.junkAudioMediaFromDocuments(docs)
-          .select((col("media_id") + lit(18000000L)).as("media_id"),
-            col("bytes")))
-        .unionByName(Multimodal.junkVideoMediaFromDocuments(docs)
-          .select((col("media_id") + lit(20000000L)).as("media_id"),
-            col("bytes")))
+        .unionByName(Multimodal.junkMediaFixture(docs))
       Multimodal.gatedMediaDedup(media, minSide = 8,
           maxPixels = 1000000L, minDurationMs = 5L, maxDurationMs = 5000L)
         .orderBy("id_a", "id_b", "kind")
@@ -3071,15 +3063,7 @@ object SparkEntry {
     "m_stream_gated" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val media = mixedMediaFixture(s, dir)
-        .unionByName(Multimodal.junkImageMediaFromDocuments(docs)
-          .select((col("media_id") + lit(16000000L)).as("media_id"),
-            col("bytes")))
-        .unionByName(Multimodal.junkAudioMediaFromDocuments(docs)
-          .select((col("media_id") + lit(18000000L)).as("media_id"),
-            col("bytes")))
-        .unionByName(Multimodal.junkVideoMediaFromDocuments(docs)
-          .select((col("media_id") + lit(20000000L)).as("media_id"),
-            col("bytes")))
+        .unionByName(Multimodal.junkMediaFixture(docs))
         .localCheckpoint()
       val corpus = media.filter(col("media_id") % 4 === 0 ||
         col("media_id") % 4 === 3)

@@ -84,9 +84,11 @@ object Flac {
       pos = d + len
     }
     if (first) fail("no metadata blocks")
-    // the audio stream must follow: 14-bit frame sync 11111111111110xx
+    // the audio stream must follow: the 14-bit frame sync plus the
+    // mandatory-ZERO reserved bit — only 0xFFF8/0xFFF9 are valid
+    // (0xFFFA/0xFFFB have the reserved bit set and must refuse)
     if (pos + 2 > bytes.length) fail("no audio frames after metadata")
-    if (u8(pos) != 0xff || (u8(pos + 1) & 0xfc) != 0xf8)
+    if (u8(pos) != 0xff || (u8(pos + 1) & 0xfe) != 0xf8)
       fail(f"no frame sync after metadata (got 0x${u8(pos)}%02x${u8(pos + 1)}%02x)")
     // total samples 0 = "unknown" per spec → duration 0 (sentinel-free:
     // the gate's duration axis treats it as an instant clip, which is

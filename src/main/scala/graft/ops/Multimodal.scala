@@ -1856,6 +1856,20 @@ object Multimodal {
     }.toDF("media_id", "bytes")
   }
 
+  /** The three-cohort cross-modality junk fixture every gate surface
+    * shares (m_gated_media, m_stream_gated, the Scale4x --metagate
+    * leg, the specs) — ONE offset table, because the DuckDB oracles
+    * hard-code it: image junk at `base`, audio at `base+step`, video
+    * at `base+2·step`. */
+  def junkMediaFixture(docs: DataFrame, base: Long = 16000000L,
+      step: Long = 2000000L): DataFrame = {
+    def off(df: DataFrame, o: Long) = df.select(
+      (col("media_id") + lit(o)).as("media_id"), col("bytes"))
+    off(junkImageMediaFromDocuments(docs), base)
+      .unionByName(off(junkAudioMediaFromDocuments(docs), base + step))
+      .unionByName(off(junkVideoMediaFromDocuments(docs), base + 2 * step))
+  }
+
   /** Planted JUNK cohort for the meta-gate rows (round 17) — the blobs
     * a crawl's pre-decode gate exists to refuse, in groups of four
     * BYTE-IDENTICAL copies (gid = id/4) so the exact-dedup guarantee

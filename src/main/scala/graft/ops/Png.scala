@@ -443,8 +443,10 @@ object Png {
     val out = Seq.newBuilder[(Int, Array[Byte])]
     frameList.zipWithIndex.foreach { case ((f, z), k) =>
       val fa = new Array[Byte](f.w * f.h)
+      // frames share EVERY IHDR parameter — including the interlace
+      // method (an Adam7 default image is spec-legal as frame 0)
       val (_, _, rgb) = projectRaster(z, f.w, f.h, ihdr.bitDepth,
-        ihdr.colorType, palette, 0, fa)
+        ihdr.colorType, palette, ihdr.interlace, fa)
       // dispose PREVIOUS on the first frame degrades to BACKGROUND
       val dispose = if (k == 0 && f.dispose == 2) 1 else f.dispose
       val saved =
@@ -464,16 +466,23 @@ object Png {
             canvas(3 * dst + 1) = rgb(3 * src + 1)
             canvas(3 * dst + 2) = rgb(3 * src + 2)
             canvasA(dst) = fa(src)
-          } else if (sa > 0) { // OVER: src.a·src + (1−src.a)·dst
+          } else if (sa > 0) {
+            // OVER with the DESTINATION alpha (spec formula): over a
+            // transparent pixel (dst.a = 0 — the dispose-background /
+            // initial-canvas case delta-frame encoders rely on) the
+            // source lands EXACTLY, not scaled by its own alpha
+            val da = canvasA(dst) & 0xff
+            val u = sa
+            val v = da * (255 - sa) / 255
+            val outA = u + v
             var ci = 0
             while (ci < 3) {
               val s = rgb(3 * src + ci) & 0xff
               val d = canvas(3 * dst + ci) & 0xff
-              canvas(3 * dst + ci) = ((s * sa + d * (255 - sa)) / 255).toByte
+              canvas(3 * dst + ci) = ((s * u + d * v) / outA).toByte
               ci += 1
             }
-            val da = canvasA(dst) & 0xff
-            canvasA(dst) = (sa + da * (255 - sa) / 255).toByte
+            canvasA(dst) = outA.toByte
           }
           i += 1
         }

@@ -906,14 +906,17 @@ object Vp8l {
         val plane = distToPlane.getOrElse(dist, dist + 120)
         freqD(g)(prefixEncode(plane)._1) += 1
     }
-    // codes per group (empty alphabets get a 1-symbol code on symbol 0)
-    final case class WCode(lengths: Array[Int], codes: Array[Int])
+    // codes per group (empty alphabets get a 1-symbol code on symbol 0);
+    // `single` is precomputed — the emit loop must not rescan the
+    // alphabet-sized lengths array per token
+    final case class WCode(lengths: Array[Int], codes: Array[Int],
+        single: Boolean)
     def build(freqs: Array[Long], maxLen: Int): WCode = {
       val f = if (freqs.forall(_ == 0L)) {
         val g = freqs.clone(); g(0) = 1; g
       } else freqs
       val lengths = huffmanLengths(f, maxLen)
-      WCode(lengths, canonicalCodes(lengths))
+      WCode(lengths, canonicalCodes(lengths), lengths.count(_ > 0) == 1)
     }
     val codes = Array.tabulate(nGroups) { g =>
       Array(build(freqG(g), 15), build(freqR(g), 15), build(freqB(g), 15),
@@ -926,7 +929,7 @@ object Vp8l {
       if (c.lengths(sym) == 0) fail(s"emitting symbol $sym with no code")
       // a 1-symbol code is read with ZERO bits (the decoder's single
       // short-circuit) — write nothing
-      if (c.lengths.count(_ > 0) > 1) bw.writeCode(c.codes(sym), c.lengths(sym))
+      if (!c.single) bw.writeCode(c.codes(sym), c.lengths(sym))
     }
     tokens.foreach {
       case Lit(p, g) =>

@@ -161,7 +161,12 @@ object Webp {
     * composited onto a transparent canvas (no-blend = overwrite;
     * alpha-blend = OVER; dispose-to-background clears the frame rect).
     * Lossy `VP8 ` frames refuse loudly (the codec boundary). Returns
-    * (canvasW, canvasH, frames = (duration_ms, RGB raster)).
+    * (canvasW, canvasH, frames = (duration_ms, RGB raster)) — NOTE
+    * the per-frame time unit is the container's native MILLISECONDS,
+    * while [[Gif.frames]]/[[Png.frames]] carry centiseconds (their
+    * containers' native unit): the shared video-bridge contract is
+    * the FRAME SEQUENCE (only rasters are hashed); any consumer
+    * comparing delays across formats must normalize units first.
     * `maxFrames` caps the DECODED prefix (the [[Gif.frames]]
     * convention): past it, ANMF headers are still bounds-checked but
     * their VP8L payloads never decode. */
@@ -236,16 +241,21 @@ object Webp {
               canvas(3 * dst + 2) = (p & 0xff).toByte
               canvasA(dst) = sa.toByte
             } else if (sa > 0) {
+              // alpha-blend with the DESTINATION alpha (the Png.frames
+              // OVER formula): over a transparent canvas pixel the
+              // source lands exactly
+              val da = canvasA(dst) & 0xff
+              val u = sa
+              val v = da * (255 - sa) / 255
+              val outA = u + v
               var ci = 0
               while (ci < 3) {
                 val s = (p >> (16 - 8 * ci)) & 0xff
                 val dv = canvas(3 * dst + ci) & 0xff
-                canvas(3 * dst + ci) =
-                  ((s * sa + dv * (255 - sa)) / 255).toByte
+                canvas(3 * dst + ci) = ((s * u + dv * v) / outA).toByte
                 ci += 1
               }
-              val da = canvasA(dst) & 0xff
-              canvasA(dst) = (sa + da * (255 - sa) / 255).toByte
+              canvasA(dst) = outA.toByte
             }
             i += 1
           }

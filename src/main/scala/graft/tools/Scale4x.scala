@@ -1097,35 +1097,44 @@ object Scale4x {
       println("| op | junk | items | wall gated | wall ungated | decode " +
         "attempts gated/ungated | kept pairs agree |")
       println("|---|---|---|---|---|---|---|")
-      def attemptsOf(f: => Long): (Double, Long) = {
-        val seen = new java.util.concurrent.atomic.AtomicLong(0)
+      // ONE listener/stabilization harness for both ladder legs (the
+      // image-only leg reads a single modality from the map): listener
+      // events drain asynchronously, so wait until the count STABILIZES
+      // (1 s without change) — a fixed post-first-event sleep
+      // undercounts when a loaded host delivers late stage completions,
+      // and this column is the ladder's central claim
+      def attemptsFor(mods: Seq[String])(f: => Long)
+          : (Double, Map[String, Long]) = {
+        val seen = mods.map(m =>
+          m -> new java.util.concurrent.atomic.AtomicLong(0)).toMap
         val listener = new org.apache.spark.scheduler.SparkListener {
           override def onStageCompleted(
               sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
               : Unit =
-            sc.stageInfo.accumulables.values
-              .filter(_.name.contains("graft.image_decode_attempts"))
-              .foreach(a => seen.addAndGet(
-                a.value.map(_.toString.toLong).getOrElse(0L)))
+            sc.stageInfo.accumulables.values.foreach { a =>
+              seen.foreach { case (m, ctr) =>
+                if (a.name.exists(_.contains(s"graft.${m}_decode_attempts")))
+                  ctr.addAndGet(a.value.map(_.toString.toLong).getOrElse(0L))
+              }
+            }
         }
         spark.sparkContext.addSparkListener(listener)
         try {
           val w = time(f)
-          // listener events drain asynchronously: wait until the count
-          // STABILIZES (1 s without change), not just until the first
-          // event — a fixed post-first-event sleep undercounts when a
-          // loaded host delivers late stage completions, and this
-          // column is the ladder's central claim
           var last = -1L
           var stableFor = 0
           var waited = 0
           while (waited < 300 && stableFor < 10) {
             Thread.sleep(100); waited += 1
-            val v = seen.get()
+            val v = seen.values.map(_.get()).sum
             if (v == last) stableFor += 1 else { stableFor = 0; last = v }
           }
-          (w, seen.get())
+          (w, seen.map { case (k, v) => k -> v.get() })
         } finally spark.sparkContext.removeSparkListener(listener)
+      }
+      def attemptsOf(f: => Long): (Double, Long) = {
+        val (w, m) = attemptsFor(Seq("image"))(f)
+        (w, m("image"))
       }
       // one DISCARDED warmup leg (round 18, advisor): the first Spark
       // action of a session pays JIT + codegen + executor spin-up, and
@@ -1185,36 +1194,8 @@ object Scale4x {
       // per-modality junk — sub-5ms WAV click junk, 6-second MP4 cost
       // bombs, and the four-kind image junk. Decode attempts counted
       // PER MODALITY on both runs (gated must equal the kept census).
-      def attemptsOfAll(f: => Long): (Double, Map[String, Long]) = {
-        val seen = Map(
-          "image" -> new java.util.concurrent.atomic.AtomicLong(0),
-          "audio" -> new java.util.concurrent.atomic.AtomicLong(0),
-          "video" -> new java.util.concurrent.atomic.AtomicLong(0))
-        val listener = new org.apache.spark.scheduler.SparkListener {
-          override def onStageCompleted(
-              sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
-              : Unit =
-            sc.stageInfo.accumulables.values.foreach { a =>
-              seen.foreach { case (m, ctr) =>
-                if (a.name.exists(_.contains(s"graft.${m}_decode_attempts")))
-                  ctr.addAndGet(a.value.map(_.toString.toLong).getOrElse(0L))
-              }
-            }
-        }
-        spark.sparkContext.addSparkListener(listener)
-        try {
-          val w = time(f)
-          var last = -1L
-          var stableFor = 0
-          var waited = 0
-          while (waited < 300 && stableFor < 10) {
-            Thread.sleep(100); waited += 1
-            val v = seen.values.map(_.get()).sum
-            if (v == last) stableFor += 1 else { stableFor = 0; last = v }
-          }
-          (w, seen.map { case (k, v) => k -> v.get() })
-        } finally spark.sparkContext.removeSparkListener(listener)
-      }
+      def attemptsOfAll(f: => Long): (Double, Map[String, Long]) =
+        attemptsFor(Seq("image", "audio", "video"))(f)
       val mixFixture = keptFixture
         .unionByName(Multimodal.dedupAudioMediaFromDocuments(d1)
           .select((col("media_id") + lit(2000000L)).as("media_id"),
@@ -1250,16 +1231,9 @@ object Scale4x {
       for (junkPct <- Seq(10, 30, 100)) {
         val nJunk = nD1 * junkPct / 100
         val junkDocs = spark.range(nJunk).select(col("id").as("doc_id"))
-        val junk = Multimodal.junkImageMediaFromDocuments(junkDocs)
-          .select((col("media_id") + lit(16000000L)).as("media_id"),
-            col("bytes"))
-          .unionByName(Multimodal.junkAudioMediaFromDocuments(junkDocs)
-            .select((col("media_id") + lit(18000000L)).as("media_id"),
-              col("bytes")))
-          .unionByName(Multimodal.junkVideoMediaFromDocuments(junkDocs)
-            .select((col("media_id") + lit(20000000L)).as("media_id"),
-              col("bytes")))
-        val media = mixFixture.unionByName(junk).localCheckpoint()
+        val media = mixFixture
+          .unionByName(Multimodal.junkMediaFixture(junkDocs))
+          .localCheckpoint()
         var gatedPairs: Set[(Long, Long)] = Set.empty
         val (wg, ag) = attemptsOfAll {
           gatedPairs = Multimodal.gatedMediaDedup(media, minSide = 8,

@@ -78,6 +78,17 @@ class ApngSpec extends SparkSpec {
     val fp = run(dispose = 2)
     assert((fp(2)(in) & 0xff) === 255 && (fp(2)(in + 2) & 0xff) === 0,
       "dispose-previous restores the red under the patch")
+    // OVER onto a TRANSPARENT destination lands the source EXACTLY
+    // (the delta-frame shape: dispose-background then blend-over) —
+    // the r18 review caught the dst-alpha-free formula rendering it
+    // at half brightness
+    val ft = Png.frames(Png.encodeApngRgba(8, 8, Seq(
+      Png.ApngFrame(redFull, delayCs = 1, dispose = 1), // clears ALL
+      Png.ApngFrame(bluePatch, x = 2, y = 2, w = 4, h = 4,
+        delayCs = 1, blend = 1))))._3.map(_._2)
+    assert((ft(1)(in + 2) & 0xff) === 255,
+      "half-alpha blue over transparent must land at FULL blue")
+    assert((ft(1)(in) & 0xff) === 0)
   }
 
   test("apng: sequence gaps, frame-count mismatch, and out-of-canvas rects refuse") {

@@ -317,9 +317,7 @@ class ContainerMetaSpec extends SparkSpec {
       .select("media_id", "bytes")
       .unionByName(off(Multimodal.dedupAudioMediaFromDocuments(docs), 2000000L))
       .unionByName(off(Multimodal.dedupVideoMediaFromDocuments(docs), 4000000L))
-      .unionByName(off(Multimodal.junkImageMediaFromDocuments(docs), 16000000L))
-      .unionByName(off(Multimodal.junkAudioMediaFromDocuments(docs), 18000000L))
-      .unionByName(off(Multimodal.junkVideoMediaFromDocuments(docs), 20000000L))
+      .unionByName(Multimodal.junkMediaFixture(docs))
       .localCheckpoint()
     val seen = scala.collection.mutable.Map(
       "image" -> new java.util.concurrent.atomic.AtomicLong(0),

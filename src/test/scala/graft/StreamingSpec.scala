@@ -835,9 +835,8 @@ class StreamingSpec extends SparkSpec {
       .select("media_id", "bytes")
       .unionByName(off(Multimodal.dedupAudioMediaFromDocuments(docs), 2000L))
       .unionByName(off(Multimodal.dedupVideoMediaFromDocuments(docs), 4000L))
-      .unionByName(off(Multimodal.junkImageMediaFromDocuments(docs), 16000L))
-      .unionByName(off(Multimodal.junkAudioMediaFromDocuments(docs), 18000L))
-      .unionByName(off(Multimodal.junkVideoMediaFromDocuments(docs), 20000L))
+      .unionByName(Multimodal.junkMediaFixture(docs, base = 16000L,
+        step = 2000L))
       .localCheckpoint()
     val corpus = media.filter(col("media_id") % 4 === 0 ||
       col("media_id") % 4 === 3)
