@@ -2400,6 +2400,19 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Multimodal: decodeless APNG census (round 18) — the Gif.meta
+    // animation convention on the PNG chunk walk: acTL presence, fcTL
+    // frame count, summed per-frame delays, all at header+CRC cost
+    // (no inflate). The trim member reports one frame fewer; every
+    // column replays from the fixture arithmetic.
+    "m_apng_meta" -> ((s, dir) => {
+      Multimodal.pngMetadata(Multimodal.apngDedupMediaFromDocuments(
+          s.read.parquet(s"$dir/documents.parquet")))
+        .select(col("media_id"), col("width"), col("height"),
+          col("animated"), col("n_frames"), col("total_delay_cs"))
+        .orderBy("media_id")
+    }),
+
     // Multimodal: REAL GIF decode (round 17, from the public
     // GIF87a/89a spec) — full LZW, interlace, animation compositing,
     // transparency, all planted as doc_id%4 variants; the gate decodes
@@ -5958,6 +5971,20 @@ object SparkEntry {
         | WHERE a.m <= 2 AND b.m <= 2
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // Structural replay of the APNG census: every stream animates,
+    // nf = 3+gid%3 frames (the m=2 trim one fewer), 4 cs per frame.
+    "m_apng_meta" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |           FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  TRUE AS animated,
+        |  CAST(CASE WHEN m = 2 THEN 2 + gid % 3
+        |       ELSE 3 + gid % 3 END AS INT) AS n_frames,
+        |  CAST(4 * CASE WHEN m = 2 THEN 2 + gid % 3
+        |       ELSE 3 + gid % 3 END AS INT) AS total_delay_cs
+        |FROM d ORDER BY media_id""".stripMargin,
+
     // Exact replay of the APNG trim structure — the m_gif_dedup shape:
     // base/copy pairs share all nf = 3+gid%3 composited frames, pairs
     // touching the trimmed member nf−1, temporal order throughout so
@@ -6019,7 +6046,10 @@ object SparkEntry {
         |  doc_id % 3 = 1 AND doc_id % 2 = 0 AS has_alpha,
         |  doc_id % 3 = 2 AND doc_id % 5 = 0 AS animated,
         |  CAST(CASE WHEN doc_id % 3 = 2 AND doc_id % 5 = 0
-        |       THEN 1 + doc_id % 4 ELSE 1 END AS INT) AS n_frames
+        |       THEN 1 + doc_id % 4 ELSE 1 END AS INT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 3 = 2 AND doc_id % 5 = 0
+        |       THEN 40 * (1 + doc_id % 4) ELSE -1 END AS BIGINT)
+        |    AS total_duration_ms
         |FROM documents WHERE doc_id % 17 <> 0 ORDER BY media_id""".stripMargin,
 
     // Structural replay of the unified metadata pre-pass: each
@@ -6051,7 +6081,7 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT CAST(10000000 + doc_id AS BIGINT), 'image', 'png',
         |    CAST(8 + doc_id % 13 AS INT), CAST(6 + doc_id % 11 AS INT),
-        |    CAST(-1 AS BIGINT), CAST(-1 AS INT)
+        |    CAST(0 AS BIGINT), CAST(-1 AS INT)
         |  FROM docs WHERE doc_id % 17 <> 0
         |  UNION ALL
         |  SELECT CAST(20000000 + doc_id AS BIGINT), 'audio', 'mp3',
@@ -6092,7 +6122,9 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT CAST(80000000 + doc_id AS BIGINT), 'image', 'webp',
         |    CAST(16 + doc_id % 200 AS INT), CAST(14 + doc_id % 150 AS INT),
-        |    CAST(-1 AS BIGINT), CAST(-1 AS INT)
+        |    CAST(CASE WHEN doc_id % 3 = 2 AND doc_id % 5 = 0
+        |         THEN 40 * (1 + doc_id % 4) ELSE -1 END AS BIGINT),
+        |    CAST(-1 AS INT)
         |  FROM docs WHERE doc_id % 17 <> 0
         |  UNION ALL
         |  SELECT CAST(100000000 + doc_id AS BIGINT), 'audio', 'flac',

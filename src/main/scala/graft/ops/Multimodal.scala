@@ -1293,7 +1293,8 @@ object Multimodal {
   final case class PngMetaRow(media_id: Long, width: Int, height: Int,
       bit_depth: Int, color_type: Int, interlaced: Boolean, n_chunks: Int,
       idat_bytes: Long, palette_size: Int, has_alpha: Boolean,
-      unknown_critical: Boolean)
+      unknown_critical: Boolean, animated: Boolean, n_frames: Int,
+      total_delay_cs: Int)
 
   /** Structural PNG metadata WITHOUT inflating — [[jpegMetadata]]'s
     * lossless-tier twin ([[Png.meta]]): IHDR geometry, bit depth,
@@ -1315,7 +1316,8 @@ object Multimodal {
           Iterator.single(PngMetaRow(m.media_id, md.width, md.height,
             md.bitDepth, md.colorType, md.interlaced, md.nChunks,
             md.idatBytes, md.paletteSize, md.hasAlpha,
-            md.unknownCritical))
+            md.unknownCritical, md.animated, md.nFrames,
+            md.totalDelayCs))
         } catch {
           case e: Exception if skipMalformed => Iterator.empty
           case e: Exception => throw new RuntimeException(
@@ -1473,7 +1475,7 @@ object Multimodal {
 
   final case class WebpMetaRow(media_id: Long, width: Int, height: Int,
       format: String, has_alpha: Boolean, animated: Boolean,
-      n_frames: Int)
+      n_frames: Int, total_duration_ms: Long)
 
   /** Decodeless WebP metadata ([[Webp.meta]]): container format
     * (lossy/lossless/extended), dimensions, alpha, animation census —
@@ -1489,7 +1491,8 @@ object Multimodal {
         try {
           val md = Webp.meta(m.bytes)
           Iterator.single(WebpMetaRow(m.media_id, md.width, md.height,
-            md.format, md.hasAlpha, md.animated, md.nFrames))
+            md.format, md.hasAlpha, md.animated, md.nFrames,
+            md.totalDurationMs))
         } catch {
           case e: Exception if skipMalformed => Iterator.empty
           case e: Exception => throw new RuntimeException(
@@ -1633,7 +1636,8 @@ object Multimodal {
               MediaMetaRow(m.media_id, "image", fmt, md.width, md.height, -1L, -1)
             case "png" =>
               val md = Png.meta(b)
-              MediaMetaRow(m.media_id, "image", fmt, md.width, md.height, -1L, -1)
+              MediaMetaRow(m.media_id, "image", fmt, md.width, md.height,
+                md.totalDelayCs * 10L, -1)
             case "ppm" =>
               val (w, h) = Ppm.dims(b)
               MediaMetaRow(m.media_id, "image", fmt, w, h, -1L, -1)
@@ -1646,7 +1650,8 @@ object Multimodal {
                 md.totalDelayCs * 10L, -1)
             case "webp" =>
               val md = Webp.meta(b)
-              MediaMetaRow(m.media_id, "image", fmt, md.width, md.height, -1L, -1)
+              MediaMetaRow(m.media_id, "image", fmt, md.width, md.height,
+                if (md.animated) md.totalDurationMs else -1L, -1)
             case "mp3" =>
               val md = Mp3.meta(b)
               MediaMetaRow(m.media_id, "audio", fmt, -1, -1,

@@ -519,9 +519,14 @@ object Png {
     * holds structurally. `idat_bytes` is the compressed payload census
     * (a 1×1 tracking pixel and a 20 MP photo separate here without a
     * single inflate call). */
+  /** `animated`/`nFrames`/`totalDelayCs` are the APNG census (round
+    * 18 — the [[Gif.Meta]] convention): acTL presence, fcTL count, and
+    * the summed per-frame delays, all from the chunk walk at header
+    * cost. A plain PNG reports (false, 1, 0). */
   final case class Meta(width: Int, height: Int, bitDepth: Int,
       colorType: Int, interlaced: Boolean, nChunks: Int, idatBytes: Long,
-      paletteSize: Int, hasAlpha: Boolean, unknownCritical: Boolean)
+      paletteSize: Int, hasAlpha: Boolean, unknownCritical: Boolean,
+      animated: Boolean = false, nFrames: Int = 1, totalDelayCs: Int = 0)
 
   def meta(bytes: Array[Byte]): Meta = {
     val chunks = walkChunks(bytes)
@@ -531,6 +536,16 @@ object Png {
     val idats = chunks.filter(_.typ == "IDAT")
     if (idats.isEmpty) fail("no IDAT")
     val idatBytes = idats.map(c => (c.end - c.start).toLong).sum
+    // APNG census: acTL flags animation, fcTL chunks carry the delays
+    val animated = chunks.exists(_.typ == "acTL")
+    val fctls = chunks.filter(_.typ == "fcTL")
+    var totalDelayCs = 0
+    fctls.foreach { c =>
+      if (c.end - c.start != 26) fail("fcTL length is not 26")
+      val num = ((bytes(c.start + 20) & 0xff) << 8) | (bytes(c.start + 21) & 0xff)
+      val den0 = ((bytes(c.start + 22) & 0xff) << 8) | (bytes(c.start + 23) & 0xff)
+      totalDelayCs += num * 100 / (if (den0 == 0) 100 else den0)
+    }
     Meta(ihdr.w, ihdr.h, ihdr.bitDepth, ihdr.colorType,
       ihdr.interlace == 1, chunks.length, idatBytes, paletteSize,
       hasAlpha = ihdr.colorType == 4 || ihdr.colorType == 6 ||
@@ -538,7 +553,10 @@ object Png {
       // a critical chunk decode would refuse (Apple CgBI territory) —
       // the dropped_unsupported routing signal, known without inflate
       unknownCritical = chunks.exists(c => c.typ(0).isUpper &&
-        !Set("IHDR", "PLTE", "IDAT", "IEND").contains(c.typ)))
+        !Set("IHDR", "PLTE", "IDAT", "IEND").contains(c.typ)),
+      animated = animated,
+      nFrames = if (animated) fctls.length else 1,
+      totalDelayCs = totalDelayCs)
   }
 
   // ---- fixture-grade encoders ----

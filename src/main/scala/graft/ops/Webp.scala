@@ -26,8 +26,12 @@ object Webp {
       bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
       bytes(9) == 'E' && bytes(10) == 'B' && bytes(11) == 'P'
 
+  /** `totalDurationMs` is the ANMF duration census (−1 for stills) —
+    * the decodeless animation-length axis the unified pre-pass reads
+    * (round 18: the [[Gif.meta]] totalDelayCs convention). */
   final case class Meta(width: Int, height: Int, format: String,
-      hasAlpha: Boolean, animated: Boolean, nFrames: Int, nChunks: Int)
+      hasAlpha: Boolean, animated: Boolean, nFrames: Int, nChunks: Int,
+      totalDurationMs: Long = -1L)
 
   def meta(bytes: Array[Byte]): Meta = {
     if (!isWebp(bytes)) fail("not a webp stream (bad RIFF/WEBP header)")
@@ -44,6 +48,7 @@ object Webp {
     var animated = false
     var nFrames = 0
     var nChunks = 0
+    var totalDurMs = 0L
     while (pos < bytes.length) {
       if (pos + 8 > bytes.length) fail("truncated chunk header")
       val typ = new String(bytes, pos, 4, "ISO-8859-1")
@@ -87,7 +92,10 @@ object Webp {
           if ((flags & 0x02) != 0) animated = true
           w = u24le(dataStart + 4) + 1
           h = u24le(dataStart + 7) + 1
-        case "ANMF" => nFrames += 1
+        case "ANMF" =>
+          if (size < 16) fail("ANMF chunk too short")
+          nFrames += 1
+          totalDurMs += u24le(dataStart + 12)
         case "ALPH" => alpha = true
         case _ => () // ICCP/EXIF/XMP/unknown: structural skip
       }
@@ -96,7 +104,8 @@ object Webp {
     if (format.isEmpty) fail("no VP8 /VP8L/VP8X chunk")
     if (w <= 0 || h <= 0) fail("no dimensions")
     if (animated && nFrames == 0) fail("animated VP8X without ANMF frames")
-    Meta(w, h, format, alpha, animated, math.max(nFrames, 1), nChunks)
+    Meta(w, h, format, alpha, animated, math.max(nFrames, 1), nChunks,
+      if (animated) totalDurMs else -1L)
   }
 
   /** Pixel decode (round 18): LOSSLESS (VP8L) streams decode for real
@@ -285,32 +294,47 @@ object Webp {
     (cw, chh, out.result())
   }
 
+  /** One advanced animated-WebP fixture frame: an ARGB sub-rect with
+    * explicit blend/dispose flags (x/y must be EVEN — the container
+    * stores them in 2-pixel units). */
+  final case class AwebpFrame(argb: Array[Int], x: Int = 0, y: Int = 0,
+      w: Int = -1, h: Int = -1, durMs: Int = 40,
+      alphaBlend: Boolean = false, disposeBackground: Boolean = false)
+
   /** Fixture-grade ANIMATED lossless writer: full-canvas VP8L frames
     * (no-blend, no dispose) behind a real VP8X+ANIM header — real
     * entropy-coded pixels per frame through [[Vp8l.encode]]. */
   def encodeAnimatedVp8l(w: Int, h: Int,
       frames: Seq[(Int, Array[Int])],
+      opts: Vp8l.EncOptions = Vp8l.EncOptions()): Array[Byte] =
+    encodeAnimatedVp8lFrames(w, h,
+      frames.map { case (durMs, argb) => AwebpFrame(argb, durMs = durMs) },
+      opts)
+
+  /** The sub-rect/blend/dispose form — the [[Png.encodeApngRgba]]
+    * sibling, so the animated-WebP compositing paths are testable. */
+  def encodeAnimatedVp8lFrames(w: Int, h: Int, frames: Seq[AwebpFrame],
       opts: Vp8l.EncOptions = Vp8l.EncOptions()): Array[Byte] = {
     require(frames.nonEmpty, "need at least one frame")
-    def put24(b: Array[Byte], o: Int, v: Int): Unit = {
-      b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
-      b(o + 2) = ((v >> 16) & 0xff).toByte
-    }
     val vp8x = new Array[Byte](10)
     vp8x(0) = 0x02 // animated
-    put24(vp8x, 4, w - 1); put24(vp8x, 7, h - 1)
+    put24rel(vp8x, 4, w - 1); put24rel(vp8x, 7, h - 1)
     val anim = new Array[Byte](6) // background 0, loop forever
     val parts = Seq.newBuilder[Array[Byte]]
     parts += chunk("VP8X", vp8x)
     parts += chunk("ANIM", anim)
-    frames.foreach { case (durMs, argb) =>
-      require(argb.length == w * h, "frame raster size mismatch")
-      val payload = Vp8l.encode(w, h, argb, opts)
+    frames.foreach { f =>
+      val fw = if (f.w < 0) w else f.w
+      val fh = if (f.h < 0) h else f.h
+      require(f.argb.length == fw * fh, "frame raster size mismatch")
+      require(f.x % 2 == 0 && f.y % 2 == 0, "offsets are in 2-pixel units")
+      val payload = Vp8l.encode(fw, fh, f.argb, opts)
       val hdr = new Array[Byte](16)
-      put24(hdr, 0, 0); put24(hdr, 3, 0) // full canvas at (0,0)
-      put24(hdr, 6, w - 1); put24(hdr, 9, h - 1)
-      put24(hdr, 12, durMs)
-      hdr(15) = 0x02 // no blend, dispose none
+      put24rel(hdr, 0, f.x / 2); put24rel(hdr, 3, f.y / 2)
+      put24rel(hdr, 6, fw - 1); put24rel(hdr, 9, fh - 1)
+      put24rel(hdr, 12, f.durMs)
+      hdr(15) = ((if (f.alphaBlend) 0 else 2) |
+        (if (f.disposeBackground) 1 else 0)).toByte
       parts += chunk("ANMF", hdr ++ chunk("VP8L", payload))
     }
     wrap(parts.result().reduce(_ ++ _))
@@ -356,9 +380,11 @@ object Webp {
   }
 
   /** A structurally-valid extended (`VP8X`) stream, optionally animated
-    * with `nFrames` ANMF entries. */
+    * with `nFrames` ANMF entries carrying REAL 16-byte frame headers
+    * (each `frameDurMs` long — the meta duration census reads them)
+    * over junk image payloads. */
   def encodeExtended(w: Int, h: Int, alpha: Boolean = false,
-      nFrames: Int = 0, seed: Long = 0L): Array[Byte] = {
+      nFrames: Int = 0, seed: Long = 0L, frameDurMs: Int = 40): Array[Byte] = {
     require(w > 0 && w <= (1 << 24) && h > 0 && h <= (1 << 24), s"$w x $h")
     val p = new Array[Byte](10)
     p(0) = (((if (alpha) 0x10 else 0) | (if (nFrames > 0) 0x02 else 0))).toByte
@@ -376,10 +402,30 @@ object Webp {
       q(8) = (h & 0xff).toByte; q(9) = ((h >> 8) & 0x3f).toByte
       q
     })
-    for (f <- 0 until nFrames)
-      parts += chunk("ANMF",
-        Array.tabulate(17)(i => ((seed * 13 + f * 7 + i) & 0xff).toByte))
+    for (f <- 0 until nFrames) {
+      val hdr = new Array[Byte](16)
+      put24rel(hdr, 6, w - 1); put24rel(hdr, 9, h - 1)
+      put24rel(hdr, 12, frameDurMs)
+      hdr(15) = 0x02 // no blend, dispose none
+      parts += chunk("ANMF", hdr ++
+        Array.tabulate(8)(i => ((seed * 13 + f * 7 + i) & 0xff).toByte))
+    }
     wrap(parts.result().reduce(_ ++ _))
+  }
+
+  private def put24rel(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+    b(o + 2) = ((v >> 16) & 0xff).toByte
+  }
+
+  /** A VP8X-wrapped STILL lossless image (real VP8L pixels behind the
+    * extended header — the alpha/ICC-profile container shape real
+    * encoders emit for stills with features). */
+  def encodeVp8xVp8l(w: Int, h: Int, argb: Array[Int],
+      opts: Vp8l.EncOptions = Vp8l.EncOptions()): Array[Byte] = {
+    val vp8x = new Array[Byte](10)
+    put24rel(vp8x, 4, w - 1); put24rel(vp8x, 7, h - 1)
+    wrap(chunk("VP8X", vp8x) ++ chunk("VP8L", Vp8l.encode(w, h, argb, opts)))
   }
 
   private def wrap(body: Array[Byte]): Array[Byte] = {

@@ -38,8 +38,14 @@ class ApngSpec extends SparkSpec {
     val re = Png.encodeApng(8, 8, fs, y => 1 + (y % 4))
     assert(!java.util.Arrays.equals(bytes, re))
     assert(Png.frames(re)._3.map(_._2.toSeq) === dec.map(_._2.toSeq))
-    // a plain PNG is its own single frame
+    // the decodeless census agrees (the Gif.meta convention, r18):
+    // acTL flags animation, fcTL count and summed delays at header cost
+    val md = Png.meta(bytes)
+    assert(md.animated && md.nFrames === 4 && md.totalDelayCs === 3 + 4 + 5 + 6)
+    // a plain PNG is its own single frame and censuses (false, 1, 0)
     val still = Png.encode(8, 8, rgbFrame(3))
+    val sm = Png.meta(still)
+    assert(!sm.animated && sm.nFrames === 1 && sm.totalDelayCs === 0)
     val (_, _, one) = Png.frames(still)
     assert(one.map(f => (f._1, f._2.toSeq)) ===
       Seq((0, Png.decode(still)._3.toSeq)))
@@ -143,6 +149,43 @@ class ApngSpec extends SparkSpec {
       Webp.frames(java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 4)))
     intercept[IllegalArgumentException](
       Webp.frames(Webp.encodeExtended(8, 8, nFrames = 2)))
+  }
+
+  test("awebp: alpha-blend and dispose-to-background composite per the flag byte; VP8X-wrapped stills decode; alpha round-trips VP8L") {
+    // alpha round-trips through the VP8L alpha prefix code
+    val alphaPx = Array.tabulate(64) { p =>
+      ((64 + p * 3) << 24) | (0xff0000) | ((p * 5 & 0xff) << 8) | (p & 0xff)
+    }
+    val encA = Vp8l.encode(8, 8, alphaPx)
+    assert(Vp8l.decode(encA, 0, encA.length)._4 === alphaPx)
+    // VP8X-wrapped STILL lossless decodes through the container walk
+    val px = Array.tabulate(64)(p =>
+      0xff000000 | ((p * 7 & 0xff) << 16) | ((p * 11 & 0xff) << 8))
+    val wrapped = Webp.encodeVp8xVp8l(8, 8, px)
+    assert(Webp.meta(wrapped).format === "extended")
+    assert(Webp.decode(wrapped)._3 === Webp.decode(
+      Webp.encodeVp8lPixels(8, 8, px))._3)
+    // compositing: full red; half-alpha blue 4x4 at (2,2) ALPHA-BLEND
+    // with dispose-background; full-canvas transparent no-op frame so
+    // the cleared rect shows
+    val red = Array.fill(64)(0xffff0000.toInt)
+    val bluePatch = Array.fill(16)((128 << 24) | 0xff)
+    val clear = Array.fill(64)(0) // fully transparent, alpha-blend = no-op
+    val bytes = Webp.encodeAnimatedVp8lFrames(8, 8, Seq(
+      Webp.AwebpFrame(red),
+      Webp.AwebpFrame(bluePatch, x = 2, y = 2, w = 4, h = 4,
+        alphaBlend = true, disposeBackground = true),
+      Webp.AwebpFrame(clear, alphaBlend = true)))
+    val (_, _, fs) = Webp.frames(bytes)
+    assert(fs.length === 3)
+    val in = 3 * (3 * 8 + 3)
+    // frame 1: OVER at alpha 128 over opaque red → r 127, b 128
+    assert((fs(1)._2(in) & 0xff) === 127 && (fs(1)._2(in + 2) & 0xff) === 128)
+    assert((fs(1)._2(0) & 0xff) === 255, "outside the rect stays red")
+    // frame 2: the rect was disposed to transparent black; the
+    // transparent alpha-blend frame must not repaint it
+    assert(fs(2)._2(in) === 0 && fs(2)._2(in + 2) === 0)
+    assert((fs(2)._2(0) & 0xff) === 255, "outside the rect still red")
   }
 
   test("apng + awebp ride the video dedup stack: trim pairs, reversed collage excluded by minLisFrac") {

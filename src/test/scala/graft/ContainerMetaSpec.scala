@@ -123,9 +123,10 @@ class ContainerMetaSpec extends SparkSpec {
     assert(ll.format === "lossless" && ll.width === 100 && ll.height === 50)
     assert(ll.hasAlpha)
     val anim = Webp.meta(Webp.encodeExtended(640, 480, alpha = true,
-      nFrames = 3))
+      nFrames = 3, frameDurMs = 50))
     assert(anim === Webp.Meta(640, 480, "extended", hasAlpha = true,
-      animated = true, nFrames = 3, nChunks = 4))
+      animated = true, nFrames = 3, nChunks = 4,
+      totalDurationMs = 150L))
     val still = Webp.meta(Webp.encodeExtended(12, 9))
     assert(still.format === "extended" && !still.animated && still.nFrames === 1)
     val good = Webp.encodeLossy(32, 24)
