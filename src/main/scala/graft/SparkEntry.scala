@@ -2473,6 +2473,33 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Multimodal: CROSS-FORMAT animation matching (round 18) — the
+    // transcode shape real crawls carry: a GIF corpus freezes into a
+    // frame-hash index (videoFrameIndexFromSets over gifFrameHashSets),
+    // and the SAME animations re-encoded as APNG and animated WebP
+    // (real VP8L payloads — not one byte survives the transcode) match
+    // their corpus twins through the format-agnostic frame space, all
+    // nf frames in temporal order (lis = n_matched). The independent
+    // corpus member matches nothing.
+    "m_anim_xformat" -> ((s, dir) => {
+      val media = Multimodal.xformatAnimMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet")).localCheckpoint()
+      val index = Multimodal.videoFrameIndexFromSets(
+        Multimodal.gifFrameHashSets(
+          media.filter(col("media_id") % 4 === 0 ||
+            col("media_id") % 4 === 3)))
+        .localCheckpoint()
+      Multimodal.animationAgainstIndex(
+          Multimodal.apngFrameHashSets(
+            media.filter(col("media_id") % 4 === 1)), index)
+        .unionByName(Multimodal.animationAgainstIndex(
+          Multimodal.awebpFrameHashSets(
+            media.filter(col("media_id") % 4 === 2)), index))
+        .select(col("media_id"), col("match_id"), col("n_matched"),
+          col("lis"))
+        .orderBy("media_id", "match_id")
+    }),
+
     // Multimodal: decodeless GIF metadata (round 17) — the block walk
     // skips LZW sub-blocks by length prefix: frame census, animation /
     // transparency flags, interlace, total duration at I/O cost. Every
@@ -6015,6 +6042,20 @@ object SparkEntry {
         |FROM d a JOIN d b ON a.gid = b.gid AND a.doc_id < b.doc_id
         | WHERE a.m <= 2 AND b.m <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Exact replay of the cross-format transcode structure: the APNG
+    // (m=1) and animated-WebP (m=2) members match their GIF corpus
+    // base (4g) with all nf = 3+gid%3 frames in temporal order; the
+    // independent corpus member (m=3) matches nothing.
+    "m_anim_xformat" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |           FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |       CAST(gid * 4 AS BIGINT) AS match_id,
+        |       CAST(3 + gid % 3 AS BIGINT) AS n_matched,
+        |       CAST(3 + gid % 3 AS BIGINT) AS lis
+        |FROM d WHERE m IN (1, 2)
+        |ORDER BY media_id, match_id""".stripMargin,
 
     // Structural replay of the decodeless GIF block walk: every column
     // from the doc_id%4 variant arithmetic; the truncated cohort drops

@@ -3706,6 +3706,54 @@ object Multimodal {
     }.toDF("media_id", "bytes")
   }
 
+  /** Planted CROSS-FORMAT animation fixture (round 18): groups of four
+    * whose members carry the SAME composited frames in DIFFERENT
+    * containers — m=0 a GIF (the corpus member), m=1 the same frames
+    * as an APNG, m=2 the same frames as an animated WebP (real VP8L
+    * payloads), m=3 an independent GIF. Frames are 8×8 black/white
+    * patterns from one seed family, so the three containers decode to
+    * BIT-IDENTICAL rasters — the transcode shape real crawls carry
+    * (not one byte survives, every composited frame hash does). */
+  def xformatAnimMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pal = Array[Byte](0, 0, 0, 255.toByte, 255.toByte, 255.toByte,
+      64, 64, 64, 192.toByte, 192.toByte, 192.toByte)
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val gid = id / 4
+      val m = (id % 4).toInt
+      val seed = splitmix64(gid * 2L + (if (m == 3) 1L else 0L) +
+        0x5be0cd19137e2179L)
+      val nf = 3 + (gid % 3).toInt
+      val patterns = (0 until nf).map(k => splitmix64(seed + k * 1013L))
+      val bytes = m match {
+        case 1 =>
+          Png.encodeApng(8, 8, patterns.map { pattern =>
+            val rgb = new Array[Byte](64 * 3)
+            var p = 0
+            while (p < 64) {
+              val v = if (((pattern >>> p) & 1L) == 1L) 255.toByte else 0.toByte
+              rgb(3 * p) = v; rgb(3 * p + 1) = v; rgb(3 * p + 2) = v
+              p += 1
+            }
+            (4, rgb)
+          })
+        case 2 =>
+          Webp.encodeAnimatedVp8l(8, 8, patterns.map { pattern =>
+            (40, Array.tabulate(64)(p =>
+              if (((pattern >>> p) & 1L) == 1L) 0xffffffff else 0xff000000))
+          })
+        case _ =>
+          Gif.encode(8, 8, pal, patterns.map { pattern =>
+            Gif.EncFrame(Array.tabulate(64)(p =>
+              (if (((pattern >>> p) & 1L) == 1L) 1 else 0).toByte),
+              delayCs = 4)
+          })
+      }
+      (id, bytes)
+    }.toDF("media_id", "bytes")
+  }
+
   /** Planted animated-GIF dedup fixture (round 17): groups of four —
     * m=0 a base animation of nf = 3+gid%3 binary-pattern frames, m=1
     * an EXACT byte copy, m=2 a TRIMMED re-encode (the last frame
@@ -3781,8 +3829,21 @@ object Multimodal {
     * derives its band grid from it. */
   def videoFrameIndex(media: DataFrame, maxFrameDf: Int = 1000,
       thumbSide: Int = 8, maxFrameHamming: Int = 3,
-      maxBucketDf: Int = 1000): DataFrame = {
-    val frames = explodeFrameSets(videoFrameHashSets(media, thumbSide))
+      maxBucketDf: Int = 1000): DataFrame =
+    videoFrameIndexFromSets(videoFrameHashSets(media, thumbSide),
+      maxFrameDf, maxFrameHamming, maxBucketDf)
+
+  /** [[videoFrameIndex]] from an ALREADY-COMPUTED frame-hash-set frame
+    * (round 18, public): the frame space is FORMAT-AGNOSTIC — the same
+    * (media_id, frame_hashes, frame_pos) contract comes out of
+    * [[videoFrameHashSets]] (Y4M), [[gifFrameHashSets]],
+    * [[apngFrameHashSets]] and [[awebpFrameHashSets]] — so an
+    * animation corpus frozen from ANY container matches probes from
+    * any other: a GIF transcoded to animated WebP shares its
+    * composited frame hashes exactly (the m_anim_xformat gate). */
+  def videoFrameIndexFromSets(sets: DataFrame, maxFrameDf: Int = 1000,
+      maxFrameHamming: Int = 3, maxBucketDf: Int = 1000): DataFrame = {
+    val frames = explodeFrameSets(sets)
     // STOP frames (df > cap) are ≤ n_frames/maxFrameDf distinct keys by
     // construction — broadcast the tiny stop list and anti-join, never a
     // semi-join against the corpus-sized rare side (round 15; the
@@ -3988,6 +4049,16 @@ object Multimodal {
       minMatchedFrames: Int = 2, thumbSide: Int = 8): DataFrame =
     videoAgainstIndexFromSets(videoFrameHashSets(media, thumbSide), index,
       minMatchedFrames)
+
+  /** Cross-format animation probe (round 18): match any frame-hash-set
+    * frame (GIF / APNG / animated-WebP / Y4M — one shared contract)
+    * against a frozen [[videoFrameIndexFromSets]] index, whatever
+    * container the index froze from. A transcode between animation
+    * formats preserves composited frames, so it matches its corpus
+    * twin here even though not one byte survives the re-encode. */
+  def animationAgainstIndex(sets: DataFrame, index: DataFrame,
+      minMatchedFrames: Int = 2): DataFrame =
+    videoAgainstIndexFromSets(sets, index, minMatchedFrames)
 
   /** [[videoAgainstIndex]] from an ALREADY-COMPUTED
     * [[videoFrameHashSets]] frame — the incremental paths'

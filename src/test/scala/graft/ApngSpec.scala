@@ -188,6 +188,42 @@ class ApngSpec extends SparkSpec {
     assert((fs(2)._2(0) & 0xff) === 255, "outside the rect still red")
   }
 
+  test("cross-format animation matching: a GIF corpus index catches APNG/AWebP transcodes (and transcoded trims)") {
+    val docs = (0L until 16L).toDF("doc_id")
+    val media = Multimodal.xformatAnimMediaFromDocuments(docs)
+      .localCheckpoint()
+    val index = Multimodal.videoFrameIndexFromSets(
+      Multimodal.gifFrameHashSets(media.filter(
+        col("media_id") % 4 === 0 || col("media_id") % 4 === 3)))
+      .localCheckpoint()
+    def probe(m: Long, sets: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      Multimodal.animationAgainstIndex(
+          sets(media.filter(col("media_id") % 4 === m)), index)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+    val apng = probe(1L, Multimodal.apngFrameHashSets(_))
+    val awebp = probe(2L, Multimodal.awebpFrameHashSets(_))
+    for (g <- 0L until 4L) {
+      val nf = 3 + g % 3
+      assert(apng((g * 4 + 1, g * 4)) === ((nf, nf)), s"apng g=$g")
+      assert(awebp((g * 4 + 2, g * 4)) === ((nf, nf)), s"awebp g=$g")
+    }
+    assert(apng.size === 4 && awebp.size === 4,
+      "independents must match nothing")
+    // a transcoded TRIM (APNG re-encode of the base minus its last
+    // frame) still matches with nf−1 frames in order — the clip-trim
+    // recall survives the container change
+    val (w, h, fs) = graft.ops.Png.frames(
+      media.filter(col("media_id") === 1L).collect()(0).getAs[Array[Byte]](1))
+    val trimmed = graft.ops.Png.encodeApng(w, h,
+      fs.dropRight(1).map { case (_, rgb) => (4, rgb) })
+    val trimMatch = Multimodal.animationAgainstIndex(
+        Multimodal.apngFrameHashSets(
+          Seq((5000L, trimmed)).toDF("media_id", "bytes")), index)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(trimMatch.toSeq === Seq((0L, fs.length - 1L, fs.length - 1L)))
+  }
+
   test("apng + awebp ride the video dedup stack: trim pairs, reversed collage excluded by minLisFrac") {
     val docs = (0L until 16L).toDF("doc_id")
     for ((media, pairsOf) <- Seq(
