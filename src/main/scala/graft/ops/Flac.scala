@@ -38,11 +38,23 @@ object Flac {
       nBlocks: Int, minBlockSize: Int, maxBlockSize: Int,
       hasSeekTable: Boolean, hasVorbisComment: Boolean)
 
+  /** Offset of the `fLaC` magic: 0 for a bare stream, past a
+    * well-formed leading ID3v2 tag otherwise (the common real-world
+    * tagged-FLAC shape [[graft.ops.Multimodal.sniffFormat]] re-sniffs,
+    * round 19). Fails when neither applies. */
+  private[graft] def streamStart(bytes: Array[Byte]): Int = {
+    if (isFlac(bytes)) return 0
+    val end = Mp3.id3v2TagEnd(bytes)
+    if (end > 0 && end + 4 <= bytes.length && bytes(end) == 'f' &&
+      bytes(end + 1) == 'L' && bytes(end + 2) == 'a' &&
+      bytes(end + 3) == 'C') end
+    else fail("not a flac stream (bad fLaC magic)")
+  }
+
   /** Walk the metadata-block chain; never reads audio-frame bytes. */
   def meta(bytes: Array[Byte]): Meta = {
-    if (!isFlac(bytes)) fail("not a flac stream (bad fLaC magic)")
     def u8(o: Int): Int = bytes(o) & 0xff
-    var pos = 4
+    var pos = streamStart(bytes) + 4
     var last = false
     var first = true
     var sr = 0; var ch = 0; var bps = 0; var total = 0L

@@ -43,6 +43,29 @@ object Mp3 {
       bitrateKbps: Int, vbr: Boolean, nFrames: Int, durationMs: Long,
       hasId3v2: Boolean, hasId3v1: Boolean)
 
+  /** Offset just past a leading ID3v2 tag ("ID3" ver(2) flags(1)
+    * syncsafe-size(4), optional 10-byte footer), or −1 when the prefix
+    * is not a well-formed in-bounds ID3v2 header. Dispatch-grade only
+    * (the [[graft.ops.Multimodal.sniffFormat]] re-sniff for
+    * ID3v2-tagged FLAC — a common real-world shape the mp3-first
+    * sniff order used to drop as malformed); [[meta]] keeps its own
+    * loud-refusal walk. */
+  private[graft] def id3v2TagEnd(bytes: Array[Byte]): Int = {
+    if (bytes.length < 10 || bytes(0) != 'I' || bytes(1) != 'D' ||
+      bytes(2) != '3') return -1
+    val flags = bytes(5) & 0xff
+    var size = 0
+    var i = 0
+    while (i < 4) {
+      val b = bytes(6 + i) & 0xff
+      if ((b & 0x80) != 0) return -1
+      size = (size << 7) | b
+      i += 1
+    }
+    val end = 10 + size + (if ((flags & 0x10) != 0) 10 else 0)
+    if (end > bytes.length) -1 else end
+  }
+
   /** Walk every frame header; never reads entropy/payload bytes. */
   def meta(bytes: Array[Byte]): Meta = {
     var pos = 0

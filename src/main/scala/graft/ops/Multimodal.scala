@@ -1534,9 +1534,20 @@ object Multimodal {
     else if (b.length >= 2 && b(0) == 'P' && b(1) == '6') "ppm"
     else if (b.length >= 4 && b(0) == 'q' && b(1) == 'o' && b(2) == 'i' &&
       b(3) == 'f') "qoi"
-    else if (b.length >= 3 && b(0) == 'I' && b(1) == 'D' && b(2) == '3' ||
-      b.length >= 2 && (b(0) & 0xff) == 0xff &&
-        Mp3SyncSecondBytes.contains(b(1) & 0xff)) "mp3"
+    else if (b.length >= 3 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      // ID3v2-tagged streams: the tag says nothing about the codec
+      // behind it — an ID3v2-prefixed FLAC (a common real-world shape)
+      // must not commit to mp3 and drop at Mp3.meta's strict frame
+      // walk. Skip the well-formed tag and re-sniff the first post-tag
+      // bytes; a malformed/truncated tag stays mp3 (Mp3.meta refuses
+      // it loudly, the previous behavior).
+      val end = Mp3.id3v2TagEnd(b)
+      if (end > 0 && end + 4 <= b.length && b(end) == 'f' &&
+        b(end + 1) == 'L' && b(end + 2) == 'a' && b(end + 3) == 'C') "flac"
+      else "mp3"
+    }
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff &&
+      Mp3SyncSecondBytes.contains(b(1) & 0xff)) "mp3"
     else if (Flac.isFlac(b)) "flac"
     else if (Ogg.isOgg(b)) "ogg"
     else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&

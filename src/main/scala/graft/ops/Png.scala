@@ -191,18 +191,46 @@ object Png {
       o += c.end - c.start
     }
     projectRaster(idat, ihdr.w, ihdr.h, depth, ihdr.colorType, palette,
-      ihdr.interlace, null)
+      ihdr.interlace, null, null)
+  }
+
+  /** Extract + validate the optional `tRNS` chunk (spec §11.3.1.1):
+    * per-palette-entry alpha for colour type 3 (≤ palette entries),
+    * one 2-byte sample key for type 0, three 2-byte keys for type 2;
+    * prohibited outright for the alpha-carrying types 4/6. Returns
+    * null when absent. */
+  private def trnsOf(bytes: Array[Byte], chunks: Seq[Chunk],
+      colorType: Int, palette: Array[Byte]): Array[Byte] = {
+    val cs = chunks.filter(_.typ == "tRNS")
+    if (cs.isEmpty) return null
+    if (cs.length > 1) fail("multiple tRNS chunks")
+    val c = cs.head
+    val len = c.end - c.start
+    colorType match {
+      case 0 => if (len != 2) fail(s"tRNS length $len for gray (want 2)")
+      case 2 => if (len != 6) fail(s"tRNS length $len for RGB (want 6)")
+      case 3 =>
+        if (len == 0 || palette == null || len > palette.length / 3)
+          fail(s"tRNS length $len exceeds the ${
+            if (palette == null) 0 else palette.length / 3}-entry palette")
+      case t => fail(s"tRNS with alpha colour type $t")
+    }
+    java.util.Arrays.copyOfRange(bytes, c.start, c.end)
   }
 
   /** The inflate + defilter + colour-project core shared by [[decode]]
     * and the APNG frame path ([[frames]]): one complete zlib stream →
     * an RGB raster of (w, h). When `alphaOut` (length w·h) is non-null
-    * it receives per-pixel alpha (255 for alpha-free colour types —
-    * tRNS chroma-keying is deliberately not composited), which the
-    * APNG blend step needs. */
+    * it receives per-pixel alpha: the native channel for types 4/6,
+    * else tRNS transparency when `trns` is non-null (palette alpha for
+    * type 3 — the dominant real-world APNG transparency form — and
+    * exact full-depth sample-key matching for types 0/2), else 255.
+    * [[decode]] still passes trns = null: a STILL image's RGB output
+    * never composites tRNS chroma-keying (the documented caveat);
+    * only the APNG blend step reads it. */
   private def projectRaster(idat: Array[Byte], w: Int, h: Int,
       depth: Int, colorType: Int, palette: Array[Byte], interlace: Int,
-      alphaOut: Array[Byte]): (Int, Int, Array[Byte]) = {
+      alphaOut: Array[Byte], trns: Array[Byte]): (Int, Int, Array[Byte]) = {
     val ch = channelsOf(colorType)
     // pass geometry: sequential = one full-frame pass; Adam7 = seven
     // sub-images, empty passes contribute NO bytes (spec §8.2)
@@ -297,6 +325,15 @@ object Png {
                 ((raw(base + (bitPos >> 3)) & 0xff)
                   >> (8 - d - (bitPos & 7))) & ((1 << d) - 1)
             }
+            // FULL-precision sample for tRNS key matching: the spec
+            // compares at source depth (§11.3.1.1), so 16-bit keys use
+            // both bytes, not the 8-bit display reduction above
+            def sampleFull(c: Int): Int =
+              if (depth == 16) ((raw(base + (i * ch + c) * 2) & 0xff) << 8) |
+                (raw(base + (i * ch + c) * 2 + 1) & 0xff)
+              else sample(c)
+            def trnsKey(k: Int): Int =
+              ((trns(2 * k) & 0xff) << 8) | (trns(2 * k + 1) & 0xff)
             val p = (y0 + j * dy) * w + (x0 + i * dx)
             colorType match {
               case 0 =>
@@ -305,12 +342,18 @@ object Png {
                 val v = (if (depth >= 8) s
                   else s * 255 / ((1 << depth) - 1)).toByte
                 out(3 * p) = v; out(3 * p + 1) = v; out(3 * p + 2) = v
+                if (alphaOut != null && trns != null &&
+                    sampleFull(0) == trnsKey(0)) alphaOut(p) = 0
               case 2 | 6 =>
                 out(3 * p) = sample(0).toByte
                 out(3 * p + 1) = sample(1).toByte
                 out(3 * p + 2) = sample(2).toByte
                 if (colorType == 6 && alphaOut != null)
                   alphaOut(p) = sample(3).toByte
+                if (colorType == 2 && alphaOut != null && trns != null &&
+                    sampleFull(0) == trnsKey(0) &&
+                    sampleFull(1) == trnsKey(1) &&
+                    sampleFull(2) == trnsKey(2)) alphaOut(p) = 0
               case 3 =>
                 val idx = sample(0) // palette indexes never scale
                 if (idx * 3 + 2 >= palette.length)
@@ -318,6 +361,9 @@ object Png {
                 out(3 * p) = palette(3 * idx)
                 out(3 * p + 1) = palette(3 * idx + 1)
                 out(3 * p + 2) = palette(3 * idx + 2)
+                // entries past the tRNS payload are opaque (spec)
+                if (alphaOut != null && trns != null && idx < trns.length)
+                  alphaOut(p) = trns(idx)
               case 4 =>
                 val v = sample(0).toByte
                 out(3 * p) = v; out(3 * p + 1) = v; out(3 * p + 2) = v
@@ -371,6 +417,10 @@ object Png {
     }.orNull
     if (ihdr.colorType == 3 && palette == null)
       fail("palette image without PLTE")
+    // tRNS feeds the blend step (round 19, advisor): palette+tRNS is
+    // the dominant real-world APNG transparency form — without it,
+    // blend_op=OVER frames composite transparent pixels as opaque
+    val trns = trnsOf(bytes, chunks, ihdr.colorType, palette)
     // frame assembly: each fcTL opens a frame; its data is the IDAT
     // set (first fcTL before IDAT) or the fdAT set that follows it.
     // fcTL + fdAT share ONE strictly-consecutive sequence counter.
@@ -446,7 +496,7 @@ object Png {
       // frames share EVERY IHDR parameter — including the interlace
       // method (an Adam7 default image is spec-legal as frame 0)
       val (_, _, rgb) = projectRaster(z, f.w, f.h, ihdr.bitDepth,
-        ihdr.colorType, palette, ihdr.interlace, fa)
+        ihdr.colorType, palette, ihdr.interlace, fa, trns)
       // dispose PREVIOUS on the first frame degrades to BACKGROUND
       val dispose = if (k == 0 && f.dispose == 2) 1 else f.dispose
       val saved =
@@ -817,6 +867,65 @@ object Png {
       seq += 1
       writeChunk(out, "fcTL", fctl)
       val z = filterDeflate(fw, fh, 4, f.rgba, _ => 0)
+      if (k == 0) writeChunk(out, "IDAT", z)
+      else {
+        writeChunk(out, "fdAT", be32(seq) ++ z)
+        seq += 1
+      }
+    }
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** One indexed APNG fixture frame: a palette-index sub-rect with
+    * explicit dispose/blend ops (the [[ApngFrame]] shape for colour
+    * type 3). */
+  final case class ApngIdxFrame(idx: Array[Byte], x: Int = 0, y: Int = 0,
+      w: Int = -1, h: Int = -1, delayCs: Int = 0, dispose: Int = 0,
+      blend: Int = 0)
+
+  /** Fixture-grade INDEXED APNG writer (colour type 3, depth 8) with
+    * an optional `tRNS` per-entry alpha chunk — the dominant
+    * real-world APNG transparency form (round 19): PLTE then tRNS
+    * before the first IDAT, sub-rect frames with the full
+    * dispose/blend surface. Entries past the tRNS payload are opaque
+    * per spec. */
+  def encodeApngPalette(w: Int, h: Int, palette: Array[Byte],
+      trns: Array[Byte], fs: Seq[ApngIdxFrame]): Array[Byte] = {
+    require(fs.nonEmpty, "need at least one frame")
+    require(palette.length % 3 == 0 && palette.length > 0 &&
+      palette.length <= 768, s"bad palette length ${palette.length}")
+    val f0 = fs.head
+    require((f0.w < 0 || f0.w == w) && (f0.h < 0 || f0.h == h) &&
+      f0.x == 0 && f0.y == 0, "frame 0 must cover the canvas")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Signature, 0, 8)
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = ((w >>> 24) & 0xff).toByte; ihdr(1) = ((w >>> 16) & 0xff).toByte
+    ihdr(2) = ((w >>> 8) & 0xff).toByte; ihdr(3) = (w & 0xff).toByte
+    ihdr(4) = ((h >>> 24) & 0xff).toByte; ihdr(5) = ((h >>> 16) & 0xff).toByte
+    ihdr(6) = ((h >>> 8) & 0xff).toByte; ihdr(7) = (h & 0xff).toByte
+    ihdr(8) = 8; ihdr(9) = 3; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    writeChunk(out, "IHDR", ihdr)
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    writeChunk(out, "acTL", be32(fs.length.toLong) ++ be32(0L))
+    writeChunk(out, "PLTE", palette)
+    if (trns != null) writeChunk(out, "tRNS", trns)
+    var seq = 0L
+    fs.zipWithIndex.foreach { case (f, k) =>
+      val fw = if (f.w < 0) w else f.w
+      val fh = if (f.h < 0) h else f.h
+      require(f.idx.length == fw * fh, "frame raster size mismatch")
+      val fctl = be32(seq) ++ be32(fw.toLong) ++ be32(fh.toLong) ++
+        be32(f.x.toLong) ++ be32(f.y.toLong) ++
+        Array[Byte](((f.delayCs >> 8) & 0xff).toByte,
+          (f.delayCs & 0xff).toByte, 0, 100.toByte,
+          f.dispose.toByte, f.blend.toByte)
+      seq += 1
+      writeChunk(out, "fcTL", fctl)
+      val z = filterDeflate(fw, fh, 1, f.idx, _ => 0)
       if (k == 0) writeChunk(out, "IDAT", z)
       else {
         writeChunk(out, "fdAT", be32(seq) ++ z)

@@ -602,6 +602,19 @@ object Vp8l {
     val alphaHint = br.bit() == 1
     if (br.bits(3) != 0) fail("unsupported VP8L version")
     if (w.toLong * h * 4 >= Int.MaxValue) fail(s"raster too large $w x $h")
+    // Cost-bomb floor (round 19, advisor): the cheapest covering
+    // construct a legal VP8L stream can carry is an LZ77 backref — at
+    // most 4096 pixels for >= 2 bits of payload (green length symbol +
+    // distance symbol), i.e. < 2048 pixels per payload BIT even before
+    // code-table overhead. A ~50-byte blob declaring 16383 x 8000 from
+    // its 14-bit header dims is therefore structurally impossible to
+    // fill and must refuse BEFORE the w*h raster (and transform
+    // sub-image) allocations, not after — ungated decode paths
+    // (decodeWebpImages / decodeAnyImages without mediaMetaGate) hit
+    // this allocation directly per blob.
+    if (w.toLong * h > length.toLong * 8L * 2048L)
+      fail(s"declared $w x $h exceeds the per-bit pixel ceiling " +
+        s"for a $length-byte payload")
     var xsize = w
     val transforms = scala.collection.mutable.ListBuffer.empty[Transform]
     val seen = scala.collection.mutable.Set.empty[Int]

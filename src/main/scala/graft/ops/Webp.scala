@@ -136,6 +136,15 @@ object Webp {
       val size = u32le(pos + 4).toInt
       if (typ == "VP8L") {
         val (w, h, _, argb) = Vp8l.decode(bytes, pos + 8, size)
+        // a VP8X container declares canvas dims independently of its
+        // still VP8L sub-chunk — a mismatched container must not hand
+        // meta one geometry and decode another (round 19, advisor;
+        // mirrors the ANMF rect == VP8L dims check on the animated
+        // path). Simple VP8L files derive md from this same header, so
+        // the check is a no-op there.
+        if (w != md.width || h != md.height) fail(
+          s"VP8L dims $w x $h disagree with container dims " +
+            s"${md.width} x ${md.height}")
         val rgb = new Array[Byte](w * h * 3)
         var i = 0
         while (i < w * h) {

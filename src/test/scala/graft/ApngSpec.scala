@@ -268,4 +268,145 @@ class ApngSpec extends SparkSpec {
       .filter(col("id_b") === 1000L).count() === 0L,
       "the collage must not survive the keep policy")
   }
+
+  // ---- round 19: tRNS transparency in the compositing path ----
+
+  private def pngChunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val len = payload.length
+    out.write((len >>> 24) & 0xff); out.write((len >>> 16) & 0xff)
+    out.write((len >>> 8) & 0xff); out.write(len & 0xff)
+    val tb = typ.getBytes("US-ASCII")
+    out.write(tb, 0, 4)
+    out.write(payload, 0, payload.length)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(payload)
+    val c = crc.getValue
+    out.write(((c >>> 24) & 0xff).toInt); out.write(((c >>> 16) & 0xff).toInt)
+    out.write(((c >>> 8) & 0xff).toInt); out.write((c & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Insert a raw chunk right after IHDR (offset 8 + 25). */
+  private def insertAfterIhdr(png: Array[Byte], chunk: Array[Byte]): Array[Byte] =
+    png.take(33) ++ chunk ++ png.drop(33)
+
+  test("apng: palette tRNS alpha feeds blend OVER compositing") {
+    // palette: red, blue, green, white; tRNS: red opaque, blue fully
+    // transparent, green opaque, white at alpha 100
+    val palette = Array[Byte](255.toByte, 0, 0, 0, 0, 255.toByte,
+      0, 255.toByte, 0, 255.toByte, 255.toByte, 255.toByte)
+    val trns = Array[Byte](255.toByte, 0, 255.toByte, 100)
+    val f0 = Array.fill[Byte](64)(0) // all red, opaque
+    val f1 = Array.tabulate[Byte](16)(i => (i / 4 match {
+      case 0 => 1; case 1 => 2; case 2 => 3; case _ => 0
+    }).toByte) // rows: blue(transparent), green, white@100, red
+    val bytes = Png.encodeApngPalette(8, 8, palette, trns, Seq(
+      Png.ApngIdxFrame(f0, delayCs = 1),
+      Png.ApngIdxFrame(f1, x = 2, y = 2, w = 4, h = 4, delayCs = 1,
+        blend = 1)))
+    val (_, _, fs) = Png.frames(bytes)
+    assert(fs.length === 2)
+    def px(f: Array[Byte], x: Int, y: Int): Seq[Int] = {
+      val p = (y * 8 + x) * 3
+      Seq(f(p) & 0xff, f(p + 1) & 0xff, f(p + 2) & 0xff)
+    }
+    val c = fs(1)._2
+    assert(px(c, 2, 2) === Seq(255, 0, 0),
+      "fully-transparent palette entry must leave the red canvas")
+    assert(px(c, 2, 3) === Seq(0, 255, 0),
+      "green row is opaque (within tRNS, alpha 255)")
+    assert(px(c, 2, 4) === Seq(255, 100, 100),
+      "alpha-100 white OVER red blends by the spec formula")
+    assert(px(c, 2, 5) === Seq(255, 0, 0), "red row stays red")
+    assert(px(c, 0, 0) === Seq(255, 0, 0), "outside the rect untouched")
+    // entries past the tRNS payload are opaque: same stream with a
+    // 1-entry tRNS — the green/white rows now land at full opacity
+    val bytes2 = Png.encodeApngPalette(8, 8, palette,
+      Array[Byte](255.toByte), Seq(
+        Png.ApngIdxFrame(f0, delayCs = 1),
+        Png.ApngIdxFrame(f1, x = 2, y = 2, w = 4, h = 4, delayCs = 1,
+          blend = 1)))
+    val c2 = Png.frames(bytes2)._3(1)._2
+    assert(px(c2, 2, 2) === Seq(0, 0, 255),
+      "blue beyond the 1-entry tRNS payload is opaque")
+    assert(px(c2, 2, 4) === Seq(255, 255, 255),
+      "white beyond the payload lands opaque")
+  }
+
+  test("apng: truecolour tRNS sample key feeds blend OVER") {
+    // frame 0: half red / half green; frame 1: all red, blend OVER,
+    // with tRNS keying pure red out — the canvas must keep frame 0
+    val f0 = Array.tabulate(64 * 3)(i => (i % 3 match {
+      case 0 => if ((i / 3) % 8 < 4) 255 else 0
+      case 1 => if ((i / 3) % 8 < 4) 0 else 255
+      case _ => 0
+    }).toByte)
+    val allRed = Array.tabulate(64 * 3)(i =>
+      (if (i % 3 == 0) 255 else 0).toByte)
+    val base = Png.encodeApng(8, 8, Seq((1, f0), (1, allRed)))
+    // surgery: insert tRNS (16-bit keys: R=255, G=0, B=0) after IHDR
+    // and flip frame 1's fcTL blend byte to OVER (payload byte 25)
+    val trns = Array[Byte](0, 255.toByte, 0, 0, 0, 0)
+    val withTrns = insertAfterIhdr(base, pngChunk("tRNS", trns))
+    def patchSecondFctlBlend(png: Array[Byte]): Array[Byte] = {
+      // locate chunks, patch the SECOND fcTL's last payload byte, fix CRC
+      var pos = 8
+      var seen = 0
+      while (pos + 8 <= png.length) {
+        val len = ((png(pos) & 0xff) << 24) | ((png(pos + 1) & 0xff) << 16) |
+          ((png(pos + 2) & 0xff) << 8) | (png(pos + 3) & 0xff)
+        val typ = new String(png, pos + 4, 4, "US-ASCII")
+        if (typ == "fcTL") {
+          seen += 1
+          if (seen == 2) {
+            val out = png.clone()
+            out(pos + 8 + 25) = 1 // blend_op = OVER
+            val crc = new java.util.zip.CRC32()
+            crc.update(out, pos + 4, 4 + len)
+            val c = crc.getValue
+            out(pos + 8 + len) = ((c >>> 24) & 0xff).toByte
+            out(pos + 8 + len + 1) = ((c >>> 16) & 0xff).toByte
+            out(pos + 8 + len + 2) = ((c >>> 8) & 0xff).toByte
+            out(pos + 8 + len + 3) = (c & 0xff).toByte
+            return out
+          }
+        }
+        pos += 8 + len + 4
+      }
+      fail("no second fcTL found")
+    }
+    val patched = patchSecondFctlBlend(withTrns)
+    val (_, _, fs) = Png.frames(patched)
+    assert(fs.length === 2)
+    assert(fs(1)._2.toSeq === f0.toSeq,
+      "an all-keyed-out frame OVER the canvas must leave it unchanged")
+    // without tRNS the same OVER frame is opaque red everywhere
+    val noKey = Png.frames(patchSecondFctlBlend(base))._3
+    assert(noKey(1)._2.toSeq === allRed.toSeq)
+  }
+
+  test("apng: tRNS structural refusals") {
+    val palette = Array[Byte](255.toByte, 0, 0, 0, 0, 255.toByte)
+    val f0 = Array.fill[Byte](64)(0)
+    // payload longer than the palette
+    val tooLong = Png.encodeApngPalette(8, 8, palette,
+      Array[Byte](255.toByte, 0, 7), Seq(Png.ApngIdxFrame(f0)))
+    val e1 = intercept[IllegalArgumentException](Png.frames(tooLong))
+    assert(e1.getMessage.contains("exceeds"))
+    // tRNS with an alpha colour type (6) is prohibited
+    val rgba = Array.tabulate(64 * 4)(i =>
+      (if (i % 4 == 3) 255 else 40).toByte)
+    val t6 = insertAfterIhdr(
+      Png.encodeApngRgba(8, 8, Seq(Png.ApngFrame(rgba))),
+      pngChunk("tRNS", Array[Byte](0, 0)))
+    val e2 = intercept[IllegalArgumentException](Png.frames(t6))
+    assert(e2.getMessage.contains("alpha colour type"))
+    // duplicate tRNS refuses
+    val dup = insertAfterIhdr(Png.encodeApngPalette(8, 8, palette,
+      Array[Byte](255.toByte), Seq(Png.ApngIdxFrame(f0))),
+      pngChunk("tRNS", Array[Byte](0)))
+    val e3 = intercept[IllegalArgumentException](Png.frames(dup))
+    assert(e3.getMessage.contains("multiple tRNS"))
+  }
 }

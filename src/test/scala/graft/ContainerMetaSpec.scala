@@ -184,6 +184,41 @@ class ContainerMetaSpec extends SparkSpec {
     intercept[IllegalArgumentException](Flac.meta("not flac".getBytes))
   }
 
+  test("ID3v2-tagged FLAC re-sniffs as flac, not mp3 (r19, advisor)") {
+    import graft.ops.Flac
+    def id3(payloadLen: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("ID3".getBytes("US-ASCII"), 0, 3)
+      out.write(4); out.write(0); out.write(0) // v2.4, no flags
+      var i = 3
+      while (i >= 0) { out.write((payloadLen >>> (7 * i)) & 0x7f); i -= 1 }
+      for (j <- 0 until payloadLen) out.write(j & 0x7f)
+      out.toByteArray
+    }
+    val flac = Flac.encode(22050, 1, 16, 22050L)
+    val tagged = id3(40) ++ flac
+    // the unified sniff re-sniffs past the tag; meta walks from there
+    val media = Seq((1L, tagged)).toDF("media_id", "bytes")
+    val row = Multimodal.mediaMetadata(media).collect().head
+    assert(row.getString(1) === "audio" && row.getString(2) === "flac")
+    assert(row.getLong(5) === 1000L && row.getInt(6) === 22050)
+    val m = Flac.meta(tagged)
+    assert(m.sampleRate === 22050 && m.totalSamples === 22050L)
+    // a MALFORMED tag (non-syncsafe size) keeps the old mp3 commit and
+    // drops at Mp3.meta's strict walk — never a silent flac guess
+    val badTag = id3(40) ++ flac
+    badTag(6) = 0x80.toByte
+    assert(Multimodal.mediaMetadata(
+      Seq((2L, badTag)).toDF("media_id", "bytes")).count() === 0L)
+    // an ID3-tagged true mp3 still sniffs mp3 (the re-sniff only
+    // reroutes when fLaC magic follows the tag)
+    val mp3 = graft.ops.Mp3.encodeFrames(3, 1, _ => 9, 0, 20,
+      id3v2PayloadLen = 16)
+    val mrow = Multimodal.mediaMetadata(
+      Seq((3L, mp3)).toDF("media_id", "bytes")).collect().head
+    assert(mrow.getString(2) === "mp3")
+  }
+
   test("ogg: CRC-verified page walk, vorbis/opus/unknown codecs, truncation/sequence refusal (r18)") {
     import graft.ops.Ogg
     val v = Ogg.meta(Ogg.encode("vorbis", 44100, 2, 88200L, nAudioPages = 3))

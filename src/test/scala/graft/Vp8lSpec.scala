@@ -173,4 +173,36 @@ class Vp8lSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(pairs === Set((2L, 12L, "exact_blob")))
   }
+
+  test("cost bomb: a tiny payload declaring a huge raster refuses BEFORE allocation") {
+    // ~40-byte blob declaring 16383 x 8000 (~500 MB ARGB): the per-bit
+    // pixel ceiling (a legal stream covers < 2048 px per payload bit)
+    // must refuse from the header, before the w*h allocation
+    val p = new Array[Byte](40)
+    p(0) = 0x2f
+    val b = 16382L | (7999L << 14) // (w-1) | (h-1)<<14, alpha 0, ver 0
+    for (i <- 0 until 4) p(1 + i) = ((b >> (8 * i)) & 0xff).toByte
+    val e = intercept[IllegalArgumentException](Vp8l.decode(p, 0, p.length))
+    assert(e.getMessage.contains("per-bit pixel ceiling"))
+    // a genuinely large-but-covered stream still passes the floor:
+    // 64x64 constant image compresses to a handful of backrefs
+    val big = Webp.encodeVp8lPixels(64, 64,
+      Array.fill(64 * 64)(0xff336699))
+    val (w, h, rgb) = Webp.decode(big)
+    assert(w === 64 && h === 64 && (rgb(0) & 0xff) === 0x33)
+  }
+
+  test("VP8X canvas dims must agree with the VP8L still sub-chunk") {
+    val px = raster(4, 4, 5)
+    val ok = Webp.encodeVp8xVp8l(4, 4, px)
+    assert(Webp.decode(ok)._1 === 4) // the matched container decodes
+    // patch the VP8X canvas width to 8: RIFF(12) + chunk hdr(8) +
+    // flags+reserved(4) puts width-1 at offset 24 (24-bit LE)
+    val bad = ok.clone()
+    bad(24) = 7
+    val md = Webp.meta(bad)
+    assert(md.width === 8 && md.height === 4, "meta reads the canvas dims")
+    val e = intercept[IllegalArgumentException](Webp.decode(bad))
+    assert(e.getMessage.contains("disagree with container dims"))
+  }
 }
