@@ -269,9 +269,16 @@ object SparkEntry {
       .select((col("media_id") + lit(12000000L)).as("media_id"), col("bytes"))
     val lossy = Multimodal.lossyWebpMediaFromDocuments(docs)
       .select((col("media_id") + lit(14000000L)).as("media_id"), col("bytes"))
+    // round 19: a WAV↔FLAC transcode cohort (m1 = FLAC of the m0 WAV
+    // master's PCM, m2 = FLAC of its exact 2x upsample at 32 kHz) —
+    // the audio twin of the PNG/VP8L re-encode cohorts: zero shared
+    // bytes, identical decode, pairs only through the rate-normalized
+    // perceptual route. (Offsets 16-20M belong to junkMediaFixture.)
+    val flacT = Multimodal.dedupTranscodeAudioFromDocuments(docs)
+      .select((col("media_id") + lit(22000000L)).as("media_id"), col("bytes"))
     img.unionByName(aud).unionByName(vid).unionByName(unk)
       .unionByName(bad).unionByName(png).unionByName(webp)
-      .unionByName(lossy)
+      .unionByName(lossy).unionByName(flacT)
   }
 
   /** Frozen per-modality + exact-blob indexes over the m ∈ {0,3} corpus
@@ -2677,6 +2684,46 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Multimodal: REAL FLAC decode (round 19) — the wavMedia closed
+    // form re-encoded through the from-spec FLAC encoder (rice
+    // residuals, fixed/LPC predictors, varying block sizes/partition
+    // orders per doc), decoded by the full frame walk in
+    // mapPartitions batches. Lossless ⇒ the SAME analytic DuckDB
+    // oracle as m_audio replays every stat bit-exactly.
+    "m_flac" -> ((s, dir) => {
+      val flacs = Multimodal.flacPcmMediaFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet"))
+      Multimodal.decodeAudio(flacs)
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("duration_ms"), col("peak"), col("mean"))
+        .orderBy("media_id")
+    }),
+
+    // Multimodal: WAV↔FLAC TRANSCODE dedup (round 19) — the recall
+    // hole exact-blob matching structurally misses, in audio: per
+    // group a WAV master, a FLAC transcode of the same PCM (zero
+    // shared bytes), a FLAC of the master's exact 2x upsample at
+    // 32 kHz (pairs only because fingerprints rate-normalize — the
+    // "one master, two rates, two codecs" crawl shape), and an
+    // independent FLAC control. All within-group pairs among
+    // {master, transcode, resampled-transcode} land at fingerprint
+    // hamming 0 with 0 differing frame words and identical=false;
+    // the control pairs with nothing. Precision AND recall replay
+    // exactly.
+    "m_flac_dedup" -> ((s, dir) => {
+      val media = Multimodal.dedupTranscodeAudioFromDocuments(
+        s.read.parquet(s"$dir/documents.parquet"))
+      val md5s = media.select(col("media_id"), md5(col("bytes")).as("_m"))
+      Multimodal.audioNearDupPairs(media, maxHamming = 3)
+        .join(md5s.select(col("media_id").as("_ja"), col("_m").as("_ma")),
+          col("id_a") === col("_ja"))
+        .join(md5s.select(col("media_id").as("_jb"), col("_m").as("_mb")),
+          col("id_b") === col("_jb"))
+        .select(col("id_a"), col("id_b"), col("hamming"),
+          col("n_diff_words"), (col("_ma") === col("_mb")).as("identical"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Multimodal: REAL video-container decode — synthesize a .y4m
     // (YUV4MPEG2) stream per doc, parse header + FRAME markers + planar
     // YUV in mapPartitions batches, one row per frame with exact luma
@@ -2717,8 +2764,13 @@ object SparkEntry {
     // distance 0; the md5 comparison distinguishes "same perception"
     // (the 2x copy) from "same bytes" — the oracle replays both.
     "m_audio_dedup" -> ((s, dir) => {
-      val media = Multimodal.dedupAudioMediaFromDocuments(
-        s.read.parquet(s"$dir/documents.parquet"))
+      // round 19: plus the RESAMPLED cohorts (offset id space) — the
+      // same clip planted at 16 kHz and as its exact 2x upsample at
+      // 32 kHz pairs at hamming 0 under rate normalization; an
+      // independent same-rate control pairs with nothing
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val media = Multimodal.dedupAudioMediaFromDocuments(docs)
+        .unionByName(Multimodal.resampledAudioCohortsFromDocuments(docs))
       val md5s = media.select(col("media_id"), md5(col("bytes")).as("_m"))
       Multimodal.audioNearDupPairs(media, maxHamming = 3)
         .join(md5s.select(col("media_id").as("_ja"), col("_m").as("_ma")),
@@ -6501,15 +6553,59 @@ object SparkEntry {
     // Exact replay of the planted audio structure: all within-group pairs
     // among members {base, exact copy, 2x-amplitude copy} at fingerprint
     // distance 0 with 0 differing frame words; only base↔copy is
-    // byte-identical. Precision = no other pair appears.
+    // byte-identical. Round 19 adds the resampled cohorts (7000000+3g):
+    // the 16 kHz master pairs its 32 kHz exact-upsample twin at
+    // hamming 0 (rate normalization), the independent 32 kHz control
+    // pairs with nothing. Precision = no other pair appears.
     "m_audio_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+        |           FROM documents),
+        |g AS (SELECT doc_id // 4 AS gid FROM documents WHERE doc_id % 4 = 0)
+        |SELECT * FROM (
+        |  SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+        |         CAST(b.doc_id AS BIGINT) AS id_b,
+        |         CAST(0 AS BIGINT) AS hamming,
+        |         CAST(0 AS BIGINT) AS n_diff_words,
+        |         (a.m <= 1 AND b.m <= 1) AS identical
+        |  FROM d a JOIN d b
+        |    ON a.gid = b.gid AND a.doc_id < b.doc_id
+        |   WHERE a.m <= 2 AND b.m <= 2
+        |  UNION ALL
+        |  SELECT CAST(7000000 + 3 * gid AS BIGINT),
+        |         CAST(7000000 + 3 * gid + 1 AS BIGINT),
+        |         CAST(0 AS BIGINT), CAST(0 AS BIGINT), FALSE
+        |  FROM g)
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Lossless twice over: the m_audio closed form survives the FLAC
+    // encode→decode round trip bit-exactly, so the SAME analytic
+    // replay applies to the rice/LPC decode path.
+    "m_flac" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    8000 + (doc_id % 8) * 1000 AS rate, 40 + doc_id % 50 AS n,
+        |    3 + doc_id % 5 AS a, doc_id % 7 AS b FROM documents)
+        |SELECT media_id, CAST(rate AS INT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+        |  CAST(list_max(list_transform(range(0, n),
+        |      i -> abs(((i * a + b) % 97 - 48) * 100))) AS INT) AS peak,
+        |  CAST(list_sum(list_transform(range(0, n),
+        |      i -> ((i * a + b) % 97 - 48) * 100)) AS DOUBLE) / n AS mean
+        |FROM m ORDER BY media_id""".stripMargin,
+
+    // Exact replay of the planted transcode structure: every
+    // within-group pair among {WAV master, FLAC transcode, 32 kHz
+    // FLAC resample} at fingerprint hamming 0 / 0 differing frame
+    // words, NONE byte-identical (three different byte streams of one
+    // master); the independent member appears in no pair.
+    "m_flac_dedup" ->
       """WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
         |           FROM documents)
         |SELECT CAST(a.doc_id AS BIGINT) AS id_a,
         |       CAST(b.doc_id AS BIGINT) AS id_b,
         |       CAST(0 AS BIGINT) AS hamming,
         |       CAST(0 AS BIGINT) AS n_diff_words,
-        |       (a.m <= 1 AND b.m <= 1) AS identical
+        |       FALSE AS identical
         |FROM d a JOIN d b
         |  ON a.gid = b.gid AND a.doc_id < b.doc_id
         | WHERE a.m <= 2 AND b.m <= 2
@@ -6699,7 +6795,10 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT CAST(14000000 + gid * 4 AS BIGINT),
         |         CAST(14000000 + doc_id AS BIGINT), 'exact_blob', 'image'
-        |  FROM d WHERE m <> 0)
+        |  FROM d WHERE m <> 0
+        |  UNION ALL
+        |  SELECT CAST(22000000 + ia AS BIGINT), CAST(22000000 + ib AS BIGINT),
+        |         'perceptual', 'audio' FROM tri)
         |ORDER BY id_a, id_b""".stripMargin,
 
     // Exact replay of the composed cross-modality gate: the kept
@@ -6752,7 +6851,10 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT CAST(20000000 + gid * 4 AS BIGINT),
         |         CAST(20000000 + doc_id AS BIGINT), 'exact_blob', 'video'
-        |  FROM d WHERE m <> 0)
+        |  FROM d WHERE m <> 0
+        |  UNION ALL
+        |  SELECT CAST(22000000 + ia AS BIGINT), CAST(22000000 + ib AS BIGINT),
+        |         'perceptual', 'audio' FROM tri)
         |ORDER BY id_a, id_b, kind""".stripMargin,
 
     // Exact replay of the audio stream: the copy (m=1) AND the
@@ -6935,7 +7037,15 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT CAST(14000000 + gid * 4 AS BIGINT),
         |         CAST(14000000 + doc_id AS BIGINT),
-        |         'exact_blob', 'image', 'corpus' FROM d WHERE m IN (1, 2))
+        |         'exact_blob', 'image', 'corpus' FROM d WHERE m IN (1, 2)
+        |  UNION ALL
+        |  SELECT CAST(22000000 + gid * 4 + 1 AS BIGINT),
+        |         CAST(22000000 + gid * 4 + 2 AS BIGINT),
+        |         'perceptual', 'audio', 'batch' FROM g
+        |  UNION ALL
+        |  SELECT CAST(22000000 + gid * 4 AS BIGINT),
+        |         CAST(22000000 + doc_id AS BIGINT),
+        |         'perceptual', 'audio', 'corpus' FROM d WHERE m IN (1, 2))
         |ORDER BY id_a, id_b, side, kind""".stripMargin,
 
     // Exact replay of the mixed-modality stream: every m in {1,2} member
@@ -6999,7 +7109,11 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT CAST(14000000 + doc_id AS BIGINT),
         |         CAST(14000000 + gid * 4 AS BIGINT),
-        |         'exact_blob', 'image' FROM d WHERE m IN (1, 2))
+        |         'exact_blob', 'image' FROM d WHERE m IN (1, 2)
+        |  UNION ALL
+        |  SELECT CAST(22000000 + doc_id AS BIGINT),
+        |         CAST(22000000 + gid * 4 AS BIGINT),
+        |         'perceptual', 'audio' FROM d WHERE m IN (1, 2))
         |ORDER BY media_id, match_id, kind""".stripMargin,
 
     // Exact replay of the GATED stream: kept cohorts match exactly as
@@ -7074,7 +7188,11 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT CAST(20000000 + doc_id AS BIGINT),
         |         CAST(20000000 + gid * 4 AS BIGINT),
-        |         'exact_blob', 'video' FROM d WHERE m IN (1, 2))
+        |         'exact_blob', 'video' FROM d WHERE m IN (1, 2)
+        |  UNION ALL
+        |  SELECT CAST(22000000 + doc_id AS BIGINT),
+        |         CAST(22000000 + gid * 4 AS BIGINT),
+        |         'perceptual', 'audio' FROM d WHERE m IN (1, 2))
         |ORDER BY media_id, match_id, kind""".stripMargin,
 
     // Exact replay of the composed media pipeline: the near-dup cluster

@@ -960,6 +960,35 @@ object Multimodal {
     }.toDF("media_id", "bytes")
   }
 
+  /** The [[wavMediaFromDocuments]] closed form behind REAL FLAC frames
+    * (round 19): sample i of doc d is ((i·a + b) mod 97 − 48)·100 with
+    * a = 3 + d%5, b = d%7 — the SAME analytic oracle, now replayed
+    * through the from-spec [[Flac.decode]] (rice residuals, fixed/LPC
+    * predictors, CRC chain). The encoder surface varies per doc
+    * (block size, subframe mode, partition order) so one driver run
+    * covers the whole decode matrix; lossless ⇒ every variant decodes
+    * to the identical closed form. ([[flacMediaFromDocuments]] is the
+    * round-18 METADATA fixture — junk frame bytes behind a valid
+    * chain; this one carries real audio.) */
+  def flacPcmMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val rate = 8000 + (id % 8).toInt * 1000
+      val n = 40 + (id % 50).toInt
+      val a = 3 + (id % 5).toInt
+      val b = (id % 7).toInt
+      val samples = Array.tabulate(n)(i => ((i * a + b) % 97 - 48) * 100)
+      val mode = (id % 4) match {
+        case 0 => "auto"; case 1 => "verbatim"; case 2 => "fixed2"
+        case _ => "lpc"
+      }
+      (id, Flac.encodePcm(rate, 1, 16, samples,
+        blockSize = 16 + (id % 3).toInt * 48, subframeMode = mode,
+        partOrder = (id % 2).toInt))
+    }.toDF("media_id", "bytes")
+  }
+
   // ---- real decode tier 4: Y4M / YUV4MPEG2 (video) ----
 
   /** Minimal YUV4MPEG2 (.y4m) codec — the standard uncompressed video
@@ -1124,17 +1153,46 @@ object Multimodal {
   final case class DecodedAudio(media_id: Long, sample_rate: Int,
       n_samples: Long, duration_ms: Long, peak: Int, mean: Double)
 
+  /** PCM decode dispatch across the decodable audio containers —
+    * [[decodeAnyImages]]' audio twin (round 19): ONE [[sniffFormat]]
+    * call routes FLAC (bare or ID3v2-tagged) through the from-spec
+    * [[Flac.decode]] and everything else through the RIFF walk
+    * ([[Wav.decode]], which refuses loudly on non-WAV). The
+    * 16-bit-MONO contract mirrors [[Wav.decode]]'s exactly: a stereo
+    * or non-16-bit FLAC refuses and keeps its exact duplicates
+    * through the undecodable route, the same boundary the WAV side
+    * has always had. Lossless ⇒ a WAV↔FLAC transcode of one master
+    * returns IDENTICAL samples from either container. */
+  private[graft] def decodePcm16(b: Array[Byte]): (Int, Array[Short]) =
+    if (sniffFormat(b) == "flac") {
+      val p = Flac.decode(b)
+      if (p.bitsPerSample != 16)
+        throw new IllegalArgumentException(
+          s"flac: ${p.bitsPerSample}-bit stream (decode path is 16-bit)")
+      if (p.nChannels != 1)
+        throw new IllegalArgumentException(
+          s"flac: ${p.nChannels}-channel stream (decode path is mono)")
+      val s = new Array[Short](p.samples.length)
+      var i = 0
+      while (i < s.length) { s(i) = p.samples(i).toShort; i += 1 }
+      (p.sampleRate, s)
+    } else Wav.decode(b)
+
   /** REAL audio decode + feature extraction, batch-at-a-time per partition:
-    * RIFF chunk walk via [[Wav.decode]], then exact-integer stats (peak
+    * [[decodePcm16]] dispatch (RIFF chunk walk via [[Wav.decode]] or
+    * the from-spec [[Flac.decode]]), then exact-integer stats (peak
     * amplitude, mean as one integer-sum division — order-independent and
-    * engine-verifiable). `skipMalformed` mirrors CSV DROPMALFORMED. */
+    * engine-verifiable). Stats are over the NATIVE samples at the
+    * native rate (this is the decode surface, not the fingerprint —
+    * rate normalization is [[audioFingerprints]]' job).
+    * `skipMalformed` mirrors CSV DROPMALFORMED. */
   def decodeAudio(media: DataFrame, skipMalformed: Boolean = true): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("bytes")).as[AudioRow].mapPartitions { it =>
       it.flatMap { m =>
         try {
-          val (rate, samples) = Wav.decode(m.bytes)
+          val (rate, samples) = decodePcm16(m.bytes)
           var sum = 0L
           var peak = 0
           var i = 0
@@ -2478,7 +2536,7 @@ object Multimodal {
     media.select(col("media_id"), col("bytes")).as[AudioRow].mapPartitions { it =>
       it.flatMap { m =>
         try {
-          val (_, samples) = Wav.decode(m.bytes)
+          val (_, samples) = decodePcm16(m.bytes)
           var sq = 0.0
           var peak = 0
           var clipped = 0L
@@ -2858,7 +2916,11 @@ object Multimodal {
   // ---- perceptual audio dedup (round 13) ----
 
   /** Haitsma-Kalker-style audio fingerprint (the PRH "robust hash" of
-    * ISMIR'02, public literature): frame the PCM (256-sample windows,
+    * ISMIR'02, public literature): decode via [[decodePcm16]] (WAV or
+    * FLAC), normalize to the ONE internal rate
+    * ([[AudioFp.IndexRate]] — round 19, so a resample of the same
+    * clip frames identically instead of never pairing), then frame
+    * the PCM (256-sample windows,
     * 128 hop), per frame measure energy at `bands + 1` Goertzel bins,
     * and set frame-word bit b when the band-energy DIFFERENCE
     * (E(f,b) − E(f,b+1)) GREW since the previous frame — sign-of-change
@@ -2890,7 +2952,10 @@ object Multimodal {
       it.flatMap { m =>
         try {
           attempts.add(1)
-          val (_, samples) = Wav.decode(m.bytes)
+          val (rate, samples) = decodePcm16(m.bytes)
+          // peak over the NATIVE samples: silence is rate-independent
+          // and the routed paths' silence predicate must judge the clip
+          // as stored (linear resampling can only lower a peak)
           var peak = 0
           var i = 0
           while (i < samples.length) {
@@ -2901,7 +2966,15 @@ object Multimodal {
           if (peak <= skipGoertzelBelowPeak)
             Iterator.single((m.media_id, 0L, Array.empty[Int], peak.toLong))
           else {
-            val words = AudioFp.frameWords(samples)
+            // rate normalization (round 19): frame at the ONE frozen
+            // internal rate, so a resample of the same clip — or a
+            // 44.1 kHz FLAC against a 16 kHz WAV of one master —
+            // lands on the same frame grid instead of never pairing
+            // (the EXIF-rotation shape in audio). The convention is
+            // frozen into every audioSignatureIndex (AudioRateKey);
+            // cross-convention probes fail loud.
+            val words = AudioFp.frameWords(
+              AudioFp.resampleTo(samples, rate, AudioFp.IndexRate))
             Iterator.single((m.media_id, AudioFp.simhash(words), words,
               peak.toLong))
           }
@@ -2918,6 +2991,39 @@ object Multimodal {
     final val Win = 256
     final val Hop = 128
     final val Bands = 17 // 16 difference bits per frame
+
+    /** The ONE internal fingerprint rate (round 19): every clip is
+      * linearly resampled here before framing, so the frame grid —
+      * and therefore the fingerprint — is sample-rate-invariant.
+      * 16 kHz keeps the Goertzel bins inside the speech/music band
+      * and makes the dominant fixture rate an identity resample. */
+    final val IndexRate = 16000
+
+    /** Integer linear-interpolation resampler. Exact-identity cases
+      * carry the fixture math: an integer DOWN-factor (32 k→16 k,
+      * 48 k→16 k) lands every output on a source sample, so a clip
+      * and its linear upsample normalize to IDENTICAL PCM — the
+      * planted-exactness trick (the m_jpeg all-8s quant shape) that
+      * lets DuckDB replay resampled-pair recall with equality, not
+      * tolerance. All-integer arithmetic: deterministic everywhere. */
+    def resampleTo(s: Array[Short], from: Int, to: Int): Array[Short] = {
+      require(from > 0 && to > 0, s"rates $from -> $to")
+      if (from == to || s.length == 0) return s
+      val outN = ((s.length.toLong - 1) * to / from + 1).toInt
+      val out = new Array[Short](outN)
+      var t = 0
+      while (t < outN) {
+        val num = t.toLong * from
+        val k = (num / to).toInt
+        val fracNum = num % to
+        val v =
+          if (fracNum == 0 || k + 1 >= s.length) s(k).toInt
+          else s(k) + ((s(k + 1) - s(k)).toLong * fracNum / to).toInt
+        out(t) = v.toShort
+        t += 1
+      }
+      out
+    }
 
     /** Goertzel power at bin k of `x(off until off+Win)`. */
     private def goertzel(x: Array[Short], off: Int, k: Int): Double = {
@@ -3286,17 +3392,40 @@ object Multimodal {
     within.unionByName(vsCorpus)
   }
 
+  /** Column-metadata key freezing the internal fingerprint rate an
+    * [[audioSignatureIndex]] was built at — the audio twin of
+    * [[ImageHashKindKey]]/[[ImageOrientedKey]]: the probe side reads
+    * it and REFUSES a cross-convention match (a rate-normalized probe
+    * against a raw-framed index would silently return zero matches
+    * for every non-16 kHz clip). */
+  private[graft] final val AudioRateKey = "graft.audio_rate"
+
+  /** The internal rate a frozen [[audioSignatureIndex]] framed at. An
+    * index built before the metadata existed reads as
+    * [[AudioFp.IndexRate]] — the only corpora old code froze were
+    * 16 kHz, where raw framing and 16 kHz normalization coincide. */
+  private[graft] def indexAudioRate(index: DataFrame): Int = {
+    val md = index.schema("sig").metadata
+    if (md.contains(AudioRateKey)) md.getLong(AudioRateKey).toInt
+    else AudioFp.IndexRate
+  }
+
   /** FROZEN perceptual audio index — [[imageSignatureIndex]]'s audio
     * twin over [[audioFingerprints]]: (band, bits, id, sig, words),
-    * degenerate buckets removed at freeze time. */
+    * degenerate buckets removed at freeze time, the internal
+    * fingerprint rate frozen into the `sig` column metadata
+    * ([[AudioRateKey]]). */
   def audioSignatureIndex(media: DataFrame, maxHamming: Int = 3,
       maxBucketDf: Int = 1000): DataFrame = {
+    val rateMd = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(AudioRateKey, AudioFp.IndexRate.toLong).build()
     val sig = audioFingerprints(media)
       .select(col("media_id").cast("long").as("id"),
         col("fp").as("sig"), col("words"))
     val bands = hammingBands64(sig, maxHamming)
     dropHeavyBuckets(bands, maxBucketDf, "audioSignatureIndex")
-      .select(col("band"), col("bits"), col("id"), col("sig"), col("words"))
+      .select(col("band"), col("bits"), col("id"),
+        col("sig").as("sig", rateMd), col("words"))
   }
 
   /** Match audio against a FROZEN [[audioSignatureIndex]] — the shared
@@ -3312,9 +3441,18 @@ object Multimodal {
     audioAgainstIndexFromFp(audioFingerprints(media), index, maxHamming)
 
   /** [[audioAgainstIndex]] from an ALREADY-COMPUTED fingerprint frame —
-    * the incremental paths' shared-fingerprint entry point. */
+    * the incremental paths' shared-fingerprint entry point. Fails
+    * LOUD when the index froze a different internal rate than this
+    * build fingerprints at (the indexHashIsAhash discipline: a silent
+    * cross-convention probe would just return zero matches). */
   private[graft] def audioAgainstIndexFromFp(fps: DataFrame,
       index: DataFrame, maxHamming: Int): DataFrame = {
+    val idxRate = indexAudioRate(index)
+    if (idxRate != AudioFp.IndexRate)
+      throw new IllegalArgumentException(
+        s"audio signature index frozen at internal rate $idxRate, " +
+          s"this build fingerprints at ${AudioFp.IndexRate} — rebuild " +
+          "the index with audioSignatureIndex")
     val sig = fps
       .select(col("media_id").cast("long").as("sid"),
         col("fp").as("sig"), col("words").as("s_w"))
@@ -3408,6 +3546,98 @@ object Multimodal {
       }
       (id, Wav.encode(16000, samples))
     }.toDF("media_id", "bytes")
+  }
+
+  /** Exact 2× linear-interpolation upsample (even outputs = the
+    * source samples, odd = midpoints) — the planted-exactness shape:
+    * [[AudioFp.resampleTo]] back to the source rate recovers the
+    * source PCM bit-exactly, so resampled-pair recall is
+    * equality-replayable. */
+  private def upsample2x(s: Array[Short]): Array[Short] = {
+    val out = new Array[Short](2 * s.length - 1)
+    var i = 0
+    while (i < s.length - 1) {
+      out(2 * i) = s(i)
+      out(2 * i + 1) = ((s(i) + s(i + 1)) / 2).toShort
+      i += 1
+    }
+    out(2 * i) = s(i)
+    out
+  }
+
+  /** Base PCM of transcode-dedup group `gid` — a [[dedupAudioMediaFromDocuments]]-shaped
+    * smooth walk in a DISJOINT seed domain (double-mixed: the audio
+    * fixture families share one pairing body, so their sample streams
+    * must never collide byte-for-byte). */
+  private def transcodePcm(gid: Long, independent: Boolean): Array[Short] = {
+    val seed = splitmix64(splitmix64(gid) + (if (independent) 0xaceL else 0x51bL))
+    val n = 1024 + (gid % 4).toInt * 256
+    Array.tabulate(n)(i =>
+      (splitmix64(seed + i / 8) % 8000L).toShort)
+  }
+
+  /** Planted WAV↔FLAC TRANSCODE fixture (round 19) — the recall hole
+    * exact-blob matching structurally misses, in audio (the m_webp
+    * re-encode shape): groups of four —
+    * m=0 the WAV master (16 kHz mono), m=1 a FLAC transcode of the
+    * SAME PCM (subframe mode varies by gid — not one byte survives
+    * the container change, decode is identical), m=2 a FLAC of the
+    * master's exact 2× linear upsample at 32 kHz (the real crawl
+    * case: one master archived at two rates in two codecs — pairs
+    * only because [[audioFingerprints]] rate-normalizes), m=3 an
+    * independent FLAC at 16 kHz (the no-false-positive control). */
+  def dedupTranscodeAudioFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val gid = id / 4
+      val m = (id % 4).toInt
+      val bytes = m match {
+        case 0 => Wav.encode(16000, transcodePcm(gid, independent = false))
+        case 1 =>
+          val s = transcodePcm(gid, independent = false)
+          Flac.encodePcm(16000, 1, 16, s.map(_.toInt),
+            blockSize = 256 + (gid % 3).toInt * 128,
+            subframeMode = if (gid % 2 == 0) "auto" else "lpc",
+            partOrder = (gid % 3).toInt)
+        case 2 =>
+          val up = upsample2x(transcodePcm(gid, independent = false))
+          Flac.encodePcm(32000, 1, 16, up.map(_.toInt))
+        case _ =>
+          Flac.encodePcm(16000, 1, 16,
+            transcodePcm(gid, independent = true).map(_.toInt))
+      }
+      (id, bytes)
+    }.toDF("media_id", "bytes")
+  }
+
+  /** RESAMPLED-pair cohorts for the m_audio_dedup gate (round 19, the
+    * perturbedVideoCohorts convention — extra members in an offset id
+    * space): per group, 7000000+3·gid = a fresh 16 kHz master,
+    * 7000000+3·gid+1 = the SAME clip at 32 kHz (exact 2× linear
+    * upsample — different bytes, different rate, IDENTICAL normalized
+    * PCM), 7000000+3·gid+2 = an INDEPENDENT 32 kHz control (same
+    * rate as the resample; pairs with nothing — rate normalization
+    * must not glue unrelated clips). */
+  def resampledAudioCohortsFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].filter((id: Long) => id % 4 == 0L)
+      .flatMap { id =>
+        val gid = id / 4
+        def pcm(ind: Boolean): Array[Short] = {
+          val seed = splitmix64(splitmix64(gid * 2 + 1) +
+            (if (ind) 0xbeefL else 0xf00dL))
+          val n = 1024 + (gid % 4).toInt * 256
+          Array.tabulate(n)(i => (splitmix64(seed + i / 8) % 8000L).toShort)
+        }
+        Iterator(
+          (7000000L + 3 * gid, Wav.encode(16000, pcm(ind = false))),
+          (7000000L + 3 * gid + 1,
+            Wav.encode(32000, upsample2x(pcm(ind = false)))),
+          (7000000L + 3 * gid + 2,
+            Wav.encode(32000, upsample2x(pcm(ind = true)))))
+      }.toDF("media_id", "bytes")
   }
 
   // ---- perceptual video dedup (round 13) ----

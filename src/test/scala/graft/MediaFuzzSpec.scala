@@ -118,6 +118,21 @@ class MediaFuzzSpec extends SparkSpec {
     assertClean(fuzz("flac",
       Flac.encode(44100, 2, 16, 44100L, vorbisCommentLen = 8,
         seekPoints = 1), Flac.meta))
+    // round 19: the PCM frame decoder over real frame bodies — the
+    // rice/LPC/decorrelation surface under the same bit-flip storm
+    def pcm(seed: Long, n: Int) = Array.tabulate(n)(i =>
+      (Multimodal.splitmix64(seed + i / 8) % 8000L).toInt)
+    val mono = Flac.encodePcm(16000, 1, 16, pcm(5, 700), blockSize = 256,
+      partOrder = 2)
+    assertClean(fuzz("flac-pcm", mono, b => Flac.decode(b)))
+    val stereo = {
+      val s = pcm(9, 600)
+      val inter = new Array[Int](1200)
+      for (i <- 0 until 600) { inter(2 * i) = s(i); inter(2 * i + 1) = -s(i) }
+      Flac.encodePcm(44100, 2, 16, inter, blockSize = 192, stereo = "ms",
+        subframeMode = "lpc")
+    }
+    assertClean(fuzz("flac-pcm-ms", stereo, b => Flac.decode(b)))
     assertClean(fuzz("ogg",
       Ogg.encode("vorbis", 44100, 2, 44100L, nAudioPages = 2), Ogg.meta))
     assertClean(fuzz("wav",
