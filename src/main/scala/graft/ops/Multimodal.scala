@@ -1847,8 +1847,7 @@ object Multimodal {
       .select(col("media_id"), col("bytes"))
     val dropped = gated.filter(col("gate") =!= "kept")
       .select(col("media_id").as("key"), col("bytes"))
-      .localCheckpoint() // blobStarPairs reads it twice
-    blobStarPairs(dropped)
+    blobStarPairs(dropped) // checkpoints its own narrow (key, md5) frame
       .select(col("id_a"), col("id_b"), lit("exact_blob").as("kind"))
       .unionByName(routedImageDedup(kept, maxHamming, maxBucketDf,
         thumbSide, flatEps, ahash, autoOrient))
@@ -1882,16 +1881,22 @@ object Multimodal {
       maxDurationMs).localCheckpoint()
     val kept = gated.filter(col("gate") === "kept")
       .select(col("media_id"), col("bytes"), col("modality"))
+    // Round 19: the two consumers (group aggregate + star probe) read a
+    // NARROW checkpointed (key, modality, md5) projection — the former
+    // checkpoint materialized the dropped cohort's payload bytes and
+    // computed the md5 once per consumer (guide §2.3: hold and shuffle
+    // hashes, never payloads).
     val dropped = gated.filter(col("gate") =!= "kept")
-      .select(col("media_id").as("key"), col("bytes"), col("modality"))
-      .localCheckpoint() // two consumers: group aggregate + star probe
+      .select(col("media_id").cast("long").as("key"), col("modality"),
+        md5(col("bytes")).as("_md5"))
+      .localCheckpoint()
     val groups = dropped
-      .groupBy(md5(col("bytes")).as("_m"))
-      .agg(min(col("key").cast("long")).as("kept_key"))
-    val dropPairs = dropped.withColumn("_md5", md5(col("bytes")))
+      .groupBy(col("_md5").as("_m"))
+      .agg(min(col("key")).as("kept_key"))
+    val dropPairs = dropped
       .join(groups, col("_md5") === col("_m") &&
-        col("key").cast("long") =!= col("kept_key"))
-      .select(col("kept_key").as("id_a"), col("key").cast("long").as("id_b"),
+        col("key") =!= col("kept_key"))
+      .select(col("kept_key").as("id_a"), col("key").as("id_b"),
         lit("exact_blob").as("kind"), col("modality"))
     dropPairs.unionByName(routedMediaDedupTagged(kept, maxHamming,
       maxBucketDf, minMatchedFrames, maxFrameDf, thumbSide, flatEps,
@@ -2456,20 +2461,22 @@ object Multimodal {
     * use the same similarity definition as the corpus-side matches. */
   private def routedImageDedupDecoded(media: DataFrame, dec: DataFrame,
       maxHamming: Int, maxBucketDf: Int, ahash: Boolean = false): DataFrame = {
-    // exact-route ids: FLAT rasters (perceptual hashing degenerates) and
-    // UNDECODABLE blobs (image magic, corrupt payload — the decoder
+    // exact-route blobs: FLAT rasters (perceptual hashing degenerates)
+    // and UNDECODABLE blobs (image magic, corrupt payload — the decoder
     // skips them, so they have no row in `dec`). A skipped blob must
     // keep its byte-identical duplicates: truncated downloads mirror
-    // across a crawl just like intact ones (round 15).
-    val flatIds = dec.filter(col("is_flat")).select(col("media_id"))
-      .unionByName(media.select(col("media_id"))
-        .join(dec.select(col("media_id")), Seq("media_id"), "left_anti"))
-    // checkpoint the flat-blob slice: it feeds BOTH the group aggregate
-    // and the star-pair join probe — without the cut the media subtree
-    // (and any upstream generation/read) evaluates once per consumer
-    val flatBlobs = media.join(flatIds, Seq("media_id"), "left_semi")
+    // across a crawl just like intact ones (round 15). Round 19: ONE
+    // left join on the (unique-id) decode frame replaces the former
+    // anti-join + union + semi-join id derivation — `is_flat` null
+    // means "no decode row", which routes exact like a flat (guide
+    // §2.4: fewer exchanges, same cohort). blobStarPairs checkpoints
+    // its own narrow (key, md5) frame, so the slice itself no longer
+    // materializes payload bytes.
+    val flatBlobs = media
+      .join(dec.select(col("media_id"), col("is_flat")),
+        Seq("media_id"), "left")
+      .filter(coalesce(col("is_flat"), lit(true)))
       .select(col("media_id").as("key"), col("bytes"))
-      .localCheckpoint()
     val blobPairs = blobStarPairs(flatBlobs)
       .withColumn("kind", lit("exact_blob"))
     val perceptual = imageNearDupPairs(dec.filter(!col("is_flat")),
@@ -2510,15 +2517,25 @@ object Multimodal {
     * the exact-dedup pair shape every degenerate-routing branch emits:
     * (id_a = kept key, id_b = other copy), one row per non-survivor.
     * A group's star pairs label the same connected component its full
-    * pair clique would, at linear (not quadratic) output cost. The
-    * caller checkpoints `blobs` when it has other consumers. */
+    * pair clique would, at linear (not quadratic) output cost.
+    *
+    * Round 19 (optimization): the two consumers (group aggregate +
+    * star probe) read a checkpointed NARROW (key, md5) projection
+    * computed here in one pass — before, every caller checkpointed its
+    * (key, BYTES) slice, materializing the payload in executor memory
+    * when only 24 bytes/row of content identity are ever joined on
+    * (guide §2.3: shuffle keys and hashes, never payloads). Callers no
+    * longer checkpoint the slice. */
   private def blobStarPairs(blobs: DataFrame): DataFrame = {
-    val groups = blobDupGroups(blobs)
-      .select(col("blob_md5").as("_m"), col("kept_key"))
-    blobs.withColumn("_md5", md5(col("bytes")))
+    val hashed = blobs
+      .select(col("key").cast("long").as("key"), md5(col("bytes")).as("_md5"))
+      .localCheckpoint()
+    val groups = hashed.groupBy(col("_md5").as("_m"))
+      .agg(min(col("key")).as("kept_key"))
+    hashed
       .join(groups, col("_md5") === col("_m") &&
-        col("key").cast("long") =!= col("kept_key"))
-      .select(col("kept_key").as("id_a"), col("key").cast("long").as("id_b"))
+        col("key") =!= col("kept_key"))
+      .select(col("kept_key").as("id_a"), col("key").as("id_b"))
   }
 
   /** Per-clip audio quality signals — [[withImageQualitySignals]]' audio
@@ -2593,14 +2610,14 @@ object Multimodal {
     * round 15). */
   private def routedAudioDedupFromFp(media: DataFrame, fps: DataFrame,
       maxHamming: Int, maxBucketDf: Int, silenceFloor: Int): DataFrame = {
-    val exactIds = fps.filter(col("peak") <= silenceFloor)
-      .select(col("media_id"))
-      .unionByName(media.select(col("media_id"))
-        .join(fps.select(col("media_id")), Seq("media_id"), "left_anti"))
-    // same reuse cut as routedImageDedup's flatBlobs (two consumers)
-    val silent = media.join(exactIds, Seq("media_id"), "left_semi")
+    // Round 19: one left join on the (unique-id) fingerprint frame
+    // replaces the former anti-join + union + semi-join id derivation
+    // — a null peak means "no fps row" (undecodable), which routes
+    // exact like silence (the routedImageDedupDecoded shape).
+    val silent = media
+      .join(fps.select(col("media_id"), col("peak")), Seq("media_id"), "left")
+      .filter(coalesce(col("peak") <= silenceFloor, lit(true)))
       .select(col("media_id").as("key"), col("bytes"))
-      .localCheckpoint()
     val blobPairs = blobStarPairs(silent)
       .withColumn("kind", lit("exact_blob"))
     val audible = fps.filter(col("peak") > silenceFloor)
@@ -2709,8 +2726,7 @@ object Multimodal {
       .withColumn("modality", lit("video"))
     val unk = cohort("unknown")
       .select(col("media_id").as("key"), col("bytes"))
-      .localCheckpoint() // two consumers: group aggregate + star probe
-    val unkPairs = blobStarPairs(unk)
+    val unkPairs = blobStarPairs(unk) // checkpoints its own narrow frame
       .select(col("id_a"), col("id_b"),
         lit("exact_blob").as("kind"), lit("unknown").as("modality"))
     img.unionByName(aud).unionByName(vid).unionByName(unkPairs)
@@ -2891,11 +2907,10 @@ object Multimodal {
       .select(col("media_id"), col("match_id"),
         lit("perceptual").as("kind"), lit("video").as("modality"))
 
-    // unknown containers: exact star pairs within the batch (two
-    // consumers of the blob slice: group aggregate + star probe)
+    // unknown containers: exact star pairs within the batch
+    // (blobStarPairs checkpoints its own narrow (key, md5) frame)
     val unk = cohort("unknown")
       .select(col("media_id").as("key"), col("bytes"))
-      .localCheckpoint()
     val unkWithin = blobStarPairs(unk)
       .select(col("id_a"), col("id_b"),
         lit("exact_blob").as("kind"), lit("unknown").as("modality"))
@@ -3511,17 +3526,80 @@ object Multimodal {
   private[graft] def hammingPairs64(sig: DataFrame, maxHamming: Int,
       maxBucketDf: Int = 1000): DataFrame = {
     require(maxBucketDf > 0, s"maxBucketDf must be positive, got $maxBucketDf")
-    val bands = hammingBands64(sig, maxHamming)
-    val ok = dropHeavyBuckets(bands, maxBucketDf, "hammingPairs64")
-    ok.as("a").join(ok.as("b"),
-        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+    val spark = sig.sparkSession
+    import spark.implicits._
+    // Round 19 (optimization): the former shape was a bucket census
+    // (groupBy count → broadcast anti-join) followed by a band SELF-JOIN
+    // and a pair distinct — the banded signature table crossed an
+    // exchange three times (census keys, join side, pair dedup) plus a
+    // broadcast barrier. Pairs within a (band, bits) bucket only need
+    // the bucket's own rows, so ONE groupByKey shuffle of the banded
+    // rows now both enforces the degenerate-bucket cap (buffer at most
+    // `maxBucketDf` rows; an over-cap bucket drains without buffering
+    // and is dropped — identical whale-safety, same loud accumulators)
+    // and emits the exact-verified pairs in-task. Guide §2.4 (remove
+    // shuffles) + §2.3 (shuffle the banded frame once). The pair set is
+    // IDENTICAL: every ordered row pair of a surviving bucket, bit_count
+    // ≤ maxHamming, deduped across bands by the final distinct — the
+    // same set the join + distinct produced (OpsSpec pins equality with
+    // brute force at every radius).
+    val nBuckets = spark.sparkContext.longAccumulator(
+      "graft.dropped_hamming_buckets (hammingPairs64)")
+    val nSigs = spark.sparkContext.longAccumulator(
+      "graft.dropped_hamming_signatures (hammingPairs64)")
+    val cap = maxBucketDf
+    val mh = maxHamming
+    hammingBands64(sig, maxHamming)
+      .select(col("band").cast("int").as("band"), col("bits"),
+        col("id").cast("long").as("id"), col("sig"))
+      .as[(Int, Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_, it) =>
+        val ids = new Array[Long](cap)
+        val sigs = new Array[Long](cap)
+        var n = 0L
+        while (it.hasNext) {
+          val r = it.next()
+          if (n < cap) { ids(n.toInt) = r._3; sigs(n.toInt) = r._4 }
+          n += 1
+        }
+        if (n > cap) {
+          nBuckets.add(1); nSigs.add(n)
+          org.slf4j.LoggerFactory.getLogger("graft.ops.Multimodal")
+            .warn(s"hamming bucket guard (hammingPairs64): dropped a " +
+              s"degenerate (band, bits) bucket holding $n signatures " +
+              s"(cap $cap) — audit with degenerateHammingBuckets; route " +
+              "flat/silent cohorts through the routed*Dedup exact-blob " +
+              "branch")
+          Iterator.empty
+        } else {
+          val m = n.toInt
+          // hamming stays IntegerType — the exact schema the former
+          // bit_count column had (downstream casts and the OpsSpec
+          // brute-force oracle read it as int)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Int)]
+          var i = 0
+          while (i < m) {
+            var j = i + 1
+            while (j < m) {
+              // the former join's a.id < b.id over every row pair
+              val (la, sa, lb, sb) =
+                if (ids(i) < ids(j)) (ids(i), sigs(i), ids(j), sigs(j))
+                else (ids(j), sigs(j), ids(i), sigs(i))
+              if (la != lb) {
+                val h = java.lang.Long.bitCount(sa ^ sb)
+                if (h <= mh) out += ((la, lb, h))
+              }
+              j += 1
+            }
+            i += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("id_a", "id_b", "hamming")
       .distinct()
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** Planted-duplicate AUDIO fixture, the [[dedupImageMediaFromDocuments]]
@@ -4178,21 +4256,77 @@ object Multimodal {
   private def bandedFramePairs(indexed: DataFrame, minMatchedFrames: Int,
       maxFrameHamming: Int, maxBucketDf: Int,
       minLisFrac: Double = 0.0): DataFrame = {
-    val bands = hammingBands64(
-      indexed.select(col("id"), col("fh").as("sig"), col("pos")),
-      maxFrameHamming)
-    val ok = dropHeavyBuckets(bands, maxBucketDf, "videoNearDupPairs")
-    val pairs = ok.as("a").join(ok.as("b"),
-        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
-          col("a.id") < col("b.id"))
-      .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
-        <= maxFrameHamming)
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    // Round 19 (optimization): the hammingPairs64 in-bucket rewrite
+    // applied to the frame matcher — one groupByKey shuffle of the
+    // banded frame rows replaces the census + broadcast anti-join +
+    // band self-join (guide §2.4). The matched ROW pairs a bucket emits
+    // are exactly the former join's output (every ordered row pair,
+    // bit_count ≤ radius, over-cap buckets dropped with the same loud
+    // accumulators), and the downstream per-pair aggregate is unchanged
+    // — collect_set dedups the cross-band duplicates either way.
+    val nBuckets = spark.sparkContext.longAccumulator(
+      "graft.dropped_hamming_buckets (videoNearDupPairs)")
+    val nSigs = spark.sparkContext.longAccumulator(
+      "graft.dropped_hamming_signatures (videoNearDupPairs)")
+    val cap = maxBucketDf
+    val mh = maxFrameHamming
+    val matched = hammingBands64(
+        indexed.select(col("id"), col("fh").as("sig"), col("pos")),
+        maxFrameHamming)
+      .select(col("band").cast("int").as("band"), col("bits"),
+        col("id").cast("long").as("id"), col("sig"),
+        col("pos").cast("int").as("pos"))
+      .as[(Int, Long, Long, Long, Int)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_, it) =>
+        val ids = new Array[Long](cap)
+        val sigs = new Array[Long](cap)
+        val poss = new Array[Int](cap)
+        var n = 0L
+        while (it.hasNext) {
+          val r = it.next()
+          if (n < cap) {
+            ids(n.toInt) = r._3; sigs(n.toInt) = r._4; poss(n.toInt) = r._5
+          }
+          n += 1
+        }
+        if (n > cap) {
+          nBuckets.add(1); nSigs.add(n)
+          org.slf4j.LoggerFactory.getLogger("graft.ops.Multimodal")
+            .warn(s"hamming bucket guard (videoNearDupPairs): dropped a " +
+              s"degenerate (band, bits) bucket holding $n frame hashes " +
+              s"(cap $cap) — audit with degenerateHammingBuckets")
+          Iterator.empty
+        } else {
+          val m = n.toInt
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long, Int, Int)]
+          var i = 0
+          while (i < m) {
+            var j = i + 1
+            while (j < m) {
+              val (ia, ib) = if (ids(i) < ids(j)) (i, j) else (j, i)
+              if (ids(ia) != ids(ib) &&
+                  java.lang.Long.bitCount(sigs(ia) ^ sigs(ib)) <= mh)
+                out += ((ids(ia), ids(ib), sigs(ia), sigs(ib),
+                  poss(ia), poss(ib)))
+              j += 1
+            }
+            i += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("id_a", "id_b", "sig_a", "sig_b", "pa", "pb")
+    val pairs = matched
+      .groupBy(col("id_a"), col("id_b"))
       .agg(
-        least(size(collect_set(col("a.sig"))), size(collect_set(col("b.sig"))))
+        least(size(collect_set(col("sig_a"))), size(collect_set(col("sig_b"))))
           .cast("long").as("n_matched"),
         graft.functions.GraftFunctions.lisLen(collect_set(
-          struct(col("a.pos").as("pa"), col("b.pos").as("pb")))).as("lis"))
+          struct(col("pa"), col("pb")))).as("lis"))
       .filter(col("n_matched") >= minMatchedFrames)
     // the TEMPORAL-IDENTITY knob (round 17): `lis` rode every pair
     // since r16 but nothing consumed it — with minLisFrac > 0 a pair
@@ -4253,16 +4387,15 @@ object Multimodal {
     // a stop frame, or no frames at all — explode drops empty sets),
     // plus UNDECODABLE clips (video magic, corrupt payload — the decoder
     // skips them, so they have no sets row, and a skipped clip must keep
-    // its byte-identical duplicates; round 15)
-    val degenerateIds = sets.select(col("id"))
-      .join(indexed.select(col("id")).distinct(), Seq("id"), "left_anti")
-      .unionByName(media.select(col("media_id").cast("long").as("id"))
-        .join(sets.select(col("id")), Seq("id"), "left_anti"))
-    // same reuse cut as routedImageDedup's flatBlobs (two consumers)
-    val degBlobs = media.join(degenerateIds,
-        media("media_id").cast("long") === degenerateIds("id"), "left_semi")
+    // its byte-identical duplicates; round 15). Round 19: both cohorts
+    // collapse to ONE anti-join — "no surviving frame row" covers
+    // no-sets-row and all-frames-removed alike, so the former
+    // anti + anti + union + semi chain is a single exchange (guide
+    // §2.4).
+    val survivors = indexed.select(col("id"))
+    val degBlobs = media.join(survivors,
+        media("media_id").cast("long") === survivors("id"), "left_anti")
       .select(col("media_id").as("key"), col("bytes"))
-      .localCheckpoint()
     val blobPairs = blobStarPairs(degBlobs)
       .withColumn("kind", lit("exact_blob"))
     val perceptual = bandedFramePairs(indexed, minMatchedFrames,

@@ -189,14 +189,16 @@ class PlanGuardSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), s"m_image_dedup regrew a UDF:\n$plan")
     assert(plan.contains("dhash64"),
       s"m_image_dedup lost the native dhash expression:\n$plan")
-    // the degenerate-bucket guard must be IN the plan: heavy (band, bits)
-    // buckets leave via a broadcast anti-join (a tiny frame by
-    // construction — never a shuffled anti side)
-    assert(plan.contains("LeftAnti"),
-      s"m_image_dedup lost the degenerate-bucket guard anti-join:\n$plan")
-    assert(!plan.replaceAll("(?s)BroadcastHashJoin[^\\n]*LeftAnti", "")
-        .contains("LeftAnti"),
-      s"the guard anti-join stopped broadcasting:\n$plan")
+    // Round 19: the candidate matcher is the in-bucket MapGroups body —
+    // ONE shuffle of the banded signature rows replaces the former
+    // census + broadcast anti-join + band self-join, and the
+    // degenerate-bucket cap is enforced INSIDE the group iterator
+    // (buffer ≤ cap rows, drop over-cap buckets — OpsSpec pins pair-set
+    // equality with brute force and guard subset behavior). The pin:
+    // the matcher must stay the grouped in-task body, never regress to
+    // a joined/cartesian candidate step.
+    assert(plan.contains("MapGroups"),
+      s"m_image_dedup lost the in-bucket grouped matcher:\n$plan")
     // audio/video twins: same equi-join discipline (the joinShaped sweep
     // covers the cartesian check). The video hash runs IN-TASK inside
     // videoFrameHashSets (the same native ImageHash64.compute as the
