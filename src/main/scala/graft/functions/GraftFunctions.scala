@@ -133,6 +133,9 @@ object GraftFunctions {
     ColumnBridge.column(PqResidualCodes(ColumnBridge.expression(vec),
       ColumnBridge.expression(cell), m, k, flatCodebooks, flatCentroids))
 
+  def adcTable(vec: Column, m: Int, k: Int, flatCodebooks: Seq[Float]): Column =
+    ColumnBridge.column(AdcTable(ColumnBridge.expression(vec), m, k, flatCodebooks))
+
   def adcSum(codes: Column, tbl: Column): Column =
     ColumnBridge.column(AdcSum(ColumnBridge.expression(codes), ColumnBridge.expression(tbl)))
 

@@ -197,6 +197,92 @@ object PqResidualCodes {
   }
 }
 
+/** Per-query ADC lookup table for PQ search — tbl[s][j] = ⟨query_sub_s,
+  * centroid_{s,j}⟩ — as ONE native expression (round 19 optimization).
+  * The composed-builtins version it replaces was an m×k tree of
+  * `aggregate(zip_with(slice(...), lit(centroid), x·c))` sub-expressions —
+  * 512 interpreted higher-order-function nodes at m=16, k=32, whose
+  * analyzer/optimizer walks alone cost seconds per query PLAN (the
+  * measured pqKnn floor), and whose lambdas ran interpreted per element.
+  * One imperative m×k×subDim loop computes the same doubles: each entry
+  * is the left-to-right fold Σ_t x_t.toDouble · c_t.toDouble starting at
+  * 0.0 — bit-identical to the builtin fold (OpsSpec pins it
+  * double-for-double against the retained [[graft.ops.Similarity.adcTableFold]]).
+  *
+  * `flatCodebooks` is the m×k×subDim centroid tensor flattened row-major.
+  * PRECONDITION: dense input of length exactly m×subDim (every embedding
+  * column in this library; the corpus side's [[PqCodes]] already fails
+  * loud on a mismatch). */
+case class AdcTable(child: Expression, m: Int, k: Int,
+    flatCodebooks: Seq[Float]) extends UnaryExpression {
+
+  require(m > 0 && k > 0 && flatCodebooks.nonEmpty &&
+    flatCodebooks.length % (m * k) == 0,
+    s"codebook tensor of ${flatCodebooks.length} floats does not factor " +
+      s"into m=$m subspaces x k=$k centroids")
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def prettyName: String = "adc_table"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"adc_table requires array<float> input, got ${other.catalogString}")
+  }
+
+  @transient private lazy val cb: Array[Float] = flatCodebooks.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    AdcTable.compute(input.asInstanceOf[ArrayData], m, k, cb)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("adcCodebooks", cb, "float[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.AdcTable.compute($c, $m, $k, $cbRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AdcTable =
+    copy(child = newChild)
+}
+
+object AdcTable {
+  /** m×k partial dot products, each summed left-to-right over the
+    * subspace (bit-identical to the builtin aggregate∘zip_with fold).
+    * Called from generated code. */
+  def compute(v: ArrayData, m: Int, k: Int, cb: Array[Float]): ArrayData = {
+    val subDim = cb.length / (m * k)
+    if (v.numElements() != m * subDim)
+      throw new IllegalArgumentException(
+        s"adc_table: vector of ${v.numElements()} elements does not match " +
+          s"the m=$m x subDim=$subDim codebook layout")
+    val rows = new Array[ArrayData](m)
+    var s = 0
+    while (s < m) {
+      val off = s * subDim
+      val row = new Array[Double](k)
+      var j = 0
+      while (j < k) {
+        val base = (s * k + j) * subDim
+        var acc = 0.0
+        var t = 0
+        while (t < subDim) {
+          // null elements contribute 0, the family convention (dense
+          // input is the documented precondition for every embedding op)
+          val x = if (v.isNullAt(off + t)) 0.0 else v.getFloat(off + t).toDouble
+          acc += x * cb(base + t).toDouble
+          t += 1
+        }
+        row(j) = acc
+        j += 1
+      }
+      rows(s) = new GenericArrayData(row)
+      s += 1
+    }
+    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+}
+
 /** Asymmetric-distance (ADC) sum for PQ search: Σ_s tbl[s][codes[s]] — the
   * per-candidate inner loop of the memory-bound ANN path, where `codes` is
   * a corpus row's PQ code ([[PqCodes]]) and `tbl` is the query's

@@ -1239,7 +1239,21 @@ object Similarity {
     aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
       acc + element_at(element_at(tbl, s + 1), element_at(codes, s + 1) + 1))
 
+  /** Per-query ADC table — the NATIVE expression (round 19): one
+    * imperative m×k×subDim loop per query row replaces the former m×k
+    * tree of interpreted aggregate∘zip_with sub-expressions, whose
+    * analyzer/optimizer walks alone cost ~2.5 s per pqKnn PLAN at
+    * m=16, k=32 (the measured pqKnn floor; guide §1.2 step 2 and §4:
+    * native expressions over composed interpreted lambdas in the hot
+    * path). Bit-identical by construction — each entry is the same
+    * left-to-right double fold — and pinned against [[adcTableFold]]
+    * in OpsSpec. */
   private[graft] def adcTable(vec: Column, cb: PqCodebooks): Column =
+    graft.functions.GraftFunctions.adcTable(vec, cb.m, cb.k, cb.flat)
+
+  /** The composed-builtins ADC table [[adcTable]] replaced, retained for
+    * the bit-identity spec (the [[adcFold]] convention). */
+  private[graft] def adcTableFold(vec: Column, cb: PqCodebooks): Column =
     array((0 until cb.m).map { s =>
       val sub = slice(vec, s * cb.subDim + 1, cb.subDim)
       array((0 until cb.k).map { j =>

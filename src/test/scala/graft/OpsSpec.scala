@@ -1073,6 +1073,26 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("array<float>"))
   }
 
+  test("native adc_table is bit-identical to the builtin m*k fold tree") {
+    // round 19: the per-query ADC table became one native expression —
+    // every (subspace, centroid) entry must reproduce the
+    // aggregate(zip_with(slice, lit, x*c)) fold double-for-double (same
+    // left-to-right addition order over the subspace)
+    val m = 16; val ck = 8
+    val cb = Similarity.pqTrain(emb, m = m, k = ck, dim = 64)
+    val both = emb.select(
+        Similarity.adcTable($"embedding", cb).as("native"),
+        Similarity.adcTableFold($"embedding", cb).as("fold"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val nat = r.getSeq[scala.collection.Seq[Double]](0)
+      val fld = r.getSeq[scala.collection.Seq[Double]](1)
+      assert(nat.length === m && fld.length === m)
+      nat.zip(fld).foreach { case (a, b) => assert(a === b) }
+    }
+  }
+
   test("native adc_sum is bit-identical to the builtin fold composition") {
     // real codebooks + real codes over the corpus: the native m-lookup
     // loop must reproduce the aggregate(element_at∘element_at) fold
