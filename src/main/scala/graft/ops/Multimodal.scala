@@ -215,6 +215,33 @@ object Multimodal {
     }
   }
 
+  /** Run independent construction thunks concurrently and return their
+    * results in input order. The composed media bodies interleave EAGER
+    * localCheckpoint jobs that are mutually independent (per-modality
+    * decode / fingerprint / frame-hash frames): built sequentially, the
+    * wall pays their SUM; Spark's scheduler happily runs several jobs at
+    * once inside one application — actions are only sequential because
+    * the driver calls them sequentially (guide §2.6) — so a short-lived
+    * thread per branch makes the wall pay their MAX. Pure construction
+    * parallelism: the thunks build the SAME DataFrames in the same
+    * union order, so results are bit-identical. */
+  private def inParallel[A](thunks: Seq[() => A]): Seq[A] =
+    if (thunks.sizeIs <= 1) thunks.map(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+      try {
+        val futs = thunks.map(t =>
+          pool.submit(new java.util.concurrent.Callable[A] {
+            override def call(): A = t()
+          }))
+        try futs.map(_.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      } finally pool.shutdown()
+    }
+
   /** Canonical media-table schema: opaque bytes + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -1886,21 +1913,28 @@ object Multimodal {
     // checkpoint materialized the dropped cohort's payload bytes and
     // computed the md5 once per consumer (guide §2.3: hold and shuffle
     // hashes, never payloads).
-    val dropped = gated.filter(col("gate") =!= "kept")
-      .select(col("media_id").cast("long").as("key"), col("modality"),
-        md5(col("bytes")).as("_md5"))
-      .localCheckpoint()
-    val groups = dropped
-      .groupBy(col("_md5").as("_m"))
-      .agg(min(col("key")).as("kept_key"))
-    val dropPairs = dropped
-      .join(groups, col("_md5") === col("_m") &&
-        col("key") =!= col("kept_key"))
-      .select(col("kept_key").as("id_a"), col("key").as("id_b"),
-        lit("exact_blob").as("kind"), col("modality"))
-    dropPairs.unionByName(routedMediaDedupTagged(kept, maxHamming,
-      maxBucketDf, minMatchedFrames, maxFrameDf, thumbSide, flatEps,
-      silenceFloor, imageAhash, imageAutoOrient))
+    // the dropped-star leg and the kept routing are independent —
+    // overlap their eager checkpoint jobs (inParallel; union order
+    // unchanged)
+    val parts = inParallel[DataFrame](Seq(
+      () => {
+        val dropped = gated.filter(col("gate") =!= "kept")
+          .select(col("media_id").cast("long").as("key"), col("modality"),
+            md5(col("bytes")).as("_md5"))
+          .localCheckpoint()
+        val groups = dropped
+          .groupBy(col("_md5").as("_m"))
+          .agg(min(col("key")).as("kept_key"))
+        dropped
+          .join(groups, col("_md5") === col("_m") &&
+            col("key") =!= col("kept_key"))
+          .select(col("kept_key").as("id_a"), col("key").as("id_b"),
+            lit("exact_blob").as("kind"), col("modality"))
+      },
+      () => routedMediaDedupTagged(kept, maxHamming,
+        maxBucketDf, minMatchedFrames, maxFrameDf, thumbSide, flatEps,
+        silenceFloor, imageAhash, imageAutoOrient)))
+    parts(0).unionByName(parts(1))
   }
 
   /** Planted sub-`minDurationMs` AUDIO junk for the cross-modality
@@ -2715,21 +2749,25 @@ object Multimodal {
       imageAutoOrient: Boolean = false): DataFrame = {
     def cohort(m: String) = tagged.filter(col("modality") === m)
       .select(col("media_id"), col("bytes"))
-    val img = routedImageDedup(cohort("image"), maxHamming, maxBucketDf,
-        thumbSide, flatEps, imageAhash, imageAutoOrient)
-      .withColumn("modality", lit("image"))
-    val aud = routedAudioDedup(cohort("audio"), maxHamming, maxBucketDf,
-        silenceFloor)
-      .withColumn("modality", lit("audio"))
-    val vid = routedVideoDedup(cohort("video"), minMatchedFrames,
-        maxFrameDf, thumbSide)
-      .withColumn("modality", lit("video"))
-    val unk = cohort("unknown")
-      .select(col("media_id").as("key"), col("bytes"))
-    val unkPairs = blobStarPairs(unk) // checkpoints its own narrow frame
-      .select(col("id_a"), col("id_b"),
-        lit("exact_blob").as("kind"), lit("unknown").as("modality"))
-    img.unionByName(aud).unionByName(vid).unionByName(unkPairs)
+    // the four branches are independent (each reads only its cohort of
+    // the checkpointed tagged frame) but their internal decode/
+    // fingerprint checkpoints are EAGER jobs — overlap them (inParallel;
+    // union order unchanged, results identical)
+    val branches = inParallel(Seq(
+      () => routedImageDedup(cohort("image"), maxHamming, maxBucketDf,
+          thumbSide, flatEps, imageAhash, imageAutoOrient)
+        .withColumn("modality", lit("image")),
+      () => routedAudioDedup(cohort("audio"), maxHamming, maxBucketDf,
+          silenceFloor)
+        .withColumn("modality", lit("audio")),
+      () => routedVideoDedup(cohort("video"), minMatchedFrames,
+          maxFrameDf, thumbSide)
+        .withColumn("modality", lit("video")),
+      () => blobStarPairs(cohort("unknown") // checkpoints its own narrow frame
+          .select(col("media_id").as("key"), col("bytes")))
+        .select(col("id_a"), col("id_b"),
+          lit("exact_blob").as("kind"), lit("unknown").as("modality"))))
+    branches.reduce(_.unionByName(_))
   }
 
   /** FROZEN exact-blob index — the md5 analog of [[imageSignatureIndex]]
@@ -2863,60 +2901,75 @@ object Multimodal {
     def cohort(m: String) = tagged.filter(col("modality") === m)
       .select(col("media_id"), col("bytes"))
 
-    // image: decode once — flats route to exact blob dedup within the
-    // batch; every thumb (flat or not) probes the frozen index. The
-    // within-batch pairing hashes with the INDEX's frozen family AND
-    // orientation convention (both derive from the index metadata) so
-    // one result frame never mixes two similarity definitions.
-    val img = cohort("image")
-    val imgDec = withImageQualitySignals(
-      decodeAnyImages(img, thumbSide,
-        autoOrient = indexIsOriented(imageIndex)), flatEps = flatEps)
-      .select(col("media_id"), col("thumb"), col("is_flat"))
-      .localCheckpoint()
-    val imgWithin = routedImageDedupDecoded(img, imgDec, maxHamming,
-        maxBucketDf, ahash = indexHashIsAhash(imageIndex))
-      .withColumn("modality", lit("image"))
-    val imgVs = decodedAgainstIndex(imgDec, imageIndex, maxHamming)
-      .select(col("media_id"), col("match_id"),
-        lit("perceptual").as("kind"), lit("image").as("modality"))
+    // the four modality legs are independent; each interleaves eager
+    // checkpoint jobs (decoded thumbs / fingerprints / frame-hash sets,
+    // star-pair hash frames) — overlap their construction (inParallel;
+    // same frames, same union order, identical results)
+    val legs = inParallel[(DataFrame, Option[DataFrame])](Seq(
+      () => {
+        // image: decode once — flats route to exact blob dedup within
+        // the batch; every thumb (flat or not) probes the frozen index.
+        // The within-batch pairing hashes with the INDEX's frozen
+        // family AND orientation convention (both derive from the index
+        // metadata) so one result frame never mixes two similarity
+        // definitions.
+        val img = cohort("image")
+        val imgDec = withImageQualitySignals(
+          decodeAnyImages(img, thumbSide,
+            autoOrient = indexIsOriented(imageIndex)), flatEps = flatEps)
+          .select(col("media_id"), col("thumb"), col("is_flat"))
+          .localCheckpoint()
+        val imgWithin = routedImageDedupDecoded(img, imgDec, maxHamming,
+            maxBucketDf, ahash = indexHashIsAhash(imageIndex))
+          .withColumn("modality", lit("image"))
+        val imgVs = decodedAgainstIndex(imgDec, imageIndex, maxHamming)
+          .select(col("media_id"), col("match_id"),
+            lit("perceptual").as("kind"), lit("image").as("modality"))
+        (imgWithin, Some(imgVs))
+      },
+      () => {
+        // audio: fingerprint once (the probe needs every clip; the
+        // within leg filters the shared frame to audible)
+        val aud = cohort("audio")
+        val audFp = audioFingerprints(aud).localCheckpoint()
+        val audWithin = routedAudioDedupFromFp(aud, audFp, maxHamming,
+            maxBucketDf, silenceFloor)
+          .withColumn("modality", lit("audio"))
+        val audVs = audioAgainstIndexFromFp(audFp, audioIndex, maxHamming)
+          .select(col("media_id"), col("match_id"),
+            lit("perceptual").as("kind"), lit("audio").as("modality"))
+        (audWithin, Some(audVs))
+      },
+      () => {
+        // video: frame-hash once. The within-batch leg adopts the
+        // INDEX's frozen frame-hash radius (the image cohort's ahash
+        // discipline) — one result frame never mixes two similarity
+        // definitions.
+        val vid = cohort("video")
+        val vidSets = videoFrameHashSets(vid, thumbSide).localCheckpoint()
+        val vidWithin = routedVideoDedupFromSets(vid, vidSets,
+            minMatchedFrames, maxFrameDf,
+            maxFrameHamming = indexFrameHamming(videoIndex),
+            maxBucketDf = maxBucketDf)
+          .withColumn("modality", lit("video"))
+        val vidVs = videoAgainstIndexFromSets(vidSets, videoIndex,
+            minMatchedFrames)
+          .select(col("media_id"), col("match_id"),
+            lit("perceptual").as("kind"), lit("video").as("modality"))
+        (vidWithin, Some(vidVs))
+      },
+      () => {
+        // unknown containers: exact star pairs within the batch
+        // (blobStarPairs checkpoints its own narrow (key, md5) frame)
+        val unkWithin = blobStarPairs(cohort("unknown")
+            .select(col("media_id").as("key"), col("bytes")))
+          .select(col("id_a"), col("id_b"),
+            lit("exact_blob").as("kind"), lit("unknown").as("modality"))
+        (unkWithin, None)
+      }))
+    val Seq(imgVs, audVs, vidVs) = legs.flatMap(_._2)
 
-    // audio: fingerprint once (the probe needs every clip; the within
-    // leg filters the shared frame to audible)
-    val aud = cohort("audio")
-    val audFp = audioFingerprints(aud).localCheckpoint()
-    val audWithin = routedAudioDedupFromFp(aud, audFp, maxHamming,
-        maxBucketDf, silenceFloor)
-      .withColumn("modality", lit("audio"))
-    val audVs = audioAgainstIndexFromFp(audFp, audioIndex, maxHamming)
-      .select(col("media_id"), col("match_id"),
-        lit("perceptual").as("kind"), lit("audio").as("modality"))
-
-    // video: frame-hash once. The within-batch leg adopts the INDEX's
-    // frozen frame-hash radius (the image cohort's ahash discipline
-    // above) — one result frame never mixes two similarity definitions.
-    val vid = cohort("video")
-    val vidSets = videoFrameHashSets(vid, thumbSide).localCheckpoint()
-    val vidWithin = routedVideoDedupFromSets(vid, vidSets,
-        minMatchedFrames, maxFrameDf,
-        maxFrameHamming = indexFrameHamming(videoIndex),
-        maxBucketDf = maxBucketDf)
-      .withColumn("modality", lit("video"))
-    val vidVs = videoAgainstIndexFromSets(vidSets, videoIndex,
-        minMatchedFrames)
-      .select(col("media_id"), col("match_id"),
-        lit("perceptual").as("kind"), lit("video").as("modality"))
-
-    // unknown containers: exact star pairs within the batch
-    // (blobStarPairs checkpoints its own narrow (key, md5) frame)
-    val unk = cohort("unknown")
-      .select(col("media_id").as("key"), col("bytes"))
-    val unkWithin = blobStarPairs(unk)
-      .select(col("id_a"), col("id_b"),
-        lit("exact_blob").as("kind"), lit("unknown").as("modality"))
-
-    val within = imgWithin.unionByName(audWithin).unionByName(vidWithin)
-      .unionByName(unkWithin)
+    val within = legs.map(_._1).reduce(_.unionByName(_))
       .select(col("id_a"), col("id_b"), col("kind"), col("modality"),
         lit("batch").as("side"))
     // the exact-blob leg needs no decode — one md5 equi-join over every
