@@ -213,7 +213,10 @@ object SparkEntry {
     * cross-modality-gate rows share — ONE offset table (a transposed
     * offset in a second copy would read as a codec bug in the oracle
     * diff). Offsets are multiples of 4 so media_id%4 stays doc_id%4. */
-  private def mixedFormatCorpus(s: SparkSession, dir: String): DataFrame = {
+  private def mixedFormatCorpus(s: SparkSession, dir: String): DataFrame =
+    mediaMemo(s, s"mixedformat:$dir")(mixedFormatCorpusBuild(s, dir))
+
+  private def mixedFormatCorpusBuild(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(s"$dir/documents.parquet")
     def off(df: DataFrame, o: Long) = df.select(
       (col("media_id") + lit(o)).as("media_id"), col("bytes"))
@@ -252,6 +255,17 @@ object SparkEntry {
     }
     s.read.parquet(p)
   }
+
+  /** Memoized planted-media fixture from the documents table — every
+    * planted fixture is a pure deterministic function of the sf dir, so
+    * ALL of them follow the [[mediaMemo]] convention (r19: the encode
+    * CPU of fixture synthesis — JPEG/PNG/VP8L/FLAC encoders — ran inside
+    * every timed repeat; the row's operator is the DECODE/dedup, not the
+    * synthesis). */
+  private def docFixture(s: SparkSession, dir: String, key: String)(
+      build: DataFrame => DataFrame): DataFrame =
+    mediaMemo(s, s"$key:$dir")(
+      build(s.read.parquet(s"$dir/documents.parquet")))
 
   /** Planted MIXED-media corpus — each modality's dedup fixture at its
     * id offset, a byte-identical unknown-magic cohort, a CORRUPT
@@ -425,7 +439,20 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft-jsonsink")
         .resolve("json").toString
       trails(s, dir).dumpJson(out, noEmpty = true)
-      s.read.json(out)
+      // explicit read schema: schema inference is a FULL extra pass over
+      // the written JSON (r19, guide §6) — the declared columns and the
+      // no-empty⇒null read-back semantics are unchanged (absent keys
+      // read as null under an explicit schema exactly as under the
+      // inferred one; oracle-pinned)
+      s.read.schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("uuid",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("time",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("props",
+            org.apache.spark.sql.types.StringType)))).json(out)
         .select(col("uuid"), col("time").cast("long").as("time"),
           coalesce(col("event_type"), lit("")).as("event_type"),
           coalesce(col("props"), lit("")).as("props"))
@@ -2208,7 +2235,8 @@ object SparkEntry {
     // Multimodal: frame sampling plumbing (explode by duration metadata).
     "m_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
-          Multimodal.mediaFromDocuments(s.read.parquet(s"$dir/documents.parquet")),
+          docFixture(s, dir, "fx_media")(
+        Multimodal.mediaFromDocuments),
           fps = 1.0)
         .select("media_id", "kind", "frame_idx", "frame_ts_ms")
         .orderBy("media_id", "frame_idx")),
@@ -2225,8 +2253,8 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft-wds")
         .resolve("shards").toString
       Multimodal.exportWebDataset(
-        Multimodal.ppmMediaFromDocuments(
-          s.read.parquet(s"$dir/documents.parquet")),
+        docFixture(s, dir, "fx_ppmMedia")(
+        Multimodal.ppmMediaFromDocuments),
         out, nShards = 16)
         .orderBy("shard")
     }),
@@ -2277,8 +2305,8 @@ object SparkEntry {
     // replays the means — including the libjpeg fixed-point YCbCr→RGB
     // integer arithmetic — analytically from doc_id.
     "m_jpeg" -> ((s, dir) => {
-      val imgs = Multimodal.jpegMediaFromDocuments(
-        s.read.parquet(s"$dir/documents.parquet"))
+      val imgs = docFixture(s, dir, "fx_jpegMedia")(
+        Multimodal.jpegMediaFromDocuments)
       Multimodal.decodeJpegImages(imgs, thumbSide = 2)
         .select(col("media_id"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
@@ -2295,8 +2323,8 @@ object SparkEntry {
     // thumb IS the planted pattern matrix and the oracle replays the
     // pair structure exactly (precision AND recall).
     "m_jpeg_dedup" -> ((s, dir) => {
-      val media = Multimodal.jpegDedupMediaFromDocuments(
-        s.read.parquet(s"$dir/documents.parquet"))
+      val media = docFixture(s, dir, "fx_jpegDedupMedia")(
+        Multimodal.jpegDedupMediaFromDocuments)
       val dec = Multimodal.decodeAnyImages(media, thumbSide = 8)
       Multimodal.imageNearDupPairs(dec, maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("n_diff_ch"))
@@ -2313,8 +2341,8 @@ object SparkEntry {
     // 0). Every column replays from doc_id arithmetic; the truncated
     // %17 cohort drops because the parse requires EOI.
     "m_jpeg_meta" -> ((s, dir) => {
-      Multimodal.jpegMetadata(Multimodal.jpegMediaFromDocuments(
-          s.read.parquet(s"$dir/documents.parquet")))
+      Multimodal.jpegMetadata(docFixture(s, dir, "fx_jpegMedia")(
+        Multimodal.jpegMediaFromDocuments))
         .orderBy("media_id")
     }),
 
@@ -2328,8 +2356,8 @@ object SparkEntry {
     // means. PNG is lossless, so DuckDB replays every mean EXACTLY
     // from doc_id arithmetic — no quant trick, no tolerance.
     "m_png" -> ((s, dir) => {
-      val imgs = Multimodal.pngMediaFromDocuments(
-        s.read.parquet(s"$dir/documents.parquet"))
+      val imgs = docFixture(s, dir, "fx_pngMedia")(
+        Multimodal.pngMediaFromDocuments)
       Multimodal.decodePngImages(imgs, thumbSide = 2)
         .select(col("media_id"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
@@ -2346,8 +2374,8 @@ object SparkEntry {
     // n_diff_ch 0; the oracle replays the pair structure exactly
     // (precision AND recall).
     "m_png_dedup" -> ((s, dir) => {
-      val media = Multimodal.pngDedupMediaFromDocuments(
-        s.read.parquet(s"$dir/documents.parquet"))
+      val media = docFixture(s, dir, "fx_pngDedupMedia")(
+        Multimodal.pngDedupMediaFromDocuments)
       val dec = Multimodal.decodeAnyImages(media, thumbSide = 8)
       Multimodal.imageNearDupPairs(dec, maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("hamming"), col("n_diff_ch"))
@@ -2364,8 +2392,8 @@ object SparkEntry {
     // means. VP8L is lossless, so DuckDB replays every mean EXACTLY
     // from doc_id arithmetic. The truncated %17 cohort refuses.
     "m_webp" -> ((s, dir) => {
-      val imgs = Multimodal.webpDecodeMediaFromDocuments(
-        s.read.parquet(s"$dir/documents.parquet"))
+      val imgs = docFixture(s, dir, "fx_webpDecodeMedia")(
+        Multimodal.webpDecodeMediaFromDocuments)
       Multimodal.decodeWebpImages(imgs, thumbSide = 2)
         .select(col("media_id"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
@@ -2381,8 +2409,8 @@ object SparkEntry {
     // re-encode pairs at hamming 0 with n_diff_ch 0; the oracle
     // replays the pair structure exactly (precision AND recall).
     "m_webp_dedup" -> ((s, dir) => {
-      val media = Multimodal.webpDedupMediaFromDocuments(
-        s.read.parquet(s"$dir/documents.parquet"))
+      val media = docFixture(s, dir, "fx_webpDedupMedia")(
+        Multimodal.webpDedupMediaFromDocuments)
       val dec = Multimodal.decodeAnyImages(media, thumbSide = 8)
       Multimodal.imageNearDupPairs(dec, maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("hamming"), col("n_diff_ch"))
@@ -2400,8 +2428,8 @@ object SparkEntry {
     // planted structure exactly: one (4g, 4g+1) pair per group at
     // hamming 0, n_diff_ch 0.
     "m_orient_dedup" -> ((s, dir) => {
-      val media = Multimodal.orientDedupMediaFromDocuments(
-        s.read.parquet(s"$dir/documents.parquet"))
+      val media = docFixture(s, dir, "fx_orientDedupMedia")(
+        Multimodal.orientDedupMediaFromDocuments)
       val dec = Multimodal.decodeAnyImages(media, thumbSide = 8,
         autoOrient = true)
       Multimodal.imageNearDupPairs(dec, maxHamming = 3)
@@ -2419,8 +2447,8 @@ object SparkEntry {
     // base at hamming 0; the untagged rotated control matches NOTHING
     // (recall comes from the tag, not hash invariance).
     "m_orient_index" -> ((s, dir) => {
-      val media = Multimodal.orientDedupMediaFromDocuments(
-        s.read.parquet(s"$dir/documents.parquet")).localCheckpoint()
+      val media = docFixture(s, dir, "fx_orientDedupMedia")(
+        Multimodal.orientDedupMediaFromDocuments)
       // frozen ORIENTED index memoized per JVM; the oriented-convention
       // column metadata rides the parquet footer schema, so the probe
       // still derives autoOrient from the index alone
@@ -2448,8 +2476,8 @@ object SparkEntry {
     // real but not DuckDB-replayable — and stay spec-gated in
     // PngSpec.)
     "m_png_meta" -> ((s, dir) => {
-      Multimodal.pngMetadata(Multimodal.pngMediaFromDocuments(
-          s.read.parquet(s"$dir/documents.parquet")))
+      Multimodal.pngMetadata(docFixture(s, dir, "fx_pngMedia")(
+        Multimodal.pngMediaFromDocuments))
         .select(col("media_id"), col("width"), col("height"),
           col("bit_depth"), col("color_type"), col("interlaced"),
           col("palette_size"), col("has_alpha"))
@@ -2462,8 +2490,8 @@ object SparkEntry {
     // (no inflate). The trim member reports one frame fewer; every
     // column replays from the fixture arithmetic.
     "m_apng_meta" -> ((s, dir) => {
-      Multimodal.pngMetadata(Multimodal.apngDedupMediaFromDocuments(
-          s.read.parquet(s"$dir/documents.parquet")))
+      Multimodal.pngMetadata(docFixture(s, dir, "fx_apngDedupMedia")(
+        Multimodal.apngDedupMediaFromDocuments))
         .select(col("media_id"), col("width"), col("height"),
           col("animated"), col("n_frames"), col("total_delay_cs"))
         .orderBy("media_id")
@@ -2477,8 +2505,8 @@ object SparkEntry {
     // truncated %17 cohort refuses (the walk cannot reach the
     // trailer).
     "m_gif" -> ((s, dir) => {
-      val imgs = Multimodal.gifMediaFromDocuments(
-        s.read.parquet(s"$dir/documents.parquet"))
+      val imgs = docFixture(s, dir, "fx_gifMedia")(
+        Multimodal.gifMediaFromDocuments)
       Multimodal.decodeAnyImages(imgs, thumbSide = 2)
         .select(col("media_id"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
@@ -2493,8 +2521,8 @@ object SparkEntry {
     // clip-trim shape, nf−1 shared frames in order) / independent;
     // every match is temporal, so lis = n_matched throughout.
     "m_gif_dedup" -> ((s, dir) => {
-      val media = Multimodal.gifDedupMediaFromDocuments(
-        s.read.parquet(s"$dir/documents.parquet"))
+      val media = docFixture(s, dir, "fx_gifDedupMedia")(
+        Multimodal.gifDedupMediaFromDocuments)
       Multimodal.gifNearDupPairs(media, minMatchedFrames = 2)
         .select(col("id_a"), col("id_b"), col("n_matched"), col("lis"))
         .orderBy("id_a", "id_b")
@@ -2509,8 +2537,8 @@ object SparkEntry {
     // exact copy / TRIMMED re-encode with different per-row filters
     // (nf−1 shared frames in order) / independent.
     "m_apng_dedup" -> ((s, dir) => {
-      val media = Multimodal.apngDedupMediaFromDocuments(
-        s.read.parquet(s"$dir/documents.parquet"))
+      val media = docFixture(s, dir, "fx_apngDedupMedia")(
+        Multimodal.apngDedupMediaFromDocuments)
       Multimodal.apngNearDupPairs(media, minMatchedFrames = 2)
         .select(col("id_a"), col("id_b"), col("n_matched"), col("lis"))
         .orderBy("id_a", "id_b")
@@ -2522,8 +2550,8 @@ object SparkEntry {
     // through a different transform stack, so nothing matches at the
     // byte level.
     "m_awebp_dedup" -> ((s, dir) => {
-      val media = Multimodal.awebpDedupMediaFromDocuments(
-        s.read.parquet(s"$dir/documents.parquet"))
+      val media = docFixture(s, dir, "fx_awebpDedupMedia")(
+        Multimodal.awebpDedupMediaFromDocuments)
       Multimodal.awebpNearDupPairs(media, minMatchedFrames = 2)
         .select(col("id_a"), col("id_b"), col("n_matched"), col("lis"))
         .orderBy("id_a", "id_b")
@@ -2538,13 +2566,15 @@ object SparkEntry {
     // nf frames in temporal order (lis = n_matched). The independent
     // corpus member matches nothing.
     "m_anim_xformat" -> ((s, dir) => {
-      val media = Multimodal.xformatAnimMediaFromDocuments(
-        s.read.parquet(s"$dir/documents.parquet")).localCheckpoint()
-      val index = Multimodal.videoFrameIndexFromSets(
-        Multimodal.gifFrameHashSets(
-          media.filter(col("media_id") % 4 === 0 ||
-            col("media_id") % 4 === 3)))
-        .localCheckpoint()
+      val media = docFixture(s, dir, "fx_xformatAnimMedia")(
+        Multimodal.xformatAnimMediaFromDocuments)
+      // frozen GIF-corpus frame index, memoized per JVM (the row times
+      // transcode-probe-vs-FROZEN-index; the vididx convention)
+      val index = mediaMemo(s, s"animidx:$dir")(
+        Multimodal.videoFrameIndexFromSets(
+          Multimodal.gifFrameHashSets(
+            media.filter(col("media_id") % 4 === 0 ||
+              col("media_id") % 4 === 3))))
       Multimodal.animationAgainstIndex(
           Multimodal.apngFrameHashSets(
             media.filter(col("media_id") % 4 === 1)), index)
@@ -2561,8 +2591,8 @@ object SparkEntry {
     // transparency flags, interlace, total duration at I/O cost. Every
     // column replays from the doc_id%4 variant arithmetic.
     "m_gif_meta" -> ((s, dir) => {
-      Multimodal.gifMetadata(Multimodal.gifMediaFromDocuments(
-          s.read.parquet(s"$dir/documents.parquet")))
+      Multimodal.gifMetadata(docFixture(s, dir, "fx_gifMedia")(
+        Multimodal.gifMediaFromDocuments))
         .orderBy("media_id")
     }),
 
@@ -2572,8 +2602,8 @@ object SparkEntry {
     // Every column replays from doc_id arithmetic; the truncated %17
     // cohort refuses via the RIFF length census.
     "m_webp_meta" -> ((s, dir) => {
-      Multimodal.webpMetadata(Multimodal.webpMediaFromDocuments(
-          s.read.parquet(s"$dir/documents.parquet")))
+      Multimodal.webpMetadata(docFixture(s, dir, "fx_webpMedia")(
+        Multimodal.webpMediaFromDocuments))
         .orderBy("media_id")
     }),
 
@@ -2597,11 +2627,13 @@ object SparkEntry {
     // its small canvas first), unknown magics stay kept. Every
     // disposition replays from doc_id arithmetic.
     "m_media_gate" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val media = mixedFormatCorpus(s, dir)
-        .unionByName(Multimodal.junkImageMediaFromDocuments(docs)
-          .select((col("media_id") + lit(90000000L)).as("media_id"),
-            col("bytes")))
+      val media = mediaMemo(s, s"fx_mediagate:$dir") {
+        mixedFormatCorpusBuild(s, dir)
+          .unionByName(Multimodal.junkImageMediaFromDocuments(
+              s.read.parquet(s"$dir/documents.parquet"))
+            .select((col("media_id") + lit(90000000L)).as("media_id"),
+              col("bytes")))
+      }
       Multimodal.mediaMetaGate(media, minSide = 6, maxPixels = 1000000L,
           minDurationMs = 5L, maxDurationMs = 5000L)
         .select(col("media_id"), col("modality"), col("gate"))
@@ -2615,11 +2647,13 @@ object SparkEntry {
     // decode bomb / truncated stream / CgBI-critical PNG). Every
     // disposition replays from doc_id arithmetic.
     "m_meta_gate" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val media = Multimodal.jpegMediaFromDocuments(docs)
-        .unionByName(Multimodal.junkImageMediaFromDocuments(docs)
-          .select((col("media_id") + lit(1000000L)).as("media_id"),
-            col("bytes")))
+      val media = mediaMemo(s, s"fx_metagate:$dir") {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        Multimodal.jpegMediaFromDocuments(docs)
+          .unionByName(Multimodal.junkImageMediaFromDocuments(docs)
+            .select((col("media_id") + lit(1000000L)).as("media_id"),
+              col("bytes")))
+      }
       Multimodal.imageMetaGate(media, minSide = 8, maxPixels = 1000000L)
         .select(col("media_id"), col("gate"))
         .orderBy("media_id")
@@ -2634,11 +2668,13 @@ object SparkEntry {
     // replays the m_jpeg_dedup pair structure for the kept cohort and
     // per-group stars for the junk.
     "m_gated_dedup" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val media = Multimodal.jpegDedupMediaFromDocuments(docs)
-        .unionByName(Multimodal.junkImageMediaFromDocuments(docs)
-          .select((col("media_id") + lit(1000000L)).as("media_id"),
-            col("bytes")))
+      val media = mediaMemo(s, s"fx_gateddedup:$dir") {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        Multimodal.jpegDedupMediaFromDocuments(docs)
+          .unionByName(Multimodal.junkImageMediaFromDocuments(docs)
+            .select((col("media_id") + lit(1000000L)).as("media_id"),
+              col("bytes")))
+      }
       Multimodal.gatedImageDedup(media, minSide = 8, maxPixels = 1000000L)
         .orderBy("id_a", "id_b", "kind")
     }),
@@ -2653,8 +2689,8 @@ object SparkEntry {
     // chaining). Every column replays from doc_id arithmetic and the
     // same public tables inlined in the oracle.
     "m_mp3_meta" -> ((s, dir) => {
-      Multimodal.mp3Metadata(Multimodal.mp3MediaFromDocuments(
-          s.read.parquet(s"$dir/documents.parquet")))
+      Multimodal.mp3Metadata(docFixture(s, dir, "fx_mp3Media")(
+        Multimodal.mp3MediaFromDocuments))
         .orderBy("media_id")
     }),
 
@@ -2665,8 +2701,8 @@ object SparkEntry {
     // samples → duration at header cost. The truncated cohort drops.
     // Every column replays from doc_id arithmetic.
     "m_flac_meta" -> ((s, dir) => {
-      Multimodal.flacMetadata(Multimodal.flacMediaFromDocuments(
-          s.read.parquet(s"$dir/documents.parquet")))
+      Multimodal.flacMetadata(docFixture(s, dir, "fx_flacMedia")(
+        Multimodal.flacMediaFromDocuments))
         .orderBy("media_id")
     }),
 
@@ -2678,8 +2714,8 @@ object SparkEntry {
     // The truncated cohort drops (payload cut breaks both the tiling
     // and the CRC).
     "m_ogg_meta" -> ((s, dir) => {
-      Multimodal.oggMetadata(Multimodal.oggMediaFromDocuments(
-          s.read.parquet(s"$dir/documents.parquet")))
+      Multimodal.oggMetadata(docFixture(s, dir, "fx_oggMedia")(
+        Multimodal.oggMediaFromDocuments))
         .orderBy("media_id")
     }),
 
@@ -2689,8 +2725,8 @@ object SparkEntry {
     // fourccs, mdat presence; sizes chain exactly so the truncated
     // cohort drops. Every column replays from doc_id arithmetic.
     "m_mp4_meta" -> ((s, dir) => {
-      Multimodal.mp4Metadata(Multimodal.mp4MediaFromDocuments(
-          s.read.parquet(s"$dir/documents.parquet")))
+      Multimodal.mp4Metadata(docFixture(s, dir, "fx_mp4Media")(
+        Multimodal.mp4MediaFromDocuments))
         .orderBy("media_id")
     }),
 
@@ -2699,8 +2735,8 @@ object SparkEntry {
     // channels are deterministic gradients, so DuckDB can recompute them
     // analytically from doc_id — a true oracle over a real binary decode.
     "m_decode" -> ((s, dir) => {
-      val imgs = Multimodal.ppmMediaFromDocuments(
-        s.read.parquet(s"$dir/documents.parquet"))
+      val imgs = docFixture(s, dir, "fx_ppmMedia")(
+        Multimodal.ppmMediaFromDocuments)
       Multimodal.decodeImages(imgs, thumbSide = 2)
         .select(col("media_id"), col("width"), col("height"),
           col("mean_r"), col("mean_g"))
@@ -2713,8 +2749,8 @@ object SparkEntry {
     // constant rows, so DuckDB recomputes the exact means analytically
     // from doc_id — a true oracle over a real compressed decode.
     "m_features" -> ((s, dir) => {
-      val imgs = Multimodal.qoiMediaFromDocuments(
-        s.read.parquet(s"$dir/documents.parquet"))
+      val imgs = docFixture(s, dir, "fx_qoiMedia")(
+        Multimodal.qoiMediaFromDocuments)
       Multimodal.decodeQoiImages(imgs, thumbSide = 2)
         .select(col("media_id"), col("width"), col("height"),
           col("mean_r"), col("mean_g"))
@@ -2725,8 +2761,8 @@ object SparkEntry {
     // PCM16) sawtooth per doc, walk the chunk list in mapPartitions
     // batches, emit exact-integer stats with an analytic DuckDB oracle.
     "m_audio" -> ((s, dir) => {
-      val wavs = Multimodal.wavMediaFromDocuments(
-        s.read.parquet(s"$dir/documents.parquet"))
+      val wavs = docFixture(s, dir, "fx_wavMedia")(
+        Multimodal.wavMediaFromDocuments)
       Multimodal.decodeAudio(wavs)
         .select(col("media_id"), col("sample_rate"), col("n_samples"),
           col("duration_ms"), col("peak"), col("mean"))
@@ -2740,8 +2776,8 @@ object SparkEntry {
     // mapPartitions batches. Lossless ⇒ the SAME analytic DuckDB
     // oracle as m_audio replays every stat bit-exactly.
     "m_flac" -> ((s, dir) => {
-      val flacs = Multimodal.flacPcmMediaFromDocuments(
-        s.read.parquet(s"$dir/documents.parquet"))
+      val flacs = docFixture(s, dir, "fx_flacPcmMedia")(
+        Multimodal.flacPcmMediaFromDocuments)
       Multimodal.decodeAudio(flacs)
         .select(col("media_id"), col("sample_rate"), col("n_samples"),
           col("duration_ms"), col("peak"), col("mean"))
@@ -2760,9 +2796,8 @@ object SparkEntry {
     // the control pairs with nothing. Precision AND recall replay
     // exactly.
     "m_flac_dedup" -> ((s, dir) => {
-      val media = mediaMemo(s, s"flactrans:$dir")(
-        Multimodal.dedupTranscodeAudioFromDocuments(
-          s.read.parquet(s"$dir/documents.parquet")))
+      val media = docFixture(s, dir, "fx_dedupTranscodeAudio")(
+        Multimodal.dedupTranscodeAudioFromDocuments)
       val md5s = media.select(col("media_id"), md5(col("bytes")).as("_m"))
       Multimodal.audioNearDupPairs(media, maxHamming = 3)
         .join(md5s.select(col("media_id").as("_ja"), col("_m").as("_ma")),
@@ -2779,8 +2814,8 @@ object SparkEntry {
     // YUV in mapPartitions batches, one row per frame with exact luma
     // stats. Frame extraction from actual bytes, analytic DuckDB oracle.
     "m_video" -> ((s, dir) => {
-      val vids = Multimodal.y4mMediaFromDocuments(
-        s.read.parquet(s"$dir/documents.parquet"))
+      val vids = docFixture(s, dir, "fx_y4mMedia")(
+        Multimodal.y4mMediaFromDocuments)
       Multimodal.decodeVideoFrames(vids)
         .select(col("media_id"), col("frame_idx"), col("width"),
           col("height"), col("fps"), col("mean_y"))
@@ -2798,8 +2833,8 @@ object SparkEntry {
     // and cross-group pairs must NOT appear — so precision AND recall are
     // both exact-checked, not floor-checked.
     "m_image_dedup" -> ((s, dir) => {
-      val media = Multimodal.dedupImageMediaFromDocuments(
-        s.read.parquet(s"$dir/documents.parquet"))
+      val media = docFixture(s, dir, "fx_dedupImageMedia")(
+        Multimodal.dedupImageMediaFromDocuments)
       val dec = Multimodal.decodeAnyImages(media, thumbSide = 8)
       Multimodal.imageNearDupPairs(dec, maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("n_diff_ch"))
@@ -2877,8 +2912,8 @@ object SparkEntry {
     "m_blob_dedup" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft-wds-dedup")
         .resolve("shards").toString
-      val media = Multimodal.dedupImageMediaFromDocuments(
-        s.read.parquet(s"$dir/documents.parquet"))
+      val media = docFixture(s, dir, "fx_dedupImageMedia")(
+        Multimodal.dedupImageMediaFromDocuments)
       Multimodal.exportWebDataset(media, out, nShards = 8, ext = "img")
         .count() // force the export before the read-back
       val back = Multimodal.readWebDataset(s, out)
@@ -2898,8 +2933,8 @@ object SparkEntry {
     // planted structure: each copy and flipped member matches its group
     // base, nothing matches the independent member.
     "m_stream_image_dedup" -> ((s, dir) => {
-      val media = Multimodal.dedupImageMediaFromDocuments(
-        s.read.parquet(s"$dir/documents.parquet"))
+      val media = docFixture(s, dir, "fx_dedupImageMedia")(
+        Multimodal.dedupImageMediaFromDocuments)
       val src = Fixtures.memo(s"imgstream:$dir") {
         val p = java.nio.file.Files.createTempDirectory("graft-imgsrc")
           .resolve("src").toString
@@ -2935,12 +2970,15 @@ object SparkEntry {
     // the min-key survivor), non-flats to banded perceptual pairing;
     // the oracle replays both halves exactly.
     "m_routed_dedup" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val planted = Multimodal.dedupImageMediaFromDocuments(docs)
-        .select("media_id", "bytes")
-      val flats = docs.select((col("doc_id") + lit(1000000L)).as("media_id"),
-        lit(Multimodal.Ppm.encode(8, 8, new Array[Byte](8 * 8 * 3))).as("bytes"))
-      Multimodal.routedImageDedup(planted.unionByName(flats))
+      val media = mediaMemo(s, s"fx_routedimg:$dir") {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val planted = Multimodal.dedupImageMediaFromDocuments(docs)
+          .select("media_id", "bytes")
+        val flats = docs.select((col("doc_id") + lit(1000000L)).as("media_id"),
+          lit(Multimodal.Ppm.encode(8, 8, new Array[Byte](8 * 8 * 3))).as("bytes"))
+        planted.unionByName(flats)
+      }
+      Multimodal.routedImageDedup(media)
         .orderBy("id_a", "id_b")
     }),
 
@@ -2950,8 +2988,8 @@ object SparkEntry {
     // WITHIN the batch plus batch-vs-corpus matches, never a corpus
     // self-join. The oracle replays both sides exactly.
     "m_incr_dedup" -> ((s, dir) => {
-      val media = Multimodal.dedupImageMediaFromDocuments(
-        s.read.parquet(s"$dir/documents.parquet")).localCheckpoint()
+      val media = docFixture(s, dir, "fx_dedupImageMedia")(
+        Multimodal.dedupImageMediaFromDocuments)
       // frozen index memoized per JVM (same bytes as
       // m_stream_image_dedup's: the m ∈ {0,3} split of the same fixture)
       val index = mediaMemo(s, s"imgidx:$dir")(
@@ -2970,11 +3008,15 @@ object SparkEntry {
     // silent clips (byte-identical planted cohort) route to exact blob
     // star pairs and audible clips to fingerprint banding.
     "m_routed_audio" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val planted = Multimodal.dedupAudioMediaFromDocuments(docs)
-      val silents = docs.select((col("doc_id") + lit(1000000L)).as("media_id"),
-        lit(Multimodal.Wav.encode(16000, new Array[Short](1024))).as("bytes"))
-      Multimodal.routedAudioDedup(planted.unionByName(silents))
+      val media = mediaMemo(s, s"fx_routedaud:$dir") {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val planted = Multimodal.dedupAudioMediaFromDocuments(docs)
+        val silents = docs.select(
+          (col("doc_id") + lit(1000000L)).as("media_id"),
+          lit(Multimodal.Wav.encode(16000, new Array[Short](1024))).as("bytes"))
+        planted.unionByName(silents)
+      }
+      Multimodal.routedAudioDedup(media)
         .orderBy("id_a", "id_b")
     }),
 
@@ -2984,23 +3026,26 @@ object SparkEntry {
     // previously exited dedup entirely; now it routes to exact blob star
     // pairs while the planted perceptual groups pair via frame matching.
     "m_routed_video" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val planted = Multimodal.dedupVideoMediaFromDocuments(docs)
-        // round 16: the bit-perturbed cohort (pairs via banding only)
-        // and the beyond-radius cohort (pairs with nothing) ride the
-        // routing too — banded recall and its radius bound are gated on
-        // the routed path as well as the flat self-join path
-        .unionByName(Multimodal.perturbedVideoCohortsFromDocuments(docs,
-          Seq("within", "beyond")))
-      val blackFrame = {
-        val f = new Array[Byte]((8 * 8 * 3) / 2)
-        java.util.Arrays.fill(f, 8 * 8, f.length, 128.toByte)
-        f
+      val media = mediaMemo(s, s"fx_routedvid:$dir") {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val planted = Multimodal.dedupVideoMediaFromDocuments(docs)
+          // round 16: the bit-perturbed cohort (pairs via banding only)
+          // and the beyond-radius cohort (pairs with nothing) ride the
+          // routing too — banded recall and its radius bound are gated on
+          // the routed path as well as the flat self-join path
+          .unionByName(Multimodal.perturbedVideoCohortsFromDocuments(docs,
+            Seq("within", "beyond")))
+        val blackFrame = {
+          val f = new Array[Byte]((8 * 8 * 3) / 2)
+          java.util.Arrays.fill(f, 8 * 8, f.length, 128.toByte)
+          f
+        }
+        val blacks = docs.select(
+          (col("doc_id") + lit(1000000L)).as("media_id"),
+          lit(Multimodal.Y4m.encode(8, 8, 25, Seq(blackFrame))).as("bytes"))
+        planted.unionByName(blacks)
       }
-      val blacks = docs.select((col("doc_id") + lit(1000000L)).as("media_id"),
-        lit(Multimodal.Y4m.encode(8, 8, 25, Seq(blackFrame))).as("bytes"))
-      Multimodal.routedVideoDedup(planted.unionByName(blacks),
-          maxFrameDf = 20)
+      Multimodal.routedVideoDedup(media, maxFrameDf = 20)
         .orderBy("id_a", "id_b")
     }),
 
@@ -3046,9 +3091,8 @@ object SparkEntry {
     // so every stream member matches at hamming 0 with 0 differing
     // frame words.
     "m_stream_audio_dedup" -> ((s, dir) => {
-      val media = mediaMemo(s, s"auddedup:$dir")(
-        Multimodal.dedupAudioMediaFromDocuments(
-          s.read.parquet(s"$dir/documents.parquet")))
+      val media = docFixture(s, dir, "fx_dedupAudioMedia")(
+        Multimodal.dedupAudioMediaFromDocuments)
       val src = Fixtures.memo(s"audstream:$dir") {
         val p = java.nio.file.Files.createTempDirectory("graft-audsrc")
           .resolve("src").toString
@@ -3120,9 +3164,8 @@ object SparkEntry {
     // pairs plus batch-vs-frozen-corpus matches, never a corpus
     // self-join. Every planted pair fingerprints at hamming 0.
     "m_incr_audio" -> ((s, dir) => {
-      val media = mediaMemo(s, s"auddedup:$dir")(
-        Multimodal.dedupAudioMediaFromDocuments(
-          s.read.parquet(s"$dir/documents.parquet")))
+      val media = docFixture(s, dir, "fx_dedupAudioMedia")(
+        Multimodal.dedupAudioMediaFromDocuments)
       val index = mediaMemo(s, s"audidx:$dir")(
         Multimodal.audioSignatureIndex(
           media.filter(col("media_id") % 4 === 0 || col("media_id") % 4 === 3)))
@@ -3147,8 +3190,9 @@ object SparkEntry {
           media.filter(col("media_id") % 4 === 0 || col("media_id") % 4 === 3)))
       val batch = media.filter(col("media_id") % 4 === 1 ||
         col("media_id") % 4 === 2).select("media_id", "bytes")
-        .unionByName(Multimodal.perturbedVideoCohortsFromDocuments(docs,
-          Seq("within")))
+        .unionByName(mediaMemo(s, s"fx_perturbwithin:$dir")(
+          Multimodal.perturbedVideoCohortsFromDocuments(docs,
+            Seq("within"))))
       Multimodal.incrementalVideoNearDup(batch, index)
         .orderBy("id_a", "id_b", "side")
     }),
@@ -3277,10 +3321,9 @@ object SparkEntry {
         .resolve("shards").toString
       // media is consumed by decode, keepBest, export, and the audit —
       // generate the fixture once
-      val media = mediaMemo(s, s"qualimg:$dir")(
-        Multimodal.qualityImageMediaFromDocuments(
-          s.read.parquet(s"$dir/documents.parquet"))
-          .select("media_id", "bytes"))
+      val media = docFixture(s, dir, "fx_qualityImageMedia")(
+        Multimodal.qualityImageMediaFromDocuments)
+        .select("media_id", "bytes")
       // the decode feeds the pair generation AND the quality scoring —
       // decode once
       val dec = Multimodal.decodeAnyImages(media, thumbSide = 8)

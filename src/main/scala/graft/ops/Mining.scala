@@ -147,8 +147,13 @@ object Mining {
       nCells: Int = 16, nprobe: Int = 3, minMargin: Double = 1.0,
       maxPairsPerCell: Long = 1L << 26, vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
-    val knnAB = cellKnn(b, a, k, nCells, nprobe, maxPairsPerCell, vecCol, idCol)
-    val knnBA = cellKnn(a, b, k, nCells, nprobe, maxPairsPerCell, vecCol, idCol)
-    marginPairs(knnAB, knnBA, minMargin)
+    // the two directions are independent but each is EAGER on the
+    // driver (coarse KMeans training + the occupancy-gate collect) —
+    // overlap them so the wall pays max, not sum (guide §2.6; same
+    // frames, identical results)
+    val dirs = Par.inParallel[DataFrame](Seq(
+      () => cellKnn(b, a, k, nCells, nprobe, maxPairsPerCell, vecCol, idCol),
+      () => cellKnn(a, b, k, nCells, nprobe, maxPairsPerCell, vecCol, idCol)))
+    marginPairs(dirs(0), dirs(1), minMargin)
   }
 }

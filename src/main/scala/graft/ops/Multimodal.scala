@@ -215,32 +215,9 @@ object Multimodal {
     }
   }
 
-  /** Run independent construction thunks concurrently and return their
-    * results in input order. The composed media bodies interleave EAGER
-    * localCheckpoint jobs that are mutually independent (per-modality
-    * decode / fingerprint / frame-hash frames): built sequentially, the
-    * wall pays their SUM; Spark's scheduler happily runs several jobs at
-    * once inside one application — actions are only sequential because
-    * the driver calls them sequentially (guide §2.6) — so a short-lived
-    * thread per branch makes the wall pay their MAX. Pure construction
-    * parallelism: the thunks build the SAME DataFrames in the same
-    * union order, so results are bit-identical. */
+  /** Overlap independent construction thunks — see [[graft.ops.Par]]. */
   private def inParallel[A](thunks: Seq[() => A]): Seq[A] =
-    if (thunks.sizeIs <= 1) thunks.map(_())
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
-      try {
-        val futs = thunks.map(t =>
-          pool.submit(new java.util.concurrent.Callable[A] {
-            override def call(): A = t()
-          }))
-        try futs.map(_.get())
-        catch {
-          case e: java.util.concurrent.ExecutionException =>
-            throw e.getCause
-        }
-      } finally pool.shutdown()
-    }
+    Par.inParallel(thunks)
 
   /** Canonical media-table schema: opaque bytes + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
