@@ -1310,6 +1310,8 @@ object SparkEntry {
         .filter(col("n_tokens") >= 20 && col("n_tokens") <= 600 &&
           col("stopword_ratio") < 0.3 && col("punct_ratio") < 0.1)
         .select("doc_id", "text")
+        .localCheckpoint() // consumed by the pair subtree AND the final
+                           // cluster join (the d_disposition convention)
       val pairs = Dedup.ngramJaccardPairs(s2, k = 3, threshold = 0.2)
       Dedup.dedupClusters(s2, pairs)
         .filter(col("doc_id") === col("cluster_id"))
