@@ -763,8 +763,28 @@ object TextAnalysis {
       approx_count_distinct(col(c), rsd).as(s"_hll_$c") +:
         (if (exact) Seq(countDistinct(col(c)).as(s"_nd_$c")) else Nil)
     }
-    val one = df.agg(count(lit(1)).as("_n"), aggs: _*)
-      .crossJoin(broadcast(hashed.agg(dAggs.head, dAggs.tail: _*)))
+    // A STREAMING input cannot join two streaming aggregates (Complete
+    // mode forbids it), so the streaming twin keeps the r18 single
+    // aggregate — the Expand inflation the batch split avoids is
+    // per-micro-batch there, bounded by the trigger, and the merged
+    // audit is identical (StreamingSpec pins stream ≡ batch).
+    val one =
+      if (df.isStreaming) {
+        val merged = names.flatMap { c =>
+          val dv = df.schema(c).dataType match {
+            case org.apache.spark.sql.types.StringType =>
+              when(col(c).isNotNull, xxhash64(col(c)))
+            case _ => col(c)
+          }
+          Seq(count(col(c)).as(s"_nn_$c"),
+            approx_count_distinct(dv, rsd).as(s"_hll_$c"),
+            min(col(c).cast("string")).as(s"_min_$c"),
+            max(col(c).cast("string")).as(s"_max_$c")) ++
+            (if (exact) Seq(countDistinct(dv).as(s"_nd_$c")) else Nil)
+        }
+        df.agg(count(lit(1)).as("_n"), merged: _*)
+      } else df.agg(count(lit(1)).as("_n"), aggs: _*)
+        .crossJoin(broadcast(hashed.agg(dAggs.head, dAggs.tail: _*)))
     val rows = names.map { c =>
       struct(lit(c).as("col_name"),
         col("_n").as("n_rows"),
