@@ -284,11 +284,16 @@ object SparkEntry {
   /** The m_gated_media / m_stream_gated corpus: the mixed dedup fixture
     * plus the three planted junk cohorts, memoized as ONE parquet
     * fixture (the gate rows read it several times). */
-  private def gatedMediaFixture(s: SparkSession, dir: String): DataFrame =
+  private def gatedMediaFixture(s: SparkSession, dir: String): DataFrame = {
+    // reuse the memoized mixed fixture's parquet (resolved BEFORE the
+    // memo closure — the Recursive update discipline) instead of
+    // re-running the full fixture synthesis a second time (r19 review)
+    val mixed = mixedMediaFixture(s, dir)
     mediaMemo(s, s"gatedmedia:$dir") {
-      mixedMediaFixtureBuild(s, dir).unionByName(
+      mixed.unionByName(
         Multimodal.junkMediaFixture(s.read.parquet(s"$dir/documents.parquet")))
     }
+  }
 
   private def mixedMediaFixtureBuild(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -2629,8 +2634,11 @@ object SparkEntry {
     // its small canvas first), unknown magics stay kept. Every
     // disposition replays from doc_id arithmetic.
     "m_media_gate" -> ((s, dir) => {
+      // reuse the memoized nine-format corpus parquet (resolved before
+      // the memo closure) instead of re-encoding it (r19 review)
+      val corpus = mixedFormatCorpus(s, dir)
       val media = mediaMemo(s, s"fx_mediagate:$dir") {
-        mixedFormatCorpusBuild(s, dir)
+        corpus
           .unionByName(Multimodal.junkImageMediaFromDocuments(
               s.read.parquet(s"$dir/documents.parquet"))
             .select((col("media_id") + lit(90000000L)).as("media_id"),

@@ -267,10 +267,16 @@ object AdcTable {
         var acc = 0.0
         var t = 0
         while (t < subDim) {
-          // null elements contribute 0, the family convention (dense
-          // input is the documented precondition for every embedding op)
-          val x = if (v.isNullAt(off + t)) 0.0 else v.getFloat(off + t).toDouble
-          acc += x * cb(base + t).toDouble
+          // a null element is a malformed embedding: refuse LOUD (the
+          // PqCodes convention) rather than silently scoring it — the
+          // retained fold nulled the whole entry (candidate dropped),
+          // and substituting 0.0 here would silently RANK it instead
+          // (r19 review finding)
+          if (v.isNullAt(off + t))
+            throw new IllegalArgumentException(
+              s"adc_table: null element at index ${off + t} — embedding " +
+                "vectors must be dense (documented precondition)")
+          acc += v.getFloat(off + t).toDouble * cb(base + t).toDouble
           t += 1
         }
         row(j) = acc

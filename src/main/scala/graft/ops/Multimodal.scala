@@ -3585,12 +3585,25 @@ object Multimodal {
       .as[(Int, Long, Long, Long)]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (_, it) =>
-        val ids = new Array[Long](cap)
-        val sigs = new Array[Long](cap)
+        // buffers grow geometrically to the OBSERVED bucket size (capped
+        // at maxBucketDf) and the pair loop is a LAZY iterator — a
+        // near-cap bucket never materializes its C(m,2) pairs in memory,
+        // and a caller-relaxed cap never pre-allocates cap-sized arrays
+        // (r19 review finding)
+        var ids = new Array[Long](math.min(cap, 16))
+        var sigs = new Array[Long](math.min(cap, 16))
         var n = 0L
         while (it.hasNext) {
           val r = it.next()
-          if (n < cap) { ids(n.toInt) = r._3; sigs(n.toInt) = r._4 }
+          if (n < cap) {
+            val i = n.toInt
+            if (i == ids.length) {
+              val g = math.min(cap.toLong, ids.length * 2L).toInt
+              ids = java.util.Arrays.copyOf(ids, g)
+              sigs = java.util.Arrays.copyOf(sigs, g)
+            }
+            ids(i) = r._3; sigs(i) = r._4
+          }
           n += 1
         }
         if (n > cap) {
@@ -3604,28 +3617,22 @@ object Multimodal {
           Iterator.empty
         } else {
           val m = n.toInt
+          val fIds = ids; val fSigs = sigs
           // hamming stays IntegerType — the exact schema the former
           // bit_count column had (downstream casts and the OpsSpec
           // brute-force oracle read it as int)
-          val out = scala.collection.mutable.ArrayBuffer
-            .empty[(Long, Long, Int)]
-          var i = 0
-          while (i < m) {
-            var j = i + 1
-            while (j < m) {
+          (0 until m).iterator.flatMap { i =>
+            (i + 1 until m).iterator.flatMap { j =>
               // the former join's a.id < b.id over every row pair
               val (la, sa, lb, sb) =
-                if (ids(i) < ids(j)) (ids(i), sigs(i), ids(j), sigs(j))
-                else (ids(j), sigs(j), ids(i), sigs(i))
+                if (fIds(i) < fIds(j)) (fIds(i), fSigs(i), fIds(j), fSigs(j))
+                else (fIds(j), fSigs(j), fIds(i), fSigs(i))
               if (la != lb) {
                 val h = java.lang.Long.bitCount(sa ^ sb)
-                if (h <= mh) out += ((la, lb, h))
-              }
-              j += 1
+                if (h <= mh) Iterator.single((la, lb, h)) else Iterator.empty
+              } else Iterator.empty
             }
-            i += 1
           }
-          out.iterator
         }
       }
       .toDF("id_a", "id_b", "hamming")
@@ -4311,14 +4318,23 @@ object Multimodal {
       .as[(Int, Long, Long, Long, Int)]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (_, it) =>
-        val ids = new Array[Long](cap)
-        val sigs = new Array[Long](cap)
-        val poss = new Array[Int](cap)
+        // growable buffers + lazy pair iterator — the hammingPairs64
+        // in-bucket memory shape (r19 review finding)
+        var ids = new Array[Long](math.min(cap, 16))
+        var sigs = new Array[Long](math.min(cap, 16))
+        var poss = new Array[Int](math.min(cap, 16))
         var n = 0L
         while (it.hasNext) {
           val r = it.next()
           if (n < cap) {
-            ids(n.toInt) = r._3; sigs(n.toInt) = r._4; poss(n.toInt) = r._5
+            val i = n.toInt
+            if (i == ids.length) {
+              val g = math.min(cap.toLong, ids.length * 2L).toInt
+              ids = java.util.Arrays.copyOf(ids, g)
+              sigs = java.util.Arrays.copyOf(sigs, g)
+              poss = java.util.Arrays.copyOf(poss, g)
+            }
+            ids(i) = r._3; sigs(i) = r._4; poss(i) = r._5
           }
           n += 1
         }
@@ -4331,22 +4347,17 @@ object Multimodal {
           Iterator.empty
         } else {
           val m = n.toInt
-          val out = scala.collection.mutable.ArrayBuffer
-            .empty[(Long, Long, Long, Long, Int, Int)]
-          var i = 0
-          while (i < m) {
-            var j = i + 1
-            while (j < m) {
-              val (ia, ib) = if (ids(i) < ids(j)) (i, j) else (j, i)
-              if (ids(ia) != ids(ib) &&
-                  java.lang.Long.bitCount(sigs(ia) ^ sigs(ib)) <= mh)
-                out += ((ids(ia), ids(ib), sigs(ia), sigs(ib),
-                  poss(ia), poss(ib)))
-              j += 1
+          val fIds = ids; val fSigs = sigs; val fPoss = poss
+          (0 until m).iterator.flatMap { i =>
+            (i + 1 until m).iterator.flatMap { j =>
+              val (ia, ib) = if (fIds(i) < fIds(j)) (i, j) else (j, i)
+              if (fIds(ia) != fIds(ib) &&
+                  java.lang.Long.bitCount(fSigs(ia) ^ fSigs(ib)) <= mh)
+                Iterator.single((fIds(ia), fIds(ib), fSigs(ia), fSigs(ib),
+                  fPoss(ia), fPoss(ib)))
+              else Iterator.empty
             }
-            i += 1
           }
-          out.iterator
         }
       }
       .toDF("id_a", "id_b", "sig_a", "sig_b", "pa", "pb")

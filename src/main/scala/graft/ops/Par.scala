@@ -16,7 +16,17 @@ private[graft] object Par {
   def inParallel[A](thunks: Seq[() => A]): Seq[A] =
     if (thunks.sizeIs <= 1) thunks.map(_())
     else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+      // daemon threads (a hung sibling must not pin JVM exit) and an
+      // interrupt of the remaining thunks when one fails — without the
+      // cancel, a failed branch returned while its siblings kept driving
+      // orphaned checkpoint jobs (r19 review finding)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        thunks.size,
+        (r: Runnable) => {
+          val th = new Thread(r, "graft-par")
+          th.setDaemon(true)
+          th
+        })
       try {
         val futs = thunks.map(t =>
           pool.submit(new java.util.concurrent.Callable[A] {
@@ -25,6 +35,7 @@ private[graft] object Par {
         try futs.map(_.get())
         catch {
           case e: java.util.concurrent.ExecutionException =>
+            futs.foreach(_.cancel(true))
             throw e.getCause
         }
       } finally pool.shutdown()

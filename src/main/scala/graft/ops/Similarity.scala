@@ -1419,17 +1419,19 @@ object Similarity {
       vecCol: String = "embedding", maxRows: Long = 4000000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val (n, s, p) = df.select(col(vecCol).cast("array<float>"))
-      .as[Seq[Float]].select(Gram(dim).toColumn).head()
-    // guard read off the Gram's own row count (r19: the former df.count()
-    // was a FULL extra pass per fit). The row count is exact regardless
-    // of product overflow, so the refusal fires identically; moments are
-    // only consumed when n is inside the exact-integer bound.
-    require(n <= maxRows,
-      s"covarianceMatrix: $n rows exceeds the $maxRows exact-integer " +
+    // The guard PRE-CHECK stays a count(): column pruning makes it a
+    // near-metadata pass, and folding it into the Gram result would make
+    // the REFUSAL path cost a full O(n·dim²) aggregate before throwing —
+    // exactly the cost-bomb shape the bound exists to refuse (r19:
+    // measured the fold, reverted on review).
+    val n0 = df.count()
+    require(n0 <= maxRows,
+      s"covarianceMatrix: $n0 rows exceeds the $maxRows exact-integer " +
         "bound (micro^2 product sums overflow i64 past ~9M unit-norm " +
         "rows) — hashSample the corpus first; a covariance estimate " +
         "does not need every row")
+    val (n, s, p) = df.select(col(vecCol).cast("array<float>"))
+      .as[Seq[Float]].select(Gram(dim).toColumn).head()
     covarianceFromMoments(spark, dim, n, s, p)
   }
 

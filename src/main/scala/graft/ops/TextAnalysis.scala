@@ -750,7 +750,11 @@ object TextAnalysis {
     // aggregates (raw values only in the distinct-free one; 8-byte
     // hashes only in the Expand) produce the identical rows — measured
     // 4.8 s → 2.4 s at sf0.1, and the split is the right shape at any
-    // scale.
+    // scale. The split scans the input TWICE, so the audit's mutual
+    // consistency (n_distinct ≤ n_rows etc.) assumes a deterministic,
+    // stable input between the two jobs — true of every declared
+    // consumer (parquet snapshots); profile a non-deterministic frame
+    // through a checkpoint first.
     val dvs = names.map { c =>
       df.schema(c).dataType match {
         case org.apache.spark.sql.types.StringType =>

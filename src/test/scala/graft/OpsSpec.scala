@@ -1093,6 +1093,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native adc_table refuses null embedding elements loud") {
+    // r19 review: the fold nulled the affected entry (candidate dropped
+    // downstream); silently substituting 0.0 would RANK the malformed
+    // row instead. The native expression refuses loud — the PqCodes
+    // precondition convention.
+    val m = 2; val ck = 2
+    val cb = Similarity.pqTrain(emb, m = m, k = ck, dim = 64)
+    val withNull = spark.range(1).select(
+      org.apache.spark.sql.functions.expr(
+        "array(cast(null as float), " +
+          (1 until 64).map(i => s"cast($i as float)").mkString(", ") + ")")
+        .as("embedding"))
+    val ex = intercept[Throwable] {
+      withNull.select(Similarity.adcTable($"embedding", cb)).collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("must be dense"))
+  }
+
   test("native adc_sum is bit-identical to the builtin fold composition") {
     // real codebooks + real codes over the corpus: the native m-lookup
     // loop must reproduce the aggregate(element_at∘element_at) fold
