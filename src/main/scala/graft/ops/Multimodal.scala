@@ -1227,6 +1227,31 @@ object Multimodal {
     * integer sums → one IEEE division), and a `thumbSide`² nearest-neighbor
     * RGB thumbnail normalized to [0,1]. `skipMalformed` mirrors CSV
     * DROPMALFORMED: corrupt blobs are dropped instead of failing the job. */
+  /** The nearest-neighbor thumbnail every decode path emits — ONE
+    * definition, shared by [[decodeImagesWith]] and the fused gate+decode
+    * walk ([[mediaMetaGateDecoding]]), so the two can never produce
+    * different floats for the same raster. */
+  private def thumbnailOf(w: Int, h: Int, raster: Array[Byte],
+      thumbSide: Int): Array[Float] = {
+    val thumb = new Array[Float](thumbSide * thumbSide * 3)
+    var ty = 0
+    while (ty < thumbSide) {
+      var tx = 0
+      while (tx < thumbSide) {
+        val sx = (tx * w) / thumbSide // nearest-neighbor source pixel
+        val sy = (ty * h) / thumbSide
+        val src = (sy * w + sx) * 3
+        val dst = (ty * thumbSide + tx) * 3
+        thumb(dst) = (raster(src) & 0xff) / 255.0f
+        thumb(dst + 1) = (raster(src + 1) & 0xff) / 255.0f
+        thumb(dst + 2) = (raster(src + 2) & 0xff) / 255.0f
+        tx += 1
+      }
+      ty += 1
+    }
+    thumb
+  }
+
   private def decodeImagesWith(media: DataFrame,
       decoder: Array[Byte] => (Int, Int, Array[Byte]),
       thumbSide: Int, skipMalformed: Boolean): DataFrame = {
@@ -1251,22 +1276,7 @@ object Multimodal {
             p += 3
           }
           val n = (w * h).toDouble
-          val thumb = new Array[Float](thumbSide * thumbSide * 3)
-          var ty = 0
-          while (ty < thumbSide) {
-            var tx = 0
-            while (tx < thumbSide) {
-              val sx = (tx * w) / thumbSide // nearest-neighbor source pixel
-              val sy = (ty * h) / thumbSide
-              val src = (sy * w + sx) * 3
-              val dst = (ty * thumbSide + tx) * 3
-              thumb(dst) = (raster(src) & 0xff) / 255.0f
-              thumb(dst + 1) = (raster(src + 1) & 0xff) / 255.0f
-              thumb(dst + 2) = (raster(src + 2) & 0xff) / 255.0f
-              tx += 1
-            }
-            ty += 1
-          }
+          val thumb = thumbnailOf(w, h, raster, thumbSide)
           Iterator.single(DecodedImage(m.media_id, w, h, sr / n, sg / n, sb / n, thumb))
         } catch {
           case e: Exception if skipMalformed => Iterator.empty
@@ -1831,6 +1841,52 @@ object Multimodal {
     }.toDF("media_id", "bytes", "modality", "gate")
   }
 
+  /** [[mediaMetaGate]] fused with the KEPT image cohort's pixel decode
+    * (round 20, guide §8 "move big rows once"): the gate already streams
+    * every payload byte past the header walk, so decoding the kept
+    * images' thumbnails IN THE SAME PASS removes the second full read of
+    * the image cohort's bytes (and the separate decode job) that
+    * [[gatedMediaDedup]] used to pay in [[routedImageDedup]]. Decode
+    * attempts stay ≡ the kept image census — the SAME
+    * `graft.image_decode_attempts` accumulator counts them, now charged
+    * at the gate — and the thumbs are bit-identical to
+    * [[decodeAnyImages]]' (shared [[decodeAnyImageBytes]] dispatch +
+    * [[thumbnailOf]]). `thumb` is NULL for non-images, gated-out blobs,
+    * and kept images whose decode refuses (those keep routing to exact
+    * blob dedup, the undecodable discipline). Returns (media_id, bytes,
+    * modality, gate, thumb). */
+  private[graft] def mediaMetaGateDecoding(media: DataFrame, minSide: Int,
+      maxPixels: Long, minDurationMs: Long, maxDurationMs: Long,
+      thumbSide: Int, autoOrient: Boolean): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val attempts = spark.sparkContext
+      .longAccumulator("graft.image_decode_attempts")
+    media.select(col("media_id"), col("bytes")).as[ImageRow].mapPartitions { it =>
+      it.map { m =>
+        val fmt = sniffFormat(m.bytes)
+        val gate =
+          try gateOf(m.bytes, fmt, minSide, maxPixels, minDurationMs,
+            maxDurationMs)
+          catch { case _: Exception => "dropped_malformed" }
+        val modality = modalityOf(fmt)
+        val thumb: Array[Float] =
+          if (gate == "kept" && modality == "image") {
+            attempts.add(1)
+            try {
+              val (w, h, raster) = decodeAnyImageBytes(m.bytes)
+              val (ow, oh, oraster) =
+                if (!autoOrient) (w, h, raster)
+                else applyOrientation(w, h, raster,
+                  Jpeg.exifOrientation(m.bytes))
+              thumbnailOf(ow, oh, oraster, thumbSide)
+            } catch { case _: Exception => null }
+          } else null
+        (m.media_id, m.bytes, modality, gate, thumb)
+      }
+    }.toDF("media_id", "bytes", "modality", "gate", "thumb")
+  }
+
   /** META-GATED image dedup — the composed pipeline shape: header gate
     * → decode ONLY the kept cohort → degenerate-aware routed dedup.
     * Gated-out blobs are never pixel-decoded (accumulator-proven in
@@ -1880,11 +1936,32 @@ object Multimodal {
       flatEps: Double = 1e-9, silenceFloor: Int = 0,
       imageAhash: Boolean = false,
       imageAutoOrient: Boolean = false): DataFrame = {
-    // one header pass feeds both cohorts (kept routing + dropped stars)
-    val gated = mediaMetaGate(media, minSide, maxPixels, minDurationMs,
-      maxDurationMs).localCheckpoint()
+    // one pass feeds EVERYTHING (round 20): the header gate classifies
+    // every blob AND decodes the kept image cohort's thumbs in the same
+    // partition walk (mediaMetaGateDecoding), so the image payload bytes
+    // are read once, not once for the gate and again for the decode —
+    // the layout-neutral seam of VERDICT r19 item 4 (the gate emits
+    // (media_id, modality, thumb) for kept images; the route consumes it)
+    val gated = mediaMetaGateDecoding(media, minSide, maxPixels,
+      minDurationMs, maxDurationMs, thumbSide, imageAutoOrient)
+      .localCheckpoint()
     val kept = gated.filter(col("gate") === "kept")
       .select(col("media_id"), col("bytes"), col("modality"))
+    // the decoded frame routedImageDedupDecoded expects — derived from
+    // the gate checkpoint (no second decode, no extra checkpoint; the
+    // quality signals are cheap codegen'd array aggregates). Oriented
+    // thumbs carry the same column metadata decodeAnyImages attaches.
+    val thumbCol =
+      if (!imageAutoOrient) col("thumb")
+      else col("thumb").as("thumb",
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putBoolean(ImageOrientedKey, true).build())
+    val keptImageDec = withImageQualitySignals(
+        gated.filter(col("gate") === "kept" &&
+            col("modality") === "image" && col("thumb").isNotNull)
+          .select(col("media_id"), thumbCol),
+        flatEps = flatEps)
+      .select(col("media_id"), col("thumb"), col("is_flat"))
     // Round 19: the two consumers (group aggregate + star probe) read a
     // NARROW checkpointed (key, modality, md5) projection — the former
     // checkpoint materialized the dropped cohort's payload bytes and
@@ -1910,7 +1987,8 @@ object Multimodal {
       },
       () => routedMediaDedupTagged(kept, maxHamming,
         maxBucketDf, minMatchedFrames, maxFrameDf, thumbSide, flatEps,
-        silenceFloor, imageAhash, imageAutoOrient)))
+        silenceFloor, imageAhash, imageAutoOrient,
+        imageDec = Some(keptImageDec))))
     parts(0).unionByName(parts(1))
   }
 
@@ -2299,23 +2377,30 @@ object Multimodal {
     * a frozen signature index can never be probed with the other
     * convention. Non-JPEG formats carry no EXIF here and pass through
     * unchanged (tag 0). */
+  /** The per-blob image dispatch behind [[decodeAnyImages]] — ONE
+    * definition, shared with the fused gate+decode walk
+    * ([[mediaMetaGateDecoding]]), so the two paths decode (and refuse)
+    * exactly the same blobs. */
+  private[graft] def decodeAnyImageBytes(
+      bytes: Array[Byte]): (Int, Int, Array[Byte]) =
+    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6')
+      Ppm.decode(bytes)
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xd8)
+      Jpeg.decode(bytes)
+    else if (Png.isPng(bytes)) Png.decode(bytes)
+    else if (Gif.isGif(bytes)) Gif.decode(bytes)
+    else if (Webp.isWebp(bytes))
+      // LOSSLESS (VP8L) decodes for real since round 18 (the
+      // from-spec Vp8l codec); lossy VP8 and animated containers
+      // keep refusing loudly inside Webp.decode — those blobs keep
+      // exact dedup through the undecodable route
+      Webp.decode(bytes)
+    else Qoi.decode(bytes)
+
   def decodeAnyImages(media: DataFrame, thumbSide: Int = 2,
       skipMalformed: Boolean = true, autoOrient: Boolean = false): DataFrame = {
-    def base(bytes: Array[Byte]): (Int, Int, Array[Byte]) =
-      if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6')
-        Ppm.decode(bytes)
-      else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
-          (bytes(1) & 0xff) == 0xd8)
-        Jpeg.decode(bytes)
-      else if (Png.isPng(bytes)) Png.decode(bytes)
-      else if (Gif.isGif(bytes)) Gif.decode(bytes)
-      else if (Webp.isWebp(bytes))
-        // LOSSLESS (VP8L) decodes for real since round 18 (the
-        // from-spec Vp8l codec); lossy VP8 and animated containers
-        // keep refusing loudly inside Webp.decode — those blobs keep
-        // exact dedup through the undecodable route
-        Webp.decode(bytes)
-      else Qoi.decode(bytes)
+    val base: Array[Byte] => (Int, Int, Array[Byte]) = decodeAnyImageBytes
     val dec = decodeImagesWith(media,
       if (!autoOrient) base
       else { bytes =>
@@ -2723,7 +2808,8 @@ object Multimodal {
       maxBucketDf: Int, minMatchedFrames: Int, maxFrameDf: Int,
       thumbSide: Int, flatEps: Double, silenceFloor: Int,
       imageAhash: Boolean = false,
-      imageAutoOrient: Boolean = false): DataFrame = {
+      imageAutoOrient: Boolean = false,
+      imageDec: Option[DataFrame] = None): DataFrame = {
     def cohort(m: String) = tagged.filter(col("modality") === m)
       .select(col("media_id"), col("bytes"))
     // the four branches are independent (each reads only its cohort of
@@ -2731,9 +2817,15 @@ object Multimodal {
     // fingerprint checkpoints are EAGER jobs — overlap them (inParallel;
     // union order unchanged, results identical)
     val branches = inParallel(Seq(
-      () => routedImageDedup(cohort("image"), maxHamming, maxBucketDf,
-          thumbSide, flatEps, imageAhash, imageAutoOrient)
-        .withColumn("modality", lit("image")),
+      // a caller that already decoded the image cohort (the fused gate,
+      // round 20) hands its (media_id, thumb, is_flat) frame in; the
+      // standalone path decodes here, exactly as before
+      () => (imageDec match {
+          case Some(dec) => routedImageDedupDecoded(cohort("image"), dec,
+            maxHamming, maxBucketDf, ahash = imageAhash)
+          case None => routedImageDedup(cohort("image"), maxHamming,
+            maxBucketDf, thumbSide, flatEps, imageAhash, imageAutoOrient)
+        }).withColumn("modality", lit("image")),
       () => routedAudioDedup(cohort("audio"), maxHamming, maxBucketDf,
           silenceFloor)
         .withColumn("modality", lit("audio")),
@@ -2790,11 +2882,15 @@ object Multimodal {
   private def mediaAgainstIndexesTagged(tagged: DataFrame,
       imageIndex: DataFrame, audioIndex: DataFrame, videoIndex: DataFrame,
       blobIndex: DataFrame, maxHamming: Int, minMatchedFrames: Int,
-      thumbSide: Int): DataFrame = {
+      thumbSide: Int, imageDec: Option[DataFrame] = None): DataFrame = {
     def cohort(m: String) = tagged.filter(col("modality") === m)
       .select(col("media_id"), col("bytes"))
-    val img = imageNearDupAgainstIndex(cohort("image"), imageIndex,
-        maxHamming, thumbSide)
+    // a caller that already decoded the image cohort (the fused gate,
+    // round 20) hands its (media_id, thumb) frame in; the standalone
+    // path decodes here, exactly as before
+    val img = imageDec.map(decodedAgainstIndex(_, imageIndex, maxHamming))
+      .getOrElse(imageNearDupAgainstIndex(cohort("image"), imageIndex,
+        maxHamming, thumbSide))
       .select(col("media_id"), col("match_id"),
         lit("perceptual").as("kind"), lit("image").as("modality"))
     val aud = audioAgainstIndex(cohort("audio"), audioIndex, maxHamming)
@@ -2825,14 +2921,30 @@ object Multimodal {
       minDurationMs: Long = 0L, maxDurationMs: Long = Long.MaxValue,
       maxHamming: Int = 3, minMatchedFrames: Int = 2,
       thumbSide: Int = 8): DataFrame = {
-    val gated = mediaMetaGate(media, minSide, maxPixels, minDurationMs,
-      maxDurationMs).localCheckpoint()
+    // one pass feeds everything (round 20, the gatedMediaDedup seam):
+    // the gate walk also decodes the kept image cohort's thumbs, so the
+    // per-micro-batch body reads each image payload once, not once for
+    // the gate and again for the probe decode. Orientation follows the
+    // frozen index convention exactly like imageNearDupAgainstIndex.
+    val oriented = indexIsOriented(imageIndex)
+    val gated = mediaMetaGateDecoding(media, minSide, maxPixels,
+      minDurationMs, maxDurationMs, thumbSide, autoOrient = oriented)
+      .localCheckpoint()
     val kept = gated.filter(col("gate") === "kept")
       .select(col("media_id"), col("bytes"), col("modality"))
+    val thumbCol =
+      if (!oriented) col("thumb")
+      else col("thumb").as("thumb",
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putBoolean(ImageOrientedKey, true).build())
+    val keptImageDec = gated.filter(col("gate") === "kept" &&
+        col("modality") === "image" && col("thumb").isNotNull)
+      .select(col("media_id"), thumbCol)
     val dropped = gated.filter(col("gate") =!= "kept")
       .select(col("media_id"), col("bytes"), col("modality"))
     mediaAgainstIndexesTagged(kept, imageIndex, audioIndex, videoIndex,
-        blobIndex, maxHamming, minMatchedFrames, thumbSide)
+        blobIndex, maxHamming, minMatchedFrames, thumbSide,
+        imageDec = Some(keptImageDec))
       .unionByName(blobsAgainstMd5Index(dropped, blobIndex))
   }
 
