@@ -3356,14 +3356,25 @@ object SparkEntry {
       val kept = Dedup.keepBest(asDocs.join(quality, "doc_id"), clusters,
           col("edge_energy"))
         .localCheckpoint()
-      Multimodal.exportWebDataset(kept, out, nShards = 4, ext = "img",
-        keyCol = "doc_id").count() // force the export before the read-back
+      // Round 20 (guide §2.6, VERDICT r19 item 6): the audit's LEFT side
+      // (survivor md5 + cluster labels + sizes) depends only on `kept`,
+      // not on the export — materialize it WHILE the tar shards write,
+      // so the final join waits only for the read-back. Same joins, same
+      // rows; the inner join against `back` is unchanged.
+      val auditLeft = graft.ops.Par.inParallel[DataFrame](Seq(
+        () => kept.select(col("doc_id"), md5(col("bytes")).as("_mo"))
+          .join(clusters, "doc_id")
+          .join(sizes, "cluster_id")
+          .localCheckpoint(),
+        () => {
+          Multimodal.exportWebDataset(kept, out, nShards = 4, ext = "img",
+            keyCol = "doc_id").count() // force the export before the read-back
+          kept
+        })).head
       val back = Multimodal.readWebDataset(s, out)
         .filter(col("ext") === "img")
         .select(col("key").as("doc_id"), md5(col("bytes")).as("_mb"))
-      kept.select(col("doc_id"), md5(col("bytes")).as("_mo"))
-        .join(clusters, "doc_id")
-        .join(sizes, "cluster_id")
+      auditLeft
         .join(back, "doc_id") // inner: a survivor lost by the export loses its row
         .select(col("doc_id").as("survivor_id"), col("cluster_id"),
           col("n_members"), (col("_mo") === col("_mb")).as("blob_ok"))
