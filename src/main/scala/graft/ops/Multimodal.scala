@@ -1951,17 +1951,8 @@ object Multimodal {
     // the gate checkpoint (no second decode, no extra checkpoint; the
     // quality signals are cheap codegen'd array aggregates). Oriented
     // thumbs carry the same column metadata decodeAnyImages attaches.
-    val thumbCol =
-      if (!imageAutoOrient) col("thumb")
-      else col("thumb").as("thumb",
-        new org.apache.spark.sql.types.MetadataBuilder()
-          .putBoolean(ImageOrientedKey, true).build())
-    val keptImageDec = withImageQualitySignals(
-        gated.filter(col("gate") === "kept" &&
-            col("modality") === "image" && col("thumb").isNotNull)
-          .select(col("media_id"), thumbCol),
-        flatEps = flatEps)
-      .select(col("media_id"), col("thumb"), col("is_flat"))
+    val keptImageDec = taggedImageDec(gated.filter(col("gate") === "kept"),
+      imageAutoOrient, Some(flatEps))
     // Round 19: the two consumers (group aggregate + star probe) read a
     // NARROW checkpointed (key, modality, md5) projection — the former
     // checkpoint materialized the dropped cohort's payload bytes and
@@ -2744,12 +2735,19 @@ object Multimodal {
       imageAutoOrient: Boolean = false): DataFrame =
     // classify ONCE and checkpoint: four cohort filters read the tagged
     // frame, so the upstream media subtree (generation/read) runs once.
-    // `imageAhash` selects the image cohort's hash family — a caller
-    // composing this with [[mediaAgainstIndexes]] against an
-    // ahash-family [[imageSignatureIndex]] passes
-    // indexHashIsAhash(index) so the within-batch pairs use the SAME
-    // similarity definition as the corpus-side matches (exactly what
-    // [[incrementalMediaDedup]] does internally).
+    // Round 20 note: fusing the image decode into this pass
+    // (classifyMediaDecoding, the gated-path seam) was measured and
+    // REVERTED here — the four modality legs overlap (inParallel), so
+    // the image decode already runs concurrent with the audio/video
+    // legs; moving it into the pre-parallel classify checkpoint
+    // serialized it onto the critical path (m_routed_media 2.26→2.59 s,
+    // m_incr_media 2.90→3.07 s, min-of-5 A/B). `imageAhash` selects the
+    // image cohort's hash family — a caller composing this with
+    // [[mediaAgainstIndexes]] against an ahash-family
+    // [[imageSignatureIndex]] passes indexHashIsAhash(index) so the
+    // within-batch pairs use the SAME similarity definition as the
+    // corpus-side matches (exactly what [[incrementalMediaDedup]] does
+    // internally).
     routedMediaDedupTagged(classifyMedia(media).localCheckpoint(),
       maxHamming, maxBucketDf, minMatchedFrames, maxFrameDf, thumbSide,
       flatEps, silenceFloor, imageAhash, imageAutoOrient)
@@ -2798,6 +2796,67 @@ object Multimodal {
         .when(magic(9) === lit("YUV4MPEG2".getBytes) ||
           substring(col("bytes"), 5, 4) === lit("ftyp".getBytes), "video")
         .otherwise("unknown").as("modality"))
+  }
+
+  /** [[classifyMedia]] fused with the image cohort's pixel decode
+    * (round 20, the [[mediaMetaGateDecoding]] seam applied to the
+    * un-gated compositions): the classification pass already streams
+    * every payload byte, so the image cohort's thumbnails decode IN THE
+    * SAME pass and the routed/incremental/against-index bodies stop
+    * paying a second full read of the image payload. Classification is
+    * LITERALLY [[classifyMedia]]'s column rules (applied first, so the
+    * two can never drift); decode shares [[decodeAnyImageBytes]] /
+    * [[thumbnailOf]] and the `graft.image_decode_attempts` accumulator
+    * with [[decodeImagesWith]]. `thumb` is NULL for non-images and for
+    * image blobs whose decode refuses (those keep routing to exact blob
+    * dedup). Returns (media_id, bytes, modality, thumb). */
+  private[graft] def classifyMediaDecoding(media: DataFrame,
+      thumbSide: Int, autoOrient: Boolean): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val attempts = spark.sparkContext
+      .longAccumulator("graft.image_decode_attempts")
+    classifyMedia(media)
+      .select(col("media_id").cast("long").as("media_id"), col("bytes"),
+        col("modality"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        it.map { case (id, bytes, modality) =>
+          val thumb: Array[Float] =
+            if (modality == "image") {
+              attempts.add(1)
+              try {
+                val (w, h, raster) = decodeAnyImageBytes(bytes)
+                val (ow, oh, oraster) =
+                  if (!autoOrient) (w, h, raster)
+                  else applyOrientation(w, h, raster,
+                    Jpeg.exifOrientation(bytes))
+                thumbnailOf(ow, oh, oraster, thumbSide)
+              } catch { case _: Exception => null }
+            } else null
+          (id, bytes, modality, thumb)
+        }
+      }.toDF("media_id", "bytes", "modality", "thumb")
+  }
+
+  /** The (media_id, thumb[, is_flat]) probe frame a fused-decode tagged
+    * checkpoint yields — shared by the three round-20 call sites so the
+    * orientation metadata and null-thumb filtering cannot drift. */
+  private def taggedImageDec(tagged: DataFrame, oriented: Boolean,
+      flatEps: Option[Double]): DataFrame = {
+    val thumbCol =
+      if (!oriented) col("thumb")
+      else col("thumb").as("thumb",
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putBoolean(ImageOrientedKey, true).build())
+    val base = tagged.filter(col("modality") === "image" &&
+        col("thumb").isNotNull)
+      .select(col("media_id"), thumbCol)
+    flatEps match {
+      case Some(eps) => withImageQualitySignals(base, flatEps = eps)
+        .select(col("media_id"), col("thumb"), col("is_flat"))
+      case None => base
+    }
   }
 
   /** [[routedMediaDedup]] over an already-classified (and checkpointed)
@@ -2874,10 +2933,18 @@ object Multimodal {
   def mediaAgainstIndexes(media: DataFrame, imageIndex: DataFrame,
       audioIndex: DataFrame, videoIndex: DataFrame, blobIndex: DataFrame,
       maxHamming: Int = 3, minMatchedFrames: Int = 2,
-      thumbSide: Int = 8): DataFrame =
-    mediaAgainstIndexesTagged(classifyMedia(media).localCheckpoint(),
+      thumbSide: Int = 8): DataFrame = {
+    // round 20: classify + image decode in ONE payload pass
+    // (classifyMediaDecoding); orientation follows the frozen index
+    // convention exactly like imageNearDupAgainstIndex did
+    val oriented = indexIsOriented(imageIndex)
+    val tagged = classifyMediaDecoding(media, thumbSide, oriented)
+      .localCheckpoint()
+    mediaAgainstIndexesTagged(tagged,
       imageIndex, audioIndex, videoIndex, blobIndex, maxHamming,
-      minMatchedFrames, thumbSide)
+      minMatchedFrames, thumbSide,
+      imageDec = Some(taggedImageDec(tagged, oriented, None)))
+  }
 
   private def mediaAgainstIndexesTagged(tagged: DataFrame,
       imageIndex: DataFrame, audioIndex: DataFrame, videoIndex: DataFrame,
@@ -2932,14 +2999,8 @@ object Multimodal {
       .localCheckpoint()
     val kept = gated.filter(col("gate") === "kept")
       .select(col("media_id"), col("bytes"), col("modality"))
-    val thumbCol =
-      if (!oriented) col("thumb")
-      else col("thumb").as("thumb",
-        new org.apache.spark.sql.types.MetadataBuilder()
-          .putBoolean(ImageOrientedKey, true).build())
-    val keptImageDec = gated.filter(col("gate") === "kept" &&
-        col("modality") === "image" && col("thumb").isNotNull)
-      .select(col("media_id"), thumbCol)
+    val keptImageDec = taggedImageDec(gated.filter(col("gate") === "kept"),
+      oriented, None)
     val dropped = gated.filter(col("gate") =!= "kept")
       .select(col("media_id"), col("bytes"), col("modality"))
     mediaAgainstIndexesTagged(kept, imageIndex, audioIndex, videoIndex,
@@ -2986,6 +3047,9 @@ object Multimodal {
       minMatchedFrames: Int = 2, maxFrameDf: Int = 1000,
       thumbSide: Int = 8, flatEps: Double = 1e-9,
       silenceFloor: Int = 0): DataFrame = {
+    // round 20 note: the classify+decode fusion was measured and
+    // REVERTED here too — the image decode below already overlaps the
+    // audio/video legs (inParallel); see routedMediaDedup
     val tagged = classifyMedia(newMedia).localCheckpoint()
     def cohort(m: String) = tagged.filter(col("modality") === m)
       .select(col("media_id"), col("bytes"))
