@@ -47,17 +47,19 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // Round 20 (guide §2.2, VERDICT r19 item 2): coalesce post-shuffle
-      // partitions by SIZE, not core count — parallelismFirst=true (the
-      // Spark default) keeps one tiny partition per core, so at sf0.1
-      // every reduce stage launched 32 near-empty tasks and five rows ran
-      // SLOWER on 32 cores than 8 (BENCH_r19 vs _c8 scaling ratios
-      // 0.54-0.73). Size-based coalescing is also the production 100 TB
-      // behavior: reducers sized by advisory bytes (env-overridable; the
-      // 64m default is Spark's own advisory size) regardless of cluster
-      // width. Streaming state is untouched — AQE does not apply to
-      // streaming plans and stateful partitioning still follows
-      // spark.sql.shuffle.partitions.
+      // Round 20 (guide §2.2, VERDICT r19 item 2): the AQE coalescing
+      // knobs are EXPLICIT and env-overridable, with defaults equal to
+      // Spark's own — size-first coalescing (parallelismFirst=false)
+      // was implemented and MEASURED at four settings and REJECTED as a
+      // local default: this engine's hot reduce stages are CPU-dense
+      // and byte-light (array_intersect verifies, banded-bucket pair
+      // loops), so any size-based target serializes them
+      // (d_containment_prefix 2.4 → 2.8-4.7 s across every advisory
+      // size; OPTIMIZATION_r20.md §3 has the table). A production
+      // deployment whose stages ARE byte-proportional (the 100 TB
+      // shuffle-bound regime) can turn size-first coalescing on via
+      // these env vars without a code change. Do NOT flip the default
+      // back without re-running that experiment.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",

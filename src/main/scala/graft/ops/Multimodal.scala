@@ -1855,6 +1855,27 @@ object Multimodal {
     * and kept images whose decode refuses (those keep routing to exact
     * blob dedup, the undecodable discipline). Returns (media_id, bytes,
     * modality, gate, thumb). */
+  /** One blob's fused decode-to-thumbnail attempt — the SHARED body of
+    * every fused gate+decode walk (extracted so a change to attempt
+    * counting, exception handling, or orientation can never
+    * desynchronize a fused site from [[decodeImagesWith]]'s census):
+    * counts the attempt on the given accumulator, decodes via
+    * [[decodeAnyImageBytes]], applies the EXIF orientation convention
+    * when asked, and returns the [[thumbnailOf]] floats — or null when
+    * the decode refuses (the undecodable route). */
+  private def decodeThumbOrNull(bytes: Array[Byte], thumbSide: Int,
+      autoOrient: Boolean,
+      attempts: org.apache.spark.util.LongAccumulator): Array[Float] = {
+    attempts.add(1)
+    try {
+      val (w, h, raster) = decodeAnyImageBytes(bytes)
+      val (ow, oh, oraster) =
+        if (!autoOrient) (w, h, raster)
+        else applyOrientation(w, h, raster, Jpeg.exifOrientation(bytes))
+      thumbnailOf(ow, oh, oraster, thumbSide)
+    } catch { case _: Exception => null }
+  }
+
   private[graft] def mediaMetaGateDecoding(media: DataFrame, minSide: Int,
       maxPixels: Long, minDurationMs: Long, maxDurationMs: Long,
       thumbSide: Int, autoOrient: Boolean): DataFrame = {
@@ -1871,17 +1892,9 @@ object Multimodal {
           catch { case _: Exception => "dropped_malformed" }
         val modality = modalityOf(fmt)
         val thumb: Array[Float] =
-          if (gate == "kept" && modality == "image") {
-            attempts.add(1)
-            try {
-              val (w, h, raster) = decodeAnyImageBytes(m.bytes)
-              val (ow, oh, oraster) =
-                if (!autoOrient) (w, h, raster)
-                else applyOrientation(w, h, raster,
-                  Jpeg.exifOrientation(m.bytes))
-              thumbnailOf(ow, oh, oraster, thumbSide)
-            } catch { case _: Exception => null }
-          } else null
+          if (gate == "kept" && modality == "image")
+            decodeThumbOrNull(m.bytes, thumbSide, autoOrient, attempts)
+          else null
         (m.media_id, m.bytes, modality, gate, thumb)
       }
     }.toDF("media_id", "bytes", "modality", "gate", "thumb")
@@ -2541,7 +2554,10 @@ object Multimodal {
   }
 
   /** [[routedImageDedup]] from an ALREADY-DECODED quality-signal frame
-    * (media_id, thumb, is_flat — checkpointed by the caller): the mixed
+    * (media_id, thumb, is_flat — checkpointed by the caller, or a cheap
+    * projection OVER a caller-held checkpoint: the frame is consumed by
+    * two jobs, so anything expensive above it must be materialized; the
+    * fused-gate caller derives it from the gate checkpoint): the mixed
     * incremental path decodes its image cohort once and feeds both this
     * within-batch routing and the against-index join from it, passing
     * the INDEX's frozen hash family as `ahash` so the within-batch pairs
@@ -2798,47 +2814,6 @@ object Multimodal {
         .otherwise("unknown").as("modality"))
   }
 
-  /** [[classifyMedia]] fused with the image cohort's pixel decode
-    * (round 20, the [[mediaMetaGateDecoding]] seam applied to the
-    * un-gated compositions): the classification pass already streams
-    * every payload byte, so the image cohort's thumbnails decode IN THE
-    * SAME pass and the routed/incremental/against-index bodies stop
-    * paying a second full read of the image payload. Classification is
-    * LITERALLY [[classifyMedia]]'s column rules (applied first, so the
-    * two can never drift); decode shares [[decodeAnyImageBytes]] /
-    * [[thumbnailOf]] and the `graft.image_decode_attempts` accumulator
-    * with [[decodeImagesWith]]. `thumb` is NULL for non-images and for
-    * image blobs whose decode refuses (those keep routing to exact blob
-    * dedup). Returns (media_id, bytes, modality, thumb). */
-  private[graft] def classifyMediaDecoding(media: DataFrame,
-      thumbSide: Int, autoOrient: Boolean): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    val attempts = spark.sparkContext
-      .longAccumulator("graft.image_decode_attempts")
-    classifyMedia(media)
-      .select(col("media_id").cast("long").as("media_id"), col("bytes"),
-        col("modality"))
-      .as[(Long, Array[Byte], String)]
-      .mapPartitions { it =>
-        it.map { case (id, bytes, modality) =>
-          val thumb: Array[Float] =
-            if (modality == "image") {
-              attempts.add(1)
-              try {
-                val (w, h, raster) = decodeAnyImageBytes(bytes)
-                val (ow, oh, oraster) =
-                  if (!autoOrient) (w, h, raster)
-                  else applyOrientation(w, h, raster,
-                    Jpeg.exifOrientation(bytes))
-                thumbnailOf(ow, oh, oraster, thumbSide)
-              } catch { case _: Exception => null }
-            } else null
-          (id, bytes, modality, thumb)
-        }
-      }.toDF("media_id", "bytes", "modality", "thumb")
-  }
-
   /** The (media_id, thumb[, is_flat]) probe frame a fused-decode tagged
     * checkpoint yields — shared by the three round-20 call sites so the
     * orientation metadata and null-thumb filtering cannot drift. */
@@ -2933,18 +2908,18 @@ object Multimodal {
   def mediaAgainstIndexes(media: DataFrame, imageIndex: DataFrame,
       audioIndex: DataFrame, videoIndex: DataFrame, blobIndex: DataFrame,
       maxHamming: Int = 3, minMatchedFrames: Int = 2,
-      thumbSide: Int = 8): DataFrame = {
-    // round 20: classify + image decode in ONE payload pass
-    // (classifyMediaDecoding); orientation follows the frozen index
-    // convention exactly like imageNearDupAgainstIndex did
-    val oriented = indexIsOriented(imageIndex)
-    val tagged = classifyMediaDecoding(media, thumbSide, oriented)
-      .localCheckpoint()
-    mediaAgainstIndexesTagged(tagged,
+      thumbSide: Int = 8): DataFrame =
+    // round 20 note: fusing the image decode into the classify pass was
+    // measured here too and REVERTED on review — the −0.12 s delta was
+    // inside this box's ambient spread, while the fused mapPartitions
+    // walk pays a JVM tuple encoder roundtrip for EVERY row (audio,
+    // video, unknown) that the native-column classifyMedia checkpoint
+    // avoids. The gated twin keeps its fusion (mediaMetaGateDecoding):
+    // there the gate already runs a per-row JVM walk, so the decode
+    // rides an existing deserialization, and the A/B win was real.
+    mediaAgainstIndexesTagged(classifyMedia(media).localCheckpoint(),
       imageIndex, audioIndex, videoIndex, blobIndex, maxHamming,
-      minMatchedFrames, thumbSide,
-      imageDec = Some(taggedImageDec(tagged, oriented, None)))
-  }
+      minMatchedFrames, thumbSide)
 
   private def mediaAgainstIndexesTagged(tagged: DataFrame,
       imageIndex: DataFrame, audioIndex: DataFrame, videoIndex: DataFrame,

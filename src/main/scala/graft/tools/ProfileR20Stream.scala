@@ -59,6 +59,10 @@ object ProfileR20Stream {
       spark.catalog.clearCache()
       fn(spark, dir).queryExecution.toRdd.count() // warm: fixtures + JIT
       spark.catalog.clearCache()
+      // drain the async listener bus before resetting: the warm run's
+      // in-flight QueryProgress/QueryTerminated events would otherwise
+      // land AFTER the reset and contaminate the timed run's gaps
+      Thread.sleep(1000)
       events.clear(); tStart = 0; tFirstProgress = 0; tLastProgress = 0; tTerm = 0
       val t0 = System.nanoTime()
       val df = fn(spark, dir)
